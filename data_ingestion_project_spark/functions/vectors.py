@@ -1,0 +1,64 @@
+"""Vector math over ``array<float>`` embedding columns.
+
+Pure higher-order-function expressions (``zip_with`` / ``aggregate``) —
+they execute in the JVM without any Python round-trip, which is what
+makes brute-force similarity viable as the exact baseline at scale
+(one broadcast + one codegen'd map stage, no shuffle at all).
+
+All arithmetic is done in DOUBLE regardless of the storage type
+(float32 on disk halves I/O; float64 math keeps results stable and
+oracle-comparable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def to_double_array(col: Column | str) -> Column:
+    return F.transform(_c(col), lambda x: x.cast("double"))
+
+
+def vec_dot(a: Column | str, b: Column | str) -> Column:
+    """Dot product of two array columns (DOUBLE accumulation)."""
+    prods = F.zip_with(_c(a), _c(b), lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def vec_norm(a: Column | str) -> Column:
+    return F.sqrt(vec_dot(a, a))
+
+
+def cosine_similarity(a: Column | str, b: Column | str) -> Column:
+    return vec_dot(a, b) / (vec_norm(a) * vec_norm(b))
+
+
+def random_projection_signature(col: Column | str, planes: list[list[float]]) -> Column:
+    """Sign-bit signature of the vector against fixed hyperplanes.
+
+    The LSH bucketing primitive for approximate cosine search: vectors
+    with equal signatures land in the same bucket, so candidate
+    generation becomes an equi-join on the signature instead of a cross
+    join — the 100 TB-scale path. ``planes`` must be generated with a
+    fixed seed so signatures are deterministic across runs/executors.
+    """
+    c = _c(col)
+    bits = [
+        F.when(
+            F.aggregate(
+                F.zip_with(c, F.array(*[F.lit(float(v)) for v in plane]),
+                           lambda x, y: x.cast("double") * y),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            >= 0,
+            F.lit("1"),
+        ).otherwise(F.lit("0"))
+        for plane in planes
+    ]
+    return F.concat(*bits)

@@ -1,0 +1,76 @@
+"""As-of join (point-in-time join) — an operator Spark lacks natively.
+
+Semantics: for every left row, attach the latest right row whose
+timestamp is <= the left timestamp (direction="backward", inclusive),
+matched within the same key group. Equivalent to pandas
+``merge_asof`` / DuckDB ``ASOF JOIN``.
+
+Implementation strategy (the scale-aware choice): a *union + window*
+plan rather than a range join.
+
+- Range-join formulation (``l.ts >= r.ts`` + row_number) explodes to
+  O(|L| x |R| per key) intermediate rows before pruning — fatal when a
+  key has millions of right rows at 100 TB.
+- Union formulation: tag both sides, union, single shuffle on the key,
+  one in-order window pass carrying the last-seen right-side payload
+  forward (``last(..., ignorenulls=True)``). Cost is one shuffle +
+  one sort of |L| + |R| — the same plan a native as-of implementation
+  (e.g. QuestDB/kdb-style) would execute, expressed declaratively.
+
+Skew note: a hot key (one user with 1e8 events) concentrates in one
+partition; AQE skew-join doesn't apply to windows, so at that scale
+pre-split hot keys by a time-bucket salt and stitch the last value of
+each bucket forward (not needed at current data sizes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    right_payload: list[str] | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Backward (inclusive) as-of join of ``right`` onto ``left``.
+
+    Returns ``left`` with ``<payload><suffix>`` columns attached; left
+    rows with no prior right row get nulls (LEFT ASOF semantics).
+    """
+    right_payload = right_payload or [c for c in right.columns if c not in on and c != right_ts]
+
+    l_tag = left.select(
+        *[F.col(c) for c in left.columns],
+        F.lit(1).alias("__is_left"),
+        F.col(left_ts).alias("__ts"),
+        *[F.lit(None).cast(right.schema[p].dataType).alias(f"__r_{p}") for p in right_payload],
+    )
+    r_tag = right.select(
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns if c not in on],
+        *[F.col(c) for c in on],
+        F.lit(0).alias("__is_left"),
+        F.col(right_ts).alias("__ts"),
+        *[F.col(p).alias(f"__r_{p}") for p in right_payload],
+    ).select(*l_tag.columns)  # align column order for unionByName safety
+
+    # Right rows sort before left rows at equal timestamps → inclusive (>=).
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("__ts").asc(), F.col("__is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = l_tag.unionByName(r_tag).select(
+        *[F.col(c) for c in left.columns],
+        F.col("__is_left"),
+        *[
+            F.last(F.col(f"__r_{p}"), ignorenulls=True).over(w).alias(f"{p}{suffix}")
+            for p in right_payload
+        ],
+    )
+    return carried.filter(F.col("__is_left") == 1).drop("__is_left")

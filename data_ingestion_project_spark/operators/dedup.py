@@ -1,0 +1,274 @@
+"""Deduplication family for document tables (LLM-training-data path).
+
+Exact → fingerprint groupBy; near-dup → MinHash/LSH, SimHash, word-set
+Jaccard, embedding cosine. Each variant trades recall for cost; the
+shared design rule is **candidate generation must be an equi-join**
+(bucket/band/signature), never a cross join — that is what survives
+100 TB.
+
+Determinism: every hash here is derived from md5/xxhash64 of content
+with fixed seeds, so results are stable across runs, executors, and
+partitionings (required for the correctness oracle and for reproducible
+data curation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from data_ingestion_project_spark.functions.text import fingerprint, normalize_text
+
+
+# ---------------------------------------------------------------- exact
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep exactly one row per normalized-content fingerprint.
+
+    Keep-FIRST by ``id_col`` (deterministic), generalizing the
+    reference's keep-first uuid dedup (io_utils.py:34 in
+    /root/reference) to content addressing. One shuffle on the
+    fingerprint; at 100 TB this is the cheapest dedup pass and always
+    runs before any fuzzy pass to shrink the candidate set.
+    """
+    w = Window.partitionBy("__fp").orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("__fp", fingerprint(text_col))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__fp", "__rn")
+    )
+
+
+def exact_dup_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """All (a, b) id pairs (a < b) with identical normalized content."""
+    keyed = df.select(F.col(id_col), fingerprint(text_col).alias("fp"))
+    a, b = keyed.alias("a"), keyed.alias("b")
+    return (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.fp").alias("fp"),
+        )
+    )
+
+
+# ----------------------------------------------------- word-set Jaccard
+
+
+def tokenized(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, word) rows of distinct normalized words — the inverted index."""
+    return df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(F.split(normalize_text(text_col), r"\s+"))).alias("word"),
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_jaccard: float = 0.0,
+    max_word_doc_freq: int | None = None,
+) -> DataFrame:
+    """Exact word-set Jaccard for all candidate pairs via inverted index.
+
+    Candidate pairs come from the self-equi-join of the (id, word)
+    inverted index — pairs sharing zero words are never materialized.
+    ``max_word_doc_freq`` drops ultra-common words from candidate
+    generation (classic posting-list pruning; at scale a word that
+    appears in 10% of all docs generates a near-cross-join and adds no
+    discriminative signal). Jaccard stays exact over full sets.
+    """
+    words = tokenized(df, text_col, id_col).cache()
+    sizes = words.groupBy(id_col).agg(F.count("*").alias("set_size"))
+
+    index = words
+    if max_word_doc_freq is not None:
+        doc_freq = words.groupBy("word").agg(F.count("*").alias("df"))
+        index = words.join(
+            F.broadcast(doc_freq.filter(F.col("df") <= max_word_doc_freq)), "word"
+        ).select(id_col, "word")
+
+    a, b = index.alias("a"), index.alias("b")
+    inter = (
+        a.join(b, (F.col("a.word") == F.col("b.word")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"))
+    pairs = (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("size_a") + F.col("size_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return pairs
+
+
+# ------------------------------------------------------------- MinHash
+
+
+def _hash_band(seed: int) -> F.Column:
+    # xxhash64 with per-permutation seed → one MinHash permutation.
+    return F.xxhash64(F.col("word"), F.lit(seed))
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 32,
+) -> DataFrame:
+    """MinHash signature (num_perm minima of seeded xxhash64) per doc.
+
+    One explode + one groupBy; signatures are arrays of longs. All
+    hashing is JVM-side (xxhash64 builtin) — no Python in the loop.
+    """
+    words = tokenized(df, text_col, id_col)
+    mins = [F.min(_hash_band(i)).alias(f"h{i}") for i in range(num_perm)]
+    sig = words.groupBy(id_col).agg(*mins)
+    return sig.select(F.col(id_col), F.array(*[f"h{i}" for i in range(num_perm)]).alias("signature"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 32,
+    bands: int = 8,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs via banded MinHash LSH, rescored with exact Jaccard.
+
+    Band signature equality → equi-join candidate generation (the LSH
+    step); candidates then rescored against the exact word-set Jaccard
+    so the output threshold is exact, not probabilistic. At 100 TB the
+    band join is the only quadratic-risk step and its bucket sizes are
+    tunable via (num_perm, bands).
+    """
+    assert num_perm % bands == 0
+    rows_per_band = num_perm // bands
+    sig = minhash_signatures(df, text_col, id_col, num_perm)
+
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band).alias("key"),
+        )
+        for b in range(bands)
+    ]
+    buckets = sig.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")).select(
+        id_col, F.col("bk.band").alias("band"), F.hash("bk.key").alias("bucket")
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    exact = jaccard_pairs(df, text_col, id_col, min_jaccard=min_jaccard)
+    return candidates.join(exact, ["id_a", "id_b"]).select("id_a", "id_b", "jaccard")
+
+
+# ------------------------------------------------------------- SimHash
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64) -> DataFrame:
+    """64-bit SimHash per document, fully JVM-side.
+
+    Each distinct word hashes to 64 bits (xxhash64); per document, each
+    bit position accumulates +1/-1 by that bit's value; the sign vector
+    is packed back into one long. Hamming-close simhashes ⇒ similar
+    word sets. Plan: explode → groupBy(id) with 64 conditional sums →
+    bit-pack; one shuffle total.
+    """
+    words = tokenized(df, text_col, id_col).withColumn("h", F.xxhash64("word", F.lit(1337)))
+    bit_sums = [
+        F.sum(F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(
+            f"b{i}"
+        )
+        for i in range(bits)
+    ]
+    agg = words.groupBy(id_col).agg(*bit_sums)
+    packed = agg.select(
+        F.col(id_col),
+        sum(
+            (F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")) * F.lit(2 ** i).cast("long"))
+            if i < 63
+            else F.when(F.col(f"b{i}") > 0, F.lit(-(2 ** 63)).cast("long")).otherwise(F.lit(0).cast("long"))
+            for i in range(bits)
+        ).alias("simhash"),
+    )
+    return packed
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 8,
+    blocks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``.
+
+    Candidate generation: split the 64-bit hash into ``blocks`` 16-bit
+    blocks; by pigeonhole, any pair within Hamming distance < blocks
+    shares at least one exact block → equi-join per block (union of
+    block joins), then exact popcount rescoring. No cross join.
+    """
+    sh = simhash(df, text_col, id_col).cache()
+    block_bits = 64 // blocks
+    mask = (1 << block_bits) - 1
+    exploded = sh.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("blk"),
+                        F.shiftrightunsigned(F.col("simhash"), i * block_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("key"),
+                    )
+                    for i in range(blocks)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "simhash", F.col("bk.blk").alias("blk"), F.col("bk.key").alias("key"))
+
+    a, b = exploded.alias("a"), exploded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,41 @@
+"""The declared query inventory, exposed to the driver via __spark_entry__.
+
+Each module contributes:
+- ``QUERIES``: dict[str, Callable[[SparkSession, str], DataFrame]]
+- ``ORACLE``:  dict[str, str]  — DuckDB-equivalent ANSI SQL (omitted for
+  genuinely non-SQL-expressible operators → rows-only check)
+
+Conventions that make the duckdb value-hash gate pass:
+- every computed column is aliased identically in Spark and SQL;
+- aggregate doubles are ROUND()ed (floating-point sums are
+  order-dependent; rounding makes them comparison-stable);
+- timestamps in outputs are formatted to strings;
+- every top-k has a full deterministic tie-break.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from data_ingestion_project_spark.queries import documents, embeddings, events, tpch
+
+_MODULES = (tpch, events, documents, embeddings)
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for mod in _MODULES:
+        overlap = out.keys() & mod.QUERIES.keys()
+        if overlap:
+            raise ValueError(f"duplicate query names: {overlap}")
+        out.update(mod.QUERIES)
+    return out
+
+
+def all_oracles() -> dict[str, str]:
+    out: dict[str, str] = {}
+    for mod in _MODULES:
+        out.update(mod.ORACLE)
+    return out

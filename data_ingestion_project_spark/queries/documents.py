@@ -1,0 +1,249 @@
+"""Document-table analytics: text statistics, quality, fingerprints,
+dedup — the LLM-training-data pipeline surface (north star in
+BASELINE.json; the reference itself has no text analytics).
+
+SQL-expressible variants carry a DuckDB oracle; the probabilistic
+dedup variants (MinHash LSH, SimHash) are exposed rows-only since
+their candidate generation is not reasonably expressible in ANSI SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_ingestion_project_spark.functions.text import (
+    fingerprint,
+    lang_guess,
+    punct_ratio,
+    stopword_count,
+    token_count,
+)
+from data_ingestion_project_spark.operators.dedup import (
+    exact_dup_pairs,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash_near_pairs,
+)
+from data_ingestion_project_spark.sources.readers import table
+
+
+def lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+ORACLE_LANG_STATS = """
+SELECT lang, COUNT(*) AS n_docs, ROUND(AVG(n_chars), 4) AS avg_chars,
+       MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token counting — pure codegen (split+size), no UDF."""
+    d = table(spark, sf_dir, "documents")
+    toks = token_count("text")
+    return (
+        d.select("lang", toks.alias("n_tokens"))
+        .groupBy("lang")
+        .agg(
+            F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+ORACLE_TOKEN_STATS = """
+SELECT lang,
+       ROUND(AVG(n_tokens), 4) AS avg_tokens,
+       MIN(n_tokens) AS min_tokens,
+       MAX(n_tokens) AS max_tokens
+FROM (
+  SELECT lang, CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER) AS n_tokens
+  FROM documents
+) t
+GROUP BY lang ORDER BY lang
+"""
+
+
+def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality features: punctuation density + stopword
+    count; all regex work is JVM-side codegen."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.round(punct_ratio("text"), 6).alias("punct_ratio"),
+        stopword_count("text").alias("n_stopwords"),
+        token_count("text").alias("n_tokens"),
+    ).orderBy("doc_id")
+
+
+ORACLE_DOC_QUALITY = """
+SELECT doc_id,
+       ROUND((length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g'))) * 1.0
+             / length(text), 6) AS punct_ratio,
+       CAST(len(regexp_extract_all(lower(text), '\\b(the|a|of|and|to|in|is|it)\\b', 0)) AS INTEGER)
+         AS n_stopwords,
+       CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER) AS n_tokens
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def fingerprint_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressed dedup accounting per source: md5 fingerprint of
+    normalized text (exact-dedup key at any scale)."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select("source", fingerprint("text").alias("fp"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct(F.col("fp")).alias("n_unique"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_FINGERPRINT_SUMMARY = """
+SELECT source, COUNT(*) AS n_docs,
+       COUNT(DISTINCT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))) AS n_unique
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
+def exact_duplicate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate pair listing (0 rows on clean corpora — the
+    operator still exercises the fingerprint equi-join plan)."""
+    d = table(spark, sf_dir, "documents")
+    return exact_dup_pairs(d).orderBy("id_a", "id_b")
+
+
+ORACLE_EXACT_DUPLICATE_PAIRS = """
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       md5(regexp_replace(lower(trim(a.text)), '\\s+', ' ', 'g')) AS fp
+FROM documents a
+JOIN documents b
+  ON md5(regexp_replace(lower(trim(a.text)), '\\s+', ' ', 'g'))
+   = md5(regexp_replace(lower(trim(b.text)), '\\s+', ' ', 'g'))
+ AND a.doc_id < b.doc_id
+ORDER BY id_a, id_b
+"""
+
+
+def near_dup_jaccard_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 most-similar doc pairs by exact word-set Jaccard via the
+    inverted-index equi-join (no cross join; operators/dedup.py)."""
+    d = table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(d, min_jaccard=0.0)
+    return (
+        pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        .orderBy(F.col("jaccard").desc(), F.col("id_a").asc(), F.col("id_b").asc())
+        .limit(20)
+    )
+
+
+ORACLE_NEAR_DUP_JACCARD_TOP = """
+WITH words AS (
+  SELECT doc_id,
+         unnest(list_distinct(string_split_regex(
+           regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), '\\s+'))) AS word
+  FROM documents
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS set_size FROM words GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+  FROM words a JOIN words b ON a.word = b.word AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b,
+       ROUND(n_common * 1.0 / (sa.set_size + sb.set_size - n_common), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+ORDER BY jaccard DESC, id_a ASC, id_b ASC
+LIMIT 20
+"""
+
+
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language-ID vs the labeled lang column (confusion
+    counts). The CASE-expression heuristic is deliberately
+    SQL-expressible so it stays oracle-checkable."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select("lang", lang_guess("text").alias("guessed"))
+        .groupBy("lang", "guessed")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "guessed")
+    )
+
+
+ORACLE_LANG_ID_CONFUSION = """
+SELECT lang,
+       CASE
+         WHEN regexp_matches(lower(text), '[一-鿿]') THEN 'zh'
+         WHEN regexp_matches(lower(text), '[äöüß]|\\b(und|der|die|das|nicht)\\b') THEN 'de'
+         WHEN regexp_matches(lower(text), '[àâçéèêëîïôùûœ]|\\b(le|la|les|et|est|une)\\b') THEN 'fr'
+         WHEN regexp_matches(lower(text), '[áéíóúñ¿¡]|\\b(el|los|las|es|una|que)\\b') THEN 'es'
+         ELSE 'en'
+       END AS guessed,
+       COUNT(*) AS n
+FROM documents
+GROUP BY 1, 2
+ORDER BY lang, guessed
+"""
+
+
+# ------------------------------- rows-only (approximate dedup variants)
+
+
+def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs rescored with exact Jaccard ≥ 0.3.
+    Approximate candidate generation → rows-only check (no oracle)."""
+    d = table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(d, num_perm=32, bands=8, min_jaccard=0.3).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    ).orderBy(F.col("jaccard").desc(), "id_a", "id_b")
+
+
+def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash blocked candidate pairs within Hamming ≤ 16 (rows-only)."""
+    d = table(spark, sf_dir, "documents")
+    return simhash_near_pairs(d, max_hamming=16, blocks=4).orderBy("hamming", "id_a", "id_b")
+
+
+QUERIES = {
+    "lang_stats": lang_stats,
+    "token_stats": token_stats,
+    "doc_quality": doc_quality,
+    "fingerprint_summary": fingerprint_summary,
+    "exact_duplicate_pairs": exact_duplicate_pairs,
+    "near_dup_jaccard_top": near_dup_jaccard_top,
+    "lang_id_confusion": lang_id_confusion,
+    "minhash_near_dups": minhash_near_dups,
+    "simhash_near_dups": simhash_near_dups,
+}
+
+ORACLE = {
+    "lang_stats": ORACLE_LANG_STATS,
+    "token_stats": ORACLE_TOKEN_STATS,
+    "doc_quality": ORACLE_DOC_QUALITY,
+    "fingerprint_summary": ORACLE_FINGERPRINT_SUMMARY,
+    "exact_duplicate_pairs": ORACLE_EXACT_DUPLICATE_PAIRS,
+    "near_dup_jaccard_top": ORACLE_NEAR_DUP_JACCARD_TOP,
+    "lang_id_confusion": ORACLE_LANG_ID_CONFUSION,
+    # minhash_near_dups / simhash_near_dups: rows-only by design
+}

@@ -1,0 +1,119 @@
+"""Embedding-column analytics: exact ANN baseline, pairwise similarity,
+vector stats — the similarity-search surface of the north star.
+
+The exact variants carry DuckDB oracles (list_cosine_similarity over
+DOUBLE[] matches our JVM-side double math after rounding); the LSH
+variant is approximate → rows-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_ingestion_project_spark.functions.vectors import vec_norm
+from data_ingestion_project_spark.operators.similarity import (
+    cosine_self_topk_pairs,
+    cosine_topk,
+    lsh_ann_topk,
+)
+from data_ingestion_project_spark.sources.readers import table
+
+# Fixed query id for the deterministic k-NN queries.
+QUERY_VEC_ID = 0
+
+
+def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
+    row = (
+        table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == QUERY_VEC_ID)
+        .select("embedding")
+        .first()
+    )
+    return list(row[0])
+
+
+def knn_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-10 cosine neighbors of vec_id=0: broadcast query vector,
+    one codegen'd scan + TakeOrdered — zero shuffles."""
+    q = _query_vec(spark, sf_dir)
+    corpus = table(spark, sf_dir, "embeddings")
+    res = cosine_topk(corpus, q, k=10, exclude_ids=(QUERY_VEC_ID,))
+    return res.select("vec_id", F.round("sim", 4).alias("sim"))
+
+
+ORACLE_KNN_BRUTE_FORCE = f"""
+WITH q AS (
+  SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}
+)
+SELECT vec_id,
+       ROUND(list_cosine_similarity(embedding::DOUBLE[], q.qv), 4) AS sim
+FROM embeddings, q
+WHERE vec_id <> {QUERY_VEC_ID}
+ORDER BY list_cosine_similarity(embedding::DOUBLE[], q.qv) DESC, vec_id ASC
+LIMIT 10
+"""
+
+
+def top_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact global top-10 most-similar pairs (brute force baseline)."""
+    corpus = table(spark, sf_dir, "embeddings")
+    res = cosine_self_topk_pairs(corpus, k=10)
+    return res.select("id_a", "id_b", F.round("sim", 4).alias("sim"))
+
+
+ORACLE_TOP_SIMILAR_PAIRS = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+ORDER BY list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) DESC,
+         a.vec_id ASC, b.vec_id ASC
+LIMIT 10
+"""
+
+
+def label_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label corpus stats: count + mean L2 norm (JVM-side aggregate
+    over the array column, no Python)."""
+    e = table(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", vec_norm("embedding").alias("norm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(F.avg("norm"), 4).alias("avg_norm"),
+        )
+        .orderBy("label")
+    )
+
+
+ORACLE_LABEL_VECTOR_STATS = """
+SELECT label, COUNT(*) AS n_vectors,
+       ROUND(AVG(sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 4)
+         AS avg_norm
+FROM embeddings GROUP BY label ORDER BY label
+"""
+
+
+def knn_lsh_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 via random-hyperplane LSH buckets + 1-bit
+    multi-probe (rows-only: recall < 1 by design)."""
+    q = _query_vec(spark, sf_dir)
+    corpus = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") != QUERY_VEC_ID)
+    res = lsh_ann_topk(corpus, q, k=10, n_planes=8, seed=42)
+    return res.select("vec_id", F.round("sim", 4).alias("sim"))
+
+
+QUERIES = {
+    "knn_brute_force": knn_brute_force,
+    "top_similar_pairs": top_similar_pairs,
+    "label_vector_stats": label_vector_stats,
+    "knn_lsh_approx": knn_lsh_approx,
+}
+
+ORACLE = {
+    "knn_brute_force": ORACLE_KNN_BRUTE_FORCE,
+    "top_similar_pairs": ORACLE_TOP_SIMILAR_PAIRS,
+    "label_vector_stats": ORACLE_LABEL_VECTOR_STATS,
+    # knn_lsh_approx: rows-only by design
+}

@@ -1,0 +1,197 @@
+"""Event-stream analytics (batch formulations of streaming shapes).
+
+The reference's only "streaming" is cron micro-batching
+(run_ingestion_with_metrics.sh:100 in /root/reference, SURVEY.md §2
+V2); these queries provide the in-engine event-time operators the
+rubric lists as absent (tumbling windows, distinct users, top-k,
+JSON extraction, sessionization, as-of join). Their Structured
+Streaming twins live in ``streaming/``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_ingestion_project_spark.operators.asof import asof_join
+from data_ingestion_project_spark.operators.sessionize import sessionize
+from data_ingestion_project_spark.sources.readers import table
+
+
+def hourly_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window agg — date_trunc keeps event-time bucketing
+    a pure projection, so this is one partial-agg shuffle at any scale."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm").alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+ORACLE_HOURLY_EVENT_STATS = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour, event_type,
+       COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+FROM events
+GROUP BY 1, 2
+ORDER BY hour, event_type
+"""
+
+
+def daily_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(F.count_distinct(F.col("user_id")).alias("dau"))
+        .orderBy("day")
+    )
+
+
+ORACLE_DAILY_ACTIVE_USERS = """
+SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(DISTINCT user_id) AS dau
+FROM events GROUP BY 1 ORDER BY day
+"""
+
+
+def top_purchasers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    return (
+        e.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy(F.col("total_value").desc(), F.col("user_id").asc())
+        .limit(10)
+    )
+
+
+ORACLE_TOP_PURCHASERS = """
+SELECT user_id, COUNT(*) AS n_purchases, ROUND(SUM(value), 2) AS total_value
+FROM events WHERE event_type = 'purchase'
+GROUP BY user_id
+ORDER BY total_value DESC, user_id ASC
+LIMIT 10
+"""
+
+
+def props_key_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: get_json_object stays JVM-side; at
+    scale prefer from_json with an explicit schema once the props shape
+    stabilizes (single parse, typed struct, prunable)."""
+    e = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.round(F.avg(k), 4).alias("avg_k"),
+            F.min(k).alias("min_k"),
+            F.max(k).alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_PROPS_KEY_STATS = """
+SELECT event_type,
+       ROUND(AVG(CAST(json_extract_string(props, '$.k') AS INTEGER)), 4) AS avg_k,
+       MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min gap) via the sessionize operator,
+    then per-user session stats."""
+    e = table(spark, sf_dir, "events")
+    sess = sessionize(e, key="user_id", ts="ts", gap_seconds=1800, order_tiebreak="event_id")
+    per_session = sess.groupBy("user_id", "session_id").agg(F.count(F.lit(1)).alias("n_events"))
+    return (
+        per_session.groupBy("user_id")
+        .agg(
+            F.max("session_id").alias("n_sessions"),
+            F.round(F.avg("n_events"), 4).alias("avg_events_per_session"),
+        )
+        .orderBy("user_id")
+    )
+
+
+ORACLE_USER_SESSIONS = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(LAG(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+), numbered AS (
+  SELECT user_id, event_id,
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+  FROM flagged
+), per_session AS (
+  SELECT user_id, session_id, COUNT(*) AS n_events
+  FROM numbered GROUP BY user_id, session_id
+)
+SELECT user_id, MAX(session_id) AS n_sessions,
+       ROUND(AVG(n_events), 4) AS avg_events_per_session
+FROM per_session GROUP BY user_id ORDER BY user_id
+"""
+
+
+def purchase_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase gets the timestamp of the user's most
+    recent click at-or-before it (LEFT ASOF semantics). Exercises the
+    union+window asof operator (operators/asof.py)."""
+    e = table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    joined = asof_join(
+        purchases, clicks, on=["user_id"], left_ts="ts", right_ts="click_ts",
+        right_payload=["click_ts"], suffix="",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("purchase_ts"),
+        F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("last_click_ts"),
+    ).orderBy("event_id")
+
+
+ORACLE_PURCHASE_LAST_CLICK = """
+SELECT p.event_id, p.user_id,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+       strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS last_click_ts
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+ORDER BY p.event_id
+"""
+
+
+QUERIES = {
+    "hourly_event_stats": hourly_event_stats,
+    "daily_active_users": daily_active_users,
+    "top_purchasers": top_purchasers,
+    "props_key_stats": props_key_stats,
+    "user_sessions": user_sessions,
+    "purchase_last_click": purchase_last_click,
+}
+
+ORACLE = {
+    "hourly_event_stats": ORACLE_HOURLY_EVENT_STATS,
+    "daily_active_users": ORACLE_DAILY_ACTIVE_USERS,
+    "top_purchasers": ORACLE_TOP_PURCHASERS,
+    "props_key_stats": ORACLE_PROPS_KEY_STATS,
+    "user_sessions": ORACLE_USER_SESSIONS,
+    "purchase_last_click": ORACLE_PURCHASE_LAST_CLICK,
+}
