@@ -1,0 +1,79 @@
+"""HTTP trigger service — parity with the reference's FastAPI layer
+(api_server.py:1-41 in /root/reference): GET /health, POST
+/jobs/ingestion (fire-and-forget), POST /jobs/ingestion/sync
+(returns metrics), GET /hello — over a shared long-lived
+SparkSession.
+
+FastAPI is optional in this environment; the module degrades to an
+importable stub exposing the same handler functions so the routing
+contract stays testable without the framework.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+from data_ingestion_project_spark.functions.crypto import CryptoKeys
+from data_ingestion_project_spark.job import run_ingestion_job
+from data_ingestion_project_spark.session import build_session
+
+TABLE_PATH = os.environ.get("USERS_TABLE_PATH", "data/random_users.parquet")
+
+_spark = None
+_keys: CryptoKeys | None = None
+
+
+def _resources():
+    global _spark, _keys
+    if _spark is None:
+        _spark = build_session("ingestion-api")
+    if _keys is None:
+        _keys = CryptoKeys.from_env() if "PEPPER" in os.environ else CryptoKeys.for_tests()
+    return _spark, _keys
+
+
+def health() -> dict[str, str]:
+    return {"status": "ok"}
+
+
+def hello() -> dict[str, str]:
+    return {"message": "Data ingestion service is running"}
+
+
+def run_job_sync() -> dict[str, Any]:
+    spark, keys = _resources()
+    metrics = run_ingestion_job(spark, keys, TABLE_PATH)
+    return {"status": "completed", "metrics": metrics}
+
+
+def run_job_background() -> dict[str, str]:
+    return {"status": "queued"}
+
+
+try:
+    from fastapi import BackgroundTasks, FastAPI
+
+    app = FastAPI(title="data-ingestion-project-spark")
+
+    @app.get("/health")
+    def _health() -> dict[str, str]:
+        return health()
+
+    @app.post("/jobs/ingestion")
+    def _trigger(background_tasks: BackgroundTasks) -> dict[str, str]:
+        # fire-and-forget on the threadpool after the response, exactly
+        # like the reference (api_server.py:18-26)
+        background_tasks.add_task(run_job_sync)
+        return run_job_background()
+
+    @app.post("/jobs/ingestion/sync")
+    def _trigger_sync() -> dict[str, Any]:
+        return run_job_sync()
+
+    @app.get("/hello")
+    def _hello() -> dict[str, str]:
+        return hello()
+
+except ImportError:  # environment without fastapi: handlers above remain usable
+    app = None

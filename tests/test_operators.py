@@ -1,0 +1,111 @@
+"""Semantics-pinning tests for the composite operators (inline data —
+edge cases the big tables don't exercise)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from data_ingestion_project_spark.operators.asof import asof_join
+from data_ingestion_project_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash,
+)
+from data_ingestion_project_spark.operators.sessionize import sessionize
+from data_ingestion_project_spark.operators.similarity import cosine_topk
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+def test_asof_backward_inclusive_and_left_nulls(spark):
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01T10:00:00"), "p1"),
+         (1, _ts("2024-01-01T12:00:00"), "p2"),
+         (2, _ts("2024-01-01T09:00:00"), "p3")],
+        "user int, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01T10:00:00"), 100.0),   # equal ts → inclusive
+         (1, _ts("2024-01-01T11:30:00"), 200.0),
+         (2, _ts("2024-01-01T09:30:00"), 300.0)],  # after left row → no match
+        "user int, rts timestamp, price double",
+    )
+    out = asof_join(left, right, on=["user"], left_ts="ts", right_ts="rts",
+                    right_payload=["price"]).orderBy("ts")
+    got = {r["tag"]: r["price_asof"] for r in out.collect()}
+    assert got == {"p1": 100.0, "p2": 200.0, "p3": None}
+
+
+def test_sessionize_gap_boundary(spark):
+    rows = [
+        (1, _ts("2024-01-01T10:00:00")),
+        (1, _ts("2024-01-01T10:29:59")),  # gap < 30min → same session
+        (1, _ts("2024-01-01T11:00:00")),  # gap 30:01 → new session
+        (2, _ts("2024-01-01T00:00:00")),
+    ]
+    df = spark.createDataFrame(rows, "user int, ts timestamp")
+    out = sessionize(df, key="user", ts="ts", gap_seconds=1800)
+    sess = [(r["user"], r["session_id"]) for r in out.orderBy("user", "ts").collect()]
+    assert sess == [(1, 1), (1, 1), (1, 2), (2, 1)]
+
+
+def test_exact_dedup_keeps_lowest_id_and_normalizes(spark):
+    df = spark.createDataFrame(
+        [(3, "Hello  World"), (1, "hello world"), (2, "HELLO WORLD "), (4, "other")],
+        "doc_id int, text string",
+    )
+    out = exact_dedup(df)
+    assert sorted(r["doc_id"] for r in out.collect()) == [1, 4]  # keep-first by id
+
+
+def test_jaccard_exact_values(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c e"), (3, "x y z")],
+        "doc_id int, text string",
+    )
+    out = {(r["id_a"], r["id_b"]): r["jaccard"] for r in jaccard_pairs(df).collect()}
+    assert out[(1, 2)] == 3 / 5  # |{a,b,c}| / |{a,b,c,d,e}|
+    assert (1, 3) not in out  # no shared words → never a candidate
+
+
+def test_minhash_lsh_finds_near_identical(spark):
+    base = " ".join(f"w{i}" for i in range(50))
+    near = " ".join(f"w{i}" for i in range(49)) + " zz"
+    far = " ".join(f"q{i}" for i in range(50))
+    df = spark.createDataFrame([(1, base), (2, near), (3, far)], "doc_id int, text string")
+    got = {(r["id_a"], r["id_b"]) for r in minhash_lsh_pairs(df, min_jaccard=0.5).collect()}
+    assert (1, 2) in got
+    assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_simhash_identical_texts_equal_hash(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "delta epsilon zeta")],
+        "doc_id int, text string",
+    )
+    h = {r["doc_id"]: r["simhash"] for r in simhash(df).collect()}
+    assert h[1] == h[2]
+    assert h[1] != h[3]
+
+
+def test_cosine_topk_orders_by_similarity(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0])],
+        "vec_id int, embedding array<double>",
+    )
+    out = cosine_topk(df, [1.0, 0.0], k=2, exclude_ids=(1,)).collect()
+    assert [r["vec_id"] for r in out] == [2, 3]
+    assert out[0]["sim"] > 0.99
+
+
+def test_union_events_table_reads_nanos(spark):
+    from data_ingestion_project_spark.sources.readers import table
+
+    e = table(spark, "/root/testdata/sf0.001", "events")
+    assert dict(e.dtypes)["ts"] == "timestamp"
+    assert e.select(F.min("ts")).first()[0].year == 2024
