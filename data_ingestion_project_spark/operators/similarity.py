@@ -26,6 +26,9 @@ from pyspark.sql import functions as F
 from data_ingestion_project_spark.functions.vectors import (
     cosine_similarity,
     random_projection_signature,
+    to_double_array,
+    vec_dot,
+    vec_norm,
 )
 
 
@@ -65,10 +68,20 @@ def cosine_self_topk_pairs(
     small corpora (≤ ~100k rows) where n² in one broadcast join is
     cheaper than any index build.
     """
-    a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    # Normalize each vector ONCE (linear work), so every pair costs a
+    # single dot product instead of dot + two norms (3x fewer HOF
+    # evaluations over the quadratic pair set). The norm is materialized
+    # into its own column first so the per-element division references a
+    # scalar, not a re-evaluated aggregate.
+    normed = (
+        corpus.select(F.col(id_col), to_double_array(vec_col).alias("v"))
+        .withColumn("n", vec_norm("v"))
+        .select(F.col(id_col), F.transform("v", lambda x: x / F.col("n")).alias("u"))
+    )
+    a = normed.select(F.col(id_col).alias("id_a"), F.col("u").alias("ua"))
+    b = normed.select(F.col(id_col).alias("id_b"), F.col("u").alias("ub"))
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
-    scored = pairs.select("id_a", "id_b", cosine_similarity("va", "vb").alias("sim"))
+    scored = pairs.select("id_a", "id_b", vec_dot("ua", "ub").alias("sim"))
     return scored.orderBy(F.col("sim").desc(), F.col("id_a").asc(), F.col("id_b").asc()).limit(k)
 
 

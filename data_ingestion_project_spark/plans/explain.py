@@ -1,0 +1,76 @@
+"""Physical-plan inspection: the feedback loop for scale tuning.
+
+``plan_census`` distills what matters at 100 TB out of
+``explain("formatted")``: how many shuffles, which joins were chosen,
+whether codegen spans the hot path, what reached the parquet scan
+(PushedFilters / ReadSchema). Used by tests to pin plan shapes —
+e.g. "this join must be broadcast" — so perf regressions fail loudly
+instead of silently shuffling.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def formatted_plan(df: DataFrame) -> str:
+    # same JVM helper df.explain() prints through
+    jvm = df.sparkSession._jvm
+    return jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def executed_plan(df: DataFrame) -> str:
+    """Final (post-AQE) physical plan — runs the query. Only the
+    executed plan shows WholeStageCodegen stage boundaries and AQE's
+    runtime join/partition decisions."""
+    df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def codegen_stage_count(df: DataFrame) -> int:
+    """Number of WholeStageCodegen stages in the executed plan
+    (rendered as ``*(N)`` markers in the plan string)."""
+    return len(set(re.findall(r"\*\((\d+)\)", executed_plan(df))))
+
+
+def plan_census(df: DataFrame) -> dict[str, object]:
+    plan = formatted_plan(df)
+
+    def nodes(kind: str) -> int:
+        # count numbered plan nodes "(N) Kind", not the duplicated
+        # mentions in the detail section
+        return len(re.findall(rf"^\(\d+\) {kind}\b", plan, re.MULTILINE))
+
+    return {
+        "n_exchanges": nodes("Exchange"),
+        "n_broadcast_joins": nodes("BroadcastHashJoin"),
+        "n_sortmerge_joins": nodes("SortMergeJoin"),
+        "n_shuffled_hash_joins": nodes("ShuffledHashJoin"),
+        "n_bnl_joins": nodes("BroadcastNestedLoopJoin"),
+        "n_codegen_stages": len(set(re.findall(r"\[codegen id : (\d+)\]", plan))),
+        "has_python_udf": "Python" in plan or "ArrowEval" in plan,
+    }
+
+
+def scan_info(df: DataFrame) -> list[dict[str, str]]:
+    """Per-scan PushedFilters and ReadSchema (pushdown/pruning check)."""
+    plan = formatted_plan(df)
+    scans = []
+    for block in re.split(r"\n\n", plan):
+        # detail blocks only — the tree header also mentions "Scan
+        # parquet" but carries no ReadSchema/PushedFilters lines
+        if not re.match(r"^\(\d+\) Scan parquet", block.strip()):
+            continue
+        pushed = re.search(r"PushedFilters: \[(.*?)\]", block)
+        schema = re.search(r"ReadSchema: (.*)", block)
+        location = re.search(r"Location: \S+ \[(.*?)\]", block)
+        scans.append(
+            {
+                "location": location.group(1) if location else "?",
+                "pushed_filters": pushed.group(1) if pushed else "",
+                "read_schema": schema.group(1) if schema else "",
+            }
+        )
+    return scans

@@ -1,0 +1,74 @@
+"""Plan-shape regression tests: the scale properties we designed for,
+pinned as assertions so they fail loudly if a change reintroduces a
+shuffle, drops a broadcast, or breaks pushdown (the 100 TB concerns —
+plan shape is scale-invariant even though tests run at sf0.001)."""
+
+from __future__ import annotations
+
+from data_ingestion_project_spark.plans.explain import plan_census, scan_info
+from data_ingestion_project_spark.queries import all_queries
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_dimension_joins_are_broadcast(spark):
+    """The 5-way star join must resolve to broadcast hash joins — a
+    sort-merge join against region/nation at 100 TB would shuffle the
+    fact table five times."""
+    df = all_queries()["local_supplier_volume"](spark, SF)
+    c = plan_census(df)
+    assert c["n_broadcast_joins"] >= 5
+    assert c["n_sortmerge_joins"] == 0
+
+
+def test_knn_brute_force_has_no_shuffle(spark):
+    """Scoring against a broadcast query vector is map-only + TakeOrdered;
+    any Exchange here means the corpus is being moved to sort it."""
+    df = all_queries()["knn_brute_force"](spark, SF)
+    assert plan_census(df)["n_exchanges"] == 0
+
+
+def test_filters_and_pruning_reach_parquet_scan(spark):
+    """Predicate pushdown + column pruning: the lineitem scan must carry
+    the shipdate filters and read only the 5 needed columns."""
+    df = all_queries()["revenue_forecast"](spark, SF)
+    scans = [s for s in scan_info(df) if "lineitem" in s["location"]]
+    assert scans
+    s = scans[0]
+    assert "l_shipdate" in s["pushed_filters"]
+    assert "l_discount" in s["pushed_filters"]
+    assert "l_orderkey" not in s["read_schema"]  # pruned
+    assert "l_returnflag" not in s["read_schema"]
+
+
+def test_whole_stage_codegen_active(spark):
+    """The scan→filter→partial-agg pipeline must be codegen'd (JVM hot
+    path); zero codegen stages would mean interpreted row processing."""
+    from data_ingestion_project_spark.plans.explain import codegen_stage_count
+
+    df = all_queries()["pricing_summary"](spark, SF)
+    assert codegen_stage_count(df) >= 1
+
+
+def test_no_python_in_analytic_hot_paths(spark):
+    """Every analytic query is built from JVM expressions only — Python
+    appears exclusively in the crypto/multimodal UDF operators."""
+    qs = all_queries()
+    for name in ("pricing_summary", "token_stats", "doc_quality", "knn_brute_force",
+                 "user_sessions", "purchase_last_click"):
+        assert not plan_census(qs[name](spark, SF))["has_python_udf"], name
+
+
+def test_upsert_antijoin_broadcasts_existing_keys(spark, keys, tmp_path, batch1):
+    from data_ingestion_project_spark.job import run_ingestion_job
+    from data_ingestion_project_spark.operators.transforms import transform_users
+    from data_ingestion_project_spark.operators.upsert import read_table_if_exists, upsert_keep_first
+    from data_ingestion_project_spark.sources.users_json import users_from_json
+
+    path = str(tmp_path / "u.parquet")
+    run_ingestion_job(spark, keys, path, users=batch1)
+    existing = read_table_if_exists(spark, path)
+    new = transform_users(users_from_json(spark, batch1), keys)
+    merged = upsert_keep_first(existing, new, "login.uuid")
+    c = plan_census(merged)
+    assert c["n_sortmerge_joins"] == 0  # anti-join must not sort-merge

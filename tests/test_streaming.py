@@ -1,0 +1,101 @@
+"""Structured Streaming tests: ingestion stream (foreachBatch upsert)
+and watermarked window builders, on tiny local file streams."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from data_ingestion_project_spark.functions.crypto import CryptoKeys
+from data_ingestion_project_spark.streaming.ingest import start_ingestion_stream
+from data_ingestion_project_spark.streaming.windows import (
+    session_window_stats,
+    tumbling_counts,
+)
+
+
+def _write_batch(input_dir, name: str, users: list[dict]) -> None:
+    (input_dir / name).write_text("\n".join(json.dumps(u) for u in users))
+
+
+def test_streaming_ingestion_upserts_per_microbatch(spark, keys, tmp_path, batch1, batch3_half_new):
+    input_dir = tmp_path / "incoming"
+    input_dir.mkdir()
+    table = str(tmp_path / "users.parquet")
+    _write_batch(input_dir, "b1.json", batch1)
+
+    q = start_ingestion_stream(
+        spark, str(input_dir), table, str(tmp_path / "ckpt"), keys
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.read.parquet(table).count() == 10
+
+        # second micro-batch: 5 dupes (mutated) + 5 fresh → 15, old wins
+        _write_batch(input_dir, "b2.json", batch3_half_new)
+        q.processAllAvailable()
+        tbl = spark.read.parquet(table)
+        assert tbl.count() == 15
+        assert "CHANGED" not in {r["name.last"] for r in tbl.collect()}
+    finally:
+        q.stop()
+
+
+def test_tumbling_counts_on_stream(spark, tmp_path):
+    src = tmp_path / "events"
+    src.mkdir()
+    rows = [
+        {"ts": "2024-01-01T10:05:00", "user_id": 1, "event_type": "click", "value": 1.0},
+        {"ts": "2024-01-01T10:55:00", "user_id": 1, "event_type": "click", "value": 2.0},
+        {"ts": "2024-01-01T11:05:00", "user_id": 2, "event_type": "view", "value": 3.0},
+    ]
+    (src / "e1.json").write_text("\n".join(json.dumps(r) for r in rows))
+    stream = (
+        spark.readStream.schema("ts timestamp, user_id long, event_type string, value double")
+        .json(str(src))
+    )
+    out = tumbling_counts(stream, window="1 hour", watermark="2 hours")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("tumbling_test")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["window_start"].hour, r["event_type"]): (r["n_events"], r["sum_value"])
+            for r in spark.sql("select * from tumbling_test").collect()
+        }
+        assert got == {(10, "click"): (2, 3.0), (11, "view"): (1, 3.0)}
+    finally:
+        q.stop()
+
+
+def test_session_window_on_stream(spark, tmp_path):
+    src = tmp_path / "events_s"
+    src.mkdir()
+    rows = [
+        {"ts": "2024-01-01T10:00:00", "user_id": 1, "event_type": "click", "value": 1.0},
+        {"ts": "2024-01-01T10:10:00", "user_id": 1, "event_type": "click", "value": 1.0},
+        {"ts": "2024-01-01T12:00:00", "user_id": 1, "event_type": "click", "value": 1.0},
+    ]
+    (src / "e1.json").write_text("\n".join(json.dumps(r) for r in rows))
+    stream = (
+        spark.readStream.schema("ts timestamp, user_id long, event_type string, value double")
+        .json(str(src))
+    )
+    out = session_window_stats(stream, gap="30 minutes", watermark="1 hour")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("session_test")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows_out = spark.sql("select * from session_test order by session_start").collect()
+        assert [r["n_events"] for r in rows_out] == [2, 1]
+    finally:
+        q.stop()
