@@ -1,0 +1,321 @@
+"""Second-wave query coverage: statistical aggregates, pivot, funnel &
+retention analytics, range join, correlated subqueries (via the SQL
+surface), TF-IDF — rounding out the operator families a user of a
+full analytics engine expects (the reference has none of these;
+north-star extension per BASELINE.json).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_ingestion_project_spark.sources.readers import register_views, table
+
+
+# ---------------------------------------------------- statistical aggs
+
+
+def order_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles + dispersion per order status. percentile()
+    sorts within groups — at 100 TB switch to approx_percentile (t-digest,
+    mergeable, no global sort); both are one expression away."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.round(F.percentile("o_totalprice", 0.5), 4).alias("p50"),
+            F.round(F.percentile("o_totalprice", 0.9), 4).alias("p90"),
+            F.round(F.percentile("o_totalprice", 0.99), 4).alias("p99"),
+            F.round(F.stddev("o_totalprice"), 4).alias("sd"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+ORACLE_ORDER_PRICE_QUANTILES = """
+SELECT o_orderstatus,
+       ROUND(quantile_cont(o_totalprice, 0.5), 4)  AS p50,
+       ROUND(quantile_cont(o_totalprice, 0.9), 4)  AS p90,
+       ROUND(quantile_cont(o_totalprice, 0.99), 4) AS p99,
+       ROUND(stddev_samp(o_totalprice), 4)         AS sd,
+       COUNT(*) AS n
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+def returnflag_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: revenue per linestatus x returnflag as columns. Spark's
+    pivot with an explicit value list is a single partial-agg shuffle
+    (no extra pass to discover pivot values — always list them at
+    scale)."""
+    l = table(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    out = (
+        l.groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.round(F.sum(rev), 2))
+        .orderBy("l_linestatus")
+    )
+    return out.select("l_linestatus", F.col("A").alias("rev_a"), F.col("N").alias("rev_n"), F.col("R").alias("rev_r"))
+
+
+ORACLE_RETURNFLAG_PIVOT = """
+SELECT l_linestatus,
+       ROUND(SUM(CASE WHEN l_returnflag = 'A' THEN l_extendedprice * (1 - l_discount) END), 2) AS rev_a,
+       ROUND(SUM(CASE WHEN l_returnflag = 'N' THEN l_extendedprice * (1 - l_discount) END), 2) AS rev_n,
+       ROUND(SUM(CASE WHEN l_returnflag = 'R' THEN l_extendedprice * (1 - l_discount) END), 2) AS rev_r
+FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus
+"""
+
+
+# ------------------------------------------------------ event analytics
+
+
+def signup_purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel signup → click → purchase per user: one groupBy
+    computing conditional min timestamps, then ordered-stage counts in
+    a single pass (no per-stage self-joins — those multiply shuffles at
+    scale)."""
+    e = table(spark, sf_dir, "events")
+    stage_ts = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("t_signup"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_purchase"),
+    )
+    did_signup = F.col("t_signup").isNotNull()
+    did_click = did_signup & F.col("t_click").isNotNull() & (F.col("t_click") > F.col("t_signup"))
+    did_purchase = did_click & F.col("t_purchase").isNotNull() & (F.col("t_purchase") > F.col("t_click"))
+    return stage_ts.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(did_signup.cast("long")).alias("n_signup"),
+        F.sum(did_click.cast("long")).alias("n_signup_click"),
+        F.sum(did_purchase.cast("long")).alias("n_full_funnel"),
+    )
+
+
+ORACLE_SIGNUP_PURCHASE_FUNNEL = """
+WITH stage_ts AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'signup'   THEN ts END) AS t_signup,
+         MIN(CASE WHEN event_type = 'click'    THEN ts END) AS t_click,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events GROUP BY user_id
+)
+SELECT COUNT(*) AS n_users,
+       CAST(SUM(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+       CAST(SUM(CASE WHEN t_signup IS NOT NULL AND t_click IS NOT NULL
+                      AND t_click > t_signup THEN 1 ELSE 0 END) AS BIGINT) AS n_signup_click,
+       CAST(SUM(CASE WHEN t_signup IS NOT NULL AND t_click IS NOT NULL
+                      AND t_click > t_signup AND t_purchase IS NOT NULL
+                      AND t_purchase > t_click THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
+FROM stage_ts
+"""
+
+
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-0 cohort retention: users grouped by first-seen day, counted
+    by day offset of later activity. Two aggregations; the cohort map
+    (user → day0) stays in the same shuffle key (user_id) as the
+    activity scan, so AQE broadcasts the smaller side."""
+    e = table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    day0 = e.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        e.dropDuplicates(["user_id", "day"])
+        .join(day0, "user_id")
+        .withColumn("day_offset", F.datediff("day", "cohort_day"))
+        .filter(F.col("day_offset").isin(0, 1, 7, 14))
+        .groupBy(F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort"), "day_offset")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .orderBy("cohort", "day_offset")
+    )
+
+
+ORACLE_RETENTION_COHORTS = """
+WITH activity AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), day0 AS (
+  SELECT user_id, MIN(day) AS cohort_day FROM activity GROUP BY user_id
+)
+SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort,
+       CAST(date_diff('day', cohort_day, day) AS INTEGER) AS day_offset,
+       COUNT(*) AS n_active
+FROM activity JOIN day0 USING (user_id)
+WHERE date_diff('day', cohort_day, day) IN (0, 1, 7, 14)
+GROUP BY 1, 2
+ORDER BY cohort, day_offset
+"""
+
+
+def purchases_near_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval/range join: purchases within 5 minutes after an error by
+    the same user. Equi-join on user_id carries the heavy lifting (hash
+    join); the range predicate rides along as a post-join filter —
+    never a cross join. Skewed users would be salted at scale."""
+    e = table(spark, sf_dir, "events")
+    err = e.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("ts").alias("err_ts")
+    )
+    pur = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("pur_ts")
+    )
+    joined = pur.join(err, "user_id").filter(
+        (F.col("pur_ts") >= F.col("err_ts"))
+        & (F.col("pur_ts") <= F.col("err_ts") + F.expr("INTERVAL 5 MINUTES"))
+    )
+    return (
+        joined.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("user_id")
+    )
+
+
+ORACLE_PURCHASES_NEAR_ERRORS = """
+SELECT p.user_id, COUNT(*) AS n_pairs
+FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT user_id, ts AS err_ts FROM events WHERE event_type = 'error') e
+  ON p.user_id = e.user_id
+ AND p.ts >= e.err_ts AND p.ts <= e.err_ts + INTERVAL 5 MINUTE
+GROUP BY p.user_id
+ORDER BY p.user_id
+"""
+
+
+# ----------------------------------------------- SQL-surface queries
+
+
+def parts_above_brand_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery through the engine's SQL surface
+    (spark.sql over registered views) — Catalyst decorrelates it into
+    an aggregate + join, which is exactly how we'd hand-write it."""
+    register_views(spark, sf_dir, ("part",))
+    return spark.sql(
+        """
+        SELECT p_partkey, p_name, p_brand, p_retailprice
+        FROM part p
+        WHERE p_retailprice > 1.05 * (
+            SELECT AVG(p2.p_retailprice) FROM part p2 WHERE p2.p_brand = p.p_brand
+        )
+        ORDER BY p_partkey
+        """
+    )
+
+
+ORACLE_PARTS_ABOVE_BRAND_AVERAGE = """
+SELECT p_partkey, p_name, p_brand, p_retailprice
+FROM part p
+WHERE p_retailprice > 1.05 * (
+    SELECT AVG(p2.p_retailprice) FROM part p2 WHERE p2.p_brand = p.p_brand
+)
+ORDER BY p_partkey
+"""
+
+
+def idle_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS → anti-join: suppliers with no shipments in the first week of 1996
+    (SQL surface; Catalyst plans a broadcast anti-join)."""
+    register_views(spark, sf_dir, ("supplier", "lineitem"))
+    return spark.sql(
+        """
+        SELECT s_suppkey, s_name
+        FROM supplier s
+        WHERE NOT EXISTS (
+            SELECT 1 FROM lineitem l
+            WHERE l.l_suppkey = s.s_suppkey
+              AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l.l_shipdate <  TIMESTAMP '1996-01-08'
+        )
+        ORDER BY s_suppkey
+        """
+    )
+
+
+ORACLE_IDLE_SUPPLIERS = """
+SELECT s_suppkey, s_name
+FROM supplier s
+WHERE NOT EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_suppkey = s.s_suppkey
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1996-01-08'
+)
+ORDER BY s_suppkey
+"""
+
+
+# ------------------------------------------------------------- TF-IDF
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per language: explode → tf per (lang, word) →
+    idf from document frequency → window top-k. The doc-frequency side
+    is tiny after aggregation → broadcast. ln() is bit-stable across
+    engines; scores rounded for the oracle hash."""
+    d = table(spark, sf_dir, "documents")
+    n_docs = d.count()  # scalar, computed once driver-side
+    words = d.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("word"),
+    )
+    tf = words.groupBy("lang", "word").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = words.groupBy("word").agg(F.count_distinct("doc_id").alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_), "word")
+        .withColumn("tfidf", F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("tfidf").desc(), F.col("word").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 3)
+        .select("lang", "word", "tfidf", "rank")
+        .orderBy("lang", "rank")
+    )
+
+
+ORACLE_TFIDF_TOP_TERMS = """
+WITH words AS (
+  SELECT doc_id, lang, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+  FROM documents
+), tf AS (
+  SELECT lang, word, COUNT(*) AS tf FROM words GROUP BY lang, word
+), df AS (
+  SELECT word, COUNT(DISTINCT doc_id) AS df FROM words GROUP BY word
+), scored AS (
+  SELECT lang, word,
+         ROUND(tf * ln((SELECT COUNT(*) FROM documents) * 1.0 / df), 6) AS tfidf
+  FROM tf JOIN df USING (word)
+), ranked AS (
+  SELECT lang, word, tfidf,
+         CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY tfidf DESC, word ASC) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT lang, word, tfidf, rank FROM ranked WHERE rank <= 3
+ORDER BY lang, rank
+"""
+
+
+QUERIES = {
+    "order_price_quantiles": order_price_quantiles,
+    "returnflag_pivot": returnflag_pivot,
+    "signup_purchase_funnel": signup_purchase_funnel,
+    "retention_cohorts": retention_cohorts,
+    "purchases_near_errors": purchases_near_errors,
+    "parts_above_brand_average": parts_above_brand_average,
+    "idle_suppliers": idle_suppliers,
+    "tfidf_top_terms": tfidf_top_terms,
+}
+
+ORACLE = {
+    "order_price_quantiles": ORACLE_ORDER_PRICE_QUANTILES,
+    "returnflag_pivot": ORACLE_RETURNFLAG_PIVOT,
+    "signup_purchase_funnel": ORACLE_SIGNUP_PURCHASE_FUNNEL,
+    "retention_cohorts": ORACLE_RETENTION_COHORTS,
+    "purchases_near_errors": ORACLE_PURCHASES_NEAR_ERRORS,
+    "parts_above_brand_average": ORACLE_PARTS_ABOVE_BRAND_AVERAGE,
+    "idle_suppliers": ORACLE_IDLE_SUPPLIERS,
+    "tfidf_top_terms": ORACLE_TFIDF_TOP_TERMS,
+}
