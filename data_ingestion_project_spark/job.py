@@ -54,3 +54,59 @@ def run_ingestion_job(
         "rows_after_dedup": rows_after_dedup,
         "csv_path": table_path,
     }
+
+
+def main(argv: list[str] | None = None) -> int:
+    """CLI entry (``python -m data_ingestion_project_spark.job``) —
+    the process the cron wrapper runs (reference job.py:99-110).
+    Exit code 0 on success, 1 on failure; metrics printed to stdout
+    for log scraping (reference job.py:85-95)."""
+    import argparse
+    import sys
+
+    from data_ingestion_project_spark.functions.crypto import CryptoKeys, KdfProfile
+    from data_ingestion_project_spark.session import build_session
+
+    parser = argparse.ArgumentParser(description="Run one secure ingestion batch")
+    parser.add_argument("--table-path", default="data/random_users.parquet")
+    parser.add_argument("--batch-size", type=int, default=10)
+    parser.add_argument("--timeout", type=int, default=15)
+    parser.add_argument(
+        "--kdf-profile", choices=["reference", "test"], default="reference",
+        help="password-hash cost profile (reference = argon2id 3x64MiB parity)",
+    )
+    parser.add_argument(
+        "--fixture-json", default=None,
+        help="read the user batch from a JSON-lines file instead of the live API",
+    )
+    args = parser.parse_args(argv)
+
+    profile = KdfProfile.reference() if args.kdf_profile == "reference" else KdfProfile.test()
+    try:
+        keys = CryptoKeys.from_env(profile=profile)
+    except KeyError as e:  # fail-fast on missing key material (crypto_utils.py:34-44)
+        print(f"FATAL: missing required environment key: {e}", file=sys.stderr)
+        return 1
+    users = None
+    if args.fixture_json:
+        import json
+
+        with open(args.fixture_json) as f:
+            users = [json.loads(line) for line in f if line.strip()]
+    spark = build_session("ingestion-job")
+    try:
+        metrics = run_ingestion_job(
+            spark, keys, args.table_path, users=users,
+            batch_size=args.batch_size, timeout=args.timeout,
+        )
+    except Exception as e:
+        print(f"FATAL: ingestion failed: {e}", file=sys.stderr)
+        return 1
+    print("INGESTION_METRICS")
+    for k, v in metrics.items():
+        print(f"  {k}: {v}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
