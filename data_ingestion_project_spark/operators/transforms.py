@@ -22,6 +22,18 @@ from data_ingestion_project_spark.functions.crypto import (
 )
 
 
+def _required(field: str) -> F.Column:
+    """Fail-fast null gate, fused into the projection itself so Catalyst
+    cannot prune it: the reference raises KeyError on a missing payload
+    field (transformations.py:29-43); without this, a null reaching a
+    crypto UDF surfaces as an opaque executor traceback instead of a
+    named error."""
+    return F.when(
+        F.col(field).isNull(),
+        F.raise_error(F.lit(f"ingestion payload missing required field: {field}")).cast("string"),
+    ).otherwise(F.col(field))
+
+
 def transform_users(df_raw: DataFrame, keys: CryptoKeys) -> DataFrame:
     """Nested users (RAW_USER_SCHEMA) → secure flat table (SECURE_COLUMNS).
 
@@ -41,11 +53,11 @@ def transform_users(df_raw: DataFrame, keys: CryptoKeys) -> DataFrame:
         F.col("dob.age").alias("dob.age"),
         F.col("location.country").alias("location.country"),
         F.col("login.username").alias("login.username"),
-        hash_udf(F.col("login.password")).alias("password_hash"),
-        enc_udf(F.col("email")).alias("email_enc"),
-        enc_udf(F.col("phone")).alias("phone_enc"),
-        enc_udf(F.col("location.street.name")).alias("street_name_enc"),
+        hash_udf(_required("login.password")).alias("password_hash"),
+        enc_udf(_required("email")).alias("email_enc"),
+        enc_udf(_required("phone")).alias("phone_enc"),
+        enc_udf(_required("location.street.name")).alias("street_name_enc"),
         # normalize natively (E1: lower(trim)) before the keyed digest —
         # the UDF normalizes too (defense in depth), both are idempotent
-        bidx_udf(F.lower(F.trim(F.col("email")))).alias("email_bidx"),
+        bidx_udf(F.lower(F.trim(_required("email")))).alias("email_bidx"),
     )

@@ -80,17 +80,22 @@ def upsert_parquet_table(
     The new batch is materialized (cached) before the rewrite so its
     nondeterministic crypto columns are computed exactly once.
     """
+    from pyspark.sql import Observation
+
     new_rows = new_rows.cache()
     new_rows.count()  # materialize through the nondeterministic UDFs
     existing = read_table_if_exists(spark, path)
     merged = upsert_keep_first(existing, new_rows, key)
+    # Row count piggybacks on the write via observe (SURVEY.md §2 A1
+    # mapping) — no second scan of the table just to count it.
+    obs = Observation("upsert_metrics")
+    merged = merged.observe(obs, F.count(F.lit(1)).alias("rows"))
     # The merged plan scans the current table; the temp-dir write in
     # atomic_overwrite_parquet executes that scan BEFORE the swap, so
     # no self-overwrite and the data never funnels through the driver.
     atomic_overwrite_parquet(merged, path)
     new_rows.unpersist()
-    out = spark.read.parquet(path)
-    return out, out.count()
+    return spark.read.parquet(path), int(obs.get["rows"])
 
 
 def write_csv_parity(df: DataFrame, path: str, columns: tuple[str, ...]) -> None:

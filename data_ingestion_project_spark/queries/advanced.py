@@ -298,7 +298,40 @@ ORDER BY lang, rank
 """
 
 
+# --------------------------------------- approximate (rows-only) twins
+
+
+def approx_daily_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct counts: mergeable sketches, no expand —
+    the 100 TB path for DAU where exact count_distinct's per-key dedup
+    state would dominate the shuffle. Rows-only check (approximate by
+    construction; rsd=2%)."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("approx_dau"))
+        .orderBy("day")
+    )
+
+
+def approx_order_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile: fixed-size mergeable summaries instead of the
+    per-group sort of exact percentile — constant memory per group at
+    any scale. Rows-only check."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.approx_percentile("o_totalprice", F.lit(0.5), F.lit(10000)).alias("ap50"),
+            F.approx_percentile("o_totalprice", F.lit(0.99), F.lit(10000)).alias("ap99"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
 QUERIES = {
+    "approx_daily_active_users": approx_daily_active_users,
+    "approx_order_price_quantiles": approx_order_price_quantiles,
     "order_price_quantiles": order_price_quantiles,
     "returnflag_pivot": returnflag_pivot,
     "signup_purchase_funnel": signup_purchase_funnel,

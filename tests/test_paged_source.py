@@ -1,0 +1,65 @@
+"""Paged executor-side source: networkless via an injected fetcher.
+
+The fake fetcher is fully self-contained (no references to test
+modules) because it executes inside executor Python workers, which
+cannot import the test package.
+"""
+
+from __future__ import annotations
+
+
+def _make_fake_fetcher():
+    def fake_fetcher(page: int, page_size: int) -> list[dict]:
+        # deterministic per (page, size) — the retry-safety contract
+        return [
+            {
+                "name": {"title": "Mr", "first": f"F{page}-{i}", "last": "L"},
+                "location": {
+                    "street": {"number": i, "name": f"S{i}"},
+                    "city": "C",
+                    "state": "S",
+                    "country": "Nowhere",
+                    "postcode": 1000 + i,  # int on purpose: must be pinned to string
+                    "coordinates": {"latitude": "0", "longitude": "0"},
+                    "timezone": {"offset": "+0:00", "description": "UTC"},
+                },
+                "email": f"p{page}u{i}@x.com",
+                "login": {
+                    "uuid": f"p{page}-u{i}",
+                    "username": f"user{page}_{i}",
+                    "password": f"pw{page}_{i}",
+                    "salt": "s",
+                    "md5": "m",
+                    "sha1": "h",
+                    "sha256": "h",
+                },
+                "dob": {"date": "1980-01-01T00:00:00Z", "age": 40},
+                "registered": {"date": "2010-01-01T00:00:00Z", "age": 10},
+                "phone": "555",
+            }
+            for i in range(page_size)
+        ]
+
+    return fake_fetcher
+
+
+def test_paged_fetch_distributes_and_preserves_schema(spark):
+    from data_ingestion_project_spark.sources.paged_http import fetch_user_pages
+
+    df = fetch_user_pages(spark, n_pages=5, page_size=4, fetcher=_make_fake_fetcher(), tasks=3)
+    rows = df.collect()
+    assert len(rows) == 20
+    uuids = {r["login"]["uuid"] for r in rows}
+    assert len(uuids) == 20  # all pages present, no dupes
+    assert {r["location"]["postcode"] for r in rows} <= {"1000", "1001", "1002", "1003"}
+    assert df.schema["location"].dataType["postcode"].dataType.simpleString() == "string"
+
+
+def test_paged_fetch_feeds_transform(spark, keys):
+    from data_ingestion_project_spark.operators.transforms import transform_users
+    from data_ingestion_project_spark.sources.paged_http import fetch_user_pages
+
+    df = fetch_user_pages(spark, n_pages=2, page_size=3, fetcher=_make_fake_fetcher())
+    out = transform_users(df, keys)
+    assert out.count() == 6
+    assert len({r["email_bidx"] for r in out.collect()}) == 6
