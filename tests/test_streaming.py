@@ -99,3 +99,53 @@ def test_session_window_on_stream(spark, tmp_path):
         assert [r["n_events"] for r in rows_out] == [2, 1]
     finally:
         q.stop()
+
+
+def test_stateful_running_totals_across_microbatches(spark, tmp_path):
+    """applyInPandasWithState: state must accumulate across micro-batches
+    (file drops), not reset per batch."""
+    from data_ingestion_project_spark.streaming.stateful import running_user_totals
+
+    src = tmp_path / "events_state"
+    src.mkdir()
+    stream = (
+        spark.readStream.schema("ts timestamp, user_id long, event_type string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    out = running_user_totals(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("state_test")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_state"))
+        .start()
+    )
+    try:
+        rows1 = [
+            {"ts": "2024-01-01T10:00:00", "user_id": 1, "event_type": "click", "value": 2.0},
+            {"ts": "2024-01-01T10:01:00", "user_id": 1, "event_type": "click", "value": 3.0},
+            {"ts": "2024-01-01T10:02:00", "user_id": 2, "event_type": "view", "value": 1.0},
+        ]
+        (src / "b1.json").write_text("\n".join(json.dumps(r) for r in rows1))
+        q.processAllAvailable()
+        # second batch touches user 1 again: totals must include batch 1
+        rows2 = [{"ts": "2024-01-01T11:00:00", "user_id": 1, "event_type": "click", "value": 5.0}]
+        (src / "b2.json").write_text("\n".join(json.dumps(r) for r in rows2))
+        q.processAllAvailable()
+        latest = {
+            r["user_id"]: (r["n_events"], r["total_value"])
+            for r in spark.sql(
+                "select * from state_test"
+            ).collect()
+        }
+        # memory sink in update mode appends each emission; the LAST
+        # emission per user carries the lifetime totals
+        emissions_u1 = [
+            (r["n_events"], r["total_value"])
+            for r in spark.sql("select * from state_test where user_id = 1").collect()
+        ]
+        assert (3, 10.0) in emissions_u1  # 2 events (5.0) then +1 event (+5.0)
+        assert latest[2] == (1, 1.0)
+    finally:
+        q.stop()
