@@ -50,6 +50,15 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     integer ``div`` keeps the arithmetic exact — a double division would
     corrupt epochs > 2^53 ns).
     """
+    if name == "events":
+        # set here (runtime-settable SQL confs), not only in the session
+        # factory: queries must work on ANY caller-provided session,
+        # including the driver's plain one. UTC pin: the nanos→micros
+        # conversion yields TIMESTAMP_LTZ, and event-time bucketing
+        # (date_trunc/date_format) must render the raw epoch as-is —
+        # matching how DuckDB reads the same column (naive/UTC).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
