@@ -298,6 +298,75 @@ ORDER BY lang, rank
 """
 
 
+# --------------------------------------------------- scalar fn families
+
+
+def customer_name_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function family in one pass: substring, regexp_extract,
+    concat, upper, length, modulo bucketing — all codegen'd JVM
+    expressions (c_name format 'Customer#000000123')."""
+    c = table(spark, sf_dir, "customer")
+    digits = F.regexp_extract("c_name", r"#(\d+)$", 1).cast("long")
+    return (
+        c.select(
+            (digits % 10).cast("int").alias("last_digit"),
+            F.length("c_name").alias("name_len"),
+            F.upper(F.substring("c_name", 1, 4)).alias("prefix"),
+        )
+        .groupBy("last_digit", "prefix")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("name_len").alias("min_len"),
+            F.max("name_len").alias("max_len"),
+        )
+        .orderBy("last_digit", "prefix")
+    )
+
+
+ORACLE_CUSTOMER_NAME_DIGITS = """
+SELECT CAST(CAST(regexp_extract(c_name, '#(\\d+)$', 1) AS BIGINT) % 10 AS INTEGER) AS last_digit,
+       upper(substring(c_name, 1, 4)) AS prefix,
+       COUNT(*) AS n,
+       MIN(length(c_name)) AS min_len,
+       MAX(length(c_name)) AS max_len
+FROM customer
+GROUP BY 1, 2
+ORDER BY last_digit, prefix
+"""
+
+
+def shipping_delay_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-arithmetic family: datediff between fact tables, integer
+    bucket, month extraction — the classic ship-delay distribution."""
+    l = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    joined = l.join(o, l.l_orderkey == o.o_orderkey)
+    delay = F.datediff("l_shipdate", "o_orderdate")
+    return (
+        joined.select(
+            F.least(F.floor(delay / 30), F.lit(6)).cast("int").alias("delay_bucket_months"),
+            F.month("o_orderdate").alias("order_month"),
+        )
+        .groupBy("delay_bucket_months")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.count_distinct("order_month").alias("n_order_months"),
+        )
+        .orderBy("delay_bucket_months")
+    )
+
+
+ORACLE_SHIPPING_DELAY_HISTOGRAM = """
+SELECT CAST(LEAST(FLOOR(date_diff('day', o_orderdate, l_shipdate) / 30.0), 6) AS INTEGER)
+         AS delay_bucket_months,
+       COUNT(*) AS n_items,
+       COUNT(DISTINCT month(o_orderdate)) AS n_order_months
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1
+ORDER BY delay_bucket_months
+"""
+
+
 # --------------------------------------- approximate (rows-only) twins
 
 
@@ -330,6 +399,8 @@ def approx_order_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "customer_name_digits": customer_name_digits,
+    "shipping_delay_histogram": shipping_delay_histogram,
     "approx_daily_active_users": approx_daily_active_users,
     "approx_order_price_quantiles": approx_order_price_quantiles,
     "order_price_quantiles": order_price_quantiles,
@@ -343,6 +414,8 @@ QUERIES = {
 }
 
 ORACLE = {
+    "customer_name_digits": ORACLE_CUSTOMER_NAME_DIGITS,
+    "shipping_delay_histogram": ORACLE_SHIPPING_DELAY_HISTOGRAM,
     "order_price_quantiles": ORACLE_ORDER_PRICE_QUANTILES,
     "returnflag_pivot": ORACLE_RETURNFLAG_PIVOT,
     "signup_purchase_funnel": ORACLE_SIGNUP_PURCHASE_FUNNEL,
