@@ -25,11 +25,21 @@ _keys: CryptoKeys | None = None
 
 
 def _resources():
+    """Key material fails fast exactly like the CLI (job.py): serving
+    ingestion with ephemeral or weak-profile keys would write tables
+    whose ciphertexts die with the process. Tests may opt in explicitly
+    via ALLOW_TEST_KEYS=1."""
     global _spark, _keys
     if _spark is None:
         _spark = build_session("ingestion-api")
     if _keys is None:
-        _keys = CryptoKeys.from_env() if "PEPPER" in os.environ else CryptoKeys.for_tests()
+        from data_ingestion_project_spark.functions.crypto import KdfProfile
+
+        if os.environ.get("ALLOW_TEST_KEYS") == "1":
+            _keys = CryptoKeys.for_tests()
+        else:
+            # raises KeyError on missing PEPPER/FERNET_KEY/BLIND_INDEX_KEY
+            _keys = CryptoKeys.from_env(profile=KdfProfile.reference())
     return _spark, _keys
 
 

@@ -45,18 +45,27 @@ def asof_join(
     """
     right_payload = right_payload or [c for c in right.columns if c not in on and c != right_ts]
 
+    # The payload is carried as ONE struct, not per-column: per-column
+    # last(ignorenulls) would mix fields from different right rows
+    # whenever the latest right row holds nulls, fabricating rows that
+    # never existed. A struct is non-null for every right row (even if
+    # all its fields are null), so last(struct, ignorenulls) always
+    # selects the latest right ROW as a unit.
+    payload_struct = F.struct(*[F.col(p).alias(p) for p in right_payload])
+    payload_type = right.select(payload_struct.alias("s")).schema["s"].dataType
+
     l_tag = left.select(
         *[F.col(c) for c in left.columns],
         F.lit(1).alias("__is_left"),
         F.col(left_ts).alias("__ts"),
-        *[F.lit(None).cast(right.schema[p].dataType).alias(f"__r_{p}") for p in right_payload],
+        F.lit(None).cast(payload_type).alias("__r"),
     )
     r_tag = right.select(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns if c not in on],
         *[F.col(c) for c in on],
         F.lit(0).alias("__is_left"),
         F.col(right_ts).alias("__ts"),
-        *[F.col(p).alias(f"__r_{p}") for p in right_payload],
+        payload_struct.alias("__r"),
     ).select(*l_tag.columns)  # align column order for unionByName safety
 
     # Right rows sort before left rows at equal timestamps → inclusive (>=).
@@ -68,9 +77,12 @@ def asof_join(
     carried = l_tag.unionByName(r_tag).select(
         *[F.col(c) for c in left.columns],
         F.col("__is_left"),
-        *[
-            F.last(F.col(f"__r_{p}"), ignorenulls=True).over(w).alias(f"{p}{suffix}")
-            for p in right_payload
-        ],
+        F.last(F.col("__r"), ignorenulls=True).over(w).alias("__carried"),
     )
-    return carried.filter(F.col("__is_left") == 1).drop("__is_left")
+    return (
+        carried.filter(F.col("__is_left") == 1)
+        .select(
+            *[F.col(c) for c in left.columns],
+            *[F.col(f"__carried.{p}").alias(f"{p}{suffix}") for p in right_payload],
+        )
+    )

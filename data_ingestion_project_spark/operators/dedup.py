@@ -77,20 +77,21 @@ def jaccard_pairs(
 
     Candidate pairs come from the self-equi-join of the (id, word)
     inverted index — pairs sharing zero words are never materialized.
-    ``max_word_doc_freq`` drops ultra-common words from candidate
-    generation (classic posting-list pruning; at scale a word that
-    appears in 10% of all docs generates a near-cross-join and adds no
-    discriminative signal). Jaccard stays exact over full sets.
+    ``max_word_doc_freq`` drops ultra-common words BEFORE the join
+    (classic posting-list pruning; at scale a word that appears in 10%
+    of all docs generates a near-cross-join and adds no discriminative
+    signal). With pruning active, both intersections AND set sizes are
+    computed over the same pruned vocabulary, so the result is the
+    exact Jaccard of the pruned word sets — never a mixed-denominator
+    underestimate.
     """
-    words = tokenized(df, text_col, id_col).cache()
-    sizes = words.groupBy(id_col).agg(F.count("*").alias("set_size"))
-
-    index = words
+    index = tokenized(df, text_col, id_col)
     if max_word_doc_freq is not None:
-        doc_freq = words.groupBy("word").agg(F.count("*").alias("df"))
-        index = words.join(
+        doc_freq = index.groupBy("word").agg(F.count("*").alias("df"))
+        index = index.join(
             F.broadcast(doc_freq.filter(F.col("df") <= max_word_doc_freq)), "word"
         ).select(id_col, "word")
+    sizes = index.groupBy(id_col).agg(F.count("*").alias("set_size"))
 
     a, b = index.alias("a"), index.alias("b")
     inter = (
@@ -149,10 +150,11 @@ def minhash_lsh_pairs(
     """Near-dup pairs via banded MinHash LSH, rescored with exact Jaccard.
 
     Band signature equality → equi-join candidate generation (the LSH
-    step); candidates then rescored against the exact word-set Jaccard
-    so the output threshold is exact, not probabilistic. At 100 TB the
-    band join is the only quadratic-risk step and its bucket sizes are
-    tunable via (num_perm, bands).
+    step); ONLY the surviving candidate pairs are then rescored with
+    exact word-set Jaccard (array_intersect over per-doc word arrays),
+    so the output threshold is exact, not probabilistic, and the
+    rescore cost is O(|candidates|) — the band join remains the only
+    quadratic-risk step, tunable via (num_perm, bands).
     """
     assert num_perm % bands == 0
     rows_per_band = num_perm // bands
@@ -179,8 +181,21 @@ def minhash_lsh_pairs(
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
     )
-    exact = jaccard_pairs(df, text_col, id_col, min_jaccard=min_jaccard)
-    return candidates.join(exact, ["id_a", "id_b"]).select("id_a", "id_b", "jaccard")
+    word_sets = df.select(
+        F.col(id_col),
+        F.array_distinct(F.split(normalize_text(text_col), r"\s+")).alias("words"),
+    )
+    wa = word_sets.select(F.col(id_col).alias("id_a"), F.col("words").alias("wa"))
+    wb = word_sets.select(F.col(id_col).alias("id_b"), F.col("words").alias("wb"))
+    inter = F.size(F.array_intersect("wa", "wb"))
+    union = F.size("wa") + F.size("wb") - inter
+    return (
+        candidates.join(wa, "id_a")
+        .join(wb, "id_b")
+        .withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("id_a", "id_b", "jaccard")
+    )
 
 
 # ------------------------------------------------------------- SimHash
@@ -229,7 +244,9 @@ def simhash_near_pairs(
     shares at least one exact block → equi-join per block (union of
     block joins), then exact popcount rescoring. No cross join.
     """
-    sh = simhash(df, text_col, id_col).cache()
+    # no .cache(): the caller cannot unpersist a handle it never sees,
+    # and pinned storage accumulates across calls in long-lived sessions
+    sh = simhash(df, text_col, id_col)
     block_bits = 64 // blocks
     mask = (1 << block_bits) - 1
     exploded = sh.select(

@@ -34,7 +34,16 @@ def salted_join(
     Replication multiplies the right side by ``n_salts`` — use only
     when the right side is modest and the left has hot keys. Columns
     of both inputs are preserved (internal salt columns dropped).
+
+    Only inner/left/left_semi are supported: an unmatched RIGHT row
+    exists once per salt replica, so right/full/anti joins would emit
+    it ``n_salts`` times — rejected rather than silently wrong.
     """
+    if how not in ("inner", "left", "left_outer", "left_semi"):
+        raise ValueError(
+            f"salted_join supports inner/left/left_semi, not {how!r}: "
+            "right-side replication would duplicate unmatched right rows"
+        )
     salted_left = left.withColumn("__salt", (F.rand(seed=42) * n_salts).cast("int"))
     salt_values = F.array(*[F.lit(i) for i in range(n_salts)])
     replicated_right = right.withColumn("__salt", F.explode(salt_values))

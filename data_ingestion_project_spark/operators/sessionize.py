@@ -29,10 +29,14 @@ def sessionize(
         order_cols.append(F.col(order_tiebreak).asc())
     w = Window.partitionBy(key).orderBy(*order_cols)
 
+    # timestampdiff at MICROSECOND resolution: integer-exact and valid
+    # for both TIMESTAMP and TIMESTAMP_NTZ (a double cast would reject
+    # NTZ and lose sub-second precision)
     prev_ts = F.lag(F.col(ts)).over(w)
-    gap = F.col(ts).cast("double") - prev_ts.cast("double")
-    is_new = F.when(prev_ts.isNull() | (gap > gap_seconds), 1).otherwise(0)
-    return df.withColumn(
+    with_prev = df.withColumn("__prev_ts", prev_ts)
+    gap_us = F.expr(f"timestampdiff(MICROSECOND, __prev_ts, `{ts}`)")
+    is_new = F.when(F.col("__prev_ts").isNull() | (gap_us > gap_seconds * 1_000_000), 1).otherwise(0)
+    return with_prev.withColumn(
         session_col,
         F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
-    )
+    ).drop("__prev_ts")

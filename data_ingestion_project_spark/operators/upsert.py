@@ -45,22 +45,40 @@ def upsert_keep_first(existing: DataFrame | None, new_rows: DataFrame, key: str)
     if existing is None:
         return new_rows
     existing_keys = existing.select(kcol.alias("__existing_key"))
-    new_only = new_rows.join(
-        F.broadcast(existing_keys), kcol == F.col("__existing_key"), "left_anti"
-    )
+    # No broadcast hint: the anti-join's build side is the EXISTING key
+    # set, which grows without bound — forcing it to broadcast would OOM
+    # the driver exactly at scale. AQE broadcasts it while it is small
+    # and switches to a shuffled anti-join once it isn't; at real scale
+    # this whole operator becomes a transactional MERGE (module doc).
+    new_only = new_rows.join(existing_keys, kcol == F.col("__existing_key"), "left_anti")
     return existing.unionByName(new_only)
 
 
 def atomic_overwrite_parquet(df: DataFrame, path: str) -> None:
-    """Write to a temp dir then swap — readers never observe a partial
+    """Write to a temp dir then swap — readers never observe a PARTIAL
     table (the reference's full-file rewrite has the same all-or-
-    nothing contract via to_csv, io_utils.py:37)."""
+    nothing contract via to_csv, io_utils.py:37).
+
+    Honesty note on atomicity: with plain directories the swap is two
+    renames, and between them the path briefly does not exist — a
+    concurrent reader in that microsecond window errors (it never sees
+    half a table), and a crash there is recovered below by restoring
+    the old directory. True multi-writer/reader atomicity is what
+    transactional table formats (Delta/Iceberg) provide; this helper is
+    the single-writer stand-in (the ingestion job is single-flight by
+    the run_ingestion.sh lock).
+    """
     tmp = f"{path}__tmp_{_uuid.uuid4().hex[:8]}"
     df.write.mode("overwrite").parquet(tmp)
     old = f"{path}__old_{_uuid.uuid4().hex[:8]}"
     if os.path.exists(path):
         os.rename(path, old)
-    os.rename(tmp, path)
+    try:
+        os.rename(tmp, path)
+    except BaseException:
+        if os.path.exists(old) and not os.path.exists(path):
+            os.rename(old, path)  # restore the previous table
+        raise
     if os.path.exists(old):
         shutil.rmtree(old)
 

@@ -298,6 +298,36 @@ ORDER BY lang, rank
 """
 
 
+def returnflag_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide → long) via stack(): the inverse of
+    returnflag_pivot, demonstrating the melt operator family."""
+    wide = returnflag_pivot(spark, sf_dir)
+    return (
+        wide.selectExpr(
+            "l_linestatus",
+            "stack(3, 'A', rev_a, 'N', rev_n, 'R', rev_r) AS (returnflag, revenue)",
+        )
+        .orderBy("l_linestatus", "returnflag")
+    )
+
+
+ORACLE_RETURNFLAG_UNPIVOT = """
+WITH wide AS (
+  SELECT l_linestatus,
+         ROUND(SUM(CASE WHEN l_returnflag = 'A' THEN l_extendedprice * (1 - l_discount) END), 2) AS rev_a,
+         ROUND(SUM(CASE WHEN l_returnflag = 'N' THEN l_extendedprice * (1 - l_discount) END), 2) AS rev_n,
+         ROUND(SUM(CASE WHEN l_returnflag = 'R' THEN l_extendedprice * (1 - l_discount) END), 2) AS rev_r
+  FROM lineitem GROUP BY l_linestatus
+)
+SELECT l_linestatus, returnflag, revenue FROM (
+  SELECT l_linestatus, 'A' AS returnflag, rev_a AS revenue FROM wide
+  UNION ALL SELECT l_linestatus, 'N', rev_n FROM wide
+  UNION ALL SELECT l_linestatus, 'R', rev_r FROM wide
+)
+ORDER BY l_linestatus, returnflag
+"""
+
+
 # --------------------------------------------------- scalar fn families
 
 
@@ -399,6 +429,7 @@ def approx_order_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "returnflag_unpivot": returnflag_unpivot,
     "customer_name_digits": customer_name_digits,
     "shipping_delay_histogram": shipping_delay_histogram,
     "approx_daily_active_users": approx_daily_active_users,
@@ -414,6 +445,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "returnflag_unpivot": ORACLE_RETURNFLAG_UNPIVOT,
     "customer_name_digits": ORACLE_CUSTOMER_NAME_DIGITS,
     "shipping_delay_histogram": ORACLE_SHIPPING_DELAY_HISTOGRAM,
     "order_price_quantiles": ORACLE_ORDER_PRICE_QUANTILES,

@@ -51,17 +51,21 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     corrupt epochs > 2^53 ns).
     """
     if name == "events":
-        # set here (runtime-settable SQL confs), not only in the session
+        # set here (runtime-settable SQL conf), not only in the session
         # factory: queries must work on ANY caller-provided session,
-        # including the driver's plain one. UTC pin: the nanos→micros
-        # conversion yields TIMESTAMP_LTZ, and event-time bucketing
-        # (date_trunc/date_format) must render the raw epoch as-is —
-        # matching how DuckDB reads the same column (naive/UTC).
+        # including the driver's plain one
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # NTZ epoch arithmetic, NOT timestamp_micros: the latter yields
+        # TIMESTAMP_LTZ whose bucketing/rendering depends on the session
+        # timezone; this form is timezone-independent and matches how
+        # DuckDB (and the oracle) read the same column, without mutating
+        # the caller session's timezone conf
+        df = df.withColumn(
+            "ts",
+            F.expr("timestampadd(MICROSECOND, ts div 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"),
+        )
     return df
 
 

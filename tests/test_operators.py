@@ -107,5 +107,30 @@ def test_union_events_table_reads_nanos(spark):
     from data_ingestion_project_spark.sources.readers import table
 
     e = table(spark, "/root/testdata/sf0.001", "events")
-    assert dict(e.dtypes)["ts"] == "timestamp"
+    # NTZ by design: timezone-independent bucketing matching DuckDB
+    assert dict(e.dtypes)["ts"] == "timestamp_ntz"
     assert e.select(F.min("ts")).first()[0].year == 2024
+
+
+def test_asof_null_payload_fields_not_mixed(spark):
+    """The latest right row must be carried as a UNIT: when its fields
+    are null, the output must NOT backfill them from older right rows
+    (per-column carry would fabricate rows that never existed)."""
+    import datetime as dt
+
+    left = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 12, 0, 0))], "user int, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 1, 1, 10, 0, 0), 5.0, "old-b"),
+            (1, dt.datetime(2024, 1, 1, 11, 0, 0), None, "new-b"),
+        ],
+        "user int, rts timestamp, a double, b string",
+    )
+    from data_ingestion_project_spark.operators.asof import asof_join
+
+    out = asof_join(left, right, on=["user"], left_ts="ts", right_ts="rts",
+                    right_payload=["a", "b"]).first()
+    assert out["b_asof"] == "new-b"
+    assert out["a_asof"] is None  # from the SAME (latest) right row, not backfilled
