@@ -58,11 +58,25 @@ def exact_dup_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
 # ----------------------------------------------------- word-set Jaccard
 
 
-def tokenized(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """(id, word) rows of distinct normalized words — the inverted index."""
+def tokenized(
+    df: DataFrame, text_col: str, id_col: str, shingle: int | None = None
+) -> DataFrame:
+    """(id, word) rows of distinct normalized tokens — the inverted index.
+
+    ``shingle=k`` switches to character k-grams of the normalized text
+    instead of whitespace words — the right unit for scripts without
+    word boundaries (CJK) and for catching small intra-word edits.
+    Shingling is a pure JVM expression (sequence + substring), no UDF.
+    """
+    norm = normalize_text(text_col)
+    if shingle is None:
+        tokens = F.split(norm, r"\s+")
+    else:
+        starts = F.sequence(F.lit(1), F.greatest(F.length(norm) - (shingle - 1), F.lit(1)))
+        tokens = F.transform(starts, lambda i: F.substring(norm, i, F.lit(shingle)))
     return df.select(
         F.col(id_col),
-        F.explode(F.array_distinct(F.split(normalize_text(text_col), r"\s+"))).alias("word"),
+        F.explode(F.array_distinct(tokens)).alias("word"),
     )
 
 
@@ -72,6 +86,7 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     min_jaccard: float = 0.0,
     max_word_doc_freq: int | None = None,
+    shingle: int | None = None,
 ) -> DataFrame:
     """Exact word-set Jaccard for all candidate pairs via inverted index.
 
@@ -85,7 +100,7 @@ def jaccard_pairs(
     exact Jaccard of the pruned word sets — never a mixed-denominator
     underestimate.
     """
-    index = tokenized(df, text_col, id_col)
+    index = tokenized(df, text_col, id_col, shingle=shingle)
     if max_word_doc_freq is not None:
         doc_freq = index.groupBy("word").agg(F.count("*").alias("df"))
         index = index.join(

@@ -661,8 +661,32 @@ LIMIT 10
 """
 
 
+def cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus): all 2^2 grouping sets in one
+    partial-agg shuffle (Catalyst expands before the aggregate)."""
+    l = table(spark, sf_dir, "lineitem")
+    return (
+        l.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum(_rev()), 2).alias("revenue"),
+        )
+        .orderBy(F.col("l_returnflag").asc_nulls_first(), F.col("l_linestatus").asc_nulls_first())
+    )
+
+
+ORACLE_CUBE_REVENUE = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+"""
+
+
 QUERIES = {
     "pricing_summary": pricing_summary,
+    "cube_revenue": cube_revenue,
     "shipping_priority": shipping_priority,
     "local_supplier_volume": local_supplier_volume,
     "revenue_forecast": revenue_forecast,
@@ -686,6 +710,7 @@ QUERIES = {
 
 ORACLE = {
     "pricing_summary": ORACLE_PRICING_SUMMARY,
+    "cube_revenue": ORACLE_CUBE_REVENUE,
     "shipping_priority": ORACLE_SHIPPING_PRIORITY,
     "local_supplier_volume": ORACLE_LOCAL_SUPPLIER_VOLUME,
     "revenue_forecast": ORACLE_REVENUE_FORECAST,

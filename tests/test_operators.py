@@ -134,3 +134,16 @@ def test_asof_null_payload_fields_not_mixed(spark):
                     right_payload=["a", "b"]).first()
     assert out["b_asof"] == "new-b"
     assert out["a_asof"] is None  # from the SAME (latest) right row, not backfilled
+
+
+def test_char_shingle_tokenization(spark):
+    """shingle=3 emits distinct char trigrams — the CJK/no-word-boundary
+    dedup unit; short strings yield one (possibly shorter) shingle."""
+    from data_ingestion_project_spark.operators.dedup import tokenized
+
+    df = spark.createDataFrame([(1, "abcd"), (2, "ab")], "doc_id int, text string")
+    got = {}
+    for r in tokenized(df, "text", "doc_id", shingle=3).collect():
+        got.setdefault(r["doc_id"], set()).add(r["word"])
+    assert got[1] == {"abc", "bcd"}
+    assert got[2] == {"ab"}
