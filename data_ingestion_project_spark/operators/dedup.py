@@ -142,13 +142,14 @@ def minhash_signatures(
     text_col: str = "text",
     id_col: str = "doc_id",
     num_perm: int = 32,
+    shingle: int | None = None,
 ) -> DataFrame:
     """MinHash signature (num_perm minima of seeded xxhash64) per doc.
 
     One explode + one groupBy; signatures are arrays of longs. All
     hashing is JVM-side (xxhash64 builtin) — no Python in the loop.
     """
-    words = tokenized(df, text_col, id_col)
+    words = tokenized(df, text_col, id_col, shingle=shingle)
     mins = [F.min(_hash_band(i)).alias(f"h{i}") for i in range(num_perm)]
     sig = words.groupBy(id_col).agg(*mins)
     return sig.select(F.col(id_col), F.array(*[f"h{i}" for i in range(num_perm)]).alias("signature"))
@@ -161,6 +162,7 @@ def minhash_lsh_pairs(
     num_perm: int = 32,
     bands: int = 8,
     min_jaccard: float = 0.5,
+    shingle: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs via banded MinHash LSH, rescored with exact Jaccard.
 
@@ -173,7 +175,7 @@ def minhash_lsh_pairs(
     """
     assert num_perm % bands == 0
     rows_per_band = num_perm // bands
-    sig = minhash_signatures(df, text_col, id_col, num_perm)
+    sig = minhash_signatures(df, text_col, id_col, num_perm, shingle=shingle)
 
     band_cols = [
         F.struct(
@@ -196,9 +198,8 @@ def minhash_lsh_pairs(
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
     )
-    word_sets = df.select(
-        F.col(id_col),
-        F.array_distinct(F.split(normalize_text(text_col), r"\s+")).alias("words"),
+    word_sets = tokenized(df, text_col, id_col, shingle=shingle).groupBy(id_col).agg(
+        F.collect_set("word").alias("words")
     )
     wa = word_sets.select(F.col(id_col).alias("id_a"), F.col("words").alias("wa"))
     wb = word_sets.select(F.col(id_col).alias("id_b"), F.col("words").alias("wb"))
@@ -216,7 +217,13 @@ def minhash_lsh_pairs(
 # ------------------------------------------------------------- SimHash
 
 
-def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64) -> DataFrame:
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+    shingle: int | None = None,
+) -> DataFrame:
     """64-bit SimHash per document, fully JVM-side.
 
     Each distinct word hashes to 64 bits (xxhash64); per document, each
@@ -225,7 +232,7 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
     word sets. Plan: explode → groupBy(id) with 64 conditional sums →
     bit-pack; one shuffle total.
     """
-    words = tokenized(df, text_col, id_col).withColumn("h", F.xxhash64("word", F.lit(1337)))
+    words = tokenized(df, text_col, id_col, shingle=shingle).withColumn("h", F.xxhash64("word", F.lit(1337)))
     bit_sums = [
         F.sum(F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(
             f"b{i}"
@@ -251,6 +258,7 @@ def simhash_near_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 8,
     blocks: int = 4,
+    shingle: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``.
 
@@ -261,7 +269,7 @@ def simhash_near_pairs(
     """
     # no .cache(): the caller cannot unpersist a handle it never sees,
     # and pinned storage accumulates across calls in long-lived sessions
-    sh = simhash(df, text_col, id_col)
+    sh = simhash(df, text_col, id_col, shingle=shingle)
     block_bits = 64 // blocks
     mask = (1 << block_bits) - 1
     exploded = sh.select(
