@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from data_ingestion_project_spark.queries._precision import dec_sum, sql_dec_sum
 from data_ingestion_project_spark.sources.readers import register_views, table
 
 
@@ -55,17 +56,17 @@ def returnflag_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = (
         l.groupBy("l_linestatus")
         .pivot("l_returnflag", ["A", "N", "R"])
-        .agg(F.round(F.sum(rev), 2))
+        .agg(dec_sum(rev))
         .orderBy("l_linestatus")
     )
     return out.select("l_linestatus", F.col("A").alias("rev_a"), F.col("N").alias("rev_n"), F.col("R").alias("rev_r"))
 
 
-ORACLE_RETURNFLAG_PIVOT = """
+ORACLE_RETURNFLAG_PIVOT = f"""
 SELECT l_linestatus,
-       ROUND(SUM(CASE WHEN l_returnflag = 'A' THEN l_extendedprice * (1 - l_discount) END), 2) AS rev_a,
-       ROUND(SUM(CASE WHEN l_returnflag = 'N' THEN l_extendedprice * (1 - l_discount) END), 2) AS rev_n,
-       ROUND(SUM(CASE WHEN l_returnflag = 'R' THEN l_extendedprice * (1 - l_discount) END), 2) AS rev_r
+       {sql_dec_sum("CASE WHEN l_returnflag = 'A' THEN l_extendedprice * (1 - l_discount) END")} AS rev_a,
+       {sql_dec_sum("CASE WHEN l_returnflag = 'N' THEN l_extendedprice * (1 - l_discount) END")} AS rev_n,
+       {sql_dec_sum("CASE WHEN l_returnflag = 'R' THEN l_extendedprice * (1 - l_discount) END")} AS rev_r
 FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus
 """
 
@@ -311,12 +312,12 @@ def returnflag_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_RETURNFLAG_UNPIVOT = """
+ORACLE_RETURNFLAG_UNPIVOT = f"""
 WITH wide AS (
   SELECT l_linestatus,
-         ROUND(SUM(CASE WHEN l_returnflag = 'A' THEN l_extendedprice * (1 - l_discount) END), 2) AS rev_a,
-         ROUND(SUM(CASE WHEN l_returnflag = 'N' THEN l_extendedprice * (1 - l_discount) END), 2) AS rev_n,
-         ROUND(SUM(CASE WHEN l_returnflag = 'R' THEN l_extendedprice * (1 - l_discount) END), 2) AS rev_r
+         {sql_dec_sum("CASE WHEN l_returnflag = 'A' THEN l_extendedprice * (1 - l_discount) END")} AS rev_a,
+         {sql_dec_sum("CASE WHEN l_returnflag = 'N' THEN l_extendedprice * (1 - l_discount) END")} AS rev_n,
+         {sql_dec_sum("CASE WHEN l_returnflag = 'R' THEN l_extendedprice * (1 - l_discount) END")} AS rev_r
   FROM lineitem GROUP BY l_linestatus
 )
 SELECT l_linestatus, returnflag, revenue FROM (

@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_ingestion_project_spark.functions.vectors import vec_norm
+from data_ingestion_project_spark.queries._precision import dec_avg, sql_dec_avg
 from data_ingestion_project_spark.operators.similarity import (
     cosine_self_topk_pairs,
     cosine_topk,
@@ -81,15 +82,15 @@ def label_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label")
         .agg(
             F.count(F.lit(1)).alias("n_vectors"),
-            F.round(F.avg("norm"), 4).alias("avg_norm"),
+            dec_avg(F.col("norm")).alias("avg_norm"),
         )
         .orderBy("label")
     )
 
 
-ORACLE_LABEL_VECTOR_STATS = """
+ORACLE_LABEL_VECTOR_STATS = f"""
 SELECT label, COUNT(*) AS n_vectors,
-       ROUND(AVG(sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 4)
+       {sql_dec_avg('sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]))')}
          AS avg_norm
 FROM embeddings GROUP BY label ORDER BY label
 """

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_ingestion_project_spark.operators.asof import asof_join
+from data_ingestion_project_spark.queries._precision import dec_sum, sql_dec_sum
 from data_ingestion_project_spark.operators.sessionize import sessionize
 from data_ingestion_project_spark.sources.readers import table
 
@@ -29,15 +30,15 @@ def hourly_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            dec_sum(F.col("value")).alias("sum_value"),
         )
         .orderBy("hour", "event_type")
     )
 
 
-ORACLE_HOURLY_EVENT_STATS = """
+ORACLE_HOURLY_EVENT_STATS = f"""
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour, event_type,
-       COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+       COUNT(*) AS n_events, {sql_dec_sum('value')} AS sum_value
 FROM events
 GROUP BY 1, 2
 ORDER BY hour, event_type
@@ -65,15 +66,15 @@ def top_purchasers(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy("user_id")
         .agg(
             F.count(F.lit(1)).alias("n_purchases"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            dec_sum(F.col("value")).alias("total_value"),
         )
         .orderBy(F.col("total_value").desc(), F.col("user_id").asc())
         .limit(10)
     )
 
 
-ORACLE_TOP_PURCHASERS = """
-SELECT user_id, COUNT(*) AS n_purchases, ROUND(SUM(value), 2) AS total_value
+ORACLE_TOP_PURCHASERS = f"""
+SELECT user_id, COUNT(*) AS n_purchases, {sql_dec_sum('value')} AS total_value
 FROM events WHERE event_type = 'purchase'
 GROUP BY user_id
 ORDER BY total_value DESC, user_id ASC

@@ -21,7 +21,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from data_ingestion_project_spark.queries._precision import dec_avg, dec_sum, sql_dec_avg, sql_dec_sum
 from data_ingestion_project_spark.sources.readers import table
+
+REV = "l_extendedprice * (1 - l_discount)"  # SQL twin of _rev()
 
 
 def _rev() -> F.Column:
@@ -40,29 +43,29 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.filter(F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(_rev()), 2).alias("sum_disc_price"),
-            F.round(F.sum(_rev() * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            dec_sum(F.col("l_quantity")).alias("sum_qty"),
+            dec_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+            dec_sum(_rev()).alias("sum_disc_price"),
+            dec_sum(_rev() * (1 + F.col("l_tax"))).alias("sum_charge"),
+            dec_avg(F.col("l_quantity")).alias("avg_qty"),
+            dec_avg(F.col("l_extendedprice")).alias("avg_price"),
+            dec_avg(F.col("l_discount")).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
 
 
-ORACLE_PRICING_SUMMARY = """
+ORACLE_PRICING_SUMMARY = f"""
 SELECT l_returnflag, l_linestatus,
-       ROUND(SUM(l_quantity), 2)                                        AS sum_qty,
-       ROUND(SUM(l_extendedprice), 2)                                   AS sum_base_price,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
-       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
-       ROUND(AVG(l_quantity), 4)                                        AS avg_qty,
-       ROUND(AVG(l_extendedprice), 4)                                   AS avg_price,
-       ROUND(AVG(l_discount), 4)                                        AS avg_disc,
-       COUNT(*)                                                         AS count_order
+       {sql_dec_sum('l_quantity')} AS sum_qty,
+       {sql_dec_sum('l_extendedprice')} AS sum_base_price,
+       {sql_dec_sum(REV)} AS sum_disc_price,
+       {sql_dec_sum(REV + ' * (1 + l_tax)')} AS sum_charge,
+       {sql_dec_avg('l_quantity')} AS avg_qty,
+       {sql_dec_avg('l_extendedprice')} AS avg_price,
+       {sql_dec_avg('l_discount')} AS avg_disc,
+       COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-01'
 GROUP BY l_returnflag, l_linestatus
@@ -88,7 +91,7 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
+        .agg(dec_sum(_rev()).alias("revenue"))
         .select(
             "l_orderkey",
             "revenue",
@@ -100,9 +103,9 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_SHIPPING_PRIORITY = """
+ORACLE_SHIPPING_PRIORITY = f"""
 SELECT l_orderkey,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       {sql_dec_sum(REV)} AS revenue,
        strftime(o_orderdate, '%Y-%m-%d')                 AS orderdate,
        o_orderpriority
 FROM lineitem
@@ -140,13 +143,13 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(n, s.s_nationkey == n.n_nationkey)
         .join(r, n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
-        .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
+        .agg(dec_sum(_rev()).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("n_name").asc())
     )
 
 
-ORACLE_LOCAL_SUPPLIER_VOLUME = """
-SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+ORACLE_LOCAL_SUPPLIER_VOLUME = f"""
+SELECT n_name, {sql_dec_sum(REV)} AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -176,12 +179,12 @@ def revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_discount") <= 0.06)
             & (F.col("l_quantity") < 25)
         )
-        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+        .agg(dec_sum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"))
     )
 
 
-ORACLE_REVENUE_FORECAST = """
-SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+ORACLE_REVENUE_FORECAST = f"""
+SELECT {sql_dec_sum("l_extendedprice * l_discount")} AS revenue
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01'
   AND l_shipdate <  TIMESTAMP '1997-01-01'
@@ -228,15 +231,15 @@ def returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(c, o.o_custkey == c.c_custkey)
         .join(n, c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
+        .agg(dec_sum(_rev()).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
         .limit(20)
     )
 
 
-ORACLE_RETURNED_ITEMS = """
+ORACLE_RETURNED_ITEMS = f"""
 SELECT c_custkey, c_name, n_name,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       {sql_dec_sum(REV)} AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -280,15 +283,15 @@ def nation_volume_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         pairs.groupBy("supp_nation", "cust_nation", F.year("o_orderdate").alias("o_year"))
-        .agg(F.round(F.sum(_rev()), 2).alias("volume"))
+        .agg(dec_sum(_rev()).alias("volume"))
         .orderBy("supp_nation", "cust_nation", "o_year")
     )
 
 
-ORACLE_NATION_VOLUME_PAIRS = """
+ORACLE_NATION_VOLUME_PAIRS = f"""
 SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
        CAST(year(o_orderdate) AS INTEGER) AS o_year,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS volume
+       {sql_dec_sum(REV)} AS volume
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN supplier ON l_suppkey = s_suppkey
@@ -317,14 +320,14 @@ def product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(n, s.s_nationkey == n.n_nationkey)
         .join(o, l.l_orderkey == o.o_orderkey)
         .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
-        .agg(F.round(F.sum(_rev()), 2).alias("profit"))
+        .agg(dec_sum(_rev()).alias("profit"))
         .orderBy(F.col("nation").asc(), F.col("o_year").desc())
     )
 
 
-ORACLE_PRODUCT_TYPE_PROFIT = """
+ORACLE_PRODUCT_TYPE_PROFIT = f"""
 SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS profit
+       {sql_dec_sum(REV)} AS profit
 FROM lineitem
 JOIN part     ON l_partkey = p_partkey
 JOIN supplier ON l_suppkey = s_suppkey
@@ -345,7 +348,7 @@ def top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
     )
     s = table(spark, sf_dir, "supplier")
-    rev = l.groupBy("l_suppkey").agg(F.round(F.sum(_rev()), 2).alias("total_revenue"))
+    rev = l.groupBy("l_suppkey").agg(dec_sum(_rev()).alias("total_revenue"))
     return (
         rev.join(s, rev.l_suppkey == s.s_suppkey)
         .select(F.col("s_suppkey"), F.col("s_name"), F.col("total_revenue"))
@@ -354,10 +357,10 @@ def top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_TOP_SUPPLIERS = """
+ORACLE_TOP_SUPPLIERS = f"""
 SELECT s_suppkey, s_name, total_revenue
 FROM (
-  SELECT l_suppkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+  SELECT l_suppkey, {sql_dec_sum(REV)} AS total_revenue
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
   GROUP BY l_suppkey
@@ -410,7 +413,7 @@ def big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
     big = (
         l.groupBy("l_orderkey")
-        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .agg(dec_sum(F.col("l_quantity")).alias("sum_qty"))
         .filter(F.col("sum_qty") > 180)
     )
     return (
@@ -420,12 +423,12 @@ def big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_BIG_ORDERS = """
+ORACLE_BIG_ORDERS = f"""
 SELECT o_orderkey, o_custkey, o_totalprice, sum_qty
 FROM orders
 JOIN (
-  SELECT l_orderkey, ROUND(SUM(l_quantity), 2) AS sum_qty
-  FROM lineitem GROUP BY l_orderkey HAVING ROUND(SUM(l_quantity), 2) > 180
+  SELECT l_orderkey, {sql_dec_sum('l_quantity')} AS sum_qty
+  FROM lineitem GROUP BY l_orderkey HAVING {sql_dec_sum('l_quantity')} > 180
 ) b ON o_orderkey = l_orderkey
 ORDER BY sum_qty DESC, o_orderkey ASC
 """
@@ -440,7 +443,7 @@ def segment_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            F.round(F.avg("c_acctbal"), 4).alias("avg_acctbal"),
+            dec_avg(F.col("c_acctbal")).alias("avg_acctbal"),
             F.round(F.min("c_acctbal"), 2).alias("min_acctbal"),
             F.round(F.max("c_acctbal"), 2).alias("max_acctbal"),
         )
@@ -448,9 +451,9 @@ def segment_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_SEGMENT_ACCTBAL = """
+ORACLE_SEGMENT_ACCTBAL = f"""
 SELECT c_mktsegment, COUNT(*) AS n_customers,
-       ROUND(AVG(c_acctbal), 4) AS avg_acctbal,
+       {sql_dec_avg('c_acctbal')} AS avg_acctbal,
        ROUND(MIN(c_acctbal), 2) AS min_acctbal,
        ROUND(MAX(c_acctbal), 2) AS max_acctbal
 FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
@@ -463,7 +466,7 @@ def brand_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         p.groupBy("p_brand")
         .agg(
             F.count(F.lit(1)).alias("n_parts"),
-            F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
+            dec_avg(F.col("p_retailprice")).alias("avg_price"),
             F.round(F.min("p_retailprice"), 2).alias("min_price"),
             F.round(F.max("p_retailprice"), 2).alias("max_price"),
             F.count_distinct(F.col("p_type")).alias("n_types"),
@@ -472,9 +475,9 @@ def brand_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_BRAND_PRICE_STATS = """
+ORACLE_BRAND_PRICE_STATS = f"""
 SELECT p_brand, COUNT(*) AS n_parts,
-       ROUND(AVG(p_retailprice), 4) AS avg_price,
+       {sql_dec_avg('p_retailprice')} AS avg_price,
        ROUND(MIN(p_retailprice), 2) AS min_price,
        ROUND(MAX(p_retailprice), 2) AS max_price,
        COUNT(DISTINCT p_type) AS n_types
@@ -522,7 +525,7 @@ def monthly_revenue_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
     monthly = (
         o.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("ym"))
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("monthly_revenue"))
+        .agg(dec_sum(F.col("o_totalprice")).alias("monthly_revenue"))
     )
     w = Window.orderBy("ym").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return (
@@ -531,13 +534,13 @@ def monthly_revenue_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_MONTHLY_REVENUE_RUNNING = """
+ORACLE_MONTHLY_REVENUE_RUNNING = f"""
 SELECT ym, monthly_revenue,
        ROUND(SUM(monthly_revenue) OVER (ORDER BY ym
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_revenue
 FROM (
   SELECT strftime(o_orderdate, '%Y-%m') AS ym,
-         ROUND(SUM(o_totalprice), 2) AS monthly_revenue
+         {sql_dec_sum('o_totalprice')} AS monthly_revenue
   FROM orders GROUP BY 1
 ) m
 ORDER BY ym
@@ -550,7 +553,7 @@ def monthly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
     monthly = (
         o.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("ym"))
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("monthly_revenue"))
+        .agg(dec_sum(F.col("o_totalprice")).alias("monthly_revenue"))
     )
     w = Window.orderBy("ym")
     return (
@@ -561,7 +564,7 @@ def monthly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_MONTHLY_REVENUE_GROWTH = """
+ORACLE_MONTHLY_REVENUE_GROWTH = f"""
 SELECT ym, monthly_revenue,
        ROUND(monthly_revenue - LAG(monthly_revenue) OVER (ORDER BY ym), 2) AS growth
 FROM (
@@ -620,15 +623,15 @@ def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.rollup("l_returnflag", "l_linestatus")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
-            F.round(F.sum(_rev()), 2).alias("revenue"),
+            dec_sum(_rev()).alias("revenue"),
         )
         .orderBy(F.col("l_returnflag").asc_nulls_first(), F.col("l_linestatus").asc_nulls_first())
     )
 
 
-ORACLE_ROLLUP_REVENUE = """
+ORACLE_ROLLUP_REVENUE = f"""
 SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       {sql_dec_sum(REV)} AS revenue
 FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
 ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
@@ -669,15 +672,15 @@ def cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.cube("l_returnflag", "l_linestatus")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
-            F.round(F.sum(_rev()), 2).alias("revenue"),
+            dec_sum(_rev()).alias("revenue"),
         )
         .orderBy(F.col("l_returnflag").asc_nulls_first(), F.col("l_linestatus").asc_nulls_first())
     )
 
 
-ORACLE_CUBE_REVENUE = """
+ORACLE_CUBE_REVENUE = f"""
 SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       {sql_dec_sum(REV)} AS revenue
 FROM lineitem
 GROUP BY CUBE (l_returnflag, l_linestatus)
 ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
