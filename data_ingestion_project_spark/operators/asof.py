@@ -45,6 +45,11 @@ def asof_join(
     """
     right_payload = right_payload or [c for c in right.columns if c not in on and c != right_ts]
 
+    # A right row with a NULL timestamp has no defined position in event
+    # time; NULLS FIRST ordering would otherwise carry its payload into
+    # left rows that precede every real right row (fabricated matches).
+    right = right.filter(F.col(right_ts).isNotNull())
+
     # The payload is carried as ONE struct, not per-column: per-column
     # last(ignorenulls) would mix fields from different right rows
     # whenever the latest right row holds nulls, fabricating rows that

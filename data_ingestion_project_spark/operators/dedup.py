@@ -103,8 +103,11 @@ def jaccard_pairs(
     index = tokenized(df, text_col, id_col, shingle=shingle)
     if max_word_doc_freq is not None:
         doc_freq = index.groupBy("word").agg(F.count("*").alias("df"))
+        # no broadcast hint: after pruning, the remaining (rare-word)
+        # vocabulary is the LARGE side at corpus scale — AQE broadcasts
+        # it only while it actually fits
         index = index.join(
-            F.broadcast(doc_freq.filter(F.col("df") <= max_word_doc_freq)), "word"
+            doc_freq.filter(F.col("df") <= max_word_doc_freq), "word"
         ).select(id_col, "word")
     sizes = index.groupBy(id_col).agg(F.count("*").alias("set_size"))
 
@@ -256,17 +259,25 @@ def simhash_near_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    max_hamming: int = 8,
+    max_hamming: int = 3,
     blocks: int = 4,
     shingle: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``.
 
-    Candidate generation: split the 64-bit hash into ``blocks`` 16-bit
-    blocks; by pigeonhole, any pair within Hamming distance < blocks
-    shares at least one exact block → equi-join per block (union of
-    block joins), then exact popcount rescoring. No cross join.
+    Candidate generation: split the 64-bit hash into ``blocks`` equal
+    blocks; by pigeonhole, a pair is GUARANTEED to share a block only
+    when its Hamming distance is < ``blocks`` — so full recall requires
+    ``max_hamming < blocks`` (enforced below; a larger threshold would
+    silently drop pairs whose differing bits spread across all blocks).
+    Then exact popcount rescoring. No cross join.
     """
+    if max_hamming >= blocks:
+        raise ValueError(
+            f"max_hamming={max_hamming} >= blocks={blocks}: pigeonhole recall "
+            "guarantee is Hamming < blocks; raise blocks (64 must stay divisible) "
+            "or lower max_hamming"
+        )
     # no .cache(): the caller cannot unpersist a handle it never sees,
     # and pinned storage accumulates across calls in long-lived sessions
     sh = simhash(df, text_col, id_col, shingle=shingle)

@@ -46,7 +46,7 @@ def transform_users(df_raw: DataFrame, keys: CryptoKeys) -> DataFrame:
     bidx_udf = make_blind_index_udf(keys)
 
     return df_raw.select(
-        F.col("login.uuid").alias("login.uuid"),
+        _required("login.uuid").alias("login.uuid"),  # the upsert key must never be null
         F.col("name.first").alias("name.first"),
         F.col("name.last").alias("name.last"),
         F.col("dob.date").alias("dob.date"),

@@ -50,7 +50,13 @@ def upsert_keep_first(existing: DataFrame | None, new_rows: DataFrame, key: str)
     # the driver exactly at scale. AQE broadcasts it while it is small
     # and switches to a shuffled anti-join once it isn't; at real scale
     # this whole operator becomes a transactional MERGE (module doc).
-    new_only = new_rows.join(existing_keys, kcol == F.col("__existing_key"), "left_anti")
+    # eqNullSafe: with a plain ==, a null key on both sides compares to
+    # NULL -> "not matched" -> the null-key row re-inserts on EVERY run,
+    # breaking idempotence. The transform null-gates the key, this is
+    # defense in depth for tables written by other producers.
+    new_only = new_rows.join(
+        existing_keys, kcol.eqNullSafe(F.col("__existing_key")), "left_anti"
+    )
     return existing.unionByName(new_only)
 
 

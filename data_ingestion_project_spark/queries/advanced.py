@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_ingestion_project_spark.queries._precision import dec_sum, sql_dec_sum
+from data_ingestion_project_spark.queries.tpch import REV, _rev
 from data_ingestion_project_spark.sources.readers import register_views, table
 
 
@@ -52,11 +53,10 @@ def returnflag_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     (no extra pass to discover pivot values — always list them at
     scale)."""
     l = table(spark, sf_dir, "lineitem")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     out = (
         l.groupBy("l_linestatus")
         .pivot("l_returnflag", ["A", "N", "R"])
-        .agg(dec_sum(rev))
+        .agg(dec_sum(_rev()))
         .orderBy("l_linestatus")
     )
     return out.select("l_linestatus", F.col("A").alias("rev_a"), F.col("N").alias("rev_n"), F.col("R").alias("rev_r"))

@@ -220,9 +220,10 @@ def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash blocked candidate pairs within Hamming ≤ 16 (rows-only)."""
+    """SimHash blocked candidate pairs within Hamming ≤ 3 (rows-only;
+    full recall needs max_hamming < blocks — see operators/dedup.py)."""
     d = table(spark, sf_dir, "documents")
-    return simhash_near_pairs(d, max_hamming=16, blocks=4).orderBy("hamming", "id_a", "id_b")
+    return simhash_near_pairs(d, max_hamming=3, blocks=4).orderBy("hamming", "id_a", "id_b")
 
 
 QUERIES = {

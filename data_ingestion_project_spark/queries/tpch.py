@@ -569,7 +569,7 @@ SELECT ym, monthly_revenue,
        ROUND(monthly_revenue - LAG(monthly_revenue) OVER (ORDER BY ym), 2) AS growth
 FROM (
   SELECT strftime(o_orderdate, '%Y-%m') AS ym,
-         ROUND(SUM(o_totalprice), 2) AS monthly_revenue
+         {sql_dec_sum('o_totalprice')} AS monthly_revenue
   FROM orders GROUP BY 1
 ) m
 ORDER BY ym

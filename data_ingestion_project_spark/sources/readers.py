@@ -36,10 +36,6 @@ TABLES = (
     "embeddings",
 )
 
-# Dimension tables small enough to always broadcast in joins.
-BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"})
-
-
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one analytic table from ``sf_dir`` (parquet).
 

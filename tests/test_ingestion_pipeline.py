@@ -93,16 +93,20 @@ def test_metrics_dict_contract(spark, keys, tmp_path, batch1):
     assert m["http_status"] is None  # fixture-driven run: no HTTP
 
 
-def test_csv_parity_export(spark, keys, tmp_path, batch1):
+def test_csv_parity_export_roundtrip(spark, keys, tmp_path, batch1):
+    """Write with the parity sink, read back with the strict (explicit
+    schema + FAILFAST) reader — S2/K1 of SURVEY §2 end to end."""
     from data_ingestion_project_spark.operators.upsert import write_csv_parity
-    import pandas as pd
+    from data_ingestion_project_spark.schemas import SECURE_USER_SCHEMA
+    from data_ingestion_project_spark.sources.readers import read_csv_strict
 
     out = transform_users(users_from_json(spark, batch1), keys)
     csv = tmp_path / "random_users.csv"
     write_csv_parity(out, str(csv), SECURE_COLUMNS)
-    back = pd.read_csv(csv)
-    assert list(back.columns) == list(SECURE_COLUMNS)
-    assert len(back) == 10
+    back = read_csv_strict(spark, str(csv), SECURE_USER_SCHEMA)
+    assert tuple(back.columns) == SECURE_COLUMNS
+    assert back.count() == 10
+    assert back.schema["dob.age"].dataType.simpleString() == "int"
 
 
 def test_api_handlers_without_fastapi():
