@@ -72,3 +72,19 @@ def test_upsert_antijoin_broadcasts_existing_keys(spark, keys, tmp_path, batch1)
     merged = upsert_keep_first(existing, new, "login.uuid")
     c = plan_census(merged)
     assert c["n_sortmerge_joins"] == 0  # anti-join must not sort-merge
+
+
+def test_asof_join_single_window_shuffle(spark):
+    """The union+window as-of must cost exactly one key shuffle plus the
+    output sort — a range-join formulation would add a join exchange
+    and an explosion; this pins the scale property of operators/asof.py."""
+    df = all_queries()["purchase_last_click"](spark, SF)
+    assert plan_census(df)["n_exchanges"] <= 2
+
+
+def test_sessionize_reuses_partitioning(spark):
+    """Both windows and both group-bys in user_sessions run on the
+    user_id partitioning from ONE shuffle (hash(user_id) satisfies the
+    (user_id, session_id) clustering) — plus the output sort."""
+    df = all_queries()["user_sessions"](spark, SF)
+    assert plan_census(df)["n_exchanges"] <= 2
