@@ -1,0 +1,43 @@
+"""Multi-format table I/O: parquet (native), ORC, JSON-lines, CSV.
+
+One pair of functions so every format follows the same rules: writes
+are plain distributed writes (no driver funnel), reads of
+schema-on-read formats (json/csv) ALWAYS take an explicit schema with
+FAILFAST — inference is never on a production path (SURVEY.md §1.2).
+
+Format guidance at scale: parquet/ORC are the only sane table formats
+(columnar, pushdown, pruning); JSON/CSV exist as interchange for the
+ingestion edges. A JSON scan reads and parses every byte of every
+column — the formats table in PLANS.md shows pushdown only for the
+columnar pair.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+COLUMNAR_FORMATS = ("parquet", "orc")
+TEXT_FORMATS = ("json", "csv")
+
+
+def write_table(df: DataFrame, path: str, fmt: str = "parquet", mode: str = "overwrite") -> None:
+    if fmt not in COLUMNAR_FORMATS + TEXT_FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}")
+    writer = df.write.mode(mode).format(fmt)
+    if fmt == "csv":
+        writer = writer.option("header", True)
+    writer.save(path)
+
+
+def read_table(
+    spark: SparkSession, path: str, fmt: str = "parquet", schema: StructType | None = None
+) -> DataFrame:
+    if fmt in COLUMNAR_FORMATS:
+        return spark.read.format(fmt).load(path)
+    if schema is None:
+        raise ValueError(f"{fmt} is schema-on-read: an explicit schema is required")
+    reader = spark.read.format(fmt).schema(schema).option("mode", "FAILFAST")
+    if fmt == "csv":
+        reader = reader.option("header", True)
+    return reader.load(path)
