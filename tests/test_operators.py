@@ -147,3 +147,25 @@ def test_char_shingle_tokenization(spark):
         got.setdefault(r["doc_id"], set()).add(r["word"])
     assert got[1] == {"abc", "bcd"}
     assert got[2] == {"ab"}
+
+
+def test_grouped_bucket_topk_finds_near_duplicates(spark):
+    """applyInPandas per-bucket exact search: a planted near-duplicate
+    pair must surface with sim ~1; pairs never share a bucket with
+    orthogonal noise vectors' buckets unless LSH collides them."""
+    import numpy as np
+
+    from data_ingestion_project_spark.operators.similarity import bucket_topk_pairs_grouped
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal(16)
+    # exact duplicate: identical LSH signature by construction (a tiny
+    # perturbation can still flip a sign when a plane-dot is near zero)
+    rows = [(1, base.tolist()), (2, base.tolist())]
+    rows += [(10 + i, rng.standard_normal(16).tolist()) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    pairs = bucket_topk_pairs_grouped(df, n_planes=4, k_per_bucket=3).collect()
+    best = {(r["id_a"], r["id_b"]): r["sim"] for r in pairs}
+    assert (1, 2) in best
+    assert best[(1, 2)] > 0.999999
