@@ -149,3 +149,50 @@ def test_stateful_running_totals_across_microbatches(spark, tmp_path):
         assert latest[2] == (1, 1.0)
     finally:
         q.stop()
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Late-data handling: in append mode a window only emits once the
+    watermark passes it, and rows arriving later than the watermark
+    bound are dropped from state — the property that keeps streaming
+    state finite."""
+    src = tmp_path / "late_events"
+    src.mkdir()
+    stream = (
+        spark.readStream.schema("ts timestamp, user_id long, event_type string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    out = tumbling_counts(stream, window="10 minutes", watermark="10 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("late_test")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        b1 = [
+            {"ts": "2024-01-01T10:05:00", "user_id": 1, "event_type": "click", "value": 1.0},
+            # event at 11:00 advances the watermark to 10:50 → the 10:00
+            # window closes and emits
+            {"ts": "2024-01-01T11:00:00", "user_id": 1, "event_type": "click", "value": 1.0},
+        ]
+        (src / "b1.json").write_text("\n".join(json.dumps(r) for r in b1))
+        q.processAllAvailable()
+        # a LATE row for the already-closed 10:00 window must be dropped
+        (src / "b2.json").write_text(
+            json.dumps({"ts": "2024-01-01T10:06:00", "user_id": 2, "event_type": "click", "value": 9.0})
+        )
+        q.processAllAvailable()
+        # advance watermark far enough to flush everything still open
+        (src / "b3.json").write_text(
+            json.dumps({"ts": "2024-01-01T12:00:00", "user_id": 1, "event_type": "click", "value": 1.0})
+        )
+        q.processAllAvailable()
+        got = {
+            (r["window_start"].hour, r["window_start"].minute): r["n_events"]
+            for r in spark.sql("select * from late_test").collect()
+        }
+        assert got.get((10, 0)) == 1  # late 10:06 row NOT counted
+    finally:
+        q.stop()
