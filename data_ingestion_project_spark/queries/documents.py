@@ -226,8 +226,32 @@ def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_pairs(d, max_hamming=3, blocks=4).orderBy("hamming", "id_a", "id_b")
 
 
+def top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-20 words: explode → count → TakeOrdered. The classic
+    wordcount, with partial aggregation absorbing the explode fan-out
+    map-side."""
+    d = table(spark, sf_dir, "documents")
+    words = d.select(F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("word"))
+    return (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("word").asc())
+        .limit(20)
+    )
+
+
+ORACLE_TOP_WORDS = """
+SELECT word, COUNT(*) AS n
+FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word FROM documents) t
+GROUP BY word
+ORDER BY n DESC, word ASC
+LIMIT 20
+"""
+
+
 QUERIES = {
     "lang_stats": lang_stats,
+    "top_words": top_words,
     "token_stats": token_stats,
     "doc_quality": doc_quality,
     "fingerprint_summary": fingerprint_summary,
@@ -246,5 +270,6 @@ ORACLE = {
     "exact_duplicate_pairs": ORACLE_EXACT_DUPLICATE_PAIRS,
     "near_dup_jaccard_top": ORACLE_NEAR_DUP_JACCARD_TOP,
     "lang_id_confusion": ORACLE_LANG_ID_CONFUSION,
+    "top_words": ORACLE_TOP_WORDS,
     # minhash_near_dups / simhash_near_dups: rows-only by design
 }

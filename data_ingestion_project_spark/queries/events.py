@@ -179,8 +179,40 @@ ORDER BY p.event_id
 """
 
 
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type bigrams (Markov transition counts): lag
+    window over the user's timeline, then a global count per
+    (from, to) pair — path analysis in one shuffle + one small agg."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    trans = e.withColumn("prev_type", F.lag("event_type").over(w)).filter(
+        F.col("prev_type").isNotNull()
+    )
+    return (
+        trans.groupBy(F.col("prev_type").alias("from_type"), F.col("event_type").alias("to_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("from_type", "to_type")
+    )
+
+
+ORACLE_EVENT_TRANSITIONS = """
+SELECT prev_type AS from_type, event_type AS to_type, COUNT(*) AS n
+FROM (
+  SELECT event_type,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_type
+  FROM events
+) t
+WHERE prev_type IS NOT NULL
+GROUP BY 1, 2
+ORDER BY from_type, to_type
+"""
+
+
 QUERIES = {
     "hourly_event_stats": hourly_event_stats,
+    "event_transitions": event_transitions,
     "daily_active_users": daily_active_users,
     "top_purchasers": top_purchasers,
     "props_key_stats": props_key_stats,
@@ -195,4 +227,5 @@ ORACLE = {
     "props_key_stats": ORACLE_PROPS_KEY_STATS,
     "user_sessions": ORACLE_USER_SESSIONS,
     "purchase_last_click": ORACLE_PURCHASE_LAST_CLICK,
+    "event_transitions": ORACLE_EVENT_TRANSITIONS,
 }
