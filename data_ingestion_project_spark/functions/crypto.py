@@ -206,6 +206,34 @@ def make_encrypt_udf(keys: CryptoKeys):
     return _enc.asNondeterministic()
 
 
+def aes_encrypt_native(col, key: bytes):
+    """JVM-native AES-GCM column encryption (``F.aes_encrypt``,
+    Spark ≥3.3) — the scale path for field encryption: no Python
+    round-trip at all, random IV per value (nondeterministic by
+    design, like Fernet). Output base64 for string-typed storage.
+
+    The Fernet UDF remains the reference-parity path (same token
+    format as crypto_utils.py:84-88); this one trades format parity
+    for whole-stage-codegen throughput. Key must be 16/24/32 bytes.
+
+    Caveat: two *textually identical* aes_encrypt expressions in one
+    projection are collapsed by common-subexpression elimination and
+    yield ONE ciphertext — distinct IVs are guaranteed per evaluated
+    expression/row, not per syntactic mention.
+    """
+    from pyspark.sql import functions as F
+
+    c = F.col(col) if isinstance(col, str) else col
+    return F.base64(F.aes_encrypt(c.cast("binary"), F.lit(key), F.lit("GCM")))
+
+
+def aes_decrypt_native(col, key: bytes):
+    from pyspark.sql import functions as F
+
+    c = F.col(col) if isinstance(col, str) else col
+    return F.aes_decrypt(F.unbase64(c), F.lit(key), F.lit("GCM")).cast("string")
+
+
 def make_blind_index_udf(keys: CryptoKeys):
     """Scalar pandas UDF for the HMAC blind index (deterministic)."""
     key = keys.blind_index_key

@@ -114,3 +114,21 @@ def test_api_handlers_without_fastapi():
 
     assert api_server.health() == {"status": "ok"}
     assert api_server.run_job_background() == {"status": "queued"}
+
+
+def test_native_aes_gcm_roundtrip(spark):
+    """JVM-native AES-GCM path (scale alternative to the Fernet UDF):
+    round-trips, and separate executions produce distinct ciphertexts
+    (random IV)."""
+    from data_ingestion_project_spark.functions.crypto import (
+        aes_decrypt_native,
+        aes_encrypt_native,
+    )
+
+    key = b"0123456789abcdef"
+    df = spark.createDataFrame([("s1",), ("s2",)], "v string")
+    back = df.select(aes_decrypt_native(aes_encrypt_native("v", key), key).alias("b")).collect()
+    assert sorted(r["b"] for r in back) == ["s1", "s2"]
+    a = df.limit(1).select(aes_encrypt_native("v", key).alias("c")).first()["c"]
+    b = df.limit(1).select(aes_encrypt_native("v", key).alias("c")).first()["c"]
+    assert a != b  # fresh IV per execution
