@@ -169,3 +169,22 @@ def test_grouped_bucket_topk_finds_near_duplicates(spark):
     best = {(r["id_a"], r["id_b"]): r["sim"] for r in pairs}
     assert (1, 2) in best
     assert best[(1, 2)] > 0.999999
+
+
+def test_minhash_signature_estimates_jaccard(spark):
+    """MinHash theory check: the fraction of agreeing signature slots
+    estimates the true Jaccard within sampling error (64 permutations
+    → se ~ sqrt(J(1-J)/64) ≈ 0.06 at J=0.5; assert within 3 se)."""
+    from data_ingestion_project_spark.operators.dedup import jaccard_pairs, minhash_signatures
+
+    a = " ".join(f"w{i}" for i in range(60))           # {w0..w59}
+    b = " ".join(f"w{i}" for i in range(30, 90))        # {w30..w89}; true J = 30/90
+    df = spark.createDataFrame([(1, a), (2, b)], "doc_id int, text string")
+
+    true_j = {(r["id_a"], r["id_b"]): r["jaccard"] for r in jaccard_pairs(df).collect()}[(1, 2)]
+    assert abs(true_j - 30 / 90) < 1e-9
+
+    sigs = {r["doc_id"]: r["signature"] for r in minhash_signatures(df, num_perm=64).collect()}
+    agree = sum(x == y for x, y in zip(sigs[1], sigs[2])) / 64
+    se = (true_j * (1 - true_j) / 64) ** 0.5
+    assert abs(agree - true_j) < 3 * se + 1e-9
