@@ -223,6 +223,8 @@ def aes_encrypt_native(col, key: bytes):
     """
     from pyspark.sql import functions as F
 
+    if len(key) not in (16, 24, 32):
+        raise ValueError(f"AES key must be 16/24/32 bytes, got {len(key)}")
     c = F.col(col) if isinstance(col, str) else col
     return F.base64(F.aes_encrypt(c.cast("binary"), F.lit(key), F.lit("GCM")))
 
@@ -230,6 +232,8 @@ def aes_encrypt_native(col, key: bytes):
 def aes_decrypt_native(col, key: bytes):
     from pyspark.sql import functions as F
 
+    if len(key) not in (16, 24, 32):
+        raise ValueError(f"AES key must be 16/24/32 bytes, got {len(key)}")
     c = F.col(col) if isinstance(col, str) else col
     return F.aes_decrypt(F.unbase64(c), F.lit(key), F.lit("GCM")).cast("string")
 

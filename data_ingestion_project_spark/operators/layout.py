@@ -70,9 +70,15 @@ def compact_parquet(
 
     df = spark.read.parquet(path)
     tmp = f"{path}__compact_tmp"
-    writer = df.repartition(n_files).write.mode("overwrite")
     if partition_cols:
+        # repartition BY the partition columns: a global round-robin
+        # repartition would spread every partition's rows across all
+        # tasks and partitionBy would then write up to
+        # n_files x n_partitions fragments — worse than no compaction
+        writer = df.repartition(n_files, *partition_cols).write.mode("overwrite")
         writer = writer.partitionBy(*partition_cols)
+    else:
+        writer = df.repartition(n_files).write.mode("overwrite")
     writer.parquet(tmp)
 
     import shutil

@@ -114,7 +114,15 @@ def bucket_topk_pairs_grouped(
     """
     import pandas as pd
 
-    planes = make_planes_dim(corpus, vec_col, n_planes, seed)
+    id_type = dict(corpus.dtypes).get(id_col, "")
+    if id_type not in ("bigint", "int", "smallint", "tinyint"):
+        raise ValueError(f"bucket_topk_pairs_grouped requires an integral id column, got {id_type!r}")
+    first = corpus.select(vec_col).first()
+    if first is None or first[0] is None:
+        return corpus.sparkSession.createDataFrame(
+            [], "bucket string, id_a long, id_b long, sim double"
+        )
+    planes = make_planes(len(first[0]), n_planes, seed)
     bucketed = lsh_bucket(corpus, planes, vec_col)
 
     def _topk(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -126,13 +134,14 @@ def bucket_topk_pairs_grouped(
         sims = unit @ unit.T
         ids = pdf[id_col].to_numpy()
         iu = np.triu_indices(len(ids), k=1)
-        order = np.argsort(-sims[iu], kind="stable")[:k_per_bucket]
+        tri = sims[iu]  # extract the O(n^2) triangle ONCE
+        order = np.argsort(-tri, kind="stable")[:k_per_bucket]
         rows = [
             {
                 "bucket": pdf["bucket"].iloc[0],
                 "id_a": int(min(ids[iu[0][j]], ids[iu[1][j]])),
                 "id_b": int(max(ids[iu[0][j]], ids[iu[1][j]])),
-                "sim": float(sims[iu][j]),
+                "sim": float(tri[j]),
             }
             for j in order
         ]
@@ -141,12 +150,6 @@ def bucket_topk_pairs_grouped(
     return bucketed.groupBy("bucket").applyInPandas(
         _topk, schema="bucket string, id_a long, id_b long, sim double"
     )
-
-
-def make_planes_dim(corpus: DataFrame, vec_col: str, n_planes: int, seed: int) -> list[list[float]]:
-    """Planes sized from the corpus's actual vector dimension."""
-    dim = len(corpus.select(vec_col).first()[0])
-    return make_planes(dim, n_planes, seed)
 
 
 def lsh_ann_topk(

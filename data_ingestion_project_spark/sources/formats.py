@@ -34,7 +34,10 @@ def read_table(
     spark: SparkSession, path: str, fmt: str = "parquet", schema: StructType | None = None
 ) -> DataFrame:
     if fmt in COLUMNAR_FORMATS:
-        return spark.read.format(fmt).load(path)
+        reader = spark.read.format(fmt)
+        if schema is not None:  # enforce the expected shape, don't trust the files
+            reader = reader.schema(schema)
+        return reader.load(path)
     if schema is None:
         raise ValueError(f"{fmt} is schema-on-read: an explicit schema is required")
     reader = spark.read.format(fmt).schema(schema).option("mode", "FAILFAST")

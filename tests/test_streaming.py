@@ -189,10 +189,15 @@ def test_watermark_drops_late_rows(spark, tmp_path):
             json.dumps({"ts": "2024-01-01T12:00:00", "user_id": 1, "event_type": "click", "value": 1.0})
         )
         q.processAllAvailable()
-        got = {
-            (r["window_start"].hour, r["window_start"].minute): r["n_events"]
-            for r in spark.sql("select * from late_test").collect()
-        }
-        assert got.get((10, 0)) == 1  # late 10:06 row NOT counted
+        ten_oclock = [
+            r for r in spark.sql("select * from late_test").collect()
+            if (r["window_start"].hour, r["window_start"].minute) == (10, 0)
+        ]
+        # exactly ONE emission for the 10:00 window, without the late
+        # row's count or value (a re-emitted duplicate row would slip
+        # through a dict keyed on window_start)
+        assert len(ten_oclock) == 1
+        assert ten_oclock[0]["n_events"] == 1
+        assert ten_oclock[0]["sum_value"] == 1.0  # late row carried 9.0
     finally:
         q.stop()
