@@ -30,6 +30,22 @@ def stream_users_from_json_dir(spark: SparkSession, input_dir: str) -> DataFrame
     )
 
 
+def dedup_stream(
+    events: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: keep the first row per key, with state
+    bounded by the watermark (``dropDuplicatesWithinWatermark``) — the
+    streaming twin of ``operators.dedup.exact_dedup``. Duplicates
+    arriving within the watermark horizon are dropped; state for a key
+    is evicted once the watermark passes it, so memory is bounded by
+    the horizon's key cardinality, not the stream's lifetime (the
+    plain ``dropDuplicates`` on a stream grows state forever)."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(key_cols)
+
+
 def start_ingestion_stream(
     spark: SparkSession,
     input_dir: str,

@@ -201,3 +201,41 @@ def test_watermark_drops_late_rows(spark, tmp_path):
         assert ten_oclock[0]["sum_value"] == 1.0  # late row carried 9.0
     finally:
         q.stop()
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: duplicate event_ids inside the
+    watermark horizon are dropped across micro-batches."""
+    from data_ingestion_project_spark.streaming.ingest import dedup_stream
+
+    src = tmp_path / "dup_events"
+    src.mkdir()
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    out = dedup_stream(stream, key_cols=["event_id"], watermark="1 hour")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_test")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        (src / "b1.json").write_text("\n".join([
+            json.dumps({"event_id": 1, "ts": "2024-01-01T10:00:00", "value": 1.0}),
+            json.dumps({"event_id": 1, "ts": "2024-01-01T10:00:05", "value": 2.0}),  # dup in-batch
+            json.dumps({"event_id": 2, "ts": "2024-01-01T10:01:00", "value": 3.0}),
+        ]))
+        q.processAllAvailable()
+        # replayed delivery in a later micro-batch, still within watermark
+        (src / "b2.json").write_text(
+            json.dumps({"event_id": 1, "ts": "2024-01-01T10:10:00", "value": 9.0})
+        )
+        q.processAllAvailable()
+        rows = spark.sql("select event_id, count(*) n from dedup_test group by 1").collect()
+        counts = {r["event_id"]: r["n"] for r in rows}
+        assert counts == {1: 1, 2: 1}  # each key emitted exactly once
+    finally:
+        q.stop()
