@@ -207,6 +207,37 @@ ORDER BY lang, guessed
 """
 
 
+def similar_supplier_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-matching (levenshtein <= 1 over a self-join):
+    the string-similarity primitive for entity resolution. The self-join
+    is quadratic by nature — at scale, block first (e.g. on a name
+    prefix, as here via length) so candidate pairs stay bounded."""
+    s1 = table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("k1"), F.col("s_name").alias("n1")
+    )
+    s2 = table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("k2"), F.col("s_name").alias("n2")
+    )
+    pairs = s1.join(s2, (F.col("k1") < F.col("k2")) & (F.length("n1") == F.length("n2")))
+    return (
+        pairs.withColumn("dist", F.levenshtein("n1", "n2"))
+        .filter(F.col("dist") <= 1)
+        .groupBy("dist")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("dist")
+    )
+
+
+ORACLE_SIMILAR_SUPPLIER_NAMES = """
+SELECT levenshtein(a.s_name, b.s_name) AS dist, COUNT(*) AS n_pairs
+FROM supplier a
+JOIN supplier b ON a.s_suppkey < b.s_suppkey AND length(a.s_name) = length(b.s_name)
+WHERE levenshtein(a.s_name, b.s_name) <= 1
+GROUP BY 1
+ORDER BY dist
+"""
+
+
 # ------------------------------- rows-only (approximate dedup variants)
 
 
@@ -252,6 +283,7 @@ LIMIT 20
 QUERIES = {
     "lang_stats": lang_stats,
     "top_words": top_words,
+    "similar_supplier_names": similar_supplier_names,
     "token_stats": token_stats,
     "doc_quality": doc_quality,
     "fingerprint_summary": fingerprint_summary,
@@ -271,5 +303,6 @@ ORACLE = {
     "near_dup_jaccard_top": ORACLE_NEAR_DUP_JACCARD_TOP,
     "lang_id_confusion": ORACLE_LANG_ID_CONFUSION,
     "top_words": ORACLE_TOP_WORDS,
+    "similar_supplier_names": ORACLE_SIMILAR_SUPPLIER_NAMES,
     # minhash_near_dups / simhash_near_dups: rows-only by design
 }
