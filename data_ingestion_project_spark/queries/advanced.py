@@ -398,6 +398,37 @@ ORDER BY delay_bucket_months
 """
 
 
+def acctbal_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile analysis via ntile(10): equal-frequency bucketing, then
+    per-decile stats — the quantile-bucketing window shape. Single
+    global window over the customer table (small); at 100 TB use
+    approx quantile cut-points + a join instead of a 1-partition sort."""
+    c = table(spark, sf_dir, "customer")
+    w = Window.orderBy(F.col("c_acctbal").asc(), F.col("c_custkey").asc())
+    return (
+        c.withColumn("decile", F.ntile(10).over(w).cast("int"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("c_acctbal"), 2).alias("lo"),
+            F.round(F.max("c_acctbal"), 2).alias("hi"),
+        )
+        .orderBy("decile")
+    )
+
+
+ORACLE_ACCTBAL_DECILES = """
+SELECT decile, COUNT(*) AS n, ROUND(MIN(c_acctbal), 2) AS lo, ROUND(MAX(c_acctbal), 2) AS hi
+FROM (
+  SELECT c_acctbal,
+         CAST(NTILE(10) OVER (ORDER BY c_acctbal ASC, c_custkey ASC) AS INTEGER) AS decile
+  FROM customer
+) t
+GROUP BY decile
+ORDER BY decile
+"""
+
+
 # --------------------------------------- approximate (rows-only) twins
 
 
@@ -430,6 +461,7 @@ def approx_order_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "acctbal_deciles": acctbal_deciles,
     "returnflag_unpivot": returnflag_unpivot,
     "customer_name_digits": customer_name_digits,
     "shipping_delay_histogram": shipping_delay_histogram,
@@ -456,5 +488,6 @@ ORACLE = {
     "purchases_near_errors": ORACLE_PURCHASES_NEAR_ERRORS,
     "parts_above_brand_average": ORACLE_PARTS_ABOVE_BRAND_AVERAGE,
     "idle_suppliers": ORACLE_IDLE_SUPPLIERS,
+    "acctbal_deciles": ORACLE_ACCTBAL_DECILES,
     "tfidf_top_terms": ORACLE_TFIDF_TOP_TERMS,
 }
