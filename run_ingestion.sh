@@ -25,7 +25,9 @@ START_TS=$(date +%s)
 echo "run_id=$RUN_ID start=$(date -u +%FT%TZ)"
 
 STATUS=ok
-python -m data_ingestion_project_spark.job "$@" || STATUS=failed
+# run from the repo root so the package resolves regardless of the
+# caller's cwd (cron jobs typically start in $HOME)
+(cd "$BASE_DIR" && python -m data_ingestion_project_spark.job "$@") || STATUS=failed
 
 END_TS=$(date +%s)
 echo "run_id=$RUN_ID end=$(date -u +%FT%TZ) duration_s=$((END_TS - START_TS)) status=$STATUS"
