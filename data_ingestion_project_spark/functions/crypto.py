@@ -76,6 +76,35 @@ class KdfProfile:
         return 1 << (n.bit_length() - 1)  # power of two
 
 
+def load_env_file(path: str | os.PathLike) -> dict[str, str]:
+    """Minimal ``.env`` parser (python-dotenv subset, stdlib only —
+    parity with the reference's ``load_dotenv(BASE_DIR / ".env")`` at
+    crypto_utils.py:27 without adding the dependency).
+
+    Supports ``KEY=value`` lines, ``export KEY=value``, blank lines,
+    ``#`` comments, and single/double-quoted values. Returns a dict;
+    callers decide precedence (from_env gives os.environ priority,
+    matching load_dotenv's override=False default).
+    """
+    out: dict[str, str] = {}
+    with open(path, encoding="utf-8") as fh:
+        for raw in fh:
+            line = raw.strip()
+            if not line or line.startswith("#") or "=" not in line:
+                continue
+            if line.startswith("export "):
+                line = line[len("export ") :]
+            key, _, value = line.partition("=")
+            key, value = key.strip(), value.strip()
+            if len(value) >= 2 and value[0] == value[-1] and value[0] in "\"'":
+                value = value[1:-1]
+            elif "#" in value:  # unquoted inline comment
+                value = value.split("#", 1)[0].strip()
+            if key:
+                out[key] = value
+    return out
+
+
 @dataclass(frozen=True)
 class CryptoKeys:
     """Key material, injected explicitly (no env reads on executors).
@@ -91,11 +120,26 @@ class CryptoKeys:
     profile: KdfProfile = field(default_factory=KdfProfile.test)
 
     @classmethod
-    def from_env(cls, profile: KdfProfile | None = None) -> "CryptoKeys":
+    def from_env(
+        cls,
+        profile: KdfProfile | None = None,
+        env_file: str | os.PathLike | None = None,
+    ) -> "CryptoKeys":
+        """Resolve key material the way the reference does
+        (crypto_utils.py:27-45): optionally hydrate os.environ from a
+        ``.env`` file (python-dotenv posture, stdlib parse — existing
+        exported vars win, matching load_dotenv's default), then read
+        PEPPER as-is, FERNET_KEY as the base64 *string* bytes Fernet
+        expects, and BLIND_INDEX_KEY **base64-decoded** to raw bytes
+        (crypto_utils.py:45) so email_bidx digests match tables the
+        reference produced with the same deployed secret.
+        """
+        env = dict(load_env_file(env_file)) if env_file else {}
+        env.update(os.environ)  # real environment wins, like load_dotenv
         return cls(
-            pepper=os.environ["PEPPER"],
-            fernet_key=os.environ["FERNET_KEY"].encode(),
-            blind_index_key=os.environ["BLIND_INDEX_KEY"].encode(),
+            pepper=env["PEPPER"],
+            fernet_key=env["FERNET_KEY"].encode(),
+            blind_index_key=base64.b64decode(env["BLIND_INDEX_KEY"]),
             profile=profile or KdfProfile.test(),
         )
 
@@ -138,17 +182,22 @@ def verify_password(stored: str, password: str, keys: CryptoKeys) -> bool:
     tests verify rather than compare bytes)."""
     peppered = password + keys.pepper
     if stored.startswith("$scrypt$"):
-        _, _, params, salt_b64, dk_b64 = stored.split("$")
-        kv = dict(p.split("=") for p in params.split(","))
-        dk = hashlib.scrypt(
-            peppered.encode(),
-            salt=base64.b64decode(salt_b64),
-            n=int(kv["n"]),
-            r=int(kv["r"]),
-            p=int(kv["p"]),
-            maxmem=256 * 1024 * 1024,
-        )
-        return hmac.compare_digest(dk, base64.b64decode(dk_b64))
+        # A corrupt stored token must fail THAT credential, not crash
+        # the whole verification batch.
+        try:
+            _, _, params, salt_b64, dk_b64 = stored.split("$")
+            kv = dict(p.split("=") for p in params.split(","))
+            dk = hashlib.scrypt(
+                peppered.encode(),
+                salt=base64.b64decode(salt_b64),
+                n=int(kv["n"]),
+                r=int(kv["r"]),
+                p=int(kv["p"]),
+                maxmem=256 * 1024 * 1024,
+            )
+            return hmac.compare_digest(dk, base64.b64decode(dk_b64))
+        except (ValueError, KeyError):
+            return False
     if HAVE_ARGON2:
         try:
             PasswordHasher().verify(stored, peppered)

@@ -79,11 +79,23 @@ def main(argv: list[str] | None = None) -> int:
         "--fixture-json", default=None,
         help="read the user batch from a JSON-lines file instead of the live API",
     )
+    parser.add_argument(
+        "--env-file", default=None,
+        help="optional .env file with PEPPER/FERNET_KEY/BLIND_INDEX_KEY "
+        "(reference crypto_utils.py:27 loads BASE_DIR/.env; default: use "
+        "./.env when present, exported variables always win)",
+    )
     args = parser.parse_args(argv)
+
+    import os
+
+    env_file = args.env_file
+    if env_file is None and os.path.exists(".env"):
+        env_file = ".env"
 
     profile = KdfProfile.reference() if args.kdf_profile == "reference" else KdfProfile.test()
     try:
-        keys = CryptoKeys.from_env(profile=profile)
+        keys = CryptoKeys.from_env(profile=profile, env_file=env_file)
     except KeyError as e:  # fail-fast on missing key material (crypto_utils.py:34-44)
         print(f"FATAL: missing required environment key: {e}", file=sys.stderr)
         return 1

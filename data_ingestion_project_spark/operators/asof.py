@@ -37,11 +37,19 @@ def asof_join(
     right_ts: str,
     right_payload: list[str] | None = None,
     suffix: str = "_asof",
+    right_tiebreak: str | None = None,
 ) -> DataFrame:
     """Backward (inclusive) as-of join of ``right`` onto ``left``.
 
     Returns ``left`` with ``<payload><suffix>`` columns attached; left
     rows with no prior right row get nulls (LEFT ASOF semantics).
+
+    Tie handling: two right rows with the same key AND identical
+    timestamp are ordered by ``right_tiebreak`` (a right column name)
+    when given, else by the payload struct itself (lexicographic by
+    field) — the *greatest* one wins. Without this the carried payload
+    would depend on partitioning/run order. Pass ``right_tiebreak``
+    explicitly if the payload contains unorderable types (maps).
     """
     right_payload = right_payload or [c for c in right.columns if c not in on and c != right_ts]
 
@@ -74,9 +82,17 @@ def asof_join(
     ).select(*l_tag.columns)  # align column order for unionByName safety
 
     # Right rows sort before left rows at equal timestamps → inclusive (>=).
+    # __r as the final sort key makes equal-(key,ts) right rows resolve
+    # deterministically (greatest payload wins) instead of by arrival
+    # order; left rows all have __r NULL so their relative order is
+    # irrelevant (each computes its own window value independently).
+    if right_tiebreak is not None:
+        tb = F.col("__r").getField(right_tiebreak).asc_nulls_first()
+    else:
+        tb = F.col("__r").asc_nulls_first()
     w = (
         Window.partitionBy(*on)
-        .orderBy(F.col("__ts").asc(), F.col("__is_left").asc())
+        .orderBy(F.col("__ts").asc(), F.col("__is_left").asc(), tb)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = l_tag.unionByName(r_tag).select(

@@ -20,6 +20,7 @@ The two layout decisions that dominate read cost at 100 TB:
 from __future__ import annotations
 
 import os
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -69,7 +70,11 @@ def compact_parquet(
     n_files = max(1, round(total_bytes / (target_file_mb * 1024 * 1024)))
 
     df = spark.read.parquet(path)
-    tmp = f"{path}__compact_tmp"
+    # uuid-suffixed scratch dirs (mirrors upsert.atomic_overwrite_parquet):
+    # fixed names would collide with leftovers from a previously crashed
+    # run and block compaction until manual cleanup.
+    run_id = uuid.uuid4().hex[:12]
+    tmp = f"{path}__compact_tmp_{run_id}"
     if partition_cols:
         # repartition BY the partition columns: a global round-robin
         # repartition would spread every partition's rows across all
@@ -83,7 +88,7 @@ def compact_parquet(
 
     import shutil
 
-    old = f"{path}__compact_old"
+    old = f"{path}__compact_old_{run_id}"
     os.rename(path, old)
     try:
         os.rename(tmp, path)

@@ -30,12 +30,17 @@ def users_from_json(spark: SparkSession, users: list[dict[str, Any]]) -> DataFra
     """Payload rows → DataFrame with the pinned nested schema.
 
     Postcodes are coerced to string here (the one inference hazard the
-    reference carries — SURVEY.md §1.2)."""
+    reference carries — SURVEY.md §1.2). The coercion copies the user
+    and location dicts rather than mutating the caller's payload —
+    callers may reuse fixtures/batches after ingestion."""
+    coerced: list[dict[str, Any]] = []
     for u in users:
-        loc = u.get("location") or {}
-        if "postcode" in loc and loc["postcode"] is not None:
-            loc["postcode"] = str(loc["postcode"])
-    return spark.createDataFrame(users, schema=RAW_USER_SCHEMA)
+        loc = u.get("location")
+        if loc and loc.get("postcode") is not None and not isinstance(loc["postcode"], str):
+            u = dict(u)
+            u["location"] = {**loc, "postcode": str(loc["postcode"])}
+        coerced.append(u)
+    return spark.createDataFrame(coerced, schema=RAW_USER_SCHEMA)
 
 
 def fetch_random_users(
