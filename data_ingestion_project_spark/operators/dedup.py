@@ -55,6 +55,64 @@ def exact_dup_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
     )
 
 
+def substitution_block_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    out_a: str = "id_a",
+    out_b: str = "id_b",
+) -> DataFrame:
+    """All (a, b) pairs (a < b) of EQUAL-LENGTH strings with
+    levenshtein distance <= 1, via exact equi-join blocking.
+
+    For equal-length strings, levenshtein <= 1 means "differ in at most
+    one position" (an insert must pair with a delete, costing 2). So
+    each string is exploded into L wildcard variants — position i
+    blanked out, key = (i, prefix, suffix) — and two strings are within
+    distance 1 **iff they share a variant key**. Candidate generation is
+    therefore exact (100% recall, no false positives beyond separator
+    collisions, removed by the levenshtein rescore) and is a plain
+    equi-join: one shuffle on the variant key, never a cross join.
+
+    Cost: L rows per input row (L = string length) into one shuffle —
+    linear in data size, vs the O(n^2) cross product that naive blocking
+    (e.g. on length alone) degenerates to when lengths are uniform.
+    Identical strings share all L variants; dropDuplicates on the id
+    pair collapses them before rescoring.
+    """
+    s = df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))
+    v = s.select(
+        "__id",
+        "__t",
+        F.explode(F.sequence(F.lit(1), F.length("__t"))).alias("__i"),
+    ).select(
+        "__id",
+        "__t",
+        F.concat_ws(
+            "\x01",
+            F.col("__i").cast("string"),
+            F.expr("substring(__t, 1, __i - 1)"),
+            F.expr("substring(__t, __i + 1)"),
+        ).alias("__key"),
+    )
+    a, b = v.alias("a"), v.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.__key") == F.col("b.__key")) & (F.col("a.__id") < F.col("b.__id")))
+        .select(
+            F.col("a.__id").alias(out_a),
+            F.col("a.__t").alias("__ta"),
+            F.col("b.__id").alias(out_b),
+            F.col("b.__t").alias("__tb"),
+        )
+        .dropDuplicates([out_a, out_b])
+    )
+    return (
+        pairs.withColumn("dist", F.levenshtein("__ta", "__tb"))
+        .filter(F.col("dist") <= 1)
+        .drop("__ta", "__tb")
+    )
+
+
 # ----------------------------------------------------- word-set Jaccard
 
 

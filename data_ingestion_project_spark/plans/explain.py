@@ -49,6 +49,7 @@ def plan_census(df: DataFrame) -> dict[str, object]:
         "n_sortmerge_joins": nodes("SortMergeJoin"),
         "n_shuffled_hash_joins": nodes("ShuffledHashJoin"),
         "n_bnl_joins": nodes("BroadcastNestedLoopJoin"),
+        "n_cartesian": nodes("CartesianProduct"),
         "n_codegen_stages": len(set(re.findall(r"\[codegen id : (\d+)\]", plan))),
         "has_python_udf": "Python" in plan or "ArrowEval" in plan,
     }

@@ -188,3 +188,39 @@ def test_minhash_signature_estimates_jaccard(spark):
     agree = sum(x == y for x, y in zip(sigs[1], sigs[2])) / 64
     se = (true_j * (1 - true_j) / 64) ** 0.5
     assert abs(agree - true_j) < 3 * se + 1e-9
+
+
+def test_substitution_block_pairs_matches_bruteforce(spark):
+    """Exact-recall claim: the neighborhood equi-join finds EXACTLY the
+    equal-length pairs with levenshtein <= 1 that brute force finds."""
+    import itertools
+
+    names = [
+        "Supplier#000000001", "Supplier#000000002",  # dist 1
+        "Supplier#000000011",                        # dist 1 from 001
+        "Supplier#999999999",                        # far
+        "Acme Corp", "Acme Corq", "Acme Corp",       # dist 1 + exact dup
+        "short", "shore",                            # dist 2 (s-h-o-r equal, t/e at 5? lev=1!)
+        "ab", "ba",                                  # dist 2 (two substitutions)
+    ]
+    rows = [(i, n) for i, n in enumerate(names)]
+    df = spark.createDataFrame(rows, "id int, name string")
+
+    from data_ingestion_project_spark.operators.dedup import substitution_block_pairs
+
+    got = {
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in substitution_block_pairs(df, "id", "name").collect()
+    }
+
+    def lev(a: str, b: str) -> int:
+        if len(a) != len(b):
+            return 99
+        return sum(x != y for x, y in zip(a, b))  # equal length => substitutions only
+
+    want = {
+        (i, j, lev(names[i], names[j]))
+        for i, j in itertools.combinations(range(len(names)), 2)
+        if lev(names[i], names[j]) <= 1
+    }
+    assert got == want

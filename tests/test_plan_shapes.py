@@ -88,3 +88,14 @@ def test_sessionize_reuses_partitioning(spark):
     (user_id, session_id) clustering) — plus the output sort."""
     df = all_queries()["user_sessions"](spark, SF)
     assert plan_census(df)["n_exchanges"] <= 2
+
+
+def test_similar_names_has_no_quadratic_candidate_stage(spark):
+    """The edit-distance query must generate candidates through the
+    substitution-neighborhood EQUI-join — a cartesian / nested-loop /
+    non-equi stage here is the O(n^2) plan that dies at scale."""
+    df = all_queries()["similar_supplier_names"](spark, SF)
+    c = plan_census(df)
+    assert c["n_cartesian"] == 0
+    assert c["n_bnl_joins"] == 0
+    assert (c["n_broadcast_joins"] + c["n_sortmerge_joins"] + c["n_shuffled_hash_joins"]) >= 1
