@@ -417,6 +417,29 @@ def acctbal_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def acctbal_deciles_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB twin of acctbal_deciles: identical output (same
+    oracle), but bucketing runs through the distributed
+    equal-frequency operator (operators/quantiles.py) — range-bucket
+    by approx cut-points, rank per bucket, offset to exact global
+    rank — instead of a single-partition ntile window."""
+    from data_ingestion_project_spark.operators.quantiles import equal_frequency_buckets
+
+    c = table(spark, sf_dir, "customer")
+    d = equal_frequency_buckets(
+        c, "c_acctbal", 10, tiebreak_cols=["c_custkey"], out_col="decile"
+    )
+    return (
+        d.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("c_acctbal"), 2).alias("lo"),
+            F.round(F.max("c_acctbal"), 2).alias("hi"),
+        )
+        .orderBy("decile")
+    )
+
+
 ORACLE_ACCTBAL_DECILES = """
 SELECT decile, COUNT(*) AS n, ROUND(MIN(c_acctbal), 2) AS lo, ROUND(MAX(c_acctbal), 2) AS hi
 FROM (
@@ -462,6 +485,7 @@ def approx_order_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "acctbal_deciles": acctbal_deciles,
+    "acctbal_deciles_scalable": acctbal_deciles_scalable,
     "returnflag_unpivot": returnflag_unpivot,
     "customer_name_digits": customer_name_digits,
     "shipping_delay_histogram": shipping_delay_histogram,
@@ -489,5 +513,6 @@ ORACLE = {
     "parts_above_brand_average": ORACLE_PARTS_ABOVE_BRAND_AVERAGE,
     "idle_suppliers": ORACLE_IDLE_SUPPLIERS,
     "acctbal_deciles": ORACLE_ACCTBAL_DECILES,
+    "acctbal_deciles_scalable": ORACLE_ACCTBAL_DECILES,
     "tfidf_top_terms": ORACLE_TFIDF_TOP_TERMS,
 }

@@ -224,3 +224,31 @@ def test_substitution_block_pairs_matches_bruteforce(spark):
         if lev(names[i], names[j]) <= 1
     }
     assert got == want
+
+
+def test_equal_frequency_buckets_matches_ntile(spark):
+    """Distributed bucketing == ntile(k) over the same ordering, on data
+    with duplicate values straddling bucket boundaries and N % k != 0."""
+    import random
+
+    from pyspark.sql import Window
+
+    from data_ingestion_project_spark.operators.quantiles import equal_frequency_buckets
+
+    rng = random.Random(7)
+    rows = [(i, float(rng.randint(0, 30))) for i in range(257)]  # heavy ties, 257 % 7 != 0
+    rows += [(1000, None)]  # null excluded by both paths
+    df = spark.createDataFrame(rows, "id long, v double")
+
+    got = {
+        (r["id"], r["bucket"])
+        for r in equal_frequency_buckets(df, "v", 7, tiebreak_cols=["id"]).collect()
+    }
+    w = Window.orderBy(F.col("v").asc(), F.col("id").asc())
+    want = {
+        (r["id"], r["bucket"])
+        for r in df.filter(F.col("v").isNotNull())
+        .withColumn("bucket", F.ntile(7).over(w))
+        .collect()
+    }
+    assert got == want

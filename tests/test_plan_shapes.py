@@ -99,3 +99,13 @@ def test_similar_names_has_no_quadratic_candidate_stage(spark):
     assert c["n_cartesian"] == 0
     assert c["n_bnl_joins"] == 0
     assert (c["n_broadcast_joins"] + c["n_sortmerge_joins"] + c["n_shuffled_hash_joins"]) >= 1
+
+
+def test_scalable_deciles_have_no_single_partition_exchange(spark):
+    """The distributed equal-frequency bucketing must never funnel the
+    table through one task — that is the entire point of the operator
+    (its ntile twin does, by design, as the oracle baseline)."""
+    from data_ingestion_project_spark.plans.explain import executed_plan
+
+    df = all_queries()["acctbal_deciles_scalable"](spark, SF)
+    assert "SinglePartition" not in executed_plan(df)
