@@ -190,6 +190,66 @@ def jaccard_pairs(
     return pairs
 
 
+def md5_minhash_candidates(
+    df: DataFrame,
+    num_perm: int,
+    bands: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Banded-MinHash candidate pairs using md5-STRING min-hashing —
+    the cross-engine-deterministic variant.
+
+    The production path (minhash_lsh_pairs) hashes with seeded
+    xxhash64 for JVM codegen speed; this variant instead uses
+    ``min(md5(j || ':' || word))`` per permutation j. md5 over
+    identical strings yields identical lowercase hex in Spark AND
+    DuckDB, and the min of hex strings is a valid min-hash (any
+    uniform total order on words works), so the ENTIRE candidate
+    generation is expressible as ANSI SQL — which is what lets the
+    recall of banded LSH be certified end-to-end against a DuckDB
+    oracle rather than merely smoke-checked.
+
+    Plan shape is the scale shape: explode to (id, word, j) — rows =
+    |distinct words| x num_perm — one partial-agg shuffle to
+    signatures, one to band keys, then a self-equi-join on
+    (band, band_key). No cross join anywhere.
+    """
+    if num_perm % bands != 0:
+        raise ValueError(f"num_perm={num_perm} not divisible by bands={bands}")
+    rows_per_band = num_perm // bands
+    words = tokenized(df, text_col, id_col)  # same vocabulary as jaccard_pairs
+    sigs = (
+        words.select(id_col, "word", F.explode(F.sequence(F.lit(1), F.lit(num_perm))).alias("j"))
+        .groupBy(id_col, "j")
+        .agg(F.min(F.md5(F.concat_ws(":", F.col("j").cast("string"), F.col("word")))).alias("sig"))
+    )
+    bkeys = (
+        sigs.withColumn("band", F.expr(f"CAST((j - 1) DIV {rows_per_band} AS INT)"))
+        .groupBy(id_col, "band")
+        .agg(
+            F.concat_ws(
+                "|",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("j", "sig"))),
+                    lambda s: s.getField("sig"),
+                ),
+            ).alias("bkey")
+        )
+    )
+    a, b = bkeys.alias("a"), bkeys.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
 # ------------------------------------------------------------- MinHash
 
 

@@ -41,7 +41,15 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # the engine. Their scalable twins (LSH variants, fingerprint summary)
 # are in.
 EXCLUDE_FROM_BENCH = frozenset(
-    {"top_similar_pairs", "near_dup_jaccard_top", "minhash_near_dups", "simhash_near_dups"}
+    {
+        "top_similar_pairs",
+        "near_dup_jaccard_top",
+        "minhash_near_dups",
+        "simhash_near_dups",
+        # recall certifications join against the exact ground truth, so
+        # they inherit the quadratic baseline's data-degenerate cost
+        "minhash_recall",
+    }
 )
 
 

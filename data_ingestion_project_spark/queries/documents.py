@@ -22,6 +22,7 @@ from data_ingestion_project_spark.functions.text import (
 from data_ingestion_project_spark.operators.dedup import (
     exact_dup_pairs,
     jaccard_pairs,
+    md5_minhash_candidates,
     minhash_lsh_pairs,
     simhash_near_pairs,
     substitution_block_pairs,
@@ -237,6 +238,75 @@ ORDER BY dist
 """
 
 
+def minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end recall certification of banded MinHash-LSH: candidate
+    pairs from the md5-string minhash (cross-engine deterministic —
+    operators/dedup.md5_minhash_candidates) scored against the exact
+    Jaccard >= 0.9 ground truth. Unlike the rows-only smoke checks on
+    the xxhash production path, this one is FULLY oracle-checked: the
+    oracle replays the identical minhash in SQL, so the driver
+    certifies that banded LSH actually finds the near-duplicates, not
+    merely that it runs. (12 permutations, 4 bands of 3: a J=0.9 pair
+    shares a band with p = 1-(1-0.9^3)^4 ~ 0.993.)"""
+    d = table(spark, sf_dir, "documents")
+    true_pairs = jaccard_pairs(d, min_jaccard=0.9).select("id_a", "id_b")
+    cand = md5_minhash_candidates(d, num_perm=12, bands=4)
+    hit = true_pairs.join(cand, ["id_a", "id_b"], "left_semi")
+    t = true_pairs.agg(F.count(F.lit(1)).alias("n_true"))
+    c = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    h = hit.agg(F.count(F.lit(1)).alias("n_hit"))
+    return (
+        t.crossJoin(c)
+        .crossJoin(h)
+        .select(
+            "n_true",
+            "n_candidates",
+            "n_hit",
+            F.round(F.col("n_hit") / F.col("n_true"), 4).alias("recall"),
+        )
+    )
+
+
+ORACLE_MINHASH_RECALL = """
+WITH words AS (
+  SELECT doc_id,
+         unnest(list_distinct(string_split_regex(
+           regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), '\\s+'))) AS word
+  FROM documents
+), seeds AS (
+  SELECT unnest(range(1, 13)) AS j
+), sigs AS (
+  SELECT doc_id, j, MIN(md5(CAST(j AS VARCHAR) || ':' || word)) AS sig
+  FROM words CROSS JOIN seeds GROUP BY doc_id, j
+), bkeys AS (
+  SELECT doc_id, (j - 1) // 3 AS band, string_agg(sig, '|' ORDER BY j) AS bkey
+  FROM sigs GROUP BY doc_id, band
+), cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bkeys a JOIN bkeys b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS set_size FROM words GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+  FROM words a JOIN words b ON a.word = b.word AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), tp AS (
+  SELECT id_a, id_b
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE n_common * 1.0 / (sa.set_size + sb.set_size - n_common) >= 0.9
+)
+SELECT (SELECT COUNT(*) FROM tp) AS n_true,
+       (SELECT COUNT(*) FROM cand) AS n_candidates,
+       (SELECT COUNT(*) FROM tp JOIN cand USING (id_a, id_b)) AS n_hit,
+       ROUND((SELECT COUNT(*) FROM tp JOIN cand USING (id_a, id_b)) * 1.0
+             / (SELECT COUNT(*) FROM tp), 4) AS recall
+"""
+
+
 # ------------------------------- rows-only (approximate dedup variants)
 
 
@@ -289,6 +359,7 @@ QUERIES = {
     "exact_duplicate_pairs": exact_duplicate_pairs,
     "near_dup_jaccard_top": near_dup_jaccard_top,
     "lang_id_confusion": lang_id_confusion,
+    "minhash_recall": minhash_recall,
     "minhash_near_dups": minhash_near_dups,
     "simhash_near_dups": simhash_near_dups,
 }
@@ -303,5 +374,6 @@ ORACLE = {
     "lang_id_confusion": ORACLE_LANG_ID_CONFUSION,
     "top_words": ORACLE_TOP_WORDS,
     "similar_supplier_names": ORACLE_SIMILAR_SUPPLIER_NAMES,
+    "minhash_recall": ORACLE_MINHASH_RECALL,
     # minhash_near_dups / simhash_near_dups: rows-only by design
 }
