@@ -210,8 +210,69 @@ ORDER BY from_type, to_type
 """
 
 
+def _events_by_day_path(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize (once) the day-partitioned events layout for this
+    scale factor and return its path. The write is atomic (tmp dir +
+    rename) so a concurrent/crashed run never exposes a half-written
+    layout; subsequent calls are a pure existence check."""
+    import os
+    import uuid
+
+    from data_ingestion_project_spark.operators.layout import partition_events_by_day
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out = os.path.join(repo_root, "spark-warehouse", f"events_by_day_{tag}")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        tmp = f"{out}__build_{uuid.uuid4().hex[:12]}"
+        partition_events_by_day(spark, sf_dir, tmp)
+        try:
+            os.rename(tmp, out)
+        except OSError:  # another run won the race; keep theirs
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+PRUNED_DAY = "2024-01-15"
+
+
+def events_one_day_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-filtered stats over the hive-partitioned events layout
+    (operators/layout.partition_events_by_day): the event_day predicate
+    is resolved at PLANNING time against the directory listing, so the
+    scan reads 1 of 30 day-partitions before any task launches —
+    the partition-pruning path every time-ranged query takes at 100 TB.
+    Plan test pins PartitionFilters; results are oracle-identical to
+    filtering the unpartitioned table."""
+    path = _events_by_day_path(spark, sf_dir)
+    e = spark.read.parquet(path)
+    return (
+        e.filter(F.col("event_day") == PRUNED_DAY)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct(F.col("user_id")).alias("n_users"),
+            dec_sum(F.col("value")).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_EVENTS_ONE_DAY_BY_TYPE = f"""
+SELECT event_type, COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users,
+       {sql_dec_sum('value')} AS sum_value
+FROM events
+WHERE CAST(ts AS DATE) = DATE '{PRUNED_DAY}'
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 QUERIES = {
     "hourly_event_stats": hourly_event_stats,
+    "events_one_day_by_type": events_one_day_by_type,
     "event_transitions": event_transitions,
     "daily_active_users": daily_active_users,
     "top_purchasers": top_purchasers,
@@ -226,6 +287,7 @@ ORACLE = {
     "top_purchasers": ORACLE_TOP_PURCHASERS,
     "props_key_stats": ORACLE_PROPS_KEY_STATS,
     "user_sessions": ORACLE_USER_SESSIONS,
+    "events_one_day_by_type": ORACLE_EVENTS_ONE_DAY_BY_TYPE,
     "purchase_last_click": ORACLE_PURCHASE_LAST_CLICK,
     "event_transitions": ORACLE_EVENT_TRANSITIONS,
 }

@@ -109,3 +109,31 @@ def test_scalable_deciles_have_no_single_partition_exchange(spark):
 
     df = all_queries()["acctbal_deciles_scalable"](spark, SF)
     assert "SinglePartition" not in executed_plan(df)
+
+
+def test_events_day_query_prunes_partitions(spark):
+    """The day filter must resolve against the hive directory layout at
+    planning time: PartitionFilters in the scan node, and the pruned
+    file list touches ONLY the one matching day directory (of 30)."""
+    from data_ingestion_project_spark.plans.explain import executed_plan
+
+    from pyspark.sql import functions as F
+
+    from data_ingestion_project_spark.queries.events import _events_by_day_path
+
+    df = all_queries()["events_one_day_by_type"](spark, SF)
+    plan = executed_plan(df)
+    assert "PartitionFilters" in plan and "event_day" in plan
+
+    # runtime evidence: the executed scan only ever opens files under
+    # the one matching day directory (input_file_name of surviving rows)
+    path = _events_by_day_path(spark, SF)
+    touched = [
+        r[0]
+        for r in spark.read.parquet(path)
+        .filter(F.col("event_day") == "2024-01-15")
+        .select(F.input_file_name())
+        .distinct()
+        .collect()
+    ]
+    assert touched and all("event_day=2024-01-15" in f for f in touched)
