@@ -32,6 +32,19 @@ def main() -> None:
     spark = build_session("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # Isolate JVM/session warmup (executor spin-up, codegen compiler,
+    # parquet footer caches) from the first timed query so round-over-
+    # round regressions in the heaviest query aren't masked by a 5-8 s
+    # startup tax. The warmup action touches every input table once.
+    from data_ingestion_project_spark.sources.readers import table
+
+    t0 = time.perf_counter()
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"):
+        table(spark, sf_dir, t).count()
+    warmup = round(time.perf_counter() - t0, 3)
+    print(f"# warmup (session + table scans): {warmup:.3f}s", file=sys.stderr)
+
     timings: dict[str, float] = {}
     for name, fn in bench_queries().items():
         t0 = time.perf_counter()
@@ -47,6 +60,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "warmup_sec": warmup,
                 "sf": sf,
             }
         )
