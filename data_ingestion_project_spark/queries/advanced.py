@@ -247,6 +247,40 @@ ORDER BY s_suppkey
 """
 
 
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar AGGREGATE subquery against a
+    DIFFERENT table than the outer filter (per-part average quantity
+    from lineitem, correlated on part) — exercises Catalyst's
+    decorrelation into a per-key aggregate + join beyond
+    parts_above_brand_average's self-table case. Revenue from
+    small-quantity orders of one brand, annualized (/7 per Q17)."""
+    register_views(spark, sf_dir, ("part", "lineitem"))
+    return spark.sql(
+        """
+        SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,6))) AS DOUBLE) / 7.0, 2)
+                 AS avg_yearly,
+               COUNT(*) AS n_lineitems
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#23'
+          AND l_quantity < (
+            SELECT 0.5 * AVG(l2.l_quantity) FROM lineitem l2 WHERE l2.l_partkey = p_partkey
+          )
+        """
+    )
+
+
+ORACLE_SMALL_QUANTITY_REVENUE = """
+SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,6))) AS DOUBLE) / 7.0, 2)
+         AS avg_yearly,
+       COUNT(*) AS n_lineitems
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#23'
+  AND l_quantity < (
+    SELECT 0.5 * AVG(l2.l_quantity) FROM lineitem l2 WHERE l2.l_partkey = p_partkey
+  )
+"""
+
+
 # ------------------------------------------------------------- TF-IDF
 
 
@@ -497,6 +531,7 @@ QUERIES = {
     "retention_cohorts": retention_cohorts,
     "purchases_near_errors": purchases_near_errors,
     "parts_above_brand_average": parts_above_brand_average,
+    "small_quantity_revenue": small_quantity_revenue,
     "idle_suppliers": idle_suppliers,
     "tfidf_top_terms": tfidf_top_terms,
 }
@@ -511,6 +546,7 @@ ORACLE = {
     "retention_cohorts": ORACLE_RETENTION_COHORTS,
     "purchases_near_errors": ORACLE_PURCHASES_NEAR_ERRORS,
     "parts_above_brand_average": ORACLE_PARTS_ABOVE_BRAND_AVERAGE,
+    "small_quantity_revenue": ORACLE_SMALL_QUANTITY_REVENUE,
     "idle_suppliers": ORACLE_IDLE_SUPPLIERS,
     "acctbal_deciles": ORACLE_ACCTBAL_DECILES,
     "acctbal_deciles_scalable": ORACLE_ACCTBAL_DECILES,
