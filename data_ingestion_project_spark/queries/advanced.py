@@ -290,7 +290,6 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     is tiny after aggregation → broadcast. ln() is bit-stable across
     engines; scores rounded for the oracle hash."""
     d = table(spark, sf_dir, "documents")
-    n_docs = d.count()  # scalar, computed once driver-side
     words = d.select(
         "doc_id",
         "lang",
@@ -298,9 +297,14 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tf = words.groupBy("lang", "word").agg(F.count(F.lit(1)).alias("tf"))
     df_ = words.groupBy("word").agg(F.count_distinct("doc_id").alias("df"))
+    # corpus size rides along as a broadcast 1-row frame — folding it
+    # into the plan keeps this a single job (a driver-side d.count()
+    # would scan documents once more before the main pass)
+    total = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     scored = (
         tf.join(F.broadcast(df_), "word")
-        .withColumn("tfidf", F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6))
+        .crossJoin(F.broadcast(total))
+        .withColumn("tfidf", F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6))
     )
     w = Window.partitionBy("lang").orderBy(F.col("tfidf").desc(), F.col("word").asc())
     return (

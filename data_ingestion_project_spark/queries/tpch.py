@@ -420,6 +420,8 @@ def big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.join(big, o.o_orderkey == big.l_orderkey)
         .select("o_orderkey", "o_custkey", "o_totalprice", "sum_qty")
         .orderBy(F.col("sum_qty").desc(), F.col("o_orderkey").asc())
+        .limit(100)  # top-k => TakeOrdered; an unbounded global sort's
+        # output is itself the bottleneck at 100x scale
     )
 
 
@@ -431,6 +433,7 @@ JOIN (
   FROM lineitem GROUP BY l_orderkey HAVING {sql_dec_sum('l_quantity')} > 180
 ) b ON o_orderkey = l_orderkey
 ORDER BY sum_qty DESC, o_orderkey ASC
+LIMIT 100
 """
 
 
@@ -584,7 +587,7 @@ def customers_in_both_statuses(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
     a = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("custkey"))
     b = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
-    return a.intersect(b).orderBy("custkey")
+    return a.intersect(b).orderBy("custkey").limit(1000)  # bounded output
 
 
 ORACLE_CUSTOMERS_IN_BOTH_STATUSES = """
@@ -592,6 +595,7 @@ SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
 INTERSECT
 SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
 ORDER BY custkey
+LIMIT 1000
 """
 
 
