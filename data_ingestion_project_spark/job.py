@@ -29,9 +29,13 @@ def run_ingestion_job(
     users: list[dict[str, Any]] | None = None,
     batch_size: int = 10,
     timeout: int = 15,
+    table_format: str = "parquet",
 ) -> dict[str, Any]:
     """One ingestion run. ``users=None`` fetches from the live API
     (reference behavior); tests inject a fixture payload instead.
+    ``table_format="txn"`` persists through the transaction-log table
+    (versioned commits + conflict detection) instead of the plain
+    parquet directory swap.
     """
     http_status: int | None = None
     retries_used: int | None = None
@@ -45,7 +49,12 @@ def run_ingestion_job(
     df_raw = users_from_json(spark, users)
     rows_fetched = df_raw.count()
     df_secure = transform_users(df_raw, keys)
-    _, rows_after_dedup = upsert_parquet_table(spark, df_secure, table_path, key=KEY_COLUMN)
+    if table_format == "txn":
+        from data_ingestion_project_spark.operators.upsert import upsert_txn_table
+
+        _, rows_after_dedup = upsert_txn_table(spark, df_secure, table_path, key=KEY_COLUMN)
+    else:
+        _, rows_after_dedup = upsert_parquet_table(spark, df_secure, table_path, key=KEY_COLUMN)
 
     return {
         "http_status": http_status,
@@ -80,6 +89,11 @@ def main(argv: list[str] | None = None) -> int:
         help="read the user batch from a JSON-lines file instead of the live API",
     )
     parser.add_argument(
+        "--table-format", choices=["parquet", "txn"], default="parquet",
+        help="persistence: plain parquet dir swap (reference parity) or "
+        "the versioned transaction-log table",
+    )
+    parser.add_argument(
         "--env-file", default=None,
         help="optional .env file with PEPPER/FERNET_KEY/BLIND_INDEX_KEY "
         "(reference crypto_utils.py:27 loads BASE_DIR/.env; default: use "
@@ -110,6 +124,7 @@ def main(argv: list[str] | None = None) -> int:
         metrics = run_ingestion_job(
             spark, keys, args.table_path, users=users,
             batch_size=args.batch_size, timeout=args.timeout,
+            table_format=args.table_format,
         )
     except Exception as e:
         print(f"FATAL: ingestion failed: {e}", file=sys.stderr)

@@ -122,6 +122,26 @@ def upsert_parquet_table(
     return spark.read.parquet(path), int(obs.get["rows"])
 
 
+def upsert_txn_table(
+    spark: SparkSession, new_rows: DataFrame, path: str, key: str
+) -> tuple[DataFrame, int]:
+    """upsert_parquet_table's transactional twin: the same keep-first
+    MERGE committed through the transaction log (operators/txn_table)
+    — versioned commits, no rename window, conflict detection instead
+    of lost updates. The scale path once multiple producers exist."""
+    from data_ingestion_project_spark.operators import txn_table as T
+
+    new_rows = new_rows.cache()
+    new_rows.count()  # materialize through the nondeterministic UDFs
+    if T.current_version(path) is None:
+        T.create_table(spark, path, new_rows.dropDuplicates([key]))
+    else:
+        T.merge_upsert(spark, path, new_rows, key=key)
+    new_rows.unpersist()
+    result = T.read(spark, path)
+    return result, result.count()
+
+
 def write_csv_parity(df: DataFrame, path: str, columns: tuple[str, ...]) -> None:
     """Single-file CSV export matching the reference's sink
     (io_utils.py:37): header, no index, fixed column order. Parity/
