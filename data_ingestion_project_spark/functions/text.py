@@ -35,6 +35,103 @@ def token_count(col: Column | str) -> Column:
     return F.size(F.split(F.trim(c), r"\s+"))
 
 
+# GPT-2-style pre-tokenizer pattern, restricted to the subset shared by
+# Java regex (Spark) and RE2 (DuckDB): no lookahead, only alternation,
+# non-capturing groups and unicode classes. Each match approximates one
+# BPE token BEFORE merges — the standard cheap token-budget estimator
+# for LLM-training-data accounting (true BPE needs the merge table; the
+# pre-tokenizer splits are where ~90% of the count is decided).
+BPE_SPLIT_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpe_token_count(col: Column | str) -> Column:
+    """Approximate BPE token count: matches of the pre-tokenizer split
+    regex (codegen'd JVM regex — no Python, no tokenizer library)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_SPLIT_PATTERN), F.lit(0)))
+
+
+def winnow_fingerprints(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    w: int = 4,
+    use_md5: bool = False,
+):
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003): hash every ``k``-char-gram of the normalized text,
+    slide a window of ``w`` consecutive gram hashes, keep the minimum
+    hash of each window. Returns a DataFrame of distinct
+    ``(id_col, fp)`` rows.
+
+    Winnowing guarantees any shared substring of length ``k + w - 1``
+    contributes at least one shared fingerprint, while selecting only
+    ~``2/(w+1)`` of all gram hashes — the classic partial-overlap /
+    containment detector (MOSS).
+
+    Shape: ``posexplode`` the gram hashes, then a sliding ``min`` over a
+    ``(id, pos)`` window frame — linear in text length, one shuffle on
+    the document id (documents are independent, so no global window).
+    A pure-array formulation (``transform(seq_j, j -> array_min(
+    slice(grams, j, w)))``) is NOT used deliberately: Spark higher-order
+    functions re-evaluate the captured ``grams`` expression per lambda
+    element, turning winnowing into O(len²) hash evaluations per row.
+
+    ``use_md5=True`` swaps the JVM-native ``xxhash64`` for ``md5`` so a
+    DuckDB oracle can replay the identical selection; production uses
+    the default (8-byte longs, not 32-char strings).
+    """
+    from pyspark.sql import Window
+
+    hash_fn = F.md5 if use_md5 else F.xxhash64
+    s = normalize_text(text_col)
+    n_grams = F.greatest(F.length(F.col("__s")) - F.lit(k - 1), F.lit(1))
+    # Repartition on the id BEFORE the gram explode: (a) a few large
+    # input files would otherwise serialize the whole O(total text)
+    # hash work onto a few tasks; (b) the exchange pre-satisfies the
+    # window's hash-distribution requirement, so it is the SAME single
+    # shuffle, just moved ahead of the heavy compute; (c) the shuffle
+    # boundary materializes the normalized text once per row (projection
+    # collapse would otherwise re-normalize per gram element). The
+    # partition count is explicit because AQE would coalesce on shuffle
+    # BYTES (text is small) while the per-row gram/hash work it gates is
+    # the real cost — compute-heavy, data-light.
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    grams = (
+        df.select(F.col(id_col), s.alias("__s"))
+        .repartition(n_parts, F.col(id_col))
+        # Explode positions first, hash second: a hash inside a
+        # higher-order lambda runs interpreted (~5× slower than the
+        # codegen'd row expression this compiles to).
+        .select(
+            id_col,
+            "__s",
+            F.explode(F.sequence(F.lit(0), n_grams - F.lit(1))).alias("__pos"),
+        )
+        .select(
+            id_col,
+            "__pos",
+            hash_fn(F.substring(F.col("__s"), F.col("__pos") + F.lit(1), F.lit(k))).alias("__h"),
+        )
+    )
+    frame = Window.partitionBy(id_col).orderBy("__pos").rowsBetween(0, w - 1)
+    part = Window.partitionBy(id_col)
+    return (
+        grams.select(
+            id_col,
+            "__pos",
+            F.min("__h").over(frame).alias("fp"),
+            F.count(F.lit(1)).over(part).alias("__n"),
+        )
+        # windows start at 0-based pos 0..max(n_grams-w, 0): every full
+        # w-frame, or the single clipped frame when n_grams < w.
+        .filter(F.col("__pos") <= F.greatest(F.col("__n") - F.lit(w), F.lit(0)))
+        .select(id_col, "fp")
+        .distinct()
+    )
+
+
 def char_count(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     return F.length(c)

@@ -13,11 +13,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_ingestion_project_spark.functions.text import (
+    BPE_SPLIT_PATTERN,
+    bpe_token_count,
     fingerprint,
     lang_guess,
     punct_ratio,
     stopword_count,
     token_count,
+    winnow_fingerprints,
 )
 from data_ingestion_project_spark.operators.dedup import (
     exact_dup_pairs,
@@ -101,6 +104,122 @@ SELECT doc_id,
        CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER) AS n_tokens
 FROM documents
 ORDER BY doc_id
+"""
+
+
+def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate-BPE token accounting per (source, lang) — the token
+    budget an LLM-training-data pipeline reports per corpus slice. The
+    count is matches of the GPT-2-style pre-tokenizer regex
+    (functions/text.py: pure JVM codegen, no tokenizer library). All
+    aggregates derive from exact integer sums, so the rounded ratios
+    are order-independent and oracle-stable."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "source",
+            "lang",
+            bpe_token_count("text").alias("n_bpe"),
+            token_count("text").alias("n_ws"),
+        )
+        .groupBy("source", "lang")
+        .agg(
+            F.sum("n_bpe").alias("total_bpe_tokens"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.sum("n_bpe") / F.count(F.lit(1)), 4).alias("avg_bpe_tokens"),
+            F.round(F.sum("n_bpe") / F.sum("n_ws"), 4).alias("bpe_per_word"),
+        )
+        .orderBy("source", "lang")
+    )
+
+
+_BPE_SQL = BPE_SPLIT_PATTERN.replace("'", "''")
+
+ORACLE_BPE_TOKEN_STATS = f"""
+SELECT source, lang,
+       CAST(SUM(n_bpe) AS BIGINT) AS total_bpe_tokens,
+       COUNT(*) AS n_docs,
+       ROUND(SUM(n_bpe) * 1.0 / COUNT(*), 4) AS avg_bpe_tokens,
+       ROUND(SUM(n_bpe) * 1.0 / SUM(n_ws), 4) AS bpe_per_word
+FROM (
+  SELECT source, lang,
+         CAST(len(regexp_extract_all(text, '{_BPE_SQL}', 0)) AS INTEGER) AS n_bpe,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER) AS n_ws
+  FROM documents
+) t
+GROUP BY source, lang
+ORDER BY source, lang
+"""
+
+
+def winnow_overlap_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 document pairs by shared winnowed fingerprints (MOSS-style
+    partial-overlap / containment detection; functions/text.py cites
+    Schleimer et al. SIGMOD 2003). Candidate generation is the
+    inverted-index equi-join on fingerprint — one shuffle, never
+    all-pairs — with posting lists capped at 50 docs (a fingerprint
+    shared by more documents carries no pair signal, same pruning as
+    jaccard_pairs). md5 hashing here so DuckDB replays the identical
+    winnow selection; production uses the xxhash64 default."""
+    d = table(spark, sf_dir, "documents")
+    fps = winnow_fingerprints(d, "text", "doc_id", k=8, w=4, use_md5=True)
+    # Posting-list expansion instead of a fp-keyed self-join: the join
+    # form recomputes the whole winnow pipeline for each branch (both
+    # join sides + the df filter = 3 scans); grouping once and expanding
+    # pairs from the sorted id array computes fingerprints exactly once
+    # and emits only the O(df²)-bounded candidate pairs it would have
+    # joined anyway. `ids` is a bound attribute, so the nested lambdas
+    # are O(output), not O(n²) recompute.
+    lists = (
+        fps.groupBy("fp")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= 50))
+    )
+    n = F.size("ids")
+    pairs = lists.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(1), n - 1),
+                    lambda i: F.transform(
+                        F.slice(F.col("ids"), i + 1, n),
+                        lambda x: F.struct(
+                            F.element_at("ids", i).alias("id_a"), x.alias("id_b")
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    counted = pairs.groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b")).agg(
+        F.count(F.lit(1)).alias("n_shared")
+    )
+    return counted.orderBy(F.col("n_shared").desc(), "id_a", "id_b").limit(20)
+
+
+ORACLE_WINNOW_OVERLAP_TOP = """
+WITH norm AS (
+  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS s
+  FROM documents
+), fps AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, greatest(greatest(len(s) - 7, 1) - 3, 1) + 1),
+           j -> list_min(list_slice(grams, j, j + 3))))) AS fp
+  FROM (
+    SELECT doc_id, s,
+           list_transform(range(1, greatest(len(s) - 7, 1) + 1), i -> md5(substr(s, i, 8))) AS grams
+    FROM norm
+  )
+), rare AS (
+  SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= 50
+), pruned AS (
+  SELECT doc_id, fp FROM fps JOIN rare USING (fp)
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+FROM pruned a JOIN pruned b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+ORDER BY n_shared DESC, id_a, id_b
+LIMIT 20
 """
 
 
@@ -354,6 +473,8 @@ QUERIES = {
     "top_words": top_words,
     "similar_supplier_names": similar_supplier_names,
     "token_stats": token_stats,
+    "bpe_token_stats": bpe_token_stats,
+    "winnow_overlap_top": winnow_overlap_top,
     "doc_quality": doc_quality,
     "fingerprint_summary": fingerprint_summary,
     "exact_duplicate_pairs": exact_duplicate_pairs,
@@ -367,6 +488,8 @@ QUERIES = {
 ORACLE = {
     "lang_stats": ORACLE_LANG_STATS,
     "token_stats": ORACLE_TOKEN_STATS,
+    "bpe_token_stats": ORACLE_BPE_TOKEN_STATS,
+    "winnow_overlap_top": ORACLE_WINNOW_OVERLAP_TOP,
     "doc_quality": ORACLE_DOC_QUALITY,
     "fingerprint_summary": ORACLE_FINGERPRINT_SUMMARY,
     "exact_duplicate_pairs": ORACLE_EXACT_DUPLICATE_PAIRS,
