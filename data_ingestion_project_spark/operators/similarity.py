@@ -20,6 +20,7 @@ math is promoted to double JVM-side (functions.vectors).
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -150,6 +151,124 @@ def bucket_topk_pairs_grouped(
     return bucketed.groupBy("bucket").applyInPandas(
         _topk, schema="bucket string, id_a long, id_b long, sim double"
     )
+
+
+def ivf_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    n_iter: int = 2,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_max: int = 100_000,
+) -> list[list[float]]:
+    """Spherical k-means coarse quantizer for an IVF index.
+
+    Deterministic throughout: the training sample is the ``train_max``
+    corpus vectors with the smallest ``xxhash64(id, seed)`` (a seeded
+    uniform sample that does not depend on partitioning, unlike
+    ``df.sample``), collected to the driver in ONE job; Lloyd
+    iterations then run in numpy (argmax → mean → re-normalize), the
+    standard quantizer-training posture (e.g. FAISS trains IVF
+    centroids on an in-memory sample) — at 100 TB the quantizer trains
+    on the bounded sample while assignment, the linear pass, is the
+    distributed Arrow-vectorized map in ``ivf_assign``. Driver memory:
+    train_max × dim doubles (the default 100k × d64 ≈ 50 MB).
+    Initial centroids are the first ``n_centroids`` sample vectors in
+    hash order.
+    """
+    train = (
+        corpus.select(F.col(id_col).alias("__id"), to_double_array(vec_col).alias("v"))
+        .withColumn("__h", F.xxhash64("__id", F.lit(seed)))
+        .orderBy("__h")
+        .limit(max(train_max, n_centroids))
+        .select("v")
+    )
+    mat = np.asarray([r["v"] for r in train.collect()], dtype=float)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    unit = mat / np.clip(norms, 1e-12, None)
+    cents = unit[:n_centroids].copy()
+
+    for _ in range(n_iter):
+        assign = np.argmax(unit @ cents.T, axis=1)
+        for list_id in range(len(cents)):
+            members = unit[assign == list_id]
+            if len(members):
+                vec = members.sum(axis=0)
+                norm = float(np.linalg.norm(vec))
+                if norm > 1e-12:  # degenerate lists keep their old centroid
+                    cents[list_id] = vec / norm
+    return cents.tolist()
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    list_col: str = "list_id",
+) -> DataFrame:
+    """Attach the IVF inverted-list id: argmax cosine against the
+    broadcast centroid matrix, as an Arrow-batched pandas UDF (one numpy
+    matmul per batch — the vectorized fast path; a per-row HOF argmax
+    would run interpreted). Ties break toward the lowest list id
+    (argmax convention), keeping assignment deterministic."""
+    from pyspark.sql.functions import pandas_udf
+
+    cmat = np.asarray(centroids, dtype=float)  # (C, dim), unit rows
+
+    @pandas_udf("int")
+    def _assign(vs: pd.Series) -> pd.Series:
+        mat = np.stack(vs.map(lambda v: np.asarray(v, dtype=float)).to_numpy())
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        unit = mat / np.clip(norms, 1e-12, None)
+        return pd.Series(np.argmax(unit @ cmat.T, axis=1).astype("int32"))
+
+    return corpus.withColumn(list_col, _assign(F.col(vec_col)))
+
+
+def ivf_ann_topk(
+    corpus: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    n_iter: int = 2,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """Approximate top-k via an IVF index: spherical-kmeans centroids
+    partition the corpus into inverted lists; a query exactly rescores
+    only the ``n_probe`` lists whose centroids are nearest to it —
+    scanning ~n_probe/n_centroids of the corpus.
+
+    ``n_probe`` is the recall/cost dial (n_probe == n_centroids is
+    exact). At scale the assigned corpus is written once partitioned by
+    ``list_id``, so probing prunes to matching partitions exactly like
+    the LSH variant's bucket pruning; the linear assignment pass is a
+    single Arrow-vectorized map with the centroid matrix broadcast.
+    Pass ``centroids`` (from ``ivf_centroids``) to query a prebuilt
+    index — training per query would re-pay the index build that
+    production amortizes over the corpus lifetime."""
+    if centroids is None:
+        centroids = ivf_centroids(
+            corpus, n_centroids=n_centroids, n_iter=n_iter, seed=seed,
+            id_col=id_col, vec_col=vec_col,
+        )
+    cents = centroids
+    q = np.asarray(query_vec, dtype=float)
+    q = q / max(float(np.linalg.norm(q)), 1e-12)
+    sims = np.asarray(cents, dtype=float) @ q
+    probes = [int(i) for i in np.argsort(-sims, kind="stable")[:n_probe]]
+
+    assigned = ivf_assign(corpus, cents, vec_col=vec_col)
+    candidates = assigned.filter(F.col("list_id").isin(probes))
+    qcol = F.array(*[F.lit(float(v)) for v in query_vec])
+    scored = candidates.select(
+        F.col(id_col), cosine_similarity(F.col(vec_col), qcol).alias("sim")
+    )
+    return scored.orderBy(F.col("sim").desc(), F.col(id_col).asc()).limit(k)
 
 
 def lsh_ann_topk(

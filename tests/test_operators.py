@@ -265,6 +265,34 @@ def test_lsh_ann_recall_floor(spark):
     assert row["recall_at_k"] >= 0.4
 
 
+def test_ivf_ann_recall_floor(spark):
+    """IVF (spherical-kmeans coarse quantizer, 6/16 lists probed) must
+    actually find neighbors: recall@10 >= 0.6 at sf0.001 (measured 0.9;
+    the floor leaves slack for float-sum order wiggle in centroid
+    training). Also pins the index invariants: every vector is assigned
+    to exactly one of the n_centroids inverted lists."""
+    from data_ingestion_project_spark.operators.similarity import ivf_assign, ivf_centroids
+    from data_ingestion_project_spark.queries import all_queries
+    from data_ingestion_project_spark.sources.readers import table
+
+    row = all_queries()["ivf_recall"](spark, "/root/testdata/sf0.001").collect()[0]
+    assert row["k"] == 10
+    assert row["recall_at_k"] >= 0.6
+
+    corpus = table(spark, "/root/testdata/sf0.001", "embeddings")
+    cents = ivf_centroids(corpus, n_centroids=8, n_iter=1)
+    assigned = ivf_assign(corpus, cents)
+    stats = assigned.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("list_id").isNull().cast("int")).alias("n_null"),
+        F.min("list_id").alias("lo"),
+        F.max("list_id").alias("hi"),
+    ).collect()[0]
+    assert stats["n"] == corpus.count()
+    assert stats["n_null"] == 0
+    assert 0 <= stats["lo"] and stats["hi"] <= 7
+
+
 def test_minhash_recall_floor(spark):
     """Banded md5-minhash recall over exact Jaccard>=0.9 ground truth
     (the oracle-certified recall query) must stay near-perfect."""
