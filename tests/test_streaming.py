@@ -239,3 +239,72 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
         assert counts == {1: 1, 2: 1}  # each key emitted exactly once
     finally:
         q.stop()
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Purchases attribute to same-user clicks within the 30-minute lag;
+    clicks outside the interval or from other users never match."""
+    from data_ingestion_project_spark.streaming.joins import purchase_click_attribution
+
+    schema = "ts timestamp, user_id long, event_type string, value double"
+    clicks_dir = tmp_path / "clicks"
+    purchases_dir = tmp_path / "purchases"
+    clicks_dir.mkdir()
+    purchases_dir.mkdir()
+    clicks = [
+        {"ts": "2024-01-01T10:00:00", "user_id": 1, "event_type": "click", "value": 0.0},
+        {"ts": "2024-01-01T10:20:00", "user_id": 1, "event_type": "click", "value": 0.0},
+        # outside the 30-minute lag of u1's purchase
+        {"ts": "2024-01-01T09:00:00", "user_id": 1, "event_type": "click", "value": 0.0},
+        # different user
+        {"ts": "2024-01-01T10:25:00", "user_id": 2, "event_type": "click", "value": 0.0},
+    ]
+    purchases = [
+        {"ts": "2024-01-01T10:30:00", "user_id": 1, "event_type": "purchase", "value": 9.5},
+    ]
+    (clicks_dir / "c.json").write_text("\n".join(json.dumps(r) for r in clicks))
+    (purchases_dir / "p.json").write_text("\n".join(json.dumps(r) for r in purchases))
+
+    out = purchase_click_attribution(
+        spark.readStream.schema(schema).json(str(clicks_dir)),
+        spark.readStream.schema(schema).json(str(purchases_dir)),
+        max_lag="30 minutes",
+        watermark="1 hour",
+    )
+    q = out.writeStream.format("memory").queryName("ssj_test").outputMode("append").start()
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("select * from ssj_test order by click_ts").collect()
+        assert [(r["user_id"], r["click_ts"].minute) for r in rows] == [(1, 0), (1, 20)]
+        assert all(r["purchase_value"] == 9.5 for r in rows)
+    finally:
+        q.stop()
+
+
+def test_stream_static_broadcast_enrichment(spark, tmp_path):
+    from data_ingestion_project_spark.streaming.joins import enrich_with_dimension
+
+    src = tmp_path / "enrich_events"
+    src.mkdir()
+    rows = [
+        {"ts": "2024-01-01T10:00:00", "user_id": 1, "event_type": "click", "value": 1.0},
+        {"ts": "2024-01-01T10:01:00", "user_id": 3, "event_type": "click", "value": 1.0},
+    ]
+    (src / "e.json").write_text("\n".join(json.dumps(r) for r in rows))
+    dim = spark.createDataFrame([(1, "gold"), (2, "basic")], "user_id long, tier string")
+    stream = spark.readStream.schema(
+        "ts timestamp, user_id long, event_type string, value double"
+    ).json(str(src))
+    q = (
+        enrich_with_dimension(stream, dim)
+        .writeStream.format("memory")
+        .queryName("enrich_test")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {r["user_id"]: r["tier"] for r in spark.sql("select * from enrich_test").collect()}
+        assert got == {1: "gold", 3: None}  # left join keeps unmatched stream rows
+    finally:
+        q.stop()
