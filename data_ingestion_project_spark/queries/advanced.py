@@ -521,6 +521,156 @@ def approx_order_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------- third-wave SQL surface
+
+
+def rolling_30d_top_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame: for each order, the same customer's
+    total spend over the 30 days ending at the order date; top-20
+    rolling sums. The frame is RANGE over an integer day offset, so
+    same-day orders share one frame value (the semantic difference from
+    a ROWS frame). Partitioned by customer — thousands of small
+    independent windows, never a global sort. Decimal accumulation per
+    queries/_precision.py so the window sum is order-independent."""
+    o = table(spark, sf_dir, "orders")
+    day = F.datediff(F.col("o_orderdate"), F.lit("1992-01-01"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(day)
+        .rangeBetween(-29, Window.currentRow)
+    )
+    from data_ingestion_project_spark.queries._precision import DEC
+
+    rolled = o.select(
+        "o_custkey",
+        F.col("o_orderdate").cast("string").alias("o_orderdate"),
+        "o_orderkey",
+        F.round(F.sum(F.col("o_totalprice").cast(DEC)).over(w), 2)
+        .cast("double")
+        .alias("spend_30d"),
+    )
+    return rolled.orderBy(
+        F.col("spend_30d").desc(), "o_custkey", "o_orderkey"
+    ).limit(20)
+
+
+ORACLE_ROLLING_30D_TOP_SPENDERS = """
+SELECT o_custkey, CAST(o_orderdate AS VARCHAR) AS o_orderdate, o_orderkey,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(27,6))) OVER (
+         PARTITION BY o_custkey
+         ORDER BY datediff('day', DATE '1992-01-01', o_orderdate)
+         RANGE BETWEEN 29 PRECEDING AND CURRENT ROW
+       ), 2) AS DOUBLE) AS spend_30d
+FROM orders
+ORDER BY spend_30d DESC, o_custkey, o_orderkey
+LIMIT 20
+"""
+
+
+def segment_year_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with grouping() flags — the third
+    grouping-set shape next to rollup_revenue/cube_revenue: two
+    one-dimension slices plus the grand total in ONE pass (a single
+    expand + partial-agg shuffle), where separate GROUP BYs would scan
+    orders three times. The grouping flags disambiguate the NULLs that
+    mark rolled-up dimensions."""
+    register_views(spark, sf_dir)
+    return spark.sql(f"""
+        SELECT c_mktsegment,
+               year(o_orderdate) AS o_year,
+               grouping(c_mktsegment) AS g_seg,
+               grouping(year(o_orderdate)) AS g_year,
+               {sql_dec_sum('o_totalprice')} AS revenue,
+               COUNT(*) AS n_orders
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY GROUPING SETS ((c_mktsegment), (year(o_orderdate)), ())
+        ORDER BY g_seg, g_year, c_mktsegment, o_year
+    """)
+
+
+ORACLE_SEGMENT_YEAR_GROUPING_SETS = f"""
+SELECT c_mktsegment,
+       CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       CAST(GROUPING(c_mktsegment) AS TINYINT) AS g_seg,
+       CAST(GROUPING(year(o_orderdate)) AS TINYINT) AS g_year,
+       {sql_dec_sum('o_totalprice')} AS revenue,
+       COUNT(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY GROUPING SETS ((c_mktsegment), (year(o_orderdate)), ())
+ORDER BY g_seg, g_year, c_mktsegment, o_year
+"""
+
+
+def segment_priority_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-distinct string aggregation (LISTAGG shape): per market
+    segment, the sorted distinct order priorities seen, concatenated.
+    collect_set → array_sort → array_join keeps the result deterministic
+    regardless of partitioning (an unordered string_agg is not
+    hash-stable); the set is tiny per group so the agg state is
+    bounded."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.array_join(F.array_sort(F.collect_set("o_orderpriority")), ",").alias(
+                "priorities"
+            ),
+            F.count_distinct(F.col("o_orderpriority")).alias("n_priorities"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+ORACLE_SEGMENT_PRIORITY_LISTING = """
+SELECT c_mktsegment,
+       string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority) AS priorities,
+       COUNT(DISTINCT o_orderpriority) AS n_priorities
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+def top2_orders_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-row LIMIT — the SQL-surface
+    twin of the window top-k (top_orders_per_customer): for the 5
+    highest-balance customers, each one's 2 most expensive orders.
+    Catalyst decorrelates the lateral into a ranked join, so the plan
+    is the same shuffle shape as the window form, not a per-customer
+    re-scan."""
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM (
+          SELECT c_custkey FROM customer
+          ORDER BY c_acctbal DESC, c_custkey LIMIT 5
+        ) c
+        JOIN LATERAL (
+          SELECT o_orderkey, o_totalprice FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+        ) t
+        ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey
+    """)
+
+
+ORACLE_TOP2_ORDERS_LATERAL = """
+SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+FROM (
+  SELECT c_custkey FROM customer
+  ORDER BY c_acctbal DESC, c_custkey LIMIT 5
+) c
+JOIN LATERAL (
+  SELECT o_orderkey, o_totalprice FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+) t ON TRUE
+ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey
+"""
+
+
 QUERIES = {
     "acctbal_deciles": acctbal_deciles,
     "acctbal_deciles_scalable": acctbal_deciles_scalable,
@@ -538,6 +688,10 @@ QUERIES = {
     "small_quantity_revenue": small_quantity_revenue,
     "idle_suppliers": idle_suppliers,
     "tfidf_top_terms": tfidf_top_terms,
+    "rolling_30d_top_spenders": rolling_30d_top_spenders,
+    "segment_year_grouping_sets": segment_year_grouping_sets,
+    "segment_priority_listing": segment_priority_listing,
+    "top2_orders_lateral": top2_orders_lateral,
 }
 
 ORACLE = {
@@ -555,4 +709,8 @@ ORACLE = {
     "acctbal_deciles": ORACLE_ACCTBAL_DECILES,
     "acctbal_deciles_scalable": ORACLE_ACCTBAL_DECILES,
     "tfidf_top_terms": ORACLE_TFIDF_TOP_TERMS,
+    "rolling_30d_top_spenders": ORACLE_ROLLING_30D_TOP_SPENDERS,
+    "segment_year_grouping_sets": ORACLE_SEGMENT_YEAR_GROUPING_SETS,
+    "segment_priority_listing": ORACLE_SEGMENT_PRIORITY_LISTING,
+    "top2_orders_lateral": ORACLE_TOP2_ORDERS_LATERAL,
 }
