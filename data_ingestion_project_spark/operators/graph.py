@@ -1,0 +1,76 @@
+"""Iterative graph operators on DataFrames: connected components.
+
+The LLM-pipeline use case: near-dup pair generation (MinHash/winnow/
+Jaccard) emits EDGES; dedup needs the transitive closure — duplicate
+CLUSTERS — so one canonical document per component can be kept. That
+closure is an iterative fixpoint, not a single SQL shape, so this is
+one of the genuinely non-declarative operators (like the Lloyd loop in
+operators/similarity.ivf_centroids): a driver-side loop over pure
+DataFrame joins, converging in O(component diameter) rounds.
+
+Algorithm: min-label propagation. Every node starts labeled with its
+own id; each round every node takes the min label over itself and its
+neighbors; at the fixpoint every node carries the min node id of its
+component. Near-dup clusters have small diameter (duplicates of one
+document link to each other), so a handful of rounds suffice; for
+high-diameter graphs at 100 TB swap in the alternating large-star /
+small-star formulation (Kiveris et al., "Connected Components in
+MapReduce and Beyond", SoCC'14) which converges in O(log²) rounds —
+the round structure below (join + groupBy-min per round) is the same.
+
+Each round is localCheckpoint'ed: it materializes the labels and cuts
+the lineage chain, without which iteration i re-executes all previous
+rounds and plan size grows without bound. Convergence is detected from
+sum(label): min-propagation only ever lowers labels, so the sum is
+strictly decreasing until the fixpoint — one cheap aggregate per
+round, no self-join diffing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Label every node of the undirected graph with the minimum node
+    id reachable from it. Returns (node, comp) — one row per distinct
+    node appearing in any edge. Deterministic for any partitioning.
+    Raises if ``max_iter`` rounds do not reach the fixpoint (graph
+    diameter exceeds max_iter)."""
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+    )
+    # Materialize the edge set ONCE: every propagation round joins
+    # against it, and without the checkpoint each round would re-execute
+    # the caller's whole edge-producing pipeline (e.g. the winnow
+    # candidate generation) — O(rounds × upstream cost) instead of
+    # O(upstream + rounds).
+    sym = sym.localCheckpoint(eager=True)
+    labels = sym.select(F.col("a").alias("node")).distinct().select(
+        "node", F.col("node").alias("comp")
+    )
+    labels = labels.localCheckpoint(eager=True)
+    prev_sum = labels.agg(F.sum("comp")).collect()[0][0]
+
+    for _ in range(max_iter):
+        prop = sym.join(labels, sym["a"] == labels["node"]).select(
+            F.col("b").alias("node"), F.col("comp")
+        )
+        new_labels = (
+            labels.unionByName(prop).groupBy("node").agg(F.min("comp").alias("comp"))
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        new_sum = new_labels.agg(F.sum("comp")).collect()[0][0]
+        labels = new_labels
+        if new_sum == prev_sum:
+            return labels
+        prev_sum = new_sum
+    raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")

@@ -152,15 +152,9 @@ ORDER BY source, lang
 """
 
 
-def winnow_overlap_top(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-20 document pairs by shared winnowed fingerprints (MOSS-style
-    partial-overlap / containment detection; functions/text.py cites
-    Schleimer et al. SIGMOD 2003). Candidate generation is the
-    inverted-index equi-join on fingerprint — one shuffle, never
-    all-pairs — with posting lists capped at 50 docs (a fingerprint
-    shared by more documents carries no pair signal, same pruning as
-    jaccard_pairs). md5 hashing here so DuckDB replays the identical
-    winnow selection; production uses the xxhash64 default."""
+def _winnow_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared candidate generator: (id_a, id_b, n_shared) counted pairs
+    from winnowed fingerprints with posting lists capped at 50 docs."""
     d = table(spark, sf_dir, "documents")
     fps = winnow_fingerprints(d, "text", "doc_id", k=8, w=4, use_md5=True)
     # Posting-list expansion instead of a fp-keyed self-join: the join
@@ -191,14 +185,47 @@ def winnow_overlap_top(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p")
     )
-    counted = pairs.groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b")).agg(
+    return pairs.groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b")).agg(
         F.count(F.lit(1)).alias("n_shared")
     )
+
+
+def winnow_overlap_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 document pairs by shared winnowed fingerprints (MOSS-style
+    partial-overlap / containment detection; functions/text.py cites
+    Schleimer et al. SIGMOD 2003). Candidate generation is the
+    inverted-index equi-join on fingerprint — one shuffle, never
+    all-pairs — with posting lists capped at 50 docs (a fingerprint
+    shared by more documents carries no pair signal, same pruning as
+    jaccard_pairs). md5 hashing here so DuckDB replays the identical
+    winnow selection; production uses the xxhash64 default."""
+    counted = _winnow_pair_counts(spark, sf_dir)
     return counted.orderBy(F.col("n_shared").desc(), "id_a", "id_b").limit(20)
 
 
-ORACLE_WINNOW_OVERLAP_TOP = """
-WITH norm AS (
+def dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size histogram: winnow pairs sharing >= 20
+    fingerprints are edges; connected components (operators/graph.py,
+    iterative min-label propagation) give the transitive dup clusters a
+    dedup pass would keep one canonical doc from. Output is
+    (cluster_size, n_clusters) — tiny and deterministic. The DuckDB
+    oracle replays the closure with a recursive CTE, certifying an
+    iterative (non-single-SQL-shape) Spark operator value-exactly."""
+    from data_ingestion_project_spark.operators.graph import connected_components
+
+    edges = _winnow_pair_counts(spark, sf_dir).filter(F.col("n_shared") >= 20)
+    comp = connected_components(edges, src="id_a", dst="id_b")
+    sizes = comp.groupBy("comp").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .orderBy("cluster_size")
+    )
+
+
+# Shared winnow candidate-generation CTEs (the SQL twin of
+# _winnow_pair_counts), composed into both winnow oracles.
+_WINNOW_PAIR_CTES = """norm AS (
   SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS s
   FROM documents
 ), fps AS (
@@ -214,12 +241,99 @@ WITH norm AS (
   SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= 50
 ), pruned AS (
   SELECT doc_id, fp FROM fps JOIN rare USING (fp)
-)
-SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
-FROM pruned a JOIN pruned b ON a.fp = b.fp AND a.doc_id < b.doc_id
-GROUP BY 1, 2
+), wpairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+  FROM pruned a JOIN pruned b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)"""
+
+ORACLE_WINNOW_OVERLAP_TOP = f"""
+WITH {_WINNOW_PAIR_CTES}
+SELECT id_a, id_b, n_shared FROM wpairs
 ORDER BY n_shared DESC, id_a, id_b
 LIMIT 20
+"""
+
+ORACLE_DUP_CLUSTER_SIZES = f"""
+WITH RECURSIVE {_WINNOW_PAIR_CTES},
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM wpairs WHERE n_shared >= 20
+  UNION ALL
+  SELECT id_b AS s, id_a AS d FROM wpairs WHERE n_shared >= 20
+),
+walk(n, lbl) AS (
+  SELECT DISTINCT s, s FROM edges
+  UNION
+  SELECT e.d, w.lbl FROM walk w JOIN edges e ON e.s = w.n
+),
+comp AS (SELECT n, MIN(lbl) AS c FROM walk GROUP BY n),
+sizes AS (SELECT c, COUNT(*) AS cluster_size FROM comp GROUP BY c)
+SELECT cluster_size, COUNT(*) AS n_clusters
+FROM sizes GROUP BY cluster_size ORDER BY cluster_size
+"""
+
+
+def media_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal pipeline end-to-end through the driver gate: build a
+    deterministic media table (payload = UTF-8 bytes of the document
+    text, kind cycled by doc_id), run the REAL mapInPandas feature
+    extraction from operators/multimodal.py (Arrow batches, stubbed
+    codec — features are bytes of the payload's sha256, so the oracle
+    can replay them), aggregate per kind. Certifies the multimodal
+    plumbing (binary columns, UDF schema, batch shape) value-exactly;
+    only the codec byte-math is synthetic."""
+    from data_ingestion_project_spark.operators.multimodal import extract_media_features
+
+    d = table(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("kind"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    feats = extract_media_features(media)
+    return (
+        feats.groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n_media"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.round(F.avg("feat_mean"), 4).alias("avg_feat_mean"),
+            F.round(F.avg("feat_entropy"), 4).alias("avg_feat_entropy"),
+        )
+        .orderBy("kind")
+    )
+
+
+# hex-pair → byte value, DuckDB-side (no strtol there): digit positions
+# in the hex alphabet.
+def _sql_hex_byte(pos: int) -> str:
+    return (
+        f"(strpos('0123456789abcdef', substr(h, {pos}, 1)) - 1) * 16"
+        f" + strpos('0123456789abcdef', substr(h, {pos + 1}, 1)) - 1"
+    )
+
+
+ORACLE_MEDIA_FEATURE_STATS = f"""
+WITH feats AS (
+  -- sha256(VARCHAR) hashes the string's UTF-8 bytes = the Spark
+  -- side's sha256 over encode(text, 'UTF-8')
+  SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         octet_length(encode(text)) AS n_bytes,
+         sha256(text) AS h
+  FROM documents
+), parsed AS (
+  SELECT kind, n_bytes,
+         {_sql_hex_byte(1)} AS feat_mean,
+         {_sql_hex_byte(3)} AS feat_entropy
+  FROM feats
+)
+SELECT kind, COUNT(*) AS n_media,
+       CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+       ROUND(AVG(feat_mean), 4) AS avg_feat_mean,
+       ROUND(AVG(feat_entropy), 4) AS avg_feat_entropy
+FROM parsed GROUP BY kind ORDER BY kind
 """
 
 
@@ -475,6 +589,8 @@ QUERIES = {
     "token_stats": token_stats,
     "bpe_token_stats": bpe_token_stats,
     "winnow_overlap_top": winnow_overlap_top,
+    "dup_cluster_sizes": dup_cluster_sizes,
+    "media_feature_stats": media_feature_stats,
     "doc_quality": doc_quality,
     "fingerprint_summary": fingerprint_summary,
     "exact_duplicate_pairs": exact_duplicate_pairs,
@@ -490,6 +606,8 @@ ORACLE = {
     "token_stats": ORACLE_TOKEN_STATS,
     "bpe_token_stats": ORACLE_BPE_TOKEN_STATS,
     "winnow_overlap_top": ORACLE_WINNOW_OVERLAP_TOP,
+    "dup_cluster_sizes": ORACLE_DUP_CLUSTER_SIZES,
+    "media_feature_stats": ORACLE_MEDIA_FEATURE_STATS,
     "doc_quality": ORACLE_DOC_QUALITY,
     "fingerprint_summary": ORACLE_FINGERPRINT_SUMMARY,
     "exact_duplicate_pairs": ORACLE_EXACT_DUPLICATE_PAIRS,
