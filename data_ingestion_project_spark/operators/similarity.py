@@ -271,6 +271,51 @@ def ivf_ann_topk(
     return scored.orderBy(F.col("sim").desc(), F.col(id_col).asc()).limit(k)
 
 
+def write_ivf_index(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    path: str,
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF inverted lists on disk: the assigned corpus
+    written ``partitionBy(list_id)``. This is the 100 TB shape — each
+    inverted list is a partition directory, so a probe reads exactly
+    n_probe/n_centroids of the data via partition pruning (pinned by
+    test_ivf_index_probe_prunes_partitions), and the linear assignment
+    pass is paid once at index-build time, not per query."""
+    ivf_assign(corpus, centroids, vec_col=vec_col).write.partitionBy("list_id").mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def ivf_probe_topk(
+    spark,
+    index_path: str,
+    query_vec: list[float],
+    centroids: list[list[float]],
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Query a prebuilt on-disk IVF index (``write_ivf_index``): pick
+    the ``n_probe`` nearest centroids driver-side, scan ONLY their list
+    partitions (the ``list_id`` filter is a partition filter — pruned
+    at planning time, non-probed lists are never read), exact-rescore
+    the candidates."""
+    q = np.asarray(query_vec, dtype=float)
+    q = q / max(float(np.linalg.norm(q)), 1e-12)
+    sims = np.asarray(centroids, dtype=float) @ q
+    probes = [int(i) for i in np.argsort(-sims, kind="stable")[:n_probe]]
+
+    candidates = spark.read.parquet(index_path).filter(F.col("list_id").isin(probes))
+    qcol = F.array(*[F.lit(float(v)) for v in query_vec])
+    scored = candidates.select(
+        F.col(id_col), cosine_similarity(F.col(vec_col), qcol).alias("sim")
+    )
+    return scored.orderBy(F.col("sim").desc(), F.col(id_col).asc()).limit(k)
+
+
 def lsh_ann_topk(
     corpus: DataFrame,
     query_vec: list[float],

@@ -107,6 +107,123 @@ ORDER BY doc_id
 """
 
 
+def quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality-filter waterfall per source (Rae et al.
+    2021, §A1.1-style heuristic rules — public-knowledge document
+    filters): minimum length, mean-word-length band, stopword
+    presence, punctuation density cap. Reports per-source survivor
+    counts per rule and the token budget that survives the full
+    filter — the accounting an LLM-data pipeline publishes for every
+    corpus snapshot. One scan, one shuffle; every rule is a codegen'd
+    expression over columns already computed for doc_quality."""
+    d = table(spark, sf_dir, "documents")
+    toks = token_count("text")
+    mean_wl = F.length(F.regexp_replace("text", r"\s+", "")) / toks
+    rules = d.select(
+        "source",
+        toks.alias("n_tokens"),
+        (toks >= 5).alias("pass_len"),
+        mean_wl.between(2.0, 12.0).alias("pass_wl"),
+        (stopword_count("text") >= 1).alias("pass_stop"),
+        (punct_ratio("text") <= 0.2).alias("pass_punct"),
+    ).withColumn(
+        "pass_all",
+        F.col("pass_len") & F.col("pass_wl") & F.col("pass_stop") & F.col("pass_punct"),
+    )
+    return (
+        rules.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("pass_len").cast("int")).alias("n_pass_len"),
+            F.sum(F.col("pass_wl").cast("int")).alias("n_pass_wl"),
+            F.sum(F.col("pass_stop").cast("int")).alias("n_pass_stop"),
+            F.sum(F.col("pass_punct").cast("int")).alias("n_pass_punct"),
+            F.sum(F.col("pass_all").cast("int")).alias("n_pass_all"),
+            F.sum(F.when(F.col("pass_all"), F.col("n_tokens")).otherwise(0)).alias(
+                "surviving_tokens"
+            ),
+            F.round(
+                F.sum(F.col("pass_all").cast("int")) / F.count(F.lit(1)), 4
+            ).alias("pass_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_QUALITY_FILTER_FUNNEL = """
+WITH rules AS (
+  SELECT source,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER) AS n_tokens,
+         len(regexp_replace(text, '\\s+', '', 'g')) * 1.0 AS n_nonspace,
+         CAST(len(regexp_extract_all(lower(text), '\\b(the|a|of|and|to|in|is|it)\\b', 0)) AS INTEGER) AS n_stop,
+         (length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g'))) * 1.0 / length(text) AS p_ratio
+  FROM documents
+), flags AS (
+  SELECT source, n_tokens,
+         (n_tokens >= 5) AS pass_len,
+         (n_nonspace / n_tokens BETWEEN 2.0 AND 12.0) AS pass_wl,
+         (n_stop >= 1) AS pass_stop,
+         (p_ratio <= 0.2) AS pass_punct
+  FROM rules
+), all_flags AS (
+  SELECT *, (pass_len AND pass_wl AND pass_stop AND pass_punct) AS pass_all FROM flags
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CAST(pass_len AS INT)) AS BIGINT) AS n_pass_len,
+       CAST(SUM(CAST(pass_wl AS INT)) AS BIGINT) AS n_pass_wl,
+       CAST(SUM(CAST(pass_stop AS INT)) AS BIGINT) AS n_pass_stop,
+       CAST(SUM(CAST(pass_punct AS INT)) AS BIGINT) AS n_pass_punct,
+       CAST(SUM(CAST(pass_all AS INT)) AS BIGINT) AS n_pass_all,
+       CAST(SUM(CASE WHEN pass_all THEN n_tokens ELSE 0 END) AS BIGINT) AS surviving_tokens,
+       ROUND(SUM(CAST(pass_all AS INT)) * 1.0 / COUNT(*), 4) AS pass_rate
+FROM all_flags GROUP BY source ORDER BY source
+"""
+
+
+def stratified_sample_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling for corpus mixing: per-language
+    keep rates (en 50%, others 20%) applied via a content-independent
+    hash bucket — ``md5(doc_id)``'s first byte < 256 × rate. Unlike
+    ``df.sample``, the decision is a pure function of the row key:
+    reproducible across partitionings, re-runs, and engines (the oracle
+    replays it exactly), and at 100 TB it needs no sampling state —
+    it's a codegen'd filter. Reports per-language kept/total."""
+    d = table(spark, sf_dir, "documents")
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10).cast("int")
+    rate = F.when(F.col("lang") == "en", F.lit(0.5)).otherwise(F.lit(0.2))
+    kept = (bucket < rate * 256).cast("int")
+    return (
+        d.select("lang", kept.alias("kept"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("kept").alias("n_sampled"),
+            F.round(F.sum("kept") / F.count(F.lit(1)), 4).alias("observed_rate"),
+        )
+        .orderBy("lang")
+    )
+
+
+ORACLE_STRATIFIED_SAMPLE_RATES = """
+WITH h AS (
+  SELECT lang,
+         (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+           + strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1 AS bucket
+  FROM documents
+), flags AS (
+  SELECT lang,
+         CASE WHEN bucket < (CASE WHEN lang = 'en' THEN 0.5 ELSE 0.2 END) * 256
+              THEN 1 ELSE 0 END AS kept
+  FROM h
+)
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(kept) AS BIGINT) AS n_sampled,
+       ROUND(SUM(kept) * 1.0 / COUNT(*), 4) AS observed_rate
+FROM flags GROUP BY lang ORDER BY lang
+"""
+
+
 def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate-BPE token accounting per (source, lang) — the token
     budget an LLM-training-data pipeline reports per corpus slice. The
@@ -591,6 +708,8 @@ QUERIES = {
     "winnow_overlap_top": winnow_overlap_top,
     "dup_cluster_sizes": dup_cluster_sizes,
     "media_feature_stats": media_feature_stats,
+    "quality_filter_funnel": quality_filter_funnel,
+    "stratified_sample_rates": stratified_sample_rates,
     "doc_quality": doc_quality,
     "fingerprint_summary": fingerprint_summary,
     "exact_duplicate_pairs": exact_duplicate_pairs,
@@ -608,6 +727,8 @@ ORACLE = {
     "winnow_overlap_top": ORACLE_WINNOW_OVERLAP_TOP,
     "dup_cluster_sizes": ORACLE_DUP_CLUSTER_SIZES,
     "media_feature_stats": ORACLE_MEDIA_FEATURE_STATS,
+    "quality_filter_funnel": ORACLE_QUALITY_FILTER_FUNNEL,
+    "stratified_sample_rates": ORACLE_STRATIFIED_SAMPLE_RATES,
     "doc_quality": ORACLE_DOC_QUALITY,
     "fingerprint_summary": ORACLE_FINGERPRINT_SUMMARY,
     "exact_duplicate_pairs": ORACLE_EXACT_DUPLICATE_PAIRS,

@@ -293,6 +293,37 @@ def test_ivf_ann_recall_floor(spark):
     assert 0 <= stats["lo"] and stats["hi"] <= 7
 
 
+def test_ivf_index_probe_prunes_partitions(spark, tmp_path):
+    """The on-disk IVF index must behave like an index: a probe query's
+    list_id filter is a PARTITION filter (pruned at planning time —
+    non-probed inverted lists are never read), and the probed result
+    equals the in-memory IVF path on the same centroids."""
+    from data_ingestion_project_spark.operators.similarity import (
+        ivf_ann_topk,
+        ivf_centroids,
+        ivf_probe_topk,
+        write_ivf_index,
+    )
+    from data_ingestion_project_spark.plans.explain import formatted_plan
+    from data_ingestion_project_spark.sources.readers import table
+
+    corpus = table(spark, "/root/testdata/sf0.001", "embeddings")
+    cents = ivf_centroids(corpus, n_centroids=8, n_iter=1)
+    path = str(tmp_path / "ivf_index")
+    write_ivf_index(corpus, cents, path)
+
+    q = list(corpus.filter(F.col("vec_id") == 0).select("embedding").first()[0])
+    probed = ivf_probe_topk(spark, path, q, cents, k=5, n_probe=2)
+    plan = formatted_plan(probed)
+    assert "PartitionFilters" in plan
+    assert "list_id" in plan.split("PartitionFilters")[1][:200]
+
+    in_memory = ivf_ann_topk(corpus, q, k=5, n_centroids=8, n_probe=2, centroids=cents)
+    got = [(r["vec_id"], round(r["sim"], 6)) for r in probed.collect()]
+    want = [(r["vec_id"], round(r["sim"], 6)) for r in in_memory.collect()]
+    assert got == want
+
+
 def test_minhash_recall_floor(spark):
     """Banded md5-minhash recall over exact Jaccard>=0.9 ground truth
     (the oracle-certified recall query) must stay near-perfect."""
