@@ -33,15 +33,22 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     # Isolate JVM/session warmup (executor spin-up, codegen compiler,
-    # parquet footer caches) from the first timed query so round-over-
-    # round regressions in the heaviest query aren't masked by a 5-8 s
-    # startup tax. The warmup action touches every input table once.
+    # parquet footer caches, OS page cache) from the first timed query
+    # so round-over-round regressions in the heaviest query aren't
+    # masked by a 5-8 s startup tax. The warmup decodes every COLUMN of
+    # every input table once (count() alone reads only footers, leaving
+    # the first lineitem-heavy query to pay the cold column decode).
+    from pyspark.sql import functions as F
+
     from data_ingestion_project_spark.sources.readers import table
 
     t0 = time.perf_counter()
     for t in ("region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"):
-        table(spark, sf_dir, t).count()
+        df = table(spark, sf_dir, t)
+        # count(col) decodes every column regardless of type (max would
+        # reject maps); count(*) would read footers only.
+        df.select([F.count(F.col(c)).alias(c) for c in df.columns]).collect()
     warmup = round(time.perf_counter() - t0, 3)
     print(f"# warmup (session + table scans): {warmup:.3f}s", file=sys.stderr)
 

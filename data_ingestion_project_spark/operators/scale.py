@@ -66,6 +66,31 @@ def salted_count_by_key(df: DataFrame, key: str, n_salts: int = 16) -> DataFrame
     )
 
 
+def salted_sum_by_key(
+    df: DataFrame, key: str, value_col: str, n_salts: int = 16, scale: int = 2
+) -> DataFrame:
+    """Two-phase SUM+COUNT for skewed group-by keys: partial aggregate
+    per (key, salt), final combine per key. Accumulation is DECIMAL
+    (queries/_precision.py convention), which is what makes the salted
+    two-stage sum EXACTLY equal to a single-stage sum — decimal
+    addition is associative, so re-associating across salts cannot
+    change the result (a double sum would drift). Returns
+    (key, n, sum_value)."""
+    return (
+        df.withColumn("__salt", (F.rand(seed=42) * n_salts).cast("int"))
+        .groupBy(key, "__salt")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(F.col(value_col).cast("decimal(27,6)")).alias("__partial"),
+        )
+        .groupBy(key)
+        .agg(
+            F.sum("__n").alias("n"),
+            F.round(F.sum("__partial"), scale).cast("double").alias("sum_value"),
+        )
+    )
+
+
 def write_bucketed(
     df: DataFrame,
     table_name: str,

@@ -270,6 +270,88 @@ ORDER BY event_type
 """
 
 
+def daily_event_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume anomaly detection: days whose event count deviates >= 1.5
+    sample standard deviations from that event type's daily mean.
+
+    The dispersion is computed from EXACT integer sums (n, Σx, Σx²) via
+    var = (n·Σx² − (Σx)²) / (n·(n−1)) rather than stddev_samp: Spark
+    and DuckDB use different accumulation algorithms for the built-in
+    (Welford vs naive), which drift in the last ulp and break value-
+    hash comparison; integer arithmetic is exact in both engines, so
+    the final doubles are bit-identical. Two aggregations over a
+    5-type × ~30-day frame — the second input is tiny at any scale."""
+    e = table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("n_events").alias("s1"),
+        F.sum(F.col("n_events") * F.col("n_events")).alias("s2"),
+    )
+    joined = daily.join(F.broadcast(stats), "event_type")
+    mean = F.col("s1") / F.col("n_days")
+    var = (F.col("n_days") * F.col("s2") - F.col("s1") * F.col("s1")) / (
+        F.col("n_days") * (F.col("n_days") - 1)
+    )
+    z = (F.col("n_events") - mean) / F.sqrt(var)
+    return (
+        joined.select(
+            "event_type",
+            F.col("day").cast("string").alias("day"),
+            "n_events",
+            F.round(z, 4).alias("z_score"),
+        )
+        .filter(F.abs(F.col("z_score")) >= 1.5)
+        .orderBy("event_type", "day")
+    )
+
+
+ORACLE_DAILY_EVENT_ANOMALIES = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2
+), stats AS (
+  SELECT event_type, COUNT(*) AS n_days, SUM(n_events) AS s1,
+         SUM(n_events * n_events) AS s2
+  FROM daily GROUP BY 1
+), scored AS (
+  SELECT d.event_type, CAST(d.day AS VARCHAR) AS day, d.n_events,
+         ROUND((d.n_events - s.s1 * 1.0 / s.n_days)
+               / sqrt((s.n_days * s.s2 - s.s1 * s.s1) * 1.0
+                      / (s.n_days * (s.n_days - 1))), 4) AS z_score
+  FROM daily d JOIN stats s USING (event_type)
+)
+SELECT * FROM scored WHERE abs(z_score) >= 1.5 ORDER BY event_type, day
+"""
+
+
+def event_value_by_type_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe aggregate through the driver gate: events concentrate
+    on 5 event types, the canonical hot-key shape; the two-phase salted
+    sum (operators/scale.py) spreads each hot key over 16 reducers.
+    Decimal accumulation makes the re-association exact, so the oracle
+    is the PLAIN single-stage GROUP BY — same values, different
+    physical plan, proving the skew mitigation is semantics-free."""
+    from data_ingestion_project_spark.operators.scale import salted_sum_by_key
+
+    e = table(spark, sf_dir, "events")
+    return (
+        salted_sum_by_key(e, "event_type", "value", n_salts=16)
+        .select("event_type", "n", F.col("sum_value").alias("total_value"))
+        .orderBy("event_type")
+    )
+
+
+ORACLE_EVENT_VALUE_BY_TYPE_SALTED = f"""
+SELECT event_type, COUNT(*) AS n,
+       {sql_dec_sum('value')} AS total_value
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 QUERIES = {
     "hourly_event_stats": hourly_event_stats,
     "events_one_day_by_type": events_one_day_by_type,
@@ -279,9 +361,13 @@ QUERIES = {
     "props_key_stats": props_key_stats,
     "user_sessions": user_sessions,
     "purchase_last_click": purchase_last_click,
+    "daily_event_anomalies": daily_event_anomalies,
+    "event_value_by_type_salted": event_value_by_type_salted,
 }
 
 ORACLE = {
+    "daily_event_anomalies": ORACLE_DAILY_EVENT_ANOMALIES,
+    "event_value_by_type_salted": ORACLE_EVENT_VALUE_BY_TYPE_SALTED,
     "hourly_event_stats": ORACLE_HOURLY_EVENT_STATS,
     "daily_active_users": ORACLE_DAILY_ACTIVE_USERS,
     "top_purchasers": ORACLE_TOP_PURCHASERS,
