@@ -111,6 +111,29 @@ def test_scalable_deciles_have_no_single_partition_exchange(spark):
     assert "SinglePartition" not in executed_plan(df)
 
 
+def test_rolling_window_has_no_single_partition_exchange(spark):
+    """The 30-day RANGE window is partitioned per customer — thousands
+    of small independent frames. A SinglePartition exchange here would
+    be the global-window anti-pattern the VERDICT flagged for ntile."""
+    from data_ingestion_project_spark.plans.explain import executed_plan
+
+    df = all_queries()["rolling_30d_top_spenders"](spark, SF)
+    assert "SinglePartition" not in executed_plan(df)
+
+
+def test_grouping_sets_single_expand_single_agg_shuffle(spark):
+    """GROUPING SETS must compute all three slices in ONE pass: exactly
+    one Expand node, and no more exchanges than the plain two-table
+    aggregate needs (separate GROUP BYs would triple the scan)."""
+    from data_ingestion_project_spark.plans.explain import formatted_plan
+
+    df = all_queries()["segment_year_grouping_sets"](spark, SF)
+    plan = formatted_plan(df)
+    assert plan.count("Expand") >= 1
+    census = plan_census(df)
+    assert census["n_exchanges"] <= 2
+
+
 def test_events_day_query_prunes_partitions(spark):
     """The day filter must resolve against the hive directory layout at
     planning time: PartitionFilters in the scan node, and the pruned
