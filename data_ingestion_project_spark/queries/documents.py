@@ -224,6 +224,78 @@ FROM flags GROUP BY lang ORDER BY lang
 """
 
 
+# Conservative e-mail pattern in the regex subset shared by Java regex
+# (Spark) and RE2 (DuckDB): no lookaround, ASCII classes only.
+_EMAIL_RE = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+
+
+def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction accounting per source — the scrub pass
+    an LLM-data pipeline runs before training (emails here; phones/IPs
+    are the same expression shape). Counts matches, redacts with
+    regexp_replace, reports docs-with-PII and characters removed.
+
+    The synthetic corpus contains no PII, so the query first PLANTS a
+    deterministic marker address in every 5th document — the planted
+    rows are the certified fixture (same posture as
+    media_feature_stats' synthetic payloads): the extraction and
+    redaction expressions are certified end-to-end against DuckDB with
+    nonzero counts, and on real data the plant step is dropped."""
+    d = table(spark, sf_dir, "documents")
+    planted = d.select(
+        "source",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact: user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("t"),
+    )
+    feats = planted.select(
+        "source",
+        F.size(F.regexp_extract_all("t", F.lit(_EMAIL_RE), F.lit(0))).alias("n_emails"),
+        (F.length("t") - F.length(F.regexp_replace("t", _EMAIL_RE, "[EMAIL]"))).alias(
+            "chars_removed"
+        ),
+    )
+    return (
+        feats.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("n_emails") > 0).cast("int")).alias("n_docs_with_pii"),
+            F.sum("n_emails").alias("total_emails"),
+            F.sum("chars_removed").alias("total_chars_removed"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_PII_SCRUB_STATS = f"""
+WITH planted AS (
+  SELECT source,
+         CASE WHEN doc_id % 5 = 0
+              THEN text || ' contact: user' || CAST(doc_id AS VARCHAR) || '@example.com'
+              ELSE text END AS t
+  FROM documents
+), feats AS (
+  SELECT source,
+         CAST(len(regexp_extract_all(t, '{_EMAIL_RE}', 0)) AS INTEGER) AS n_emails,
+         length(t) - length(regexp_replace(t, '{_EMAIL_RE}', '[EMAIL]', 'g')) AS chars_removed
+  FROM planted
+)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN n_emails > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_with_pii,
+       CAST(SUM(n_emails) AS BIGINT) AS total_emails,
+       CAST(SUM(chars_removed) AS BIGINT) AS total_chars_removed
+FROM feats GROUP BY source ORDER BY source
+"""
+
+
 def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate-BPE token accounting per (source, lang) — the token
     budget an LLM-training-data pipeline reports per corpus slice. The
@@ -710,6 +782,7 @@ QUERIES = {
     "media_feature_stats": media_feature_stats,
     "quality_filter_funnel": quality_filter_funnel,
     "stratified_sample_rates": stratified_sample_rates,
+    "pii_scrub_stats": pii_scrub_stats,
     "doc_quality": doc_quality,
     "fingerprint_summary": fingerprint_summary,
     "exact_duplicate_pairs": exact_duplicate_pairs,
@@ -729,6 +802,7 @@ ORACLE = {
     "media_feature_stats": ORACLE_MEDIA_FEATURE_STATS,
     "quality_filter_funnel": ORACLE_QUALITY_FILTER_FUNNEL,
     "stratified_sample_rates": ORACLE_STRATIFIED_SAMPLE_RATES,
+    "pii_scrub_stats": ORACLE_PII_SCRUB_STATS,
     "doc_quality": ORACLE_DOC_QUALITY,
     "fingerprint_summary": ORACLE_FINGERPRINT_SUMMARY,
     "exact_duplicate_pairs": ORACLE_EXACT_DUPLICATE_PAIRS,
