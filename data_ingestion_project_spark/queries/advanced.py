@@ -671,6 +671,55 @@ ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey
 """
 
 
+def wealthy_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-style composite decorrelation (adapted to this schema:
+    nation keys stand in for phone country codes): customers from a
+    fixed nation list with above-average positive balance and NO order
+    since 2001-05-01, aggregated per nation. Exercises three shapes in
+    one statement — uncorrelated scalar subquery (broadcast one-row),
+    IN-list pushdown, and correlated NOT EXISTS (anti-join after
+    Catalyst decorrelation — never a per-customer rescan)."""
+    register_views(spark, sf_dir)
+    return spark.sql(f"""
+        SELECT c_nationkey,
+               COUNT(*) AS n_customers,
+               {sql_dec_sum('c_acctbal')} AS total_acctbal
+        FROM customer c
+        WHERE c_nationkey IN (1, 5, 9, 13, 17, 21)
+          AND c_acctbal > (
+            SELECT AVG(c_acctbal) FROM customer
+            WHERE c_acctbal > 0 AND c_nationkey IN (1, 5, 9, 13, 17, 21)
+          )
+          AND NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderdate >= DATE '2001-05-01'
+          )
+        GROUP BY c_nationkey
+        ORDER BY c_nationkey
+    """)
+
+
+ORACLE_WEALTHY_INACTIVE_CUSTOMERS = f"""
+SELECT c_nationkey,
+       COUNT(*) AS n_customers,
+       {sql_dec_sum('c_acctbal')} AS total_acctbal
+FROM customer c
+WHERE c_nationkey IN (1, 5, 9, 13, 17, 21)
+  AND c_acctbal > (
+    SELECT AVG(c_acctbal) FROM customer
+    WHERE c_acctbal > 0 AND c_nationkey IN (1, 5, 9, 13, 17, 21)
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+      AND o.o_orderdate >= DATE '2001-05-01'
+  )
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""
+
+
 QUERIES = {
     "acctbal_deciles": acctbal_deciles,
     "acctbal_deciles_scalable": acctbal_deciles_scalable,
@@ -692,6 +741,7 @@ QUERIES = {
     "segment_year_grouping_sets": segment_year_grouping_sets,
     "segment_priority_listing": segment_priority_listing,
     "top2_orders_lateral": top2_orders_lateral,
+    "wealthy_inactive_customers": wealthy_inactive_customers,
 }
 
 ORACLE = {
@@ -713,4 +763,5 @@ ORACLE = {
     "segment_year_grouping_sets": ORACLE_SEGMENT_YEAR_GROUPING_SETS,
     "segment_priority_listing": ORACLE_SEGMENT_PRIORITY_LISTING,
     "top2_orders_lateral": ORACLE_TOP2_ORDERS_LATERAL,
+    "wealthy_inactive_customers": ORACLE_WEALTHY_INACTIVE_CUSTOMERS,
 }
