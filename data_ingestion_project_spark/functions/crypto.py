@@ -96,8 +96,14 @@ def load_env_file(path: str | os.PathLike) -> dict[str, str]:
                 line = line[len("export ") :]
             key, _, value = line.partition("=")
             key, value = key.strip(), value.strip()
-            if len(value) >= 2 and value[0] == value[-1] and value[0] in "\"'":
-                value = value[1:-1]
+            if len(value) >= 2 and value[0] in "\"'":
+                # quoted value: closing quote ends it; anything after
+                # (e.g. an inline comment) is dropped
+                closing = value.find(value[0], 1)
+                if closing > 0:
+                    value = value[1:closing]
+                else:  # unterminated quote — keep verbatim minus the quote
+                    value = value[1:]
             elif "#" in value:  # unquoted inline comment
                 value = value.split("#", 1)[0].strip()
             if key:

@@ -43,6 +43,17 @@ def connected_components(
     node appearing in any edge. Deterministic for any partitioning.
     Raises if ``max_iter`` rounds do not reach the fixpoint (graph
     diameter exceeds max_iter)."""
+    id_type = dict(edges.dtypes).get(src, "")
+    if id_type not in ("bigint", "int", "smallint", "tinyint"):
+        # The sum-based convergence check is only sound for integral
+        # labels (sum of a string column is NULL → None == None would
+        # declare convergence after round 1, silently wrong). Reject
+        # rather than be wrong; map string ids through xxhash64 or a
+        # dense id first.
+        raise ValueError(
+            f"connected_components requires integral node ids, got {id_type!r} "
+            f"for {src!r} — hash or dense-rank string ids first"
+        )
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
@@ -58,7 +69,7 @@ def connected_components(
         "node", F.col("node").alias("comp")
     )
     labels = labels.localCheckpoint(eager=True)
-    prev_sum = labels.agg(F.sum("comp")).collect()[0][0]
+    prev_sum = labels.agg(F.sum(F.col("comp").cast("decimal(38,0)"))).collect()[0][0]
 
     for _ in range(max_iter):
         prop = sym.join(labels, sym["a"] == labels["node"]).select(
@@ -68,7 +79,7 @@ def connected_components(
             labels.unionByName(prop).groupBy("node").agg(F.min("comp").alias("comp"))
         )
         new_labels = new_labels.localCheckpoint(eager=True)
-        new_sum = new_labels.agg(F.sum("comp")).collect()[0][0]
+        new_sum = new_labels.agg(F.sum(F.col("comp").cast("decimal(38,0)"))).collect()[0][0]
         labels = new_labels
         if new_sum == prev_sum:
             return labels

@@ -75,7 +75,11 @@ def equal_frequency_buckets(
     offset_expr = F.element_at(
         F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]), F.col("__rid")
     )
-    r = (F.row_number().over(w) + offset_expr).alias("__grank")
+    # long arithmetic: row_number() is int32 and the offset literals are
+    # int-typed when small — at >2^31 rows the un-cast addition would
+    # silently wrap in non-ANSI mode, in exactly the operator that
+    # exists for that scale.
+    r = (F.row_number().over(w).cast("long") + offset_expr.cast("long")).alias("__grank")
 
     # Spark ntile split: first m = N % k buckets take q+1 rows (q = N//k).
     q, m = divmod(total, k)

@@ -108,6 +108,15 @@ def _try_commit(path: str, version: int, manifest: dict) -> bool:
         os.fsync(fd)
     finally:
         os.close(fd)
+    # fsync the log DIRECTORY too: the manifest's directory entry is
+    # metadata of the parent; without this a power failure after the
+    # file fsync can still lose the acknowledged commit (the file's
+    # bytes are durable but its name is not).
+    dirfd = os.open(_log_dir(path), os.O_RDONLY)
+    try:
+        os.fsync(dirfd)
+    finally:
+        os.close(dirfd)
     return True
 
 
@@ -202,11 +211,18 @@ def history(path: str) -> list[dict]:
     return [_read_manifest(path, v) for v in _versions(path)]
 
 
-def vacuum(path: str, keep_versions: int = 1) -> list[str]:
+def vacuum(path: str, keep_versions: int = 1, min_age_seconds: float = 3600.0) -> list[str]:
     """Reclaim space: drop manifests older than the newest
     ``keep_versions`` and delete data directories no retained manifest
     references (including orphans from crashed commits). Returns the
-    deleted directory names. Never touches the current version."""
+    deleted directory names. Never touches the current version.
+
+    ``min_age_seconds`` is the Delta-VACUUM-style grace window: an
+    unreferenced data directory younger than it is SKIPPED, because it
+    is indistinguishable from an in-flight commit whose manifest has
+    not been published yet — deleting it would corrupt the table the
+    moment that writer commits. Pass 0 only when no writer can be
+    running."""
     vs = _versions(path)
     if not vs:
         return []
@@ -216,10 +232,19 @@ def vacuum(path: str, keep_versions: int = 1) -> list[str]:
             os.remove(_manifest_path(path, v))
     referenced = {rel for v in keep for rel in _read_manifest(path, v)["data_dirs"]}
     removed = []
+    now = time.time()
     data_root = os.path.join(path, _DATA)
     for name in os.listdir(data_root) if os.path.isdir(data_root) else []:
         rel = os.path.join(_DATA, name)
-        if rel not in referenced:
-            shutil.rmtree(os.path.join(path, rel))
-            removed.append(rel)
+        full = os.path.join(path, rel)
+        if rel in referenced:
+            continue
+        try:
+            age = now - os.path.getmtime(full)
+        except OSError:  # raced with another vacuum
+            continue
+        if age < min_age_seconds:
+            continue  # possible in-flight commit — not yet an orphan
+        shutil.rmtree(full)
+        removed.append(rel)
     return removed

@@ -215,22 +215,35 @@ def _events_by_day_path(spark: SparkSession, sf_dir: str) -> str:
     scale factor and return its path. The write is atomic (tmp dir +
     rename) so a concurrent/crashed run never exposes a half-written
     layout; subsequent calls are a pure existence check."""
+    import hashlib
     import os
+    import shutil
     import uuid
 
     from data_ingestion_project_spark.operators.layout import partition_events_by_day
 
     repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    tag = os.path.basename(os.path.normpath(sf_dir))
+    abs_dir = os.path.abspath(os.path.normpath(sf_dir))
+    # Key by basename AND a path hash (two roots with the same leaf name
+    # must not share a layout), and rebuild when the SOURCE table is
+    # newer than the layout — a regenerated events.parquet would
+    # otherwise silently serve stale partitions while the oracle reads
+    # fresh data.
+    tag = f"{os.path.basename(abs_dir)}_{hashlib.md5(abs_dir.encode()).hexdigest()[:8]}"
     out = os.path.join(repo_root, "spark-warehouse", f"events_by_day_{tag}")
-    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+    success = os.path.join(out, "_SUCCESS")
+    src_mtime = os.path.getmtime(os.path.join(abs_dir, "events.parquet"))
+    fresh = os.path.exists(success) and os.path.getmtime(success) >= src_mtime
+    if not fresh:
         tmp = f"{out}__build_{uuid.uuid4().hex[:12]}"
         partition_events_by_day(spark, sf_dir, tmp)
+        if os.path.exists(out):  # stale layout: swap it out
+            stale = f"{out}__stale_{uuid.uuid4().hex[:12]}"
+            os.rename(out, stale)
+            shutil.rmtree(stale, ignore_errors=True)
         try:
             os.rename(tmp, out)
         except OSError:  # another run won the race; keep theirs
-            import shutil
-
             shutil.rmtree(tmp, ignore_errors=True)
     return out
 

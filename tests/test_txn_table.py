@@ -40,7 +40,12 @@ def test_uncommitted_data_is_invisible(spark, tmp_path):
     T.create_table(spark, p, _df(spark, [1]))
     orphan = T._write_data(_df(spark, [666]), p)  # data written, no commit
     assert [r["id"] for r in T.read(spark, p).collect()] == [1]
-    removed = T.vacuum(p)
+    # default grace window: a FRESH unreferenced dir could be an
+    # in-flight commit, so vacuum must leave it alone...
+    assert T.vacuum(p) == []
+    assert os.path.exists(os.path.join(p, orphan))
+    # ...and reclaim it once it is older than the window
+    removed = T.vacuum(p, min_age_seconds=0)
     assert orphan in removed
     assert not os.path.exists(os.path.join(p, orphan))
     assert [r["id"] for r in T.read(spark, p).collect()] == [1]
