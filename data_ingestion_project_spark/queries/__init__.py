@@ -19,9 +19,9 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from data_ingestion_project_spark.queries import advanced, documents, embeddings, events, tpch
+from data_ingestion_project_spark.queries import advanced, documents, embeddings, events, tpch, tpch2
 
-_MODULES = (tpch, events, documents, embeddings, advanced)
+_MODULES = (tpch, tpch2, events, documents, embeddings, advanced)
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

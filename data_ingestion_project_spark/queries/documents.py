@@ -771,7 +771,89 @@ LIMIT 20
 """
 
 
+# ------------------------------------------- repetition detection (Gopher)
+
+
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters: per-language duplicate-bigram
+    fraction and most-frequent-bigram share (boilerplate / looping-text
+    detectors used to drop degenerate training documents).
+
+    Plan: split → bigram arrays built with ``transform(sequence(...))``
+    (pure codegen, no Python), one explode, then three tapering
+    aggregations: (doc, bigram) counts → per-doc totals → per-language
+    ratios. Every cross-document aggregate derives from exact integer
+    sums, so the rounded ratios are engine-exact (same trick as
+    daily_event_anomalies); per-doc doubles are value-determined and
+    only feed MAX. At 100 TB the explode dominates — it's linear in
+    corpus tokens and shuffles once on (doc_id, bigram).
+    """
+    d = table(spark, sf_dir, "documents")
+    w = F.split(F.trim(F.col("text")), r"\s+")
+    bg_rows = (
+        d.select("doc_id", "lang", w.alias("w"))
+        .filter(F.size("w") >= 2)
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.expr("transform(sequence(1, size(w)-1), i -> concat(w[i-1], ' ', w[i]))")
+            ).alias("bg"),
+        )
+    )
+    per_doc = (
+        bg_rows.groupBy("doc_id", "lang", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum("c").alias("n"),
+            F.count(F.lit(1)).alias("d"),
+            F.max("c").alias("top"),
+        )
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(
+                F.lit(1.0) - F.sum("d").cast("double") / F.sum("n"), 6
+            ).alias("dup_bigram_frac"),
+            F.round(F.sum("top").cast("double") / F.sum("n"), 6).alias("top_bigram_share"),
+            F.round(
+                F.max(F.lit(1.0) - F.col("d").cast("double") / F.col("n")), 6
+            ).alias("max_doc_dup_frac"),
+        )
+        .orderBy("lang")
+    )
+
+
+ORACLE_DOC_REPETITION_STATS = """
+WITH words AS (
+  SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS w FROM documents
+),
+bg_rows AS (
+  SELECT doc_id, lang,
+         unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS bg
+  FROM words WHERE len(w) >= 2
+),
+per_doc AS (
+  SELECT doc_id, lang, SUM(c) AS n, COUNT(*) AS d, MAX(c) AS top
+  FROM (SELECT doc_id, lang, bg, COUNT(*) AS c FROM bg_rows GROUP BY 1, 2, 3)
+  GROUP BY 1, 2
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       ROUND(1.0 - CAST(SUM(d) AS DOUBLE) / SUM(n), 6) AS dup_bigram_frac,
+       ROUND(CAST(SUM(top) AS DOUBLE) / SUM(n), 6) AS top_bigram_share,
+       ROUND(MAX(1.0 - CAST(d AS DOUBLE) / n), 6) AS max_doc_dup_frac
+FROM per_doc
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 QUERIES = {
+    "doc_repetition_stats": doc_repetition_stats,
     "lang_stats": lang_stats,
     "top_words": top_words,
     "similar_supplier_names": similar_supplier_names,
@@ -794,6 +876,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "doc_repetition_stats": ORACLE_DOC_REPETITION_STATS,
     "lang_stats": ORACLE_LANG_STATS,
     "token_stats": ORACLE_TOKEN_STATS,
     "bpe_token_stats": ORACLE_BPE_TOKEN_STATS,

@@ -365,7 +365,62 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+# ------------------------------------------------- gap-fill / resample
+
+
+def user_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily spend per user densified onto the full January grid via
+    the ``operators.timeseries`` gap-fill: missing (user, day) cells
+    get 0 plus a forward-filled last observation.
+
+    Scale shape: one partial-agg shuffle over the fact table; the date
+    spine (30 rows) broadcasts against the distinct keys; forward fill
+    windows per-key (never a global single-partition window). The
+    spine-grid pattern is how a metrics store densifies sparse series
+    at any scale — grid size is keys × days, independent of fact rows.
+    """
+    from data_ingestion_project_spark.operators.timeseries import gap_fill_daily
+
+    e = table(spark, sf_dir, "events").filter(F.col("user_id") < 5)
+    observed = e.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(dec_sum(F.col("value")).alias("spend"))
+    dense = gap_fill_daily(
+        observed, spark, "user_id", "spend", "2024-01-01", "2024-01-30"
+    )
+    return dense.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "spend_filled",
+        "spend_ffill",
+    ).orderBy("user_id", "day")
+
+
+ORACLE_USER_DAILY_GAPFILL = f"""
+WITH obs AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, {sql_dec_sum('value')} AS spend
+  FROM events WHERE user_id < 5 GROUP BY 1, 2
+),
+spine AS (
+  SELECT CAST(unnest(generate_series(DATE '2024-01-01', DATE '2024-01-30',
+                                     INTERVAL 1 DAY)) AS DATE) AS day
+),
+grid AS (
+  SELECT user_id, day FROM (SELECT DISTINCT user_id FROM obs) CROSS JOIN spine
+)
+SELECT g.user_id,
+       strftime(g.day, '%Y-%m-%d') AS day,
+       COALESCE(o.spend, 0.0) AS spend_filled,
+       LAST_VALUE(o.spend IGNORE NULLS) OVER (
+         PARTITION BY g.user_id ORDER BY g.day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS spend_ffill
+FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.day = o.day
+ORDER BY g.user_id, g.day
+"""
+
+
 QUERIES = {
+    "user_daily_gapfill": user_daily_gapfill,
     "hourly_event_stats": hourly_event_stats,
     "events_one_day_by_type": events_one_day_by_type,
     "event_transitions": event_transitions,
@@ -379,6 +434,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "user_daily_gapfill": ORACLE_USER_DAILY_GAPFILL,
     "daily_event_anomalies": ORACLE_DAILY_EVENT_ANOMALIES,
     "event_value_by_type_salted": ORACLE_EVENT_VALUE_BY_TYPE_SALTED,
     "hourly_event_stats": ORACLE_HOURLY_EVENT_STATS,

@@ -1,0 +1,323 @@
+"""Second batch of TPC-H-style shapes: conditional aggregation,
+aggregate-view scalar subquery, disjunctive predicate bands, double
+existential correlation, equi-width histograms, and exact-arithmetic
+correlation statistics.
+
+The reference has no query surface (SURVEY.md §2: the only aggregate
+anywhere is ``len(df)`` at ``ingestion/job.py:76-77``); these queries
+extend the engine's analytic coverage with Catalyst shapes the round-2
+inventory did not yet exercise:
+
+- Q14: aggregates over a CASE branch (conditional numerator / full
+  denominator in ONE pass — no second scan, no self-join);
+- Q15: scalar subquery against a *derived aggregate view* (not a base
+  table), planned as a broadcast of a 1-row agg-of-agg;
+- Q19: OR of conjunctive predicate bands — Catalyst pushes the
+  disjunction to the scan and extracts the common join key;
+- Q21: two correlated existential subqueries (EXISTS + NOT EXISTS)
+  against the same fact table, decorrelated into existence joins;
+- histogram: equi-width binning, the classic profiling scan;
+- correlation: Pearson r from exact decimal power sums (engine-
+  independent, unlike ``corr()`` whose streaming accumulation is
+  order-dependent across engines/partitionings).
+
+Scale notes inline per query; conventions per queries/__init__.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_ingestion_project_spark.queries._precision import (
+    DEC,
+    dec_sum,
+    sql_dec_sum,
+)
+from data_ingestion_project_spark.queries.tpch import REV, _rev
+from data_ingestion_project_spark.sources.readers import register_views, table
+
+# ------------------------------------------------------ promo revenue (Q14)
+
+
+def promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-aggregation ratio (TPC-H Q14 shape): share of one
+    month's revenue coming from PROMO parts.
+
+    One scan, one join, one aggregate: the CASE lives *inside* the sum
+    so numerator and denominator come out of the same partial-agg pass
+    — at 100 TB this matters; the naive two-query form scans lineitem
+    twice. The part side carries only (p_partkey, p_type) after column
+    pruning; AQE broadcasts it.
+    """
+    l = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-02-01").cast("timestamp"))
+    )
+    p = table(spark, sf_dir, "part")
+    joined = l.join(p, l.l_partkey == p.p_partkey)
+    promo = F.when(F.col("p_type").startswith("PROMO"), _rev()).otherwise(F.lit(0.0))
+    agg = joined.agg(
+        F.sum(promo.cast(DEC)).alias("_promo"),
+        F.sum(_rev().cast(DEC)).alias("_total"),
+    )
+    return agg.select(
+        F.round(F.lit(100.0) * F.col("_promo").cast("double") / F.col("_total").cast("double"), 4).alias(
+            "promo_revenue_pct"
+        ),
+        F.round(F.col("_total"), 2).cast("double").alias("total_revenue"),
+    )
+
+
+ORACLE_PROMO_REVENUE = f"""
+SELECT ROUND(100.0 * CAST(SUM(CAST(CASE WHEN p_type LIKE 'PROMO%' THEN {REV} ELSE 0.0 END AS DECIMAL(27,6))) AS DOUBLE)
+             / CAST(SUM(CAST({REV} AS DECIMAL(27,6))) AS DOUBLE), 4) AS promo_revenue_pct,
+       {sql_dec_sum(REV)} AS total_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-02-01'
+"""
+
+
+# -------------------------------------------------- top supplier (Q15 shape)
+
+
+def top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery against a derived aggregate view (TPC-H Q15):
+    the supplier(s) whose quarterly revenue equals the maximum.
+
+    Scale plan: revenue-per-supplier is one shuffle; the MAX over it is
+    an agg-of-agg producing ONE row, joined back via ``F.broadcast``
+    (never a global window / single partition). Ties all surface, like
+    Q15's spec. The rounded decimal revenue makes the equality join
+    engine-exact.
+    """
+    l = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    rev = l.groupBy("l_suppkey").agg(dec_sum(_rev()).alias("total_revenue"))
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    s = table(spark, sf_dir, "supplier")
+    return (
+        rev.join(F.broadcast(mx), rev.total_revenue == mx.mx)
+        .join(s, rev.l_suppkey == s.s_suppkey)
+        .select(F.col("s_suppkey"), F.col("s_name"), F.col("total_revenue"))
+        .orderBy("s_suppkey")
+    )
+
+
+ORACLE_TOP_REVENUE_SUPPLIER = f"""
+WITH rev AS (
+  SELECT l_suppkey, {sql_dec_sum(REV)} AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+ORDER BY s_suppkey
+"""
+
+
+# --------------------------------------------- disjunctive bands (Q19 shape)
+
+
+def brand_band_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OR of conjunctive (brand, size, quantity) bands (TPC-H Q19).
+
+    Catalyst extracts the common equi-join key (l_partkey = p_partkey)
+    from under the disjunction and pushes the per-table halves of each
+    band down to the scans (part predicates to the part scan, quantity
+    predicates to the lineitem scan) — pinned in test_plan_shapes. The
+    residual OR is evaluated post-join, not as a nested-loop.
+    """
+    l = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    j = l.join(p, l.l_partkey == p.p_partkey)
+    band1 = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 20)
+    )
+    band2 = (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(10, 30)
+        & F.col("l_quantity").between(10, 35)
+    )
+    band3 = (
+        (F.col("p_brand") == "Brand#34")
+        & F.col("p_size").between(20, 50)
+        & F.col("l_quantity").between(20, 50)
+    )
+    return j.filter(band1 | band2 | band3).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        dec_sum(_rev()).alias("revenue"),
+    )
+
+
+ORACLE_BRAND_BAND_REVENUE = f"""
+SELECT COUNT(*) AS n_items, {sql_dec_sum(REV)} AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 35)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 50)
+"""
+
+
+# ------------------------------------- double existential correlation (Q21)
+
+_SOLE_RETURN_SQL = """
+SELECT s_name, COUNT(*) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+WHERE o_orderstatus = 'F'
+  AND l1.l_returnflag = 'R'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey
+      AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_returnflag = 'R'
+  )
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 10
+"""
+
+
+def sole_return_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who are the *only* supplier with a
+    returned ('R') lineitem in multi-supplier finished orders — one
+    EXISTS and one NOT EXISTS, both correlated on l_orderkey against
+    the same fact table.
+
+    Catalyst decorrelates both into existence joins (left-semi /
+    left-anti flavored hash joins) shuffling on l_orderkey — three
+    co-partitioned passes over lineitem, no per-row subquery execution.
+    The SQL text is dialect-shared with the DuckDB oracle verbatim.
+    """
+    register_views(spark, sf_dir, ("supplier", "lineitem", "orders"))
+    return spark.sql(_SOLE_RETURN_SQL)
+
+
+# ------------------------------------------------------ equi-width histogram
+
+
+def order_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of order totals: 10 fixed 50k-wide bins.
+
+    The classic profiling scan: one pass, bin id computed per row in
+    codegen, partial agg collapses to ≤10 groups map-side — at 100 TB
+    the shuffle moves ~10 rows per task regardless of input size.
+    """
+    o = table(spark, sf_dir, "orders")
+    bin_id = F.least(F.floor(F.col("o_totalprice") / F.lit(50000.0)), F.lit(9)).cast("int")
+    return (
+        o.select(bin_id.alias("bin"), "o_totalprice")
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dec_sum(F.col("o_totalprice")).alias("bin_revenue"),
+        )
+        .select(
+            "bin",
+            (F.col("bin").cast("bigint") * 50000).alias("bin_lo"),
+            "n_orders",
+            "bin_revenue",
+        )
+        .orderBy("bin")
+    )
+
+
+ORACLE_ORDER_PRICE_HISTOGRAM = f"""
+SELECT bin,
+       CAST(bin AS BIGINT) * 50000 AS bin_lo,
+       COUNT(*) AS n_orders,
+       {sql_dec_sum('o_totalprice')} AS bin_revenue
+FROM (
+  SELECT CAST(LEAST(FLOOR(o_totalprice / 50000.0), 9) AS INT) AS bin, o_totalprice
+  FROM orders
+) b
+GROUP BY bin
+ORDER BY bin
+"""
+
+
+# --------------------------------------------- exact-arithmetic correlation
+
+
+def price_quantity_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation of quantity vs extended price per return
+    flag, computed from exact decimal power sums.
+
+    Built-in ``corr()`` streams a covariance accumulator whose float
+    error depends on partitioning — not reproducible across engines or
+    even across runs at scale. Here the five power sums accumulate in
+    DECIMAL (exact, associative: every input is ≤4 decimal places), and
+    the closed-form r is one double expression at the end, rounded —
+    the same engine-independence trick as daily_event_anomalies.
+    One scan, one partial-agg shuffle of 3 groups.
+    """
+    l = table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity")
+    y = F.col("l_extendedprice")
+    g = l.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        F.sum(x.cast(DEC)).cast("double").alias("_sx"),
+        F.sum(y.cast(DEC)).cast("double").alias("_sy"),
+        F.sum((x * y).cast(DEC)).cast("double").alias("_sxy"),
+        F.sum((x * x).cast(DEC)).cast("double").alias("_sxx"),
+        F.sum((y * y).cast(DEC)).cast("double").alias("_syy"),
+    )
+    n, sx, sy, sxy, sxx, syy = (F.col(c) for c in ("_n", "_sx", "_sy", "_sxy", "_sxx", "_syy"))
+    r = (n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    return g.select(
+        "l_returnflag",
+        n.cast("bigint").alias("n_items"),
+        F.round(r, 4).alias("qty_price_corr"),
+        F.round(sy / n, 2).alias("avg_price"),
+    ).orderBy("l_returnflag")
+
+
+ORACLE_PRICE_QUANTITY_CORR = """
+WITH s AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,6))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(27,6))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(27,6))) AS DOUBLE) AS syy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       CAST(n AS BIGINT) AS n_items,
+       ROUND((n * sxy - sx * sy) / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)), 4) AS qty_price_corr,
+       ROUND(sy / n, 2) AS avg_price
+FROM s
+ORDER BY l_returnflag
+"""
+
+
+QUERIES = {
+    "promo_revenue": promo_revenue,
+    "top_revenue_supplier": top_revenue_supplier,
+    "brand_band_revenue": brand_band_revenue,
+    "sole_return_suppliers": sole_return_suppliers,
+    "order_price_histogram": order_price_histogram,
+    "price_quantity_corr": price_quantity_corr,
+}
+
+ORACLE = {
+    "promo_revenue": ORACLE_PROMO_REVENUE,
+    "top_revenue_supplier": ORACLE_TOP_REVENUE_SUPPLIER,
+    "brand_band_revenue": ORACLE_BRAND_BAND_REVENUE,
+    "sole_return_suppliers": _SOLE_RETURN_SQL,
+    "order_price_histogram": ORACLE_ORDER_PRICE_HISTOGRAM,
+    "price_quantity_corr": ORACLE_PRICE_QUANTITY_CORR,
+}
