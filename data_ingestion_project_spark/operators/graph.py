@@ -54,32 +54,43 @@ def connected_components(
             f"connected_components requires integral node ids, got {id_type!r} "
             f"for {src!r} — hash or dense-rank string ids first"
         )
-    sym = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-        .distinct()
+    # Materialize the directed edge list ONCE, before the symmetric
+    # union: the union's two branches are separate plan subtrees, so an
+    # un-checkpointed input would execute the caller's whole
+    # edge-producing pipeline (e.g. the winnow candidate generation)
+    # TWICE — Spark does not share common subexpressions across union
+    # branches. Observed 2× on dup_cluster_sizes before this.
+    directed = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).localCheckpoint(
+        eager=True
     )
-    # Materialize the edge set ONCE: every propagation round joins
-    # against it, and without the checkpoint each round would re-execute
-    # the caller's whole edge-producing pipeline (e.g. the winnow
-    # candidate generation) — O(rounds × upstream cost) instead of
-    # O(upstream + rounds).
-    sym = sym.localCheckpoint(eager=True)
+    # ... and the symmetric closure once more: every propagation round
+    # joins against it — O(upstream + rounds), not O(rounds × upstream).
+    sym = directed.union(
+        directed.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct().localCheckpoint(eager=True)
     labels = sym.select(F.col("a").alias("node")).distinct().select(
         "node", F.col("node").alias("comp")
     )
     labels = labels.localCheckpoint(eager=True)
     prev_sum = labels.agg(F.sum(F.col("comp").cast("decimal(38,0)"))).collect()[0][0]
 
-    for _ in range(max_iter):
+    from pyspark.sql import Observation
+
+    for i in range(max_iter):
         prop = sym.join(labels, sym["a"] == labels["node"]).select(
             F.col("b").alias("node"), F.col("comp")
         )
         new_labels = (
             labels.unionByName(prop).groupBy("node").agg(F.min("comp").alias("comp"))
         )
+        # Piggyback the convergence aggregate on the checkpoint job via
+        # observe(): one Spark job per round instead of two (the
+        # observation fills during the eager materialization, so the
+        # .get below does not launch a new action).
+        obs = Observation(f"cc_round_{i}")
+        new_labels = new_labels.observe(obs, F.sum(F.col("comp").cast("decimal(38,0)")).alias("s"))
         new_labels = new_labels.localCheckpoint(eager=True)
-        new_sum = new_labels.agg(F.sum(F.col("comp").cast("decimal(38,0)"))).collect()[0][0]
+        new_sum = obs.get["s"]
         labels = new_labels
         if new_sum == prev_sum:
             return labels
