@@ -93,17 +93,33 @@ def extract_media_features(
     meta struct at the scan if the caller selects from parquet."""
     decode = decode_fn or _fake_decode
 
+    fast_stub = decode_fn is None
+
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = pdf["payload"].map(decode)
+            payloads = pdf["payload"]
+            if fast_stub:
+                # Stub path: one sha256 object per payload serves both
+                # the content-address column and the fake features —
+                # hashing is the hot loop, so never hash twice.
+                hs = [hashlib.sha256(b) for b in payloads]
+                digests = [h.digest() for h in hs]
+                hexes = [h.hexdigest() for h in hs]
+                feat_mean = [d[0] for d in digests]
+                feat_entropy = [d[1] for d in digests]
+            else:
+                feats = [decode(b) for b in payloads]
+                hexes = [hashlib.sha256(b).hexdigest() for b in payloads]
+                feat_mean = [f["feat_mean"] for f in feats]
+                feat_entropy = [f["feat_entropy"] for f in feats]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
-                    "n_bytes": pdf["payload"].map(len).astype("int32"),
-                    "sha256": pdf["payload"].map(lambda b: hashlib.sha256(b).hexdigest()),
-                    "feat_mean": feats.map(lambda d: d["feat_mean"]).astype("int32"),
-                    "feat_entropy": feats.map(lambda d: d["feat_entropy"]).astype("int32"),
+                    "n_bytes": payloads.map(len).astype("int32"),
+                    "sha256": hexes,
+                    "feat_mean": pd.Series(feat_mean, index=pdf.index, dtype="int32"),
+                    "feat_entropy": pd.Series(feat_entropy, index=pdf.index, dtype="int32"),
                 }
             )
 
