@@ -412,9 +412,10 @@ def dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Shared winnow candidate-generation CTEs (the SQL twin of
-# _winnow_pair_counts), composed into both winnow oracles.
-_WINNOW_PAIR_CTES = """norm AS (
+# Shared winnow fingerprint CTEs (the SQL twin of
+# functions/text.py::winnow_fingerprints with k=8, w=4, md5 mode),
+# composed into the winnow-pair and contamination oracles.
+_WINNOW_FPS_CTES = """norm AS (
   SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS s
   FROM documents
 ), fps AS (
@@ -426,7 +427,11 @@ _WINNOW_PAIR_CTES = """norm AS (
            list_transform(range(1, greatest(len(s) - 7, 1) + 1), i -> md5(substr(s, i, 8))) AS grams
     FROM norm
   )
-), rare AS (
+)"""
+
+# ... extended with the posting-list prune + pair expansion (the SQL
+# twin of _winnow_pair_counts).
+_WINNOW_PAIR_CTES = _WINNOW_FPS_CTES + """, rare AS (
   SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= 50
 ), pruned AS (
   SELECT doc_id, fp FROM fps JOIN rare USING (fp)
@@ -852,6 +857,153 @@ ORDER BY lang
 """
 
 
+# ------------------------------------------------- sequence packing
+
+
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard sequence packing accounting: concatenate documents
+    in deterministic order and cut into fixed 2048-token sequences (the
+    standard LLM pretraining packing — documents may straddle sequence
+    boundaries). Per (lang, shard): document count, token total,
+    sequence count, fill ratio of the final ragged sequence, and how
+    many documents straddle a boundary.
+
+    Scale design: packing needs a total order, but a GLOBAL order is a
+    single-partition window at 100 TB. Sharding first (here doc_id mod 8
+    — any deterministic hash works) bounds every window to one shard,
+    so the shuffle is (lang, shard)-partitioned and each cumulative sum
+    is independent; shard count scales with the cluster, and packing
+    semantics hold within every shard by construction. Token counts are
+    the BPE pre-tokenizer regex (codegen, no Python)."""
+    from pyspark.sql.window import Window
+
+    B = 2048
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "lang",
+        (F.col("doc_id") % 8).alias("shard"),
+        bpe_token_count("text").cast("long").alias("tok"),
+    )
+    w = (
+        Window.partitionBy("lang", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = toks.withColumn("cum", F.sum("tok").over(w))
+    straddle = (F.col("tok") > 0) & (
+        F.expr(f"(cum - tok) div {B}") != F.expr(f"(cum - 1) div {B}")
+    )
+    return (
+        cum.groupBy("lang", "shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tok").alias("total_tokens"),
+            F.ceil(F.sum("tok") / F.lit(B)).alias("n_sequences"),
+            F.round(
+                F.sum("tok") / (F.ceil(F.sum("tok") / F.lit(B)) * B) * 100, 2
+            ).alias("fill_pct"),
+            F.sum(straddle.cast("long")).alias("n_straddlers"),
+        )
+        .orderBy("lang", "shard")
+    )
+
+
+ORACLE_SEQUENCE_PACKING = f"""
+WITH toks AS (
+  SELECT doc_id, lang, doc_id % 8 AS shard,
+         CAST(len(regexp_extract_all(text, '{{bpe}}', 0)) AS BIGINT) AS tok
+  FROM documents
+), cums AS (
+  SELECT lang, shard, tok,
+         SUM(tok) OVER (PARTITION BY lang, shard ORDER BY doc_id
+                        ROWS UNBOUNDED PRECEDING) AS cum
+  FROM toks
+)
+SELECT lang, shard,
+       COUNT(*) AS n_docs,
+       CAST(SUM(tok) AS BIGINT) AS total_tokens,
+       CAST(CEIL(SUM(tok) / 2048.0) AS BIGINT) AS n_sequences,
+       ROUND(SUM(tok) / (CEIL(SUM(tok) / 2048.0) * 2048) * 100, 2) AS fill_pct,
+       CAST(SUM(CASE WHEN tok > 0 AND (cum - tok) // 2048 <> (cum - 1) // 2048
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_straddlers
+FROM cums
+GROUP BY lang, shard
+ORDER BY lang, shard
+""".replace("{bpe}", BPE_SPLIT_PATTERN.replace("'", "''"))
+
+
+# -------------------------------------------- benchmark contamination
+
+
+def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/benchmark contamination detection: treating one source
+    (src0) as a held-out benchmark suite, flag training documents that
+    share >= 5 winnowed fingerprints (k=8, w=4 — any shared substring
+    of 11+ chars leaves a fingerprint) with ANY benchmark document.
+    Output: per language, training-doc count, contaminated count, rate.
+
+    Scale design: the benchmark set is tiny relative to the corpus, so
+    its distinct fingerprint set broadcasts; the training side is one
+    fingerprint equi-join (never all-pairs) followed by a per-doc
+    count. md5 mode so the DuckDB oracle replays the identical winnow
+    selection; production uses xxhash64."""
+    d = table(spark, sf_dir, "documents")
+    fps = winnow_fingerprints(d, "text", "doc_id", k=8, w=4, use_md5=True)
+    meta = d.select("doc_id", "lang", "source")
+    bench_fp = (
+        fps.join(meta.filter(F.col("source") == "src0"), "doc_id", "left_semi")
+        .select("fp")
+        .distinct()
+    )
+    train_meta = meta.filter(F.col("source") != "src0")
+    shared = (
+        fps.join(train_meta.select("doc_id"), "doc_id", "left_semi")
+        .join(F.broadcast(bench_fp), "fp")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    per_doc = train_meta.join(shared, "doc_id", "left").select(
+        "lang", F.coalesce("n_shared", F.lit(0)).alias("n_shared")
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_train_docs"),
+            F.sum((F.col("n_shared") >= 5).cast("long")).alias("n_contaminated"),
+            F.round(
+                F.sum((F.col("n_shared") >= 5).cast("long")) * 100.0
+                / F.count(F.lit(1)),
+                2,
+            ).alias("contaminated_pct"),
+        )
+        .orderBy("lang")
+    )
+
+
+ORACLE_BENCHMARK_CONTAMINATION = f"""
+WITH {_WINNOW_FPS_CTES}, bench_fp AS (
+  SELECT DISTINCT fp FROM fps JOIN documents USING (doc_id) WHERE source = 'src0'
+), shared AS (
+  SELECT doc_id, COUNT(*) AS n_shared
+  FROM fps JOIN bench_fp USING (fp)
+  WHERE doc_id IN (SELECT doc_id FROM documents WHERE source <> 'src0')
+  GROUP BY doc_id
+), per_doc AS (
+  SELECT d.lang, COALESCE(s.n_shared, 0) AS n_shared
+  FROM documents d LEFT JOIN shared s USING (doc_id)
+  WHERE d.source <> 'src0'
+)
+SELECT lang,
+       COUNT(*) AS n_train_docs,
+       CAST(SUM(CASE WHEN n_shared >= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+       ROUND(SUM(CASE WHEN n_shared >= 5 THEN 1 ELSE 0 END) * 100.0 / COUNT(*), 2) AS contaminated_pct
+FROM per_doc
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 QUERIES = {
     "doc_repetition_stats": doc_repetition_stats,
     "lang_stats": lang_stats,
@@ -873,6 +1025,8 @@ QUERIES = {
     "minhash_recall": minhash_recall,
     "minhash_near_dups": minhash_near_dups,
     "simhash_near_dups": simhash_near_dups,
+    "sequence_packing": sequence_packing,
+    "benchmark_contamination": benchmark_contamination,
 }
 
 ORACLE = {
@@ -894,5 +1048,7 @@ ORACLE = {
     "top_words": ORACLE_TOP_WORDS,
     "similar_supplier_names": ORACLE_SIMILAR_SUPPLIER_NAMES,
     "minhash_recall": ORACLE_MINHASH_RECALL,
+    "sequence_packing": ORACLE_SEQUENCE_PACKING,
+    "benchmark_contamination": ORACLE_BENCHMARK_CONTAMINATION,
     # minhash_near_dups / simhash_near_dups: rows-only by design
 }

@@ -332,6 +332,80 @@ ORDER BY l_returnflag
 """
 
 
+# ---------------------------------------------- market share (Q8 shape)
+
+
+def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year market share of one supplier nation (TPC-H Q8
+    shape): among ECONOMY-part order volume sold to EUROPE customers,
+    the revenue fraction supplied from NATION_3, per order year.
+
+    The share is a conditional aggregate (CASE inside the sum) so
+    numerator and denominator come from ONE pass over the joined fact.
+    Scale plan: part is filtered then broadcast; supplier⋈nation and
+    customer⋈nation⋈region reduce to key lists — supplier's is
+    broadcast; the customer side is a *semi-filter* (EUROPE keeps 1/5
+    of customers), kept as a shuffle join on o_custkey since customer
+    is fact-sized at 100 TB. Filters all reach the scans; the only big
+    shuffles are lineitem⋈orders and orders⋈customer on their keys.
+    """
+    l = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    p = table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+
+    europe_nations = n.join(
+        F.broadcast(r.filter(F.col("r_name") == "EUROPE")),
+        n.n_regionkey == r.r_regionkey,
+    ).select("n_nationkey")
+    euro_customers = c.join(
+        F.broadcast(europe_nations), c.c_nationkey == europe_nations.n_nationkey
+    ).select("c_custkey")
+    supp_nation = s.join(
+        F.broadcast(n.select("n_nationkey", "n_name")),
+        s.s_nationkey == F.col("n_nationkey"),
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+
+    joined = (
+        l.join(F.broadcast(p.select("p_partkey")), l.l_partkey == F.col("p_partkey"))
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(euro_customers, o.o_custkey == F.col("c_custkey"), "left_semi")
+        .join(F.broadcast(supp_nation), l.l_suppkey == supp_nation.s_suppkey)
+    )
+    target = F.when(F.col("supp_nation") == "NATION_3", _rev()).otherwise(F.lit(0.0))
+    agg = joined.groupBy(F.year("o_orderdate").alias("o_year")).agg(
+        F.sum(target.cast(DEC)).alias("_t"),
+        F.sum(_rev().cast(DEC)).alias("_v"),
+    )
+    return agg.select(
+        "o_year",
+        F.round(F.col("_t").cast("double") / F.col("_v").cast("double"), 4).alias("mkt_share"),
+        F.round(F.col("_v"), 2).cast("double").alias("total_revenue"),
+    ).orderBy("o_year")
+
+
+ORACLE_NATION_MARKET_SHARE = f"""
+SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+       ROUND(CAST(SUM(CAST(CASE WHEN n2.n_name = 'NATION_3' THEN {REV} ELSE 0.0 END AS DECIMAL(27,6))) AS DOUBLE)
+             / CAST(SUM(CAST({REV} AS DECIMAL(27,6))) AS DOUBLE), 4) AS mkt_share,
+       {sql_dec_sum(REV)} AS total_revenue
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   n1 ON c_nationkey = n1.n_nationkey
+JOIN region   ON n1.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   n2 ON s_nationkey = n2.n_nationkey
+WHERE p_type = 'ECONOMY' AND r_name = 'EUROPE'
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 QUERIES = {
     "promo_revenue": promo_revenue,
     "top_revenue_supplier": top_revenue_supplier,
@@ -339,6 +413,7 @@ QUERIES = {
     "sole_return_suppliers": sole_return_suppliers,
     "order_price_histogram": order_price_histogram,
     "price_quantity_corr": price_quantity_corr,
+    "nation_market_share": nation_market_share,
 }
 
 ORACLE = {
@@ -348,4 +423,5 @@ ORACLE = {
     "sole_return_suppliers": _SOLE_RETURN_SQL,
     "order_price_histogram": ORACLE_ORDER_PRICE_HISTOGRAM,
     "price_quantity_corr": ORACLE_PRICE_QUANTITY_CORR,
+    "nation_market_share": ORACLE_NATION_MARKET_SHARE,
 }
