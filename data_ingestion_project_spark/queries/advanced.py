@@ -720,6 +720,49 @@ ORDER BY c_nationkey
 """
 
 
+def supplier_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4's WITH RECURSIVE) — hierarchical rollup
+    over a derived supplier reporting tree: parent(k) = k div 10, roots
+    are keys 0-9, so the tree deepens with scale (depth ~ log10 n). Per
+    root: subtree size, max depth, exact subtree balance.
+
+    Spark executes the recursion iteratively — one join per level
+    against the frontier, log10(n) rounds, never a self-join explosion;
+    the frontier is tiny relative to the table, so AQE broadcasts it.
+    This is the SQL-surface twin of operators/graph.py's iterative
+    label propagation (same execution model, declarative form). DuckDB
+    runs the identical recursion natively (`//` for `div`)."""
+    register_views(spark, sf_dir, ("supplier",))
+    return spark.sql(f"""
+        WITH RECURSIVE tree AS (
+          SELECT s_suppkey, s_suppkey AS root, 0 AS depth, s_acctbal
+          FROM supplier WHERE s_suppkey < 10
+          UNION ALL
+          SELECT s.s_suppkey, t.root, t.depth + 1, s.s_acctbal
+          FROM supplier s JOIN tree t
+            ON s.s_suppkey div 10 = t.s_suppkey AND s.s_suppkey >= 10
+        )
+        SELECT root, COUNT(*) AS n_nodes, MAX(depth) AS max_depth,
+               {sql_dec_sum('s_acctbal')} AS subtree_acctbal
+        FROM tree GROUP BY root ORDER BY root
+    """)
+
+
+ORACLE_SUPPLIER_HIERARCHY_ROLLUP = f"""
+WITH RECURSIVE tree AS (
+  SELECT s_suppkey, s_suppkey AS root, 0 AS depth, s_acctbal
+  FROM supplier WHERE s_suppkey < 10
+  UNION ALL
+  SELECT s.s_suppkey, t.root, t.depth + 1, s.s_acctbal
+  FROM supplier s JOIN tree t
+    ON s.s_suppkey // 10 = t.s_suppkey AND s.s_suppkey >= 10
+)
+SELECT root, COUNT(*) AS n_nodes, MAX(depth) AS max_depth,
+       {sql_dec_sum('s_acctbal')} AS subtree_acctbal
+FROM tree GROUP BY root ORDER BY root
+"""
+
+
 QUERIES = {
     "acctbal_deciles": acctbal_deciles,
     "acctbal_deciles_scalable": acctbal_deciles_scalable,
@@ -742,6 +785,7 @@ QUERIES = {
     "segment_priority_listing": segment_priority_listing,
     "top2_orders_lateral": top2_orders_lateral,
     "wealthy_inactive_customers": wealthy_inactive_customers,
+    "supplier_hierarchy_rollup": supplier_hierarchy_rollup,
 }
 
 ORACLE = {
@@ -764,4 +808,5 @@ ORACLE = {
     "segment_priority_listing": ORACLE_SEGMENT_PRIORITY_LISTING,
     "top2_orders_lateral": ORACLE_TOP2_ORDERS_LATERAL,
     "wealthy_inactive_customers": ORACLE_WEALTHY_INACTIVE_CUSTOMERS,
+    "supplier_hierarchy_rollup": ORACLE_SUPPLIER_HIERARCHY_ROLLUP,
 }

@@ -18,6 +18,7 @@ from data_ingestion_project_spark.operators.similarity import (
     cosine_topk,
     ivf_ann_topk,
     lsh_ann_topk,
+    pq_ann_topk,
 )
 from data_ingestion_project_spark.sources.readers import table
 
@@ -180,6 +181,44 @@ def ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PQ_BOOKS: dict = {}
+
+
+def _pq_index(spark: SparkSession, sf_dir: str) -> list[list[list[float]]]:
+    from data_ingestion_project_spark.operators.similarity import pq_codebooks
+
+    if sf_dir not in _PQ_BOOKS:
+        corpus = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") != QUERY_VEC_ID)
+        _PQ_BOOKS[sf_dir] = pq_codebooks(corpus, m=8, ksub=16, n_iter=3, seed=42)
+    return _PQ_BOOKS[sf_dir]
+
+
+def knn_pq_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 via product quantization + asymmetric distance
+    (operators/similarity.py::pq_ann_topk): byte codes + an m x ksub
+    query lookup table stand in for the float vectors, with an exact
+    rescore of the 100 widest ADC candidates. Rows-only (quantization
+    error is by construction); pq_recall certifies quality against the
+    exact twin and pytest asserts the floor."""
+    q = _query_vec(spark, sf_dir)
+    corpus = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") != QUERY_VEC_ID)
+    res = pq_ann_topk(corpus, q, k=10, rerank=100, codebooks=_pq_index(spark, sf_dir))
+    return res.select("vec_id", F.round("sim", 4).alias("sim"))
+
+
+def pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@10 of PQ-ADC ANN against the exact brute-force top-10
+    (same certification shape as lsh_recall / ivf_recall)."""
+    exact_ids = knn_brute_force(spark, sf_dir).select("vec_id")
+    approx_ids = knn_pq_approx(spark, sf_dir).select("vec_id")
+    hit = exact_ids.join(approx_ids, "vec_id", "left_semi")
+    k = exact_ids.agg(F.count(F.lit(1)).alias("k"))
+    h = hit.agg(F.count(F.lit(1)).alias("n_hit"))
+    return k.crossJoin(h).select(
+        "k", "n_hit", F.round(F.col("n_hit") / F.col("k"), 4).alias("recall_at_k")
+    )
+
+
 QUERIES = {
     "knn_brute_force": knn_brute_force,
     "top_similar_pairs": top_similar_pairs,
@@ -188,6 +227,8 @@ QUERIES = {
     "lsh_recall": lsh_recall,
     "knn_ivf_approx": knn_ivf_approx,
     "ivf_recall": ivf_recall,
+    "knn_pq_approx": knn_pq_approx,
+    "pq_recall": pq_recall,
 }
 
 ORACLE = {

@@ -352,3 +352,30 @@ def test_lsh_high_similarity_recall_radius1(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     got = {r["vec_id"] for r in lsh_ann_topk(df, base, k=10, n_planes=8, probe_hamming=1).collect()}
     assert len(got & set(range(1, 21))) >= 9
+
+
+def test_pq_ann_recall_floor(spark):
+    """PQ-ADC (8 subspaces x 16 codewords, rerank 100) must actually
+    find neighbors: recall@10 >= 0.6 at sf0.001 (measured 0.9; floor
+    leaves slack for float-sum order wiggle in codebook training).
+    Also pins the code invariant: every vector encodes to exactly m
+    codes, each within [0, ksub)."""
+    import pyspark.sql.functions as F
+
+    from data_ingestion_project_spark.operators.similarity import pq_codebooks, pq_encode
+    from data_ingestion_project_spark.queries import all_queries
+    from data_ingestion_project_spark.sources.readers import table
+
+    row = all_queries()["pq_recall"](spark, "/root/testdata/sf0.001").collect()[0]
+    assert row["k"] == 10
+    assert row["recall_at_k"] >= 0.6
+
+    corpus = table(spark, "/root/testdata/sf0.001", "embeddings")
+    books = pq_codebooks(corpus, m=8, ksub=16, n_iter=3, seed=42)
+    assert len(books) == 8 and all(len(b) == 16 for b in books)
+    enc = pq_encode(corpus, books)
+    bad = enc.filter(
+        (F.size("pq_code") != 8)
+        | F.exists("pq_code", lambda c: (c < 0) | (c >= 16))
+    ).count()
+    assert bad == 0
