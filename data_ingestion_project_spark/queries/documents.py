@@ -1004,6 +1004,101 @@ ORDER BY lang
 """
 
 
+# ---------------------------------------------------- dedup funnel
+
+
+def dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup waterfall — the accounting a training-data
+    pipeline publishes per corpus snapshot: per language, document and
+    BPE-token counts (1) raw, (2) after exact content-addressed dedup
+    (keep lowest doc_id per md5 fingerprint), (3) after near-dup
+    removal (drop any doc with word-set Jaccard >= 0.5 against a
+    lower-id exact-survivor).
+
+    Stage semantics are deliberately greedy-deterministic (keep-lowest)
+    so the whole funnel is engine-replayable — the clustering variant
+    is dup_cluster_sizes. Scale shape: exact stage is one agg + semi
+    join on fingerprint; near stage reuses the inverted-index candidate
+    join restricted to exact survivors WITH posting-list pruning
+    (words in more than 50 docs are dropped before the join — both
+    intersections and set sizes use the pruned vocabulary, so this is
+    the exact Jaccard of the discriminative word sets; without the cap
+    the candidate join is quadratic, which is why the unpruned
+    near_dup_jaccard_top baseline is bench-excluded)."""
+    d = table(spark, sf_dir, "documents")
+    docs = d.select(
+        "doc_id", "lang", "text",
+        fingerprint("text").alias("fp"),
+        bpe_token_count("text").cast("long").alias("tok"),
+    )
+    first_per_fp = docs.groupBy("fp").agg(F.min("doc_id").alias("keep_id"))
+    s1 = docs.join(
+        first_per_fp,
+        (docs.fp == first_per_fp.fp) & (docs.doc_id == first_per_fp.keep_id),
+        "left_semi",
+    )
+    near = jaccard_pairs(s1, min_jaccard=0.5, max_word_doc_freq=50).select(
+        F.col("id_b").alias("doc_id")
+    ).distinct()
+    s2 = s1.join(near, "doc_id", "left_anti")
+
+    def _acc(df, n_alias, t_alias):
+        return df.groupBy("lang").agg(
+            F.count(F.lit(1)).alias(n_alias), F.sum("tok").alias(t_alias)
+        )
+
+    return (
+        _acc(docs, "n_raw", "tok_raw")
+        .join(_acc(s1, "n_exact", "tok_exact"), "lang")
+        .join(_acc(s2, "n_final", "tok_final"), "lang")
+        .orderBy("lang")
+    )
+
+
+ORACLE_DEDUP_FUNNEL = """
+WITH docs AS (
+  SELECT doc_id, lang, text,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+         CAST(len(regexp_extract_all(text, '{bpe}', 0)) AS BIGINT) AS tok
+  FROM documents
+), s1 AS (
+  SELECT d.* FROM docs d
+  JOIN (SELECT fp, MIN(doc_id) AS keep_id FROM docs GROUP BY fp) k
+    ON d.fp = k.fp AND d.doc_id = k.keep_id
+), words AS (
+  SELECT doc_id,
+         unnest(list_distinct(string_split_regex(
+           regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), '\\s+'))) AS word
+  FROM s1
+), pruned AS (
+  SELECT doc_id, word FROM words
+  WHERE word IN (SELECT word FROM words GROUP BY word HAVING COUNT(*) <= 50)
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS set_size FROM pruned GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+  FROM pruned a JOIN pruned b ON a.word = b.word AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), near AS (
+  SELECT DISTINCT id_b AS doc_id FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE n_common * 1.0 / (sa.set_size + sb.set_size - n_common) >= 0.5
+), s2 AS (
+  SELECT * FROM s1 WHERE doc_id NOT IN (SELECT doc_id FROM near)
+)
+SELECT lang,
+       (SELECT COUNT(*) FROM docs x WHERE x.lang = l.lang) AS n_raw,
+       (SELECT CAST(SUM(tok) AS BIGINT) FROM docs x WHERE x.lang = l.lang) AS tok_raw,
+       (SELECT COUNT(*) FROM s1 x WHERE x.lang = l.lang) AS n_exact,
+       (SELECT CAST(SUM(tok) AS BIGINT) FROM s1 x WHERE x.lang = l.lang) AS tok_exact,
+       (SELECT COUNT(*) FROM s2 x WHERE x.lang = l.lang) AS n_final,
+       (SELECT CAST(SUM(tok) AS BIGINT) FROM s2 x WHERE x.lang = l.lang) AS tok_final
+FROM (SELECT DISTINCT lang FROM docs) l
+ORDER BY lang
+""".replace("{bpe}", _BPE_SQL)
+
+
 QUERIES = {
     "doc_repetition_stats": doc_repetition_stats,
     "lang_stats": lang_stats,
@@ -1027,6 +1122,7 @@ QUERIES = {
     "simhash_near_dups": simhash_near_dups,
     "sequence_packing": sequence_packing,
     "benchmark_contamination": benchmark_contamination,
+    "dedup_funnel": dedup_funnel,
 }
 
 ORACLE = {
@@ -1050,5 +1146,6 @@ ORACLE = {
     "minhash_recall": ORACLE_MINHASH_RECALL,
     "sequence_packing": ORACLE_SEQUENCE_PACKING,
     "benchmark_contamination": ORACLE_BENCHMARK_CONTAMINATION,
+    "dedup_funnel": ORACLE_DEDUP_FUNNEL,
     # minhash_near_dups / simhash_near_dups: rows-only by design
 }
