@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from data_ingestion_project_spark.queries._precision import (
     DEC,
@@ -406,6 +407,127 @@ ORDER BY 1
 """
 
 
+# ------------------------------------ large-volume customers (Q18 shape)
+
+
+def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total line quantity exceeds a
+    threshold, with their customer — the classic IN-(GROUP BY … HAVING)
+    subquery.
+
+    Spark-first plan: aggregate lineitem by l_orderkey FIRST (one
+    shuffle, map-side partial sums), filter on the aggregate, then join
+    the ~10⁻⁴-selective survivor set to orders/customer. The survivor
+    frame is tiny at any scale, so both joins broadcast it — never a
+    full orders⋈lineitem join followed by a HAVING. Quantity sums are
+    integral-valued doubles (exact up to 2⁵³), so the threshold
+    comparison is engine-exact without decimal accumulation.
+    Top-k bounded with a deterministic o_orderkey tie-break.
+    """
+    l = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 300)
+    )
+    return (
+        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_totalprice",
+            "sum_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
+    )
+
+
+ORACLE_LARGE_VOLUME_CUSTOMERS = """
+SELECT c_custkey, c_name, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       o_totalprice, sum_qty
+FROM orders
+JOIN (
+  SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 300
+) big ON o_orderkey = big.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+
+# --------------------------------- dominant-share suppliers (Q20 shape)
+
+
+def dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape adapted to this schema (no partsupp table):
+    suppliers who shipped more than 2× their "fair" (uniform) share of
+    some part's total quantity — a correlated aggregate-vs-aggregate
+    comparison (supplier cell vs per-part total).
+
+    Spark-first plan: one shuffle aggregates lineitem to
+    (part, supplier) cells; the per-part total and supplier count are
+    windows over that *pre-aggregated* frame partitioned by l_partkey
+    (group size = suppliers-per-part, bounded — never a
+    single-partition window). Catalyst reuses the same hash
+    partitioning for the window, so the whole correlation costs one
+    extra in-partition sort. Quantities are integral-valued doubles,
+    so `supp_qty * n_supp > 2 * part_qty` is exact long-range
+    arithmetic — engine-exact without decimals. The dominated counts
+    collapse to ≤|supplier| rows before the name join.
+    """
+    l = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    cell = l.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("l_quantity").alias("supp_qty")
+    )
+    w = Window.partitionBy("l_partkey")
+    dominated = (
+        cell.withColumn("part_qty", F.sum("supp_qty").over(w))
+        .withColumn("n_supp", F.count(F.lit(1)).over(w))
+        .filter(F.col("supp_qty") * F.col("n_supp") > F.lit(2) * F.col("part_qty"))
+        .groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts_dominated"),
+            F.sum("supp_qty").alias("dominated_qty"),
+        )
+    )
+    return (
+        dominated.join(s, dominated.l_suppkey == s.s_suppkey)
+        .select("s_suppkey", "s_name", "n_parts_dominated", "dominated_qty")
+        .orderBy(F.col("n_parts_dominated").desc(), "s_suppkey")
+        .limit(20)
+    )
+
+
+ORACLE_DOMINANT_PART_SUPPLIERS = """
+WITH cell AS (
+  SELECT l_partkey, l_suppkey, SUM(l_quantity) AS supp_qty
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+), shares AS (
+  SELECT l_suppkey, supp_qty,
+         SUM(supp_qty) OVER (PARTITION BY l_partkey) AS part_qty,
+         COUNT(*)     OVER (PARTITION BY l_partkey) AS n_supp
+  FROM cell
+)
+SELECT s_suppkey, s_name,
+       COUNT(*) AS n_parts_dominated,
+       SUM(supp_qty) AS dominated_qty
+FROM shares JOIN supplier ON l_suppkey = s_suppkey
+WHERE supp_qty * n_supp > 2 * part_qty
+GROUP BY s_suppkey, s_name
+ORDER BY n_parts_dominated DESC, s_suppkey
+LIMIT 20
+"""
+
+
 QUERIES = {
     "promo_revenue": promo_revenue,
     "top_revenue_supplier": top_revenue_supplier,
@@ -414,6 +536,8 @@ QUERIES = {
     "order_price_histogram": order_price_histogram,
     "price_quantity_corr": price_quantity_corr,
     "nation_market_share": nation_market_share,
+    "large_volume_customers": large_volume_customers,
+    "dominant_part_suppliers": dominant_part_suppliers,
 }
 
 ORACLE = {
@@ -424,4 +548,6 @@ ORACLE = {
     "order_price_histogram": ORACLE_ORDER_PRICE_HISTOGRAM,
     "price_quantity_corr": ORACLE_PRICE_QUANTITY_CORR,
     "nation_market_share": ORACLE_NATION_MARKET_SHARE,
+    "large_volume_customers": ORACLE_LARGE_VOLUME_CUSTOMERS,
+    "dominant_part_suppliers": ORACLE_DOMINANT_PART_SUPPLIERS,
 }

@@ -160,3 +160,34 @@ def test_events_day_query_prunes_partitions(spark):
         .collect()
     ]
     assert touched and all("event_day=2024-01-15" in f for f in touched)
+
+
+def test_large_volume_customers_aggregates_before_join(spark):
+    """Q18 shape: the HAVING-subquery must be planned aggregate-FIRST —
+    the tiny survivor set broadcast to orders, never a full
+    orders⋈lineitem join re-aggregated afterwards. At 100 TB the
+    survivor frame is ~10⁻⁴ of lineitem; a sort-merge join of the two
+    fact tables here would be the dominant shuffle."""
+    df = all_queries()["large_volume_customers"](spark, SF)
+    c = plan_census(df)
+    assert c["n_broadcast_joins"] >= 1
+    assert c["n_sortmerge_joins"] == 0
+
+
+def test_dominant_suppliers_window_reuses_agg_partitioning(spark):
+    """Q20 shape: the per-part window must run on the (part, supplier)
+    pre-aggregate's existing hash distribution — one shuffle for the
+    cell aggregate; the window adds at most a sort, never a second
+    full-table exchange and never a SinglePartition funnel."""
+    from data_ingestion_project_spark.plans.explain import executed_plan
+
+    df = all_queries()["dominant_part_suppliers"](spark, SF)
+    # census BEFORE execution: the post-AQE formatted plan repeats
+    # every node in an "Initial Plan" section, doubling the counts
+    c = plan_census(df)
+    assert "SinglePartition" not in executed_plan(df)
+    # lineitem is scanned once (cell agg feeds both window columns);
+    # 3 hash exchanges: partial→cells, cells→partkey window, →suppkey agg
+    assert c["n_exchanges"] <= 3
+    assert c["n_broadcast_joins"] >= 1
+    assert c["n_sortmerge_joins"] == 0
