@@ -137,11 +137,19 @@ def create_table(spark: SparkSession, path: str, df: DataFrame) -> int:
     return 0
 
 
-def _commit_retry(path: str, op: str, new_dirs_fn, base_version: int | None, max_retries: int = 10) -> int:
+def _commit_retry(
+    path: str,
+    op: str,
+    new_dirs_fn,
+    base_version: int | None,
+    max_retries: int = 10,
+    extra: dict | None = None,
+) -> int:
     """Commit loop. ``new_dirs_fn(prev_manifest) -> (data_dirs, schema)``
     is re-evaluated per attempt so appends rebase onto the winner's
     version; read-modify-write callers pass ``base_version`` and get
-    TxnConflict instead of silent lost updates."""
+    TxnConflict instead of silent lost updates. ``extra`` fields (e.g.
+    per-directory key stats) are merged into the manifest."""
     for _ in range(max_retries):
         vs = _versions(path)
         if not vs:
@@ -159,6 +167,7 @@ def _commit_retry(path: str, op: str, new_dirs_fn, base_version: int | None, max
             "data_dirs": dirs,
             "schema": schema or prev["schema"],
             "committed_at": time.time(),
+            **(extra or {}),
         }
         if _try_commit(path, head + 1, manifest):
             return head + 1
@@ -248,3 +257,190 @@ def vacuum(path: str, keep_versions: int = 1, min_age_seconds: float = 3600.0) -
         shutil.rmtree(full)
         removed.append(rel)
     return removed
+
+
+# --------------------------------------------------------------- MERGE
+#
+# The full read-modify-write MERGE (WHEN MATCHED UPDATE/DELETE, WHEN
+# NOT MATCHED INSERT) that `merge_upsert` (insert-only, whole-table
+# rewrite) is not. The 100 TB property is REWRITE PROPORTIONALITY:
+# cost scales with the data directories that actually contain matched
+# keys, not with table size — the same file-pruning design as Delta's
+# MERGE (find touched files via a join against the source keys,
+# rewrite only those, carry every other file forward in the manifest
+# untouched).
+
+
+def analyze(spark: SparkSession, path: str, key: str) -> int:
+    """Stamp per-directory [min, max] stats of ``key`` into a
+    metadata-only commit. ``merge`` uses them to drop directories whose
+    key range cannot overlap the source WITHOUT reading any data (the
+    manifest-side analog of parquet row-group min/max). One narrow
+    column scan per directory, once; merge-rewritten directories get
+    their stats stamped at write time, so a table analyzed once stays
+    analyzed."""
+    base = current_version(path)
+    if base is None:
+        raise FileNotFoundError(f"no txn table at {path}")
+    m = _read_manifest(path, base)
+    stats = dict(m.get("stats") or {})
+    for rel in m["data_dirs"]:
+        if rel in stats:
+            continue
+        row = (
+            spark.read.parquet(os.path.join(path, rel))
+            .agg(F.min(key).alias("lo"), F.max(key).alias("hi"))
+            .collect()[0]
+        )
+        stats[rel] = {"key": key, "lo": row["lo"], "hi": row["hi"]}
+
+    def dirs_fn(prev: dict):
+        return prev["data_dirs"], None
+
+    return _commit_retry(path, "analyze", dirs_fn, base, extra={"stats": stats})
+
+
+def merge(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    key: str,
+    *,
+    when_matched: str = "update",
+    insert_not_matched: bool = True,
+) -> dict:
+    """MERGE ``source`` into the table on equality of ``key``.
+
+    - ``when_matched="update"``: a matched target row is REPLACED by
+      its source row (full-row update; ``source`` must carry the table
+      schema). ``"delete"``: matched target rows are removed.
+    - ``insert_not_matched``: source rows matching no target row are
+      appended.
+
+    Precondition (same as Delta): at most one source row per key —
+    duplicate source keys would make the update ambiguous. Enforced
+    with one cheap aggregate on the (small) source.
+
+    Plan, in order of what it costs:
+    1. **Stats pruning (no I/O):** directories whose stamped
+       [lo, hi] key range cannot intersect the source's [min, max] are
+       carried forward untouched. Manifest-side arithmetic only.
+    2. **Exact touch detection (one narrow scan of survivors):** the
+       surviving directories are scanned ONCE — key column only,
+       semi-joined against the broadcast source keys, aggregated to
+       the distinct set of directories that truly contain a match
+       (``input_file_name`` → directory). O(survivor bytes), fully
+       distributed, no driver loop.
+    3. **Rewrite (touched dirs only):** matched-dir rows are
+       anti-joined (update/delete) / unioned with the replacement and
+       insert rows, written as ONE new immutable directory with stats
+       stamped. Every untouched directory's files are never opened.
+
+    Commits against the snapshot version it read (TxnConflict on a
+    concurrent write — lost updates are impossible). Returns
+    ``{"version", "n_dirs", "pruned_by_stats", "touched_dirs"}``.
+    """
+    if when_matched not in ("update", "delete"):
+        raise ValueError(f"when_matched must be 'update' or 'delete', got {when_matched!r}")
+    base = current_version(path)
+    if base is None:
+        raise FileNotFoundError(f"no txn table at {path}")
+    m = _read_manifest(path, base)
+    all_dirs = list(m["data_dirs"])
+    stats = m.get("stats") or {}
+
+    source = source.cache()
+    try:
+        agg = source.agg(
+            F.min(key).alias("lo"),
+            F.max(key).alias("hi"),
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct(F.col(key)).alias("nk"),
+        ).collect()[0]
+        if agg["n"] != agg["nk"]:
+            raise ValueError(
+                f"MERGE source has duplicate keys ({agg['n']} rows, {agg['nk']} distinct {key!r})"
+            )
+        src_keys = source.select(key)
+
+        # 1. manifest-side stats pruning
+        survivors = []
+        pruned = 0
+        for rel in all_dirs:
+            st = stats.get(rel)
+            if (
+                st
+                and st.get("key") == key
+                and st["lo"] is not None
+                and agg["n"] > 0
+                and (st["hi"] < agg["lo"] or st["lo"] > agg["hi"])
+            ):
+                pruned += 1
+            else:
+                survivors.append(rel)
+
+        # 2. one distributed pass over survivors: which dirs hold a match
+        touched: list[str] = []
+        if survivors and agg["n"] > 0:
+            scan = spark.read.parquet(*[os.path.join(path, rel) for rel in survivors])
+            hit_files = (
+                scan.select(F.col(key), F.input_file_name().alias("__f"))
+                .join(F.broadcast(src_keys), key, "left_semi")
+                .select(F.regexp_extract("__f", rf"({_DATA}/[0-9a-f]{{32}})/", 1).alias("__d"))
+                .distinct()
+                .collect()
+            )
+            touched = sorted(r["__d"] for r in hit_files)
+
+        untouched = [rel for rel in all_dirs if rel not in set(touched)]
+        new_stats = {rel: stats[rel] for rel in untouched if rel in stats}
+
+        # 3. rewrite only the touched directories
+        new_dirs = list(untouched)
+        out_parts = []
+        if touched:
+            t = spark.read.parquet(*[os.path.join(path, rel) for rel in touched])
+            out_parts.append(t.join(F.broadcast(src_keys), key, "left_anti"))
+            if when_matched == "update":
+                touched_keys = t.select(key).distinct()
+                out_parts.append(source.join(F.broadcast(touched_keys), key, "left_semi"))
+        if insert_not_matched:
+            if touched:
+                matched_keys = (
+                    spark.read.parquet(*[os.path.join(path, rel) for rel in touched])
+                    .select(key)
+                    .distinct()
+                )
+                out_parts.append(source.join(F.broadcast(matched_keys), key, "left_anti"))
+            else:
+                out_parts.append(source)
+        if out_parts:
+            out = out_parts[0]
+            for p in out_parts[1:]:
+                out = out.unionByName(p)
+            out = out.cache()
+            try:
+                row = out.agg(
+                    F.min(key).alias("lo"),
+                    F.max(key).alias("hi"),
+                    F.count(F.lit(1)).alias("n"),
+                ).collect()[0]
+                if row["n"] > 0:  # an all-deletes merge writes nothing
+                    rel = _write_data(out, path)
+                    new_stats[rel] = {"key": key, "lo": row["lo"], "hi": row["hi"]}
+                    new_dirs.append(rel)
+            finally:
+                out.unpersist()
+
+        def dirs_fn(prev: dict):
+            return new_dirs, None
+
+        v = _commit_retry(path, "merge", dirs_fn, base, extra={"stats": new_stats})
+        return {
+            "version": v,
+            "n_dirs": len(all_dirs),
+            "pruned_by_stats": pruned,
+            "touched_dirs": len(touched),
+        }
+    finally:
+        source.unpersist()

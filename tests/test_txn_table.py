@@ -115,3 +115,94 @@ def test_ingestion_job_through_txn_format(spark, keys, tmp_path, batch1, batch3_
     m2 = run_ingestion_job(spark, keys, p, users=batch3_half_new, table_format="txn")
     assert m2["rows_after_dedup"] == 15  # 5 replayed keys discarded, existing wins
     assert T.current_version(p) == 1
+
+
+def _mtimes(path, rels):
+    out = {}
+    for rel in rels:
+        d = os.path.join(path, rel)
+        out[rel] = {f: os.path.getmtime(os.path.join(d, f)) for f in os.listdir(d)}
+    return out
+
+
+def test_merge_update_delete_insert_semantics(spark, tmp_path):
+    p = str(tmp_path / "t")
+    T.create_table(spark, p, _df(spark, [1, 2, 3]))
+    src = spark.createDataFrame([(2, "UPDATED"), (9, "v9")], "id long, val string")
+    res = T.merge(spark, p, src, key="id")
+    assert res["touched_dirs"] == 1
+    rows = {r["id"]: r["val"] for r in T.read(spark, p).collect()}
+    assert rows == {1: "v1", 2: "UPDATED", 3: "v3", 9: "v9"}  # update + insert
+    # delete matched, no insert
+    res = T.merge(
+        spark, p, spark.createDataFrame([(1, "x")], "id long, val string"),
+        key="id", when_matched="delete", insert_not_matched=False,
+    )
+    rows = {r["id"]: r["val"] for r in T.read(spark, p).collect()}
+    assert rows == {2: "UPDATED", 3: "v3", 9: "v9"}
+    assert [m["op"] for m in T.history(p)][-2:] == ["merge", "merge"]
+
+
+def test_merge_rejects_duplicate_source_keys(spark, tmp_path):
+    p = str(tmp_path / "t")
+    T.create_table(spark, p, _df(spark, [1]))
+    dup = spark.createDataFrame([(1, "a"), (1, "b")], "id long, val string")
+    with pytest.raises(ValueError, match="duplicate keys"):
+        T.merge(spark, p, dup, key="id")
+
+
+def test_merge_rewrites_only_touched_directories(spark, tmp_path):
+    """The 100 TB property: directories without a matched key are
+    carried forward in the manifest byte-identical — their files are
+    never rewritten. With stats stamped, non-overlapping directories
+    are pruned without even being scanned."""
+    p = str(tmp_path / "t")
+    T.create_table(spark, p, _df(spark, [1, 2]))       # dir A: ids 1-2
+    T.append(spark, p, _df(spark, [100, 101]))          # dir B: ids 100-101
+    T.analyze(spark, p, key="id")
+    before = T._read_manifest(p, T.current_version(p))
+    assert set(before["stats"]) == set(before["data_dirs"])
+    dir_a, dir_b = before["data_dirs"]
+    mt_before = _mtimes(p, [dir_a, dir_b])
+
+    src = spark.createDataFrame([(2, "UPDATED")], "id long, val string")
+    res = T.merge(spark, p, src, key="id")
+    # dir B's key range [100,101] cannot contain id 2: pruned by stats
+    assert res["pruned_by_stats"] == 1
+    assert res["touched_dirs"] == 1
+    after = T._read_manifest(p, T.current_version(p))
+    assert dir_b in after["data_dirs"]            # carried forward...
+    assert dir_a not in after["data_dirs"]        # ...replaced
+    assert _mtimes(p, [dir_b]) == {dir_b: mt_before[dir_b]}  # untouched on disk
+    # rewritten dir got fresh stats: a second merge stays analyzed
+    assert set(after["stats"]) == set(after["data_dirs"])
+    rows = {r["id"]: r["val"] for r in T.read(spark, p).collect()}
+    assert rows == {1: "v1", 2: "UPDATED", 100: "v100", 101: "v101"}
+
+
+def test_merge_conflict_detection(spark, tmp_path):
+    """merge commits against the snapshot it read: a writer landing in
+    between must surface as TxnConflict, not a lost update."""
+    p = str(tmp_path / "t")
+    T.create_table(spark, p, _df(spark, [1]))
+    base = T.current_version(p)
+    T.append(spark, p, _df(spark, [50]))  # concurrent writer lands first
+    # replay a merge whose snapshot predates the append
+    real_cv = T.current_version
+    T.current_version = lambda path: base
+    try:
+        with pytest.raises(T.TxnConflict):
+            T.merge(spark, p, _df(spark, [1]), key="id")
+    finally:
+        T.current_version = real_cv
+
+
+def test_merge_all_deletes_leaves_valid_empty_table(spark, tmp_path):
+    p = str(tmp_path / "t")
+    T.create_table(spark, p, _df(spark, [1, 2]))
+    T.merge(spark, p, _df(spark, [1, 2]), key="id",
+            when_matched="delete", insert_not_matched=False)
+    assert T.read(spark, p).count() == 0
+    # and the table stays usable
+    T.append(spark, p, _df(spark, [7]))
+    assert [r["id"] for r in T.read(spark, p).collect()] == [7]
