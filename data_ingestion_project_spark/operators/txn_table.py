@@ -120,8 +120,12 @@ def _try_commit(path: str, version: int, manifest: dict) -> bool:
     return True
 
 
-def create_table(spark: SparkSession, path: str, df: DataFrame) -> int:
-    """Initialize a txn table at ``path`` with ``df`` as version 0."""
+def create_table(
+    spark: SparkSession, path: str, df: DataFrame, extra: dict | None = None
+) -> int:
+    """Initialize a txn table at ``path`` with ``df`` as version 0.
+    ``extra`` fields (e.g. a stream batch-id fence) ride in the
+    manifest."""
     if current_version(path) is not None:
         raise FileExistsError(f"txn table already exists at {path}")
     rel = _write_data(df, path)
@@ -131,6 +135,7 @@ def create_table(spark: SparkSession, path: str, df: DataFrame) -> int:
         "data_dirs": [rel],
         "schema": df.schema.json(),
         "committed_at": time.time(),
+        **(extra or {}),
     }
     if not _try_commit(path, 0, manifest):
         raise TxnConflict(f"concurrent create at {path}")
@@ -308,6 +313,7 @@ def merge(
     *,
     when_matched: str = "update",
     insert_not_matched: bool = True,
+    extra: dict | None = None,
 ) -> dict:
     """MERGE ``source`` into the table on equality of ``key``.
 
@@ -435,7 +441,9 @@ def merge(
         def dirs_fn(prev: dict):
             return new_dirs, None
 
-        v = _commit_retry(path, "merge", dirs_fn, base, extra={"stats": new_stats})
+        v = _commit_retry(
+            path, "merge", dirs_fn, base, extra={"stats": new_stats, **(extra or {})}
+        )
         return {
             "version": v,
             "n_dirs": len(all_dirs),

@@ -69,3 +69,68 @@ def start_ingestion_stream(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def start_running_count_stream(
+    spark: SparkSession,
+    events: DataFrame,
+    table_path: str,
+    checkpoint_dir: str,
+    key_col: str = "user_id",
+) -> StreamingQuery:
+    """Streaming running per-key event counts maintained in a txn
+    table, **exactly-once under micro-batch replays**.
+
+    The keep-first upsert sink above is replay-safe because inserts
+    are idempotent. An ADDITIVE aggregate is not: foreachBatch gives
+    at-least-once delivery (a batch is re-run after a crash between
+    sink completion and checkpoint commit), and re-applying
+    ``count += batch_count`` double-counts. The standard fix — carried
+    over from Delta's ``txnAppId``/``txnVersion`` idempotent writes —
+    is a batch-id FENCE inside the same atomic commit as the data:
+    every commit stamps ``stream_batch_id``; a replayed batch sees
+    ``batch_id <= fence`` in the current manifest and becomes a no-op.
+    Fence and data are one manifest write (O_EXCL-atomic), so there is
+    no window where the data landed but the fence didn't.
+
+    Scale notes: the per-batch delta aggregate is tiny (distinct keys
+    in one micro-batch); the txn merge it feeds rewrites only data
+    directories containing those keys (file-pruned MERGE), so sink
+    cost tracks batch size, not table size.
+    """
+    from pyspark.sql import functions as F
+
+    from data_ingestion_project_spark.operators import txn_table as T
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        delta = batch_df.groupBy(key_col).agg(F.count(F.lit(1)).alias("n_events"))
+        if T.current_version(table_path) is None:
+            T.create_table(spark, table_path, delta, extra={"stream_batch_id": batch_id})
+            return
+        manifest = T._read_manifest(table_path, T.current_version(table_path))
+        fence = manifest.get("stream_batch_id", -1)
+        if batch_id <= fence:
+            return  # replayed micro-batch: already applied atomically
+        if delta.isEmpty():
+            return
+        cur = T.read(spark, table_path).withColumnRenamed("n_events", "__cur")
+        updated = (
+            delta.join(cur, key_col, "left")
+            .select(
+                key_col,
+                (F.col("n_events") + F.coalesce(F.col("__cur"), F.lit(0))).alias("n_events"),
+            )
+        )
+        T.merge(
+            spark,
+            table_path,
+            updated,
+            key_col,
+            extra={"stream_batch_id": batch_id},
+        )
+
+    return (
+        events.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

@@ -308,3 +308,51 @@ def test_stream_static_broadcast_enrichment(spark, tmp_path):
         assert got == {1: "gold", 3: None}  # left join keeps unmatched stream rows
     finally:
         q.stop()
+
+
+def test_running_counts_exactly_once_under_replay(spark, tmp_path):
+    """Additive aggregate sink with batch-id fencing: reprocessing the
+    same input (fresh checkpoint, same table) must NOT double-count —
+    the manifest fence turns replayed micro-batches into no-ops."""
+    from data_ingestion_project_spark.streaming.ingest import start_running_count_stream
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    table = str(tmp_path / "counts_txn")
+
+    def _start(ckpt):
+        events = (
+            spark.readStream.schema("user_id long, event_type string")
+            .json(str(src))
+        )
+        return start_running_count_stream(spark, events, table, str(tmp_path / ckpt))
+
+    rows1 = [{"user_id": 1, "event_type": "click"}] * 3 + [{"user_id": 2, "event_type": "view"}]
+    (src / "b1.json").write_text("\n".join(json.dumps(r) for r in rows1))
+    q = _start("ckpt")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    (src / "b2.json").write_text("\n".join(json.dumps({"user_id": 1, "event_type": "click"}) for _ in range(2)))
+    q = _start("ckpt")  # resume same checkpoint: only b2 is new
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    from data_ingestion_project_spark.operators import txn_table as T
+
+    counts = {r["user_id"]: r["n_events"] for r in T.read(spark, table).collect()}
+    assert counts == {1: 5, 2: 1}
+
+    # crash-replay simulation: FRESH checkpoint, same table — Spark
+    # re-delivers every file; the fence must absorb all of it
+    q = _start("ckpt_replayed")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    counts = {r["user_id"]: r["n_events"] for r in T.read(spark, table).collect()}
+    assert counts == {1: 5, 2: 1}  # unchanged — no double counting
