@@ -179,11 +179,54 @@ def _commit_retry(
     raise TxnConflict(f"gave up after {max_retries} commit attempts at {path}")
 
 
-def append(spark: SparkSession, path: str, df: DataFrame) -> int:
+def _merged_schema(prev_json: str, new_schema: StructType) -> str:
+    """Union of the table schema and an appended frame's schema
+    (Delta ``mergeSchema`` semantics): new columns are added; an
+    existing column with a different type is a conflict."""
+    prev = StructType.fromJson(json.loads(prev_json))
+    by_name = {f.name: f for f in prev.fields}
+    out = list(prev.fields)
+    for f in new_schema.fields:
+        have = by_name.get(f.name)
+        if have is None:
+            out.append(f)
+        elif have.dataType != f.dataType:
+            raise ValueError(
+                f"schema conflict on column {f.name!r}: table has "
+                f"{have.dataType.simpleString()}, append has {f.dataType.simpleString()}"
+            )
+    return StructType(out).json()
+
+
+def append(
+    spark: SparkSession, path: str, df: DataFrame, merge_schema: bool = False
+) -> int:
     """Blind append: concurrency-safe without conflicts (set-union of
-    directories commutes, like Delta's AddFile-only commits)."""
+    directories commutes, like Delta's AddFile-only commits).
+
+    ``merge_schema=True`` permits an evolved frame (extra columns):
+    the committed table schema becomes the union, and snapshot reads
+    return NULL for the new columns in pre-evolution rows — metadata-
+    only evolution, no existing file is rewritten. Without it, a
+    mismatched schema raises (Delta's default posture)."""
     rel = _write_data(df, path)
-    return _commit_retry(path, "append", lambda prev: (prev["data_dirs"] + [rel], None), None)
+
+    def dirs_fn(prev: dict):
+        if not merge_schema:
+            prev_s = StructType.fromJson(json.loads(prev["schema"]))
+            # names+types only: nullability differs freely between
+            # createDataFrame frames and parquet round-trips
+            if [(f.name, f.dataType) for f in df.schema.fields] != [
+                (f.name, f.dataType) for f in prev_s.fields
+            ]:
+                raise ValueError(
+                    "append schema differs from table schema; pass "
+                    "merge_schema=True to evolve"
+                )
+            return prev["data_dirs"] + [rel], None
+        return prev["data_dirs"] + [rel], _merged_schema(prev["schema"], df.schema)
+
+    return _commit_retry(path, "append", dirs_fn, None)
 
 
 def overwrite(spark: SparkSession, path: str, df: DataFrame, base_version: int | None = None) -> int:
@@ -196,15 +239,48 @@ def overwrite(spark: SparkSession, path: str, df: DataFrame, base_version: int |
 
 
 def read(spark: SparkSession, path: str, version: int | None = None) -> DataFrame:
-    """Snapshot read of the given (default: latest) version."""
+    """Snapshot read of the given (default: latest) version. Rows from
+    files predating a schema evolution surface NULL for the columns
+    they lack; output columns always follow the manifest schema."""
     v = current_version(path) if version is None else version
     if v is None:
         raise FileNotFoundError(f"no txn table at {path}")
     m = _read_manifest(path, v)
+    target = StructType.fromJson(json.loads(m["schema"]))
     dirs = [os.path.join(path, rel) for rel in m["data_dirs"]]
     if not dirs:
-        return spark.createDataFrame([], StructType.fromJson(json.loads(m["schema"])))
-    return spark.read.parquet(*dirs)
+        return spark.createDataFrame([], target)
+    df = spark.read.option("mergeSchema", "true").parquet(*dirs)
+    if [f.name for f in df.schema.fields] == [f.name for f in target.fields]:
+        return df
+    cols = [
+        F.col(f.name) if f.name in df.columns else F.lit(None).cast(f.dataType).alias(f.name)
+        for f in target.fields
+    ]
+    return df.select(*cols)
+
+
+def diff_versions(
+    spark: SparkSession, path: str, v_old: int, v_new: int | None = None
+) -> DataFrame:
+    """Change-data-feed between two snapshots: full rows tagged
+    ``_change_type`` ('insert' | 'delete'); an updated row appears as
+    its delete + its insert (multiset semantics via ``exceptAll``, so
+    duplicate rows diff correctly). Derived purely from the two frozen
+    snapshots — no per-commit change files needed, any retained
+    version pair works. An evolved column reads as NULL on the old
+    side, so evolution alone does not spuriously diff."""
+    new_df = read(spark, path, v_new)
+    old_df = read(spark, path, v_old)
+    # align the old snapshot to the new schema (evolution-safe diff)
+    cols = [
+        F.col(f.name) if f.name in old_df.columns else F.lit(None).cast(f.dataType).alias(f.name)
+        for f in new_df.schema.fields
+    ]
+    old_df = old_df.select(*cols)
+    inserted = new_df.exceptAll(old_df).withColumn("_change_type", F.lit("insert"))
+    deleted = old_df.exceptAll(new_df).withColumn("_change_type", F.lit("delete"))
+    return inserted.unionByName(deleted)
 
 
 def merge_upsert(spark: SparkSession, path: str, new_rows: DataFrame, key: str) -> int:

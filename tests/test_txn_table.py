@@ -206,3 +206,44 @@ def test_merge_all_deletes_leaves_valid_empty_table(spark, tmp_path):
     # and the table stays usable
     T.append(spark, p, _df(spark, [7]))
     assert [r["id"] for r in T.read(spark, p).collect()] == [7]
+
+
+def test_append_schema_evolution(spark, tmp_path):
+    """merge_schema append: new column lands metadata-only — old rows
+    read NULL for it, no old file rewritten; un-evolved appends with a
+    wrong schema are rejected."""
+    p = str(tmp_path / "t")
+    T.create_table(spark, p, _df(spark, [1]))
+    evolved = spark.createDataFrame([(2, "v2", "en")], "id long, val string, lang string")
+    with pytest.raises(ValueError, match="merge_schema"):
+        T.append(spark, p, evolved)
+    dirs_before = T._read_manifest(p, T.current_version(p))["data_dirs"]
+    mt = _mtimes(p, dirs_before)
+    T.append(spark, p, evolved, merge_schema=True)
+    assert _mtimes(p, dirs_before) == mt  # metadata-only evolution
+    rows = {r["id"]: (r["val"], r["lang"]) for r in T.read(spark, p).collect()}
+    assert rows == {1: ("v1", None), 2: ("v2", "en")}
+    # type conflict is rejected even with merge_schema
+    bad = spark.createDataFrame([(3, 7)], "id long, val long")
+    with pytest.raises(ValueError, match="schema conflict"):
+        T.append(spark, p, bad, merge_schema=True)
+
+
+def test_diff_versions_change_feed(spark, tmp_path):
+    p = str(tmp_path / "t")
+    T.create_table(spark, p, _df(spark, [1, 2, 3]))          # v0
+    src = spark.createDataFrame([(2, "UPDATED"), (9, "v9")], "id long, val string")
+    T.merge(spark, p, src, key="id")                          # v1
+    changes = {
+        (r["id"], r["val"], r["_change_type"])
+        for r in T.diff_versions(spark, p, 0, 1).collect()
+    }
+    assert changes == {
+        (2, "v2", "delete"), (2, "UPDATED", "insert"), (9, "v9", "insert"),
+    }
+    # self-diff is empty; evolution alone does not spuriously diff
+    assert T.diff_versions(spark, p, 1, 1).count() == 0
+    T.append(spark, p, spark.createDataFrame([(5, "v5", "en")], "id long, val string, lang string"),
+             merge_schema=True)                               # v2
+    d = {(r["id"], r["_change_type"]) for r in T.diff_versions(spark, p, 1, 2).collect()}
+    assert d == {(5, "insert")}
