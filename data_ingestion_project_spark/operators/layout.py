@@ -98,3 +98,104 @@ def compact_parquet(
         raise
     shutil.rmtree(old)
     return n_files
+
+
+# ------------------------------------------------------------- Z-order
+#
+# The third layout lever: MULTI-column data skipping. Partitioning
+# prunes on one (low-cardinality) column; sorting the files by column
+# A gives tight per-file [min, max] ranges for A but random ranges for
+# everything else. Z-ordering (bit-interleaved Morton curve — the same
+# design as Delta OPTIMIZE ZORDER BY and the classic UB-tree layout)
+# sorts by an interleaving of several columns' quantized ranks, so
+# EVERY z-ordered column gets locality: a range predicate on any of
+# them overlaps only ~n^(1-1/d) of n files instead of all of them.
+# Parquet then skips whole files/row-groups from footer min/max stats
+# alone — planning-time I/O elimination orthogonal to partition
+# pruning.
+
+
+def _morton2(xa: F.Column, ya: F.Column, bits: int = 16) -> F.Column:
+    """Interleave the low ``bits`` bits of two non-negative ints into
+    one z-value (x in even positions, y in odd). Pure bigint bit
+    arithmetic — whole-stage codegen, no UDF."""
+    z = F.lit(0).cast("bigint")
+    for i in range(bits):
+        z = (
+            z
+            .bitwiseOR(F.shiftleft(xa.bitwiseAND(F.lit(1 << i)), i))
+            .bitwiseOR(F.shiftleft(ya.bitwiseAND(F.lit(1 << i)), i + 1))
+        )
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: tuple[str, str],
+    n_files: int = 32,
+    bits: int = 16,
+) -> None:
+    """Write ``df`` as ``n_files`` parquet files z-ordered on two
+    numeric columns.
+
+    Quantization is linear min-max scaling to ``bits`` bits (one tiny
+    driver-side agg for the 4 bounds — at 100 TB use a sampled
+    approx-quantile rank map instead for skew robustness; linear is
+    exact enough to demonstrate and test the skipping property).
+    ``repartitionByRange(z)`` gives each output file a contiguous
+    z-range; the within-partition sort tightens row-group stats too.
+    The z column is dropped before writing — layout only, not schema.
+    """
+    a, b = cols
+    lo_a, hi_a, lo_b, hi_b = df.agg(
+        F.min(a), F.max(a), F.min(b), F.max(b)
+    ).collect()[0]
+    span_a = max(float(hi_a) - float(lo_a), 1e-12)
+    span_b = max(float(hi_b) - float(lo_b), 1e-12)
+    scale = (1 << bits) - 1
+    qa = F.round((F.col(a) - F.lit(float(lo_a))) / F.lit(span_a) * scale).cast("bigint")
+    qb = F.round((F.col(b) - F.lit(float(lo_b))) / F.lit(span_b) * scale).cast("bigint")
+    (
+        df.withColumn("__z", _morton2(qa, qb, bits))
+        .repartitionByRange(n_files, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def parquet_file_ranges(path: str, cols: list[str]) -> list[dict]:
+    """Per-file [min, max] of ``cols`` from parquet FOOTER metadata
+    only (no data pages read) — exactly the stats a scan's file/row-
+    group skipping consults."""
+    import pyarrow.parquet as pq
+
+    out = []
+    for name in sorted(os.listdir(path)):
+        if not name.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(path, name)).metadata
+        ranges: dict[str, tuple] = {}
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                col = md.row_group(rg).column(ci)
+                cname = col.path_in_schema
+                if cname not in cols or col.statistics is None:
+                    continue
+                st = col.statistics
+                lo, hi = ranges.get(cname, (st.min, st.max))
+                ranges[cname] = (min(lo, st.min), max(hi, st.max))
+        out.append({"file": name, **{c: ranges.get(c) for c in cols}})
+    return out
+
+
+def files_overlapping(ranges: list[dict], col: str, lo, hi) -> int:
+    """How many files a ``col BETWEEN lo AND hi`` scan must open."""
+    n = 0
+    for r in ranges:
+        st = r.get(col)
+        if st is None or not (st[1] < lo or st[0] > hi):
+            n += 1
+    return n

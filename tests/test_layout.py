@@ -44,3 +44,42 @@ def test_compaction_reduces_file_count(spark, tmp_path):
     after = len(glob.glob(f"{path}/*.parquet"))
     assert after <= n <= 2  # tiny table → ~1 file
     assert spark.read.parquet(path).agg(F.sum("id")).first()[0] == total_before
+
+
+def test_zorder_skips_files_on_both_columns(spark, tmp_path):
+    """Z-order vs single-column sort, measured from parquet footers —
+    the stats a real scan's skipping consults. Sorting by x alone
+    makes every file's y-range span the whole domain (a y predicate
+    opens ALL files); the Morton layout bounds both coordinates, so a
+    narrow band on EITHER column opens a small fraction of the 32
+    files."""
+    from data_ingestion_project_spark.operators.layout import (
+        files_overlapping,
+        parquet_file_ranges,
+        write_zordered,
+    )
+    from pyspark.sql import functions as F
+
+    n = 100_000
+    grid = spark.range(n).select(
+        (F.xxhash64("id") % 1000).alias("x"),
+        (F.xxhash64("id", F.lit(1)) % 1000).alias("y"),
+    ).select(F.abs("x").alias("x"), F.abs("y").alias("y"))
+
+    zpath = str(tmp_path / "zorder")
+    xpath = str(tmp_path / "xsort")
+    write_zordered(grid, zpath, ("x", "y"), n_files=32)
+    grid.repartitionByRange(32, "x").sortWithinPartitions("x").write.parquet(xpath)
+
+    zr = parquet_file_ranges(zpath, ["x", "y"])
+    xr = parquet_file_ranges(xpath, ["x", "y"])
+    assert len(zr) == 32
+
+    # narrow band on y (1% of the domain)
+    z_y = files_overlapping(zr, "y", 500, 510)
+    x_y = files_overlapping(xr, "y", 500, 510)
+    assert x_y == 32                      # x-sorted layout: no y pruning at all
+    assert z_y <= 16                      # z-order: most files skipped
+    # and x still prunes decently under z-order
+    z_x = files_overlapping(zr, "x", 500, 510)
+    assert z_x <= 16
