@@ -615,6 +615,41 @@ ORDER BY custkey
 """
 
 
+def excess_returned_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — the multiset set-op (each occurrence counts):
+    parts whose 'R'-flag lineitem count exceeds their 'A'-flag count,
+    keeping exactly the surplus occurrences.
+
+    Spark plans ``exceptAll`` as a counted aggregate + generate (sum
+    of +1/−1 tags, replicate the positive excess) — one shuffle on the
+    value, never a quadratic pairing; the follow-up GROUP BY collapses
+    the replicated rows, so at 100 TB the surviving data is bounded by
+    |distinct parts|. Top-k bounded with a full tie-break.
+    """
+    l = table(spark, sf_dir, "lineitem")
+    r = l.filter(F.col("l_returnflag") == "R").select("l_partkey")
+    a = l.filter(F.col("l_returnflag") == "A").select("l_partkey")
+    return (
+        r.exceptAll(a)
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n_excess"))
+        .orderBy(F.col("n_excess").desc(), "l_partkey")
+        .limit(15)
+    )
+
+
+ORACLE_EXCESS_RETURNED_PARTS = """
+SELECT l_partkey, COUNT(*) AS n_excess FROM (
+  SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+  EXCEPT ALL
+  SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A'
+) t
+GROUP BY l_partkey
+ORDER BY n_excess DESC, l_partkey
+LIMIT 15
+"""
+
+
 # --------------------------------------------------------------- rollup
 
 
@@ -711,6 +746,7 @@ QUERIES = {
     "monthly_revenue_growth": monthly_revenue_growth,
     "customers_in_both_statuses": customers_in_both_statuses,
     "customers_without_orders": customers_without_orders,
+    "excess_returned_parts": excess_returned_parts,
     "rollup_revenue": rollup_revenue,
     "supplier_part_breadth": supplier_part_breadth,
 }
@@ -735,6 +771,7 @@ ORACLE = {
     "monthly_revenue_growth": ORACLE_MONTHLY_REVENUE_GROWTH,
     "customers_in_both_statuses": ORACLE_CUSTOMERS_IN_BOTH_STATUSES,
     "customers_without_orders": ORACLE_CUSTOMERS_WITHOUT_ORDERS,
+    "excess_returned_parts": ORACLE_EXCESS_RETURNED_PARTS,
     "rollup_revenue": ORACLE_ROLLUP_REVENUE,
     "supplier_part_breadth": ORACLE_SUPPLIER_PART_BREADTH,
 }
