@@ -1099,8 +1099,79 @@ ORDER BY lang
 """.replace("{bpe}", _BPE_SQL)
 
 
+# Target language mix for corpus_mixture_plan (training-mixture spec:
+# fractions of the final token budget per language; sums to 1).
+_MIX_WEIGHTS = {"en": 0.40, "de": 0.15, "fr": 0.15, "es": 0.15, "zh": 0.15}
+
+
+def corpus_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-free corpus mixing plan: given target language weights,
+    compute the largest token budget achievable WITHOUT upsampling any
+    language (budget = min over langs of tokens/weight) and the
+    per-language sampling rate that hits it — the planning aggregate a
+    training-data pipeline runs before materializing a mixture.
+
+    One pass over documents (BPE token count in codegen), a ≤5-row
+    aggregate, and a broadcast 1-row agg-of-agg for the binding
+    constraint — no window, no single partition. Rates are pure
+    double arithmetic over exact integer token sums, so the oracle
+    matches bit-for-bit."""
+    d = table(spark, sf_dir, "documents")
+    w = F.coalesce(
+        *[F.when(F.col("lang") == k, F.lit(v)) for k, v in _MIX_WEIGHTS.items()],
+        F.lit(0.0),
+    )
+    per_lang = (
+        d.select("lang", bpe_token_count("text").alias("tok"))
+        .groupBy("lang")
+        .agg(F.sum("tok").alias("lang_tokens"))
+        .withColumn("weight", w)
+        .filter(F.col("weight") > 0)
+    )
+    budget = per_lang.agg(
+        F.min(F.col("lang_tokens") / F.col("weight")).alias("budget")
+    )
+    return (
+        per_lang.join(F.broadcast(budget))
+        .select(
+            "lang",
+            "weight",
+            F.col("lang_tokens").cast("bigint").alias("lang_tokens"),
+            F.round(F.col("weight") * F.col("budget"), 2).alias("target_tokens"),
+            F.round(
+                F.col("weight") * F.col("budget") / F.col("lang_tokens"), 6
+            ).alias("sample_rate"),
+        )
+        .orderBy("lang")
+    )
+
+
+ORACLE_CORPUS_MIXTURE_PLAN = """
+WITH tok AS (
+  SELECT lang, CAST(len(regexp_extract_all(text, '{bpe}', 0)) AS INTEGER) AS tok
+  FROM documents
+), per_lang AS (
+  SELECT lang, SUM(tok) AS lang_tokens,
+         CASE lang WHEN 'en' THEN 0.40 WHEN 'de' THEN 0.15 WHEN 'fr' THEN 0.15
+                   WHEN 'es' THEN 0.15 WHEN 'zh' THEN 0.15 ELSE 0.0 END AS weight
+  FROM tok GROUP BY lang
+), eligible AS (
+  SELECT * FROM per_lang WHERE weight > 0
+), b AS (
+  SELECT MIN(CAST(lang_tokens AS DOUBLE) / weight) AS budget FROM eligible
+)
+SELECT lang, weight,
+       CAST(lang_tokens AS BIGINT) AS lang_tokens,
+       ROUND(weight * budget, 2) AS target_tokens,
+       ROUND(weight * budget / lang_tokens, 6) AS sample_rate
+FROM eligible, b
+ORDER BY lang
+""".replace("{bpe}", _BPE_SQL)
+
+
 QUERIES = {
     "doc_repetition_stats": doc_repetition_stats,
+    "corpus_mixture_plan": corpus_mixture_plan,
     "lang_stats": lang_stats,
     "top_words": top_words,
     "similar_supplier_names": similar_supplier_names,
@@ -1127,6 +1198,7 @@ QUERIES = {
 
 ORACLE = {
     "doc_repetition_stats": ORACLE_DOC_REPETITION_STATS,
+    "corpus_mixture_plan": ORACLE_CORPUS_MIXTURE_PLAN,
     "lang_stats": ORACLE_LANG_STATS,
     "token_stats": ORACLE_TOKEN_STATS,
     "bpe_token_stats": ORACLE_BPE_TOKEN_STATS,

@@ -191,3 +191,44 @@ def test_dominant_suppliers_window_reuses_agg_partitioning(spark):
     assert c["n_exchanges"] <= 3
     assert c["n_broadcast_joins"] >= 1
     assert c["n_sortmerge_joins"] == 0
+
+
+def test_runtime_bloom_filter_reduces_shuffle_join_probe(spark):
+    """When a selective dimension side cannot broadcast, Catalyst's
+    runtime bloom filter (InjectRuntimeFilter) must pre-filter the fact
+    scan with might_contain before the shuffle — at 100 TB this is the
+    difference between shuffling all of lineitem and shuffling only the
+    ~1/5 that can survive the join. Thresholds are lowered because the
+    local test tables are below the production defaults; the injected
+    plan shape is what is being pinned."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_project_spark.plans.explain import formatted_plan
+    from data_ingestion_project_spark.sources.readers import table
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+        )
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB"
+        )
+        l = table(spark, SF, "lineitem")
+        o = table(spark, SF, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+        df = l.join(o, l.l_orderkey == o.o_orderkey).agg(F.count(F.lit(1)).alias("n"))
+        assert "might_contain" in formatted_plan(df)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
