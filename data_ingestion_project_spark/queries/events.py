@@ -108,6 +108,55 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def props_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured analytics through the VARIANT type (Spark 4 /
+    the open-sourced Delta variant encoding): ``parse_json`` once into
+    the binary variant form, then typed ``variant_get`` extractions.
+
+    vs ``get_json_object`` (props_key_stats, kept as the string-path
+    twin): variant parses the JSON text ONCE per row into a binary
+    tree; every subsequent path access is a pointer walk, not a
+    re-parse — at 100 TB with many extracted paths this is the
+    difference between O(paths) text parses and one. Columnar formats
+    shred variants so individual paths prune like real columns. The
+    DuckDB oracle computes the same aggregate through its JSON type,
+    certifying the variant path end-to-end value-exactly."""
+    e = table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    k = F.variant_get(v, "$.k", "int")
+    return (
+        e.select("event_type", "value", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.count_distinct(F.col("k")).alias("n_distinct_k"),
+            F.round(
+                F.sum(F.when(F.col("k") > 50, F.col("value")).otherwise(F.lit(0.0)).cast("decimal(27,6)"))
+                .cast("double"),
+                2,
+            ).alias("high_k_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_PROPS_VARIANT_STATS = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(k) AS BIGINT) AS sum_k,
+       COUNT(DISTINCT k) AS n_distinct_k,
+       ROUND(CAST(SUM(CAST(CASE WHEN k > 50 THEN value ELSE 0.0 END AS DECIMAL(27,6))) AS DOUBLE), 2) AS high_k_value
+FROM (
+  SELECT event_type, value,
+         CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+  FROM events
+) t
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min gap) via the sessionize operator,
     then per-user session stats."""
@@ -427,6 +476,7 @@ QUERIES = {
     "daily_active_users": daily_active_users,
     "top_purchasers": top_purchasers,
     "props_key_stats": props_key_stats,
+    "props_variant_stats": props_variant_stats,
     "user_sessions": user_sessions,
     "purchase_last_click": purchase_last_click,
     "daily_event_anomalies": daily_event_anomalies,
@@ -441,6 +491,7 @@ ORACLE = {
     "daily_active_users": ORACLE_DAILY_ACTIVE_USERS,
     "top_purchasers": ORACLE_TOP_PURCHASERS,
     "props_key_stats": ORACLE_PROPS_KEY_STATS,
+    "props_variant_stats": ORACLE_PROPS_VARIANT_STATS,
     "user_sessions": ORACLE_USER_SESSIONS,
     "events_one_day_by_type": ORACLE_EVENTS_ONE_DAY_BY_TYPE,
     "purchase_last_click": ORACLE_PURCHASE_LAST_CLICK,

@@ -45,6 +45,44 @@ def http_fetcher(page: int, page_size: int) -> list[dict[str, Any]]:
     return resp.json()["results"]
 
 
+def offline_fetcher(page: int, page_size: int) -> list[dict[str, Any]]:
+    """Deterministic networkless fetcher (same contract as
+    ``http_fetcher``): page contents are a pure function of
+    (page, page_size), which is exactly the retry-safety property the
+    production fetcher gets from seeded paging. Used as the documented
+    offline mode and as the importable fetcher for the Python
+    DataSource tests (DataSource options carry a dotted path, not a
+    callable)."""
+    return [
+        {
+            "name": {"title": "Mr", "first": f"F{page}-{i}", "last": "L"},
+            "location": {
+                "street": {"number": i, "name": f"S{i}"},
+                "city": "C",
+                "state": "S",
+                "country": "Nowhere",
+                "postcode": 1000 + i,  # int on purpose: readers must pin to string
+                "coordinates": {"latitude": "0", "longitude": "0"},
+                "timezone": {"offset": "+0:00", "description": "UTC"},
+            },
+            "email": f"p{page}u{i}@x.com",
+            "login": {
+                "uuid": f"p{page}-u{i}",
+                "username": f"user{page}_{i}",
+                "password": f"pw{page}_{i}",
+                "salt": "s",
+                "md5": "m",
+                "sha1": "h",
+                "sha256": "h",
+            },
+            "dob": {"date": "1980-01-01T00:00:00Z", "age": 40},
+            "registered": {"date": "2010-01-01T00:00:00Z", "age": 10},
+            "phone": "555",
+        }
+        for i in range(page_size)
+    ]
+
+
 def fetch_user_pages(
     spark: SparkSession,
     n_pages: int,
@@ -66,7 +104,9 @@ def fetch_user_pages(
                 for u in fetcher(int(page), page_size):
                     loc = u.get("location") or {}
                     if loc.get("postcode") is not None:
-                        loc["postcode"] = str(loc["postcode"])  # pin the unstable type
+                        # copy before coercing the unstable type — never
+                        # mutate the fetcher's dicts (shared fixtures)
+                        u = {**u, "location": {**loc, "postcode": str(loc["postcode"])}}
                     rows.append(u)
             yield pd.DataFrame(
                 {name: [r.get(name) for r in rows] for name in RAW_USER_SCHEMA.fieldNames()}

@@ -1,0 +1,88 @@
+"""Spark 4 Python DataSource for the paged users API.
+
+The third (and most idiomatic) form of the users source, after the
+driver-side parity fetch (``users_json.py``, reference
+``api_client.py:9-27``) and the ``mapInPandas`` page fan-out
+(``paged_http.py``): a first-class connector registered with
+``spark.dataSource.register``, so callers write
+
+    spark.read.format("paged_users")
+        .option("pages", "8").option("page_size", "10").load()
+
+and get the standard source contract — schema discovery, planned
+input partitions (one per page chunk → Spark schedules, retries, and
+speculates fetch tasks like any scan), and executor-side I/O. The
+fetcher is injected as a dotted import path because DataSource
+options are strings and the reader is pickled to executors;
+tests point it at a deterministic in-repo fake and stay networkless.
+
+At 100 TB the win over ``mapInPandas`` is operational: the page range
+lives in the source's partition planning (not a synthetic driver
+DataFrame), so AQE statistics, task retry, and speculative execution
+all see a real scan.
+"""
+
+from __future__ import annotations
+
+import importlib
+from collections.abc import Iterator
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+from data_ingestion_project_spark.schemas import RAW_USER_SCHEMA
+
+DEFAULT_FETCHER = "data_ingestion_project_spark.sources.paged_http.http_fetcher"
+
+
+def _load_fetcher(path: str):
+    mod, _, attr = path.rpartition(".")
+    return getattr(importlib.import_module(mod), attr)
+
+
+class PagedUsersDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "paged_users"
+
+    def schema(self):
+        return RAW_USER_SCHEMA
+
+    def reader(self, schema) -> "PagedUsersReader":
+        return PagedUsersReader(self.options)
+
+
+class PagedUsersReader(DataSourceReader):
+    def __init__(self, options: dict[str, str]) -> None:
+        self.n_pages = int(options.get("pages", "1"))
+        self.page_size = int(options.get("page_size", "10"))
+        self.pages_per_task = int(options.get("pages_per_task", "1"))
+        self.fetcher_path = options.get("fetcher", DEFAULT_FETCHER)
+
+    def partitions(self) -> list[InputPartition]:
+        """One InputPartition per page chunk: Spark schedules a task
+        per chunk, so retry/speculation granularity is the chunk, and
+        parallelism is n_pages / pages_per_task without any synthetic
+        range-DataFrame repartition."""
+        step = max(self.pages_per_task, 1)
+        return [
+            InputPartition((lo, min(lo + step - 1, self.n_pages)))
+            for lo in range(1, self.n_pages + 1, step)
+        ]
+
+    def read(self, partition: InputPartition) -> Iterator[tuple]:
+        lo, hi = partition.value
+        fetcher = _load_fetcher(self.fetcher_path)
+        names = RAW_USER_SCHEMA.fieldNames()
+        for page in range(lo, hi + 1):
+            for u in fetcher(page, self.page_size):
+                loc = u.get("location") or {}
+                if loc.get("postcode") is not None:
+                    # pin the unstable int-or-string API type; copy,
+                    # never mutate the fetcher's dicts
+                    u = {**u, "location": {**loc, "postcode": str(loc["postcode"])}}
+                yield tuple(u.get(n) for n in names)
+
+
+def register(spark) -> None:
+    """Idempotent registration: ``spark.read.format('paged_users')``."""
+    spark.dataSource.register(PagedUsersDataSource)

@@ -63,3 +63,59 @@ def test_paged_fetch_feeds_transform(spark, keys):
     out = transform_users(df, keys)
     assert out.count() == 6
     assert len({r["email_bidx"] for r in out.collect()}) == 6
+
+
+def test_python_datasource_paged_users(spark):
+    """Spark 4 Python DataSource form: schema discovery, one planned
+    InputPartition per page chunk, executor-side fetch through the
+    dotted-path fetcher — full rows arrive with the pinned schema."""
+    from data_ingestion_project_spark.sources.users_datasource import (
+        PagedUsersReader,
+        register,
+    )
+
+    register(spark)
+    df = (
+        spark.read.format("paged_users")
+        .option("pages", "6")
+        .option("page_size", "4")
+        .option("pages_per_task", "2")
+        .option(
+            "fetcher",
+            "data_ingestion_project_spark.sources.paged_http.offline_fetcher",
+        )
+        .load()
+    )
+    rows = df.collect()
+    assert len(rows) == 24
+    assert len({r["login"]["uuid"] for r in rows}) == 24
+    assert df.schema["location"].dataType["postcode"].dataType.simpleString() == "string"
+    assert {r["location"]["postcode"] for r in rows} == {"1000", "1001", "1002", "1003"}
+
+    # partition planning: 6 pages / 2 per task = 3 scheduled chunks
+    parts = PagedUsersReader(
+        {"pages": "6", "page_size": "4", "pages_per_task": "2"}
+    ).partitions()
+    assert [p.value for p in parts] == [(1, 2), (3, 4), (5, 6)]
+
+
+def test_python_datasource_feeds_transform(spark, keys):
+    """The connector's output drops straight into the secure transform
+    — proving it is a full substitute for the other two source forms."""
+    from data_ingestion_project_spark.operators.transforms import transform_users
+    from data_ingestion_project_spark.sources.users_datasource import register
+
+    register(spark)
+    df = (
+        spark.read.format("paged_users")
+        .option("pages", "2")
+        .option("page_size", "3")
+        .option(
+            "fetcher",
+            "data_ingestion_project_spark.sources.paged_http.offline_fetcher",
+        )
+        .load()
+    )
+    out = transform_users(df, keys)
+    assert out.count() == 6
+    assert "login.password" not in out.columns  # plaintext dropped
