@@ -379,3 +379,32 @@ def test_pq_ann_recall_floor(spark):
         | F.exists("pq_code", lambda c: (c < 0) | (c >= 16))
     ).count()
     assert bad == 0
+
+
+def test_sentence_split_udtf(spark):
+    """Python UDTF surface: DataFrame-API call and SQL LATERAL both
+    produce the positioned sentence table."""
+    from data_ingestion_project_spark.functions.tablefuncs import (
+        SentenceSplit,
+        register_udtfs,
+    )
+
+    out = SentenceSplit(F.lit("One. Two two.  . Three")).collect()
+    assert [(r["pos"], r["sentence"]) for r in out] == [
+        (0, "One"), (1, "Two two"), (3, "Three"),
+    ]
+
+    register_udtfs(spark)
+    spark.createDataFrame(
+        [(1, "A. B."), (2, None), (3, "C")], "doc_id int, text string"
+    ).createOrReplaceTempView("udtf_docs")
+    rows = spark.sql(
+        """
+        SELECT d.doc_id, s.pos, s.sentence, s.n_chars
+        FROM udtf_docs d, LATERAL sentence_split(d.text) s
+        ORDER BY d.doc_id, s.pos
+        """
+    ).collect()
+    assert [(r["doc_id"], r["sentence"]) for r in rows] == [
+        (1, "A"), (1, "B"), (3, "C"),
+    ]
