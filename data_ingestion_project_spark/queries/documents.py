@@ -1099,6 +1099,98 @@ ORDER BY lang
 """.replace("{bpe}", _BPE_SQL)
 
 
+def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style statistical quality scoring: each document's mean
+    unigram log-probability under its language's corpus unigram model
+    (documents full of common words score high; gibberish, rare-token
+    spam, and wrong-language text score low), summarized per language
+    as mean + exact percentiles over documents.
+
+    Plan: one explode pass builds (lang, word) counts AND per-language
+    totals (two aggregates over the same shuffled frame); the unigram
+    model is vocabulary-sized, joined back to the token stream on
+    (lang, word). Cross-engine exactness: log10 is rounded to 6
+    decimals per VOCABULARY entry (engines agree to ~1 ulp; rounding
+    makes it bit-stable), then document means accumulate those fixed
+    per-row values in DECIMAL — so the only float ops on the hot path
+    are value-determined, and percentiles interpolate identical
+    inputs."""
+    d = table(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("word"),
+    ).filter(F.col("word") != "")
+    lang_tot = words.groupBy("lang").agg(F.count(F.lit(1)).alias("n_lang"))
+    model = (
+        words.groupBy("lang", "word")
+        .agg(F.count(F.lit(1)).alias("n_word"))
+        .join(F.broadcast(lang_tot), "lang")
+        .select(
+            "lang",
+            "word",
+            F.round(F.log10(F.col("n_word") / F.col("n_lang")), 6).alias("logp"),
+        )
+    )
+    per_doc = (
+        words.join(model, ["lang", "word"])
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.round(
+                F.sum(F.col("logp").cast("decimal(27,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("doc_logp")
+        )
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(
+                F.sum(F.col("doc_logp").cast("decimal(27,6)")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("mean_logp"),
+            F.round(F.percentile("doc_logp", 0.1), 4).alias("p10"),
+            F.round(F.percentile("doc_logp", 0.5), 4).alias("p50"),
+            F.round(F.percentile("doc_logp", 0.9), 4).alias("p90"),
+        )
+        .orderBy("lang")
+    )
+
+
+ORACLE_UNIGRAM_LOGPROB_QUALITY = """
+WITH words AS (
+  SELECT doc_id, lang, word
+  FROM (
+    SELECT doc_id, lang,
+           unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+    FROM documents
+  ) t WHERE word <> ''
+), lang_tot AS (
+  SELECT lang, COUNT(*) AS n_lang FROM words GROUP BY lang
+), model AS (
+  SELECT w.lang, w.word,
+         ROUND(log10(COUNT(*) * 1.0 / MAX(lt.n_lang)), 6) AS logp
+  FROM words w JOIN lang_tot lt ON w.lang = lt.lang
+  GROUP BY w.lang, w.word
+), per_doc AS (
+  SELECT doc_id, w.lang,
+         ROUND(CAST(SUM(CAST(logp AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*), 6) AS doc_logp
+  FROM words w JOIN model m ON w.lang = m.lang AND w.word = m.word
+  GROUP BY doc_id, w.lang
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       ROUND(CAST(SUM(CAST(doc_logp AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*), 4) AS mean_logp,
+       ROUND(quantile_cont(doc_logp, 0.1), 4) AS p10,
+       ROUND(quantile_cont(doc_logp, 0.5), 4) AS p50,
+       ROUND(quantile_cont(doc_logp, 0.9), 4) AS p90
+FROM per_doc GROUP BY lang ORDER BY lang
+"""
+
+
 # Target language mix for corpus_mixture_plan (training-mixture spec:
 # fractions of the final token budget per language; sums to 1).
 _MIX_WEIGHTS = {"en": 0.40, "de": 0.15, "fr": 0.15, "es": 0.15, "zh": 0.15}
@@ -1172,6 +1264,7 @@ ORDER BY lang
 QUERIES = {
     "doc_repetition_stats": doc_repetition_stats,
     "corpus_mixture_plan": corpus_mixture_plan,
+    "unigram_logprob_quality": unigram_logprob_quality,
     "lang_stats": lang_stats,
     "top_words": top_words,
     "similar_supplier_names": similar_supplier_names,
@@ -1199,6 +1292,7 @@ QUERIES = {
 ORACLE = {
     "doc_repetition_stats": ORACLE_DOC_REPETITION_STATS,
     "corpus_mixture_plan": ORACLE_CORPUS_MIXTURE_PLAN,
+    "unigram_logprob_quality": ORACLE_UNIGRAM_LOGPROB_QUALITY,
     "lang_stats": ORACLE_LANG_STATS,
     "token_stats": ORACLE_TOKEN_STATS,
     "bpe_token_stats": ORACLE_BPE_TOKEN_STATS,
