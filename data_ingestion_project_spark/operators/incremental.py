@@ -9,10 +9,17 @@ commit's manifest lists immutable data directories, so the delta
 between the state's recorded snapshot and the head is an exact set
 difference of directories — no timestamps, no scan-and-compare.
 
-Semantics: refresh cost is O(appended data + |state|), not O(table).
-Appends fold in; any history rewrite (overwrite / non-append op that
-drops directories) is detected and falls back to a full recompute —
-correctness never depends on guessing what a rewrite did.
+Semantics: refresh cost is O(changed data + |state|), not O(table).
+Appends fold in directly. Directory REMOVALS (a file-pruned MERGE
+rewriting touched dirs, or an overwrite) fold too for the count/sum
+class, because directories are immutable so the head snapshot is
+exactly ``previous − removed dirs + added dirs``: the refresh adds
+partials over the added dirs and SUBTRACTS partials over the removed
+dirs — still O(delta) under a merge that touched one directory of a
+thousand. min/max cannot be un-merged (deleting the max row needs a
+rescan of its group), so a removal with min/max specs falls back to a
+full recompute — correctness never depends on guessing what a
+rewrite did.
 
 Exactness note: merging float sums in a different order than a full
 recompute gives bitwise-different results; for money-grade columns
@@ -81,7 +88,8 @@ def refresh_agg(
     the table's columns (ignored for count).
 
     Returns ``(aggregate_df, info)`` where ``info`` records the refresh
-    mode (``full`` | ``incremental`` | ``noop``) and how many data
+    mode (``full`` | ``incremental`` | ``incremental_cdf`` | ``noop``)
+    and how many data
     directories were scanned — the auditable "we did NOT rescan the
     table" signal. State is published atomically: data first, then an
     ``os.replace`` of the meta pointer (crash before the replace leaves
@@ -98,19 +106,50 @@ def refresh_agg(
             prev_meta = json.load(fh)
 
     def _read_dirs(rels: list[str]) -> DataFrame:
+        if not rels:  # e.g. an all-deletes merge emptied the table
+            from data_ingestion_project_spark.operators.txn_table import read
+
+            return read(spark, table_path, head)
         return spark.read.parquet(*[os.path.join(table_path, r) for r in rels])
 
-    if prev_meta is not None and set(prev_meta["data_dirs"]) <= set(cur_dirs):
+    added = removed = None
+    if prev_meta is not None:
+        prev_dirs = set(prev_meta["data_dirs"])
+        added = [d for d in cur_dirs if d not in prev_dirs]
+        removed = [d for d in prev_dirs if d not in set(cur_dirs)]
+
+    sum_class = all(fn in ("count", "sum") for _, fn, _ in specs)
+    count_aliases = [alias for _, fn, alias in specs if fn == "count"]
+
+    if prev_meta is not None and not removed:
         state_df = spark.read.parquet(os.path.join(state_path, prev_meta["state_dir"]))
-        new_dirs = [d for d in cur_dirs if d not in set(prev_meta["data_dirs"])]
-        if not new_dirs:
+        if not added:
             return state_df, {"mode": "noop", "scanned_dirs": 0, "version": head}
-        delta = _partial(_read_dirs(new_dirs), keys, specs)
+        delta = _partial(_read_dirs(added), keys, specs)
         result = _merge(state_df, delta, keys, specs)
-        mode, scanned = "incremental", len(new_dirs)
+        mode, scanned = "incremental", len(added)
+    elif prev_meta is not None and sum_class and count_aliases:
+        # merge/overwrite rewrote directories: fold the exact dir-level
+        # delta — add partials over added dirs, subtract over removed.
+        state_df = spark.read.parquet(os.path.join(state_path, prev_meta["state_dir"]))
+        neg = _partial(_read_dirs(removed), keys, specs).select(
+            *keys, *[(-F.col(alias)).alias(alias) for _, _, alias in specs]
+        )
+        folded = state_df.unionByName(neg)
+        if added:
+            folded = folded.unionByName(_partial(_read_dirs(added), keys, specs))
+        aggs = [_MERGEABLE[fn][1](alias).alias(alias) for _, fn, alias in specs]
+        # a group whose rows were all deleted folds to count 0 — drop it,
+        # matching what a recompute would produce
+        result = (
+            folded.groupBy(*[F.col(k) for k in keys])
+            .agg(*aggs)
+            .filter(F.col(count_aliases[0]) > 0)
+        )
+        mode, scanned = "incremental_cdf", len(added) + len(removed)
     else:
-        # first build, or history rewrite (a directory we folded in is
-        # gone) — recompute from the current snapshot
+        # first build, or a rewrite with non-negatable aggregates
+        # (min/max) — recompute from the current snapshot
         result = _partial(_read_dirs(cur_dirs), keys, specs)
         mode, scanned = "full", len(cur_dirs)
 
