@@ -247,3 +247,32 @@ def test_diff_versions_change_feed(spark, tmp_path):
              merge_schema=True)                               # v2
     d = {(r["id"], r["_change_type"]) for r in T.diff_versions(spark, p, 1, 2).collect()}
     assert d == {(5, "insert")}
+
+
+def test_concurrent_append_race_threads(spark, tmp_path):
+    """Genuine racing writers (threads sharing the session): every
+    append must land exactly once — the O_EXCL commit loop rebases
+    losers onto the winner's version, so no rows are lost and the
+    version history is a contiguous sequence."""
+    import threading
+
+    p = str(tmp_path / "t")
+    T.create_table(spark, p, _df(spark, [0]))
+    errors = []
+
+    def writer(base):
+        try:
+            for j in range(2):
+                T.append(spark, p, _df(spark, [base + j]))
+        except Exception as e:  # pragma: no cover - failure evidence
+            errors.append(e)
+
+    threads = [threading.Thread(target=writer, args=(100 * (i + 1),)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert errors == []
+    got = sorted(r["id"] for r in T.read(spark, p).collect())
+    assert got == sorted([0] + [100 * (i + 1) + j for i in range(4) for j in range(2)])
+    assert T.current_version(p) == 8  # create + 8 appends, contiguous
