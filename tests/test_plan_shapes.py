@@ -232,3 +232,16 @@ def test_runtime_bloom_filter_reduces_shuffle_join_probe(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_per_group_topk_uses_window_group_limit(spark):
+    """rank()<=k must trigger Catalyst's WindowGroupLimit — and twice:
+    a PARTIAL pass before the shuffle caps each partition's candidates at k
+    per key, so the exchange moves O(groups x k) rows instead of the
+    whole fact table. Losing this (e.g. by filtering on a derived
+    column Catalyst can't see through) silently reverts to full-table
+    window sort."""
+    from data_ingestion_project_spark.plans.explain import formatted_plan
+
+    df = all_queries()["top_orders_per_customer"](spark, SF)
+    assert formatted_plan(df).count("WindowGroupLimit") >= 2  # partial + final
