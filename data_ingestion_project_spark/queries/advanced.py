@@ -506,6 +506,59 @@ def approx_daily_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sketch_rollup_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datasketches HLL ROLLUP: build one binary sketch per day, then
+    UNION the stored sketches for the period total — the re-aggregation
+    pattern approx_count_distinct cannot do (its estimate is terminal).
+    At 100 TB this is the standing-aggregate design for distinct
+    counts: per-partition sketches are computed once at ingest, any
+    date-range distinct query is a cheap sketch union over the stored
+    ~KB blobs, zero fact-table rescan. Sketches are insertion-order
+    independent, so results are partitioning-stable. Rows-only check
+    (approximate by construction); accuracy floor pinned in pytest."""
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    per_day = daily.select(
+        "day", F.hll_sketch_estimate("sk").alias("est_users")
+    )
+    total = daily.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users")
+    ).select(F.lit("TOTAL").alias("day"), "est_users")
+    return per_day.unionByName(total).orderBy("day")
+
+
+def theta_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta sketches support SET OPERATIONS between sketches —
+    intersection gives retained users between adjacent weeks without
+    ever joining the raw event stream against itself (the exact
+    formulation is a self-join on user_id per week pair; this is two
+    KB-sized sketch ops per pair). Week sketches are built in one
+    pass; adjacent pairs align with a self-join on week number over
+    the ≤5-row sketch frame. Rows-only (approximate by construction);
+    accuracy floor pinned in pytest."""
+    e = table(spark, sf_dir, "events")
+    weekly = e.groupBy(F.weekofyear("ts").alias("week")).agg(
+        F.theta_sketch_agg("user_id").alias("sk"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    nxt = weekly.select(
+        (F.col("week") - 1).alias("week"), F.col("sk").alias("sk_next")
+    )
+    return (
+        weekly.join(nxt, "week")
+        .select(
+            "week",
+            F.theta_sketch_estimate(F.col("sk")).alias("est_week_users"),
+            F.theta_sketch_estimate(
+                F.theta_intersection(F.col("sk"), F.col("sk_next"))
+            ).alias("est_retained_next_week"),
+        )
+        .orderBy("week")
+    )
+
+
 def approx_order_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile: fixed-size mergeable summaries instead of the
     per-group sort of exact percentile — constant memory per group at
@@ -770,6 +823,8 @@ QUERIES = {
     "customer_name_digits": customer_name_digits,
     "shipping_delay_histogram": shipping_delay_histogram,
     "approx_daily_active_users": approx_daily_active_users,
+    "sketch_rollup_dau": sketch_rollup_dau,
+    "theta_weekly_retention": theta_weekly_retention,
     "approx_order_price_quantiles": approx_order_price_quantiles,
     "order_price_quantiles": order_price_quantiles,
     "returnflag_pivot": returnflag_pivot,

@@ -408,3 +408,38 @@ def test_sentence_split_udtf(spark):
     assert [(r["doc_id"], r["sentence"]) for r in rows] == [
         (1, "A"), (1, "B"), (3, "C"),
     ]
+
+
+def test_sketch_estimates_track_exact_counts(spark):
+    """Accuracy floors for the Datasketches queries: HLL day/total
+    estimates and theta intersections must land within 5% of exact —
+    the rows-only gate proves they run; this proves they're good."""
+    from data_ingestion_project_spark.queries import all_queries
+    from data_ingestion_project_spark.sources.readers import table
+
+    sf = "/root/testdata/sf0.01"
+    e = table(spark, sf, "events")
+
+    got = {r["day"]: r["est_users"] for r in all_queries()["sketch_rollup_dau"](spark, sf).collect()}
+    exact = {
+        r["day"]: r["n"]
+        for r in e.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    exact["TOTAL"] = e.select("user_id").distinct().count()
+    assert set(got) == set(exact)
+    for day, est in got.items():
+        assert abs(est - exact[day]) <= max(0.05 * exact[day], 2), day
+
+    ret = all_queries()["theta_weekly_retention"](spark, sf).collect()
+    assert ret
+    weeks = e.select(F.weekofyear("ts").alias("w"), "user_id").distinct()
+    for r in ret:
+        exact_ret = (
+            weeks.filter(F.col("w") == r["week"])
+            .select("user_id")
+            .intersect(weeks.filter(F.col("w") == r["week"] + 1).select("user_id"))
+            .count()
+        )
+        assert abs(r["est_retained_next_week"] - exact_ret) <= max(0.05 * exact_ret, 2)
