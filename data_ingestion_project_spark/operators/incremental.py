@@ -128,7 +128,14 @@ def refresh_agg(
         delta = _partial(_read_dirs(added), keys, specs)
         result = _merge(state_df, delta, keys, specs)
         mode, scanned = "incremental", len(added)
-    elif prev_meta is not None and sum_class and count_aliases:
+    elif (
+        prev_meta is not None
+        and sum_class
+        and count_aliases
+        # the removed dirs are exactly what vacuum() reclaims — if any
+        # is already gone, the delta is unrecoverable: recompute full
+        and all(os.path.isdir(os.path.join(table_path, d)) for d in removed)
+    ):
         # merge/overwrite rewrote directories: fold the exact dir-level
         # delta — add partials over added dirs, subtract over removed.
         state_df = spark.read.parquet(os.path.join(state_path, prev_meta["state_dir"]))

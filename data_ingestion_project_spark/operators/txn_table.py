@@ -154,7 +154,13 @@ def _commit_retry(
     is re-evaluated per attempt so appends rebase onto the winner's
     version; read-modify-write callers pass ``base_version`` and get
     TxnConflict instead of silent lost updates. ``extra`` fields (e.g.
-    per-directory key stats) are merged into the manifest."""
+    per-directory key stats) are merged into the manifest.
+
+    Durable manifest fields CARRY FORWARD across commits unless the
+    caller overrides them: ``stats`` (pruned to the surviving dirs),
+    the streaming ``stream_batch_id`` fence, and the ``evolved`` flag.
+    Without this, one unrelated append would silently drop the fence —
+    and a replayed micro-batch would double-apply."""
     for _ in range(max_retries):
         vs = _versions(path)
         if not vs:
@@ -166,12 +172,19 @@ def _commit_retry(
             )
         prev = _read_manifest(path, head)
         dirs, schema = new_dirs_fn(prev)
+        carried: dict = {}
+        if isinstance(prev.get("stats"), dict):
+            carried["stats"] = {k: v for k, v in prev["stats"].items() if k in set(dirs)}
+        for k in ("stream_batch_id", "evolved"):
+            if k in prev:
+                carried[k] = prev[k]
         manifest = {
             "version": head + 1,
             "op": op,
             "data_dirs": dirs,
             "schema": schema or prev["schema"],
             "committed_at": time.time(),
+            **carried,
             **(extra or {}),
         }
         if _try_commit(path, head + 1, manifest):
@@ -226,7 +239,11 @@ def append(
             return prev["data_dirs"] + [rel], None
         return prev["data_dirs"] + [rel], _merged_schema(prev["schema"], df.schema)
 
-    return _commit_retry(path, "append", dirs_fn, None)
+    # the evolved flag makes snapshot reads pay footer schema-merging
+    # only on tables where an evolution actually happened
+    return _commit_retry(
+        path, "append", dirs_fn, None, extra={"evolved": True} if merge_schema else None
+    )
 
 
 def overwrite(spark: SparkSession, path: str, df: DataFrame, base_version: int | None = None) -> int:
@@ -246,11 +263,23 @@ def read(spark: SparkSession, path: str, version: int | None = None) -> DataFram
     if v is None:
         raise FileNotFoundError(f"no txn table at {path}")
     m = _read_manifest(path, v)
-    target = StructType.fromJson(json.loads(m["schema"]))
-    dirs = [os.path.join(path, rel) for rel in m["data_dirs"]]
+    return _read_aligned(spark, path, m, m["data_dirs"])
+
+
+def _read_aligned(
+    spark: SparkSession, path: str, manifest: dict, rels: list[str]
+) -> DataFrame:
+    """Read ``rels`` aligned to the manifest schema. Non-evolved tables
+    (the common case) take the plain single-footer read; evolved tables
+    pay mergeSchema and NULL-fill the pre-evolution files."""
+    target = StructType.fromJson(json.loads(manifest["schema"]))
+    dirs = [os.path.join(path, rel) for rel in rels]
     if not dirs:
         return spark.createDataFrame([], target)
-    df = spark.read.option("mergeSchema", "true").parquet(*dirs)
+    reader = spark.read
+    if manifest.get("evolved"):
+        reader = reader.option("mergeSchema", "true")
+    df = reader.parquet(*dirs)
     if [f.name for f in df.schema.fields] == [f.name for f in target.fields]:
         return df
     cols = [
@@ -373,12 +402,28 @@ def analyze(spark: SparkSession, path: str, key: str) -> int:
             .agg(F.min(key).alias("lo"), F.max(key).alias("hi"))
             .collect()[0]
         )
-        stats[rel] = {"key": key, "lo": row["lo"], "hi": row["hi"]}
+        stats[rel] = {"key": key, "lo": _stat_value(row["lo"]), "hi": _stat_value(row["hi"])}
 
     def dirs_fn(prev: dict):
         return prev["data_dirs"], None
 
     return _commit_retry(path, "analyze", dirs_fn, base, extra={"stats": stats})
+
+
+def _stat_value(v):
+    """Encode a min/max key value for the JSON manifest so that
+    comparisons between encodings preserve the column's order:
+    numbers and strings pass through, dates/timestamps become ISO
+    strings (lexicographic == chronological). Anything else encodes to
+    None — which disables pruning for that directory (always scanned:
+    safe, just not pruned)."""
+    import datetime as _dt
+
+    if v is None or isinstance(v, (bool, int, float, str)):
+        return v if not isinstance(v, bool) else int(v)
+    if isinstance(v, (_dt.datetime, _dt.date)):
+        return v.isoformat()
+    return None
 
 
 def merge(
@@ -389,19 +434,27 @@ def merge(
     *,
     when_matched: str = "update",
     insert_not_matched: bool = True,
+    update_expr: dict[str, str] | None = None,
     extra: dict | None = None,
 ) -> dict:
     """MERGE ``source`` into the table on equality of ``key``.
 
     - ``when_matched="update"``: a matched target row is REPLACED by
       its source row (full-row update; ``source`` must carry the table
-      schema). ``"delete"``: matched target rows are removed.
+      schema), or — when ``update_expr`` is given — rewritten
+      column-wise: ``{"n": "t.n + s.n"}`` is Delta's
+      ``WHEN MATCHED UPDATE SET n = t.n + s.n`` (``t`` = target row,
+      ``s`` = matching source row; unlisted columns keep ``t``'s
+      value). ``"delete"``: matched target rows are removed.
     - ``insert_not_matched``: source rows matching no target row are
-      appended.
+      appended (with ``update_expr`` the source must still carry the
+      table schema so inserts are well-formed).
 
     Precondition (same as Delta): at most one source row per key —
     duplicate source keys would make the update ambiguous. Enforced
-    with one cheap aggregate on the (small) source.
+    with one cheap aggregate on the (small) source. NULL-key source
+    rows never match (SQL equality) — they are inserts if
+    ``insert_not_matched``, ignored otherwise.
 
     Plan, in order of what it costs:
     1. **Stats pruning (no I/O):** directories whose stamped
@@ -430,6 +483,18 @@ def merge(
     m = _read_manifest(path, base)
     all_dirs = list(m["data_dirs"])
     stats = m.get("stats") or {}
+    table_fields = StructType.fromJson(json.loads(m["schema"])).fields
+    if (when_matched == "update" and update_expr is None) or insert_not_matched:
+        # source rows land in the table verbatim (full-row update /
+        # insert), so they must be well-formed table rows; a pure
+        # update_expr merge without inserts may use a slim source
+        src_shape = [(f.name, f.dataType) for f in source.schema.fields]
+        tbl_shape = [(f.name, f.dataType) for f in table_fields]
+        if sorted(src_shape, key=str) != sorted(tbl_shape, key=str):
+            raise ValueError(
+                f"MERGE source schema {src_shape} does not match table schema "
+                f"{tbl_shape}; evolve the table first (append merge_schema=True)"
+            )
 
     source = source.cache()
     try:
@@ -437,13 +502,16 @@ def merge(
             F.min(key).alias("lo"),
             F.max(key).alias("hi"),
             F.count(F.lit(1)).alias("n"),
-            F.count_distinct(F.col(key)).alias("nk"),
+            F.count(F.col(key)).alias("nn"),  # non-NULL keys only —
+            F.count_distinct(F.col(key)).alias("nk"),  # so NULLs don't false-positive
         ).collect()[0]
-        if agg["n"] != agg["nk"]:
+        if agg["nn"] != agg["nk"]:
             raise ValueError(
-                f"MERGE source has duplicate keys ({agg['n']} rows, {agg['nk']} distinct {key!r})"
+                f"MERGE source has duplicate keys ({agg['nn']} non-null rows, "
+                f"{agg['nk']} distinct {key!r})"
             )
-        src_keys = source.select(key)
+        src_keys = source.select(key).filter(F.col(key).isNotNull())
+        src_lo, src_hi = _stat_value(agg["lo"]), _stat_value(agg["hi"])
 
         # 1. manifest-side stats pruning
         survivors = []
@@ -454,8 +522,8 @@ def merge(
                 st
                 and st.get("key") == key
                 and st["lo"] is not None
-                and agg["n"] > 0
-                and (st["hi"] < agg["lo"] or st["lo"] > agg["hi"])
+                and src_lo is not None
+                and (st["hi"] < src_lo or st["lo"] > src_hi)
             ):
                 pruned += 1
             else:
@@ -463,12 +531,17 @@ def merge(
 
         # 2. one distributed pass over survivors: which dirs hold a match
         touched: list[str] = []
-        if survivors and agg["n"] > 0:
-            scan = spark.read.parquet(*[os.path.join(path, rel) for rel in survivors])
+        if survivors and agg["nn"] > 0:
+            scan = _read_aligned(spark, path, m, survivors)
+            # anchor to the file's own parent dir (…/data/<hex>/part-…)
+            # — a bare search would match a data/<hex> segment in the
+            # TABLE's parent path for nested layouts
             hit_files = (
                 scan.select(F.col(key), F.input_file_name().alias("__f"))
                 .join(F.broadcast(src_keys), key, "left_semi")
-                .select(F.regexp_extract("__f", rf"({_DATA}/[0-9a-f]{{32}})/", 1).alias("__d"))
+                .select(
+                    F.regexp_extract("__f", rf"({_DATA}/[0-9a-f]{{32}})/[^/]+$", 1).alias("__d")
+                )
                 .distinct()
                 .collect()
             )
@@ -480,26 +553,40 @@ def merge(
         # 3. rewrite only the touched directories
         new_dirs = list(untouched)
         out_parts = []
+        keys_in_touched = None
         if touched:
-            t = spark.read.parquet(*[os.path.join(path, rel) for rel in touched])
+            t = _read_aligned(spark, path, m, touched)
+            keys_in_touched = t.select(key).distinct()
             out_parts.append(t.join(F.broadcast(src_keys), key, "left_anti"))
-            if when_matched == "update":
-                touched_keys = t.select(key).distinct()
-                out_parts.append(source.join(F.broadcast(touched_keys), key, "left_semi"))
-        if insert_not_matched:
-            if touched:
-                matched_keys = (
-                    spark.read.parquet(*[os.path.join(path, rel) for rel in touched])
-                    .select(key)
-                    .distinct()
+            if when_matched == "update" and update_expr is not None:
+                bad = set(update_expr) - {f.name for f in table_fields}
+                if bad:
+                    raise ValueError(f"update_expr references unknown columns: {sorted(bad)}")
+                tt, ss = t.alias("t"), source.alias("s")
+                matched = tt.join(
+                    F.broadcast(ss), F.col(f"t.{key}") == F.col(f"s.{key}"), "inner"
                 )
-                out_parts.append(source.join(F.broadcast(matched_keys), key, "left_anti"))
+                out_parts.append(
+                    matched.select(
+                        *[
+                            F.expr(update_expr[f.name]).cast(f.dataType).alias(f.name)
+                            if f.name in update_expr
+                            else F.col(f"t.{f.name}")
+                            for f in table_fields
+                        ]
+                    )
+                )
+            elif when_matched == "update":
+                out_parts.append(source.join(F.broadcast(keys_in_touched), key, "left_semi"))
+        if insert_not_matched:
+            if keys_in_touched is not None:
+                out_parts.append(source.join(F.broadcast(keys_in_touched), key, "left_anti"))
             else:
                 out_parts.append(source)
         if out_parts:
-            out = out_parts[0]
+            out = out_parts[0].select(*[f.name for f in table_fields])
             for p in out_parts[1:]:
-                out = out.unionByName(p)
+                out = out.unionByName(p.select(*[f.name for f in table_fields]))
             out = out.cache()
             try:
                 row = out.agg(
@@ -509,7 +596,11 @@ def merge(
                 ).collect()[0]
                 if row["n"] > 0:  # an all-deletes merge writes nothing
                     rel = _write_data(out, path)
-                    new_stats[rel] = {"key": key, "lo": row["lo"], "hi": row["hi"]}
+                    new_stats[rel] = {
+                        "key": key,
+                        "lo": _stat_value(row["lo"]),
+                        "hi": _stat_value(row["hi"]),
+                    }
                     new_dirs.append(rel)
             finally:
                 out.unpersist()

@@ -535,27 +535,30 @@ def theta_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     ever joining the raw event stream against itself (the exact
     formulation is a self-join on user_id per week pair; this is two
     KB-sized sketch ops per pair). Week sketches are built in one
-    pass; adjacent pairs align with a self-join on week number over
-    the ≤5-row sketch frame. Rows-only (approximate by construction);
-    accuracy floor pinned in pytest."""
+    pass; adjacent pairs align with a self-join on the week-start DATE
+    (``date_trunc('week')`` — never ``weekofyear``, which aliases the
+    same ISO week number across years and breaks adjacency at year
+    boundaries) over the tiny sketch frame. Rows-only (approximate by
+    construction); accuracy floor pinned in pytest."""
     e = table(spark, sf_dir, "events")
-    weekly = e.groupBy(F.weekofyear("ts").alias("week")).agg(
+    weekly = e.groupBy(F.date_trunc("week", "ts").alias("wk")).agg(
         F.theta_sketch_agg("user_id").alias("sk"),
         F.count(F.lit(1)).alias("n_events"),
     )
     nxt = weekly.select(
-        (F.col("week") - 1).alias("week"), F.col("sk").alias("sk_next")
+        (F.col("wk") - F.expr("INTERVAL 7 DAYS")).alias("wk"),
+        F.col("sk").alias("sk_next"),
     )
     return (
-        weekly.join(nxt, "week")
+        weekly.join(nxt, "wk")
         .select(
-            "week",
+            F.date_format("wk", "yyyy-MM-dd").alias("week_start"),
             F.theta_sketch_estimate(F.col("sk")).alias("est_week_users"),
             F.theta_sketch_estimate(
                 F.theta_intersection(F.col("sk"), F.col("sk_next"))
             ).alias("est_retained_next_week"),
         )
-        .orderBy("week")
+        .orderBy("week_start")
     )
 
 

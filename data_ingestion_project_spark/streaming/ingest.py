@@ -113,19 +113,16 @@ def start_running_count_stream(
             return  # replayed micro-batch: already applied atomically
         if delta.isEmpty():
             return
-        cur = T.read(spark, table_path).withColumnRenamed("n_events", "__cur")
-        updated = (
-            delta.join(cur, key_col, "left")
-            .select(
-                key_col,
-                (F.col("n_events") + F.coalesce(F.col("__cur"), F.lit(0))).alias("n_events"),
-            )
-        )
+        # additive UPDATE SET inside the merge itself — the sink never
+        # reads the table; the file-pruned merge touches only the data
+        # directories containing this batch's keys, so per-batch cost
+        # tracks batch size, not table size
         T.merge(
             spark,
             table_path,
-            updated,
+            delta,
             key_col,
+            update_expr={"n_events": "t.n_events + s.n_events"},
             extra={"stream_batch_id": batch_id},
         )
 

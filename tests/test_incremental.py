@@ -184,3 +184,22 @@ def test_minmax_specs_fall_back_to_full_on_rewrite(spark, tmp_path):
     out, info = refresh_agg(spark, table, state, KEYS, SPECS)
     assert info["mode"] == "full"
     assert _as_map(out) == _full(spark, table)
+
+
+def test_cdf_refresh_falls_back_to_full_after_vacuum(spark, tmp_path):
+    """The removed dirs the CDF fold wants to subtract are exactly what
+    vacuum() reclaims — once they're gone the refresh must detect it
+    and recompute instead of crashing on a missing path."""
+    table = str(tmp_path / "t")
+    state = str(tmp_path / "s")
+    txn_table.create_table(spark, table, _df(spark, [("a", 1), ("b", 2)]))
+    refresh_agg(spark, table, state, KEYS, SUM_SPECS)
+    txn_table.merge(
+        spark, table,
+        spark.createDataFrame([("a", 10)], "k string, v long"),
+        key="k",
+    )
+    txn_table.vacuum(table, min_age_seconds=0)  # reclaims the rewritten dir
+    out, info = refresh_agg(spark, table, state, KEYS, SUM_SPECS)
+    assert info["mode"] == "full"
+    assert _sum_map(out) == {"a": (10, 1), "b": (2, 1)}

@@ -434,12 +434,17 @@ def test_sketch_estimates_track_exact_counts(spark):
 
     ret = all_queries()["theta_weekly_retention"](spark, sf).collect()
     assert ret
-    weeks = e.select(F.weekofyear("ts").alias("w"), "user_id").distinct()
+    weeks = e.select(
+        F.date_format(F.date_trunc("week", "ts"), "yyyy-MM-dd").alias("w"), "user_id"
+    ).distinct()
     for r in ret:
+        nxt = F.date_format(
+            F.date_add(F.to_date(F.lit(r["week_start"])), 7), "yyyy-MM-dd"
+        )
         exact_ret = (
-            weeks.filter(F.col("w") == r["week"])
+            weeks.filter(F.col("w") == r["week_start"])
             .select("user_id")
-            .intersect(weeks.filter(F.col("w") == r["week"] + 1).select("user_id"))
+            .intersect(weeks.filter(F.col("w") == nxt).select("user_id"))
             .count()
         )
         assert abs(r["est_retained_next_week"] - exact_ret) <= max(0.05 * exact_ret, 2)

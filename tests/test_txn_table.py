@@ -276,3 +276,91 @@ def test_concurrent_append_race_threads(spark, tmp_path):
     got = sorted(r["id"] for r in T.read(spark, p).collect())
     assert got == sorted([0] + [100 * (i + 1) + j for i in range(4) for j in range(2)])
     assert T.current_version(p) == 8  # create + 8 appends, contiguous
+
+
+def test_manifest_extras_carry_forward_across_commits(spark, tmp_path):
+    """The durability bug class the review caught: stats and the
+    streaming batch-id fence must survive UNRELATED commits — one
+    plain append dropping the fence would let a replayed micro-batch
+    double-apply, and dropping stats would silently lose pruning."""
+    p = str(tmp_path / "t")
+    T.create_table(spark, p, _df(spark, [1]), extra={"stream_batch_id": 7})
+    T.analyze(spark, p, key="id")
+    T.append(spark, p, _df(spark, [2]))
+    m = T._read_manifest(p, T.current_version(p))
+    assert m["stream_batch_id"] == 7          # fence survived the append
+    assert m["stats"]                          # stats survived too
+    # overwrite replaces every dir: stats pruned to the new dir set
+    T.overwrite(spark, p, _df(spark, [9]))
+    m = T._read_manifest(p, T.current_version(p))
+    assert m["stream_batch_id"] == 7
+    assert set(m.get("stats", {})) <= set(m["data_dirs"])
+
+
+def test_merge_after_schema_evolution(spark, tmp_path):
+    """MERGE must read pre-evolution directories aligned to the
+    manifest schema (NULL-filled), not crash on the missing column."""
+    p = str(tmp_path / "t")
+    T.create_table(spark, p, _df(spark, [1, 2]))
+    T.append(
+        spark, p,
+        spark.createDataFrame([(3, "v3", "en")], "id long, val string, lang string"),
+        merge_schema=True,
+    )
+    src = spark.createDataFrame(
+        [(1, "UPDATED", "de"), (4, "v4", "fr")], "id long, val string, lang string"
+    )
+    T.merge(spark, p, src, key="id")
+    rows = {r["id"]: (r["val"], r["lang"]) for r in T.read(spark, p).collect()}
+    assert rows == {
+        1: ("UPDATED", "de"), 2: ("v2", None), 3: ("v3", "en"), 4: ("v4", "fr"),
+    }
+    # a source missing the evolved column is rejected, not mangled
+    slim = spark.createDataFrame([(2, "x")], "id long, val string")
+    with pytest.raises(ValueError, match="does not match table schema"):
+        T.merge(spark, p, slim, key="id")
+
+
+def test_merge_update_expr_additive(spark, tmp_path):
+    """Delta-style UPDATE SET expressions: t/s-referencing column
+    rewrites, unlisted columns keep the target value."""
+    p = str(tmp_path / "t")
+    T.create_table(
+        spark, p,
+        spark.createDataFrame([(1, 10, "a"), (2, 20, "b")], "id long, n long, tag string"),
+    )
+    src = spark.createDataFrame([(1, 5, "ignored"), (3, 7, "c")], "id long, n long, tag string")
+    T.merge(spark, p, src, key="id", update_expr={"n": "t.n + s.n"})
+    rows = {r["id"]: (r["n"], r["tag"]) for r in T.read(spark, p).collect()}
+    assert rows == {1: (15, "a"), 2: (20, "b"), 3: (7, "c")}  # tag kept from target
+
+
+def test_merge_allows_null_key_source_rows(spark, tmp_path):
+    """A NULL-key source row is not a duplicate key (COUNT DISTINCT
+    ignores NULLs); it never matches and lands as an insert."""
+    p = str(tmp_path / "t")
+    T.create_table(spark, p, _df(spark, [1]))
+    src = spark.createDataFrame([(None, "nk"), (1, "UPDATED")], "id long, val string")
+    T.merge(spark, p, src, key="id")
+    rows = {(r["id"], r["val"]) for r in T.read(spark, p).collect()}
+    assert rows == {(1, "UPDATED"), (None, "nk")}
+
+
+def test_analyze_date_typed_key(spark, tmp_path):
+    """Stats stamping must survive non-JSON-native key types (dates
+    encode as ISO strings — lexicographic == chronological)."""
+    import datetime as dt
+
+    p = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(dt.date(2024, 1, 1), 1), (dt.date(2024, 6, 1), 2)], "day date, v long"
+    )
+    T.create_table(spark, p, df)
+    T.append(spark, p, spark.createDataFrame([(dt.date(2025, 3, 1), 3)], "day date, v long"))
+    T.analyze(spark, p, key="day")  # must not raise on json.dumps
+    m = T._read_manifest(p, T.current_version(p))
+    assert all(isinstance(s["lo"], str) for s in m["stats"].values())
+    src = spark.createDataFrame([(dt.date(2025, 3, 1), 30)], "day date, v long")
+    res = T.merge(spark, p, src, key="day")
+    assert res["pruned_by_stats"] == 1  # the 2024-only dir pruned via ISO order
+    assert {r["v"] for r in T.read(spark, p).collect()} == {1, 2, 30}
