@@ -104,8 +104,14 @@ def load_env_file(path: str | os.PathLike) -> dict[str, str]:
                     value = value[1:closing]
                 else:  # unterminated quote — keep verbatim minus the quote
                     value = value[1:]
-            elif "#" in value:  # unquoted inline comment
-                value = value.split("#", 1)[0].strip()
+            else:
+                # python-dotenv parity: '#' starts an inline comment
+                # only when PRECEDED BY WHITESPACE — a bare '#' inside
+                # an unquoted secret (PEPPER=ab#cd) is part of the value
+                for i, ch in enumerate(value):
+                    if ch == "#" and (i == 0 or value[i - 1] in " \t"):
+                        value = value[:i].rstrip()
+                        break
             if key:
                 out[key] = value
     return out

@@ -100,6 +100,12 @@ def winnow_fingerprints(
     n_parts = df.sparkSession.sparkContext.defaultParallelism
     grams = (
         df.select(F.col(id_col), s.alias("__s"))
+        # NULL text must emit NO fingerprints: substring(NULL) is NULL
+        # and hash(NULL) is a CONSTANT (xxhash64's seed), so without
+        # this filter every null-text doc would share one fake
+        # fingerprint and become a mutual near-dup candidate. (The SQL
+        # oracle's range(1, NULL) already yields nothing.)
+        .filter(F.col("__s").isNotNull())
         .repartition(n_parts, F.col(id_col))
         # Explode positions first, hash second: a hash inside a
         # higher-order lambda runs interpreted (~5× slower than the

@@ -45,13 +45,24 @@ def asof_join(
     rows with no prior right row get nulls (LEFT ASOF semantics).
 
     Tie handling: two right rows with the same key AND identical
-    timestamp are ordered by ``right_tiebreak`` (a right column name)
-    when given, else by the payload struct itself (lexicographic by
-    field) — the *greatest* one wins. Without this the carried payload
-    would depend on partitioning/run order. Pass ``right_tiebreak``
-    explicitly if the payload contains unorderable types (maps).
+    timestamp are ordered by ``right_tiebreak`` (any right column —
+    it need not be in ``right_payload``; it rides the internal struct
+    without appearing in the output) when given, else by the payload
+    struct itself (lexicographic by field) — the *greatest* one wins.
+    Without this the carried payload would depend on partitioning/run
+    order. Pass ``right_tiebreak`` explicitly if the payload contains
+    unorderable types (maps); for full determinism it should be unique
+    per (key, timestamp) — equal-or-null tiebreak values still resolve
+    by arrival order.
     """
     right_payload = right_payload or [c for c in right.columns if c not in on and c != right_ts]
+    struct_fields = list(right_payload)
+    if right_tiebreak is not None and right_tiebreak not in struct_fields:
+        if right_tiebreak not in right.columns:
+            raise ValueError(
+                f"right_tiebreak {right_tiebreak!r} is not a column of the right side"
+            )
+        struct_fields.append(right_tiebreak)
 
     # A right row with a NULL timestamp has no defined position in event
     # time; NULLS FIRST ordering would otherwise carry its payload into
@@ -64,7 +75,7 @@ def asof_join(
     # never existed. A struct is non-null for every right row (even if
     # all its fields are null), so last(struct, ignorenulls) always
     # selects the latest right ROW as a unit.
-    payload_struct = F.struct(*[F.col(p).alias(p) for p in right_payload])
+    payload_struct = F.struct(*[F.col(p).alias(p) for p in struct_fields])
     payload_type = right.select(payload_struct.alias("s")).schema["s"].dataType
 
     l_tag = left.select(

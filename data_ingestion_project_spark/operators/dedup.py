@@ -81,15 +81,21 @@ def substitution_block_pairs(
     pair collapses them before rescoring.
     """
     s = df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))
+    # greatest(len, 1): sequence(1, 0) would step DOWNWARD ([1, 0]) for
+    # empty strings. The length rides in the key because out-of-range
+    # substrings collapse to '' — without it, ''@i=1 and 'x'@i=1 share
+    # (prefix='', suffix='') and an unequal-length pair would leak
+    # through the equal-length contract.
     v = s.select(
         "__id",
         "__t",
-        F.explode(F.sequence(F.lit(1), F.length("__t"))).alias("__i"),
+        F.explode(F.sequence(F.lit(1), F.greatest(F.length("__t"), F.lit(1)))).alias("__i"),
     ).select(
         "__id",
         "__t",
         F.concat_ws(
             "\x01",
+            F.length("__t").cast("string"),
             F.col("__i").cast("string"),
             F.expr("substring(__t, 1, __i - 1)"),
             F.expr("substring(__t, __i + 1)"),

@@ -43,17 +43,20 @@ def connected_components(
     node appearing in any edge. Deterministic for any partitioning.
     Raises if ``max_iter`` rounds do not reach the fixpoint (graph
     diameter exceeds max_iter)."""
-    id_type = dict(edges.dtypes).get(src, "")
-    if id_type not in ("bigint", "int", "smallint", "tinyint"):
-        # The sum-based convergence check is only sound for integral
-        # labels (sum of a string column is NULL → None == None would
-        # declare convergence after round 1, silently wrong). Reject
-        # rather than be wrong; map string ids through xxhash64 or a
-        # dense id first.
-        raise ValueError(
-            f"connected_components requires integral node ids, got {id_type!r} "
-            f"for {src!r} — hash or dense-rank string ids first"
-        )
+    dtypes = dict(edges.dtypes)
+    for col in (src, dst):  # BOTH ends: a string dst would coerce the
+        # union to string just as silently as a string src
+        id_type = dtypes.get(col, "")
+        if id_type not in ("bigint", "int", "smallint", "tinyint"):
+            # The sum-based convergence check is only sound for integral
+            # labels (sum of a string column is NULL → None == None would
+            # declare convergence after round 1, silently wrong). Reject
+            # rather than be wrong; map string ids through xxhash64 or a
+            # dense id first.
+            raise ValueError(
+                f"connected_components requires integral node ids, got {id_type!r} "
+                f"for {col!r} — hash or dense-rank string ids first"
+            )
     # Materialize the directed edge list ONCE, before the symmetric
     # union: the union's two branches are separate plan subtrees, so an
     # un-checkpointed input would execute the caller's whole

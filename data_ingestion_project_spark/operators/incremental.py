@@ -74,6 +74,30 @@ def _meta_path(state_path: str) -> str:
     return os.path.join(state_path, "_meta.json")
 
 
+def _sweep_orphans(state_path: str, keep: str | None, min_age_seconds: float = 3600.0) -> None:
+    """Reclaim state directories no meta pointer references — the
+    leftovers of a refresh that crashed between the parquet write and
+    the ``os.replace`` publish. Age-guarded like txn_table.vacuum: a
+    fresh unreferenced dir may be an in-flight refresh (refreshes are
+    single-writer by contract, but the guard keeps a mis-deployed
+    second writer from corrupting anything)."""
+    import time
+
+    if not os.path.isdir(state_path):
+        return
+    now = time.time()
+    for name in os.listdir(state_path):
+        full = os.path.join(state_path, name)
+        if name == keep or not os.path.isdir(full):
+            continue
+        try:
+            if now - os.path.getmtime(full) < min_age_seconds:
+                continue
+            shutil.rmtree(full)
+        except OSError:  # raced with another sweep
+            continue
+
+
 def refresh_agg(
     spark: SparkSession,
     table_path: str,
@@ -104,6 +128,7 @@ def refresh_agg(
     if os.path.exists(_meta_path(state_path)):
         with open(_meta_path(state_path), encoding="utf-8") as fh:
             prev_meta = json.load(fh)
+    _sweep_orphans(state_path, keep=prev_meta["state_dir"] if prev_meta else None)
 
     def _read_dirs(rels: list[str]) -> DataFrame:
         if not rels:  # e.g. an all-deletes merge emptied the table

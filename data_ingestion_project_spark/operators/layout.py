@@ -20,7 +20,6 @@ The two layout decisions that dominate read cost at 100 TB:
 from __future__ import annotations
 
 import os
-import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -69,12 +68,9 @@ def compact_parquet(
                 total_bytes += os.path.getsize(os.path.join(root, f))
     n_files = max(1, round(total_bytes / (target_file_mb * 1024 * 1024)))
 
+    from data_ingestion_project_spark.operators.upsert import atomic_dir_swap
+
     df = spark.read.parquet(path)
-    # uuid-suffixed scratch dirs (mirrors upsert.atomic_overwrite_parquet):
-    # fixed names would collide with leftovers from a previously crashed
-    # run and block compaction until manual cleanup.
-    run_id = uuid.uuid4().hex[:12]
-    tmp = f"{path}__compact_tmp_{run_id}"
     if partition_cols:
         # repartition BY the partition columns: a global round-robin
         # repartition would spread every partition's rows across all
@@ -84,19 +80,7 @@ def compact_parquet(
         writer = writer.partitionBy(*partition_cols)
     else:
         writer = df.repartition(n_files).write.mode("overwrite")
-    writer.parquet(tmp)
-
-    import shutil
-
-    old = f"{path}__compact_old_{run_id}"
-    os.rename(path, old)
-    try:
-        os.rename(tmp, path)
-    except BaseException:
-        if not os.path.exists(path):
-            os.rename(old, path)
-        raise
-    shutil.rmtree(old)
+    atomic_dir_swap(path, writer.parquet)
     return n_files
 
 

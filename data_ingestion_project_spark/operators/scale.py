@@ -72,16 +72,19 @@ def salted_sum_by_key(
     """Two-phase SUM+COUNT for skewed group-by keys: partial aggregate
     per (key, salt), final combine per key. Accumulation is DECIMAL
     (queries/_precision.py convention), which is what makes the salted
-    two-stage sum EXACTLY equal to a single-stage sum — decimal
-    addition is associative, so re-associating across salts cannot
-    change the result (a double sum would drift). Returns
-    (key, n, sum_value)."""
+    two-stage sum EXACTLY equal to a single-stage sum *with the same
+    decimal cast* — decimal addition is associative, so re-associating
+    across salts cannot change the result (a double sum would drift).
+    DECIMAL(38,6) bounds: |value| < 10^32 (a non-ANSI cast overflow
+    would become NULL and silently drop from the sum) and >6-decimal
+    fractions round at the cast — money-grade columns, not raw
+    physics doubles. Returns (key, n, sum_value)."""
     return (
         df.withColumn("__salt", (F.rand(seed=42) * n_salts).cast("int"))
         .groupBy(key, "__salt")
         .agg(
             F.count(F.lit(1)).alias("__n"),
-            F.sum(F.col(value_col).cast("decimal(27,6)")).alias("__partial"),
+            F.sum(F.col(value_col).cast("decimal(38,6)")).alias("__partial"),
         )
         .groupBy(key)
         .agg(

@@ -211,7 +211,9 @@ def ivf_assign(
     broadcast centroid matrix, as an Arrow-batched pandas UDF (one numpy
     matmul per batch — the vectorized fast path; a per-row HOF argmax
     would run interpreted). Ties break toward the lowest list id
-    (argmax convention), keeping assignment deterministic."""
+    (argmax convention), keeping assignment deterministic. NULL
+    embeddings are dropped up front — np.stack on a batch containing
+    None dies with a shape error that never names the real cause."""
     from pyspark.sql.functions import pandas_udf
 
     cmat = np.asarray(centroids, dtype=float)  # (C, dim), unit rows
@@ -223,7 +225,9 @@ def ivf_assign(
         unit = mat / np.clip(norms, 1e-12, None)
         return pd.Series(np.argmax(unit @ cmat.T, axis=1).astype("int32"))
 
-    return corpus.withColumn(list_col, _assign(F.col(vec_col)))
+    return corpus.filter(F.col(vec_col).isNotNull()).withColumn(
+        list_col, _assign(F.col(vec_col))
+    )
 
 
 def ivf_ann_topk(
@@ -421,7 +425,9 @@ def pq_encode(
     """Attach the ``m``-byte PQ code: per subspace, argmin L2 to the
     broadcast codebook — one numpy distance matrix per Arrow batch per
     subspace (never per-row Python). Vectors are L2-normalized before
-    encoding so L2-in-subspace is consistent with cosine scoring."""
+    encoding so L2-in-subspace is consistent with cosine scoring.
+    NULL embeddings are dropped up front (same posture as
+    ivf_assign)."""
     from pyspark.sql.functions import pandas_udf
 
     books = np.asarray(codebooks, dtype=float)  # (m, ksub, dsub)
@@ -443,7 +449,9 @@ def pq_encode(
             codes[:, s] = np.argmin(d2, axis=1)
         return pd.Series(list(codes))
 
-    return corpus.withColumn(code_col, _encode(F.col(vec_col)))
+    return corpus.filter(F.col(vec_col).isNotNull()).withColumn(
+        code_col, _encode(F.col(vec_col))
+    )
 
 
 def pq_ann_topk(

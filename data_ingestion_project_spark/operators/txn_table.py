@@ -326,6 +326,25 @@ def merge_upsert(spark: SparkSession, path: str, new_rows: DataFrame, key: str) 
     return overwrite(spark, path, merged, base_version=base)
 
 
+def table_row_count(path: str, version: int | None = None) -> int:
+    """Exact row count of a snapshot from parquet FOOTER metadata only
+    — a driver-side walk over the manifest's files, no Spark job and no
+    data pages. The cheap answer to 'how many rows after the commit'
+    (a ``df.count()`` would rescan the whole table)."""
+    import pyarrow.parquet as pq
+
+    v = current_version(path) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"no txn table at {path}")
+    total = 0
+    for rel in _read_manifest(path, v)["data_dirs"]:
+        d = os.path.join(path, rel)
+        for name in os.listdir(d):
+            if name.endswith(".parquet"):
+                total += pq.ParquetFile(os.path.join(d, name)).metadata.num_rows
+    return total
+
+
 def history(path: str) -> list[dict]:
     return [_read_manifest(path, v) for v in _versions(path)]
 

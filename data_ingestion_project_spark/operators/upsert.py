@@ -74,8 +74,17 @@ def atomic_overwrite_parquet(df: DataFrame, path: str) -> None:
     the single-writer stand-in (the ingestion job is single-flight by
     the run_ingestion.sh lock).
     """
+    atomic_dir_swap(path, lambda tmp: df.write.mode("overwrite").parquet(tmp))
+
+
+def atomic_dir_swap(path: str, write_to_tmp) -> None:
+    """The uuid-suffixed tmp-write / double-rename / restore-on-failure
+    swap shared by every plain-directory overwrite (this module and
+    layout.compact_parquet — ONE implementation, so crash-recovery
+    fixes cannot drift between call sites). ``write_to_tmp(tmp_path)``
+    produces the new directory contents."""
     tmp = f"{path}__tmp_{_uuid.uuid4().hex[:8]}"
-    df.write.mode("overwrite").parquet(tmp)
+    write_to_tmp(tmp)
     old = f"{path}__old_{_uuid.uuid4().hex[:8]}"
     if os.path.exists(path):
         os.rename(path, old)
@@ -138,8 +147,9 @@ def upsert_txn_table(
     else:
         T.merge_upsert(spark, path, new_rows, key=key)
     new_rows.unpersist()
-    result = T.read(spark, path)
-    return result, result.count()
+    # footer-metadata count: no second full-table scan just to report
+    # the row count (same posture as upsert_parquet_table's observe)
+    return T.read(spark, path), T.table_row_count(path)
 
 
 def write_csv_parity(df: DataFrame, path: str, columns: tuple[str, ...]) -> None:

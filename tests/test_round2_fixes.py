@@ -114,3 +114,69 @@ def test_compaction_survives_crash_leftovers(spark, tmp_path):
     os.makedirs(path + "__compact_tmp", exist_ok=True)
     compact_parquet(spark, path, target_file_mb=1)
     assert spark.read.parquet(path).count() == 1000
+
+
+def test_connected_components_rejects_string_dst(spark):
+    """Both edge endpoints must be integral — a string dst would coerce
+    the symmetric union to string and silently break the sum-based
+    convergence check."""
+    import pytest
+
+    from data_ingestion_project_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame([(1, "doc_2")], "src long, dst string")
+    with pytest.raises(ValueError, match="integral node ids"):
+        connected_components(edges)
+
+
+def test_substitution_pairs_respect_length_on_empty_strings(spark):
+    """'' and 'x' share (i=1, prefix='', suffix='') — the length in the
+    variant key must keep this unequal-length pair out, while equal
+    empty strings still pair (distance 0)."""
+    from data_ingestion_project_spark.operators.dedup import substitution_block_pairs
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "x"), (3, ""), (4, "y")], "id long, t string"
+    )
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in substitution_block_pairs(df, id_col="id", text_col="t").collect()
+    }
+    assert (1, 3) in pairs          # equal-length (empty) pair kept
+    assert (1, 2) not in pairs      # '' vs 'x': unequal length, excluded
+    assert (2, 4) in pairs          # 'x' vs 'y': substitution distance 1
+
+
+def test_env_file_hash_inside_unquoted_value(tmp_path):
+    """python-dotenv parity: '#' is a comment only after whitespace."""
+    from data_ingestion_project_spark.functions.crypto import load_env_file
+
+    p = tmp_path / ".env"
+    p.write_text("PEPPER=ab#cd\nKEY=v1 # real comment\n")
+    env = load_env_file(str(p))
+    assert env["PEPPER"] == "ab#cd"
+    assert env["KEY"] == "v1"
+
+
+def test_ivf_assign_tolerates_null_embeddings(spark):
+    from data_ingestion_project_spark.operators.similarity import ivf_assign
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, None), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = ivf_assign(df, [[1.0, 0.0], [0.0, 1.0]])
+    rows = {r["vec_id"]: r["list_id"] for r in out.collect()}
+    assert rows == {1: 0, 3: 1}  # null row dropped, no crash
+
+
+def test_winnow_null_text_emits_no_fingerprints(spark):
+    from data_ingestion_project_spark.functions.text import winnow_fingerprints
+
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, "a real document body here")],
+        "doc_id long, text string",
+    )
+    fps = winnow_fingerprints(df, "text", "doc_id", k=8, w=4)
+    ids = {r["doc_id"] for r in fps.collect()}
+    assert ids == {3}  # null-text docs share NO fake fingerprint
