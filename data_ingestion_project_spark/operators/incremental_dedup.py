@@ -1,0 +1,125 @@
+"""Incremental cross-batch near-dedup against a persistent
+fingerprint index — the shape a production corpus pipeline actually
+runs: batches arrive over time, and each new batch must be deduplicated
+against EVERYTHING already accepted, without ever rescanning the
+accepted corpus text.
+
+Index design: a txn table (operators/txn_table) of
+``(fp bigint, doc_id)`` winnow fingerprints (functions/text.py,
+Schleimer et al. winnowing — any shared substring of length k+w-1
+guarantees a shared fingerprint). Per batch:
+
+1. fingerprint the new docs (one linear pass over NEW text only);
+2. join new fps against the index on ``fp`` — the index side carries
+   fps only, never text, so the join input is O(index fingerprints),
+   ~2/(w+1) of the corpus's gram count, and at 100 TB the equi-join
+   shuffles hashes, not documents;
+3. a new doc whose shared-fp count with ANY single accepted doc
+   reaches ``min_shared`` is a near-dup → dropped (containment/
+   overlap detection, not just exact identity);
+4. survivors' fingerprints are APPENDED to the index in one atomic
+   txn commit — append-only, so concurrent batch processors rebase
+   cleanly and a crash between filter and append costs only
+   re-processing (dedup is idempotent: a replayed batch's docs either
+   match the index — their fps landed — and drop, or insert again).
+
+Within-batch duplicates are handled by the same pass with
+drop-any-candidate-with-a-smaller-id semantics (the same rule Spark
+ML's MinHashLSH dedup recipes use): a doc matching ANY smaller-id
+batch doc drops, even if that doc itself dropped. This over-drops
+relative to greedy sequential keep-first only on A~B~C chains where
+A≁C — acceptable for near-dup filtering, and it keeps the pass a
+single self-join instead of an iterative fixpoint.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_ingestion_project_spark.functions.text import winnow_fingerprints
+from data_ingestion_project_spark.operators import txn_table as T
+
+INDEX_SCHEMA = "fp bigint, doc_id bigint"
+
+
+def dedup_batch_against_index(
+    spark: SparkSession,
+    index_path: str,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_shared: int = 8,
+    k: int = 8,
+    w: int = 4,
+) -> tuple[DataFrame, dict]:
+    """Filter ``batch`` against (and then extend) the fingerprint index.
+
+    Returns ``(accepted_docs, info)`` where ``accepted_docs`` is the
+    surviving subset of ``batch`` (all original columns) and ``info``
+    counts ``{"n_batch", "n_dropped_vs_index", "n_dropped_in_batch",
+    "n_accepted"}``. The index table is created on first use.
+    """
+    fps = winnow_fingerprints(batch, text_col, id_col, k=k, w=w).select(
+        F.col(id_col).cast("long").alias("doc_id"), F.col("fp").cast("long")
+    )
+    fps = fps.localCheckpoint(eager=True)  # reused 3x below — cut the lineage once
+
+    n_batch = batch.count()
+    index_exists = T.current_version(index_path) is not None
+
+    # --- vs the accepted corpus ---------------------------------------
+    dropped_vs_index = spark.createDataFrame([], "doc_id long")
+    if index_exists:
+        idx = T.read(spark, index_path)
+        shared = (
+            fps.join(idx.withColumnRenamed("doc_id", "__accepted"), "fp")
+            .groupBy("doc_id", "__accepted")
+            .agg(F.count(F.lit(1)).alias("n_shared"))
+            .filter(F.col("n_shared") >= min_shared)
+        )
+        dropped_vs_index = shared.select("doc_id").distinct()
+
+    # --- within the batch ---------------------------------------------
+    a = fps.select(F.col("doc_id").alias("__keep"), "fp")
+    b = fps.select(F.col("doc_id").alias("__cand"), "fp")
+    in_batch = (
+        a.join(b, "fp")
+        .filter(F.col("__keep") < F.col("__cand"))
+        .groupBy("__keep", "__cand")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+        .select(F.col("__cand").alias("doc_id"))
+        .distinct()
+    )
+
+    # one materialization carries both the drop set and its provenance,
+    # so the index join never re-executes for the counts
+    tagged = (
+        dropped_vs_index.select("doc_id", F.lit(1).alias("__vs_index"))
+        .unionByName(in_batch.select("doc_id", F.lit(0).alias("__vs_index")))
+        .groupBy("doc_id")
+        .agg(F.max("__vs_index").alias("__vs_index"))
+        .localCheckpoint(eager=True)
+    )
+    n_dropped_vs_index = tagged.filter(F.col("__vs_index") == 1).count()
+    n_dropped_total = tagged.count()
+    dropped = tagged.select("doc_id")
+    accepted = batch.join(
+        dropped.withColumnRenamed("doc_id", "__dropped_id"),
+        F.col(id_col).cast("long") == F.col("__dropped_id"),
+        "left_anti",
+    )
+
+    surviving_fps = fps.join(dropped, "doc_id", "left_anti")
+    if index_exists:
+        T.append(spark, index_path, surviving_fps)
+    else:
+        T.create_table(spark, index_path, surviving_fps)
+
+    return accepted, {
+        "n_batch": n_batch,
+        "n_dropped_vs_index": n_dropped_vs_index,
+        "n_dropped_in_batch": n_dropped_total - n_dropped_vs_index,
+        "n_accepted": n_batch - n_dropped_total,
+    }
