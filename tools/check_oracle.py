@@ -46,6 +46,10 @@ def main() -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     only = set(sys.argv[2:])
+    unknown = only - set(qs)
+    if unknown:  # a typo would otherwise silently check nothing
+        print(f"FAIL unknown query name(s): {sorted(unknown)}")
+        return 2
 
     spark = build_session("oracle-check")
     con = duck_connection(SF_DIR)
