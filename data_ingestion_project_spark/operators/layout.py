@@ -99,49 +99,55 @@ def compact_parquet(
 # pruning.
 
 
-def _morton2(xa: F.Column, ya: F.Column, bits: int = 16) -> F.Column:
-    """Interleave the low ``bits`` bits of two non-negative ints into
-    one z-value (x in even positions, y in odd). Pure bigint bit
-    arithmetic — whole-stage codegen, no UDF."""
+def _morton(quantized: list[F.Column], bits: int) -> F.Column:
+    """Interleave the low ``bits`` bits of d non-negative ints into one
+    z-value (column j's bit i lands at position i*d + j). Pure bigint
+    bit arithmetic — whole-stage codegen, no UDF. Requires
+    ``bits * len(quantized) <= 63`` (the z-value must fit a signed
+    long)."""
+    d = len(quantized)
+    if bits * d > 63:
+        raise ValueError(f"bits*cols = {bits * d} exceeds 63 (signed long)")
     z = F.lit(0).cast("bigint")
-    for i in range(bits):
-        z = (
-            z
-            .bitwiseOR(F.shiftleft(xa.bitwiseAND(F.lit(1 << i)), i))
-            .bitwiseOR(F.shiftleft(ya.bitwiseAND(F.lit(1 << i)), i + 1))
-        )
+    for j, col in enumerate(quantized):
+        for i in range(bits):
+            z = z.bitwiseOR(F.shiftleft(col.bitwiseAND(F.lit(1 << i)), i * (d - 1) + j))
     return z
 
 
 def write_zordered(
     df: DataFrame,
     path: str,
-    cols: tuple[str, str],
+    cols: tuple[str, ...],
     n_files: int = 32,
-    bits: int = 16,
+    bits: int | None = None,
 ) -> None:
-    """Write ``df`` as ``n_files`` parquet files z-ordered on two
-    numeric columns.
+    """Write ``df`` as ``n_files`` parquet files z-ordered on 2+
+    numeric columns (``bits`` defaults to the max resolution that
+    keeps the interleaved value in a signed long — 31/2, 21/3, 15/4).
 
-    Quantization is linear min-max scaling to ``bits`` bits (one tiny
-    driver-side agg for the 4 bounds — at 100 TB use a sampled
-    approx-quantile rank map instead for skew robustness; linear is
-    exact enough to demonstrate and test the skipping property).
-    ``repartitionByRange(z)`` gives each output file a contiguous
-    z-range; the within-partition sort tightens row-group stats too.
-    The z column is dropped before writing — layout only, not schema.
+    Quantization is linear min-max scaling (one tiny driver-side agg
+    for the bounds — at 100 TB use a sampled approx-quantile rank map
+    instead for skew robustness; linear is exact enough to demonstrate
+    and test the skipping property). ``repartitionByRange(z)`` gives
+    each output file a contiguous z-range; the within-partition sort
+    tightens row-group stats too. The z column is dropped before
+    writing — layout only, not schema.
     """
-    a, b = cols
-    lo_a, hi_a, lo_b, hi_b = df.agg(
-        F.min(a), F.max(a), F.min(b), F.max(b)
+    if len(cols) < 2:
+        raise ValueError("z-ordering needs at least 2 columns; sort instead for 1")
+    bits = bits or 63 // len(cols)
+    bounds = df.agg(
+        *[f for c in cols for f in (F.min(c).alias(f"lo_{c}"), F.max(c).alias(f"hi_{c}"))]
     ).collect()[0]
-    span_a = max(float(hi_a) - float(lo_a), 1e-12)
-    span_b = max(float(hi_b) - float(lo_b), 1e-12)
     scale = (1 << bits) - 1
-    qa = F.round((F.col(a) - F.lit(float(lo_a))) / F.lit(span_a) * scale).cast("bigint")
-    qb = F.round((F.col(b) - F.lit(float(lo_b))) / F.lit(span_b) * scale).cast("bigint")
+    quantized = []
+    for c in cols:
+        lo, hi = float(bounds[f"lo_{c}"]), float(bounds[f"hi_{c}"])
+        span = max(hi - lo, 1e-12)
+        quantized.append(F.round((F.col(c) - F.lit(lo)) / F.lit(span) * scale).cast("bigint"))
     (
-        df.withColumn("__z", _morton2(qa, qb, bits))
+        df.withColumn("__z", _morton(quantized, bits))
         .repartitionByRange(n_files, F.col("__z"))
         .sortWithinPartitions("__z")
         .drop("__z")
