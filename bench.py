@@ -40,11 +40,12 @@ def main() -> None:
     # the first lineitem-heavy query to pay the cold column decode).
     from pyspark.sql import functions as F
 
-    from data_ingestion_project_spark.sources.readers import table
+    from data_ingestion_project_spark.sources.readers import TABLES, table
 
     t0 = time.perf_counter()
-    for t in ("region", "nation", "customer", "supplier", "part", "orders",
-              "lineitem", "events", "documents", "embeddings"):
+    for t in TABLES:  # warm EVERY table the queries read — a new table
+        # missing here would re-absorb the cold-decode tax into its
+        # first timed query
         df = table(spark, sf_dir, t)
         # count(col) decodes every column regardless of type (max would
         # reject maps); count(*) would read footers only.

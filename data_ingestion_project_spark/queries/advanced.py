@@ -255,20 +255,11 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts_above_brand_average's self-table case. Revenue from
     small-quantity orders of one brand, annualized (/7 per Q17)."""
     register_views(spark, sf_dir, ("part", "lineitem"))
-    return spark.sql(
-        """
-        SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,6))) AS DOUBLE) / 7.0, 2)
-                 AS avg_yearly,
-               COUNT(*) AS n_lineitems
-        FROM lineitem JOIN part ON p_partkey = l_partkey
-        WHERE p_brand = 'Brand#23'
-          AND l_quantity < (
-            SELECT 0.5 * AVG(l2.l_quantity) FROM lineitem l2 WHERE l2.l_partkey = p_partkey
-          )
-        """
-    )
+    return spark.sql(ORACLE_SMALL_QUANTITY_REVENUE)
 
 
+# dialect-shared: the ONE SQL text both Spark and the DuckDB oracle run
+# (same pattern as tpch2._SOLE_RETURN_SQL) — no second copy to drift
 ORACLE_SMALL_QUANTITY_REVENUE = """
 SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,6))) AS DOUBLE) / 7.0, 2)
          AS avg_yearly,
@@ -542,8 +533,7 @@ def theta_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction); accuracy floor pinned in pytest."""
     e = table(spark, sf_dir, "events")
     weekly = e.groupBy(F.date_trunc("week", "ts").alias("wk")).agg(
-        F.theta_sketch_agg("user_id").alias("sk"),
-        F.count(F.lit(1)).alias("n_events"),
+        F.theta_sketch_agg("user_id").alias("sk")
     )
     nxt = weekly.select(
         (F.col("wk") - F.expr("INTERVAL 7 DAYS")).alias("wk"),
@@ -736,24 +726,8 @@ def wealthy_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     IN-list pushdown, and correlated NOT EXISTS (anti-join after
     Catalyst decorrelation — never a per-customer rescan)."""
     register_views(spark, sf_dir)
-    return spark.sql(f"""
-        SELECT c_nationkey,
-               COUNT(*) AS n_customers,
-               {sql_dec_sum('c_acctbal')} AS total_acctbal
-        FROM customer c
-        WHERE c_nationkey IN (1, 5, 9, 13, 17, 21)
-          AND c_acctbal > (
-            SELECT AVG(c_acctbal) FROM customer
-            WHERE c_acctbal > 0 AND c_nationkey IN (1, 5, 9, 13, 17, 21)
-          )
-          AND NOT EXISTS (
-            SELECT 1 FROM orders o
-            WHERE o.o_custkey = c.c_custkey
-              AND o.o_orderdate >= DATE '2001-05-01'
-          )
-        GROUP BY c_nationkey
-        ORDER BY c_nationkey
-    """)
+    # dialect-shared text: Spark runs the oracle string itself
+    return spark.sql(ORACLE_WEALTHY_INACTIVE_CUSTOMERS)
 
 
 ORACLE_WEALTHY_INACTIVE_CUSTOMERS = f"""

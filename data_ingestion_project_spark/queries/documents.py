@@ -382,12 +382,15 @@ def _winnow_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def winnow_overlap_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 document pairs by shared winnowed fingerprints (MOSS-style
     partial-overlap / containment detection; functions/text.py cites
-    Schleimer et al. SIGMOD 2003). Candidate generation is the
-    inverted-index equi-join on fingerprint — one shuffle, never
-    all-pairs — with posting lists capped at 50 docs (a fingerprint
-    shared by more documents carries no pair signal, same pruning as
-    jaccard_pairs). md5 hashing here so DuckDB replays the identical
-    winnow selection; production uses the xxhash64 default."""
+    Schleimer et al. SIGMOD 2003). Candidate generation groups by
+    fingerprint ONCE and expands pairs from each (capped) posting list
+    — one shuffle, never all-pairs, and the winnow pipeline runs a
+    single time (the fp-keyed self-join alternative recomputes it per
+    join branch — see _winnow_pair_counts). Posting lists are capped
+    at 50 docs (a fingerprint shared by more documents carries no pair
+    signal, same pruning as jaccard_pairs). md5 hashing here so DuckDB
+    replays the identical winnow selection; production uses the
+    xxhash64 default."""
     counted = _winnow_pair_counts(spark, sf_dir)
     return counted.orderBy(F.col("n_shared").desc(), "id_a", "id_b").limit(20)
 
@@ -1047,10 +1050,23 @@ def dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias(n_alias), F.sum("tok").alias(t_alias)
         )
 
+    # LEFT joins from the raw frame: a language whose every doc dropped
+    # at some stage must still report (count 0, tokens NULL), matching
+    # the oracle's DISTINCT-lang driver — an inner join would silently
+    # delete the row and fail the rowcount gate on such data
     return (
         _acc(docs, "n_raw", "tok_raw")
-        .join(_acc(s1, "n_exact", "tok_exact"), "lang")
-        .join(_acc(s2, "n_final", "tok_final"), "lang")
+        .join(_acc(s1, "n_exact", "tok_exact"), "lang", "left")
+        .join(_acc(s2, "n_final", "tok_final"), "lang", "left")
+        .select(
+            "lang",
+            "n_raw",
+            "tok_raw",
+            F.coalesce("n_exact", F.lit(0)).alias("n_exact"),
+            "tok_exact",
+            F.coalesce("n_final", F.lit(0)).alias("n_final"),
+            "tok_final",
+        )
         .orderBy("lang")
     )
 

@@ -115,15 +115,10 @@ def knn_lsh_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("vec_id", F.round("sim", 4).alias("sim"))
 
 
-def lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """recall@10 of the hyperplane-LSH ANN against the exact brute-force
-    top-10 (its certified twin). Rows-only: the approx side's random
-    hyperplanes are generated driver-side and aren't SQL-expressible,
-    so the driver checks shape while pytest asserts the recall floor
-    (the MinHash family's recall IS fully oracle-certified — see
-    queries/documents.minhash_recall)."""
-    exact_ids = knn_brute_force(spark, sf_dir).select("vec_id")
-    approx_ids = knn_lsh_approx(spark, sf_dir).select("vec_id")
+def _recall_at_k(exact_ids: DataFrame, approx_ids: DataFrame) -> DataFrame:
+    """Shared recall@k frame for every ANN family: |exact ∩ approx| / k
+    as (k, n_hit, recall_at_k) — ONE implementation so a fix (e.g.
+    zero-denominator handling, a k change) cannot miss a family."""
     hit = exact_ids.join(approx_ids, "vec_id", "left_semi")
     k = exact_ids.agg(F.count(F.lit(1)).alias("k"))
     h = hit.agg(F.count(F.lit(1)).alias("n_hit"))
@@ -132,21 +127,46 @@ def lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@10 of the hyperplane-LSH ANN against the exact brute-force
+    top-10 (its certified twin). Rows-only: the approx side's random
+    hyperplanes are generated driver-side and aren't SQL-expressible,
+    so the driver checks shape while pytest asserts the recall floor
+    (the MinHash family's recall IS fully oracle-certified — see
+    queries/documents.minhash_recall)."""
+    return _recall_at_k(
+        knn_brute_force(spark, sf_dir).select("vec_id"),
+        knn_lsh_approx(spark, sf_dir).select("vec_id"),
+    )
+
+
 # Trained coarse-quantizer cache, keyed by corpus dir. An IVF index is
 # built ONCE per corpus and amortized over every query (production
 # writes the assigned corpus partitioned by list_id); re-training per
 # query would bill the index build to each lookup. Deterministic:
 # seeded hash-sampled init + fixed iteration count.
-_IVF_INDEX: dict[str, list[list[float]]] = {}
+_IVF_INDEX: dict[tuple, list[list[float]]] = {}
+
+
+def _corpus_key(sf_dir: str) -> tuple:
+    """Cache key that invalidates when the embeddings parquet is
+    regenerated in place (same posture as the events layout cache in
+    queries/events.py — a stale index would make the recall
+    certifications grade new data against an old quantizer)."""
+    import os
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    return (sf_dir, os.path.getmtime(src) if os.path.exists(src) else None)
 
 
 def _ivf_index(spark: SparkSession, sf_dir: str) -> list[list[float]]:
     from data_ingestion_project_spark.operators.similarity import ivf_centroids
 
-    if sf_dir not in _IVF_INDEX:
+    key = _corpus_key(sf_dir)
+    if key not in _IVF_INDEX:
         corpus = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") != QUERY_VEC_ID)
-        _IVF_INDEX[sf_dir] = ivf_centroids(corpus, n_centroids=16, n_iter=2, seed=42)
-    return _IVF_INDEX[sf_dir]
+        _IVF_INDEX[key] = ivf_centroids(corpus, n_centroids=16, n_iter=2, seed=42)
+    return _IVF_INDEX[key]
 
 
 def knn_ivf_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -160,9 +180,10 @@ def knn_ivf_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     real corpora reach the same recall at 1-2 probes."""
     q = _query_vec(spark, sf_dir)
     corpus = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") != QUERY_VEC_ID)
+    # training params live in _ivf_index — with prebuilt centroids,
+    # ivf_ann_topk never trains, so only k/n_probe matter here
     res = ivf_ann_topk(
-        corpus, q, k=10, n_centroids=16, n_probe=6, n_iter=2, seed=42,
-        centroids=_ivf_index(spark, sf_dir),
+        corpus, q, k=10, n_probe=6, centroids=_ivf_index(spark, sf_dir)
     )
     return res.select("vec_id", F.round("sim", 4).alias("sim"))
 
@@ -171,13 +192,9 @@ def ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """recall@10 of the IVF ANN against the exact brute-force top-10
     (same certification shape as lsh_recall: rows-only here, floor
     asserted in pytest)."""
-    exact_ids = knn_brute_force(spark, sf_dir).select("vec_id")
-    approx_ids = knn_ivf_approx(spark, sf_dir).select("vec_id")
-    hit = exact_ids.join(approx_ids, "vec_id", "left_semi")
-    k = exact_ids.agg(F.count(F.lit(1)).alias("k"))
-    h = hit.agg(F.count(F.lit(1)).alias("n_hit"))
-    return k.crossJoin(h).select(
-        "k", "n_hit", F.round(F.col("n_hit") / F.col("k"), 4).alias("recall_at_k")
+    return _recall_at_k(
+        knn_brute_force(spark, sf_dir).select("vec_id"),
+        knn_ivf_approx(spark, sf_dir).select("vec_id"),
     )
 
 
@@ -187,10 +204,11 @@ _PQ_BOOKS: dict = {}
 def _pq_index(spark: SparkSession, sf_dir: str) -> list[list[list[float]]]:
     from data_ingestion_project_spark.operators.similarity import pq_codebooks
 
-    if sf_dir not in _PQ_BOOKS:
+    key = _corpus_key(sf_dir)
+    if key not in _PQ_BOOKS:
         corpus = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") != QUERY_VEC_ID)
-        _PQ_BOOKS[sf_dir] = pq_codebooks(corpus, m=8, ksub=16, n_iter=3, seed=42)
-    return _PQ_BOOKS[sf_dir]
+        _PQ_BOOKS[key] = pq_codebooks(corpus, m=8, ksub=16, n_iter=3, seed=42)
+    return _PQ_BOOKS[key]
 
 
 def knn_pq_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -209,13 +227,9 @@ def knn_pq_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """recall@10 of PQ-ADC ANN against the exact brute-force top-10
     (same certification shape as lsh_recall / ivf_recall)."""
-    exact_ids = knn_brute_force(spark, sf_dir).select("vec_id")
-    approx_ids = knn_pq_approx(spark, sf_dir).select("vec_id")
-    hit = exact_ids.join(approx_ids, "vec_id", "left_semi")
-    k = exact_ids.agg(F.count(F.lit(1)).alias("k"))
-    h = hit.agg(F.count(F.lit(1)).alias("n_hit"))
-    return k.crossJoin(h).select(
-        "k", "n_hit", F.round(F.col("n_hit") / F.col("k"), 4).alias("recall_at_k")
+    return _recall_at_k(
+        knn_brute_force(spark, sf_dir).select("vec_id"),
+        knn_pq_approx(spark, sf_dir).select("vec_id"),
     )
 
 

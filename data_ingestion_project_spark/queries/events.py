@@ -285,15 +285,21 @@ def _events_by_day_path(spark: SparkSession, sf_dir: str) -> str:
     fresh = os.path.exists(success) and os.path.getmtime(success) >= src_mtime
     if not fresh:
         tmp = f"{out}__build_{uuid.uuid4().hex[:12]}"
-        partition_events_by_day(spark, sf_dir, tmp)
-        if os.path.exists(out):  # stale layout: swap it out
-            stale = f"{out}__stale_{uuid.uuid4().hex[:12]}"
-            os.rename(out, stale)
-            shutil.rmtree(stale, ignore_errors=True)
         try:
-            os.rename(tmp, out)
-        except OSError:  # another run won the race; keep theirs
+            partition_events_by_day(spark, sf_dir, tmp)
+            if os.path.exists(out):  # stale layout: swap it out
+                stale = f"{out}__stale_{uuid.uuid4().hex[:12]}"
+                os.rename(out, stale)
+                shutil.rmtree(stale, ignore_errors=True)
+            try:
+                os.rename(tmp, out)
+            except OSError:  # another run won the race; keep theirs
+                shutil.rmtree(tmp, ignore_errors=True)
+        except BaseException:
+            # a failed/interrupted build must not leak a full events
+            # copy under __build_* forever
             shutil.rmtree(tmp, ignore_errors=True)
+            raise
     return out
 
 
