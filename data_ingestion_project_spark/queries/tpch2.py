@@ -528,6 +528,88 @@ LIMIT 20
 """
 
 
+# ------------------------------------ cheapest regional supplier (Q2)
+
+
+def cheapest_regional_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape adapted to this schema (no partsupp: observed
+    avg unit price from lineitem stands in for ps_supplycost): for
+    each part, the ASIA supplier with the LOWEST average unit price —
+    the classic correlated-MIN + attribute-retrieval query.
+
+    Spark-first plan: the region/nation filter reduces suppliers to a
+    broadcast key list BEFORE the fact aggregate, so lineitem is cut
+    ~5x at the scan join; one shuffle builds (part, supplier) price
+    cells; the correlated MIN is rank()=1 over a partkey window on the
+    pre-aggregated cells — which Catalyst executes with
+    WindowGroupLimit (partial per-partition top-1 before the
+    shuffle), never a full sort of the cell frame. Prices are rounded
+    BEFORE ranking so cross-engine float ulps cannot flip the winner;
+    suppkey breaks exact ties deterministically.
+    """
+    l = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    p = table(spark, sf_dir, "part")
+
+    asia_supp = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_name", F.col("n_name").alias("supp_nation"))
+    )
+    cells = (
+        l.join(F.broadcast(asia_supp.select("s_suppkey")), l.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.round(
+                F.sum((F.col("l_extendedprice") / F.col("l_quantity")).cast(DEC)).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("avg_unit_price")
+        )
+    )
+    w = Window.partitionBy("l_partkey").orderBy(
+        F.col("avg_unit_price").asc(), F.col("l_suppkey").asc()
+    )
+    best = cells.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)
+    return (
+        best.join(F.broadcast(p), best.l_partkey == p.p_partkey)
+        .join(F.broadcast(asia_supp), best.l_suppkey == asia_supp.s_suppkey)
+        .select("p_partkey", "p_name", "s_name", "supp_nation", "avg_unit_price")
+        .orderBy(F.col("avg_unit_price").asc(), "p_partkey")
+        .limit(15)
+    )
+
+
+ORACLE_CHEAPEST_REGIONAL_SUPPLIER = """
+WITH asia_supp AS (
+  SELECT s_suppkey, s_name, n_name AS supp_nation
+  FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA'
+), cells AS (
+  SELECT l_partkey, l_suppkey,
+         ROUND(CAST(SUM(CAST(l_extendedprice / l_quantity AS DECIMAL(27,6))) AS DOUBLE)
+               / COUNT(*), 4) AS avg_unit_price
+  FROM lineitem JOIN asia_supp ON l_suppkey = s_suppkey
+  GROUP BY l_partkey, l_suppkey
+), best AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY l_partkey
+                               ORDER BY avg_unit_price ASC, l_suppkey ASC) AS rk
+  FROM cells
+)
+SELECT p_partkey, p_name, s_name, supp_nation, avg_unit_price
+FROM best
+JOIN part ON l_partkey = p_partkey
+JOIN asia_supp ON l_suppkey = s_suppkey
+WHERE rk = 1
+ORDER BY avg_unit_price ASC, p_partkey
+LIMIT 15
+"""
+
+
 QUERIES = {
     "promo_revenue": promo_revenue,
     "top_revenue_supplier": top_revenue_supplier,
@@ -538,6 +620,7 @@ QUERIES = {
     "nation_market_share": nation_market_share,
     "large_volume_customers": large_volume_customers,
     "dominant_part_suppliers": dominant_part_suppliers,
+    "cheapest_regional_supplier": cheapest_regional_supplier,
 }
 
 ORACLE = {
@@ -550,4 +633,5 @@ ORACLE = {
     "nation_market_share": ORACLE_NATION_MARKET_SHARE,
     "large_volume_customers": ORACLE_LARGE_VOLUME_CUSTOMERS,
     "dominant_part_suppliers": ORACLE_DOMINANT_PART_SUPPLIERS,
+    "cheapest_regional_supplier": ORACLE_CHEAPEST_REGIONAL_SUPPLIER,
 }

@@ -356,3 +356,54 @@ def test_running_counts_exactly_once_under_replay(spark, tmp_path):
         q.stop()
     counts = {r["user_id"]: r["n_events"] for r in T.read(spark, table).collect()}
     assert counts == {1: 5, 2: 1}  # unchanged — no double counting
+
+
+def test_stream_stream_left_outer_emits_unmatched_on_watermark(spark, tmp_path):
+    """leftOuter interval join: a purchase with no qualifying click must
+    surface with NULL click columns — but only after the joint
+    watermark passes the end of its join window (outer emission is
+    delayed by construction; until then the row might still match)."""
+    from data_ingestion_project_spark.streaming.joins import purchase_click_attribution
+
+    schema = "ts timestamp, user_id long, event_type string, value double"
+    clicks_dir = tmp_path / "clicks"
+    purchases_dir = tmp_path / "purchases"
+    clicks_dir.mkdir()
+    purchases_dir.mkdir()
+    (clicks_dir / "c1.json").write_text(json.dumps(
+        {"ts": "2024-01-01T10:20:00", "user_id": 1, "event_type": "click", "value": 0.0}
+    ))
+    (purchases_dir / "p1.json").write_text("\n".join(json.dumps(r) for r in [
+        {"ts": "2024-01-01T10:30:00", "user_id": 1, "event_type": "purchase", "value": 9.5},
+        {"ts": "2024-01-01T10:31:00", "user_id": 3, "event_type": "purchase", "value": 7.0},
+    ]))
+
+    out = purchase_click_attribution(
+        spark.readStream.schema(schema).json(str(clicks_dir)),
+        spark.readStream.schema(schema).json(str(purchases_dir)),
+        max_lag="30 minutes",
+        watermark="1 hour",
+        join_type="leftOuter",
+    )
+    q = (
+        out.writeStream.format("memory").queryName("ssj_outer")
+        .outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {r["user_id"]: r["click_ts"] for r in spark.sql("select * from ssj_outer").collect()}
+        assert 3 not in got  # outer result held back: might still match
+
+        # advance BOTH watermarks (joint watermark = min of the inputs)
+        # well past u3's join window
+        hb = {"ts": "2024-01-01T14:00:00", "event_type": "hb", "value": 0.0}
+        (clicks_dir / "c2.json").write_text(json.dumps({**hb, "user_id": 90}))
+        (purchases_dir / "p2.json").write_text(json.dumps({**hb, "user_id": 91}))
+        q.processAllAvailable()
+        rows = spark.sql("select * from ssj_outer").collect()
+        by_user = {r["user_id"]: r for r in rows}
+        assert by_user[1]["click_ts"] is not None       # matched pair
+        assert by_user[3]["click_ts"] is None           # unmatched: nulls
+        assert by_user[3]["purchase_value"] == 7.0
+    finally:
+        q.stop()
