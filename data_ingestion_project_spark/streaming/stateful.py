@@ -47,3 +47,80 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+SESSION_OUTPUT_SCHEMA = (
+    "user_id long, session_start timestamp, session_end timestamp, n_events long"
+)
+_SESSION_STATE_SCHEMA = "start long, last long, n long"
+
+
+def _make_session_finalizer(gap_ms: int):
+    """Build the stateful function as a closure over the gap (the
+    function is pickled to executors — a module global would not
+    travel with it reliably)."""
+
+    def _finalize(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import datetime as dt
+
+        if state.hasTimedOut:
+            # the gap elapsed in EVENT time (watermark passed
+            # last + gap): the session is closed — emit its one
+            # summary row and clear state
+            start, last, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "session_start": [dt.datetime.utcfromtimestamp(start)],
+                    "session_end": [dt.datetime.utcfromtimestamp(last)],
+                    "n_events": [n],
+                }
+            )
+            return
+        start, last, n = state.get if state.exists else (None, None, 0)
+        for pdf in pdfs:
+            ts = pdf["ts"].astype("datetime64[ns]").astype("int64") // 1_000_000_000
+            lo, hi = int(ts.min()), int(ts.max())
+            start = lo if start is None else min(start, lo)
+            last = hi if last is None else max(last, hi)
+            n += len(pdf)
+        state.update((start, last, n))
+        # re-arm: close when the watermark passes last + gap. The
+        # timeout must be re-set on EVERY invocation (processing the
+        # group clears it).
+        state.setTimeoutTimestamp(last * 1000 + gap_ms)
+
+    return _finalize
+
+
+def closed_user_sessions(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Sessions emitted ON CLOSE: one summary row per (user, session),
+    produced only when the event-time watermark passes the session's
+    last event + gap — the streaming semantics ``session_window``
+    aggregation cannot express when the *shape* of the output must be
+    a custom record finalized exactly once (here: start/end/count; in
+    production e.g. a serialized session journey).
+
+    State: one (start, last, n) triple per ACTIVE user session —
+    closed sessions leave state immediately (``state.remove()``), so
+    memory is bounded by concurrently-active users, not history. The
+    event-time timeout (``GroupStateTimeout.EventTimeTimeout`` +
+    ``setTimeoutTimestamp``) is what distinguishes this from the
+    NoTimeout running-totals operator above: progress of the WATERMARK
+    — not arrival of more data for the key — drives emission, so an
+    idle user's session closes even though no row for that user ever
+    arrives again."""
+    return (
+        events.withWatermark("ts", f"{gap_minutes} minutes")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _make_session_finalizer(gap_minutes * 60 * 1000),
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            stateStructType=_SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -407,3 +407,45 @@ def test_stream_stream_left_outer_emits_unmatched_on_watermark(spark, tmp_path):
         assert by_user[3]["purchase_value"] == 7.0
     finally:
         q.stop()
+
+
+def test_sessions_finalized_on_event_time_timeout(spark, tmp_path):
+    """closed_user_sessions emits a session exactly once, when the
+    watermark passes last_event + gap — driven by WATERMARK progress,
+    not by more data arriving for that user."""
+    from data_ingestion_project_spark.streaming.stateful import closed_user_sessions
+
+    src = tmp_path / "sess_ev"
+    src.mkdir()
+    schema = "ts timestamp, user_id long, event_type string, value double"
+    rows = [
+        {"ts": "2024-01-01T10:00:00", "user_id": 1, "event_type": "click", "value": 0.0},
+        {"ts": "2024-01-01T10:10:00", "user_id": 1, "event_type": "click", "value": 0.0},
+    ]
+    (src / "b1.json").write_text("\n".join(json.dumps(r) for r in rows))
+
+    out = closed_user_sessions(
+        spark.readStream.schema(schema).json(str(src)), gap_minutes=30
+    )
+    q = (
+        out.writeStream.format("memory").queryName("closed_sessions")
+        .outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.sql("select * from closed_sessions").count() == 0  # still open
+
+        # another user's much later event advances the watermark past
+        # u1's last event + gap; u1's session must close WITHOUT any
+        # new u1 data
+        (src / "b2.json").write_text(json.dumps(
+            {"ts": "2024-01-01T12:00:00", "user_id": 2, "event_type": "click", "value": 0.0}
+        ))
+        q.processAllAvailable()
+        q.processAllAvailable()  # timeout fires on the batch AFTER the watermark moves
+        rows = spark.sql("select * from closed_sessions").collect()
+        assert [(r["user_id"], r["n_events"]) for r in rows] == [(1, 2)]
+        r = rows[0]
+        assert r["session_start"].minute == 0 and r["session_end"].minute == 10
+    finally:
+        q.stop()
