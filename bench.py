@@ -61,18 +61,26 @@ def main() -> None:
         print(f"# {name}: {timings[name]:.3f}s ({len(rows)} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "warmup_sec": warmup,
-                "sf": sf,
-            }
-        )
+    result = {
+        "metric": "headline_queries_total_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "warmup_sec": warmup,
+        "sf": sf,
+    }
+    # The driver captures only a stdout TAIL, which truncates the
+    # ~100-query JSON line (BENCH_r02.json lost the headline total and
+    # ~30 per-query timings).  Persist the full record to a repo file so
+    # round-over-round per-query comparison never depends on tail capture.
+    out_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"),
     )
+    with open(out_path, "w") as f:
+        json.dump(result, f, indent=1, sort_keys=True)
+        f.write("\n")
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

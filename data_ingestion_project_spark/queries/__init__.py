@@ -23,6 +23,71 @@ from data_ingestion_project_spark.queries import advanced, documents, embeddings
 
 _MODULES = (tpch, tpch2, events, documents, embeddings, advanced)
 
+# The driver's correctness gate certifies the FIRST 50 entries of
+# all_queries() in dict order.  CORRECTNESS_r02.json covered the first 50
+# of the round-2 order; this list rotates the 52 then-uncovered names to
+# the front (oracle-backed first — they yield the strongest signal —
+# then rows-only) so the r02+r03 artifacts jointly certify the whole
+# inventory.  Names not listed here keep their module order and follow.
+_DRIVER_PRIORITY = (
+    # 40 oracle-backed queries uncovered by CORRECTNESS_r02
+    "token_stats",
+    "bpe_token_stats",
+    "winnow_overlap_top",
+    "dup_cluster_sizes",
+    "media_feature_stats",
+    "quality_filter_funnel",
+    "stratified_sample_rates",
+    "pii_scrub_stats",
+    "doc_quality",
+    "fingerprint_summary",
+    "exact_duplicate_pairs",
+    "near_dup_jaccard_top",
+    "lang_id_confusion",
+    "minhash_recall",
+    "sequence_packing",
+    "benchmark_contamination",
+    "dedup_funnel",
+    "knn_brute_force",
+    "top_similar_pairs",
+    "label_vector_stats",
+    "acctbal_deciles",
+    "acctbal_deciles_scalable",
+    "returnflag_unpivot",
+    "customer_name_digits",
+    "shipping_delay_histogram",
+    "order_price_quantiles",
+    "returnflag_pivot",
+    "signup_purchase_funnel",
+    "retention_cohorts",
+    "purchases_near_errors",
+    "parts_above_brand_average",
+    "small_quantity_revenue",
+    "idle_suppliers",
+    "tfidf_top_terms",
+    "rolling_30d_top_spenders",
+    "segment_year_grouping_sets",
+    "segment_priority_listing",
+    "top2_orders_lateral",
+    "wealthy_inactive_customers",
+    "supplier_hierarchy_rollup",
+    # rows-only uncovered (approximate families; each carries a pytest
+    # recall floor).  Two of these will fall past the 50-entry window —
+    # the weakest possible signal loss.
+    "lsh_recall",
+    "ivf_recall",
+    "pq_recall",
+    "knn_lsh_approx",
+    "knn_ivf_approx",
+    "knn_pq_approx",
+    "approx_daily_active_users",
+    "sketch_rollup_dau",
+    "theta_weekly_retention",
+    "approx_order_price_quantiles",
+    "minhash_near_dups",
+    "simhash_near_dups",
+)
+
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -31,7 +96,12 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")
         out.update(mod.QUERIES)
-    return out
+    missing = [name for name in _DRIVER_PRIORITY if name not in out]
+    if missing:
+        raise ValueError(f"_DRIVER_PRIORITY names unknown queries: {missing}")
+    ordered = {name: out[name] for name in _DRIVER_PRIORITY}
+    ordered.update({k: v for k, v in out.items() if k not in ordered})
+    return ordered
 
 
 # Headline bench set: excludes the deliberately-quadratic exact
