@@ -20,8 +20,11 @@ guarantees a shared fingerprint). Per batch:
 4. survivors' fingerprints are APPENDED to the index in one atomic
    txn commit — append-only, so concurrent batch processors rebase
    cleanly and a crash between filter and append costs only
-   re-processing (dedup is idempotent: a replayed batch's docs either
-   match the index — their fps landed — and drop, or insert again).
+   re-processing.  Replay is idempotent: the vs-index join ignores a
+   doc's own fingerprints (doc_ids are globally unique by contract),
+   so a batch replayed after its append reproduces the original
+   accepted set, and already-indexed doc_ids are never re-appended,
+   so the index is left bit-identical.
 
 Within-batch duplicates are handled by the same pass with
 drop-any-candidate-with-a-smaller-id semantics (the same rule Spark
@@ -70,10 +73,16 @@ def dedup_batch_against_index(
 
     # --- vs the accepted corpus ---------------------------------------
     dropped_vs_index = spark.createDataFrame([], "doc_id long")
+    idx = T.read(spark, index_path) if index_exists else None
     if index_exists:
-        idx = T.read(spark, index_path)
         shared = (
             fps.join(idx.withColumnRenamed("doc_id", "__accepted"), "fp")
+            # self-match filter: a batch replayed after a crash that
+            # happened after T.append (but before the caller persisted
+            # `accepted`) finds its OWN fingerprints in the index; without
+            # this it would drop every one of its docs permanently.
+            # doc_ids are globally unique across batches by contract.
+            .filter(F.col("__accepted") != F.col("doc_id"))
             .groupBy("doc_id", "__accepted")
             .agg(F.count(F.lit(1)).alias("n_shared"))
             .filter(F.col("n_shared") >= min_shared)
@@ -113,9 +122,31 @@ def dedup_batch_against_index(
 
     surviving_fps = fps.join(dropped, "doc_id", "left_anti")
     if index_exists:
+        # Replay safety: never re-append a doc_id the index already
+        # holds, so a replayed batch leaves the index bit-identical
+        # instead of duplicating its (fp, doc_id) pairs.
+        surviving_fps = surviving_fps.join(
+            idx.select("doc_id").distinct(), "doc_id", "left_anti"
+        )
         T.append(spark, index_path, surviving_fps)
     else:
-        T.create_table(spark, index_path, surviving_fps)
+        try:
+            T.create_table(spark, index_path, surviving_fps)
+        except (FileExistsError, T.TxnConflict):
+            # First-batch race: another processor created the index
+            # between our existence check and create.  Rebase — re-run
+            # the whole pass against the now-existing index so this
+            # batch is deduplicated against the winner's docs too.
+            return dedup_batch_against_index(
+                spark,
+                index_path,
+                batch,
+                text_col=text_col,
+                id_col=id_col,
+                min_shared=min_shared,
+                k=k,
+                w=w,
+            )
 
     return accepted, {
         "n_batch": n_batch,

@@ -143,9 +143,19 @@ def write_zordered(
     scale = (1 << bits) - 1
     quantized = []
     for c in cols:
+        if bounds[f"lo_{c}"] is None:
+            raise ValueError(
+                f"z-order column {c!r} is entirely NULL — no bounds to quantize; "
+                "drop it from cols or filter NULLs first"
+            )
         lo, hi = float(bounds[f"lo_{c}"]), float(bounds[f"hi_{c}"])
         span = max(hi - lo, 1e-12)
-        quantized.append(F.round((F.col(c) - F.lit(lo)) / F.lit(span) * scale).cast("bigint"))
+        # NULL values quantize to the column minimum (coalesce) — a NULL
+        # would otherwise propagate into a NULL __z that
+        # repartitionByRange places arbitrarily, silently weakening the
+        # file-skipping guarantee for every other column.
+        q = (F.coalesce(F.col(c), F.lit(lo)) - F.lit(lo)) / F.lit(span) * scale
+        quantized.append(F.round(q).cast("bigint"))
     (
         df.withColumn("__z", _morton(quantized, bits))
         .repartitionByRange(n_files, F.col("__z"))

@@ -471,7 +471,10 @@ def merge(
 
     Precondition (same as Delta): at most one source row per key —
     duplicate source keys would make the update ambiguous. Enforced
-    with one cheap aggregate on the (small) source. NULL-key source
+    with one cheap aggregate on the (small) source. Duplicate-key
+    TARGET rows are fine and keep their multiplicity: both update
+    forms rewrite each matched target row (Delta MERGE semantics), so
+    N same-key target rows yield N updated rows. NULL-key source
     rows never match (SQL equality) — they are inserts if
     ``insert_not_matched``, ignored otherwise.
 
@@ -596,7 +599,20 @@ def merge(
                     )
                 )
             elif when_matched == "update":
-                out_parts.append(source.join(F.broadcast(keys_in_touched), key, "left_semi"))
+                # Full-row update via t⋈s projection of the SOURCE row —
+                # one output row per MATCHED TARGET row, so duplicate-key
+                # target rows keep their multiplicity, consistent with the
+                # update_expr path above and with Delta MERGE semantics
+                # (the left_semi-from-source form would silently collapse
+                # N same-key target rows into 1).  Source keys are already
+                # enforced unique, so the join cannot fan out.
+                tt, ss = t.alias("t"), source.alias("s")
+                matched = tt.join(
+                    F.broadcast(ss), F.col(f"t.{key}") == F.col(f"s.{key}"), "inner"
+                )
+                out_parts.append(
+                    matched.select(*[F.col(f"s.{f.name}").alias(f.name) for f in table_fields])
+                )
         if insert_not_matched:
             if keys_in_touched is not None:
                 out_parts.append(source.join(F.broadcast(keys_in_touched), key, "left_anti"))

@@ -63,35 +63,37 @@ def _make_session_finalizer(gap_ms: int):
     def _finalize(
         key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        import datetime as dt
-
         if state.hasTimedOut:
             # the gap elapsed in EVENT time (watermark passed
             # last + gap): the session is closed — emit its one
             # summary row and clear state
-            start, last, n = state.get
+            start_ms, last_ms, n = state.get
             state.remove()
             yield pd.DataFrame(
                 {
                     "user_id": [key[0]],
-                    "session_start": [dt.datetime.utcfromtimestamp(start)],
-                    "session_end": [dt.datetime.utcfromtimestamp(last)],
+                    "session_start": [pd.Timestamp(start_ms, unit="ms")],
+                    "session_end": [pd.Timestamp(last_ms, unit="ms")],
                     "n_events": [n],
                 }
             )
             return
-        start, last, n = state.get if state.exists else (None, None, 0)
+        start_ms, last_ms, n = state.get if state.exists else (None, None, 0)
         for pdf in pdfs:
-            ts = pdf["ts"].astype("datetime64[ns]").astype("int64") // 1_000_000_000
+            # millisecond precision end-to-end: state, output timestamps,
+            # and the timeout all carry ms — flooring to whole seconds
+            # would fire the timeout up to ~1 s early relative to the
+            # true last event and truncate session bounds.
+            ts = pdf["ts"].astype("datetime64[ns]").astype("int64") // 1_000_000
             lo, hi = int(ts.min()), int(ts.max())
-            start = lo if start is None else min(start, lo)
-            last = hi if last is None else max(last, hi)
+            start_ms = lo if start_ms is None else min(start_ms, lo)
+            last_ms = hi if last_ms is None else max(last_ms, hi)
             n += len(pdf)
-        state.update((start, last, n))
+        state.update((start_ms, last_ms, n))
         # re-arm: close when the watermark passes last + gap. The
         # timeout must be re-set on EVERY invocation (processing the
         # group clears it).
-        state.setTimeoutTimestamp(last * 1000 + gap_ms)
+        state.setTimeoutTimestamp(last_ms + gap_ms)
 
     return _finalize
 

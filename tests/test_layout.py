@@ -83,3 +83,33 @@ def test_zorder_skips_files_on_both_columns(spark, tmp_path):
     # and x still prunes decently under z-order
     z_x = files_overlapping(zr, "x", 500, 510)
     assert z_x <= 16
+
+
+def test_zorder_null_handling(spark, tmp_path):
+    """All-NULL z column → clear error; sparse NULLs quantize to the
+    column min instead of producing a NULL __z placed arbitrarily."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from data_ingestion_project_spark.operators.layout import (
+        parquet_file_ranges,
+        write_zordered,
+    )
+
+    base = spark.range(1000).select(
+        F.abs(F.xxhash64("id") % 100).alias("x"),
+        F.abs(F.xxhash64("id", F.lit(1)) % 100).alias("y"),
+    )
+
+    all_null = base.withColumn("y", F.lit(None).cast("long"))
+    with pytest.raises(ValueError, match="entirely NULL"):
+        write_zordered(all_null, str(tmp_path / "znull"), ("x", "y"), n_files=4)
+
+    sparse = base.withColumn(
+        "y", F.when(F.col("id" if "id" in base.columns else "x") % 10 == 0, None).otherwise(F.col("y"))
+    )
+    p = str(tmp_path / "zsparse")
+    write_zordered(sparse, p, ("x", "y"), n_files=4)
+    ranges = parquet_file_ranges(p, ["x"])
+    # every row landed in some file deterministically
+    assert sum(1 for _ in ranges) == 4

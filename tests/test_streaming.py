@@ -418,9 +418,9 @@ def test_sessions_finalized_on_event_time_timeout(spark, tmp_path):
     src = tmp_path / "sess_ev"
     src.mkdir()
     schema = "ts timestamp, user_id long, event_type string, value double"
-    rows = [
-        {"ts": "2024-01-01T10:00:00", "user_id": 1, "event_type": "click", "value": 0.0},
-        {"ts": "2024-01-01T10:10:00", "user_id": 1, "event_type": "click", "value": 0.0},
+    rows = [  # sub-second offsets: state must carry ms, not floor to seconds
+        {"ts": "2024-01-01T10:00:00.250", "user_id": 1, "event_type": "click", "value": 0.0},
+        {"ts": "2024-01-01T10:10:00.750", "user_id": 1, "event_type": "click", "value": 0.0},
     ]
     (src / "b1.json").write_text("\n".join(json.dumps(r) for r in rows))
 
@@ -447,5 +447,10 @@ def test_sessions_finalized_on_event_time_timeout(spark, tmp_path):
         assert [(r["user_id"], r["n_events"]) for r in rows] == [(1, 2)]
         r = rows[0]
         assert r["session_start"].minute == 0 and r["session_end"].minute == 10
+        # millisecond precision survives state round-trip (ADVICE r2:
+        # second-flooring fired the timeout up to ~1 s early and
+        # truncated the session bounds)
+        assert r["session_start"].microsecond == 250_000
+        assert r["session_end"].microsecond == 750_000
     finally:
         q.stop()

@@ -364,3 +364,24 @@ def test_analyze_date_typed_key(spark, tmp_path):
     res = T.merge(spark, p, src, key="day")
     assert res["pruned_by_stats"] == 1  # the 2024-only dir pruned via ISO order
     assert {r["v"] for r in T.read(spark, p).collect()} == {1, 2, 30}
+
+
+def test_merge_full_row_update_preserves_duplicate_target_rows(spark, tmp_path):
+    """N same-key target rows must stay N rows after a full-row update
+    (each matched target row is rewritten — Delta MERGE semantics), and
+    the full-row and update_expr paths must agree on multiplicity."""
+    p1 = str(tmp_path / "t_full")
+    dup = spark.createDataFrame(
+        [(2, "a"), (2, "b"), (3, "v3")], "id long, val string"
+    )
+    T.create_table(spark, p1, dup)
+    src = spark.createDataFrame([(2, "UPDATED")], "id long, val string")
+    T.merge(spark, p1, src, key="id")
+    got = sorted((r["id"], r["val"]) for r in T.read(spark, p1).collect())
+    assert got == [(2, "UPDATED"), (2, "UPDATED"), (3, "v3")]
+
+    p2 = str(tmp_path / "t_expr")
+    T.create_table(spark, p2, dup)
+    T.merge(spark, p2, src, key="id", update_expr={"val": "s.val"})
+    got2 = sorted((r["id"], r["val"]) for r in T.read(spark, p2).collect())
+    assert got2 == got
