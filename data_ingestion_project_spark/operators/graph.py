@@ -71,13 +71,17 @@ def connected_components(
     sym = directed.union(
         directed.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).distinct().localCheckpoint(eager=True)
+    from pyspark.sql import Observation
+
     labels = sym.select(F.col("a").alias("node")).distinct().select(
         "node", F.col("node").alias("comp")
     )
+    # observe() on the eager checkpoint: the initial label sum rides the
+    # materialization job instead of costing a separate aggregate action.
+    obs0 = Observation("cc_init")
+    labels = labels.observe(obs0, F.sum(F.col("comp").cast("decimal(38,0)")).alias("s"))
     labels = labels.localCheckpoint(eager=True)
-    prev_sum = labels.agg(F.sum(F.col("comp").cast("decimal(38,0)"))).collect()[0][0]
-
-    from pyspark.sql import Observation
+    prev_sum = obs0.get["s"]
 
     for i in range(max_iter):
         prop = sym.join(labels, sym["a"] == labels["node"]).select(

@@ -261,46 +261,24 @@ ORDER BY from_type, to_type
 
 def _events_by_day_path(spark: SparkSession, sf_dir: str) -> str:
     """Materialize (once) the day-partitioned events layout for this
-    scale factor and return its path. The write is atomic (tmp dir +
-    rename) so a concurrent/crashed run never exposes a half-written
-    layout; subsequent calls are a pure existence check."""
-    import hashlib
+    scale factor and return its path (operators/materialize: atomic
+    publish, mtime-keyed freshness — a regenerated events.parquet would
+    otherwise silently serve stale partitions while the oracle reads
+    fresh data)."""
     import os
-    import shutil
-    import uuid
 
     from data_ingestion_project_spark.operators.layout import partition_events_by_day
+    from data_ingestion_project_spark.operators.materialize import (
+        dataset_tag,
+        ensure_materialized,
+    )
 
-    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     abs_dir = os.path.abspath(os.path.normpath(sf_dir))
-    # Key by basename AND a path hash (two roots with the same leaf name
-    # must not share a layout), and rebuild when the SOURCE table is
-    # newer than the layout — a regenerated events.parquet would
-    # otherwise silently serve stale partitions while the oracle reads
-    # fresh data.
-    tag = f"{os.path.basename(abs_dir)}_{hashlib.md5(abs_dir.encode()).hexdigest()[:8]}"
-    out = os.path.join(repo_root, "spark-warehouse", f"events_by_day_{tag}")
-    success = os.path.join(out, "_SUCCESS")
-    src_mtime = os.path.getmtime(os.path.join(abs_dir, "events.parquet"))
-    fresh = os.path.exists(success) and os.path.getmtime(success) >= src_mtime
-    if not fresh:
-        tmp = f"{out}__build_{uuid.uuid4().hex[:12]}"
-        try:
-            partition_events_by_day(spark, sf_dir, tmp)
-            if os.path.exists(out):  # stale layout: swap it out
-                stale = f"{out}__stale_{uuid.uuid4().hex[:12]}"
-                os.rename(out, stale)
-                shutil.rmtree(stale, ignore_errors=True)
-            try:
-                os.rename(tmp, out)
-            except OSError:  # another run won the race; keep theirs
-                shutil.rmtree(tmp, ignore_errors=True)
-        except BaseException:
-            # a failed/interrupted build must not leak a full events
-            # copy under __build_* forever
-            shutil.rmtree(tmp, ignore_errors=True)
-            raise
-    return out
+    return ensure_materialized(
+        f"events_by_day_{dataset_tag(abs_dir)}",
+        os.path.join(abs_dir, "events.parquet"),
+        lambda tmp: partition_events_by_day(spark, sf_dir, tmp),
+    )
 
 
 PRUNED_DAY = "2024-01-15"
