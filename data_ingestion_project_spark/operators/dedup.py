@@ -290,6 +290,7 @@ def minhash_lsh_pairs(
     bands: int = 8,
     min_jaccard: float = 0.5,
     shingle: int | None = None,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs via banded MinHash LSH, rescored with exact Jaccard.
 
@@ -299,6 +300,19 @@ def minhash_lsh_pairs(
     so the output threshold is exact, not probabilistic, and the
     rescore cost is O(|candidates|) — the band join remains the only
     quadratic-risk step, tunable via (num_perm, bands).
+
+    ``max_bucket_size`` is the 100 TB safety valve on that step: a band
+    bucket holding B docs emits B² candidate pairs, and real corpora
+    always have degenerate buckets (boilerplate, templated pages, tiny
+    shared vocabularies) whose members are near-dups of each other in
+    the UNINTERESTING sense — production LSH dedup pipelines drop
+    oversized buckets rather than pay their quadratic cost (the same
+    posting-list cap functions/text.winnow applies at 50 docs/fp).
+    Recall loss is confined to pairs whose EVERY shared band is
+    oversized; exact/fingerprint dedup upstream already collapses the
+    identical-text clusters that dominate such buckets. Implemented as
+    a count-over-window on the (band, bucket) shuffle the self-join
+    needs anyway — no extra pass over the signatures.
     """
     assert num_perm % bands == 0
     rows_per_band = num_perm // bands
@@ -314,6 +328,13 @@ def minhash_lsh_pairs(
     buckets = sig.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")).select(
         id_col, F.col("bk.band").alias("band"), F.hash("bk.key").alias("bucket")
     )
+    if max_bucket_size is not None:
+        wb = Window.partitionBy("band", "bucket")
+        buckets = (
+            buckets.withColumn("__bs", F.count(F.lit(1)).over(wb))
+            .filter(F.col("__bs") <= max_bucket_size)
+            .drop("__bs")
+        )
     a, b = buckets.alias("a"), buckets.alias("b")
     candidates = (
         a.join(

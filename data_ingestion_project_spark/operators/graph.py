@@ -103,3 +103,115 @@ def connected_components(
             return labels
         prev_sum = new_sum
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+
+
+def _validate_integral_ids(edges: DataFrame, src: str, dst: str) -> None:
+    dtypes = dict(edges.dtypes)
+    for col in (src, dst):
+        id_type = dtypes.get(col, "")
+        if id_type not in ("bigint", "int", "smallint", "tinyint"):
+            raise ValueError(
+                f"connected components require integral node ids, got {id_type!r} "
+                f"for {col!r} — hash or dense-rank string ids first"
+            )
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """One large-star round (Kiveris et al., SoCC'14 §3): for every node
+    u, connect each STRICTLY LARGER neighbor v to m = min(Γ(u) ∪ {u}).
+    Emitted edges always point from larger to smaller, and large nodes'
+    edges get rewired toward local minima — the phase that cuts long
+    chains in half.  One groupBy(u) for the minimum + one equi-join to
+    rewrite; no cross join, no driver data."""
+    sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    mins = sym.groupBy("a").agg(F.least(F.min("b"), F.first("a")).alias("m"))
+    return (
+        sym.join(mins, "a")
+        .filter(F.col("b") > F.col("a"))
+        .select(F.col("b").alias("a"), F.col("m").alias("b"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """One small-star round: orient every edge toward its smaller
+    endpoint, then for every node u connect each (smaller-or-equal)
+    neighbor AND u itself to m = min(Γ(u) ∪ {u}) — flattening local
+    star fragments onto their minimum."""
+    oriented = e.select(
+        F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+    )
+    mins = oriented.groupBy("a").agg(F.min("b").alias("m"))
+    joined = oriented.join(mins, "a")
+    rewired = joined.select(F.col("b").alias("a"), F.col("m").alias("b"))
+    selfed = joined.select(F.col("a"), F.col("m").alias("b")).distinct()
+    return rewired.union(selfed).filter(F.col("a") != F.col("b")).distinct()
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    rounds (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14) — the O(log² n)-round formulation for
+    HIGH-DIAMETER graphs, where plain min-label propagation
+    (:func:`connected_components`) needs O(diameter) rounds.
+
+    Each round is two groupBy-min + join passes; edges monotonically
+    migrate toward component minima until the edge set is a fixpoint —
+    a union of stars, every node linked directly to its component's
+    minimum id.  Convergence is detected exactly: a cheap
+    (count, sum(a), sum(b)) certificate rides each round's checkpoint
+    job via ``observe``; only when it repeats is true set equality
+    confirmed with one ``exceptAll`` (both sides are distinct sets, so
+    equal count + empty difference ⇒ equality) — so the exact check
+    runs once, at the candidate fixpoint, not every round.  Returns
+    (node, comp) with the same semantics as
+    :func:`connected_components`: one row per node appearing in any
+    edge (self-loop-only nodes are singleton components).
+    """
+    _validate_integral_ids(edges, src, dst)
+    raw = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    # Remember every node up front (BEFORE dropping self-loops — a node
+    # appearing only as (x, x) is still a singleton component): star
+    # contraction deletes dominated nodes' own edges, but they must
+    # still appear in the output.
+    nodes = (
+        raw.select(F.col("a").alias("node"))
+        .union(raw.select(F.col("b").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    e = (
+        raw.filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    from pyspark.sql import Observation
+
+    prev_cert: tuple | None = None
+    for i in range(max_iter):
+        stepped = _small_star(_large_star(e))
+        obs = Observation(f"ccs_round_{i}")
+        stepped = stepped.observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("a").cast("decimal(38,0)")).alias("sa"),
+            F.sum(F.col("b").cast("decimal(38,0)")).alias("sb"),
+        )
+        stepped = stepped.localCheckpoint(eager=True)
+        got = obs.get
+        cert = (got["n"], got["sa"], got["sb"])
+        prev_e, e = e, stepped
+        if cert == prev_cert and stepped.exceptAll(prev_e).isEmpty():
+            # Fixpoint: e is a union of stars (a → component min).
+            comp = e.select(F.col("a").alias("node"), F.col("b").alias("comp"))
+            return (
+                nodes.join(comp, "node", "left")
+                .select("node", F.coalesce("comp", "node").alias("comp"))
+            )
+        prev_cert = cert
+    raise RuntimeError(f"connected_components_star did not converge in {max_iter} rounds")

@@ -105,19 +105,21 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 # Headline bench set: excludes the deliberately-quadratic exact
-# baselines (top_similar_pairs, near_dup_jaccard_top, minhash/simhash
-# pair listings) whose cost on this synthetic corpus (tiny shared
-# vocabulary → near-cross-join candidate sets) measures the data, not
-# the engine. Their scalable twins (LSH variants, fingerprint summary)
-# are in.
+# baselines (top_similar_pairs, near_dup_jaccard_top) whose cost on
+# this synthetic corpus (tiny shared vocabulary → near-cross-join
+# candidate sets) measures the data, not the engine. Their scalable
+# twins ARE in — including minhash/simhash_near_dups since round 3:
+# bounded rescored top-200 with an oversized-bucket cap
+# (operators/dedup.minhash_lsh_pairs max_bucket_size), which cut the
+# MinHash query 130 s → ~10 s at sf0.1 by refusing degenerate buckets'
+# quadratic candidate sets.
 EXCLUDE_FROM_BENCH = frozenset(
     {
         "top_similar_pairs",
         "near_dup_jaccard_top",
-        "minhash_near_dups",
-        "simhash_near_dups",
-        # recall certifications join against the exact ground truth, so
-        # they inherit the quadratic baseline's data-degenerate cost
+        # the recall certification joins against the exact ground
+        # truth, so it inherits the quadratic baseline's
+        # data-degenerate cost
         "minhash_recall",
     }
 )
@@ -137,10 +139,12 @@ def warm_derived_assets(spark: SparkSession, sf_dir: str) -> None:
     tables are pipeline outputs, not per-query recomputes.  Build cost
     is reported separately (bench.py ``assets_sec``)."""
     from data_ingestion_project_spark.queries.documents import _winnow_pair_counts
+    from data_ingestion_project_spark.queries.embeddings import ivf_disk_index_path
     from data_ingestion_project_spark.queries.events import _events_by_day_path
 
     _events_by_day_path(spark, sf_dir)
     _winnow_pair_counts(spark, sf_dir)  # chains the fp table build
+    ivf_disk_index_path(spark, sf_dir)  # chains centroid training
 
 
 def all_oracles() -> dict[str, str]:

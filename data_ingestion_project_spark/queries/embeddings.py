@@ -198,6 +198,57 @@ def ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ivf_disk_index_path(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize (once per corpus mtime) the ON-DISK IVF index: the
+    assigned corpus written ``partitionBy(list_id)`` — each inverted
+    list is a partition directory, the 100 TB layout where a probe
+    reads n_probe/n_centroids of the data via PLANNING-time partition
+    pruning (same materialize-once posture as the day-partitioned
+    events layout)."""
+    import os
+
+    from data_ingestion_project_spark.operators.materialize import (
+        dataset_tag,
+        ensure_materialized,
+    )
+    from data_ingestion_project_spark.operators.similarity import write_ivf_index
+
+    abs_dir = os.path.abspath(os.path.normpath(sf_dir))
+
+    def _build(tmp: str) -> None:
+        corpus = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") != QUERY_VEC_ID)
+        write_ivf_index(corpus, _ivf_index(spark, sf_dir), tmp)
+
+    return ensure_materialized(
+        f"ivf_index_{dataset_tag(abs_dir)}",
+        os.path.join(abs_dir, "embeddings.parquet"),
+        _build,
+    )
+
+
+def knn_ivf_disk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 served from the PREBUILT on-disk IVF index
+    (operators/similarity.write_ivf_index / ivf_probe_topk): pick the 6
+    nearest of 16 centroids driver-side, scan ONLY those 6 list-id
+    partition directories (pruned at planning time — pinned by
+    test_plan_shapes), exact-rescore the candidates. Identical probe
+    set and scoring to knn_ivf_approx, so its results — and therefore
+    ivf_recall's pytest floor — apply verbatim; the equality is pinned
+    in pytest. Rows-only (recall < 1 by design)."""
+    from data_ingestion_project_spark.operators.similarity import ivf_probe_topk
+
+    q = _query_vec(spark, sf_dir)
+    res = ivf_probe_topk(
+        spark,
+        ivf_disk_index_path(spark, sf_dir),
+        q,
+        centroids=_ivf_index(spark, sf_dir),
+        k=10,
+        n_probe=6,
+    )
+    return res.select("vec_id", F.round("sim", 4).alias("sim"))
+
+
 _PQ_BOOKS: dict = {}
 
 
@@ -241,6 +292,7 @@ QUERIES = {
     "lsh_recall": lsh_recall,
     "knn_ivf_approx": knn_ivf_approx,
     "ivf_recall": ivf_recall,
+    "knn_ivf_disk": knn_ivf_disk,
     "knn_pq_approx": knn_pq_approx,
     "pq_recall": pq_recall,
 }

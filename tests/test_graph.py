@@ -7,7 +7,10 @@ from __future__ import annotations
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
-from data_ingestion_project_spark.operators.graph import connected_components
+from data_ingestion_project_spark.operators.graph import (
+    connected_components,
+    connected_components_star,
+)
 
 
 def _uf_components(edges: list[tuple[int, int]]) -> dict[int, int]:
@@ -53,3 +56,38 @@ def test_cc_long_chain_converges(spark):
     df = spark.createDataFrame(edges, "src int, dst int")
     got = {r["node"]: r["comp"] for r in connected_components(df).collect()}
     assert got == {i: 0 for i in range(31)}
+
+
+# ------------------------- large-star / small-star (high-diameter path)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(edges=st.lists(edge, min_size=1, max_size=25))
+def test_cc_star_matches_union_find(spark, edges):
+    # same oracle as min-label propagation: identical components on
+    # random graphs with forced collisions/self-loops/parallel edges
+    df = spark.createDataFrame(edges, "src int, dst int")
+    got = {r["node"]: r["comp"] for r in connected_components_star(df).collect()}
+    assert got == _canon(_uf_components(edges))
+
+
+def test_cc_star_path_graph_matches_minlabel_in_polylog_rounds(spark):
+    # A 64-node path is the adversarial case for min-label propagation
+    # (O(diameter) = 64 rounds); large-star/small-star must produce the
+    # identical labeling in O(log² n) rounds. max_iter=14 would make
+    # linear-round convergence raise, so passing IS the round-count
+    # assertion (log2(65)² ≈ 36 ≥ actual; observed ≈ 5).
+    edges = [(i, i + 1) for i in range(64)]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    got = {
+        r["node"]: r["comp"]
+        for r in connected_components_star(df, max_iter=14).collect()
+    }
+    assert got == {i: 0 for i in range(65)}
+
+
+def test_cc_star_two_components_and_self_loop(spark):
+    edges = [(5, 6), (6, 7), (10, 11), (3, 3)]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    got = {r["node"]: r["comp"] for r in connected_components_star(df).collect()}
+    assert got == {5: 5, 6: 5, 7: 5, 10: 10, 11: 10, 3: 3}

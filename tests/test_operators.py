@@ -324,6 +324,30 @@ def test_ivf_index_probe_prunes_partitions(spark, tmp_path):
     assert got == want
 
 
+def test_knn_ivf_disk_query_matches_memory_path_and_prunes(spark):
+    """The driver-gate knn_ivf_disk query must (a) return EXACTLY the
+    in-memory knn_ivf_approx rows — same centroids, probes, scoring —
+    so ivf_recall's floor transfers verbatim, and (b) serve them from a
+    partition-PRUNED scan of the materialized on-disk index (list_id as
+    a planning-time PartitionFilter)."""
+    from data_ingestion_project_spark.plans.explain import formatted_plan
+    from data_ingestion_project_spark.queries import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    disk = all_queries()["knn_ivf_disk"](spark, sf)
+    plan = formatted_plan(disk)
+    assert "PartitionFilters" in plan
+    assert "list_id" in plan.split("PartitionFilters")[1][:200]
+
+    got = [(r["vec_id"], r["sim"]) for r in disk.collect()]
+    want = [
+        (r["vec_id"], r["sim"])
+        for r in all_queries()["knn_ivf_approx"](spark, sf).collect()
+    ]
+    assert got == want
+    assert len(got) == 10
+
+
 def test_minhash_recall_floor(spark):
     """Banded md5-minhash recall over exact Jaccard>=0.9 ground truth
     (the oracle-certified recall query) must stay near-perfect."""
@@ -448,3 +472,31 @@ def test_sketch_estimates_track_exact_counts(spark):
             .count()
         )
         assert abs(r["est_retained_next_week"] - exact_ret) <= max(0.05 * exact_ret, 2)
+
+
+def test_near_dup_queries_bounded_with_recall_floor(spark):
+    """The driver-gate near-dup QUERIES must return bounded rescored
+    top-k (VERDICT r2 #4), and the MinHash one must still surface the
+    true near-dups: every exact-Jaccard >= 0.9 pair at sf0.001 that
+    fits in the top-200 budget appears in the output (recall floor vs
+    the exact inverted-index ground truth)."""
+    from data_ingestion_project_spark.operators.dedup import jaccard_pairs
+    from data_ingestion_project_spark.queries import all_queries
+    from data_ingestion_project_spark.sources.readers import table
+
+    sf = "/root/testdata/sf0.001"
+    mh = all_queries()["minhash_near_dups"](spark, sf).collect()
+    sh = all_queries()["simhash_near_dups"](spark, sf).collect()
+    assert len(mh) <= 200 and len(sh) <= 200
+
+    truth = {
+        (r["id_a"], r["id_b"])
+        for r in jaccard_pairs(
+            table(spark, sf, "documents"), min_jaccard=0.9
+        ).collect()
+    }
+    got = {(r["id_a"], r["id_b"]) for r in mh}
+    assert truth, "fixture corpus must contain planted near-dups"
+    if len(truth) <= 200:
+        hits = len(truth & got)
+        assert hits / len(truth) >= 0.8, (hits, len(truth))

@@ -58,3 +58,47 @@ def test_co_bucketed_join_is_shuffle_free(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_items_b")
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """AQE's automatic skew-join split — the runtime complement to the
+    manual salting above (the 100x story needs BOTH: salting for skewed
+    aggregations and joins AQE can't touch, AQE for skewed sort-merge
+    joins it can re-plan on observed shuffle stats).
+
+    One key holds ~99% of the left side, so its hash partition dwarfs
+    the median; with the skew thresholds scaled to test data, AQE must
+    mark the SortMergeJoin `skew=true` and split the hot partition into
+    multiple tasks — asserted on the POST-EXECUTION adaptive plan.
+    """
+    conf = spark.conf
+    keys = [
+        ("spark.sql.autoBroadcastJoinThreshold", "-1"),  # force SMJ
+        ("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1"),
+        ("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2"),
+        ("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB"),
+        ("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB"),
+        # coalescing would merge the tiny partitions into comparable
+        # sizes and mask the skew signal at this scale
+        ("spark.sql.adaptive.coalescePartitions.enabled", "false"),
+    ]
+    saved = {k: conf.get(k, None) for k, _ in keys}
+    try:
+        for k, v in keys:
+            conf.set(k, v)
+        left = spark.range(0, 60_000).select(
+            F.when(F.col("id") % 100 < 99, F.lit(7)).otherwise(F.col("id")).alias("k"),
+            F.concat(F.lit("payload_"), F.col("id").cast("string")).alias("lval"),
+        )
+        right = spark.createDataFrame(
+            [(7, "hot"), (1, "a"), (2, "b"), (101, "c")], "k int, rval string"
+        )
+        joined = left.join(right.withColumn("k", F.col("k").cast("long")), "k")
+        plan = executed_plan(joined)
+        assert "skew=true" in plan, plan
+    finally:
+        for k, old in saved.items():
+            if old is None:
+                conf.unset(k)
+            else:
+                conf.set(k, old)
