@@ -71,9 +71,14 @@ _DRIVER_PRIORITY = (
     "top2_orders_lateral",
     "wealthy_inactive_customers",
     "supplier_hierarchy_rollup",
+    # round-3 additions, oracle-backed and never driver-certified:
+    # the real-PPM-decode stats and the large-star/small-star CC twin
+    # (same recursive-CTE oracle as dup_cluster_sizes)
+    "media_decode_stats",
+    "dup_cluster_sizes_star",
     # rows-only uncovered (approximate families; each carries a pytest
-    # recall floor).  Two of these will fall past the 50-entry window —
-    # the weakest possible signal loss.
+    # recall floor).  Entries past the 50-entry window — the weakest
+    # possible signal loss (rows-only rows certify shape, not values).
     "lsh_recall",
     "ivf_recall",
     "pq_recall",
@@ -121,6 +126,13 @@ EXCLUDE_FROM_BENCH = frozenset(
         # truth, so it inherits the quadratic baseline's
         # data-degenerate cost
         "minhash_recall",
+        # certification twin of dup_cluster_sizes (same oracle, star
+        # formulation): its O(log² n) round advantage only exists on
+        # high-diameter graphs; on this corpus's tiny dup clusters the
+        # per-round checkpoint overhead dominates, so benching it would
+        # measure driver round-trips, not the operator. The min-label
+        # original stays in the bench set.
+        "dup_cluster_sizes_star",
     }
 )
 

@@ -474,6 +474,25 @@ def dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dup_cluster_sizes_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dup_cluster_sizes computed with the ALTERNATING large-star /
+    small-star connected components (operators/graph.py, Kiveris et
+    al. SoCC'14) instead of min-label propagation — the O(log² n)-round
+    formulation for high-diameter graphs. Shares the SAME DuckDB
+    recursive-CTE oracle, so the driver gate value-certifies the star
+    algorithm end-to-end on real pair data, not just pytest toys."""
+    from data_ingestion_project_spark.operators.graph import connected_components_star
+
+    edges = _winnow_pair_counts(spark, sf_dir).filter(F.col("n_shared") >= 20)
+    comp = connected_components_star(edges, src="id_a", dst="id_b")
+    sizes = comp.groupBy("comp").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .orderBy("cluster_size")
+    )
+
+
 # Shared winnow fingerprint CTEs (the SQL twin of
 # functions/text.py::winnow_fingerprints with k=8, w=4, md5 mode),
 # composed into the winnow-pair and contamination oracles.
@@ -1425,6 +1444,7 @@ QUERIES = {
     "bpe_token_stats": bpe_token_stats,
     "winnow_overlap_top": winnow_overlap_top,
     "dup_cluster_sizes": dup_cluster_sizes,
+    "dup_cluster_sizes_star": dup_cluster_sizes_star,
     "media_feature_stats": media_feature_stats,
     "media_decode_stats": media_decode_stats,
     "quality_filter_funnel": quality_filter_funnel,
@@ -1452,6 +1472,7 @@ ORACLE = {
     "bpe_token_stats": ORACLE_BPE_TOKEN_STATS,
     "winnow_overlap_top": ORACLE_WINNOW_OVERLAP_TOP,
     "dup_cluster_sizes": ORACLE_DUP_CLUSTER_SIZES,
+    "dup_cluster_sizes_star": ORACLE_DUP_CLUSTER_SIZES,
     "media_feature_stats": ORACLE_MEDIA_FEATURE_STATS,
     "media_decode_stats": ORACLE_MEDIA_DECODE_STATS,
     "quality_filter_funnel": ORACLE_QUALITY_FILTER_FUNNEL,
