@@ -51,7 +51,11 @@ def plan_census(df: DataFrame) -> dict[str, object]:
         "n_bnl_joins": nodes("BroadcastNestedLoopJoin"),
         "n_cartesian": nodes("CartesianProduct"),
         "n_codegen_stages": len(set(re.findall(r"\[codegen id : (\d+)\]", plan))),
-        "has_python_udf": "Python" in plan or "ArrowEval" in plan,
+        # "Python" catches BatchEvalPython/PythonUDF mentions;
+        # "InPandas" catches the Arrow-batched family (MapInPandas,
+        # FlatMapGroupsInPandas, ApplyInPandasWithState) whose node
+        # names contain neither
+        "has_python_udf": "Python" in plan or "ArrowEval" in plan or "InPandas" in plan,
     }
 
 
