@@ -388,6 +388,87 @@ def vacuum(path: str, keep_versions: int = 1, min_age_seconds: float = 3600.0) -
     return removed
 
 
+def _dir_bytes(path: str, rel: str) -> int:
+    d = os.path.join(path, rel)
+    return sum(
+        os.path.getsize(os.path.join(d, f))
+        for f in os.listdir(d)
+        if f.endswith(".parquet")
+    )
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    small_threshold_bytes: int | None = None,
+) -> int | None:
+    """Bin-pack small data directories into ~``target_bytes`` files —
+    the OPTIMIZE/compaction half of the small-file problem that every
+    frequently-appended table develops (streaming foreachBatch commits,
+    per-batch dedup appends: thousands of KB-scale files whose
+    per-file open/footer/task overhead eventually dwarfs the data).
+
+    Semantics: data-identical rewrite. Directories smaller than
+    ``small_threshold_bytes`` (default: ``target_bytes``) are read
+    through the schema-aligned snapshot path, rewritten as
+    ``ceil(total/target_bytes)`` coalesced files in ONE new directory,
+    and committed as op="compact" against the SNAPSHOT VERSION the
+    plan was built from — a concurrent writer raises TxnConflict
+    rather than losing its commit (Delta gives OPTIMIZE the same
+    read-modify-write posture). Large directories are carried forward
+    byte-identical; readers of old versions are untouched (the
+    rewritten small dirs stay on disk until ``vacuum``).
+
+    Manifest stats: if EVERY compacted directory carries stats for the
+    same key, the new directory's range is their [min(lo), max(hi)] —
+    merged metadata-only, no rescan — so compaction never degrades
+    merge's file pruning. Returns the new version, or None when fewer
+    than two directories qualify (nothing to gain; no empty commit).
+    """
+    base = current_version(path)
+    if base is None:
+        raise FileNotFoundError(f"no txn table at {path}")
+    m = _read_manifest(path, base)
+    threshold = small_threshold_bytes if small_threshold_bytes is not None else target_bytes
+    sizes = {rel: _dir_bytes(path, rel) for rel in m["data_dirs"]}
+    small = [rel for rel in m["data_dirs"] if sizes[rel] < threshold]
+    if len(small) < 2:
+        return None
+    keep = [rel for rel in m["data_dirs"] if rel not in set(small)]
+
+    df = _read_aligned(spark, path, m, small)
+    total = sum(sizes[rel] for rel in small)
+    n_out = max(1, -(-total // target_bytes))  # ceil div
+    new_rel = _write_data(df.coalesce(n_out), path)
+
+    prev_stats = m.get("stats") or {}
+    new_stats = {k: v for k, v in prev_stats.items() if k in set(keep)}
+    merged = [prev_stats.get(rel) for rel in small]
+    if (
+        prev_stats
+        and all(s is not None for s in merged)
+        and len({s["key"] for s in merged}) == 1
+        and all(s["lo"] is not None and s["hi"] is not None for s in merged)
+    ):
+        new_stats[new_rel] = {
+            "key": merged[0]["key"],
+            "lo": min(s["lo"] for s in merged),
+            "hi": max(s["hi"] for s in merged),
+        }
+
+    def dirs_fn(prev: dict):
+        return keep + [new_rel], None
+
+    return _commit_retry(
+        path,
+        "compact",
+        dirs_fn,
+        base,
+        extra={"stats": new_stats} if new_stats else None,
+    )
+
+
 # --------------------------------------------------------------- MERGE
 #
 # The full read-modify-write MERGE (WHEN MATCHED UPDATE/DELETE, WHEN

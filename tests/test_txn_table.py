@@ -385,3 +385,92 @@ def test_merge_full_row_update_preserves_duplicate_target_rows(spark, tmp_path):
     T.merge(spark, p2, src, key="id", update_expr={"val": "s.val"})
     got2 = sorted((r["id"], r["val"]) for r in T.read(spark, p2).collect())
     assert got2 == got
+
+
+def test_compact_binpacks_small_dirs_data_identical(spark, tmp_path):
+    """compact() must rewrite many small append dirs into one, leave
+    the data multiset identical, carry large dirs forward untouched,
+    and keep old snapshots readable until vacuum."""
+    p = str(tmp_path / "t")
+    T.create_table(spark, p, _df(spark, [1, 2]))
+    for i in range(3, 8):
+        T.append(spark, p, _df(spark, [i]))
+    before = sorted(r["id"] for r in T.read(spark, p).collect())
+    head = T.current_version(p)
+    n_dirs_before = len(T._read_manifest(p, head)["data_dirs"])
+    assert n_dirs_before == 6
+
+    v = T.compact(spark, p)
+    assert v == head + 1
+    m = T._read_manifest(p, v)
+    assert m["op"] == "compact"
+    assert len(m["data_dirs"]) == 1  # every dir was tiny → one dir
+    assert sorted(r["id"] for r in T.read(spark, p).collect()) == before
+    # exactly one coalesced parquet file for KB-scale data
+    d = os.path.join(p, m["data_dirs"][0])
+    assert len([f for f in os.listdir(d) if f.endswith(".parquet")]) == 1
+    # pre-compaction snapshot still reads (dirs not deleted until vacuum)
+    assert sorted(r["id"] for r in T.read(spark, p, version=head).collect()) == before
+
+
+def test_compact_merges_stats_and_skips_large_dirs(spark, tmp_path):
+    """Per-dir key-range stats must survive compaction merged
+    metadata-only ([min lo, max hi]), and a directory at/above the
+    small threshold must be carried forward byte-identical."""
+    p = str(tmp_path / "t")
+    T.create_table(spark, p, _df(spark, list(range(1, 1001))))  # genuinely bigger
+    T.append(spark, p, _df(spark, [5]))
+    T.append(spark, p, _df(spark, [9]))
+    T.analyze(spark, p, "id")
+    m0 = T._read_manifest(p, T.current_version(p))
+    big_rel = m0["data_dirs"][0]
+    big_bytes = T._dir_bytes(p, big_rel)
+    big_mtimes = {
+        f: os.path.getmtime(os.path.join(p, big_rel, f))
+        for f in os.listdir(os.path.join(p, big_rel))
+    }
+
+    # threshold chosen so dir 0 counts as "large" and the other two compact
+    v = T.compact(spark, p, small_threshold_bytes=big_bytes)
+    assert v is not None
+    m = T._read_manifest(p, v)
+    assert big_rel in m["data_dirs"] and len(m["data_dirs"]) == 2
+    # untouched large dir: same files, same mtimes (no rewrite)
+    assert {
+        f: os.path.getmtime(os.path.join(p, big_rel, f))
+        for f in os.listdir(os.path.join(p, big_rel))
+    } == big_mtimes
+    (new_rel,) = [r for r in m["data_dirs"] if r != big_rel]
+    assert m["stats"][new_rel] == {"key": "id", "lo": 5, "hi": 9}
+    assert (m["stats"][big_rel]["lo"], m["stats"][big_rel]["hi"]) == (1, 1000)
+
+
+def test_compact_noop_below_two_small_dirs(spark, tmp_path):
+    p = str(tmp_path / "t")
+    T.create_table(spark, p, _df(spark, [1]))
+    head = T.current_version(p)
+    assert T.compact(spark, p) is None  # one dir: nothing to gain
+    assert T.current_version(p) == head  # and no empty commit
+
+
+def test_compact_conflicts_with_concurrent_commit(spark, tmp_path, monkeypatch):
+    """A writer that commits between compact's snapshot read and its
+    publish must surface as TxnConflict, never a lost update."""
+    p = str(tmp_path / "t")
+    T.create_table(spark, p, _df(spark, [1]))
+    T.append(spark, p, _df(spark, [2]))
+
+    real_write = T._write_data
+
+    def race_then_write(df, path):
+        rel = real_write(df, path)
+        if not getattr(race_then_write, "raced", False):
+            race_then_write.raced = True
+            T.append(spark, p, _df(spark, [99]))  # concurrent commit wins
+        return rel
+
+    monkeypatch.setattr(T, "_write_data", race_then_write)
+    with pytest.raises(T.TxnConflict):
+        T.compact(spark, p)
+    # the loser's table is intact, winner's row present
+    assert sorted(r["id"] for r in T.read(spark, p).collect()) == [1, 2, 99]
