@@ -44,3 +44,34 @@ def read_table(
     if fmt == "csv":
         reader = reader.option("header", True)
     return reader.load(path)
+
+
+def read_quarantined(
+    spark: SparkSession,
+    path: str,
+    fmt: str,
+    schema: StructType,
+    corrupt_col: str = "_corrupt_record",
+) -> DataFrame:
+    """Schema-on-read scan that QUARANTINES malformed rows instead of
+    failing the job (the dead-letter posture for third-party feeds,
+    where FAILFAST would let one bad producer stall the whole batch):
+    a bad line lands whole in ``corrupt_col`` with every schema column
+    NULL, so the pipeline routes it to a dead-letter sink and keeps
+    moving. The corrupt column must ride in the read schema — Spark
+    populates it only when declared — which is why this is a separate
+    entry point and not a flag on read_table."""
+    if fmt not in TEXT_FORMATS:
+        raise ValueError(f"quarantine applies to schema-on-read formats, not {fmt!r}")
+    from pyspark.sql.types import StringType, StructField
+
+    full = StructType(list(schema.fields) + [StructField(corrupt_col, StringType())])
+    reader = (
+        spark.read.format(fmt)
+        .schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+    )
+    if fmt == "csv":
+        reader = reader.option("header", True)
+    return reader.load(path)
