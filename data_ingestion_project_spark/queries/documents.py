@@ -1287,34 +1287,7 @@ def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-row values in DECIMAL — so the only float ops on the hot path
     are value-determined, and percentiles interpolate identical
     inputs."""
-    d = table(spark, sf_dir, "documents")
-    words = d.select(
-        "doc_id",
-        "lang",
-        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("word"),
-    ).filter(F.col("word") != "")
-    lang_tot = words.groupBy("lang").agg(F.count(F.lit(1)).alias("n_lang"))
-    model = (
-        words.groupBy("lang", "word")
-        .agg(F.count(F.lit(1)).alias("n_word"))
-        .join(F.broadcast(lang_tot), "lang")
-        .select(
-            "lang",
-            "word",
-            F.round(F.log10(F.col("n_word") / F.col("n_lang")), 6).alias("logp"),
-        )
-    )
-    per_doc = (
-        words.join(model, ["lang", "word"])
-        .groupBy("doc_id", "lang")
-        .agg(
-            F.round(
-                F.sum(F.col("logp").cast("decimal(27,6)")).cast("double")
-                / F.count(F.lit(1)),
-                6,
-            ).alias("doc_logp")
-        )
-    )
+    per_doc = _per_doc_logp(spark, sf_dir)
     return (
         per_doc.groupBy("lang")
         .agg(
@@ -1360,6 +1333,130 @@ SELECT lang,
        ROUND(quantile_cont(doc_logp, 0.5), 4) AS p50,
        ROUND(quantile_cont(doc_logp, 0.9), 4) AS p90
 FROM per_doc GROUP BY lang ORDER BY lang
+"""
+
+
+def _per_doc_logp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang, doc_logp): each document's mean unigram log-prob
+    under its language's corpus model — the shared scoring stage of
+    unigram_logprob_quality and ccnet_perplexity_buckets (identical
+    decimal-accumulation determinism contract; see
+    unigram_logprob_quality's docstring)."""
+    d = table(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("word"),
+    ).filter(F.col("word") != "")
+    lang_tot = words.groupBy("lang").agg(F.count(F.lit(1)).alias("n_lang"))
+    model = (
+        words.groupBy("lang", "word")
+        .agg(F.count(F.lit(1)).alias("n_word"))
+        .join(F.broadcast(lang_tot), "lang")
+        .select(
+            "lang",
+            "word",
+            F.round(F.log10(F.col("n_word") / F.col("n_lang")), 6).alias("logp"),
+        )
+    )
+    return (
+        words.join(model, ["lang", "word"])
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.round(
+                F.sum(F.col("logp").cast("decimal(27,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("doc_logp")
+        )
+    )
+
+
+# Tercile probabilities as shared LITERALS: interpolation index
+# p*(n-1) must be computed from the bit-identical p in Spark and
+# DuckDB, or the head/middle cut could land one ulp apart.
+_CCNET_P_LO, _CCNET_P_HI = "0.33333333", "0.66666667"
+
+
+def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail corpus split: per language, exact
+    tercile cut-points of the per-document unigram log-prob, documents
+    classified by VALUE against the cuts (head = most probable third —
+    CCNet keeps 'head' for LM training, inspects 'tail' for junk), then
+    per-(lang, bucket) accounting.
+
+    Scale shape: the cut table is |langs| x 2 — computed with exact
+    percentile AGGREGATES (partial-agg shuffle, no per-language global
+    window: the ntile formulation would funnel each language through
+    one task) and broadcast back; classification is a codegen
+    comparison. At 100 TB swap the exact percentile for
+    approx_percentile — boundary accuracy shapes the split, never the
+    accounting's correctness. Cuts stay UNROUNDED: doc_logp sits on a
+    1e-6 grid, interpolated cuts sit strictly off-grid (or exactly ON
+    a data value when the index is integral, which both engines
+    compute identically), so >= classification can never flip between
+    engines — rounding the cut could move it ONTO the grid and break
+    that."""
+    per_doc = _per_doc_logp(spark, sf_dir)
+    cuts = per_doc.groupBy("lang").agg(
+        F.percentile("doc_logp", float(_CCNET_P_LO)).alias("c_lo"),
+        F.percentile("doc_logp", float(_CCNET_P_HI)).alias("c_hi"),
+    )
+    bucketed = per_doc.join(F.broadcast(cuts), "lang").withColumn(
+        "bucket",
+        F.when(F.col("doc_logp") >= F.col("c_hi"), F.lit("head"))
+        .when(F.col("doc_logp") >= F.col("c_lo"), F.lit("middle"))
+        .otherwise(F.lit("tail")),
+    )
+    return (
+        bucketed.groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(
+                F.sum(F.col("doc_logp").cast("decimal(27,6)")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("mean_logp"),
+        )
+        .orderBy("lang", "bucket")
+    )
+
+
+ORACLE_CCNET_PERPLEXITY_BUCKETS = f"""
+WITH words AS (
+  SELECT doc_id, lang, word
+  FROM (
+    SELECT doc_id, lang,
+           unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+    FROM documents
+  ) t WHERE word <> ''
+), lang_tot AS (
+  SELECT lang, COUNT(*) AS n_lang FROM words GROUP BY lang
+), model AS (
+  SELECT w.lang, w.word,
+         ROUND(log10(COUNT(*) * 1.0 / MAX(lt.n_lang)), 6) AS logp
+  FROM words w JOIN lang_tot lt ON w.lang = lt.lang
+  GROUP BY w.lang, w.word
+), per_doc AS (
+  SELECT doc_id, w.lang,
+         ROUND(CAST(SUM(CAST(logp AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*), 6) AS doc_logp
+  FROM words w JOIN model m ON w.lang = m.lang AND w.word = m.word
+  GROUP BY doc_id, w.lang
+), cuts AS (
+  SELECT lang,
+         quantile_cont(doc_logp, {_CCNET_P_LO}) AS c_lo,
+         quantile_cont(doc_logp, {_CCNET_P_HI}) AS c_hi
+  FROM per_doc GROUP BY lang
+), bucketed AS (
+  SELECT p.lang, doc_logp,
+         CASE WHEN doc_logp >= c_hi THEN 'head'
+              WHEN doc_logp >= c_lo THEN 'middle'
+              ELSE 'tail' END AS bucket
+  FROM per_doc p JOIN cuts c ON p.lang = c.lang
+)
+SELECT lang, bucket, COUNT(*) AS n_docs,
+       ROUND(CAST(SUM(CAST(doc_logp AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*), 4) AS mean_logp
+FROM bucketed GROUP BY lang, bucket ORDER BY lang, bucket
 """
 
 
@@ -1437,6 +1534,7 @@ QUERIES = {
     "doc_repetition_stats": doc_repetition_stats,
     "corpus_mixture_plan": corpus_mixture_plan,
     "unigram_logprob_quality": unigram_logprob_quality,
+    "ccnet_perplexity_buckets": ccnet_perplexity_buckets,
     "lang_stats": lang_stats,
     "top_words": top_words,
     "similar_supplier_names": similar_supplier_names,
@@ -1467,6 +1565,7 @@ ORACLE = {
     "doc_repetition_stats": ORACLE_DOC_REPETITION_STATS,
     "corpus_mixture_plan": ORACLE_CORPUS_MIXTURE_PLAN,
     "unigram_logprob_quality": ORACLE_UNIGRAM_LOGPROB_QUALITY,
+    "ccnet_perplexity_buckets": ORACLE_CCNET_PERPLEXITY_BUCKETS,
     "lang_stats": ORACLE_LANG_STATS,
     "token_stats": ORACLE_TOKEN_STATS,
     "bpe_token_stats": ORACLE_BPE_TOKEN_STATS,
