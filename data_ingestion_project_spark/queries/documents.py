@@ -905,7 +905,7 @@ def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocks — see operators/dedup.py."""
     d = table(spark, sf_dir, "documents")
     return (
-        simhash_near_pairs(d, max_hamming=3, blocks=4)
+        simhash_near_pairs(d, max_hamming=3, blocks=4, max_block_size=100)
         .orderBy("hamming", "id_a", "id_b")
         .limit(200)
     )
