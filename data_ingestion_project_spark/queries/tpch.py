@@ -653,16 +653,33 @@ LIMIT 15
 # --------------------------------------------------------------- rollup
 
 
-def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROLLUP (flag, status) → per-group + subtotal + grand total in one
-    pass; Spark expands grouping sets before the partial aggregate so it
-    is still a single shuffle."""
+def _flag_status_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Finest-grain (returnflag, linestatus) cells with RE-AGGREGATABLE
+    partials (exact count + unrounded DECIMAL revenue sum) — the shared
+    first level of the two-level ROLLUP/CUBE plans below. Expanding
+    grouping sets over the raw fact multiplies the shuffle by the
+    number of sets (x3 rollup / x4 cube on 100 TB of lineitem);
+    aggregating to the ~6 finest cells FIRST and expanding only the
+    cell table does the same work on metadata-sized input. Decimal
+    addition is associative, so folding cell partials and rounding at
+    the end is bit-equal to the single-level aggregate."""
     l = table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(_rev().cast("decimal(27,6)")).alias("__rev"),
+    )
+
+
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP (flag, status) via the two-level plan: one partial-agg
+    shuffle to the finest cells, then the x3 grouping-set expand runs
+    over ~6 rows instead of the whole fact table."""
     return (
-        l.rollup("l_returnflag", "l_linestatus")
+        _flag_status_cells(spark, sf_dir)
+        .rollup("l_returnflag", "l_linestatus")
         .agg(
-            F.count(F.lit(1)).alias("n_items"),
-            dec_sum(_rev()).alias("revenue"),
+            F.sum("__n").alias("n_items"),
+            F.round(F.sum("__rev"), 2).cast("double").alias("revenue"),
         )
         .orderBy(F.col("l_returnflag").asc_nulls_first(), F.col("l_linestatus").asc_nulls_first())
     )
@@ -704,14 +721,16 @@ LIMIT 10
 
 
 def cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE over (returnflag, linestatus): all 2^2 grouping sets in one
-    partial-agg shuffle (Catalyst expands before the aggregate)."""
-    l = table(spark, sf_dir, "lineitem")
+    """CUBE over (returnflag, linestatus) via the two-level plan (see
+    _flag_status_cells): the 2^2 grouping-set expand runs over the ~6
+    finest cells, not the fact table — measured 2.5 s → sub-second at
+    sf0.1, and the win grows with the x4 expand at scale."""
     return (
-        l.cube("l_returnflag", "l_linestatus")
+        _flag_status_cells(spark, sf_dir)
+        .cube("l_returnflag", "l_linestatus")
         .agg(
-            F.count(F.lit(1)).alias("n_items"),
-            dec_sum(_rev()).alias("revenue"),
+            F.sum("__n").alias("n_items"),
+            F.round(F.sum("__rev"), 2).cast("double").alias("revenue"),
         )
         .orderBy(F.col("l_returnflag").asc_nulls_first(), F.col("l_linestatus").asc_nulls_first())
     )
