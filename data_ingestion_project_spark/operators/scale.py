@@ -70,26 +70,31 @@ def salted_sum_by_key(
     df: DataFrame, key: str, value_col: str, n_salts: int = 16, scale: int = 2
 ) -> DataFrame:
     """Two-phase SUM+COUNT for skewed group-by keys: partial aggregate
-    per (key, salt), final combine per key. Accumulation is DECIMAL
-    (queries/_precision.py convention), which is what makes the salted
-    two-stage sum EXACTLY equal to a single-stage sum *with the same
-    decimal cast* — decimal addition is associative, so re-associating
-    across salts cannot change the result (a double sum would drift).
-    DECIMAL(38,6) bounds: |value| < 10^32 (a non-ANSI cast overflow
-    would become NULL and silently drop from the sum) and >6-decimal
-    fractions round at the cast — money-grade columns, not raw
-    physics doubles. Returns (key, n, sum_value)."""
+    per (key, salt), final combine per key. Accumulation follows the
+    queries/_precision.py convention — per-row micro-unit quantization
+    into an exact integer-decimal partial — which is what makes the
+    salted two-stage sum EXACTLY equal to the single-stage
+    ``dec_sum`` (integer addition is associative, so re-associating
+    across salts cannot change the result; a double sum would drift).
+    Same bounds as _precision: |value| < ~9.2e12 so the micro-unit
+    long never overflows — money-grade columns, not raw physics
+    doubles. Returns (key, n, sum_value)."""
+    from data_ingestion_project_spark.queries._precision import (
+        dec_sum_final,
+        dec_sum_partial,
+    )
+
     return (
         df.withColumn("__salt", (F.rand(seed=42) * n_salts).cast("int"))
         .groupBy(key, "__salt")
         .agg(
             F.count(F.lit(1)).alias("__n"),
-            F.sum(F.col(value_col).cast("decimal(38,6)")).alias("__partial"),
+            dec_sum_partial(F.col(value_col)).alias("__partial"),
         )
         .groupBy(key)
         .agg(
             F.sum("__n").alias("n"),
-            F.round(F.sum("__partial"), scale).cast("double").alias("sum_value"),
+            dec_sum_final(F.sum("__partial"), scale).alias("sum_value"),
         )
     )
 

@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from data_ingestion_project_spark.queries._precision import dec_sum, sql_dec_sum
+from data_ingestion_project_spark.queries._precision import dec_sum, spark_dec_sum, sql_dec_sum
 from data_ingestion_project_spark.queries.tpch import REV, _rev
 from data_ingestion_project_spark.sources.readers import register_views, table
 
@@ -626,7 +626,7 @@ def segment_year_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
                year(o_orderdate) AS o_year,
                grouping(c_mktsegment) AS g_seg,
                grouping(year(o_orderdate)) AS g_year,
-               {sql_dec_sum('o_totalprice')} AS revenue,
+               {spark_dec_sum('o_totalprice')} AS revenue,
                COUNT(*) AS n_orders
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY GROUPING SETS ((c_mktsegment), (year(o_orderdate)), ())
@@ -726,8 +726,14 @@ def wealthy_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     IN-list pushdown, and correlated NOT EXISTS (anti-join after
     Catalyst decorrelation — never a per-customer rescan)."""
     register_views(spark, sf_dir)
-    # dialect-shared text: Spark runs the oracle string itself
-    return spark.sql(ORACLE_WEALTHY_INACTIVE_CUSTOMERS)
+    # same statement text as the oracle except the revenue aggregate,
+    # which needs the Spark spelling of the micro-unit sum (the two
+    # dialects truncate and floor-divide differently — _precision.py)
+    return spark.sql(
+        ORACLE_WEALTHY_INACTIVE_CUSTOMERS.replace(
+            sql_dec_sum("c_acctbal"), spark_dec_sum("c_acctbal")
+        )
+    )
 
 
 ORACLE_WEALTHY_INACTIVE_CUSTOMERS = f"""
@@ -773,7 +779,7 @@ def supplier_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ON s.s_suppkey div 10 = t.s_suppkey AND s.s_suppkey >= 10
         )
         SELECT root, COUNT(*) AS n_nodes, MAX(depth) AS max_depth,
-               {sql_dec_sum('s_acctbal')} AS subtree_acctbal
+               {spark_dec_sum('s_acctbal')} AS subtree_acctbal
         FROM tree GROUP BY root ORDER BY root
     """)
 

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_ingestion_project_spark.queries._precision import dec_avg, dec_sum, sql_dec_avg, sql_dec_sum
+from data_ingestion_project_spark.queries._precision import dec_sum_final as _dec_sum_final
 from data_ingestion_project_spark.sources.readers import table
 
 REV = "l_extendedprice * (1 - l_discount)"  # SQL twin of _rev()
@@ -663,10 +664,12 @@ def _flag_status_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell table does the same work on metadata-sized input. Decimal
     addition is associative, so folding cell partials and rounding at
     the end is bit-equal to the single-level aggregate."""
+    from data_ingestion_project_spark.queries._precision import dec_sum_partial
+
     l = table(spark, sf_dir, "lineitem")
     return l.groupBy("l_returnflag", "l_linestatus").agg(
         F.count(F.lit(1)).alias("__n"),
-        F.sum(_rev().cast("decimal(27,6)")).alias("__rev"),
+        dec_sum_partial(_rev()).alias("__rev"),
     )
 
 
@@ -679,7 +682,7 @@ def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rollup("l_returnflag", "l_linestatus")
         .agg(
             F.sum("__n").alias("n_items"),
-            F.round(F.sum("__rev"), 2).cast("double").alias("revenue"),
+            _dec_sum_final(F.sum("__rev"), 2).alias("revenue"),
         )
         .orderBy(F.col("l_returnflag").asc_nulls_first(), F.col("l_linestatus").asc_nulls_first())
     )
@@ -730,7 +733,7 @@ def cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cube("l_returnflag", "l_linestatus")
         .agg(
             F.sum("__n").alias("n_items"),
-            F.round(F.sum("__rev"), 2).cast("double").alias("revenue"),
+            _dec_sum_final(F.sum("__rev"), 2).alias("revenue"),
         )
         .orderBy(F.col("l_returnflag").asc_nulls_first(), F.col("l_linestatus").asc_nulls_first())
     )

@@ -33,6 +33,8 @@ from pyspark.sql.window import Window
 from data_ingestion_project_spark.queries._precision import (
     DEC,
     dec_sum,
+    dec_sum_final,
+    dec_sum_partial,
     sql_dec_sum,
 )
 from data_ingestion_project_spark.queries.tpch import REV, _rev
@@ -59,20 +61,21 @@ def promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = l.join(p, l.l_partkey == p.p_partkey)
     promo = F.when(F.col("p_type").startswith("PROMO"), _rev()).otherwise(F.lit(0.0))
     agg = joined.agg(
-        F.sum(promo.cast(DEC)).alias("_promo"),
-        F.sum(_rev().cast(DEC)).alias("_total"),
+        dec_sum_partial(promo).alias("_promo"),
+        dec_sum_partial(_rev()).alias("_total"),
     )
+    # micro-unit factors cancel in the percentage ratio (see _precision)
     return agg.select(
         F.round(F.lit(100.0) * F.col("_promo").cast("double") / F.col("_total").cast("double"), 4).alias(
             "promo_revenue_pct"
         ),
-        F.round(F.col("_total"), 2).cast("double").alias("total_revenue"),
+        dec_sum_final(F.col("_total"), 2).alias("total_revenue"),
     )
 
 
 ORACLE_PROMO_REVENUE = f"""
-SELECT ROUND(100.0 * CAST(SUM(CAST(CASE WHEN p_type LIKE 'PROMO%' THEN {REV} ELSE 0.0 END AS DECIMAL(27,6))) AS DOUBLE)
-             / CAST(SUM(CAST({REV} AS DECIMAL(27,6))) AS DOUBLE), 4) AS promo_revenue_pct,
+SELECT ROUND(100.0 * CAST(SUM(CAST(trunc((CASE WHEN p_type LIKE 'PROMO%' THEN {REV} ELSE 0.0 END) * 1000000) AS BIGINT)) AS DOUBLE)
+             / CAST(SUM(CAST(trunc(({REV}) * 1000000) AS BIGINT)) AS DOUBLE), 4) AS promo_revenue_pct,
        {sql_dec_sum(REV)} AS total_revenue
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-02-01'
@@ -378,20 +381,22 @@ def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     target = F.when(F.col("supp_nation") == "NATION_3", _rev()).otherwise(F.lit(0.0))
     agg = joined.groupBy(F.year("o_orderdate").alias("o_year")).agg(
-        F.sum(target.cast(DEC)).alias("_t"),
-        F.sum(_rev().cast(DEC)).alias("_v"),
+        dec_sum_partial(target).alias("_t"),
+        dec_sum_partial(_rev()).alias("_v"),
     )
+    # the 1e6 micro-unit factors cancel in the ratio, so the share is
+    # the same double division the oracle performs on its micro sums
     return agg.select(
         "o_year",
         F.round(F.col("_t").cast("double") / F.col("_v").cast("double"), 4).alias("mkt_share"),
-        F.round(F.col("_v"), 2).cast("double").alias("total_revenue"),
+        dec_sum_final(F.col("_v"), 2).alias("total_revenue"),
     ).orderBy("o_year")
 
 
 ORACLE_NATION_MARKET_SHARE = f"""
 SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
-       ROUND(CAST(SUM(CAST(CASE WHEN n2.n_name = 'NATION_3' THEN {REV} ELSE 0.0 END AS DECIMAL(27,6))) AS DOUBLE)
-             / CAST(SUM(CAST({REV} AS DECIMAL(27,6))) AS DOUBLE), 4) AS mkt_share,
+       ROUND(CAST(SUM(CAST(trunc((CASE WHEN n2.n_name = 'NATION_3' THEN {REV} ELSE 0.0 END) * 1000000) AS BIGINT)) AS DOUBLE)
+             / CAST(SUM(CAST(trunc(({REV}) * 1000000) AS BIGINT)) AS DOUBLE), 4) AS mkt_share,
        {sql_dec_sum(REV)} AS total_revenue
 FROM lineitem
 JOIN part     ON l_partkey = p_partkey
