@@ -103,12 +103,18 @@ def dedup_batch_against_index(
     )
 
     # one materialization carries both the drop set and its provenance,
-    # so the index join never re-executes for the counts
+    # so the index join never re-executes for the counts. A doc dropped
+    # by BOTH passes counts as an IN-BATCH drop (min, not max): that
+    # classification is replay-stable — after a replayed batch's fps
+    # are in the index, its within-batch dups ALSO match the index, and
+    # vs-index priority would silently migrate their counts between the
+    # two categories across the replay even though `accepted` and the
+    # index are bit-identical.
     tagged = (
         dropped_vs_index.select("doc_id", F.lit(1).alias("__vs_index"))
         .unionByName(in_batch.select("doc_id", F.lit(0).alias("__vs_index")))
         .groupBy("doc_id")
-        .agg(F.max("__vs_index").alias("__vs_index"))
+        .agg(F.min("__vs_index").alias("__vs_index"))
         .localCheckpoint(eager=True)
     )
     n_dropped_vs_index = tagged.filter(F.col("__vs_index") == 1).count()

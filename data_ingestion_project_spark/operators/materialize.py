@@ -51,17 +51,44 @@ def ensure_materialized(
     src_mtime = os.path.getmtime(src_file)
     if os.path.exists(success) and os.path.getmtime(success) >= src_mtime:
         return out
+    # Reclaim leftovers from crashed earlier runs: a kill inside the
+    # swap below can strand a __stale_ copy (or an unrenamed __build_
+    # dir); without this sweep they would leak forever. Same grace
+    # window as txn_table.vacuum: a YOUNG __build_ dir may be a
+    # concurrent in-flight build — deleting it mid-write would corrupt
+    # that run — so only dirs older than an hour are reclaimed.
+    parent, base = os.path.split(out)
+    if os.path.isdir(parent):
+        import time as _time
+
+        now = _time.time()
+        for name in os.listdir(parent):
+            if not name.startswith((f"{base}__stale_", f"{base}__build_")):
+                continue
+            leftover = os.path.join(parent, name)
+            try:
+                if now - os.path.getmtime(leftover) < 3600.0:
+                    continue
+            except OSError:  # raced with another sweep
+                continue
+            shutil.rmtree(leftover, ignore_errors=True)
     tmp = f"{out}__build_{uuid.uuid4().hex[:12]}"
     try:
         build_fn(tmp)
+        stale = None
         if os.path.exists(out):  # stale copy: swap it out
             stale = f"{out}__stale_{uuid.uuid4().hex[:12]}"
             os.rename(out, stale)
-            shutil.rmtree(stale, ignore_errors=True)
         try:
+            # publish IMMEDIATELY after unlinking the stale copy — the
+            # delete happens after, so a crash between the two renames
+            # is the only (tiny) window with no published dataset, and
+            # the sweep above reclaims the stranded copy next run
             os.rename(tmp, out)
         except OSError:  # another run won the publish race; keep theirs
             shutil.rmtree(tmp, ignore_errors=True)
+        if stale is not None:
+            shutil.rmtree(stale, ignore_errors=True)
     except BaseException:
         # a failed/interrupted build must not leak the tmp dir forever
         shutil.rmtree(tmp, ignore_errors=True)

@@ -76,6 +76,7 @@ _DRIVER_PRIORITY = (
     # (same recursive-CTE oracle as dup_cluster_sizes)
     "media_decode_stats",
     "dup_cluster_sizes_star",
+    "ccnet_perplexity_buckets",
     # rows-only uncovered (approximate families; each carries a pytest
     # recall floor).  Entries past the 50-entry window — the weakest
     # possible signal loss (rows-only rows certify shape, not values).
@@ -91,6 +92,7 @@ _DRIVER_PRIORITY = (
     "approx_order_price_quantiles",
     "minhash_near_dups",
     "simhash_near_dups",
+    "knn_ivf_disk",
 )
 
 

@@ -726,20 +726,17 @@ def wealthy_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     IN-list pushdown, and correlated NOT EXISTS (anti-join after
     Catalyst decorrelation — never a per-customer rescan)."""
     register_views(spark, sf_dir)
-    # same statement text as the oracle except the revenue aggregate,
-    # which needs the Spark spelling of the micro-unit sum (the two
-    # dialects truncate and floor-divide differently — _precision.py)
-    return spark.sql(
-        ORACLE_WEALTHY_INACTIVE_CUSTOMERS.replace(
-            sql_dec_sum("c_acctbal"), spark_dec_sum("c_acctbal")
-        )
-    )
+    # same statement TEMPLATE as the oracle; only the money aggregate
+    # differs by dialect (the two engines truncate and floor-divide
+    # differently — _precision.py), so it is a template parameter
+    # rather than a post-hoc string replace that could silently no-op
+    return spark.sql(_WEALTHY_SQL.format(agg=spark_dec_sum("c_acctbal")))
 
 
-ORACLE_WEALTHY_INACTIVE_CUSTOMERS = f"""
+_WEALTHY_SQL = """
 SELECT c_nationkey,
        COUNT(*) AS n_customers,
-       {sql_dec_sum('c_acctbal')} AS total_acctbal
+       {agg} AS total_acctbal
 FROM customer c
 WHERE c_nationkey IN (1, 5, 9, 13, 17, 21)
   AND c_acctbal > (
@@ -754,6 +751,8 @@ WHERE c_nationkey IN (1, 5, 9, 13, 17, 21)
 GROUP BY c_nationkey
 ORDER BY c_nationkey
 """
+
+ORACLE_WEALTHY_INACTIVE_CUSTOMERS = _WEALTHY_SQL.format(agg=sql_dec_sum("c_acctbal"))
 
 
 def supplier_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -50,7 +50,11 @@ def test_incremental_dedup_across_batches(spark, tmp_path):
     fp_rows_before = T.read(spark, idx).count()
     acc, info = dedup_batch_against_index(spark, idx, b2)
     assert sorted(r["doc_id"] for r in acc.collect()) == [11]
-    assert info["n_accepted"] == 1
+    # the per-category counts must ALSO replay identically: doc 12's
+    # fps are now in the index, but it stays classified as the in-batch
+    # drop it originally was (in-batch-priority tagging)
+    assert info == {"n_batch": 3, "n_dropped_vs_index": 1,
+                    "n_dropped_in_batch": 1, "n_accepted": 1}
     # ...and already-indexed doc_ids are not re-appended: the index is
     # row-identical after the replay.
     assert T.read(spark, idx).count() == fp_rows_before
