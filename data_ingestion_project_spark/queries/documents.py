@@ -911,6 +911,22 @@ def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def approx_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 words via mergeable Misra-Gries summaries
+    (operators/heavy_hitters.py) — the bounded-memory one-pass twin of
+    top_words: each partition emits at most 4096 (word, weight)
+    counters, so the shuffle moves summaries, not the vocabulary.
+    Rows-only (weights are lower bounds, short by ≤ n/(capacity+1));
+    the presence + error-bound guarantees are property-tested against
+    exact counts, and at this corpus's vocabulary size the summary is
+    exact by construction (no counter ever evicts)."""
+    from data_ingestion_project_spark.operators.heavy_hitters import heavy_hitters
+
+    d = table(spark, sf_dir, "documents")
+    words = d.select(F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("word"))
+    return heavy_hitters(words, "word", capacity=4096, k=20)
+
+
 def top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global top-20 words: explode → count → TakeOrdered. The classic
     wordcount, with partial aggregation absorbing the explode fan-out
@@ -1537,6 +1553,7 @@ QUERIES = {
     "ccnet_perplexity_buckets": ccnet_perplexity_buckets,
     "lang_stats": lang_stats,
     "top_words": top_words,
+    "approx_top_words": approx_top_words,
     "similar_supplier_names": similar_supplier_names,
     "token_stats": token_stats,
     "bpe_token_stats": bpe_token_stats,

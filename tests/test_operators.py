@@ -500,3 +500,50 @@ def test_near_dup_queries_bounded_with_recall_floor(spark):
     if len(truth) <= 200:
         hits = len(truth & got)
         assert hits / len(truth) >= 0.8, (hits, len(truth))
+
+
+def test_misra_gries_bounds_and_presence(spark):
+    """Mergeable Misra-Gries guarantees vs exact counts, with a
+    capacity small enough to force evictions: (a) estimates are lower
+    bounds, (b) short by at most n/(capacity+1), (c) every item with
+    true frequency above n/(capacity+1) is present."""
+    import random
+
+    from data_ingestion_project_spark.operators.heavy_hitters import heavy_hitters
+
+    rng = random.Random(7)
+    # zipf-ish: few heavy items over a long tail, shuffled, forced
+    # across several partitions
+    items = (
+        ["alpha"] * 400 + ["beta"] * 250 + ["gamma"] * 120
+        + [f"tail{rng.randrange(500)}" for _ in range(1200)]
+    )
+    rng.shuffle(items)
+    df = spark.createDataFrame([(x,) for x in items], "item string").repartition(8)
+    n = len(items)
+    cap = 16
+    max_err = n / (cap + 1)
+
+    exact: dict = {}
+    for x in items:
+        exact[x] = exact.get(x, 0) + 1
+    got = {r["item"]: r["est_count"] for r in heavy_hitters(df, "item", capacity=cap).collect()}
+
+    for item, est in got.items():
+        assert est <= exact[item], (item, est, exact[item])
+        assert exact[item] - est <= max_err, (item, est, exact[item], max_err)
+    for item, true_n in exact.items():
+        if true_n > max_err:
+            assert item in got, (item, true_n, max_err)
+
+
+def test_approx_top_words_exact_on_small_vocab(spark):
+    """With capacity far above the corpus vocabulary no counter ever
+    evicts, so the MG query must equal the exact wordcount top-20."""
+    from data_ingestion_project_spark.queries import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    approx = [tuple(r) for r in all_queries()["approx_top_words"](spark, sf).collect()]
+    exact = [tuple(r) for r in all_queries()["top_words"](spark, sf).collect()]
+    assert [a[0] for a in approx] == [e[0] for e in exact]
+    assert [a[1] for a in approx] == [e[1] for e in exact]
