@@ -615,6 +615,65 @@ LIMIT 15
 """
 
 
+def orders_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative batch-validation report (operators/quality_checks):
+    three row constraints folded into ONE orders scan, key uniqueness
+    as one partial-agg shuffle, and lineitem→orders referential
+    integrity as an anti-join — the publish gate an ingestion pipeline
+    runs before committing a batch. Output is one row per check,
+    SQL-mirrored exactly by the DuckDB oracle."""
+    from data_ingestion_project_spark.operators.quality_checks import (
+        quality_report,
+        referential_check,
+        row_checks,
+        unique_check,
+    )
+
+    o = table(spark, sf_dir, "orders")
+    l = table(spark, sf_dir, "lineitem")
+    rows = row_checks(
+        o,
+        {
+            "totalprice_positive": F.col("o_totalprice") > 0,
+            "orderdate_not_null": F.col("o_orderdate").isNotNull(),
+            "priority_nonempty": F.length("o_orderpriority") > 0,
+        },
+    )
+    return quality_report(
+        rows,
+        unique_check(o, ["o_orderkey"]),
+        referential_check(l, "l_orderkey", o, "o_orderkey"),
+    )
+
+
+ORACLE_ORDERS_QUALITY_REPORT = """
+WITH checks AS (
+  SELECT 'totalprice_positive' AS check_name,
+         SUM(CASE WHEN o_totalprice > 0 THEN 0 ELSE 1 END) AS n_violations
+  FROM orders
+  UNION ALL
+  SELECT 'orderdate_not_null',
+         SUM(CASE WHEN o_orderdate IS NOT NULL THEN 0 ELSE 1 END)
+  FROM orders
+  UNION ALL
+  SELECT 'priority_nonempty',
+         SUM(CASE WHEN length(o_orderpriority) > 0 THEN 0 ELSE 1 END)
+  FROM orders
+  UNION ALL
+  SELECT 'unique(o_orderkey)', COUNT(*)
+  FROM (SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1) d
+  UNION ALL
+  SELECT 'fk(l_orderkey->o_orderkey)', COUNT(*)
+  FROM lineitem l
+  WHERE l_orderkey IS NOT NULL
+    AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+)
+SELECT check_name, CAST(n_violations AS BIGINT) AS n_violations,
+       n_violations = 0 AS passed
+FROM checks ORDER BY check_name
+"""
+
+
 QUERIES = {
     "promo_revenue": promo_revenue,
     "top_revenue_supplier": top_revenue_supplier,
@@ -626,6 +685,7 @@ QUERIES = {
     "large_volume_customers": large_volume_customers,
     "dominant_part_suppliers": dominant_part_suppliers,
     "cheapest_regional_supplier": cheapest_regional_supplier,
+    "orders_quality_report": orders_quality_report,
 }
 
 ORACLE = {
@@ -639,4 +699,5 @@ ORACLE = {
     "large_volume_customers": ORACLE_LARGE_VOLUME_CUSTOMERS,
     "dominant_part_suppliers": ORACLE_DOMINANT_PART_SUPPLIERS,
     "cheapest_regional_supplier": ORACLE_CHEAPEST_REGIONAL_SUPPLIER,
+    "orders_quality_report": ORACLE_ORDERS_QUALITY_REPORT,
 }

@@ -547,3 +547,37 @@ def test_approx_top_words_exact_on_small_vocab(spark):
     exact = [tuple(r) for r in all_queries()["top_words"](spark, sf).collect()]
     assert [a[0] for a in approx] == [e[0] for e in exact]
     assert [a[1] for a in approx] == [e[1] for e in exact]
+
+
+def test_quality_checks_count_planted_violations(spark):
+    """Constraint checks must count planted violations exactly: NULL
+    predicate results are violations (three-valued logic must not skip
+    broken rows), duplicate keys count once per key, NULL FKs are not
+    orphans."""
+    from data_ingestion_project_spark.operators.quality_checks import (
+        quality_report,
+        referential_check,
+        row_checks,
+        unique_check,
+    )
+
+    child = spark.createDataFrame(
+        [(1, 10.0), (1, -5.0), (2, None), (3, 7.0), (99, 1.0), (None, 2.0)],
+        "fk int, amount double",
+    )
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "pk int")
+
+    report = {
+        r["check_name"]: (r["n_violations"], r["passed"])
+        for r in quality_report(
+            row_checks(child, {"amount_positive": F.col("amount") > 0}),
+            unique_check(child, ["fk"]),
+            referential_check(child, "fk", parent, "pk"),
+        ).collect()
+    }
+    # -5.0 fails, NULL amount is a violation (not skipped)
+    assert report["amount_positive"] == (2, False)
+    # fk=1 duplicated -> ONE violated key, however many copies
+    assert report["unique(fk)"] == (1, False)
+    # fk=99 orphaned; NULL fk is not an orphan
+    assert report["fk(fk->pk)"] == (1, False)
