@@ -10,7 +10,7 @@ Streaming twins live in ``streaming/``.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_ingestion_project_spark.operators.asof import asof_join
@@ -452,6 +452,72 @@ ORDER BY g.user_id, g.day
 """
 
 
+def user_scd2_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension built from the event stream (operators/scd2.py):
+    each user's event_type is the tracked attribute — a new version is
+    minted only when it CHANGES, so the history is the run-length
+    encoding of each user's state over time. Summarized per current
+    state: user count, total and max version counts. The DuckDB oracle
+    replays the identical sequencing with window functions, certifying
+    the change-detection + interval-close logic value-exactly."""
+    from data_ingestion_project_spark.operators.scd2 import scd2_apply
+
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "ts").orderBy("event_id")
+    updates = (
+        e.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "event_type", "ts")
+    )
+    state = scd2_apply(None, updates, key="user_id", attrs=["event_type"], ts_col="ts")
+    current = state.filter(F.col("valid_to").isNull()).select(
+        "user_id", F.col("event_type").alias("current_state")
+    )
+    versions = state.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_versions"))
+    return (
+        current.join(versions, "user_id")
+        .groupBy("current_state")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("n_versions").alias("total_versions"),
+            F.max("n_versions").alias("max_versions"),
+        )
+        .orderBy("current_state")
+    )
+
+
+ORACLE_USER_SCD2_SUMMARY = """
+WITH u AS (
+  SELECT user_id, ts, event_type
+  FROM (
+    SELECT user_id, ts, event_type,
+           ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id) AS rn
+    FROM events
+  ) t WHERE rn = 1
+), vers AS (
+  SELECT user_id, ts, event_type
+  FROM (
+    SELECT user_id, ts, event_type,
+           LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+    FROM u
+  ) s WHERE prev IS NULL OR event_type <> prev
+), cur AS (
+  SELECT user_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC) AS rn
+  FROM vers
+), counts AS (
+  SELECT user_id, COUNT(*) AS n_versions FROM vers GROUP BY user_id
+)
+SELECT c.event_type AS current_state,
+       COUNT(*) AS n_users,
+       CAST(SUM(n_versions) AS BIGINT) AS total_versions,
+       MAX(n_versions) AS max_versions
+FROM cur c JOIN counts USING (user_id)
+WHERE c.rn = 1
+GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
     "user_daily_gapfill": user_daily_gapfill,
     "hourly_event_stats": hourly_event_stats,
@@ -465,6 +531,7 @@ QUERIES = {
     "purchase_last_click": purchase_last_click,
     "daily_event_anomalies": daily_event_anomalies,
     "event_value_by_type_salted": event_value_by_type_salted,
+    "user_scd2_summary": user_scd2_summary,
 }
 
 ORACLE = {
@@ -480,4 +547,5 @@ ORACLE = {
     "events_one_day_by_type": ORACLE_EVENTS_ONE_DAY_BY_TYPE,
     "purchase_last_click": ORACLE_PURCHASE_LAST_CLICK,
     "event_transitions": ORACLE_EVENT_TRANSITIONS,
+    "user_scd2_summary": ORACLE_USER_SCD2_SUMMARY,
 }

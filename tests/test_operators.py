@@ -581,3 +581,46 @@ def test_quality_checks_count_planted_violations(spark):
     assert report["unique(fk)"] == (1, False)
     # fk=99 orphaned; NULL fk is not an orphan
     assert report["fk(fk->pk)"] == (1, False)
+
+
+def test_scd2_apply_versions_close_and_asof(spark):
+    """SCD2 semantics end-to-end: change detection mints versions,
+    unchanged refreshes are no-ops, intervals close at the successor's
+    start, as-of returns the right version per timestamp, and
+    re-applying the same batch is idempotent."""
+    from datetime import datetime
+
+    from data_ingestion_project_spark.operators.scd2 import scd2_apply, scd2_as_of
+
+    t = lambda d: datetime(2024, 1, d)
+    b1 = spark.createDataFrame(
+        [(1, "bronze", t(1)), (2, "silver", t(1))],
+        "cust int, tier string, updated_at timestamp",
+    )
+    state = scd2_apply(None, b1, key="cust", attrs=["tier"], ts_col="updated_at")
+    assert state.count() == 2
+    assert state.filter("valid_to IS NOT NULL").count() == 0
+
+    # tier change for 1, unchanged refresh for 2, brand-new 3
+    b2 = spark.createDataFrame(
+        [(1, "gold", t(5)), (2, "silver", t(5)), (3, "bronze", t(5))],
+        "cust int, tier string, updated_at timestamp",
+    )
+    state2 = scd2_apply(state, b2, key="cust", attrs=["tier"], ts_col="updated_at")
+    rows = {(r["cust"], r["tier"]): (r["valid_from"], r["valid_to"]) for r in state2.collect()}
+    assert rows[(1, "bronze")] == (t(1), t(5))   # closed at successor start
+    assert rows[(1, "gold")] == (t(5), None)
+    assert rows[(2, "silver")] == (t(1), None)   # refresh minted NO version
+    assert rows[(3, "bronze")] == (t(5), None)
+    assert len(rows) == 4
+
+    # as-of: day 3 sees the original tiers, day 6 the new ones
+    at3 = {r["cust"]: r["tier"] for r in scd2_as_of(state2, t(3)).collect()}
+    assert at3 == {1: "bronze", 2: "silver"}
+    at6 = {r["cust"]: r["tier"] for r in scd2_as_of(state2, t(6)).collect()}
+    assert at6 == {1: "gold", 2: "silver", 3: "bronze"}
+
+    # idempotent re-apply of b2
+    state3 = scd2_apply(state2, b2, key="cust", attrs=["tier"], ts_col="updated_at")
+    again = {(r["cust"], r["tier"]): (r["valid_from"], r["valid_to"]) for r in state3.collect()}
+    assert again == rows
