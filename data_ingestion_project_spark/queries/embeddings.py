@@ -284,6 +284,40 @@ def pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def semdedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup accounting over the corpus plus 50 PLANTED semantic
+    duplicates (each a scaled copy of an existing vector — cosine is
+    scale-invariant, so similarity is exactly 1.0): cluster-bounded
+    pairwise search (operators/semdedup.py) must drop precisely the
+    planted copies on this near-uniform corpus. Rows-only (the k-means
+    quantizer is driver-side), but the output is fully deterministic
+    and the exact drop counts are pinned in pytest."""
+    from data_ingestion_project_spark.operators.semdedup import semdedup
+
+    e = table(spark, sf_dir, "embeddings")
+    planted = (
+        e.filter(F.col("vec_id") < 50)
+        .select(
+            (F.col("vec_id") + 1_000_000).alias("vec_id"),
+            F.transform("embedding", lambda x: x * F.lit(0.5)).alias("embedding"),
+            "label",
+        )
+    )
+    corpus = e.unionByName(planted)
+    kept = semdedup(corpus, threshold=0.95, n_clusters=16)
+    n_input = corpus.agg(F.count(F.lit(1)).alias("n_input"))
+    stats = kept.agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum((F.col("vec_id") >= 1_000_000).cast("long")).alias("planted_kept"),
+    )
+    return n_input.crossJoin(stats).select(
+        "n_input",
+        "n_kept",
+        (F.col("n_input") - F.col("n_kept")).alias("n_dropped"),
+        "planted_kept",
+    )
+
+
 QUERIES = {
     "knn_brute_force": knn_brute_force,
     "top_similar_pairs": top_similar_pairs,
@@ -293,6 +327,7 @@ QUERIES = {
     "knn_ivf_approx": knn_ivf_approx,
     "ivf_recall": ivf_recall,
     "knn_ivf_disk": knn_ivf_disk,
+    "semdedup_summary": semdedup_summary,
     "knn_pq_approx": knn_pq_approx,
     "pq_recall": pq_recall,
 }

@@ -624,3 +624,16 @@ def test_scd2_apply_versions_close_and_asof(spark):
     state3 = scd2_apply(state2, b2, key="cust", attrs=["tier"], ts_col="updated_at")
     again = {(r["cust"], r["tier"]): (r["valid_from"], r["valid_to"]) for r in state3.collect()}
     assert again == rows
+
+
+def test_semdedup_drops_planted_semantic_duplicates(spark):
+    """SemDeDup contract: scaled copies (cosine exactly 1) sharing
+    their source's cluster must drop, keep-lowest-id; the near-uniform
+    rest of the corpus survives a 0.95 threshold untouched."""
+    from data_ingestion_project_spark.queries import all_queries
+
+    row = all_queries()["semdedup_summary"](spark, "/root/testdata/sf0.001").collect()[0]
+    assert row["n_input"] == 550           # 500 corpus + 50 planted
+    assert row["n_dropped"] == 50          # exactly the planted copies
+    assert row["planted_kept"] == 0        # and nothing else
+    assert row["n_kept"] == 500
