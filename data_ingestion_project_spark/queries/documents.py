@@ -927,6 +927,24 @@ def approx_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters(words, "word", capacity=4096, k=20)
 
 
+def bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 10 BPE merges LEARNED from this corpus
+    (operators/bpe.py, Sennrich alg.): tokenizer construction as a
+    pipeline stage — one corpus pass to the word-frequency table, then
+    vocabulary-sized merge rounds. Deterministic (count desc +
+    lexicographic tie-break); rows-only (iterative driver-loop
+    training is not single-statement SQL), pinned against a
+    pure-Python reference in pytest."""
+    from data_ingestion_project_spark.operators.bpe import bpe_train
+
+    d = table(spark, sf_dir, "documents")
+    merges = bpe_train(d, n_merges=10, min_pair_count=2)
+    rows = [(i + 1, l, r, n) for i, (l, r, n) in enumerate(merges)]
+    return spark.createDataFrame(
+        rows, "rank int, left string, right string, pair_count long"
+    )
+
+
 def top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global top-20 words: explode → count → TakeOrdered. The classic
     wordcount, with partial aggregation absorbing the explode fan-out
@@ -1554,6 +1572,7 @@ QUERIES = {
     "lang_stats": lang_stats,
     "top_words": top_words,
     "approx_top_words": approx_top_words,
+    "bpe_learned_merges": bpe_learned_merges,
     "similar_supplier_names": similar_supplier_names,
     "token_stats": token_stats,
     "bpe_token_stats": bpe_token_stats,

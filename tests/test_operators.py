@@ -637,3 +637,48 @@ def test_semdedup_drops_planted_semantic_duplicates(spark):
     assert row["n_dropped"] == 50          # exactly the planted copies
     assert row["planted_kept"] == 0        # and nothing else
     assert row["n_kept"] == 500
+
+
+def test_bpe_train_matches_reference_implementation(spark):
+    """Distributed BPE training must learn the same merges, in the
+    same order, as a pure-Python reference (Sennrich alg. 1) on the
+    classic low/lower/newest/widest corpus — including the count-desc,
+    lexicographic tie-break."""
+    from data_ingestion_project_spark.operators.bpe import END, bpe_train
+
+    corpus = ["low low low low low lower lower newest newest newest "
+              "newest newest newest widest widest widest"]
+    df = spark.createDataFrame([(t,) for t in corpus], "text string")
+    got = bpe_train(df, n_merges=8, min_pair_count=2)
+
+    def ref_merges(words: dict, n: int) -> list:
+        vocab = {tuple(list(w) + [END]): f for w, f in words.items()}
+        out = []
+        for _ in range(n):
+            pairs: dict = {}
+            for syms, f in vocab.items():
+                for i in range(len(syms) - 1):
+                    pairs[(syms[i], syms[i + 1])] = pairs.get((syms[i], syms[i + 1]), 0) + f
+            if not pairs:
+                break
+            best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+            if best[1] < 2:
+                break
+            (l, r), cnt = best
+            out.append((l, r, cnt))
+            nv = {}
+            for syms, f in vocab.items():
+                merged, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                        merged.append(l + r)
+                        i += 2
+                    else:
+                        merged.append(syms[i])
+                        i += 1
+                nv[tuple(merged)] = nv.get(tuple(merged), 0) + f
+            vocab = nv
+        return out
+
+    words = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    assert got == ref_merges(words, 8)
