@@ -77,6 +77,8 @@ _DRIVER_PRIORITY = (
     "media_decode_stats",
     "dup_cluster_sizes_star",
     "ccnet_perplexity_buckets",
+    "orders_quality_report",
+    "user_scd2_summary",
     # rows-only uncovered (approximate families; each carries a pytest
     # recall floor).  Entries past the 50-entry window — the weakest
     # possible signal loss (rows-only rows certify shape, not values).
