@@ -316,7 +316,18 @@ def minhash_lsh_pairs(
     """
     assert num_perm % bands == 0
     rows_per_band = num_perm // bands
-    sig = minhash_signatures(df, text_col, id_col, num_perm, shingle=shingle)
+    # ONE tokenization pass feeds both the signatures and the exact
+    # rescore's word sets (they must share a vocabulary anyway for the
+    # rescore threshold to mean what the bands selected for);
+    # localCheckpoint materializes it once instead of re-running the
+    # normalize+split+explode pipeline per consumer.
+    words = tokenized(df, text_col, id_col, shingle=shingle).localCheckpoint(eager=True)
+    mins = [F.min(_hash_band(i)).alias(f"h{i}") for i in range(num_perm)]
+    sig = (
+        words.groupBy(id_col)
+        .agg(*mins)
+        .select(F.col(id_col), F.array(*[f"h{i}" for i in range(num_perm)]).alias("signature"))
+    )
 
     band_cols = [
         F.struct(
@@ -346,9 +357,7 @@ def minhash_lsh_pairs(
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
     )
-    word_sets = tokenized(df, text_col, id_col, shingle=shingle).groupBy(id_col).agg(
-        F.collect_set("word").alias("words")
-    )
+    word_sets = words.groupBy(id_col).agg(F.collect_set("word").alias("words"))
     wa = word_sets.select(F.col(id_col).alias("id_a"), F.col("words").alias("wa"))
     wb = word_sets.select(F.col(id_col).alias("id_b"), F.col("words").alias("wb"))
     inter = F.size(F.array_intersect("wa", "wb"))
