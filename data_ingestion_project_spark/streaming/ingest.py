@@ -131,3 +131,62 @@ def start_running_count_stream(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def start_scd2_dimension_stream(
+    spark: SparkSession,
+    updates: DataFrame,
+    table_path: str,
+    checkpoint_dir: str,
+    key: str,
+    attrs: list[str],
+    ts_col: str,
+) -> StreamingQuery:
+    """Streaming SCD2 dimension maintenance: each micro-batch of
+    attribute updates folds into the versioned history table via
+    operators/scd2.scd2_apply, committed with snapshot-conflict
+    detection (txn overwrite against the version the fold read).
+
+    Replay safety comes from scd2_apply's own idempotence — change
+    detection is a null-safe compare against the previous version, so
+    re-applying a delivered-again micro-batch mints no versions and
+    rewrites the same state — which is why this sink needs NO batch-id
+    fence, unlike the additive running-count sink above (idempotent
+    folds and additive folds need different machinery; both live here
+    deliberately). Caller provides a deduped update stream (one row
+    per key+timestamp, scd2_apply's contract).
+
+    Scale note: the fold rewrites the OPEN segment only in plan terms
+    (closed history is unioned through untouched); the overwrite
+    rewrites the table's files — at 100 TB the history table would be
+    laid out by valid_from range so the rewrite is bounded to the
+    open partition, the same proportionality argument as the
+    file-pruned MERGE.
+    """
+    from data_ingestion_project_spark.operators import txn_table as T
+    from data_ingestion_project_spark.operators.scd2 import scd2_apply
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        base = T.current_version(table_path)
+        if base is None:
+            state = scd2_apply(None, batch_df, key=key, attrs=attrs, ts_col=ts_col)
+            try:
+                T.create_table(spark, table_path, state)
+            except (FileExistsError, T.TxnConflict):
+                _sink(batch_df, batch_id)  # lost the create race: rebase
+            return
+        prior = T.read(spark, table_path, base)
+        new_state = scd2_apply(prior, batch_df, key=key, attrs=attrs, ts_col=ts_col)
+        try:
+            T.overwrite(spark, table_path, new_state, base_version=base)
+        except T.TxnConflict:
+            _sink(batch_df, batch_id)  # concurrent writer: re-fold on the new head
+
+    return (
+        updates.writeStream.foreachBatch(_sink)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

@@ -504,3 +504,50 @@ def test_transform_with_state_matches_legacy_operator(spark, tmp_path):
         assert (1, 1.0) in u2
     finally:
         q.stop()
+
+
+def test_scd2_dimension_stream_versions_across_microbatches(spark, tmp_path):
+    """Streaming SCD2 maintenance: versions mint only on change across
+    micro-batches, history lands in the txn table, and a replayed
+    batch (processAllAvailable again) leaves the state identical —
+    idempotence without a batch-id fence."""
+    from data_ingestion_project_spark.operators import txn_table as T
+    from data_ingestion_project_spark.streaming.ingest import start_scd2_dimension_stream
+
+    src = tmp_path / "dim_updates"
+    src.mkdir()
+    table_path = str(tmp_path / "dim_scd2")
+    stream = (
+        spark.readStream.schema("cust long, tier string, updated_at timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = start_scd2_dimension_stream(
+        spark, stream, table_path, str(tmp_path / "ckpt_scd2"),
+        key="cust", attrs=["tier"], ts_col="updated_at",
+    )
+    try:
+        (src / "b1.json").write_text(
+            '{"cust": 1, "tier": "bronze", "updated_at": "2024-01-01T00:00:00"}\n'
+            '{"cust": 2, "tier": "silver", "updated_at": "2024-01-01T00:00:00"}\n'
+        )
+        q.processAllAvailable()
+        (src / "b2.json").write_text(
+            '{"cust": 1, "tier": "gold", "updated_at": "2024-01-05T00:00:00"}\n'
+            '{"cust": 2, "tier": "silver", "updated_at": "2024-01-05T00:00:00"}\n'
+        )
+        q.processAllAvailable()
+        rows = {
+            (r["cust"], r["tier"]): (r["valid_from"], r["valid_to"])
+            for r in T.read(spark, table_path).collect()
+        }
+        assert len(rows) == 3  # cust 2's refresh minted nothing
+        assert rows[(1, "bronze")][1] is not None  # closed
+        assert rows[(1, "gold")][1] is None
+        assert rows[(2, "silver")][1] is None
+
+        before = sorted(map(tuple, T.read(spark, table_path).collect()))
+        q.processAllAvailable()  # no new data: state untouched
+        assert sorted(map(tuple, T.read(spark, table_path).collect())) == before
+    finally:
+        q.stop()
