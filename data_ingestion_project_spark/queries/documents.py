@@ -927,6 +927,51 @@ def approx_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters(words, "word", capacity=4096, k=20)
 
 
+def chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking accounting (operators/chunking.py,
+    window=64 stride=48): per language, how many chunks the corpus
+    shards into, how many are full-size, and the total token volume
+    including the overlap tax. The oracle replays the stride grid in
+    closed form — a chunker that mis-slices boundaries or drops
+    trailing fragments value-fails."""
+    from data_ingestion_project_spark.operators.chunking import chunk_documents
+
+    d = table(spark, sf_dir, "documents")
+    chunks = chunk_documents(d, window=64, stride=48)
+    return (
+        chunks.join(d.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum((F.col("n_tokens") == 64).cast("long")).alias("full_chunks"),
+            F.sum("n_tokens").alias("total_chunk_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+ORACLE_CHUNK_STATS = """
+WITH d AS (
+  SELECT doc_id, lang,
+         len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                         x -> x <> '')) AS n
+  FROM documents
+), c AS (
+  SELECT doc_id, lang, n,
+         unnest(range(0, ((n - 1) // 48) * 48 + 1, 48)) AS start
+  FROM d WHERE n > 0
+)
+SELECT lang,
+       COUNT(DISTINCT doc_id) AS n_docs,
+       COUNT(*) AS n_chunks,
+       CAST(SUM(CASE WHEN LEAST(64, n - start) = 64 THEN 1 ELSE 0 END) AS BIGINT)
+         AS full_chunks,
+       CAST(SUM(LEAST(64, n - start)) AS BIGINT) AS total_chunk_tokens
+FROM c GROUP BY lang ORDER BY lang
+"""
+
+
 def bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First 10 BPE merges LEARNED from this corpus
     (operators/bpe.py, Sennrich alg.): tokenizer construction as a
@@ -1573,6 +1618,7 @@ QUERIES = {
     "top_words": top_words,
     "approx_top_words": approx_top_words,
     "bpe_learned_merges": bpe_learned_merges,
+    "chunk_stats": chunk_stats,
     "similar_supplier_names": similar_supplier_names,
     "token_stats": token_stats,
     "bpe_token_stats": bpe_token_stats,
@@ -1601,6 +1647,7 @@ ORACLE = {
     "doc_repetition_stats": ORACLE_DOC_REPETITION_STATS,
     "corpus_mixture_plan": ORACLE_CORPUS_MIXTURE_PLAN,
     "unigram_logprob_quality": ORACLE_UNIGRAM_LOGPROB_QUALITY,
+    "chunk_stats": ORACLE_CHUNK_STATS,
     "ccnet_perplexity_buckets": ORACLE_CCNET_PERPLEXITY_BUCKETS,
     "lang_stats": ORACLE_LANG_STATS,
     "token_stats": ORACLE_TOKEN_STATS,

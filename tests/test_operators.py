@@ -682,3 +682,29 @@ def test_bpe_train_matches_reference_implementation(spark):
 
     words = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
     assert got == ref_merges(words, 8)
+
+
+def test_chunk_documents_windows_and_boundaries(spark):
+    """Chunking semantics: stride grid, overlap, short-trailing-chunk
+    retention, empty-doc elision, and the stride<=window guard."""
+    import pytest as _pytest
+
+    from data_ingestion_project_spark.operators.chunking import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, "t0 t1 t2 t3 t4 t5 t6"), (2, "a b"), (3, "   ")],
+        "doc_id long, text string",
+    )
+    out = {
+        (r["doc_id"], r["chunk_idx"]): (r["n_tokens"], r["chunk_text"])
+        for r in chunk_documents(df, window=4, stride=3).collect()
+    }
+    assert out[(1, 0)] == (4, "t0 t1 t2 t3")
+    assert out[(1, 1)] == (4, "t3 t4 t5 t6")  # one-token overlap
+    assert out[(1, 2)] == (1, "t6")           # trailing fragment kept
+    assert out[(2, 0)] == (2, "a b")
+    assert all(doc != 3 for doc, _ in out)    # empty doc -> no chunks
+    assert len(out) == 4
+
+    with _pytest.raises(ValueError, match="stride"):
+        chunk_documents(df, window=4, stride=5)

@@ -245,3 +245,39 @@ def test_per_group_topk_uses_window_group_limit(spark):
 
     df = all_queries()["top_orders_per_customer"](spark, SF)
     assert formatted_plan(df).count("WindowGroupLimit") >= 2  # partial + final
+
+
+def test_row_checks_fold_into_single_scan(spark):
+    """N row constraints must cost ONE scan — each check is a counter
+    in the same aggregate, so adding a check never adds a pass."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_project_spark.operators.quality_checks import row_checks
+    from data_ingestion_project_spark.sources.readers import table
+
+    o = table(spark, SF, "orders")
+    report = row_checks(
+        o,
+        {
+            "a": F.col("o_totalprice") > 0,
+            "b": F.col("o_orderdate").isNotNull(),
+            "c": F.length("o_orderpriority") > 0,
+            "d": F.col("o_orderkey").isNotNull(),
+        },
+    )
+    from data_ingestion_project_spark.plans.explain import scan_info
+
+    assert len(scan_info(report)) == 1
+
+
+def test_semdedup_pairs_no_cartesian_or_bnl(spark):
+    """The quadratic step must stay cluster-bounded inside
+    applyInPandas — no CartesianProduct / BroadcastNestedLoopJoin node
+    may appear in the plan."""
+    from data_ingestion_project_spark.operators.semdedup import semdedup_pairs
+    from data_ingestion_project_spark.sources.readers import table
+
+    e = table(spark, SF, "embeddings")
+    census = plan_census(semdedup_pairs(e, n_clusters=4))
+    assert census["n_cartesian"] == 0
+    assert census["n_bnl_joins"] == 0
