@@ -79,6 +79,7 @@ _DRIVER_PRIORITY = (
     "ccnet_perplexity_buckets",
     "orders_quality_report",
     "user_scd2_summary",
+    "chunk_stats",
     # rows-only uncovered (approximate families; each carries a pytest
     # recall floor).  Entries past the 50-entry window — the weakest
     # possible signal loss (rows-only rows certify shape, not values).
