@@ -25,10 +25,12 @@ _MODULES = (tpch, tpch2, events, documents, embeddings, advanced)
 
 # The driver's correctness gate certifies the FIRST 50 entries of
 # all_queries() in dict order.  CORRECTNESS_r02.json covered the first 50
-# of the round-2 order; this list rotates the 52 then-uncovered names to
-# the front (oracle-backed first — they yield the strongest signal —
-# then rows-only) so the r02+r03 artifacts jointly certify the whole
-# inventory.  Names not listed here keep their module order and follow.
+# of the round-2 order; this list leads with the names r02 did NOT cover
+# plus every round-3 addition, oracle-backed first (value-hash rows are
+# the strongest signal — rows-only entries certify shape only), so the
+# r02+r03 artifacts jointly certify all but a handful of rows-only
+# approximate queries.  Names not listed here keep their module order
+# and follow.
 _DRIVER_PRIORITY = (
     # 40 oracle-backed queries uncovered by CORRECTNESS_r02
     "token_stats",
