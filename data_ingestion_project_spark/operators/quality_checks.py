@@ -30,20 +30,29 @@ def row_checks(df: DataFrame, checks: dict[str, Column]) -> DataFrame:
     """Evaluate named row-level constraints in ONE pass. Each value in
     ``checks`` is the PASS condition; a NULL condition result counts as
     a violation (SQL three-valued logic would otherwise silently skip
-    exactly the rows most likely to be broken)."""
+    exactly the rows most likely to be broken). An empty input frame
+    reports (0, passed=True) per check — COUNT, unlike SUM, never
+    returns NULL over zero rows, so an empty batch validates clean
+    instead of poisoning downstream all-passed logic with NULLs."""
+    if not checks:
+        raise ValueError("row_checks needs at least one named constraint")
     aggs = [
-        F.sum(
-            F.when(cond.isNull() | ~cond, F.lit(1)).otherwise(F.lit(0))
-        ).alias(name)
-        for name, cond in checks.items()
+        F.count(F.when(cond.isNull() | ~cond, F.lit(1))).alias(f"__c{i}")
+        for i, cond in enumerate(checks.values())
     ]
     row = df.agg(*aggs)
-    stacked = row.selectExpr(
-        "stack({n}, {pairs}) AS (check_name, n_violations)".format(
-            n=len(checks),
-            pairs=", ".join(f"'{name}', `{name}`" for name in checks),
-        )
+    # Column-expression unpivot (explode over structs) — names are
+    # DATA here, never interpolated into SQL text, so quotes/backticks
+    # in a check name cannot break parsing.
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("check_name"), F.col(f"__c{i}").alias("n_violations")
+            )
+            for i, name in enumerate(checks)
+        ]
     )
+    stacked = row.select(F.explode(pairs).alias("p")).select("p.*")
     return stacked.select(
         "check_name", "n_violations", (F.col("n_violations") == 0).alias("passed")
     )

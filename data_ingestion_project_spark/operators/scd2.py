@@ -65,20 +65,24 @@ def scd2_apply(
 
     seq = Window.partitionBy(key).orderBy(F.col("__ts").asc(), F.col("__is_upd").asc())
     attrs_struct = F.struct(*[F.col(a) for a in attrs])
-    changed = (
-        cand.withColumn("__prev", F.lag(attrs_struct).over(seq))
-        .filter(F.col("__prev").isNull() | ~attrs_struct.eqNullSafe(F.col("__prev")))
-        .drop("__prev", "__is_upd")
-    )
+    changed = cand.withColumn("__prev", F.lag(attrs_struct).over(seq)).filter(
+        F.col("__prev").isNull() | ~attrs_struct.eqNullSafe(F.col("__prev"))
+    ).drop("__prev")
     # re-rank the SURVIVORS: each version closes when the next distinct
-    # version begins
-    seq2 = Window.partitionBy(key).orderBy(F.col("__ts").asc())
+    # version begins. __is_upd stays in the order — a same-instant
+    # correction (update sharing the open row's valid_from) must sort
+    # AFTER the stale row deterministically, or lead() ties on __ts and
+    # the correction can silently lose. The superseded row becomes a
+    # zero-length [T, T) version, dropped below; its predecessor's
+    # valid_to and its successor's valid_from both equal T, so the
+    # interval chain stays contiguous.
+    seq2 = Window.partitionBy(key).orderBy(F.col("__ts").asc(), F.col("__is_upd").asc())
     versioned = changed.select(
         F.col(key),
         *[F.col(a) for a in attrs],
         F.col("__ts").alias(VALID_FROM),
         F.lead("__ts").over(seq2).alias(VALID_TO),
-    )
+    ).filter(F.col(VALID_TO).isNull() | (F.col(VALID_TO) != F.col(VALID_FROM)))
     return versioned if closed is None else closed.unionByName(versioned)
 
 

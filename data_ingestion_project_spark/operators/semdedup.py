@@ -55,14 +55,15 @@ def semdedup_pairs(
     assigned = ivf_assign(corpus, centroids, vec_col=vec_col).select(
         id_col, vec_col, "list_id"
     )
+    id_t = corpus.schema[id_col].dataType.simpleString()
 
     def _pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         n = len(pdf)
         if n < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "sim": []}).astype(
-                {"id_a": "int64", "id_b": "int64", "sim": "float64"}
-            )
-        ids = pdf[id_col].to_numpy()
+            # empty object-dtype columns convert to ANY Arrow type, so
+            # this stays correct for string ids too
+            return pd.DataFrame({"id_a": [], "id_b": [], "sim": []})
+        ids = pdf[id_col].to_numpy()  # numeric or lexicographic — both order
         m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
         norms = np.linalg.norm(m, axis=1)
         norms[norms == 0.0] = 1e-12
@@ -75,7 +76,7 @@ def semdedup_pairs(
         return pd.DataFrame({"id_a": lo, "id_b": hi, "sim": sims[ia, ib][keep]})
 
     return assigned.groupBy("list_id").applyInPandas(
-        _pairs, schema="id_a long, id_b long, sim double"
+        _pairs, schema=f"id_a {id_t}, id_b {id_t}, sim double"
     )
 
 

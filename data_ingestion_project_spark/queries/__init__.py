@@ -98,6 +98,13 @@ _DRIVER_PRIORITY = (
     "minhash_near_dups",
     "simhash_near_dups",
     "knn_ivf_disk",
+    # round-3 rows-only additions — listed for explicit ordering even
+    # though they fall past the 50-entry window (each carries its own
+    # pytest certification: MG bounds, planted SemDeDup drops, the
+    # pure-Python BPE reference)
+    "approx_top_words",
+    "semdedup_summary",
+    "bpe_learned_merges",
 )
 
 

@@ -470,6 +470,9 @@ def user_scd2_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_type", "ts")
     )
     state = scd2_apply(None, updates, key="user_id", attrs=["event_type"], ts_col="ts")
+    # both consumers below read `state`; materialize it once or Spark
+    # re-executes the full dedup + sequencing lineage per branch
+    state = state.localCheckpoint(eager=True)
     current = state.filter(F.col("valid_to").isNull()).select(
         "user_id", F.col("event_type").alias("current_state")
     )

@@ -166,23 +166,31 @@ def start_scd2_dimension_stream(
     from data_ingestion_project_spark.operators import txn_table as T
     from data_ingestion_project_spark.operators.scd2 import scd2_apply
 
-    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+    def _sink(batch_df: DataFrame, batch_id: int, max_retries: int = 20) -> None:
         if batch_df.isEmpty():
             return
-        base = T.current_version(table_path)
-        if base is None:
-            state = scd2_apply(None, batch_df, key=key, attrs=attrs, ts_col=ts_col)
+        # bounded retry LOOP (not recursion — sustained contention
+        # would otherwise grow the stack until RecursionError kills
+        # the streaming query); each attempt re-folds on the new head
+        for _ in range(max_retries):
+            base = T.current_version(table_path)
+            if base is None:
+                state = scd2_apply(None, batch_df, key=key, attrs=attrs, ts_col=ts_col)
+                try:
+                    T.create_table(spark, table_path, state)
+                    return
+                except (FileExistsError, T.TxnConflict):
+                    continue  # lost the create race: rebase onto the winner
+            prior = T.read(spark, table_path, base)
+            new_state = scd2_apply(prior, batch_df, key=key, attrs=attrs, ts_col=ts_col)
             try:
-                T.create_table(spark, table_path, state)
-            except (FileExistsError, T.TxnConflict):
-                _sink(batch_df, batch_id)  # lost the create race: rebase
-            return
-        prior = T.read(spark, table_path, base)
-        new_state = scd2_apply(prior, batch_df, key=key, attrs=attrs, ts_col=ts_col)
-        try:
-            T.overwrite(spark, table_path, new_state, base_version=base)
-        except T.TxnConflict:
-            _sink(batch_df, batch_id)  # concurrent writer: re-fold on the new head
+                T.overwrite(spark, table_path, new_state, base_version=base)
+                return
+            except T.TxnConflict:
+                continue  # concurrent writer: re-fold on the new head
+        raise T.TxnConflict(
+            f"scd2 stream sink gave up after {max_retries} contended commits at {table_path}"
+        )
 
     return (
         updates.writeStream.foreachBatch(_sink)

@@ -708,3 +708,52 @@ def test_chunk_documents_windows_and_boundaries(spark):
 
     with _pytest.raises(ValueError, match="stride"):
         chunk_documents(df, window=4, stride=5)
+
+
+def test_row_checks_empty_frame_and_hostile_names(spark):
+    """Review regressions: an empty batch validates clean (0, True) —
+    never NULL — and check names containing quotes/backticks are data,
+    not SQL text."""
+    import pytest as _pytest
+
+    from data_ingestion_project_spark.operators.quality_checks import row_checks
+
+    empty = spark.createDataFrame([], "amount double")
+    got = row_checks(empty, {"amount isn't `null`": F.col("amount").isNotNull()}).collect()
+    assert [(r["check_name"], r["n_violations"], r["passed"]) for r in got] == [
+        ("amount isn't `null`", 0, True)
+    ]
+    with _pytest.raises(ValueError, match="at least one"):
+        row_checks(empty, {})
+
+
+def test_scd2_same_instant_correction_wins_deterministically(spark):
+    """Review regression: an update sharing the open row's valid_from
+    (a same-instant correction) must deterministically supersede it —
+    no zero-length versions survive, the correction becomes current."""
+    from datetime import datetime
+
+    from data_ingestion_project_spark.operators.scd2 import scd2_apply, scd2_as_of
+
+    t = datetime(2024, 1, 1)
+    b1 = spark.createDataFrame([(1, "bronze", t)], "cust int, tier string, updated_at timestamp")
+    state = scd2_apply(None, b1, key="cust", attrs=["tier"], ts_col="updated_at")
+    fix = spark.createDataFrame([(1, "gold", t)], "cust int, tier string, updated_at timestamp")
+    state2 = scd2_apply(state, fix, key="cust", attrs=["tier"], ts_col="updated_at")
+    rows = [(r["tier"], r["valid_from"], r["valid_to"]) for r in state2.collect()]
+    assert rows == [("gold", t, None)]  # bronze's zero-length version dropped
+    assert [r["tier"] for r in scd2_as_of(state2, t).collect()] == ["gold"]
+
+
+def test_semdedup_works_with_string_ids(spark):
+    """Review regression: the pair schema derives from the id column's
+    type, so string-keyed corpora dedupe too."""
+    from data_ingestion_project_spark.operators.semdedup import semdedup
+
+    df = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("b", [2.0, 0.0]), ("c", [0.0, 1.0])],
+        "doc string, embedding array<double>",
+    )
+    kept = sorted(r["doc"] for r in semdedup(df, threshold=0.99, n_clusters=2,
+                                             id_col="doc").collect())
+    assert kept == ["a", "c"]  # b is a scaled copy of a -> dropped, keep-first
