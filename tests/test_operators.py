@@ -757,3 +757,29 @@ def test_semdedup_works_with_string_ids(spark):
     kept = sorted(r["doc"] for r in semdedup(df, threshold=0.99, n_clusters=2,
                                              id_col="doc").collect())
     assert kept == ["a", "c"]  # b is a scaled copy of a -> dropped, keep-first
+
+
+def test_chunking_coverage_property(spark):
+    """Invariant sweep across window/stride combos: every token index
+    is covered by >= 1 chunk, chunk starts follow the stride grid, and
+    total chunk tokens equal the closed-form overlap accounting."""
+    from data_ingestion_project_spark.operators.chunking import chunk_documents
+
+    texts = [" ".join(f"w{i}" for i in range(n)) for n in (1, 5, 48, 64, 65, 100, 130)]
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    for window, stride in ((64, 48), (64, 64), (10, 3)):
+        rows = chunk_documents(df, window=window, stride=stride).collect()
+        by_doc: dict = {}
+        for r in rows:
+            by_doc.setdefault(r["doc_id"], []).append(r)
+        for doc_id, text in enumerate(texts):
+            n = len(text.split())
+            chunks = sorted(by_doc[doc_id], key=lambda r: r["chunk_idx"])
+            starts = [c["chunk_idx"] * stride for c in chunks]
+            expected_starts = list(range(0, ((n - 1) // stride) * stride + 1, stride))
+            assert starts == expected_starts, (window, stride, n)
+            covered = set()
+            for c, s0 in zip(chunks, starts):
+                assert c["n_tokens"] == min(window, n - s0)
+                covered.update(range(s0, s0 + c["n_tokens"]))
+            assert covered == set(range(n)), (window, stride, n)
