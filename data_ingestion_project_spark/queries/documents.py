@@ -927,6 +927,106 @@ def approx_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters(words, "word", capacity=4096, k=20)
 
 
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test assignment that CANNOT leak near-duplicates
+    across splits: the unit of assignment is the winnow dup-CLUSTER
+    (connected components over the materialized pair table), not the
+    document — splitting by doc hash puts one near-dup in train and
+    its twin in test, the quiet contamination the benchmark-
+    contamination query measures after the fact and this prevents by
+    construction. Cluster → split via md5 of the cluster id (engine-
+    reproducible, rerun-stable, no sampler state): bucket < 8 train,
+    = 8 val, = 9 test. The straddling_pairs column certifies the
+    no-leakage property inside the gated result itself (0 by
+    construction — both ends of every dup edge share a cluster, hence
+    a split)."""
+    from data_ingestion_project_spark.operators.graph import connected_components
+
+    d = table(spark, sf_dir, "documents")
+    edges = _winnow_pair_counts(spark, sf_dir).filter(F.col("n_shared") >= 20)
+    comp = connected_components(edges, src="id_a", dst="id_b").withColumnRenamed(
+        "node", "doc_id"
+    )
+    clustered = d.select("doc_id").join(comp, "doc_id", "left").select(
+        "doc_id", F.coalesce("comp", "doc_id").alias("cluster_id")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("cluster_id").cast("string")), 1, 4), 16, 10)
+        .cast("int")
+        % 10
+    )
+    split = (
+        F.when(bucket < 8, F.lit("train"))
+        .when(bucket == 8, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    assigned = clustered.select("doc_id", "cluster_id", split.alias("split"))
+
+    sa = assigned.select(F.col("doc_id").alias("id_a"), F.col("split").alias("sa"))
+    sb = assigned.select(F.col("doc_id").alias("id_b"), F.col("split").alias("sb"))
+    straddle = (
+        edges.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(F.col("sa") != F.col("sb"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .first()["n"]
+    )
+    return (
+        assigned.groupBy("split")
+        .agg(
+            F.count_distinct("cluster_id").alias("n_clusters"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .withColumn("straddling_pairs", F.lit(int(straddle)).cast("long"))
+        .orderBy("split")
+    )
+
+
+# 4 leading md5 hex chars -> int, DuckDB-side (no conv() there):
+# two hex-pair bytes via the strpos digit arithmetic used elsewhere.
+_SQL_MD5_BUCKET = (
+    "((" + _sql_hex_byte(1) + ") * 256 + (" + _sql_hex_byte(3) + ")) % 10"
+)
+
+ORACLE_LEAKAGE_SAFE_SPLIT = f"""
+WITH RECURSIVE {{WINNOW}},
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM wpairs WHERE n_shared >= 20
+  UNION ALL
+  SELECT id_b AS s, id_a AS d FROM wpairs WHERE n_shared >= 20
+),
+walk(n, lbl) AS (
+  SELECT DISTINCT s, s FROM edges
+  UNION
+  SELECT e.d, w.lbl FROM walk w JOIN edges e ON e.s = w.n
+),
+comp AS (SELECT n AS doc_id, MIN(lbl) AS c FROM walk GROUP BY n),
+assigned AS (
+  SELECT d.doc_id,
+         COALESCE(c.c, d.doc_id) AS cluster_id,
+         md5(CAST(COALESCE(c.c, d.doc_id) AS VARCHAR)) AS h
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+),
+split_tbl AS (
+  SELECT doc_id, cluster_id,
+         CASE WHEN {_SQL_MD5_BUCKET} < 8 THEN 'train'
+              WHEN {_SQL_MD5_BUCKET} = 8 THEN 'val'
+              ELSE 'test' END AS split
+  FROM assigned
+),
+straddle AS (
+  SELECT COUNT(*) AS n
+  FROM wpairs p
+  JOIN split_tbl a ON p.id_a = a.doc_id
+  JOIN split_tbl b ON p.id_b = b.doc_id
+  WHERE p.n_shared >= 20 AND a.split <> b.split
+)
+SELECT split, COUNT(DISTINCT cluster_id) AS n_clusters, COUNT(*) AS n_docs,
+       (SELECT CAST(n AS BIGINT) FROM straddle) AS straddling_pairs
+FROM split_tbl GROUP BY split ORDER BY split
+""".replace("{WINNOW}", _WINNOW_PAIR_CTES)
+
+
 def chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window chunking accounting (operators/chunking.py,
     window=64 stride=48): per language, how many chunks the corpus
@@ -1619,6 +1719,7 @@ QUERIES = {
     "approx_top_words": approx_top_words,
     "bpe_learned_merges": bpe_learned_merges,
     "chunk_stats": chunk_stats,
+    "leakage_safe_split": leakage_safe_split,
     "similar_supplier_names": similar_supplier_names,
     "token_stats": token_stats,
     "bpe_token_stats": bpe_token_stats,
@@ -1648,6 +1749,7 @@ ORACLE = {
     "corpus_mixture_plan": ORACLE_CORPUS_MIXTURE_PLAN,
     "unigram_logprob_quality": ORACLE_UNIGRAM_LOGPROB_QUALITY,
     "chunk_stats": ORACLE_CHUNK_STATS,
+    "leakage_safe_split": ORACLE_LEAKAGE_SAFE_SPLIT,
     "ccnet_perplexity_buckets": ORACLE_CCNET_PERPLEXITY_BUCKETS,
     "lang_stats": ORACLE_LANG_STATS,
     "token_stats": ORACLE_TOKEN_STATS,
