@@ -82,6 +82,7 @@ _DRIVER_PRIORITY = (
     "orders_quality_report",
     "user_scd2_summary",
     "chunk_stats",
+    "leakage_safe_split",
     # rows-only uncovered (approximate families; each carries a pytest
     # recall floor).  Entries past the 50-entry window — the weakest
     # possible signal loss (rows-only rows certify shape, not values).
