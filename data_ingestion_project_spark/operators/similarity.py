@@ -55,6 +55,48 @@ def cosine_topk(
     return scored.orderBy(F.col("sim").desc(), F.col(id_col).asc()).limit(k)
 
 
+def cosine_batch_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "query_id",
+    q_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Exact top-k neighbors for a BATCH of query vectors — the
+    retrieval-join shape (RAG / evaluation probes): a small query set
+    against the full corpus, one answer list per query.
+
+    Plan: broadcast the query frame (a query batch is KBs–MBs; the
+    corpus is the 100 TB side), one codegen'd scan scoring
+    |corpus| x |queries| rows, then ``row_number() <= k`` per query.
+    Spark's WindowGroupLimit pushes the rank filter below the exchange
+    (partial mode), so the shuffle moves at most k rows per query per
+    input partition — never the scored cross product. Self-matches
+    (same id on both sides) are excluded.
+
+    Columns: (q_id_col, rank, id_col, sim); deterministic within each
+    query by (sim desc, id asc).
+    """
+    from pyspark.sql import Window
+
+    scored = (
+        corpus.join(F.broadcast(queries), F.col(id_col) != F.col(q_id_col))
+        .select(
+            F.col(q_id_col),
+            F.col(id_col),
+            cosine_similarity(F.col(vec_col), F.col(q_vec_col)).alias("sim"),
+        )
+    )
+    w = Window.partitionBy(q_id_col).orderBy(F.col("sim").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(q_id_col, "rank", id_col, "sim")
+    )
+
+
 def cosine_self_topk_pairs(
     corpus: DataFrame,
     k: int = 10,

@@ -83,6 +83,9 @@ _DRIVER_PRIORITY = (
     "user_scd2_summary",
     "chunk_stats",
     "leakage_safe_split",
+    "batch_knn_search",
+    "dsir_importance_weights",
+    "training_shard_plan",
     # rows-only uncovered (approximate families; each carries a pytest
     # recall floor).  Entries past the 50-entry window — the weakest
     # possible signal loss (rows-only rows certify shape, not values).
@@ -106,6 +109,7 @@ _DRIVER_PRIORITY = (
     "approx_top_words",
     "semdedup_summary",
     "bpe_learned_merges",
+    "embedding_cluster_stats",
 )
 
 

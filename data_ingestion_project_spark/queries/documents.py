@@ -1709,6 +1709,169 @@ ORDER BY lang
 """.replace("{bpe}", _BPE_SQL)
 
 
+# ----------------------------- DSIR importance weighting (Xie et al. 2023)
+
+# Hashed-feature space for the importance model. The PORTABLE bucket
+# hash (md5 hex prefix → int, engine-mirrorable) keeps the whole
+# pipeline oracle-checkable; at 100 TB the same plan runs with
+# xxhash64 (cheaper, JVM-native) since the oracle only needs a hash
+# both engines can compute, not a specific one.
+DSIR_BUCKETS = 1024
+
+
+def _md5_bucket(col, buckets: int):
+    """Engine-portable word→bucket hash: first 6 md5 hex chars as an
+    integer, mod buckets. Mirrored in SQL as
+    CAST(concat('0x', substr(md5(w),1,6)) AS BIGINT) % buckets."""
+    return (F.conv(F.substring(F.md5(col), 1, 6), 16, 10).cast("long") % buckets)
+
+
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Data Selection via Importance
+    Resampling): score every document by the log-likelihood ratio of a
+    hashed-unigram model of the TARGET distribution (here: the English
+    slice, the stand-in for "looks like my eval domain") over the RAW
+    corpus model, then report per-source selection accounting — the
+    operator a 100 TB pretraining pipeline uses to up-weight
+    target-like data without reading labels.
+
+    Plan: ONE explode pass; bucket counts (raw + target via count_if)
+    are a 1024-row frame — the importance model broadcasts everywhere.
+    Laplace +1 smoothing keeps unseen buckets finite. Cross-engine
+    exactness: per-BUCKET log10 ratio is rounded to 6 decimals
+    (value-determined), per-doc means accumulate in DECIMAL — same
+    determinism contract as unigram_logprob_quality."""
+    d = table(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id",
+        "source",
+        (F.col("lang") == "en").alias("is_target"),
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("word"),
+    ).filter(F.col("word") != "")
+    bucketed = words.select(
+        "doc_id", "source", "is_target", _md5_bucket(F.col("word"), DSIR_BUCKETS).alias("bucket")
+    )
+    counts = bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        F.count_if("is_target").alias("n_tgt"),
+    )
+    tot = counts.agg(
+        F.sum("n_raw").alias("raw_tot"), F.sum("n_tgt").alias("tgt_tot")
+    )
+    model = counts.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        F.round(
+            F.log10((F.col("n_tgt") + 1) / (F.col("tgt_tot") + DSIR_BUCKETS))
+            - F.log10((F.col("n_raw") + 1) / (F.col("raw_tot") + DSIR_BUCKETS)),
+            6,
+        ).alias("logratio"),
+    )
+    per_doc = (
+        bucketed.join(F.broadcast(model), "bucket")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.round(
+                F.sum(F.col("logratio").cast("decimal(27,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("doc_w")
+        )
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(
+                F.sum(F.col("doc_w").cast("decimal(27,6)")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("mean_logratio"),
+            F.count_if(F.col("doc_w") > 0).alias("n_selected"),
+            F.round(F.count_if(F.col("doc_w") > 0) / F.count(F.lit(1)), 4).alias("sel_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_DSIR_IMPORTANCE_WEIGHTS = f"""
+WITH words AS (
+  SELECT doc_id, source, lang = 'en' AS is_target,
+         CAST(concat('0x', substr(md5(word), 1, 6)) AS BIGINT) % {DSIR_BUCKETS} AS bucket
+  FROM (
+    SELECT doc_id, source, lang,
+           unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+    FROM documents
+  ) t WHERE word <> ''
+), counts AS (
+  SELECT bucket, COUNT(*) AS n_raw, count_if(is_target) AS n_tgt
+  FROM words GROUP BY bucket
+), tot AS (
+  SELECT SUM(n_raw) AS raw_tot, SUM(n_tgt) AS tgt_tot FROM counts
+), model AS (
+  SELECT bucket,
+         ROUND(log10((n_tgt + 1) * 1.0 / (tgt_tot + {DSIR_BUCKETS}))
+               - log10((n_raw + 1) * 1.0 / (raw_tot + {DSIR_BUCKETS})), 6) AS logratio
+  FROM counts, tot
+), per_doc AS (
+  SELECT doc_id, source,
+         ROUND(CAST(SUM(CAST(logratio AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*), 6) AS doc_w
+  FROM words w JOIN model m USING (bucket)
+  GROUP BY doc_id, source
+)
+SELECT source, COUNT(*) AS n_docs,
+       ROUND(CAST(SUM(CAST(doc_w AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*), 4) AS mean_logratio,
+       CAST(count_if(doc_w > 0) AS BIGINT) AS n_selected,
+       ROUND(count_if(doc_w > 0) * 1.0 / COUNT(*), 4) AS sel_rate
+FROM per_doc GROUP BY source ORDER BY source
+"""
+
+
+# ----------------------------- deterministic training-shard planning
+
+N_TRAIN_SHARDS = 16
+
+
+def training_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-sharding of the corpus into training shards:
+    shard = portable_hash(doc_id) mod N — the reproducible "global
+    shuffle" a distributed trainer needs (any engine, any partition
+    order, same shard assignment; no global sort, no RNG state). The
+    plan is ONE pass: shard assignment is a codegen'd expression, the
+    summary a single aggregation shuffle of N rows. Balance columns
+    (doc counts, token sums) let the pipeline assert shard skew before
+    burning trainer time."""
+    d = table(spark, sf_dir, "documents")
+    sharded = d.select(
+        _md5_bucket(F.col("doc_id").cast("string"), N_TRAIN_SHARDS).alias("shard"),
+        token_count("text").alias("n_tokens"),
+        "n_chars",
+    )
+    return (
+        sharded.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.sum("n_chars").alias("n_chars"),
+            F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+        )
+        .orderBy("shard")
+    )
+
+
+ORACLE_TRAINING_SHARD_PLAN = f"""
+WITH sharded AS (
+  SELECT CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT)
+           % {N_TRAIN_SHARDS} AS shard,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER) AS n_tokens,
+         n_chars
+  FROM documents
+)
+SELECT shard, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS n_chars, ROUND(AVG(n_tokens), 4) AS avg_tokens
+FROM sharded GROUP BY shard ORDER BY shard
+"""
+
+
 QUERIES = {
     "doc_repetition_stats": doc_repetition_stats,
     "corpus_mixture_plan": corpus_mixture_plan,
@@ -1742,6 +1905,8 @@ QUERIES = {
     "sequence_packing": sequence_packing,
     "benchmark_contamination": benchmark_contamination,
     "dedup_funnel": dedup_funnel,
+    "dsir_importance_weights": dsir_importance_weights,
+    "training_shard_plan": training_shard_plan,
 }
 
 ORACLE = {
@@ -1773,5 +1938,7 @@ ORACLE = {
     "sequence_packing": ORACLE_SEQUENCE_PACKING,
     "benchmark_contamination": ORACLE_BENCHMARK_CONTAMINATION,
     "dedup_funnel": ORACLE_DEDUP_FUNNEL,
+    "dsir_importance_weights": ORACLE_DSIR_IMPORTANCE_WEIGHTS,
+    "training_shard_plan": ORACLE_TRAINING_SHARD_PLAN,
     # minhash_near_dups / simhash_near_dups: rows-only by design
 }

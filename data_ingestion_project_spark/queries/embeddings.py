@@ -11,9 +11,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from data_ingestion_project_spark.functions.vectors import vec_norm
+from data_ingestion_project_spark.functions.vectors import cosine_similarity, vec_norm
 from data_ingestion_project_spark.queries._precision import dec_avg, sql_dec_avg
 from data_ingestion_project_spark.operators.similarity import (
+    cosine_batch_topk,
     cosine_self_topk_pairs,
     cosine_topk,
     ivf_ann_topk,
@@ -72,6 +73,47 @@ FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 ORDER BY list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) DESC,
          a.vec_id ASC, b.vec_id ASC
 LIMIT 10
+"""
+
+
+N_BATCH_QUERIES = 8  # the fixed probe set for the batch retrieval join
+
+
+def batch_knn_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 neighbors for a BATCH of 8 probe vectors (vec_id
+    0-7) — the retrieval-join shape a RAG / eval-probe pipeline runs:
+    small query set x full corpus, one ranked answer list per query.
+    operators/similarity.cosine_batch_topk broadcasts the probe frame;
+    WindowGroupLimit keeps the per-query rank filter below the
+    exchange, so the shuffle moves at most k rows per query per input
+    partition, never the scored cross product."""
+    e = table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < N_BATCH_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    res = cosine_batch_topk(e, queries, k=5)
+    return res.select(
+        "query_id", "rank", "vec_id", F.round("sim", 4).alias("sim")
+    ).orderBy("query_id", "rank")
+
+
+ORACLE_BATCH_KNN_SEARCH = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < {N_BATCH_QUERIES}
+), scored AS (
+  SELECT q.query_id,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY q.query_id
+           ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qv) DESC,
+                    e.vec_id ASC) AS INTEGER) AS rank,
+         e.vec_id,
+         ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 4) AS sim
+  FROM embeddings e JOIN q ON e.vec_id <> q.query_id
+)
+SELECT query_id, rank, vec_id, sim
+FROM scored WHERE rank <= 5
+ORDER BY query_id, rank
 """
 
 
@@ -284,6 +326,60 @@ def pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means cluster profile of the embedding corpus: per inverted
+    list (the 16 spherical-kmeans clusters behind the IVF index) the
+    member count, mean within-cluster cosine to the centroid (cluster
+    tightness), and the dominant class label with its share — the
+    topic-clustering / cluster-balanced-curation view of the corpus
+    (SemDeDup and cluster-stratified sampling both start exactly
+    here). Reuses the cached corpus quantizer (_ivf_index), so the
+    k-means training cost is amortized across the whole ANN family;
+    the per-vector pass is one Arrow-batched assignment + one
+    aggregation shuffle. Rows-only: the quantizer is driver-side
+    k-means (not SQL-expressible); determinism (seeded init, argmax
+    tie-break) and the size-reconciliation invariant are pinned in
+    pytest."""
+    from pyspark.sql import Window
+
+    from data_ingestion_project_spark.operators.similarity import ivf_assign
+
+    cents = _ivf_index(spark, sf_dir)
+    e = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") != QUERY_VEC_ID)
+    # Literal centroid matrix → per-row cosine to own centroid stays
+    # JVM-side (element_at over an array-of-arrays literal).
+    cmat = F.array(*[F.array(*[F.lit(float(v)) for v in c]) for c in cents])
+    assigned = ivf_assign(e, cents).select(
+        "list_id",
+        "label",
+        cosine_similarity(
+            F.col("embedding"), F.element_at(cmat, F.col("list_id") + 1)
+        ).alias("cos_to_centroid"),
+    )
+    sizes = assigned.groupBy("list_id").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        dec_avg(F.col("cos_to_centroid")).alias("avg_cos_to_centroid"),
+    )
+    by_label = assigned.groupBy("list_id", "label").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("list_id").orderBy(F.col("n").desc(), F.col("label").asc())
+    top = (
+        by_label.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("list_id", F.col("label").alias("top_label"), F.col("n").alias("top_n"))
+    )
+    return (
+        sizes.join(top, "list_id")
+        .select(
+            "list_id",
+            "n_vectors",
+            "avg_cos_to_centroid",
+            "top_label",
+            F.round(F.col("top_n") / F.col("n_vectors"), 4).alias("top_label_share"),
+        )
+        .orderBy("list_id")
+    )
+
+
 def semdedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup accounting over the corpus plus 50 PLANTED semantic
     duplicates (each a scaled copy of an existing vector — cosine is
@@ -320,8 +416,10 @@ def semdedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "knn_brute_force": knn_brute_force,
+    "batch_knn_search": batch_knn_search,
     "top_similar_pairs": top_similar_pairs,
     "label_vector_stats": label_vector_stats,
+    "embedding_cluster_stats": embedding_cluster_stats,
     "knn_lsh_approx": knn_lsh_approx,
     "lsh_recall": lsh_recall,
     "knn_ivf_approx": knn_ivf_approx,
@@ -334,6 +432,7 @@ QUERIES = {
 
 ORACLE = {
     "knn_brute_force": ORACLE_KNN_BRUTE_FORCE,
+    "batch_knn_search": ORACLE_BATCH_KNN_SEARCH,
     "top_similar_pairs": ORACLE_TOP_SIMILAR_PAIRS,
     "label_vector_stats": ORACLE_LABEL_VECTOR_STATS,
     # knn_lsh_approx: rows-only by design

@@ -103,6 +103,86 @@ def test_cosine_topk_orders_by_similarity(spark):
     assert out[0]["sim"] > 0.99
 
 
+def test_cosine_batch_topk_per_query_answers(spark):
+    """Each probe gets its own ranked list; self-matches excluded;
+    results agree with running cosine_topk per query (the batch join
+    is an optimization, not a semantics change)."""
+    from data_ingestion_project_spark.operators.similarity import cosine_batch_topk
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0]), (4, [0.1, 0.9])],
+        "vec_id int, embedding array<double>",
+    )
+    queries = df.filter(F.col("vec_id").isin(1, 3)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = cosine_batch_topk(df, queries, k=2).collect()
+    got = {(r["query_id"], r["rank"]): r["vec_id"] for r in out}
+    assert got == {(1, 1): 2, (1, 2): 4, (3, 1): 4, (3, 2): 2}
+    for r in out:  # batch result must equal the single-query operator
+        single = cosine_topk(df, [1.0, 0.0] if r["query_id"] == 1 else [0.0, 1.0],
+                             k=2, exclude_ids=(r["query_id"],)).collect()
+        assert single[r["rank"] - 1]["vec_id"] == r["vec_id"]
+
+
+def test_embedding_cluster_stats_reconciles(spark):
+    """Cluster sizes sum to the corpus (minus the held-out probe), the
+    dominant-label share is a valid fraction, and the seeded quantizer
+    makes the whole frame deterministic across runs."""
+    from data_ingestion_project_spark.queries import all_queries
+
+    fn = all_queries()["embedding_cluster_stats"]
+    a = fn(spark, "/root/testdata/sf0.001").collect()
+    n_corpus = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .filter(F.col("vec_id") != 0).count()
+    )
+    assert sum(r["n_vectors"] for r in a) == n_corpus
+    assert all(0.0 < r["top_label_share"] <= 1.0 for r in a)
+    assert all(-1.0 <= r["avg_cos_to_centroid"] <= 1.0 for r in a)
+    b = fn(spark, "/root/testdata/sf0.001").collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_training_shard_plan_covers_and_balances(spark):
+    """Every doc lands in exactly one of the 16 shards (counts
+    reconcile with the table) and the hash spreads them: no shard is
+    empty, none holds more than 3x the mean."""
+    from data_ingestion_project_spark.queries import all_queries
+
+    rows = all_queries()["training_shard_plan"](spark, "/root/testdata/sf0.001").collect()
+    n_total = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").count()
+    assert sum(r["n_docs"] for r in rows) == n_total
+    assert len(rows) == 16 and sorted(r["shard"] for r in rows) == list(range(16))
+    mean = n_total / 16
+    assert all(0 < r["n_docs"] < 3 * mean for r in rows)
+
+
+def test_dsir_weights_favor_target_language(spark):
+    """The importance model must score target-distribution (English)
+    documents above non-target ones — the entire point of DSIR. Pinned
+    on a planted corpus: English docs share the target's vocabulary,
+    the others don't."""
+    from data_ingestion_project_spark.queries.documents import dsir_importance_weights
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat with the hat", "en", "web", 35),
+            (2, "the dog and the cat ran to the house", "en", "web", 36),
+            (3, "zzq qqz xkcd vvv www qqq kkk jjj", "xx", "spam", 32),
+            (4, "vvv www qqq zzq kkk xkcd jjj qqz", "xx", "spam", 32),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    import os, tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        docs.write.parquet(os.path.join(tmp, "documents.parquet"))
+        rows = {r["source"]: r for r in dsir_importance_weights(spark, tmp).collect()}
+    assert rows["web"]["mean_logratio"] > rows["spam"]["mean_logratio"]
+    assert rows["web"]["n_selected"] == 2 and rows["spam"]["n_selected"] == 0
+
+
 def test_union_events_table_reads_nanos(spark):
     from data_ingestion_project_spark.sources.readers import table
 
