@@ -1,0 +1,120 @@
+"""PageRank as an unrolled iterative DataFrame plan.
+
+The iterative-algorithm family member beyond connected components
+(operators/graph.py): fixed-iteration power method over an edge
+table, each round ONE equi-join (ranks x out-edges) plus ONE
+aggregation shuffle on the destination — the exact shape GraphX /
+Pregel lowers to, expressed declaratively so Catalyst handles
+partial aggregation and join strategy.
+
+Determinism contract (what makes a float-iterating algorithm
+oracle-checkable across engines): every per-row float op is
+value-determined (same inputs → bit-identical IEEE result in any
+engine), and every SUM — the only order-dependent op — runs over
+pre-rounded values in DECIMAL, which is exact and associative. So
+iteration t's ranks are a pure function of iteration t-1's, and a SQL
+engine unrolling the same t steps reproduces them bit-for-bit:
+
+- contribution  = ROUND(rank / degree, 14)       (value-determined)
+- inbox         = SUM(DECIMAL(38,14) contribs)    (exact, any order)
+- next rank     = ROUND((1-d)/N + d * inbox, 10)  (value-determined)
+
+Scale: each iteration shuffles on the node id; hash-partitioning both
+ranks and edges by the join key keeps it a co-partitioned join. For
+long chains, localCheckpoint every ~10 rounds truncates lineage (the
+same posture as graph.py's propagation loop); at 5-20 iterations the
+linear plan is fine as-is.
+
+Assumes every node has outdegree >= 1 — true by construction for
+symmetrized (undirected) graphs, which is the near-dup use case. With
+dangling nodes the lost mass would make ranks sum below 1 (standard
+power-method caveat; redistribute or symmetrize upstream).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+CONTRIB_SCALE = 14  # per-edge contribution rounding (value-determined)
+RANK_SCALE = 10  # per-iteration rank rounding
+_DEC = "decimal(38,14)"  # exact inbox accumulator
+
+
+def symmetrize(pairs: DataFrame, a: str = "id_a", b: str = "id_b") -> DataFrame:
+    """Undirected pair list -> directed edge table (both directions),
+    columns (src, dst). Self-loops are dropped (a self-edge would let
+    a node vote for itself and distort the degree)."""
+    fwd = pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+    rev = pairs.select(F.col(b).alias("src"), F.col(a).alias("dst"))
+    return fwd.unionByName(rev).filter(F.col("src") != F.col("dst"))
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 5,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge table.
+
+    Returns (node, rank) for every node that appears as a source —
+    with symmetrized input, every node of the graph. ``iterations`` is
+    deliberately a fixed count, not a convergence test: the unrolled
+    plan is deterministic, resumable, and SQL-replayable, and a
+    production run picks the count from the graph's mixing time.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    out_edges = e.join(deg, "src")
+    n = deg.count()  # driver-side scalar: the only action in the build
+    teleport = (1.0 - damping) / n
+
+    ranks = deg.select("src", F.lit(1.0 / n).alias("rank"))
+    for _ in range(iterations):
+        contrib = out_edges.join(ranks, "src").select(
+            F.col("dst").alias("src"),
+            F.round(F.col("rank") / F.col("deg"), CONTRIB_SCALE).alias("c"),
+        )
+        ranks = contrib.groupBy("src").agg(
+            F.round(
+                F.lit(teleport)
+                + F.lit(damping) * F.sum(F.col("c").cast(_DEC)).cast("double"),
+                RANK_SCALE,
+            ).alias("rank")
+        )
+    return ranks.select(F.col("src").alias("node"), "rank")
+
+
+def pagerank_unrolled_sql(
+    edges_cte: str,
+    iterations: int = 5,
+    damping: float = 0.85,
+) -> str:
+    """The ANSI-SQL twin of ``pagerank`` for the oracle gate: unrolls
+    the same fixed iterations as chained CTEs over ``edges_cte`` (a
+    CTE name providing (src, dst)). Bit-identical by the determinism
+    contract in the module docstring."""
+    d = repr(damping)
+    parts = [
+        f"deg AS (SELECT src, COUNT(*) AS deg FROM {edges_cte} GROUP BY src)",
+        "nn AS (SELECT COUNT(*) AS n FROM deg)",
+        "r0 AS (SELECT src, 1.0 / nn.n AS rank FROM deg, nn)",
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"""r{i} AS (
+  SELECT e.dst AS src,
+         ROUND((1.0 - {d}) / MAX(nn.n)
+               + {d} * CAST(SUM(CAST(ROUND(r.rank / dg.deg, {CONTRIB_SCALE})
+                                     AS DECIMAL(38,{CONTRIB_SCALE}))) AS DOUBLE),
+               {RANK_SCALE}) AS rank
+  FROM {edges_cte} e
+  JOIN r{i - 1} r ON r.src = e.src
+  JOIN deg dg ON dg.src = e.src
+  CROSS JOIN nn
+  GROUP BY e.dst
+)"""
+        )
+    return ",\n".join(parts) + f"\nSELECT src AS node, rank FROM r{iterations}"

@@ -86,6 +86,7 @@ _DRIVER_PRIORITY = (
     "batch_knn_search",
     "dsir_importance_weights",
     "training_shard_plan",
+    "dup_graph_pagerank",
     # rows-only uncovered (approximate families; each carries a pytest
     # recall floor).  Entries past the 50-entry window — the weakest
     # possible signal loss (rows-only rows certify shape, not values).

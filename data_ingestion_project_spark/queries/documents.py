@@ -1709,6 +1709,58 @@ ORDER BY lang
 """.replace("{bpe}", _BPE_SQL)
 
 
+# ----------------------------- PageRank over the near-dup graph
+
+_PAGERANK_ITERS = 5
+_PAGERANK_EDGE_MIN_SHARED = 10
+
+
+def dup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-15 most-central documents of the near-duplicate graph by
+    fixed-iteration PageRank (operators/pagerank.py) — the "template
+    hub" detector: a boilerplate page that partially overlaps hundreds
+    of others out-ranks members of one tight dup cluster, which
+    pairwise counts alone can't see. Edges are winnow pairs sharing
+    >= 10 fingerprints (the shared materialized pair table),
+    symmetrized. The DuckDB oracle replays the SAME 5 unrolled
+    iterations (pagerank_unrolled_sql), value-certifying an iterative
+    float algorithm end-to-end via the decimal-inbox determinism
+    contract."""
+    from data_ingestion_project_spark.operators.pagerank import pagerank, symmetrize
+
+    pairs = _winnow_pair_counts(spark, sf_dir).filter(
+        F.col("n_shared") >= _PAGERANK_EDGE_MIN_SHARED
+    )
+    ranks = pagerank(symmetrize(pairs), iterations=_PAGERANK_ITERS)
+    return (
+        ranks.select(F.col("node").alias("doc_id"), F.round("rank", 8).alias("rank"))
+        .orderBy(F.col("rank").desc(), "doc_id")
+        .limit(15)
+    )
+
+
+def _oracle_dup_graph_pagerank() -> str:
+    from data_ingestion_project_spark.operators.pagerank import pagerank_unrolled_sql
+
+    body = pagerank_unrolled_sql("edges", iterations=_PAGERANK_ITERS)
+    return (
+        f"WITH {_WINNOW_PAIR_CTES},\n"
+        "edges AS (\n"
+        f"  SELECT id_a AS src, id_b AS dst FROM wpairs WHERE n_shared >= {_PAGERANK_EDGE_MIN_SHARED}\n"
+        "  UNION ALL\n"
+        f"  SELECT id_b AS src, id_a AS dst FROM wpairs WHERE n_shared >= {_PAGERANK_EDGE_MIN_SHARED}\n"
+        "),\n"
+        + body.replace(
+            f"\nSELECT src AS node, rank FROM r{_PAGERANK_ITERS}",
+            f"\nSELECT src AS doc_id, ROUND(rank, 8) AS rank FROM r{_PAGERANK_ITERS}\n"
+            "ORDER BY ROUND(rank, 8) DESC, src LIMIT 15",
+        )
+    )
+
+
+ORACLE_DUP_GRAPH_PAGERANK = _oracle_dup_graph_pagerank()
+
+
 # ----------------------------- DSIR importance weighting (Xie et al. 2023)
 
 # Hashed-feature space for the importance model. The PORTABLE bucket
@@ -1907,6 +1959,7 @@ QUERIES = {
     "dedup_funnel": dedup_funnel,
     "dsir_importance_weights": dsir_importance_weights,
     "training_shard_plan": training_shard_plan,
+    "dup_graph_pagerank": dup_graph_pagerank,
 }
 
 ORACLE = {
@@ -1940,5 +1993,6 @@ ORACLE = {
     "dedup_funnel": ORACLE_DEDUP_FUNNEL,
     "dsir_importance_weights": ORACLE_DSIR_IMPORTANCE_WEIGHTS,
     "training_shard_plan": ORACLE_TRAINING_SHARD_PLAN,
+    "dup_graph_pagerank": ORACLE_DUP_GRAPH_PAGERANK,
     # minhash_near_dups / simhash_near_dups: rows-only by design
 }

@@ -91,3 +91,34 @@ def test_cc_star_two_components_and_self_loop(spark):
     df = spark.createDataFrame(edges, "src int, dst int")
     got = {r["node"]: r["comp"] for r in connected_components_star(df).collect()}
     assert got == {5: 5, 6: 5, 7: 5, 10: 10, 11: 10, 3: 3}
+
+
+def test_pagerank_star_graph_centrality_and_mass(spark):
+    """On a 4-spoke star the hub must out-rank every spoke, spokes tie
+    exactly (identical position), and total mass stays 1 within the
+    iteration rounding budget."""
+    from data_ingestion_project_spark.operators.pagerank import pagerank, symmetrize
+
+    pairs = spark.createDataFrame(
+        [(0, i) for i in range(1, 5)], "id_a long, id_b long"
+    )
+    ranks = {r["node"]: r["rank"] for r in pagerank(symmetrize(pairs), iterations=10).collect()}
+    assert set(ranks) == {0, 1, 2, 3, 4}
+    hub, spokes = ranks[0], [ranks[i] for i in range(1, 5)]
+    assert all(hub > s for s in spokes)
+    assert len(set(spokes)) == 1  # symmetric nodes agree bit-for-bit
+    assert abs(sum(ranks.values()) - 1.0) < 1e-6
+
+
+def test_pagerank_uniform_on_cycle(spark):
+    """A ring is perfectly symmetric: every node must hold exactly the
+    uniform rank after any number of iterations."""
+    from data_ingestion_project_spark.operators.pagerank import pagerank, symmetrize
+
+    n = 6
+    pairs = spark.createDataFrame(
+        [(i, (i + 1) % n) for i in range(n)], "id_a long, id_b long"
+    )
+    ranks = [r["rank"] for r in pagerank(symmetrize(pairs), iterations=5).collect()]
+    assert len(ranks) == n
+    assert all(abs(r - 1.0 / n) < 1e-9 for r in ranks)
