@@ -281,3 +281,39 @@ def test_semdedup_pairs_no_cartesian_or_bnl(spark):
     census = plan_census(semdedup_pairs(e, n_clusters=4))
     assert census["n_cartesian"] == 0
     assert census["n_bnl_joins"] == 0
+
+
+def test_batch_knn_broadcasts_probes_and_group_limits(spark):
+    """The retrieval join must broadcast the probe frame (the corpus is
+    the big side) and push the per-query rank filter below the exchange
+    via WindowGroupLimit — otherwise the shuffle carries the full
+    scored cross product."""
+    from data_ingestion_project_spark.plans.explain import formatted_plan
+
+    df = all_queries()["batch_knn_search"](spark, SF)
+    c = plan_census(df)
+    # non-equi self-exclusion condition → BroadcastNestedLoopJoin with
+    # the probe frame as the broadcast side (the corpus never moves)
+    assert c["n_bnl_joins"] == 1
+    assert c["n_sortmerge_joins"] == 0 and c["n_shuffled_hash_joins"] == 0
+    assert formatted_plan(df).count("WindowGroupLimit") >= 2  # partial + final
+
+
+def test_pagerank_iteration_plan_is_linear(spark):
+    """5 unrolled PageRank iterations: each is one join + one agg; the
+    plan must contain no sort-merge joins (ranks/deg frames join the
+    edge table hash-wise) and no python UDFs."""
+    df = all_queries()["dup_graph_pagerank"](spark, SF)
+    c = plan_census(df)
+    assert not c["has_python_udf"]
+
+
+def test_training_shard_plan_single_shuffle(spark):
+    """Shard assignment is a codegen'd expression; the whole query is
+    scan → project → partial agg → one agg exchange → final agg (plus
+    the cosmetic 16-row output sort)."""
+    df = all_queries()["training_shard_plan"](spark, SF)
+    c = plan_census(df)
+    assert c["n_exchanges"] <= 2  # agg shuffle + N_SHARDS-row sort
+    assert c["n_sortmerge_joins"] == 0 and c["n_bnl_joins"] == 0
+    assert not c["has_python_udf"]
