@@ -87,6 +87,8 @@ _DRIVER_PRIORITY = (
     "dsir_importance_weights",
     "training_shard_plan",
     "dup_graph_pagerank",
+    "orders_profile",
+    "segment_wealth_percentiles",
     # rows-only uncovered (approximate families; each carries a pytest
     # recall floor).  Entries past the 50-entry window — the weakest
     # possible signal loss (rows-only rows certify shape, not values).

@@ -798,7 +798,100 @@ FROM tree GROUP BY root ORDER BY root
 """
 
 
+# ---------------------------------------------------- table profiling
+
+
+def orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style single-pass profile of the orders table: per column
+    null count, exact distinct cardinality, and min/max rendered to
+    deterministic strings (operators/profiling.py) — the discovery
+    stage that feeds quality_checks constraints and snapshot-drift
+    diffs. One wide aggregation (Catalyst plans the multi-DISTINCT via
+    one expand), then a literal-sized unpivot; the oracle recomputes
+    each column's row independently."""
+    from data_ingestion_project_spark.operators.profiling import profile_table
+
+    return profile_table(table(spark, sf_dir, "orders")).orderBy("column")
+
+
+def _profile_sql_row(col: str, kind: str) -> str:
+    if kind == "int":
+        mn, mx = f"CAST(MIN({col}) AS VARCHAR)", f"CAST(MAX({col}) AS VARCHAR)"
+    elif kind == "double":
+        mn, mx = f"printf('%.4f', MIN({col}))", f"printf('%.4f', MAX({col}))"
+    elif kind == "ts":
+        mn = f"strftime(MIN({col}), '%Y-%m-%d %H:%M:%S')"
+        mx = f"strftime(MAX({col}), '%Y-%m-%d %H:%M:%S')"
+    else:
+        mn, mx = f"MIN({col})", f"MAX({col})"
+    return (
+        f"SELECT '{col}' AS \"column\", COUNT(*) AS n_rows,\n"
+        f"       CAST(count_if({col} IS NULL) AS BIGINT) AS n_nulls,\n"
+        f"       COUNT(DISTINCT {col}) AS n_distinct,\n"
+        f"       {mn} AS min_value, {mx} AS max_value\n"
+        "FROM orders"
+    )
+
+
+ORACLE_ORDERS_PROFILE = (
+    "\nUNION ALL\n".join(
+        _profile_sql_row(c, k)
+        for c, k in [
+            ("o_orderkey", "int"),
+            ("o_custkey", "int"),
+            ("o_orderstatus", "str"),
+            ("o_totalprice", "double"),
+            ("o_orderdate", "ts"),
+            ("o_orderpriority", "str"),
+        ]
+    )
+    + '\nORDER BY "column"'
+)
+
+
+# ------------------------------------------- window-function breadth
+
+
+def segment_wealth_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-1% customers by account balance WITHIN their market segment,
+    with their exact relative standing (percent_rank + cume_dist) —
+    rounding out the ranking-window surface beyond rank/ntile/lag. The
+    tie-break on custkey makes both window functions fully
+    deterministic; output is a bounded fraction of the table."""
+    c = table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    return (
+        c.select(
+            "c_mktsegment",
+            "c_custkey",
+            "c_acctbal",
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+        )
+        .filter(F.col("pct_rank") <= 0.01)
+        .orderBy("c_mktsegment", "pct_rank", "c_custkey")
+    )
+
+
+ORACLE_SEGMENT_WEALTH_PERCENTILES = """
+SELECT c_mktsegment, c_custkey, c_acctbal,
+       ROUND(pr, 6) AS pct_rank, ROUND(cd, 6) AS cume
+FROM (
+  SELECT c_mktsegment, c_custkey, c_acctbal,
+         percent_rank() OVER w AS pr, cume_dist() OVER w AS cd
+  FROM customer
+  WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC)
+) t
+WHERE ROUND(pr, 6) <= 0.01
+ORDER BY c_mktsegment, ROUND(pr, 6), c_custkey
+"""
+
+
 QUERIES = {
+    "orders_profile": orders_profile,
+    "segment_wealth_percentiles": segment_wealth_percentiles,
     "acctbal_deciles": acctbal_deciles,
     "acctbal_deciles_scalable": acctbal_deciles_scalable,
     "returnflag_unpivot": returnflag_unpivot,
@@ -826,6 +919,8 @@ QUERIES = {
 }
 
 ORACLE = {
+    "orders_profile": ORACLE_ORDERS_PROFILE,
+    "segment_wealth_percentiles": ORACLE_SEGMENT_WEALTH_PERCENTILES,
     "returnflag_unpivot": ORACLE_RETURNFLAG_UNPIVOT,
     "customer_name_digits": ORACLE_CUSTOMER_NAME_DIGITS,
     "shipping_delay_histogram": ORACLE_SHIPPING_DELAY_HISTOGRAM,

@@ -863,3 +863,34 @@ def test_chunking_coverage_property(spark):
                 assert c["n_tokens"] == min(window, n - s0)
                 covered.update(range(s0, s0 + c["n_tokens"]))
             assert covered == set(range(n)), (window, stride, n)
+
+
+def test_profile_table_counts_and_rendering(spark):
+    """Nulls counted, NULL-ignoring distinct, per-type min/max string
+    rendering (ints plain, floats %.4f), and the approximate variant
+    keeps the same frame shape."""
+    import datetime as dt
+
+    from data_ingestion_project_spark.operators.profiling import profile_table
+
+    df = spark.createDataFrame(
+        [
+            (1, 2.5, "a", dt.datetime(2024, 1, 2, 3, 4, 5)),
+            (2, None, "b", dt.datetime(2024, 6, 7, 8, 9, 10)),
+            (3, 10.0, None, None),
+            (3, 1.25, "a", None),
+        ],
+        "k long, x double, s string, ts timestamp",
+    )
+    prof = {r["column"]: r for r in profile_table(df).collect()}
+    assert prof["k"]["n_rows"] == 4 and prof["k"]["n_nulls"] == 0
+    assert prof["k"]["n_distinct"] == 3
+    assert prof["k"]["min_value"] == "1" and prof["k"]["max_value"] == "3"
+    assert prof["x"]["n_nulls"] == 1 and prof["x"]["n_distinct"] == 3
+    assert prof["x"]["min_value"] == "1.2500" and prof["x"]["max_value"] == "10.0000"
+    assert prof["s"]["n_nulls"] == 1 and prof["s"]["n_distinct"] == 2
+    assert prof["ts"]["n_nulls"] == 2
+    assert prof["ts"]["min_value"] == "2024-01-02 03:04:05"
+    approx = {r["column"]: r for r in profile_table(df, approximate=True).collect()}
+    assert set(approx) == set(prof)
+    assert approx["k"]["n_distinct"] >= 1  # HLL estimate, not exact
