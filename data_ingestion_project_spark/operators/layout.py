@@ -47,6 +47,46 @@ def partition_events_by_day(spark: SparkSession, sf_dir: str, out_path: str) -> 
     write_partitioned(events, out_path, ["event_day"])
 
 
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+    mode: str = "overwrite",
+) -> None:
+    """Export a corpus as deterministic training shards: the write-path
+    twin of queries/documents.training_shard_plan.
+
+    shard = md5-bucket(id) mod n — the engine-independent "global
+    shuffle": any writer, any partition order, any cluster size
+    produces the same doc→shard assignment, and within each shard rows
+    are sorted by (md5(id), id), so the byte layout a trainer streams
+    is a pure function of the data. One shuffle total:
+    ``repartition(shard)`` co-locates each shard into one task whose
+    sort is local (sortWithinPartitions — no global ordering exchange),
+    and the hive-partitioned write gives the trainer one directory per
+    shard to mount.
+
+    At 100 TB: n_shards scales with the trainer's data-parallel world
+    size; per-shard file counts follow from
+    spark.sql.files.maxRecordsPerFile if a single file per shard is
+    too large.
+    """
+    idc = F.col(id_col).cast("string")
+    keyed = df.withColumn("__h", F.md5(idc)).withColumn(
+        "shard",
+        (F.conv(F.substring(F.col("__h"), 1, 6), 16, 10).cast("long") % n_shards),
+    )
+    (
+        keyed.repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "__h", id_col)
+        .drop("__h")
+        .write.mode(mode)
+        .partitionBy("shard")
+        .parquet(path)
+    )
+
+
 def compact_parquet(
     spark: SparkSession,
     path: str,

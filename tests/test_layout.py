@@ -113,3 +113,33 @@ def test_zorder_null_handling(spark, tmp_path):
     ranges = parquet_file_ranges(p, ["x"])
     # every row landed in some file deterministically
     assert sum(1 for _ in ranges) == 4
+
+
+def test_write_training_shards_deterministic_layout(spark, tmp_path):
+    """Shard dirs cover 0..n-1, assignment matches the portable hash,
+    within-shard row order is the deterministic (md5, id) sort, and a
+    second write reproduces the identical per-shard sequence."""
+    import hashlib
+
+    from data_ingestion_project_spark.operators.layout import write_training_shards
+
+    docs = spark.range(0, 200).selectExpr("id AS doc_id", "CAST(id * 7 AS STRING) AS text")
+
+    def _dump(p):
+        write_training_shards(docs, str(p), n_shards=4)
+        out = {}
+        for s in range(4):
+            part = spark.read.parquet(f"{p}/shard={s}")
+            out[s] = [r["doc_id"] for r in part.collect()]
+        return out
+
+    a = _dump(tmp_path / "a")
+    b = _dump(tmp_path / "b")
+    assert a == b  # bit-stable layout across writes
+    seen = [i for ids in a.values() for i in ids]
+    assert sorted(seen) == list(range(200))  # partition of the corpus
+    for s, ids in a.items():
+        for i in ids:
+            h = hashlib.md5(str(i).encode()).hexdigest()
+            assert int(h[:6], 16) % 4 == s  # portable-hash agreement
+        assert ids == sorted(ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
