@@ -27,7 +27,12 @@ from __future__ import annotations
 import importlib
 from collections.abc import Iterator
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 from data_ingestion_project_spark.schemas import RAW_USER_SCHEMA
 
@@ -37,6 +42,21 @@ DEFAULT_FETCHER = "data_ingestion_project_spark.sources.paged_http.http_fetcher"
 def _load_fetcher(path: str):
     mod, _, attr = path.rpartition(".")
     return getattr(importlib.import_module(mod), attr)
+
+
+def _fetch_rows(fetcher_path: str, pages: range, page_size: int) -> Iterator[tuple]:
+    """Fetch ``pages`` and yield schema-ordered tuples, with the
+    unstable int-or-string postcode pinned to string (shared by the
+    batch reader and the stream reader so the pinning cannot drift)."""
+    fetcher = _load_fetcher(fetcher_path)
+    names = RAW_USER_SCHEMA.fieldNames()
+    for page in pages:
+        for u in fetcher(page, page_size):
+            loc = u.get("location") or {}
+            if loc.get("postcode") is not None:
+                # copy, never mutate the fetcher's dicts
+                u = {**u, "location": {**loc, "postcode": str(loc["postcode"])}}
+            yield tuple(u.get(n) for n in names)
 
 
 class PagedUsersDataSource(DataSource):
@@ -49,6 +69,9 @@ class PagedUsersDataSource(DataSource):
 
     def reader(self, schema) -> "PagedUsersReader":
         return PagedUsersReader(self.options)
+
+    def simpleStreamReader(self, schema) -> "PagedUsersStreamReader":
+        return PagedUsersStreamReader(self.options)
 
 
 class PagedUsersReader(DataSourceReader):
@@ -71,16 +94,53 @@ class PagedUsersReader(DataSourceReader):
 
     def read(self, partition: InputPartition) -> Iterator[tuple]:
         lo, hi = partition.value
-        fetcher = _load_fetcher(self.fetcher_path)
-        names = RAW_USER_SCHEMA.fieldNames()
-        for page in range(lo, hi + 1):
-            for u in fetcher(page, self.page_size):
-                loc = u.get("location") or {}
-                if loc.get("postcode") is not None:
-                    # pin the unstable int-or-string API type; copy,
-                    # never mutate the fetcher's dicts
-                    u = {**u, "location": {**loc, "postcode": str(loc["postcode"])}}
-                yield tuple(u.get(n) for n in names)
+        yield from _fetch_rows(self.fetcher_path, range(lo, hi + 1), self.page_size)
+
+
+class PagedUsersStreamReader(SimpleDataSourceStreamReader):
+    """Streaming form of the connector: the page cursor IS the offset.
+
+    Each micro-batch advances ``next_page`` by ``pages_per_batch``; a
+    caught-up source returns empty batches with an unmoved offset.
+    Offsets are plain JSON dicts, so the checkpoint log replays any
+    committed range via ``readBetweenOffsets`` — the page fetch is
+    deterministic per (page, size) (the same retry-safety contract the
+    batch partitions rely on), which is exactly what makes the replay
+    exactly-once instead of at-least-once.
+
+    This is the cursor-paginated-API ingestion shape (the reference's
+    source is one such API): at production scale the offset would be
+    the API's real cursor token and ``pages`` the have-more probe;
+    here the page range is bounded so tests drain the stream."""
+
+    def __init__(self, options: dict[str, str]) -> None:
+        self.n_pages = int(options.get("pages", "1"))
+        self.page_size = int(options.get("page_size", "10"))
+        self.pages_per_batch = int(options.get("pages_per_batch", "1"))
+        self.fetcher_path = options.get("fetcher", DEFAULT_FETCHER)
+
+    def initialOffset(self) -> dict:
+        return {"next_page": 1}
+
+    def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
+        lo = start["next_page"]
+        hi = min(lo + self.pages_per_batch, self.n_pages + 1)
+        # materialized list, not a generator: Spark's prefetch cache
+        # copy.copy()s the iterator for replay, and generators don't
+        # copy. A batch is pages_per_batch x page_size rows — bounded.
+        rows = list(_fetch_rows(self.fetcher_path, range(lo, hi), self.page_size))
+        return (iter(rows), {"next_page": hi})
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
+        return iter(
+            list(
+                _fetch_rows(
+                    self.fetcher_path,
+                    range(start["next_page"], end["next_page"]),
+                    self.page_size,
+                )
+            )
+        )
 
 
 def register(spark) -> None:

@@ -119,3 +119,44 @@ def test_python_datasource_feeds_transform(spark, keys):
     out = transform_users(df, keys)
     assert out.count() == 6
     assert "login.password" not in out.columns  # plaintext dropped
+
+
+def test_python_datasource_streaming_pages(spark, tmp_path):
+    """The streaming form of the connector: the page cursor is the
+    offset; micro-batches advance it by pages_per_batch until the
+    bounded range drains. Every row arrives exactly once with the
+    pinned schema."""
+    import time
+
+    from data_ingestion_project_spark.sources.users_datasource import register
+
+    register(spark)
+    stream = (
+        spark.readStream.format("paged_users")
+        .option("pages", "4")
+        .option("page_size", "3")
+        .option("pages_per_batch", "2")
+        .option(
+            "fetcher",
+            "data_ingestion_project_spark.sources.paged_http.offline_fetcher",
+        )
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("paged_users_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if spark.table("paged_users_stream").count() >= 12:
+                break
+            time.sleep(0.5)
+        rows = spark.table("paged_users_stream").collect()
+    finally:
+        q.stop()
+    assert len(rows) == 12  # 4 pages x 3 users, no dupes, nothing lost
+    assert len({r["login"]["uuid"] for r in rows}) == 12
+    assert all(isinstance(r["location"]["postcode"], str) for r in rows)
