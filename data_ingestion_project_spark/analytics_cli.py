@@ -1,0 +1,87 @@
+"""Analytics CLI: run any declared query from the shell.
+
+    python -m data_ingestion_project_spark.analytics_cli list
+    python -m data_ingestion_project_spark.analytics_cli run pricing_summary \
+        --sf-dir /root/testdata/sf0.01 [--format json|csv|table] [--limit N]
+    python -m data_ingestion_project_spark.analytics_cli explain pricing_summary
+
+The runnable face of the query inventory (the reference exposes its
+one pipeline as a CLI job — ``job.py`` mirrors that; this is the same
+ergonomics for the analytics surface). Exit codes: 0 ok, 2 usage
+error (unknown query/format), 1 execution failure.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.01"
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="analytics", description=__doc__.splitlines()[0])
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sub.add_parser("list", help="list declared queries (oracle-backed marked)")
+
+    run = sub.add_parser("run", help="execute a query and print its result")
+    run.add_argument("query")
+    run.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    run.add_argument("--format", choices=("table", "json", "csv"), default="table")
+    run.add_argument("--limit", type=int, default=None, help="cap printed rows")
+
+    ex = sub.add_parser("explain", help="print the formatted physical plan")
+    ex.add_argument("query")
+    ex.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = _build_parser().parse_args(argv)
+
+    from data_ingestion_project_spark.queries import all_oracles, all_queries
+
+    queries = all_queries()
+
+    if args.cmd == "list":
+        oracles = all_oracles()
+        for name in queries:
+            kind = "oracle" if name in oracles else "rows-only"
+            print(f"{name}\t{kind}")
+        return 0
+
+    if args.query not in queries:
+        print(f"unknown query {args.query!r}; see `list`", file=sys.stderr)
+        return 2
+
+    from data_ingestion_project_spark.session import build_session
+
+    spark = build_session(f"analytics-{args.cmd}")
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        df = queries[args.query](spark, args.sf_dir)
+        if args.cmd == "explain":
+            from data_ingestion_project_spark.plans.explain import formatted_plan
+
+            print(formatted_plan(df))
+            return 0
+        if args.limit is not None:
+            df = df.limit(args.limit)
+        if args.format == "table":
+            df.show(n=args.limit or 1000, truncate=False)
+        elif args.format == "json":
+            for row in df.toJSON().collect():
+                print(row)
+        else:  # csv
+            pdf = df.toPandas()
+            pdf.to_csv(sys.stdout, index=False)
+        return 0
+    except Exception as e:  # surface the cause, exit nonzero for cron/scripts
+        print(f"query failed: {e}", file=sys.stderr)
+        return 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -132,3 +132,30 @@ def test_native_aes_gcm_roundtrip(spark):
     a = df.limit(1).select(aes_encrypt_native("v", key).alias("c")).first()["c"]
     b = df.limit(1).select(aes_encrypt_native("v", key).alias("c")).first()["c"]
     assert a != b  # fresh IV per execution
+
+
+def test_analytics_cli_list_run_explain(spark, capsys):
+    """The analytics CLI surfaces the full inventory and runs a query
+    end-to-end in each output format; unknown names exit 2."""
+    from data_ingestion_project_spark.analytics_cli import main
+
+    assert main(["list"]) == 0
+    out = capsys.readouterr().out
+    assert "pricing_summary\toracle" in out
+    assert "knn_lsh_approx\trows-only" in out
+
+    assert main(["run", "lang_stats", "--sf-dir", "/root/testdata/sf0.001",
+                 "--format", "json"]) == 0
+    out = capsys.readouterr().out
+    assert '"lang"' in out and out.strip()
+
+    assert main(["run", "lang_stats", "--sf-dir", "/root/testdata/sf0.001",
+                 "--format", "csv", "--limit", "2"]) == 0
+    out = capsys.readouterr().out
+    assert out.splitlines()[0].startswith("lang,")
+    assert len(out.strip().splitlines()) <= 3  # header + limited rows
+
+    assert main(["explain", "lang_stats", "--sf-dir", "/root/testdata/sf0.001"]) == 0
+    assert "Physical Plan" in capsys.readouterr().out
+
+    assert main(["run", "no_such_query"]) == 2
