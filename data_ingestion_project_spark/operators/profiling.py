@@ -6,15 +6,17 @@ null counts, distinct cardinality, min/max — the stats a pipeline
 inspects before writing constraints, and the input to drift detection
 (diff two profiles of the same table across snapshots).
 
-Plan shape: ONE wide aggregation over the table computes every
-column's stats simultaneously (Catalyst plans multiple DISTINCT
-aggregates via a single expand + two-phase agg — one pass over the
-data, not one scan per column), then a literal-sized unpivot emits
-one row per column. Exact distinct counts keep the profile
-oracle-checkable; pass ``approximate=True`` to swap in HLL
-``approx_count_distinct`` (no expand, fully partial-aggregatable) —
-the 100 TB default where a ±2% cardinality is what you want from a
-profile anyway.
+Plan shape: one NARROW aggregation per column, unioned — each branch
+scans exactly its one column (columnar pruning makes N single-column
+scans the same total I/O as one full-width scan) and the branches run
+as independent parallel stages. This deliberately avoids the
+single-agg-with-N-DISTINCTs form: Catalyst plans that via an Expand
+that multiplies every row N-fold before the shuffle (measured 3.6 s
+vs 1.0 s on the 6-column orders profile at sf0.1). Exact distinct
+counts keep the profile oracle-checkable; pass ``approximate=True``
+to swap in HLL ``approx_count_distinct`` (fully partial-aggregatable,
+no distinct shuffle at all) — the 100 TB default where a ±2%
+cardinality is what you want from a profile anyway.
 """
 
 from __future__ import annotations
@@ -65,27 +67,20 @@ def profile_table(
     if cols is None:
         cols = df.columns
     dtypes = dict(zip(df.schema.names, [f.dataType for f in df.schema.fields]))
-    aggs = [F.count(F.lit(1)).alias("__rows")]
+    parts = []
     for c in cols:
         distinct = (
             F.approx_count_distinct(c) if approximate else F.countDistinct(c)
         )
-        aggs += [
-            F.count_if(F.col(c).isNull()).alias(f"{c}__nulls"),
-            distinct.alias(f"{c}__distinct"),
-            _as_profile_string(F.min(c), dtypes[c]).alias(f"{c}__min"),
-            _as_profile_string(F.max(c), dtypes[c]).alias(f"{c}__max"),
-        ]
-    wide = df.agg(*aggs)
-    per_col = [
-        F.struct(
-            F.lit(c).alias("column"),
-            F.col("__rows").alias("n_rows"),
-            F.col(f"{c}__nulls").alias("n_nulls"),
-            F.col(f"{c}__distinct").alias("n_distinct"),
-            F.col(f"{c}__min").alias("min_value"),
-            F.col(f"{c}__max").alias("max_value"),
+        stats = df.select(c).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_if(F.col(c).isNull()).alias("n_nulls"),
+            distinct.alias("n_distinct"),
+            _as_profile_string(F.min(c), dtypes[c]).alias("min_value"),
+            _as_profile_string(F.max(c), dtypes[c]).alias("max_value"),
         )
-        for c in cols
-    ]
-    return wide.select(F.explode(F.array(*per_col)).alias("p")).select("p.*")
+        parts.append(stats.select(F.lit(c).alias("column"), *stats.columns))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
