@@ -223,13 +223,29 @@ def append(
     only evolution, no existing file is rewritten. Without it, a
     mismatched schema raises (Delta's default posture)."""
     rel = _write_data(df, path)
+    # the evolved flag makes snapshot reads pay footer schema-merging
+    # only on tables where an evolution actually happened
+    return _commit_retry(
+        path,
+        "append",
+        _append_dirs_fn(rel, df.schema, merge_schema),
+        None,
+        extra={"evolved": True} if merge_schema else None,
+    )
+
+
+def _append_dirs_fn(rel: str, schema: StructType, merge_schema: bool):
+    """Shared commit logic for append and publish_staged: add one data
+    directory to the manifest, enforcing (or evolving) the schema."""
 
     def dirs_fn(prev: dict):
+        if rel in prev["data_dirs"]:
+            raise ValueError(f"data dir {rel!r} is already published")
         if not merge_schema:
             prev_s = StructType.fromJson(json.loads(prev["schema"]))
             # names+types only: nullability differs freely between
             # createDataFrame frames and parquet round-trips
-            if [(f.name, f.dataType) for f in df.schema.fields] != [
+            if [(f.name, f.dataType) for f in schema.fields] != [
                 (f.name, f.dataType) for f in prev_s.fields
             ]:
                 raise ValueError(
@@ -237,12 +253,41 @@ def append(
                     "merge_schema=True to evolve"
                 )
             return prev["data_dirs"] + [rel], None
-        return prev["data_dirs"] + [rel], _merged_schema(prev["schema"], df.schema)
+        return prev["data_dirs"] + [rel], _merged_schema(prev["schema"], schema)
 
-    # the evolved flag makes snapshot reads pay footer schema-merging
-    # only on tables where an evolution actually happened
+    return dirs_fn
+
+
+def stage(spark: SparkSession, path: str, df: DataFrame) -> str:
+    """Write an UNCOMMITTED immutable data directory — the Write step
+    of write-audit-publish (operators/wap.py). Invisible to every
+    reader until ``publish_staged`` commits it; if the audit fails and
+    nobody publishes, the directory is an orphan that ``vacuum``
+    reclaims after its in-flight grace window."""
+    return _write_data(df, path)
+
+
+def read_staged(spark: SparkSession, path: str, rel: str) -> DataFrame:
+    """Read back a staged (uncommitted) directory — audit THE FILES
+    that would be published, not the frame the caller thinks it
+    wrote."""
+    return spark.read.parquet(os.path.join(path, rel))
+
+
+def publish_staged(
+    spark: SparkSession, path: str, rel: str, merge_schema: bool = False
+) -> int:
+    """Metadata-only commit of a previously staged directory — the
+    Publish step of write-audit-publish. No data moves; the manifest
+    gains one directory reference, with the same schema enforcement as
+    ``append``. Double-publishing the same directory raises."""
+    schema = spark.read.parquet(os.path.join(path, rel)).schema
     return _commit_retry(
-        path, "append", dirs_fn, None, extra={"evolved": True} if merge_schema else None
+        path,
+        "publish",
+        _append_dirs_fn(rel, schema, merge_schema),
+        None,
+        extra={"evolved": True} if merge_schema else None,
     )
 
 

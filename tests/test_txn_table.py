@@ -474,3 +474,44 @@ def test_compact_conflicts_with_concurrent_commit(spark, tmp_path, monkeypatch):
         T.compact(spark, p)
     # the loser's table is intact, winner's row present
     assert sorted(r["id"] for r in T.read(spark, p).collect()) == [1, 2, 99]
+
+
+def test_write_audit_publish_gates_bad_batches(spark, tmp_path):
+    """WAP: a clean batch publishes (metadata-only commit); a dirty
+    batch leaves the table bit-identical, reports the violations, and
+    its staged orphan is vacuum-reclaimable; double-publish raises."""
+    import os
+
+    import pytest
+
+    from data_ingestion_project_spark.operators import txn_table as T
+    from data_ingestion_project_spark.operators.wap import write_audit_publish
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "t")
+    T.create_table(spark, path, spark.createDataFrame([(1, 10.0)], "id long, v double"))
+    checks = {"v_positive": F.col("v") > 0, "id_not_null": F.col("id").isNotNull()}
+
+    good = write_audit_publish(
+        spark, spark.createDataFrame([(2, 5.0), (3, 1.0)], "id long, v double"),
+        path, checks,
+    )
+    assert good["published"] and good["violations"] == {} and good["n_rows"] == 2
+    assert T.read(spark, path).count() == 3
+
+    v_before = T.current_version(path)
+    bad = write_audit_publish(
+        spark, spark.createDataFrame([(4, -1.0), (None, 2.0)], "id long, v double"),
+        path, checks,
+    )
+    assert not bad["published"]
+    assert bad["violations"] == {"v_positive": 1, "id_not_null": 1}
+    assert T.current_version(path) == v_before  # table untouched
+    assert T.read(spark, path).count() == 3
+    staged_full = os.path.join(path, bad["staged_dir"])
+    assert os.path.isdir(staged_full)  # kept for debugging...
+    removed = T.vacuum(path, min_age_seconds=0.0)
+    assert bad["staged_dir"] in removed  # ...reclaimed as an orphan
+
+    with pytest.raises(ValueError, match="already published"):
+        T.publish_staged(spark, path, good["staged_dir"])
