@@ -49,6 +49,76 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+# --------------------------------- streaming heavy hitters (Misra-Gries)
+
+TREND_OUT_SCHEMA = "shard int, word string, est_count long"
+TREND_STATE_SCHEMA = "items array<string>, weights array<long>"
+
+
+def trending_words(
+    lines: DataFrame,
+    n_shards: int = 16,
+    capacity: int = 1024,
+    emit_top: int = 10,
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming frequent-words over an unbounded text stream: the
+    streaming twin of operators/heavy_hitters.py, with the SAME
+    Misra-Gries fold as the per-key state transition — mergeable
+    sketches are exactly what makes a batch summary re-usable as
+    streaming state.
+
+    Sharding design: words hash into ``n_shards`` groups; each shard's
+    state is ONE bounded MG summary (≤ capacity counters stored as two
+    arrays), so the state store holds n_shards × capacity counters
+    TOTAL regardless of vocabulary size — the groupBy(word) exact
+    alternative grows state with the key universe, which is the thing
+    an unbounded stream cannot afford. Guarantee per shard: any word
+    with frequency > shard_rows/(capacity+1) is present, weights are
+    lower bounds (Agarwal et al. merge property, pinned in pytest for
+    the batch twin). Each micro-batch emits the shard's current top
+    ``emit_top`` (update mode); a downstream consumer takes the global
+    top-k by est_count across shards — correct because a word lives in
+    exactly one shard."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_project_spark.operators.heavy_hitters import _mg_fold
+
+    def _update(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            items, weights = state.get
+            counters = dict(zip(items, weights))
+        else:
+            counters = {}
+        for pdf in pdfs:
+            _mg_fold(counters, pdf["word"].dropna(), capacity)
+        state.update((list(counters), [int(w) for w in counters.values()]))
+        top = sorted(counters.items(), key=lambda kv: (-kv[1], kv[0]))[:emit_top]
+        yield pd.DataFrame(
+            {
+                "shard": [key[0]] * len(top),
+                "word": [w for w, _ in top],
+                "est_count": [c for _, c in top],
+            }
+        )
+
+    words = lines.select(
+        F.explode(F.split(F.lower(F.trim(text_col)), r"\s+")).alias("word")
+    ).filter(F.col("word") != "")
+    sharded = words.withColumn(
+        "shard", F.pmod(F.xxhash64("word"), F.lit(n_shards)).cast("int")
+    )
+    return sharded.groupBy("shard").applyInPandasWithState(
+        _update,
+        outputStructType=TREND_OUT_SCHEMA,
+        stateStructType=TREND_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 # ------------------------------------------- transformWithState (Spark 4)
 #
 # The modern arbitrary-state API: typed state VARIABLES (ValueState /

@@ -551,3 +551,39 @@ def test_scd2_dimension_stream_versions_across_microbatches(spark, tmp_path):
         assert sorted(map(tuple, T.read(spark, table_path).collect())) == before
     finally:
         q.stop()
+
+
+def test_streaming_trending_words_accumulates_across_batches(spark, tmp_path):
+    """The MG state survives micro-batches: counts accumulate, the top
+    list reorders as the stream drifts, and state stays bounded (the
+    sketch, not the vocabulary, is what's stored)."""
+    from data_ingestion_project_spark.streaming.stateful import trending_words
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    _write_batch(src, "b1.json", [{"text": "alpha alpha beta"}, {"text": "alpha gamma"}])
+
+    lines = spark.readStream.schema("text string").json(str(src))
+    out = trending_words(lines, n_shards=4, capacity=8, emit_top=5)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("trending")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        t1 = {r["word"]: r["est_count"] for r in spark.table("trending").collect()}
+        assert t1["alpha"] == 3 and t1["beta"] == 1 and t1["gamma"] == 1
+
+        _write_batch(src, "b2.json", [{"text": "beta beta beta beta"}])
+        q.processAllAvailable()
+        # update mode appends new rows to the memory sink; latest state
+        # for beta must now dominate alpha
+        latest = {}
+        for r in spark.table("trending").collect():
+            latest[r["word"]] = max(latest.get(r["word"], 0), r["est_count"])
+        assert latest["beta"] == 5 and latest["alpha"] == 3
+    finally:
+        q.stop()
