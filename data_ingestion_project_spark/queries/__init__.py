@@ -92,6 +92,7 @@ _DRIVER_PRIORITY = (
     "dup_graph_pagerank",
     "orders_profile",
     "segment_wealth_percentiles",
+    "zipf_slope_by_lang",
     # rows-only uncovered (approximate families; each carries a pytest
     # recall floor).  Entries past the 50-entry window — the weakest
     # possible signal loss (rows-only rows certify shape, not values).

@@ -1709,6 +1709,96 @@ ORDER BY lang
 """.replace("{bpe}", _BPE_SQL)
 
 
+# ----------------------------- Zipf's-law fit (regression aggregates)
+
+_ZIPF_TOP = 200
+
+
+def zipf_slope_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit per language: OLS slope and R² of log10(freq) on
+    log10(rank) over each language's top-200 words — the corpus
+    sanity-check a data pipeline runs to catch template/boilerplate
+    contamination (natural language slopes ≈ -1; machine-generated or
+    deduplicated-to-death corpora drift off it). Covers the linear-
+    regression aggregate family with the same determinism contract as
+    the rest of the inventory: per-point log10 values are rounded
+    (value-determined), products pre-rounded, and every Σ accumulates
+    in DECIMAL, so slope/R² are pure functions of exact integer-scaled
+    sums — unlike the built-in regr_slope/regr_r2, whose internal
+    float accumulation is partial-order-dependent and therefore not
+    oracle-hashable."""
+    from pyspark.sql.window import Window
+
+    d = table(spark, sf_dir, "documents")
+    counts = (
+        d.select("lang", F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("lang", "word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("word").asc())
+    pts = (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _ZIPF_TOP)
+        .select(
+            "lang",
+            F.round(F.log10("rank"), 6).alias("x"),
+            F.round(F.log10("n"), 6).alias("y"),
+        )
+    )
+    dec = "decimal(30,12)"
+    s = pts.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum(F.col("x").cast(dec)).cast("double").alias("sx"),
+        F.sum(F.col("y").cast(dec)).cast("double").alias("sy"),
+        F.sum(F.round(F.col("x") * F.col("y"), 12).cast(dec)).cast("double").alias("sxy"),
+        F.sum(F.round(F.col("x") * F.col("x"), 12).cast(dec)).cast("double").alias("sxx"),
+        F.sum(F.round(F.col("y") * F.col("y"), 12).cast(dec)).cast("double").alias("syy"),
+    )
+    cov = s["k"] * s["sxy"] - s["sx"] * s["sy"]
+    varx = s["k"] * s["sxx"] - s["sx"] * s["sx"]
+    vary = s["k"] * s["syy"] - s["sy"] * s["sy"]
+    return s.select(
+        "lang",
+        F.col("k").alias("n_points"),
+        F.round(cov / varx, 4).alias("slope"),
+        F.round((cov * cov) / (varx * vary), 4).alias("r2"),
+    ).orderBy("lang")
+
+
+ORACLE_ZIPF_SLOPE_BY_LANG = f"""
+WITH counts AS (
+  SELECT lang, word, COUNT(*) AS n
+  FROM (
+    SELECT lang, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+    FROM documents
+  ) t WHERE word <> ''
+  GROUP BY lang, word
+), pts AS (
+  SELECT lang,
+         ROUND(log10(rank), 6) AS x, ROUND(log10(n), 6) AS y
+  FROM (
+    SELECT lang, n,
+           ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, word ASC) AS rank
+    FROM counts
+  ) r WHERE rank <= {_ZIPF_TOP}
+), s AS (
+  SELECT lang, COUNT(*) AS k,
+         CAST(SUM(CAST(x AS DECIMAL(30,12))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(y AS DECIMAL(30,12))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(ROUND(x * y, 12) AS DECIMAL(30,12))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(ROUND(x * x, 12) AS DECIMAL(30,12))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(ROUND(y * y, 12) AS DECIMAL(30,12))) AS DOUBLE) AS syy
+  FROM pts GROUP BY lang
+)
+SELECT lang, k AS n_points,
+       ROUND((k * sxy - sx * sy) / (k * sxx - sx * sx), 4) AS slope,
+       ROUND(((k * sxy - sx * sy) * (k * sxy - sx * sy))
+             / ((k * sxx - sx * sx) * (k * syy - sy * sy)), 4) AS r2
+FROM s ORDER BY lang
+"""
+
+
 # ----------------------------- PageRank over the near-dup graph
 
 _PAGERANK_ITERS = 5
@@ -1960,6 +2050,7 @@ QUERIES = {
     "dsir_importance_weights": dsir_importance_weights,
     "training_shard_plan": training_shard_plan,
     "dup_graph_pagerank": dup_graph_pagerank,
+    "zipf_slope_by_lang": zipf_slope_by_lang,
 }
 
 ORACLE = {
@@ -1994,5 +2085,6 @@ ORACLE = {
     "dsir_importance_weights": ORACLE_DSIR_IMPORTANCE_WEIGHTS,
     "training_shard_plan": ORACLE_TRAINING_SHARD_PLAN,
     "dup_graph_pagerank": ORACLE_DUP_GRAPH_PAGERANK,
+    "zipf_slope_by_lang": ORACLE_ZIPF_SLOPE_BY_LANG,
     # minhash_near_dups / simhash_near_dups: rows-only by design
 }

@@ -894,3 +894,16 @@ def test_profile_table_counts_and_rendering(spark):
     approx = {r["column"]: r for r in profile_table(df, approximate=True).collect()}
     assert set(approx) == set(prof)
     assert approx["k"]["n_distinct"] >= 1  # HLL estimate, not exact
+
+
+def test_zipf_slope_is_zipfian_on_corpus(spark):
+    """Word-frequency ranks must fall on a negative log-log slope with
+    a strong fit — the corpus-sanity property the query exists to
+    check (and a planted uniform-frequency corpus must NOT)."""
+    from data_ingestion_project_spark.queries.documents import zipf_slope_by_lang
+
+    rows = zipf_slope_by_lang(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert r["slope"] < -0.1, r
+        assert 0.0 < r["r2"] <= 1.0, r
