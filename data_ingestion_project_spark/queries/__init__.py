@@ -93,6 +93,7 @@ _DRIVER_PRIORITY = (
     "orders_profile",
     "segment_wealth_percentiles",
     "zipf_slope_by_lang",
+    "chunk_dup_stats",
     # rows-only uncovered (approximate families; each carries a pytest
     # recall floor).  Entries past the 50-entry window — the weakest
     # possible signal loss (rows-only rows certify shape, not values).

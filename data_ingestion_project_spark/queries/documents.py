@@ -1709,6 +1709,65 @@ ORDER BY lang
 """.replace("{bpe}", _BPE_SQL)
 
 
+# ----------------------------- chunk-level dedup
+
+
+def chunk_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deduplication at CHUNK granularity: fingerprint every sliding
+    window (same chunker as chunk_stats) and measure, per language,
+    how much of the chunk stream is redundant — the dedup resolution a
+    RAG index or packing pipeline actually operates at (document-level
+    dedup misses the boilerplate paragraph shared by otherwise-unique
+    docs; the overlap tax of stride < window also shows up here as
+    within-doc near-identical windows do NOT collapse, only exact
+    repeats do). One extra agg shuffle on the md5 fingerprint over the
+    row-local chunk pipeline."""
+    from data_ingestion_project_spark.operators.chunking import chunk_documents
+
+    d = table(spark, sf_dir, "documents")
+    chunks = chunk_documents(d, window=64, stride=48)
+    fps = chunks.join(d.select("doc_id", "lang"), "doc_id").select(
+        "lang", F.md5("chunk_text").alias("fp")
+    )
+    per_fp = fps.groupBy("lang", "fp").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        per_fp.groupBy("lang")
+        .agg(
+            F.sum("n").alias("n_chunks"),
+            F.count(F.lit(1)).alias("n_unique"),
+            (F.sum("n") - F.count(F.lit(1))).alias("n_redundant"),
+            F.round((F.sum("n") - F.count(F.lit(1))) / F.sum("n"), 6).alias("dup_rate"),
+        )
+        .orderBy("lang")
+    )
+
+
+ORACLE_CHUNK_DUP_STATS = """
+WITH d AS (
+  SELECT doc_id, lang,
+         list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS toks,
+         len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')) AS n
+  FROM documents
+), c AS (
+  SELECT lang,
+         md5(array_to_string(list_slice(toks, start + 1, start + 64), ' ')) AS fp
+  FROM (
+    SELECT doc_id, lang, toks, n,
+           unnest(range(0, ((n - 1) // 48) * 48 + 1, 48)) AS start
+    FROM d WHERE n > 0
+  ) t
+), per_fp AS (
+  SELECT lang, fp, COUNT(*) AS n FROM c GROUP BY lang, fp
+)
+SELECT lang,
+       CAST(SUM(n) AS BIGINT) AS n_chunks,
+       COUNT(*) AS n_unique,
+       CAST(SUM(n) - COUNT(*) AS BIGINT) AS n_redundant,
+       ROUND((SUM(n) - COUNT(*)) * 1.0 / SUM(n), 6) AS dup_rate
+FROM per_fp GROUP BY lang ORDER BY lang
+"""
+
+
 # ----------------------------- Zipf's-law fit (regression aggregates)
 
 _ZIPF_TOP = 200
@@ -2051,6 +2110,7 @@ QUERIES = {
     "training_shard_plan": training_shard_plan,
     "dup_graph_pagerank": dup_graph_pagerank,
     "zipf_slope_by_lang": zipf_slope_by_lang,
+    "chunk_dup_stats": chunk_dup_stats,
 }
 
 ORACLE = {
@@ -2086,5 +2146,6 @@ ORACLE = {
     "training_shard_plan": ORACLE_TRAINING_SHARD_PLAN,
     "dup_graph_pagerank": ORACLE_DUP_GRAPH_PAGERANK,
     "zipf_slope_by_lang": ORACLE_ZIPF_SLOPE_BY_LANG,
+    "chunk_dup_stats": ORACLE_CHUNK_DUP_STATS,
     # minhash_near_dups / simhash_near_dups: rows-only by design
 }

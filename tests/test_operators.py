@@ -907,3 +907,29 @@ def test_zipf_slope_is_zipfian_on_corpus(spark):
     for r in rows:
         assert r["slope"] < -0.1, r
         assert 0.0 < r["r2"] <= 1.0, r
+
+
+def test_chunk_dup_stats_counts_planted_repeats(spark):
+    """Chunk-level dedup must catch a boilerplate window shared by two
+    otherwise-distinct documents, and must NOT count overlap-tax
+    near-identical windows (only exact repeats collapse)."""
+    import os, tempfile
+
+    from data_ingestion_project_spark.queries.documents import chunk_dup_stats
+
+    boiler = " ".join(f"b{i}" for i in range(64))  # exactly one window
+    docs = spark.createDataFrame(
+        [
+            (1, boiler + " " + " ".join(f"x{i}" for i in range(32)), "en", "w", 0),
+            (2, boiler + " " + " ".join(f"y{i}" for i in range(32)), "en", "w", 0),
+            (3, " ".join(f"z{i}" for i in range(40)), "en", "w", 0),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        docs.write.parquet(os.path.join(tmp, "documents.parquet"))
+        row = chunk_dup_stats(spark, tmp).collect()[0]
+    # doc1/doc2: windows at start 0 (boiler, identical) and 48 — doc3: one
+    assert row["n_chunks"] == 5
+    assert row["n_redundant"] == 1  # exactly the planted boilerplate window
+    assert abs(row["dup_rate"] - 0.2) < 1e-9
