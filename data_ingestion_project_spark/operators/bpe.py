@@ -68,6 +68,60 @@ def _merge_round(vocab: DataFrame, left: str, right: str) -> DataFrame:
     return vocab.mapInPandas(_apply, schema="symbols array<string>, freq long")
 
 
+def bpe_encode_token_count(
+    docs: DataFrame,
+    merges: list[tuple[str, str, int]],
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Apply LEARNED merges to every document and attach its real BPE
+    token count — the other half of the tokenizer loop (bpe_train
+    builds the merge table; this encodes with it, the counts a packing
+    or budget pass should actually use instead of the whitespace/regex
+    estimate in functions/text.py).
+
+    Encoding is the standard greedy ranked-merge loop per word
+    (HuggingFace/GPT-2 shape): repeatedly merge the lowest-rank
+    adjacent pair. Arrow-batched pandas UDF with a per-batch word
+    memo — corpora repeat words (Zipf), so the amortized cost per row
+    is near the dictionary lookup, and the merge table broadcasts via
+    closure. Word-splitting matches word_freq_symbols (lower + \\s+)
+    so training and encoding agree on the word universe."""
+    from pyspark.sql.functions import pandas_udf
+
+    ranks = {(left, right): i for i, (left, right, _n) in enumerate(merges)}
+
+    def _encode_len(word: str) -> int:
+        syms = list(word) + [END]
+        while len(syms) > 1:
+            best_i, best_rank = -1, None
+            for i in range(len(syms) - 1):
+                r = ranks.get((syms[i], syms[i + 1]))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best_i, best_rank = i, r
+            if best_rank is None:
+                break
+            syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+        return len(syms)
+
+    @pandas_udf("int")
+    def _count(texts: pd.Series) -> pd.Series:
+        memo: dict[str, int] = {}
+
+        def doc_tokens(t: str) -> int:
+            total = 0
+            for w in (t or "").lower().split():
+                n = memo.get(w)
+                if n is None:
+                    n = memo[w] = _encode_len(w)
+                total += n
+            return total
+
+        return texts.map(doc_tokens).astype("int32")
+
+    return docs.withColumn(out_col, _count(F.col(text_col)))
+
+
 def bpe_train(
     docs: DataFrame,
     text_col: str = "text",
@@ -80,7 +134,10 @@ def bpe_train(
     vocab = word_freq_symbols(docs, text_col).localCheckpoint(eager=True)
     merges: list[tuple[str, str, int]] = []
     for _ in range(n_merges):
-        pairs = vocab.select(
+        # words already merged down to ONE symbol contribute no pairs;
+        # without this filter sequence(0, -1) walks DESCENDING and
+        # element_at reads past the array (crash under ANSI)
+        pairs = vocab.filter(F.size("symbols") >= 2).select(
             F.explode(
                 F.transform(
                     F.sequence(F.lit(0), F.size("symbols") - 2),

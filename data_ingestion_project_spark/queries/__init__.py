@@ -118,6 +118,7 @@ _DRIVER_PRIORITY = (
     "semdedup_summary",
     "bpe_learned_merges",
     "embedding_cluster_stats",
+    "bpe_real_token_stats",
 )
 
 
@@ -183,13 +184,17 @@ def warm_derived_assets(spark: SparkSession, sf_dir: str) -> None:
     maintained corpus assets — the production posture, where these
     tables are pipeline outputs, not per-query recomputes.  Build cost
     is reported separately (bench.py ``assets_sec``)."""
-    from data_ingestion_project_spark.queries.documents import _winnow_pair_counts
+    from data_ingestion_project_spark.queries.documents import (
+        _bpe_merges,
+        _winnow_pair_counts,
+    )
     from data_ingestion_project_spark.queries.embeddings import ivf_disk_index_path
     from data_ingestion_project_spark.queries.events import _events_by_day_path
 
     _events_by_day_path(spark, sf_dir)
     _winnow_pair_counts(spark, sf_dir)  # chains the fp table build
     ivf_disk_index_path(spark, sf_dir)  # chains centroid training
+    _bpe_merges(spark, sf_dir)  # learned-tokenizer merge table
 
 
 def all_oracles() -> dict[str, str]:

@@ -1090,6 +1090,54 @@ def bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Learned-merge cache keyed on corpus mtime (same posture as the IVF
+# quantizer cache in queries/embeddings.py): the tokenizer is trained
+# once per corpus and amortized over every encode consumer.
+_BPE_MERGES: dict[tuple, list] = {}
+
+
+def _bpe_merges(spark: SparkSession, sf_dir: str) -> list:
+    import os
+
+    from data_ingestion_project_spark.operators.bpe import bpe_train
+
+    src = os.path.join(os.path.abspath(os.path.normpath(sf_dir)), "documents.parquet")
+    key = (sf_dir, os.path.getmtime(src) if os.path.exists(src) else None)
+    if key not in _BPE_MERGES:
+        _BPE_MERGES[key] = bpe_train(
+            table(spark, sf_dir, "documents"), n_merges=10, min_pair_count=2
+        )
+    return _BPE_MERGES[key]
+
+
+def bpe_real_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token accounting under the CORPUS-TRAINED BPE
+    tokenizer (operators/bpe.bpe_encode_token_count): the counts a
+    packing/budget pass should actually use, next to the fixed-regex
+    estimate in bpe_token_stats. chars_per_token is the compression
+    the learned merges buy. Rows-only: the merge table comes from the
+    iterative trainer; the encoder itself is pinned against
+    hand-computed merges in pytest."""
+    from data_ingestion_project_spark.operators.bpe import bpe_encode_token_count
+
+    d = table(spark, sf_dir, "documents")
+    enc = bpe_encode_token_count(d, _bpe_merges(spark, sf_dir))
+    return (
+        enc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("bpe_tokens").cast("long")).alias("total_tokens"),
+            F.round(F.avg("bpe_tokens"), 4).alias("avg_tokens"),
+            F.round(
+                F.sum(F.col("n_chars").cast("long"))
+                / F.sum(F.col("bpe_tokens").cast("long")),
+                4,
+            ).alias("chars_per_token"),
+        )
+        .orderBy("lang")
+    )
+
+
 def top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global top-20 words: explode → count → TakeOrdered. The classic
     wordcount, with partial aggregation absorbing the explode fan-out
@@ -2111,6 +2159,7 @@ QUERIES = {
     "dup_graph_pagerank": dup_graph_pagerank,
     "zipf_slope_by_lang": zipf_slope_by_lang,
     "chunk_dup_stats": chunk_dup_stats,
+    "bpe_real_token_stats": bpe_real_token_stats,
 }
 
 ORACLE = {

@@ -933,3 +933,33 @@ def test_chunk_dup_stats_counts_planted_repeats(spark):
     assert row["n_chunks"] == 5
     assert row["n_redundant"] == 1  # exactly the planted boilerplate window
     assert abs(row["dup_rate"] - 0.2) < 1e-9
+
+
+def test_bpe_encode_applies_learned_merges(spark):
+    """The encoder must reproduce hand-computed greedy ranked-merge
+    token counts, and training-then-encoding the training corpus must
+    compress it (fewer tokens than characters)."""
+    from data_ingestion_project_spark.operators.bpe import (
+        bpe_encode_token_count,
+        bpe_train,
+    )
+
+    # merges: (l,o)->lo rank0, (lo,w)->low rank1
+    merges = [("l", "o", 99), ("lo", "w", 98)]
+    df = spark.createDataFrame([("low low", ), ("lower", ), ("", )], "text string")
+    out = {r["text"]: r["bpe_tokens"] for r in bpe_encode_token_count(df, merges).collect()}
+    # "low" -> l,o,w,</w> -> lo,w,</w> -> low,</w> = 2 tokens
+    assert out["low low"] == 4
+    # "lower" -> ... -> low,e,r,</w> = 4 tokens
+    assert out["lower"] == 4
+    assert out[""] == 0
+
+    docs = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog") for i in range(4)],
+        "doc_id long, text string",
+    )
+    learned = bpe_train(docs, n_merges=8, min_pair_count=2)
+    assert learned  # corpus has repeated pairs to learn
+    enc = bpe_encode_token_count(docs, learned).collect()
+    n_chars = len("the quick brown fox jumps over the lazy dog")
+    assert all(0 < r["bpe_tokens"] < n_chars for r in enc)
