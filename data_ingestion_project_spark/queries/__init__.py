@@ -94,6 +94,7 @@ _DRIVER_PRIORITY = (
     "segment_wealth_percentiles",
     "zipf_slope_by_lang",
     "chunk_dup_stats",
+    "contrastive_training_pairs",
     # rows-only uncovered (approximate families; each carries a pytest
     # recall floor).  Entries past the 50-entry window — the weakest
     # possible signal loss (rows-only rows certify shape, not values).

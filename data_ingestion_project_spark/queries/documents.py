@@ -1757,6 +1757,102 @@ ORDER BY lang
 """.replace("{bpe}", _BPE_SQL)
 
 
+# ----------------------------- contrastive pair mining
+
+_CONTRASTIVE_MIN_SHARED = 10
+_CONTRASTIVE_K = 100
+
+
+def contrastive_training_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mined (id_a, id_b, label, score) pairs for embedding-model
+    training: positives are the strongest near-dup pairs from the
+    materialized winnow pair table (documents that genuinely share
+    content — label 1, score = shared fingerprints); negatives are
+    deterministic pseudo-random pairings (label 0) built by pairing
+    ADJACENT documents in md5 order WITHIN 16 md5-prefix buckets — a
+    seedless random permutation any engine reproduces, windowed per
+    bucket so no global sort exists at scale — minus any pairing that
+    is itself a candidate near-dup. Top-K of each side keeps the
+    output bounded; real miners scale K with the corpus.
+
+    Fully oracle-certified: the winnow CTEs replay candidate mining
+    and the same md5-bucket windows replay the negative sampler."""
+    from pyspark.sql.window import Window
+
+    pairs = _winnow_pair_counts(spark, sf_dir)
+    pos = (
+        pairs.filter(F.col("n_shared") >= _CONTRASTIVE_MIN_SHARED)
+        .orderBy(F.col("n_shared").desc(), "id_a", "id_b")
+        .limit(_CONTRASTIVE_K)
+        .select("id_a", "id_b", F.lit(1).alias("label"), F.col("n_shared").alias("score"))
+    )
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(F.col("doc_id").cast("string")).alias("h")
+    )
+    d = d.withColumn("bucket", F.substring("h", 1, 1))
+    w = Window.partitionBy("bucket").orderBy("h", "doc_id")
+    ordered = d.withColumn("rn", F.row_number().over(w))
+    nxt = ordered.select(
+        F.col("bucket").alias("b2"),
+        (F.col("rn") - 1).alias("rn2"),
+        F.col("doc_id").alias("id_b"),
+    )
+    adj = ordered.join(
+        nxt, (F.col("bucket") == F.col("b2")) & (F.col("rn") == F.col("rn2"))
+    ).select(
+        F.least("doc_id", "id_b").alias("id_a"),
+        F.greatest("doc_id", "id_b").alias("id_b"),
+        "bucket",
+        "rn",
+    )
+    neg = (
+        adj.join(pairs, ["id_a", "id_b"], "left_anti")
+        .orderBy("bucket", "rn")
+        .limit(_CONTRASTIVE_K)
+        .select("id_a", "id_b", F.lit(0).alias("label"), F.lit(0).cast("long").alias("score"))
+    )
+    return pos.unionByName(neg).orderBy(
+        F.col("label").desc(), F.col("score").desc(), "id_a", "id_b"
+    )
+
+
+ORACLE_CONTRASTIVE_TRAINING_PAIRS = f"""
+WITH {_WINNOW_PAIR_CTES},
+pos AS (
+  SELECT id_a, id_b, 1 AS label, n_shared AS score
+  FROM wpairs WHERE n_shared >= {_CONTRASTIVE_MIN_SHARED}
+  ORDER BY n_shared DESC, id_a, id_b LIMIT {_CONTRASTIVE_K}
+),
+ordered AS (
+  SELECT doc_id, h, bucket,
+         ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY h, doc_id) AS rn
+  FROM (
+    SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+           substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS bucket
+    FROM documents
+  ) t
+),
+adj AS (
+  SELECT LEAST(a.doc_id, b.doc_id) AS id_a,
+         GREATEST(a.doc_id, b.doc_id) AS id_b,
+         a.bucket, a.rn
+  FROM ordered a JOIN ordered b ON a.bucket = b.bucket AND b.rn = a.rn + 1
+),
+neg AS (
+  SELECT id_a, id_b, 0 AS label, CAST(0 AS BIGINT) AS score
+  FROM adj
+  WHERE NOT EXISTS (
+    SELECT 1 FROM wpairs w WHERE w.id_a = adj.id_a AND w.id_b = adj.id_b
+  )
+  ORDER BY bucket, rn LIMIT {_CONTRASTIVE_K}
+)
+SELECT id_a, id_b, label, score FROM pos
+UNION ALL
+SELECT id_a, id_b, label, score FROM neg
+ORDER BY label DESC, score DESC, id_a, id_b
+"""
+
+
 # ----------------------------- chunk-level dedup
 
 
@@ -2160,6 +2256,7 @@ QUERIES = {
     "zipf_slope_by_lang": zipf_slope_by_lang,
     "chunk_dup_stats": chunk_dup_stats,
     "bpe_real_token_stats": bpe_real_token_stats,
+    "contrastive_training_pairs": contrastive_training_pairs,
 }
 
 ORACLE = {
@@ -2196,5 +2293,6 @@ ORACLE = {
     "dup_graph_pagerank": ORACLE_DUP_GRAPH_PAGERANK,
     "zipf_slope_by_lang": ORACLE_ZIPF_SLOPE_BY_LANG,
     "chunk_dup_stats": ORACLE_CHUNK_DUP_STATS,
+    "contrastive_training_pairs": ORACLE_CONTRASTIVE_TRAINING_PAIRS,
     # minhash_near_dups / simhash_near_dups: rows-only by design
 }

@@ -963,3 +963,20 @@ def test_bpe_encode_applies_learned_merges(spark):
     enc = bpe_encode_token_count(docs, learned).collect()
     n_chars = len("the quick brown fox jumps over the lazy dog")
     assert all(0 < r["bpe_tokens"] < n_chars for r in enc)
+
+
+def test_contrastive_pairs_label_semantics(spark):
+    """Positives and negatives are disjoint pair sets, labels map to
+    scores correctly, and the frame is deterministic across runs."""
+    from data_ingestion_project_spark.queries.documents import contrastive_training_pairs
+
+    a = contrastive_training_pairs(spark, "/root/testdata/sf0.001").collect()
+    pos = {(r["id_a"], r["id_b"]) for r in a if r["label"] == 1}
+    neg = {(r["id_a"], r["id_b"]) for r in a if r["label"] == 0}
+    assert pos and neg
+    assert not pos & neg
+    assert all(r["score"] >= 10 for r in a if r["label"] == 1)
+    assert all(r["score"] == 0 for r in a if r["label"] == 0)
+    assert all(r["id_a"] < r["id_b"] for r in a)
+    b = contrastive_training_pairs(spark, "/root/testdata/sf0.001").collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
