@@ -95,6 +95,7 @@ _DRIVER_PRIORITY = (
     "zipf_slope_by_lang",
     "chunk_dup_stats",
     "contrastive_training_pairs",
+    "source_data_cards",
     # rows-only uncovered (approximate families; each carries a pytest
     # recall floor).  Entries past the 50-entry window — the weakest
     # possible signal loss (rows-only rows certify shape, not values).

@@ -1757,6 +1757,77 @@ ORDER BY lang
 """.replace("{bpe}", _BPE_SQL)
 
 
+# ----------------------------- per-source data cards
+
+
+def source_data_cards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One governance row per source — the "data card" a curated-corpus
+    release publishes: volume (docs/tokens), language profile
+    (cardinality + dominant language share), and exact-dup rate within
+    the source (content-addressed, same fingerprint as the dedup
+    family). One scan feeds three source-keyed aggregates joined on
+    the tiny source dimension."""
+    from pyspark.sql.window import Window
+
+    d = table(spark, sf_dir, "documents").select(
+        "source", "lang", fingerprint("text").alias("fp"), token_count("text").alias("tok")
+    )
+    base = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("tok").cast("long")).alias("total_tokens"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.count_distinct("fp").alias("n_unique_docs"),
+    )
+    by_lang = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("source").orderBy(F.col("n").desc(), F.col("lang").asc())
+    top = (
+        by_lang.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("source", F.col("lang").alias("top_lang"), F.col("n").alias("top_n"))
+    )
+    return (
+        base.join(top, "source")
+        .select(
+            "source",
+            "n_docs",
+            "total_tokens",
+            "n_langs",
+            "top_lang",
+            F.round(F.col("top_n") / F.col("n_docs"), 4).alias("top_lang_share"),
+            F.round(
+                (F.col("n_docs") - F.col("n_unique_docs")) / F.col("n_docs"), 4
+            ).alias("exact_dup_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_SOURCE_DATA_CARDS = """
+WITH d AS (
+  SELECT source, lang,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS tok
+  FROM documents
+), base AS (
+  SELECT source, COUNT(*) AS n_docs, CAST(SUM(tok) AS BIGINT) AS total_tokens,
+         COUNT(DISTINCT lang) AS n_langs, COUNT(DISTINCT fp) AS n_unique
+  FROM d GROUP BY source
+), top AS (
+  SELECT source, lang AS top_lang, n AS top_n
+  FROM (
+    SELECT source, lang, COUNT(*) AS n,
+           ROW_NUMBER() OVER (PARTITION BY source ORDER BY COUNT(*) DESC, lang ASC) AS rn
+    FROM d GROUP BY source, lang
+  ) t WHERE rn = 1
+)
+SELECT b.source, b.n_docs, b.total_tokens, b.n_langs, top.top_lang,
+       ROUND(top.top_n * 1.0 / b.n_docs, 4) AS top_lang_share,
+       ROUND((b.n_docs - b.n_unique) * 1.0 / b.n_docs, 4) AS exact_dup_rate
+FROM base b JOIN top ON b.source = top.source
+ORDER BY b.source
+"""
+
+
 # ----------------------------- contrastive pair mining
 
 _CONTRASTIVE_MIN_SHARED = 10
@@ -2257,6 +2328,7 @@ QUERIES = {
     "chunk_dup_stats": chunk_dup_stats,
     "bpe_real_token_stats": bpe_real_token_stats,
     "contrastive_training_pairs": contrastive_training_pairs,
+    "source_data_cards": source_data_cards,
 }
 
 ORACLE = {
@@ -2294,5 +2366,6 @@ ORACLE = {
     "zipf_slope_by_lang": ORACLE_ZIPF_SLOPE_BY_LANG,
     "chunk_dup_stats": ORACLE_CHUNK_DUP_STATS,
     "contrastive_training_pairs": ORACLE_CONTRASTIVE_TRAINING_PAIRS,
+    "source_data_cards": ORACLE_SOURCE_DATA_CARDS,
     # minhash_near_dups / simhash_near_dups: rows-only by design
 }
