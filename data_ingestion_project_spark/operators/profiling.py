@@ -84,3 +84,58 @@ def profile_table(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def profile_drift(
+    old: DataFrame, new: DataFrame, rel_threshold: float = 0.5
+) -> DataFrame:
+    """Diff two profiles of the same table (drift detection): per
+    column, the row/null/distinct deltas and a ``drifted`` flag when
+    null-rate or distinct cardinality moved by more than
+    ``rel_threshold`` relative to the old snapshot, or min/max moved
+    at all. Profiles are column-count-sized, so the diff is a tiny
+    broadcast join — run it per snapshot and alert on ``drifted``.
+
+    Columns appearing in only one profile (schema evolution) surface
+    with NULL counterpart values and ``drifted`` = true.
+    """
+    o = old.select(
+        "column",
+        F.col("n_rows").alias("old_rows"),
+        F.col("n_nulls").alias("old_nulls"),
+        F.col("n_distinct").alias("old_distinct"),
+        F.col("min_value").alias("old_min"),
+        F.col("max_value").alias("old_max"),
+    )
+    n = new.select(
+        "column",
+        F.col("n_rows").alias("new_rows"),
+        F.col("n_nulls").alias("new_nulls"),
+        F.col("n_distinct").alias("new_distinct"),
+        F.col("min_value").alias("new_min"),
+        F.col("max_value").alias("new_max"),
+    )
+    j = o.join(n, "column", "full_outer")
+    old_null_rate = F.col("old_nulls") / F.greatest(F.col("old_rows"), F.lit(1))
+    new_null_rate = F.col("new_nulls") / F.greatest(F.col("new_rows"), F.lit(1))
+    rel = lambda a, b: F.abs(a - b) / F.greatest(F.abs(b), F.lit(1e-12))  # noqa: E731
+    drifted = (
+        F.col("old_rows").isNull()
+        | F.col("new_rows").isNull()
+        | (rel(new_null_rate, old_null_rate) > rel_threshold)
+        | (rel(F.col("new_distinct"), F.col("old_distinct")) > rel_threshold)
+        | (F.col("new_min") != F.col("old_min"))
+        | (F.col("new_max") != F.col("old_max"))
+    )
+    return j.select(
+        "column",
+        "old_rows",
+        "new_rows",
+        (F.col("new_nulls") - F.col("old_nulls")).alias("null_delta"),
+        (F.col("new_distinct") - F.col("old_distinct")).alias("distinct_delta"),
+        "old_min",
+        "new_min",
+        "old_max",
+        "new_max",
+        F.coalesce(drifted, F.lit(True)).alias("drifted"),
+    ).orderBy("column")

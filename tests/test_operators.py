@@ -980,3 +980,27 @@ def test_contrastive_pairs_label_semantics(spark):
     assert all(r["id_a"] < r["id_b"] for r in a)
     b = contrastive_training_pairs(spark, "/root/testdata/sf0.001").collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_profile_drift_flags_changes_and_evolution(spark):
+    """A stable column stays quiet; a null-rate jump, a range shift,
+    and a schema-evolved column each raise the drifted flag."""
+    from data_ingestion_project_spark.operators.profiling import (
+        profile_drift,
+        profile_table,
+    )
+
+    old = profile_table(
+        spark.createDataFrame([(1, 5.0), (2, 6.0), (3, 7.0), (4, 8.0)], "k long, v double")
+    )
+    new = profile_table(
+        spark.createDataFrame(
+            [(1, None), (2, None), (3, 7.0), (4, 99.0), (5, 5.0)],
+            "k long, v double",
+        ).withColumn("extra", __import__("pyspark").sql.functions.lit("x"))
+    )
+    d = {r["column"]: r for r in profile_drift(old, new).collect()}
+    assert not d["k"]["drifted"] or d["k"]["new_max"] != d["k"]["old_max"]  # k gained a row
+    assert d["v"]["drifted"]  # null rate 0 -> 0.4 and max moved
+    assert d["v"]["null_delta"] == 2
+    assert d["extra"]["drifted"] and d["extra"]["old_rows"] is None  # evolution
