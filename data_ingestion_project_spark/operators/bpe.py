@@ -85,8 +85,11 @@ def bpe_encode_token_count(
     adjacent pair. Arrow-batched pandas UDF with a per-batch word
     memo — corpora repeat words (Zipf), so the amortized cost per row
     is near the dictionary lookup, and the merge table broadcasts via
-    closure. Word-splitting matches word_freq_symbols (lower + \\s+)
-    so training and encoding agree on the word universe."""
+    closure. Word splitting and lowercasing happen in SPARK with the
+    exact expression word_freq_symbols trains on (lower + Java \\s+) —
+    a Python-side str.split()/str.lower() would disagree on Unicode
+    whitespace (NBSP) and locale case folds (Turkish İ), silently
+    encoding words the trainer never saw."""
     from pyspark.sql.functions import pandas_udf
 
     ranks = {(left, right): i for i, (left, right, _n) in enumerate(merges)}
@@ -105,21 +108,25 @@ def bpe_encode_token_count(
         return len(syms)
 
     @pandas_udf("int")
-    def _count(texts: pd.Series) -> pd.Series:
+    def _count(word_arrays: pd.Series) -> pd.Series:
         memo: dict[str, int] = {}
 
-        def doc_tokens(t: str) -> int:
+        def doc_tokens(words) -> int:
             total = 0
-            for w in (t or "").lower().split():
+            for w in words:
+                if not w:
+                    continue
                 n = memo.get(w)
                 if n is None:
                     n = memo[w] = _encode_len(w)
                 total += n
             return total
 
-        return texts.map(doc_tokens).astype("int32")
+        return word_arrays.map(doc_tokens).astype("int32")
 
-    return docs.withColumn(out_col, _count(F.col(text_col)))
+    # identical tokenization expression to word_freq_symbols
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    return docs.withColumn(out_col, _count(words))
 
 
 def bpe_train(

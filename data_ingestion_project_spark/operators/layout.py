@@ -72,10 +72,11 @@ def write_training_shards(
     spark.sql.files.maxRecordsPerFile if a single file per shard is
     too large.
     """
+    from data_ingestion_project_spark.functions.portable_hash import md5_bucket
+
     idc = F.col(id_col).cast("string")
     keyed = df.withColumn("__h", F.md5(idc)).withColumn(
-        "shard",
-        (F.conv(F.substring(F.col("__h"), 1, 6), 16, 10).cast("long") % n_shards),
+        "shard", md5_bucket(idc, n_shards)
     )
     (
         keyed.repartition(n_shards, "shard")

@@ -105,17 +105,25 @@ def pagerank_unrolled_sql(
     the same fixed iterations as chained CTEs over ``edges_cte`` (a
     CTE name providing (src, dst)). Bit-identical by the determinism
     contract in the module docstring."""
-    d = repr(damping)
+    # Teleport numerator is EMITTED as the Python IEEE double
+    # (repr(1.0 - damping), e.g. 0.15000000000000002) and cast to
+    # DOUBLE — the Spark side computes (1.0 - damping) in Python
+    # binary arithmetic, while a SQL-side `1.0 - 0.85` is DECIMAL
+    # subtraction (exactly 0.15, one ulp away), which would break the
+    # bit-identical contract right at a rounding boundary. Same for
+    # the damping factor.
+    d = f"CAST({damping!r} AS DOUBLE)"
+    tele = f"CAST({(1.0 - damping)!r} AS DOUBLE)"
     parts = [
         f"deg AS (SELECT src, COUNT(*) AS deg FROM {edges_cte} GROUP BY src)",
         "nn AS (SELECT COUNT(*) AS n FROM deg)",
-        "r0 AS (SELECT src, 1.0 / nn.n AS rank FROM deg, nn)",
+        "r0 AS (SELECT src, CAST(1.0 AS DOUBLE) / nn.n AS rank FROM deg, nn)",
     ]
     for i in range(1, iterations + 1):
         parts.append(
             f"""r{i} AS (
   SELECT e.dst AS src,
-         ROUND((1.0 - {d}) / MAX(nn.n)
+         ROUND({tele} / MAX(nn.n)
                + {d} * CAST(SUM(CAST(ROUND(r.rank / dg.deg, {CONTRIB_SCALE})
                                      AS DECIMAL(38,{CONTRIB_SCALE}))) AS DOUBLE),
                {RANK_SCALE}) AS rank

@@ -47,7 +47,14 @@ def _as_profile_string(col: F.Column, dtype) -> F.Column:
     if isinstance(dtype, _INT_TYPES):
         return col.cast("string")
     if isinstance(dtype, _FLOAT_TYPES):
-        return F.format_string("%.4f", col.cast("double"))
+        # Pre-round with ROUND (HALF_UP in both Spark and DuckDB —
+        # established parity) BEFORE fixed-point formatting: %.4f
+        # formatting alone rounds exact 4-decimal TIES differently
+        # across engines (Java Formatter HALF_UP vs printf's
+        # half-to-even; e.g. 0.15625 → '0.1563' vs '0.1562'). A
+        # pre-rounded value is never a formatting tie, so the render
+        # is engine-deterministic.
+        return F.format_string("%.4f", F.round(col.cast("double"), 4))
     if isinstance(dtype, _TS_TYPES):
         return F.date_format(col, "yyyy-MM-dd HH:mm:ss")
     return col.cast("string")
@@ -119,13 +126,17 @@ def profile_drift(
     old_null_rate = F.col("old_nulls") / F.greatest(F.col("old_rows"), F.lit(1))
     new_null_rate = F.col("new_nulls") / F.greatest(F.col("new_rows"), F.lit(1))
     rel = lambda a, b: F.abs(a - b) / F.greatest(F.abs(b), F.lit(1e-12))  # noqa: E731
+    # Null-SAFE min/max comparison: an all-NULL column has NULL
+    # min/max in BOTH snapshots, and `NULL != NULL` is NULL — which
+    # the final coalesce would turn into a permanent false alarm on a
+    # perfectly stable column. eqNullSafe treats NULL == NULL as true.
     drifted = (
         F.col("old_rows").isNull()
         | F.col("new_rows").isNull()
         | (rel(new_null_rate, old_null_rate) > rel_threshold)
         | (rel(F.col("new_distinct"), F.col("old_distinct")) > rel_threshold)
-        | (F.col("new_min") != F.col("old_min"))
-        | (F.col("new_max") != F.col("old_max"))
+        | ~F.col("new_min").eqNullSafe(F.col("old_min"))
+        | ~F.col("new_max").eqNullSafe(F.col("old_max"))
     )
     return j.select(
         "column",

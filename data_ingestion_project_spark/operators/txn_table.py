@@ -275,13 +275,20 @@ def read_staged(spark: SparkSession, path: str, rel: str) -> DataFrame:
 
 
 def publish_staged(
-    spark: SparkSession, path: str, rel: str, merge_schema: bool = False
+    spark: SparkSession,
+    path: str,
+    rel: str,
+    merge_schema: bool = False,
+    schema: StructType | None = None,
 ) -> int:
     """Metadata-only commit of a previously staged directory — the
     Publish step of write-audit-publish. No data moves; the manifest
     gains one directory reference, with the same schema enforcement as
-    ``append``. Double-publishing the same directory raises."""
-    schema = spark.read.parquet(os.path.join(path, rel)).schema
+    ``append``. Double-publishing the same directory raises. Pass
+    ``schema`` when the caller already holds the staged frame's schema
+    (wap.py does) to skip re-opening the parquet footers."""
+    if schema is None:
+        schema = spark.read.parquet(os.path.join(path, rel)).schema
     return _commit_retry(
         path,
         "publish",

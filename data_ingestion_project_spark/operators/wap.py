@@ -47,11 +47,19 @@ def write_audit_publish(
     on success) and ``version`` is the committed table version (None
     when the audit failed).
     """
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
     rel = txn_table.stage(spark, table_path, df)
     staged = txn_table.read_staged(spark, table_path, rel)
-    audit = row_checks(staged, checks).collect()
+    # Piggyback the row count on the audit scan via observe — the
+    # batch is read ONCE; a separate count() would re-scan it.
+    obs = Observation()
+    audit = row_checks(
+        staged.observe(obs, F.count(F.lit(1)).alias("n")), checks
+    ).collect()
     violations = {r["check_name"]: r["n_violations"] for r in audit if not r["passed"]}
-    n_rows = staged.count()
+    n_rows = int(obs.get["n"])
     if violations:
         return {
             "published": False,
@@ -60,7 +68,9 @@ def write_audit_publish(
             "n_rows": n_rows,
             "violations": violations,
         }
-    version = txn_table.publish_staged(spark, table_path, rel, merge_schema=merge_schema)
+    version = txn_table.publish_staged(
+        spark, table_path, rel, merge_schema=merge_schema, schema=staged.schema
+    )
     return {
         "published": True,
         "version": version,

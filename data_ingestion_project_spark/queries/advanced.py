@@ -818,7 +818,10 @@ def _profile_sql_row(col: str, kind: str) -> str:
     if kind == "int":
         mn, mx = f"CAST(MIN({col}) AS VARCHAR)", f"CAST(MAX({col}) AS VARCHAR)"
     elif kind == "double":
-        mn, mx = f"printf('%.4f', MIN({col}))", f"printf('%.4f', MAX({col}))"
+        # pre-ROUND before formatting — see operators/profiling.py
+        # (formatting ties round differently across engines)
+        mn = f"printf('%.4f', ROUND(MIN({col}), 4))"
+        mx = f"printf('%.4f', ROUND(MAX({col}), 4))"
     elif kind == "ts":
         mn = f"strftime(MIN({col}), '%Y-%m-%d %H:%M:%S')"
         mx = f"strftime(MAX({col}), '%Y-%m-%d %H:%M:%S')"

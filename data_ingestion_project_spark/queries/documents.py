@@ -1101,8 +1101,12 @@ def _bpe_merges(spark: SparkSession, sf_dir: str) -> list:
 
     from data_ingestion_project_spark.operators.bpe import bpe_train
 
-    src = os.path.join(os.path.abspath(os.path.normpath(sf_dir)), "documents.parquet")
-    key = (sf_dir, os.path.getmtime(src) if os.path.exists(src) else None)
+    abs_dir = os.path.abspath(os.path.normpath(sf_dir))
+    src = os.path.join(abs_dir, "documents.parquet")
+    # key on the NORMALIZED dir: 'sf0.01' and './sf0.01/' are the same
+    # corpus and must hit the same cache entry (a raw-string key would
+    # retrain the 10-round pipeline per spelling)
+    key = (abs_dir, os.path.getmtime(src) if os.path.exists(src) else None)
     if key not in _BPE_MERGES:
         _BPE_MERGES[key] = bpe_train(
             table(spark, sf_dir, "documents"), n_merges=10, min_pair_count=2
@@ -2135,11 +2139,12 @@ ORACLE_DUP_GRAPH_PAGERANK = _oracle_dup_graph_pagerank()
 DSIR_BUCKETS = 1024
 
 
-def _md5_bucket(col, buckets: int):
-    """Engine-portable word→bucket hash: first 6 md5 hex chars as an
-    integer, mod buckets. Mirrored in SQL as
-    CAST(concat('0x', substr(md5(w),1,6)) AS BIGINT) % buckets."""
-    return (F.conv(F.substring(F.md5(col), 1, 6), 16, 10).cast("long") % buckets)
+# Engine-portable word→bucket hash shared with the shard EXPORT path
+# (operators/layout.write_training_shards) — one definition, so the
+# written layout can never drift from this accounting/oracle.
+from data_ingestion_project_spark.functions.portable_hash import (  # noqa: E402
+    md5_bucket as _md5_bucket,
+)
 
 
 def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -344,6 +344,8 @@ def embedding_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from data_ingestion_project_spark.operators.similarity import ivf_assign
 
+    from data_ingestion_project_spark.queries._precision import DEC_BUF, MICRO, to_micro
+
     cents = _ivf_index(spark, sf_dir)
     e = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") != QUERY_VEC_ID)
     # Literal centroid matrix → per-row cosine to own centroid stays
@@ -356,14 +358,25 @@ def embedding_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("embedding"), F.element_at(cmat, F.col("list_id") + 1)
         ).alias("cos_to_centroid"),
     )
-    sizes = assigned.groupBy("list_id").agg(
-        F.count(F.lit(1)).alias("n_vectors"),
-        dec_avg(F.col("cos_to_centroid")).alias("avg_cos_to_centroid"),
+    # ONE corpus pass: the (list, label) cell rollup carries count +
+    # exact micro-unit cosine partials; sizes and the dominant label
+    # both re-aggregate the cell frame (16 x |labels| rows), so the
+    # Arrow assignment UDF and the scan run exactly once. Decimal
+    # partials are associative, so the two-level mean equals dec_avg's
+    # single-pass value bit-for-bit.
+    cell = assigned.groupBy("list_id", "label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(to_micro(F.col("cos_to_centroid")).cast(DEC_BUF)).alias("micro"),
     )
-    by_label = assigned.groupBy("list_id", "label").agg(F.count(F.lit(1)).alias("n"))
+    sizes = cell.groupBy("list_id").agg(
+        F.sum("n").alias("n_vectors"),
+        F.round(
+            F.sum("micro").cast("double") / F.lit(float(MICRO)) / F.sum("n"), 4
+        ).alias("avg_cos_to_centroid"),
+    )
     w = Window.partitionBy("list_id").orderBy(F.col("n").desc(), F.col("label").asc())
     top = (
-        by_label.withColumn("rn", F.row_number().over(w))
+        cell.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("list_id", F.col("label").alias("top_label"), F.col("n").alias("top_n"))
     )

@@ -300,11 +300,15 @@ def test_batch_knn_broadcasts_probes_and_group_limits(spark):
 
 
 def test_pagerank_iteration_plan_is_linear(spark):
-    """5 unrolled PageRank iterations: each is one join + one agg; the
-    plan must contain no sort-merge joins (ranks/deg frames join the
-    edge table hash-wise) and no python UDFs."""
+    """Each PageRank iteration is one join + one agg shuffle (earlier
+    rounds are checkpointed away, so the census sees the final one):
+    the rank frame joins the edge list hash-wise — broadcast, never
+    sort-merge — and no Python touches the loop."""
     df = all_queries()["dup_graph_pagerank"](spark, SF)
     c = plan_census(df)
+    assert c["n_sortmerge_joins"] == 0
+    assert c["n_broadcast_joins"] >= 1
+    assert c["n_exchanges"] <= 2  # agg shuffle (+ bounded top-k sort)
     assert not c["has_python_udf"]
 
 
