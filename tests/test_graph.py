@@ -122,3 +122,51 @@ def test_pagerank_uniform_on_cycle(spark):
     ranks = [r["rank"] for r in pagerank(symmetrize(pairs), iterations=5).collect()]
     assert len(ranks) == n
     assert all(abs(r - 1.0 / n) < 1e-9 for r in ranks)
+
+
+def _py_pagerank(edges, iterations=5, damping=0.85):
+    """Pure-Python reference mirroring the operator's determinism
+    contract (rounded contributions, exact inbox sums, rounded ranks)."""
+    from collections import defaultdict
+
+    out = defaultdict(list)
+    for s, d in edges:
+        out[s].append(d)
+    n = len(out)
+    ranks = {s: 1.0 / n for s in out}
+    for _ in range(iterations):
+        inbox = defaultdict(float)  # sums of pre-rounded values are exact enough at test scale
+        for s, dsts in out.items():
+            c = round(ranks[s] / len(dsts), 14)
+            for d in dsts:
+                inbox[d] += c
+        ranks = {
+            node: round((1.0 - damping) / n + damping * tot, 10)
+            for node, tot in inbox.items()
+        }
+    return ranks
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=30,
+        unique=True,
+    )
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_pagerank_matches_python_reference(spark, edges):
+    """On random graphs the distributed unrolled plan must equal a
+    pure-Python replay of the same contract to float tolerance."""
+    from data_ingestion_project_spark.operators.pagerank import pagerank, symmetrize
+
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    sym = symmetrize(pairs)
+    got = {r["node"]: r["rank"] for r in pagerank(sym, iterations=3).collect()}
+    ref = _py_pagerank(
+        [(r["src"], r["dst"]) for r in sym.collect()], iterations=3
+    )
+    assert set(got) == set(ref)
+    for node in ref:
+        assert abs(got[node] - ref[node]) < 1e-9, (node, got[node], ref[node])
