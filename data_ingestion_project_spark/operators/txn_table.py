@@ -280,21 +280,26 @@ def publish_staged(
     rel: str,
     merge_schema: bool = False,
     schema: StructType | None = None,
+    extra: dict | None = None,
 ) -> int:
     """Metadata-only commit of a previously staged directory — the
     Publish step of write-audit-publish. No data moves; the manifest
     gains one directory reference, with the same schema enforcement as
     ``append``. Double-publishing the same directory raises. Pass
     ``schema`` when the caller already holds the staged frame's schema
-    (wap.py does) to skip re-opening the parquet footers."""
+    (wap.py does) to skip re-opening the parquet footers; ``extra``
+    rides the same atomic manifest write (streaming batch-id fences)."""
     if schema is None:
         schema = spark.read.parquet(os.path.join(path, rel)).schema
+    merged_extra = dict(extra or {})
+    if merge_schema:
+        merged_extra["evolved"] = True
     return _commit_retry(
         path,
         "publish",
         _append_dirs_fn(rel, schema, merge_schema),
         None,
-        extra={"evolved": True} if merge_schema else None,
+        extra=merged_extra or None,
     )
 
 

@@ -31,6 +31,25 @@ from data_ingestion_project_spark.operators import txn_table
 from data_ingestion_project_spark.operators.quality_checks import row_checks
 
 
+def audit_staged(
+    spark: SparkSession, table_path: str, rel: str, checks: dict[str, Column]
+) -> tuple[dict, int]:
+    """Audit one staged directory: run the declared row checks against
+    the staged FILES in a single scan (row count piggybacked via
+    observe). Returns (violations, n_rows) — shared by the batch
+    write_audit_publish and the streaming gated-ingestion sink."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    staged = txn_table.read_staged(spark, table_path, rel)
+    obs = Observation()
+    audit = row_checks(
+        staged.observe(obs, F.count(F.lit(1)).alias("n")), checks
+    ).collect()
+    violations = {r["check_name"]: r["n_violations"] for r in audit if not r["passed"]}
+    return violations, int(obs.get["n"])
+
+
 def write_audit_publish(
     spark: SparkSession,
     df: DataFrame,
@@ -47,19 +66,8 @@ def write_audit_publish(
     on success) and ``version`` is the committed table version (None
     when the audit failed).
     """
-    from pyspark.sql import Observation
-    from pyspark.sql import functions as F
-
     rel = txn_table.stage(spark, table_path, df)
-    staged = txn_table.read_staged(spark, table_path, rel)
-    # Piggyback the row count on the audit scan via observe — the
-    # batch is read ONCE; a separate count() would re-scan it.
-    obs = Observation()
-    audit = row_checks(
-        staged.observe(obs, F.count(F.lit(1)).alias("n")), checks
-    ).collect()
-    violations = {r["check_name"]: r["n_violations"] for r in audit if not r["passed"]}
-    n_rows = int(obs.get["n"])
+    violations, n_rows = audit_staged(spark, table_path, rel, checks)
     if violations:
         return {
             "published": False,
@@ -69,7 +77,11 @@ def write_audit_publish(
             "violations": violations,
         }
     version = txn_table.publish_staged(
-        spark, table_path, rel, merge_schema=merge_schema, schema=staged.schema
+        spark,
+        table_path,
+        rel,
+        merge_schema=merge_schema,
+        schema=txn_table.read_staged(spark, table_path, rel).schema,
     )
     return {
         "published": True,

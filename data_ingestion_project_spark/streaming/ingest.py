@@ -133,6 +133,74 @@ def start_running_count_stream(
     )
 
 
+def start_gated_ingestion_stream(
+    spark: SparkSession,
+    batches: DataFrame,
+    table_path: str,
+    checks: dict,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """Streaming write-audit-publish: every micro-batch is staged,
+    audited against the declared row checks (operators/wap.py), and
+    published into the txn table ONLY if clean — continuous ingestion
+    where a poison batch can never reach readers.
+
+    Semantics per batch:
+    - clean  → metadata-only publish carrying a ``stream_batch_id``
+      fence in the SAME atomic manifest commit, so a replayed batch
+      (at-least-once foreachBatch) is a no-op — exactly-once publishes.
+    - dirty  → the staged directory stays on disk as quarantine, a
+      rejection record lands in ``<table>/_quarantine/``, and the
+      stream keeps going (the batch is consumed, not retried — a
+      constraint violation is data, not a transient fault). A crash
+      before checkpoint re-audits the batch: same verdict, one more
+      orphan for vacuum, no table effect — idempotent in outcome.
+
+    The target table must exist (create_table upfront): gating is an
+    ingestion policy on an existing contract, not table bootstrap."""
+    import json as _json
+    import os
+
+    from data_ingestion_project_spark.operators import txn_table as T
+    from data_ingestion_project_spark.operators.wap import audit_staged
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        cur = T.current_version(table_path)
+        if cur is None:
+            raise ValueError(
+                f"gated ingestion target {table_path!r} does not exist; "
+                "create_table it with the contract schema first"
+            )
+        fence = T._read_manifest(table_path, cur).get("stream_batch_id", -1)
+        if batch_id <= fence:
+            return  # replayed micro-batch: already published atomically
+        rel = T.stage(spark, table_path, batch_df)
+        violations, n_rows = audit_staged(spark, table_path, rel, checks)
+        if violations:
+            qdir = os.path.join(table_path, "_quarantine")
+            os.makedirs(qdir, exist_ok=True)
+            record = {
+                "batch_id": batch_id,
+                "staged_dir": rel,
+                "n_rows": n_rows,
+                "violations": violations,
+            }
+            with open(os.path.join(qdir, f"batch_{batch_id}.json"), "w") as f:
+                _json.dump(record, f, sort_keys=True)
+            return
+        T.publish_staged(
+            spark, table_path, rel, extra={"stream_batch_id": batch_id}
+        )
+
+    return (
+        batches.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
 def start_scd2_dimension_stream(
     spark: SparkSession,
     updates: DataFrame,

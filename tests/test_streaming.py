@@ -587,3 +587,51 @@ def test_streaming_trending_words_accumulates_across_batches(spark, tmp_path):
         assert latest["beta"] == 5 and latest["alpha"] == 3
     finally:
         q.stop()
+
+
+def test_gated_ingestion_stream_quarantines_dirty_batches(spark, tmp_path):
+    """Streaming WAP: a clean micro-batch publishes with a batch-id
+    fence; a dirty one is quarantined (table untouched, rejection
+    record written) and the stream continues with later clean
+    batches."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from data_ingestion_project_spark.operators import txn_table as T
+    from data_ingestion_project_spark.streaming.ingest import (
+        start_gated_ingestion_stream,
+    )
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    table = str(tmp_path / "t")
+    T.create_table(
+        spark, table, spark.createDataFrame([(0, 1.0)], "id long, v double")
+    )
+    checks = {"v_positive": F.col("v") > 0}
+
+    _write_batch(src, "b1.json", [{"id": 1, "v": 2.0}, {"id": 2, "v": 3.0}])
+    stream = spark.readStream.schema("id long, v double").json(str(src))
+    q = start_gated_ingestion_stream(
+        spark, stream, table, checks, str(tmp_path / "ckpt")
+    )
+    try:
+        q.processAllAvailable()
+        assert T.read(spark, table).count() == 3  # seed + clean batch
+
+        v_before = T.current_version(table)
+        _write_batch(src, "b2.json", [{"id": 3, "v": -5.0}])  # dirty
+        q.processAllAvailable()
+        assert T.current_version(table) == v_before
+        assert T.read(spark, table).count() == 3
+        qfiles = sorted((tmp_path / "t" / "_quarantine").glob("batch_*.json"))
+        assert len(qfiles) == 1
+        rec = _json.loads(qfiles[0].read_text())
+        assert rec["violations"] == {"v_positive": 1} and rec["n_rows"] == 1
+
+        _write_batch(src, "b3.json", [{"id": 4, "v": 7.0}])  # clean again
+        q.processAllAvailable()
+        assert T.read(spark, table).count() == 4
+    finally:
+        q.stop()
