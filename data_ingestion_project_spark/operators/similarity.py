@@ -334,6 +334,34 @@ def write_ivf_index(
     ).parquet(path)
 
 
+def append_to_ivf_index(
+    new_vectors: DataFrame,
+    centroids: list[list[float]],
+    path: str,
+    vec_col: str = "embedding",
+) -> None:
+    """Incrementally grow an on-disk IVF index: assign ONLY the new
+    vectors against the FROZEN coarse quantizer and append them into
+    their list partitions — the ANN counterpart of incremental
+    cross-batch dedup (new data joins a maintained asset; the corpus
+    is never re-scanned). Probes see appended vectors immediately: a
+    list is a partition directory and pruning is directory-level,
+    indifferent to file count within it.
+
+    The quantizer stays fixed (standard IVF / FAISS posture):
+    appending never moves existing vectors, so recall degrades only as
+    the DATA distribution drifts from the trained centroids — retrain
+    + full rebuild offline when a drift monitor (e.g. rising mean
+    distance-to-centroid, cf. embedding_cluster_stats) crosses its
+    threshold. Dynamic-file-append visibility has the usual plain-
+    parquet caveat: wrap path in the txn table for snapshot isolation
+    against concurrent readers; small appended files amortize via
+    layout.compact_parquet."""
+    ivf_assign(new_vectors, centroids, vec_col=vec_col).write.partitionBy(
+        "list_id"
+    ).mode("append").parquet(path)
+
+
 def ivf_probe_topk(
     spark,
     index_path: str,

@@ -1004,3 +1004,49 @@ def test_profile_drift_flags_changes_and_evolution(spark):
     assert d["v"]["drifted"]  # null rate 0 -> 0.4 and max moved
     assert d["v"]["null_delta"] == 2
     assert d["extra"]["drifted"] and d["extra"]["old_rows"] is None  # evolution
+
+
+def test_append_to_ivf_index_vectors_become_findable(spark, tmp_path):
+    """Appending against the frozen quantizer makes new vectors
+    immediately probe-visible: an appended near-duplicate of the query
+    must surface as the top hit, and existing index files are not
+    rewritten."""
+    import os
+
+    from data_ingestion_project_spark.operators.similarity import (
+        append_to_ivf_index,
+        ivf_centroids,
+        ivf_probe_topk,
+        write_ivf_index,
+    )
+
+    base = spark.createDataFrame(
+        [(i, [float(i % 7), float((i * 3) % 5), 1.0]) for i in range(1, 60)],
+        "vec_id long, embedding array<float>",
+    )
+    cents = ivf_centroids(base, n_centroids=4, n_iter=2, seed=7)
+    path = str(tmp_path / "ivf")
+    write_ivf_index(base, cents, path)
+    files_before = {
+        os.path.join(r, f)
+        for r, _, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    }
+
+    q = [2.5, 4.5, 1.0]  # not collinear with any integer-grid base vector
+    new = spark.createDataFrame(
+        [(1000, [2.5, 4.5, 1.0])], "vec_id long, embedding array<float>"
+    )
+    append_to_ivf_index(new, cents, path)
+    top = ivf_probe_topk(spark, path, q, centroids=cents, k=3, n_probe=4).collect()
+    assert top[0]["vec_id"] == 1000 and top[0]["sim"] > 0.999
+
+    files_after = {
+        os.path.join(r, f)
+        for r, _, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    }
+    assert files_before <= files_after  # append never rewrites
+    assert len(files_after) > len(files_before)
