@@ -515,3 +515,22 @@ def test_write_audit_publish_gates_bad_batches(spark, tmp_path):
 
     with pytest.raises(ValueError, match="already published"):
         T.publish_staged(spark, path, good["staged_dir"])
+
+
+def test_concurrent_staged_publishes_both_commit(spark, tmp_path):
+    """Two writers staging independently then publishing concurrently
+    (same base version) must BOTH land: publish is an add-only commit,
+    so the loser of the version race retries and set-unions cleanly —
+    no lost update, no double reference."""
+    from data_ingestion_project_spark.operators import txn_table as T
+
+    path = str(tmp_path / "t")
+    T.create_table(spark, path, spark.createDataFrame([(0,)], "id long"))
+    rel_a = T.stage(spark, path, spark.createDataFrame([(1,), (2,)], "id long"))
+    rel_b = T.stage(spark, path, spark.createDataFrame([(3,)], "id long"))
+    va = T.publish_staged(spark, path, rel_a)
+    vb = T.publish_staged(spark, path, rel_b)
+    assert vb == va + 1
+    assert sorted(r["id"] for r in T.read(spark, path).collect()) == [0, 1, 2, 3]
+    dirs = T._read_manifest(path, vb)["data_dirs"]
+    assert dirs.count(rel_a) == 1 and dirs.count(rel_b) == 1
