@@ -26,11 +26,19 @@ def _build_parser() -> argparse.ArgumentParser:
 
     sub.add_parser("list", help="list declared queries (oracle-backed marked)")
 
+    cat = sub.add_parser("catalog", help="summarize the input tables (rows/columns/bytes)")
+    cat.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+
     run = sub.add_parser("run", help="execute a query and print its result")
     run.add_argument("query")
     run.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
     run.add_argument("--format", choices=("table", "json", "csv"), default="table")
     run.add_argument("--limit", type=int, default=None, help="cap printed rows")
+    run.add_argument(
+        "--output",
+        default=None,
+        help="write the FULL result to this path as parquet instead of printing",
+    )
 
     ex = sub.add_parser("explain", help="print the formatted physical plan")
     ex.add_argument("query")
@@ -52,11 +60,34 @@ def main(argv: list[str] | None = None) -> int:
             print(f"{name}\t{kind}")
         return 0
 
+    from data_ingestion_project_spark.session import build_session
+
+    if args.cmd == "catalog":
+        import os
+
+        from data_ingestion_project_spark.sources.readers import TABLES, table
+
+        spark = build_session("analytics-catalog")
+        spark.sparkContext.setLogLevel("ERROR")
+        print("table\tn_rows\tn_cols\tbytes")
+        for t in TABLES:
+            p = os.path.join(args.sf_dir, f"{t}.parquet")
+            size = (
+                sum(
+                    os.path.getsize(os.path.join(r, f))
+                    for r, _, fs in os.walk(p)
+                    for f in fs
+                )
+                if os.path.isdir(p)
+                else (os.path.getsize(p) if os.path.exists(p) else 0)
+            )
+            df = table(spark, args.sf_dir, t)
+            print(f"{t}\t{df.count()}\t{len(df.columns)}\t{size}")
+        return 0
+
     if args.query not in queries:
         print(f"unknown query {args.query!r}; see `list`", file=sys.stderr)
         return 2
-
-    from data_ingestion_project_spark.session import build_session
 
     spark = build_session(f"analytics-{args.cmd}")
     spark.sparkContext.setLogLevel("ERROR")
@@ -66,6 +97,10 @@ def main(argv: list[str] | None = None) -> int:
             from data_ingestion_project_spark.plans.explain import formatted_plan
 
             print(formatted_plan(df))
+            return 0
+        if args.output is not None:
+            df.write.mode("errorifexists").parquet(args.output)
+            print(f"wrote {args.output}")
             return 0
         if args.limit is not None:
             df = df.limit(args.limit)

@@ -159,3 +159,23 @@ def test_analytics_cli_list_run_explain(spark, capsys):
     assert "Physical Plan" in capsys.readouterr().out
 
     assert main(["run", "no_such_query"]) == 2
+
+
+def test_analytics_cli_catalog_and_output(spark, capsys, tmp_path):
+    """catalog summarizes every input table; run --output writes the
+    full result as parquet and refuses to clobber."""
+    from data_ingestion_project_spark.analytics_cli import main
+
+    assert main(["catalog", "--sf-dir", "/root/testdata/sf0.001"]) == 0
+    out = capsys.readouterr().out
+    lines = out.strip().splitlines()
+    assert lines[0] == "table\tn_rows\tn_cols\tbytes"
+    assert len(lines) == 11  # header + 10 tables
+    assert any(line.startswith("lineitem\t") for line in lines)
+
+    dest = str(tmp_path / "res.parquet")
+    assert main(["run", "lang_stats", "--sf-dir", "/root/testdata/sf0.001",
+                 "--output", dest]) == 0
+    assert spark.read.parquet(dest).count() > 0
+    assert main(["run", "lang_stats", "--sf-dir", "/root/testdata/sf0.001",
+                 "--output", dest]) == 1  # errorifexists surfaces as exit 1
