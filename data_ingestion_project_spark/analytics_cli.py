@@ -69,21 +69,25 @@ def main(argv: list[str] | None = None) -> int:
 
         spark = build_session("analytics-catalog")
         spark.sparkContext.setLogLevel("ERROR")
-        print("table\tn_rows\tn_cols\tbytes")
-        for t in TABLES:
-            p = os.path.join(args.sf_dir, f"{t}.parquet")
-            size = (
-                sum(
-                    os.path.getsize(os.path.join(r, f))
-                    for r, _, fs in os.walk(p)
-                    for f in fs
+        try:
+            print("table\tn_rows\tn_cols\tbytes")
+            for t in TABLES:
+                p = os.path.join(args.sf_dir, f"{t}.parquet")
+                size = (
+                    sum(
+                        os.path.getsize(os.path.join(r, f))
+                        for r, _, fs in os.walk(p)
+                        for f in fs
+                    )
+                    if os.path.isdir(p)
+                    else (os.path.getsize(p) if os.path.exists(p) else 0)
                 )
-                if os.path.isdir(p)
-                else (os.path.getsize(p) if os.path.exists(p) else 0)
-            )
-            df = table(spark, args.sf_dir, t)
-            print(f"{t}\t{df.count()}\t{len(df.columns)}\t{size}")
-        return 0
+                df = table(spark, args.sf_dir, t)
+                print(f"{t}\t{df.count()}\t{len(df.columns)}\t{size}")
+            return 0
+        except Exception as e:  # same script-friendly posture as run/explain
+            print(f"catalog failed: {e}", file=sys.stderr)
+            return 1
 
     if args.query not in queries:
         print(f"unknown query {args.query!r}; see `list`", file=sys.stderr)

@@ -112,6 +112,8 @@ def bpe_encode_token_count(
         memo: dict[str, int] = {}
 
         def doc_tokens(words) -> int:
+            if words is None:  # NULL text → NULL token array; count 0
+                return 0  # (the trainer's explode drops such rows too)
             total = 0
             for w in words:
                 if not w:

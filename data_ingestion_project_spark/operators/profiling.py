@@ -94,14 +94,22 @@ def profile_table(
 
 
 def profile_drift(
-    old: DataFrame, new: DataFrame, rel_threshold: float = 0.5
+    old: DataFrame,
+    new: DataFrame,
+    rel_threshold: float = 0.5,
+    null_rate_threshold: float = 0.05,
 ) -> DataFrame:
     """Diff two profiles of the same table (drift detection): per
     column, the row/null/distinct deltas and a ``drifted`` flag when
-    null-rate or distinct cardinality moved by more than
-    ``rel_threshold`` relative to the old snapshot, or min/max moved
-    at all. Profiles are column-count-sized, so the diff is a tiny
-    broadcast join — run it per snapshot and alert on ``drifted``.
+    the null RATE moved by more than ``null_rate_threshold``
+    ABSOLUTE (rates are already normalized — a relative test would
+    fire on any zero→nonzero transition, e.g. one new null in a
+    billion clean rows), the distinct cardinality moved by more than
+    ``rel_threshold`` relative to the old snapshot (floored at 1, so
+    an empty baseline compares against 1, not an epsilon), or min/max
+    moved at all. Profiles are column-count-sized, so the diff is a
+    tiny broadcast join — run it per snapshot and alert on
+    ``drifted``.
 
     Columns appearing in only one profile (schema evolution) surface
     with NULL counterpart values and ``drifted`` = true.
@@ -125,7 +133,9 @@ def profile_drift(
     j = o.join(n, "column", "full_outer")
     old_null_rate = F.col("old_nulls") / F.greatest(F.col("old_rows"), F.lit(1))
     new_null_rate = F.col("new_nulls") / F.greatest(F.col("new_rows"), F.lit(1))
-    rel = lambda a, b: F.abs(a - b) / F.greatest(F.abs(b), F.lit(1e-12))  # noqa: E731
+    distinct_rel = F.abs(F.col("new_distinct") - F.col("old_distinct")) / F.greatest(
+        F.col("old_distinct"), F.lit(1)
+    )
     # Null-SAFE min/max comparison: an all-NULL column has NULL
     # min/max in BOTH snapshots, and `NULL != NULL` is NULL — which
     # the final coalesce would turn into a permanent false alarm on a
@@ -133,8 +143,8 @@ def profile_drift(
     drifted = (
         F.col("old_rows").isNull()
         | F.col("new_rows").isNull()
-        | (rel(new_null_rate, old_null_rate) > rel_threshold)
-        | (rel(F.col("new_distinct"), F.col("old_distinct")) > rel_threshold)
+        | (F.abs(new_null_rate - old_null_rate) > null_rate_threshold)
+        | (distinct_rel > rel_threshold)
         | ~F.col("new_min").eqNullSafe(F.col("old_min"))
         | ~F.col("new_max").eqNullSafe(F.col("old_max"))
     )

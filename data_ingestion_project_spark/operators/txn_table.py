@@ -178,6 +178,19 @@ def _commit_retry(
         for k in ("stream_batch_id", "evolved"):
             if k in prev:
                 carried[k] = prev[k]
+        # per-app fences (Delta txnAppId shape): carry the whole map
+        # and MERGE a committing stream's entry into it, so streams
+        # with distinct identities never clobber each other's fence
+        if isinstance(prev.get("stream_fences"), dict):
+            carried["stream_fences"] = dict(prev["stream_fences"])
+        if extra and isinstance(extra.get("stream_fences"), dict):
+            extra = {
+                **extra,
+                "stream_fences": {
+                    **carried.get("stream_fences", {}),
+                    **extra["stream_fences"],
+                },
+            }
         manifest = {
             "version": head + 1,
             "op": op,

@@ -33,11 +33,13 @@ from data_ingestion_project_spark.operators.quality_checks import row_checks
 
 def audit_staged(
     spark: SparkSession, table_path: str, rel: str, checks: dict[str, Column]
-) -> tuple[dict, int]:
+):
     """Audit one staged directory: run the declared row checks against
     the staged FILES in a single scan (row count piggybacked via
-    observe). Returns (violations, n_rows) — shared by the batch
-    write_audit_publish and the streaming gated-ingestion sink."""
+    observe). Returns (violations, n_rows, schema) — shared by the
+    batch write_audit_publish and the streaming gated-ingestion sink;
+    the schema rides along so the publish step never re-opens the
+    staged footers."""
     from pyspark.sql import Observation
     from pyspark.sql import functions as F
 
@@ -47,7 +49,7 @@ def audit_staged(
         staged.observe(obs, F.count(F.lit(1)).alias("n")), checks
     ).collect()
     violations = {r["check_name"]: r["n_violations"] for r in audit if not r["passed"]}
-    return violations, int(obs.get["n"])
+    return violations, int(obs.get["n"]), staged.schema
 
 
 def write_audit_publish(
@@ -67,7 +69,7 @@ def write_audit_publish(
     when the audit failed).
     """
     rel = txn_table.stage(spark, table_path, df)
-    violations, n_rows = audit_staged(spark, table_path, rel, checks)
+    violations, n_rows, staged_schema = audit_staged(spark, table_path, rel, checks)
     if violations:
         return {
             "published": False,
@@ -77,11 +79,7 @@ def write_audit_publish(
             "violations": violations,
         }
     version = txn_table.publish_staged(
-        spark,
-        table_path,
-        rel,
-        merge_schema=merge_schema,
-        schema=txn_table.read_staged(spark, table_path, rel).schema,
+        spark, table_path, rel, merge_schema=merge_schema, schema=staged_schema
     )
     return {
         "published": True,

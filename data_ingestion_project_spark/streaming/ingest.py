@@ -139,6 +139,7 @@ def start_gated_ingestion_stream(
     table_path: str,
     checks: dict,
     checkpoint_dir: str,
+    app_id: str | None = None,
 ) -> StreamingQuery:
     """Streaming write-audit-publish: every micro-batch is staged,
     audited against the declared row checks (operators/wap.py), and
@@ -146,9 +147,16 @@ def start_gated_ingestion_stream(
     where a poison batch can never reach readers.
 
     Semantics per batch:
-    - clean  → metadata-only publish carrying a ``stream_batch_id``
-      fence in the SAME atomic manifest commit, so a replayed batch
-      (at-least-once foreachBatch) is a no-op — exactly-once publishes.
+    - clean  → metadata-only publish carrying a PER-STREAM batch-id
+      fence (``stream_fences[app_id]``, Delta's txnAppId shape) in the
+      SAME atomic manifest commit, so a replayed batch (at-least-once
+      foreachBatch) is a no-op — exactly-once publishes. ``app_id``
+      defaults to the checkpoint path: a different stream (its own
+      checkpoint) gets its own fence and is never silently blocked by
+      this one's; deleting and recreating THIS checkpoint resets batch
+      ids under the same identity, which the fence then skips — the
+      same documented caveat as Delta's txnAppId (pass a fresh app_id
+      if a checkpoint reset is intentional).
     - dirty  → the staged directory stays on disk as quarantine, a
       rejection record lands in ``<table>/_quarantine/``, and the
       stream keeps going (the batch is consumed, not retried — a
@@ -164,6 +172,8 @@ def start_gated_ingestion_stream(
     from data_ingestion_project_spark.operators import txn_table as T
     from data_ingestion_project_spark.operators.wap import audit_staged
 
+    fence_id = app_id or checkpoint_dir
+
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
@@ -173,11 +183,11 @@ def start_gated_ingestion_stream(
                 f"gated ingestion target {table_path!r} does not exist; "
                 "create_table it with the contract schema first"
             )
-        fence = T._read_manifest(table_path, cur).get("stream_batch_id", -1)
-        if batch_id <= fence:
+        fences = T._read_manifest(table_path, cur).get("stream_fences", {})
+        if batch_id <= fences.get(fence_id, -1):
             return  # replayed micro-batch: already published atomically
         rel = T.stage(spark, table_path, batch_df)
-        violations, n_rows = audit_staged(spark, table_path, rel, checks)
+        violations, n_rows, staged_schema = audit_staged(spark, table_path, rel, checks)
         if violations:
             qdir = os.path.join(table_path, "_quarantine")
             os.makedirs(qdir, exist_ok=True)
@@ -191,7 +201,11 @@ def start_gated_ingestion_stream(
                 _json.dump(record, f, sort_keys=True)
             return
         T.publish_staged(
-            spark, table_path, rel, extra={"stream_batch_id": batch_id}
+            spark,
+            table_path,
+            rel,
+            schema=staged_schema,
+            extra={"stream_fences": {fence_id: batch_id}},
         )
 
     return (

@@ -635,3 +635,54 @@ def test_gated_ingestion_stream_quarantines_dirty_batches(spark, tmp_path):
         assert T.read(spark, table).count() == 4
     finally:
         q.stop()
+
+
+def test_gated_ingestion_second_stream_not_blocked_by_first_fence(spark, tmp_path):
+    """Fences are per stream identity (txnAppId shape): a SECOND gated
+    stream with its own checkpoint, whose batch ids restart at 0, must
+    publish into the same table instead of being silently fenced out
+    by the first stream's higher batch ids."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_project_spark.operators import txn_table as T
+    from data_ingestion_project_spark.streaming.ingest import (
+        start_gated_ingestion_stream,
+    )
+
+    table = str(tmp_path / "t")
+    T.create_table(spark, table, spark.createDataFrame([(0, 1.0)], "id long, v double"))
+    checks = {"v_positive": F.col("v") > 0}
+
+    src1 = tmp_path / "in1"
+    src1.mkdir()
+    _write_batch(src1, "b0.json", [{"id": 10, "v": 1.0}])
+    q1 = start_gated_ingestion_stream(
+        spark, spark.readStream.schema("id long, v double").json(str(src1)),
+        table, checks, str(tmp_path / "ck1"),
+    )
+    try:
+        q1.processAllAvailable()
+        for i in (1, 2):  # drive stream 1's fence up to batch id >= 2
+            _write_batch(src1, f"b{i}.json", [{"id": 10 + i, "v": 1.0}])
+            q1.processAllAvailable()
+    finally:
+        q1.stop()
+    fences = T._read_manifest(table, T.current_version(table))["stream_fences"]
+    assert fences[str(tmp_path / "ck1")] >= 2
+
+    src2 = tmp_path / "in2"
+    src2.mkdir()
+    _write_batch(src2, "b0.json", [{"id": 99, "v": 5.0}])
+    q2 = start_gated_ingestion_stream(
+        spark, spark.readStream.schema("id long, v double").json(str(src2)),
+        table, checks, str(tmp_path / "ck2"),
+    )
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    ids = {r["id"] for r in T.read(spark, table).collect()}
+    assert 99 in ids  # stream 2's batch 0 published despite stream 1's fence
+    fences = T._read_manifest(table, T.current_version(table))["stream_fences"]
+    assert fences[str(tmp_path / "ck1")] >= 2  # first fence carried forward
+    assert fences[str(tmp_path / "ck2")] == 0
