@@ -61,6 +61,57 @@ def run_job_background() -> dict[str, str]:
     return {"status": "queued"}
 
 
+# ----------------------------- analytics surface (beyond reference parity)
+
+DEFAULT_SF_DIR = os.environ.get("ANALYTICS_SF_DIR", "/root/testdata/sf0.01")
+MAX_ROWS = 1000  # HTTP responses are for inspection; exports go via the CLI
+
+
+def list_queries() -> dict[str, Any]:
+    """Inventory endpoint: every declared query plus whether it is
+    oracle-backed (same registry the driver contract exposes)."""
+    from data_ingestion_project_spark.queries import all_oracles, all_queries
+
+    oracles = all_oracles()
+    return {
+        "queries": [
+            {"name": n, "oracle": n in oracles} for n in all_queries()
+        ]
+    }
+
+
+def run_query(name: str, sf_dir: str | None = None, limit: int = 100) -> dict[str, Any]:
+    """Execute one declared query and return its rows as JSON.
+
+    ``limit`` caps the response (hard ceiling MAX_ROWS — an HTTP
+    endpoint must never stream an unbounded result); unknown names
+    return an error payload instead of raising, so the route maps it
+    to a 404 and the handler stays framework-free."""
+    from data_ingestion_project_spark.queries import all_queries
+
+    queries = all_queries()
+    if name not in queries:
+        return {"error": f"unknown query {name!r}", "status": 404}
+    spark, _ = _resources_spark_only()
+    df = queries[name](spark, sf_dir or DEFAULT_SF_DIR)
+    rows = df.limit(max(1, min(limit, MAX_ROWS))).toPandas()
+    return {
+        "name": name,
+        "columns": list(rows.columns),
+        "n_rows": len(rows),
+        "rows": rows.astype(object).where(rows.notna(), None).to_dict("records"),
+    }
+
+
+def _resources_spark_only():
+    """Analytics needs the session but NOT key material — reading
+    public tables must not fail on missing crypto env."""
+    global _spark
+    if _spark is None:
+        _spark = build_session("ingestion-api")
+    return _spark, None
+
+
 try:
     from fastapi import BackgroundTasks, FastAPI
 
@@ -84,6 +135,19 @@ try:
     @app.get("/hello")
     def _hello() -> dict[str, str]:
         return hello()
+
+    @app.get("/queries")
+    def _queries() -> dict[str, Any]:
+        return list_queries()
+
+    @app.post("/queries/{name}")
+    def _run_query(name: str, sf_dir: str | None = None, limit: int = 100):
+        result = run_query(name, sf_dir=sf_dir, limit=limit)
+        if result.get("status") == 404:
+            from fastapi import HTTPException
+
+            raise HTTPException(status_code=404, detail=result["error"])
+        return result
 
 except ImportError:  # environment without fastapi: handlers above remain usable
     app = None

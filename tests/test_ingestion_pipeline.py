@@ -179,3 +179,25 @@ def test_analytics_cli_catalog_and_output(spark, capsys, tmp_path):
     assert spark.read.parquet(dest).count() > 0
     assert main(["run", "lang_stats", "--sf-dir", "/root/testdata/sf0.001",
                  "--output", dest]) == 1  # errorifexists surfaces as exit 1
+
+
+def test_api_analytics_handlers_without_fastapi(spark):
+    """The analytics endpoints work as plain handlers (framework
+    optional, same posture as the ingestion routes): inventory lists
+    oracle flags, run returns bounded JSON rows, unknown names map to
+    a 404 payload instead of raising."""
+    import api_server
+
+    api_server._spark = spark  # reuse the test session
+    inv = api_server.list_queries()
+    names = {q["name"]: q["oracle"] for q in inv["queries"]}
+    assert names["pricing_summary"] is True
+    assert names["knn_lsh_approx"] is False
+
+    res = api_server.run_query("lang_stats", sf_dir="/root/testdata/sf0.001", limit=3)
+    assert res["name"] == "lang_stats" and 0 < res["n_rows"] <= 3
+    assert "lang" in res["columns"]
+    assert all(isinstance(r, dict) for r in res["rows"])
+
+    missing = api_server.run_query("nope")
+    assert missing["status"] == 404 and "unknown query" in missing["error"]
