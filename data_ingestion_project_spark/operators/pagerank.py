@@ -56,15 +56,30 @@ def pagerank(
     damping: float = 0.85,
     src: str = "src",
     dst: str = "dst",
+    dangling: str = "ignore",
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge table.
 
-    Returns (node, rank) for every node that appears as a source —
-    with symmetrized input, every node of the graph. ``iterations`` is
-    deliberately a fixed count, not a convergence test: the unrolled
-    plan is deterministic, resumable, and SQL-replayable, and a
-    production run picks the count from the graph's mixing time.
+    ``dangling`` selects the graph model:
+
+    - ``"ignore"`` (default): assumes every node has outdegree >= 1 —
+      true by construction for symmetrized graphs (the near-dup use
+      case) — and returns (node, rank) for every source node. This is
+      the SQL-replayable path the oracle certifies.
+    - ``"redistribute"``: the general DIRECTED-graph model (link
+      graphs): the vertex set is sources ∪ destinations, and each
+      round the rank mass sitting on dangling nodes (outdegree 0) is
+      redistributed uniformly — the standard power-method treatment,
+      so ranks still sum to ~1. Costs one extra tiny aggregate + a
+      broadcast scalar per round.
+
+    ``iterations`` is deliberately a fixed count, not a convergence
+    test: the unrolled plan is deterministic, resumable, and
+    SQL-replayable, and a production run picks the count from the
+    graph's mixing time.
     """
+    if dangling not in ("ignore", "redistribute"):
+        raise ValueError(f"dangling must be 'ignore' or 'redistribute', got {dangling!r}")
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     # Materialize the degree-annotated edge list ONCE: every iteration
@@ -73,24 +88,67 @@ def pagerank(
     # pipeline on the dup-graph query — measured 3.6 s -> ~1 s at
     # sf0.1). Same posture as graph.py's propagation loop.
     out_edges = e.join(deg, "src").localCheckpoint(eager=True)
-    n = out_edges.select("src").distinct().count()  # reads the checkpoint
-    teleport = (1.0 - damping) / n
 
-    ranks = deg.select("src", F.lit(1.0 / n).alias("rank"))
+    if dangling == "ignore":
+        n = out_edges.select("src").distinct().count()  # reads the checkpoint
+        teleport = (1.0 - damping) / n
+        ranks = deg.select("src", F.lit(1.0 / n).alias("rank"))
+        for i in range(iterations):
+            contrib = out_edges.join(ranks, "src").select(
+                F.col("dst").alias("src"),
+                F.round(F.col("rank") / F.col("deg"), CONTRIB_SCALE).alias("c"),
+            )
+            ranks = contrib.groupBy("src").agg(
+                F.round(
+                    F.lit(teleport)
+                    + F.lit(damping) * F.sum(F.col("c").cast(_DEC)).cast("double"),
+                    RANK_SCALE,
+                ).alias("rank")
+            )
+            # Truncate lineage so plan depth (and Catalyst analysis
+            # cost) stays constant per round instead of growing with i.
+            if i < iterations - 1:
+                ranks = ranks.localCheckpoint(eager=False)
+        return ranks.select(F.col("src").alias("node"), "rank")
+
+    # general directed model: full vertex set, dangling mass recycled
+    nodes = (
+        e.select("src").unionByName(e.select(F.col("dst").alias("src"))).distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    teleport = (1.0 - damping) / n
+    ranks = nodes.select("src", F.lit(1.0 / n).alias("rank"))
     for i in range(iterations):
+        with_deg = ranks.join(deg, "src", "left")
+        # rank mass on outdegree-0 nodes, summed exactly (decimal over
+        # already-rounded ranks — value-determined like the inbox)
+        dm = (
+            with_deg.filter(F.col("deg").isNull())
+            .agg(F.sum(F.col("rank").cast(_DEC)).cast("double").alias("dm"))
+            .first()["dm"]
+            or 0.0
+        )
         contrib = out_edges.join(ranks, "src").select(
             F.col("dst").alias("src"),
             F.round(F.col("rank") / F.col("deg"), CONTRIB_SCALE).alias("c"),
         )
-        ranks = contrib.groupBy("src").agg(
-            F.round(
-                F.lit(teleport)
-                + F.lit(damping) * F.sum(F.col("c").cast(_DEC)).cast("double"),
-                RANK_SCALE,
-            ).alias("rank")
+        inbox = contrib.groupBy("src").agg(
+            F.sum(F.col("c").cast(_DEC)).cast("double").alias("m")
         )
-        # Truncate lineage so plan depth (and Catalyst analysis cost)
-        # stays constant per round instead of growing with i.
+        share = damping * dm / n  # uniform dangling share, driver scalar
+        ranks = (
+            nodes.join(inbox, "src", "left")
+            .select(
+                "src",
+                F.round(
+                    F.lit(teleport)
+                    + F.lit(share)
+                    + F.lit(damping) * F.coalesce(F.col("m"), F.lit(0.0)),
+                    RANK_SCALE,
+                ).alias("rank"),
+            )
+        )
         if i < iterations - 1:
             ranks = ranks.localCheckpoint(eager=False)
     return ranks.select(F.col("src").alias("node"), "rank")

@@ -170,3 +170,22 @@ def test_pagerank_matches_python_reference(spark, edges):
     assert set(got) == set(ref)
     for node in ref:
         assert abs(got[node] - ref[node]) < 1e-9, (node, got[node], ref[node])
+
+
+def test_pagerank_redistribute_handles_dangling_directed_graph(spark):
+    """On a directed chain a→b→c, node c is dangling: the ignore model
+    leaks its mass (sum < 1 and c never appears), the redistribute
+    model keeps the full vertex set with total mass ~1 and ranks
+    ordered a < b < c (rank accumulates down the chain)."""
+    from data_ingestion_project_spark.operators.pagerank import pagerank
+
+    e = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+    full = {r["node"]: r["rank"] for r in
+            pagerank(e, iterations=20, dangling="redistribute").collect()}
+    assert set(full) == {0, 1, 2}
+    assert abs(sum(full.values()) - 1.0) < 1e-6
+    assert full[0] < full[1] < full[2]
+
+    leaky = {r["node"]: r["rank"] for r in pagerank(e, iterations=20).collect()}
+    assert 2 not in leaky  # sink has no out-edges → not a source node
+    assert sum(leaky.values()) < 0.9  # mass visibly leaks without recycling
