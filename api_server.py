@@ -29,9 +29,8 @@ def _resources():
     ingestion with ephemeral or weak-profile keys would write tables
     whose ciphertexts die with the process. Tests may opt in explicitly
     via ALLOW_TEST_KEYS=1."""
-    global _spark, _keys
-    if _spark is None:
-        _spark = build_session("ingestion-api")
+    global _keys
+    _spark_session()
     if _keys is None:
         from data_ingestion_project_spark.functions.crypto import KdfProfile
 
@@ -80,20 +79,38 @@ def list_queries() -> dict[str, Any]:
     }
 
 
+DATA_ROOT = os.environ.get("ANALYTICS_DATA_ROOT", "/root/testdata")
+
+
+def _validated_sf_dir(sf_dir: str | None) -> str | None:
+    """Confine the HTTP-supplied data directory to DATA_ROOT: the
+    parameter feeds spark.read paths, and an unvalidated value would
+    let any remote caller read arbitrary server-side parquet (staged
+    txn data, other tenants' tables) over an unauthenticated route.
+    Returns None when the path escapes the root."""
+    resolved = os.path.realpath(sf_dir or DEFAULT_SF_DIR)
+    root = os.path.realpath(DATA_ROOT)
+    return resolved if resolved == root or resolved.startswith(root + os.sep) else None
+
+
 def run_query(name: str, sf_dir: str | None = None, limit: int = 100) -> dict[str, Any]:
     """Execute one declared query and return its rows as JSON.
 
     ``limit`` caps the response (hard ceiling MAX_ROWS — an HTTP
     endpoint must never stream an unbounded result); unknown names
-    return an error payload instead of raising, so the route maps it
-    to a 404 and the handler stays framework-free."""
+    and out-of-root ``sf_dir`` values return an error payload instead
+    of raising, so the route maps them to 4xx and the handler stays
+    framework-free."""
     from data_ingestion_project_spark.queries import all_queries
 
     queries = all_queries()
     if name not in queries:
         return {"error": f"unknown query {name!r}", "status": 404}
-    spark, _ = _resources_spark_only()
-    df = queries[name](spark, sf_dir or DEFAULT_SF_DIR)
+    safe_dir = _validated_sf_dir(sf_dir)
+    if safe_dir is None:
+        return {"error": f"sf_dir outside {DATA_ROOT!r}", "status": 403}
+    spark = _spark_session()
+    df = queries[name](spark, safe_dir)
     rows = df.limit(max(1, min(limit, MAX_ROWS))).toPandas()
     return {
         "name": name,
@@ -103,13 +120,14 @@ def run_query(name: str, sf_dir: str | None = None, limit: int = 100) -> dict[st
     }
 
 
-def _resources_spark_only():
-    """Analytics needs the session but NOT key material — reading
-    public tables must not fail on missing crypto env."""
+def _spark_session():
+    """Shared lazy session — analytics needs it WITHOUT key material
+    (reading public tables must not fail on missing crypto env);
+    _resources layers the fail-fast keys on top of this."""
     global _spark
     if _spark is None:
         _spark = build_session("ingestion-api")
-    return _spark, None
+    return _spark
 
 
 try:
@@ -143,10 +161,10 @@ try:
     @app.post("/queries/{name}")
     def _run_query(name: str, sf_dir: str | None = None, limit: int = 100):
         result = run_query(name, sf_dir=sf_dir, limit=limit)
-        if result.get("status") == 404:
+        if isinstance(result.get("status"), int) and result["status"] >= 400:
             from fastapi import HTTPException
 
-            raise HTTPException(status_code=404, detail=result["error"])
+            raise HTTPException(status_code=result["status"], detail=result["error"])
         return result
 
 except ImportError:  # environment without fastapi: handlers above remain usable

@@ -63,27 +63,40 @@ def main(argv: list[str] | None = None) -> int:
     from data_ingestion_project_spark.session import build_session
 
     if args.cmd == "catalog":
+        # metadata-only: parquet footers carry exact row counts and the
+        # schema, so the summary needs neither a Spark session nor a
+        # scan — the same walk that sizes the files reads the counts
         import os
 
-        from data_ingestion_project_spark.sources.readers import TABLES, table
+        import pyarrow.parquet as pq
 
-        spark = build_session("analytics-catalog")
-        spark.sparkContext.setLogLevel("ERROR")
+        from data_ingestion_project_spark.sources.readers import TABLES
+
         try:
             print("table\tn_rows\tn_cols\tbytes")
             for t in TABLES:
                 p = os.path.join(args.sf_dir, f"{t}.parquet")
-                size = (
-                    sum(
-                        os.path.getsize(os.path.join(r, f))
+                files = (
+                    [
+                        os.path.join(r, f)
                         for r, _, fs in os.walk(p)
                         for f in fs
-                    )
+                        if f.endswith(".parquet")
+                    ]
                     if os.path.isdir(p)
-                    else (os.path.getsize(p) if os.path.exists(p) else 0)
+                    else ([p] if os.path.exists(p) else [])
                 )
-                df = table(spark, args.sf_dir, t)
-                print(f"{t}\t{df.count()}\t{len(df.columns)}\t{size}")
+                if not files:
+                    raise FileNotFoundError(f"no parquet for table {t!r} under {p}")
+                n_rows = 0
+                n_cols = 0
+                size = 0
+                for f in files:
+                    meta = pq.ParquetFile(f).metadata
+                    n_rows += meta.num_rows
+                    n_cols = meta.num_columns
+                    size += os.path.getsize(f)
+                print(f"{t}\t{n_rows}\t{n_cols}\t{size}")
             return 0
         except Exception as e:  # same script-friendly posture as run/explain
             print(f"catalog failed: {e}", file=sys.stderr)

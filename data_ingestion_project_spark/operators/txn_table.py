@@ -180,16 +180,18 @@ def _commit_retry(
                 carried[k] = prev[k]
         # per-app fences (Delta txnAppId shape): carry the whole map
         # and MERGE a committing stream's entry into it, so streams
-        # with distinct identities never clobber each other's fence
+        # with distinct identities never clobber each other's fence.
+        # The merge builds a PER-ATTEMPT dict — rebinding the caller's
+        # ``extra`` would bake attempt 1's carried fences in, and a
+        # commit retry would then override the freshly-read map with
+        # stale values, rolling another stream's fence backward.
         if isinstance(prev.get("stream_fences"), dict):
             carried["stream_fences"] = dict(prev["stream_fences"])
-        if extra and isinstance(extra.get("stream_fences"), dict):
-            extra = {
-                **extra,
-                "stream_fences": {
-                    **carried.get("stream_fences", {}),
-                    **extra["stream_fences"],
-                },
+        attempt_extra = dict(extra or {})
+        if isinstance(attempt_extra.get("stream_fences"), dict):
+            attempt_extra["stream_fences"] = {
+                **carried.get("stream_fences", {}),
+                **attempt_extra["stream_fences"],
             }
         manifest = {
             "version": head + 1,
@@ -198,7 +200,7 @@ def _commit_retry(
             "schema": schema or prev["schema"],
             "committed_at": time.time(),
             **carried,
-            **(extra or {}),
+            **attempt_extra,
         }
         if _try_commit(path, head + 1, manifest):
             return head + 1

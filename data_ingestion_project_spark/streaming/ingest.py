@@ -183,9 +183,17 @@ def start_gated_ingestion_stream(
                 f"gated ingestion target {table_path!r} does not exist; "
                 "create_table it with the contract schema first"
             )
-        fences = T._read_manifest(table_path, cur).get("stream_fences", {})
+        manifest = T._read_manifest(table_path, cur)
+        fences = manifest.get("stream_fences", {})
         if batch_id <= fences.get(fence_id, -1):
             return  # replayed micro-batch: already published atomically
+        # migration: a pre-per-app table carries only the legacy scalar
+        # fence; honor it until the first new-style publish writes the
+        # map (only one stream could have stamped it — per-app fences
+        # did not exist yet), else the upgrade drops replay protection
+        # for exactly the in-flight batch
+        if not fences and batch_id <= manifest.get("stream_batch_id", -1):
+            return
         rel = T.stage(spark, table_path, batch_df)
         violations, n_rows, staged_schema = audit_staged(spark, table_path, rel, checks)
         if violations:

@@ -201,3 +201,16 @@ def test_api_analytics_handlers_without_fastapi(spark):
 
     missing = api_server.run_query("nope")
     assert missing["status"] == 404 and "unknown query" in missing["error"]
+
+
+def test_api_run_query_confines_sf_dir(spark, tmp_path):
+    """The HTTP-supplied data directory must stay inside
+    ANALYTICS_DATA_ROOT — anything else is a 403 payload, never a
+    read."""
+    import api_server
+
+    api_server._spark = spark
+    out = api_server.run_query("lang_stats", sf_dir=str(tmp_path))
+    assert out["status"] == 403 and "sf_dir outside" in out["error"]
+    ok = api_server.run_query("lang_stats", sf_dir="/root/testdata/sf0.001", limit=2)
+    assert ok.get("status") is None and ok["n_rows"] > 0

@@ -534,3 +534,34 @@ def test_concurrent_staged_publishes_both_commit(spark, tmp_path):
     assert sorted(r["id"] for r in T.read(spark, path).collect()) == [0, 1, 2, 3]
     dirs = T._read_manifest(path, vb)["data_dirs"]
     assert dirs.count(rel_a) == 1 and dirs.count(rel_b) == 1
+
+
+def test_fence_merge_survives_commit_retry(spark, tmp_path, monkeypatch):
+    """A publish that loses the O_EXCL race must re-read the manifest
+    and merge against the WINNER's fences — baking attempt 1's stale
+    carried map into extra would roll the other stream's fence
+    backward and reopen the replay window."""
+    from data_ingestion_project_spark.operators import txn_table as T
+
+    path = str(tmp_path / "t")
+    T.create_table(spark, path, spark.createDataFrame([(0,)], "id long"))
+    rel_a = T.stage(spark, path, spark.createDataFrame([(1,)], "id long"))
+    T.publish_staged(spark, path, rel_a, extra={"stream_fences": {"A": 5}})
+
+    rel_b = T.stage(spark, path, spark.createDataFrame([(2,)], "id long"))
+    rel_c = T.stage(spark, path, spark.createDataFrame([(3,)], "id long"))
+    real = T._try_commit
+    state = {"raced": False}
+
+    def flaky(p, version, manifest):
+        if not state["raced"]:
+            state["raced"] = True
+            # interleaved winner: stream A advances its fence to 6
+            T.publish_staged(spark, path, rel_c, extra={"stream_fences": {"A": 6}})
+            return False  # loser must re-read and re-merge
+        return real(p, version, manifest)
+
+    monkeypatch.setattr(T, "_try_commit", flaky)
+    T.publish_staged(spark, path, rel_b, extra={"stream_fences": {"B": 0}})
+    fences = T._read_manifest(path, T.current_version(path))["stream_fences"]
+    assert fences == {"A": 6, "B": 0}  # A's fence NOT rolled back to 5
