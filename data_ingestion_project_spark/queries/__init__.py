@@ -98,6 +98,7 @@ _DRIVER_PRIORITY = (
     "chunk_dup_stats",
     "contrastive_training_pairs",
     "source_data_cards",
+    "segment_richest_customer",
     # rows-only uncovered (approximate families; each carries a pytest
     # recall floor).  Entries past the 50-entry window — the weakest
     # possible signal loss (rows-only rows certify shape, not values).

@@ -852,6 +852,42 @@ ORACLE_ORDERS_PROFILE = (
 )
 
 
+# ------------------------------------------- argmax aggregates
+
+
+def segment_richest_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per market segment, the single richest customer — the argmax
+    aggregate (max_by / arg_max): one aggregation shuffle instead of
+    the rank-window two-pass, which is exactly why it exists. The
+    selector key is a fixed-width sortable string (offset balance |
+    custkey) so ties break deterministically AND identically across
+    engines — DuckDB's max_by takes no composite key, and acctbal has
+    2 decimals so the %.4f render never hits a formatting-tie."""
+    c = table(spark, sf_dir, "customer")
+    key = F.format_string(
+        "%012.4f|%012d", F.col("c_acctbal") + 1000, F.col("c_custkey")
+    )
+    return (
+        c.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.max("c_acctbal").alias("max_acctbal"),
+            F.max_by("c_name", key).alias("richest_name"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+ORACLE_SEGMENT_RICHEST_CUSTOMER = """
+SELECT c_mktsegment,
+       COUNT(*) AS n_customers,
+       MAX(c_acctbal) AS max_acctbal,
+       max_by(c_name, printf('%012.4f|%012d', c_acctbal + 1000, c_custkey))
+         AS richest_name
+FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
 # ------------------------------------------- window-function breadth
 
 
@@ -895,6 +931,7 @@ ORDER BY c_mktsegment, ROUND(pr, 6), c_custkey
 QUERIES = {
     "orders_profile": orders_profile,
     "segment_wealth_percentiles": segment_wealth_percentiles,
+    "segment_richest_customer": segment_richest_customer,
     "acctbal_deciles": acctbal_deciles,
     "acctbal_deciles_scalable": acctbal_deciles_scalable,
     "returnflag_unpivot": returnflag_unpivot,
@@ -924,6 +961,7 @@ QUERIES = {
 ORACLE = {
     "orders_profile": ORACLE_ORDERS_PROFILE,
     "segment_wealth_percentiles": ORACLE_SEGMENT_WEALTH_PERCENTILES,
+    "segment_richest_customer": ORACLE_SEGMENT_RICHEST_CUSTOMER,
     "returnflag_unpivot": ORACLE_RETURNFLAG_UNPIVOT,
     "customer_name_digits": ORACLE_CUSTOMER_NAME_DIGITS,
     "shipping_delay_histogram": ORACLE_SHIPPING_DELAY_HISTOGRAM,
