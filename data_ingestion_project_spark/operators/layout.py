@@ -47,6 +47,44 @@ def partition_events_by_day(spark: SparkSession, sf_dir: str, out_path: str) -> 
     write_partitioned(events, out_path, ["event_day"])
 
 
+def backfill_partitions(
+    spark: SparkSession,
+    corrected: DataFrame,
+    layout_path: str,
+    partition_col: str,
+) -> list[str]:
+    """Idempotently rewrite ONLY the partitions present in
+    ``corrected`` — the backfill/restatement operation every
+    partitioned layout eventually needs (late-arriving corrections, a
+    bad upstream day, a reprocessed window).
+
+    Uses dynamic partition overwrite: Spark replaces exactly the
+    partition directories the incoming frame contains and leaves every
+    other directory untouched (byte-identical — pinned in the test),
+    so a backfill's blast radius is the corrected partitions, never
+    the table. Re-running the same backfill converges to the same
+    layout (idempotent restatement). Returns the partition values
+    rewritten.
+
+    At 100 TB this is the repair primitive on top of
+    partition_events_by_day-style layouts; for snapshot isolation
+    against concurrent readers, run it through the txn table's
+    write-audit-publish instead of over a bare directory.
+    """
+    touched = [
+        str(r[0]) for r in corrected.select(partition_col).distinct().collect()
+    ]
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        corrected.write.mode("overwrite").partitionBy(partition_col).parquet(
+            layout_path
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return sorted(touched)
+
+
 def write_training_shards(
     df: DataFrame,
     path: str,

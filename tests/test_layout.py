@@ -143,3 +143,51 @@ def test_write_training_shards_deterministic_layout(spark, tmp_path):
             h = hashlib.md5(str(i).encode()).hexdigest()
             assert int(h[:6], 16) % 4 == s  # portable-hash agreement
         assert ids == sorted(ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+
+
+def test_backfill_rewrites_only_touched_partitions(spark, tmp_path):
+    """Dynamic-partition backfill: the corrected day is replaced, every
+    other day's files stay byte-identical, and re-running the same
+    backfill is a no-op on the data."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from data_ingestion_project_spark.operators.layout import (
+        backfill_partitions,
+        write_partitioned,
+    )
+
+    days = ["2024-01-01", "2024-01-02", "2024-01-03"]
+    df = spark.createDataFrame(
+        [(i, days[i % 3], float(i)) for i in range(30)],
+        "event_id long, event_day string, value double",
+    )
+    path = str(tmp_path / "layout")
+    write_partitioned(df, path, ["event_day"])
+
+    def _files(day):
+        d = os.path.join(path, f"event_day={day}")
+        return {
+            f: os.path.getmtime(os.path.join(d, f))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        }
+
+    before_d1, before_d3 = _files(days[0]), _files(days[2])
+    corrected = df.filter(F.col("event_day") == days[1]).withColumn(
+        "value", F.col("value") * 100
+    )
+    touched = backfill_partitions(spark, corrected, path, "event_day")
+    assert touched == [days[1]]
+    assert _files(days[0]) == before_d1  # untouched partitions identical
+    assert _files(days[2]) == before_d3
+    out = spark.read.parquet(path)
+    assert out.count() == 30
+    d2_vals = {r["value"] for r in out.filter(F.col("event_day") == days[1]).collect()}
+    assert all(v >= 100 for v in d2_vals)  # corrected values landed
+
+    again = backfill_partitions(spark, corrected, path, "event_day")
+    assert again == [days[1]]
+    out2 = spark.read.parquet(path)
+    assert out2.count() == 30  # idempotent restatement
