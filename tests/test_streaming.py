@@ -686,3 +686,48 @@ def test_gated_ingestion_second_stream_not_blocked_by_first_fence(spark, tmp_pat
     fences = T._read_manifest(table, T.current_version(table))["stream_fences"]
     assert fences[str(tmp_path / "ck1")] >= 2  # first fence carried forward
     assert fences[str(tmp_path / "ck2")] == 0
+
+
+def test_progress_summary_reports_watermark_drops(spark, tmp_path):
+    """The monitor must surface numRowsDroppedByWatermark: feed a
+    window aggregate an event older than the advanced watermark and
+    the drop shows up in the summary; batch/state metrics populate."""
+    from data_ingestion_project_spark.streaming.monitor import (
+        progress_summary,
+        total_dropped_by_watermark,
+    )
+    from data_ingestion_project_spark.streaming.windows import tumbling_counts
+
+    src = tmp_path / "events"
+    src.mkdir()
+    stream = spark.readStream.schema(
+        "ts timestamp, user_id long, event_type string, value double"
+    ).json(str(src))
+    out = tumbling_counts(stream, window="1 hour", watermark="10 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("monitor_test")
+        .outputMode("update")
+        .start()
+    )
+    class _NoProgress:  # pollable before any progress event
+        lastProgress = None
+
+    assert progress_summary(_NoProgress())["batch_id"] == -1
+    try:
+        _write_batch(src, "b1.json", [
+            {"ts": "2024-01-01T10:05:00", "user_id": 1, "event_type": "click", "value": 1.0},
+            {"ts": "2024-01-01T14:00:00", "user_id": 1, "event_type": "click", "value": 1.0},
+        ])
+        q.processAllAvailable()
+        # watermark is now ~13:50; this event is hours older → dropped
+        _write_batch(src, "b2.json", [
+            {"ts": "2024-01-01T09:00:00", "user_id": 2, "event_type": "late", "value": 1.0},
+        ])
+        q.processAllAvailable()
+        s = progress_summary(q)
+        assert s["batch_id"] >= 1
+        assert s["state_rows"] >= 1
+        assert total_dropped_by_watermark(q) == 1  # exactly the late event
+    finally:
+        q.stop()
