@@ -71,17 +71,29 @@ def backfill_partitions(
     against concurrent readers, run it through the txn table's
     write-audit-publish instead of over a bare directory.
     """
-    touched = [
-        str(r[0]) for r in corrected.select(partition_col).distinct().collect()
-    ]
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    # Materialize once: the touched-partition listing and the write
+    # must see the SAME evaluation (a non-deterministic lineage could
+    # otherwise write a different partition set than reported), and an
+    # expensive corrections lineage should not run twice.
+    corrected = corrected.persist()
     try:
-        corrected.write.mode("overwrite").partitionBy(partition_col).parquet(
-            layout_path
+        touched = [
+            # NULL partition values land in Hive's default directory —
+            # report the name that actually exists on disk
+            "__HIVE_DEFAULT_PARTITION__" if r[0] is None else str(r[0])
+            for r in corrected.select(partition_col).distinct().collect()
+        ]
+        (
+            corrected.write.mode("overwrite")
+            # per-WRITE option, not the session conf: scoping dynamic
+            # overwrite to this writer cannot leak into concurrent
+            # writes on the same session expecting static semantics
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(partition_col)
+            .parquet(layout_path)
         )
     finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        corrected.unpersist()
     return sorted(touched)
 
 

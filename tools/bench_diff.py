@@ -20,7 +20,18 @@ import json
 
 
 def diff(old: dict, new: dict, threshold: float) -> dict:
-    oq, nq = old.get("queries", {}), new.get("queries", {})
+    oq, nq = old.get("queries"), new.get("queries")
+    # Fail LOUDLY on shape mismatch: the driver's BENCH_r{N}.json
+    # records are {n, rc, tail, ...} with timings buried in a stdout
+    # tail string — silently treating them as an empty query map would
+    # print an all-added/zero-shared "comparison" that looks like a
+    # clean bill of health. Only bench.py's own records
+    # (BENCH_LOCAL.json shape) are comparable.
+    if not isinstance(oq, dict) or not isinstance(nq, dict):
+        raise SystemExit(
+            "input lacks a 'queries' map — pass bench.py records "
+            "(BENCH_LOCAL.json shape), not driver BENCH_r{N}.json tail captures"
+        )
     shared = sorted(set(oq) & set(nq))
     drifts = []
     for name in shared:
