@@ -29,13 +29,13 @@ _MODULES = (tpch, tpch2, events, documents, embeddings, advanced)
 # plus every round-3 addition, oracle-backed first (value-hash rows are
 # the strongest signal — rows-only entries certify shape only), so the
 # r02+r03 artifacts jointly certify all but a handful of rows-only
-# approximate queries.  58 uncertified oracle-backed names now compete
-# for the 50 slots; the eight that fall just outside the window
+# approximate queries.  59 uncertified oracle-backed names now compete
+# for the 50 slots; the nine that fall just outside the window
 # (dup_graph_pagerank, orders_profile, segment_wealth_percentiles,
 # zipf_slope_by_lang, chunk_dup_stats, contrastive_training_pairs,
-# source_data_cards, segment_richest_customer) are value-verified by
-# the local gate replica (tools/check_oracle.py) at sf0.01 — the last
-# one at sf0.1 as well.  Names not listed here keep their module order
+# source_data_cards, segment_richest_customer, event_type_lift) are
+# value-verified by the local gate replica (tools/check_oracle.py) at
+# sf0.01 — the last two at sf0.1 as well.  Names not listed here keep their module order
 # and follow.
 _DRIVER_PRIORITY = (
     # 40 oracle-backed queries uncovered by CORRECTNESS_r02
@@ -100,6 +100,7 @@ _DRIVER_PRIORITY = (
     "contrastive_training_pairs",
     "source_data_cards",
     "segment_richest_customer",
+    "event_type_lift",
     # rows-only uncovered (approximate families; each carries a pytest
     # recall floor).  Entries past the 50-entry window — the weakest
     # possible signal loss (rows-only rows certify shape, not values).

@@ -521,7 +521,76 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def event_type_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association analysis over user behavior: for every pair of
+    event types, how many users do BOTH, the pair's support, and its
+    LIFT (P(a∧b) / (P(a)·P(b)) — >1 means the behaviors co-occur more
+    than independence predicts; the market-basket primitive behind
+    recommendation and funnel design).
+
+    Plan: one distinct (user, type) frame (tiny: users × ≤5 types), a
+    self equi-join ON USER restricted to a < b — candidate pairs are
+    bounded by each user's type-set size, never a cross join — then a
+    |types|²-sized aggregate joined against per-type user counts.
+    Ratios are value-determined divisions of exact counts, so the
+    whole frame is oracle-exact."""
+    e = table(spark, sf_dir, "events")
+    ut = e.select("user_id", "event_type").distinct()
+    n_users = ut.select("user_id").distinct().count()
+    per_type = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_type"))
+    a = ut.select(F.col("user_id"), F.col("event_type").alias("type_a"))
+    b = ut.select(F.col("user_id"), F.col("event_type").alias("type_b"))
+    pairs = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    na = per_type.select(F.col("event_type").alias("type_a"), F.col("n_type").alias("n_a"))
+    nb = per_type.select(F.col("event_type").alias("type_b"), F.col("n_type").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(na), "type_a")
+        .join(F.broadcast(nb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            F.round(F.col("n_both") / F.lit(n_users), 6).alias("support"),
+            F.round(
+                (F.col("n_both") * F.lit(n_users))
+                / (F.col("n_a") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+ORACLE_EVENT_TYPE_LIFT = """
+WITH ut AS (
+  SELECT DISTINCT user_id, event_type FROM events
+), nu AS (
+  SELECT COUNT(DISTINCT user_id) AS n_users FROM ut
+), per_type AS (
+  SELECT event_type, COUNT(*) AS n_type FROM ut GROUP BY event_type
+), pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS n_both
+  FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT type_a, type_b, n_both,
+       ROUND(n_both * 1.0 / nu.n_users, 6) AS support,
+       ROUND((n_both * nu.n_users) * 1.0 / (na.n_type * nb.n_type), 6) AS lift
+FROM pairs
+JOIN per_type na ON na.event_type = type_a
+JOIN per_type nb ON nb.event_type = type_b
+CROSS JOIN nu
+ORDER BY type_a, type_b
+"""
+
+
 QUERIES = {
+    "event_type_lift": event_type_lift,
     "user_daily_gapfill": user_daily_gapfill,
     "hourly_event_stats": hourly_event_stats,
     "events_one_day_by_type": events_one_day_by_type,
@@ -538,6 +607,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "event_type_lift": ORACLE_EVENT_TYPE_LIFT,
     "user_daily_gapfill": ORACLE_USER_DAILY_GAPFILL,
     "daily_event_anomalies": ORACLE_DAILY_EVENT_ANOMALIES,
     "event_value_by_type_salted": ORACLE_EVENT_VALUE_BY_TYPE_SALTED,
