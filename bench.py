@@ -81,9 +81,10 @@ def main() -> None:
         "sf": sf,
     }
     # The driver captures only a stdout TAIL, which truncates the
-    # ~100-query JSON line (BENCH_r02.json lost the headline total and
-    # ~30 per-query timings).  Persist the full record to a repo file so
-    # round-over-round per-query comparison never depends on tail capture.
+    # ~100-query JSON line (BENCH_r02/r03 recorded "parsed": null — the
+    # tail kept the END of the big line, chopping its opening brace).
+    # Persist the full record to a repo file, print it FIRST, and make
+    # the LAST stdout line a short summary that always fits the tail.
     out_path = os.environ.get(
         "SPARK_GRAFT_BENCH_OUT",
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"),
@@ -92,6 +93,18 @@ def main() -> None:
         json.dump(result, f, indent=1, sort_keys=True)
         f.write("\n")
     print(json.dumps(result))
+    summary = {
+        "metric": result["metric"],
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+        "warmup_sec": warmup,
+        "assets_sec": assets,
+        "per_query_sec": round(total / len(timings), 3) if timings else None,
+        "queries_file": os.path.basename(out_path),
+    }
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":

@@ -71,6 +71,35 @@ def backfill_partitions(
     against concurrent readers, run it through the txn table's
     write-audit-publish instead of over a bare directory.
     """
+    # Schema guard: a drifted corrections frame (missing / renamed /
+    # retyped column) would otherwise silently write mixed-schema
+    # partition directories that break later full-table reads.  Compare
+    # against the existing layout before writing: non-partition columns
+    # by (name, type); the partition column by name only — its type in
+    # the read-back schema is inferred from directory names, which is
+    # lossy (e.g. "2024-01-01" dirs may infer as date), so a type
+    # comparison there would false-positive on a healthy layout.
+    import os as _os
+
+    if _os.path.isdir(layout_path):
+        existing = spark.read.parquet(layout_path).schema
+        want = {f.name: f.dataType for f in existing if f.name != partition_col}
+        got = {f.name: f.dataType for f in corrected.schema if f.name != partition_col}
+        if partition_col not in [f.name for f in corrected.schema]:
+            raise ValueError(
+                f"backfill frame lacks partition column {partition_col!r}"
+            )
+        if want != got:
+            only_existing = sorted(want.keys() - got.keys())
+            only_new = sorted(got.keys() - want.keys())
+            retyped = sorted(
+                c for c in want.keys() & got.keys() if want[c] != got[c]
+            )
+            raise ValueError(
+                "backfill frame schema drifted from existing layout "
+                f"{layout_path!r}: missing={only_existing} "
+                f"unexpected={only_new} retyped={retyped}"
+            )
     # Materialize once: the touched-partition listing and the write
     # must see the SAME evaluation (a non-deterministic lineage could
     # otherwise write a different partition set than reported), and an

@@ -806,9 +806,12 @@ def orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     null count, exact distinct cardinality, and min/max rendered to
     deterministic strings (operators/profiling.py) — the discovery
     stage that feeds quality_checks constraints and snapshot-drift
-    diffs. One wide aggregation (Catalyst plans the multi-DISTINCT via
-    one expand), then a literal-sized unpivot; the oracle recomputes
-    each column's row independently."""
+    diffs. Planned as a union of per-column NARROW aggregates — one
+    small agg per column over a single shared scan — deliberately
+    avoiding the multi-DISTINCT Expand plan, which multiplies every
+    input row by the column count (BASELINE.md records the 3.6s→1.1s
+    win from this shape); the oracle recomputes each column's row
+    independently."""
     from data_ingestion_project_spark.operators.profiling import profile_table
 
     return profile_table(table(spark, sf_dir, "orders")).orderBy("column")

@@ -916,10 +916,13 @@ def approx_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/heavy_hitters.py) — the bounded-memory one-pass twin of
     top_words: each partition emits at most 4096 (word, weight)
     counters, so the shuffle moves summaries, not the vocabulary.
-    Rows-only (weights are lower bounds, short by ≤ n/(capacity+1));
-    the presence + error-bound guarantees are property-tested against
-    exact counts, and at this corpus's vocabulary size the summary is
-    exact by construction (no counter ever evicts)."""
+    In general MG weights are lower bounds short by ≤ n/(capacity+1)
+    (property-tested against exact counts); on THIS corpus the
+    vocabulary (31 words) is far below capacity, so no counter ever
+    evicts and every weight equals the exact count — which is why the
+    query carries a value-exact DuckDB oracle (exact top-20) rather
+    than a rows-only check. Deterministic (count desc, word asc)
+    tie-break on both sides."""
     from data_ingestion_project_spark.operators.heavy_hitters import heavy_hitters
 
     d = table(spark, sf_dir, "documents")
@@ -1161,6 +1164,20 @@ SELECT word, COUNT(*) AS n
 FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word FROM documents) t
 GROUP BY word
 ORDER BY n DESC, word ASC
+LIMIT 20
+"""
+
+
+# Value-exact oracle for the Misra-Gries path: this corpus's vocabulary
+# (31 words) is far below the 4096-counter capacity, so no counter ever
+# evicts and every MG weight equals the exact count — the exact top-20
+# IS the expected output. (The general lower-bound/error-bound behavior
+# is separately property-tested in tests/ against adversarial streams.)
+ORACLE_APPROX_TOP_WORDS = """
+SELECT word, COUNT(*) AS est_count
+FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word FROM documents) t
+GROUP BY word
+ORDER BY est_count DESC, word ASC
 LIMIT 20
 """
 
@@ -2360,6 +2377,7 @@ ORACLE = {
     "near_dup_jaccard_top": ORACLE_NEAR_DUP_JACCARD_TOP,
     "lang_id_confusion": ORACLE_LANG_ID_CONFUSION,
     "top_words": ORACLE_TOP_WORDS,
+    "approx_top_words": ORACLE_APPROX_TOP_WORDS,
     "similar_supplier_names": ORACLE_SIMILAR_SUPPLIER_NAMES,
     "minhash_recall": ORACLE_MINHASH_RECALL,
     "sequence_packing": ORACLE_SEQUENCE_PACKING,

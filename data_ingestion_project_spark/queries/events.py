@@ -531,12 +531,14 @@ def event_type_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: one distinct (user, type) frame (tiny: users × ≤5 types), a
     self equi-join ON USER restricted to a < b — candidate pairs are
     bounded by each user's type-set size, never a cross join — then a
-    |types|²-sized aggregate joined against per-type user counts.
-    Ratios are value-determined divisions of exact counts, so the
-    whole frame is oracle-exact."""
+    |types|²-sized aggregate joined against per-type user counts.  The
+    corpus-wide user count folds into the SAME plan as a 1-row
+    aggregate broadcast via crossJoin (no eager driver-side count()
+    action — one Spark job total).  Ratios are value-determined
+    divisions of exact counts, so the whole frame is oracle-exact."""
     e = table(spark, sf_dir, "events")
     ut = e.select("user_id", "event_type").distinct()
-    n_users = ut.select("user_id").distinct().count()
+    n_users_df = ut.agg(F.count_distinct("user_id").alias("n_users"))
     per_type = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_type"))
     a = ut.select(F.col("user_id"), F.col("event_type").alias("type_a"))
     b = ut.select(F.col("user_id"), F.col("event_type").alias("type_b"))
@@ -551,13 +553,14 @@ def event_type_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pairs.join(F.broadcast(na), "type_a")
         .join(F.broadcast(nb), "type_b")
+        .crossJoin(F.broadcast(n_users_df))
         .select(
             "type_a",
             "type_b",
             "n_both",
-            F.round(F.col("n_both") / F.lit(n_users), 6).alias("support"),
+            F.round(F.col("n_both") / F.col("n_users"), 6).alias("support"),
             F.round(
-                (F.col("n_both") * F.lit(n_users))
+                (F.col("n_both") * F.col("n_users"))
                 / (F.col("n_a") * F.col("n_b")),
                 6,
             ).alias("lift"),

@@ -172,7 +172,11 @@ def start_gated_ingestion_stream(
     from data_ingestion_project_spark.operators import txn_table as T
     from data_ingestion_project_spark.operators.wap import audit_staged
 
-    fence_id = app_id or checkpoint_dir
+    # Normalize the default fence identity: different spellings of the
+    # SAME checkpoint (relative vs absolute, trailing slash) must map to
+    # one fence key, or a restart that spells the path differently would
+    # silently drop the exactly-once replay fence.
+    fence_id = app_id or os.path.abspath(checkpoint_dir)
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -185,7 +189,9 @@ def start_gated_ingestion_stream(
             )
         manifest = T._read_manifest(table_path, cur)
         fences = manifest.get("stream_fences", {})
-        if batch_id <= fences.get(fence_id, -1):
+        # honor both the normalized key and a legacy raw-spelling key
+        # (tables fenced before the abspath normalization)
+        if batch_id <= max(fences.get(fence_id, -1), fences.get(checkpoint_dir, -1)):
             return  # replayed micro-batch: already published atomically
         # migration: a pre-per-app table carries only the legacy scalar
         # fence; honor it until the first new-style publish writes the

@@ -191,3 +191,46 @@ def test_backfill_rewrites_only_touched_partitions(spark, tmp_path):
     assert again == [days[1]]
     out2 = spark.read.parquet(path)
     assert out2.count() == 30  # idempotent restatement
+
+
+def test_backfill_rejects_drifted_schema(spark, tmp_path):
+    """A corrections frame whose schema drifted from the existing
+    layout (missing / renamed / retyped column) must be rejected before
+    any write — mixed-schema partition directories break later
+    full-table reads."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from data_ingestion_project_spark.operators.layout import (
+        backfill_partitions,
+        write_partitioned,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "2024-01-0%d" % (1 + i % 2), float(i)) for i in range(10)],
+        "event_id long, event_day string, value double",
+    )
+    path = str(tmp_path / "layout")
+    write_partitioned(df, path, ["event_day"])
+
+    # renamed column
+    with pytest.raises(ValueError, match="schema drifted"):
+        backfill_partitions(
+            spark, df.withColumnRenamed("value", "val"), path, "event_day"
+        )
+    # retyped column
+    with pytest.raises(ValueError, match="retyped"):
+        backfill_partitions(
+            spark,
+            df.withColumn("value", F.col("value").cast("string")),
+            path,
+            "event_day",
+        )
+    # missing partition column
+    with pytest.raises(ValueError, match="lacks partition column"):
+        backfill_partitions(spark, df.drop("event_day"), path, "event_day")
+    # healthy frame still passes (guard has no false positive)
+    touched = backfill_partitions(
+        spark, df.filter(F.col("event_day") == "2024-01-01"), path, "event_day"
+    )
+    assert touched == ["2024-01-01"]
