@@ -272,6 +272,41 @@ def ivf_assign(
     )
 
 
+def ivf_assign_topn(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    n_assign: int = 2,
+    vec_col: str = "embedding",
+    list_col: str = "list_id",
+) -> DataFrame:
+    """Multi-membership variant of ``ivf_assign``: each vector joins its
+    ``n_assign`` nearest inverted lists (one output ROW per membership —
+    the frame grows ×n_assign). SemDeDup's top-2 assignment uses this to
+    catch near-dup pairs that straddle a cluster boundary (the paper's
+    recall caveat); multi-probe indexing can use it to build overlapping
+    lists. Ties break toward the lowest list id (stable argsort on
+    negated similarity), keeping the membership set deterministic."""
+    from pyspark.sql.functions import pandas_udf
+
+    cmat = np.asarray(centroids, dtype=float)
+    n = min(int(n_assign), len(cmat))
+
+    @pandas_udf("array<int>")
+    def _assign_topn(vs: pd.Series) -> pd.Series:
+        mat = np.stack(vs.map(lambda v: np.asarray(v, dtype=float)).to_numpy())
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        unit = mat / np.clip(norms, 1e-12, None)
+        idx = np.argsort(-(unit @ cmat.T), axis=1, kind="stable")[:, :n]
+        return pd.Series(list(idx.astype("int32")))
+
+    return (
+        corpus.filter(F.col(vec_col).isNotNull())
+        .withColumn("__lists", _assign_topn(F.col(vec_col)))
+        .withColumn(list_col, F.explode("__lists"))
+        .drop("__lists")
+    )
+
+
 def ivf_ann_topk(
     corpus: DataFrame,
     query_vec: list[float],

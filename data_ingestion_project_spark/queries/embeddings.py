@@ -398,9 +398,13 @@ def semdedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicates (each a scaled copy of an existing vector — cosine is
     scale-invariant, so similarity is exactly 1.0): cluster-bounded
     pairwise search (operators/semdedup.py) must drop precisely the
-    planted copies on this near-uniform corpus. Rows-only (the k-means
-    quantizer is driver-side), but the output is fully deterministic
-    and the exact drop counts are pinned in pytest."""
+    planted copies on this near-uniform corpus. Runs with the
+    production ``max_cluster_size`` valve engaged — on a skewed corpus
+    a degenerate k-means cluster becomes bounded block-pair tasks
+    instead of one O(n_c²) matmul; the valve is exact, so the output
+    is identical with or without it (pinned in pytest). Rows-only (the
+    k-means quantizer is driver-side), but the output is fully
+    deterministic and the exact drop counts are pinned in pytest."""
     from data_ingestion_project_spark.operators.semdedup import semdedup
 
     e = table(spark, sf_dir, "embeddings")
@@ -413,7 +417,7 @@ def semdedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     corpus = e.unionByName(planted)
-    kept = semdedup(corpus, threshold=0.95, n_clusters=16)
+    kept = semdedup(corpus, threshold=0.95, n_clusters=16, max_cluster_size=4096)
     n_input = corpus.agg(F.count(F.lit(1)).alias("n_input"))
     stats = kept.agg(
         F.count(F.lit(1)).alias("n_kept"),

@@ -839,6 +839,88 @@ def test_semdedup_works_with_string_ids(spark):
     assert kept == ["a", "c"]  # b is a scaled copy of a -> dropped, keep-first
 
 
+def test_semdedup_cluster_cap_exact_on_skewed_cluster(spark):
+    """The max_cluster_size valve on a deliberately SKEWED clustering
+    (one degenerate cluster holding ~92% of the corpus — the
+    boilerplate-concentration shape that OOMs an uncapped per-cluster
+    matmul at web scale): block sharding must yield EXACTLY the pair
+    set of the uncapped path, including a planted duplicate whose two
+    ends land in different id-ordered blocks."""
+    import math
+
+    from data_ingestion_project_spark.operators.semdedup import semdedup_pairs
+
+    # 60 vectors fanned over 45 degrees around [1,0] -> all cluster 0
+    # under the fixed centroids; neighbors within ~18 degrees pair up
+    # (cos >= 0.95), so the truth set is a nontrivial band.
+    rows = [
+        (i, [math.cos(math.radians(i * 0.75)), math.sin(math.radians(i * 0.75))])
+        for i in range(60)
+    ]
+    rows += [(100 + i, [0.01, 1.0 + 0.1 * i]) for i in range(5)]  # small cluster 1
+    # planted exact duplicate of id 5, scaled: id 1000 sits in the LAST
+    # id-ordered block of cluster 0, id 5 in the first -> the pair is
+    # cross-block under max_cluster_size=10
+    rows.append((1000, [2 * v for v in rows[5][1]]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+
+    def pairset(pairs_df):
+        return {
+            (r["id_a"], r["id_b"]): round(r["sim"], 9) for r in pairs_df.collect()
+        }
+
+    uncapped = pairset(semdedup_pairs(df, threshold=0.95, centroids=cents))
+    capped = pairset(
+        semdedup_pairs(df, threshold=0.95, centroids=cents, max_cluster_size=10)
+    )
+    assert capped == uncapped  # the valve is exact, not lossy
+    assert (5, 1000) in capped and capped[(5, 1000)] == 1.0  # cross-block pair
+    assert len(capped) > 50  # the band truth set is nontrivial
+
+
+def test_semdedup_top2_assignment_catches_boundary_pair(spark):
+    """The paper's boundary caveat: a near-dup pair whose two ends
+    fall on opposite sides of a cluster boundary is invisible to
+    top-1 within-cluster search; n_assign=2 (top-2 membership) must
+    catch it, and a pair discovered in BOTH shared clusters must
+    collapse to one row."""
+    from data_ingestion_project_spark.operators.semdedup import semdedup, semdedup_pairs
+
+    # centroids on the axes; vectors 2 and 3 straddle the 45-degree
+    # boundary (cosine between them ~0.992 >= 0.95) but argmax-assign
+    # to different clusters
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [0.75, 0.66]),
+        (3, [0.66, 0.75]),
+        (4, [0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+
+    top1 = {(r["id_a"], r["id_b"]) for r in
+            semdedup_pairs(df, threshold=0.95, centroids=cents).collect()}
+    assert (2, 3) not in top1  # straddling pair invisible to top-1
+
+    top2_rows = semdedup_pairs(df, threshold=0.95, centroids=cents, n_assign=2).collect()
+    top2 = [(r["id_a"], r["id_b"]) for r in top2_rows]
+    assert (2, 3) in top2                     # caught by top-2 membership
+    assert len(top2) == len(set(top2)) == 1   # double discovery collapsed
+    assert 0.95 <= top2_rows[0]["sim"] < 1.0
+
+    kept = sorted(r["vec_id"] for r in
+                  semdedup(df, threshold=0.95, centroids=cents, n_assign=2).collect())
+    assert kept == [1, 2, 4]  # keep-lowest-id drops 3
+
+    # the valve composes with top-2 (block sharding inside each of the
+    # two memberships, still one collapsed row)
+    both = semdedup_pairs(
+        df, threshold=0.95, centroids=cents, n_assign=2, max_cluster_size=2
+    ).collect()
+    assert [(r["id_a"], r["id_b"]) for r in both] == [(2, 3)]
+
+
 def test_chunking_coverage_property(spark):
     """Invariant sweep across window/stride combos: every token index
     is covered by >= 1 chunk, chunk starts follow the stride grid, and
