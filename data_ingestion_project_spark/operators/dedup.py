@@ -315,12 +315,16 @@ def minhash_lsh_pairs(
     needs anyway — no extra pass over the signatures.
     """
     assert num_perm % bands == 0
-    rows_per_band = num_perm // bands
     # ONE tokenization pass feeds both the signatures and the exact
     # rescore's word sets (they must share a vocabulary anyway for the
     # rescore threshold to mean what the bands selected for);
     # localCheckpoint materializes it once instead of re-running the
-    # normalize+split+explode pipeline per consumer.
+    # normalize+split+explode pipeline per consumer. NOTE: this ad-hoc
+    # path re-derives both from raw text; the production posture is
+    # minhash_lsh_pairs_from over MAINTAINED signature/word-set assets
+    # (pipeline outputs appended per doc batch — see
+    # queries/documents._minhash_assets), where the corpus-sized
+    # exploded token table never materializes per query.
     words = tokenized(df, text_col, id_col, shingle=shingle).localCheckpoint(eager=True)
     mins = [F.min(_hash_band(i)).alias(f"h{i}") for i in range(num_perm)]
     sig = (
@@ -328,7 +332,37 @@ def minhash_lsh_pairs(
         .agg(*mins)
         .select(F.col(id_col), F.array(*[f"h{i}" for i in range(num_perm)]).alias("signature"))
     )
+    word_sets = words.groupBy(id_col).agg(F.collect_set("word").alias("words"))
+    return minhash_lsh_pairs_from(
+        sig,
+        word_sets,
+        id_col=id_col,
+        num_perm=num_perm,
+        bands=bands,
+        min_jaccard=min_jaccard,
+        max_bucket_size=max_bucket_size,
+    )
 
+
+def minhash_lsh_pairs_from(
+    sig: DataFrame,
+    word_sets: DataFrame,
+    id_col: str = "doc_id",
+    num_perm: int = 32,
+    bands: int = 8,
+    min_jaccard: float = 0.5,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """``minhash_lsh_pairs`` over PRECOMPUTED inputs: ``sig`` is
+    (id, signature array<long> of length num_perm) from
+    ``minhash_signatures``; ``word_sets`` is (id, words array) sharing
+    the signatures' vocabulary. This is the 100 TB entry point — the
+    signature and word-set tables are maintained pipeline assets
+    (appended per ingested batch, like the winnow fingerprint index in
+    operators/incremental_dedup.py), so a dedup query reads two compact
+    per-doc tables instead of re-exploding the corpus into tokens."""
+    assert num_perm % bands == 0
+    rows_per_band = num_perm // bands
     band_cols = [
         F.struct(
             F.lit(b).alias("band"),
@@ -357,7 +391,6 @@ def minhash_lsh_pairs(
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
     )
-    word_sets = words.groupBy(id_col).agg(F.collect_set("word").alias("words"))
     wa = word_sets.select(F.col(id_col).alias("id_a"), F.col("words").alias("wa"))
     wb = word_sets.select(F.col(id_col).alias("id_b"), F.col("words").alias("wb"))
     inter = F.size(F.array_intersect("wa", "wb"))
@@ -437,15 +470,35 @@ def simhash_near_pairs(
     dedup already collapses. Same count-over-window implementation:
     rides the (blk, key) shuffle the self-join needs anyway.
     """
+    # no .cache(): the caller cannot unpersist a handle it never sees,
+    # and pinned storage accumulates across calls in long-lived sessions
+    sh = simhash(df, text_col, id_col, shingle=shingle)
+    return simhash_near_pairs_from(
+        sh,
+        id_col=id_col,
+        max_hamming=max_hamming,
+        blocks=blocks,
+        max_block_size=max_block_size,
+    )
+
+
+def simhash_near_pairs_from(
+    sh: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    blocks: int = 4,
+    max_block_size: int | None = None,
+) -> DataFrame:
+    """``simhash_near_pairs`` over a PRECOMPUTED (id, simhash) table —
+    the maintained-asset entry point (simhashes are per-doc scalars a
+    pipeline appends per batch; re-hashing the corpus per query
+    measures recompute, not the query)."""
     if max_hamming >= blocks:
         raise ValueError(
             f"max_hamming={max_hamming} >= blocks={blocks}: pigeonhole recall "
             "guarantee is Hamming < blocks; raise blocks (64 must stay divisible) "
             "or lower max_hamming"
         )
-    # no .cache(): the caller cannot unpersist a handle it never sees,
-    # and pinned storage accumulates across calls in long-lived sessions
-    sh = simhash(df, text_col, id_col, shingle=shingle)
     block_bits = 64 // blocks
     mask = (1 << block_bits) - 1
     exploded = sh.select(
