@@ -160,3 +160,175 @@ def dedup_batch_against_index(
         "n_dropped_in_batch": n_dropped_total - n_dropped_vs_index,
         "n_accepted": n_batch - n_dropped_total,
     }
+
+
+# ------------------------------------------------------------------
+# Incremental pair-table maintenance
+#
+# The batch-rebuild pair table (queries/documents._winnow_pair_counts:
+# (id_a, id_b, n_shared) over fingerprints whose posting list holds
+# 2..max_df docs) is mtime-keyed FULL recompute — fine per corpus
+# snapshot, hours at 100 TB. The incremental twin below appends O(new
+# batch) increment rows per arriving batch instead:
+#
+# - a fp whose TOTAL posting list stays within [2, max_df] emits +1 for
+#   every pair touching a new doc (new×old cross pairs + new×new upper
+#   triangle); its old×old pairs were already counted by earlier
+#   batches and are not re-emitted;
+# - a fp whose posting list CROSSES max_df with this batch emits -1
+#   RETRACTIONS for every old×old pair it contributed earlier — the
+#   rebuild excludes over-cap fps entirely, so exact parity requires
+#   unwinding their history (bounded: the old list was <= max_df when
+#   it contributed, so <= max_df² retraction rows);
+# - a fp already over the cap contributes nothing, exactly like the
+#   rebuild.
+#
+# Every posting list that is ever collected is <= max_df rows, so no
+# task sees a degenerate fp's full list. Reading the table is one
+# groupBy-sum over the increments (filter sum > 0); periodic compaction
+# can replace the log with its aggregate without changing readers.
+# Exactly-once: run the update inside the caller's batch fence (the
+# WAP/stream-fence machinery in streaming/ingest.py) — a replayed
+# un-fenced batch would double-append increments.
+# ------------------------------------------------------------------
+
+PAIR_SCHEMA = "id_a bigint, id_b bigint, delta bigint"
+
+
+def update_pair_index(
+    spark: SparkSession,
+    fp_index_path: str,
+    pair_path: str,
+    new_fps: DataFrame,
+    max_df: int = 50,
+) -> None:
+    """Append the pair-count increments a new batch's fingerprints
+    induce against the accepted-corpus fp index.
+
+    ``new_fps`` is the batch's (fp, doc_id) rows (the survivors a
+    dedup_batch_against_index call accepted, or all of them for a
+    dedup-free corpus). Call BEFORE or AFTER appending the batch to
+    the fp index — the index side excludes the batch's own doc_ids, so
+    ordering does not change the result (doc_ids are globally unique
+    across batches by contract)."""
+    new_fps = new_fps.select(
+        F.col("fp").cast("long"), F.col("doc_id").cast("long")
+    ).localCheckpoint(eager=True)
+
+    new_lists = new_fps.groupBy("fp").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("new_ids")
+    )
+    idx = None
+    if T.current_version(fp_index_path) is not None:
+        idx = (
+            T.read(spark, fp_index_path)
+            # only fps the batch touches matter, and the batch's own
+            # fps may already be in the index (call-after-append /
+            # replay) — exclude them by doc_id
+            .join(new_lists.select("fp"), "fp", "left_semi")
+            .join(new_fps.select("doc_id"), "doc_id", "left_anti")
+        )
+    if idx is not None:
+        # bound the collected old posting list: rank within fp, keep
+        # the first max_df+1 ids — enough to distinguish <=max_df from
+        # over-cap without ever materializing a degenerate fp's full
+        # list (over-cap fps neither emit nor retract)
+        from pyspark.sql import Window
+
+        wfp = Window.partitionBy("fp").orderBy("doc_id")
+        old = (
+            idx.withColumn("__rn", F.row_number().over(wfp))
+            .groupBy("fp")
+            .agg(
+                F.count(F.lit(1)).alias("n_old"),
+                F.sort_array(
+                    F.collect_list(
+                        F.when(F.col("__rn") <= max_df + 1, F.col("doc_id"))
+                    )
+                ).alias("old_ids"),
+            )
+        )
+        joined = new_lists.join(old, "fp", "left")
+    else:
+        joined = new_lists.select(
+            "fp",
+            "new_ids",
+            F.lit(0).cast("long").alias("n_old"),
+            F.array().cast("array<bigint>").alias("old_ids"),
+        )
+    joined = joined.select(
+        "fp",
+        "new_ids",
+        F.coalesce("n_old", F.lit(0)).alias("n_old"),
+        F.coalesce("old_ids", F.array().cast("array<bigint>")).alias("old_ids"),
+        (F.size("new_ids") + F.coalesce("n_old", F.lit(0))).alias("n_total"),
+    )
+
+    def _tri(ids_col: str, delta: int) -> F.Column:
+        ids = F.col(ids_col)
+        n = F.size(ids)
+        # guard n < 2: sequence(1, 0) would DESCEND ([1, 0]) and feed
+        # element_at an illegal 0 index
+        heads = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
+            F.array().cast("array<int>")
+        )
+        return F.flatten(
+            F.transform(
+                heads,
+                lambda i: F.transform(
+                    F.slice(ids, i + 1, n),
+                    lambda x: F.struct(
+                        F.element_at(ids, i).alias("id_a"),
+                        x.alias("id_b"),
+                        F.lit(delta).cast("long").alias("delta"),
+                    ),
+                ),
+            )
+        )
+
+    cross = F.flatten(
+        F.transform(
+            F.col("new_ids"),
+            lambda nid: F.transform(
+                F.col("old_ids"),
+                lambda oid: F.struct(
+                    F.least(nid, oid).alias("id_a"),
+                    F.greatest(nid, oid).alias("id_b"),
+                    F.lit(1).cast("long").alias("delta"),
+                ),
+            ),
+        )
+    )
+    emit = joined.filter((F.col("n_total") >= 2) & (F.col("n_total") <= max_df)).select(
+        F.explode(F.concat(cross, _tri("new_ids", 1))).alias("p")
+    )
+    retract = joined.filter(
+        (F.col("n_old") >= 2) & (F.col("n_old") <= max_df) & (F.col("n_total") > max_df)
+    ).select(F.explode(_tri("old_ids", -1)).alias("p"))
+
+    increments = (
+        emit.unionByName(retract)
+        .select(F.col("p.id_a"), F.col("p.id_b"), F.col("p.delta"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum("delta").alias("delta"))
+        .filter(F.col("delta") != 0)
+    )
+    if T.current_version(pair_path) is None:
+        try:
+            T.create_table(spark, pair_path, increments)
+            return
+        except (FileExistsError, T.TxnConflict):
+            pass  # concurrent creator won; fall through to append
+    T.append(spark, pair_path, increments)
+
+
+def read_pair_index(spark: SparkSession, pair_path: str) -> DataFrame:
+    """Current (id_a, id_b, n_shared) view of the increment log — one
+    groupBy-sum; pairs whose contributions were fully retracted (their
+    every shared fp crossed the cap) vanish, matching the rebuild."""
+    return (
+        T.read(spark, pair_path)
+        .groupBy("id_a", "id_b")
+        .agg(F.sum("delta").alias("n_shared"))
+        .filter(F.col("n_shared") > 0)
+    )

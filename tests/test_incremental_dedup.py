@@ -87,3 +87,104 @@ def test_first_batch_create_race_rebases(spark, tmp_path, monkeypatch):
     # rebase deduplicated against the winner's docs: 2 ~ winner's 1
     assert sorted(r["doc_id"] for r in acc.collect()) == [3]
     assert info["n_dropped_vs_index"] == 1 and info["n_accepted"] == 1
+
+
+def test_incremental_pair_index_matches_batch_rebuild(spark, tmp_path):
+    """The increment-log pair table, maintained batch by batch, must
+    equal the full-corpus batch rebuild (posting lists of 2..max_df
+    docs -> counted pairs) EXACTLY — including a fingerprint that
+    crosses the df cap in a later batch, whose earlier pair
+    contributions must be retracted."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_project_spark.functions.text import winnow_fingerprints
+    from data_ingestion_project_spark.operators import txn_table as T
+    from data_ingestion_project_spark.operators.incremental_dedup import (
+        read_pair_index,
+        update_pair_index,
+    )
+
+    MAX_DF = 4
+    # shared phrases engineer fp posting lists across the cap:
+    A = "alpha beta gamma delta epsilon zeta eta theta iota kappa"      # docs 0-2 (df 3, counts)
+    B = "one two three four five six seven eight nine ten eleven"       # docs 0-9 (df 10, over cap in batch 1)
+    C = "winnowing fingerprints guarantee shared substrings are found"  # docs 5,15,25 (df grows 1->2->3)
+    D = "crossing the cap in a later batch forces retraction rows here" # docs 8,9,18,19,28 (df 4 -> 5: retract)
+    def text(i):
+        parts = [f"unique filler for document number {i} " * 2]
+        if i <= 2:
+            parts.append(A)
+        if i <= 9:
+            parts.append(B)
+        if i in (5, 15, 25):
+            parts.append(C)
+        if i in (8, 9, 18, 19, 28):
+            parts.append(D)
+        return " ".join(parts)
+
+    all_rows = [(i, text(i)) for i in range(30)]
+    fp_idx = str(tmp_path / "fp_index")
+    pair_idx = str(tmp_path / "pair_index")
+
+    for lo in (0, 10, 20):
+        batch = spark.createDataFrame(all_rows[lo:lo + 10], "doc_id long, text string")
+        fps = winnow_fingerprints(batch, "text", "doc_id", k=8, w=4).select(
+            F.col("fp").cast("long"), F.col("doc_id").cast("long")
+        )
+        if lo == 10:
+            # ordering invariance: append the batch's fps to the fp
+            # index FIRST — the update excludes own doc_ids, so
+            # call-before or call-after yields the same increments
+            T.append(spark, fp_idx, fps)
+            update_pair_index(spark, fp_idx, pair_idx, fps, max_df=MAX_DF)
+        else:
+            update_pair_index(spark, fp_idx, pair_idx, fps, max_df=MAX_DF)
+            if T.current_version(fp_idx) is None:
+                T.create_table(spark, fp_idx, fps)
+            else:
+                T.append(spark, fp_idx, fps)
+
+    got = sorted(
+        (r["id_a"], r["id_b"], r["n_shared"])
+        for r in read_pair_index(spark, pair_idx).collect()
+    )
+
+    # truth: the batch rebuild over the full corpus
+    full = spark.createDataFrame(all_rows, "doc_id long, text string")
+    fps_all = winnow_fingerprints(full, "text", "doc_id", k=8, w=4)
+    lists = (
+        fps_all.groupBy("fp")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= MAX_DF))
+    )
+    n = F.size("ids")
+    pairs = lists.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(1), n - 1),
+                    lambda i: F.transform(
+                        F.slice(F.col("ids"), i + 1, n),
+                        lambda x: F.struct(
+                            F.element_at("ids", i).alias("id_a"), x.alias("id_b")
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    want = sorted(
+        (r["id_a"], r["id_b"], r["n"])
+        for r in pairs.groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert got == want
+    assert len(got) > 10  # nontrivial pair set
+    # the D phrase's interior fps crossed the cap at batch 3 (df 4 -> 5):
+    # the log must contain REAL retraction rows (negative deltas), and
+    # the equality above proves they unwound exactly the right pairs
+    n_retract = (
+        T.read(spark, pair_idx).filter(F.col("delta") < 0).count()
+    )
+    assert n_retract > 0
