@@ -196,6 +196,104 @@ def jaccard_pairs(
     return pairs
 
 
+def jaccard_pairs_prefix(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_jaccard: float = 0.5,
+    shingle: int | None = None,
+) -> DataFrame:
+    """EXACT word-set Jaccard >= threshold pairs via PREFIX FILTERING
+    (SSJoin/PPJoin family — Chaudhuri et al. ICDE'06, Xiao et al.
+    WWW'08): the principled no-recall-loss scale path, complementing
+    ``jaccard_pairs``' posting-list cap (which is exact only over the
+    PRUNED vocabulary) and the probabilistic MinHash bands.
+
+    Theorem: order every document's tokens by one global canonical
+    order (here: ascending document frequency, rarest first, word-asc
+    tie-break) and keep each doc's first |x| - ceil(t·|x|) + 1 tokens
+    (its PREFIX). Any pair with Jaccard >= t MUST share at least one
+    prefix token — so the equi-join of PREFIXES generates a complete
+    candidate set while joining only the rarest slice of each posting
+    list. A length filter (t·|x| <= |y| <= |x|/t, a join predicate)
+    discards size-incompatible candidates before verification; exact
+    verification rescored over the full word sets makes the output
+    value-identical to the unfiltered quadratic join.
+
+    Scale shape: df-ranking is one window over the (id, word) index;
+    the candidate join's cost tracks RARE-token posting lists (on a
+    Zipfian vocabulary the prefix skips exactly the head words that
+    make the naive join quadratic — candidate reduction is pinned in
+    pytest). Float guards: ceil/multiply comparisons carry a 1e-9
+    slack so binary-float threshold representation can only ADD
+    candidates, never drop a boundary pair.
+
+    NOTE on the synthetic corpus: its 31-word near-uniform vocabulary
+    has no rare tokens, so prefix filtering degenerates there (as any
+    df-based method must — measured, which is why the corpus QUERY
+    stays bench-excluded like its quadratic twin); the operator's win
+    requires the Zipfian shape real corpora have.
+    """
+    if not (0.0 < min_jaccard <= 1.0):
+        raise ValueError(f"min_jaccard must be in (0, 1], got {min_jaccard}")
+    words = tokenized(df, text_col, id_col, shingle=shingle)
+    cand = jaccard_prefix_candidates(words, min_jaccard, id_col=id_col)
+    word_sets = words.groupBy(id_col).agg(F.collect_set("word").alias("words"))
+    wa = word_sets.select(F.col(id_col).alias("id_a"), F.col("words").alias("wa"))
+    wb = word_sets.select(F.col(id_col).alias("id_b"), F.col("words").alias("wb"))
+    n_common = F.size(F.array_intersect("wa", "wb"))
+    return (
+        cand.join(wa, "id_a")
+        .join(wb, "id_b")
+        .withColumn(
+            "jaccard",
+            n_common / (F.size("wa") + F.size("wb") - n_common),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def jaccard_prefix_candidates(
+    words: DataFrame,
+    min_jaccard: float,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Complete candidate (id_a, id_b) set for Jaccard >= threshold
+    from an (id, word) inverted index, by prefix filtering + length
+    filter (see jaccard_pairs_prefix). Exposed separately so the
+    candidate-reduction property is directly testable."""
+    t = float(min_jaccard)
+    doc_freq = words.groupBy("word").agg(F.count(F.lit(1)).alias("df_w"))
+    ranked = words.join(doc_freq, "word")
+    wp = Window.partitionBy(id_col)
+    pos = F.row_number().over(wp.orderBy(F.col("df_w").asc(), F.col("word").asc()))
+    size = F.count(F.lit(1)).over(wp)
+    marked = ranked.select(
+        id_col, "word", pos.alias("pos"), size.alias("set_size")
+    )
+    prefix_len = (
+        F.col("set_size") - F.ceil(F.lit(t) * F.col("set_size") - F.lit(1e-9)) + 1
+    )
+    prefix = marked.filter(F.col("pos") <= prefix_len).select(
+        id_col, "word", "set_size"
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.word") == F.col("b.word"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            & (F.col("b.set_size") >= F.lit(t) * F.col("a.set_size") - F.lit(1e-9))
+            & (F.col("a.set_size") >= F.lit(t) * F.col("b.set_size") - F.lit(1e-9)),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
 def md5_minhash_candidates(
     df: DataFrame,
     num_perm: int,

@@ -70,6 +70,7 @@ _DRIVER_PRIORITY = (
     # --- round-4 additions (certify on first driver pass) ---
     "nb_lang_confusion",
     "substring_dup_stats",
+    "near_dup_jaccard_prefix",
     # --- high-value re-certifications filling the window to 50 ---
     "minhash_recall",
     "dup_cluster_sizes",
@@ -125,6 +126,12 @@ EXCLUDE_FROM_BENCH = frozenset(
     {
         "top_similar_pairs",
         "near_dup_jaccard_top",
+        # exact prefix-filtered twin: zero recall loss by theorem, but
+        # df-based prefix filtering needs a Zipfian vocabulary to
+        # prune; this corpus's 31 near-uniform words leave the prefix
+        # join as quadratic as the baseline (candidate reduction on a
+        # Zipfian corpus is pinned in pytest instead)
+        "near_dup_jaccard_prefix",
         # the recall certification joins against the exact ground
         # truth, so it inherits the quadratic baseline's
         # data-degenerate cost
