@@ -1,0 +1,100 @@
+"""Mergeable quantile sketch via deterministic bottom-k hash sampling —
+the quantile member of the standing-sketch family next to the HLL /
+theta distinct sketches and the Misra-Gries frequent-items summaries
+(queries/advanced.py, operators/heavy_hitters.py).
+
+Why not approx_percentile? Spark's builtin estimate is TERMINAL — you
+cannot store per-day results and combine them into a month's quantile
+without rescanning the facts. The standing-aggregate design at 100 TB
+computes one bounded sketch per partition/day at ingest; any date-range
+quantile query then merges the stored ~K-row sketches, zero fact
+rescan.
+
+The sketch is the classic bottom-k (order) sample: the K rows whose
+``xxhash64(key)`` is smallest form a uniform sample of the group —
+DETERMINISTIC (a pure function of the data: no RNG, no partitioning
+dependence, rerun-stable) and MERGEABLE by construction (the bottom-k
+of a union is the bottom-k of the concatenated bottom-k's — an exact
+algebraic identity, not an approximation, so merge-of-parts equals
+direct-whole BIT-FOR-BIT, which the pytest pins). Quantile estimates
+read the sample at rank ceil(p·n); sampling error is the usual
+O(1/sqrt(K)) in rank — certified by a rank-error floor in pytest, the
+same posture as the HLL/theta 5% floors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def bottomk_sketches(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    key_col: str,
+    k: int = 1024,
+) -> DataFrame:
+    """One sketch row per group: ``sketch`` = array<struct<h,v>> of the
+    K smallest-hash (hash, value) pairs, sorted by (h, v).
+
+    ``key_col`` must identify rows (e.g. the event id): the hash of a
+    row key — not of the value — is what makes the sample uniform over
+    ROWS and the sketch insertion-order/partitioning independent.
+    NULL values are excluded (SQL aggregate convention)."""
+    from pyspark.sql.window import Window
+
+    rows = df.filter(F.col(value_col).isNotNull()).select(
+        *group_cols,
+        F.col(value_col).cast("double").alias("__v"),
+        F.xxhash64(F.col(key_col)).alias("__h"),
+    )
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.col("__h").asc(), F.col("__v").asc()
+    )
+    return (
+        rows.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .groupBy(*group_cols)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("__h").alias("h"), F.col("__v").alias("v")))
+            ).alias("sketch")
+        )
+    )
+
+
+def merge_bottomk(
+    sketches: DataFrame,
+    group_cols: list[str] | None = None,
+    k: int = 1024,
+) -> DataFrame:
+    """Merge stored sketches into one per ``group_cols`` bucket (empty
+    list = one global sketch): explode, keep the K smallest (h, v)
+    pairs, re-collect. Exactly the bottom-k of the union — so rolling
+    day sketches up to a month equals sketching the month directly."""
+    from pyspark.sql.window import Window
+
+    group_cols = group_cols or []
+    exploded = sketches.select(
+        *group_cols, F.explode("sketch").alias("e")
+    ).select(*group_cols, F.col("e.h").alias("__h"), F.col("e.v").alias("__v"))
+    w = Window.partitionBy(*group_cols) if group_cols else Window.partitionBy(F.lit(1))
+    w = w.orderBy(F.col("__h").asc(), F.col("__v").asc())
+    kept = exploded.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") <= k
+    )
+    return kept.groupBy(*group_cols).agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("__h").alias("h"), F.col("__v").alias("v")))
+        ).alias("sketch")
+    )
+
+
+def sketch_quantile(sketch: Column, p: float) -> Column:
+    """Estimate the p-quantile from a sketch column: the sample value
+    at rank ceil(p·n) (1-indexed, clamped to [1, n])."""
+    vs = F.array_sort(F.transform(sketch, lambda s: s.getField("v")))
+    n = F.size(vs)
+    idx = F.greatest(F.lit(1), F.least(n, F.ceil(F.lit(float(p)) * n).cast("int")))
+    return F.element_at(vs, idx)

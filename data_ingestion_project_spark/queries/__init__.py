@@ -71,6 +71,7 @@ _DRIVER_PRIORITY = (
     "nb_lang_confusion",
     "substring_dup_stats",
     "near_dup_jaccard_prefix",
+    "quantile_sketch_rollup",
     # --- high-value re-certifications filling the window to 50 ---
     "minhash_recall",
     "dup_cluster_sizes",

@@ -520,6 +520,41 @@ def sketch_rollup_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_day.unionByName(total).orderBy("day")
 
 
+def quantile_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable QUANTILE rollup (operators/quantile_sketch.py:
+    deterministic bottom-k hash sampling) — the quantile twin of
+    sketch_rollup_dau: one ~K-row sketch of event values per day, then
+    the period's p50/p90 read from the MERGE of the stored day
+    sketches, zero fact rescan. approx_percentile cannot do this (its
+    estimate is terminal); the bottom-k sample is mergeable by exact
+    algebraic identity — merge-of-days EQUALS sketching the period
+    directly, bit-for-bit (pinned in pytest), and the whole pipeline
+    is a pure function of the data (xxhash64 row keys, no RNG).
+    Rows-only (sampling error is O(1/sqrt(K)) in rank; rank-error
+    floor pinned in pytest)."""
+    from data_ingestion_project_spark.operators.quantile_sketch import (
+        bottomk_sketches,
+        merge_bottomk,
+        sketch_quantile,
+    )
+
+    e = table(spark, sf_dir, "events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    daily = bottomk_sketches(e, "value", ["day"], "event_id", k=1024)
+    per_day = daily.select(
+        "day",
+        F.round(sketch_quantile(F.col("sketch"), 0.5), 4).alias("p50_value"),
+        F.round(sketch_quantile(F.col("sketch"), 0.9), 4).alias("p90_value"),
+    )
+    total = merge_bottomk(daily, [], k=1024).select(
+        F.lit("TOTAL").alias("day"),
+        F.round(sketch_quantile(F.col("sketch"), 0.5), 4).alias("p50_value"),
+        F.round(sketch_quantile(F.col("sketch"), 0.9), 4).alias("p90_value"),
+    )
+    return per_day.unionByName(total).orderBy("day")
+
+
 def theta_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theta sketches support SET OPERATIONS between sketches —
     intersection gives retained users between adjacent weeks without
@@ -942,6 +977,7 @@ QUERIES = {
     "shipping_delay_histogram": shipping_delay_histogram,
     "approx_daily_active_users": approx_daily_active_users,
     "sketch_rollup_dau": sketch_rollup_dau,
+    "quantile_sketch_rollup": quantile_sketch_rollup,
     "theta_weekly_retention": theta_weekly_retention,
     "approx_order_price_quantiles": approx_order_price_quantiles,
     "order_price_quantiles": order_price_quantiles,

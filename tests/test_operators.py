@@ -1132,3 +1132,57 @@ def test_append_to_ivf_index_vectors_become_findable(spark, tmp_path):
     }
     assert files_before <= files_after  # append never rewrites
     assert len(files_after) > len(files_before)
+
+
+def test_quantile_sketch_merge_equals_direct_and_rank_error(spark):
+    """Bottom-k quantile sketch contracts: (1) merging per-day
+    sketches equals sketching the whole period directly BIT-FOR-BIT
+    (the algebraic mergeability identity); (2) quantile estimates land
+    within the O(1/sqrt(K)) rank band of the exact quantile; (3) the
+    sketch is a pure function of the data (rerun-stable)."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_project_spark.operators.quantile_sketch import (
+        bottomk_sketches,
+        merge_bottomk,
+        sketch_quantile,
+    )
+
+    # deterministic synthetic: 6000 rows over 3 days, skewed values
+    rows = [(i, f"d{i % 3}", float((i * 37) % 1000) ** 1.5) for i in range(6000)]
+    df = spark.createDataFrame(rows, "event_id long, day string, value double")
+    K = 512
+
+    daily = bottomk_sketches(df, "value", ["day"], "event_id", k=K)
+    merged = merge_bottomk(daily, [], k=K).collect()[0]["sketch"]
+    direct = (
+        bottomk_sketches(df.withColumn("g", F.lit(1)), "value", ["g"], "event_id", k=K)
+        .collect()[0]["sketch"]
+    )
+    assert [tuple(x) for x in merged] == [tuple(x) for x in direct]  # identity
+    assert len(merged) == K
+
+    # rank-error floor: estimated p is the exact rank p +- 4/sqrt(K)
+    import math
+    values = sorted(v for _, _, v in rows)
+    n = len(values)
+    tol = 4.0 / math.sqrt(K)
+    est = (
+        merge_bottomk(daily, [], k=K)
+        .select(
+            sketch_quantile(F.col("sketch"), 0.5).alias("p50"),
+            sketch_quantile(F.col("sketch"), 0.9).alias("p90"),
+        )
+        .collect()[0]
+    )
+    for p, got in ((0.5, est["p50"]), (0.9, est["p90"])):
+        # position of the estimate in the exact CDF
+        import bisect
+        rank = bisect.bisect_right(values, got) / n
+        assert abs(rank - p) <= tol, (p, got, rank, tol)
+
+    # rerun-stability (pure function of data, no RNG)
+    again = merge_bottomk(
+        bottomk_sketches(df, "value", ["day"], "event_id", k=K), [], k=K
+    ).collect()[0]["sketch"]
+    assert [tuple(x) for x in again] == [tuple(x) for x in merged]
