@@ -72,6 +72,7 @@ _DRIVER_PRIORITY = (
     "substring_dup_stats",
     "near_dup_jaccard_prefix",
     "quantile_sketch_rollup",
+    "dup_graph_triangles",
     # --- high-value re-certifications filling the window to 50 ---
     "minhash_recall",
     "dup_cluster_sizes",

@@ -473,6 +473,63 @@ def dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the near-dup graph: edge count, closed
+    triangles, open wedges (length-2 paths), and the global clustering
+    coefficient 3·triangles/wedges — the structural signal that
+    separates template DUPLICATION (dense, high-clustering cliques of
+    boilerplate) from chained partial overlap (low-clustering paths),
+    which tells a dedup pipeline whether cluster-collapse or pairwise
+    pruning fits the corpus.
+
+    Plan: edges are stored id_a < id_b, which IS the canonical
+    orientation, so each triangle is counted exactly once by the
+    two-hop join e1(a,b)⋈e2(b,c)⋈e3(a,c) — the standard distributed
+    formulation; at web scale you would re-orient by degree
+    (low-degree endpoint first) to bound the join's skew, the same
+    trick the star CC formulation uses. Wedges come from one
+    degree aggregate (Σ d·(d-1)/2). All-integer arithmetic, one
+    value-determined division — oracle-exact."""
+    edges = _winnow_pair_counts(spark, sf_dir).filter(F.col("n_shared") >= 20).select(
+        "id_a", "id_b"
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.id_b") == F.col("e2.id_a"))
+        .join(
+            e3,
+            (F.col("e3.id_a") == F.col("e1.id_a"))
+            & (F.col("e3.id_b") == F.col("e2.id_b")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    deg = (
+        edges.select(F.col("id_a").alias("node"))
+        .unionAll(edges.select(F.col("id_b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    wed = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        # per-row integer wedge count, long-summed — exact at any scale
+        F.sum((F.col("d") * (F.col("d") - 1) / 2).cast("long")).alias("n_wedges"),
+    )
+    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        n_edges.crossJoin(F.broadcast(wed))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_edges",
+            "n_nodes",
+            "n_triangles",
+            "n_wedges",
+            F.when(F.col("n_wedges") > 0, F.round(3 * F.col("n_triangles") / F.col("n_wedges"), 6))
+            .otherwise(F.lit(0.0))
+            .alias("clustering_coeff"),
+        )
+    )
+
+
 def dup_cluster_sizes_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dup_cluster_sizes computed with the ALTERNATING large-star /
     small-star connected components (operators/graph.py, Kiveris et
@@ -526,6 +583,33 @@ WITH {_WINNOW_PAIR_CTES}
 SELECT id_a, id_b, n_shared FROM wpairs
 ORDER BY n_shared DESC, id_a, id_b
 LIMIT 20
+"""
+
+ORACLE_DUP_GRAPH_TRIANGLES = f"""
+WITH {_WINNOW_PAIR_CTES},
+edges AS (SELECT id_a, id_b FROM wpairs WHERE n_shared >= 20),
+tri AS (
+  SELECT COUNT(*) AS n_triangles
+  FROM edges e1
+  JOIN edges e2 ON e2.id_a = e1.id_b
+  JOIN edges e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b
+),
+deg AS (
+  SELECT node, COUNT(*) AS d FROM (
+    SELECT id_a AS node FROM edges UNION ALL SELECT id_b FROM edges
+  ) t GROUP BY node
+),
+wed AS (
+  SELECT COUNT(*) AS n_nodes,
+         CAST(SUM((d * (d - 1)) // 2) AS BIGINT) AS n_wedges
+  FROM deg
+),
+ne AS (SELECT COUNT(*) AS n_edges FROM edges)
+SELECT n_edges, n_nodes, n_triangles, n_wedges,
+       CASE WHEN n_wedges > 0
+            THEN ROUND(3 * n_triangles * 1.0 / n_wedges, 6)
+            ELSE 0.0 END AS clustering_coeff
+FROM ne CROSS JOIN wed CROSS JOIN tri
 """
 
 ORACLE_DUP_CLUSTER_SIZES = f"""
@@ -2635,6 +2719,7 @@ QUERIES = {
     "winnow_overlap_top": winnow_overlap_top,
     "dup_cluster_sizes": dup_cluster_sizes,
     "dup_cluster_sizes_star": dup_cluster_sizes_star,
+    "dup_graph_triangles": dup_graph_triangles,
     "media_feature_stats": media_feature_stats,
     "media_decode_stats": media_decode_stats,
     "quality_filter_funnel": quality_filter_funnel,
@@ -2674,6 +2759,7 @@ ORACLE = {
     "bpe_token_stats": ORACLE_BPE_TOKEN_STATS,
     "winnow_overlap_top": ORACLE_WINNOW_OVERLAP_TOP,
     "dup_cluster_sizes": ORACLE_DUP_CLUSTER_SIZES,
+    "dup_graph_triangles": ORACLE_DUP_GRAPH_TRIANGLES,
     "dup_cluster_sizes_star": ORACLE_DUP_CLUSTER_SIZES,
     "media_feature_stats": ORACLE_MEDIA_FEATURE_STATS,
     "media_decode_stats": ORACLE_MEDIA_DECODE_STATS,
