@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+SKETCH_TYPE = "array<struct<h:bigint,v:double>>"
+
 
 def bottomk_sketches(
     df: DataFrame,
@@ -44,10 +46,20 @@ def bottomk_sketches(
     NULL values are excluded (SQL aggregate convention)."""
     from pyspark.sql.window import Window
 
-    rows = df.filter(F.col(value_col).isNotNull()).select(
-        *group_cols,
-        F.col(value_col).cast("double").alias("__v"),
-        F.xxhash64(F.col(key_col)).alias("__h"),
+    rows = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(
+            *group_cols,
+            F.col(value_col).cast("double").alias("__v"),
+            F.xxhash64(F.col(key_col)).alias("__h"),
+        )
+        # the sketch is a SET of (hash, value) pairs: identical pairs
+        # collapse, which is what makes the fold IDEMPOTENT — merging a
+        # replayed/re-executed batch cannot grow the sketch. A genuine
+        # data duplicate has a different row key, hence a different
+        # hash; only the same row replayed (or a measure-zero h+v
+        # collision) collapses.
+        .dropDuplicates([*group_cols, "__h", "__v"])
     )
     w = Window.partitionBy(*group_cols).orderBy(
         F.col("__h").asc(), F.col("__v").asc()
@@ -59,7 +71,11 @@ def bottomk_sketches(
         .agg(
             F.array_sort(
                 F.collect_list(F.struct(F.col("__h").alias("h"), F.col("__v").alias("v")))
-            ).alias("sketch")
+            )
+            # normalize nullability so sketches from any producer
+            # (fresh build, merge of stored sketches) share ONE schema
+            .cast(SKETCH_TYPE)
+            .alias("sketch")
         )
     )
 
@@ -76,9 +92,13 @@ def merge_bottomk(
     from pyspark.sql.window import Window
 
     group_cols = group_cols or []
-    exploded = sketches.select(
-        *group_cols, F.explode("sketch").alias("e")
-    ).select(*group_cols, F.col("e.h").alias("__h"), F.col("e.v").alias("__v"))
+    exploded = (
+        sketches.select(*group_cols, F.explode("sketch").alias("e"))
+        .select(*group_cols, F.col("e.h").alias("__h"), F.col("e.v").alias("__v"))
+        # same SET semantics as bottomk_sketches: a pair present in two
+        # input sketches (overlapping inputs, replayed batch) counts once
+        .dropDuplicates([*group_cols, "__h", "__v"])
+    )
     w = Window.partitionBy(*group_cols) if group_cols else Window.partitionBy(F.lit(1))
     w = w.orderBy(F.col("__h").asc(), F.col("__v").asc())
     kept = exploded.withColumn("__rn", F.row_number().over(w)).filter(
@@ -87,7 +107,9 @@ def merge_bottomk(
     return kept.groupBy(*group_cols).agg(
         F.array_sort(
             F.collect_list(F.struct(F.col("__h").alias("h"), F.col("__v").alias("v")))
-        ).alias("sketch")
+        )
+        .cast(SKETCH_TYPE)
+        .alias("sketch")
     )
 
 

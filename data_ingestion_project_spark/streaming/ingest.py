@@ -294,3 +294,67 @@ def start_scd2_dimension_stream(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def start_quantile_sketch_stream(
+    spark: SparkSession,
+    values: DataFrame,
+    table_path: str,
+    checkpoint_dir: str,
+    value_col: str = "value",
+    key_col: str = "event_id",
+    ts_col: str = "ts",
+    k: int = 1024,
+) -> StreamingQuery:
+    """Streaming maintenance of the standing per-day quantile sketches
+    (operators/quantile_sketch.py): each micro-batch's rows fold into
+    the (day, sketch) table, so any date-range quantile query reads
+    KB-sized stored sketches with zero fact rescan — the
+    standing-aggregate design, maintained AT INGEST.
+
+    Replay safety WITHOUT a batch fence: the bottom-k fold is
+    idempotent (merging the same rows again cannot change the k
+    smallest hashes — set union under a deterministic order), the same
+    argument as the SCD2 sink above and unlike the additive
+    running-count sink, which needs its fence. The per-batch commit is
+    a day-keyed MERGE, so the rewrite is bounded to the days the batch
+    touched, not the table."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_project_spark.operators import txn_table as T
+    from data_ingestion_project_spark.operators.quantile_sketch import (
+        bottomk_sketches,
+        merge_bottomk,
+    )
+
+    def _sink(batch_df: DataFrame, batch_id: int, max_retries: int = 20) -> None:
+        if batch_df.isEmpty():
+            return
+        days = batch_df.withColumn("day", F.date_format(ts_col, "yyyy-MM-dd"))
+        batch_sk = bottomk_sketches(days, value_col, ["day"], key_col, k=k)
+        for _ in range(max_retries):
+            base = T.current_version(table_path)
+            if base is None:
+                try:
+                    T.create_table(spark, table_path, batch_sk)
+                    return
+                except (FileExistsError, T.TxnConflict):
+                    continue  # lost the create race: rebase onto the winner
+            prior = T.read(spark, table_path, base)
+            touched = prior.join(batch_sk.select("day"), "day", "left_semi")
+            merged = merge_bottomk(touched.unionByName(batch_sk), ["day"], k=k)
+            try:
+                T.merge(spark, table_path, merged, key="day")
+                return
+            except T.TxnConflict:
+                continue  # concurrent writer: re-fold on the new head
+        raise T.TxnConflict(
+            f"sketch stream sink gave up after {max_retries} contended commits at {table_path}"
+        )
+
+    return (
+        values.writeStream.foreachBatch(_sink)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

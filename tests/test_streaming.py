@@ -731,3 +731,78 @@ def test_progress_summary_reports_watermark_drops(spark, tmp_path):
         assert total_dropped_by_watermark(q) == 1  # exactly the late event
     finally:
         q.stop()
+
+
+def test_quantile_sketch_stream_equals_batch_build(spark, tmp_path):
+    """Streaming standing-sketch maintenance: after three micro-batches
+    the (day, sketch) table must equal the batch-built bottom-k
+    sketches over ALL rows, bit-for-bit — and a replayed delivery of
+    the same rows must leave the table unchanged (the bottom-k fold is
+    idempotent, so this sink needs no batch fence)."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_project_spark.operators import txn_table as T
+    from data_ingestion_project_spark.operators.quantile_sketch import (
+        bottomk_sketches,
+    )
+    from data_ingestion_project_spark.streaming.ingest import (
+        start_quantile_sketch_stream,
+    )
+
+    src = tmp_path / "vals"
+    src.mkdir()
+    table_path = str(tmp_path / "sketch_table")
+    K = 64
+
+    def rows(lo, hi):
+        return "\n".join(
+            json.dumps(
+                {
+                    "event_id": i,
+                    "ts": f"2024-01-0{1 + i % 2}T10:00:00",
+                    "value": float((i * 31) % 97),
+                }
+            )
+            for i in range(lo, hi)
+        )
+
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = start_quantile_sketch_stream(
+        spark, stream, table_path, str(tmp_path / "ckpt"), k=K
+    )
+    try:
+        (src / "b1.json").write_text(rows(0, 300))
+        (src / "b2.json").write_text(rows(300, 600))
+        q.processAllAvailable()
+        (src / "b3.json").write_text(rows(600, 900))
+        q.processAllAvailable()
+
+        def table_state():
+            return sorted(
+                (r["day"], tuple(tuple(x) for x in r["sketch"]))
+                for r in T.read(spark, table_path).collect()
+            )
+
+        got = table_state()
+        all_rows = spark.createDataFrame(
+            [(i, f"2024-01-0{1 + i % 2}T10:00:00", float((i * 31) % 97)) for i in range(900)],
+            "event_id long, ts string, value double",
+        ).withColumn("day", F.date_format(F.to_timestamp("ts"), "yyyy-MM-dd"))
+        want = sorted(
+            (r["day"], tuple(tuple(x) for x in r["sketch"]))
+            for r in bottomk_sketches(all_rows, "value", ["day"], "event_id", k=K).collect()
+        )
+        assert got == want  # streaming fold == batch build, bit-for-bit
+        assert {d for d, _ in got} == {"2024-01-01", "2024-01-02"}
+        assert all(len(sk) == K for _, sk in got)
+
+        # replayed delivery: same rows again -> table unchanged
+        (src / "b3_replay.json").write_text(rows(600, 900))
+        q.processAllAvailable()
+        assert table_state() == got
+    finally:
+        q.stop()
