@@ -2624,12 +2624,16 @@ def substring_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     majority-duplicate (the removal candidates).
 
     Plan: one explode to (doc, gram-md5) — positions × 1 row, the
-    inherent cost of exact-substring analysis — ONE groupBy for global
-    gram occurrence counts, one join back, one per-doc agg. The gram
-    table never self-joins (occurrence counting replaces pair
-    expansion), so there is no quadratic candidate step to cap. The
-    macro-average uses the micro-unit decimal path (_precision.py) so
-    the double ratios sum order-independently."""
+    inherent cost of exact-substring analysis — then TWO aggregations
+    and a doc-sized join, never a corpus-sized join back: a gram with
+    global count 1 has exactly ONE owning doc (min(doc_id) IS that
+    owner), so per-doc duplicated grams = n_grams − n_unique_owned.
+    This replaces the grams⋈occurrence-counts join of the naive plan
+    (the gram table is the big thing; joining it to itself-sized
+    output doubles the shuffle). No self-join, no pair expansion, no
+    quadratic candidate step to cap. The macro-average uses the
+    micro-unit decimal path (_precision.py) so the double ratios sum
+    order-independently."""
     from data_ingestion_project_spark.queries._precision import dec_avg
 
     k = 8
@@ -2648,13 +2652,18 @@ def substring_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("g"),
     )
-    occ = grams.groupBy("g").agg(F.count(F.lit(1)).alias("n_occ"))
+    totals = grams.groupBy("doc_id", "lang").agg(F.count(F.lit(1)).alias("n_grams"))
+    uniq_owned = (
+        grams.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n_occ"), F.min("doc_id").alias("doc_id"))
+        .filter(F.col("n_occ") == 1)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_unique"))
+    )
     per_doc = (
-        grams.join(occ, "g")
-        .groupBy("doc_id", "lang")
-        .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.sum((F.col("n_occ") >= 2).cast("long")).alias("n_dup"),
+        totals.join(uniq_owned, "doc_id", "left")
+        .withColumn(
+            "n_dup", F.col("n_grams") - F.coalesce("n_unique", F.lit(0))
         )
         .withColumn("dup_frac", F.col("n_dup") / F.col("n_grams"))
     )
