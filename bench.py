@@ -64,7 +64,12 @@ def main() -> None:
     print(f"# derived assets (events layout, winnow fp/pairs): {assets:.3f}s", file=sys.stderr)
 
     timings: dict[str, float] = {}
-    for name, fn in bench_queries().items():
+    # FIXED alphabetical run order, decoupled from the certification
+    # rotation in queries/__init__: whichever queries run first absorb
+    # residual codegen warmup (~+0.3-1 s), so a rotation-dependent
+    # order made round-over-round per-query diffs misread reordering
+    # as regression (observed r3->r4 on dup_graph_pagerank et al.).
+    for name, fn in sorted(bench_queries().items()):
         t0 = time.perf_counter()
         rows = fn(spark, sf_dir).collect()
         timings[name] = round(time.perf_counter() - t0, 3)
