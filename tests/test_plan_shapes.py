@@ -321,3 +321,53 @@ def test_training_shard_plan_single_shuffle(spark):
     assert c["n_exchanges"] <= 2  # agg shuffle + N_SHARDS-row sort
     assert c["n_sortmerge_joins"] == 0 and c["n_bnl_joins"] == 0
     assert not c["has_python_udf"]
+
+
+def test_nb_classifier_model_joins_broadcast(spark):
+    """The NB scoring plan's joins must all be BROADCAST (model,
+    unseen-weight, and prior frames are vocabulary/label-sized — at
+    100 TB the corpus side must never shuffle for the model join), and
+    the whole train+score pipeline stays Python-free."""
+    df = all_queries()["nb_lang_confusion"](spark, SF)
+    c = plan_census(df)
+    assert c["n_sortmerge_joins"] == 0 and c["n_shuffled_hash_joins"] == 0
+    assert c["n_broadcast_joins"] >= 3  # model, unseen, prior
+    assert c["n_cartesian"] == 0
+    assert not c["has_python_udf"]
+
+
+def test_jaccard_prefix_join_is_equi_not_cartesian(spark):
+    """Prefix-filtered exact Jaccard: candidate generation must be an
+    equi-join on the prefix token (plus pushed length predicates) —
+    never a CartesianProduct or nested-loop join — and rescore stays
+    JVM-side."""
+    from data_ingestion_project_spark.operators.dedup import jaccard_pairs_prefix
+    from data_ingestion_project_spark.sources.readers import table
+
+    df = jaccard_pairs_prefix(table(spark, SF, "documents"), min_jaccard=0.5)
+    c = plan_census(df)
+    assert c["n_cartesian"] == 0 and c["n_bnl_joins"] == 0
+    assert not c["has_python_udf"]
+
+
+def test_quantile_sketch_rollup_python_free_no_joins(spark):
+    """The sketch build/merge pipeline is windows + aggregates over
+    JVM expressions: no join of any kind, no Python."""
+    df = all_queries()["quantile_sketch_rollup"](spark, SF)
+    c = plan_census(df)
+    assert (
+        c["n_sortmerge_joins"] == c["n_shuffled_hash_joins"]
+        == c["n_broadcast_joins"] == c["n_cartesian"] == c["n_bnl_joins"] == 0
+    )
+    assert not c["has_python_udf"]
+
+
+def test_substring_dup_stats_no_corpus_sized_join(spark):
+    """Ownership counting replaced the gram-table join-back: the only
+    join left is the doc-sized totals⋈unique-counts join (broadcast or
+    shuffled-hash over ~n_docs rows), never a sort-merge of two
+    corpus-sized gram streams."""
+    df = all_queries()["substring_dup_stats"](spark, SF)
+    c = plan_census(df)
+    assert c["n_cartesian"] == 0 and c["n_bnl_joins"] == 0
+    assert not c["has_python_udf"]
