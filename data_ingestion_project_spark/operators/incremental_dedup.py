@@ -211,12 +211,26 @@ def update_pair_index(
     the fp index — the index side excludes the batch's own doc_ids, so
     ordering does not change the result (doc_ids are globally unique
     across batches by contract)."""
+    from pyspark.sql import Window
+
     new_fps = new_fps.select(
         F.col("fp").cast("long"), F.col("doc_id").cast("long")
     ).localCheckpoint(eager=True)
 
-    new_lists = new_fps.groupBy("fp").agg(
-        F.sort_array(F.collect_list("doc_id")).alias("new_ids")
+    # bound the collected NEW posting list exactly like the old side: a
+    # fp with more than max_df batch docs already exceeds the cap on
+    # its own (n_total >= n_new), so its pairs are never emitted and
+    # its ids never needed — collect at most max_df+1, count exactly
+    wnew = Window.partitionBy("fp").orderBy("doc_id")
+    new_lists = (
+        new_fps.withColumn("__rn", F.row_number().over(wnew))
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_new"),
+            F.sort_array(
+                F.collect_list(F.when(F.col("__rn") <= max_df + 1, F.col("doc_id")))
+            ).alias("new_ids"),
+        )
     )
     idx = None
     if T.current_version(fp_index_path) is not None:
@@ -233,8 +247,6 @@ def update_pair_index(
         # the first max_df+1 ids — enough to distinguish <=max_df from
         # over-cap without ever materializing a degenerate fp's full
         # list (over-cap fps neither emit nor retract)
-        from pyspark.sql import Window
-
         wfp = Window.partitionBy("fp").orderBy("doc_id")
         old = (
             idx.withColumn("__rn", F.row_number().over(wfp))
@@ -252,6 +264,7 @@ def update_pair_index(
     else:
         joined = new_lists.select(
             "fp",
+            "n_new",
             "new_ids",
             F.lit(0).cast("long").alias("n_old"),
             F.array().cast("array<bigint>").alias("old_ids"),
@@ -261,7 +274,7 @@ def update_pair_index(
         "new_ids",
         F.coalesce("n_old", F.lit(0)).alias("n_old"),
         F.coalesce("old_ids", F.array().cast("array<bigint>")).alias("old_ids"),
-        (F.size("new_ids") + F.coalesce("n_old", F.lit(0))).alias("n_total"),
+        (F.col("n_new") + F.coalesce("n_old", F.lit(0))).alias("n_total"),
     )
 
     def _tri(ids_col: str, delta: int) -> F.Column:
