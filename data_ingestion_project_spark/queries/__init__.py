@@ -73,6 +73,7 @@ _DRIVER_PRIORITY = (
     "near_dup_jaccard_prefix",
     "quantile_sketch_rollup",
     "dup_graph_triangles",
+    "modality_dedup_agreement",
     # --- high-value re-certifications filling the window to 50 ---
     "minhash_recall",
     "dup_cluster_sizes",
@@ -134,6 +135,10 @@ EXCLUDE_FROM_BENCH = frozenset(
         # join as quadratic as the baseline (candidate reduction on a
         # Zipfian corpus is pinned in pytest instead)
         "near_dup_jaccard_prefix",
+        # cross-modal dedup AUDIT: both sides are deliberate exact
+        # all-pairs baselines (the scale path compares SemDeDup and
+        # MinHash candidate outputs instead)
+        "modality_dedup_agreement",
         # the recall certification joins against the exact ground
         # truth, so it inherits the quadratic baseline's
         # data-degenerate cost

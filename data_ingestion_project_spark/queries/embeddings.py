@@ -431,10 +431,88 @@ def semdedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def modality_dedup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal dedup QA: do the SEMANTIC near-dup pairs (embedding
+    cosine >= 0.95 over the docs' vectors) agree with the LEXICAL ones
+    (exact word-set Jaccard >= 0.5 on the text)? One row: pair counts
+    per modality, the intersection, and each side's exclusive pairs —
+    the audit a pipeline runs before trusting embedding-space dedup to
+    replace (or augment) token-space dedup. High semantic-only counts
+    mean paraphrase duplication token methods miss; high lexical-only
+    counts mean the embedding space is too coarse at this threshold.
+
+    Exactness: both sides are EXACT all-pairs baselines (this is the
+    audit, not the scale path — bench-excluded like the other exact
+    quadratic baselines; the scale path is comparing the SemDeDup and
+    MinHash candidate outputs instead). Cosine is rounded to 6
+    decimals BEFORE thresholding on both engines, so 1-ulp libm
+    differences cannot flip membership away from rounding boundaries;
+    the Jaccard threshold compares exact integer ratios."""
+    from data_ingestion_project_spark.operators.dedup import jaccard_pairs
+
+    d = table(spark, sf_dir, "documents")
+    e = table(spark, sf_dir, "embeddings")
+    lex = jaccard_pairs(d, min_jaccard=0.5).select("id_a", "id_b")
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    sem = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("sim", F.round(cosine_similarity("va", "vb"), 6))
+        .filter(F.col("sim") >= 0.95)
+        .select("id_a", "id_b")
+    )
+    both = sem.join(lex, ["id_a", "id_b"])
+    return (
+        sem.agg(F.count(F.lit(1)).alias("n_semantic"))
+        .crossJoin(F.broadcast(lex.agg(F.count(F.lit(1)).alias("n_lexical"))))
+        .crossJoin(F.broadcast(both.agg(F.count(F.lit(1)).alias("n_both"))))
+        .select(
+            "n_semantic",
+            "n_lexical",
+            "n_both",
+            (F.col("n_semantic") - F.col("n_both")).alias("n_semantic_only"),
+            (F.col("n_lexical") - F.col("n_both")).alias("n_lexical_only"),
+        )
+    )
+
+
+ORACLE_MODALITY_DEDUP_AGREEMENT = """
+WITH words AS (
+  SELECT doc_id,
+         unnest(list_distinct(string_split_regex(
+           regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), '\\s+'))) AS word
+  FROM documents
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS set_size FROM words GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+  FROM words a JOIN words b ON a.word = b.word AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+), lex AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE n_common * 1.0 / (sa.set_size + sb.set_size - n_common) >= 0.5
+), sem AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.95
+), agree AS (
+  SELECT id_a, id_b FROM sem INTERSECT SELECT id_a, id_b FROM lex
+)
+SELECT (SELECT COUNT(*) FROM sem) AS n_semantic,
+       (SELECT COUNT(*) FROM lex) AS n_lexical,
+       (SELECT COUNT(*) FROM agree) AS n_both,
+       (SELECT COUNT(*) FROM sem) - (SELECT COUNT(*) FROM agree) AS n_semantic_only,
+       (SELECT COUNT(*) FROM lex) - (SELECT COUNT(*) FROM agree) AS n_lexical_only
+"""
+
+
 QUERIES = {
     "knn_brute_force": knn_brute_force,
     "batch_knn_search": batch_knn_search,
     "top_similar_pairs": top_similar_pairs,
+    "modality_dedup_agreement": modality_dedup_agreement,
     "label_vector_stats": label_vector_stats,
     "embedding_cluster_stats": embedding_cluster_stats,
     "knn_lsh_approx": knn_lsh_approx,
@@ -451,6 +529,7 @@ ORACLE = {
     "knn_brute_force": ORACLE_KNN_BRUTE_FORCE,
     "batch_knn_search": ORACLE_BATCH_KNN_SEARCH,
     "top_similar_pairs": ORACLE_TOP_SIMILAR_PAIRS,
+    "modality_dedup_agreement": ORACLE_MODALITY_DEDUP_AGREEMENT,
     "label_vector_stats": ORACLE_LABEL_VECTOR_STATS,
     # knn_lsh_approx: rows-only by design
 }
