@@ -28,6 +28,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 SKETCH_TYPE = "array<struct<h:bigint,v:double>>"
+SKETCH_TYPE_MD5 = "array<struct<h:string,v:double>>"
 
 
 def bottomk_sketches(
@@ -36,6 +37,7 @@ def bottomk_sketches(
     group_cols: list[str],
     key_col: str,
     k: int = 1024,
+    use_md5: bool = False,
 ) -> DataFrame:
     """One sketch row per group: ``sketch`` = array<struct<h,v>> of the
     K smallest-hash (hash, value) pairs, sorted by (h, v).
@@ -43,15 +45,29 @@ def bottomk_sketches(
     ``key_col`` must identify rows (e.g. the event id): the hash of a
     row key — not of the value — is what makes the sample uniform over
     ROWS and the sketch insertion-order/partitioning independent.
-    NULL values are excluded (SQL aggregate convention)."""
+    NULL values are excluded (SQL aggregate convention).
+
+    ``use_md5`` switches the sample order from seeded ``xxhash64``
+    (JVM codegen speed — the production default) to
+    ``md5(key::string)`` hex ordering: md5 over identical strings is
+    identical in Spark AND DuckDB, and any uniform total order gives a
+    valid bottom-k sample, so the ENTIRE sketch pipeline becomes
+    replayable as ANSI SQL — the same engine-portability trade as
+    operators/dedup.md5_minhash_candidates, and what lets the rollup
+    query be certified value-exactly against a DuckDB oracle."""
     from pyspark.sql.window import Window
 
+    h = (
+        F.md5(F.col(key_col).cast("string"))
+        if use_md5
+        else F.xxhash64(F.col(key_col))
+    )
     rows = (
         df.filter(F.col(value_col).isNotNull())
         .select(
             *group_cols,
             F.col(value_col).cast("double").alias("__v"),
-            F.xxhash64(F.col(key_col)).alias("__h"),
+            h.alias("__h"),
         )
         # the sketch is a SET of (hash, value) pairs: identical pairs
         # collapse, which is what makes the fold IDEMPOTENT — merging a
@@ -74,7 +90,7 @@ def bottomk_sketches(
             )
             # normalize nullability so sketches from any producer
             # (fresh build, merge of stored sketches) share ONE schema
-            .cast(SKETCH_TYPE)
+            .cast(SKETCH_TYPE_MD5 if use_md5 else SKETCH_TYPE)
             .alias("sketch")
         )
     )
@@ -104,11 +120,14 @@ def merge_bottomk(
     kept = exploded.withColumn("__rn", F.row_number().over(w)).filter(
         F.col("__rn") <= k
     )
+    # re-cast to the INPUT's own sketch element type (bigint- or
+    # md5-string-keyed), normalizing collect_list nullability
+    tpe = sketches.schema["sketch"].dataType.simpleString()
     return kept.groupBy(*group_cols).agg(
         F.array_sort(
             F.collect_list(F.struct(F.col("__h").alias("h"), F.col("__v").alias("v")))
         )
-        .cast(SKETCH_TYPE)
+        .cast(tpe)
         .alias("sketch")
     )
 

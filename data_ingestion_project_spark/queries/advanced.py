@@ -529,9 +529,17 @@ def quantile_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimate is terminal); the bottom-k sample is mergeable by exact
     algebraic identity — merge-of-days EQUALS sketching the period
     directly, bit-for-bit (pinned in pytest), and the whole pipeline
-    is a pure function of the data (xxhash64 row keys, no RNG).
-    Rows-only (sampling error is O(1/sqrt(K)) in rank; rank-error
-    floor pinned in pytest)."""
+    is a pure function of the data (hashed row keys, no RNG).
+
+    Runs in md5-keyed mode (``use_md5``): the sample order is the md5
+    hex of the row key, identical across engines, so the DuckDB oracle
+    replays the ENTIRE pipeline — per-day bottom-K selection, the
+    day-sketch union for TOTAL, and the rank-ceil(p·n) quantile reads
+    — value-exactly. (The approximation is in WHICH rows the sample
+    keeps, not in either engine's arithmetic; the O(1/sqrt(K))
+    rank-error floor vs exact quantiles is separately pinned in
+    pytest. Production streams keep the xxhash64 default for codegen
+    speed — same trade as md5_minhash_candidates.)"""
     from data_ingestion_project_spark.operators.quantile_sketch import (
         bottomk_sketches,
         merge_bottomk,
@@ -541,7 +549,7 @@ def quantile_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events").withColumn(
         "day", F.date_format("ts", "yyyy-MM-dd")
     )
-    daily = bottomk_sketches(e, "value", ["day"], "event_id", k=1024)
+    daily = bottomk_sketches(e, "value", ["day"], "event_id", k=1024, use_md5=True)
     per_day = daily.select(
         "day",
         F.round(sketch_quantile(F.col("sketch"), 0.5), 4).alias("p50_value"),
@@ -553,6 +561,55 @@ def quantile_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(sketch_quantile(F.col("sketch"), 0.9), 4).alias("p90_value"),
     )
     return per_day.unionByName(total).orderBy("day")
+
+
+# Full SQL replay of the md5-keyed bottom-k pipeline: per-day bottom-K
+# selection, quantile read at rank ceil(p*n) of the value-sorted
+# sample, and the TOTAL row from the bottom-K of the union (the merge
+# identity: bottom-k of concatenated bottom-k's = bottom-k of all
+# rows, so the oracle takes bottom-K over all rows directly).
+ORACLE_QUANTILE_SKETCH_ROLLUP = """
+WITH src AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day, value,
+         md5(CAST(event_id AS VARCHAR)) AS h
+  FROM events WHERE value IS NOT NULL
+), dsk AS (
+  SELECT day, value FROM (
+    SELECT day, value,
+           ROW_NUMBER() OVER (PARTITION BY day ORDER BY h, value) AS rn
+    FROM src
+  ) t WHERE rn <= 1024
+), dsort AS (
+  SELECT day, value,
+         ROW_NUMBER() OVER (PARTITION BY day ORDER BY value) AS vr,
+         COUNT(*) OVER (PARTITION BY day) AS n
+  FROM dsk
+), per_day AS (
+  SELECT day,
+         ROUND(MAX(CASE WHEN vr = GREATEST(1, LEAST(n, CAST(CEIL(0.5 * n) AS BIGINT)))
+                   THEN value END), 4) AS p50_value,
+         ROUND(MAX(CASE WHEN vr = GREATEST(1, LEAST(n, CAST(CEIL(0.9 * n) AS BIGINT)))
+                   THEN value END), 4) AS p90_value
+  FROM dsort GROUP BY day
+), tsk AS (
+  SELECT value FROM (
+    SELECT value, ROW_NUMBER() OVER (ORDER BY h, value) AS rn FROM src
+  ) t WHERE rn <= 1024
+), tsort AS (
+  SELECT value,
+         ROW_NUMBER() OVER (ORDER BY value) AS vr,
+         COUNT(*) OVER () AS n
+  FROM tsk
+), total AS (
+  SELECT 'TOTAL' AS day,
+         ROUND(MAX(CASE WHEN vr = GREATEST(1, LEAST(n, CAST(CEIL(0.5 * n) AS BIGINT)))
+                   THEN value END), 4) AS p50_value,
+         ROUND(MAX(CASE WHEN vr = GREATEST(1, LEAST(n, CAST(CEIL(0.9 * n) AS BIGINT)))
+                   THEN value END), 4) AS p90_value
+  FROM tsort
+)
+SELECT * FROM per_day UNION ALL SELECT * FROM total ORDER BY day
+"""
 
 
 def theta_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -999,6 +1056,7 @@ QUERIES = {
 
 ORACLE = {
     "orders_profile": ORACLE_ORDERS_PROFILE,
+    "quantile_sketch_rollup": ORACLE_QUANTILE_SKETCH_ROLLUP,
     "segment_wealth_percentiles": ORACLE_SEGMENT_WEALTH_PERCENTILES,
     "segment_richest_customer": ORACLE_SEGMENT_RICHEST_CUSTOMER,
     "returnflag_unpivot": ORACLE_RETURNFLAG_UNPIVOT,
