@@ -24,80 +24,66 @@ from data_ingestion_project_spark.queries import advanced, documents, embeddings
 _MODULES = (tpch, tpch2, events, documents, embeddings, advanced)
 
 # The driver's correctness gate certifies the FIRST 50 entries of
-# all_queries() in dict order.  CORRECTNESS_r02 + r03 jointly certify
-# 100 distinct names; this round-4 order leads with the 27 queries
-# NEITHER artifact covered (9 oracle-backed, then the rows-only
-# approximate families — each of those also carries a pytest
-# recall/quality floor), then any round-4 additions, then high-value
-# re-certifications to fill the 50-slot window.  After r04 every
-# declared query has at least one driver-issued correctness row across
-# r02/r03/r04.  Names not listed here keep their module order and
-# follow.
+# all_queries() in dict order.  r02+r03+r04 jointly gave every one of
+# the 133 declared queries a driver-issued row, but 50 of them were
+# last certified in r02 — two build-rounds of refactors ago (decimal
+# micro-unit switch, asset materialization).  Per the round-4 verdict
+# ask #1, this round-5 window is EXACTLY those 50 r02-era names
+# (r02 − r03 − r04, alphabetical) so CORRECTNESS_r05 refreshes the
+# stalest certifications.  Queries added in round 5 follow the window
+# (locally value-verified via tools/check_oracle.py; they lead the
+# r06 window).  Names not listed here keep their module order.
 _DRIVER_PRIORITY = (
-    # --- the 9 oracle-backed queries with no driver row (locally
-    # value-verified via tools/check_oracle.py in rounds 3 and 4) ---
-    "dup_graph_pagerank",
-    "orders_profile",
-    "segment_wealth_percentiles",
-    "zipf_slope_by_lang",
-    "chunk_dup_stats",
-    "contrastive_training_pairs",
-    "source_data_cards",
-    "segment_richest_customer",
-    "event_type_lift",
-    # approx_top_words gained a DuckDB oracle in round 4 (on this corpus
-    # Misra-Gries lower bounds equal exact counts — see queries/documents)
-    "approx_top_words",
-    # --- the 18 rows-only approximate families (17 after the
-    # approx_top_words promotion above) ---
-    "lsh_recall",
-    "ivf_recall",
-    "pq_recall",
-    "knn_lsh_approx",
-    "knn_ivf_approx",
-    "knn_pq_approx",
-    "approx_daily_active_users",
-    "sketch_rollup_dau",
-    "theta_weekly_retention",
-    "approx_order_price_quantiles",
-    "minhash_near_dups",
-    "simhash_near_dups",
-    "knn_ivf_disk",
-    "semdedup_summary",
-    "bpe_learned_merges",
-    "embedding_cluster_stats",
-    "bpe_real_token_stats",
-    # --- round-4 additions (certify on first driver pass) ---
-    "nb_lang_confusion",
-    "substring_dup_stats",
-    "near_dup_jaccard_prefix",
-    "quantile_sketch_rollup",
-    "dup_graph_triangles",
-    "modality_dedup_agreement",
-    # --- high-value re-certifications filling the window to 50 ---
-    "minhash_recall",
-    "dup_cluster_sizes",
-    "dup_cluster_sizes_star",
-    "leakage_safe_split",
-    "dsir_importance_weights",
-    "media_decode_stats",
-    "media_feature_stats",
-    "winnow_overlap_top",
-    "benchmark_contamination",
-    "sequence_packing",
-    "training_shard_plan",
-    "ccnet_perplexity_buckets",
-    "token_stats",
-    "bpe_token_stats",
-    "knn_brute_force",
-    "batch_knn_search",
-    "dedup_funnel",
-    "exact_duplicate_pairs",
-    "tfidf_top_terms",
-    "quality_filter_funnel",
-    "orders_quality_report",
-    "user_scd2_summary",
-    "supplier_hierarchy_rollup",
+    "big_orders",
+    "brand_band_revenue",
+    "brand_price_stats",
+    "cheapest_regional_supplier",
+    "corpus_mixture_plan",
+    "cube_revenue",
+    "customer_order_distribution",
+    "customers_in_both_statuses",
+    "customers_without_orders",
+    "daily_active_users",
+    "daily_event_anomalies",
+    "doc_repetition_stats",
+    "dominant_part_suppliers",
+    "event_transitions",
+    "event_value_by_type_salted",
+    "events_one_day_by_type",
+    "excess_returned_parts",
+    "hourly_event_stats",
+    "lang_stats",
+    "large_volume_customers",
+    "local_supplier_volume",
+    "monthly_revenue_growth",
+    "monthly_revenue_running",
+    "nation_market_share",
+    "nation_volume_pairs",
+    "order_price_histogram",
+    "order_priority_discount",
+    "price_quantity_corr",
+    "pricing_summary",
+    "product_type_profit",
+    "promo_revenue",
+    "props_key_stats",
+    "props_variant_stats",
+    "purchase_last_click",
+    "returned_items",
+    "revenue_forecast",
+    "rollup_revenue",
+    "segment_acctbal",
+    "shipping_priority",
+    "similar_supplier_names",
+    "sole_return_suppliers",
+    "supplier_part_breadth",
+    "top_orders_per_customer",
+    "top_purchasers",
+    "top_revenue_supplier",
+    "top_suppliers",
+    "top_words",
+    "unigram_logprob_quality",
+    "user_daily_gapfill",
+    "user_sessions",
 )
 
 
