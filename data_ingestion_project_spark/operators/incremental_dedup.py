@@ -187,9 +187,10 @@ def dedup_batch_against_index(
 # task sees a degenerate fp's full list. Reading the table is one
 # groupBy-sum over the increments (filter sum > 0); periodic compaction
 # can replace the log with its aggregate without changing readers.
-# Exactly-once: run the update inside the caller's batch fence (the
-# WAP/stream-fence machinery in streaming/ingest.py) — a replayed
-# un-fenced batch would double-append increments.
+# Exactly-once: pass ``fence=(fence_id, batch_id)`` — recorded in the
+# pair table's own manifest (stream_fences, Delta txnAppId shape), so a
+# replayed batch is skipped instead of double-appending increments;
+# unfenced use is an explicit opt-in for non-replaying callers.
 # ------------------------------------------------------------------
 
 PAIR_SCHEMA = "id_a bigint, id_b bigint, delta bigint"
@@ -201,6 +202,7 @@ def update_pair_index(
     pair_path: str,
     new_fps: DataFrame,
     max_df: int = 50,
+    fence: tuple[str, int] | None = None,
 ) -> None:
     """Append the pair-count increments a new batch's fingerprints
     induce against the accepted-corpus fp index.
@@ -210,8 +212,29 @@ def update_pair_index(
     dedup-free corpus). Call BEFORE or AFTER appending the batch to
     the fp index — the index side excludes the batch's own doc_ids, so
     ordering does not change the result (doc_ids are globally unique
-    across batches by contract)."""
+    across batches by contract).
+
+    **Replay safety**: increments are ADDITIVE, so a replayed batch
+    (foreachBatch can re-execute) would double-append and permanently
+    corrupt pair counts. Callers driven by a streaming engine MUST pass
+    ``fence=(fence_id, batch_id)`` — Delta's txnAppId shape, the same
+    machinery as the gated ingestion sink: the fence rides the pair
+    table's manifest atomically with the increment commit, and an
+    already-seen ``batch_id`` under the same ``fence_id`` makes the
+    call a no-op. Omitting the fence is an explicit opt-in for
+    non-replaying (one-shot batch) callers only."""
     from pyspark.sql import Window
+
+    if fence is not None:
+        fence_id, batch_id = fence
+        head = T.current_version(pair_path)
+        if head is not None:
+            fences = T._read_manifest(pair_path, head).get("stream_fences", {})
+            if batch_id <= fences.get(fence_id, -1):
+                return  # replayed micro-batch: increments already applied
+        fence_extra = {"stream_fences": {fence_id: batch_id}}
+    else:
+        fence_extra = None
 
     new_fps = new_fps.select(
         F.col("fp").cast("long"), F.col("doc_id").cast("long")
@@ -328,11 +351,11 @@ def update_pair_index(
     )
     if T.current_version(pair_path) is None:
         try:
-            T.create_table(spark, pair_path, increments)
+            T.create_table(spark, pair_path, increments, extra=fence_extra)
             return
         except (FileExistsError, T.TxnConflict):
             pass  # concurrent creator won; fall through to append
-    T.append(spark, pair_path, increments)
+    T.append(spark, pair_path, increments, extra=fence_extra)
 
 
 def read_pair_index(spark: SparkSession, pair_path: str) -> DataFrame:

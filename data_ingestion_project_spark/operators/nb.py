@@ -90,9 +90,16 @@ def nb_confusion(
         )
     )
 
+    # NO broadcast hint on the model join: the model is a
+    # vocabulary×labels table, and at web-scale vocabularies forcing a
+    # broadcast would exceed Spark's broadcast limit (driver OOM / job
+    # failure). Left unhinted, AQE broadcasts it only while its runtime
+    # size actually fits and falls back to a shuffle join otherwise —
+    # unlike unseen/prior, which are genuinely label-cardinality and
+    # keep their hints.
     scored = (
         test.crossJoin(F.broadcast(unseen))
-        .join(F.broadcast(model), ["m_label", word_col], "left")
+        .join(model, ["m_label", word_col], "left")
         .groupBy(id_col, label_col, "m_label")
         .agg(F.sum(F.col(count_col) * F.coalesce("w", "u")).alias("ll"))
         .join(F.broadcast(prior), "m_label")

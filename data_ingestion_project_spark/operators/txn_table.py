@@ -227,7 +227,11 @@ def _merged_schema(prev_json: str, new_schema: StructType) -> str:
 
 
 def append(
-    spark: SparkSession, path: str, df: DataFrame, merge_schema: bool = False
+    spark: SparkSession,
+    path: str,
+    df: DataFrame,
+    merge_schema: bool = False,
+    extra: dict | None = None,
 ) -> int:
     """Blind append: concurrency-safe without conflicts (set-union of
     directories commutes, like Delta's AddFile-only commits).
@@ -236,16 +240,20 @@ def append(
     the committed table schema becomes the union, and snapshot reads
     return NULL for the new columns in pre-evolution rows — metadata-
     only evolution, no existing file is rewritten. Without it, a
-    mismatched schema raises (Delta's default posture)."""
+    mismatched schema raises (Delta's default posture).
+
+    ``extra`` fields (e.g. a ``stream_fences`` replay fence) ride the
+    same atomic manifest write as the data-dir addition."""
     rel = _write_data(df, path)
     # the evolved flag makes snapshot reads pay footer schema-merging
     # only on tables where an evolution actually happened
+    merged_extra = {**({"evolved": True} if merge_schema else {}), **(extra or {})}
     return _commit_retry(
         path,
         "append",
         _append_dirs_fn(rel, df.schema, merge_schema),
         None,
-        extra={"evolved": True} if merge_schema else None,
+        extra=merged_extra or None,
     )
 
 
@@ -608,6 +616,7 @@ def merge(
     insert_not_matched: bool = True,
     update_expr: dict[str, str] | None = None,
     extra: dict | None = None,
+    base_version: int | None = None,
 ) -> dict:
     """MERGE ``source`` into the table on equality of ``key``.
 
@@ -647,7 +656,15 @@ def merge(
        stamped. Every untouched directory's files are never opened.
 
     Commits against the snapshot version it read (TxnConflict on a
-    concurrent write — lost updates are impossible). Returns
+    concurrent write — lost updates are impossible). Callers that
+    DERIVED ``source`` from a snapshot read (read-fold-merge, e.g. the
+    quantile-sketch stream sink) must pass that snapshot's
+    ``base_version``: merge re-reads the head internally, so without it
+    a commit landing between the caller's read and this call would be
+    silently overwritten for overlapping keys instead of raising
+    TxnConflict. The entry check (head == base_version) chains with
+    ``_commit_retry``'s commit-time check (head == merge's own read),
+    closing the whole window. Returns
     ``{"version", "n_dirs", "pruned_by_stats", "touched_dirs"}``.
     """
     if when_matched not in ("update", "delete"):
@@ -655,6 +672,10 @@ def merge(
     base = current_version(path)
     if base is None:
         raise FileNotFoundError(f"no txn table at {path}")
+    if base_version is not None and base != base_version:
+        raise TxnConflict(
+            f"snapshot at v{base_version} is stale (head is v{base}); re-run the operation"
+        )
     m = _read_manifest(path, base)
     all_dirs = list(m["data_dirs"])
     stats = m.get("stats") or {}

@@ -344,7 +344,12 @@ def start_quantile_sketch_stream(
             touched = prior.join(batch_sk.select("day"), "day", "left_semi")
             merged = merge_bottomk(touched.unionByName(batch_sk), ["day"], k=k)
             try:
-                T.merge(spark, table_path, merged, key="day")
+                # base_version pins the merge to the SAME snapshot the
+                # fold read: a concurrent commit between the read above
+                # and merge's internal head read now raises TxnConflict
+                # (and re-folds) instead of silently replacing the
+                # other writer's overlapping days.
+                T.merge(spark, table_path, merged, key="day", base_version=base)
                 return
             except T.TxnConflict:
                 continue  # concurrent writer: re-fold on the new head

@@ -204,3 +204,57 @@ def test_incremental_pair_index_matches_batch_rebuild(spark, tmp_path):
     assert after == want                                   # view unchanged
     assert T.read(spark, pair_idx).count() == len(want)    # one row per pair
     assert T.read(spark, pair_idx).count() < log_rows_before
+
+
+def test_update_pair_index_fence_skips_replayed_batch(spark, tmp_path):
+    """ADVICE r4: increments are additive, so a replayed un-fenced
+    batch double-appends. With fence=(fence_id, batch_id) the replay
+    must be a no-op (fence rides the pair table's own manifest), while
+    a NEW batch id under the same fence applies, and a different
+    fence_id is independent (per-app fences never clobber each other)."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_project_spark.operators import txn_table as T
+    from data_ingestion_project_spark.operators.incremental_dedup import (
+        read_pair_index,
+        update_pair_index,
+    )
+
+    fp_idx = str(tmp_path / "fp_index")
+    pair_idx = str(tmp_path / "pair_index")
+    fps0 = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 10), (2, 11)], "fp long, doc_id long"
+    )
+    update_pair_index(spark, fp_idx, pair_idx, fps0, fence=("streamA", 0))
+    T.create_table(spark, fp_idx, fps0)
+    base = sorted(
+        (r["id_a"], r["id_b"], r["n_shared"])
+        for r in read_pair_index(spark, pair_idx).collect()
+    )
+    assert base == [(10, 11, 2)]
+
+    # replay of batch 0 under the same fence: no-op
+    update_pair_index(spark, fp_idx, pair_idx, fps0, fence=("streamA", 0))
+    assert sorted(
+        (r["id_a"], r["id_b"], r["n_shared"])
+        for r in read_pair_index(spark, pair_idx).collect()
+    ) == [(10, 11, 2)]
+
+    # a genuinely new batch under the same fence applies
+    fps1 = spark.createDataFrame([(1, 12)], "fp long, doc_id long")
+    update_pair_index(spark, fp_idx, pair_idx, fps1, fence=("streamA", 1))
+    T.append(spark, fp_idx, fps1)
+    assert sorted(
+        (r["id_a"], r["id_b"], r["n_shared"])
+        for r in read_pair_index(spark, pair_idx).collect()
+    ) == [(10, 11, 2), (10, 12, 1), (11, 12, 1)]
+
+    # and its replay is again a no-op
+    update_pair_index(spark, fp_idx, pair_idx, fps1, fence=("streamA", 1))
+    assert read_pair_index(spark, pair_idx).filter(
+        (F.col("id_a") == 10) & (F.col("id_b") == 12)
+    ).collect()[0]["n_shared"] == 1
+
+    # an independent stream identity starts from its own fence
+    fences = T._read_manifest(pair_idx, T.current_version(pair_idx))["stream_fences"]
+    assert fences == {"streamA": 1}

@@ -197,6 +197,26 @@ def test_merge_conflict_detection(spark, tmp_path):
         T.current_version = real_cv
 
 
+def test_merge_base_version_detects_read_fold_window(spark, tmp_path):
+    """The read-fold-merge lost-update window: a caller snapshots the
+    table, folds source rows against that snapshot, then calls merge.
+    Without base_version, merge rebases onto a head a concurrent writer
+    advanced IN THAT WINDOW and silently replaces the writer's
+    overlapping keys with data folded from the stale snapshot. Passing
+    the snapshot version must raise TxnConflict instead (no monkey-
+    patching needed — merge's own head read sees the new version)."""
+    p = str(tmp_path / "t")
+    T.create_table(spark, p, _df(spark, [1]))
+    base = T.current_version(p)
+    T.append(spark, p, _df(spark, [50]))  # concurrent writer in the window
+    with pytest.raises(T.TxnConflict):
+        T.merge(spark, p, _df(spark, [1]), key="id", base_version=base)
+    # a current snapshot passes
+    head = T.current_version(p)
+    T.merge(spark, p, _df(spark, [99]), key="id", base_version=head)
+    assert sorted(r["id"] for r in T.read(spark, p).collect()) == [1, 50, 99]
+
+
 def test_merge_all_deletes_leaves_valid_empty_table(spark, tmp_path):
     p = str(tmp_path / "t")
     T.create_table(spark, p, _df(spark, [1, 2]))
