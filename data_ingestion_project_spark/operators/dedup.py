@@ -380,6 +380,34 @@ def minhash_signatures(
     return sig.select(F.col(id_col), F.array(*[f"h{i}" for i in range(num_perm)]).alias("signature"))
 
 
+def minhash_asset_rows(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 32,
+) -> DataFrame:
+    """The batch-shaped unit of the maintained MinHash dedup asset:
+    per-doc (id, signature array<long>[num_perm], words array<string>)
+    out of ONE tokenize pass and ONE groupBy. The full-corpus
+    materialization (queries/documents._minhash_assets_path) and the
+    per-batch incremental maintenance
+    (operators/incremental_dedup.update_signature_assets) both call
+    this, so incremental append == full rebuild row-for-row. Words are
+    sorted for deterministic parity between the two paths (Jaccard
+    rescore is order-insensitive)."""
+    words = tokenized(df, text_col, id_col)
+    mins = [F.min(_hash_band(i)).alias(f"h{i}") for i in range(num_perm)]
+    return (
+        words.groupBy(id_col)
+        .agg(*mins, F.array_sort(F.collect_set("word")).alias("words"))
+        .select(
+            id_col,
+            F.array(*[f"h{i}" for i in range(num_perm)]).alias("signature"),
+            "words",
+        )
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",

@@ -46,6 +46,79 @@ from data_ingestion_project_spark.operators import txn_table as T
 INDEX_SCHEMA = "fp bigint, doc_id bigint"
 
 
+def _fenced_append(
+    spark: SparkSession,
+    path: str,
+    rows: DataFrame,
+    fence: tuple[str, int] | None,
+) -> None:
+    """Append ``rows`` to the txn table at ``path``, creating it if
+    absent, guarded by an optional ``(fence_id, batch_id)`` replay
+    fence (Delta txnAppId shape). The fence rides the table's manifest
+    atomically with the data commit; a batch_id at or below the
+    recorded fence for the same fence_id is a no-op. Shared by the
+    pair-increment log and the signature-asset maintenance — any
+    append-maintained asset whose rows must not double-apply under
+    foreachBatch re-execution."""
+    extra = None
+    if fence is not None:
+        fence_id, batch_id = fence
+        head = T.current_version(path)
+        if head is not None:
+            fences = T._read_manifest(path, head).get("stream_fences", {})
+            if batch_id <= fences.get(fence_id, -1):
+                return  # replayed micro-batch: already applied
+        extra = {"stream_fences": {fence_id: batch_id}}
+    if T.current_version(path) is None:
+        try:
+            T.create_table(spark, path, rows, extra=extra)
+            return
+        except (FileExistsError, T.TxnConflict):
+            pass  # concurrent creator won; fall through to append
+    T.append(spark, path, rows, extra=extra)
+
+
+def update_signature_assets(
+    spark: SparkSession,
+    minhash_path: str,
+    simhash_path: str,
+    batch_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 32,
+    fence: tuple[str, int] | None = None,
+) -> None:
+    """Per-batch incremental maintenance of the MinHash and SimHash
+    dedup signature assets (VERDICT r4 ask #2): append the new batch's
+    per-doc rows — (id, signature array<long>[num_perm], words) and
+    (id, simhash bigint) — to their txn tables, touching ONLY the new
+    documents' text. Signatures are per-doc-independent (no cross-doc
+    state, unlike pair counts), so append IS the whole maintenance:
+    no retraction path, and the incremental tables equal a full-corpus
+    rebuild row-for-row because both paths call the same
+    operators/dedup functions (minhash_asset_rows / simhash). At
+    100 TB this is the difference between re-signing the corpus per
+    version (hours) and signing one batch (minutes).
+
+    Replay safety: signature rows are keyed, not additive, but a
+    replayed append would still duplicate per-doc rows and fan out
+    every downstream band join — pass ``fence=(fence_id, batch_id)``
+    from streaming callers (same contract as update_pair_index); each
+    table carries its own fence, so a crash between the two appends
+    replays exactly the missing one.
+
+    The two appends are separate single explode+groupBy passes over
+    the batch (minhash and simhash hash different seeded-xxhash64
+    per-word values, so there is no shared intermediate worth
+    materializing); both plans are lazy and batch-sized."""
+    from data_ingestion_project_spark.operators.dedup import minhash_asset_rows, simhash
+
+    mh = minhash_asset_rows(batch_docs, text_col, id_col, num_perm=num_perm)
+    _fenced_append(spark, minhash_path, mh, fence)
+    sh = simhash(batch_docs, text_col, id_col)
+    _fenced_append(spark, simhash_path, sh, fence)
+
+
 def dedup_batch_against_index(
     spark: SparkSession,
     index_path: str,
@@ -232,9 +305,6 @@ def update_pair_index(
             fences = T._read_manifest(pair_path, head).get("stream_fences", {})
             if batch_id <= fences.get(fence_id, -1):
                 return  # replayed micro-batch: increments already applied
-        fence_extra = {"stream_fences": {fence_id: batch_id}}
-    else:
-        fence_extra = None
 
     new_fps = new_fps.select(
         F.col("fp").cast("long"), F.col("doc_id").cast("long")
@@ -349,13 +419,10 @@ def update_pair_index(
         .agg(F.sum("delta").alias("delta"))
         .filter(F.col("delta") != 0)
     )
-    if T.current_version(pair_path) is None:
-        try:
-            T.create_table(spark, pair_path, increments, extra=fence_extra)
-            return
-        except (FileExistsError, T.TxnConflict):
-            pass  # concurrent creator won; fall through to append
-    T.append(spark, pair_path, increments, extra=fence_extra)
+    # the fence was checked above BEFORE the (expensive) increment
+    # computation; _fenced_append re-checks it immediately before the
+    # commit, so a replay racing a slow first attempt still no-ops
+    _fenced_append(spark, pair_path, increments, fence)
 
 
 def read_pair_index(spark: SparkSession, pair_path: str) -> DataFrame:

@@ -1014,33 +1014,26 @@ def _minhash_assets_path(spark: SparkSession, sf_dir: str) -> str:
     operators/incremental_dedup.py); re-exploding the corpus into a
     token table per dedup query — the pre-round-4 localCheckpoint —
     materializes corpus-size × token-multiplicity bytes every run.
-    Both columns come out of ONE tokenize pass and ONE groupBy."""
+    Both columns come out of ONE tokenize pass and ONE groupBy
+    (operators/dedup.minhash_asset_rows — the SAME function the
+    per-batch incremental maintenance path
+    operators/incremental_dedup.update_signature_assets appends with,
+    so the mtime-keyed rebuild here and the txn-table incremental twin
+    are row-for-row identical; this static bench corpus keeps the
+    mtime build, an ingesting deployment appends per batch)."""
     import os
 
-    from data_ingestion_project_spark.operators.dedup import _hash_band, tokenized
+    from data_ingestion_project_spark.operators.dedup import minhash_asset_rows
     from data_ingestion_project_spark.operators.materialize import (
         dataset_tag,
         ensure_materialized,
     )
 
     abs_dir = os.path.abspath(os.path.normpath(sf_dir))
-    num_perm = 32
 
     def _build(tmp: str) -> None:
         d = table(spark, sf_dir, "documents")
-        words = tokenized(d, "text", "doc_id")
-        mins = [F.min(_hash_band(i)).alias(f"h{i}") for i in range(num_perm)]
-        (
-            words.groupBy("doc_id")
-            .agg(*mins, F.collect_set("word").alias("words"))
-            .select(
-                "doc_id",
-                F.array(*[f"h{i}" for i in range(num_perm)]).alias("signature"),
-                "words",
-            )
-            .repartition(8)
-            .write.parquet(tmp)
-        )
+        minhash_asset_rows(d, "text", "doc_id", num_perm=32).repartition(8).write.parquet(tmp)
 
     return ensure_materialized(
         f"minhash_assets_{dataset_tag(abs_dir)}",

@@ -258,3 +258,74 @@ def test_update_pair_index_fence_skips_replayed_batch(spark, tmp_path):
     # an independent stream identity starts from its own fence
     fences = T._read_manifest(pair_idx, T.current_version(pair_idx))["stream_fences"]
     assert fences == {"streamA": 1}
+
+
+def test_signature_assets_incremental_append_equals_rebuild(spark, tmp_path):
+    """VERDICT r4 ask #2: MinHash/SimHash signature assets maintained
+    per batch (append-only txn tables) must equal the full-corpus
+    rebuild row-for-row — no full re-sign per corpus version — and the
+    downstream LSH candidate generation over the incremental tables
+    must equal the rebuilt path. Fenced replays are no-ops."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_project_spark.operators import txn_table as T
+    from data_ingestion_project_spark.operators.dedup import (
+        minhash_asset_rows,
+        minhash_lsh_pairs_from,
+        simhash,
+    )
+    from data_ingestion_project_spark.operators.incremental_dedup import (
+        update_signature_assets,
+    )
+
+    def text(i):
+        base = f"document number {i} carries some unique filler tokens t{i} u{i} "
+        if i % 7 == 0:
+            base += "a shared near duplicate phrase repeated across documents "
+        return base + "common tail words every document shares"
+
+    all_rows = [(i, text(i)) for i in range(30)]
+    mh_p = str(tmp_path / "minhash_assets")
+    sh_p = str(tmp_path / "simhash_assets")
+
+    for b, lo in enumerate((0, 10, 20)):
+        batch = spark.createDataFrame(all_rows[lo:lo + 10], "doc_id long, text string")
+        update_signature_assets(spark, mh_p, sh_p, batch, fence=("sig-stream", b))
+        # replayed micro-batch: both tables unchanged
+        update_signature_assets(spark, mh_p, sh_p, batch, fence=("sig-stream", b))
+
+    full = spark.createDataFrame(all_rows, "doc_id long, text string")
+
+    got_mh = sorted(map(tuple, T.read(spark, mh_p).collect()))
+    want_mh = sorted(map(tuple, minhash_asset_rows(full).collect()))
+    assert got_mh == want_mh
+    assert len(got_mh) == 30  # replay appended nothing
+
+    got_sh = sorted(map(tuple, T.read(spark, sh_p).collect()))
+    want_sh = sorted(map(tuple, simhash(full).collect()))
+    assert got_sh == want_sh
+
+    # downstream: candidate generation from the MAINTAINED tables
+    # equals the rebuild path (and actually finds the planted dups)
+    assets = T.read(spark, mh_p)
+    pairs = minhash_lsh_pairs_from(
+        assets.select("doc_id", "signature"),
+        assets.select("doc_id", "words"),
+        num_perm=32,
+        bands=8,
+        min_jaccard=0.5,
+    )
+    got_pairs = sorted((r["id_a"], r["id_b"]) for r in pairs.collect())
+    rb = minhash_asset_rows(full)
+    want_pairs = sorted(
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs_from(
+            rb.select("doc_id", "signature"),
+            rb.select("doc_id", "words"),
+            num_perm=32,
+            bands=8,
+            min_jaccard=0.5,
+        ).collect()
+    )
+    assert got_pairs == want_pairs
+    assert len(got_pairs) > 0  # the planted near-dup family produced pairs
