@@ -131,3 +131,102 @@ def test_decode_media_dims_real_ppm_through_spark(spark):
     got = {r["media_id"]: r for r in decode_media_dims(df).collect()}
     assert (got[1]["width"], got[1]["height"], got[1]["n_samples"], got[1]["feat_mean"]) == (3, 2, 18, 7)
     assert (got[2]["width"], got[2]["height"], got[2]["n_samples"], got[2]["feat_mean"]) == (1, 4, 12, 200)
+
+
+def test_decode_png_hand_computed_sub_filter():
+    """Fully hand-built PNG: 2x1 gray raster [10, 20] under the Sub
+    filter is the filtered scanline [1, 10, 10] (first byte has no left
+    neighbor; second stores the delta). The decoder must invert it."""
+    import struct
+    import zlib
+
+    from data_ingestion_project_spark.operators.multimodal import decode_png
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", 2, 1, 8, 0, 0, 0, 0)  # 2x1 gray
+    raw = bytes([1, 10, 10])  # filter=Sub, then deltas
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    out = decode_png(payload)
+    assert (out["format"], out["width"], out["height"], out["n_samples"]) == ("png", 2, 1, 2)
+    assert out["feat_mean"] == 15  # mean of the RECOVERED [10, 20]
+    assert out["feat_entropy"] == 100  # two distinct bytes -> 1.0 bit
+
+
+def test_png_filter_choice_never_changes_decoded_content():
+    """The five scanline filters are lossless re-encodings: the same
+    raster encoded under each must decode to identical features. A
+    wrong unfilter path (off-by-one neighbor, missing Paeth tie-break)
+    breaks this immediately on a pseudo-random raster."""
+    from data_ingestion_project_spark.operators.multimodal import decode_png, encode_png
+
+    for ct, ch in ((0, 1), (2, 3), (4, 2), (6, 4)):
+        w, h = 7, 5
+        px = bytes((i * 37 + i * i * 11 + ct) % 256 for i in range(w * h * ch))
+        feats = []
+        for ft in range(5):
+            out = decode_png(encode_png(w, h, px, color_type=ct, filter_type=ft))
+            feats.append((out["width"], out["height"], out["n_samples"],
+                          out["feat_mean"], out["feat_entropy"]))
+        assert len(set(feats)) == 1, f"filters disagree for color type {ct}: {feats}"
+        n = len(px)
+        assert feats[0][3] == int(round(sum(px) / n))
+
+
+def test_decode_png_rejects_malformed():
+    import struct
+    import zlib
+
+    import pytest
+
+    from data_ingestion_project_spark.operators.multimodal import decode_png, encode_png
+
+    good = encode_png(3, 2, bytes(range(18)), color_type=2, filter_type=4)
+    with pytest.raises(ValueError, match="not a png"):
+        decode_png(b"JFIF" + good)
+    with pytest.raises(ValueError, match="crc mismatch"):
+        bad = bytearray(good)
+        bad[20] ^= 0xFF  # corrupt a byte inside IHDR data
+        decode_png(bytes(bad))
+    with pytest.raises(ValueError, match="truncated"):
+        decode_png(good[:-6])
+    # 16-bit depth must be rejected, not misread
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+    ihdr16 = struct.pack(">IIBBBBB", 1, 1, 16, 0, 0, 0, 0)
+    p16 = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr16)
+           + chunk(b"IDAT", zlib.compress(bytes([0, 0, 0]))) + chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="bit depth"):
+        decode_png(p16)
+    # interlace and palette likewise
+    ihdr_i = struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 1)
+    p_i = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr_i)
+           + chunk(b"IDAT", zlib.compress(bytes([0, 0]))) + chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="interlaced"):
+        decode_png(p_i)
+    with pytest.raises(ValueError, match="raster is"):
+        # wrong-size IDAT: splice a 3x2 IHDR onto a 2x2 image's chunks
+        small = encode_png(2, 2, bytes(range(12)), color_type=2)
+        ihdr_big = struct.pack(">IIBBBBB", 3, 2, 8, 2, 0, 0, 0)
+        spliced = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr_big)
+                   + small[8 + 25:])  # keep small's IDAT+IEND chunks
+        decode_png(spliced)
+
+
+def test_real_decode_dispatches_png():
+    from data_ingestion_project_spark.operators.multimodal import encode_png, real_decode
+
+    out = real_decode(encode_png(4, 3, bytes(36), color_type=2))
+    assert out["format"] == "png" and (out["width"], out["height"]) == (4, 3)
