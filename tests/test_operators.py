@@ -355,9 +355,27 @@ def test_ivf_ann_recall_floor(spark):
     from data_ingestion_project_spark.queries import all_queries
     from data_ingestion_project_spark.sources.readers import table
 
-    row = all_queries()["ivf_recall"](spark, "/root/testdata/sf0.001").collect()[0]
+    # production path (xxhash sample + Lloyd): floor checked directly —
+    # the ivf_recall QUERY is now the md5-deterministic oracle twin
+    from data_ingestion_project_spark.queries.embeddings import (
+        _recall_at_k,
+        knn_brute_force,
+        knn_ivf_approx,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    row = _recall_at_k(
+        knn_brute_force(spark, sf).select("vec_id"),
+        knn_ivf_approx(spark, sf).select("vec_id"),
+    ).collect()[0]
     assert row["k"] == 10
     assert row["recall_at_k"] >= 0.6
+
+    # the certified twin (md5 centroids, full SQL replay) must also
+    # actually find neighbors, not merely match its oracle
+    twin = all_queries()["ivf_recall"](spark, sf).collect()[0]
+    assert twin["k"] == 10
+    assert twin["recall_at_k"] >= 0.4  # untrained (0-Lloyd) quantizer floor
 
     corpus = table(spark, "/root/testdata/sf0.001", "embeddings")
     cents = ivf_centroids(corpus, n_centroids=8, n_iter=1)
