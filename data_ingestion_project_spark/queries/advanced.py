@@ -563,6 +563,43 @@ def quantile_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_day.unionByName(total).orderBy("day")
 
 
+def quantile_sketch_rollup_xx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION-path twin of quantile_sketch_rollup (VERDICT r4
+    ask #5): identical pipeline — per-day bottom-k sketches, merge for
+    TOTAL, p50/p90 reads — but with the operator's default seeded
+    xxhash64 sample keys instead of md5 hex strings. xxhash64 is a
+    JVM codegen builtin ordering LONGs, while the oracle-parity mode
+    orders 32-char hex STRINGS through a Python-portable md5 — ~2× the
+    cost; this twin is what a deployment actually runs and what the
+    bench should price. Rows-only by necessity (xxhash64 has no DuckDB
+    equivalent): correctness rides on the md5 twin's value-exact
+    oracle plus the operator's pytest (merge identity + rank-error
+    floor hold for ANY uniform key order, so they transfer verbatim —
+    the two modes differ only in WHICH uniformly-random sample
+    survives, not in any arithmetic)."""
+    from data_ingestion_project_spark.operators.quantile_sketch import (
+        bottomk_sketches,
+        merge_bottomk,
+        sketch_quantile,
+    )
+
+    e = table(spark, sf_dir, "events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    daily = bottomk_sketches(e, "value", ["day"], "event_id", k=1024, use_md5=False)
+    per_day = daily.select(
+        "day",
+        F.round(sketch_quantile(F.col("sketch"), 0.5), 4).alias("p50_value"),
+        F.round(sketch_quantile(F.col("sketch"), 0.9), 4).alias("p90_value"),
+    )
+    total = merge_bottomk(daily, [], k=1024).select(
+        F.lit("TOTAL").alias("day"),
+        F.round(sketch_quantile(F.col("sketch"), 0.5), 4).alias("p50_value"),
+        F.round(sketch_quantile(F.col("sketch"), 0.9), 4).alias("p90_value"),
+    )
+    return per_day.unionByName(total).orderBy("day")
+
+
 # Full SQL replay of the md5-keyed bottom-k pipeline: per-day bottom-K
 # selection, quantile read at rank ceil(p*n) of the value-sorted
 # sample, and the TOTAL row from the bottom-K of the union (the merge
@@ -1035,6 +1072,7 @@ QUERIES = {
     "approx_daily_active_users": approx_daily_active_users,
     "sketch_rollup_dau": sketch_rollup_dau,
     "quantile_sketch_rollup": quantile_sketch_rollup,
+    "quantile_sketch_rollup_xx": quantile_sketch_rollup_xx,
     "theta_weekly_retention": theta_weekly_retention,
     "approx_order_price_quantiles": approx_order_price_quantiles,
     "order_price_quantiles": order_price_quantiles,
