@@ -576,6 +576,91 @@ def modality_dedup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def modality_agreement_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bench-included SCALE twin of modality_dedup_agreement
+    (VERDICT r4 ask #7): instead of the audit's two exact all-pairs
+    baselines, this compares the CANDIDATE OUTPUTS of the two
+    maintained dedup families — banded MinHash-LSH served from the
+    materialized signature/word-set asset (token modality) vs SemDeDup
+    cluster-bounded cosine pairs under the cached corpus quantizer
+    (embedding modality) — which is exactly the comparison a 100 TB
+    pipeline can afford: both sides are equi-join/cluster-bucketed with
+    degenerate-bucket caps, no quadratic stage anywhere.
+
+    Because the natural synthetic corpus has ZERO near-dup pairs at
+    both thresholds (the exact audit returns all zeros), the twin
+    plants 50 cross-modal duplicates in-query — doc i < 50 gets a text
+    copy (identical word set) AND a scaled vector copy (cosine exactly
+    1.0) under id i + 1_000_000 — so the agreement numbers measure
+    whether the two candidate generators actually FIND and AGREE ON
+    real duplicates. The planted texts ride the incremental-asset
+    posture: minhash_asset_rows signs ONLY the 50-doc batch and unions
+    it with the materialized corpus asset (the update_signature_assets
+    shape), never re-signing the corpus. Rows-only (xxhash signatures
+    + driver-side k-means are not SQL-expressible); the planted
+    agreement floor is pinned in pytest."""
+    from data_ingestion_project_spark.operators.dedup import (
+        minhash_asset_rows,
+        minhash_lsh_pairs_from,
+    )
+    from data_ingestion_project_spark.operators.semdedup import semdedup_pairs
+    from data_ingestion_project_spark.queries.documents import _minhash_assets_path
+
+    n_plant, offset = 50, 1_000_000
+    e = table(spark, sf_dir, "embeddings")
+    d = table(spark, sf_dir, "documents")
+    # the embedded universe: docs that carry a vector (vec_id aligns
+    # with doc_id by generator contract) — both modalities exist here
+    emb_ids = e.select(F.col("vec_id").alias("doc_id"))
+
+    planted_docs = (
+        d.join(F.broadcast(emb_ids.filter(F.col("doc_id") < n_plant)), "doc_id", "left_semi")
+        .filter(F.col("doc_id") < n_plant)
+        .select((F.col("doc_id") + offset).alias("doc_id"), "text")
+    )
+    assets = spark.read.parquet(_minhash_assets_path(spark, sf_dir)).join(
+        emb_ids, "doc_id", "left_semi"
+    )
+    allsig = assets.select("doc_id", "signature", "words").unionByName(
+        minhash_asset_rows(planted_docs)
+    )
+    lex = minhash_lsh_pairs_from(
+        allsig.select("doc_id", "signature"),
+        allsig.select("doc_id", "words"),
+        num_perm=32,
+        bands=8,
+        min_jaccard=0.5,
+        max_bucket_size=50,
+    ).select("id_a", "id_b")
+
+    planted_vecs = e.filter(F.col("vec_id") < n_plant).select(
+        (F.col("vec_id") + offset).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(0.5)).alias("embedding"),
+    )
+    corpus = e.select("vec_id", "embedding").unionByName(planted_vecs)
+    sem = semdedup_pairs(
+        corpus,
+        threshold=0.95,
+        n_clusters=16,
+        centroids=_ivf_index(spark, sf_dir),
+        max_cluster_size=4096,
+    ).select("id_a", "id_b")
+
+    both = sem.join(lex, ["id_a", "id_b"])
+    return (
+        sem.agg(F.count(F.lit(1)).alias("n_semantic"))
+        .crossJoin(F.broadcast(lex.agg(F.count(F.lit(1)).alias("n_lexical"))))
+        .crossJoin(F.broadcast(both.agg(F.count(F.lit(1)).alias("n_both"))))
+        .select(
+            "n_semantic",
+            "n_lexical",
+            "n_both",
+            (F.col("n_semantic") - F.col("n_both")).alias("n_semantic_only"),
+            (F.col("n_lexical") - F.col("n_both")).alias("n_lexical_only"),
+        )
+    )
+
+
 ORACLE_MODALITY_DEDUP_AGREEMENT = """
 WITH words AS (
   SELECT doc_id,
@@ -613,6 +698,7 @@ QUERIES = {
     "batch_knn_search": batch_knn_search,
     "top_similar_pairs": top_similar_pairs,
     "modality_dedup_agreement": modality_dedup_agreement,
+    "modality_agreement_scale": modality_agreement_scale,
     "label_vector_stats": label_vector_stats,
     "embedding_cluster_stats": embedding_cluster_stats,
     "knn_lsh_approx": knn_lsh_approx,

@@ -220,3 +220,22 @@ def test_substring_dup_stats_bounds_and_planted_dup(spark):
     }
     assert per_doc[1] == (3, 3) and per_doc[2] == (3, 3)  # full duplication
     assert per_doc[3] == (3, 0)                           # unique doc clean
+
+
+def test_modality_agreement_scale_finds_planted_cross_modal_dups(spark):
+    """The bench-included scale twin of the cross-modal audit must
+    actually FIND the 50 planted duplicates on both candidate paths:
+    the semantic side (SemDeDup cluster-bounded pairs) catches all 50
+    exactly (cosine 1.0, same cluster by construction), and the capped
+    banded-LSH lexical side agrees on >= 40 of them (the cap may drop
+    a few planted pairs whose degenerate bucket overflows — the
+    documented trade on this 31-word-vocabulary corpus)."""
+    from data_ingestion_project_spark.queries import all_queries
+
+    row = all_queries()["modality_agreement_scale"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    assert row["n_semantic"] == 50  # exactly the planted pairs
+    assert row["n_both"] >= 40     # lexical agreement floor
+    assert row["n_lexical"] >= row["n_both"]
+    assert row["n_semantic_only"] == row["n_semantic"] - row["n_both"]
