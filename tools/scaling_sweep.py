@@ -1,0 +1,134 @@
+"""Scaling-curve sweep (VERDICT r4 ask #6): measure the heavy query
+families at sf0.001 / sf0.01 / sf0.1 and fit the per-query growth
+exponent, so the "would survive 100x" claim rests on a measured slope,
+not plan shape alone.
+
+For each query: t(sf) = wall clock of plan+execute+collect against
+warmed tables and prebuilt derived assets (the bench posture). The
+exponent alpha solves t2/t1 = (n2/n1)^alpha over the LARGEST input
+decade (n = the query's driving table rows, which differ per family:
+documents hold 500 rows at both sf0.001 and sf0.01, so doc families
+fit on the 0.01 -> 0.1 step; event/TPC-H families fit on 10k -> 100k
+events / 60k -> 600k lineitem). Per-query constant overhead (~0.3 s
+scheduler floor) is NOT subtracted — it deflates alpha at small n, so
+the reported exponents are conservative UPPER-truthful at the big end
+and the acceptance bound in tests/test_scaling_record.py allows the
+floor's distortion.
+
+Usage:  python tools/scaling_sweep.py [out_json]
+Writes SCALING.json (records + exponents) and prints a markdown table.
+Runtime: ~3 bench passes (one per sf) over the HEAVY set, ~4 min.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SFS = ("sf0.001", "sf0.01", "sf0.1")
+
+# query -> driving table (the input whose cardinality the family's
+# cost should track ~linearly under the committed plan shapes)
+HEAVY = {
+    # documents families (500 / 500 / 5000 docs)
+    "nb_lang_confusion": "documents",
+    "substring_dup_stats": "documents",
+    "leakage_safe_split": "documents",
+    "dup_graph_pagerank": "documents",
+    "benchmark_contamination": "documents",
+    "winnow_overlap_top": "documents",
+    "minhash_near_dups": "documents",
+    "simhash_near_dups": "documents",
+    "dup_cluster_sizes": "documents",
+    "token_stats": "documents",
+    "dedup_funnel": "documents",
+    "quantile_sketch_rollup": "events",
+    "quantile_sketch_rollup_xx": "events",
+    # event families (1k / 10k / 100k events)
+    "hourly_event_stats": "events",
+    "user_sessions": "events",
+    "approx_top_words": "documents",
+    # TPC-H-ish heavy join/agg (6k / 60k / 600k lineitem)
+    "pricing_summary": "lineitem",
+    "nation_market_share": "lineitem",
+    "cube_revenue": "lineitem",
+}
+
+
+def main() -> None:
+    out_path = sys.argv[1] if len(sys.argv) > 1 else "SCALING.json"
+    base = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata")
+
+    from pyspark.sql import functions as F
+
+    from data_ingestion_project_spark.queries import all_queries, warm_derived_assets
+    from data_ingestion_project_spark.session import build_session
+    from data_ingestion_project_spark.sources.readers import TABLES, table
+
+    spark = build_session("scaling-sweep")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = all_queries()
+
+    rows: dict[str, dict[str, int]] = {}
+    times: dict[str, dict[str, float]] = {q: {} for q in HEAVY}
+    for sf in SFS:
+        sf_dir = os.path.join(base, sf)
+        # same isolation protocol as bench.py: decode every column of
+        # every table once, then build the shared derived assets, so
+        # per-query numbers measure the query, not cold I/O
+        for t in TABLES:
+            df = table(spark, sf_dir, t)
+            df.select([F.count(F.col(c)).alias(c) for c in df.columns]).collect()
+        warm_derived_assets(spark, sf_dir)
+        rows[sf] = {
+            t: table(spark, sf_dir, t).count()
+            for t in {"documents", "events", "lineitem"}
+        }
+        for name in sorted(HEAVY):
+            t0 = time.perf_counter()
+            n = len(queries[name](spark, sf_dir).collect())
+            times[name][sf] = round(time.perf_counter() - t0, 3)
+            print(f"# {sf} {name}: {times[name][sf]:.3f}s ({n} rows)", file=sys.stderr)
+
+    exponents: dict[str, dict] = {}
+    for name, driver_table in HEAVY.items():
+        # fit on the LAST decade where the driving table actually grows
+        steps = [
+            (a, b)
+            for a, b in zip(SFS, SFS[1:])
+            if rows[b][driver_table] > rows[a][driver_table]
+        ]
+        a, b = steps[-1]
+        n_ratio = rows[b][driver_table] / rows[a][driver_table]
+        t_ratio = times[name][b] / times[name][a]
+        alpha = math.log(t_ratio) / math.log(n_ratio)
+        exponents[name] = {
+            "driver_table": driver_table,
+            "step": f"{a}->{b}",
+            "rows_ratio": round(n_ratio, 2),
+            "time_ratio": round(t_ratio, 3),
+            "alpha": round(alpha, 3),
+        }
+
+    record = {"rows": rows, "seconds": times, "exponents": exponents}
+    with open(out_path, "w") as f:
+        json.dump(record, f, indent=1, sort_keys=True)
+
+    print("| query | driver | t(0.001) | t(0.01) | t(0.1) | step | alpha |")
+    print("|---|---|---|---|---|---|---|")
+    for name in sorted(HEAVY):
+        e = exponents[name]
+        t = times[name]
+        print(
+            f"| {name} | {e['driver_table']} | {t['sf0.001']} | {t['sf0.01']} "
+            f"| {t['sf0.1']} | {e['step']} | {e['alpha']} |"
+        )
+
+
+if __name__ == "__main__":
+    main()
