@@ -470,6 +470,62 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_band_candidates(
+    sig: DataFrame,
+    id_col: str = "doc_id",
+    num_perm: int = 32,
+    bands: int = 8,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """The banded-LSH CANDIDATE stage over a precomputed signature
+    table: slice each signature into ``bands`` keys, equi-join on
+    (band, bucket), dedup to distinct (id_a, id_b) with id_a < id_b.
+    ``max_bucket_size`` refuses degenerate buckets' quadratic
+    candidate sets (the scale valve). Exposed separately so consumers
+    that only need the candidate SET — the cross-modal agreement
+    audit, recall accounting, cluster seeding — skip the word-set
+    read and the exact-Jaccard rescore entirely."""
+    assert num_perm % bands == 0
+    rows_per_band = num_perm // bands
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band).alias("key"),
+        )
+        for b in range(bands)
+    ]
+    buckets = sig.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")).select(
+        id_col, F.col("bk.band").alias("band"), F.hash("bk.key").alias("bucket")
+    )
+    if max_bucket_size is not None:
+        # Degenerate-bucket valve as a partial-agg + broadcast ANTI
+        # join on the (few) oversized bucket keys, not a sort-window:
+        # the count aggregate map-side combines (no per-bucket sort),
+        # and only bucket KEYS over the cap cross the wire — at 100 TB
+        # the oversized-key frame is tiny by definition (each key
+        # represents > max_bucket_size colliding docs), while a window
+        # would sort-shuffle EVERY bucket row to rank the many that
+        # pass. Same output rows as the window form.
+        oversized = (
+            buckets.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("__bs"))
+            .filter(F.col("__bs") > max_bucket_size)
+            .select("band", "bucket")
+        )
+        buckets = buckets.join(F.broadcast(oversized), ["band", "bucket"], "left_anti")
+    a, b = buckets.alias("a"), buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
 def minhash_lsh_pairs_from(
     sig: DataFrame,
     word_sets: DataFrame,
@@ -487,35 +543,8 @@ def minhash_lsh_pairs_from(
     (appended per ingested batch, like the winnow fingerprint index in
     operators/incremental_dedup.py), so a dedup query reads two compact
     per-doc tables instead of re-exploding the corpus into tokens."""
-    assert num_perm % bands == 0
-    rows_per_band = num_perm // bands
-    band_cols = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band).alias("key"),
-        )
-        for b in range(bands)
-    ]
-    buckets = sig.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")).select(
-        id_col, F.col("bk.band").alias("band"), F.hash("bk.key").alias("bucket")
-    )
-    if max_bucket_size is not None:
-        wb = Window.partitionBy("band", "bucket")
-        buckets = (
-            buckets.withColumn("__bs", F.count(F.lit(1)).over(wb))
-            .filter(F.col("__bs") <= max_bucket_size)
-            .drop("__bs")
-        )
-    a, b = buckets.alias("a"), buckets.alias("b")
-    candidates = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .distinct()
+    candidates = minhash_band_candidates(
+        sig, id_col=id_col, num_perm=num_perm, bands=bands, max_bucket_size=max_bucket_size
     )
     wa = word_sets.select(F.col(id_col).alias("id_a"), F.col("words").alias("wa"))
     wb = word_sets.select(F.col(id_col).alias("id_b"), F.col("words").alias("wb"))
@@ -645,12 +674,15 @@ def simhash_near_pairs_from(
         ).alias("bk"),
     ).select(id_col, "simhash", F.col("bk.blk").alias("blk"), F.col("bk.key").alias("key"))
     if max_block_size is not None:
-        wb = Window.partitionBy("blk", "key")
-        exploded = (
-            exploded.withColumn("__bs", F.count(F.lit(1)).over(wb))
-            .filter(F.col("__bs") <= max_block_size)
-            .drop("__bs")
+        # same agg + broadcast-anti valve as minhash_band_candidates:
+        # no per-block sort-window, only oversized KEYS move
+        oversized = (
+            exploded.groupBy("blk", "key")
+            .agg(F.count(F.lit(1)).alias("__bs"))
+            .filter(F.col("__bs") > max_block_size)
+            .select("blk", "key")
         )
+        exploded = exploded.join(F.broadcast(oversized), ["blk", "key"], "left_anti")
 
     a, b = exploded.alias("a"), exploded.alias("b")
     cand = (

@@ -594,14 +594,28 @@ def modality_agreement_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     1.0) under id i + 1_000_000 — so the agreement numbers measure
     whether the two candidate generators actually FIND and AGREE ON
     real duplicates. The planted texts ride the incremental-asset
-    posture: minhash_asset_rows signs ONLY the 50-doc batch and unions
+    posture: minhash_signatures signs ONLY the 50-doc batch and unions
     it with the materialized corpus asset (the update_signature_assets
-    shape), never re-signing the corpus. Rows-only (xxhash signatures
-    + driver-side k-means are not SQL-expressible); the planted
-    agreement floor is pinned in pytest."""
+    shape), never re-signing the corpus. The lexical side is the raw
+    capped CANDIDATE set (operators/dedup.minhash_band_candidates) —
+    candidate-coverage is the agreement a pipeline audits ("would the
+    token path have surfaced this semantic near-dup at all?"), and
+    skipping the word-set read keeps the query signature-only end to
+    end. Rows-only (xxhash signatures + driver-side k-means are not
+    SQL-expressible); the planted agreement floor is pinned in
+    pytest.
+
+    Bench note: at sf0.1 this query is STAGE-FLOOR bound, not data
+    bound — ~8 sequential exchanges (sign batch, band explode, valve
+    agg, candidate join, distinct, cluster pairs, agreement join,
+    final agg) over frames of at most ~26k rows, each paying the
+    local-mode scheduling floor. At 100 TB every one of those stages
+    does proportional work, which is exactly the shape the audit
+    needs; the ~2.4 s local number prices stage count, not the
+    algorithm."""
     from data_ingestion_project_spark.operators.dedup import (
-        minhash_asset_rows,
-        minhash_lsh_pairs_from,
+        minhash_band_candidates,
+        minhash_signatures,
     )
     from data_ingestion_project_spark.operators.semdedup import semdedup_pairs
     from data_ingestion_project_spark.queries.documents import _minhash_assets_path
@@ -618,20 +632,18 @@ def modality_agreement_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") < n_plant)
         .select((F.col("doc_id") + offset).alias("doc_id"), "text")
     )
+    # candidate-set comparison needs SIGNATURES only: the asset scan
+    # prunes the words column, and the batch signs via the same seeded
+    # family — no word-set read, no rescore join, anywhere
     assets = spark.read.parquet(_minhash_assets_path(spark, sf_dir)).join(
         emb_ids, "doc_id", "left_semi"
     )
-    allsig = assets.select("doc_id", "signature", "words").unionByName(
-        minhash_asset_rows(planted_docs)
+    allsig = assets.select("doc_id", "signature").unionByName(
+        minhash_signatures(planted_docs, "text", "doc_id", num_perm=32)
     )
-    lex = minhash_lsh_pairs_from(
-        allsig.select("doc_id", "signature"),
-        allsig.select("doc_id", "words"),
-        num_perm=32,
-        bands=8,
-        min_jaccard=0.5,
-        max_bucket_size=50,
-    ).select("id_a", "id_b")
+    lex = minhash_band_candidates(
+        allsig, num_perm=32, bands=8, max_bucket_size=50
+    )
 
     planted_vecs = e.filter(F.col("vec_id") < n_plant).select(
         (F.col("vec_id") + offset).alias("vec_id"),
@@ -646,18 +658,23 @@ def modality_agreement_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_cluster_size=4096,
     ).select("id_a", "id_b")
 
-    both = sem.join(lex, ["id_a", "id_b"])
-    return (
-        sem.agg(F.count(F.lit(1)).alias("n_semantic"))
-        .crossJoin(F.broadcast(lex.agg(F.count(F.lit(1)).alias("n_lexical"))))
-        .crossJoin(F.broadcast(both.agg(F.count(F.lit(1)).alias("n_both"))))
-        .select(
-            "n_semantic",
-            "n_lexical",
-            "n_both",
-            (F.col("n_semantic") - F.col("n_both")).alias("n_semantic_only"),
-            (F.col("n_lexical") - F.col("n_both")).alias("n_lexical_only"),
-        )
+    # ONE pass per side: all three counts from a single full-outer
+    # join + aggregate — the audit's three-aggregate form (count sem,
+    # count lex, count intersection) would recompute each candidate
+    # generator twice, doubling the query's work for the same numbers
+    j = sem.withColumn("in_sem", F.lit(1)).join(
+        lex.withColumn("in_lex", F.lit(1)), ["id_a", "id_b"], "full_outer"
+    )
+    return j.agg(
+        F.coalesce(F.sum("in_sem"), F.lit(0)).alias("n_semantic"),
+        F.coalesce(F.sum("in_lex"), F.lit(0)).alias("n_lexical"),
+        F.coalesce(F.sum(F.col("in_sem") * F.col("in_lex")), F.lit(0)).alias("n_both"),
+    ).select(
+        "n_semantic",
+        "n_lexical",
+        "n_both",
+        (F.col("n_semantic") - F.col("n_both")).alias("n_semantic_only"),
+        (F.col("n_lexical") - F.col("n_both")).alias("n_lexical_only"),
     )
 
 
