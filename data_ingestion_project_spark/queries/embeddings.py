@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from data_ingestion_project_spark.functions.vectors import cosine_similarity, vec_norm
+from data_ingestion_project_spark.functions.vectors import cosine_similarity, vec_dot, vec_norm
 from data_ingestion_project_spark.queries._precision import dec_avg, sql_dec_avg
 from data_ingestion_project_spark.operators.similarity import (
     cosine_batch_topk,
@@ -418,12 +418,182 @@ def knn_pq_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """recall@10 of PQ-ADC ANN against the exact brute-force top-10
-    (same certification shape as lsh_recall / ivf_recall)."""
-    return _recall_at_k(
-        knn_brute_force(spark, sf_dir).select("vec_id"),
-        knn_pq_approx(spark, sf_dir).select("vec_id"),
+    """End-to-end VALUE-EXACT recall certification of the PQ-ADC
+    machinery (the ivf_recall posture applied to product quantization):
+    codebooks are the 16 md5-chosen unit vectors' subvectors per
+    subspace (8 subspaces × 8 dims — the deterministic 0-Lloyd
+    certification quantizer), and encoding (per-subspace argmin L2 ≡
+    argmax x·c − ||c||²/2), the query ADC lookup table, the LUT-sum
+    candidate stage, rerank-100 exact rescore, and recall@10 are ALL
+    replayed in DuckDB. Cross-engine exactness: per-subspace scores
+    and LUT entries are quantized to integer micro-units
+    (CAST(ROUND(×1e6) AS BIGINT)) BEFORE argmin/summation, so code
+    assignment and ADC ordering are integer-exact in both engines —
+    float-sum reassociation cannot flip a codeword or a candidate.
+    The production codebooks (xxhash sample + per-subspace Lloyd,
+    operators/similarity.pq_codebooks) keep serving knn_pq_approx with
+    their pytest recall floor; what scale exercises — encode, LUT
+    scan, rerank — is exactly what this oracle certifies."""
+    from pyspark.sql import Window
+
+    m, ksub, dsub, rerank = 8, 16, 8, 100
+    e = table(spark, sf_dir, "embeddings")
+    corpus = (
+        e.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+        .withColumn("nrm", F.sqrt(vec_dot("v", "v")))
     )
+    units = corpus.select(
+        "vec_id",
+        F.transform("v", lambda x: x / F.col("nrm")).alias("u"),
+        "v",
+    )
+    cents = (
+        units.withColumn("__h", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("__h", "vec_id")
+        .limit(ksub)
+        .withColumn(
+            "c_idx", F.row_number().over(Window.orderBy("__h", "vec_id")) - 1
+        )
+        .select("c_idx", "u")
+    )
+    s_col = F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("s")
+    cw = cents.select("c_idx", "u", s_col).select(
+        "s",
+        "c_idx",
+        F.slice("u", F.col("s") * dsub + 1, dsub).alias("cs"),
+    ).withColumn("cnorm2", vec_dot("cs", "cs"))
+    xs = units.select("vec_id", s_col, "u").select(
+        "vec_id", "s", F.slice("u", F.col("s") * dsub + 1, dsub).alias("xs")
+    )
+    micro = 1_000_000
+    scored = xs.join(F.broadcast(cw), "s").select(
+        "vec_id",
+        "s",
+        "c_idx",
+        F.round((vec_dot("xs", "cs") - 0.5 * F.col("cnorm2")) * micro, 0)
+        .cast("long")
+        .alias("score_i"),
+    )
+    wcode = Window.partitionBy("vec_id", "s").orderBy(
+        F.col("score_i").desc(), F.col("c_idx").asc()
+    )
+    code = (
+        scored.withColumn("rn", F.row_number().over(wcode))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "s", "c_idx")
+    )
+    qunit = (
+        e.filter(F.col("vec_id") == QUERY_VEC_ID)
+        .select(F.transform("embedding", lambda x: x.cast("double")).alias("qv"))
+        .withColumn("qn", F.sqrt(vec_dot("qv", "qv")))
+        .select(F.transform("qv", lambda x: x / F.col("qn")).alias("qu"))
+    )
+    lut = qunit.select(s_col, "qu").select(
+        "s",
+        F.slice("qu", F.col("s") * dsub + 1, dsub).alias("qs"),
+    ).join(F.broadcast(cw), "s").select(
+        "s",
+        "c_idx",
+        F.round(vec_dot("qs", "cs") * micro, 0).cast("long").alias("lut_i"),
+    )
+    adc = (
+        code.join(F.broadcast(lut), ["s", "c_idx"])
+        .groupBy("vec_id")
+        .agg(F.sum("lut_i").alias("adc_i"))
+    )
+    cand = adc.orderBy(F.col("adc_i").desc(), F.col("vec_id").asc()).limit(rerank)
+    q = _query_vec(spark, sf_dir)
+    qlit = F.array(*[F.lit(float(x)) for x in q])
+    approx = (
+        cand.join(corpus.select("vec_id", "v"), "vec_id")
+        .withColumn("qcos", cosine_similarity("v", qlit))
+        .orderBy(F.col("qcos").desc(), F.col("vec_id").asc())
+        .limit(10)
+        .select("vec_id")
+    )
+    exact = (
+        corpus.withColumn("qcos", cosine_similarity("v", qlit))
+        .orderBy(F.col("qcos").desc(), F.col("vec_id").asc())
+        .limit(10)
+        .select("vec_id")
+    )
+    k = exact.agg(F.count(F.lit(1)).alias("k"))
+    nc = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    h = exact.join(approx, "vec_id", "left_semi").agg(F.count(F.lit(1)).alias("n_hit"))
+    return (
+        k.crossJoin(nc)
+        .crossJoin(h)
+        .select(
+            "k",
+            "n_candidates",
+            "n_hit",
+            F.round(F.col("n_hit") / F.col("k"), 4).alias("recall_at_k"),
+        )
+    )
+
+
+ORACLE_PQ_RECALL = f"""
+WITH corpus AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id <> {QUERY_VEC_ID}
+), units AS (
+  SELECT vec_id, list_transform(v, x -> x / sqrt(list_inner_product(v, v))) AS u, v
+  FROM corpus
+), cents AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS c_idx, u
+  FROM (
+    SELECT md5(CAST(vec_id AS VARCHAR)) AS h, vec_id, u
+    FROM units ORDER BY 1, 2 LIMIT 16
+  ) t
+), subs AS (
+  SELECT unnest(range(8)) AS s
+), cw AS (
+  SELECT s, c_idx, u[(s*8+1):(s*8+8)] AS cs,
+         list_inner_product(u[(s*8+1):(s*8+8)], u[(s*8+1):(s*8+8)]) AS cnorm2
+  FROM cents CROSS JOIN subs
+), xs AS (
+  SELECT vec_id, s, u[(s*8+1):(s*8+8)] AS xs FROM units CROSS JOIN subs
+), scored AS (
+  SELECT vec_id, s, c_idx,
+         CAST(ROUND((list_inner_product(xs, cs) - 0.5 * cnorm2) * 1000000, 0) AS BIGINT)
+           AS score_i
+  FROM xs JOIN cw USING (s)
+), code AS (
+  SELECT vec_id, s, c_idx FROM (
+    SELECT vec_id, s, c_idx,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, s
+             ORDER BY score_i DESC, c_idx ASC) AS rn
+    FROM scored
+  ) t WHERE rn = 1
+), qunit AS (
+  SELECT list_transform(embedding::DOUBLE[],
+           x -> x / sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS qu
+  FROM embeddings WHERE vec_id = {QUERY_VEC_ID}
+), lut AS (
+  SELECT s, c_idx,
+         CAST(ROUND(list_inner_product(qu[(s*8+1):(s*8+8)], cs) * 1000000, 0) AS BIGINT)
+           AS lut_i
+  FROM cw CROSS JOIN qunit
+), adc AS (
+  SELECT vec_id, SUM(lut_i) AS adc_i
+  FROM code JOIN lut USING (s, c_idx) GROUP BY vec_id
+), cand AS (
+  SELECT vec_id FROM adc ORDER BY adc_i DESC, vec_id ASC LIMIT 100
+), q AS (
+  SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}
+), approx AS (
+  SELECT c.vec_id FROM cand c JOIN corpus USING (vec_id), q
+  ORDER BY list_cosine_similarity(corpus.v, q.qv) DESC, c.vec_id ASC LIMIT 10
+), exact AS (
+  SELECT vec_id FROM corpus, q
+  ORDER BY list_cosine_similarity(v, q.qv) DESC, vec_id ASC LIMIT 10
+)
+SELECT (SELECT COUNT(*) FROM exact) AS k,
+       (SELECT COUNT(*) FROM cand) AS n_candidates,
+       (SELECT COUNT(*) FROM exact SEMI JOIN approx USING (vec_id)) AS n_hit,
+       ROUND((SELECT COUNT(*) FROM exact SEMI JOIN approx USING (vec_id)) * 1.0
+             / (SELECT COUNT(*) FROM exact), 4) AS recall_at_k
+"""
 
 
 def embedding_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -737,5 +907,6 @@ ORACLE = {
     # full SQL replay of the md5-deterministic IVF (r5): centroid
     # choice, assignment, probe, rescore, and recall arithmetic
     "ivf_recall": ORACLE_IVF_RECALL,
+    "pq_recall": ORACLE_PQ_RECALL,
     # knn_lsh_approx: rows-only by design
 }

@@ -488,9 +488,26 @@ def test_pq_ann_recall_floor(spark):
     from data_ingestion_project_spark.queries import all_queries
     from data_ingestion_project_spark.sources.readers import table
 
-    row = all_queries()["pq_recall"](spark, "/root/testdata/sf0.001").collect()[0]
+    # production path (xxhash sample + per-subspace Lloyd): floor
+    # checked directly — the pq_recall QUERY is now the
+    # md5-deterministic oracle twin (0-Lloyd codebooks, integer ADC)
+    from data_ingestion_project_spark.queries.embeddings import (
+        _recall_at_k,
+        knn_brute_force,
+        knn_pq_approx,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    row = _recall_at_k(
+        knn_brute_force(spark, sf).select("vec_id"),
+        knn_pq_approx(spark, sf).select("vec_id"),
+    ).collect()[0]
     assert row["k"] == 10
     assert row["recall_at_k"] >= 0.6
+
+    twin = all_queries()["pq_recall"](spark, sf).collect()[0]
+    assert twin["k"] == 10
+    assert twin["recall_at_k"] >= 0.4  # untrained (0-Lloyd) codebook floor
 
     corpus = table(spark, "/root/testdata/sf0.001", "embeddings")
     books = pq_codebooks(corpus, m=8, ksub=16, n_iter=3, seed=42)
