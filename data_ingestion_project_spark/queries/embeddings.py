@@ -2,8 +2,13 @@
 vector stats — the similarity-search surface of the north star.
 
 The exact variants carry DuckDB oracles (list_cosine_similarity over
-DOUBLE[] matches our JVM-side double math after rounding); the LSH
-variant is approximate → rows-only.
+DOUBLE[] matches our JVM-side double math after rounding). As of round
+5 every ANN family's RECALL is also value-exact: lsh_recall /
+ivf_recall / pq_recall are md5-deterministic certification twins whose
+whole pipeline (quantizer choice, assignment/signature, probe,
+rescore, recall arithmetic) replays in DuckDB; the production variants
+(seeded Gaussian planes, xxhash+Lloyd quantizers) serve the knn_*
+queries and keep pytest floors.
 """
 
 from __future__ import annotations
@@ -170,16 +175,126 @@ def _recall_at_k(exact_ids: DataFrame, approx_ids: DataFrame) -> DataFrame:
 
 
 def lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """recall@10 of the hyperplane-LSH ANN against the exact brute-force
-    top-10 (its certified twin). Rows-only: the approx side's random
-    hyperplanes are generated driver-side and aren't SQL-expressible,
-    so the driver checks shape while pytest asserts the recall floor
-    (the MinHash family's recall IS fully oracle-certified — see
-    queries/documents.minhash_recall)."""
-    return _recall_at_k(
-        knn_brute_force(spark, sf_dir).select("vec_id"),
-        knn_lsh_approx(spark, sf_dir).select("vec_id"),
+    """End-to-end VALUE-EXACT recall certification of hyperplane-LSH
+    (the ivf_recall/pq_recall posture): the 8 hyperplanes are the 8
+    corpus vectors with smallest md5(vec_id) — sign-hash quality only
+    needs directions spread over the sphere, and corpus vectors ARE
+    such directions, which is what makes the ENTIRE pipeline (plane
+    choice, sign-bit signatures, Hamming-3 multi-probe, exact rescore,
+    recall@10) replayable in DuckDB. Sign bits threshold the
+    integer-micro-unit-quantized dot (CAST(ROUND(×1e6) AS BIGINT) >=
+    0), so a last-ulp reassociation cannot flip a bit at the boundary;
+    signatures bit-pack to one BIGINT and the Hamming probe is
+    bit_count(xor()) <= 3 in both engines — exact integer arithmetic
+    end to end. The production path (seeded Gaussian planes,
+    operators/similarity.make_planes) keeps serving knn_lsh_approx
+    with its pytest floor; what scale exercises — signature scan,
+    Hamming filter, rescore — is what this oracle certifies."""
+    from pyspark.sql import Window
+
+    n_planes, radius = 8, 3
+    e = table(spark, sf_dir, "embeddings")
+    corpus = e.filter(F.col("vec_id") != QUERY_VEC_ID).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
+    planes = (
+        corpus.withColumn("__h", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("__h", "vec_id")
+        .limit(n_planes)
+        .withColumn("p_idx", F.row_number().over(Window.orderBy("__h", "vec_id")) - 1)
+        .select("p_idx", F.col("v").alias("p"))
+    )
+    micro = 1_000_000
+
+    def _sig(df: DataFrame, id_col: str) -> DataFrame:
+        bits = df.crossJoin(F.broadcast(planes)).select(
+            id_col,
+            "p_idx",
+            (F.round(vec_dot("v", "p") * micro, 0).cast("long") >= 0).alias("b"),
+        )
+        return bits.groupBy(id_col).agg(
+            F.sum(
+                F.col("b").cast("long") * F.pow(F.lit(2), F.col("p_idx")).cast("long")
+            ).alias("sig")
+        )
+    sigs = _sig(corpus, "vec_id")
+    qdf = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("vec_id").alias("qid"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    qsig = _sig(qdf, "qid").select(F.col("sig").alias("qsig"))
+    cand = (
+        sigs.crossJoin(F.broadcast(qsig))
+        .filter(
+            F.bit_count(F.col("sig").bitwiseXOR(F.col("qsig"))) <= radius
+        )
+        .select("vec_id")
+    )
+    q = _query_vec(spark, sf_dir)
+    qlit = F.array(*[F.lit(float(x)) for x in q])
+    approx = (
+        cand.join(corpus, "vec_id")
+        .withColumn("qcos", cosine_similarity("v", qlit))
+        .orderBy(F.col("qcos").desc(), F.col("vec_id").asc())
+        .limit(10)
+        .select("vec_id")
+    )
+    exact = (
+        corpus.withColumn("qcos", cosine_similarity("v", qlit))
+        .orderBy(F.col("qcos").desc(), F.col("vec_id").asc())
+        .limit(10)
+        .select("vec_id")
+    )
+    k = exact.agg(F.count(F.lit(1)).alias("k"))
+    nc = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    h = exact.join(approx, "vec_id", "left_semi").agg(F.count(F.lit(1)).alias("n_hit"))
+    return (
+        k.crossJoin(nc)
+        .crossJoin(h)
+        .select(
+            "k",
+            "n_candidates",
+            "n_hit",
+            F.round(F.col("n_hit") / F.col("k"), 4).alias("recall_at_k"),
+        )
+    )
+
+
+ORACLE_LSH_RECALL = f"""
+WITH corpus AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id <> {QUERY_VEC_ID}
+), planes AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS p_idx, v AS p
+  FROM (
+    SELECT md5(CAST(vec_id AS VARCHAR)) AS h, vec_id, v
+    FROM corpus ORDER BY 1, 2 LIMIT 8
+  ) t
+), sigs AS (
+  SELECT vec_id,
+         CAST(SUM(CASE WHEN CAST(ROUND(list_inner_product(v, p) * 1000000, 0) AS BIGINT) >= 0
+                  THEN CAST(POW(2, p_idx) AS BIGINT) ELSE 0 END) AS BIGINT) AS sig
+  FROM corpus CROSS JOIN planes GROUP BY vec_id
+), q AS (
+  SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}
+), qsig AS (
+  SELECT CAST(SUM(CASE WHEN CAST(ROUND(list_inner_product(q.qv, p) * 1000000, 0) AS BIGINT) >= 0
+                  THEN CAST(POW(2, p_idx) AS BIGINT) ELSE 0 END) AS BIGINT) AS qsig
+  FROM planes, q
+), cand AS (
+  SELECT vec_id FROM sigs, qsig WHERE bit_count(xor(sig, qsig)) <= 3
+), approx AS (
+  SELECT c.vec_id FROM cand c JOIN corpus USING (vec_id), q
+  ORDER BY list_cosine_similarity(corpus.v, q.qv) DESC, c.vec_id ASC LIMIT 10
+), exact AS (
+  SELECT vec_id FROM corpus, q
+  ORDER BY list_cosine_similarity(v, q.qv) DESC, vec_id ASC LIMIT 10
+)
+SELECT (SELECT COUNT(*) FROM exact) AS k,
+       (SELECT COUNT(*) FROM cand) AS n_candidates,
+       (SELECT COUNT(*) FROM exact SEMI JOIN approx USING (vec_id)) AS n_hit,
+       ROUND((SELECT COUNT(*) FROM exact SEMI JOIN approx USING (vec_id)) * 1.0
+             / (SELECT COUNT(*) FROM exact), 4) AS recall_at_k
+"""
 
 
 # Trained coarse-quantizer cache, keyed by corpus dir. An IVF index is
@@ -908,5 +1023,6 @@ ORACLE = {
     # choice, assignment, probe, rescore, and recall arithmetic
     "ivf_recall": ORACLE_IVF_RECALL,
     "pq_recall": ORACLE_PQ_RECALL,
+    "lsh_recall": ORACLE_LSH_RECALL,
     # knn_lsh_approx: rows-only by design
 }

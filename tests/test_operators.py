@@ -337,12 +337,27 @@ def test_equal_frequency_buckets_matches_ntile(spark):
 def test_lsh_ann_recall_floor(spark):
     """Multi-probe LSH must actually find neighbors: recall@10 >= 0.4 on
     the weakly-clustered synthetic corpus (deterministic: fixed seed +
-    fixed data; measured 0.5 at sf0.001, 0.6 at sf0.01)."""
+    fixed data; measured 0.5 at sf0.001, 0.6 at sf0.01). The production
+    path (seeded Gaussian planes) is checked directly — the lsh_recall
+    QUERY is now the md5-corpus-hyperplane oracle twin."""
     from data_ingestion_project_spark.queries import all_queries
+    from data_ingestion_project_spark.queries.embeddings import (
+        _recall_at_k,
+        knn_brute_force,
+        knn_lsh_approx,
+    )
 
-    row = all_queries()["lsh_recall"](spark, "/root/testdata/sf0.001").collect()[0]
+    sf = "/root/testdata/sf0.001"
+    row = _recall_at_k(
+        knn_brute_force(spark, sf).select("vec_id"),
+        knn_lsh_approx(spark, sf).select("vec_id"),
+    ).collect()[0]
     assert row["k"] == 10
     assert row["recall_at_k"] >= 0.4
+
+    twin = all_queries()["lsh_recall"](spark, sf).collect()[0]
+    assert twin["k"] == 10
+    assert twin["recall_at_k"] >= 0.3  # corpus-hyperplane twin floor
 
 
 def test_ivf_ann_recall_floor(spark):
