@@ -806,3 +806,69 @@ def test_quantile_sketch_stream_equals_batch_build(spark, tmp_path):
         assert table_state() == got
     finally:
         q.stop()
+
+
+def test_signature_asset_stream_equals_batch_build(spark, tmp_path):
+    """Streaming signature-asset maintenance (the streaming leg of the
+    r5 incremental-asset story): after three micro-batches the MinHash
+    and SimHash txn tables must equal the batch-built signatures over
+    ALL documents row-for-row, and a re-delivered batch (same fence id,
+    same batch id — simulated by calling the maintenance directly with
+    the sink's fence) must append nothing."""
+    from data_ingestion_project_spark.operators import txn_table as T
+    from data_ingestion_project_spark.operators.dedup import minhash_asset_rows, simhash
+    from data_ingestion_project_spark.operators.incremental_dedup import (
+        update_signature_assets,
+    )
+    from data_ingestion_project_spark.streaming.ingest import (
+        start_signature_asset_stream,
+    )
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    mh_p = str(tmp_path / "mh")
+    sh_p = str(tmp_path / "sh")
+    ckpt = str(tmp_path / "ckpt")
+
+    def text(i):
+        return f"streamed document {i} with body tokens t{i % 7} u{i % 5} shared tail words"
+
+    def rows(lo, hi):
+        return "\n".join(
+            json.dumps({"doc_id": i, "text": text(i)}) for i in range(lo, hi)
+        )
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = start_signature_asset_stream(spark, stream, mh_p, sh_p, ckpt)
+    try:
+        (src / "b1.json").write_text(rows(0, 20))
+        (src / "b2.json").write_text(rows(20, 40))
+        q.processAllAvailable()
+        (src / "b3.json").write_text(rows(40, 60))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    full = spark.createDataFrame(
+        [(i, text(i)) for i in range(60)], "doc_id long, text string"
+    )
+    got_mh = sorted(map(tuple, T.read(spark, mh_p).collect()))
+    assert got_mh == sorted(map(tuple, minhash_asset_rows(full).collect()))
+    assert len(got_mh) == 60
+    got_sh = sorted(map(tuple, T.read(spark, sh_p).collect()))
+    assert got_sh == sorted(map(tuple, simhash(full).collect()))
+
+    # replayed delivery under the sink's own fence identity: no-op
+    import os
+
+    fence_id = os.path.abspath(ckpt)
+    replay = spark.createDataFrame(
+        [(i, text(i)) for i in range(40, 60)], "doc_id long, text string"
+    )
+    update_signature_assets(spark, mh_p, sh_p, replay, fence=(fence_id, 2))
+    assert T.read(spark, mh_p).count() == 60
+    assert T.read(spark, sh_p).count() == 60
