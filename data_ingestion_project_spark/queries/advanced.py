@@ -649,6 +649,129 @@ SELECT * FROM per_day UNION ALL SELECT * FROM total ORDER BY day
 """
 
 
+_KMV_K = 256
+_KMV_BITS_HEX = 12  # 48-bit hash prefix: exact in BIGINT and double
+_KMV_SPACE = 16 ** _KMV_BITS_HEX
+
+
+def _kmv_hash_int() -> F.Column:
+    """First 12 hex chars of md5(user_id) as a 48-bit BIGINT — the
+    cross-engine-deterministic KMV sample key (same md5 idiom as the
+    quantile sketch's oracle mode; 48 bits keep every value and every
+    ratio exact in both engines' integers/doubles)."""
+    return F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, _KMV_BITS_HEX), 16, 10).cast(
+        "long"
+    )
+
+
+def _sql_kmv_hash_int(hex_col: str = "h") -> str:
+    """DuckDB replay of _kmv_hash_int over a precomputed md5-hex column
+    (no conv() there): positional hex-digit arithmetic —
+    Σ digit_i · 16^(12-i), integer-exact."""
+    return " + ".join(
+        f"(strpos('0123456789abcdef', substr({hex_col}, {i + 1}, 1)) - 1)"
+        f" * {16 ** (_KMV_BITS_HEX - 1 - i)}"
+        for i in range(_KMV_BITS_HEX)
+    )
+
+
+def kmv_dau_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VALUE-EXACT certified twin of sketch_rollup_dau (the md5-replay
+    posture the ANN recall family uses): distinct users per day and for
+    the TOTAL period via a KMV (k-minimum-values / bottom-k theta)
+    sketch — the k smallest 48-bit md5 prefixes of the distinct user
+    hashes. Estimate: exact count when a day holds fewer than k
+    distinct users (the sketch IS the set), else (k-1) · 2^48 /
+    kth_smallest — the classic KMV estimator (Bar-Yossef et al. 2002),
+    here integer-exact cross-engine because the hash values, the
+    bottom-k selection, and the division operands are identical
+    BIGINTs in Spark and DuckDB. The TOTAL row demonstrates the
+    MERGEABILITY that terminal approx_count_distinct lacks: bottom-k
+    of the union of per-day bottom-k sets == bottom-k of all distinct
+    hashes (the same SET-semantics fold as the quantile sketch), so a
+    date-range rollup reads stored KB-sized sketches, zero fact
+    rescan. The binary datasketches HLL variant (sketch_rollup_dau)
+    stays the production bench path; this twin is what lets the driver
+    certify the ROLLUP SEMANTICS value-exactly. Accuracy vs exact DAU
+    pinned in pytest (k=256 → ~6% standard error)."""
+    e = table(spark, sf_dir, "events")
+    hashes = (
+        e.select(
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            _kmv_hash_int().alias("hv"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("day").orderBy("hv")
+    bottom = hashes.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= _KMV_K
+    )
+    per_day = bottom.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n"), F.max("hv").alias("kth")
+    )
+    est = F.when(F.col("n") < _KMV_K, F.col("n").cast("double")).otherwise(
+        F.round((_KMV_K - 1) * F.lit(float(_KMV_SPACE)) / F.col("kth"), 0)
+    )
+    day_rows = per_day.select("day", est.cast("long").alias("est_users"))
+    # TOTAL: merge = bottom-k of the union of the per-day sketches
+    # (distinct hashes already union'd by the global distinct)
+    wg = Window.orderBy("hv")
+    gbottom = (
+        hashes.select("hv")
+        .distinct()
+        .withColumn("rn", F.row_number().over(wg))
+        .filter(F.col("rn") <= _KMV_K)
+    )
+    gtot = gbottom.agg(F.count(F.lit(1)).alias("n"), F.max("hv").alias("kth"))
+    total = gtot.select(
+        F.lit("TOTAL").alias("day"),
+        F.when(F.col("n") < _KMV_K, F.col("n").cast("double"))
+        .otherwise(F.round((_KMV_K - 1) * F.lit(float(_KMV_SPACE)) / F.col("kth"), 0))
+        .cast("long")
+        .alias("est_users"),
+    )
+    return day_rows.unionByName(total).orderBy("day")
+
+
+ORACLE_KMV_DAU_ROLLUP = f"""
+WITH h0 AS (
+  SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS day,
+         md5(CAST(user_id AS VARCHAR)) AS h
+  FROM events
+), hashes AS (
+  SELECT DISTINCT day, {_sql_kmv_hash_int("h")} AS hv FROM h0
+), bottom AS (
+  SELECT day, hv FROM (
+    SELECT day, hv, ROW_NUMBER() OVER (PARTITION BY day ORDER BY hv) AS rn
+    FROM hashes
+  ) t WHERE rn <= {_KMV_K}
+), per_day AS (
+  SELECT day, COUNT(*) AS n, MAX(hv) AS kth FROM bottom GROUP BY day
+), day_rows AS (
+  SELECT day,
+         CAST(CASE WHEN n < {_KMV_K} THEN n * 1.0
+              ELSE ROUND(({_KMV_K} - 1) * {float(_KMV_SPACE)} / kth, 0) END AS BIGINT)
+           AS est_users
+  FROM per_day
+), ghashes AS (
+  SELECT DISTINCT hv FROM hashes
+), gbottom AS (
+  SELECT hv FROM (
+    SELECT hv, ROW_NUMBER() OVER (ORDER BY hv) AS rn FROM ghashes
+  ) t WHERE rn <= {_KMV_K}
+), gtot AS (
+  SELECT COUNT(*) AS n, MAX(hv) AS kth FROM gbottom
+), total AS (
+  SELECT 'TOTAL' AS day,
+         CAST(CASE WHEN n < {_KMV_K} THEN n * 1.0
+              ELSE ROUND(({_KMV_K} - 1) * {float(_KMV_SPACE)} / kth, 0) END AS BIGINT)
+           AS est_users
+  FROM gtot
+)
+SELECT * FROM day_rows UNION ALL SELECT * FROM total ORDER BY day
+"""
+
+
 def theta_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theta sketches support SET OPERATIONS between sketches —
     intersection gives retained users between adjacent weeks without
@@ -1071,6 +1194,7 @@ QUERIES = {
     "shipping_delay_histogram": shipping_delay_histogram,
     "approx_daily_active_users": approx_daily_active_users,
     "sketch_rollup_dau": sketch_rollup_dau,
+    "kmv_dau_rollup": kmv_dau_rollup,
     "quantile_sketch_rollup": quantile_sketch_rollup,
     "quantile_sketch_rollup_xx": quantile_sketch_rollup_xx,
     "theta_weekly_retention": theta_weekly_retention,
@@ -1095,6 +1219,7 @@ QUERIES = {
 ORACLE = {
     "orders_profile": ORACLE_ORDERS_PROFILE,
     "quantile_sketch_rollup": ORACLE_QUANTILE_SKETCH_ROLLUP,
+    "kmv_dau_rollup": ORACLE_KMV_DAU_ROLLUP,
     "segment_wealth_percentiles": ORACLE_SEGMENT_WEALTH_PERCENTILES,
     "segment_richest_customer": ORACLE_SEGMENT_RICHEST_CUSTOMER,
     "returnflag_unpivot": ORACLE_RETURNFLAG_UNPIVOT,

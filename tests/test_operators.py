@@ -586,6 +586,17 @@ def test_sketch_estimates_track_exact_counts(spark):
     for day, est in got.items():
         assert abs(est - exact[day]) <= max(0.05 * exact[day], 2), day
 
+    # the KMV certified twin: same shape, same accuracy expectation
+    # (k=256 → ~6% standard error; allow 3σ plus small-count slack).
+    # Days below k distinct users must be EXACT by the KMV rule.
+    kmv = {r["day"]: r["est_users"] for r in all_queries()["kmv_dau_rollup"](spark, sf).collect()}
+    assert set(kmv) == set(exact)
+    for day, est in kmv.items():
+        if exact[day] < 256:
+            assert est == exact[day], day
+        else:
+            assert abs(est - exact[day]) <= 0.20 * exact[day], day
+
     ret = all_queries()["theta_weekly_retention"](spark, sf).collect()
     assert ret
     weeks = e.select(
