@@ -772,6 +772,134 @@ SELECT * FROM day_rows UNION ALL SELECT * FROM total ORDER BY day
 """
 
 
+def kmv_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VALUE-EXACT certified twin of theta_weekly_retention: sketch SET
+    INTERSECTION between adjacent weeks from KMV bottom-k sketches.
+    Per week: the k smallest 48-bit md5 prefixes of the distinct user
+    hashes, with threshold θ_w = kth smallest (or the full space when
+    the week holds fewer than k users — the sketch is then the exact
+    set). Retained estimate between week A and its successor B: the
+    standard theta-intersection estimator — D = |{h ∈ bottomk_A ∩
+    bottomk_B : h < θ}| with θ = min(θ_A, θ_B), scaled by 2^48/θ
+    (degenerating to the EXACT intersection count when both weeks are
+    below k). Every step — hashing, bottom-k, the hash equi-join, the
+    θ compare, the one scaled division — replays integer-exactly in
+    DuckDB, certifying the sketch-algebra SEMANTICS the binary
+    datasketches path (still the bench production variant) can only
+    smoke-test. Accuracy floor vs the exact week self-join pinned in
+    pytest."""
+    e = table(spark, sf_dir, "events")
+    hashes = (
+        e.select(
+            F.date_trunc("week", "ts").alias("wk"),
+            _kmv_hash_int().alias("hv"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("wk").orderBy("hv")
+    bottom = hashes.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= _KMV_K
+    )
+    thr = bottom.groupBy("wk").agg(
+        F.count(F.lit(1)).alias("n"), F.max("hv").alias("kth")
+    )
+    theta = thr.select(
+        "wk",
+        "n",
+        "kth",
+        F.when(F.col("n") < _KMV_K, F.lit(_KMV_SPACE).cast("long"))
+        .otherwise(F.col("kth"))
+        .alias("th"),
+    )
+    week_est = theta.select(
+        "wk",
+        F.when(F.col("n") < _KMV_K, F.col("n").cast("double"))
+        .otherwise(F.round((_KMV_K - 1) * F.lit(float(_KMV_SPACE)) / F.col("kth"), 0))
+        .cast("long")
+        .alias("est_week_users"),
+    )
+    nxt_theta = theta.select(
+        (F.col("wk") - F.expr("INTERVAL 7 DAYS")).alias("wk"),
+        F.col("th").alias("th_next"),
+    )
+    pair_theta = theta.select("wk", "th").join(nxt_theta, "wk").select(
+        "wk", F.least("th", "th_next").alias("th_pair")
+    )
+    nxt_b = bottom.select(
+        (F.col("wk") - F.expr("INTERVAL 7 DAYS")).alias("wk"), "hv"
+    )
+    inter = (
+        bottom.select("wk", "hv")
+        .join(nxt_b, ["wk", "hv"])
+        .join(F.broadcast(pair_theta), "wk")
+        .filter(F.col("hv") < F.col("th_pair"))
+        .groupBy("wk")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    out = (
+        pair_theta.join(week_est, "wk")
+        .join(inter, "wk", "left")
+        .select(
+            F.date_format("wk", "yyyy-MM-dd").alias("week_start"),
+            "est_week_users",
+            F.round(
+                F.coalesce(F.col("d"), F.lit(0))
+                * F.lit(float(_KMV_SPACE))
+                / F.col("th_pair"),
+                0,
+            )
+            .cast("long")
+            .alias("est_retained_next_week"),
+        )
+    )
+    return out.orderBy("week_start")
+
+
+ORACLE_KMV_WEEKLY_RETENTION = f"""
+WITH h0 AS (
+  SELECT DISTINCT date_trunc('week', ts) AS wk, md5(CAST(user_id AS VARCHAR)) AS h
+  FROM events
+), hashes AS (
+  SELECT DISTINCT wk, {_sql_kmv_hash_int("h")} AS hv FROM h0
+), bottom AS (
+  SELECT wk, hv FROM (
+    SELECT wk, hv, ROW_NUMBER() OVER (PARTITION BY wk ORDER BY hv) AS rn
+    FROM hashes
+  ) t WHERE rn <= {_KMV_K}
+), thr AS (
+  SELECT wk, COUNT(*) AS n, MAX(hv) AS kth FROM bottom GROUP BY wk
+), theta AS (
+  SELECT wk, n, kth,
+         CASE WHEN n < {_KMV_K} THEN {_KMV_SPACE} ELSE kth END AS th
+  FROM thr
+), week_est AS (
+  SELECT wk,
+         CAST(CASE WHEN n < {_KMV_K} THEN n * 1.0
+              ELSE ROUND(({_KMV_K} - 1) * {float(_KMV_SPACE)} / kth, 0) END AS BIGINT)
+           AS est_week_users
+  FROM theta
+), pair_theta AS (
+  SELECT a.wk, LEAST(a.th, b.th) AS th_pair
+  FROM theta a JOIN theta b ON b.wk = a.wk + INTERVAL 7 DAY
+), inter AS (
+  SELECT a.wk, COUNT(*) AS d
+  FROM bottom a
+  JOIN bottom b ON b.wk = a.wk + INTERVAL 7 DAY AND b.hv = a.hv
+  JOIN pair_theta p ON p.wk = a.wk
+  WHERE a.hv < p.th_pair
+  GROUP BY a.wk
+)
+SELECT strftime(p.wk, '%Y-%m-%d') AS week_start,
+       w.est_week_users,
+       CAST(ROUND(COALESCE(i.d, 0) * {float(_KMV_SPACE)} / p.th_pair, 0) AS BIGINT)
+         AS est_retained_next_week
+FROM pair_theta p
+JOIN week_est w ON w.wk = p.wk
+LEFT JOIN inter i ON i.wk = p.wk
+ORDER BY week_start
+"""
+
+
 def theta_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theta sketches support SET OPERATIONS between sketches —
     intersection gives retained users between adjacent weeks without
@@ -1195,6 +1323,7 @@ QUERIES = {
     "approx_daily_active_users": approx_daily_active_users,
     "sketch_rollup_dau": sketch_rollup_dau,
     "kmv_dau_rollup": kmv_dau_rollup,
+    "kmv_weekly_retention": kmv_weekly_retention,
     "quantile_sketch_rollup": quantile_sketch_rollup,
     "quantile_sketch_rollup_xx": quantile_sketch_rollup_xx,
     "theta_weekly_retention": theta_weekly_retention,
@@ -1220,6 +1349,7 @@ ORACLE = {
     "orders_profile": ORACLE_ORDERS_PROFILE,
     "quantile_sketch_rollup": ORACLE_QUANTILE_SKETCH_ROLLUP,
     "kmv_dau_rollup": ORACLE_KMV_DAU_ROLLUP,
+    "kmv_weekly_retention": ORACLE_KMV_WEEKLY_RETENTION,
     "segment_wealth_percentiles": ORACLE_SEGMENT_WEALTH_PERCENTILES,
     "segment_richest_customer": ORACLE_SEGMENT_RICHEST_CUSTOMER,
     "returnflag_unpivot": ORACLE_RETURNFLAG_UNPIVOT,

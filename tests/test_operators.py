@@ -597,6 +597,39 @@ def test_sketch_estimates_track_exact_counts(spark):
         else:
             assert abs(est - exact[day]) <= 0.20 * exact[day], day
 
+    # KMV retention twin: at this sf every week holds fewer than k=256
+    # distinct users, so the sketch IS the set and the intersection
+    # estimate must EQUAL the exact adjacent-week self-join (the
+    # estimation regime is exercised — and oracle-checked — at sf0.1)
+    kmv_ret = {
+        r["week_start"]: (r["est_week_users"], r["est_retained_next_week"])
+        for r in all_queries()["kmv_weekly_retention"](spark, sf).collect()
+    }
+    wk_users = e.select(
+        F.date_format(F.date_trunc("week", "ts"), "yyyy-MM-dd").alias("w"), "user_id"
+    ).distinct()
+    import datetime as _dt
+
+    for wstart, (est_w, est_ret) in kmv_ret.items():
+        exact_w = wk_users.filter(F.col("w") == wstart).count()
+        nxt = (
+            _dt.date.fromisoformat(wstart) + _dt.timedelta(days=7)
+        ).isoformat()
+        exact_ret = (
+            wk_users.filter(F.col("w") == wstart)
+            .select("user_id")
+            .join(
+                wk_users.filter(F.col("w") == nxt).select("user_id"),
+                "user_id",
+            )
+            .count()
+        )
+        if exact_w < 256:
+            assert (est_w, est_ret) == (exact_w, exact_ret), wstart
+        else:
+            assert abs(est_w - exact_w) <= 0.20 * exact_w, wstart
+            assert abs(est_ret - exact_ret) <= max(0.25 * exact_ret, 5), wstart
+
     ret = all_queries()["theta_weekly_retention"](spark, sf).collect()
     assert ret
     weeks = e.select(
