@@ -306,6 +306,245 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BM25_TERMS = ("customer", "join", "filter", "scan")  # fixed probe query
+BM25_K1, BM25_B = 1.2, 0.75
+RRF_C = 60  # the standard reciprocal-rank-fusion constant
+
+
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval (Robertson/Sparck Jones; the Lucene
+    idf = ln(1 + (N - df + 0.5)/(df + 0.5)) form): top-10 documents
+    for a fixed 4-term probe query, scored with term frequency
+    saturation (k1=1.2) and doc-length normalization (b=0.75). The
+    retrieval twin of the embedding kNN family — together they are
+    the classic hybrid-search pair (see hybrid_rrf_search).
+
+    Plan: ONE token explode → tf for the probe terms (the filter
+    prunes the aggregate to 4 words), doc lengths from the same
+    explode, df/N/avgdl as broadcast 1-row or term-cardinality
+    frames — a scan + two aggregates, no corpus self-join anywhere.
+    Cross-engine exactness: per-term scores are quantized to integer
+    micro-units BEFORE the per-doc sum (the [ln-weight quantization]
+    idiom), so ranking and the reported score are value-identical in
+    DuckDB."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("word")
+    )
+    lens = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = lens.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.sum("dl").cast("double").alias("sum_dl"),
+    )
+    qtoks = toks.filter(F.col("word").isin(*BM25_TERMS))
+    tf = qtoks.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = qtoks.groupBy("word").agg(F.count_distinct("doc_id").alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_), "word")
+        .join(lens, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    tf_norm = (F.col("tf") * (BM25_K1 + 1)) / (
+        F.col("tf")
+        + BM25_K1
+        * (1 - BM25_B + BM25_B * F.col("dl") * F.col("n_docs") / F.col("sum_dl"))
+    )
+    per_term = scored.select(
+        "doc_id",
+        F.round(idf * tf_norm * 1_000_000, 0).cast("long").alias("score_i"),
+    )
+    totals = per_term.groupBy("doc_id").agg(F.sum("score_i").alias("total_i"))
+    return (
+        totals.orderBy(F.col("total_i").desc(), F.col("doc_id").asc())
+        .limit(10)
+        .select(
+            "doc_id",
+            F.round(F.col("total_i") / 1_000_000, 6).alias("bm25"),
+        )
+    )
+
+
+_SQL_BM25_TOTALS = f"""
+  toks AS (
+    SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+    FROM documents
+  ), lens AS (
+    SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id
+  ), stats AS (
+    SELECT COUNT(*) * 1.0 AS n_docs, SUM(dl) * 1.0 AS sum_dl FROM lens
+  ), tf AS (
+    SELECT doc_id, word, COUNT(*) AS tf FROM toks
+    WHERE word IN {BM25_TERMS} GROUP BY doc_id, word
+  ), df AS (
+    SELECT word, COUNT(DISTINCT doc_id) AS df FROM toks
+    WHERE word IN {BM25_TERMS} GROUP BY word
+  ), per_term AS (
+    SELECT tf.doc_id,
+           CAST(ROUND(
+             ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+             * ((tf.tf * ({BM25_K1} + 1)) /
+                (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * l.dl * s.n_docs / s.sum_dl)))
+             * 1000000, 0) AS BIGINT) AS score_i
+    FROM tf JOIN df USING (word) JOIN lens l ON l.doc_id = tf.doc_id, stats s
+  ), totals AS (
+    SELECT doc_id, SUM(score_i) AS total_i FROM per_term GROUP BY doc_id
+  )
+"""
+
+
+ORACLE_BM25_TOPK = f"""
+WITH {_SQL_BM25_TOTALS}
+SELECT doc_id, ROUND(total_i / 1000000.0, 6) AS bm25
+FROM totals ORDER BY total_i DESC, doc_id ASC LIMIT 10
+"""
+
+
+def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID retrieval: reciprocal-rank fusion (Cormack et al.,
+    SIGIR'09) of the BM25 lexical ranking and the exact embedding
+    cosine ranking for the same probe — the standard two-tower search
+    pattern (sparse + dense, fused by rank so neither score scale
+    dominates). Universe: documents that carry a vector (vec_id aligns
+    with doc_id). Each modality contributes 1/(60 + rank) for its
+    top-50; docs missing from one list contribute 0 from it. Fully
+    SQL-replayable: both rankings are deterministic (integer-quantized
+    BM25; cosine with the proven list_cosine_similarity parity), and
+    the fusion is a two-term sum of rationals of small ints. Top-10 by
+    fused score, doc_id tie-break."""
+    from data_ingestion_project_spark.queries.embeddings import QUERY_VEC_ID, _query_vec
+    from data_ingestion_project_spark.functions.vectors import cosine_similarity
+
+    d = table(spark, sf_dir, "documents")
+    e = table(spark, sf_dir, "embeddings")
+    emb_ids = e.select(F.col("vec_id").alias("doc_id"))
+
+    toks = (
+        d.join(emb_ids, "doc_id", "left_semi")
+        .select("doc_id", F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("word"))
+    )
+    lens = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = lens.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.sum("dl").cast("double").alias("sum_dl"),
+    )
+    qtoks = toks.filter(F.col("word").isin(*BM25_TERMS))
+    tf = qtoks.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = qtoks.groupBy("word").agg(F.count_distinct("doc_id").alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    tf_norm = (F.col("tf") * (BM25_K1 + 1)) / (
+        F.col("tf")
+        + BM25_K1
+        * (1 - BM25_B + BM25_B * F.col("dl") * F.col("n_docs") / F.col("sum_dl"))
+    )
+    totals = (
+        tf.join(F.broadcast(df_), "word")
+        .join(lens, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", F.round(idf * tf_norm * 1_000_000, 0).cast("long").alias("score_i"))
+        .groupBy("doc_id")
+        .agg(F.sum("score_i").alias("total_i"))
+    )
+    wl = Window.orderBy(F.col("total_i").desc(), F.col("doc_id").asc())
+    lex = (
+        totals.withColumn("lex_rank", F.row_number().over(wl))
+        .filter(F.col("lex_rank") <= 50)
+        .select("doc_id", "lex_rank")
+    )
+
+    q = _query_vec(spark, sf_dir)
+    qlit = F.array(*[F.lit(float(x)) for x in q])
+    corpus = e.filter(F.col("vec_id") != QUERY_VEC_ID).select(
+        F.col("vec_id").alias("doc_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    wv = Window.orderBy(F.col("qcos").desc(), F.col("doc_id").asc())
+    dense = (
+        corpus.withColumn("qcos", cosine_similarity("v", qlit))
+        .withColumn("vec_rank", F.row_number().over(wv))
+        .filter(F.col("vec_rank") <= 50)
+        .select("doc_id", "vec_rank")
+    )
+    fused = (
+        lex.join(dense, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.round(
+                F.coalesce(F.lit(1.0) / (RRF_C + F.col("lex_rank")), F.lit(0.0))
+                + F.coalesce(F.lit(1.0) / (RRF_C + F.col("vec_rank")), F.lit(0.0)),
+                6,
+            ).alias("rrf"),
+            F.col("lex_rank"),
+            F.col("vec_rank"),
+        )
+    )
+    return (
+        fused.orderBy(F.col("rrf").desc(), F.col("doc_id").asc())
+        .limit(10)
+        .select("doc_id", "rrf", "lex_rank", "vec_rank")
+    )
+
+
+ORACLE_HYBRID_RRF_SEARCH = f"""
+WITH emb_docs AS (
+  SELECT d.doc_id, d.text FROM documents d
+  SEMI JOIN embeddings e ON d.doc_id = e.vec_id
+), toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+  FROM emb_docs
+), lens AS (
+  SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id
+), stats AS (
+  SELECT COUNT(*) * 1.0 AS n_docs, SUM(dl) * 1.0 AS sum_dl FROM lens
+), tf AS (
+  SELECT doc_id, word, COUNT(*) AS tf FROM toks
+  WHERE word IN {BM25_TERMS} GROUP BY doc_id, word
+), df AS (
+  SELECT word, COUNT(DISTINCT doc_id) AS df FROM toks
+  WHERE word IN {BM25_TERMS} GROUP BY word
+), per_term AS (
+  SELECT tf.doc_id,
+         CAST(ROUND(
+           ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+           * ((tf.tf * ({BM25_K1} + 1)) /
+              (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * l.dl * s.n_docs / s.sum_dl)))
+           * 1000000, 0) AS BIGINT) AS score_i
+  FROM tf JOIN df USING (word) JOIN lens l ON l.doc_id = tf.doc_id, stats s
+), totals AS (
+  SELECT doc_id, SUM(score_i) AS total_i FROM per_term GROUP BY doc_id
+), lex AS (
+  SELECT doc_id, lex_rank FROM (
+    SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY total_i DESC, doc_id ASC) AS INTEGER) AS lex_rank
+    FROM totals
+  ) t WHERE lex_rank <= 50
+), q AS (
+  SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+), dense AS (
+  SELECT doc_id, vec_rank FROM (
+    SELECT e.vec_id AS doc_id,
+           CAST(ROW_NUMBER() OVER (
+             ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qv) DESC,
+                      e.vec_id ASC) AS INTEGER) AS vec_rank
+    FROM embeddings e, q WHERE e.vec_id <> 0
+  ) t WHERE vec_rank <= 50
+), fused AS (
+  SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+         ROUND(COALESCE(1.0 / ({RRF_C} + l.lex_rank), 0)
+               + COALESCE(1.0 / ({RRF_C} + v.vec_rank), 0), 6) AS rrf,
+         l.lex_rank, v.vec_rank
+  FROM lex l FULL OUTER JOIN dense v ON l.doc_id = v.doc_id
+)
+SELECT doc_id, rrf, lex_rank, vec_rank
+FROM fused ORDER BY rrf DESC, doc_id ASC LIMIT 10
+"""
+
+
 ORACLE_TFIDF_TOP_TERMS = """
 WITH words AS (
   SELECT doc_id, lang, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
@@ -1337,6 +1576,8 @@ QUERIES = {
     "small_quantity_revenue": small_quantity_revenue,
     "idle_suppliers": idle_suppliers,
     "tfidf_top_terms": tfidf_top_terms,
+    "bm25_topk": bm25_topk,
+    "hybrid_rrf_search": hybrid_rrf_search,
     "rolling_30d_top_spenders": rolling_30d_top_spenders,
     "segment_year_grouping_sets": segment_year_grouping_sets,
     "segment_priority_listing": segment_priority_listing,
@@ -1366,6 +1607,8 @@ ORACLE = {
     "acctbal_deciles": ORACLE_ACCTBAL_DECILES,
     "acctbal_deciles_scalable": ORACLE_ACCTBAL_DECILES,
     "tfidf_top_terms": ORACLE_TFIDF_TOP_TERMS,
+    "bm25_topk": ORACLE_BM25_TOPK,
+    "hybrid_rrf_search": ORACLE_HYBRID_RRF_SEARCH,
     "rolling_30d_top_spenders": ORACLE_ROLLING_30D_TOP_SPENDERS,
     "segment_year_grouping_sets": ORACLE_SEGMENT_YEAR_GROUPING_SETS,
     "segment_priority_listing": ORACLE_SEGMENT_PRIORITY_LISTING,

@@ -1280,3 +1280,40 @@ def test_quantile_sketch_merge_equals_direct_and_rank_error(spark):
         bottomk_sketches(df, "value", ["day"], "event_id", k=K), [], k=K
     ).collect()[0]["sketch"]
     assert [tuple(x) for x in again] == [tuple(x) for x in merged]
+
+
+def test_bm25_and_rrf_retrieval_sanity(spark):
+    """BM25/RRF sanity on the live corpus (the MATH is certified
+    value-exactly by the DuckDB oracles — an independent SQL
+    implementation; this pins the retrieval-semantics invariants):
+    scores strictly ordered with deterministic tie-break, every BM25
+    hit actually contains a probe term, and every fused doc carries at
+    least one modality rank with the RRF score reproducible from its
+    ranks."""
+    from data_ingestion_project_spark.queries import all_queries
+    from data_ingestion_project_spark.queries.advanced import BM25_TERMS, RRF_C
+    from data_ingestion_project_spark.sources.readers import table
+
+    sf = "/root/testdata/sf0.001"
+    top = all_queries()["bm25_topk"](spark, sf).collect()
+    assert len(top) == 10
+    scores = [r["bm25"] for r in top]
+    assert scores == sorted(scores, reverse=True)
+    assert scores[0] > 0
+    hit_ids = [r["doc_id"] for r in top]
+    d = table(spark, sf, "documents")
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in d.filter(F.col("doc_id").isin(hit_ids)).collect()
+    }
+    for i in hit_ids:
+        assert any(t in texts[i].lower().split() for t in BM25_TERMS), i
+
+    fused = all_queries()["hybrid_rrf_search"](spark, sf).collect()
+    assert len(fused) == 10
+    for r in fused:
+        assert r["lex_rank"] is not None or r["vec_rank"] is not None
+        want = sum(
+            1.0 / (RRF_C + rk) for rk in (r["lex_rank"], r["vec_rank"]) if rk is not None
+        )
+        assert abs(r["rrf"] - want) < 1e-6
