@@ -837,6 +837,119 @@ FROM parsed GROUP BY kind ORDER BY kind
 """
 
 
+def bigram_logprob_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model predictability census — the Markov step up
+    from the unigram model (unigram_logprob_quality): per document, the
+    mean negative log-probability of its ADJACENT word pairs under the
+    corpus bigram model with Laplace smoothing
+    (P(w2|w1) = (c(w1,w2)+1)/(c(w1·)+V)), bucketed by whole nats.
+    Repetitive/templated text lands in low buckets, high-entropy word
+    salad in high ones — the bigram twin of a perplexity filter.
+
+    Plan: adjacency WITHOUT a positional self-join — bigrams come from
+    one JVM expression (explode of arrays_zip over two slices of the
+    token array), then the model is two aggregates over that frame and
+    one join back. Docs with fewer than 2 tokens have no bigrams and
+    are excluded (both engines identically). Cross-engine exactness:
+    per-bigram ln weights are integer-quantized (×1e4, the NB idiom),
+    per-doc totals are exact BIGINT sums, the per-doc mean divides two
+    identical integers, and the report aggregates per-doc means that
+    were re-quantized (×1e3) — no float accumulates anywhere."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.split(F.lower(F.trim("text")), r"\s+").alias("a")
+    ).withColumn("n", F.size("a"))
+    pairs = (
+        toks.filter(F.col("n") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.arrays_zip(
+                    F.slice("a", 1, F.col("n") - 1).alias("w1"),
+                    F.slice("a", 2, F.col("n") - 1).alias("w2"),
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    c12 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = (
+        d.select(F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("w"))
+        .agg(F.count_distinct("w").alias("v"))
+    )
+    model = (
+        c12.join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "w1",
+            "w2",
+            F.round(
+                F.log((F.col("c12") + 1) / (F.col("c1") + F.col("v"))) * 10000, 0
+            )
+            .cast("long")
+            .alias("lp_i"),
+        )
+    )
+    doc_scores = (
+        pairs.join(model, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(F.sum("lp_i").alias("total_i"), F.count(F.lit(1)).alias("n_bi"))
+        .select(
+            "doc_id",
+            # mean nats (negative log prob), re-quantized to 1e-7 nats
+            F.round(-F.col("total_i") * 1000.0 / F.col("n_bi"), 0)
+            .cast("long")
+            .alias("nats_q"),
+        )
+    )
+    return (
+        doc_scores.groupBy(
+            F.floor(F.col("nats_q") / 10_000_000).cast("int").alias("nats_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.sum("nats_q") / (F.count(F.lit(1)) * 10_000_000.0), 4).alias(
+                "avg_nats"
+            ),
+        )
+        .orderBy("nats_bucket")
+    )
+
+
+ORACLE_BIGRAM_LOGPROB_BUCKETS = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS a
+  FROM documents
+), pairs AS (
+  SELECT doc_id, a[i] AS w1, a[i + 1] AS w2
+  FROM toks, LATERAL (SELECT unnest(range(1, len(a))) AS i) _
+  WHERE len(a) >= 2
+), c12 AS (
+  SELECT w1, w2, COUNT(*) AS c12 FROM pairs GROUP BY w1, w2
+), c1 AS (
+  SELECT w1, COUNT(*) AS c1 FROM pairs GROUP BY w1
+), vocab AS (
+  SELECT COUNT(DISTINCT w) AS v FROM (
+    SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w FROM documents
+  )
+), model AS (
+  SELECT w1, w2,
+         CAST(ROUND(ln((c12 + 1) * 1.0 / (c1 + v)) * 10000, 0) AS BIGINT) AS lp_i
+  FROM c12 JOIN c1 USING (w1), vocab
+), doc_scores AS (
+  SELECT doc_id,
+         CAST(ROUND(-SUM(lp_i) * 1000.0 / COUNT(*), 0) AS BIGINT) AS nats_q
+  FROM pairs JOIN model USING (w1, w2)
+  GROUP BY doc_id
+)
+SELECT CAST(FLOOR(nats_q / 10000000) AS INTEGER) AS nats_bucket,
+       COUNT(*) AS n_docs,
+       ROUND(SUM(nats_q) / (COUNT(*) * 10000000.0), 4) AS avg_nats
+FROM doc_scores GROUP BY 1 ORDER BY nats_bucket
+"""
+
+
 def fingerprint_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-addressed dedup accounting per source: md5 fingerprint of
     normalized text (exact-dedup key at any scale)."""
@@ -2806,6 +2919,7 @@ QUERIES = {
     "media_feature_stats": media_feature_stats,
     "media_decode_stats": media_decode_stats,
     "png_decode_stats": png_decode_stats,
+    "bigram_logprob_buckets": bigram_logprob_buckets,
     "quality_filter_funnel": quality_filter_funnel,
     "stratified_sample_rates": stratified_sample_rates,
     "pii_scrub_stats": pii_scrub_stats,
@@ -2848,6 +2962,7 @@ ORACLE = {
     "media_feature_stats": ORACLE_MEDIA_FEATURE_STATS,
     "media_decode_stats": ORACLE_MEDIA_DECODE_STATS,
     "png_decode_stats": ORACLE_PNG_DECODE_STATS,
+    "bigram_logprob_buckets": ORACLE_BIGRAM_LOGPROB_BUCKETS,
     "quality_filter_funnel": ORACLE_QUALITY_FILTER_FUNNEL,
     "stratified_sample_rates": ORACLE_STRATIFIED_SAMPLE_RATES,
     "pii_scrub_stats": ORACLE_PII_SCRUB_STATS,

@@ -1317,3 +1317,33 @@ def test_bm25_and_rrf_retrieval_sanity(spark):
             1.0 / (RRF_C + rk) for rk in (r["lex_rank"], r["vec_rank"]) if rk is not None
         )
         assert abs(r["rrf"] - want) < 1e-6
+
+
+def test_bigram_model_separates_templated_from_salad(spark):
+    """The bigram LM must be DISCRIMINATIVE (the live corpus's uniform
+    vocabulary collapses it to one bucket, so the behavior is pinned on
+    a planted corpus): documents made of one repeated high-frequency
+    bigram chain score near-zero nats; word-salad documents whose
+    bigrams each occur once land in strictly higher buckets."""
+    import os
+    import tempfile
+
+    from data_ingestion_project_spark.queries.documents import bigram_logprob_buckets
+
+    template = "the cat sat " * 20           # few distinct bigrams, high counts
+    salads = [
+        " ".join(f"w{i}x{j}" for i in range(30)) for j in range(5)
+    ]                                         # every bigram unique
+    rows = [(0, template), (1, template)] + [
+        (2 + j, s) for j, s in enumerate(salads)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    with tempfile.TemporaryDirectory() as tmp:
+        docs.write.parquet(os.path.join(tmp, "documents.parquet"))
+        out = bigram_logprob_buckets(spark, tmp).collect()
+    assert len(out) >= 2  # the model separates the two populations
+    by_bucket = {r["nats_bucket"]: r["n_docs"] for r in out}
+    low, high = min(by_bucket), max(by_bucket)
+    assert by_bucket[low] == 2    # the two templated docs
+    assert by_bucket[high] >= 4   # the salads
+    assert high - low >= 2        # separated by >= 2 whole nats
