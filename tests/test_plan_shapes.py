@@ -371,3 +371,50 @@ def test_substring_dup_stats_no_corpus_sized_join(spark):
     c = plan_census(df)
     assert c["n_cartesian"] == 0 and c["n_bnl_joins"] == 0
     assert not c["has_python_udf"]
+
+
+def test_bm25_model_frames_broadcast_no_cartesian(spark):
+    """BM25: df/stats are term-cardinality / 1-row frames riding as
+    broadcasts; the only data-sized operation is the token explode +
+    aggregates. No cartesian product, no Python anywhere."""
+    df = all_queries()["bm25_topk"](spark, SF)
+    c = plan_census(df)
+    assert c["n_cartesian"] == 0 and c["n_bnl_joins"] <= 1  # 1-row stats ride BNL
+    assert c["n_broadcast_joins"] >= 1
+    assert not c["has_python_udf"]
+
+
+def test_kmv_rollup_is_pure_window_aggregate(spark):
+    """The KMV distinct sketch is hash + bottom-k windows + aggregates:
+    no join of any kind and no Python — the same all-JVM shape as the
+    quantile sketch."""
+    df = all_queries()["kmv_dau_rollup"](spark, SF)
+    c = plan_census(df)
+    assert (
+        c["n_sortmerge_joins"] == c["n_shuffled_hash_joins"]
+        == c["n_broadcast_joins"] == c["n_cartesian"] == c["n_bnl_joins"] == 0
+    )
+    assert not c["has_python_udf"]
+
+
+def test_bigram_lm_no_positional_self_join(spark):
+    """Bigrams come from ONE arrays_zip explode, not a positional
+    self-join of the token table: the joins in the plan are the
+    model-sized (bigram-vocabulary) joins, and nothing is cartesian."""
+    df = all_queries()["bigram_logprob_buckets"](spark, SF)
+    c = plan_census(df)
+    assert c["n_cartesian"] == 0
+    assert not c["has_python_udf"]
+
+
+def test_png_decode_arrow_batched_single_pass(spark):
+    """The PNG round-trip runs as Arrow mapInPandas stages (the codec
+    seam is the ONLY Python) over a doc_id-projected scan, with the
+    aggregation the sole exchange consumer."""
+    df = all_queries()["png_decode_stats"](spark, SF)
+    c = plan_census(df)
+    assert c["has_python_udf"]  # the codec seam — deliberately Python
+    assert (
+        c["n_sortmerge_joins"] == c["n_shuffled_hash_joins"]
+        == c["n_broadcast_joins"] == c["n_cartesian"] == 0
+    )
