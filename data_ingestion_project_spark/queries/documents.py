@@ -585,6 +585,51 @@ ORDER BY n_shared DESC, id_a, id_b
 LIMIT 20
 """
 
+
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise SOURCE overlap matrix — the dataset-curation audit that
+    generalizes benchmark_contamination from one held-out source to
+    every source pair: counts of winnow near-dup document pairs
+    (>= 5 shared fingerprints, the contamination threshold) per
+    unordered source pair, diagonal included. A hot off-diagonal cell
+    means two ingestion feeds ship overlapping text (double-counted
+    training mass, or benchmark leakage if one side is an eval suite);
+    a hot diagonal means a feed self-duplicates. Reads the MAINTAINED
+    winnow pair asset (_winnow_pair_counts — built once, appended per
+    batch via operators/incremental_dedup.update_pair_index), so the
+    audit never re-winnows the corpus; the source lookup is one
+    doc-sized join per pair side."""
+    d = table(spark, sf_dir, "documents")
+    pairs = _winnow_pair_counts(spark, sf_dir).filter(F.col("n_shared") >= 5)
+    meta = d.select("doc_id", "source")
+    ma = meta.select(F.col("doc_id").alias("id_a"), F.col("source").alias("sa"))
+    mb = meta.select(F.col("doc_id").alias("id_b"), F.col("source").alias("sb"))
+    return (
+        pairs.join(ma, "id_a")
+        .join(mb, "id_b")
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("source_a", "source_b")
+    )
+
+
+ORACLE_SOURCE_OVERLAP_MATRIX = f"""
+WITH {_WINNOW_PAIR_CTES},
+meta AS (SELECT doc_id, source FROM documents)
+SELECT LEAST(ma.source, mb.source) AS source_a,
+       GREATEST(ma.source, mb.source) AS source_b,
+       COUNT(*) AS n_pairs
+FROM wpairs w
+JOIN meta ma ON ma.doc_id = w.id_a
+JOIN meta mb ON mb.doc_id = w.id_b
+WHERE w.n_shared >= 5
+GROUP BY 1, 2 ORDER BY source_a, source_b
+"""
+
 ORACLE_DUP_GRAPH_TRIANGLES = f"""
 WITH {_WINNOW_PAIR_CTES},
 edges AS (SELECT id_a, id_b FROM wpairs WHERE n_shared >= 20),
@@ -2920,6 +2965,7 @@ QUERIES = {
     "media_decode_stats": media_decode_stats,
     "png_decode_stats": png_decode_stats,
     "bigram_logprob_buckets": bigram_logprob_buckets,
+    "source_overlap_matrix": source_overlap_matrix,
     "quality_filter_funnel": quality_filter_funnel,
     "stratified_sample_rates": stratified_sample_rates,
     "pii_scrub_stats": pii_scrub_stats,
@@ -2963,6 +3009,7 @@ ORACLE = {
     "media_decode_stats": ORACLE_MEDIA_DECODE_STATS,
     "png_decode_stats": ORACLE_PNG_DECODE_STATS,
     "bigram_logprob_buckets": ORACLE_BIGRAM_LOGPROB_BUCKETS,
+    "source_overlap_matrix": ORACLE_SOURCE_OVERLAP_MATRIX,
     "quality_filter_funnel": ORACLE_QUALITY_FILTER_FUNNEL,
     "stratified_sample_rates": ORACLE_STRATIFIED_SAMPLE_RATES,
     "pii_scrub_stats": ORACLE_PII_SCRUB_STATS,
