@@ -1375,6 +1375,47 @@ def approx_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters(words, "word", capacity=4096, k=20)
 
 
+def cms_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch point-frequency census (operators/cms.py) — the
+    dual of the Misra-Gries path (approx_top_words): where MG returns
+    frequent-item IDENTITIES with lower-bound weights, the CMS answers
+    "how often did THIS word occur?" for any candidate, with UPPER
+    bounds (collisions only add). Output: the top-20 words with their
+    exact count, the CMS estimate from a deliberately tight 4×64-cell
+    sketch (256 counters for the whole corpus — small enough that
+    collisions actually happen and the overcount column is non-trivial),
+    and the overcount. est ≥ exact ALWAYS (the CMS guarantee; also
+    property-tested in pytest along with the exact cellwise-additive
+    merge identity).
+
+    Plan: sketch build = one broadcast×4 row-multiply + ONE aggregation
+    keyed on 256 fixed cells (map-side combine collapses each partition
+    to ≤256 partial cells — the exchange is sketch-sized, not
+    vocabulary-sized); probes join the broadcast 256-row sketch. The
+    md5-salted bucket hash (portable-hash idiom) makes every stage
+    replayable as ANSI SQL — hence the value-exact oracle."""
+    from data_ingestion_project_spark.operators.cms import (
+        cms_build,
+        cms_point_estimates,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    words = d.select(F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("word"))
+    sketch = cms_build(words, "word", depth=4, width=64)
+    exact = words.groupBy("word").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    est = cms_point_estimates(exact, sketch, "word", depth=4, width=64)
+    return (
+        est.select(
+            "word",
+            "exact_cnt",
+            F.col("est").alias("cms_est"),
+            (F.col("est") - F.col("exact_cnt")).alias("overcount"),
+        )
+        .orderBy(F.col("exact_cnt").desc(), F.col("word").asc())
+        .limit(20)
+    )
+
+
 def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/val/test assignment that CANNOT leak near-duplicates
     across splits: the unit of assignment is the winnow dup-CLUSTER
@@ -1623,6 +1664,41 @@ SELECT word, COUNT(*) AS est_count
 FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word FROM documents) t
 GROUP BY word
 ORDER BY est_count DESC, word ASC
+LIMIT 20
+"""
+
+
+# Full SQL replay of the CMS pipeline: salted md5 bucket hash, cell
+# build, min-over-depth point estimates — every value a BIGINT, so the
+# comparison is integer-exact (the same replay posture as the KMV /
+# quantile-sketch / ANN-recall certifications).
+ORACLE_CMS_WORD_FREQ = """
+WITH toks AS (
+  SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+  FROM documents
+),
+depth AS (SELECT unnest(range(4)) AS j),
+cells AS (
+  SELECT j,
+         CAST(concat('0x', substr(md5(concat(CAST(j AS VARCHAR), ':', word)), 1, 6)) AS BIGINT) % 64 AS bucket,
+         COUNT(*) AS cnt
+  FROM toks CROSS JOIN depth
+  GROUP BY 1, 2
+),
+exact AS (SELECT word, COUNT(*) AS exact_cnt FROM toks GROUP BY 1),
+probes AS (
+  SELECT e.word, e.exact_cnt, d.j,
+         CAST(concat('0x', substr(md5(concat(CAST(d.j AS VARCHAR), ':', e.word)), 1, 6)) AS BIGINT) % 64 AS bucket
+  FROM exact e CROSS JOIN depth d
+),
+est AS (
+  SELECT p.word, p.exact_cnt, MIN(COALESCE(c.cnt, 0)) AS est
+  FROM probes p LEFT JOIN cells c ON p.j = c.j AND p.bucket = c.bucket
+  GROUP BY 1, 2
+)
+SELECT word, exact_cnt, est AS cms_est, est - exact_cnt AS overcount
+FROM est
+ORDER BY exact_cnt DESC, word ASC
 LIMIT 20
 """
 
@@ -2949,6 +3025,7 @@ QUERIES = {
     "lang_stats": lang_stats,
     "top_words": top_words,
     "approx_top_words": approx_top_words,
+    "cms_word_freq": cms_word_freq,
     "nb_lang_confusion": nb_lang_confusion,
     "substring_dup_stats": substring_dup_stats,
     "bpe_learned_merges": bpe_learned_merges,
@@ -3021,6 +3098,7 @@ ORACLE = {
     "lang_id_confusion": ORACLE_LANG_ID_CONFUSION,
     "top_words": ORACLE_TOP_WORDS,
     "approx_top_words": ORACLE_APPROX_TOP_WORDS,
+    "cms_word_freq": ORACLE_CMS_WORD_FREQ,
     "nb_lang_confusion": ORACLE_NB_LANG_CONFUSION,
     "substring_dup_stats": ORACLE_SUBSTRING_DUP_STATS,
     "similar_supplier_names": ORACLE_SIMILAR_SUPPLIER_NAMES,

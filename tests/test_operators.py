@@ -711,6 +711,67 @@ def test_misra_gries_bounds_and_presence(spark):
             assert item in got, (item, true_n, max_err)
 
 
+def test_cms_upper_bound_error_and_merge_identity(spark):
+    """Count-Min guarantees vs exact counts, with a sketch small enough
+    (4×64 cells vs ~500 distinct items) to force collisions: (a) every
+    estimate is an UPPER bound (errors only add — the dual of the MG
+    lower bound), (b) the fraction of items overcounting by more than
+    2n/width stays near the (1/2)^depth Markov bound, (c) the cellwise
+    merge of two disjoint halves equals the whole-stream sketch
+    BIT-FOR-BIT (exact algebraic identity, not an approximation)."""
+    import random
+
+    from data_ingestion_project_spark.operators.cms import (
+        cms_build,
+        cms_merge,
+        cms_point_estimates,
+    )
+
+    rng = random.Random(11)
+    items = (
+        ["alpha"] * 400 + ["beta"] * 250 + ["gamma"] * 120
+        + [f"tail{rng.randrange(500)}" for _ in range(1200)]
+    )
+    rng.shuffle(items)
+    n = len(items)
+    depth, width = 4, 64
+    df = spark.createDataFrame([(x,) for x in items], "item string").repartition(8)
+
+    exact: dict = {}
+    for x in items:
+        exact[x] = exact.get(x, 0) + 1
+    exact_df = spark.createDataFrame(
+        [(k, v) for k, v in exact.items()], "item string, exact_cnt long"
+    )
+
+    sketch = cms_build(df, "item", depth=depth, width=width)
+    got = {
+        r["item"]: (r["exact_cnt"], r["est"])
+        for r in cms_point_estimates(
+            exact_df, sketch, "item", depth=depth, width=width
+        ).collect()
+    }
+    assert set(got) == set(exact)
+    over_budget = 0
+    for item, (true_n, est) in got.items():
+        assert est >= true_n, (item, est, true_n)
+        if est - true_n > 2 * n / width:
+            over_budget += 1
+    # Markov: Pr[min-over-depth overcounts by > 2n/w] <= (1/2)^depth
+    # = 6.25% per item; allow slack for hash-realization variance
+    assert over_budget / len(exact) <= 0.20, (over_budget, len(exact))
+
+    half_a = spark.createDataFrame([(x,) for x in items[: n // 2]], "item string")
+    half_b = spark.createDataFrame([(x,) for x in items[n // 2 :]], "item string")
+    merged = cms_merge(
+        cms_build(half_a, "item", depth=depth, width=width),
+        cms_build(half_b, "item", depth=depth, width=width),
+    )
+    whole_cells = {(r["j"], r["bucket"]): r["cnt"] for r in sketch.collect()}
+    merged_cells = {(r["j"], r["bucket"]): r["cnt"] for r in merged.collect()}
+    assert merged_cells == whole_cells
+
+
 def test_approx_top_words_exact_on_small_vocab(spark):
     """With capacity far above the corpus vocabulary no counter ever
     evicts, so the MG query must equal the exact wordcount top-20."""
