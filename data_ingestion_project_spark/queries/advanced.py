@@ -1550,6 +1550,65 @@ ORDER BY c_mktsegment, ROUND(pr, 6), c_custkey
 """
 
 
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit — the release-side privacy census that pairs
+    with the field-level protections (P3-P6 crypto ops, pii_scrub_stats):
+    before publishing a table keyed by quasi-identifiers, measure how
+    identifiable its equivalence classes are. QI tuple here:
+    (nation, market segment, account-balance band of 2500) — the
+    classic age/zip/gender analogue for this schema. For each policy
+    threshold k ∈ {2,5,10,25}: how many QI classes fall below k, how
+    many rows a suppress-small-classes release would drop, and the
+    suppression rate — the k-vs-utility curve an anonymization pipeline
+    tunes against.
+
+    Plan: ONE aggregation over the fact table builds the QI class
+    histogram; the threshold sweep is a broadcast 4-row multiply of the
+    CLASS table (already aggregate-sized), never of the facts — at
+    100 TB the class histogram is bounded by the QI domain, not the
+    row count. All outputs integer or ROUND(,4)-stable → value-exact
+    oracle."""
+    c = table(spark, sf_dir, "customer")
+    classes = c.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 2500).alias("bal_band"),
+    ).agg(F.count(F.lit(1)).alias("sz"))
+    ks = spark.createDataFrame([(2,), (5,), (10,), (25,)], "k int")
+    below = F.when(F.col("sz") < F.col("k"), F.col("sz")).otherwise(F.lit(0))
+    return (
+        classes.join(F.broadcast(ks))
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_classes"),
+            F.sum((F.col("sz") < F.col("k")).cast("long")).alias("classes_below"),
+            F.sum(below).alias("rows_suppressed"),
+            F.round(F.sum(below) * 100.0 / F.sum("sz"), 4).alias("suppression_pct"),
+        )
+        .orderBy("k")
+    )
+
+
+ORACLE_K_ANONYMITY_AUDIT = """
+WITH classes AS (
+  SELECT c_nationkey, c_mktsegment, FLOOR(c_acctbal / 2500) AS bal_band,
+         COUNT(*) AS sz
+  FROM customer
+  GROUP BY 1, 2, 3
+),
+ks AS (SELECT unnest([2, 5, 10, 25]) AS k)
+SELECT k,
+       COUNT(*) AS n_classes,
+       CAST(SUM(CASE WHEN sz < k THEN 1 ELSE 0 END) AS BIGINT) AS classes_below,
+       CAST(SUM(CASE WHEN sz < k THEN sz ELSE 0 END) AS BIGINT) AS rows_suppressed,
+       ROUND(SUM(CASE WHEN sz < k THEN sz ELSE 0 END) * 100.0 / SUM(sz), 4)
+         AS suppression_pct
+FROM classes CROSS JOIN ks
+GROUP BY k
+ORDER BY k
+"""
+
+
 QUERIES = {
     "orders_profile": orders_profile,
     "segment_wealth_percentiles": segment_wealth_percentiles,
@@ -1584,6 +1643,7 @@ QUERIES = {
     "top2_orders_lateral": top2_orders_lateral,
     "wealthy_inactive_customers": wealthy_inactive_customers,
     "supplier_hierarchy_rollup": supplier_hierarchy_rollup,
+    "k_anonymity_audit": k_anonymity_audit,
 }
 
 ORACLE = {
@@ -1615,4 +1675,5 @@ ORACLE = {
     "top2_orders_lateral": ORACLE_TOP2_ORDERS_LATERAL,
     "wealthy_inactive_customers": ORACLE_WEALTHY_INACTIVE_CUSTOMERS,
     "supplier_hierarchy_rollup": ORACLE_SUPPLIER_HIERARCHY_ROLLUP,
+    "k_anonymity_audit": ORACLE_K_ANONYMITY_AUDIT,
 }

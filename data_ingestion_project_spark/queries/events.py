@@ -592,6 +592,91 @@ ORDER BY type_a, type_b
 """
 
 
+# 48-bit md5 prefix (the KMV idiom): exact in BIGINT and double both
+# engines; here it is the uniform draw behind the Laplace inverse-CDF.
+_DP_BITS_HEX = 12
+_DP_SPACE = 16 ** _DP_BITS_HEX
+_DP_EPS = [(0.25, 4), (0.5, 2), (1.0, 1)]  # (epsilon, integer 1/epsilon)
+
+
+def dp_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private count release (Laplace mechanism) — the
+    aggregate-release member of the privacy family next to the
+    equivalence-class audit (k_anonymity_audit) and the field-level
+    crypto ops: per event type, the true count plus Laplace(1/ε) noise
+    for ε ∈ {0.25, 0.5, 1.0} (count queries have sensitivity 1), the
+    privacy/utility curve a DP release tunes. The uniform draw behind
+    the inverse-CDF is the 48-bit md5 prefix of the release key
+    (deterministic and engine-portable — the KMV idiom), which is what
+    makes a RANDOMIZED mechanism certifiable value-exactly: the oracle
+    replays draw, CDF inversion, and quantization bit-for-bit. A
+    production release would salt the key with a fresh per-release
+    nonce; determinism-under-replay is also exactly what a
+    re-executable pipeline (foreachBatch, speculative tasks) needs so
+    a retry cannot burn privacy budget twice.
+
+    Cross-engine exactness: Laplace inversion
+    noise = -sgn(u-½)·b·ln(1-2|u-½|) is computed on INTEGERS —
+    t = 1-2|u-½| as an exact 48-bit numerator, ln(t) quantized to 1e-4
+    nats (the NB/bigram idiom), scaled by integer 1/ε — so both engines
+    divide the same BIGINT by 1e4 at the very end. Plan: one
+    aggregation over the facts; the ε sweep multiplies the
+    TYPE-cardinality aggregate via a broadcast 3-row dim, never the
+    facts."""
+    e = table(spark, sf_dir, "events")
+    counts = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("true_cnt"))
+    half = _DP_SPACE // 2
+    uq = F.conv(
+        F.substring(F.md5(F.col("event_type")), 1, _DP_BITS_HEX), 16, 10
+    ).cast("long")
+    t_num = F.lit(_DP_SPACE) - 2 * F.abs(uq - F.lit(half))
+    ln_t_q = F.round(F.log(t_num / F.lit(float(_DP_SPACE))) * 10000, 0).cast("long")
+    sgn = F.when(uq >= half, F.lit(1)).otherwise(F.lit(-1))
+    eps_dim = spark.createDataFrame(_DP_EPS, "eps double, inv int")
+    noise_q = -sgn * ln_t_q * F.col("inv")
+    return (
+        counts.withColumn("ln_t_q", ln_t_q)
+        .withColumn("sgn", sgn)
+        .join(F.broadcast(eps_dim))
+        .select(
+            "event_type",
+            "eps",
+            "true_cnt",
+            F.round((F.col("true_cnt") * 10000 + noise_q) / 10000.0, 4).alias(
+                "noisy_cnt"
+            ),
+            F.round(F.abs(noise_q) / 10000.0, 4).alias("abs_err"),
+        )
+        .orderBy("event_type", "eps")
+    )
+
+
+_DP_SQL_UQ = f"CAST(concat('0x', substr(md5(event_type), 1, {_DP_BITS_HEX})) AS BIGINT)"
+
+ORACLE_DP_EVENT_COUNTS = f"""
+WITH counts AS (
+  SELECT event_type, COUNT(*) AS true_cnt FROM events GROUP BY 1
+),
+drawn AS (
+  SELECT event_type, true_cnt,
+         {_DP_SQL_UQ} AS uq
+  FROM counts
+),
+quant AS (
+  SELECT event_type, true_cnt,
+         CAST(ROUND(ln(({_DP_SPACE} - 2 * abs(uq - {_DP_SPACE // 2})) / {float(_DP_SPACE)}) * 10000, 0) AS BIGINT) AS ln_t_q,
+         CASE WHEN uq >= {_DP_SPACE // 2} THEN 1 ELSE -1 END AS sgn
+  FROM drawn
+),
+eps_dim AS (SELECT * FROM (VALUES (0.25, 4), (0.5, 2), (1.0, 1)) AS t(eps, inv))
+SELECT event_type, eps, true_cnt,
+       ROUND((true_cnt * 10000 + (-sgn * ln_t_q * inv)) / 10000.0, 4) AS noisy_cnt,
+       ROUND(abs(-sgn * ln_t_q * inv) / 10000.0, 4) AS abs_err
+FROM quant CROSS JOIN eps_dim
+ORDER BY event_type, eps
+"""
+
+
 QUERIES = {
     "event_type_lift": event_type_lift,
     "user_daily_gapfill": user_daily_gapfill,
@@ -607,6 +692,7 @@ QUERIES = {
     "daily_event_anomalies": daily_event_anomalies,
     "event_value_by_type_salted": event_value_by_type_salted,
     "user_scd2_summary": user_scd2_summary,
+    "dp_event_counts": dp_event_counts,
 }
 
 ORACLE = {
@@ -624,4 +710,5 @@ ORACLE = {
     "purchase_last_click": ORACLE_PURCHASE_LAST_CLICK,
     "event_transitions": ORACLE_EVENT_TRANSITIONS,
     "user_scd2_summary": ORACLE_USER_SCD2_SUMMARY,
+    "dp_event_counts": ORACLE_DP_EVENT_COUNTS,
 }
