@@ -192,3 +192,58 @@ def lang_guess(col: Column | str) -> Column:
     for lang in ("de", "fr", "es"):
         expr = expr.when(F.lower(c).rlike(LANG_MARKERS[lang]), F.lit(lang))
     return expr.otherwise(F.lit("en"))
+
+
+# ------------------------------------------------------------- HTML → text
+
+# Block elements whose CONTENT is boilerplate, dropped whole (the
+# trafilatura-style main-content rule, regex-subset edition); remaining
+# tags are stripped but their content kept. Patterns stay inside the
+# syntax both Java regex (Spark) and RE2 (DuckDB) accept — lazy
+# quantifiers, no backreferences, no lookaround.
+HTML_DROP_BLOCKS = ("head", "style", "script", "nav", "footer", "aside")
+# decode order is load-bearing: named entities first, &amp; LAST —
+# decoding &amp; first would turn '&amp;lt;' into a fresh '&lt;' and
+# corrupt the round-trip (the classic double-decode bug).
+HTML_ENTITIES = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&copy;", "©"),
+    ("&amp;", "&"),
+)
+
+
+def html_main_text(col: Column | str) -> Column:
+    """Main-content extraction from an HTML string — the web-corpus
+    ingestion step (Common-Crawl-style pipelines) between fetch and the
+    quality/dedup stages: drop boilerplate BLOCKS (head/style/script/
+    nav/footer/aside) with their content, strip remaining tags keeping
+    their content, decode the core entities, collapse whitespace.
+
+    Pure JVM regexp/replace chain (whole-stage codegen, no Python) and
+    engine-portable by construction — ``sql_html_main_text`` emits the
+    identical chain as ANSI SQL, which is what lets the census query
+    carry a value-exact DuckDB oracle."""
+    c = F.col(col) if isinstance(col, str) else col
+    for tag in HTML_DROP_BLOCKS:
+        c = F.regexp_replace(c, f"<{tag}[^>]*>.*?</{tag}>", "")
+    c = F.regexp_replace(c, "<[^>]*>", " ")
+    for ent, ch in HTML_ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+def sql_html_main_text(expr: str) -> str:
+    """DuckDB mirror of html_main_text over a SQL expression (RE2
+    accepts the same lazy-quantifier patterns; the 'g' flag replays
+    Spark's replace-all default)."""
+    out = expr
+    for tag in HTML_DROP_BLOCKS:
+        out = f"regexp_replace({out}, '<{tag}[^>]*>.*?</{tag}>', '', 'g')"
+    out = f"regexp_replace({out}, '<[^>]*>', ' ', 'g')"
+    for ent, ch in HTML_ENTITIES:
+        lit = ch.replace("'", "''")
+        out = f"replace({out}, '{ent}', '{lit}')"
+    return f"trim(regexp_replace({out}, '\\s+', ' ', 'g'))"

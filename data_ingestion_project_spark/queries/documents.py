@@ -1668,6 +1668,106 @@ LIMIT 20
 """
 
 
+def html_extract_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-corpus main-content extraction census
+    (functions/text.html_main_text) — the fetch→text step a
+    Common-Crawl-style pipeline runs before the quality/dedup stages.
+    Each document is deterministically wrapped in an HTML page
+    (head/title/style, nav, h1, content paragraphs with entities,
+    footer) and pushed through the extractor; the census certifies,
+    per source: full-content recovery, entity decoding, boilerplate
+    leakage (nav/footer content must NOT survive — expect 0), and the
+    extracted/original length ratio.
+
+    The synthesized wrapper is shared verbatim with the oracle, so the
+    whole extract pipeline — block drops, tag strip, entity decode
+    order, whitespace collapse — is certified value-exactly. Plan: one
+    narrow projection + one aggregation, all JVM regexp/replace chains
+    inside whole-stage codegen; at 100 TB this is the shape you want —
+    per-row string work scales embarrassingly, no shuffle except the
+    source-cardinality final agg. Length ratios are per-doc integer-
+    quantized (×1e4) before summing — no float accumulation."""
+    from data_ingestion_project_spark.functions.text import html_main_text
+
+    d = table(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit("<html><head><title>doc "),
+        F.col("doc_id").cast("string"),
+        F.lit("</title><style>p{color:red}</style></head><body>"),
+        F.lit("<nav>home | about | contact</nav><h1>"),
+        F.upper("lang"),
+        F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit("</p><p>tail &amp; entities &lt;ok&gt;</p>"),
+        F.lit("<footer>&copy; example corp 2026</footer></body></html>"),
+    )
+    e = html_main_text(html)
+    lr_q = F.round(10000.0 * F.length(e) / F.length("text"), 0).cast("long")
+    pct = lambda c: F.round(F.sum(c.cast("long")) * 100.0 / F.count(F.lit(1)), 4)  # noqa: E731
+    return (
+        d.select(
+            "source",
+            e.alias("e"),
+            F.col("text").alias("t"),
+            lr_q.alias("lr_q"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            pct(F.col("e").contains(F.col("t"))).alias("recovered_pct"),
+            pct(F.col("e").contains(F.lit("tail & entities <ok>"))).alias(
+                "entity_ok_pct"
+            ),
+            pct(
+                F.col("e").contains(F.lit("home | about"))
+                | F.col("e").contains(F.lit("example corp"))
+            ).alias("leak_pct"),
+            F.round(F.sum("lr_q") / (10000.0 * F.count(F.lit(1))), 4).alias(
+                "avg_len_ratio"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+_HTML_SQL_WRAP = (
+    "'<html><head><title>doc ' || CAST(doc_id AS VARCHAR) || "
+    "'</title><style>p{color:red}</style></head><body>' || "
+    "'<nav>home | about | contact</nav><h1>' || upper(lang) || '</h1><p>' || "
+    "text || '</p><p>tail &amp; entities &lt;ok&gt;</p>' || "
+    "'<footer>&copy; example corp 2026</footer></body></html>'"
+)
+
+
+def _oracle_html_extract_stats() -> str:
+    from data_ingestion_project_spark.functions.text import sql_html_main_text
+
+    return f"""
+WITH ex AS (
+  SELECT source, text AS t, {sql_html_main_text(_HTML_SQL_WRAP)} AS e
+  FROM documents
+),
+q AS (
+  SELECT source, t, e,
+         CAST(ROUND(10000.0 * length(e) / length(t), 0) AS BIGINT) AS lr_q
+  FROM ex
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       ROUND(SUM(CASE WHEN position(t IN e) > 0 THEN 1 ELSE 0 END) * 100.0 / COUNT(*), 4) AS recovered_pct,
+       ROUND(SUM(CASE WHEN position('tail & entities <ok>' IN e) > 0 THEN 1 ELSE 0 END) * 100.0 / COUNT(*), 4) AS entity_ok_pct,
+       ROUND(SUM(CASE WHEN position('home | about' IN e) > 0
+                        OR position('example corp' IN e) > 0 THEN 1 ELSE 0 END) * 100.0 / COUNT(*), 4) AS leak_pct,
+       ROUND(SUM(lr_q) / (10000.0 * COUNT(*)), 4) AS avg_len_ratio
+FROM q
+GROUP BY source
+ORDER BY source
+"""
+
+
+ORACLE_HTML_EXTRACT_STATS = _oracle_html_extract_stats()
+
+
 # Full SQL replay of the CMS pipeline: salted md5 bucket hash, cell
 # build, min-over-depth point estimates — every value a BIGINT, so the
 # comparison is integer-exact (the same replay posture as the KMV /
@@ -3026,6 +3126,7 @@ QUERIES = {
     "top_words": top_words,
     "approx_top_words": approx_top_words,
     "cms_word_freq": cms_word_freq,
+    "html_extract_stats": html_extract_stats,
     "nb_lang_confusion": nb_lang_confusion,
     "substring_dup_stats": substring_dup_stats,
     "bpe_learned_merges": bpe_learned_merges,
@@ -3099,6 +3200,7 @@ ORACLE = {
     "top_words": ORACLE_TOP_WORDS,
     "approx_top_words": ORACLE_APPROX_TOP_WORDS,
     "cms_word_freq": ORACLE_CMS_WORD_FREQ,
+    "html_extract_stats": ORACLE_HTML_EXTRACT_STATS,
     "nb_lang_confusion": ORACLE_NB_LANG_CONFUSION,
     "substring_dup_stats": ORACLE_SUBSTRING_DUP_STATS,
     "similar_supplier_names": ORACLE_SIMILAR_SUPPLIER_NAMES,

@@ -711,6 +711,29 @@ def test_misra_gries_bounds_and_presence(spark):
             assert item in got, (item, true_n, max_err)
 
 
+def test_html_main_text_extraction_rules(spark):
+    """Main-content extraction: boilerplate BLOCKS drop with content,
+    other tags strip keeping content, entity decode order cannot
+    double-decode ('&amp;lt;' must yield literal '&lt;', not '<'),
+    whitespace collapses."""
+    from data_ingestion_project_spark.functions.text import html_main_text
+
+    cases = [
+        # (html, expected)
+        ("<p>hello <b>world</b></p>", "hello world"),
+        ("<nav>menu</nav><p>body</p><footer>foot</footer>", "body"),
+        ("<style>p{x}</style><script>var a=1</script>text", "text"),
+        ("a &amp; b &lt;c&gt; &quot;d&quot; &#39;e&#39;", "a & b <c> \"d\" 'e'"),
+        ("literal &amp;lt; stays", "literal &lt; stays"),
+        ("<div   class='x'>spaced</div>   out", "spaced out"),
+        ("<aside some-attr>sidebar</aside>kept", "kept"),
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in cases], "html string")
+    got = [r["e"] for r in df.select(html_main_text("html").alias("e")).collect()]
+    for (html, want), g in zip(cases, got):
+        assert g == want, (html, g, want)
+
+
 def test_cms_upper_bound_error_and_merge_identity(spark):
     """Count-Min guarantees vs exact counts, with a sketch small enough
     (4×64 cells vs ~500 distinct items) to force collisions: (a) every
