@@ -1161,6 +1161,138 @@ def similar_supplier_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def entity_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution end-to-end — blocking, matching, clustering,
+    survivorship: candidate pairs via an exact BLOCKING-KEY equi-join
+    (the record's digit string — the "match exactly on the strong key,
+    fuzzily on the rest" rule; on digit-bearing names a bare
+    edit-distance rule is degenerate, every record chains to its
+    neighbor through single-digit steps), a levenshtein ≤ 1 rescore
+    within blocks, transitive match closure via min-label connected
+    components, then one GOLDEN RECORD per entity cluster by a
+    deterministic survivorship rule (min_by on the key). Output: the
+    ER census by cluster size, with a sample canonical name as the
+    survivorship witness.
+
+    Scale: blocking is ONE equi-join shuffle on the key with tiny
+    blocks (the pairwise rescore is per-block quadratic, bounded by
+    the block-size cap a production run enforces), CC is O(diameter)
+    rounds on the match-pair-sized edge list, survivorship one
+    aggregation. The oracle replays blocking, rescore, closure
+    (recursive CTE), and survivorship (arg_min), so the driver
+    certifies the whole ER semantics value-exactly.
+
+    Supplier names are synthetic-unique (zero natural typos), so the
+    dirty records are PLANTED in-query, both engines identically (the
+    repo's planted-dup idiom): every 10th supplier gets a one-char typo
+    variant, every 20th a SECOND typo at a different position — the
+    two variants differ from each other by distance 2, so only
+    TRANSITIVE closure through the original merges them: the planted
+    3-clusters certify closure, not just pairwise matching."""
+    from data_ingestion_project_spark.operators.graph import connected_components
+
+    base = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    typo = lambda pos: F.concat(  # noqa: E731 — same-length substitution
+        F.expr(f"substring(s_name, 1, {pos - 1})"),
+        F.lit("~"),
+        F.expr(f"substring(s_name, {pos + 1})"),
+    )
+    v1 = base.filter(F.col("s_suppkey") % 10 == 0).select(
+        (F.col("s_suppkey") + 1_000_000).alias("s_suppkey"), typo(3).alias("s_name")
+    )
+    v2 = base.filter(F.col("s_suppkey") % 20 == 0).select(
+        (F.col("s_suppkey") + 2_000_000).alias("s_suppkey"), typo(6).alias("s_name")
+    )
+    s = base.unionByName(v1).unionByName(v2)
+    keyed = s.withColumn("bkey", F.regexp_replace("s_name", "[^0-9]", ""))
+    a, b = keyed.alias("a"), keyed.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.s_suppkey") < F.col("b.s_suppkey")),
+        )
+        .filter(F.levenshtein(F.col("a.s_name"), F.col("b.s_name")) <= 1)
+        .select(
+            F.col("a.s_suppkey").alias("id_a"), F.col("b.s_suppkey").alias("id_b")
+        )
+    )
+    comp = connected_components(edges, src="id_a", dst="id_b").withColumnRenamed(
+        "node", "s_suppkey"
+    )
+    clustered = s.join(comp, "s_suppkey", "left").select(
+        "s_suppkey", "s_name", F.coalesce("comp", "s_suppkey").alias("cluster")
+    )
+    per = clustered.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("cluster_size"),
+        F.count_distinct("s_name").alias("n_names"),
+        F.min_by("s_name", "s_suppkey").alias("canonical_name"),
+    )
+    return (
+        per.groupBy("cluster_size")
+        .agg(
+            F.count(F.lit(1)).alias("n_clusters"),
+            F.round(F.sum("n_names") / F.count(F.lit(1)), 4).alias(
+                "avg_name_variants"
+            ),
+            F.min("canonical_name").alias("sample_canonical"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
+ORACLE_ENTITY_GOLDEN_RECORDS = """
+WITH RECURSIVE ents AS (
+  SELECT s_suppkey, s_name FROM supplier
+  UNION ALL
+  SELECT s_suppkey + 1000000,
+         substr(s_name, 1, 2) || '~' || substr(s_name, 4)
+  FROM supplier WHERE s_suppkey % 10 = 0
+  UNION ALL
+  SELECT s_suppkey + 2000000,
+         substr(s_name, 1, 5) || '~' || substr(s_name, 7)
+  FROM supplier WHERE s_suppkey % 20 = 0
+),
+keyed AS (
+  SELECT s_suppkey, s_name,
+         regexp_replace(s_name, '[^0-9]', '', 'g') AS bkey
+  FROM ents
+),
+pairs AS (
+  SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b
+  FROM keyed a
+  JOIN keyed b ON a.bkey = b.bkey
+             AND a.s_suppkey < b.s_suppkey
+  WHERE levenshtein(a.s_name, b.s_name) <= 1
+),
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION ALL
+  SELECT id_b AS s, id_a AS d FROM pairs
+),
+walk(n, lbl) AS (
+  SELECT DISTINCT s, s FROM edges
+  UNION
+  SELECT e.d, w.lbl FROM walk w JOIN edges e ON e.s = w.n
+),
+comp AS (SELECT n, MIN(lbl) AS c FROM walk GROUP BY n),
+clustered AS (
+  SELECT s.s_suppkey, s.s_name, COALESCE(comp.c, s.s_suppkey) AS cluster
+  FROM ents s LEFT JOIN comp ON comp.n = s.s_suppkey
+),
+per AS (
+  SELECT cluster, COUNT(*) AS cluster_size,
+         COUNT(DISTINCT s_name) AS n_names,
+         arg_min(s_name, s_suppkey) AS canonical_name
+  FROM clustered GROUP BY cluster
+)
+SELECT cluster_size, COUNT(*) AS n_clusters,
+       ROUND(SUM(n_names) * 1.0 / COUNT(*), 4) AS avg_name_variants,
+       MIN(canonical_name) AS sample_canonical
+FROM per GROUP BY cluster_size ORDER BY cluster_size
+"""
+
+
 ORACLE_SIMILAR_SUPPLIER_NAMES = """
 SELECT levenshtein(a.s_name, b.s_name) AS dist, COUNT(*) AS n_pairs
 FROM supplier a
@@ -3127,6 +3259,7 @@ QUERIES = {
     "approx_top_words": approx_top_words,
     "cms_word_freq": cms_word_freq,
     "html_extract_stats": html_extract_stats,
+    "entity_golden_records": entity_golden_records,
     "nb_lang_confusion": nb_lang_confusion,
     "substring_dup_stats": substring_dup_stats,
     "bpe_learned_merges": bpe_learned_merges,
@@ -3201,6 +3334,7 @@ ORACLE = {
     "approx_top_words": ORACLE_APPROX_TOP_WORDS,
     "cms_word_freq": ORACLE_CMS_WORD_FREQ,
     "html_extract_stats": ORACLE_HTML_EXTRACT_STATS,
+    "entity_golden_records": ORACLE_ENTITY_GOLDEN_RECORDS,
     "nb_lang_confusion": ORACLE_NB_LANG_CONFUSION,
     "substring_dup_stats": ORACLE_SUBSTRING_DUP_STATS,
     "similar_supplier_names": ORACLE_SIMILAR_SUPPLIER_NAMES,

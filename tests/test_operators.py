@@ -1431,3 +1431,30 @@ def test_bigram_model_separates_templated_from_salad(spark):
     assert by_bucket[low] == 2    # the two templated docs
     assert by_bucket[high] >= 4   # the salads
     assert high - low >= 2        # separated by >= 2 whole nats
+
+
+def test_entity_golden_records_transitive_closure(spark):
+    """ER census semantics: the two planted typo variants of a %20
+    supplier differ from EACH OTHER by edit distance 2, so a pairwise
+    rule alone never merges them — only transitive closure through the
+    original yields the size-3 cluster.  Also pins survivorship: the
+    canonical name is the min-suppkey record's (the original, since
+    variants get +1M/+2M ids), and blocking: records whose digit keys
+    differ never pair, so every base supplier without a planted variant
+    stays a singleton."""
+    from data_ingestion_project_spark.queries.documents import entity_golden_records
+
+    out = {r["cluster_size"]: r for r in entity_golden_records(spark, "/root/testdata/sf0.001").collect()}
+    base = spark.read.parquet("/root/testdata/sf0.001/supplier.parquet")
+    n = base.count()
+    n20 = base.filter("s_suppkey % 20 = 0").count()
+    n10 = base.filter("s_suppkey % 10 = 0").count() - n20
+    assert out[1]["n_clusters"] == n - n10 - n20          # untouched singletons
+    if n10:
+        assert out[2]["n_clusters"] == n10                # original + one variant
+        assert out[2]["avg_name_variants"] == 2.0
+    if n20:
+        assert out[3]["n_clusters"] == n20                # closure through the original
+        assert out[3]["avg_name_variants"] == 3.0
+        assert out[3]["sample_canonical"].startswith("Supplier#")
+        assert "~" not in out[3]["sample_canonical"]      # survivorship picks the original
