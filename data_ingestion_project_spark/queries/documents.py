@@ -1293,6 +1293,92 @@ FROM per GROUP BY cluster_size ORDER BY cluster_size
 """
 
 
+def unicode_clean_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode-hygiene census — the scrub-then-NFC cleaning step every
+    web-scale text pipeline runs before dedup/tokenization: drop
+    zero-width format characters (ZWSP/ZWNJ/ZWJ/BOM — JVM
+    ``regexp_replace``, codegen), then NFC-normalize composition forms
+    (``e`` + COMBINING ACUTE → precomposed ``é`` — the one Arrow
+    pandas-UDF step, since Spark has no NFC builtin).  Reports, per
+    language: docs touched by each stage and code points removed.
+
+    The synthetic corpus is pure ASCII (already NFC, no format chars),
+    so dirt is PLANTED in-query, both engines identically (the repo's
+    planted-fixture idiom): every 7th doc gets its ``e``s decomposed
+    into ``e`` + U+0301; every 11th is wrapped in ZWSP/ZWNJ.  Docs at
+    lcm positions exercise both stages; all planted chars are BMP so
+    Spark's UTF-16 length and DuckDB's code-point length agree.
+
+    Scale: one projection pass (scrub is codegen; NFC is a single
+    ArrowEvalPython over the scrubbed column) + one partial-agg shuffle
+    on ``lang``.  All-integer output — no float rounding in the gate.
+    """
+    from data_ingestion_project_spark.functions.unicodefn import (
+        nfc_normalize,
+        scrub_zero_width,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    t1 = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.replace(F.col("text"), F.lit("e"), F.lit("é")),
+    ).otherwise(F.col("text"))
+    t2 = F.when(
+        F.col("doc_id") % 11 == 0,
+        F.concat(F.lit("​"), t1, F.lit("‌")),
+    ).otherwise(t1)
+    staged = (
+        d.select("lang", t2.alias("raw"))
+        .withColumn("scrubbed", scrub_zero_width(F.col("raw")))
+        .withColumn("canon", nfc_normalize(F.col("scrubbed")))
+    )
+    return (
+        staged.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                (F.length("raw") > F.length("scrubbed")).cast("long")
+            ).alias("zw_docs"),
+            F.sum(F.length("raw") - F.length("scrubbed")).alias("zw_chars_removed"),
+            F.sum(
+                (F.col("scrubbed") != F.col("canon")).cast("long")
+            ).alias("nfc_changed_docs"),
+            F.sum(F.length("scrubbed") - F.length("canon")).alias("nfc_cp_delta"),
+        )
+        .orderBy("lang")
+    )
+
+
+# chr(769)=U+0301 combining acute; chr(8203)/chr(8204)=ZWSP/ZWNJ;
+# chr(8205)/chr(65279)=ZWJ/BOM (scrub class only).
+ORACLE_UNICODE_CLEAN_STATS = """
+WITH planted AS (
+  SELECT lang,
+         CASE WHEN doc_id % 11 = 0 THEN chr(8203) || t1 || chr(8204) ELSE t1 END AS raw
+  FROM (
+    SELECT doc_id, lang,
+           CASE WHEN doc_id % 7 = 0 THEN replace(text, 'e', 'e' || chr(769)) ELSE text END AS t1
+    FROM documents
+  )
+),
+staged AS (
+  SELECT lang, raw,
+         regexp_replace(raw, '[' || chr(8203) || chr(8204) || chr(8205) || chr(65279) || ']', '', 'g') AS scrubbed
+  FROM planted
+),
+normed AS (
+  SELECT lang, raw, scrubbed, nfc_normalize(scrubbed) AS canon FROM staged
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN length(raw) > length(scrubbed) THEN 1 ELSE 0 END) AS BIGINT) AS zw_docs,
+       CAST(SUM(length(raw) - length(scrubbed)) AS BIGINT) AS zw_chars_removed,
+       CAST(SUM(CASE WHEN scrubbed <> canon THEN 1 ELSE 0 END) AS BIGINT) AS nfc_changed_docs,
+       CAST(SUM(length(scrubbed) - length(canon)) AS BIGINT) AS nfc_cp_delta
+FROM normed GROUP BY lang ORDER BY lang
+"""
+
+
 ORACLE_SIMILAR_SUPPLIER_NAMES = """
 SELECT levenshtein(a.s_name, b.s_name) AS dist, COUNT(*) AS n_pairs
 FROM supplier a
@@ -3300,6 +3386,7 @@ QUERIES = {
     "bpe_real_token_stats": bpe_real_token_stats,
     "contrastive_training_pairs": contrastive_training_pairs,
     "source_data_cards": source_data_cards,
+    "unicode_clean_stats": unicode_clean_stats,
 }
 
 ORACLE = {
@@ -3349,5 +3436,6 @@ ORACLE = {
     "chunk_dup_stats": ORACLE_CHUNK_DUP_STATS,
     "contrastive_training_pairs": ORACLE_CONTRASTIVE_TRAINING_PAIRS,
     "source_data_cards": ORACLE_SOURCE_DATA_CARDS,
+    "unicode_clean_stats": ORACLE_UNICODE_CLEAN_STATS,
     # minhash_near_dups / simhash_near_dups: rows-only by design
 }
