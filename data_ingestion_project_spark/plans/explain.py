@@ -59,6 +59,41 @@ def plan_census(df: DataFrame) -> dict[str, object]:
     }
 
 
+def unbounded_global_windows(df: DataFrame) -> list[str]:
+    """Window nodes in the optimized logical plan with an EMPTY
+    partition spec and no Limit anywhere beneath them — the
+    global-window anti-pattern: every input row moves through ONE
+    task, regardless of cluster size. A global window directly over a
+    ``GlobalLimit`` (e.g. ranking a top-50 frame that TakeOrdered
+    already bounded) is fine and excluded. Returns the offending
+    nodes' simpleStrings (empty list == clean plan)."""
+    plan = df._jdf.queryExecution().optimizedPlan()
+
+    def children(node):
+        seq = node.children()
+        return [seq.apply(i) for i in range(seq.size())]
+
+    def has_limit_below(node) -> bool:
+        if node.getClass().getSimpleName() in ("GlobalLimit", "LocalLimit"):
+            return True
+        return any(has_limit_below(c) for c in children(node))
+
+    bad: list[str] = []
+
+    def walk(node) -> None:
+        if (
+            node.getClass().getSimpleName() == "Window"
+            and node.partitionSpec().isEmpty()
+            and not has_limit_below(node)
+        ):
+            bad.append(node.simpleString(120))
+        for c in children(node):
+            walk(c)
+
+    walk(plan)
+    return bad
+
+
 def scan_info(df: DataFrame) -> list[dict[str, str]]:
     """Per-scan PushedFilters and ReadSchema (pushdown/pruning check)."""
     plan = formatted_plan(df)

@@ -24,66 +24,68 @@ from data_ingestion_project_spark.queries import advanced, documents, embeddings
 _MODULES = (tpch, tpch2, events, documents, embeddings, advanced)
 
 # The driver's correctness gate certifies the FIRST 50 entries of
-# all_queries() in dict order.  r02+r03+r04 jointly gave every one of
-# the 133 declared queries a driver-issued row, but 50 of them were
-# last certified in r02 — two build-rounds of refactors ago (decimal
-# micro-unit switch, asset materialization).  Per the round-4 verdict
-# ask #1, this round-5 window is EXACTLY those 50 r02-era names
-# (r02 − r03 − r04, alphabetical) so CORRECTNESS_r05 refreshes the
-# stalest certifications.  Queries added in round 5 follow the window
-# (locally value-verified via tools/check_oracle.py; they lead the
-# r06 window).  Names not listed here keep their module order.
+# all_queries() in dict order.  Per the round-5 verdict ask #2, this
+# round-6 window is the 18 queries with NO driver certification of
+# their current form — the 15 round-5 additions (never certified) plus
+# the three ANN recall queries rewritten rows-only→oracle AFTER their
+# r04 certification — followed by 32 of the 33 names last certified in
+# r03 (alphabetical; ``top_similar_pairs``, the judge-sanctioned
+# quadratic exact baseline, is deferred to r07 to keep the window at
+# 50).  Names not listed here keep their module order.
 _DRIVER_PRIORITY = (
-    "big_orders",
-    "brand_band_revenue",
-    "brand_price_stats",
-    "cheapest_regional_supplier",
-    "corpus_mixture_plan",
-    "cube_revenue",
-    "customer_order_distribution",
-    "customers_in_both_statuses",
-    "customers_without_orders",
-    "daily_active_users",
-    "daily_event_anomalies",
-    "doc_repetition_stats",
-    "dominant_part_suppliers",
-    "event_transitions",
-    "event_value_by_type_salted",
-    "events_one_day_by_type",
-    "excess_returned_parts",
-    "hourly_event_stats",
-    "lang_stats",
-    "large_volume_customers",
-    "local_supplier_volume",
-    "monthly_revenue_growth",
-    "monthly_revenue_running",
-    "nation_market_share",
-    "nation_volume_pairs",
-    "order_price_histogram",
-    "order_priority_discount",
-    "price_quantity_corr",
-    "pricing_summary",
-    "product_type_profit",
-    "promo_revenue",
-    "props_key_stats",
-    "props_variant_stats",
-    "purchase_last_click",
-    "returned_items",
-    "revenue_forecast",
-    "rollup_revenue",
-    "segment_acctbal",
-    "shipping_priority",
-    "similar_supplier_names",
-    "sole_return_suppliers",
-    "supplier_part_breadth",
-    "top_orders_per_customer",
-    "top_purchasers",
-    "top_revenue_supplier",
-    "top_suppliers",
-    "top_words",
-    "unigram_logprob_quality",
-    "user_daily_gapfill",
-    "user_sessions",
+    # -- never driver-certified (round-5 additions) --
+    "bigram_logprob_buckets",
+    "bm25_topk",
+    "cms_word_freq",
+    "dp_event_counts",
+    "entity_golden_records",
+    "html_extract_stats",
+    "hybrid_rrf_search",
+    "k_anonymity_audit",
+    "kmv_dau_rollup",
+    "kmv_weekly_retention",
+    "modality_agreement_scale",
+    "png_decode_stats",
+    "quantile_sketch_rollup_xx",
+    "source_overlap_matrix",
+    "unicode_clean_stats",
+    # -- rewritten (rows-only → value-exact oracle) after their r04 cert --
+    "ivf_recall",
+    "lsh_recall",
+    "pq_recall",
+    # -- stalest prior certifications (r03-era) --
+    "acctbal_deciles",
+    "acctbal_deciles_scalable",
+    "chunk_stats",
+    "customer_name_digits",
+    "doc_quality",
+    "exact_duplicate_pairs",
+    "fingerprint_summary",
+    "idle_suppliers",
+    "label_vector_stats",
+    "lang_id_confusion",
+    "near_dup_jaccard_top",
+    "order_price_quantiles",
+    "orders_quality_report",
+    "parts_above_brand_average",
+    "pii_scrub_stats",
+    "purchases_near_errors",
+    "quality_filter_funnel",
+    "retention_cohorts",
+    "returnflag_pivot",
+    "returnflag_unpivot",
+    "rolling_30d_top_spenders",
+    "segment_priority_listing",
+    "segment_year_grouping_sets",
+    "shipping_delay_histogram",
+    "signup_purchase_funnel",
+    "small_quantity_revenue",
+    "stratified_sample_rates",
+    "supplier_hierarchy_rollup",
+    "tfidf_top_terms",
+    "top2_orders_lateral",
+    "user_scd2_summary",
+    "wealthy_inactive_customers",
 )
 
 

@@ -451,10 +451,18 @@ def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.sum("score_i").alias("total_i"))
     )
-    wl = Window.orderBy(F.col("total_i").desc(), F.col("doc_id").asc())
+    # Top-50 FIRST via orderBy().limit() (TakeOrderedAndProject — a
+    # per-partition heap fold, no corpus-wide exchange), THEN rank the
+    # 50-row frame with a window. The r5 plan ranked the full corpus
+    # with an unpartitioned window and filtered after — every scored
+    # doc through one task at 100×. Ordering is total (doc_id
+    # tie-break) so limit-then-rank == rank-then-filter.
+    lex_order = (F.col("total_i").desc(), F.col("doc_id").asc())
+    wl = Window.orderBy(*lex_order)
     lex = (
-        totals.withColumn("lex_rank", F.row_number().over(wl))
-        .filter(F.col("lex_rank") <= 50)
+        totals.orderBy(*lex_order)
+        .limit(50)
+        .withColumn("lex_rank", F.row_number().over(wl))
         .select("doc_id", "lex_rank")
     )
 
@@ -464,11 +472,14 @@ def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("doc_id"),
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )
-    wv = Window.orderBy(F.col("qcos").desc(), F.col("doc_id").asc())
+    # Same limit-then-rank shape as the lexical side (see above).
+    dense_order = (F.col("qcos").desc(), F.col("doc_id").asc())
+    wv = Window.orderBy(*dense_order)
     dense = (
         corpus.withColumn("qcos", cosine_similarity("v", qlit))
+        .orderBy(*dense_order)
+        .limit(50)
         .withColumn("vec_rank", F.row_number().over(wv))
-        .filter(F.col("vec_rank") <= 50)
         .select("doc_id", "vec_rank")
     )
     fused = (
@@ -953,14 +964,12 @@ def kmv_dau_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     day_rows = per_day.select("day", est.cast("long").alias("est_users"))
     # TOTAL: merge = bottom-k of the union of the per-day sketches
-    # (distinct hashes already union'd by the global distinct)
-    wg = Window.orderBy("hv")
-    gbottom = (
-        hashes.select("hv")
-        .distinct()
-        .withColumn("rn", F.row_number().over(wg))
-        .filter(F.col("rn") <= _KMV_K)
-    )
+    # (distinct hashes already union'd by the global distinct).
+    # orderBy().limit(k) compiles to TakeOrderedAndProject — per-
+    # partition bottom-k folded on the driver — NOT a corpus-wide
+    # single-partition window (the r5 plan had Window.orderBy("hv")
+    # here: every distinct user hash through one task at 100×).
+    gbottom = hashes.select("hv").distinct().orderBy("hv").limit(_KMV_K)
     gtot = gbottom.agg(F.count(F.lit(1)).alias("n"), F.max("hv").alias("kth"))
     total = gtot.select(
         F.lit("TOTAL").alias("day"),
