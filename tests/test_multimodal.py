@@ -230,3 +230,149 @@ def test_real_decode_dispatches_png():
 
     out = real_decode(encode_png(4, 3, bytes(36), color_type=2))
     assert out["format"] == "png" and (out["width"], out["height"]) == (4, 3)
+
+
+# ---------------------------------------------------------------- JPEG
+# (round-5 verdict ask #1: the codec existed but was wired/tested by
+# nothing; these tests + the jpeg_decode_stats oracle query close it)
+
+
+def test_jpeg_idct_inverts_fdct():
+    """IDCT(FDCT(x)) == x to float tolerance on a pseudo-random block —
+    the regression pin for the einsum transpose bug the first wiring
+    run caught (the decoder was re-applying the FORWARD transform, so
+    a DC-only block decoded to a cosine dome instead of a flat field)."""
+    import numpy as np
+
+    from data_ingestion_project_spark.operators.jpegcodec import fdct_blocks, idct_blocks
+
+    x = np.array([[(i * 31 + j * 17 + i * j) % 256 for j in range(8)] for i in range(8)],
+                 dtype=np.float64).reshape(1, 8, 8) - 128.0
+    assert np.abs(idct_blocks(fdct_blocks(x)) - x).max() < 1e-9
+    # DC-only block must reconstruct FLAT
+    dc = np.zeros((1, 8, 8))
+    dc[0, 0, 0] = -224.0
+    out = idct_blocks(dc)
+    assert np.ptp(out) == 0.0 and abs(out[0, 0, 0] - (-28.0)) < 1e-12
+
+
+def test_jpeg_flat_closed_form_exact_all_modes():
+    """Flat-color images are arithmetically exact through the whole
+    lossy pipeline at quality 50: every decoded sample equals
+    min(255, 128 + 2*sign(s)*floor((|s|+1)/2)), s = v-128 — for gray,
+    4:4:4 and 4:2:0, sub-block and multi-MCU dims, with and without
+    restart markers. This is the invariant the jpeg_decode_stats
+    oracle certifies corpus-wide."""
+    from data_ingestion_project_spark.operators.jpegcodec import (
+        decode_jpeg_pixels,
+        encode_jpeg,
+    )
+
+    def closed(v):
+        s = v - 128
+        sign = (s > 0) - (s < 0)
+        return min(255, 128 + 2 * sign * ((abs(s) + 1) // 2))
+
+    for v in (0, 1, 17, 127, 128, 129, 200, 254, 255):
+        for mode, ncomp in (("gray", 1), ("444", 3), ("420", 3)):
+            for w, h, rst in ((3, 3, 0), (8, 8, 1), (9, 7, 2), (17, 19, 3)):
+                px = bytes([v]) * (w * h * ncomp)
+                W, H, NC, out = decode_jpeg_pixels(
+                    encode_jpeg(w, h, px, mode=mode, quality=50, restart_interval=rst)
+                )
+                assert (W, H, NC) == (w, h, ncomp)
+                assert set(out) == {closed(v)}, (v, mode, w, h, rst)
+
+
+def test_jpeg_lossy_error_bounded_and_shrinks_with_quality():
+    """Non-flat content round-trips within DCT-quantization error
+    bounds, and the bound tightens as quality rises — gray, 4:4:4,
+    4:2:0."""
+    import numpy as np
+
+    from data_ingestion_project_spark.operators.jpegcodec import (
+        decode_jpeg_pixels,
+        encode_jpeg,
+    )
+
+    w, h = 24, 17
+    for mode, ncomp in (("gray", 1), ("444", 3), ("420", 3)):
+        # smooth (non-wrapping) plane: DCT-compressible content whose
+        # residual is pure quantization error, not sawtooth ringing
+        px = bytes(
+            20 + x * 4 + y * 5 + c * 3
+            for y in range(h)
+            for x in range(w)
+            for c in range(ncomp)
+        )
+        errs = {}
+        for q in (50, 90):
+            W, H, NC, out = decode_jpeg_pixels(encode_jpeg(w, h, px, mode=mode, quality=q))
+            assert (W, H, NC) == (w, h, ncomp)
+            a = np.frombuffer(out, dtype=np.uint8).astype(int)
+            b = np.frombuffer(px, dtype=np.uint8).astype(int)
+            errs[q] = np.abs(a - b)
+        assert errs[50].max() <= 60 and errs[90].max() <= 25
+        assert errs[90].mean() < errs[50].mean()
+
+
+def test_jpeg_restart_markers_lossless_reencoding():
+    """Restart intervals change the entropy segmentation, never the
+    decoded pixels: the same non-flat image encoded with and without
+    restarts must decode byte-identically (a decoder that misses a DC
+    predictor reset breaks every MCU after the first marker)."""
+    from data_ingestion_project_spark.operators.jpegcodec import (
+        decode_jpeg_pixels,
+        encode_jpeg,
+    )
+
+    w, h = 33, 18  # 5x3 luma MCUs in gray, 3x2 in 420
+    for mode, ncomp in (("gray", 1), ("420", 3)):
+        px = bytes((x * 11 + y * 7 + c) % 256 for y in range(h) for x in range(w) for c in range(ncomp))
+        base = decode_jpeg_pixels(encode_jpeg(w, h, px, mode=mode, quality=75))
+        for rst in (1, 2, 4):
+            got = decode_jpeg_pixels(
+                encode_jpeg(w, h, px, mode=mode, quality=75, restart_interval=rst)
+            )
+            assert got == base, (mode, rst)
+
+
+def test_jpeg_rejects_malformed():
+    import struct
+
+    import pytest
+
+    from data_ingestion_project_spark.operators.jpegcodec import (
+        decode_jpeg_pixels,
+        encode_jpeg,
+    )
+
+    good = encode_jpeg(5, 5, bytes([99]) * 75, mode="444")
+    with pytest.raises(ValueError, match="not a jpeg"):
+        decode_jpeg_pixels(b"\x89PNG" + good)
+    with pytest.raises(ValueError, match="truncated"):
+        decode_jpeg_pixels(good[:20])
+    # flip SOF0 to SOF2: progressive must be rejected, never guessed
+    prog = bytearray(good)
+    idx = prog.find(b"\xff\xc0")
+    prog[idx + 1] = 0xC2
+    with pytest.raises(ValueError, match="progressive"):
+        decode_jpeg_pixels(bytes(prog))
+    with pytest.raises(ValueError, match="quality"):
+        encode_jpeg(2, 2, bytes(4), mode="gray", quality=0)
+    with pytest.raises(ValueError, match="expected"):
+        encode_jpeg(3, 3, bytes(5), mode="gray")  # wrong raster size
+
+
+def test_real_decode_dispatches_jpeg():
+    """The multimodal magic-byte dispatch routes ff d8 payloads to the
+    real JPEG decoder and returns the shared features contract."""
+    from data_ingestion_project_spark.operators.jpegcodec import encode_jpeg
+    from data_ingestion_project_spark.operators.multimodal import real_decode
+
+    payload = encode_jpeg(5, 3, bytes([200]) * 45, mode="444", quality=50)
+    feats = real_decode(payload)
+    assert feats["format"] == "jpeg"
+    assert (feats["width"], feats["height"]) == (5, 3)
+    assert feats["n_samples"] == 45
+    assert feats["feat_mean"] == 200  # closed form: s=72 -> 128 + 2*36

@@ -461,3 +461,16 @@ def test_no_unbounded_global_windows_anywhere(spark):
         if hits and name not in _GLOBAL_WINDOW_SANCTIONED:
             offenders[name] = hits[0][:120]
     assert not offenders, f"unbounded global windows: {offenders}"
+
+
+def test_jpeg_decode_arrow_batched_single_pass(spark):
+    """The JPEG round-trip runs as Arrow mapInPandas stages (the codec
+    is the ONLY Python) over a doc_id-projected scan; no join of any
+    kind — the aggregation is the sole exchange consumer."""
+    df = all_queries()["jpeg_decode_stats"](spark, SF)
+    c = plan_census(df)
+    assert c["has_python_udf"]  # the codec seam — deliberately Python
+    assert (
+        c["n_sortmerge_joins"] == c["n_shuffled_hash_joins"]
+        == c["n_broadcast_joins"] == c["n_cartesian"] == 0
+    )
