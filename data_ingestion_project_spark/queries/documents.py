@@ -1265,13 +1265,18 @@ def entity_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     ER census by cluster size, with a sample canonical name as the
     survivorship witness.
 
-    Scale: blocking is ONE equi-join shuffle on the key with tiny
-    blocks (the pairwise rescore is per-block quadratic, bounded by
-    the block-size cap a production run enforces), CC is O(diameter)
-    rounds on the match-pair-sized edge list, survivorship one
-    aggregation. The oracle replays blocking, rescore, closure
-    (recursive CTE), and survivorship (arg_min), so the driver
-    certifies the whole ER semantics value-exactly.
+    Scale: blocking is ONE equi-join shuffle on the key, with the
+    hot-key valve ENFORCED (operators/er.blocking_pairs
+    max_block_size=16 — blocks exceeding the cap are refused before
+    the quadratic self-join; on this corpus every block is ≤ 3 rows —
+    original + two planted variants share a digit string — so the
+    oracle, which replays the uncapped join, matches value-exactly;
+    the cap's planted-hot-key behavior is property-tested in
+    tests/test_operators.py). CC is O(diameter) rounds on the
+    match-pair-sized edge list, survivorship one aggregation. The
+    oracle replays blocking, rescore, closure (recursive CTE), and
+    survivorship (arg_min), so the driver certifies the whole ER
+    semantics value-exactly.
 
     Supplier names are synthetic-unique (zero natural typos), so the
     dirty records are PLANTED in-query, both engines identically (the
@@ -1280,7 +1285,11 @@ def entity_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     two variants differ from each other by distance 2, so only
     TRANSITIVE closure through the original merges them: the planted
     3-clusters certify closure, not just pairwise matching."""
-    from data_ingestion_project_spark.operators.graph import connected_components
+    from data_ingestion_project_spark.operators.er import (
+        blocking_pairs,
+        match_pairs,
+        resolve_clusters,
+    )
 
     base = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     typo = lambda pos: F.concat(  # noqa: E731 — same-length substitution
@@ -1296,24 +1305,9 @@ def entity_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s = base.unionByName(v1).unionByName(v2)
     keyed = s.withColumn("bkey", F.regexp_replace("s_name", "[^0-9]", ""))
-    a, b = keyed.alias("a"), keyed.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.bkey") == F.col("b.bkey"))
-            & (F.col("a.s_suppkey") < F.col("b.s_suppkey")),
-        )
-        .filter(F.levenshtein(F.col("a.s_name"), F.col("b.s_name")) <= 1)
-        .select(
-            F.col("a.s_suppkey").alias("id_a"), F.col("b.s_suppkey").alias("id_b")
-        )
-    )
-    comp = connected_components(edges, src="id_a", dst="id_b").withColumnRenamed(
-        "node", "s_suppkey"
-    )
-    clustered = s.join(comp, "s_suppkey", "left").select(
-        "s_suppkey", "s_name", F.coalesce("comp", "s_suppkey").alias("cluster")
-    )
+    cands = blocking_pairs(keyed, id_col="s_suppkey", block_col="bkey", max_block_size=16)
+    edges = match_pairs(cands, keyed, id_col="s_suppkey", text_col="s_name", max_distance=1)
+    clustered = resolve_clusters(s, edges, id_col="s_suppkey")
     per = clustered.groupBy("cluster").agg(
         F.count(F.lit(1)).alias("cluster_size"),
         F.count_distinct("s_name").alias("n_names"),

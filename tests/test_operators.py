@@ -1458,3 +1458,48 @@ def test_entity_golden_records_transitive_closure(spark):
         assert out[3]["avg_name_variants"] == 3.0
         assert out[3]["sample_canonical"].startswith("Supplier#")
         assert "~" not in out[3]["sample_canonical"]      # survivorship picks the original
+
+
+def test_er_block_cap_refuses_hot_key_keeps_small_blocks(spark):
+    """The blocking valve (operators/er.py, round-5 verdict ask #5):
+    a planted hot blocking key (everyone shares it) contributes ZERO
+    candidate pairs when it exceeds max_block_size, while small blocks
+    keep full within-block recall — and golden-record survivorship is
+    deterministic min-by."""
+    from data_ingestion_project_spark.operators.er import (
+        blocking_pairs,
+        golden_records,
+        match_pairs,
+        resolve_clusters,
+    )
+
+    rows = (
+        # hot block: 40 records share blocking key 'HOT' (a degenerate
+        # key — quadratic 780 pairs if joined)
+        [(i, "HOT", f"name-{i:03d}") for i in range(40)]
+        # two small clean blocks: exact dup pair + near pair
+        + [(100, "b1", "alpha"), (101, "b1", "alpha"),
+           (200, "b2", "beta0"), (201, "b2", "beta1"),
+           # empty-key rows must never pair
+           (300, "", "gamma"), (301, "", "gamma")]
+    )
+    df = spark.createDataFrame(rows, "id long, bkey string, name string")
+    cands = blocking_pairs(df, id_col="id", block_col="bkey", max_block_size=8)
+    got = {(r.id_a, r.id_b) for r in cands.collect()}
+    assert got == {(100, 101), (200, 201)}  # hot + empty blocks refused
+
+    # uncapped: the hot block floods in — the cap is what bounds it
+    uncapped = blocking_pairs(df, id_col="id", block_col="bkey").count()
+    assert uncapped == 40 * 39 // 2 + 2
+
+    matches = match_pairs(cands, df, id_col="id", text_col="name", max_distance=1)
+    assert {(r.id_a, r.id_b) for r in matches.collect()} == {(100, 101), (200, 201)}
+
+    clustered = resolve_clusters(df, matches, id_col="id")
+    gold = golden_records(
+        clustered, id_col="id", survivor_cols={"canonical": "name"}
+    )
+    by_cluster = {r.cluster: (r.cluster_size, r.canonical) for r in gold.collect()}
+    assert by_cluster[100] == (2, "alpha")   # survivor = min id's name
+    assert by_cluster[200] == (2, "beta0")
+    assert by_cluster[300] == (1, "gamma")   # singletons survive alone
