@@ -112,3 +112,66 @@ def cms_merge(*sketches: DataFrame) -> DataFrame:
     for s in sketches[1:]:
         out = out.unionByName(s)
     return out.groupBy("j", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def update_cms_asset(
+    spark,
+    table_path: str,
+    batch_df: DataFrame,
+    item_col: str,
+    depth: int = 4,
+    width: int = 64,
+    fence: tuple[str, int] | None = None,
+    max_retries: int = 20,
+) -> None:
+    """Per-batch incremental maintenance of a standing CMS txn table:
+    collapse the batch to its own ≤ depth×width cell sketch, then
+    cellwise-ADD it via one keyed MERGE (``cnt = t.cnt + s.cnt``) on
+    the synthetic cell id j·width + bucket.
+
+    The additive merge is NOT idempotent (module docstring), so the
+    ``(fence_id, batch_id)`` fence is mandatory under any at-least-once
+    delivery (foreachBatch): it rides the manifest atomically with the
+    cell commit, and a batch at or below the recorded fence is a no-op.
+    The merge is pinned to the snapshot the fence was read from
+    (``base_version``), so a concurrent writer raises TxnConflict and
+    the fold retries against the new head — fence re-checked — instead
+    of double-applying. Shared by the streaming sink
+    (streaming/ingest.start_cms_stream) and any batch backfill."""
+    from data_ingestion_project_spark.operators import txn_table as T
+
+    batch_sk = cms_build(batch_df, item_col, depth=depth, width=width).select(
+        (F.col("j") * width + F.col("bucket")).alias("cell"), "j", "bucket", "cnt"
+    )
+    extra = None
+    if fence is not None:
+        fence_id, batch_id = fence
+        extra = {"stream_fences": {fence_id: batch_id}}
+    for _ in range(max_retries):
+        base = T.current_version(table_path)
+        if base is None:
+            try:
+                T.create_table(spark, table_path, batch_sk, extra=extra)
+                return
+            except (FileExistsError, T.TxnConflict):
+                continue  # lost the create race: rebase onto the winner
+        if fence is not None:
+            fences = T._read_manifest(table_path, base).get("stream_fences", {})
+            if fence[1] <= fences.get(fence[0], -1):
+                return  # replayed micro-batch: cells already added
+        try:
+            T.merge(
+                spark,
+                table_path,
+                batch_sk,
+                key="cell",
+                update_expr={"cnt": "t.cnt + s.cnt"},
+                extra=extra,
+                base_version=base,
+            )
+            return
+        except T.TxnConflict:
+            continue  # concurrent writer: re-read fence + head
+    raise T.TxnConflict(
+        f"cms fold gave up after {max_retries} contended commits at {table_path}"
+    )

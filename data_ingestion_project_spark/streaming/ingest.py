@@ -423,3 +423,60 @@ def start_signature_asset_stream(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def start_cms_stream(
+    spark: SparkSession,
+    items: DataFrame,
+    table_path: str,
+    checkpoint_dir: str,
+    item_col: str = "word",
+    depth: int = 4,
+    width: int = 64,
+    app_id: str | None = None,
+) -> StreamingQuery:
+    """Streaming maintenance of the standing Count-Min sketch
+    (operators/cms.py; round-5 verdict ask #7): each micro-batch is
+    collapsed to its own ≤ depth×width cell sketch (map-side combine —
+    the exchange carries at most 256 partial cells however large the
+    batch), then cellwise-ADDED into the sketch table, so any point-
+    frequency query reads a KB-sized standing aggregate with zero fact
+    rescan.
+
+    Replay safety: unlike the bottom-k folds (quantile/KMV — SET
+    semantics, idempotent by construction), CMS merge is ADDITIVE —
+    re-applying a delivered batch double-counts every cell. foreachBatch
+    is at-least-once, so this sink is FENCED: the (fence_id, batch_id)
+    fence rides the manifest atomically with the cell commit (Delta
+    txnAppId shape, same normalization as the gated/signature sinks —
+    explicit app_id, else the checkpoint dir's abspath), and a batch at
+    or below the recorded fence is a no-op. The add itself is one
+    keyed MERGE (``cnt = t.cnt + s.cnt``) on the synthetic cell id
+    j·width + bucket, pinned to the snapshot the fence was read from
+    (base_version) so a concurrent writer raises TxnConflict and the
+    sink re-reads the fence instead of double-applying."""
+    import os
+
+    from data_ingestion_project_spark.operators.cms import update_cms_asset
+
+    fence_id = app_id or os.path.abspath(checkpoint_dir)
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        update_cms_asset(
+            spark,
+            table_path,
+            batch_df,
+            item_col=item_col,
+            depth=depth,
+            width=width,
+            fence=(fence_id, batch_id),
+        )
+
+    return (
+        items.writeStream.foreachBatch(_sink)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

@@ -872,3 +872,96 @@ def test_signature_asset_stream_equals_batch_build(spark, tmp_path):
     update_signature_assets(spark, mh_p, sh_p, replay, fence=(fence_id, 2))
     assert T.read(spark, mh_p).count() == 60
     assert T.read(spark, sh_p).count() == 60
+
+
+def test_cms_stream_equals_batch_build_and_fence_blocks_replay(spark, tmp_path):
+    """Streaming CMS maintenance (round-5 verdict ask #7): after three
+    micro-batches the standing cell table must equal the batch-built
+    sketch over ALL rows cell-for-cell — and because the CMS merge is
+    ADDITIVE (not idempotent like the bottom-k folds), a REPLAYED
+    delivery under the sink's fence identity must leave every cell
+    count unchanged (the fence, not the algebra, is what blocks the
+    double-count)."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_project_spark.operators import txn_table as T
+    from data_ingestion_project_spark.operators.cms import cms_build
+    from data_ingestion_project_spark.streaming.ingest import start_cms_stream
+
+    src = tmp_path / "words"
+    src.mkdir()
+    table_path = str(tmp_path / "cms_table")
+    ckpt = str(tmp_path / "ckpt")
+    DEPTH, WIDTH = 4, 64
+
+    def word(i):
+        return f"w{(i * 13) % 40}"
+
+    def rows(lo, hi):
+        return "\n".join(json.dumps({"word": word(i)}) for i in range(lo, hi))
+
+    stream = (
+        spark.readStream.schema("word string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = start_cms_stream(
+        spark, stream, table_path, ckpt, item_col="word", depth=DEPTH, width=WIDTH
+    )
+    try:
+        (src / "b1.json").write_text(rows(0, 300))
+        (src / "b2.json").write_text(rows(300, 600))
+        q.processAllAvailable()
+        (src / "b3.json").write_text(rows(600, 900))
+        q.processAllAvailable()
+
+        def cells():
+            return sorted(
+                (r["cell"], r["cnt"]) for r in T.read(spark, table_path).collect()
+            )
+
+        got = cells()
+        full = spark.createDataFrame(
+            [(word(i),) for i in range(900)], "word string"
+        )
+        want = sorted(
+            (r["j"] * WIDTH + r["bucket"], r["cnt"])
+            for r in cms_build(full, "word", depth=DEPTH, width=WIDTH).collect()
+        )
+        assert got == want  # streaming adds == one batch build, cell-for-cell
+
+        # planted replay: re-apply batch 2's rows through the REAL fold
+        # (the exact function the sink calls) under the sink's fence
+        # identity and the already-recorded batch_id — the fence must
+        # refuse the merge, leaving every cell count unchanged; the
+        # same rows under a NEW batch_id must double-count (proving the
+        # algebra alone would NOT have protected us — the fence does).
+        import os
+
+        from data_ingestion_project_spark.operators.cms import update_cms_asset
+
+        fence_id = os.path.abspath(ckpt)
+        head = T.current_version(table_path)
+        assert T._read_manifest(table_path, head)["stream_fences"][fence_id] == 2
+        b3 = spark.createDataFrame(
+            [(word(i),) for i in range(600, 900)], "word string"
+        )
+        update_cms_asset(
+            spark, table_path, b3, item_col="word", depth=DEPTH, width=WIDTH,
+            fence=(fence_id, 2),
+        )
+        assert cells() == got  # replayed batch: every cell unchanged
+        update_cms_asset(
+            spark, table_path, b3, item_col="word", depth=DEPTH, width=WIDTH,
+            fence=(fence_id, 3),
+        )
+        b3_cells = {
+            r["j"] * WIDTH + r["bucket"]: r["cnt"]
+            for r in cms_build(b3, "word", depth=DEPTH, width=WIDTH).collect()
+        }
+        want_after = sorted(
+            (cell, cnt + b3_cells.get(cell, 0)) for cell, cnt in got
+        )
+        assert cells() == want_after  # new batch_id: adds (additive, as designed)
+    finally:
+        q.stop()
