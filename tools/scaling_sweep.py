@@ -57,6 +57,11 @@ HEAVY = {
     "pricing_summary": "lineitem",
     "nation_market_share": "lineitem",
     "cube_revenue": "lineitem",
+    # round-5 heavy families (r5 verdict ask #8)
+    "entity_golden_records": "supplier",
+    "cms_word_freq": "documents",
+    "bm25_topk": "documents",
+    "hybrid_rrf_search": "documents",
 }
 
 
@@ -87,7 +92,7 @@ def main() -> None:
         warm_derived_assets(spark, sf_dir)
         rows[sf] = {
             t: table(spark, sf_dir, t).count()
-            for t in {"documents", "events", "lineitem"}
+            for t in {"documents", "events", "lineitem", "supplier"}
         }
         for name in sorted(HEAVY):
             t0 = time.perf_counter()
