@@ -51,11 +51,22 @@ def plan_census(df: DataFrame) -> dict[str, object]:
         "n_bnl_joins": nodes("BroadcastNestedLoopJoin"),
         "n_cartesian": nodes("CartesianProduct"),
         "n_codegen_stages": len(set(re.findall(r"\[codegen id : (\d+)\]", plan))),
-        # "Python" catches BatchEvalPython/PythonUDF mentions;
-        # "InPandas" catches the Arrow-batched family (MapInPandas,
-        # FlatMapGroupsInPandas, ApplyInPandasWithState) whose node
-        # names contain neither
-        "has_python_udf": "Python" in plan or "ArrowEval" in plan or "InPandas" in plan,
+        # explicit execution-node markers only: a bare "Python" match
+        # also catches "applySchemaToPythonRDD" in the Scan ExistingRDD
+        # detail of a tiny createDataFrame dim (driver-local rows, no
+        # Python in the row path) — a false positive. "InPandas"
+        # catches the Arrow-batched family (MapInPandas,
+        # FlatMapGroupsInPandas, ApplyInPandasWithState).
+        "has_python_udf": any(
+            m in plan
+            for m in (
+                "BatchEvalPython",
+                "ArrowEvalPython",
+                "PythonUDF",
+                "InPandas",
+                "MapInArrow",
+            )
+        ),
     }
 
 

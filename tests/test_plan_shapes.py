@@ -474,3 +474,67 @@ def test_jpeg_decode_arrow_batched_single_pass(spark):
         c["n_sortmerge_joins"] == c["n_shuffled_hash_joins"]
         == c["n_broadcast_joins"] == c["n_cartesian"] == 0
     )
+
+
+def test_er_pipeline_no_quadratic_stage_or_python(spark):
+    """Entity resolution: candidate generation is a capped blocking
+    EQUI-join, rescore/closure/survivorship are JVM expressions — no
+    cartesian / nested-loop stage, no Python anywhere."""
+    df = all_queries()["entity_golden_records"](spark, SF)
+    c = plan_census(df)
+    assert c["n_cartesian"] == 0 and c["n_bnl_joins"] == 0
+    assert not c["has_python_udf"]
+
+
+def test_cms_sketch_sized_exchange_broadcast_probes(spark):
+    """CMS census: the only aggregation exchanges carry at most
+    depth x width partial cells (map-side combine over fixed cells —
+    never keyed on the word universe); the depth dim and the sketch
+    probe ride as broadcasts; no sort-merge join, no Python."""
+    df = all_queries()["cms_word_freq"](spark, SF)
+    c = plan_census(df)
+    assert c["n_sortmerge_joins"] == 0 and c["n_shuffled_hash_joins"] == 0
+    assert c["n_broadcast_joins"] + c["n_bnl_joins"] >= 2  # depth dim + probe
+    assert c["n_cartesian"] == 0
+    assert not c["has_python_udf"]
+
+
+def test_privacy_releases_single_agg_broadcast_dims(spark):
+    """The DP release and the k-anonymity audit are one aggregation
+    over the facts each; the epsilon sweep multiplies the
+    TYPE-cardinality aggregate via a broadcast 3-row dim — the fact
+    table is never re-scanned per epsilon — and the Laplace draw is
+    JVM md5 arithmetic, not Python."""
+    for name in ("dp_event_counts", "k_anonymity_audit"):
+        c = plan_census(all_queries()[name](spark, SF))
+        assert c["n_sortmerge_joins"] == 0, name
+        assert c["n_cartesian"] == 0, name
+        assert not c["has_python_udf"], name
+        assert c["n_exchanges"] <= 3, name
+
+
+def test_html_extract_all_jvm_single_agg_shuffle(spark):
+    """HTML main-content extraction is a JVM regexp chain: no Python,
+    no joins, scan -> project -> one agg exchange (+ output sort)."""
+    df = all_queries()["html_extract_stats"](spark, SF)
+    c = plan_census(df)
+    assert not c["has_python_udf"]
+    assert (
+        c["n_sortmerge_joins"] == c["n_broadcast_joins"] == c["n_bnl_joins"]
+        == c["n_cartesian"] == 0
+    )
+    assert c["n_exchanges"] <= 2
+
+
+def test_unicode_clean_nfc_is_the_only_python(spark):
+    """Unicode hygiene: the zero-width scrub is codegen'd JVM regexp;
+    NFC normalization is the single deliberate Arrow pandas-UDF stage
+    (Spark has no NFC builtin); no joins anywhere."""
+    df = all_queries()["unicode_clean_stats"](spark, SF)
+    c = plan_census(df)
+    assert c["has_python_udf"]  # the NFC seam — deliberately Python
+    assert (
+        c["n_sortmerge_joins"] == c["n_broadcast_joins"] == c["n_bnl_joins"]
+        == c["n_cartesian"] == 0
+    )
+    assert c["n_exchanges"] <= 2
