@@ -809,6 +809,68 @@ def png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def weighted_sample_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted reservoir sample (A-ES, operators/sampling.py) audit:
+    draw EXACTLY 200 documents with inclusion probability proportional
+    to n_chars — the fixed-token-budget corpus-assembly primitive
+    ("fill the budget, long docs proportionally more likely") — and
+    report the per-source composition plus the sampled char mass.
+
+    The sample itself is deterministic (md5 race draw, integer-
+    quantized ln, integer-ratio sort key — see the operator module
+    docstring), so the oracle replays draw, key, top-k and the
+    composition aggregate value-exactly: a wrong quantization, a
+    non-portable hash, or a broken tie-break all hash-fail the gate.
+    Statistical correctness (inclusion tracks weight across salts) is
+    pinned separately in pytest, where determinism would be the wrong
+    tool.
+
+    Plan: scan → key projection → TakeOrderedAndProject (per-partition
+    top-k heaps, no shuffle/sort) → 200-row composition aggregate."""
+    from data_ingestion_project_spark.operators.sampling import weighted_sample
+
+    d = table(spark, sf_dir, "documents")
+    s = weighted_sample(d, 200, id_col="doc_id", weight_col="n_chars")
+    return (
+        s.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("n_chars").alias("sampled_chars"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("source")
+    )
+
+
+def _sql_hex48(hexcol: str) -> str:
+    """48-bit integer from the first 12 hex digits of ``hexcol``,
+    DuckDB-side (no conv() there): positional hex-digit arithmetic."""
+    return " + ".join(
+        f"(strpos('0123456789abcdef', substr({hexcol}, {i + 1}, 1)) - 1)"
+        f" * {16 ** (11 - i)}"
+        for i in range(12)
+    )
+
+
+ORACLE_WEIGHTED_SAMPLE_AUDIT = f"""
+WITH keyed AS (
+  SELECT doc_id, source, n_chars,
+         CAST(ROUND(ln(({_sql_hex48("md5('aes:' || CAST(doc_id AS VARCHAR))")} + 1)
+                       / {float(1 << 48)}) * 10000, 0) AS BIGINT) AS lnq
+  FROM documents
+), topk AS (
+  SELECT doc_id, source, n_chars FROM keyed
+  ORDER BY CAST(lnq AS DOUBLE) / n_chars DESC, doc_id ASC
+  LIMIT 200
+)
+SELECT source,
+       COUNT(*) AS n_sampled,
+       CAST(SUM(n_chars) AS BIGINT) AS sampled_chars,
+       MIN(doc_id) AS first_doc
+FROM topk GROUP BY source ORDER BY source
+"""
+
+
 def jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL ENTROPY-CODED codec end-to-end (round-5 verdict ask #1):
     each document is rendered executor-side as a genuine baseline
@@ -3447,6 +3509,7 @@ QUERIES = {
     "media_decode_stats": media_decode_stats,
     "png_decode_stats": png_decode_stats,
     "jpeg_decode_stats": jpeg_decode_stats,
+    "weighted_sample_audit": weighted_sample_audit,
     "bigram_logprob_buckets": bigram_logprob_buckets,
     "source_overlap_matrix": source_overlap_matrix,
     "quality_filter_funnel": quality_filter_funnel,
@@ -3493,6 +3556,7 @@ ORACLE = {
     "media_decode_stats": ORACLE_MEDIA_DECODE_STATS,
     "png_decode_stats": ORACLE_PNG_DECODE_STATS,
     "jpeg_decode_stats": ORACLE_JPEG_DECODE_STATS,
+    "weighted_sample_audit": ORACLE_WEIGHTED_SAMPLE_AUDIT,
     "bigram_logprob_buckets": ORACLE_BIGRAM_LOGPROB_BUCKETS,
     "source_overlap_matrix": ORACLE_SOURCE_OVERLAP_MATRIX,
     "quality_filter_funnel": ORACLE_QUALITY_FILTER_FUNNEL,

@@ -1503,3 +1503,42 @@ def test_er_block_cap_refuses_hot_key_keeps_small_blocks(spark):
     assert by_cluster[100] == (2, "alpha")   # survivor = min id's name
     assert by_cluster[200] == (2, "beta0")
     assert by_cluster[300] == (1, "gamma")   # singletons survive alone
+
+
+def test_weighted_sample_tracks_weights_and_merges(spark):
+    """A-ES weighted reservoir (operators/sampling.py): across many
+    salts, a record with 50x the weight of its peers must be included
+    in nearly every draw while an average record appears at roughly
+    the k/N base rate (statistical floor — determinism is certified by
+    the oracle query instead); and the fold must be MERGEABLE: top-k
+    of the union == top-k over concatenated per-partition top-k's."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_project_spark.operators.sampling import weighted_sample
+
+    N, K = 400, 40
+    rows = [(i, 5000 if i == 7 else 100) for i in range(N)]
+    df = spark.createDataFrame(rows, "id long, w long")
+
+    salts = [f"s{j}" for j in range(30)]
+    heavy_hits = light_hits = 0
+    for s in salts:
+        ids = {r.id for r in weighted_sample(df, K, "id", "w", salt=s).collect()}
+        heavy_hits += 7 in ids
+        light_hits += 11 in ids
+    assert heavy_hits >= 27  # P(include) ~ 1 - (1-50x share)^... >> 0.9
+    assert light_hits <= 15  # base rate ~ K/N = 10%; generous ceiling
+
+    # mergeability: sample(part1 U part2) == top-k of sample(part1) U sample(part2)
+    p1 = df.filter(F.col("id") < 200)
+    p2 = df.filter(F.col("id") >= 200)
+    merged = weighted_sample(
+        weighted_sample(p1, K, "id", "w").unionByName(weighted_sample(p2, K, "id", "w")),
+        K,
+        "id",
+        "w",
+    )
+    direct = weighted_sample(df, K, "id", "w")
+    assert sorted(r.id for r in merged.collect()) == sorted(
+        r.id for r in direct.collect()
+    )

@@ -538,3 +538,25 @@ def test_unicode_clean_nfc_is_the_only_python(spark):
         == c["n_cartesian"] == 0
     )
     assert c["n_exchanges"] <= 2
+
+
+def test_weighted_sample_is_takeordered_no_shuffle(spark):
+    """The A-ES sample must compile to TakeOrderedAndProject over the
+    keyed scan — per-partition heaps + driver merge. Any Exchange or
+    Window before the 200-row frame means the corpus is being moved to
+    sort it; the composition aggregate runs on the k rows after."""
+    from data_ingestion_project_spark.plans.explain import (
+        formatted_plan,
+        unbounded_global_windows,
+    )
+
+    df = all_queries()["weighted_sample_audit"](spark, SF)
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    c = plan_census(df)
+    assert not c["has_python_udf"]
+    assert (
+        c["n_sortmerge_joins"] == c["n_broadcast_joins"] == c["n_bnl_joins"]
+        == c["n_cartesian"] == 0
+    )
+    assert unbounded_global_windows(df) == []
