@@ -551,3 +551,59 @@ def compact_pair_index(spark: SparkSession, pair_path: str) -> None:
         .filter(F.col("delta") != 0)
     )
     T.overwrite(spark, pair_path, compacted, base_version=base)
+
+
+def ingest_dedup_batch(
+    spark: SparkSession,
+    batch_docs: DataFrame,
+    corpus_path: str,
+    index_path: str,
+    minhash_path: str,
+    simhash_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_shared: int = 8,
+    fence: tuple[str, int] | None = None,
+) -> dict:
+    """AT-INGEST dedup: the composed per-batch step a production
+    corpus pipeline runs on every arriving micro-batch —
+
+    1. filter the batch against (and extend) the winnow fingerprint
+       index (:func:`dedup_batch_against_index` — drops near-dups of
+       already-accepted docs AND within-batch dups; internally
+       replay-safe: a re-run batch finds its own fingerprints and
+       keeps its docs via the self-match filter);
+    2. append the SURVIVORS to the accepted-corpus txn table
+       (fenced — doc rows are per-doc facts, a replay would duplicate
+       them);
+    3. maintain the MinHash/SimHash signature assets for the survivors
+       (:func:`update_signature_assets`, same fence), so every
+       downstream dedup/similarity query reads current signatures
+       without any corpus re-sign.
+
+    Each table carries its own fence: a crash between steps replays
+    exactly the missing appends and no others. Returns the
+    :func:`dedup_batch_against_index` info dict. Used by
+    streaming/ingest.start_dedup_ingestion_stream; callable directly
+    for batch backfill with an explicit fence."""
+    accepted, info = dedup_batch_against_index(
+        spark,
+        index_path,
+        batch_docs,
+        text_col=text_col,
+        id_col=id_col,
+        min_shared=min_shared,
+    )
+    # survivors feed three appends below — cut the dedup lineage once
+    accepted = accepted.localCheckpoint(eager=True)
+    _fenced_append(spark, corpus_path, accepted, fence)
+    update_signature_assets(
+        spark,
+        minhash_path,
+        simhash_path,
+        accepted,
+        text_col=text_col,
+        id_col=id_col,
+        fence=fence,
+    )
+    return info

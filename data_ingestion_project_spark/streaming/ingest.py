@@ -480,3 +480,65 @@ def start_cms_stream(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def start_dedup_ingestion_stream(
+    spark: SparkSession,
+    docs: DataFrame,
+    corpus_path: str,
+    index_path: str,
+    minhash_path: str,
+    simhash_path: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_shared: int = 8,
+    app_id: str | None = None,
+) -> StreamingQuery:
+    """At-ingest DEDUPLICATING corpus ingestion — the composed
+    streaming leg of the incremental-dedup story: each micro-batch of
+    arriving documents is filtered against the maintained winnow
+    fingerprint index (near-dups of accepted docs and within-batch
+    dups dropped), survivors are appended to the accepted-corpus txn
+    table, and the MinHash/SimHash signature assets are extended for
+    exactly those survivors — so the corpus table never admits a
+    near-dup and every dedup asset stays current at ingest, with zero
+    full-corpus recomputation anywhere
+    (operators/incremental_dedup.ingest_dedup_batch per batch).
+
+    Exactly-once: the fingerprint index is internally replay-safe
+    (doc_id-keyed, self-match filtered); the corpus and signature
+    appends are per-doc facts and ride the (fence_id, batch_id)
+    manifest fence — at-least-once foreachBatch re-executions are
+    no-ops per table, and a crash between the appends replays exactly
+    the missing one."""
+    import os
+
+    from data_ingestion_project_spark.operators.incremental_dedup import (
+        ingest_dedup_batch,
+    )
+
+    fence_id = app_id or os.path.abspath(checkpoint_dir)
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        ingest_dedup_batch(
+            spark,
+            batch_df,
+            corpus_path,
+            index_path,
+            minhash_path,
+            simhash_path,
+            text_col=text_col,
+            id_col=id_col,
+            min_shared=min_shared,
+            fence=(fence_id, batch_id),
+        )
+
+    return (
+        docs.writeStream.foreachBatch(_sink)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

@@ -965,3 +965,95 @@ def test_cms_stream_equals_batch_build_and_fence_blocks_replay(spark, tmp_path):
         assert cells() == want_after  # new batch_id: adds (additive, as designed)
     finally:
         q.stop()
+
+
+def test_dedup_ingestion_stream_end_to_end(spark, tmp_path):
+    """At-ingest dedup composition (streaming leg of the incremental-
+    dedup story): across three micro-batches, near-dups of accepted
+    docs and within-batch dups never reach the corpus table; the
+    MinHash/SimHash assets hold exactly the survivors; and a replayed
+    batch through the REAL per-batch function (the sink's body) under
+    the recorded fence changes nothing anywhere."""
+    import os
+
+    from data_ingestion_project_spark.operators import txn_table as T
+    from data_ingestion_project_spark.operators.dedup import minhash_asset_rows, simhash
+    from data_ingestion_project_spark.operators.incremental_dedup import (
+        ingest_dedup_batch,
+    )
+    from data_ingestion_project_spark.streaming.ingest import (
+        start_dedup_ingestion_stream,
+    )
+
+    DOC = (
+        "the quick brown fox jumps over the lazy dog while the cat watches "
+        "from a warm windowsill in the late afternoon sun"
+    )
+    OTHER = (
+        "completely different content about distributed query engines and "
+        "columnar storage formats for large scale analytics workloads"
+    )
+    fresh = "an entirely novel document with unique words nobody wrote before"
+
+    src = tmp_path / "docs_in"
+    src.mkdir()
+    corpus = str(tmp_path / "corpus")
+    index = str(tmp_path / "fp_index")
+    mh_p = str(tmp_path / "mh")
+    sh_p = str(tmp_path / "sh")
+    ckpt = str(tmp_path / "ckpt")
+
+    batches = [
+        [(1, DOC), (2, OTHER)],
+        # 10 near-dups accepted doc 1; 11 fresh; 12 in-batch dup of 11
+        [(10, DOC.replace("lazy", "sleepy")), (11, fresh), (12, fresh + " !")],
+        # 20 near-dups accepted doc 2; 21 fresh
+        [(20, OTHER.replace("columnar", "vectorized")),
+         (21, "yet another genuinely new text with its own vocabulary entirely")],
+    ]
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = start_dedup_ingestion_stream(spark, stream, corpus, index, mh_p, sh_p, ckpt)
+    try:
+        for i, rows in enumerate(batches):
+            (src / f"b{i}.json").write_text(
+                "\n".join(json.dumps({"doc_id": d, "text": t}) for d, t in rows)
+            )
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+    accepted_ids = [1, 2, 11, 21]
+    got = sorted(r.doc_id for r in T.read(spark, corpus).collect())
+    assert got == accepted_ids
+
+    survivors = spark.createDataFrame(
+        [(d, t) for rows in batches for d, t in rows if d in accepted_ids],
+        "doc_id long, text string",
+    )
+    assert sorted(map(tuple, T.read(spark, mh_p).collect())) == sorted(
+        map(tuple, minhash_asset_rows(survivors).collect())
+    )
+    assert sorted(map(tuple, T.read(spark, sh_p).collect())) == sorted(
+        map(tuple, simhash(survivors).collect())
+    )
+
+    # replay batch 2 (batch_id=2) through the real per-batch function
+    # under the sink's fence identity: every table stays bit-identical
+    fence_id = os.path.abspath(ckpt)
+    states = {
+        p: T.current_version(p) for p in (corpus, mh_p, sh_p)
+    }
+    fp_rows = T.read(spark, index).count()
+    b3 = spark.createDataFrame(batches[2], "doc_id long, text string")
+    info = ingest_dedup_batch(
+        spark, b3, corpus, index, mh_p, sh_p, fence=(fence_id, 2)
+    )
+    assert info["n_accepted"] == 1  # dedup itself replays identically
+    assert {p: T.current_version(p) for p in (corpus, mh_p, sh_p)} == states
+    assert T.read(spark, index).count() == fp_rows  # index self-replay-safe
+    assert sorted(r.doc_id for r in T.read(spark, corpus).collect()) == accepted_ids
