@@ -165,6 +165,7 @@ def warm_derived_assets(spark: SparkSession, sf_dir: str) -> None:
     maintained corpus assets — the production posture, where these
     tables are pipeline outputs, not per-query recomputes.  Build cost
     is reported separately (bench.py ``assets_sec``)."""
+    from data_ingestion_project_spark.queries.advanced import _bm25_index_path
     from data_ingestion_project_spark.queries.documents import (
         _bpe_merges,
         _minhash_assets_path,
@@ -180,6 +181,7 @@ def warm_derived_assets(spark: SparkSession, sf_dir: str) -> None:
     _bpe_merges(spark, sf_dir)  # learned-tokenizer merge table
     _minhash_assets_path(spark, sf_dir)  # signature + word-set table
     _simhash_path(spark, sf_dir)  # per-doc 64-bit simhash table
+    _bm25_index_path(spark, sf_dir)  # inverted index (postings/lens/dfs)
 
 
 def all_oracles() -> dict[str, str]:

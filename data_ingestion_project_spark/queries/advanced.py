@@ -403,6 +403,55 @@ FROM totals ORDER BY total_i DESC, doc_id ASC LIMIT 10
 """
 
 
+def _bm25_index_path(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize (once per corpus mtime) the inverted-index assets
+    (operators/inverted_index.py): bucket-partitioned posting lists,
+    doc lengths, and document frequencies. At 100 TB these are
+    pipeline outputs maintained per ingested batch
+    (update_inverted_index — fenced appends + the additive df merge);
+    this static bench corpus keeps the mtime build, and the two paths
+    are row-identical by construction (both call index_rows)."""
+    import os
+
+    from data_ingestion_project_spark.operators.inverted_index import write_index
+    from data_ingestion_project_spark.operators.materialize import (
+        dataset_tag,
+        ensure_materialized,
+    )
+    from data_ingestion_project_spark.sources.readers import table as _table
+
+    abs_dir = os.path.abspath(os.path.normpath(sf_dir))
+
+    def _build(tmp: str) -> None:
+        write_index(_table(spark, sf_dir, "documents"), tmp)
+        open(os.path.join(tmp, "_SUCCESS"), "w").close()
+
+    return ensure_materialized(
+        f"bm25_index_{dataset_tag(abs_dir)}",
+        os.path.join(abs_dir, "documents.parquet"),
+        _build,
+    )
+
+
+def bm25_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 SERVED from the materialized inverted index — the
+    production twin of bm25_topk (which re-explodes the corpus per
+    query): the postings scan is pruned to the probe terms' hash-
+    bucket PARTITIONS at planning time and filtered to the terms
+    themselves, so a 4-term lookup reads posting-list rows, never
+    corpus text, and no tokenizer runs anywhere. Same integer
+    micro-unit arithmetic as bm25_topk, so BOTH share one DuckDB
+    oracle — certifying that index build + serving lose nothing
+    (the asset-posture guarantee, same as the signature tables)."""
+    from data_ingestion_project_spark.operators.inverted_index import bm25_from_index
+
+    p = _bm25_index_path(spark, sf_dir)
+    postings = spark.read.parquet(f"{p}/postings")
+    lens = spark.read.parquet(f"{p}/lens")
+    dfs = spark.read.parquet(f"{p}/dfs")
+    return bm25_from_index(postings, lens, dfs, BM25_TERMS, k1=BM25_K1, b=BM25_B)
+
+
 def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HYBRID retrieval: reciprocal-rank fusion (Cormack et al.,
     SIGIR'09) of the BM25 lexical ranking and the exact embedding
@@ -1645,6 +1694,7 @@ QUERIES = {
     "idle_suppliers": idle_suppliers,
     "tfidf_top_terms": tfidf_top_terms,
     "bm25_topk": bm25_topk,
+    "bm25_topk_indexed": bm25_topk_indexed,
     "hybrid_rrf_search": hybrid_rrf_search,
     "rolling_30d_top_spenders": rolling_30d_top_spenders,
     "segment_year_grouping_sets": segment_year_grouping_sets,
@@ -1677,6 +1727,7 @@ ORACLE = {
     "acctbal_deciles_scalable": ORACLE_ACCTBAL_DECILES,
     "tfidf_top_terms": ORACLE_TFIDF_TOP_TERMS,
     "bm25_topk": ORACLE_BM25_TOPK,
+    "bm25_topk_indexed": ORACLE_BM25_TOPK,
     "hybrid_rrf_search": ORACLE_HYBRID_RRF_SEARCH,
     "rolling_30d_top_spenders": ORACLE_ROLLING_30D_TOP_SPENDERS,
     "segment_year_grouping_sets": ORACLE_SEGMENT_YEAR_GROUPING_SETS,

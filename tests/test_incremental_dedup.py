@@ -390,3 +390,62 @@ def test_jaccard_batch_against_assets_matches_brute_force(spark, tmp_path):
     assert (3, 100) in pairs    # the exact copy was found
     assert (7, 101) in pairs    # the near-copy was found
     assert not any(b == 102 for _, b, _ in got)  # fresh doc matches nothing
+
+
+def test_inverted_index_incremental_equals_rebuild_and_fence(spark, tmp_path):
+    """Incremental inverted-index maintenance (operators/
+    inverted_index.py): three fenced batch updates must leave postings/
+    lens row-equal to a one-shot build over all docs, and dfs
+    cell-equal (the additive word-df merge); a replayed batch under
+    the recorded fence changes nothing; BM25 served from the
+    incremental tables equals BM25 served from the rebuild."""
+    from data_ingestion_project_spark.operators import txn_table as T
+    from data_ingestion_project_spark.operators.inverted_index import (
+        bm25_from_index,
+        index_rows,
+        update_inverted_index,
+    )
+
+    def text(i):
+        return (
+            f"customer join filter scan doc{i} body t{i % 7} u{i % 5} "
+            f"{'customer ' * (i % 3)}shared tail"
+        )
+
+    batches = [
+        [(i, text(i)) for i in range(0, 20)],
+        [(i, text(i)) for i in range(20, 40)],
+        [(i, text(i)) for i in range(40, 60)],
+    ]
+    pp, lp, dp = (str(tmp_path / n) for n in ("postings", "lens", "dfs"))
+    for bid, rows in enumerate(batches):
+        b = spark.createDataFrame(rows, "doc_id long, text string")
+        update_inverted_index(spark, pp, lp, dp, b, fence=("t", bid))
+
+    full = spark.createDataFrame(
+        [r for rows in batches for r in rows], "doc_id long, text string"
+    )
+    want_p, want_l, want_d = index_rows(full)
+    assert sorted(map(tuple, T.read(spark, pp).select("word", "doc_id", "tf").collect())) == sorted(
+        map(tuple, want_p.select("word", "doc_id", "tf").collect())
+    )
+    assert sorted(map(tuple, T.read(spark, lp).collect())) == sorted(
+        map(tuple, want_l.collect())
+    )
+    assert sorted(map(tuple, T.read(spark, dp).collect())) == sorted(
+        map(tuple, want_d.collect())
+    )
+
+    # replayed batch: all three tables unchanged
+    versions = {p: T.current_version(p) for p in (pp, lp, dp)}
+    b2 = spark.createDataFrame(batches[2], "doc_id long, text string")
+    update_inverted_index(spark, pp, lp, dp, b2, fence=("t", 2))
+    assert {p: T.current_version(p) for p in (pp, lp, dp)} == versions
+
+    # serving parity: indexed BM25 == BM25 over the rebuild tables
+    terms = ("customer", "join", "filter", "scan")
+    served = bm25_from_index(
+        T.read(spark, pp), T.read(spark, lp), T.read(spark, dp), terms
+    ).collect()
+    rebuilt = bm25_from_index(want_p, want_l, want_d, terms).collect()
+    assert [tuple(r) for r in served] == [tuple(r) for r in rebuilt]

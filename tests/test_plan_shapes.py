@@ -560,3 +560,20 @@ def test_weighted_sample_is_takeordered_no_shuffle(spark):
         == c["n_cartesian"] == 0
     )
     assert unbounded_global_windows(df) == []
+
+
+def test_bm25_indexed_prunes_partitions_no_tokenizer(spark):
+    """The served-BM25 plan must read the inverted index, not the
+    corpus: the postings scan prunes to the probe terms' wb bucket
+    PARTITIONS at planning time (PartitionFilters) with the term
+    filter pushed, and NO explode (Generate) runs anywhere — the
+    tokenizer does not exist in the serving path."""
+    from data_ingestion_project_spark.plans.explain import formatted_plan
+
+    df = all_queries()["bm25_topk_indexed"](spark, SF)
+    plan = formatted_plan(df)
+    assert "PartitionFilters" in plan and "wb" in plan
+    assert "Generate" not in plan  # no explode/tokenize at query time
+    c = plan_census(df)
+    assert c["n_sortmerge_joins"] == 0
+    assert not c["has_python_udf"]
