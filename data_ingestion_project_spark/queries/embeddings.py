@@ -995,6 +995,65 @@ SELECT (SELECT COUNT(*) FROM sem) AS n_semantic,
 """
 
 
+
+def embedding_covariance_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distributed covariance pass certified VALUE-EXACTLY: the
+    full 64x64 upper triangle (2080 cells) of the n^2-scaled integer
+    covariance n*Sxy - Sx*Sy over 1e-4-quantized embedding values
+    (operators/pca.covariance_cells - one codegen'd per-row triangle
+    expansion + one 2080-cell aggregation, no self-join; the moments
+    are exact BIGINTs, so partition order cannot move a bit). This is
+    the gate for the PCA family: pca_model consumes exactly these
+    cells, so a wrong quantization, a missed pair, or a lost partial
+    here is a wrong model there. DuckDB replays quantization, triangle,
+    moments and the scaled combination cell-for-cell."""
+    from data_ingestion_project_spark.operators.pca import covariance_cells
+
+    e = table(spark, sf_dir, "embeddings")
+    return covariance_cells(e, "embedding", dim=64).orderBy("i", "j")
+
+
+ORACLE_EMBEDDING_COVARIANCE_STATS = """
+WITH q AS (
+  SELECT list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 10000, 0) AS BIGINT)) AS v
+  FROM embeddings
+), pairs AS (
+  SELECT i, j, SUM(v[i + 1] * v[j + 1]) AS sxy
+  FROM q, range(64) r1(i), range(64) r2(j)
+  WHERE j >= i GROUP BY i, j
+), marg AS (
+  SELECT i, SUM(v[i + 1]) AS sx FROM q, range(64) r(i) GROUP BY i
+), nn AS (SELECT COUNT(*) AS n FROM q)
+SELECT CAST(p.i AS INT) AS i, CAST(p.j AS INT) AS j,
+       CAST(nn.n * p.sxy - mi.sx * mj.sx AS BIGINT) AS cov_scaled
+FROM pairs p JOIN marg mi ON mi.i = p.i JOIN marg mj ON mj.i = p.j, nn
+ORDER BY i, j
+"""
+
+
+def pca_variance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA fit audit (rows-only - eigendecomposition is not SQL): fit
+    k=8 components on the certified covariance cells (pca_model: 2080
+    integer cells to the driver, numpy eigh on the 64x64 matrix -
+    driver work bounded by DIMENSION, the IVF-training posture) and
+    report per component the explained-variance ratio and the leading
+    dimension. Deterministic (sign-convention-fixed eigenvectors over
+    exact integer moments); the linear-algebra invariants - ratios
+    decreasing, orthonormal components, projected covariance diagonal
+    - are pinned in pytest where an oracle cannot reach."""
+    from data_ingestion_project_spark.operators.pca import pca_model
+
+    e = table(spark, sf_dir, "embeddings")
+    comps, ratio, _mean = pca_model(e, "embedding", dim=64, k=8)
+    rows = [
+        (c, round(ratio[c], 4), max(range(64), key=lambda d: abs(comps[c][d])))
+        for c in range(8)
+    ]
+    return spark.createDataFrame(
+        rows, "component int, explained_ratio double, lead_dim int"
+    ).orderBy("component")
+
 QUERIES = {
     "knn_brute_force": knn_brute_force,
     "batch_knn_search": batch_knn_search,
@@ -1011,6 +1070,8 @@ QUERIES = {
     "semdedup_summary": semdedup_summary,
     "knn_pq_approx": knn_pq_approx,
     "pq_recall": pq_recall,
+    "embedding_covariance_stats": embedding_covariance_stats,
+    "pca_variance_audit": pca_variance_audit,
 }
 
 ORACLE = {
@@ -1024,5 +1085,6 @@ ORACLE = {
     "ivf_recall": ORACLE_IVF_RECALL,
     "pq_recall": ORACLE_PQ_RECALL,
     "lsh_recall": ORACLE_LSH_RECALL,
-    # knn_lsh_approx: rows-only by design
+    "embedding_covariance_stats": ORACLE_EMBEDDING_COVARIANCE_STATS,
+    # knn_lsh_approx, pca_variance_audit: rows-only by design
 }

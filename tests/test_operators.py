@@ -1542,3 +1542,55 @@ def test_weighted_sample_tracks_weights_and_merges(spark):
     assert sorted(r.id for r in merged.collect()) == sorted(
         r.id for r in direct.collect()
     )
+
+
+def test_pca_model_invariants_and_projection_decorrelates(spark):
+    """PCA over the distributed integer covariance (operators/pca.py):
+    the covariance cells must equal a numpy recompute on the quantized
+    values exactly; components are orthonormal with DECREASING
+    explained-variance ratios; and projecting the data onto them
+    yields (numerically) uncorrelated coordinates whose variances are
+    the eigenvalues — the linear-algebra contract an oracle cannot
+    express."""
+    import numpy as np
+
+    from data_ingestion_project_spark.operators.pca import (
+        COV_QUANTUM,
+        covariance_cells,
+        pca_model,
+        project,
+    )
+    from data_ingestion_project_spark.sources.readers import table
+
+    sf = "/root/testdata/sf0.001"
+    e = table(spark, sf, "embeddings")
+    X = np.array([r["embedding"] for r in e.select("embedding").collect()], dtype=np.float64)
+    Q = np.round(X * COV_QUANTUM)
+    n, d = Q.shape
+
+    got = {(r["i"], r["j"]): r["cov_scaled"] for r in covariance_cells(e, dim=d).collect()}
+    S = Q.T @ Q
+    m = Q.sum(axis=0)
+    for i in range(d):
+        for j in range(i, d):
+            assert got[(i, j)] == int(n * S[i, j] - m[i] * m[j]), (i, j)
+
+    comps, ratio, mean = pca_model(e, dim=d, k=8)
+    C = np.array(comps)
+    assert np.abs(C @ C.T - np.eye(8)).max() < 1e-9  # orthonormal
+    assert all(ratio[i] >= ratio[i + 1] - 1e-12 for i in range(7))  # sorted
+    assert 0 < sum(ratio) <= 1 + 1e-9
+
+    P = np.array(
+        [r["proj"] for r in project(e, comps, mean).select("proj").collect()]
+    )
+    pc = np.cov(P, rowvar=False, bias=True)
+    off = pc - np.diag(np.diag(pc))
+    # components diagonalize the QUANTIZED covariance; against the raw
+    # data the residual correlation is the 1e-4 quantization noise
+    assert np.abs(off).max() < np.diag(pc).max() * 1e-4  # decorrelated
+    # projected variances == top eigenvalues == ratio * trace
+    cov_full = np.cov(X, rowvar=False, bias=True)
+    tr = np.trace(cov_full)
+    # quantization perturbs the spectrum at ~1e-4 relative scale
+    assert np.allclose(np.diag(pc) / tr, ratio, atol=1e-3)

@@ -577,3 +577,17 @@ def test_bm25_indexed_prunes_partitions_no_tokenizer(spark):
     c = plan_census(df)
     assert c["n_sortmerge_joins"] == 0
     assert not c["has_python_udf"]
+
+
+def test_covariance_fixed_cell_aggregation_no_self_join(spark):
+    """The distributed covariance must emit per-row triangle products
+    through codegen'd array expressions and aggregate on 2080 fixed
+    cells — never a positional self-join of the exploded values (that
+    plan shuffles n x d rows twice and joins them). The only joins are
+    the broadcast 64-row marginal joins; no Python anywhere."""
+    df = all_queries()["embedding_covariance_stats"](spark, SF)
+    c = plan_census(df)
+    assert c["n_sortmerge_joins"] == 0 and c["n_shuffled_hash_joins"] == 0
+    assert c["n_cartesian"] == 0 and c["n_bnl_joins"] == 0
+    assert c["n_broadcast_joins"] >= 2  # the two 64-row marginal joins
+    assert not c["has_python_udf"]
