@@ -1667,6 +1667,94 @@ ORDER BY k
 """
 
 
+
+def bloom_membership_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership census (operators/bloom.py): build the
+    4096-bit / 3-hash filter over the parts shipped in March 1995,
+    probe EVERY part against it, and report the exact accounting -
+    members, set bits, flagged probes, false positives, measured FP
+    rate. Zero false negatives is structural (every member sets its
+    bits); the FP rate is the (1 - e^(-kn/m))^k economics a filter
+    deployment tunes - pinned against theory in pytest, measured
+    exactly here.
+
+    Cross-engine: bits are the salted 48-bit md5 idiom, the probe is
+    bit-set counting, and every output is an integer count or a ratio
+    of integers - the whole build+probe pipeline replays in DuckDB
+    value-exactly. Plan: member scan -> <=4096-bit DISTINCT (SET
+    semantics - the filter merges idempotently, no fence needed,
+    unlike the additive CMS) -> broadcast bit join against the probe
+    explode; the fact table is scanned once."""
+    from data_ingestion_project_spark.operators.bloom import bloom_bits, bloom_probe
+
+    l = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    members = (
+        l.filter(F.col("l_shipdate").between("1995-03-01", "1995-03-31"))
+        .select(F.col("l_partkey").alias("p_partkey"))
+        .distinct()
+    )
+    bits = bloom_bits(members, "p_partkey")
+    flagged = bloom_probe(p.select("p_partkey"), bits, "p_partkey")
+    truth = p.select("p_partkey").join(
+        members.withColumnRenamed("p_partkey", "__m"),
+        F.col("p_partkey") == F.col("__m"),
+        "left",
+    ).select("p_partkey", F.col("__m").isNotNull().alias("is_member"))
+    joined = flagged.join(truth, "p_partkey")
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_probes"),
+        F.sum(F.col("is_member").cast("long")).alias("n_members"),
+        F.sum(F.col("maybe_member").cast("long")).alias("n_flagged"),
+        F.sum(
+            (F.col("maybe_member") & ~F.col("is_member")).cast("long")
+        ).alias("n_false_pos"),
+        F.sum(
+            (F.col("is_member") & ~F.col("maybe_member")).cast("long")
+        ).alias("n_false_neg"),
+        F.round(
+            F.sum((F.col("maybe_member") & ~F.col("is_member")).cast("long"))
+            / (F.count(F.lit(1)) - F.sum(F.col("is_member").cast("long"))),
+            4,
+        ).alias("fp_rate"),
+    )
+
+
+_SQL_BLOOM_BIT = lambda h, item: (  # noqa: E731
+    "(" + _sql_kmv_hash_int(f"md5({h} || ':' || CAST({item} AS VARCHAR))") + ") % 4096"
+)
+
+ORACLE_BLOOM_MEMBERSHIP_AUDIT = f"""
+WITH members AS (
+  SELECT DISTINCT l_partkey AS p_partkey FROM lineitem
+  WHERE l_shipdate BETWEEN DATE '1995-03-01' AND DATE '1995-03-31'
+), hs AS (SELECT UNNEST(range(3)) AS h),
+bits AS (
+  SELECT DISTINCT {_SQL_BLOOM_BIT("hs.h", "m.p_partkey")} AS bit
+  FROM members m, hs
+), probe_bits AS (
+  SELECT p.p_partkey, {_SQL_BLOOM_BIT("hs.h", "p.p_partkey")} AS bit
+  FROM part p, hs
+), flagged AS (
+  SELECT p_partkey FROM probe_bits pb
+  SEMI JOIN bits b ON pb.bit = b.bit
+  GROUP BY p_partkey HAVING COUNT(*) = 3
+), tagged AS (
+  SELECT p.p_partkey,
+         EXISTS (SELECT 1 FROM members m WHERE m.p_partkey = p.p_partkey) AS is_member,
+         EXISTS (SELECT 1 FROM flagged f WHERE f.p_partkey = p.p_partkey) AS maybe_member
+  FROM part p
+)
+SELECT COUNT(*) AS n_probes,
+       CAST(SUM(CASE WHEN is_member THEN 1 ELSE 0 END) AS BIGINT) AS n_members,
+       CAST(SUM(CASE WHEN maybe_member THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+       CAST(SUM(CASE WHEN maybe_member AND NOT is_member THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
+       CAST(SUM(CASE WHEN is_member AND NOT maybe_member THEN 1 ELSE 0 END) AS BIGINT) AS n_false_neg,
+       ROUND(SUM(CASE WHEN maybe_member AND NOT is_member THEN 1 ELSE 0 END) * 1.0
+             / (COUNT(*) - SUM(CASE WHEN is_member THEN 1 ELSE 0 END)), 4) AS fp_rate
+FROM tagged
+"""
+
 QUERIES = {
     "orders_profile": orders_profile,
     "segment_wealth_percentiles": segment_wealth_percentiles,
@@ -1695,6 +1783,7 @@ QUERIES = {
     "tfidf_top_terms": tfidf_top_terms,
     "bm25_topk": bm25_topk,
     "bm25_topk_indexed": bm25_topk_indexed,
+    "bloom_membership_audit": bloom_membership_audit,
     "hybrid_rrf_search": hybrid_rrf_search,
     "rolling_30d_top_spenders": rolling_30d_top_spenders,
     "segment_year_grouping_sets": segment_year_grouping_sets,
@@ -1728,6 +1817,7 @@ ORACLE = {
     "tfidf_top_terms": ORACLE_TFIDF_TOP_TERMS,
     "bm25_topk": ORACLE_BM25_TOPK,
     "bm25_topk_indexed": ORACLE_BM25_TOPK,
+    "bloom_membership_audit": ORACLE_BLOOM_MEMBERSHIP_AUDIT,
     "hybrid_rrf_search": ORACLE_HYBRID_RRF_SEARCH,
     "rolling_30d_top_spenders": ORACLE_ROLLING_30D_TOP_SPENDERS,
     "segment_year_grouping_sets": ORACLE_SEGMENT_YEAR_GROUPING_SETS,

@@ -677,6 +677,66 @@ ORDER BY event_type, eps
 """
 
 
+
+def event_value_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier census per event type: median / MAD (median
+    absolute deviation) and the count of values beyond 3 MADs - the
+    robust-statistics twin of the z-score detector above (a single
+    fat-tailed burst inflates a standard deviation and HIDES its own
+    outliers; the median/MAD pair is breakdown-point-0.5 and does not).
+
+    Cross-engine exactness: the exact interpolated median (a data
+    value, or the mean of the middle two) is identical arithmetic in
+    Spark and DuckDB over the same doubles, and every derived quantity
+    (|x - med|, the MAD median, the 3-MAD compare) is deterministic
+    double math on identically-derived inputs, so counts and ROUNDed
+    stats hash-match. Scale note: exact per-group percentiles hold
+    O(distinct values) aggregate state - fine for type-cardinality
+    groups here and the CERTIFIED twin of the maintained bottom-k
+    quantile-sketch path (quantile_sketch_rollup family), which is
+    what a 100 TB rollup actually reads.
+
+    Plan: two tapering aggregate passes (values -> per-type median ->
+    per-type MAD), each joined back via a broadcast 5-row frame."""
+    e = table(spark, sf_dir, "events")
+    meds = e.groupBy("event_type").agg(F.median("value").alias("med"))
+    dev = e.join(F.broadcast(meds), "event_type").select(
+        "event_type", "value", "med", F.abs(F.col("value") - F.col("med")).alias("adev")
+    )
+    mads = dev.groupBy("event_type").agg(F.median("adev").alias("mad"))
+    flagged = dev.join(F.broadcast(mads), "event_type")
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.first("med"), 4).alias("median_value"),
+            F.round(F.first("mad"), 4).alias("mad_value"),
+            F.sum(
+                (F.col("adev") > 3 * F.col("mad")).cast("long")
+            ).alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_EVENT_VALUE_OUTLIERS_MAD = """
+WITH meds AS (
+  SELECT event_type, median(value) AS med FROM events GROUP BY event_type
+), dev AS (
+  SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS adev
+  FROM events e JOIN meds m USING (event_type)
+), mads AS (
+  SELECT event_type, median(adev) AS mad FROM dev GROUP BY event_type
+)
+SELECT d.event_type,
+       COUNT(*) AS n_events,
+       ROUND(ANY_VALUE(d.med), 4) AS median_value,
+       ROUND(ANY_VALUE(m.mad), 4) AS mad_value,
+       CAST(SUM(CASE WHEN d.adev > 3 * m.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM dev d JOIN mads m USING (event_type)
+GROUP BY d.event_type ORDER BY d.event_type
+"""
+
 QUERIES = {
     "event_type_lift": event_type_lift,
     "user_daily_gapfill": user_daily_gapfill,
@@ -690,6 +750,7 @@ QUERIES = {
     "user_sessions": user_sessions,
     "purchase_last_click": purchase_last_click,
     "daily_event_anomalies": daily_event_anomalies,
+    "event_value_outliers_mad": event_value_outliers_mad,
     "event_value_by_type_salted": event_value_by_type_salted,
     "user_scd2_summary": user_scd2_summary,
     "dp_event_counts": dp_event_counts,
@@ -699,6 +760,7 @@ ORACLE = {
     "event_type_lift": ORACLE_EVENT_TYPE_LIFT,
     "user_daily_gapfill": ORACLE_USER_DAILY_GAPFILL,
     "daily_event_anomalies": ORACLE_DAILY_EVENT_ANOMALIES,
+    "event_value_outliers_mad": ORACLE_EVENT_VALUE_OUTLIERS_MAD,
     "event_value_by_type_salted": ORACLE_EVENT_VALUE_BY_TYPE_SALTED,
     "hourly_event_stats": ORACLE_HOURLY_EVENT_STATS,
     "daily_active_users": ORACLE_DAILY_ACTIVE_USERS,

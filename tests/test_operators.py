@@ -1594,3 +1594,43 @@ def test_pca_model_invariants_and_projection_decorrelates(spark):
     tr = np.trace(cov_full)
     # quantization perturbs the spectrum at ~1e-4 relative scale
     assert np.allclose(np.diag(pc) / tr, ratio, atol=1e-3)
+
+
+def test_bloom_filter_no_false_negatives_fp_near_theory_merge_idempotent(spark):
+    """operators/bloom.py: every member is flagged (zero false
+    negatives, structural); measured FP rate lands near the
+    (1 - e^(-kn/m))^k economics; and the SET-bit representation merges
+    by plain union+distinct — idempotently (re-merging a batch cannot
+    change the filter, the property the additive CMS needs a fence
+    for)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from data_ingestion_project_spark.operators.bloom import (
+        K_HASHES,
+        M_BITS,
+        bloom_bits,
+        bloom_probe,
+    )
+
+    members = spark.range(0, 600).select(F.col("id").alias("key"))
+    probes = spark.range(0, 5000).select(F.col("id").alias("key"))
+    bits = bloom_bits(members, "key")
+    assert bits.count() <= M_BITS
+    out = bloom_probe(probes, bits, "key")
+    flagged = {r.key for r in out.filter("maybe_member").collect()}
+    assert set(range(600)) <= flagged  # zero false negatives
+    fp = len(flagged - set(range(600))) / 4400
+    theory = (1 - math.exp(-K_HASHES * 600 / M_BITS)) ** K_HASHES
+    assert fp <= 3 * theory and fp >= theory / 3  # same order as theory
+
+    # idempotent SET merge: bits(A) U bits(B) == bits(A U B); re-adding
+    # a batch is a no-op
+    a = spark.range(0, 300).select(F.col("id").alias("key"))
+    b = spark.range(300, 600).select(F.col("id").alias("key"))
+    merged = bloom_bits(a, "key").union(bloom_bits(b, "key")).distinct()
+    direct = bloom_bits(members, "key")
+    assert {r.bit for r in merged.collect()} == {r.bit for r in direct.collect()}
+    replayed = merged.union(bloom_bits(b, "key")).distinct()
+    assert replayed.count() == merged.count()
