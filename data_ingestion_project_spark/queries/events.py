@@ -737,6 +737,83 @@ FROM dev d JOIN mads m USING (event_type)
 GROUP BY d.event_type ORDER BY d.event_type
 """
 
+
+def incident_window_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KEYLESS interval-overlap join at scale (operators/
+    interval_join.py): error-burst incident windows (hours with >= 3
+    error events, window = that hour plus the next) joined to EVERY
+    purchase falling inside them - no shared key column, the join
+    Catalyst can only nested-loop. The operator decomposes each
+    window into its hour buckets and hash-joins on the bucket, then
+    refines with the exact range predicate - one shuffle instead of
+    |purchases| x |incidents| comparisons (plan pinned: zero
+    BroadcastNestedLoopJoin / CartesianProduct nodes).
+
+    Output per incident hour: purchases landing in the window and
+    their summed value (decimal micro-units -> exact cross-engine).
+    The oracle replays the incident derivation and the PLAIN non-equi
+    join - certifying the bucketed plan computes exactly the naive
+    semantics."""
+    from data_ingestion_project_spark.operators.interval_join import (
+        interval_bucket_join,
+    )
+
+    e = table(spark, sf_dir, "events")
+    hours = e.filter(F.col("event_type") == "error").groupBy(
+        F.date_trunc("hour", "ts").alias("inc_start")
+    ).agg(F.count(F.lit(1)).alias("n_errors")).filter(F.col("n_errors") >= 3)
+    incidents = hours.select(
+        "inc_start",
+        (F.col("inc_start") + F.expr("INTERVAL 2 HOURS")
+         - F.expr("INTERVAL 1 SECOND")).alias("inc_end"),
+        "n_errors",
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "ts", F.round(F.col("value") * 1000000, 0).cast("long").alias("value_micro")
+    )
+    joined = interval_bucket_join(
+        purchases, incidents, ts_col="ts", start_col="inc_start", end_col="inc_end"
+    )
+    return (
+        joined.groupBy("inc_start")
+        .agg(
+            F.first("n_errors").alias("n_errors"),
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.round(F.sum("value_micro") / 1000000.0, 4).alias("purchase_value"),
+        )
+        .select(
+            F.date_format("inc_start", "yyyy-MM-dd HH:mm:ss").alias("inc_start"),
+            "n_errors",
+            "n_purchases",
+            "purchase_value",
+        )
+        .orderBy("inc_start")
+    )
+
+
+ORACLE_INCIDENT_WINDOW_PURCHASES = """
+WITH hours AS (
+  SELECT date_trunc('hour', ts) AS inc_start, COUNT(*) AS n_errors
+  FROM events WHERE event_type = 'error'
+  GROUP BY 1 HAVING COUNT(*) >= 3
+), incidents AS (
+  SELECT inc_start,
+         inc_start + INTERVAL 2 HOUR - INTERVAL 1 SECOND AS inc_end,
+         n_errors
+  FROM hours
+), purchases AS (
+  SELECT ts, CAST(ROUND(value * 1000000, 0) AS BIGINT) AS value_micro
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT strftime(i.inc_start, '%Y-%m-%d %H:%M:%S') AS inc_start,
+       ANY_VALUE(i.n_errors) AS n_errors,
+       COUNT(*) AS n_purchases,
+       ROUND(SUM(p.value_micro) / 1000000.0, 4) AS purchase_value
+FROM purchases p JOIN incidents i
+  ON p.ts BETWEEN i.inc_start AND i.inc_end
+GROUP BY i.inc_start ORDER BY inc_start
+"""
+
 QUERIES = {
     "event_type_lift": event_type_lift,
     "user_daily_gapfill": user_daily_gapfill,
@@ -751,6 +828,7 @@ QUERIES = {
     "purchase_last_click": purchase_last_click,
     "daily_event_anomalies": daily_event_anomalies,
     "event_value_outliers_mad": event_value_outliers_mad,
+    "incident_window_purchases": incident_window_purchases,
     "event_value_by_type_salted": event_value_by_type_salted,
     "user_scd2_summary": user_scd2_summary,
     "dp_event_counts": dp_event_counts,
@@ -761,6 +839,7 @@ ORACLE = {
     "user_daily_gapfill": ORACLE_USER_DAILY_GAPFILL,
     "daily_event_anomalies": ORACLE_DAILY_EVENT_ANOMALIES,
     "event_value_outliers_mad": ORACLE_EVENT_VALUE_OUTLIERS_MAD,
+    "incident_window_purchases": ORACLE_INCIDENT_WINDOW_PURCHASES,
     "event_value_by_type_salted": ORACLE_EVENT_VALUE_BY_TYPE_SALTED,
     "hourly_event_stats": ORACLE_HOURLY_EVENT_STATS,
     "daily_active_users": ORACLE_DAILY_ACTIVE_USERS,

@@ -542,3 +542,50 @@ def start_dedup_ingestion_stream(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def start_bloom_stream(
+    spark: SparkSession,
+    items: DataFrame,
+    table_path: str,
+    checkpoint_dir: str,
+    item_col: str,
+    m: int = 4096,
+    k: int = 3,
+) -> StreamingQuery:
+    """Streaming maintenance of the standing Bloom filter
+    (operators/bloom.py): each micro-batch's NEW bits (anti-joined
+    against the current set-bit table) are appended, so the filter
+    always reflects every item ever ingested and the table stays
+    ≤ m rows.
+
+    This is the UNFENCED member of the sketch-maintenance family, and
+    deliberately so: the set-bit representation has SET semantics — a
+    replayed batch's bits already exist, the anti-join drops them all,
+    and the append is empty — so at-least-once foreachBatch delivery
+    is absorbed by the algebra itself (the quantile/KMV argument),
+    where the additive CMS and df folds need their manifest fences."""
+    from data_ingestion_project_spark.operators import txn_table as T
+    from data_ingestion_project_spark.operators.bloom import bloom_bits
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        bits = bloom_bits(batch_df, item_col, m=m, k=k)
+        if T.current_version(table_path) is None:
+            try:
+                T.create_table(spark, table_path, bits)
+                return
+            except (FileExistsError, T.TxnConflict):
+                pass  # lost the create race: fall through to delta append
+        existing = T.read(spark, table_path).select("bit")
+        new_bits = bits.join(existing, "bit", "left_anti")
+        if not new_bits.isEmpty():
+            T.append(spark, table_path, new_bits)
+
+    return (
+        items.writeStream.foreachBatch(_sink)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

@@ -1634,3 +1634,51 @@ def test_bloom_filter_no_false_negatives_fp_near_theory_merge_idempotent(spark):
     assert {r.bit for r in merged.collect()} == {r.bit for r in direct.collect()}
     replayed = merged.union(bloom_bits(b, "key")).distinct()
     assert replayed.count() == merged.count()
+
+
+def test_interval_bucket_join_equals_naive_semantics(spark):
+    """operators/interval_join.py: the bucket-decomposed equi-join must
+    produce EXACTLY the naive non-equi join's pairs — including
+    intervals spanning many buckets, sub-bucket intervals, boundary
+    timestamps (inclusive both ends), and zero-match points — with no
+    duplicate pairs (each pair meets only in the point's bucket)."""
+    import datetime as dt
+
+    from data_ingestion_project_spark.operators.interval_join import (
+        interval_bucket_join,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+
+    def t(minutes):
+        return base + dt.timedelta(minutes=minutes)
+
+    points = spark.createDataFrame(
+        [(i, t(m)) for i, m in enumerate([0, 59, 60, 61, 119, 120, 500, 1440, 733])],
+        "pid long, ts timestamp",
+    )
+    intervals = spark.createDataFrame(
+        [
+            (100, t(0), t(120)),      # spans 3 hour-buckets, inclusive ends
+            (101, t(30), t(45)),      # sub-bucket
+            (102, t(55), t(65)),      # crosses one boundary
+            (103, t(2000), t(3000)),  # matches nothing
+            (104, t(700), t(1500)),   # long span
+        ],
+        "iid long, start timestamp, end timestamp",
+    )
+    got = sorted(
+        (r.pid, r.iid)
+        for r in interval_bucket_join(
+            points, intervals, "ts", "start", "end", bucket_seconds=3600
+        ).collect()
+    )
+    prows = points.collect()
+    irows = intervals.collect()
+    want = sorted(
+        (p.pid, i.iid)
+        for p in prows
+        for i in irows
+        if i.start <= p.ts <= i.end
+    )
+    assert got == want and len(got) == len(set(got))

@@ -591,3 +591,16 @@ def test_covariance_fixed_cell_aggregation_no_self_join(spark):
     assert c["n_cartesian"] == 0 and c["n_bnl_joins"] == 0
     assert c["n_broadcast_joins"] >= 2  # the two 64-row marginal joins
     assert not c["has_python_udf"]
+
+
+def test_interval_join_is_hash_join_not_nested_loop(spark):
+    """The keyless time-range join must run as a bucket HASH join —
+    zero BroadcastNestedLoopJoin / CartesianProduct nodes (the plan
+    Catalyst gives a bare non-equi time join, O(|P|x|I|))."""
+    df = all_queries()["incident_window_purchases"](spark, SF)
+    c = plan_census(df)
+    assert c["n_bnl_joins"] == 0 and c["n_cartesian"] == 0
+    assert (
+        c["n_broadcast_joins"] + c["n_sortmerge_joins"] + c["n_shuffled_hash_joins"]
+    ) >= 1
+    assert not c["has_python_udf"]

@@ -1057,3 +1057,50 @@ def test_dedup_ingestion_stream_end_to_end(spark, tmp_path):
     assert {p: T.current_version(p) for p in (corpus, mh_p, sh_p)} == states
     assert T.read(spark, index).count() == fp_rows  # index self-replay-safe
     assert sorted(r.doc_id for r in T.read(spark, corpus).collect()) == accepted_ids
+
+
+def test_bloom_stream_equals_batch_build_replay_absorbed(spark, tmp_path):
+    """Streaming Bloom maintenance: after three micro-batches the
+    set-bit table equals the one-shot build over all items, a
+    re-delivered batch appends nothing (SET semantics absorb replay —
+    no fence in this sink, by design), and probing the streamed filter
+    flags every ingested item."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_project_spark.operators import txn_table as T
+    from data_ingestion_project_spark.operators.bloom import bloom_bits, bloom_probe
+    from data_ingestion_project_spark.streaming.ingest import start_bloom_stream
+
+    src = tmp_path / "keys"
+    src.mkdir()
+    table_path = str(tmp_path / "bloom")
+
+    stream = (
+        spark.readStream.schema("key long")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = start_bloom_stream(spark, stream, table_path, str(tmp_path / "ckpt"), "key")
+    try:
+        for lo, hi, name in ((0, 200, "b1"), (200, 400, "b2"), (400, 600, "b3")):
+            (src / f"{name}.json").write_text(
+                "\n".join(json.dumps({"key": i}) for i in range(lo, hi))
+            )
+            q.processAllAvailable()
+        got = {r.bit for r in T.read(spark, table_path).collect()}
+        full = spark.range(0, 600).select(F.col("id").alias("key"))
+        want = {r.bit for r in bloom_bits(full, "key").collect()}
+        assert got == want
+
+        version = T.current_version(table_path)
+        (src / "b3_replay.json").write_text(
+            "\n".join(json.dumps({"key": i}) for i in range(400, 600))
+        )
+        q.processAllAvailable()
+        # replay delivered: zero new bits -> zero new commits
+        assert T.current_version(table_path) == version
+
+        probes = bloom_probe(full, T.read(spark, table_path), "key")
+        assert probes.filter("NOT maybe_member").count() == 0
+    finally:
+        q.stop()
