@@ -3482,6 +3482,70 @@ FROM per_doc GROUP BY lang ORDER BY lang
 """
 
 
+
+def compression_ratio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-ratio quality census - the deflate-ratio heuristic
+    production web pipelines run alongside the Gopher rules: highly
+    repetitive text (boilerplate, looped spans, keyword stuffing)
+    compresses far below natural prose, so ratio = deflated_bytes /
+    raw_bytes is a cheap single-pass quality signal. Computed with
+    stdlib zlib level 6 inside ONE Arrow mapInPandas stage (the
+    documented Python seam - there is no JVM/SQL deflate, which is
+    also why this is a rows-only query: DuckDB cannot replay deflate;
+    the discriminative floor is pinned in pytest instead).
+
+    Dirt is planted in-query (the repo idiom): every 13th doc becomes
+    one word repeated - those must land in the flagged (< 0.35) band.
+    Per language: docs, flagged count, mean ratio in integer
+    micro-units (exact integer aggregation, no float drift in the
+    rows-only count check).
+
+    Plan: scan -> planted projection -> one Arrow batch stage emitting
+    (lang, ratio_micro) -> single partial-agg shuffle on lang."""
+    import pandas as _pd
+    import zlib as _zlib
+
+    d = table(spark, sf_dir, "documents")
+    planted = d.select(
+        "lang",
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.concat(F.lit("repeat "), F.expr("repeat('spam ', 80)")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+
+    def _ratio(batches):
+        for pdf in batches:
+            raw = [t.encode("utf-8") for t in pdf["text"]]
+            yield _pd.DataFrame(
+                {
+                    "lang": pdf["lang"],
+                    "ratio_micro": _pd.Series(
+                        [
+                            (len(_zlib.compress(b, 6)) * 1_000_000) // max(len(b), 1)
+                            for b in raw
+                        ],
+                        index=pdf.index,
+                        dtype="int64",
+                    ),
+                }
+            )
+
+    ratios = planted.mapInPandas(_ratio, schema="lang string, ratio_micro long")
+    return (
+        ratios.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("ratio_micro") < 350_000).cast("long")).alias("n_flagged"),
+            (F.sum("ratio_micro") / F.count(F.lit(1))).cast("long").alias(
+                "mean_ratio_micro"
+            ),
+        )
+        .orderBy("lang")
+    )
+
 QUERIES = {
     "doc_repetition_stats": doc_repetition_stats,
     "corpus_mixture_plan": corpus_mixture_plan,
@@ -3510,6 +3574,7 @@ QUERIES = {
     "png_decode_stats": png_decode_stats,
     "jpeg_decode_stats": jpeg_decode_stats,
     "weighted_sample_audit": weighted_sample_audit,
+    "compression_ratio_stats": compression_ratio_stats,
     "bigram_logprob_buckets": bigram_logprob_buckets,
     "source_overlap_matrix": source_overlap_matrix,
     "quality_filter_funnel": quality_filter_funnel,

@@ -239,3 +239,31 @@ def test_modality_agreement_scale_finds_planted_cross_modal_dups(spark):
     assert row["n_both"] >= 40     # lexical agreement floor
     assert row["n_lexical"] >= row["n_both"]
     assert row["n_semantic_only"] == row["n_semantic"] - row["n_both"]
+
+
+def test_compression_ratio_flags_repetitive_text(spark):
+    """The deflate-ratio filter must discriminate: planted repetitive
+    docs (every 13th) compress below the 0.35 flag line, natural
+    corpus prose stays above it — so per-language flag counts equal
+    exactly the planted count, and the stage is deterministic across
+    runs (same bytes, same zlib level)."""
+    from data_ingestion_project_spark.queries import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    fn = all_queries()["compression_ratio_stats"]
+    rows = {r.lang: r for r in fn(spark, sf).collect()}
+
+    import duckdb
+
+    planted = dict(
+        duckdb.sql(
+            f"SELECT lang, SUM(CASE WHEN doc_id % 13 = 0 THEN 1 ELSE 0 END) "
+            f"FROM '{sf}/documents.parquet' GROUP BY lang"
+        ).fetchall()
+    )
+    for lang, r in rows.items():
+        assert r.n_flagged == planted[lang], lang  # exactly the planted docs
+        assert r.mean_ratio_micro > 350_000  # natural prose dominates the mean
+
+    again = {r.lang: tuple(r) for r in fn(spark, sf).collect()}
+    assert again == {r.lang: tuple(r) for r in rows.values()}  # deterministic
