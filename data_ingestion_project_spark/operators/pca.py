@@ -162,3 +162,137 @@ def project(
         for comp in components
     ]
     return emb.withColumn(out_col, F.array(*dots))
+
+
+def moment_rows(emb: DataFrame, col: str = "embedding", dim: int = 64) -> DataFrame:
+    """A batch's RAW moment cells — the additive representation that
+    makes covariance a maintainable asset: (cell, i, j, v) rows where
+    j >= 0 holds Σ q_i·q_j (upper triangle), j = -1 holds the marginal
+    Σ q_i, and (i, j) = (-1, -1) holds the row count. All three moment
+    kinds are plain sums, so batches COMBINE BY ADDITION — the same
+    mergeable-partial shape as the CMS cells — and the full-data
+    covariance n·Σxy − Σx·Σy is recoverable from the folded cells at
+    any time with zero data rescan."""
+    q = emb.select(quantized_vec(col).alias("v"))
+    pairs = q.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(dim - 1)),
+                    lambda i: F.transform(
+                        F.sequence(i, F.lit(dim - 1)),
+                        lambda j: F.struct(
+                            i.cast("int").alias("i"),
+                            j.cast("int").alias("j"),
+                            (F.element_at("v", i + 1) * F.element_at("v", j + 1)).alias(
+                                "xy"
+                            ),
+                        ),
+                    ),
+                )
+            )
+        ).alias("c")
+    ).groupBy("c.i", "c.j").agg(F.sum("c.xy").alias("v"))
+    marg = (
+        emb.select(F.posexplode(quantized_vec(col)).alias("i", "qv"))
+        .groupBy("i")
+        .agg(F.sum("qv").alias("v"))
+        .select("i", F.lit(-1).alias("j"), "v")
+    )
+    cnt = emb.groupBy().agg(F.count(F.lit(1)).alias("v")).select(
+        F.lit(-1).alias("i"), F.lit(-1).alias("j"), "v"
+    )
+    rows = pairs.unionByName(marg).unionByName(cnt)
+    return rows.select(
+        ((F.col("i") + 1) * (dim + 1) + F.col("j") + 1).alias("cell"), "i", "j", "v"
+    )
+
+
+def update_covariance_asset(
+    spark,
+    table_path: str,
+    batch_emb: DataFrame,
+    col: str = "embedding",
+    dim: int = 64,
+    fence: tuple[str, int] | None = None,
+    max_retries: int = 20,
+) -> None:
+    """Fenced additive fold of a batch's moment cells into the standing
+    covariance asset — identical posture to the CMS fold
+    (operators/cms.update_cms_asset): the merge is ADDITIVE, hence the
+    (fence_id, batch_id) manifest fence under at-least-once delivery,
+    pinned to the read snapshot so concurrent writers conflict-and-
+    retry. ≤ d(d+1)/2 + d + 1 cells regardless of batch size; PCA can
+    be refit from the folded cells at any time with zero data rescan
+    (:func:`pca_model_from_asset`)."""
+    from data_ingestion_project_spark.operators import txn_table as T
+
+    cells = moment_rows(batch_emb, col, dim)
+    extra = None
+    if fence is not None:
+        extra = {"stream_fences": {fence[0]: fence[1]}}
+    for _ in range(max_retries):
+        base = T.current_version(table_path)
+        if base is None:
+            try:
+                T.create_table(spark, table_path, cells, extra=extra)
+                return
+            except (FileExistsError, T.TxnConflict):
+                continue
+        if fence is not None:
+            fences = T._read_manifest(table_path, base).get("stream_fences", {})
+            if fence[1] <= fences.get(fence[0], -1):
+                return  # replayed batch: moments already added
+        try:
+            T.merge(
+                spark,
+                table_path,
+                cells,
+                key="cell",
+                update_expr={"v": "t.v + s.v"},
+                extra=extra,
+                base_version=base,
+            )
+            return
+        except T.TxnConflict:
+            continue
+    from data_ingestion_project_spark.operators.txn_table import TxnConflict
+
+    raise TxnConflict(
+        f"covariance fold gave up after {max_retries} contended commits at {table_path}"
+    )
+
+
+def pca_model_from_asset(spark, table_path: str, dim: int = 64, k: int = 8):
+    """Refit PCA from the standing moment cells — no data rescan: read
+    the ≤ 2145 cells, reconstruct mean and covariance, eigh on the
+    driver. Returns the same (components, explained_ratio, mean)
+    contract as :func:`pca_model`, and — because moments add exactly —
+    the SAME model a one-shot fit over all batches would produce."""
+    import numpy as np
+
+    from data_ingestion_project_spark.operators import txn_table as T
+
+    rows = T.read(spark, table_path).collect()
+    n = 0
+    sx = np.zeros(dim)
+    sxy = np.zeros((dim, dim))
+    for r in rows:
+        if r["i"] == -1:
+            n = int(r["v"])
+        elif r["j"] == -1:
+            sx[r["i"]] = r["v"]
+        else:
+            sxy[r["i"], r["j"]] = sxy[r["j"], r["i"]] = r["v"]
+    cov = (n * sxy - np.outer(sx, sx)) / (n * n * COV_QUANTUM**2)
+    mean = (sx / (n * COV_QUANTUM)).tolist()
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:k]
+    comps = v[:, order].T
+    for r_ in range(comps.shape[0]):
+        m = np.argmax(np.abs(comps[r_]))
+        if comps[r_, m] < 0:
+            comps[r_] = -comps[r_]
+    total = float(np.trace(cov))
+    ratio = [float(w[o] / total) for o in order]
+    return comps.tolist(), ratio, mean

@@ -1682,3 +1682,49 @@ def test_interval_bucket_join_equals_naive_semantics(spark):
         if i.start <= p.ts <= i.end
     )
     assert got == want and len(got) == len(set(got))
+
+
+def test_covariance_asset_incremental_equals_one_shot_and_fence(spark, tmp_path):
+    """Standing covariance asset (operators/pca.py): three fenced batch
+    folds must hold exactly the one-shot moments (integer cells equal),
+    pca_model_from_asset must equal pca_model over the union (same
+    components/ratios/mean), and a replayed batch under the recorded
+    fence leaves the table version unchanged."""
+    import numpy as np
+
+    from data_ingestion_project_spark.operators import txn_table as T
+    from data_ingestion_project_spark.operators.pca import (
+        moment_rows,
+        pca_model,
+        pca_model_from_asset,
+        update_covariance_asset,
+    )
+    from data_ingestion_project_spark.sources.readers import table
+
+    sf = "/root/testdata/sf0.001"
+    e = table(spark, sf, "embeddings").orderBy("vec_id")
+    parts = [
+        e.filter(f"vec_id % 3 = {r}").select("embedding") for r in range(3)
+    ]
+    path = str(tmp_path / "cov_asset")
+    for bid, p in enumerate(parts):
+        update_covariance_asset(spark, path, p, fence=("t", bid))
+
+    want = {
+        (r["i"], r["j"]): r["v"]
+        for r in moment_rows(e.select("embedding")).collect()
+    }
+    got = {(r["i"], r["j"]): r["v"] for r in T.read(spark, path).collect()}
+    assert got == want  # additive fold == one-shot moments, exactly
+
+    version = T.current_version(path)
+    update_covariance_asset(spark, path, parts[2], fence=("t", 2))
+    assert T.current_version(path) == version  # replay: no commit
+
+    ca, ra, ma = pca_model_from_asset(spark, path)
+    cb, rb, mb = pca_model(e.select("embedding"))
+    assert np.allclose(ca, cb, atol=1e-9)
+    assert np.allclose(ra, rb, atol=1e-12)
+    # asset mean derives from 1e-4-quantized values (pca_model's from
+    # raw doubles): per-value error <= half a quantum
+    assert np.allclose(ma, mb, atol=5e-5)
