@@ -589,3 +589,39 @@ def start_bloom_stream(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def start_covariance_stream(
+    spark: SparkSession,
+    embeddings: DataFrame,
+    table_path: str,
+    checkpoint_dir: str,
+    col: str = "embedding",
+    dim: int = 64,
+    app_id: str | None = None,
+) -> StreamingQuery:
+    """Streaming maintenance of the standing covariance moments
+    (operators/pca.py): each micro-batch of arriving embeddings folds
+    its ≤ d(d+1)/2 + d + 1 moment cells into the asset, so PCA /
+    whitening can be refit at ANY time from KB-sized stored moments —
+    never a corpus rescan. Additive cells ⇒ fenced, exactly the CMS
+    posture (a replayed batch would double every moment)."""
+    import os
+
+    from data_ingestion_project_spark.operators.pca import update_covariance_asset
+
+    fence_id = app_id or os.path.abspath(checkpoint_dir)
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        update_covariance_asset(
+            spark, table_path, batch_df, col=col, dim=dim, fence=(fence_id, batch_id)
+        )
+
+    return (
+        embeddings.writeStream.foreachBatch(_sink)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

@@ -1104,3 +1104,60 @@ def test_bloom_stream_equals_batch_build_replay_absorbed(spark, tmp_path):
         assert probes.filter("NOT maybe_member").count() == 0
     finally:
         q.stop()
+
+
+def test_covariance_stream_equals_batch_moments(spark, tmp_path):
+    """Streaming covariance maintenance: after three micro-batches of
+    embeddings the standing moment cells equal the one-shot
+    moment_rows over all vectors exactly (integer cells), and the
+    refit model from the asset matches the direct fit."""
+    import numpy as np
+
+    from data_ingestion_project_spark.operators import txn_table as T
+    from data_ingestion_project_spark.operators.pca import (
+        moment_rows,
+        pca_model,
+        pca_model_from_asset,
+    )
+    from data_ingestion_project_spark.streaming.ingest import start_covariance_stream
+
+    DIM = 8
+    src = tmp_path / "vecs"
+    src.mkdir()
+    table_path = str(tmp_path / "cov")
+
+    def vec(i):
+        return [round(((i * 7 + d * 13) % 200 - 100) / 250.0, 4) for d in range(DIM)]
+
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = start_covariance_stream(
+        spark, stream, table_path, str(tmp_path / "ckpt"), dim=DIM
+    )
+    try:
+        for lo, hi, name in ((0, 40, "b1"), (40, 80, "b2"), (80, 120, "b3")):
+            (src / f"{name}.json").write_text(
+                "\n".join(
+                    json.dumps({"vec_id": i, "embedding": vec(i)})
+                    for i in range(lo, hi)
+                )
+            )
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+    full = spark.createDataFrame(
+        [(i, vec(i)) for i in range(120)], "vec_id long, embedding array<double>"
+    )
+    want = {
+        (r["i"], r["j"]): r["v"] for r in moment_rows(full, dim=DIM).collect()
+    }
+    got = {(r["i"], r["j"]): r["v"] for r in T.read(spark, table_path).collect()}
+    assert got == want
+
+    ca, ra, _ = pca_model_from_asset(spark, table_path, dim=DIM, k=3)
+    cb, rb, _ = pca_model(full, dim=DIM, k=3)
+    assert np.allclose(ca, cb, atol=1e-9) and np.allclose(ra, rb, atol=1e-12)
