@@ -19,9 +19,9 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from data_ingestion_project_spark.queries import advanced, documents, embeddings, events, tpch, tpch2
+from data_ingestion_project_spark.queries import advanced, documents, embeddings, events, stats, tpch, tpch2
 
-_MODULES = (tpch, tpch2, events, documents, embeddings, advanced)
+_MODULES = (tpch, tpch2, events, documents, embeddings, advanced, stats)
 
 # The driver's correctness gate certifies the FIRST 50 entries of
 # all_queries() in dict order.  Per the round-5 verdict ask #2, this

@@ -1,0 +1,653 @@
+"""Hypothesis-testing and model-fit censuses — distributed classical
+statistics as single-pass aggregations.
+
+The reference (a 418-line pandas ETL; SURVEY.md §2 marks ALL analytics
+absent) has no statistical surface; these queries add the inference
+primitives a 100 TB data-quality pipeline runs routinely: independence
+tests between categorical facets (is event mix stable across days of
+the week?), distribution-drift tests between corpus slices (did the
+length distribution shift between sources?), variance decomposition
+(does event value actually differ by type?), and closed-form model
+fits (the ``REGR_*`` aggregate family).
+
+Scale posture shared by every query here: each statistic is a function
+of a FIXED, tiny set of sufficient statistics (cell counts, group
+moments) produced by ONE partial-aggregation shuffle over the fact
+table; all test arithmetic then runs on frames whose cardinality is
+the number of groups/cells — a data-domain constant, not the corpus
+size.  No global windows over base-table-derived frames (the KS
+cumulative distribution uses the repo's two-level bucket-prefix
+cumsum, the same posture as ``acctbal_deciles_scalable``).
+
+Oracle-exactness follows the house rules (queries/_precision.py):
+counts and micro-quantized sums accumulate in exact integer domain;
+every double expression downstream of those integers is written
+operation-for-operation identically in Spark and DuckDB so IEEE
+arithmetic produces bit-equal results; transcendentals (ln) are
+quantized to integers immediately (the ``bigram_logprob_buckets``
+idiom) so a last-ulp libm difference cannot propagate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_ingestion_project_spark.queries._precision import to_micro
+from data_ingestion_project_spark.sources.readers import table
+
+_M = 1_000_000  # micro-unit quantization for derived double statistics
+_DEC = "decimal(28,0)"
+
+
+def _micro(col):
+    """trunc(x * 1e6) as int64 — engine-mirrorable quantization of a
+    value-determined double expression."""
+    return (col * F.lit(float(_M))).cast("long")
+
+
+# --------------------------------------------------------------- chi²
+
+
+def chisq_event_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square test of independence: event_type × ISO
+    day-of-week.  The workhorse drift monitor for categorical facets
+    (is Saturday's event mix the same as Tuesday's?).
+
+    Plan: ONE partial-agg shuffle builds the contingency table (≤
+    |types|×7 cells); row totals, column totals, grand total, expected
+    counts, per-cell contributions, the global statistic and its
+    degrees of freedom are all derived from that tiny frame via
+    broadcast joins — the fact table is scanned exactly once, and
+    nothing downstream grows with the corpus.
+
+    Exactness: expected = R·C/N is one double division of exact
+    BIGINTs (identical IEEE result both engines); the cell
+    contribution (O−E)²/E is micro-truncated to int64 per cell and the
+    global χ² is the EXACT integer sum of those cells — no
+    order-dependent double accumulation anywhere.
+    """
+    e = table(spark, sf_dir, "events")
+    # the ONE fact-table pass; materialized (house localCheckpoint
+    # idiom) so the five derived totals below read the ≤|types|×7-cell
+    # frame instead of each re-scanning events (column pruning makes
+    # the branches' agg subtrees differ, defeating exchange reuse)
+    cells = (
+        e.groupBy(
+            "event_type",
+            (F.expr("weekday(ts)") + F.lit(1)).alias("dow"),  # ISO: 1=Mon
+        )
+        .agg(F.count(F.lit(1)).alias("observed"))
+        .localCheckpoint(eager=True)
+    )
+    row_tot = cells.groupBy("event_type").agg(F.sum("observed").alias("row_total"))
+    col_tot = cells.groupBy("dow").agg(F.sum("observed").alias("col_total"))
+    totals = cells.agg(
+        F.sum("observed").alias("n_total"),
+        ((F.count_distinct("event_type") - 1) * (F.count_distinct("dow") - 1)).alias(
+            "dof"
+        ),
+    )
+    j = (
+        cells.join(F.broadcast(row_tot), "event_type")
+        .join(F.broadcast(col_tot), "dow")
+        .crossJoin(F.broadcast(totals))
+    )
+    exp_d = (F.col("row_total") * F.col("col_total")).cast("double") / F.col("n_total")
+    diff = F.col("observed").cast("double") - exp_d
+    k = j.select(
+        "event_type",
+        "dow",
+        "observed",
+        "dof",
+        _micro(exp_d).alias("exp_i"),
+        _micro(diff * diff / exp_d).alias("cell_i"),
+    )
+    tot = k.agg(F.sum("cell_i").alias("tot_i"))
+    return (
+        k.crossJoin(F.broadcast(tot))
+        .select(
+            "event_type",
+            "dow",
+            "observed",
+            (F.col("exp_i").cast("double") / F.lit(float(_M))).alias("expected"),
+            (F.col("cell_i").cast("double") / F.lit(float(_M))).alias("cell_chi2"),
+            (F.col("tot_i").cast("double") / F.lit(float(_M))).alias("chi2"),
+            F.col("dof").cast("long").alias("dof"),
+        )
+        .orderBy("event_type", "dow")
+    )
+
+
+ORACLE_CHISQ_EVENT_DOW = """
+WITH cells AS (
+  SELECT event_type, CAST(date_part('isodow', ts) AS INT) AS dow,
+         COUNT(*) AS observed
+  FROM events GROUP BY 1, 2
+), rt AS (SELECT event_type, SUM(observed) AS row_total FROM cells GROUP BY 1),
+ct AS (SELECT dow, SUM(observed) AS col_total FROM cells GROUP BY 1),
+nt AS (
+  SELECT SUM(observed) AS n_total,
+         (COUNT(DISTINCT event_type) - 1) * (COUNT(DISTINCT dow) - 1) AS dof
+  FROM cells
+), j AS (
+  SELECT c.event_type, c.dow, c.observed, nt.dof,
+         CAST(rt.row_total * ct.col_total AS DOUBLE) / nt.n_total AS exp_d
+  FROM cells c
+  JOIN rt USING (event_type) JOIN ct USING (dow) CROSS JOIN nt
+), k AS (
+  SELECT event_type, dow, observed, dof,
+         CAST(trunc(exp_d * 1000000) AS BIGINT) AS exp_i,
+         CAST(trunc(((CAST(observed AS DOUBLE) - exp_d)
+                     * (CAST(observed AS DOUBLE) - exp_d) / exp_d) * 1000000)
+              AS BIGINT) AS cell_i
+  FROM j
+), tot AS (SELECT SUM(cell_i) AS tot_i FROM k)
+SELECT event_type, dow, observed,
+       CAST(exp_i AS DOUBLE) / 1000000.0 AS expected,
+       CAST(cell_i AS DOUBLE) / 1000000.0 AS cell_chi2,
+       CAST(tot_i AS DOUBLE) / 1000000.0 AS chi2,
+       CAST(dof AS BIGINT) AS dof
+FROM k CROSS JOIN tot
+ORDER BY event_type, dow
+"""
+
+
+# -------------------------------------------------------------- ANOVA
+
+
+def anova_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of event value by event_type: per-group moments,
+    the between/within variance decomposition, and the F statistic.
+
+    Plan: one partial-agg shuffle produces (n, Σx, Σx²) per group in
+    EXACT integer micro-units; everything else — grand totals, sums of
+    squares, F — is arithmetic over the ≤|types|-row moment frame.
+    The only cross-group double sum (Σ_g (Σx_g)²/n_g) is quantized per
+    group to centi-units and summed as integers, so the decomposition
+    is order-independent.
+    """
+    e = table(spark, sf_dir, "events")
+    # one fact pass → |types|-row moment frame, materialized so the
+    # grand-total branch reads it instead of re-scanning events
+    g = (
+        e.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(to_micro(F.col("value")).cast(_DEC)).alias("sx_i"),
+            F.sum(_micro(F.col("value") * F.col("value")).cast(_DEC)).alias("sxx_i"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    sx_d = F.col("sx_i").cast("double") / F.lit(float(_M))
+    sxx_d = F.col("sxx_i").cast("double") / F.lit(float(_M))
+    # per-group term (Σx)²/n quantized to centi-units (coarse enough to
+    # keep the int64 range at sf0.1 ×100 headroom)
+    g2 = g.select(
+        "event_type",
+        "n",
+        "sx_i",
+        "sxx_i",
+        ((sx_d * sx_d / F.col("n")) * F.lit(100.0)).cast("long").alias("ssq_c"),
+        _micro(sx_d / F.col("n")).alias("mean_i"),
+        _micro(
+            (sxx_d - sx_d * sx_d / F.col("n"))
+            / (F.col("n") - F.lit(1))
+        ).alias("var_i"),
+    )
+    tot = g2.agg(
+        F.sum("n").alias("n_tot"),
+        F.sum(F.col("sx_i").cast(_DEC)).alias("sx_tot"),
+        F.sum(F.col("sxx_i").cast(_DEC)).alias("sxx_tot"),
+        F.sum("ssq_c").alias("ssq_c_tot"),
+        F.count(F.lit(1)).alias("k_groups"),
+    )
+    sx_t = F.col("sx_tot").cast("double") / F.lit(float(_M))
+    sxx_t = F.col("sxx_tot").cast("double") / F.lit(float(_M))
+    ssq_t = F.col("ssq_c_tot").cast("double") / F.lit(100.0)
+    ssb = ssq_t - sx_t * sx_t / F.col("n_tot")
+    ssw = sxx_t - ssq_t
+    fstat = (ssb / (F.col("k_groups") - F.lit(1))) / (
+        ssw / (F.col("n_tot") - F.col("k_groups"))
+    )
+    t2 = tot.select(
+        _micro(ssb).alias("ssb_i"),
+        _micro(ssw).alias("ssw_i"),
+        _micro(fstat).alias("f_i"),
+        (F.col("k_groups") - F.lit(1)).cast("long").alias("df_between"),
+        (F.col("n_tot") - F.col("k_groups")).cast("long").alias("df_within"),
+    )
+    return (
+        g2.crossJoin(F.broadcast(t2))
+        .select(
+            "event_type",
+            "n",
+            (F.col("mean_i").cast("double") / F.lit(float(_M))).alias("mean_value"),
+            (F.col("var_i").cast("double") / F.lit(float(_M))).alias("var_value"),
+            (F.col("ssb_i").cast("double") / F.lit(float(_M))).alias("ss_between"),
+            (F.col("ssw_i").cast("double") / F.lit(float(_M))).alias("ss_within"),
+            (F.col("f_i").cast("double") / F.lit(float(_M))).alias("f_stat"),
+            "df_between",
+            "df_within",
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_ANOVA_EVENT_VALUES = """
+WITH g AS (
+  SELECT event_type, COUNT(*) AS n,
+         SUM(CAST(trunc(value * 1000000) AS BIGINT)) AS sx_i,
+         SUM(CAST(trunc((value * value) * 1000000) AS BIGINT)) AS sxx_i
+  FROM events GROUP BY event_type
+), g2 AS (
+  SELECT event_type, n, sx_i, sxx_i,
+         CAST(trunc(((CAST(sx_i AS DOUBLE) / 1000000.0)
+                     * (CAST(sx_i AS DOUBLE) / 1000000.0) / n) * 100) AS BIGINT)
+           AS ssq_c,
+         CAST(trunc(((CAST(sx_i AS DOUBLE) / 1000000.0) / n) * 1000000) AS BIGINT)
+           AS mean_i,
+         CAST(trunc((((CAST(sxx_i AS DOUBLE) / 1000000.0)
+                      - (CAST(sx_i AS DOUBLE) / 1000000.0)
+                        * (CAST(sx_i AS DOUBLE) / 1000000.0) / n)
+                     / (n - 1)) * 1000000) AS BIGINT) AS var_i
+  FROM g
+), tot AS (
+  SELECT SUM(n) AS n_tot, SUM(sx_i) AS sx_tot, SUM(sxx_i) AS sxx_tot,
+         SUM(ssq_c) AS ssq_c_tot, COUNT(*) AS k_groups
+  FROM g2
+), t2 AS (
+  SELECT
+    CAST(trunc(((CAST(ssq_c_tot AS DOUBLE) / 100.0)
+                - (CAST(sx_tot AS DOUBLE) / 1000000.0)
+                  * (CAST(sx_tot AS DOUBLE) / 1000000.0) / n_tot) * 1000000)
+         AS BIGINT) AS ssb_i,
+    CAST(trunc(((CAST(sxx_tot AS DOUBLE) / 1000000.0)
+                - (CAST(ssq_c_tot AS DOUBLE) / 100.0)) * 1000000)
+         AS BIGINT) AS ssw_i,
+    CAST(trunc(((((CAST(ssq_c_tot AS DOUBLE) / 100.0)
+                  - (CAST(sx_tot AS DOUBLE) / 1000000.0)
+                    * (CAST(sx_tot AS DOUBLE) / 1000000.0) / n_tot)
+                 / (k_groups - 1))
+                / (((CAST(sxx_tot AS DOUBLE) / 1000000.0)
+                    - (CAST(ssq_c_tot AS DOUBLE) / 100.0))
+                   / (n_tot - k_groups))) * 1000000) AS BIGINT) AS f_i,
+    CAST(k_groups - 1 AS BIGINT) AS df_between,
+    CAST(n_tot - k_groups AS BIGINT) AS df_within
+  FROM tot
+)
+SELECT event_type, n,
+       CAST(mean_i AS DOUBLE) / 1000000.0 AS mean_value,
+       CAST(var_i AS DOUBLE) / 1000000.0 AS var_value,
+       CAST(ssb_i AS DOUBLE) / 1000000.0 AS ss_between,
+       CAST(ssw_i AS DOUBLE) / 1000000.0 AS ss_within,
+       CAST(f_i AS DOUBLE) / 1000000.0 AS f_stat,
+       df_between, df_within
+FROM g2 CROSS JOIN t2
+ORDER BY event_type
+"""
+
+
+# ------------------------------------------------- two-sample KS drift
+
+
+_KS_BUCKET = 64  # coarse bucket width for the two-level cumsum
+
+
+def ks_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov test: does the document-length
+    distribution differ between English and non-English slices?  The
+    distribution-drift primitive behind corpus-mix monitoring (the
+    categorical χ² above cannot see a shift WITHIN a numeric column).
+
+    D = max over distinct lengths v of |F_en(v) − F_other(v)|, computed
+    EXACTLY — no sampling, no sketch.
+
+    Plan: one shuffle aggregates per-distinct-length counts for both
+    slices simultaneously (conditional sums — the fact table is
+    scanned ONCE, not once per slice).  The two ECDFs need a global
+    cumulative sum over the distinct-length frame; a naive
+    ``Window.orderBy`` would funnel that frame through one partition,
+    so this uses the repo's two-level decomposition
+    (``acctbal_deciles_scalable`` posture): per-value cumsum WITHIN
+    length-buckets (window partitioned by bucket — parallel), plus an
+    exclusive prefix over the ~|lengths|/64-row bucket-partials frame
+    (the only single-partition step, dimension-sized: bounded by
+    max-document-length/64, a data-domain constant, not corpus size).
+
+    Exactness: cumulative counts are exact integers; F-ratios and the
+    α=0.05 critical value c(α)·√((n+m)/nm) are value-determined double
+    expressions micro-quantized before the max/compare.
+    """
+    d = table(spark, sf_dir, "documents")
+    per = (
+        d.groupBy("n_chars")
+        .agg(
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("c_en"),
+            F.sum(F.when(F.col("lang") != "en", 1).otherwise(0)).alias("c_ot"),
+        )
+        .withColumn("bkt", F.floor(F.col("n_chars") / F.lit(_KS_BUCKET)))
+        # distinct-length-sized frame, materialized once: the bucket
+        # partials, prefix, per-value cumsum, and totals all branch
+        # from it without re-scanning documents
+        .localCheckpoint(eager=True)
+    )
+    bp = per.groupBy("bkt").agg(
+        F.sum("c_en").alias("b_en"), F.sum("c_ot").alias("b_ot")
+    )
+    wb = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    prefix = bp.select(
+        "bkt",
+        F.coalesce(F.sum("b_en").over(wb), F.lit(0)).alias("p_en"),
+        F.coalesce(F.sum("b_ot").over(wb), F.lit(0)).alias("p_ot"),
+    )
+    wv = Window.partitionBy("bkt").orderBy("n_chars").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = (
+        per.join(F.broadcast(prefix), "bkt")
+        .select(
+            "n_chars",
+            (F.col("p_en") + F.sum("c_en").over(wv)).alias("cum_en"),
+            (F.col("p_ot") + F.sum("c_ot").over(wv)).alias("cum_ot"),
+        )
+    )
+    totals = per.agg(
+        F.sum("c_en").alias("n_en"), F.sum("c_ot").alias("n_other")
+    )
+    scored = cum.crossJoin(F.broadcast(totals)).select(
+        "n_chars",
+        "n_en",
+        "n_other",
+        _micro(
+            F.abs(
+                F.col("cum_en").cast("double") / F.col("n_en")
+                - F.col("cum_ot").cast("double") / F.col("n_other")
+            )
+        ).alias("d_i"),
+        _micro(
+            F.lit(1.358)
+            * F.sqrt(
+                (F.col("n_en") + F.col("n_other")).cast("double")
+                / (F.col("n_en") * F.col("n_other"))
+            )
+        ).alias("crit_i"),
+    )
+    return (
+        scored.orderBy(F.col("d_i").desc(), F.col("n_chars").asc())
+        .limit(1)
+        .select(
+            F.col("n_chars").alias("at_n_chars"),
+            "n_en",
+            "n_other",
+            (F.col("d_i").cast("double") / F.lit(float(_M))).alias("ks_d"),
+            (F.col("crit_i").cast("double") / F.lit(float(_M))).alias("crit_05"),
+            (F.col("d_i") > F.col("crit_i")).cast("int").alias("reject_h0"),
+        )
+    )
+
+
+ORACLE_KS_LENGTH_DRIFT = """
+WITH per AS (
+  SELECT n_chars,
+         SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS c_en,
+         SUM(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS c_ot
+  FROM documents GROUP BY n_chars
+), cum AS (
+  SELECT n_chars,
+         SUM(c_en) OVER (ORDER BY n_chars) AS cum_en,
+         SUM(c_ot) OVER (ORDER BY n_chars) AS cum_ot
+  FROM per
+), tot AS (
+  SELECT CAST(SUM(c_en) AS BIGINT) AS n_en,
+         CAST(SUM(c_ot) AS BIGINT) AS n_other
+  FROM per
+),
+scored AS (
+  SELECT n_chars, n_en, n_other,
+         CAST(trunc(ABS(CAST(cum_en AS DOUBLE) / n_en
+                        - CAST(cum_ot AS DOUBLE) / n_other) * 1000000)
+              AS BIGINT) AS d_i,
+         CAST(trunc((1.358 * sqrt(CAST(n_en + n_other AS DOUBLE)
+                                  / (n_en * n_other))) * 1000000)
+              AS BIGINT) AS crit_i
+  FROM cum CROSS JOIN tot
+)
+SELECT n_chars AS at_n_chars, n_en, n_other,
+       CAST(d_i AS DOUBLE) / 1000000.0 AS ks_d,
+       CAST(crit_i AS DOUBLE) / 1000000.0 AS crit_05,
+       CAST(d_i > crit_i AS INT) AS reject_h0
+FROM scored
+ORDER BY d_i DESC, n_chars ASC
+LIMIT 1
+"""
+
+
+# ------------------------------------------------ OLS (REGR_* family)
+
+
+def regr_price_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag simple linear regression of l_extendedprice on
+    l_quantity — the distributed closed-form ``REGR_SLOPE`` /
+    ``REGR_INTERCEPT`` / ``REGR_R2`` aggregate family, built from
+    sufficient statistics rather than any iterative solver.
+
+    Plan: ONE partial-agg shuffle emits the five exact moment sums
+    (n, Σx, Σy, Σxy, Σx², Σy²) per group in integer micro-units; the
+    normal-equation arithmetic runs on the 3-row group frame.  This is
+    the 100 TB shape for closed-form model fits: moments are mergeable
+    partials (decimal addition is associative), so the same query runs
+    incrementally over standing per-partition moment assets.
+
+    Exactness: per-row products (x·y, x², y²) are value-determined
+    double expressions truncated to int64 micro-units; sums accumulate
+    in DECIMAL(28,0)/HUGEINT exactly; the slope/intercept/r²
+    divisions are identical IEEE expressions both engines, quantized
+    before output.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity")
+    y = F.col("l_extendedprice")
+    g = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_micro(x).cast(_DEC)).alias("sx_i"),
+        F.sum(_micro(y).cast(_DEC)).alias("sy_i"),
+        F.sum(_micro(x * y).cast(_DEC)).alias("sxy_i"),
+        F.sum(_micro(x * x).cast(_DEC)).alias("sxx_i"),
+        F.sum(_micro(y * y).cast(_DEC)).alias("syy_i"),
+    )
+    m = F.lit(float(_M))
+    n = F.col("n").cast("double")
+    sx = F.col("sx_i").cast("double") / m
+    sy = F.col("sy_i").cast("double") / m
+    sxy = F.col("sxy_i").cast("double") / m
+    sxx = F.col("sxx_i").cast("double") / m
+    syy = F.col("syy_i").cast("double") / m
+    num = n * sxy - sx * sy
+    denx = n * sxx - sx * sx
+    deny = n * syy - sy * sy
+    slope = num / denx
+    return (
+        g.select(
+            "l_returnflag",
+            "n",
+            _micro(slope).alias("slope_i"),
+            _micro((sy - slope * sx) / n).alias("icept_i"),
+            _micro(num * num / (denx * deny)).alias("r2_i"),
+        )
+        .select(
+            "l_returnflag",
+            "n",
+            (F.col("slope_i").cast("double") / m).alias("slope"),
+            (F.col("icept_i").cast("double") / m).alias("intercept"),
+            (F.col("r2_i").cast("double") / m).alias("r2"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+ORACLE_REGR_PRICE_QUANTITY = """
+WITH g AS (
+  SELECT l_returnflag, COUNT(*) AS n,
+         SUM(CAST(trunc(l_quantity * 1000000) AS BIGINT)) AS sx_i,
+         SUM(CAST(trunc(l_extendedprice * 1000000) AS BIGINT)) AS sy_i,
+         SUM(CAST(trunc((l_quantity * l_extendedprice) * 1000000) AS BIGINT))
+           AS sxy_i,
+         SUM(CAST(trunc((l_quantity * l_quantity) * 1000000) AS BIGINT))
+           AS sxx_i,
+         SUM(CAST(trunc((l_extendedprice * l_extendedprice) * 1000000) AS BIGINT))
+           AS syy_i
+  FROM lineitem GROUP BY l_returnflag
+), d AS (
+  SELECT l_returnflag, n,
+         CAST(n AS DOUBLE) AS nd,
+         CAST(sx_i AS DOUBLE) / 1000000.0 AS sx,
+         CAST(sy_i AS DOUBLE) / 1000000.0 AS sy,
+         CAST(sxy_i AS DOUBLE) / 1000000.0 AS sxy,
+         CAST(sxx_i AS DOUBLE) / 1000000.0 AS sxx,
+         CAST(syy_i AS DOUBLE) / 1000000.0 AS syy
+  FROM g
+), s AS (
+  SELECT l_returnflag, n,
+         CAST(trunc(((nd * sxy - sx * sy) / (nd * sxx - sx * sx)) * 1000000)
+              AS BIGINT) AS slope_i,
+         CAST(trunc(((sy - ((nd * sxy - sx * sy) / (nd * sxx - sx * sx)) * sx)
+                     / nd) * 1000000) AS BIGINT) AS icept_i,
+         CAST(trunc(((nd * sxy - sx * sy) * (nd * sxy - sx * sy)
+                     / ((nd * sxx - sx * sx) * (nd * syy - sy * sy))) * 1000000)
+              AS BIGINT) AS r2_i
+  FROM d
+)
+SELECT l_returnflag, n,
+       CAST(slope_i AS DOUBLE) / 1000000.0 AS slope,
+       CAST(icept_i AS DOUBLE) / 1000000.0 AS intercept,
+       CAST(r2_i AS DOUBLE) / 1000000.0 AS r2
+FROM s
+ORDER BY l_returnflag
+"""
+
+
+# ------------------------------------- mutual-information feature rank
+
+
+_MI_TOPK = 10
+_MI_LN_SCALE = 10_000  # quantize ln() to 1e-4 — the bigram-LM idiom
+
+
+def mi_label_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between each embedding dimension's SIGN and
+    the class label, top-10 most informative dimensions — the
+    feature-selection census (which coordinates carry label signal?).
+
+    Plan: posexplode fans each vector into (dim, sign) pairs — a 64×
+    row expansion that map-side combines into ≤ dims×2×labels cells
+    before the single shuffle; marginals and N derive from that cell
+    frame and the tiny per-label count, all broadcast.  At 100 TB the
+    shuffle payload is the CELL GRID (a constant), not the corpus.
+
+    Exactness: MI = Σ (c/N)·ln(cN/(c_b·c_l)) is computed as the EXACT
+    integer Σ c·L where L = round(ln(cN/(c_b·c_l))·1e4) — the one
+    transcendental is quantized immediately (bigram-LM idiom), so the
+    per-dim sum, the ranking, and the top-k cut are all integer-exact.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label", F.posexplode("embedding").alias("dim", "x")
+    ).select("label", "dim", (F.col("x") > 0).cast("int").alias("b"))
+    # the ONE explode pass → dims×2×labels cell grid, materialized;
+    # BOTH marginals and N derive from it (dim 0's cells partition the
+    # corpus by label), so the 64× expansion runs exactly once
+    joint = (
+        ex.groupBy("dim", "b", "label")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    mb = joint.groupBy("dim", "b").agg(F.sum("c").alias("cb"))
+    ml = joint.filter(F.col("dim") == 0).groupBy("label").agg(
+        F.sum("c").alias("cl")
+    )
+    nt = ml.agg(F.sum("cl").alias("n_total"))
+    scored = (
+        joint.join(F.broadcast(mb), ["dim", "b"])
+        .join(F.broadcast(ml), "label")
+        .crossJoin(F.broadcast(nt))
+        .select(
+            "dim",
+            (
+                F.col("c")
+                * F.round(
+                    F.log(
+                        (F.col("c") * F.col("n_total")).cast("double")
+                        / (F.col("cb") * F.col("cl"))
+                    )
+                    * F.lit(float(_MI_LN_SCALE)),
+                    0,
+                ).cast("long")
+            ).alias("term_i"),
+            "n_total",
+        )
+    )
+    per_dim = scored.groupBy("dim", "n_total").agg(
+        F.sum("term_i").alias("mi_scaled")
+    )
+    return (
+        per_dim.orderBy(F.col("mi_scaled").desc(), F.col("dim").asc())
+        .limit(_MI_TOPK)
+        .select(
+            "dim",
+            F.round(
+                F.col("mi_scaled").cast("double")
+                / (F.col("n_total") * F.lit(float(_MI_LN_SCALE))),
+                6,
+            ).alias("mi"),
+        )
+    )
+
+
+ORACLE_MI_LABEL_DIMS = """
+WITH ex AS (
+  SELECT label,
+         generate_subscripts(embedding, 1) - 1 AS dim,
+         CASE WHEN unnest(embedding) > 0 THEN 1 ELSE 0 END AS b
+  FROM embeddings
+), joint AS (
+  SELECT dim, b, label, COUNT(*) AS c FROM ex GROUP BY 1, 2, 3
+), mb AS (SELECT dim, b, SUM(c) AS cb FROM joint GROUP BY 1, 2),
+ml AS (SELECT label, COUNT(*) AS cl FROM embeddings GROUP BY label),
+nt AS (SELECT COUNT(*) AS n_total FROM embeddings),
+scored AS (
+  SELECT j.dim,
+         j.c * CAST(ROUND(ln(CAST(j.c * nt.n_total AS DOUBLE)
+                             / (mb.cb * ml.cl)) * 10000, 0) AS BIGINT)
+           AS term_i,
+         nt.n_total
+  FROM joint j
+  JOIN mb ON mb.dim = j.dim AND mb.b = j.b
+  JOIN ml ON ml.label = j.label
+  CROSS JOIN nt
+), per_dim AS (
+  SELECT dim, n_total, SUM(term_i) AS mi_scaled FROM scored GROUP BY dim, n_total
+)
+SELECT dim,
+       ROUND(CAST(mi_scaled AS DOUBLE) / (n_total * 10000.0), 6) AS mi
+FROM per_dim
+ORDER BY mi_scaled DESC, dim ASC
+LIMIT {topk}
+""".format(topk=_MI_TOPK)
+
+
+QUERIES = {
+    "chisq_event_dow": chisq_event_dow,
+    "anova_event_values": anova_event_values,
+    "ks_length_drift": ks_length_drift,
+    "regr_price_quantity": regr_price_quantity,
+    "mi_label_dims": mi_label_dims,
+}
+
+ORACLE = {
+    "chisq_event_dow": ORACLE_CHISQ_EVENT_DOW,
+    "anova_event_values": ORACLE_ANOVA_EVENT_VALUES,
+    "ks_length_drift": ORACLE_KS_LENGTH_DRIFT,
+    "regr_price_quantity": ORACLE_REGR_PRICE_QUANTITY,
+    "mi_label_dims": ORACLE_MI_LABEL_DIMS,
+}

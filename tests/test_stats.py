@@ -1,0 +1,180 @@
+"""Semantic + plan-shape tests for the statistics censuses
+(queries/stats.py).  Semantics are checked against independent pandas
+reference computations at sf0.001; plan pins assert the single-shuffle
+sufficient-statistics posture that makes these queries 100 TB-safe."""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+
+from data_ingestion_project_spark.plans.explain import executed_plan, plan_census
+from data_ingestion_project_spark.queries.stats import (
+    anova_event_values,
+    chisq_event_dow,
+    ks_length_drift,
+    mi_label_dims,
+    regr_price_quantity,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _events_pdf() -> pd.DataFrame:
+    return pd.read_parquet(f"{SF}/events.parquet")
+
+
+def test_chisq_matches_reference_computation(spark):
+    """χ² cells and total against a straightforward pandas contingency
+    computation (tolerance = the documented 1e-6 quantization)."""
+    out = chisq_event_dow(spark, SF).toPandas()
+    e = _events_pdf()
+    e["dow"] = pd.to_datetime(e["ts"]).dt.dayofweek + 1  # ISO 1=Mon
+    obs = e.groupby(["event_type", "dow"]).size()
+    n = len(e)
+    rt = e.groupby("event_type").size()
+    ct = e.groupby("dow").size()
+    chi2 = 0.0
+    for (t, d), o in obs.items():
+        exp = rt[t] * ct[d] / n
+        chi2 += (o - exp) ** 2 / exp
+    assert abs(out["chi2"].iloc[0] - chi2) < 1e-3
+    assert out["dof"].iloc[0] == (obs.index.get_level_values(0).nunique() - 1) * (
+        obs.index.get_level_values(1).nunique() - 1
+    )
+    # per-cell expected counts reproduce
+    row = out[(out.event_type == out.event_type.iloc[0])].iloc[0]
+    exp0 = rt[row.event_type] * ct[row.dow] / n
+    assert abs(row.expected - exp0) < 1e-3
+
+
+def test_anova_matches_reference_computation(spark):
+    out = anova_event_values(spark, SF).toPandas()
+    e = _events_pdf()
+    groups = [g["value"].to_numpy() for _, g in e.groupby("event_type")]
+    k = len(groups)
+    n = len(e)
+    grand = e["value"].mean()
+    ssb = sum(len(g) * (g.mean() - grand) ** 2 for g in groups)
+    ssw = sum(((g - g.mean()) ** 2).sum() for g in groups)
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    assert abs(out["f_stat"].iloc[0] - f) < 1e-2
+    assert out["df_between"].iloc[0] == k - 1
+    assert out["df_within"].iloc[0] == n - k
+    for _, r in out.iterrows():
+        g = e[e.event_type == r.event_type]["value"]
+        assert abs(r.mean_value - g.mean()) < 1e-4
+        assert abs(r.var_value - g.var(ddof=1)) < 1e-3
+
+
+def test_ks_matches_reference_computation(spark):
+    out = ks_length_drift(spark, SF).toPandas().iloc[0]
+    d = pd.read_parquet(f"{SF}/documents.parquet")
+    en = d[d.lang == "en"]["n_chars"].to_numpy()
+    ot = d[d.lang != "en"]["n_chars"].to_numpy()
+    vals = sorted(set(d["n_chars"]))
+    ks = max(
+        abs((en <= v).mean() - (ot <= v).mean()) for v in vals
+    )
+    assert abs(out.ks_d - ks) < 1e-5
+    assert out.n_en == len(en) and out.n_other == len(ot)
+    crit = 1.358 * math.sqrt((len(en) + len(ot)) / (len(en) * len(ot)))
+    assert abs(out.crit_05 - crit) < 1e-5
+    assert out.reject_h0 == int(out.ks_d > out.crit_05)
+
+
+def test_regr_matches_reference_computation(spark):
+    out = regr_price_quantity(spark, SF).toPandas()
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    for _, r in out.iterrows():
+        g = li[li.l_returnflag == r.l_returnflag]
+        x, y = g["l_quantity"].to_numpy(), g["l_extendedprice"].to_numpy()
+        n = len(x)
+        num = n * (x * y).sum() - x.sum() * y.sum()
+        denx = n * (x * x).sum() - x.sum() ** 2
+        deny = n * (y * y).sum() - y.sum() ** 2
+        slope = num / denx
+        assert abs(r.slope - slope) < 1e-3
+        assert abs(r.intercept - (y.sum() - slope * x.sum()) / n) < 1e-2
+        assert abs(r.r2 - num * num / (denx * deny)) < 1e-4
+
+
+def test_mi_matches_reference_computation(spark):
+    out = mi_label_dims(spark, SF).toPandas()
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    mat = pd.DataFrame(emb["embedding"].tolist())
+    n = len(emb)
+    labels = emb["label"]
+
+    def mi(dim: int) -> float:
+        b = (mat[dim] > 0).astype(int)
+        total = 0.0
+        for bv in (0, 1):
+            for lv in labels.unique():
+                c = ((b == bv) & (labels == lv)).sum()
+                if c == 0:
+                    continue
+                cb = (b == bv).sum()
+                cl = (labels == lv).sum()
+                total += (c / n) * math.log(c * n / (cb * cl))
+        return total
+
+    # top-1 dim's MI reproduces within the ln-quantization tolerance
+    top = out.iloc[0]
+    assert abs(top.mi - mi(int(top.dim))) < 1e-3
+    # returned MIs are sorted descending
+    assert list(out.mi) == sorted(out.mi, reverse=True)
+    assert len(out) == 10
+
+
+# ------------------------------------------------------------- plans
+
+
+def test_chisq_scans_events_once(spark):
+    """The contingency table and every derived total must come from ONE
+    fact pass: the cell frame is checkpointed, so the returned plan
+    reads the materialized 35-cell RDD — zero parquet scans of events
+    remain in the query plan itself."""
+    df = chisq_event_dow(spark, SF)
+    plan = executed_plan(df)
+    assert plan.count("FileScan parquet") == 0
+    assert "ExistingRDD" in plan
+
+
+def test_regr_is_single_shuffle_moment_agg(spark):
+    """The REGR_* family: one partial-agg exchange for the moment sums;
+    no join, no window, nothing corpus-sized after the agg."""
+    df = regr_price_quantity(spark, SF)
+    c = plan_census(df)
+    assert c["n_exchanges"] <= 2  # partial->final agg + 3-row output sort
+    plan = executed_plan(df)
+    assert "Window" not in plan and "Join" not in plan
+
+
+def test_ks_value_frame_window_is_partitioned(spark):
+    """The two-level cumsum: the per-value window must be partitioned by
+    bucket; the only single-partition step is the bucket-partials
+    prefix (dimension-sized)."""
+    df = ks_length_drift(spark, SF)
+    # final AQE plan only (executed_plan also dumps the pre-AQE initial
+    # plan, which would double every node count)
+    plan = executed_plan(df).split("== Initial Plan ==")[0]
+    # allowed single-partition steps: the ~|lengths|/64-row bucket
+    # prefix window + the 1-row totals aggregate — never the value frame
+    assert plan.count("Exchange SinglePartition") <= 2
+    assert "hashpartitioning(bkt" in plan  # per-value window keyed by bucket
+    assert plan.count("FileScan parquet") == 0  # per-length frame checkpointed
+
+
+def test_mi_shuffle_is_cell_sized(spark):
+    """After posexplode, partial aggregation must combine map-side: the
+    exchange carries (dim, sign, label) cells, so the plan has hash
+    aggregates around every exchange and no corpus-sized sort."""
+    df = mi_label_dims(spark, SF)
+    c = plan_census(df)
+    assert c["n_broadcast_joins"] >= 2  # cb, cl marginal joins
+    assert c["n_bnl_joins"] <= 1  # the 1-row n_total crossJoin
+    assert c["n_sortmerge_joins"] == 0
+    # the 64x explode ran once, into the checkpointed cell grid
+    assert executed_plan(df).count("FileScan parquet") == 0
