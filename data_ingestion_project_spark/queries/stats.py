@@ -636,12 +636,390 @@ LIMIT {topk}
 """.format(topk=_MI_TOPK)
 
 
+# ------------------------------------------------------ Welch t-test
+
+
+def welch_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance two-sample t-test: does mean event
+    value differ between 'purchase' and 'click'?  The A/B-test
+    primitive (ANOVA above compares ALL groups; this is the targeted
+    pairwise form with the Welch–Satterthwaite df correction).
+
+    Plan: ONE conditional aggregation over the type-filtered scan
+    (filter pushed to parquet) produces both groups' exact integer
+    moments in a single row — no join, no second pass, nothing but a
+    scalar-aggregate exchange.  The t statistic and fractional df are
+    value-determined double arithmetic over those integers.
+    """
+    e = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    a = F.col("event_type") == "purchase"
+    v = F.col("value")
+    zero = F.lit(0).cast("long")
+    g = e.agg(
+        F.sum(F.when(a, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(a, to_micro(v)).otherwise(zero).cast(_DEC)).alias("sxa_i"),
+        F.sum(F.when(a, _micro(v * v)).otherwise(zero).cast(_DEC)).alias("sxxa_i"),
+        F.sum(F.when(~a, 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(~a, to_micro(v)).otherwise(zero).cast(_DEC)).alias("sxb_i"),
+        F.sum(F.when(~a, _micro(v * v)).otherwise(zero).cast(_DEC)).alias("sxxb_i"),
+    )
+    m = F.lit(float(_M))
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    sxa = F.col("sxa_i").cast("double") / m
+    sxb = F.col("sxb_i").cast("double") / m
+    sxxa = F.col("sxxa_i").cast("double") / m
+    sxxb = F.col("sxxb_i").cast("double") / m
+    ma = sxa / na
+    mb = sxb / nb
+    va = (sxxa - sxa * sxa / na) / (na - F.lit(1.0))
+    vb = (sxxb - sxb * sxb / nb) / (nb - F.lit(1.0))
+    se2 = va / na + vb / nb
+    t = (ma - mb) / F.sqrt(se2)
+    df = (se2 * se2) / (
+        (va / na) * (va / na) / (na - F.lit(1.0))
+        + (vb / nb) * (vb / nb) / (nb - F.lit(1.0))
+    )
+    return g.select(
+        F.col("n_a").cast("long").alias("n_purchase"),
+        F.col("n_b").cast("long").alias("n_click"),
+        (_micro(ma).cast("double") / m).alias("mean_purchase"),
+        (_micro(mb).cast("double") / m).alias("mean_click"),
+        (_micro(va).cast("double") / m).alias("var_purchase"),
+        (_micro(vb).cast("double") / m).alias("var_click"),
+        (_micro(t).cast("double") / m).alias("t_stat"),
+        (_micro(df).cast("double") / m).alias("df_welch"),
+    )
+
+
+ORACLE_WELCH_EVENT_VALUES = """
+WITH g AS (
+  SELECT
+    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_a,
+    SUM(CASE WHEN event_type = 'purchase'
+        THEN CAST(trunc(value * 1000000) AS BIGINT) ELSE 0 END) AS sxa_i,
+    SUM(CASE WHEN event_type = 'purchase'
+        THEN CAST(trunc((value * value) * 1000000) AS BIGINT) ELSE 0 END) AS sxxa_i,
+    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_b,
+    SUM(CASE WHEN event_type = 'click'
+        THEN CAST(trunc(value * 1000000) AS BIGINT) ELSE 0 END) AS sxb_i,
+    SUM(CASE WHEN event_type = 'click'
+        THEN CAST(trunc((value * value) * 1000000) AS BIGINT) ELSE 0 END) AS sxxb_i
+  FROM events WHERE event_type IN ('purchase', 'click')
+), d AS (
+  SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+         CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb,
+         CAST(sxa_i AS DOUBLE) / 1000000.0 AS sxa,
+         CAST(sxb_i AS DOUBLE) / 1000000.0 AS sxb,
+         CAST(sxxa_i AS DOUBLE) / 1000000.0 AS sxxa,
+         CAST(sxxb_i AS DOUBLE) / 1000000.0 AS sxxb
+  FROM g
+), s AS (
+  SELECT n_a, n_b, na, nb,
+         sxa / na AS ma, sxb / nb AS mb,
+         (sxxa - sxa * sxa / na) / (na - 1.0) AS va,
+         (sxxb - sxb * sxb / nb) / (nb - 1.0) AS vb
+  FROM d
+), s2 AS (
+  SELECT *, va / na + vb / nb AS se2 FROM s
+)
+SELECT n_a AS n_purchase, n_b AS n_click,
+       CAST(CAST(trunc(ma * 1000000) AS BIGINT) AS DOUBLE) / 1000000.0
+         AS mean_purchase,
+       CAST(CAST(trunc(mb * 1000000) AS BIGINT) AS DOUBLE) / 1000000.0
+         AS mean_click,
+       CAST(CAST(trunc(va * 1000000) AS BIGINT) AS DOUBLE) / 1000000.0
+         AS var_purchase,
+       CAST(CAST(trunc(vb * 1000000) AS BIGINT) AS DOUBLE) / 1000000.0
+         AS var_click,
+       CAST(CAST(trunc(((ma - mb) / sqrt(se2)) * 1000000) AS BIGINT) AS DOUBLE)
+         / 1000000.0 AS t_stat,
+       CAST(CAST(trunc(((se2 * se2)
+                        / ((va / na) * (va / na) / (na - 1.0)
+                           + (vb / nb) * (vb / nb) / (nb - 1.0))) * 1000000)
+                 AS BIGINT) AS DOUBLE) / 1000000.0 AS df_welch
+FROM s2
+"""
+
+
+# ---------------------------------------------------- join-key skew
+
+
+def join_key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-distribution skew audit for a join/aggregation key
+    (orders.o_custkey): entropy, normalized entropy, Herfindahl
+    concentration, and the hottest key's share — the measurement that
+    decides whether the repo's salting/AQE-skew machinery
+    (operators/layout.py) is needed for a given key.
+
+    Plan: per-key counts (one shuffle) → ONE scalar aggregation over
+    the key frame.  Entropy uses the branch-free identity
+    H = ln T − (Σ c·ln c)/T, so no per-row knowledge of the total is
+    needed — the whole audit is two chained aggregations with zero
+    joins, zero windows, zero recomputation, at any scale.
+
+    Exactness: Σ c·ln c accumulates c·round(ln(c)·1e4) — exact
+    integers (the quantized-ln idiom); ln T and ln n_keys are
+    single-value quantized the same way.
+    """
+    o = table(spark, sf_dir, "orders")
+    per = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("c"))
+    lnq = lambda col: F.round(  # noqa: E731 — quantized ln, 1e-4
+        F.log(col.cast("double")) * F.lit(10000.0), 0
+    ).cast("long")
+    g = per.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("c").alias("n_rows"),
+        F.sum((F.col("c") * lnq(F.col("c"))).cast(_DEC)).alias("s_i"),
+        F.sum((F.col("c") * F.col("c")).cast(_DEC)).alias("sq_i"),
+        F.max("c").alias("max_c"),
+    )
+    t = F.col("n_rows").cast("double")
+    entropy = (
+        lnq(F.col("n_rows")).cast("double") / F.lit(10000.0)
+        - F.col("s_i").cast("double") / (t * F.lit(10000.0))
+    )
+    return g.select(
+        "n_keys",
+        "n_rows",
+        "max_c",
+        F.round(entropy, 6).alias("entropy"),
+        F.round(
+            entropy / (lnq(F.col("n_keys")).cast("double") / F.lit(10000.0)), 6
+        ).alias("norm_entropy"),
+        F.round(F.col("sq_i").cast("double") / (t * t), 6).alias("hhi"),
+        F.round(F.col("max_c").cast("double") / t, 6).alias("max_key_share"),
+        F.round(F.col("max_c") * F.col("n_keys") / t, 6).alias("skew_factor"),
+    )
+
+
+ORACLE_JOIN_KEY_SKEW_AUDIT = """
+WITH per AS (
+  SELECT o_custkey, COUNT(*) AS c FROM orders GROUP BY o_custkey
+), g AS (
+  SELECT COUNT(*) AS n_keys,
+         CAST(SUM(c) AS BIGINT) AS n_rows,
+         SUM(c * CAST(ROUND(ln(CAST(c AS DOUBLE)) * 10000, 0) AS BIGINT)) AS s_i,
+         SUM(c * c) AS sq_i,
+         MAX(c) AS max_c
+  FROM per
+)
+SELECT n_keys, n_rows, max_c,
+  ROUND(CAST(CAST(ROUND(ln(CAST(n_rows AS DOUBLE)) * 10000, 0) AS BIGINT)
+             AS DOUBLE) / 10000.0
+        - CAST(s_i AS DOUBLE) / (CAST(n_rows AS DOUBLE) * 10000.0), 6)
+    AS entropy,
+  ROUND((CAST(CAST(ROUND(ln(CAST(n_rows AS DOUBLE)) * 10000, 0) AS BIGINT)
+              AS DOUBLE) / 10000.0
+         - CAST(s_i AS DOUBLE) / (CAST(n_rows AS DOUBLE) * 10000.0))
+        / (CAST(CAST(ROUND(ln(CAST(n_keys AS DOUBLE)) * 10000, 0) AS BIGINT)
+                AS DOUBLE) / 10000.0), 6) AS norm_entropy,
+  ROUND(CAST(sq_i AS DOUBLE)
+        / (CAST(n_rows AS DOUBLE) * CAST(n_rows AS DOUBLE)), 6) AS hhi,
+  ROUND(CAST(max_c AS DOUBLE) / CAST(n_rows AS DOUBLE), 6) AS max_key_share,
+  ROUND(CAST(max_c * n_keys AS DOUBLE) / CAST(n_rows AS DOUBLE), 6)
+    AS skew_factor
+FROM g
+"""
+
+
+# ------------------------------------------ seasonal decomposition
+
+
+def revenue_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive seasonal decomposition of daily order revenue:
+    day revenue = month level (trend) + day-of-week seasonal + residual.
+    Output: per-ISO-dow seasonal index plus the global fraction of
+    detrended variance the weekly cycle explains — the time-series
+    census behind load forecasting and anomaly baselines.
+
+    Plan: ONE fact pass aggregates to the per-day frame (micro-unit
+    exact), which is checkpointed; month trend, dow seasonal indices,
+    residuals, and both global variances all derive from that
+    ~|days|-row frame via broadcast joins — no windows at all (the
+    trend is the month mean, a join against a months-sized frame, so
+    nothing needs an ordered scan).
+
+    Exactness: day revenues are exact micro ints; deviations are
+    micro-quantized and squared deviations UNIT-quantized per day
+    before every cross-engine sum (micro on a ~1e14 square would
+    overflow int64; unit granularity sits ~13 orders below the
+    variance magnitude), so all variance sums are exact integer
+    folds.
+    """
+    o = table(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.date_trunc("day", "o_orderdate").alias("day"))
+        .agg(F.sum(to_micro(F.col("o_totalprice")).cast(_DEC)).alias("rev_i"))
+        .localCheckpoint(eager=True)
+    )
+    m = F.lit(float(_M))
+    d2 = daily.select(
+        "day",
+        F.date_trunc("month", "day").alias("month"),
+        (F.expr("weekday(day)") + F.lit(1)).alias("dow"),
+        (F.col("rev_i").cast("double") / m).alias("rev_d"),
+        "rev_i",
+    )
+    monthly = d2.groupBy("month").agg(
+        F.sum(F.col("rev_i")).alias("m_i"), F.count(F.lit(1)).alias("nd")
+    )
+    j = d2.join(F.broadcast(monthly), "month").select(
+        "day",
+        "dow",
+        "rev_i",
+        (
+            F.col("rev_d")
+            - F.col("m_i").cast("double") / m / F.col("nd")
+        ).alias("dev"),
+    )
+    # squared deviations are quantized at UNIT (dollar-squared) scale:
+    # micro-quantizing a ~1e14 square overflows int64; unit granularity
+    # is ~13 orders of magnitude below the variance it accumulates into
+    j = j.select(
+        "day", "dow", _micro(F.col("dev")).alias("dev_i"),
+        (F.col("dev") * F.col("dev")).cast("long").alias("dev2_i"),
+    )
+    seasonal = j.groupBy("dow").agg(
+        F.sum(F.col("dev_i").cast(_DEC)).alias("sd_i"),
+        F.sum(F.col("dev2_i").cast(_DEC)).alias("s2_i"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    seas_d = F.col("sd_i").cast("double") / m / F.col("n_days")
+    sfrm = seasonal.select(
+        "dow", "n_days", "sd_i", "s2_i", _micro(seas_d).alias("seas_i")
+    )
+    # residual = dev − dow seasonal; re-quantized per day, exact sums
+    r = j.join(F.broadcast(sfrm.select("dow", "seas_i")), "dow").select(
+        _micro(
+            F.col("dev_i").cast("double") / m
+            - F.col("seas_i").cast("double") / m
+        ).alias("res_i")
+    )
+    gtot = r.agg(
+        F.sum(F.col("res_i").cast(_DEC)).alias("gr_i"),
+        F.sum((
+            (F.col("res_i").cast("double") / m)
+            * (F.col("res_i").cast("double") / m)
+        ).cast("long").cast(_DEC)).alias("gr2_i"),
+    )
+    dtot = j.agg(
+        F.sum(F.col("dev_i").cast(_DEC)).alias("gd_i"),
+        F.sum(F.col("dev2_i").cast(_DEC)).alias("gd2_i"),
+        F.count(F.lit(1)).alias("nall"),
+    )
+    gd = F.col("gd_i").cast("double") / m
+    gd2 = F.col("gd2_i").cast("double")  # unit scale
+    gr = F.col("gr_i").cast("double") / m
+    gr2 = F.col("gr2_i").cast("double")  # unit scale
+    nall = F.col("nall").cast("double")
+    ss_dev = gd2 - gd * gd / nall
+    ss_res = gr2 - gr * gr / nall
+    glob = (
+        dtot.crossJoin(F.broadcast(gtot))
+        .select(_micro(F.lit(1.0) - ss_res / ss_dev).alias("r2_i"))
+    )
+    return (
+        sfrm.crossJoin(F.broadcast(glob))
+        .select(
+            "dow",
+            "n_days",
+            (F.col("seas_i").cast("double") / m).alias("seasonal"),
+            (
+                (
+                    (
+                        F.col("s2_i").cast("double")
+                        - (F.col("sd_i").cast("double") / m)
+                        * (F.col("sd_i").cast("double") / m)
+                        / F.col("n_days")
+                    )
+                    / (F.col("n_days") - F.lit(1))
+                )
+                .cast("long")
+                .cast("double")
+            ).alias("var_dev"),
+            (F.col("r2_i").cast("double") / m).alias("weekly_r2"),
+        )
+        .orderBy("dow")
+    )
+
+
+ORACLE_REVENUE_SEASONALITY = """
+WITH daily AS (
+  SELECT date_trunc('day', o_orderdate) AS day,
+         SUM(CAST(trunc(o_totalprice * 1000000) AS BIGINT)) AS rev_i
+  FROM orders GROUP BY 1
+), d2 AS (
+  SELECT day, date_trunc('month', day) AS month,
+         CAST(date_part('isodow', day) AS INT) AS dow,
+         CAST(rev_i AS DOUBLE) / 1000000.0 AS rev_d, rev_i
+  FROM daily
+), monthly AS (
+  SELECT month, SUM(rev_i) AS m_i, COUNT(*) AS nd FROM d2 GROUP BY month
+), j AS (
+  SELECT day, dow,
+         CAST(trunc((rev_d - CAST(m_i AS DOUBLE) / 1000000.0 / nd) * 1000000)
+              AS BIGINT) AS dev_i,
+         CAST(trunc((rev_d - CAST(m_i AS DOUBLE) / 1000000.0 / nd)
+                     * (rev_d - CAST(m_i AS DOUBLE) / 1000000.0 / nd))
+              AS BIGINT) AS dev2_i
+  FROM d2 JOIN monthly USING (month)
+), seasonal AS (
+  SELECT dow, SUM(dev_i) AS sd_i, SUM(dev2_i) AS s2_i, COUNT(*) AS n_days
+  FROM j GROUP BY dow
+), sfrm AS (
+  SELECT dow, n_days, sd_i, s2_i,
+         CAST(trunc((CAST(sd_i AS DOUBLE) / 1000000.0 / n_days) * 1000000)
+              AS BIGINT) AS seas_i
+  FROM seasonal
+), r AS (
+  SELECT CAST(trunc((CAST(j.dev_i AS DOUBLE) / 1000000.0
+                     - CAST(s.seas_i AS DOUBLE) / 1000000.0) * 1000000)
+              AS BIGINT) AS res_i
+  FROM j JOIN sfrm s USING (dow)
+), gtot AS (
+  SELECT SUM(res_i) AS gr_i,
+         SUM(CAST(trunc((CAST(res_i AS DOUBLE) / 1000000.0)
+                         * (CAST(res_i AS DOUBLE) / 1000000.0))
+                  AS BIGINT)) AS gr2_i
+  FROM r
+), dtot AS (
+  SELECT SUM(dev_i) AS gd_i, SUM(dev2_i) AS gd2_i, COUNT(*) AS nall FROM j
+), gstat AS (
+  SELECT CAST(trunc((1.0
+           - (CAST(gr2_i AS DOUBLE)
+              - (CAST(gr_i AS DOUBLE) / 1000000.0)
+                * (CAST(gr_i AS DOUBLE) / 1000000.0) / CAST(nall AS DOUBLE))
+             / (CAST(gd2_i AS DOUBLE)
+                - (CAST(gd_i AS DOUBLE) / 1000000.0)
+                  * (CAST(gd_i AS DOUBLE) / 1000000.0) / CAST(nall AS DOUBLE)))
+          * 1000000) AS BIGINT) AS r2_i
+  FROM dtot CROSS JOIN gtot
+)
+SELECT dow, n_days,
+       CAST(seas_i AS DOUBLE) / 1000000.0 AS seasonal,
+       CAST(CAST(trunc((CAST(s2_i AS DOUBLE)
+                        - (CAST(sd_i AS DOUBLE) / 1000000.0)
+                          * (CAST(sd_i AS DOUBLE) / 1000000.0) / n_days)
+                       / (n_days - 1)) AS BIGINT) AS DOUBLE)
+         AS var_dev,
+       CAST(r2_i AS DOUBLE) / 1000000.0 AS weekly_r2
+FROM sfrm CROSS JOIN gstat
+ORDER BY dow
+"""
+
+
 QUERIES = {
     "chisq_event_dow": chisq_event_dow,
     "anova_event_values": anova_event_values,
     "ks_length_drift": ks_length_drift,
     "regr_price_quantity": regr_price_quantity,
     "mi_label_dims": mi_label_dims,
+    "welch_event_values": welch_event_values,
+    "join_key_skew_audit": join_key_skew_audit,
+    "revenue_seasonality": revenue_seasonality,
 }
 
 ORACLE = {
@@ -650,4 +1028,7 @@ ORACLE = {
     "ks_length_drift": ORACLE_KS_LENGTH_DRIFT,
     "regr_price_quantity": ORACLE_REGR_PRICE_QUANTITY,
     "mi_label_dims": ORACLE_MI_LABEL_DIMS,
+    "welch_event_values": ORACLE_WELCH_EVENT_VALUES,
+    "join_key_skew_audit": ORACLE_JOIN_KEY_SKEW_AUDIT,
+    "revenue_seasonality": ORACLE_REVENUE_SEASONALITY,
 }

@@ -178,3 +178,86 @@ def test_mi_shuffle_is_cell_sized(spark):
     assert c["n_sortmerge_joins"] == 0
     # the 64x explode ran once, into the checkpointed cell grid
     assert executed_plan(df).count("FileScan parquet") == 0
+
+
+def test_welch_matches_reference_computation(spark):
+    from data_ingestion_project_spark.queries.stats import welch_event_values
+
+    out = welch_event_values(spark, SF).toPandas().iloc[0]
+    e = _events_pdf()
+    a = e[e.event_type == "purchase"]["value"].to_numpy()
+    b = e[e.event_type == "click"]["value"].to_numpy()
+    va, vb = a.var(ddof=1), b.var(ddof=1)
+    na, nb = len(a), len(b)
+    se2 = va / na + vb / nb
+    t = (a.mean() - b.mean()) / math.sqrt(se2)
+    df = se2**2 / ((va / na) ** 2 / (na - 1) + (vb / nb) ** 2 / (nb - 1))
+    assert out.n_purchase == na and out.n_click == nb
+    assert abs(out.t_stat - t) < 1e-4
+    assert abs(out.df_welch - df) < 1e-1
+    assert abs(out.mean_purchase - a.mean()) < 1e-4
+    assert abs(out.var_click - vb) < 1e-3
+
+
+def test_skew_audit_matches_reference_computation(spark):
+    from data_ingestion_project_spark.queries.stats import join_key_skew_audit
+
+    out = join_key_skew_audit(spark, SF).toPandas().iloc[0]
+    o = pd.read_parquet(f"{SF}/orders.parquet")
+    c = o.groupby("o_custkey").size()
+    T = c.sum()
+    p = c / T
+    entropy = -(p * p.map(math.log)).sum()
+    assert out.n_keys == len(c) and out.n_rows == T
+    assert abs(out.entropy - entropy) < 1e-3
+    assert abs(out.norm_entropy - entropy / math.log(len(c))) < 1e-3
+    assert abs(out.hhi - (p * p).sum()) < 1e-6
+    assert abs(out.max_key_share - c.max() / T) < 1e-6
+    # a uniform key would give norm_entropy 1.0; sanity bound
+    assert 0.0 < out.norm_entropy <= 1.0
+
+
+def test_seasonality_matches_reference_computation(spark):
+    from data_ingestion_project_spark.queries.stats import revenue_seasonality
+
+    out = revenue_seasonality(spark, SF).toPandas()
+    o = pd.read_parquet(f"{SF}/orders.parquet")
+    o["day"] = pd.to_datetime(o["o_orderdate"]).dt.floor("D")
+    daily = o.groupby("day")["o_totalprice"].sum().reset_index(name="rev")
+    daily["month"] = daily["day"].dt.to_period("M")
+    daily["dow"] = daily["day"].dt.dayofweek + 1
+    mavg = daily.groupby("month")["rev"].transform("mean")
+    daily["dev"] = daily["rev"] - mavg
+    seas = daily.groupby("dow")["dev"].mean()
+    resid = daily["dev"] - daily["dow"].map(seas)
+    r2 = 1 - resid.var(ddof=1) / daily["dev"].var(ddof=1)
+    assert len(out) == 7
+    for _, row in out.iterrows():
+        assert abs(row.seasonal - seas[row.dow]) < 1e-2
+    assert abs(out.weekly_r2.iloc[0] - r2) < 1e-3
+
+
+def test_welch_and_skew_are_single_pass(spark):
+    """Both audits must be chained aggregations: no joins, no windows,
+    and for Welch a pushed event_type filter on the scan."""
+    from data_ingestion_project_spark.queries.stats import (
+        join_key_skew_audit,
+        welch_event_values,
+    )
+
+    for q in (welch_event_values, join_key_skew_audit):
+        plan = executed_plan(q(spark, SF)).split("== Initial Plan ==")[0]
+        assert "Join" not in plan and "Window" not in plan
+    c = plan_census(welch_event_values(spark, SF))
+    assert c["n_exchanges"] <= 1  # scalar final aggregate only
+
+
+def test_seasonality_has_no_windows_and_no_fact_rescans(spark):
+    """Trend = month-mean join, seasonal = dow aggregate: the whole
+    decomposition is joins/aggregates over the checkpointed per-day
+    frame — zero windows, zero parquet scans in the returned plan."""
+    from data_ingestion_project_spark.queries.stats import revenue_seasonality
+
+    plan = executed_plan(revenue_seasonality(spark, SF))
+    assert "Window" not in plan
+    assert plan.count("FileScan parquet") == 0
