@@ -625,3 +625,47 @@ def start_covariance_stream(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def start_moments_stream(
+    spark: SparkSession,
+    events: DataFrame,
+    table_path: str,
+    checkpoint_dir: str,
+    key_col: str,
+    x_col: str,
+    y_col: str | None = None,
+    app_id: str | None = None,
+) -> StreamingQuery:
+    """Streaming maintenance of the keyed moment asset
+    (operators/moments.py): each micro-batch folds its <=|keys|-row
+    exact integer moment frame into the standing table, so Welch /
+    ANOVA / OLS statistics can be refit at ANY time from KB-sized
+    stored moments -- never a fact rescan.  Additive cells => fenced,
+    the same posture as the CMS and covariance sinks (a replayed batch
+    would double every moment)."""
+    import os
+
+    from data_ingestion_project_spark.operators.moments import update_moments_asset
+
+    fence_id = app_id or os.path.abspath(checkpoint_dir)
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        update_moments_asset(
+            spark,
+            table_path,
+            batch_df,
+            key_col=key_col,
+            x_col=x_col,
+            y_col=y_col,
+            fence=(fence_id, batch_id),
+        )
+
+    return (
+        events.writeStream.foreachBatch(_sink)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
