@@ -24,39 +24,53 @@ from data_ingestion_project_spark.queries import advanced, documents, embeddings
 _MODULES = (tpch, tpch2, events, documents, embeddings, advanced, stats)
 
 # The driver's correctness gate certifies the FIRST 50 entries of
-# all_queries() in dict order.  Per the round-5 verdict ask #2, this
-# round-6 window is the 19 queries with NO driver certification of
-# their current form — the 15 round-5 additions (never certified), the
-# round-6 ``jpeg_decode_stats`` wiring, plus the three ANN recall
-# queries rewritten rows-only→oracle AFTER their r04 certification —
-# followed by 31 of the 33 names last certified in r03 (alphabetical;
-# ``top_similar_pairs`` and ``wealthy_inactive_customers`` are
-# deferred to r07 to keep the window at 50).  Names not listed here
-# keep their module order.
+# all_queries() in dict order.  Round-6 window: ALL 32 queries with no
+# driver certification ever (the 15 round-5 additions plus the 17
+# round-6 additions — JPEG wiring, reservoir/bloom/outlier/covariance/
+# inverted-index/compression/interval families, and the statistics
+# census family), the three ANN recall queries rewritten
+# rows-only→oracle AFTER their r04 certification, then the 15
+# alphabetically-first of the r03-stale names (the remaining r03-era
+# re-certs roll to r07).  Names not listed here keep module order.
 _DRIVER_PRIORITY = (
-    # -- never driver-certified (round-5 additions + the round-6
-    #    JPEG wiring, the r5 verdict's top ask) --
+    # -- never driver-certified (rounds 5 and 6 additions) --
     "jpeg_decode_stats",
+    "anova_event_values",
     "bigram_logprob_buckets",
+    "bloom_membership_audit",
     "bm25_topk",
+    "bm25_topk_indexed",
+    "chisq_event_dow",
     "cms_word_freq",
+    "compression_ratio_stats",
     "dp_event_counts",
+    "embedding_covariance_stats",
     "entity_golden_records",
+    "event_value_outliers_mad",
     "html_extract_stats",
     "hybrid_rrf_search",
+    "incident_window_purchases",
+    "join_key_skew_audit",
     "k_anonymity_audit",
     "kmv_dau_rollup",
     "kmv_weekly_retention",
+    "ks_length_drift",
+    "mi_label_dims",
     "modality_agreement_scale",
+    "pca_variance_audit",
     "png_decode_stats",
     "quantile_sketch_rollup_xx",
+    "regr_price_quantity",
+    "revenue_seasonality",
     "source_overlap_matrix",
     "unicode_clean_stats",
+    "weighted_sample_audit",
+    "welch_event_values",
     # -- rewritten (rows-only → value-exact oracle) after their r04 cert --
     "ivf_recall",
     "lsh_recall",
     "pq_recall",
-    # -- stalest prior certifications (r03-era) --
+    # -- stalest prior certifications (r03-era, alphabetical) --
     "acctbal_deciles",
     "acctbal_deciles_scalable",
     "chunk_stats",
@@ -72,22 +86,6 @@ _DRIVER_PRIORITY = (
     "orders_quality_report",
     "parts_above_brand_average",
     "pii_scrub_stats",
-    "purchases_near_errors",
-    "quality_filter_funnel",
-    "retention_cohorts",
-    "returnflag_pivot",
-    "returnflag_unpivot",
-    "rolling_30d_top_spenders",
-    "segment_priority_listing",
-    "segment_year_grouping_sets",
-    "shipping_delay_histogram",
-    "signup_purchase_funnel",
-    "small_quantity_revenue",
-    "stratified_sample_rates",
-    "supplier_hierarchy_rollup",
-    "tfidf_top_terms",
-    "top2_orders_lateral",
-    "user_scd2_summary",
 )
 
 
