@@ -85,14 +85,17 @@ def _fake_decode(payload: bytes) -> dict[str, Any]:
 
 # --------------------------------------------- real stdlib-only codecs
 #
-# Four formats decode FOR REAL without PIL/ffmpeg, so genuine
+# Five formats parse FOR REAL without PIL/ffmpeg, so genuine
 # byte-formats flow end-to-end through the mapInPandas plumbing
 # (VERDICT r2 #8, r4 ask #3, r5 ask #1): binary PPM (P6) images,
 # RIFF/WAVE audio, compressed PNG (zlib inflate + per-scanline
-# unfiltering incl. Paeth), and baseline Huffman JPEG (marker parse,
+# unfiltering incl. Paeth), baseline Huffman JPEG (marker parse,
 # entropy decode, dequant, IDCT, chroma upsample — operators/
-# jpegcodec.py, numpy only). Only container formats that genuinely
-# need external libs (MP4/H.264) remain behind require_real_decoder().
+# jpegcodec.py, numpy only), and the MP4 / ISO BMFF CONTAINER
+# (box-tree walk: brand, movie + per-track timescale/duration,
+# handler, 16.16 dims, packed language, mdat size — parse_mp4 below).
+# Only elementary-stream DECODE (H.264/AAC bitstreams) genuinely
+# needs external libs and remains behind require_real_decoder().
 
 
 def decode_ppm(payload: bytes, want_entropy: bool = True) -> dict[str, Any]:
@@ -387,11 +390,214 @@ def encode_png(
     )
 
 
+# ------------------------------------------- MP4 / ISO BMFF container
+#
+# The ISO base-media file format (ISO/IEC 14496-12, the public MP4
+# spec) is a pure box structure — 4-byte size + 4-byte fourcc, nested
+# — so CONTAINER METADATA (brand, movie duration, per-track handler /
+# dims / timescale / language, mdat payload size) parses with stdlib
+# struct arithmetic alone.  Only the CODEC bitstreams inside
+# (H.264/AAC) genuinely need external libs; after this parser the
+# injected-codec seam is down to elementary-stream DECODE only.
+
+_MP4_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
+
+
+def _mp4_box(payload: bytes, pos: int, end: int) -> tuple[bytes, int, int]:
+    """One box header at ``pos``: (fourcc, body_start, body_end).
+    Handles 64-bit largesize (size==1) and to-end-of-file (size==0)
+    per §4.2; raises ValueError on truncation — a parser that cannot
+    reject garbage would corrupt downstream stats."""
+    if end - pos < 8:
+        raise ValueError("mp4: truncated box header")
+    size = int.from_bytes(payload[pos : pos + 4], "big")
+    typ = payload[pos + 4 : pos + 8]
+    body = pos + 8
+    if size == 1:
+        if end - pos < 16:
+            raise ValueError("mp4: truncated largesize")
+        size = int.from_bytes(payload[pos + 8 : pos + 16], "big")
+        body = pos + 16
+    elif size == 0:
+        size = end - pos
+    if size < body - pos or pos + size > end:
+        raise ValueError("mp4: box overruns file")
+    return typ, body, pos + size
+
+
+def parse_mp4(payload: bytes) -> dict[str, Any]:
+    """REAL ISO BMFF container parse: walks the box tree and returns
+    brand, movie timescale/duration (mvhd v0/v1), per-track handler
+    fourcc, tkhd 16.16 dims, mdhd timescale/duration/packed-language,
+    and the mdat payload byte count.  Pure integer arithmetic —
+    deterministic across engines/executors."""
+    if len(payload) < 12 or payload[4:8] != b"ftyp":
+        raise ValueError("mp4: missing ftyp")
+    out: dict[str, Any] = {
+        "format": "mp4",
+        "brand": payload[8:12].decode("ascii", "replace"),
+        "timescale": 0,
+        "duration": 0,
+        "mdat_bytes": 0,
+        "tracks": [],
+    }
+    track: dict[str, Any] | None = None
+
+    def walk(lo: int, hi: int) -> None:
+        nonlocal track
+        pos = lo
+        while pos < hi:
+            typ, body, nxt = _mp4_box(payload, pos, hi)
+            if typ == b"mvhd":
+                v = payload[body]
+                o = body + 4
+                if v == 1:
+                    out["timescale"] = int.from_bytes(payload[o + 16 : o + 20], "big")
+                    out["duration"] = int.from_bytes(payload[o + 20 : o + 28], "big")
+                else:
+                    out["timescale"] = int.from_bytes(payload[o + 8 : o + 12], "big")
+                    out["duration"] = int.from_bytes(payload[o + 12 : o + 16], "big")
+            elif typ == b"trak":
+                track = {"handler": "", "width": 0, "height": 0,
+                         "timescale": 0, "duration": 0, "language": ""}
+                walk(body, nxt)
+                out["tracks"].append(track)
+                track = None
+            elif typ == b"tkhd" and track is not None:
+                v = payload[body]
+                o = body + 4 + (32 if v == 1 else 20)  # past ids/times
+                o += 52  # reserved+layer+group+volume+reserved+matrix
+                track["width"] = int.from_bytes(payload[o : o + 4], "big") >> 16
+                track["height"] = int.from_bytes(payload[o + 4 : o + 8], "big") >> 16
+            elif typ == b"mdhd" and track is not None:
+                v = payload[body]
+                o = body + 4
+                if v == 1:
+                    track["timescale"] = int.from_bytes(payload[o + 16 : o + 20], "big")
+                    track["duration"] = int.from_bytes(payload[o + 20 : o + 28], "big")
+                    o += 28
+                else:
+                    track["timescale"] = int.from_bytes(payload[o + 8 : o + 12], "big")
+                    track["duration"] = int.from_bytes(payload[o + 12 : o + 16], "big")
+                    o += 16
+                lang = int.from_bytes(payload[o : o + 2], "big")
+                track["language"] = "".join(
+                    chr(((lang >> s) & 0x1F) + 0x60) for s in (10, 5, 0)
+                )
+            elif typ == b"hdlr" and track is not None:
+                track["handler"] = payload[body + 8 : body + 12].decode(
+                    "ascii", "replace"
+                )
+            elif typ == b"mdat":
+                out["mdat_bytes"] += nxt - body
+            elif typ in _MP4_CONTAINERS:
+                walk(body, nxt)
+            pos = nxt
+
+    walk(0, len(payload))
+    return out
+
+
+def decode_mp4_meta(payload: bytes, want_entropy: bool = True) -> dict[str, Any]:
+    """parse_mp4 shaped for the decode_media_dims path: dims from the
+    first video ('vide') track, n_samples = mdat payload bytes,
+    feat_mean = movie duration in ms (integer-derived) mod 256."""
+    m = parse_mp4(payload)
+    vid = next((t for t in m["tracks"] if t["handler"] == "vide"), None)
+    dur_ms = (m["duration"] * 1000) // m["timescale"] if m["timescale"] else 0
+    return {
+        "format": "mp4",
+        "width": vid["width"] if vid else 0,
+        "height": vid["height"] if vid else 0,
+        "n_samples": m["mdat_bytes"],
+        "feat_mean": dur_ms % 256,
+        "feat_entropy": len(m["tracks"]),
+        "duration_ms": dur_ms,
+        "n_tracks": len(m["tracks"]),
+        "brand": m["brand"],
+    }
+
+
+def _mp4_u32(v: int) -> bytes:
+    return int(v).to_bytes(4, "big")
+
+
+def _mp4_boxb(typ: bytes, body: bytes) -> bytes:
+    return _mp4_u32(8 + len(body)) + typ + body
+
+
+def encode_mp4(
+    timescale: int,
+    duration: int,
+    tracks: list[dict[str, Any]],
+    mdat: bytes = b"",
+    brand: bytes = b"isom",
+) -> bytes:
+    """Minimal spec-correct ISO BMFF writer (the parse_mp4 round-trip
+    twin and fixture generator): ftyp + moov(mvhd + trak(tkhd +
+    mdia(mdhd + hdlr))) + mdat.  Each track dict: handler ('vide' /
+    'soun'), width, height, timescale, duration, language ('und'...)."""
+    ftyp = _mp4_boxb(b"ftyp", brand + _mp4_u32(0) + brand)
+    mvhd = _mp4_boxb(
+        b"mvhd",
+        bytes(4)  # version/flags
+        + bytes(8)  # creation/modification
+        + _mp4_u32(timescale)
+        + _mp4_u32(duration)
+        + _mp4_u32(0x00010000)  # rate
+        + (0x0100).to_bytes(2, "big")  # volume
+        + bytes(10)
+        + b"".join(_mp4_u32(v) for v in (0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000))
+        + bytes(24)
+        + _mp4_u32(len(tracks) + 1),
+    )
+    traks = b""
+    for i, t in enumerate(tracks):
+        tkhd = _mp4_boxb(
+            b"tkhd",
+            bytes(4)
+            + bytes(8)
+            + _mp4_u32(i + 1)  # track id
+            + bytes(4)
+            + _mp4_u32(t.get("duration", duration))
+            + bytes(8)
+            + bytes(8)  # layer/group/volume/reserved
+            + b"".join(
+                _mp4_u32(v) for v in (0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+            )
+            + _mp4_u32(int(t.get("width", 0)) << 16)
+            + _mp4_u32(int(t.get("height", 0)) << 16),
+        )
+        lang = t.get("language", "und")
+        packed = ((ord(lang[0]) - 0x60) << 10) | ((ord(lang[1]) - 0x60) << 5) | (
+            ord(lang[2]) - 0x60
+        )
+        mdhd = _mp4_boxb(
+            b"mdhd",
+            bytes(4)
+            + bytes(8)
+            + _mp4_u32(t.get("timescale", timescale))
+            + _mp4_u32(t.get("duration", duration))
+            + packed.to_bytes(2, "big")
+            + bytes(2),
+        )
+        hdlr = _mp4_boxb(
+            b"hdlr",
+            bytes(4) + bytes(4) + t["handler"].encode("ascii") + bytes(12) + b"\x00",
+        )
+        traks += _mp4_boxb(b"trak", tkhd + _mp4_boxb(b"mdia", mdhd + hdlr))
+    moov = _mp4_boxb(b"moov", mvhd + traks)
+    return ftyp + moov + _mp4_boxb(b"mdat", mdat)
+
+
 def real_decode(payload: bytes, want_entropy: bool = True) -> dict[str, Any]:
     """Magic-byte dispatch over the real codecs (PPM/PNG/WAV/baseline
-    JPEG). Anything else (MP4/H.264 — genuinely non-stdlib) raises —
-    route those through an injected decode_fn backed by ffmpeg in
-    production."""
+    JPEG) and the REAL MP4 container parser (metadata — brand, dims,
+    duration, tracks, mdat size; see parse_mp4). Only elementary-
+    stream DECODE (H.264/AAC bitstreams) still requires an injected
+    decode_fn backed by ffmpeg in production."""
+    if len(payload) >= 12 and payload[4:8] == b"ftyp":
+        return decode_mp4_meta(payload, want_entropy=want_entropy)
     if payload.startswith(b"P6"):
         return decode_ppm(payload, want_entropy=want_entropy)
     if payload.startswith(_PNG_SIG):

@@ -57,6 +57,7 @@ _DRIVER_PRIORITY = (
     "ks_length_drift",
     "mi_label_dims",
     "modality_agreement_scale",
+    "mp4_metadata_stats",
     "pca_variance_audit",
     "png_decode_stats",
     "quantile_sketch_rollup_xx",
@@ -85,7 +86,6 @@ _DRIVER_PRIORITY = (
     "order_price_quantiles",
     "orders_quality_report",
     "parts_above_brand_average",
-    "pii_scrub_stats",
 )
 
 

@@ -809,6 +809,93 @@ def png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mp4_metadata_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL MP4 / ISO BMFF container parse end-to-end: each document is
+    rendered executor-side as a genuine spec-correct MP4 (ftyp +
+    moov(mvhd + per-track tkhd/mdhd/hdlr) + mdat — multi-track on odd
+    doc_ids, 16.16 fixed-point dims, packed language, all fields
+    doc_id-derived), then parsed FOR REAL by the stdlib box walker
+    (operators/multimodal.parse_mp4) via the Arrow mapInPandas dims
+    path, and aggregated per recovered video width.  The oracle
+    recomputes the same stats from doc_id arithmetic alone, so a
+    parser that misreads a box size, a fixed-point width, or the mvhd
+    duration value-fails the gate.  After this query the injected-
+    codec seam is elementary-stream decode (H.264/AAC) only.
+
+    Both stages are Arrow-batched mapInPandas over (doc_id)-derived
+    bytes — the inherently-Python container seam; everything around
+    it (grouping, averages) is JVM-side."""
+    import pandas as _pd
+
+    from data_ingestion_project_spark.operators.multimodal import (
+        decode_media_dims,
+        encode_mp4,
+    )
+
+    d = table(spark, sf_dir, "documents")
+
+    def _encode(batches):
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                tracks = [
+                    {
+                        "handler": "vide",
+                        "width": 16 * (i % 4 + 1),
+                        "height": 16 * (i % 3 + 1),
+                        "timescale": 90000,
+                        "language": "und",
+                    }
+                ]
+                if i % 2 == 1:
+                    tracks.append(
+                        {"handler": "soun", "timescale": 48000, "language": "eng"}
+                    )
+                payloads.append(
+                    encode_mp4(
+                        1000,
+                        1000 + (i % 977) * 10,
+                        tracks,
+                        mdat=bytes(i % 50 + 1),
+                    )
+                )
+            yield _pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    media = d.select("doc_id").mapInPandas(
+        _encode, schema="media_id long, payload binary"
+    )
+    dims = decode_media_dims(media)
+    return (
+        dims.groupBy("width")
+        .agg(
+            F.count(F.lit(1)).alias("n_media"),
+            F.round(F.avg("height"), 4).alias("avg_height"),
+            F.sum("n_samples").alias("total_mdat_bytes"),
+            F.round(F.avg("feat_mean"), 4).alias("avg_dur_mod"),
+        )
+        .orderBy("width")
+    )
+
+
+ORACLE_MP4_METADATA_STATS = """
+WITH m AS (
+  SELECT doc_id,
+         16 * (doc_id % 4 + 1) AS width,
+         16 * (doc_id % 3 + 1) AS height,
+         (1000 + (doc_id % 977) * 10) % 256 AS dur_mod,
+         doc_id % 50 + 1 AS mdat_bytes
+  FROM documents
+)
+SELECT CAST(width AS INT) AS width,
+       COUNT(*) AS n_media,
+       ROUND(AVG(height), 4) AS avg_height,
+       CAST(SUM(mdat_bytes) AS BIGINT) AS total_mdat_bytes,
+       ROUND(AVG(dur_mod), 4) AS avg_dur_mod
+FROM m GROUP BY width ORDER BY width
+"""
+
+
 def weighted_sample_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted reservoir sample (A-ES, operators/sampling.py) audit:
     draw EXACTLY 200 documents with inclusion probability proportional
@@ -3572,6 +3659,7 @@ QUERIES = {
     "media_feature_stats": media_feature_stats,
     "media_decode_stats": media_decode_stats,
     "png_decode_stats": png_decode_stats,
+    "mp4_metadata_stats": mp4_metadata_stats,
     "jpeg_decode_stats": jpeg_decode_stats,
     "weighted_sample_audit": weighted_sample_audit,
     "compression_ratio_stats": compression_ratio_stats,
@@ -3620,6 +3708,7 @@ ORACLE = {
     "media_feature_stats": ORACLE_MEDIA_FEATURE_STATS,
     "media_decode_stats": ORACLE_MEDIA_DECODE_STATS,
     "png_decode_stats": ORACLE_PNG_DECODE_STATS,
+    "mp4_metadata_stats": ORACLE_MP4_METADATA_STATS,
     "jpeg_decode_stats": ORACLE_JPEG_DECODE_STATS,
     "weighted_sample_audit": ORACLE_WEIGHTED_SAMPLE_AUDIT,
     "bigram_logprob_buckets": ORACLE_BIGRAM_LOGPROB_BUCKETS,

@@ -376,3 +376,79 @@ def test_real_decode_dispatches_jpeg():
     assert (feats["width"], feats["height"]) == (5, 3)
     assert feats["n_samples"] == 45
     assert feats["feat_mean"] == 200  # closed form: s=72 -> 128 + 2*36
+
+
+def test_mp4_roundtrip_multitrack():
+    """ISO BMFF writer/parser round-trip: brand, movie clock, per-track
+    handler / 16.16 dims / media clock / packed language, mdat size."""
+    from data_ingestion_project_spark.operators.multimodal import encode_mp4, parse_mp4
+
+    p = encode_mp4(
+        1000,
+        5430,
+        [
+            {
+                "handler": "vide",
+                "width": 640,
+                "height": 360,
+                "timescale": 90000,
+                "duration": 488700,
+                "language": "und",
+            },
+            {"handler": "soun", "timescale": 48000, "duration": 260640, "language": "eng"},
+        ],
+        mdat=b"\x07" * 777,
+        brand=b"mp42",
+    )
+    m = parse_mp4(p)
+    assert m["brand"] == "mp42"
+    assert (m["timescale"], m["duration"], m["mdat_bytes"]) == (1000, 5430, 777)
+    v, a = m["tracks"]
+    assert (v["handler"], v["width"], v["height"]) == ("vide", 640, 360)
+    assert (v["timescale"], v["duration"], v["language"]) == (90000, 488700, "und")
+    assert (a["handler"], a["width"], a["height"]) == ("soun", 0, 0)
+    assert (a["timescale"], a["language"]) == (48000, "eng")
+
+
+def test_mp4_largesize_and_multiple_mdat():
+    """64-bit largesize boxes (size==1 + 8-byte length) and repeated
+    mdat boxes must both parse; mdat bytes accumulate."""
+    from data_ingestion_project_spark.operators.multimodal import encode_mp4, parse_mp4
+
+    base = encode_mp4(600, 1200, [{"handler": "vide", "width": 32, "height": 16}])
+    body = b"\x00" * 100
+    largesize_mdat = (
+        (1).to_bytes(4, "big") + b"mdat" + (16 + len(body)).to_bytes(8, "big") + body
+    )
+    normal_mdat = (8 + 5).to_bytes(4, "big") + b"mdat" + b"\x01" * 5
+    m = parse_mp4(base + largesize_mdat + normal_mdat)
+    assert m["mdat_bytes"] == 0 + 100 + 5  # encode_mp4 mdat (0) + both extras
+
+
+def test_mp4_rejects_malformed():
+    import pytest
+
+    from data_ingestion_project_spark.operators.multimodal import encode_mp4, parse_mp4
+
+    good = encode_mp4(1000, 1000, [{"handler": "vide", "width": 8, "height": 8}])
+    with pytest.raises(ValueError, match="ftyp"):
+        parse_mp4(b"\x00" * 40)
+    with pytest.raises(ValueError, match="overruns|truncated"):
+        parse_mp4(good[:-6])
+
+
+def test_real_decode_dispatches_mp4():
+    """ftyp-magic payloads route to the container parser and return the
+    shared dims-features contract (width/height from the video track,
+    n_samples = mdat bytes, feat_mean = duration_ms mod 256)."""
+    from data_ingestion_project_spark.operators.multimodal import encode_mp4, real_decode
+
+    p = encode_mp4(
+        1000, 2300, [{"handler": "vide", "width": 48, "height": 32}], mdat=bytes(9)
+    )
+    feats = real_decode(p)
+    assert feats["format"] == "mp4"
+    assert (feats["width"], feats["height"]) == (48, 32)
+    assert feats["n_samples"] == 9
+    assert feats["feat_mean"] == 2300 % 256
+    assert feats["n_tracks"] == 1

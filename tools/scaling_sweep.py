@@ -62,6 +62,14 @@ HEAVY = {
     "cms_word_freq": "documents",
     "bm25_topk": "documents",
     "hybrid_rrf_search": "documents",
+    # round-6 families: the JPEG certification replay (the most
+    # expensive bench query), the served-index BM25 twin, the explode-
+    # family MI census, and two single-pass statistics censuses
+    "jpeg_decode_stats": "documents",
+    "bm25_topk_indexed": "documents",
+    "mi_label_dims": "embeddings",
+    "chisq_event_dow": "events",
+    "revenue_seasonality": "orders",
 }
 
 
@@ -92,7 +100,7 @@ def main() -> None:
         warm_derived_assets(spark, sf_dir)
         rows[sf] = {
             t: table(spark, sf_dir, t).count()
-            for t in {"documents", "events", "lineitem", "supplier"}
+            for t in {"documents", "events", "lineitem", "supplier", "embeddings", "orders"}
         }
         for name in sorted(HEAVY):
             t0 = time.perf_counter()
