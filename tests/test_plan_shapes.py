@@ -439,6 +439,11 @@ _GLOBAL_WINDOW_SANCTIONED = {
     # the spec look empty. See operators/quantile_sketch.py:99.
     "quantile_sketch_rollup",
     "quantile_sketch_rollup_xx",
+    # KS two-level cumsum: the flagged window is the EXCLUSIVE prefix
+    # over the BUCKET-PARTIALS frame (cardinality = max-doc-length/64,
+    # a data-domain constant, not corpus size); the value-frame window
+    # is bucket-partitioned and separately pinned in test_stats.py
+    "ks_length_drift",
 }
 
 
