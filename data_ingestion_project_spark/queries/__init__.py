@@ -53,6 +53,7 @@ _DRIVER_PRIORITY = (
     "join_key_skew_audit",
     "k_anonymity_audit",
     "kmv_dau_rollup",
+    "kmv_set_similarity",
     "kmv_weekly_retention",
     "ks_length_drift",
     "mi_label_dims",
@@ -85,7 +86,6 @@ _DRIVER_PRIORITY = (
     "near_dup_jaccard_top",
     "order_price_quantiles",
     "orders_quality_report",
-    "parts_above_brand_average",
 )
 
 

@@ -1197,6 +1197,120 @@ ORDER BY week_start
 """
 
 
+def kmv_set_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-algebra SET SIMILARITY: estimated Jaccard, union size,
+    and intersection size between EVERY pair of weeks' user sets, from
+    the per-week KMV bottom-k sketches alone — the audience-overlap
+    question ("how much do week 2 and week 5's users overlap?") that
+    exact computation answers with an all-pairs self-join of the fact
+    table.  Estimators: the union sketch S_U = bottom-k of S_a ∪ S_b;
+    ρ = |{h ∈ S_U : h ∈ A ∧ h ∈ B}| / |S_U| (the classic k-minimum-
+    values Jaccard estimator); |A∪B| from S_U's kth value; |A∩B| =
+    ρ·|A∪B|.  At 100 TB every input here is a stored KB-sized sketch:
+    the pairwise stage touches |weeks|²·k rows, never the corpus.
+
+    Plan: per-week bottom-k via a wk-PARTITIONED window (parallel);
+    the pair expansion joins sketch rows against the tiny distinct-
+    week pair list (broadcast); per-pair union ranking windows are
+    partitioned by (week_a, week_b).  Deterministic md5 sample keys →
+    every estimate replays integer-exactly in DuckDB (accuracy vs the
+    exact self-join is pinned in pytest, where determinism would be
+    the wrong tool)."""
+    e = table(spark, sf_dir, "events")
+    hashes = (
+        e.select(F.date_trunc("week", "ts").alias("wk"), _kmv_hash_int().alias("hv"))
+        .distinct()
+    )
+    w = Window.partitionBy("wk").orderBy("hv")
+    bottom = (
+        hashes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _KMV_K)
+        .select("wk", "hv")
+    )
+    weeks = bottom.select("wk").distinct()
+    pairs = (
+        weeks.select(F.col("wk").alias("wa"))
+        .crossJoin(F.broadcast(weeks.select(F.col("wk").alias("wb"))))
+        .filter(F.col("wa") < F.col("wb"))
+    )
+    rows_a = bottom.join(
+        F.broadcast(pairs), bottom["wk"] == pairs["wa"]
+    ).select("wa", "wb", "hv", F.lit(1).alias("in_a"), F.lit(0).alias("in_b"))
+    rows_b = bottom.join(
+        F.broadcast(pairs), bottom["wk"] == pairs["wb"]
+    ).select("wa", "wb", "hv", F.lit(0).alias("in_a"), F.lit(1).alias("in_b"))
+    u = (
+        rows_a.unionByName(rows_b)
+        .groupBy("wa", "wb", "hv")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    wu = Window.partitionBy("wa", "wb").orderBy("hv")
+    su = u.withColumn("rn", F.row_number().over(wu)).filter(F.col("rn") <= _KMV_K)
+    per_pair = su.groupBy("wa", "wb").agg(
+        F.count(F.lit(1)).alias("n_u"),
+        F.max("hv").alias("kth_u"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("n_both"),
+    )
+    est_union = F.when(F.col("n_u") < _KMV_K, F.col("n_u").cast("double")).otherwise(
+        F.round((_KMV_K - 1) * F.lit(float(_KMV_SPACE)) / F.col("kth_u"), 0)
+    )
+    jacc = F.round(F.col("n_both").cast("double") / F.col("n_u"), 6)
+    return (
+        per_pair.select(
+            F.date_format("wa", "yyyy-MM-dd").alias("week_a"),
+            F.date_format("wb", "yyyy-MM-dd").alias("week_b"),
+            jacc.alias("est_jaccard"),
+            est_union.cast("long").alias("est_union_users"),
+            F.round(jacc * est_union, 0).cast("long").alias("est_common_users"),
+        )
+        .orderBy("week_a", "week_b")
+    )
+
+
+ORACLE_KMV_SET_SIMILARITY = f"""
+WITH h0 AS (
+  SELECT DISTINCT date_trunc('week', ts) AS wk, md5(CAST(user_id AS VARCHAR)) AS h
+  FROM events
+), hashes AS (
+  SELECT DISTINCT wk, {_sql_kmv_hash_int("h")} AS hv FROM h0
+), bottom AS (
+  SELECT wk, hv FROM (
+    SELECT wk, hv, ROW_NUMBER() OVER (PARTITION BY wk ORDER BY hv) AS rn
+    FROM hashes
+  ) t WHERE rn <= {_KMV_K}
+), weeks AS (SELECT DISTINCT wk FROM bottom),
+pairs AS (
+  SELECT a.wk AS wa, b.wk AS wb FROM weeks a JOIN weeks b ON a.wk < b.wk
+), u AS (
+  SELECT p.wa, p.wb, s.hv,
+         MAX(CASE WHEN s.wk = p.wa THEN 1 ELSE 0 END) AS in_a,
+         MAX(CASE WHEN s.wk = p.wb THEN 1 ELSE 0 END) AS in_b
+  FROM pairs p JOIN bottom s ON s.wk IN (p.wa, p.wb)
+  GROUP BY p.wa, p.wb, s.hv
+), su AS (
+  SELECT wa, wb, hv, in_a, in_b FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY wa, wb ORDER BY hv) AS rn FROM u
+  ) t WHERE rn <= {_KMV_K}
+), per_pair AS (
+  SELECT wa, wb, COUNT(*) AS n_u, MAX(hv) AS kth_u,
+         CAST(SUM(in_a * in_b) AS BIGINT) AS n_both
+  FROM su GROUP BY wa, wb
+)
+SELECT strftime(wa, '%Y-%m-%d') AS week_a,
+       strftime(wb, '%Y-%m-%d') AS week_b,
+       ROUND(n_both * 1.0 / n_u, 6) AS est_jaccard,
+       CAST(CASE WHEN n_u < {_KMV_K} THEN n_u * 1.0
+            ELSE ROUND(({_KMV_K} - 1) * {float(_KMV_SPACE)} / kth_u, 0) END AS BIGINT)
+         AS est_union_users,
+       CAST(ROUND(ROUND(n_both * 1.0 / n_u, 6)
+                  * (CASE WHEN n_u < {_KMV_K} THEN n_u * 1.0
+                     ELSE ROUND(({_KMV_K} - 1) * {float(_KMV_SPACE)} / kth_u, 0) END),
+                  0) AS BIGINT) AS est_common_users
+FROM per_pair
+ORDER BY week_a, week_b
+"""
+
+
 def theta_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theta sketches support SET OPERATIONS between sketches —
     intersection gives retained users between adjacent weeks without
@@ -1768,6 +1882,7 @@ QUERIES = {
     "sketch_rollup_dau": sketch_rollup_dau,
     "kmv_dau_rollup": kmv_dau_rollup,
     "kmv_weekly_retention": kmv_weekly_retention,
+    "kmv_set_similarity": kmv_set_similarity,
     "quantile_sketch_rollup": quantile_sketch_rollup,
     "quantile_sketch_rollup_xx": quantile_sketch_rollup_xx,
     "theta_weekly_retention": theta_weekly_retention,
@@ -1799,6 +1914,7 @@ ORACLE = {
     "quantile_sketch_rollup": ORACLE_QUANTILE_SKETCH_ROLLUP,
     "kmv_dau_rollup": ORACLE_KMV_DAU_ROLLUP,
     "kmv_weekly_retention": ORACLE_KMV_WEEKLY_RETENTION,
+    "kmv_set_similarity": ORACLE_KMV_SET_SIMILARITY,
     "segment_wealth_percentiles": ORACLE_SEGMENT_WEALTH_PERCENTILES,
     "segment_richest_customer": ORACLE_SEGMENT_RICHEST_CUSTOMER,
     "returnflag_unpivot": ORACLE_RETURNFLAG_UNPIVOT,

@@ -261,3 +261,24 @@ def test_seasonality_has_no_windows_and_no_fact_rescans(spark):
     plan = executed_plan(revenue_seasonality(spark, SF))
     assert "Window" not in plan
     assert plan.count("FileScan parquet") == 0
+
+
+def test_kmv_set_similarity_accuracy_floor(spark):
+    """Sketch Jaccard/union/intersection estimates vs the EXACT weekly
+    self-join ground truth (k=256; determinism is certified by the
+    DuckDB oracle — this pins that the estimates are also CLOSE)."""
+    from data_ingestion_project_spark.queries.advanced import kmv_set_similarity
+
+    est = kmv_set_similarity(spark, SF).toPandas()
+    e = pd.read_parquet(f"{SF}/events.parquet")
+    e["wk"] = pd.to_datetime(e["ts"]).dt.to_period("W").dt.start_time.dt.strftime(
+        "%Y-%m-%d"
+    )
+    sets = {w: set(g["user_id"]) for w, g in e.groupby("wk")}
+    assert len(est) == len(sets) * (len(sets) - 1) // 2
+    for _, r in est.iterrows():
+        a, b = sets[r.week_a], sets[r.week_b]
+        exact_j = len(a & b) / len(a | b)
+        assert abs(r.est_jaccard - exact_j) < 0.12
+        assert abs(r.est_union_users - len(a | b)) / len(a | b) < 0.15
+        assert abs(r.est_common_users - len(a & b)) / max(len(a & b), 1) < 0.25
