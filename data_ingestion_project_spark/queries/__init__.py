@@ -52,6 +52,7 @@ _DRIVER_PRIORITY = (
     "incident_window_purchases",
     "join_key_skew_audit",
     "k_anonymity_audit",
+    "keyword_textrank",
     "kmv_dau_rollup",
     "kmv_set_similarity",
     "kmv_weekly_retention",
@@ -85,7 +86,6 @@ _DRIVER_PRIORITY = (
     "lang_id_confusion",
     "near_dup_jaccard_top",
     "order_price_quantiles",
-    "orders_quality_report",
 )
 
 

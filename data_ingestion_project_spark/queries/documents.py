@@ -3197,6 +3197,94 @@ def dup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TEXTRANK_ITERS = 5
+_TEXTRANK_MIN_COOC = 25
+
+
+def keyword_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank
+    over the word CO-OCCURRENCE graph — words are nodes, adjacent-word
+    pairs seen ≥ 25 times are undirected edges, and a word's rank is
+    its graph centrality, the classic unsupervised keyword scorer
+    (frequency alone can't see that a word bridges many contexts).
+    Pure operator REUSE: the same fixed-iteration
+    ``operators/pagerank.pagerank`` that ranks the document dup graph
+    runs unchanged over a string-keyed word graph.
+
+    Plan: adjacency from ONE arrays_zip explode (the bigram-LM idiom —
+    no positional self-join), collapsed to a ≤|vocab|²-row undirected
+    edge list (the explode map-side-combines into that tiny frame);
+    the PageRank rounds then iterate over the edge list alone — at
+    100 TB the iterations never touch the corpus, only the vocabulary
+    graph.  The DuckDB oracle replays the SAME unrolled iterations
+    (pagerank_unrolled_sql), value-certifying the composition
+    end-to-end."""
+    from data_ingestion_project_spark.operators.pagerank import pagerank, symmetrize
+
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.split(F.lower(F.trim("text")), r"\s+").alias("a")
+    ).withColumn("n", F.size("a"))
+    pairs = (
+        toks.filter(F.col("n") >= 2)
+        .select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice("a", 1, F.col("n") - 1).alias("w1"),
+                    F.slice("a", 2, F.col("n") - 1).alias("w2"),
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    und = (
+        pairs.filter(F.col("w1") != F.col("w2"))
+        .select(
+            F.least("w1", "w2").alias("id_a"), F.greatest("w1", "w2").alias("id_b")
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_cooc"))
+        .filter(F.col("n_cooc") >= _TEXTRANK_MIN_COOC)
+    )
+    ranks = pagerank(symmetrize(und), iterations=_TEXTRANK_ITERS)
+    return (
+        ranks.select(F.col("node").alias("word"), F.round("rank", 8).alias("rank"))
+        .orderBy(F.col("rank").desc(), "word")
+        .limit(15)
+    )
+
+
+def _oracle_keyword_textrank() -> str:
+    from data_ingestion_project_spark.operators.pagerank import pagerank_unrolled_sql
+
+    body = pagerank_unrolled_sql("edges", iterations=_TEXTRANK_ITERS)
+    return (
+        "WITH toks AS (\n"
+        "  SELECT string_split_regex(lower(trim(text)), '\\s+') AS a FROM documents\n"
+        "), pairs AS (\n"
+        "  SELECT a[i] AS w1, a[i + 1] AS w2\n"
+        "  FROM toks, LATERAL (SELECT unnest(range(1, len(a))) AS i) _\n"
+        "  WHERE len(a) >= 2\n"
+        "), und AS (\n"
+        "  SELECT LEAST(w1, w2) AS id_a, GREATEST(w1, w2) AS id_b, COUNT(*) AS n_cooc\n"
+        "  FROM pairs WHERE w1 <> w2 GROUP BY 1, 2\n"
+        f"), fedges AS (SELECT id_a, id_b FROM und WHERE n_cooc >= {_TEXTRANK_MIN_COOC}),\n"
+        "edges AS (\n"
+        "  SELECT id_a AS src, id_b AS dst FROM fedges\n"
+        "  UNION ALL\n"
+        "  SELECT id_b AS src, id_a AS dst FROM fedges\n"
+        "),\n"
+        + body.replace(
+            f"\nSELECT src AS node, rank FROM r{_TEXTRANK_ITERS}",
+            f"\nSELECT src AS word, ROUND(rank, 8) AS rank FROM r{_TEXTRANK_ITERS}\n"
+            "ORDER BY ROUND(rank, 8) DESC, src LIMIT 15",
+        )
+    )
+
+
+ORACLE_KEYWORD_TEXTRANK = _oracle_keyword_textrank()
+
+
 def _oracle_dup_graph_pagerank() -> str:
     from data_ingestion_project_spark.operators.pagerank import pagerank_unrolled_sql
 
@@ -3683,6 +3771,7 @@ QUERIES = {
     "dsir_importance_weights": dsir_importance_weights,
     "training_shard_plan": training_shard_plan,
     "dup_graph_pagerank": dup_graph_pagerank,
+    "keyword_textrank": keyword_textrank,
     "zipf_slope_by_lang": zipf_slope_by_lang,
     "chunk_dup_stats": chunk_dup_stats,
     "bpe_real_token_stats": bpe_real_token_stats,
@@ -3737,6 +3826,7 @@ ORACLE = {
     "dsir_importance_weights": ORACLE_DSIR_IMPORTANCE_WEIGHTS,
     "training_shard_plan": ORACLE_TRAINING_SHARD_PLAN,
     "dup_graph_pagerank": ORACLE_DUP_GRAPH_PAGERANK,
+    "keyword_textrank": ORACLE_KEYWORD_TEXTRANK,
     "zipf_slope_by_lang": ORACLE_ZIPF_SLOPE_BY_LANG,
     "chunk_dup_stats": ORACLE_CHUNK_DUP_STATS,
     "contrastive_training_pairs": ORACLE_CONTRASTIVE_TRAINING_PAIRS,
