@@ -62,6 +62,7 @@ _DRIVER_PRIORITY = (
     "mp4_metadata_stats",
     "pca_variance_audit",
     "png_decode_stats",
+    "psi_length_drift",
     "quantile_sketch_rollup_xx",
     "regr_price_quantity",
     "revenue_seasonality",
@@ -85,7 +86,6 @@ _DRIVER_PRIORITY = (
     "label_vector_stats",
     "lang_id_confusion",
     "near_dup_jaccard_top",
-    "order_price_quantiles",
 )
 
 

@@ -1011,6 +1011,104 @@ ORDER BY dow
 """
 
 
+# --------------------------------------------------------------- PSI
+
+
+_PSI_BUCKET = 64
+_PSI_SMOOTH = 1  # Laplace add-one so empty buckets never divide by zero
+
+
+def psi_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the English and non-English
+    document-length distributions, over fixed 64-char buckets:
+    PSI = Σ_b (p_b − q_b)·ln(p_b/q_b), the bucketed drift score risk
+    teams threshold at 0.1/0.25 — the KS census (ks_length_drift)
+    answers "did the distribution shift anywhere"; PSI answers "by how
+    much, and which buckets moved".
+
+    Plan: ONE fact pass → bucket×2 counts (a ≤max-length/64-row frame,
+    checkpointed); shares, per-bucket contributions, and the global
+    index derive from it with zero further scans and zero windows.
+
+    Exactness: bucket counts are exact ints; shares are
+    Laplace-smoothed exact-int ratios; the one transcendental
+    ln(p_b/q_b) is quantized to 1e-4 immediately and each bucket's
+    contribution re-quantized to 1e-6 before the EXACT integer global
+    sum (the house ln idiom)."""
+    d = table(spark, sf_dir, "documents")
+    per = (
+        d.groupBy(F.floor(F.col("n_chars") / F.lit(_PSI_BUCKET)).alias("bkt"))
+        .agg(
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("c_en"),
+            F.sum(F.when(F.col("lang") != "en", 1).otherwise(0)).alias("c_ot"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    tot = per.agg(
+        F.sum("c_en").alias("n_en"),
+        F.sum("c_ot").alias("n_ot"),
+        F.count(F.lit(1)).alias("n_bkt"),
+    )
+    j = per.crossJoin(F.broadcast(tot))
+    # Laplace-smoothed shares: (c+1)/(n+B) — exact-integer operands
+    p = (F.col("c_en") + F.lit(_PSI_SMOOTH)).cast("double") / (
+        F.col("n_en") + F.col("n_bkt") * F.lit(_PSI_SMOOTH)
+    )
+    q = (F.col("c_ot") + F.lit(_PSI_SMOOTH)).cast("double") / (
+        F.col("n_ot") + F.col("n_bkt") * F.lit(_PSI_SMOOTH)
+    )
+    lnq_i = F.round(F.log(p / q) * F.lit(10000.0), 0).cast("long")
+    contrib_i = _micro((p - q) * lnq_i.cast("double") / F.lit(10000.0))
+    k = j.select(
+        "bkt",
+        "c_en",
+        "c_ot",
+        contrib_i.alias("contrib_i"),
+    )
+    g = k.agg(F.sum("contrib_i").alias("psi_i"))
+    return (
+        k.crossJoin(F.broadcast(g))
+        .select(
+            "bkt",
+            "c_en",
+            "c_ot",
+            (F.col("contrib_i").cast("double") / F.lit(float(_M))).alias("contrib"),
+            (F.col("psi_i").cast("double") / F.lit(float(_M))).alias("psi"),
+        )
+        .orderBy("bkt")
+    )
+
+
+ORACLE_PSI_LENGTH_DRIFT = f"""
+WITH per AS (
+  SELECT CAST(FLOOR(n_chars / {_PSI_BUCKET}) AS BIGINT) AS bkt,
+         SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS c_en,
+         SUM(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS c_ot
+  FROM documents GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(c_en) AS BIGINT) AS n_en, CAST(SUM(c_ot) AS BIGINT) AS n_ot,
+         COUNT(*) AS n_bkt
+  FROM per
+), j AS (
+  SELECT bkt, c_en, c_ot,
+         CAST(c_en + {_PSI_SMOOTH} AS DOUBLE) / (n_en + n_bkt * {_PSI_SMOOTH}) AS p,
+         CAST(c_ot + {_PSI_SMOOTH} AS DOUBLE) / (n_ot + n_bkt * {_PSI_SMOOTH}) AS q
+  FROM per CROSS JOIN tot
+), k AS (
+  SELECT bkt, c_en, c_ot,
+         CAST(trunc(((p - q)
+                     * (CAST(CAST(ROUND(ln(p / q) * 10000, 0) AS BIGINT) AS DOUBLE)
+                        / 10000.0)) * 1000000) AS BIGINT) AS contrib_i
+  FROM j
+), g AS (SELECT SUM(contrib_i) AS psi_i FROM k)
+SELECT bkt, CAST(c_en AS BIGINT) AS c_en, CAST(c_ot AS BIGINT) AS c_ot,
+       CAST(contrib_i AS DOUBLE) / 1000000.0 AS contrib,
+       CAST(psi_i AS DOUBLE) / 1000000.0 AS psi
+FROM k CROSS JOIN g
+ORDER BY bkt
+"""
+
+
 QUERIES = {
     "chisq_event_dow": chisq_event_dow,
     "anova_event_values": anova_event_values,
@@ -1020,6 +1118,7 @@ QUERIES = {
     "welch_event_values": welch_event_values,
     "join_key_skew_audit": join_key_skew_audit,
     "revenue_seasonality": revenue_seasonality,
+    "psi_length_drift": psi_length_drift,
 }
 
 ORACLE = {
@@ -1031,4 +1130,5 @@ ORACLE = {
     "welch_event_values": ORACLE_WELCH_EVENT_VALUES,
     "join_key_skew_audit": ORACLE_JOIN_KEY_SKEW_AUDIT,
     "revenue_seasonality": ORACLE_REVENUE_SEASONALITY,
+    "psi_length_drift": ORACLE_PSI_LENGTH_DRIFT,
 }

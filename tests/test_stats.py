@@ -282,3 +282,26 @@ def test_kmv_set_similarity_accuracy_floor(spark):
         assert abs(r.est_jaccard - exact_j) < 0.12
         assert abs(r.est_union_users - len(a | b)) / len(a | b) < 0.15
         assert abs(r.est_common_users - len(a & b)) / max(len(a & b), 1) < 0.25
+
+
+def test_psi_matches_reference_computation(spark):
+    """PSI against a direct pandas computation with the same Laplace
+    smoothing and bucket width."""
+    from data_ingestion_project_spark.queries.stats import psi_length_drift
+
+    out = psi_length_drift(spark, SF).toPandas()
+    d = pd.read_parquet(f"{SF}/documents.parquet")
+    d["bkt"] = d["n_chars"] // 64
+    en = d[d.lang == "en"].groupby("bkt").size()
+    ot = d[d.lang != "en"].groupby("bkt").size()
+    bkts = sorted(set(d["bkt"]))
+    B = len(bkts)
+    psi = 0.0
+    for b in bkts:
+        p = (en.get(b, 0) + 1) / (len(d[d.lang == "en"]) + B)
+        q = (ot.get(b, 0) + 1) / (len(d[d.lang != "en"]) + B)
+        psi += (p - q) * math.log(p / q)
+    assert abs(out["psi"].iloc[0] - psi) < 1e-4
+    assert len(out) == B
+    # per-bucket contributions sum (within quantization) to the index
+    assert abs(out["contrib"].sum() - out["psi"].iloc[0]) < 1e-4 * B
