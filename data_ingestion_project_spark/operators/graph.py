@@ -215,3 +215,72 @@ def connected_components_star(
             )
         prev_cert = cert
     raise RuntimeError(f"connected_components_star did not converge in {max_iter} rounds")
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int = 8,
+) -> DataFrame:
+    """FIXED-ROUND k-core peeling over a symmetrized edge table:
+    each round drops every node whose current degree is below ``k``
+    (and the edges touching it), the textbook iterative peel
+    (Seidman 1983).  Like the fixed-iteration PageRank
+    (operators/pagerank.py), the round count is part of the operator's
+    SPEC — both the Spark loop and the SQL oracle unroll exactly
+    ``rounds`` peels, so results replay value-exactly; once the peel
+    reaches its fixpoint the remaining rounds are no-ops, and the true
+    k-core is obtained whenever the graph's peeling depth is within
+    ``rounds`` (pinned for the corpus graphs in pytest).
+
+    Scale: each round is one degree aggregation + two semi-joins over
+    the SHRINKING edge list — shuffles keyed by node id, no windows,
+    nothing corpus-sized beyond the edges themselves; each round is
+    localCheckpoint'ed (house posture: bounded lineage, no
+    re-execution of prior rounds).
+
+    Returns (node, core_degree) for nodes surviving all rounds, with
+    their degree inside the surviving subgraph.
+    """
+    e = edges.select(src, dst).localCheckpoint(eager=True)
+    for _ in range(rounds):
+        deg = e.groupBy(src).agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.filter(F.col("deg") >= k).select(src)
+        e = (
+            e.join(keep, src, "left_semi")
+            .join(keep.select(F.col(src).alias(dst)), dst, "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        e.groupBy(src)
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+        .select(F.col(src).alias("node"), "core_degree")
+    )
+
+
+def k_core_unrolled_sql(edges_cte: str, k: int, rounds: int = 8) -> str:
+    """ANSI-SQL twin of :func:`k_core` for the oracle gate: the same
+    fixed peel rounds as chained CTEs over ``edges_cte`` (a CTE
+    providing symmetrized (src, dst)).  Ends with CTE ``corefinal``
+    (node, core_degree); the caller SELECTs from it."""
+    # MATERIALIZED: each e{r}/k{r} is referenced multiple times by the
+    # next round; DuckDB inlines plain CTEs, which makes the reference
+    # tree (and parquet re-opens) grow EXPONENTIALLY with rounds.
+    parts = [f"e0 AS MATERIALIZED (SELECT src, dst FROM {edges_cte})"]
+    for r in range(rounds):
+        parts.append(
+            f"d{r} AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM e{r} GROUP BY src)"
+        )
+        parts.append(f"k{r} AS MATERIALIZED (SELECT src FROM d{r} WHERE deg >= {k})")
+        parts.append(
+            f"e{r + 1} AS MATERIALIZED (SELECT e.src, e.dst FROM e{r} e\n"
+            f"  WHERE e.src IN (SELECT src FROM k{r})\n"
+            f"    AND e.dst IN (SELECT src FROM k{r}))"
+        )
+    parts.append(
+        f"corefinal AS (SELECT src AS node, COUNT(*) AS core_degree "
+        f"FROM e{rounds} GROUP BY src)"
+    )
+    return ",\n".join(parts)

@@ -44,6 +44,7 @@ _DRIVER_PRIORITY = (
     "cms_word_freq",
     "compression_ratio_stats",
     "dp_event_counts",
+    "dup_graph_kcore",
     "embedding_covariance_stats",
     "entity_golden_records",
     "event_value_outliers_mad",
@@ -85,7 +86,6 @@ _DRIVER_PRIORITY = (
     "idle_suppliers",
     "label_vector_stats",
     "lang_id_confusion",
-    "near_dup_jaccard_top",
 )
 
 

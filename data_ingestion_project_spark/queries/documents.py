@@ -3197,6 +3197,65 @@ def dup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KCORE_K = 3
+_KCORE_ROUNDS = 8
+
+
+def dup_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 3-CORE of the near-duplicate graph (fixed 8-round peel,
+    operators/graph.k_core): nodes that survive when everything of
+    degree < 3 is iteratively stripped — the densely-interlinked
+    template/boilerplate nucleus that pairwise counts and even
+    PageRank smooth over (a doc with 3 strong neighbors INSIDE the
+    core matters more to cluster hygiene than one with 10 leaf
+    neighbors).  Output: the top-15 core members by in-core degree,
+    with the core's total size alongside.
+
+    Plan: edges come from the maintained winnow pair asset; each peel
+    round is a degree aggregate + two semi-joins over the SHRINKING
+    edge list (localCheckpoint'ed, bounded lineage).  The DuckDB
+    oracle replays the SAME 8 unrolled rounds
+    (graph.k_core_unrolled_sql) — integer degrees, so the composition
+    certifies value-exactly.  Fixpoint-within-rounds for this corpus
+    is pinned in pytest (8 rounds == 12 rounds)."""
+    from data_ingestion_project_spark.operators.graph import k_core
+    from data_ingestion_project_spark.operators.pagerank import symmetrize
+
+    pairs = _winnow_pair_counts(spark, sf_dir).filter(
+        F.col("n_shared") >= _PAGERANK_EDGE_MIN_SHARED
+    )
+    core = k_core(symmetrize(pairs), _KCORE_K, rounds=_KCORE_ROUNDS)
+    n_core = core.agg(F.count(F.lit(1)).alias("n_core"))
+    return (
+        core.crossJoin(F.broadcast(n_core))
+        .select(F.col("node").alias("doc_id"), "core_degree", "n_core")
+        .orderBy(F.col("core_degree").desc(), "doc_id")
+        .limit(15)
+    )
+
+
+def _oracle_dup_graph_kcore() -> str:
+    from data_ingestion_project_spark.operators.graph import k_core_unrolled_sql
+
+    body = k_core_unrolled_sql("edges", _KCORE_K, rounds=_KCORE_ROUNDS)
+    return (
+        f"WITH {_WINNOW_PAIR_CTES},\n"
+        "edges AS (\n"
+        f"  SELECT id_a AS src, id_b AS dst FROM wpairs WHERE n_shared >= {_PAGERANK_EDGE_MIN_SHARED}\n"
+        "  UNION ALL\n"
+        f"  SELECT id_b AS src, id_a AS dst FROM wpairs WHERE n_shared >= {_PAGERANK_EDGE_MIN_SHARED}\n"
+        "),\n"
+        + body
+        + ",\nnc AS (SELECT COUNT(*) AS n_core FROM corefinal)\n"
+        "SELECT node AS doc_id, core_degree, CAST(n_core AS BIGINT) AS n_core\n"
+        "FROM corefinal CROSS JOIN nc\n"
+        "ORDER BY core_degree DESC, node LIMIT 15"
+    )
+
+
+ORACLE_DUP_GRAPH_KCORE = _oracle_dup_graph_kcore()
+
+
 _TEXTRANK_ITERS = 5
 _TEXTRANK_MIN_COOC = 25
 
@@ -3772,6 +3831,7 @@ QUERIES = {
     "training_shard_plan": training_shard_plan,
     "dup_graph_pagerank": dup_graph_pagerank,
     "keyword_textrank": keyword_textrank,
+    "dup_graph_kcore": dup_graph_kcore,
     "zipf_slope_by_lang": zipf_slope_by_lang,
     "chunk_dup_stats": chunk_dup_stats,
     "bpe_real_token_stats": bpe_real_token_stats,
@@ -3827,6 +3887,7 @@ ORACLE = {
     "training_shard_plan": ORACLE_TRAINING_SHARD_PLAN,
     "dup_graph_pagerank": ORACLE_DUP_GRAPH_PAGERANK,
     "keyword_textrank": ORACLE_KEYWORD_TEXTRANK,
+    "dup_graph_kcore": ORACLE_DUP_GRAPH_KCORE,
     "zipf_slope_by_lang": ORACLE_ZIPF_SLOPE_BY_LANG,
     "chunk_dup_stats": ORACLE_CHUNK_DUP_STATS,
     "contrastive_training_pairs": ORACLE_CONTRASTIVE_TRAINING_PAIRS,

@@ -189,3 +189,42 @@ def test_pagerank_redistribute_handles_dangling_directed_graph(spark):
     leaky = {r["node"]: r["rank"] for r in pagerank(e, iterations=20).collect()}
     assert 2 not in leaky  # sink has no out-edges → not a source node
     assert sum(leaky.values()) < 0.9  # mass visibly leaks without recycling
+
+
+def test_k_core_planted_graph(spark):
+    """Planted structure: a 5-clique (4-core) plus a chain of pendants
+    hanging off it. Peeling with k=3 must keep exactly the clique —
+    every pendant (degree 1-2) strips, including cascades."""
+    from data_ingestion_project_spark.operators.graph import k_core
+    from data_ingestion_project_spark.operators.pagerank import symmetrize
+
+    clique = [(a, b) for a in range(5) for b in range(5) if a < b]
+    chain = [(4, 10), (10, 11), (11, 12)]  # pendant path off node 4
+    edges = spark.createDataFrame(clique + chain, "id_a long, id_b long")
+    core = {r["node"]: r["core_degree"] for r in k_core(symmetrize(edges), 3).collect()}
+    assert set(core) == {0, 1, 2, 3, 4}
+    assert all(d == 4 for d in core.values())
+    # k above the clique's degree empties the core
+    assert k_core(symmetrize(edges), 5).count() == 0
+
+
+def test_k_core_fixpoint_within_rounds(spark):
+    """The corpus dup graph's peel reaches fixpoint within the 8 spec
+    rounds: 8-round and 12-round peels agree (so the fixed-round spec
+    output IS the true 3-core here)."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_project_spark.operators.graph import k_core
+    from data_ingestion_project_spark.operators.pagerank import symmetrize
+    from data_ingestion_project_spark.queries.documents import (
+        _PAGERANK_EDGE_MIN_SHARED,
+        _winnow_pair_counts,
+    )
+
+    pairs = _winnow_pair_counts(spark, "/root/testdata/sf0.001").filter(
+        F.col("n_shared") >= _PAGERANK_EDGE_MIN_SHARED
+    )
+    e = symmetrize(pairs)
+    r8 = sorted(map(tuple, k_core(e, 3, rounds=8).collect()))
+    r12 = sorted(map(tuple, k_core(e, 3, rounds=12).collect()))
+    assert r8 == r12 and len(r8) > 0
