@@ -58,6 +58,7 @@ _DRIVER_PRIORITY = (
     "kmv_set_similarity",
     "kmv_weekly_retention",
     "ks_length_drift",
+    "matryoshka_overlap",
     "mi_label_dims",
     "modality_agreement_scale",
     "mp4_metadata_stats",
@@ -85,7 +86,6 @@ _DRIVER_PRIORITY = (
     "fingerprint_summary",
     "idle_suppliers",
     "label_vector_stats",
-    "lang_id_confusion",
 )
 
 

@@ -122,6 +122,111 @@ ORDER BY query_id, rank
 """
 
 
+_MRL_HALF = 32  # truncated prefix length (of 64)
+_MRL_K = 10
+
+
+def matryoshka_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation audit (the MRL question, Kusupati et al.
+    2022): if the 64-dim embeddings are truncated to their FIRST 32
+    dims — the storage/latency play nested-representation models are
+    trained for — how much of each probe's exact top-10 neighbor set
+    survives?  Per probe: |top10_full ∩ top10_half| and the retention
+    ratio, plus the batch mean — the go/no-go number for shipping
+    truncated vectors.
+
+    Plan: two runs of the same broadcast-probe retrieval join
+    (operators/similarity.cosine_batch_topk — WindowGroupLimit keeps
+    each shuffle at k rows per query per partition), one over the full
+    vectors and one over a JVM ``slice`` projection (no Python, no
+    second table); the overlap join then touches 2·|probes|·k rows.
+    Both rankings replay exactly in DuckDB (same tie-breaks), so the
+    audit is value-exact — integer overlaps, exact-ratio retention."""
+    e = table(spark, sf_dir, "embeddings")
+    probes_full = e.filter(F.col("vec_id") < N_BATCH_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    full = cosine_batch_topk(e, probes_full, k=_MRL_K).select("query_id", "vec_id")
+    e_half = e.select(
+        "vec_id", F.slice("embedding", 1, _MRL_HALF).alias("embedding")
+    )
+    probes_half = probes_full.select(
+        "query_id", F.slice("query_vec", 1, _MRL_HALF).alias("query_vec")
+    )
+    half = cosine_batch_topk(e_half, probes_half, k=_MRL_K).select(
+        "query_id", "vec_id"
+    )
+    ov = (
+        full.join(half, ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("overlap_k"))
+    )
+    per = (
+        probes_full.select("query_id")
+        .join(ov, "query_id", "left")
+        .select(
+            "query_id", F.coalesce(F.col("overlap_k"), F.lit(0)).alias("overlap_k")
+        )
+    )
+    mean = per.agg(
+        F.round(F.sum("overlap_k") / F.lit(N_BATCH_QUERIES * _MRL_K), 4).alias(
+            "mean_retention"
+        )
+    )
+    return (
+        per.crossJoin(F.broadcast(mean))
+        .select(
+            "query_id",
+            "overlap_k",
+            F.round(F.col("overlap_k") / F.lit(_MRL_K), 4).alias("retention"),
+            "mean_retention",
+        )
+        .orderBy("query_id")
+    )
+
+
+ORACLE_MATRYOSHKA_OVERLAP = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < {N_BATCH_QUERIES}
+), sf AS (
+  SELECT q.query_id, e.vec_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.query_id
+           ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qv) DESC,
+                    e.vec_id ASC) AS rn
+  FROM embeddings e JOIN q ON e.vec_id <> q.query_id
+), tf AS (SELECT query_id, vec_id FROM sf WHERE rn <= {_MRL_K}),
+sh AS (
+  SELECT q.query_id, e.vec_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.query_id
+           ORDER BY list_cosine_similarity(
+                      (e.embedding::DOUBLE[])[1:{_MRL_HALF}],
+                      (q.qv)[1:{_MRL_HALF}]) DESC,
+                    e.vec_id ASC) AS rn
+  FROM embeddings e JOIN q ON e.vec_id <> q.query_id
+), th AS (SELECT query_id, vec_id FROM sh WHERE rn <= {_MRL_K}),
+ov AS (
+  SELECT tf.query_id, COUNT(*) AS overlap_k
+  FROM tf JOIN th ON tf.query_id = th.query_id AND tf.vec_id = th.vec_id
+  GROUP BY tf.query_id
+), per AS (
+  SELECT q2.query_id, COALESCE(ov.overlap_k, 0) AS overlap_k
+  FROM (SELECT DISTINCT query_id FROM q) q2 LEFT JOIN ov USING (query_id)
+), m AS (
+  SELECT ROUND(SUM(overlap_k) * 1.0 / {N_BATCH_QUERIES * _MRL_K}, 4)
+           AS mean_retention
+  FROM per
+)
+SELECT query_id, CAST(overlap_k AS BIGINT) AS overlap_k,
+       ROUND(overlap_k * 1.0 / {_MRL_K}, 4) AS retention,
+       mean_retention
+FROM per CROSS JOIN m
+ORDER BY query_id
+"""
+
+
 def label_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label corpus stats: count + mean L2 norm (JVM-side aggregate
     over the array column, no Python)."""
@@ -1057,6 +1162,7 @@ def pca_variance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "knn_brute_force": knn_brute_force,
     "batch_knn_search": batch_knn_search,
+    "matryoshka_overlap": matryoshka_overlap,
     "top_similar_pairs": top_similar_pairs,
     "modality_dedup_agreement": modality_dedup_agreement,
     "modality_agreement_scale": modality_agreement_scale,
@@ -1077,6 +1183,7 @@ QUERIES = {
 ORACLE = {
     "knn_brute_force": ORACLE_KNN_BRUTE_FORCE,
     "batch_knn_search": ORACLE_BATCH_KNN_SEARCH,
+    "matryoshka_overlap": ORACLE_MATRYOSHKA_OVERLAP,
     "top_similar_pairs": ORACLE_TOP_SIMILAR_PAIRS,
     "modality_dedup_agreement": ORACLE_MODALITY_DEDUP_AGREEMENT,
     "label_vector_stats": ORACLE_LABEL_VECTOR_STATS,
