@@ -35,6 +35,7 @@ _MODULES = (tpch, tpch2, events, documents, embeddings, advanced, stats)
 _DRIVER_PRIORITY = (
     # -- never driver-certified (rounds 5 and 6 additions) --
     "jpeg_decode_stats",
+    "abc_customer_classes",
     "anova_event_values",
     "bigram_logprob_buckets",
     "bloom_membership_audit",
@@ -85,7 +86,6 @@ _DRIVER_PRIORITY = (
     "exact_duplicate_pairs",
     "fingerprint_summary",
     "idle_suppliers",
-    "label_vector_stats",
 )
 
 

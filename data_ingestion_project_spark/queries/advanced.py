@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from data_ingestion_project_spark.queries._precision import dec_sum, spark_dec_sum, sql_dec_sum
+from data_ingestion_project_spark.queries._precision import DEC_BUF, dec_sum, spark_dec_sum, sql_dec_sum, to_micro
 from data_ingestion_project_spark.queries.tpch import REV, _rev
 from data_ingestion_project_spark.sources.readers import register_views, table
 
@@ -766,6 +766,104 @@ def acctbal_deciles_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+_ABC_BUCKET_MICRO = 10_000_000_000  # 1e4 money units per cumsum bucket
+
+
+def abc_customer_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / ABC classification of customers by revenue: class A =
+    customers covering the first 80% of cumulative revenue (richest
+    first), B = the next 15%, C = the tail — the inventory-control
+    census behind "which 20% of accounts carry the business".
+
+    The weighted big brother of the decile query: the cutoffs are on
+    CUMULATIVE REVENUE, not row counts, so it needs an ordered
+    weighted cumsum over the per-customer frame — a corpus-scale
+    entity set.  Same two-level decomposition as the KS census: cumsum
+    WITHIN revenue-range buckets (window partitioned by bucket —
+    parallel), plus an exclusive prefix over the ~value-range/1e4-row
+    bucket-partials frame (the only single-partition step,
+    value-domain-sized, constant in the corpus).
+
+    Exactness: per-customer revenues are exact micro-unit DECIMALs and
+    every cumulative sum folds those decimals exactly; class
+    boundaries compare cum·100 ≤ total·80/95 in pure integer
+    arithmetic — the classification involves no float at all.  Output
+    shares are value-determined divisions of exact integers."""
+    o = table(spark, sf_dir, "orders")
+    rev = (
+        o.groupBy("o_custkey")
+        .agg(F.sum(to_micro(F.col("o_totalprice")).cast(DEC_BUF)).alias("rev_i"))
+        .withColumn("bkt", F.floor(F.col("rev_i") / F.lit(_ABC_BUCKET_MICRO)))
+        .localCheckpoint(eager=True)
+    )
+    bp = rev.groupBy("bkt").agg(F.sum("rev_i").alias("b_rev"))
+    wb = Window.orderBy(F.col("bkt").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    prefix = bp.select(
+        "bkt",
+        F.coalesce(F.sum("b_rev").over(wb), F.lit(0).cast("decimal(38,0)")).alias(
+            "p_rev"
+        ),
+    )
+    wv = Window.partitionBy("bkt").orderBy(
+        F.col("rev_i").desc(), F.col("o_custkey").asc()
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    cum = (
+        rev.join(F.broadcast(prefix), "bkt")
+        .select(
+            "o_custkey",
+            "rev_i",
+            (F.col("p_rev") + F.sum("rev_i").over(wv)).alias("cum_rev"),
+        )
+    )
+    tot = rev.agg(F.sum("rev_i").alias("tot_rev"))
+    classed = cum.crossJoin(F.broadcast(tot)).select(
+        "o_custkey",
+        "rev_i",
+        F.when(F.col("cum_rev") * 100 <= F.col("tot_rev") * 80, "A")
+        .when(F.col("cum_rev") * 100 <= F.col("tot_rev") * 95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+        "tot_rev",
+    )
+    return (
+        classed.groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(
+                F.sum("rev_i").cast("double") / F.max("tot_rev").cast("double"), 6
+            ).alias("revenue_share"),
+        )
+        .orderBy("abc_class")
+    )
+
+
+ORACLE_ABC_CUSTOMER_CLASSES = f"""
+WITH rev AS (
+  SELECT o_custkey,
+         SUM(CAST(trunc(o_totalprice * 1000000) AS BIGINT)) AS rev_i
+  FROM orders GROUP BY o_custkey
+), cum AS (
+  SELECT o_custkey, rev_i,
+         SUM(rev_i) OVER (ORDER BY rev_i DESC, o_custkey ASC) AS cum_rev
+  FROM rev
+), tot AS (SELECT SUM(rev_i) AS tot_rev FROM rev),
+classed AS (
+  SELECT o_custkey, rev_i,
+         CASE WHEN cum_rev * 100 <= tot_rev * 80 THEN 'A'
+              WHEN cum_rev * 100 <= tot_rev * 95 THEN 'B'
+              ELSE 'C' END AS abc_class,
+         tot_rev
+  FROM cum CROSS JOIN tot
+)
+SELECT abc_class, COUNT(*) AS n_customers,
+       ROUND(CAST(SUM(rev_i) AS DOUBLE) / CAST(MAX(tot_rev) AS DOUBLE), 6)
+         AS revenue_share
+FROM classed GROUP BY abc_class ORDER BY abc_class
+"""
 
 
 ORACLE_ACCTBAL_DECILES = """
@@ -1875,6 +1973,7 @@ QUERIES = {
     "segment_richest_customer": segment_richest_customer,
     "acctbal_deciles": acctbal_deciles,
     "acctbal_deciles_scalable": acctbal_deciles_scalable,
+    "abc_customer_classes": abc_customer_classes,
     "returnflag_unpivot": returnflag_unpivot,
     "customer_name_digits": customer_name_digits,
     "shipping_delay_histogram": shipping_delay_histogram,
@@ -1930,6 +2029,7 @@ ORACLE = {
     "idle_suppliers": ORACLE_IDLE_SUPPLIERS,
     "acctbal_deciles": ORACLE_ACCTBAL_DECILES,
     "acctbal_deciles_scalable": ORACLE_ACCTBAL_DECILES,
+    "abc_customer_classes": ORACLE_ABC_CUSTOMER_CLASSES,
     "tfidf_top_terms": ORACLE_TFIDF_TOP_TERMS,
     "bm25_topk": ORACLE_BM25_TOPK,
     "bm25_topk_indexed": ORACLE_BM25_TOPK,

@@ -444,6 +444,10 @@ _GLOBAL_WINDOW_SANCTIONED = {
     # a data-domain constant, not corpus size); the value-frame window
     # is bucket-partitioned and separately pinned in test_stats.py
     "ks_length_drift",
+    # same two-level pattern, weighted: the prefix runs over the
+    # revenue-range/1e4 bucket-partials frame (value-domain constant);
+    # the per-customer window is bucket-partitioned (test_stats.py)
+    "abc_customer_classes",
 }
 
 

@@ -305,3 +305,22 @@ def test_psi_matches_reference_computation(spark):
     assert len(out) == B
     # per-bucket contributions sum (within quantization) to the index
     assert abs(out["contrib"].sum() - out["psi"].iloc[0]) < 1e-4 * B
+
+
+def test_abc_classes_match_reference_and_plan(spark):
+    """ABC classification against a pandas weighted-cumsum reference;
+    plan: the only single-partition step is the bucket-prefix frame."""
+    from data_ingestion_project_spark.queries.advanced import abc_customer_classes
+
+    out = abc_customer_classes(spark, SF).toPandas().set_index("abc_class")
+    o = pd.read_parquet(f"{SF}/orders.parquet")
+    rev = o.groupby("o_custkey")["o_totalprice"].sum().sort_values(ascending=False)
+    cum = rev.cumsum() / rev.sum()
+    cls = cum.map(lambda c: "A" if c <= 0.80 else ("B" if c <= 0.95 else "C"))
+    for c in ("A", "B", "C"):
+        assert out.loc[c, "n_customers"] == (cls == c).sum()
+        assert abs(out.loc[c, "revenue_share"] - rev[cls == c].sum() / rev.sum()) < 1e-4
+    assert out["revenue_share"].sum() > 0.999
+    plan = executed_plan(abc_customer_classes(spark, SF)).split("== Initial Plan ==")[0]
+    assert plan.count("Exchange SinglePartition") <= 2  # bucket prefix + 1-row total
+    assert "hashpartitioning(bkt" in plan
