@@ -36,6 +36,8 @@ _DRIVER_PRIORITY = (
     # -- never driver-certified (rounds 5 and 6 additions) --
     "jpeg_decode_stats",
     "abc_customer_classes",
+    "jsd_source_vocab",
+    "ordered_funnel_7d",
     "anova_event_values",
     "bigram_logprob_buckets",
     "bloom_membership_audit",
@@ -85,7 +87,6 @@ _DRIVER_PRIORITY = (
     "doc_quality",
     "exact_duplicate_pairs",
     "fingerprint_summary",
-    "idle_suppliers",
 )
 
 

@@ -96,6 +96,123 @@ def signup_purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ordered_funnel_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRICT sequence-match funnel signup → click → purchase within a
+    7-day conversion window: the click must come AFTER a signup (not
+    merely the user's first click — a user who clicked before signing
+    up and again after still converts), and the purchase after that
+    qualified click, all within 7 days of the earliest signup.  The
+    semantics ad-attribution tools ship; the simpler
+    signup_purchase_funnel (first-timestamp comparison) undercounts
+    exactly the re-click cohort.
+
+    Plan: sequence matching WITHOUT per-stage self-joins — one
+    user-partitioned window pass computes each row's
+    earliest-prior-signup, qualified clicks reduce per user in the
+    same shuffle's aggregation, and purchases resolve against the
+    per-user (s1, c1) scalars with one further equi-join on the SAME
+    user_id partitioning.  Conversion lags are exact microsecond
+    integer sums — order-independent."""
+    e = table(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    with_sig = e.withColumn(
+        "s_before",
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).over(w_prev),
+    )
+    q_clicks = (
+        with_sig.filter(
+            (F.col("event_type") == "click")
+            & F.col("s_before").isNotNull()
+            & (F.col("ts") <= F.col("s_before") + F.expr("INTERVAL 7 DAYS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c1"), F.min("s_before").alias("s1"))
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts")
+    )
+    conv = (
+        purchases.join(q_clicks, "user_id")
+        .filter(
+            (F.col("p_ts") > F.col("c1"))
+            & (F.col("p_ts") <= F.col("s1") + F.expr("INTERVAL 7 DAYS"))
+        )
+        .groupBy("user_id")
+        .agg(F.lit(1).alias("converted"))
+    )
+    signups = e.filter(F.col("event_type") == "signup").select("user_id").distinct()
+    # integer-exact microsecond lag (NTZ-safe; sessionize.py idiom)
+    lag_us = F.expr("timestampdiff(MICROSECOND, s1, c1)")
+    stats = q_clicks.agg(
+        F.count(F.lit(1)).alias("n_click_conv"),
+        F.sum(lag_us).alias("lag_us_sum"),
+    )
+    n_sig = signups.agg(F.count(F.lit(1)).alias("n_signup_users"))
+    n_conv = conv.agg(F.count(F.lit(1)).alias("n_purchase_conv"))
+    return (
+        n_sig.crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(n_conv))
+        .select(
+            "n_signup_users",
+            "n_click_conv",
+            "n_purchase_conv",
+            F.round(F.col("n_click_conv") / F.col("n_signup_users"), 6).alias(
+                "click_rate"
+            ),
+            F.round(F.col("n_purchase_conv") / F.col("n_signup_users"), 6).alias(
+                "purchase_rate"
+            ),
+            F.round(
+                F.col("lag_us_sum").cast("double")
+                / F.col("n_click_conv")
+                / F.lit(3_600_000_000.0),
+                4,
+            ).alias("avg_hours_to_click"),
+        )
+    )
+
+
+ORACLE_ORDERED_FUNNEL_7D = """
+WITH e AS (
+  SELECT user_id, event_type, ts, event_id FROM events
+), with_sig AS (
+  SELECT user_id, event_type, ts,
+         MIN(CASE WHEN event_type = 'signup' THEN ts END) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS s_before
+  FROM e
+), q_clicks AS (
+  SELECT user_id, MIN(ts) AS c1, MIN(s_before) AS s1
+  FROM with_sig
+  WHERE event_type = 'click' AND s_before IS NOT NULL
+    AND ts <= s_before + INTERVAL 7 DAY
+  GROUP BY user_id
+), conv AS (
+  SELECT DISTINCT p.user_id
+  FROM e p JOIN q_clicks q ON p.user_id = q.user_id
+  WHERE p.event_type = 'purchase' AND p.ts > q.c1
+    AND p.ts <= q.s1 + INTERVAL 7 DAY
+), n_sig AS (
+  SELECT COUNT(DISTINCT user_id) AS n_signup_users FROM e
+  WHERE event_type = 'signup'
+), stats AS (
+  SELECT COUNT(*) AS n_click_conv,
+         CAST(SUM(epoch_us(c1) - epoch_us(s1)) AS BIGINT) AS lag_us_sum
+  FROM q_clicks
+), n_conv AS (SELECT COUNT(*) AS n_purchase_conv FROM conv)
+SELECT n_signup_users, n_click_conv, n_purchase_conv,
+       ROUND(n_click_conv * 1.0 / n_signup_users, 6) AS click_rate,
+       ROUND(n_purchase_conv * 1.0 / n_signup_users, 6) AS purchase_rate,
+       ROUND(CAST(lag_us_sum AS DOUBLE) / n_click_conv / 3600000000.0, 4)
+         AS avg_hours_to_click
+FROM n_sig CROSS JOIN stats CROSS JOIN n_conv
+"""
+
+
 ORACLE_SIGNUP_PURCHASE_FUNNEL = """
 WITH stage_ts AS (
   SELECT user_id,
@@ -1989,6 +2106,7 @@ QUERIES = {
     "order_price_quantiles": order_price_quantiles,
     "returnflag_pivot": returnflag_pivot,
     "signup_purchase_funnel": signup_purchase_funnel,
+    "ordered_funnel_7d": ordered_funnel_7d,
     "retention_cohorts": retention_cohorts,
     "purchases_near_errors": purchases_near_errors,
     "parts_above_brand_average": parts_above_brand_average,
@@ -2022,6 +2140,7 @@ ORACLE = {
     "order_price_quantiles": ORACLE_ORDER_PRICE_QUANTILES,
     "returnflag_pivot": ORACLE_RETURNFLAG_PIVOT,
     "signup_purchase_funnel": ORACLE_SIGNUP_PURCHASE_FUNNEL,
+    "ordered_funnel_7d": ORACLE_ORDERED_FUNNEL_7D,
     "retention_cohorts": ORACLE_RETENTION_COHORTS,
     "purchases_near_errors": ORACLE_PURCHASES_NEAR_ERRORS,
     "parts_above_brand_average": ORACLE_PARTS_ABOVE_BRAND_AVERAGE,

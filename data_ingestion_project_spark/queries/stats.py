@@ -1109,6 +1109,112 @@ ORDER BY bkt
 """
 
 
+# ------------------------------------------------------- KL / JS div
+
+
+def jsd_source_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary drift between src0 and the rest of the corpus:
+    Kullback-Leibler divergence (both directions) and the symmetric
+    bounded Jensen-Shannon divergence over word distributions — the
+    token-level companion to the length-based PSI/KS censuses (a
+    source can keep its length profile while its VOCABULARY shifts).
+
+    Plan: one explode pass map-side-combines into the vocab-sized
+    (word × 2-slice) count frame (checkpointed); shares, per-word
+    contributions, and the three divergences derive from it — nothing
+    downstream grows with the corpus.
+
+    Exactness: Laplace-smoothed shares are exact-integer ratios; each
+    ln is quantized to 1e-4 immediately and each word's contribution
+    re-quantized to 1e-7 before EXACT integer global sums (finer than
+    the usual 1e-6: per-word terms are tiny and there are only
+    |vocab| of them)."""
+    d = table(spark, sf_dir, "documents")
+    w = d.select(
+        (F.col("source") == "src0").cast("int").alias("is_a"),
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("word"),
+    )
+    per = (
+        w.groupBy("word")
+        .agg(
+            F.sum("is_a").alias("c_a"),
+            F.sum(F.lit(1) - F.col("is_a")).alias("c_b"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    tot = per.agg(
+        F.sum("c_a").alias("n_a"),
+        F.sum("c_b").alias("n_b"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    j = per.crossJoin(F.broadcast(tot))
+    p = (F.col("c_a") + F.lit(1)).cast("double") / (F.col("n_a") + F.col("v"))
+    q = (F.col("c_b") + F.lit(1)).cast("double") / (F.col("n_b") + F.col("v"))
+    m = (p + q) / F.lit(2.0)
+    lnq = lambda x: (  # noqa: E731
+        F.round(F.log(x) * F.lit(10000.0), 0).cast("long").cast("double")
+        / F.lit(10000.0)
+    )
+    c7 = lambda x: (x * F.lit(1.0e7)).cast("long")  # noqa: E731
+    k = j.select(
+        c7(p * lnq(p / q)).alias("kab_i"),
+        c7(q * lnq(q / p)).alias("kba_i"),
+        c7(p * lnq(p / m) + q * lnq(q / m)).alias("js_i"),
+        "v",
+        "n_a",
+        "n_b",
+    )
+    g = k.groupBy("v", "n_a", "n_b").agg(
+        F.sum("kab_i").alias("kab_s"),
+        F.sum("kba_i").alias("kba_s"),
+        F.sum("js_i").alias("js_s"),
+    )
+    return g.select(
+        F.col("v").alias("vocab_size"),
+        F.col("n_a").cast("long").alias("n_tokens_src0"),
+        F.col("n_b").cast("long").alias("n_tokens_other"),
+        (F.col("kab_s").cast("double") / F.lit(1.0e7)).alias("kl_src0_other"),
+        (F.col("kba_s").cast("double") / F.lit(1.0e7)).alias("kl_other_src0"),
+        (F.col("js_s").cast("double") / F.lit(2.0e7)).alias("jsd"),
+    )
+
+
+ORACLE_JSD_SOURCE_VOCAB = """
+WITH w AS (
+  SELECT CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS is_a,
+         unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+  FROM documents
+), per AS (
+  SELECT word, SUM(is_a) AS c_a, SUM(1 - is_a) AS c_b FROM w GROUP BY word
+), tot AS (
+  SELECT CAST(SUM(c_a) AS BIGINT) AS n_a, CAST(SUM(c_b) AS BIGINT) AS n_b,
+         COUNT(*) AS v
+  FROM per
+), j AS (
+  SELECT CAST(c_a + 1 AS DOUBLE) / (n_a + v) AS p,
+         CAST(c_b + 1 AS DOUBLE) / (n_b + v) AS q,
+         v, n_a, n_b
+  FROM per CROSS JOIN tot
+), k AS (
+  SELECT v, n_a, n_b,
+    CAST(trunc((p * (CAST(CAST(ROUND(ln(p / q) * 10000, 0) AS BIGINT) AS DOUBLE)
+                     / 10000.0)) * 10000000) AS BIGINT) AS kab_i,
+    CAST(trunc((q * (CAST(CAST(ROUND(ln(q / p) * 10000, 0) AS BIGINT) AS DOUBLE)
+                     / 10000.0)) * 10000000) AS BIGINT) AS kba_i,
+    CAST(trunc((p * (CAST(CAST(ROUND(ln(p / ((p + q) / 2.0)) * 10000, 0) AS BIGINT)
+                          AS DOUBLE) / 10000.0)
+                + q * (CAST(CAST(ROUND(ln(q / ((p + q) / 2.0)) * 10000, 0) AS BIGINT)
+                            AS DOUBLE) / 10000.0)) * 10000000) AS BIGINT) AS js_i
+  FROM j
+)
+SELECT v AS vocab_size, n_a AS n_tokens_src0, n_b AS n_tokens_other,
+       CAST(SUM(kab_i) AS DOUBLE) / 10000000.0 AS kl_src0_other,
+       CAST(SUM(kba_i) AS DOUBLE) / 10000000.0 AS kl_other_src0,
+       CAST(SUM(js_i) AS DOUBLE) / 20000000.0 AS jsd
+FROM k GROUP BY v, n_a, n_b
+"""
+
+
 QUERIES = {
     "chisq_event_dow": chisq_event_dow,
     "anova_event_values": anova_event_values,
@@ -1119,6 +1225,7 @@ QUERIES = {
     "join_key_skew_audit": join_key_skew_audit,
     "revenue_seasonality": revenue_seasonality,
     "psi_length_drift": psi_length_drift,
+    "jsd_source_vocab": jsd_source_vocab,
 }
 
 ORACLE = {
@@ -1131,4 +1238,5 @@ ORACLE = {
     "join_key_skew_audit": ORACLE_JOIN_KEY_SKEW_AUDIT,
     "revenue_seasonality": ORACLE_REVENUE_SEASONALITY,
     "psi_length_drift": ORACLE_PSI_LENGTH_DRIFT,
+    "jsd_source_vocab": ORACLE_JSD_SOURCE_VOCAB,
 }

@@ -324,3 +324,70 @@ def test_abc_classes_match_reference_and_plan(spark):
     plan = executed_plan(abc_customer_classes(spark, SF)).split("== Initial Plan ==")[0]
     assert plan.count("Exchange SinglePartition") <= 2  # bucket prefix + 1-row total
     assert "hashpartitioning(bkt" in plan
+
+
+def test_jsd_matches_reference_and_properties(spark):
+    """KL/JSD against a pandas reference; JSD bounded by ln 2 and
+    symmetric-by-construction."""
+    from data_ingestion_project_spark.queries.stats import jsd_source_vocab
+
+    out = jsd_source_vocab(spark, SF).toPandas().iloc[0]
+    d = pd.read_parquet(f"{SF}/documents.parquet")
+    import re as _re
+
+    def words(df):
+        c = {}
+        for t in df["text"]:
+            for w in _re.split(r"\s+", t.lower().strip()):
+                c[w] = c.get(w, 0) + 1
+        return c
+
+    ca = words(d[d.source == "src0"])
+    cb = words(d[d.source != "src0"])
+    vocab = set(ca) | set(cb)
+    na, nb, v = sum(ca.values()), sum(cb.values()), len(vocab)
+    kl_ab = kl_ba = jsd = 0.0
+    for w in vocab:
+        p = (ca.get(w, 0) + 1) / (na + v)
+        q = (cb.get(w, 0) + 1) / (nb + v)
+        m = (p + q) / 2
+        kl_ab += p * math.log(p / q)
+        kl_ba += q * math.log(q / p)
+        jsd += 0.5 * (p * math.log(p / m) + q * math.log(q / m))
+    assert out.vocab_size == v
+    assert abs(out.kl_src0_other - kl_ab) < 1e-3
+    assert abs(out.kl_other_src0 - kl_ba) < 1e-3
+    assert abs(out.jsd - jsd) < 1e-3
+    assert 0 <= out.jsd <= math.log(2) + 1e-9
+
+
+def test_funnel_matches_reference_computation(spark):
+    """Strict sequence-match funnel vs a per-user pandas replay."""
+    from data_ingestion_project_spark.queries.advanced import ordered_funnel_7d
+
+    out = ordered_funnel_7d(spark, SF).toPandas().iloc[0]
+    e = pd.read_parquet(f"{SF}/events.parquet").sort_values(["user_id", "ts", "event_id"])
+    week = pd.Timedelta(days=7)
+    n_sig = n_click = n_purch = 0
+    for _, g in e.groupby("user_id"):
+        sigs = g[g.event_type == "signup"]["ts"]
+        if sigs.empty:
+            continue
+        n_sig += 1
+        s_first = None
+        c1 = s1 = None
+        for _, row in g.iterrows():
+            if row.event_type == "signup":
+                s_first = row.ts if s_first is None else min(s_first, row.ts)
+            elif row.event_type == "click" and s_first is not None and c1 is None:
+                if row.ts <= s_first + week and row.ts > s_first:
+                    c1, s1 = row.ts, s_first
+        if c1 is None:
+            continue
+        n_click += 1
+        p = g[(g.event_type == "purchase") & (g.ts > c1) & (g.ts <= s1 + week)]
+        if len(p):
+            n_purch += 1
+    assert out.n_signup_users == n_sig
+    assert out.n_click_conv == n_click
+    assert out.n_purchase_conv == n_purch
