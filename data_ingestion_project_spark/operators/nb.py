@@ -35,23 +35,16 @@ def _q(col: Column) -> Column:
     return F.round(F.log(col) * 10000, 0).cast("long")
 
 
-def nb_confusion(
+def _scored(
     counts: DataFrame,
-    id_col: str = "doc_id",
-    label_col: str = "lang",
-    word_col: str = "word",
-    count_col: str = "c",
-    train_pred: Column | None = None,
+    id_col: str,
+    label_col: str,
+    word_col: str,
+    count_col: str,
+    train_pred: Column | None,
 ) -> DataFrame:
-    """Train on the rows where ``train_pred`` holds (default: even
-    ids), score the rest, return the (true_label, pred_label, n_docs)
-    confusion matrix ordered by both labels.
-
-    ``counts`` is the per-(doc, label, word) term-frequency frame —
-    typically a materialized asset; see queries/documents.
-    """
-    from pyspark.sql.window import Window
-
+    """Shared train+score plumbing: per-(test doc, candidate label)
+    integer-quantized log-likelihood + prior ("score")."""
     if train_pred is None:
         train_pred = F.col(id_col) % 2 == 0
     train = counts.filter(train_pred)
@@ -105,6 +98,28 @@ def nb_confusion(
         .join(F.broadcast(prior), "m_label")
         .withColumn("score", F.col("ll") + F.col("p"))
     )
+    return scored
+
+
+def nb_confusion(
+    counts: DataFrame,
+    id_col: str = "doc_id",
+    label_col: str = "lang",
+    word_col: str = "word",
+    count_col: str = "c",
+    train_pred: Column | None = None,
+) -> DataFrame:
+    """Train on the rows where ``train_pred`` holds (default: even
+    ids), score the rest, return the (true_label, pred_label, n_docs)
+    confusion matrix ordered by both labels.
+
+    ``counts`` is the per-(doc, label, word) term-frequency frame —
+    typically a materialized asset; see queries/documents.
+    """
+    from pyspark.sql.window import Window
+
+    scored = _scored(counts, id_col, label_col, word_col, count_col, train_pred)
+
     win = Window.partitionBy(id_col).orderBy(
         F.col("score").desc(), F.col("m_label").asc()
     )
@@ -116,4 +131,49 @@ def nb_confusion(
         )
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("true_label", "pred_label")
+    )
+
+
+def nb_margins(
+    counts: DataFrame,
+    id_col: str = "doc_id",
+    label_col: str = "lang",
+    word_col: str = "word",
+    count_col: str = "c",
+    train_pred: Column | None = None,
+) -> DataFrame:
+    """Per-test-doc decision MARGIN: winning score minus runner-up —
+    the classifier's confidence in EXACT integer 1e-4-nat units (the
+    scores are already quantized-logit sums, so the margin is a plain
+    BIGINT difference; no softmax/exp ever enters, which keeps the
+    whole calibration surface cross-engine exact).
+
+    Same train/score plumbing as :func:`nb_confusion` (shared
+    ``_scored``); one extra window rank over the per-doc
+    label-cardinality frames.  Returns (id, true_label, pred_label,
+    margin_i, correct)."""
+    from pyspark.sql.window import Window
+
+    scored = _scored(counts, id_col, label_col, word_col, count_col, train_pred)
+    win = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("m_label").asc()
+    )
+    ranked = scored.withColumn("rn", F.row_number().over(win)).filter(
+        F.col("rn") <= 2
+    )
+    top = ranked.filter(F.col("rn") == 1).select(
+        id_col,
+        F.col(label_col).alias("true_label"),
+        F.col("m_label").alias("pred_label"),
+        F.col("score").alias("s1"),
+    )
+    second = ranked.filter(F.col("rn") == 2).select(
+        id_col, F.col("score").alias("s2")
+    )
+    return top.join(second, id_col).select(
+        id_col,
+        "true_label",
+        "pred_label",
+        (F.col("s1") - F.col("s2")).alias("margin_i"),
+        (F.col("pred_label") == F.col("true_label")).cast("int").alias("correct"),
     )

@@ -65,6 +65,7 @@ _DRIVER_PRIORITY = (
     "mi_label_dims",
     "modality_agreement_scale",
     "mp4_metadata_stats",
+    "nb_margin_calibration",
     "pca_variance_audit",
     "png_decode_stats",
     "psi_length_drift",
@@ -86,7 +87,6 @@ _DRIVER_PRIORITY = (
     "customer_name_digits",
     "doc_quality",
     "exact_duplicate_pairs",
-    "fingerprint_summary",
 )
 
 

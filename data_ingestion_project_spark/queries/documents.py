@@ -3569,8 +3569,7 @@ def nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_NB_LANG_CONFUSION = """
-WITH words AS (
+_NB_MODEL_CTES = """WITH words AS (
   SELECT doc_id, lang,
          unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
   FROM documents
@@ -3604,7 +3603,10 @@ scored AS (
   FROM test t CROSS JOIN unseen u
   LEFT JOIN model m ON m.m_lang = u.m_lang AND m.word = t.word
   GROUP BY 1, 2, 3
-),
+),"""
+
+
+ORACLE_NB_LANG_CONFUSION = _NB_MODEL_CTES + """
 pred AS (
   SELECT s.doc_id, s.true_lang, s.m_lang AS pred_lang,
          ROW_NUMBER() OVER (
@@ -3616,6 +3618,76 @@ SELECT true_lang, pred_lang, COUNT(*) AS n_docs
 FROM pred WHERE rn = 1
 GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+_NB_CAL_BUCKET = 5000  # 0.5-nat margin buckets (scores are 1e-4-nat ints)
+
+
+def nb_margin_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration-by-margin for the trained NB language classifier:
+    does a bigger decision margin actually mean a more reliable
+    prediction?  Buckets the winner-minus-runner-up score margin into
+    0.5-nat bands and reports empirical accuracy per band — the
+    reliability curve behind every "keep if classifier is confident"
+    filtering rule, computed WITHOUT softmax or exp: margins are exact
+    BIGINT differences of the integer-quantized logit sums
+    (operators/nb.nb_margins), so the whole curve replays value-
+    exactly in DuckDB.
+
+    Plan: the shared term-frequency asset feeds the same train/score
+    plumbing as nb_lang_confusion; one extra per-doc window rank
+    (label-cardinality frames) and one bucket aggregation."""
+    from data_ingestion_project_spark.operators.nb import nb_margins
+
+    d = table(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("word"),
+    )
+    counts = (
+        words.groupBy("doc_id", "lang", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    m = nb_margins(counts, label_col="lang")
+    return (
+        m.groupBy(F.floor(F.col("margin_i") / F.lit(_NB_CAL_BUCKET)).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("correct").alias("n_correct"),
+            F.round(F.sum("correct") / F.count(F.lit(1)), 6).alias("accuracy"),
+            F.round(
+                F.sum("margin_i") / F.count(F.lit(1)) / F.lit(10000.0), 4
+            ).alias("avg_margin_nats"),
+        )
+        .orderBy("bucket")
+    )
+
+
+ORACLE_NB_MARGIN_CALIBRATION = _NB_MODEL_CTES + """
+ranked AS (
+  SELECT s.doc_id, s.true_lang, s.m_lang, s.ll + p.p AS score,
+         ROW_NUMBER() OVER (
+           PARTITION BY s.doc_id ORDER BY (s.ll + p.p) DESC, s.m_lang ASC
+         ) AS rn
+  FROM scored s JOIN prior p ON p.m_lang = s.m_lang
+), top AS (
+  SELECT doc_id, true_lang, m_lang AS pred_lang, score AS s1
+  FROM ranked WHERE rn = 1
+), sec AS (SELECT doc_id, score AS s2 FROM ranked WHERE rn = 2),
+marg AS (
+  SELECT t.doc_id, CAST(t.s1 - x.s2 AS BIGINT) AS margin_i,
+         CASE WHEN t.pred_lang = t.true_lang THEN 1 ELSE 0 END AS correct
+  FROM top t JOIN sec x USING (doc_id)
+)
+SELECT CAST(FLOOR(margin_i / {b}) AS BIGINT) AS bucket,
+       COUNT(*) AS n_docs,
+       CAST(SUM(correct) AS BIGINT) AS n_correct,
+       ROUND(SUM(correct) * 1.0 / COUNT(*), 6) AS accuracy,
+       ROUND(SUM(margin_i) * 1.0 / COUNT(*) / 10000.0, 4) AS avg_margin_nats
+FROM marg GROUP BY 1 ORDER BY 1
+""".format(b=_NB_CAL_BUCKET)
 
 
 # --------------------- exact substring duplication (Lee et al. 2021)
@@ -3792,6 +3864,7 @@ QUERIES = {
     "html_extract_stats": html_extract_stats,
     "entity_golden_records": entity_golden_records,
     "nb_lang_confusion": nb_lang_confusion,
+    "nb_margin_calibration": nb_margin_calibration,
     "substring_dup_stats": substring_dup_stats,
     "bpe_learned_merges": bpe_learned_merges,
     "chunk_stats": chunk_stats,
@@ -3877,6 +3950,7 @@ ORACLE = {
     "html_extract_stats": ORACLE_HTML_EXTRACT_STATS,
     "entity_golden_records": ORACLE_ENTITY_GOLDEN_RECORDS,
     "nb_lang_confusion": ORACLE_NB_LANG_CONFUSION,
+    "nb_margin_calibration": ORACLE_NB_MARGIN_CALIBRATION,
     "substring_dup_stats": ORACLE_SUBSTRING_DUP_STATS,
     "similar_supplier_names": ORACLE_SIMILAR_SUPPLIER_NAMES,
     "minhash_recall": ORACLE_MINHASH_RECALL,

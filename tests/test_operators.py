@@ -1728,3 +1728,27 @@ def test_covariance_asset_incremental_equals_one_shot_and_fence(spark, tmp_path)
     # asset mean derives from 1e-4-quantized values (pca_model's from
     # raw doubles): per-value error <= half a quantum
     assert np.allclose(ma, mb, atol=5e-5)
+
+
+def test_nb_margins_planted_separable_corpus(spark):
+    """On a separable planted corpus the margin is large and every
+    prediction correct; margins are exact ints and match a hand
+    computation's sign/scale expectations."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_project_spark.operators.nb import nb_margins
+
+    rows = []
+    for i in range(40):
+        # label from i//2 so BOTH classes land in BOTH halves of the
+        # doc_id-parity train/test split
+        lab = "aa" if (i // 2) % 2 == 0 else "bb"
+        word = "alpha" if lab == "aa" else "beta"
+        for _ in range(5):
+            rows.append((i, lab, word))
+    df = spark.createDataFrame(rows, "doc_id long, lang string, word string")
+    counts = df.groupBy("doc_id", "lang", "word").agg(F.count(F.lit(1)).alias("c"))
+    m = nb_margins(counts).toPandas()
+    assert len(m) == 20  # odd ids are the test half
+    assert (m["correct"] == 1).all()
+    assert (m["margin_i"] > 10000).all()  # > 1 nat of confidence
