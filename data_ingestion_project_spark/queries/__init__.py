@@ -72,6 +72,7 @@ _DRIVER_PRIORITY = (
     "quantile_sketch_rollup_xx",
     "regr_price_quantity",
     "revenue_seasonality",
+    "seasonal_anomaly_days",
     "source_overlap_matrix",
     "unicode_clean_stats",
     "weighted_sample_audit",
@@ -86,7 +87,6 @@ _DRIVER_PRIORITY = (
     "chunk_stats",
     "customer_name_digits",
     "doc_quality",
-    "exact_duplicate_pairs",
 )
 
 

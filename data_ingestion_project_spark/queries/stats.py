@@ -828,27 +828,12 @@ FROM g
 # ------------------------------------------ seasonal decomposition
 
 
-def revenue_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Additive seasonal decomposition of daily order revenue:
-    day revenue = month level (trend) + day-of-week seasonal + residual.
-    Output: per-ISO-dow seasonal index plus the global fraction of
-    detrended variance the weekly cycle explains — the time-series
-    census behind load forecasting and anomaly baselines.
-
-    Plan: ONE fact pass aggregates to the per-day frame (micro-unit
-    exact), which is checkpointed; month trend, dow seasonal indices,
-    residuals, and both global variances all derive from that
-    ~|days|-row frame via broadcast joins — no windows at all (the
-    trend is the month mean, a join against a months-sized frame, so
-    nothing needs an ordered scan).
-
-    Exactness: day revenues are exact micro ints; deviations are
-    micro-quantized and squared deviations UNIT-quantized per day
-    before every cross-engine sum (micro on a ~1e14 square would
-    overflow int64; unit granularity sits ~13 orders below the
-    variance magnitude), so all variance sums are exact integer
-    folds.
-    """
+def _seasonal_frames(spark: SparkSession, sf_dir: str):
+    """Shared seasonality pipeline: (j, sfrm) — the per-day detrended
+    deviation frame (day, dow, dev_i, dev2_i; micro-/unit-quantized
+    exact ints over the checkpointed per-day revenue frame) and the
+    per-dow seasonal-index frame.  Consumed by revenue_seasonality and
+    seasonal_anomaly_days."""
     o = table(spark, sf_dir, "orders")
     daily = (
         o.groupBy(F.date_trunc("day", "o_orderdate").alias("day"))
@@ -891,6 +876,32 @@ def revenue_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     sfrm = seasonal.select(
         "dow", "n_days", "sd_i", "s2_i", _micro(seas_d).alias("seas_i")
     )
+    return j, sfrm
+
+
+def revenue_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive seasonal decomposition of daily order revenue:
+    day revenue = month level (trend) + day-of-week seasonal + residual.
+    Output: per-ISO-dow seasonal index plus the global fraction of
+    detrended variance the weekly cycle explains — the time-series
+    census behind load forecasting and anomaly baselines.
+
+    Plan: ONE fact pass aggregates to the per-day frame (micro-unit
+    exact), which is checkpointed; month trend, dow seasonal indices,
+    residuals, and both global variances all derive from that
+    ~|days|-row frame via broadcast joins — no windows at all (the
+    trend is the month mean, a join against a months-sized frame, so
+    nothing needs an ordered scan).
+
+    Exactness: day revenues are exact micro ints; deviations are
+    micro-quantized and squared deviations UNIT-quantized per day
+    before every cross-engine sum (micro on a ~1e14 square would
+    overflow int64; unit granularity sits ~13 orders below the
+    variance magnitude), so all variance sums are exact integer
+    folds.
+    """
+    j, sfrm = _seasonal_frames(spark, sf_dir)
+    m = F.lit(float(_M))
     # residual = dev − dow seasonal; re-quantized per day, exact sums
     r = j.join(F.broadcast(sfrm.select("dow", "seas_i")), "dow").select(
         _micro(
@@ -946,7 +957,7 @@ def revenue_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_REVENUE_SEASONALITY = """
+_SEASONAL_CTES = """
 WITH daily AS (
   SELECT date_trunc('day', o_orderdate) AS day,
          SUM(CAST(trunc(o_totalprice * 1000000) AS BIGINT)) AS rev_i
@@ -974,7 +985,10 @@ WITH daily AS (
          CAST(trunc((CAST(sd_i AS DOUBLE) / 1000000.0 / n_days) * 1000000)
               AS BIGINT) AS seas_i
   FROM seasonal
-), r AS (
+)"""
+
+
+ORACLE_REVENUE_SEASONALITY = _SEASONAL_CTES + """, r AS (
   SELECT CAST(trunc((CAST(j.dev_i AS DOUBLE) / 1000000.0
                      - CAST(s.seas_i AS DOUBLE) / 1000000.0) * 1000000)
               AS BIGINT) AS res_i
@@ -1008,6 +1022,78 @@ SELECT dow, n_days,
        CAST(r2_i AS DOUBLE) / 1000000.0 AS weekly_r2
 FROM sfrm CROSS JOIN gstat
 ORDER BY dow
+"""
+
+
+def seasonal_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-ADJUSTED anomaly detection: the top-10 days whose
+    revenue residual (day − month trend − day-of-week seasonal) sits
+    furthest from the residual median, flagged when beyond 3 robust
+    MADs — the composition of the seasonal decomposition with the
+    median/MAD detector that raw-value z-scores can't match (a strong
+    Saturday is NORMAL; the same revenue on a Tuesday is the anomaly).
+
+    Plan: the shared `_seasonal_frames` pipeline (one fact pass into
+    the checkpointed per-day frame) plus two tapering median
+    aggregates over the ~|days|-row residual frame and one TakeOrdered
+    top-10 — no windows, nothing corpus-sized after the per-day agg.
+
+    Exactness: residuals are micro-quantized exact-int differences;
+    the exact interpolated median over identical doubles is the same
+    arithmetic both engines (event_value_outliers_mad precedent), so
+    deviations, the 3-MAD flag, and the ranking replay value-exactly.
+    """
+    j, sfrm = _seasonal_frames(spark, sf_dir)
+    m = F.lit(float(_M))
+    res = j.join(F.broadcast(sfrm.select("dow", "seas_i")), "dow").select(
+        "day",
+        "dow",
+        (
+            (F.col("dev_i").cast("double") / m)
+            - (F.col("seas_i").cast("double") / m)
+        ).alias("res_d"),
+    )
+    med = res.agg(F.median("res_d").alias("med"))
+    dev = res.crossJoin(F.broadcast(med)).select(
+        "day", "dow", "res_d", "med",
+        F.abs(F.col("res_d") - F.col("med")).alias("adev"),
+    )
+    mad = dev.agg(F.median("adev").alias("mad"))
+    return (
+        dev.crossJoin(F.broadcast(mad))
+        .orderBy(F.col("adev").desc(), F.col("day").asc())
+        .limit(10)
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "dow",
+            F.round("res_d", 2).alias("residual"),
+            F.round("med", 2).alias("median_residual"),
+            F.round("mad", 2).alias("mad_residual"),
+            (F.col("adev") > F.lit(3.0) * F.col("mad")).cast("int").alias(
+                "is_anomaly"
+            ),
+        )
+    )
+
+
+ORACLE_SEASONAL_ANOMALY_DAYS = _SEASONAL_CTES + """, res AS (
+  SELECT day, dow,
+         (CAST(j.dev_i AS DOUBLE) / 1000000.0
+          - CAST(s.seas_i AS DOUBLE) / 1000000.0) AS res_d
+  FROM j JOIN sfrm s USING (dow)
+), med AS (SELECT median(res_d) AS med FROM res),
+dev AS (
+  SELECT day, dow, res_d, med, abs(res_d - med) AS adev
+  FROM res CROSS JOIN med
+), mad AS (SELECT median(adev) AS mad FROM dev)
+SELECT strftime(day, '%Y-%m-%d') AS day, dow,
+       ROUND(res_d, 2) AS residual,
+       ROUND(med, 2) AS median_residual,
+       ROUND(mad, 2) AS mad_residual,
+       CAST(adev > 3.0 * mad AS INT) AS is_anomaly
+FROM dev CROSS JOIN mad
+ORDER BY adev DESC, day ASC
+LIMIT 10
 """
 
 
@@ -1226,6 +1312,7 @@ QUERIES = {
     "revenue_seasonality": revenue_seasonality,
     "psi_length_drift": psi_length_drift,
     "jsd_source_vocab": jsd_source_vocab,
+    "seasonal_anomaly_days": seasonal_anomaly_days,
 }
 
 ORACLE = {
@@ -1239,4 +1326,5 @@ ORACLE = {
     "revenue_seasonality": ORACLE_REVENUE_SEASONALITY,
     "psi_length_drift": ORACLE_PSI_LENGTH_DRIFT,
     "jsd_source_vocab": ORACLE_JSD_SOURCE_VOCAB,
+    "seasonal_anomaly_days": ORACLE_SEASONAL_ANOMALY_DAYS,
 }
