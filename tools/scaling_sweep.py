@@ -70,6 +70,12 @@ HEAVY = {
     "mi_label_dims": "embeddings",
     "chisq_event_dow": "events",
     "revenue_seasonality": "orders",
+    # round-6 second wave: graph/text/weighted-cumsum/model families
+    "keyword_textrank": "documents",
+    "dup_graph_kcore": "documents",
+    "abc_customer_classes": "orders",
+    "nb_margin_calibration": "documents",
+    "ordered_funnel_7d": "events",
 }
 
 
