@@ -39,6 +39,7 @@ _DRIVER_PRIORITY = (
     "jsd_source_vocab",
     "ordered_funnel_7d",
     "anova_event_values",
+    "benford_order_totals",
     "bigram_logprob_buckets",
     "bloom_membership_audit",
     "bm25_topk",
@@ -86,7 +87,6 @@ _DRIVER_PRIORITY = (
     "acctbal_deciles_scalable",
     "chunk_stats",
     "customer_name_digits",
-    "doc_quality",
 )
 
 

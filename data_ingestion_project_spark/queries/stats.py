@@ -1195,6 +1195,100 @@ ORDER BY bkt
 """
 
 
+# ------------------------------------------------------------ Benford
+
+# log10(1 + 1/d) as exact micro-integers, precomputed in Python so both
+# engines consume identical literals (no cross-engine log10 at all)
+_BENFORD_P_I = {
+    d: int(__import__("math").log10(1.0 + 1.0 / d) * 1_000_000) for d in range(1, 10)
+}
+
+
+def benford_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law conformance of order totals: the leading-digit
+    distribution against log10(1+1/d), with the χ² misfit statistic —
+    the fraud/synthetic-data screen auditors run on money columns
+    (organically-grown magnitudes follow Benford; fabricated or
+    uniformly-generated ones don't — this synthetic corpus SHOULD
+    misfit, and the certified statistic proves the detector sees it).
+
+    Plan: leading digit extracted as a string head of the integer part
+    (pure JVM/SQL string op — no log10 at runtime; the Benford
+    expectations are Python-precomputed micro-integer LITERALS shared
+    by both engines), one 9-cell aggregation, χ² folded exactly from
+    micro-quantized cells."""
+    o = table(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.col("o_totalprice").cast("long").cast("string"), 1, 1
+    ).cast("int")
+    cells = o.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).alias("observed")
+    )
+    tot = cells.agg(F.sum("observed").alias("n_total"))
+    p_map = F.create_map(
+        *[x for d, p in _BENFORD_P_I.items() for x in (F.lit(d), F.lit(p))]
+    )
+    j = cells.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        "observed",
+        "n_total",
+        (
+            p_map[F.col("digit")].cast("double")
+            / F.lit(1.0e6)
+            * F.col("n_total")
+        ).alias("exp_d"),
+    )
+    diff = F.col("observed").cast("double") - F.col("exp_d")
+    k = j.select(
+        "digit",
+        "observed",
+        _micro(F.col("exp_d")).alias("exp_i"),
+        _micro(diff * diff / F.col("exp_d")).alias("cell_i"),
+    )
+    g = k.agg(F.sum("cell_i").alias("chi2_i"))
+    return (
+        k.crossJoin(F.broadcast(g))
+        .select(
+            "digit",
+            "observed",
+            (F.col("exp_i").cast("double") / F.lit(float(_M))).alias("expected"),
+            (F.col("chi2_i").cast("double") / F.lit(float(_M))).alias("chi2"),
+        )
+        .orderBy("digit")
+    )
+
+
+_BENFORD_CASE_SQL = "CASE digit " + " ".join(
+    f"WHEN {d} THEN {p}" for d, p in _BENFORD_P_I.items()
+) + " END"
+
+ORACLE_BENFORD_ORDER_TOTALS = f"""
+WITH cells AS (
+  SELECT CAST(substr(CAST(CAST(trunc(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+              AS INT) AS digit,
+         COUNT(*) AS observed
+  FROM orders GROUP BY 1
+), tot AS (SELECT CAST(SUM(observed) AS BIGINT) AS n_total FROM cells),
+j AS (
+  SELECT digit, observed, n_total,
+         CAST(({_BENFORD_CASE_SQL}) AS DOUBLE) / 1000000.0 * n_total AS exp_d
+  FROM cells CROSS JOIN tot
+), k AS (
+  SELECT digit, observed,
+         CAST(trunc(exp_d * 1000000) AS BIGINT) AS exp_i,
+         CAST(trunc(((CAST(observed AS DOUBLE) - exp_d)
+                     * (CAST(observed AS DOUBLE) - exp_d) / exp_d) * 1000000)
+              AS BIGINT) AS cell_i
+  FROM j
+), g AS (SELECT SUM(cell_i) AS chi2_i FROM k)
+SELECT digit, observed,
+       CAST(exp_i AS DOUBLE) / 1000000.0 AS expected,
+       CAST(chi2_i AS DOUBLE) / 1000000.0 AS chi2
+FROM k CROSS JOIN g
+ORDER BY digit
+"""
+
+
 # ------------------------------------------------------- KL / JS div
 
 
@@ -1313,6 +1407,7 @@ QUERIES = {
     "psi_length_drift": psi_length_drift,
     "jsd_source_vocab": jsd_source_vocab,
     "seasonal_anomaly_days": seasonal_anomaly_days,
+    "benford_order_totals": benford_order_totals,
 }
 
 ORACLE = {
@@ -1327,4 +1422,5 @@ ORACLE = {
     "psi_length_drift": ORACLE_PSI_LENGTH_DRIFT,
     "jsd_source_vocab": ORACLE_JSD_SOURCE_VOCAB,
     "seasonal_anomaly_days": ORACLE_SEASONAL_ANOMALY_DAYS,
+    "benford_order_totals": ORACLE_BENFORD_ORDER_TOTALS,
 }

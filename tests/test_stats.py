@@ -391,3 +391,22 @@ def test_funnel_matches_reference_computation(spark):
     assert out.n_signup_users == n_sig
     assert out.n_click_conv == n_click
     assert out.n_purchase_conv == n_purch
+
+
+def test_benford_matches_reference_computation(spark):
+    from data_ingestion_project_spark.queries.stats import benford_order_totals
+
+    out = benford_order_totals(spark, SF).toPandas()
+    o = pd.read_parquet(f"{SF}/orders.parquet")
+    digits = o["o_totalprice"].astype(int).astype(str).str[0].astype(int)
+    n = len(o)
+    chi2 = 0.0
+    for d in range(1, 10):
+        obs = (digits == d).sum()
+        exp = math.log10(1 + 1 / d) * n
+        chi2 += (obs - exp) ** 2 / exp
+        row = out[out.digit == d]
+        if len(row):
+            assert row.observed.iloc[0] == obs
+            assert abs(row.expected.iloc[0] - exp) < 0.1  # ln-literal quantization
+    assert abs(out.chi2.iloc[0] - chi2) < max(1.0, chi2 * 1e-3)
