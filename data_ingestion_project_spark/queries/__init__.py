@@ -72,6 +72,7 @@ _DRIVER_PRIORITY = (
     "psi_length_drift",
     "quantile_sketch_rollup_xx",
     "regr_price_quantity",
+    "residual_autocorr",
     "revenue_seasonality",
     "seasonal_anomaly_days",
     "source_overlap_matrix",
@@ -86,7 +87,6 @@ _DRIVER_PRIORITY = (
     "acctbal_deciles",
     "acctbal_deciles_scalable",
     "chunk_stats",
-    "customer_name_digits",
 )
 
 

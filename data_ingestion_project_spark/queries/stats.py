@@ -1195,6 +1195,108 @@ ORDER BY bkt
 """
 
 
+def residual_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serial-correlation audit of the seasonal model's residuals:
+    Durbin–Watson statistic and the lag-1 Pearson autocorrelation over
+    adjacent-day residual pairs — the standard check that the
+    trend+seasonal decomposition left no structure behind (DW ≈ 2 /
+    r1 ≈ 0 = white residuals; DW → 0 = the model missed a slow trend).
+
+    Plan: the shared `_seasonal_frames` pipeline; adjacent pairs come
+    from a calendar EQUI-join of the per-day residual frame to itself
+    on day+1 (exact timestamp key — no window, no sort); one moment
+    aggregation over the pairs plus one over all days.
+
+    Exactness: residuals are micro-int-derived doubles; their products
+    and squared differences are UNIT-quantized per pair (squares ~1e14
+    overflow micro int64) and folded as exact decimals; DW and r1 are
+    value-determined double expressions over those integers."""
+    j, sfrm = _seasonal_frames(spark, sf_dir)
+    m = F.lit(float(_M))
+    res = j.join(F.broadcast(sfrm.select("dow", "seas_i")), "dow").select(
+        "day",
+        (
+            (F.col("dev_i").cast("double") / m)
+            - (F.col("seas_i").cast("double") / m)
+        ).alias("e"),
+    ).localCheckpoint(eager=True)
+    a = res.select((F.col("day") + F.expr("INTERVAL 1 DAY")).alias("day"),
+                   F.col("e").alias("e_prev"))
+    pairs = res.join(a, "day").select("e_prev", F.col("e").alias("e_cur"))
+    unit = lambda c: c.cast("long").cast(_DEC)  # noqa: E731
+    pm = pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(_micro(F.col("e_prev")).cast(_DEC)).alias("sx_i"),
+        F.sum(_micro(F.col("e_cur")).cast(_DEC)).alias("sy_i"),
+        F.sum(unit(F.col("e_prev") * F.col("e_cur"))).alias("sxy_u"),
+        F.sum(unit(F.col("e_prev") * F.col("e_prev"))).alias("sxx_u"),
+        F.sum(unit(F.col("e_cur") * F.col("e_cur"))).alias("syy_u"),
+        F.sum(
+            unit((F.col("e_cur") - F.col("e_prev")) * (F.col("e_cur") - F.col("e_prev")))
+        ).alias("sd2_u"),
+    )
+    alltot = res.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum(unit(F.col("e") * F.col("e"))).alias("se2_u"),
+    )
+    t = pm.crossJoin(F.broadcast(alltot))
+    n = F.col("n_pairs").cast("double")
+    sx = F.col("sx_i").cast("double") / m
+    sy = F.col("sy_i").cast("double") / m
+    sxy = F.col("sxy_u").cast("double")
+    sxx = F.col("sxx_u").cast("double")
+    syy = F.col("syy_u").cast("double")
+    num = n * sxy - sx * sy
+    den = F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    return t.select(
+        "n_days",
+        "n_pairs",
+        (_micro(F.col("sd2_u").cast("double") / F.col("se2_u").cast("double"))
+         .cast("double") / m).alias("durbin_watson"),
+        (_micro(num / den).cast("double") / m).alias("r1_autocorr"),
+    )
+
+
+ORACLE_RESIDUAL_AUTOCORR = _SEASONAL_CTES + """, res AS (
+  SELECT day,
+         (CAST(j.dev_i AS DOUBLE) / 1000000.0
+          - CAST(s.seas_i AS DOUBLE) / 1000000.0) AS e
+  FROM j JOIN sfrm s USING (dow)
+), pairs AS (
+  SELECT a.e AS e_prev, b.e AS e_cur
+  FROM res a JOIN res b ON b.day = a.day + INTERVAL 1 DAY
+), pm AS (
+  SELECT COUNT(*) AS n_pairs,
+         SUM(CAST(trunc(e_prev * 1000000) AS BIGINT)) AS sx_i,
+         SUM(CAST(trunc(e_cur * 1000000) AS BIGINT)) AS sy_i,
+         SUM(CAST(trunc(e_prev * e_cur) AS BIGINT)) AS sxy_u,
+         SUM(CAST(trunc(e_prev * e_prev) AS BIGINT)) AS sxx_u,
+         SUM(CAST(trunc(e_cur * e_cur) AS BIGINT)) AS syy_u,
+         SUM(CAST(trunc((e_cur - e_prev) * (e_cur - e_prev)) AS BIGINT)) AS sd2_u
+  FROM pairs
+), alltot AS (
+  SELECT COUNT(*) AS n_days,
+         SUM(CAST(trunc(e * e) AS BIGINT)) AS se2_u
+  FROM res
+)
+SELECT CAST(n_days AS BIGINT) AS n_days,
+       CAST(n_pairs AS BIGINT) AS n_pairs,
+       CAST(CAST(trunc((CAST(sd2_u AS DOUBLE) / CAST(se2_u AS DOUBLE)) * 1000000)
+                 AS BIGINT) AS DOUBLE) / 1000000.0 AS durbin_watson,
+       CAST(CAST(trunc(((CAST(n_pairs AS DOUBLE) * CAST(sxy_u AS DOUBLE)
+                         - (CAST(sx_i AS DOUBLE) / 1000000.0)
+                           * (CAST(sy_i AS DOUBLE) / 1000000.0))
+                        / sqrt((CAST(n_pairs AS DOUBLE) * CAST(sxx_u AS DOUBLE)
+                                - (CAST(sx_i AS DOUBLE) / 1000000.0)
+                                  * (CAST(sx_i AS DOUBLE) / 1000000.0))
+                               * (CAST(n_pairs AS DOUBLE) * CAST(syy_u AS DOUBLE)
+                                  - (CAST(sy_i AS DOUBLE) / 1000000.0)
+                                    * (CAST(sy_i AS DOUBLE) / 1000000.0))))
+                       * 1000000) AS BIGINT) AS DOUBLE) / 1000000.0 AS r1_autocorr
+FROM pm CROSS JOIN alltot
+"""
+
+
 # ------------------------------------------------------------ Benford
 
 # log10(1 + 1/d) as exact micro-integers, precomputed in Python so both
@@ -1408,6 +1510,7 @@ QUERIES = {
     "jsd_source_vocab": jsd_source_vocab,
     "seasonal_anomaly_days": seasonal_anomaly_days,
     "benford_order_totals": benford_order_totals,
+    "residual_autocorr": residual_autocorr,
 }
 
 ORACLE = {
@@ -1423,4 +1526,5 @@ ORACLE = {
     "jsd_source_vocab": ORACLE_JSD_SOURCE_VOCAB,
     "seasonal_anomaly_days": ORACLE_SEASONAL_ANOMALY_DAYS,
     "benford_order_totals": ORACLE_BENFORD_ORDER_TOTALS,
+    "residual_autocorr": ORACLE_RESIDUAL_AUTOCORR,
 }

@@ -410,3 +410,34 @@ def test_benford_matches_reference_computation(spark):
             assert row.observed.iloc[0] == obs
             assert abs(row.expected.iloc[0] - exp) < 0.1  # ln-literal quantization
     assert abs(out.chi2.iloc[0] - chi2) < max(1.0, chi2 * 1e-3)
+
+
+def test_residual_autocorr_matches_reference(spark):
+    from data_ingestion_project_spark.queries.stats import residual_autocorr
+
+    out = residual_autocorr(spark, SF).toPandas().iloc[0]
+    o = pd.read_parquet(f"{SF}/orders.parquet")
+    o["day"] = pd.to_datetime(o["o_orderdate"]).dt.floor("D")
+    daily = o.groupby("day")["o_totalprice"].sum().reset_index(name="rev")
+    daily["month"] = daily["day"].dt.to_period("M")
+    daily["dow"] = daily["day"].dt.dayofweek + 1
+    daily["dev"] = daily["rev"] - daily.groupby("month")["rev"].transform("mean")
+    daily["e"] = daily["dev"] - daily["dow"].map(daily.groupby("dow")["dev"].mean())
+    s = daily.set_index("day")["e"].sort_index()
+    prev = s.reindex(s.index - pd.Timedelta(days=1))
+    pairs = pd.DataFrame({"p": prev.values, "c": s.values}).dropna()
+    # align: e_prev at day-1 paired with e_cur at day
+    cur, prv = [], []
+    for d, v in s.items():
+        q = d - pd.Timedelta(days=1)
+        if q in s.index:
+            cur.append(v)
+            prv.append(s[q])
+    import numpy as np
+
+    cur, prv = np.array(cur), np.array(prv)
+    dw = ((cur - prv) ** 2).sum() / (s**2).sum()
+    r1 = np.corrcoef(prv, cur)[0, 1]
+    assert out.n_days == len(s) and out.n_pairs == len(cur)
+    assert abs(out.durbin_watson - dw) < 1e-4
+    assert abs(out.r1_autocorr - r1) < 1e-4
