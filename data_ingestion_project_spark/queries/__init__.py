@@ -73,6 +73,7 @@ _DRIVER_PRIORITY = (
     "quantile_sketch_rollup_xx",
     "regr_price_quantity",
     "residual_autocorr",
+    "revenue_gini",
     "revenue_seasonality",
     "seasonal_anomaly_days",
     "source_overlap_matrix",
@@ -86,7 +87,6 @@ _DRIVER_PRIORITY = (
     # -- stalest prior certifications (r03-era, alphabetical) --
     "acctbal_deciles",
     "acctbal_deciles_scalable",
-    "chunk_stats",
 )
 
 

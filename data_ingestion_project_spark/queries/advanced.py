@@ -958,6 +958,86 @@ def abc_customer_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue — the single-number
+    inequality census behind the ABC classes (G = 0 everyone equal,
+    → 1 one whale): G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n over revenues
+    sorted ascending with rank i.
+
+    The global rank is the scale problem; this computes it EXACTLY
+    with the same two-level decomposition as abc_customer_classes:
+    within-bucket row_number (bucket-partitioned window — parallel) +
+    an exclusive COUNT prefix over the value-domain-sized
+    bucket-partials frame.  Rank·revenue products are DECIMAL
+    multiplies of exact integers folded exactly, so the statistic is
+    value-determined to the last micro-digit."""
+    o = table(spark, sf_dir, "orders")
+    rev = (
+        o.groupBy("o_custkey")
+        .agg(F.sum(to_micro(F.col("o_totalprice")).cast(DEC_BUF)).alias("rev_i"))
+        .withColumn("bkt", F.floor(F.col("rev_i") / F.lit(_ABC_BUCKET_MICRO)))
+        .localCheckpoint(eager=True)
+    )
+    bp = rev.groupBy("bkt").agg(F.count(F.lit(1)).alias("b_n"))
+    wb = Window.orderBy(F.col("bkt").asc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    prefix = bp.select(
+        "bkt", F.coalesce(F.sum("b_n").over(wb), F.lit(0)).alias("p_n")
+    )
+    wv = Window.partitionBy("bkt").orderBy(
+        F.col("rev_i").asc(), F.col("o_custkey").asc()
+    )
+    ranked = (
+        rev.join(F.broadcast(prefix), "bkt")
+        .select(
+            "rev_i",
+            (F.col("p_n") + F.row_number().over(wv)).alias("rank"),
+        )
+    )
+    g = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rev_i").alias("s_i"),
+        F.sum(F.col("rank").cast(_DECG) * F.col("rev_i")).alias("rs_i"),
+    )
+    n = F.col("n").cast("double")
+    s = F.col("s_i").cast("double")
+    rs = F.col("rs_i").cast("double")
+    gini = F.lit(2.0) * rs / (n * s) - (n + F.lit(1.0)) / n
+    m = F.lit(1_000_000.0)
+    return g.select(
+        F.col("n").cast("long").alias("n_customers"),
+        F.round(F.col("s_i").cast("double") / m, 2).alias("total_revenue"),
+        ((gini * m).cast("long").cast("double") / m).alias("gini"),
+    )
+
+
+_DECG = "decimal(38,0)"
+
+
+ORACLE_REVENUE_GINI = """
+WITH rev AS (
+  SELECT o_custkey,
+         SUM(CAST(trunc(o_totalprice * 1000000) AS BIGINT)) AS rev_i
+  FROM orders GROUP BY o_custkey
+), ranked AS (
+  SELECT rev_i,
+         ROW_NUMBER() OVER (ORDER BY rev_i ASC, o_custkey ASC) AS rank
+  FROM rev
+), g AS (
+  SELECT COUNT(*) AS n, SUM(rev_i) AS s_i, SUM(rank * rev_i) AS rs_i
+  FROM ranked
+)
+SELECT CAST(n AS BIGINT) AS n_customers,
+       ROUND(CAST(s_i AS DOUBLE) / 1000000.0, 2) AS total_revenue,
+       CAST(CAST(trunc((2.0 * CAST(rs_i AS DOUBLE)
+                        / (CAST(n AS DOUBLE) * CAST(s_i AS DOUBLE))
+                        - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE))
+                       * 1000000.0) AS BIGINT) AS DOUBLE) / 1000000.0 AS gini
+FROM g
+"""
+
+
 ORACLE_ABC_CUSTOMER_CLASSES = f"""
 WITH rev AS (
   SELECT o_custkey,
@@ -2091,6 +2171,7 @@ QUERIES = {
     "acctbal_deciles": acctbal_deciles,
     "acctbal_deciles_scalable": acctbal_deciles_scalable,
     "abc_customer_classes": abc_customer_classes,
+    "revenue_gini": revenue_gini,
     "returnflag_unpivot": returnflag_unpivot,
     "customer_name_digits": customer_name_digits,
     "shipping_delay_histogram": shipping_delay_histogram,
@@ -2149,6 +2230,7 @@ ORACLE = {
     "acctbal_deciles": ORACLE_ACCTBAL_DECILES,
     "acctbal_deciles_scalable": ORACLE_ACCTBAL_DECILES,
     "abc_customer_classes": ORACLE_ABC_CUSTOMER_CLASSES,
+    "revenue_gini": ORACLE_REVENUE_GINI,
     "tfidf_top_terms": ORACLE_TFIDF_TOP_TERMS,
     "bm25_topk": ORACLE_BM25_TOPK,
     "bm25_topk_indexed": ORACLE_BM25_TOPK,

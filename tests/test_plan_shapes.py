@@ -448,6 +448,7 @@ _GLOBAL_WINDOW_SANCTIONED = {
     # revenue-range/1e4 bucket-partials frame (value-domain constant);
     # the per-customer window is bucket-partitioned (test_stats.py)
     "abc_customer_classes",
+    "revenue_gini",
 }
 
 

@@ -441,3 +441,21 @@ def test_residual_autocorr_matches_reference(spark):
     assert out.n_days == len(s) and out.n_pairs == len(cur)
     assert abs(out.durbin_watson - dw) < 1e-4
     assert abs(out.r1_autocorr - r1) < 1e-4
+
+
+def test_gini_matches_reference_and_plan(spark):
+    from data_ingestion_project_spark.queries.advanced import revenue_gini
+
+    out = revenue_gini(spark, SF).toPandas().iloc[0]
+    o = pd.read_parquet(f"{SF}/orders.parquet")
+    rev = o.groupby("o_custkey")["o_totalprice"].sum().sort_values().to_numpy()
+    n = len(rev)
+    import numpy as np
+
+    gini = 2 * (np.arange(1, n + 1) * rev).sum() / (n * rev.sum()) - (n + 1) / n
+    assert out.n_customers == n
+    assert abs(out.gini - gini) < 1e-5
+    assert 0 <= out.gini < 1
+    plan = executed_plan(revenue_gini(spark, SF)).split("== Initial Plan ==")[0]
+    assert plan.count("Exchange SinglePartition") <= 2  # bucket prefix + 1-row agg
+    assert "hashpartitioning(bkt" in plan
