@@ -24,14 +24,17 @@ from data_ingestion_project_spark.queries import advanced, documents, embeddings
 _MODULES = (tpch, tpch2, events, documents, embeddings, advanced, stats)
 
 # The driver's correctness gate certifies the FIRST 50 entries of
-# all_queries() in dict order.  Round-6 window: ALL 32 queries with no
-# driver certification ever (the 15 round-5 additions plus the 17
-# round-6 additions — JPEG wiring, reservoir/bloom/outlier/covariance/
-# inverted-index/compression/interval families, and the statistics
-# census family), the three ANN recall queries rewritten
-# rows-only→oracle AFTER their r04 certification, then the 15
-# alphabetically-first of the r03-stale names (the remaining r03-era
-# re-certs roll to r07).  Names not listed here keep module order.
+# all_queries() in dict order.  Round-6 window: the 47 queries with no
+# driver certification ever (the 15 round-5 additions plus all 32
+# round-6 additions — JPEG/MP4 wiring, reservoir/bloom/outlier/
+# covariance/inverted-index/compression/interval families, the
+# statistics-census family, graph k-core, TextRank, Matryoshka,
+# ABC/Gini, funnel, divergences, calibration, dispersion) plus the
+# three ANN recall queries rewritten rows-only→oracle AFTER their r04
+# certification.  Every new query was locally re-verified value-exact
+# at sf0.01 AND sf0.1 via tools/check_oracle.py before declaring; the
+# r03-era re-certifications roll to the r07 window.  Names not listed
+# here keep module order.
 _DRIVER_PRIORITY = (
     # -- never driver-certified (rounds 5 and 6 additions) --
     "jpeg_decode_stats",
@@ -51,6 +54,7 @@ _DRIVER_PRIORITY = (
     "dup_graph_kcore",
     "embedding_covariance_stats",
     "entity_golden_records",
+    "event_dispersion_index",
     "event_value_outliers_mad",
     "html_extract_stats",
     "hybrid_rrf_search",
@@ -86,7 +90,6 @@ _DRIVER_PRIORITY = (
     "pq_recall",
     # -- stalest prior certifications (r03-era, alphabetical) --
     "acctbal_deciles",
-    "acctbal_deciles_scalable",
 )
 
 

@@ -45,6 +45,90 @@ ORDER BY hour, event_type
 """
 
 
+def event_dispersion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson burstiness census: the index of dispersion
+    (variance/mean) of per-hour event counts, per event type and for
+    the whole stream — a memoryless arrival process scores ≈1;
+    sustained bursts push it above (the capacity-planning signal a
+    plain event count hides).
+
+    Plan: two chained aggregations (events → hour×type counts → 5-row
+    moment frame; the TOTAL row folds the same hour counts once more
+    via a grouping-set-free union of two tiny aggregates) — count
+    moments are exact BIGINTs, so mean/variance/index are
+    value-determined divisions, micro-quantized for output."""
+    e = table(spark, sf_dir, "events")
+    per = (
+        e.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"), "event_type"
+        ).agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
+
+    def stats(grouped: DataFrame, label_col) -> DataFrame:
+        n = F.col("n_hours").cast("double")
+        s = F.col("s").cast("double")
+        s2 = F.col("s2").cast("double")
+        mean = s / n
+        var = (s2 - s * s / n) / (n - F.lit(1.0))
+        m = F.lit(1_000_000.0)
+        return grouped.select(
+            label_col.alias("event_type"),
+            F.col("n_hours").cast("long").alias("n_hours"),
+            ((mean * m).cast("long").cast("double") / m).alias("mean_per_hour"),
+            (((var / mean) * m).cast("long").cast("double") / m).alias(
+                "dispersion_index"
+            ),
+        )
+
+    by_type = stats(
+        per.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_hours"),
+            F.sum("c").alias("s"),
+            F.sum(F.col("c") * F.col("c")).alias("s2"),
+        ),
+        F.col("event_type"),
+    )
+    total = stats(
+        per.groupBy("hour")
+        .agg(F.sum("c").alias("ch"))
+        .agg(
+            F.count(F.lit(1)).alias("n_hours"),
+            F.sum("ch").alias("s"),
+            F.sum(F.col("ch") * F.col("ch")).alias("s2"),
+        ),
+        F.lit("TOTAL"),
+    )
+    return by_type.unionByName(total).orderBy("event_type")
+
+
+ORACLE_EVENT_DISPERSION_INDEX = """
+WITH per AS (
+  SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS c
+  FROM events GROUP BY 1, 2
+), by_type AS (
+  SELECT event_type, COUNT(*) AS n_hours,
+         CAST(SUM(c) AS BIGINT) AS s, CAST(SUM(c * c) AS BIGINT) AS s2
+  FROM per GROUP BY event_type
+), tot AS (
+  SELECT 'TOTAL' AS event_type, COUNT(*) AS n_hours,
+         CAST(SUM(ch) AS BIGINT) AS s, CAST(SUM(ch * ch) AS BIGINT) AS s2
+  FROM (SELECT hour, SUM(c) AS ch FROM per GROUP BY hour)
+), u AS (SELECT * FROM by_type UNION ALL SELECT * FROM tot)
+SELECT event_type, CAST(n_hours AS BIGINT) AS n_hours,
+       CAST(CAST(trunc((CAST(s AS DOUBLE) / CAST(n_hours AS DOUBLE)) * 1000000)
+            AS BIGINT) AS DOUBLE) / 1000000.0 AS mean_per_hour,
+       CAST(CAST(trunc((((CAST(s2 AS DOUBLE)
+                          - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                            / CAST(n_hours AS DOUBLE))
+                         / (CAST(n_hours AS DOUBLE) - 1.0))
+                        / (CAST(s AS DOUBLE) / CAST(n_hours AS DOUBLE)))
+                       * 1000000) AS BIGINT) AS DOUBLE) / 1000000.0
+         AS dispersion_index
+FROM u ORDER BY event_type
+"""
+
+
 def daily_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events")
     return (
@@ -818,6 +902,7 @@ QUERIES = {
     "event_type_lift": event_type_lift,
     "user_daily_gapfill": user_daily_gapfill,
     "hourly_event_stats": hourly_event_stats,
+    "event_dispersion_index": event_dispersion_index,
     "events_one_day_by_type": events_one_day_by_type,
     "event_transitions": event_transitions,
     "daily_active_users": daily_active_users,
@@ -842,6 +927,7 @@ ORACLE = {
     "incident_window_purchases": ORACLE_INCIDENT_WINDOW_PURCHASES,
     "event_value_by_type_salted": ORACLE_EVENT_VALUE_BY_TYPE_SALTED,
     "hourly_event_stats": ORACLE_HOURLY_EVENT_STATS,
+    "event_dispersion_index": ORACLE_EVENT_DISPERSION_INDEX,
     "daily_active_users": ORACLE_DAILY_ACTIVE_USERS,
     "top_purchasers": ORACLE_TOP_PURCHASERS,
     "props_key_stats": ORACLE_PROPS_KEY_STATS,
