@@ -958,6 +958,9 @@ def abc_customer_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DECG = "decimal(38,0)"  # rank x micro-revenue products
+
+
 def revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gini coefficient of customer revenue — the single-number
     inequality census behind the ABC classes (G = 0 everyone equal,
@@ -1010,9 +1013,6 @@ def revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("s_i").cast("double") / m, 2).alias("total_revenue"),
         ((gini * m).cast("long").cast("double") / m).alias("gini"),
     )
-
-
-_DECG = "decimal(38,0)"
 
 
 ORACLE_REVENUE_GINI = """
