@@ -443,13 +443,27 @@ def parse_mp4(payload: bytes) -> dict[str, Any]:
     }
     track: dict[str, Any] | None = None
 
+    def need(body: int, nxt: int, n: int, typ: bytes) -> None:
+        # box SIZE fields can be well-formed while the BODY is shorter
+        # than the version-specific fixed layout; without this check a
+        # short mvhd/tkhd/mdhd silently yields 0 fields (out-of-range
+        # int.from_bytes slices) instead of honoring the docstring's
+        # raises-on-garbage contract.
+        if nxt - body < n:
+            raise ValueError(
+                f"mp4: {typ.decode('ascii', 'replace')} body "
+                f"{nxt - body} bytes < required {n}"
+            )
+
     def walk(lo: int, hi: int) -> None:
         nonlocal track
         pos = lo
         while pos < hi:
             typ, body, nxt = _mp4_box(payload, pos, hi)
             if typ == b"mvhd":
+                need(body, nxt, 1, typ)
                 v = payload[body]
+                need(body, nxt, 32 if v == 1 else 20, typ)
                 o = body + 4
                 if v == 1:
                     out["timescale"] = int.from_bytes(payload[o + 16 : o + 20], "big")
@@ -464,13 +478,17 @@ def parse_mp4(payload: bytes) -> dict[str, Any]:
                 out["tracks"].append(track)
                 track = None
             elif typ == b"tkhd" and track is not None:
+                need(body, nxt, 1, typ)
                 v = payload[body]
+                need(body, nxt, 96 if v == 1 else 84, typ)
                 o = body + 4 + (32 if v == 1 else 20)  # past ids/times
                 o += 52  # reserved+layer+group+volume+reserved+matrix
                 track["width"] = int.from_bytes(payload[o : o + 4], "big") >> 16
                 track["height"] = int.from_bytes(payload[o + 4 : o + 8], "big") >> 16
             elif typ == b"mdhd" and track is not None:
+                need(body, nxt, 1, typ)
                 v = payload[body]
+                need(body, nxt, 34 if v == 1 else 22, typ)
                 o = body + 4
                 if v == 1:
                     track["timescale"] = int.from_bytes(payload[o + 16 : o + 20], "big")
@@ -485,6 +503,7 @@ def parse_mp4(payload: bytes) -> dict[str, Any]:
                     chr(((lang >> s) & 0x1F) + 0x60) for s in (10, 5, 0)
                 )
             elif typ == b"hdlr" and track is not None:
+                need(body, nxt, 12, typ)
                 track["handler"] = payload[body + 8 : body + 12].decode(
                     "ascii", "replace"
                 )

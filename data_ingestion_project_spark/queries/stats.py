@@ -93,7 +93,13 @@ def chisq_event_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(col_tot), "dow")
         .crossJoin(F.broadcast(totals))
     )
-    exp_d = (F.col("row_total") * F.col("col_total")).cast("double") / F.col("n_total")
+    # each factor cast to double BEFORE the product: at 100 TB row/col
+    # totals reach ~1e12, whose int64 product wraps silently in Spark
+    # while DuckDB's HUGEINT would not — cast-first keeps both engines
+    # in the same (exact ≤ 2^53) double domain.
+    exp_d = (
+        F.col("row_total").cast("double") * F.col("col_total").cast("double")
+    ) / F.col("n_total")
     diff = F.col("observed").cast("double") - exp_d
     k = j.select(
         "event_type",
@@ -132,7 +138,8 @@ nt AS (
   FROM cells
 ), j AS (
   SELECT c.event_type, c.dow, c.observed, nt.dof,
-         CAST(rt.row_total * ct.col_total AS DOUBLE) / nt.n_total AS exp_d
+         CAST(rt.row_total AS DOUBLE) * CAST(ct.col_total AS DOUBLE)
+           / nt.n_total AS exp_d
   FROM cells c
   JOIN rt USING (event_type) JOIN ct USING (dow) CROSS JOIN nt
 ), k AS (
@@ -368,8 +375,11 @@ def ks_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         _micro(
             F.lit(1.358)
             * F.sqrt(
+                # factors cast to double pre-product: n_en*n_other in
+                # int64 wraps at ~3e9 docs/side; double is exact here
+                # to 2^53 and matches the oracle's cast-first form
                 (F.col("n_en") + F.col("n_other")).cast("double")
-                / (F.col("n_en") * F.col("n_other"))
+                / (F.col("n_en").cast("double") * F.col("n_other").cast("double"))
             )
         ).alias("crit_i"),
     )
@@ -409,7 +419,8 @@ scored AS (
                         - CAST(cum_ot AS DOUBLE) / n_other) * 1000000)
               AS BIGINT) AS d_i,
          CAST(trunc((1.358 * sqrt(CAST(n_en + n_other AS DOUBLE)
-                                  / (n_en * n_other))) * 1000000)
+                                  / (CAST(n_en AS DOUBLE) * CAST(n_other AS DOUBLE))))
+                    * 1000000)
               AS BIGINT) AS crit_i
   FROM cum CROSS JOIN tot
 )

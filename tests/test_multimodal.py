@@ -437,6 +437,33 @@ def test_mp4_rejects_malformed():
         parse_mp4(good[:-6])
 
 
+def test_mp4_rejects_short_fullbox_bodies():
+    """A box whose SIZE is consistent with the file but whose BODY is
+    shorter than its version's fixed layout must raise, not feed
+    zero/garbage fields downstream (well-sized-but-short mvhd here:
+    8-byte body vs the 20 bytes a v0 mvhd needs)."""
+    import pytest
+
+    from data_ingestion_project_spark.operators.multimodal import (
+        _mp4_boxb,
+        _mp4_u32,
+        parse_mp4,
+    )
+
+    ftyp = _mp4_boxb(b"ftyp", b"isom" + _mp4_u32(0) + b"isom")
+    short_mvhd = _mp4_boxb(b"mvhd", bytes(8))  # v0 needs ≥20 body bytes
+    with pytest.raises(ValueError, match="mvhd"):
+        parse_mp4(ftyp + _mp4_boxb(b"moov", short_mvhd))
+    short_tkhd = _mp4_boxb(b"tkhd", bytes(40))  # v0 needs ≥84
+    moov = _mp4_boxb(b"moov", _mp4_boxb(b"trak", short_tkhd))
+    with pytest.raises(ValueError, match="tkhd"):
+        parse_mp4(ftyp + moov)
+    short_mdhd = _mp4_boxb(b"mdhd", bytes(12))  # v0 needs ≥22
+    moov = _mp4_boxb(b"moov", _mp4_boxb(b"trak", _mp4_boxb(b"mdia", short_mdhd)))
+    with pytest.raises(ValueError, match="mdhd"):
+        parse_mp4(ftyp + moov)
+
+
 def test_real_decode_dispatches_mp4():
     """ftyp-magic payloads route to the container parser and return the
     shared dims-features contract (width/height from the video track,

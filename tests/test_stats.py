@@ -380,7 +380,12 @@ def test_funnel_matches_reference_computation(spark):
             if row.event_type == "signup":
                 s_first = row.ts if s_first is None else min(s_first, row.ts)
             elif row.event_type == "click" and s_first is not None and c1 is None:
-                if row.ts <= s_first + week and row.ts > s_first:
+                # (ts, event_id) ROW-order tie-break, matching the
+                # window frame (ROWS ... 1 PRECEDING): a click sharing
+                # its signup's timestamp qualifies when its row sorts
+                # AFTER the signup — s_first is set iff the signup row
+                # already iterated, so no strict ts > s_first test.
+                if row.ts <= s_first + week:
                     c1, s1 = row.ts, s_first
         if c1 is None:
             continue
@@ -391,6 +396,38 @@ def test_funnel_matches_reference_computation(spark):
     assert out.n_signup_users == n_sig
     assert out.n_click_conv == n_click
     assert out.n_purchase_conv == n_purch
+
+
+def test_funnel_timestamp_tie_semantics(spark, tmp_path):
+    """Pins the (ts, event_id) ROW-order tie-break on timestamp ties,
+    the case the corpus never exercises: a click sharing its signup's
+    timestamp qualifies iff its event_id sorts AFTER the signup's —
+    the ROWS ... 1 PRECEDING frame sees the signup only then.  Both
+    engines (window frame here, DuckDB oracle) share this semantics;
+    this fixture keeps any future reformulation honest."""
+    from data_ingestion_project_spark.queries.advanced import ordered_funnel_7d
+
+    t0 = pd.Timestamp("2024-03-01 12:00:00")
+    rows = [
+        # user 1: signup/click TIE, click's event_id higher → click row
+        # follows the signup row → qualifies; purchase converts.
+        (1, t0, 1, "signup"),
+        (2, t0, 1, "click"),
+        (3, t0 + pd.Timedelta(hours=1), 1, "purchase"),
+        # user 2: same tie REVERSED (click's event_id lower) → the
+        # click row precedes its signup → no prior signup → no conv.
+        (4, t0, 2, "click"),
+        (5, t0, 2, "signup"),
+        (6, t0 + pd.Timedelta(hours=1), 2, "purchase"),
+    ]
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type"])
+    pdf["value"] = 1.0
+    pdf["props"] = "{}"
+    pdf.to_parquet(tmp_path / "events.parquet", index=False)
+    out = ordered_funnel_7d(spark, str(tmp_path)).toPandas().iloc[0]
+    assert out.n_signup_users == 2
+    assert out.n_click_conv == 1
+    assert out.n_purchase_conv == 1
 
 
 def test_benford_matches_reference_computation(spark):
