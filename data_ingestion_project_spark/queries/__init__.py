@@ -167,7 +167,10 @@ def warm_derived_assets(spark: SparkSession, sf_dir: str) -> None:
     maintained corpus assets — the production posture, where these
     tables are pipeline outputs, not per-query recomputes.  Build cost
     is reported separately (bench.py ``assets_sec``)."""
-    from data_ingestion_project_spark.queries.advanced import _bm25_index_path
+    from data_ingestion_project_spark.queries.advanced import (
+        _bm25_index_path,
+        _shred_state_path,
+    )
     from data_ingestion_project_spark.queries.documents import (
         _bpe_merges,
         _minhash_assets_path,
@@ -184,6 +187,7 @@ def warm_derived_assets(spark: SparkSession, sf_dir: str) -> None:
     _minhash_assets_path(spark, sf_dir)  # signature + word-set table
     _simhash_path(spark, sf_dir)  # per-doc 64-bit simhash table
     _bm25_index_path(spark, sf_dir)  # inverted index (postings/lens/dfs)
+    _shred_state_path(spark, sf_dir)  # envelope key/tombstone tables
 
 
 def all_oracles() -> dict[str, str]:

@@ -2077,6 +2077,140 @@ ORDER BY k
 
 
 
+def _shred_state_path(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize (once, mtime-keyed on customer.parquet) the
+    post-forget crypto-shred state: per-user envelope key table +
+    tombstones (operators/crypto_shred over operators/txn_table) and
+    the encrypted phone snapshot, with every customer whose key is
+    divisible by 97 forgotten.  The audit query reads this state
+    lazily — the production posture, where key provisioning and
+    forget requests are pipeline events, not per-query work."""
+    import os
+
+    from data_ingestion_project_spark.operators import crypto_shred as cs
+    from data_ingestion_project_spark.operators.materialize import (
+        dataset_tag,
+        ensure_materialized,
+    )
+
+    abs_dir = os.path.abspath(os.path.normpath(sf_dir))
+
+    def build(tmp: str) -> None:
+        kek = cs.test_kek()
+        users = table(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("user_id"),
+            F.md5(F.lower(F.trim(F.col("c_name")))).alias("email_bidx"),
+            # the PII stand-in (the synthetic customer has no phone
+            # column): deterministic per-user plaintext the audit can
+            # recompute for its roundtrip-equality count
+            F.concat_ws("/", F.col("c_name"), F.col("c_acctbal").cast("string")).alias(
+                "secret"
+            ),
+        )
+        base = os.path.join(tmp, "state")
+        cs.provision_deks(spark, base, users, kek)
+        cs.encrypt_fields(spark, users, base, kek, ["secret"]).select(
+            "user_id", F.col("secret").alias("secret_ct")
+        ).write.parquet(os.path.join(tmp, "encrypted"))
+        cs.forget_users(
+            spark, base, users.filter(F.col("user_id") % 97 == 0).select("user_id")
+        )
+        open(os.path.join(tmp, "_SUCCESS"), "w").close()
+
+    return ensure_materialized(
+        f"crypto_shred_{dataset_tag(abs_dir)}",
+        os.path.join(abs_dir, "customer.parquet"),
+        build,
+    )
+
+
+def crypto_shred_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten accounting over the crypto-shred state
+    (operators/crypto_shred): key-table and tombstone counts plus an
+    ACTUAL decrypt sweep of the on-disk ciphertexts — forgotten users
+    must decrypt to NULL (their DEK no longer exists anywhere: key row
+    MERGE-deleted, prior versions vacuumed), everyone else must
+    round-trip to their exact plaintext.  The PII lifecycle op the
+    reference's envelope (crypto_utils.py:84-88 Fernet fields +
+    blind-index search) implies but cannot express without rewriting
+    every data file.
+
+    Every output is an integer count ⇒ the DuckDB oracle replays the
+    accounting exactly from the deterministic forget rule
+    (c_custkey % 97 = 0).  The decrypt sweep doubles as the end-to-end
+    proof: n_decrypt_ok counting ciphertext→plaintext equality against
+    the customer table means the oracle row only matches if the
+    cryptography actually worked.
+
+    Plan: key/tombstone tables are key-dimension sized; the decrypt is
+    one JVM aes_decrypt pass over the snapshot with the unwrapped DEK
+    join (Python touches only the key table)."""
+    import os
+
+    from data_ingestion_project_spark.operators import crypto_shred as cs
+    from data_ingestion_project_spark.operators import txn_table
+
+    path = _shred_state_path(spark, sf_dir)
+    base = os.path.join(path, "state")
+    kek = cs.test_kek()
+    enc = spark.read.parquet(os.path.join(path, "encrypted"))
+    c = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.concat_ws("/", F.col("c_name"), F.col("c_acctbal").cast("string")).alias(
+            "expected_secret"
+        ),
+    )
+    dec = (
+        cs.decrypt_fields(spark, enc, base, kek, ["secret_ct"])
+        .join(c, "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum((F.col("secret_ct") == F.col("expected_secret")).cast("long")).alias(
+                "n_decrypt_ok"
+            ),
+            F.sum(F.col("secret_ct").isNull().cast("long")).alias("n_decrypt_null"),
+        )
+    )
+    n_keys = txn_table.read(spark, cs.keys_path(base)).agg(
+        F.count(F.lit(1)).alias("n_active_keys")
+    )
+    n_tomb = txn_table.read(spark, cs.tombstones_path(base)).agg(
+        F.count(F.lit(1)).alias("n_tombstones"),
+        F.count_distinct("email_bidx").alias("n_tombstone_bidx"),
+    )
+    return (
+        dec.crossJoin(F.broadcast(n_keys))
+        .crossJoin(F.broadcast(n_tomb))
+        .select(
+            F.col("n_rows").alias("n_users"),
+            "n_active_keys",
+            "n_tombstones",
+            "n_tombstone_bidx",
+            "n_decrypt_ok",
+            "n_decrypt_null",
+            F.round(F.col("n_decrypt_null") / F.col("n_rows"), 6).alias(
+                "forgotten_frac"
+            ),
+        )
+    )
+
+
+ORACLE_CRYPTO_SHRED_AUDIT = """
+WITH f AS (
+  SELECT COUNT(*) AS nf, COUNT(DISTINCT md5(lower(trim(c_name)))) AS nb
+  FROM customer WHERE c_custkey % 97 = 0
+), t AS (SELECT COUNT(*) AS n FROM customer)
+SELECT t.n AS n_users,
+       t.n - f.nf AS n_active_keys,
+       f.nf AS n_tombstones,
+       f.nb AS n_tombstone_bidx,
+       t.n - f.nf AS n_decrypt_ok,
+       f.nf AS n_decrypt_null,
+       ROUND(f.nf * 1.0 / t.n, 6) AS forgotten_frac
+FROM t CROSS JOIN f
+"""
+
+
 def bloom_membership_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter membership census (operators/bloom.py): build the
     4096-bit / 3-hash filter over the parts shipped in March 1995,
@@ -2205,9 +2339,11 @@ QUERIES = {
     "wealthy_inactive_customers": wealthy_inactive_customers,
     "supplier_hierarchy_rollup": supplier_hierarchy_rollup,
     "k_anonymity_audit": k_anonymity_audit,
+    "crypto_shred_audit": crypto_shred_audit,
 }
 
 ORACLE = {
+    "crypto_shred_audit": ORACLE_CRYPTO_SHRED_AUDIT,
     "orders_profile": ORACLE_ORDERS_PROFILE,
     "quantile_sketch_rollup": ORACLE_QUANTILE_SKETCH_ROLLUP,
     "kmv_dau_rollup": ORACLE_KMV_DAU_ROLLUP,
