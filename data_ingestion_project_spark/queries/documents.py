@@ -3789,6 +3789,108 @@ FROM per_doc GROUP BY lang ORDER BY lang
 
 
 
+def exact_substring_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT substring-duplication census via prefix-doubling suffix
+    ranks (operators/suffix_ranks) — the certification twin of
+    ``substring_dup_stats``: that census decides "position starts a
+    duplicated 8-token run" by hashing fixed 8-grams; this one derives
+    the same predicate from suffix ranks (best-neighbor LCP ≥ 8 in
+    suffix order) AND reports what fixed grams cannot see — the exact
+    longest repeated token run per language (capped at 64 tokens).
+    Agreement between the two formulations is structural (an 8-gram
+    occurs twice ⟺ two suffixes share an 8-token prefix), so the
+    driver certifying both against independent oracles pins the whole
+    substring-dedup family end to end; the per-position equivalence is
+    additionally asserted in pytest (planted-duplicate fixtures).
+
+    Plan: log2(64) doubling rounds + log2(64) LCP-descent joins, all
+    fixed-width integer shuffles; rank assignment and suffix-order
+    numbering use range partitioning + partition-count-sized offset
+    frames — no unpartitioned data-sized window anywhere (the DuckDB
+    oracle instead sorts truncated 64-token suffix arrays, which ships
+    cap× the corpus through its sort: exactly the cost the rank ladder
+    avoids at scale)."""
+    from data_ingestion_project_spark.operators.suffix_ranks import (
+        best_lcp_per_position,
+        suffix_rank_tables,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    docs = d.select(
+        "doc_id", "lang", F.split(F.lower(F.trim("text")), r"\s+").alias("ts")
+    )
+    ranks, meta = suffix_rank_tables(spark, docs, cap=64)
+    best = best_lcp_per_position(spark, ranks, cap=64)
+    per_pos = meta.join(best, "pos", "left").withColumn(
+        "best_lcp", F.coalesce("best_lcp", F.lit(0))
+    )
+    valid = F.col("n_remaining") >= 8
+    return (
+        per_pos.groupBy("lang")
+        .agg(
+            F.sum(valid.cast("long")).alias("n_positions"),
+            F.sum((valid & (F.col("best_lcp") >= 8)).cast("long")).alias("n_dup8"),
+            F.max("best_lcp").alias("max_repeat_len"),
+        )
+        .withColumn("dup_frac", F.round(F.col("n_dup8") / F.col("n_positions"), 6))
+        .select("lang", "n_positions", "n_dup8", "dup_frac", "max_repeat_len")
+        .orderBy("lang")
+    )
+
+
+ORACLE_EXACT_SUBSTRING_CENSUS = """
+WITH toks AS (
+  SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\\s+') AS ts
+  FROM documents
+), pos AS (
+  SELECT doc_id, lang, len(ts) AS n, ts, unnest(range(1, len(ts) + 1)) AS i
+  FROM toks
+), arrs AS (
+  SELECT doc_id, i, lang, n - i + 1 AS n_remaining,
+         ts[i : least(i + 63, n)] AS arr
+  FROM pos
+), adj AS (
+  -- (doc_id, i) tiebreaker makes the order TOTAL: the two windows
+  -- (this lag, best's lead) must pair identical rows, and with bare
+  -- ORDER BY arr the tie groups may be permuted independently
+  SELECT doc_id, i, lang, n_remaining, arr,
+         lag(arr) OVER (ORDER BY arr, doc_id, i) AS prev
+  FROM arrs
+), lcp1 AS (
+  SELECT doc_id, i, lang, n_remaining, arr,
+         CASE WHEN prev IS NULL THEN 0 ELSE
+           COALESCE(
+             NULLIF(
+               list_position(
+                 list_transform(range(1, least(len(arr), len(prev)) + 1),
+                                i -> arr[i] = prev[i]),
+                 false),
+               0) - 1,
+             least(len(arr), len(prev)))
+         END AS lcp_prev
+  FROM adj
+), best AS (
+  SELECT lang, n_remaining,
+         GREATEST(lcp_prev,
+                  COALESCE(LEAD(lcp_prev) OVER (ORDER BY arr, doc_id, i), 0))
+           AS best_lcp
+  FROM lcp1
+)
+SELECT lang,
+       CAST(SUM(CASE WHEN n_remaining >= 8 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_positions,
+       CAST(SUM(CASE WHEN n_remaining >= 8 AND best_lcp >= 8 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_dup8,
+       ROUND(SUM(CASE WHEN n_remaining >= 8 AND best_lcp >= 8 THEN 1 ELSE 0 END)
+             * 1.0
+             / SUM(CASE WHEN n_remaining >= 8 THEN 1 ELSE 0 END), 6) AS dup_frac,
+       MAX(best_lcp) AS max_repeat_len
+FROM best
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 def compression_ratio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compression-ratio quality census - the deflate-ratio heuristic
     production web pipelines run alongside the Gopher rules: highly
@@ -3866,6 +3968,7 @@ QUERIES = {
     "nb_lang_confusion": nb_lang_confusion,
     "nb_margin_calibration": nb_margin_calibration,
     "substring_dup_stats": substring_dup_stats,
+    "exact_substring_census": exact_substring_census,
     "bpe_learned_merges": bpe_learned_merges,
     "chunk_stats": chunk_stats,
     "leakage_safe_split": leakage_safe_split,
@@ -3952,6 +4055,7 @@ ORACLE = {
     "nb_lang_confusion": ORACLE_NB_LANG_CONFUSION,
     "nb_margin_calibration": ORACLE_NB_MARGIN_CALIBRATION,
     "substring_dup_stats": ORACLE_SUBSTRING_DUP_STATS,
+    "exact_substring_census": ORACLE_EXACT_SUBSTRING_CENSUS,
     "similar_supplier_names": ORACLE_SIMILAR_SUPPLIER_NAMES,
     "minhash_recall": ORACLE_MINHASH_RECALL,
     "sequence_packing": ORACLE_SEQUENCE_PACKING,
