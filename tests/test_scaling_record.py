@@ -29,6 +29,40 @@ def test_no_super_linear_family_in_committed_sweep():
     # the record must cover every family class the verdict named
     drivers = {e["driver_table"] for e in exps.values()}
     assert {"documents", "events", "lineitem"} <= drivers
-    # sanity: timings exist for all three scale factors
+    # the 10x derived decade (r6 ask #1) stays measured for the heavy
+    # families: at least 10 exponents fitted on sf0.1->sf1
+    sf1_fits = [q for q, e in exps.items() if e["step"] == "sf0.1->sf1"]
+    assert len(sf1_fits) >= 10, sf1_fits
+    # timings exist for the three base SFs (sf1 covers its subset)
     for q, t in rec["seconds"].items():
-        assert set(t) == {"sf0.001", "sf0.01", "sf0.1"}, q
+        assert {"sf0.001", "sf0.01", "sf0.1"} <= set(t) <= {
+            "sf0.001",
+            "sf0.01",
+            "sf0.1",
+            "sf1",
+        }, q
+
+
+@pytest.mark.skipif(not os.path.exists(RECORD), reason="no committed SCALING.json")
+def test_documented_alpha_bound_matches_record():
+    """BASELINE.md's 'every measured alpha <= X' claim is PARSED and
+    checked against the committed JSON — the round-6 verdict caught
+    exactly this pair drifting (prose said 0.43 while the record held
+    0.587), so the claim is now load-bearing: regenerate the paragraph
+    whenever the sweep is re-run, or this fails."""
+    import re
+
+    baseline = os.path.join(os.path.dirname(RECORD), "BASELINE.md")
+    text = open(baseline, encoding="utf-8").read()
+    m = re.search(r"every measured alpha \u2264\s*([0-9.]+)", text) or re.search(
+        r"every measured alpha ≤\s*([0-9.]+)", text
+    )
+    assert m, "BASELINE.md no longer documents the alpha bound"
+    documented = float(m.group(1))
+    rec = json.load(open(RECORD))
+    worst = max(e["alpha"] for e in rec["exponents"].values())
+    assert worst <= documented + 1e-9, (
+        f"SCALING.json max alpha {worst} exceeds BASELINE.md's documented "
+        f"bound {documented}: regenerate the BASELINE paragraph from the JSON"
+    )
+    assert documented <= 1.15  # the documented bound itself stays sane

@@ -17,7 +17,15 @@ floor's distortion.
 
 Usage:  python tools/scaling_sweep.py [out_json]
 Writes SCALING.json (records + exponents) and prints a markdown table.
-Runtime: ~3 bench passes (one per sf) over the HEAVY set, ~4 min.
+Runtime: ~3 bench passes (one per sf) over the HEAVY set, ~4 min;
+plus the sf1 decade (below) when the derived corpus exists.
+
+Round-7 extension (VERDICT r6 ask #1): when the 10x derived corpus is
+present (tools/make_scaled_corpus.py -> scratch/sf1, override via
+SPARK_GRAFT_SF1_DIR), the sweep adds an sf0.1 -> sf1 measurement for
+the SF1_FAMILIES subset (the heaviest families the verdict named), so
+those exponents are fitted on a decade where per-query work is far
+above the scheduler floor (6M lineitem / 1M events / 50k documents).
 """
 
 from __future__ import annotations
@@ -31,6 +39,27 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SFS = ("sf0.001", "sf0.01", "sf0.1")
+
+# families measured on the extra sf0.1 -> sf1 decade (VERDICT r6 ask
+# #1 list): the dedup/pair families, the substring census, CMS, NB
+# train+score, the sketch rollup, ER, and the served BM25 index
+SF1_FAMILIES = frozenset(
+    {
+        "minhash_near_dups",
+        "simhash_near_dups",
+        "winnow_overlap_top",
+        "substring_dup_stats",
+        "cms_word_freq",
+        "nb_lang_confusion",
+        "nb_margin_calibration",
+        "quantile_sketch_rollup",
+        "quantile_sketch_rollup_xx",
+        "entity_golden_records",
+        "bm25_topk_indexed",
+        "pricing_summary",
+        "hourly_event_stats",
+    }
+)
 
 # query -> driving table (the input whose cardinality the family's
 # cost should track ~linearly under the committed plan shapes)
@@ -93,10 +122,21 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     queries = all_queries()
 
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sf1_dir = os.environ.get(
+        "SPARK_GRAFT_SF1_DIR", os.path.join(repo, "scratch", "sf1")
+    )
+    steps: list[tuple[str, str, frozenset | None]] = [
+        (sf, os.path.join(base, sf), None) for sf in SFS
+    ]
+    if os.path.isdir(sf1_dir):
+        steps.append(("sf1", sf1_dir, SF1_FAMILIES))
+    else:
+        print(f"# sf1 corpus absent at {sf1_dir}; 3-step sweep", file=sys.stderr)
+
     rows: dict[str, dict[str, int]] = {}
     times: dict[str, dict[str, float]] = {q: {} for q in HEAVY}
-    for sf in SFS:
-        sf_dir = os.path.join(base, sf)
+    for sf, sf_dir, subset in steps:
         # same isolation protocol as bench.py: decode every column of
         # every table once, then build the shared derived assets, so
         # per-query numbers measure the query, not cold I/O
@@ -109,20 +149,26 @@ def main() -> None:
             for t in {"documents", "events", "lineitem", "supplier", "embeddings", "orders"}
         }
         for name in sorted(HEAVY):
+            if subset is not None and name not in subset:
+                continue
             t0 = time.perf_counter()
             n = len(queries[name](spark, sf_dir).collect())
             times[name][sf] = round(time.perf_counter() - t0, 3)
             print(f"# {sf} {name}: {times[name][sf]:.3f}s ({n} rows)", file=sys.stderr)
 
+    labels = [sf for sf, _, _ in steps]
     exponents: dict[str, dict] = {}
     for name, driver_table in HEAVY.items():
-        # fit on the LAST decade where the driving table actually grows
-        steps = [
+        # fit on the LAST decade where the driving table actually
+        # grows AND this query was measured on both ends
+        fit_steps = [
             (a, b)
-            for a, b in zip(SFS, SFS[1:])
+            for a, b in zip(labels, labels[1:])
             if rows[b][driver_table] > rows[a][driver_table]
+            and a in times[name]
+            and b in times[name]
         ]
-        a, b = steps[-1]
+        a, b = fit_steps[-1]
         n_ratio = rows[b][driver_table] / rows[a][driver_table]
         t_ratio = times[name][b] / times[name][a]
         alpha = math.log(t_ratio) / math.log(n_ratio)
@@ -138,15 +184,13 @@ def main() -> None:
     with open(out_path, "w") as f:
         json.dump(record, f, indent=1, sort_keys=True)
 
-    print("| query | driver | t(0.001) | t(0.01) | t(0.1) | step | alpha |")
-    print("|---|---|---|---|---|---|---|")
+    print("| query | driver | " + " | ".join(f"t({sf})" for sf in labels) + " | step | alpha |")
+    print("|---|---|" + "---|" * (len(labels) + 2))
     for name in sorted(HEAVY):
         e = exponents[name]
         t = times[name]
-        print(
-            f"| {name} | {e['driver_table']} | {t['sf0.001']} | {t['sf0.01']} "
-            f"| {t['sf0.1']} | {e['step']} | {e['alpha']} |"
-        )
+        cells = " | ".join(str(t.get(sf, "-")) for sf in labels)
+        print(f"| {name} | {e['driver_table']} | {cells} | {e['step']} | {e['alpha']} |")
 
 
 if __name__ == "__main__":
