@@ -607,3 +607,97 @@ def ingest_dedup_batch(
         fence=fence,
     )
     return info
+
+
+def build_corpus_batch(
+    spark: SparkSession,
+    batch_docs: DataFrame,
+    paths: dict,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_shared: int = 8,
+    fence: tuple[str, int] | None = None,
+    checkpoint_hook=None,
+) -> dict:
+    """ONE micro-batch of the full corpus-build pipeline — the
+    composition of every fenced maintenance leg this engine ships
+    (VERDICT r6 ask #8; pure composition, no new mutation logic):
+
+    1. winnow-filter the batch against the fingerprint index and
+       accept only novel docs (replay-safe by construction);
+    2. fenced append of survivors to the accepted-corpus txn table;
+    3. fenced MinHash/SimHash signature-asset maintenance;
+    4. fenced inverted-index maintenance (postings/lens appends +
+       additive df MERGE) — BM25 serves from this with no corpus
+       scan;
+    5. fenced per-language length-moment fold (Welch/ANOVA/OLS refit
+       from KB-sized moments, never a rescan).
+
+    ``paths``: {"corpus", "index", "minhash", "simhash", "postings",
+    "lens", "dfs", "moments"}.  EVERY table carries its own
+    (fence_id, batch_id) manifest fence, so a crash between any two
+    legs replays exactly the missing commits and nothing else — the
+    property the crash-replay pytest drives end to end.
+
+    ``checkpoint_hook(leg_name, batch_id)`` is the test seam (the
+    fixture-injection idiom of sources/users_json.py): called between
+    legs; tests raise from it to plant a mid-batch crash.  Production
+    callers leave it None."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_project_spark.operators.inverted_index import (
+        update_inverted_index,
+    )
+    from data_ingestion_project_spark.operators.moments import update_moments_asset
+
+    def _hook(leg: str) -> None:
+        if checkpoint_hook is not None:
+            checkpoint_hook(leg, fence[1] if fence else -1)
+
+    accepted, info = dedup_batch_against_index(
+        spark,
+        paths["index"],
+        batch_docs,
+        text_col=text_col,
+        id_col=id_col,
+        min_shared=min_shared,
+    )
+    accepted = accepted.localCheckpoint(eager=True)
+    _hook("dedup")
+    _fenced_append(spark, paths["corpus"], accepted, fence)
+    _hook("corpus")
+    update_signature_assets(
+        spark,
+        paths["minhash"],
+        paths["simhash"],
+        accepted,
+        text_col=text_col,
+        id_col=id_col,
+        fence=fence,
+    )
+    _hook("signatures")
+    update_inverted_index(
+        spark,
+        paths["postings"],
+        paths["lens"],
+        paths["dfs"],
+        accepted,
+        text_col=text_col,
+        id_col=id_col,
+        fence=fence,
+    )
+    _hook("index")
+    lang = (
+        F.col("lang") if "lang" in accepted.columns else F.lit("all")
+    ).alias("lang")
+    stats = accepted.select(lang, F.length(text_col).cast("double").alias("n_chars"))
+    update_moments_asset(
+        spark,
+        paths["moments"],
+        stats,
+        key_col="lang",
+        x_col="n_chars",
+        fence=fence,
+    )
+    _hook("moments")
+    return info

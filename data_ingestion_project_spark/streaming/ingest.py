@@ -544,6 +544,63 @@ def start_dedup_ingestion_stream(
     )
 
 
+def start_corpus_build_stream(
+    spark: SparkSession,
+    docs: DataFrame,
+    paths: dict,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_shared: int = 8,
+    app_id: str | None = None,
+    checkpoint_hook=None,
+) -> StreamingQuery:
+    """The END-TO-END streaming corpus build: one document stream
+    drives, per micro-batch, the composed maintenance of ALL the
+    engine's corpus assets — dedup fingerprint index → accepted-corpus
+    table → MinHash/SimHash signatures → inverted index → language
+    length moments (operators/incremental_dedup.build_corpus_batch).
+    Downstream, every dedup query, BM25 search, and statistics refit
+    reads a current asset with zero full-corpus recomputation.
+
+    Exactly-once across FIVE tables with heterogeneous semantics:
+    per-doc facts ride fenced appends, the additive df and moment
+    cells ride fenced keyed MERGEs, and the fingerprint index is
+    internally replay-safe — each table carries its own
+    (fence_id, batch_id) manifest fence, so Structured Streaming's
+    at-least-once foreachBatch replays exactly the commits a crash
+    lost and re-executes none that landed.  ``checkpoint_hook`` is
+    the crash-planting test seam; production callers leave it None."""
+    import os
+
+    from data_ingestion_project_spark.operators.incremental_dedup import (
+        build_corpus_batch,
+    )
+
+    fence_id = app_id or os.path.abspath(checkpoint_dir)
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        build_corpus_batch(
+            spark,
+            batch_df,
+            paths,
+            text_col=text_col,
+            id_col=id_col,
+            min_shared=min_shared,
+            fence=(fence_id, batch_id),
+            checkpoint_hook=checkpoint_hook,
+        )
+
+    return (
+        docs.writeStream.foreachBatch(_sink)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
 def start_bloom_stream(
     spark: SparkSession,
     items: DataFrame,
