@@ -1024,6 +1024,66 @@ def jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def jpeg_decode_stats_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCTION twin of jpeg_decode_stats (VERDICT r6 ask #6): the
+    identical encode → decode → aggregate pipeline with the decode
+    seam filled by Pillow/libjpeg at C speed instead of the
+    pure-Python certification codec — the png_decode_stats precedent,
+    now for JPEG.  Registered ONLY when Pillow imports (the
+    import-gated posture of argon2/protobuf), so environments without
+    it skip cleanly; where both run, pytest asserts row-for-row
+    agreement (flat-color fixtures decode exactly under any
+    conformant decoder — see jpeg_decode_stats).  Bench-only /
+    rows-only: the certification replay next to it carries the
+    oracle."""
+    import pandas as _pd
+
+    from data_ingestion_project_spark.operators.jpegcodec import encode_jpeg
+    from data_ingestion_project_spark.operators.multimodal import (
+        decode_media_dims,
+        pil_decode,
+    )
+
+    d = table(spark, sf_dir, "documents")
+
+    def _encode(batches):
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                w = i % 4 * 2 + 3
+                h = i % 3 * 2 + 3
+                mode = ("gray", "444", "420")[i % 3]
+                ncomp = 1 if mode == "gray" else 3
+                v = (i * 7) % 256
+                payloads.append(
+                    encode_jpeg(
+                        w,
+                        h,
+                        bytes([v]) * (w * h * ncomp),
+                        mode=mode,
+                        quality=50,
+                        restart_interval=2 if i % 5 == 0 else 0,
+                    )
+                )
+            yield _pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    media = d.select("doc_id").mapInPandas(
+        _encode, schema="media_id long, payload binary"
+    )
+    dims = decode_media_dims(media, decode_fn=pil_decode)
+    return (
+        dims.groupBy("width")
+        .agg(
+            F.count(F.lit(1)).alias("n_media"),
+            F.round(F.avg("height"), 4).alias("avg_height"),
+            F.sum("n_samples").alias("total_samples"),
+            F.round(F.avg("feat_mean"), 4).alias("avg_feat_mean"),
+        )
+        .orderBy("width")
+    )
+
+
 ORACLE_JPEG_DECODE_STATS = """
 WITH m AS (
   SELECT doc_id,
@@ -4015,6 +4075,14 @@ QUERIES = {
     "source_data_cards": source_data_cards,
     "unicode_clean_stats": unicode_clean_stats,
 }
+
+# the Pillow-backed production twin registers only where Pillow
+# imports (skip-clean posture — VERDICT r6 ask #6); environments
+# without it keep the identical inventory minus this bench entry
+from data_ingestion_project_spark.operators.multimodal import HAVE_PIL as _HAVE_PIL  # noqa: E402
+
+if _HAVE_PIL:
+    QUERIES["jpeg_decode_stats_fast"] = jpeg_decode_stats_fast
 
 ORACLE = {
     "doc_repetition_stats": ORACLE_DOC_REPETITION_STATS,

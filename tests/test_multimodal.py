@@ -479,3 +479,47 @@ def test_real_decode_dispatches_mp4():
     assert feats["n_samples"] == 9
     assert feats["feat_mean"] == 2300 % 256
     assert feats["n_tracks"] == 1
+
+
+def test_pil_decode_contract_or_skip():
+    """pil_decode honors the real_decode output contract; skip-clean
+    where Pillow is absent (the import-gated posture)."""
+    import pytest
+
+    from data_ingestion_project_spark.operators import multimodal as mm
+
+    if not mm.HAVE_PIL:
+        with pytest.raises(RuntimeError, match="Pillow"):
+            mm.pil_decode(b"\xff\xd8")
+        pytest.skip("Pillow not installed; production twin unregistered")
+    from data_ingestion_project_spark.operators.jpegcodec import encode_jpeg
+
+    p = encode_jpeg(5, 3, bytes([200]) * 15, mode="gray", quality=50)
+    pure = mm.real_decode(p, want_entropy=False)
+    fast = mm.pil_decode(p)
+    for k in ("width", "height", "n_samples", "feat_mean"):
+        assert fast[k] == pure[k], k
+
+
+def test_pil_twin_matches_certification_query_or_skip(spark):
+    """Where Pillow exists, the bench twin's output is row-for-row the
+    certification query's (flat-color fixtures decode exactly under
+    any conformant decoder)."""
+    import pytest
+
+    from data_ingestion_project_spark.operators.multimodal import HAVE_PIL
+
+    if not HAVE_PIL:
+        from data_ingestion_project_spark.queries import all_queries
+
+        assert "jpeg_decode_stats_fast" not in all_queries()
+        pytest.skip("Pillow not installed; twin unregistered by design")
+    from data_ingestion_project_spark.queries.documents import (
+        jpeg_decode_stats,
+        jpeg_decode_stats_fast,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    a = sorted(map(tuple, jpeg_decode_stats(spark, sf).collect()))
+    b = sorted(map(tuple, jpeg_decode_stats_fast(spark, sf).collect()))
+    assert a == b
