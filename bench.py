@@ -7,6 +7,15 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 Each query is timed end-to-end (plan build + execution + collect).
 Protocol per BASELINE.md: fixed shuffle partitions, crypto in the
 low-cost test profile (ingestion microbench included separately).
+
+``--cold`` (VERDICT r6 ask #7): the IO-bound counter-protocol. At
+100 TB the engine is parquet-decode-bound, but the warm protocol
+above measures compute against OS-page-cached files. Cold mode runs
+the heaviest-scan subset with the page cache DROPPED before every
+query (sync; echo 3 > /proc/sys/vm/drop_caches — skipped with a
+notice where not permitted) and Spark's catalog cache cleared, no
+table warmup, and writes a separate BENCH_COLD.json side-record —
+never touching the warm BENCH_LOCAL.json protocol artifact.
 """
 
 from __future__ import annotations
@@ -19,7 +28,36 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+# the 10 heaviest-scan bench queries (widest byte footprint per table
+# family: lineitem / events / documents full-column scans) — the set
+# whose COLD numbers bound the parquet-decode floor
+COLD_SET = (
+    "pricing_summary",
+    "nation_market_share",
+    "cube_revenue",
+    "hourly_event_stats",
+    "user_sessions",
+    "quantile_sketch_rollup_xx",
+    "chisq_event_dow",
+    "cms_word_freq",
+    "nb_lang_confusion",
+    "substring_dup_stats",
+)
+
+
+def _drop_page_cache() -> bool:
+    """Best-effort OS page-cache drop; False where not permitted."""
+    try:
+        os.sync()
+        with open("/proc/sys/vm/drop_caches", "w") as f:
+            f.write("3\n")
+        return True
+    except OSError:
+        return False
+
+
 def main() -> None:
+    cold = "--cold" in sys.argv[1:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
@@ -41,6 +79,46 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     from data_ingestion_project_spark.sources.readers import TABLES, table
+
+    if cold:
+        # assets must EXIST (they are pipeline outputs, not scan cost)
+        # but the page cache is dropped before each timed query below
+        t0 = time.perf_counter()
+        warm_derived_assets(spark, sf_dir)
+        assets = round(time.perf_counter() - t0, 3)
+        can_drop = _drop_page_cache()
+        if not can_drop:
+            print("# WARNING: page-cache drop not permitted; numbers are "
+                  "cold-session only", file=sys.stderr)
+        timings: dict[str, float] = {}
+        qs = bench_queries()
+        for name in COLD_SET:
+            spark.catalog.clearCache()
+            _drop_page_cache()
+            t0 = time.perf_counter()
+            rows = qs[name](spark, sf_dir).collect()
+            timings[name] = round(time.perf_counter() - t0, 3)
+            print(f"# cold {name}: {timings[name]:.3f}s ({len(rows)} rows)",
+                  file=sys.stderr)
+        total = round(sum(timings.values()), 3)
+        result = {
+            "metric": "cold_scan_queries_total_wall_clock",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "page_cache_dropped": can_drop,
+            "assets_sec": assets,
+            "sf": sf,
+        }
+        out_path = os.environ.get(
+            "SPARK_GRAFT_BENCH_OUT",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_COLD.json"),
+        )
+        with open(out_path, "w") as f:
+            json.dump(result, f, indent=1, sort_keys=True)
+            f.write("\n")
+        print(json.dumps(result))
+        return
 
     t0 = time.perf_counter()
     for t in TABLES:  # warm EVERY table the queries read — a new table
