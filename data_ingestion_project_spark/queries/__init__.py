@@ -24,72 +24,68 @@ from data_ingestion_project_spark.queries import advanced, documents, embeddings
 _MODULES = (tpch, tpch2, events, documents, embeddings, advanced, stats)
 
 # The driver's correctness gate certifies the FIRST 50 entries of
-# all_queries() in dict order.  Round-6 window: the 47 queries with no
-# driver certification ever (the 15 round-5 additions plus all 32
-# round-6 additions — JPEG/MP4 wiring, reservoir/bloom/outlier/
-# covariance/inverted-index/compression/interval families, the
-# statistics-census family, graph k-core, TextRank, Matryoshka,
-# ABC/Gini, funnel, divergences, calibration, dispersion) plus the
-# three ANN recall queries rewritten rows-only→oracle AFTER their r04
-# certification.  Every new query was locally re-verified value-exact
-# at sf0.01 AND sf0.1 via tools/check_oracle.py before declaring; the
-# r03-era re-certifications roll to the r07 window.  Names not listed
-# here keep module order.
+# all_queries() in dict order.  Round-7 window (r6 ask #5 rotation):
+# the 2 round-7 additions (never certified), then ALL 33 r03-era
+# certifications (the stalest rows in the merged record — TPC-H core
+# + early document families), then the 15 alphabetically-first
+# r04-era certifications.  Every window entry was locally re-verified
+# value-exact (or rows-only where by-design) at sf0.01 via
+# tools/check_oracle.py before declaring; the remaining r04-era rows
+# roll to the r08 window.  Names not listed here keep module order.
 _DRIVER_PRIORITY = (
-    # -- never driver-certified (rounds 5 and 6 additions) --
-    "jpeg_decode_stats",
-    "abc_customer_classes",
-    "jsd_source_vocab",
-    "ordered_funnel_7d",
-    "anova_event_values",
-    "benford_order_totals",
-    "bigram_logprob_buckets",
-    "bloom_membership_audit",
-    "bm25_topk",
-    "bm25_topk_indexed",
-    "chisq_event_dow",
-    "cms_word_freq",
-    "compression_ratio_stats",
-    "dp_event_counts",
-    "dup_graph_kcore",
-    "embedding_covariance_stats",
-    "entity_golden_records",
-    "event_dispersion_index",
-    "event_value_outliers_mad",
-    "html_extract_stats",
-    "hybrid_rrf_search",
-    "incident_window_purchases",
-    "join_key_skew_audit",
-    "k_anonymity_audit",
-    "keyword_textrank",
-    "kmv_dau_rollup",
-    "kmv_set_similarity",
-    "kmv_weekly_retention",
-    "ks_length_drift",
-    "matryoshka_overlap",
-    "mi_label_dims",
-    "modality_agreement_scale",
-    "mp4_metadata_stats",
-    "nb_margin_calibration",
-    "pca_variance_audit",
-    "png_decode_stats",
-    "psi_length_drift",
-    "quantile_sketch_rollup_xx",
-    "regr_price_quantity",
-    "residual_autocorr",
-    "revenue_gini",
-    "revenue_seasonality",
-    "seasonal_anomaly_days",
-    "source_overlap_matrix",
-    "unicode_clean_stats",
-    "weighted_sample_audit",
-    "welch_event_values",
-    # -- rewritten (rows-only → value-exact oracle) after their r04 cert --
-    "ivf_recall",
-    "lsh_recall",
-    "pq_recall",
-    # -- stalest prior certifications (r03-era, alphabetical) --
+    # -- never driver-certified (round-7 additions) --
+    "crypto_shred_audit",
+    "exact_substring_census",
+    # -- r03-era certifications (stalest, alphabetical) --
     "acctbal_deciles",
+    "acctbal_deciles_scalable",
+    "chunk_stats",
+    "customer_name_digits",
+    "doc_quality",
+    "exact_duplicate_pairs",
+    "fingerprint_summary",
+    "idle_suppliers",
+    "label_vector_stats",
+    "lang_id_confusion",
+    "near_dup_jaccard_top",
+    "order_price_quantiles",
+    "orders_quality_report",
+    "parts_above_brand_average",
+    "pii_scrub_stats",
+    "purchases_near_errors",
+    "quality_filter_funnel",
+    "retention_cohorts",
+    "returnflag_pivot",
+    "returnflag_unpivot",
+    "rolling_30d_top_spenders",
+    "segment_priority_listing",
+    "segment_year_grouping_sets",
+    "shipping_delay_histogram",
+    "signup_purchase_funnel",
+    "small_quantity_revenue",
+    "stratified_sample_rates",
+    "supplier_hierarchy_rollup",
+    "tfidf_top_terms",
+    "top2_orders_lateral",
+    "top_similar_pairs",
+    "user_scd2_summary",
+    "wealthy_inactive_customers",
+    # -- r04-era certifications (next-stalest, alphabetical head) --
+    "approx_daily_active_users",
+    "approx_order_price_quantiles",
+    "approx_top_words",
+    "batch_knn_search",
+    "benchmark_contamination",
+    "bpe_learned_merges",
+    "bpe_real_token_stats",
+    "bpe_token_stats",
+    "ccnet_perplexity_buckets",
+    "chunk_dup_stats",
+    "contrastive_training_pairs",
+    "dedup_funnel",
+    "dsir_importance_weights",
+    "dup_cluster_sizes",
+    "dup_cluster_sizes_star",
 )
 
 
@@ -157,6 +153,10 @@ EXCLUDE_FROM_BENCH = frozenset(
         # this twin certifies it value-exactly in CORRECTNESS + the
         # planted-duplicate pytest.
         "exact_substring_census",
+        # same bounded-round suffix-rank machinery (two extra
+        # aggregations on top of the census): identical exclusion
+        # rationale; certified value-exact at all three SFs instead
+        "longest_repeat_extract",
     }
 )
 
