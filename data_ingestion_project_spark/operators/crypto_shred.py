@@ -176,21 +176,37 @@ def forget_users(
     user_ids: DataFrame,
     *,
     forgotten_at: str = "2024-06-01 00:00:00",
+    checkpoint_hook=None,
 ) -> dict:
     """Right-to-be-forgotten for every ``user_id`` in ``user_ids``.
 
+    - tombstone (user_id, email_bidx, forgotten_at) FIRST, so
+      blind-index lookups can suppress the ghost — the bidx is
+      captured from the key row, which is why the tombstone must
+      commit while that row still exists: the reverse order has a
+      crash window (keys deleted, tombstone pending) a replay could
+      never repair, because the bidx would be gone with the key;
     - MERGE-delete the key rows (stats-pruned: untouched key-table
       directories are carried forward by manifest arithmetic alone);
     - vacuum superseded key-table versions IMMEDIATELY — prior
       snapshots hold the wrapped DEK, and crypto-shredding is only as
-      strong as the oldest retrievable version;
-    - tombstone (user_id, email_bidx, forgotten_at) so blind-index
-      lookups can suppress the ghost.  The bidx is captured FROM the
-      key row before deletion.
+      strong as the oldest retrievable version.
+
+    Replay-safe WITHOUT a fence, by construction: the tombstone
+    upsert is keep-first (a replayed batch changes nothing) and a
+    replayed delete finds no key rows and no-ops — so the streaming
+    leg (streaming/ingest.start_forget_stream) rides at-least-once
+    foreachBatch directly.  ``checkpoint_hook(step)`` is the
+    crash-planting test seam (None in production).
 
     Returns ``{"n_forgotten", "keys_version", "tombstones_version",
     "vacuumed"}``.  Data files holding the users' ciphertexts are
     never opened, let alone rewritten."""
+
+    def _hook(step: str) -> None:
+        if checkpoint_hook is not None:
+            checkpoint_hook(step)
+
     kpath, tpath = keys_path(base_dir), tombstones_path(base_dir)
     ids = user_ids.select(F.col("user_id").cast("long")).distinct()
     keys = txn_table.read(spark, kpath)
@@ -205,12 +221,18 @@ def forget_users(
     )
     n = doomed.count()
     if n == 0:
+        doomed.unpersist()
         return {
             "n_forgotten": 0,
             "keys_version": txn_table.current_version(kpath),
             "tombstones_version": txn_table.current_version(tpath),
             "vacuumed": [],
         }
+    if txn_table.current_version(tpath) is None:
+        tv = txn_table.create_table(spark, tpath, doomed)
+    else:
+        tv = txn_table.merge_upsert(spark, tpath, doomed, key="user_id")
+    _hook("tombstones")
     res = txn_table.merge(
         spark,
         kpath,
@@ -222,10 +244,6 @@ def forget_users(
     # destroy the superseded snapshots NOW: min_age 0 is deliberate —
     # the whole point is that no copy of the wrapped DEK survives
     vacuumed = txn_table.vacuum(kpath, keep_versions=1, min_age_seconds=0.0)
-    if txn_table.current_version(tpath) is None:
-        tv = txn_table.create_table(spark, tpath, doomed)
-    else:
-        tv = txn_table.merge_upsert(spark, tpath, doomed, key="user_id")
     doomed.unpersist()
     return {
         "n_forgotten": n,

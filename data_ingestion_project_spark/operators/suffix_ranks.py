@@ -84,8 +84,10 @@ def suffix_rank_tables(
 
     Returns ``(ranks, meta)`` where ``ranks[p]`` is (pos, rank) with
     equal ranks ⟺ equal p-token prefixes (order-preserving), for every
-    power of two p ≤ cap, and ``meta`` is (pos, lang, n_remaining)
-    with n_remaining = real tokens from this position to doc end.
+    power of two p ≤ cap, and ``meta`` is (pos, doc_id, doc_pos, lang,
+    n_remaining) with n_remaining = real tokens from this position to
+    doc end and doc_pos the 0-based token offset (extraction queries
+    map a winning position back to its document through these).
     Each level is localCheckpoint'ed: the ladder is reused by the LCP
     descent and an un-truncated lineage would re-execute it
     exponentially."""
@@ -101,11 +103,15 @@ def suffix_rank_tables(
         F.posexplode("ts").alias("__i", "token"),
     ).select(
         (F.col("doc_id") * stride + F.col("__i")).alias("pos"),
+        "doc_id",
+        F.col("__i").alias("doc_pos"),
         "lang",
         (F.col("__len") - F.col("__i")).alias("n_remaining"),
         "token",
     )
-    meta = positions.select("pos", "lang", "n_remaining").localCheckpoint(eager=True)
+    meta = positions.select(
+        "pos", "doc_id", "doc_pos", "lang", "n_remaining"
+    ).localCheckpoint(eager=True)
 
     cur = order_rank(positions.select("pos", "token"), ["token"], "rank").select(
         "pos", "rank"

@@ -3951,6 +3951,115 @@ ORDER BY lang
 """
 
 
+def longest_repeat_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXTRACT the longest repeated token run per language — the
+    boilerplate string itself, not just its length: the artifact a
+    dedup engineer actually pastes into a filter rule.  Fixed grams
+    cannot answer this at all; the suffix-rank ladder answers it with
+    two aggregations on top of the census machinery (per-lang max
+    best_lcp, then min-position witness among the achievers, then one
+    doc-keyed join to slice the tokens out).
+
+    Deterministic across engines: the witness is the SMALLEST global
+    position achieving the per-lang maximum (position arithmetic is
+    shared with the oracle), and the per-position best_lcp values are
+    engine-identical (certified by exact_substring_census).  Capped at
+    64 tokens like the census."""
+    from data_ingestion_project_spark.operators.suffix_ranks import (
+        best_lcp_per_position,
+        suffix_rank_tables,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    docs = d.select(
+        "doc_id", "lang", F.split(F.lower(F.trim("text")), r"\s+").alias("ts")
+    )
+    ranks, meta = suffix_rank_tables(spark, docs, cap=64)
+    best = best_lcp_per_position(spark, ranks, cap=64)
+    per_pos = meta.join(best, "pos", "left").withColumn(
+        "best_lcp", F.coalesce("best_lcp", F.lit(0))
+    )
+    mx = per_pos.groupBy("lang").agg(F.max("best_lcp").alias("repeat_len"))
+    winners = (
+        per_pos.join(F.broadcast(mx), "lang")
+        .filter(F.col("best_lcp") == F.col("repeat_len"))
+        .groupBy("lang", "repeat_len")
+        .agg(
+            F.min("pos").alias("__win_pos"),
+            F.count(F.lit(1)).alias("n_at_max"),
+        )
+    )
+    coords = meta.select("pos", F.col("doc_id").alias("__doc"), "doc_pos")
+    return (
+        winners.join(coords, winners["__win_pos"] == coords["pos"])
+        .join(docs.select(F.col("doc_id").alias("__doc"), "ts"), "__doc")
+        .select(
+            "lang",
+            F.col("repeat_len").cast("int").alias("repeat_len"),
+            "n_at_max",
+            F.array_join(
+                F.slice("ts", F.col("doc_pos") + 1, F.col("repeat_len")), " "
+            ).alias("repeat_text"),
+        )
+        .orderBy("lang")
+    )
+
+
+ORACLE_LONGEST_REPEAT_EXTRACT = """
+WITH toks AS (
+  SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\\s+') AS ts
+  FROM documents
+), stride AS (
+  SELECT MAX(len(ts)) + 64 + 2 AS s FROM toks
+), pos AS (
+  SELECT doc_id, lang, len(ts) AS n, ts, unnest(range(1, len(ts) + 1)) AS i
+  FROM toks
+), arrs AS (
+  SELECT doc_id, i, lang,
+         doc_id * (SELECT s FROM stride) + (i - 1) AS gpos,
+         ts[i : least(i + 63, n)] AS arr
+  FROM pos
+), adj AS (
+  SELECT doc_id, i, lang, gpos, arr,
+         lag(arr) OVER (ORDER BY arr, doc_id, i) AS prev
+  FROM arrs
+), lcp1 AS (
+  SELECT doc_id, i, lang, gpos, arr,
+         CASE WHEN prev IS NULL THEN 0 ELSE
+           COALESCE(
+             NULLIF(
+               list_position(
+                 list_transform(range(1, least(len(arr), len(prev)) + 1),
+                                i -> arr[i] = prev[i]),
+                 false),
+               0) - 1,
+             least(len(arr), len(prev)))
+         END AS lcp_prev
+  FROM adj
+), best AS (
+  SELECT lang, gpos, arr,
+         GREATEST(lcp_prev,
+                  COALESCE(LEAD(lcp_prev) OVER (ORDER BY arr, doc_id, i), 0))
+           AS best_lcp
+  FROM lcp1
+), mx AS (
+  SELECT lang, MAX(best_lcp) AS repeat_len FROM best GROUP BY lang
+), winners AS (
+  SELECT b.lang, m.repeat_len,
+         MIN(b.gpos) AS win_pos,
+         COUNT(*) AS n_at_max
+  FROM best b JOIN mx m ON b.lang = m.lang AND b.best_lcp = m.repeat_len
+  GROUP BY b.lang, m.repeat_len
+)
+SELECT w.lang,
+       CAST(w.repeat_len AS INT) AS repeat_len,
+       w.n_at_max,
+       array_to_string(b.arr[1 : w.repeat_len], ' ') AS repeat_text
+FROM winners w JOIN best b ON b.lang = w.lang AND b.gpos = w.win_pos
+ORDER BY w.lang
+"""
+
+
 def compression_ratio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compression-ratio quality census - the deflate-ratio heuristic
     production web pipelines run alongside the Gopher rules: highly
@@ -4029,6 +4138,7 @@ QUERIES = {
     "nb_margin_calibration": nb_margin_calibration,
     "substring_dup_stats": substring_dup_stats,
     "exact_substring_census": exact_substring_census,
+    "longest_repeat_extract": longest_repeat_extract,
     "bpe_learned_merges": bpe_learned_merges,
     "chunk_stats": chunk_stats,
     "leakage_safe_split": leakage_safe_split,
@@ -4124,6 +4234,7 @@ ORACLE = {
     "nb_margin_calibration": ORACLE_NB_MARGIN_CALIBRATION,
     "substring_dup_stats": ORACLE_SUBSTRING_DUP_STATS,
     "exact_substring_census": ORACLE_EXACT_SUBSTRING_CENSUS,
+    "longest_repeat_extract": ORACLE_LONGEST_REPEAT_EXTRACT,
     "similar_supplier_names": ORACLE_SIMILAR_SUPPLIER_NAMES,
     "minhash_recall": ORACLE_MINHASH_RECALL,
     "sequence_packing": ORACLE_SEQUENCE_PACKING,

@@ -544,6 +544,47 @@ def start_dedup_ingestion_stream(
     )
 
 
+def start_forget_stream(
+    spark: SparkSession,
+    requests: DataFrame,
+    base_dir: str,
+    checkpoint_dir: str,
+    checkpoint_hook=None,
+) -> StreamingQuery:
+    """Streaming right-to-be-forgotten: each micro-batch of forget
+    requests (``user_id`` rows) drives
+    operators/crypto_shred.forget_users — tombstone-first, then the
+    key-row MERGE-delete and immediate vacuum of superseded key-table
+    versions.  The PII lifecycle leg that pairs with the corpus-build
+    stream: ingestion grants keys, this stream destroys them, and no
+    data file is ever rewritten.
+
+    Exactly-once WITHOUT a manifest fence, because both legs are
+    naturally idempotent (keep-first tombstone upsert; a replayed
+    delete finds no key rows) and tombstone-first ordering leaves no
+    unrepairable crash window — the property the crash-replay pytest
+    drives.  ``checkpoint_hook`` is the crash-planting test seam."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        from data_ingestion_project_spark.operators.crypto_shred import forget_users
+
+        forget_users(
+            spark,
+            base_dir,
+            batch_df.select("user_id"),
+            checkpoint_hook=checkpoint_hook,
+        )
+
+    return (
+        requests.writeStream.foreachBatch(_sink)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
 def start_corpus_build_stream(
     spark: SparkSession,
     docs: DataFrame,

@@ -126,3 +126,75 @@ def test_provision_is_keep_first(spark, tmp_path):
            cs.decrypt_fields(spark, enc, base, kek, ["phone"]).collect()}
     assert dec == {1: "secret-payload-1", 2: "secret-payload-2", 3: "secret-payload-3"}
     enc.unpersist()
+
+
+def test_forget_stream_crash_replay(spark, tmp_path):
+    """Streaming right-to-be-forgotten with a PLANTED crash between
+    the tombstone commit and the key delete: the restarted stream must
+    finish the delete (replay-safe without a fence — keep-first
+    tombstones, empty-semi-join delete no-op), and a replayed batch
+    changes nothing. Decrypt-after-forget is NULL throughout."""
+    import json as _json
+
+    from data_ingestion_project_spark.streaming.ingest import start_forget_stream
+
+    base = str(tmp_path / "shred")
+    kek = cs.test_kek()
+    users = _users(spark, 10)
+    cs.provision_deks(spark, base, users, kek)
+    enc = cs.encrypt_fields(spark, users, base, kek, ["phone"]).cache()
+    enc.count()
+
+    src = tmp_path / "forget_in"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    def stream():
+        return (
+            spark.readStream.schema("user_id long")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+        )
+
+    class Planted(RuntimeError):
+        pass
+
+    crashes = {"armed": True}
+
+    def crash_hook(step):
+        if step == "tombstones" and crashes["armed"]:
+            crashes["armed"] = False
+            raise Planted("planted crash after tombstones, before key delete")
+
+    q = start_forget_stream(spark, stream(), base, ckpt, checkpoint_hook=crash_hook)
+    (src / "b0.json").write_text(
+        "\n".join(_json.dumps({"user_id": u}) for u in (3, 7))
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        q.processAllAvailable()
+        q.awaitTermination()
+    q.stop()
+
+    # crash window state: tombstones landed, keys NOT yet deleted
+    assert txn_table.table_row_count(cs.tombstones_path(base)) == 2
+    assert txn_table.table_row_count(cs.keys_path(base)) == 10
+
+    # restart without the hook: the batch replays and finishes the
+    # delete; a second batch forgets one more user
+    q2 = start_forget_stream(spark, stream(), base, ckpt)
+    (src / "b1.json").write_text(_json.dumps({"user_id": 9}))
+    q2.processAllAvailable()
+    q2.stop()
+
+    assert txn_table.table_row_count(cs.keys_path(base)) == 7
+    tomb = {r["user_id"] for r in txn_table.read(spark, cs.tombstones_path(base)).collect()}
+    assert tomb == {3, 7, 9}
+    assert len(txn_table._versions(cs.keys_path(base))) == 1  # vacuumed
+
+    dec = {r["user_id"]: r["phone"] for r in
+           cs.decrypt_fields(spark, enc, base, kek, ["phone"]).collect()}
+    assert dec[3] is None and dec[7] is None and dec[9] is None
+    assert dec[1] == "secret-payload-1" and dec[10] == "secret-payload-10"
+    enc.unpersist()

@@ -126,3 +126,31 @@ def test_exact_census_query_schema_and_sanity(spark):
     # the synthetic corpus HAS duplicated runs — a zero here means the
     # detector broke, not that the data got clean
     assert out["n_dup8"].sum() > 0
+
+
+def test_longest_repeat_extract_planted(spark, tmp_path):
+    """The extraction query returns the PLANTED boilerplate string
+    itself (the artifact a dedup filter rule needs), with its exact
+    length and achiever count."""
+    import pandas as pd
+
+    run = " ".join(f"tok{i}" for i in range(11))
+    texts = [
+        ("en", f"alpha beta {run} gamma delta epsilon zeta eta theta iota"),
+        ("en", f"one two three {run} four five six seven eight nine ten"),
+        ("fr", "mots distincts sans aucune repetition dans ce document unique entier"),
+    ]
+    pdf = pd.DataFrame(
+        [(i, t, lang, "src0", len(t)) for i, (lang, t) in enumerate(texts)],
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    pdf.to_parquet(tmp_path / "documents.parquet", index=False)
+
+    from data_ingestion_project_spark.queries.documents import longest_repeat_extract
+
+    out = {r["lang"]: r for r in longest_repeat_extract(spark, str(tmp_path)).collect()}
+    assert out["en"]["repeat_len"] == 11
+    assert out["en"]["repeat_text"] == run
+    assert out["en"]["n_at_max"] == 2  # both planted run-starts achieve it
+    assert out["fr"]["repeat_len"] == 0
+    assert out["fr"]["repeat_text"] == ""
