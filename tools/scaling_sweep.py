@@ -43,23 +43,11 @@ SFS = ("sf0.001", "sf0.01", "sf0.1")
 # families measured on the extra sf0.1 -> sf1 decade (VERDICT r6 ask
 # #1 list): the dedup/pair families, the substring census, CMS, NB
 # train+score, the sketch rollup, ER, and the served BM25 index
-SF1_FAMILIES = frozenset(
-    {
-        "minhash_near_dups",
-        "simhash_near_dups",
-        "winnow_overlap_top",
-        "substring_dup_stats",
-        "cms_word_freq",
-        "nb_lang_confusion",
-        "nb_margin_calibration",
-        "quantile_sketch_rollup",
-        "quantile_sketch_rollup_xx",
-        "entity_golden_records",
-        "bm25_topk_indexed",
-        "pricing_summary",
-        "hourly_event_stats",
-    }
-)
+# round 7 second pass: EVERY heavy family measures on the sf1 decade
+# (None = no subset filter); the first pass ran the verdict's named
+# 13 — broadening to all costs ~3 extra minutes and upgrades every
+# alpha from the scheduler-floor decade to a load-bearing one
+SF1_FAMILIES = None
 
 # query -> driving table (the input whose cardinality the family's
 # cost should track ~linearly under the committed plan shapes)
@@ -105,6 +93,10 @@ HEAVY = {
     "abc_customer_classes": "orders",
     "nb_margin_calibration": "documents",
     "ordered_funnel_7d": "events",
+    # round-7 additions: the suffix-rank certification census and the
+    # envelope-crypto lifecycle audit
+    "exact_substring_census": "documents",
+    "crypto_shred_audit": "customer",
 }
 
 
@@ -130,7 +122,7 @@ def main() -> None:
         (sf, os.path.join(base, sf), None) for sf in SFS
     ]
     if os.path.isdir(sf1_dir):
-        steps.append(("sf1", sf1_dir, SF1_FAMILIES))
+        steps.append(("sf1", sf1_dir, SF1_FAMILIES))  # None = all
     else:
         print(f"# sf1 corpus absent at {sf1_dir}; 3-step sweep", file=sys.stderr)
 
@@ -146,7 +138,8 @@ def main() -> None:
         warm_derived_assets(spark, sf_dir)
         rows[sf] = {
             t: table(spark, sf_dir, t).count()
-            for t in {"documents", "events", "lineitem", "supplier", "embeddings", "orders"}
+            for t in {"documents", "events", "lineitem", "supplier",
+                      "embeddings", "orders", "customer"}
         }
         for name in sorted(HEAVY):
             if subset is not None and name not in subset:
