@@ -36,6 +36,7 @@ _DRIVER_PRIORITY = (
     # -- never driver-certified (round-7 additions) --
     "crypto_shred_audit",
     "exact_substring_census",
+    "longest_repeat_extract",
     # -- r03-era certifications (stalest, alphabetical) --
     "acctbal_deciles",
     "acctbal_deciles_scalable",
@@ -85,7 +86,8 @@ _DRIVER_PRIORITY = (
     "dedup_funnel",
     "dsir_importance_weights",
     "dup_cluster_sizes",
-    "dup_cluster_sizes_star",
+    # dup_cluster_sizes_star rolls to the r08 window (the 50-slot
+    # budget; its oracle twin dup_cluster_sizes re-certifies now)
 )
 
 
