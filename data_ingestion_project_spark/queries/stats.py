@@ -1508,6 +1508,128 @@ FROM k GROUP BY v, n_a, n_b
 """
 
 
+# ------------------------------------------ Kaplan-Meier survival
+
+
+def kaplan_meier_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival curve of user LIFETIME (days between a
+    user's first and last observed event) with right-censoring — the
+    survival-analysis primitive behind "how long do users stay
+    active?", which naive retention cohorts answer wrongly because
+    they ignore users still alive at the observation boundary.
+
+    Censoring rule: the corpus ends at the global max event day; a
+    user whose last event is within 7 days of that boundary may still
+    be active, so their lifetime is CENSORED (they leave the risk set
+    without contributing a death).  Everyone else churned at their
+    observed lifetime.  S(t) = Π_{d ≤ t} (1 − deaths_d / at_risk_d),
+    the product running over the discrete lifetime-day domain.
+
+    Plan: ONE shuffle aggregates per-user (first, last) day; all
+    survival arithmetic then runs on the per-lifetime-day frame, whose
+    cardinality is the observation span in DAYS — calendar-bounded
+    (the monthly_revenue_running posture), not corpus-sized, so its
+    two prefix windows are sanctioned.  Exactness: deaths / at-risk /
+    censored counts are exact integers; each hazard factor's ln is
+    quantized to integer 1e-8 units immediately (one libm call per
+    DISTINCT LIFETIME DAY — the bigram_logprob idiom), the cumulative
+    hazard is an exact integer sum, and the final exp is a single
+    value-determined double rounded to 6.
+    """
+    e = table(spark, sf_dir, "events")
+    pu = e.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("f"), F.max(F.to_date("ts")).alias("l")
+    )
+    end = pu.agg(F.max("l").alias("e"))
+    lived = pu.crossJoin(F.broadcast(end)).select(
+        F.datediff("l", "f").alias("t_days"),
+        (F.datediff("e", "l") >= 7).cast("int").alias("churned"),
+    )
+    lt = lived.groupBy("t_days").agg(
+        F.sum("churned").alias("deaths"),
+        F.sum(F.lit(1) - F.col("churned")).alias("censored"),
+    )
+    tot = lived.agg(F.count(F.lit(1)).alias("n"))
+    w_prior = Window.orderBy("t_days").rowsBetween(Window.unboundedPreceding, -1)
+    risk = lt.crossJoin(F.broadcast(tot)).select(
+        "t_days",
+        "deaths",
+        "censored",
+        (
+            F.col("n")
+            - F.coalesce(
+                F.sum(F.col("deaths") + F.col("censored")).over(w_prior), F.lit(0)
+            )
+        ).alias("at_risk"),
+    )
+    fac = risk.select(
+        "t_days",
+        "deaths",
+        "censored",
+        "at_risk",
+        F.when(
+            F.col("deaths") < F.col("at_risk"),
+            F.round(
+                F.log(
+                    (F.col("at_risk") - F.col("deaths")).cast("double")
+                    / F.col("at_risk")
+                )
+                * 100_000_000,
+                0,
+            ).cast("long"),
+        )
+        # everyone at risk dies: S hits exactly 0; a -1e12 hazard makes
+        # exp underflow to +0.0 deterministically on both engines
+        .otherwise(F.lit(-1_000_000_000_000)).alias("li"),
+    )
+    w_cum = Window.orderBy("t_days").rowsBetween(Window.unboundedPreceding, 0)
+    return fac.select(
+        "t_days",
+        F.col("at_risk").cast("long").alias("at_risk"),
+        F.col("deaths").cast("long").alias("deaths"),
+        F.col("censored").cast("long").alias("censored"),
+        F.round(
+            F.exp(F.sum("li").over(w_cum).cast("double") / F.lit(1.0e8)), 6
+        ).alias("survival"),
+    ).orderBy("t_days")
+
+
+ORACLE_KAPLAN_MEIER_RETENTION = """
+WITH pu AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS f, MAX(CAST(ts AS DATE)) AS l
+  FROM events GROUP BY 1
+), endd AS (SELECT MAX(l) AS e FROM pu),
+lived AS (
+  SELECT date_diff('day', f, l) AS t_days,
+         CASE WHEN date_diff('day', l, e) >= 7 THEN 1 ELSE 0 END AS churned
+  FROM pu CROSS JOIN endd
+), lt AS (
+  SELECT t_days, CAST(SUM(churned) AS BIGINT) AS deaths,
+         CAST(SUM(1 - churned) AS BIGINT) AS censored
+  FROM lived GROUP BY 1
+), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lived),
+risk AS (
+  SELECT t_days, deaths, censored,
+         n - COALESCE(SUM(deaths + censored) OVER (
+               ORDER BY t_days ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS at_risk
+  FROM lt CROSS JOIN tot
+), fac AS (
+  SELECT t_days, deaths, censored, at_risk,
+         CASE WHEN deaths < at_risk
+              THEN CAST(ROUND(ln((at_risk - deaths) * 1.0 / at_risk)
+                              * 100000000, 0) AS BIGINT)
+              ELSE -1000000000000 END AS li
+  FROM risk
+)
+SELECT t_days, CAST(at_risk AS BIGINT) AS at_risk, deaths, censored,
+       ROUND(exp(CAST(SUM(li) OVER (
+               ORDER BY t_days ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS DOUBLE) / 100000000.0), 6) AS survival
+FROM fac ORDER BY t_days
+"""
+
+
 QUERIES = {
     "chisq_event_dow": chisq_event_dow,
     "anova_event_values": anova_event_values,
@@ -1522,6 +1644,7 @@ QUERIES = {
     "seasonal_anomaly_days": seasonal_anomaly_days,
     "benford_order_totals": benford_order_totals,
     "residual_autocorr": residual_autocorr,
+    "kaplan_meier_retention": kaplan_meier_retention,
 }
 
 ORACLE = {
@@ -1538,4 +1661,5 @@ ORACLE = {
     "seasonal_anomaly_days": ORACLE_SEASONAL_ANOMALY_DAYS,
     "benford_order_totals": ORACLE_BENFORD_ORDER_TOTALS,
     "residual_autocorr": ORACLE_RESIDUAL_AUTOCORR,
+    "kaplan_meier_retention": ORACLE_KAPLAN_MEIER_RETENTION,
 }

@@ -449,6 +449,11 @@ _GLOBAL_WINDOW_SANCTIONED = {
     # the per-customer window is bucket-partitioned (test_stats.py)
     "abc_customer_classes",
     "revenue_gini",
+    # KM survival: both prefix windows run over the per-LIFETIME-DAY
+    # aggregate, whose cardinality is the observation span in days
+    # (calendar-bounded, the monthly_revenue_running posture); the
+    # corpus-sized side is reduced by the per-user groupBy first
+    "kaplan_meier_retention",
 }
 
 

@@ -496,3 +496,36 @@ def test_gini_matches_reference_and_plan(spark):
     plan = executed_plan(revenue_gini(spark, SF)).split("== Initial Plan ==")[0]
     assert plan.count("Exchange SinglePartition") <= 2  # bucket prefix + 1-row agg
     assert "hashpartitioning(bkt" in plan
+
+
+def test_kaplan_meier_matches_lifelines_style_reference(spark):
+    """KM curve against a direct pandas implementation of the
+    product-limit estimator with the documented 7-day censoring rule;
+    also pins the survival curve's invariants (monotone nonincreasing,
+    starts ≤ 1, risk-set accounting sums to the user count)."""
+    from data_ingestion_project_spark.queries.stats import kaplan_meier_retention
+
+    out = kaplan_meier_retention(spark, SF).toPandas()
+    e = _events_pdf()
+    e["day"] = pd.to_datetime(e["ts"]).dt.floor("D")
+    pu = e.groupby("user_id")["day"].agg(["min", "max"])
+    end = pu["max"].max()
+    t = (pu["max"] - pu["min"]).dt.days
+    churned = (end - pu["max"]).dt.days >= 7
+    n = len(pu)
+    surv, rows = 1.0, {}
+    for d in sorted(t.unique()):
+        at_risk = int((t >= d).sum())
+        deaths = int((churned & (t == d)).sum())
+        censored = int((~churned & (t == d)).sum())
+        surv *= (at_risk - deaths) / at_risk if at_risk else 0.0
+        rows[d] = (at_risk, deaths, censored, surv)
+    assert len(out) == len(rows)
+    for r in out.itertuples():
+        ar, de, ce, s = rows[r.t_days]
+        assert (r.at_risk, r.deaths, r.censored) == (ar, de, ce)
+        assert abs(r.survival - s) < 1e-5
+    # invariants
+    sv = out.sort_values("t_days")["survival"].to_numpy()
+    assert (sv[:-1] >= sv[1:] - 1e-12).all() and sv[0] <= 1.0
+    assert int(out["deaths"].sum() + out["censored"].sum()) == n
