@@ -134,6 +134,40 @@ def nb_confusion(
     )
 
 
+def nb_ovr_scores(
+    counts: DataFrame,
+    positive_label: str,
+    id_col: str = "doc_id",
+    label_col: str = "lang",
+    word_col: str = "word",
+    count_col: str = "c",
+    train_pred: Column | None = None,
+) -> DataFrame:
+    """One-vs-rest decision statistic per test doc for ROC analysis:
+    ``stat = score(positive_label) − max over other labels' score`` —
+    the margin by which the classifier prefers (or rejects) the
+    positive class, in EXACT integer 1e-4-nat units (differences of
+    the quantized-logit sums; no softmax).  Returns
+    (id, is_pos, stat) where ``is_pos`` flags the TRUE label.
+
+    Same train/score plumbing as :func:`nb_confusion`; the extra work
+    is one per-doc max over the label-cardinality score frame."""
+    scored = _scored(counts, id_col, label_col, word_col, count_col, train_pred)
+    pos = scored.filter(F.col("m_label") == positive_label).select(
+        id_col,
+        (F.col(label_col) == positive_label).cast("int").alias("is_pos"),
+        F.col("score").alias("s_pos"),
+    )
+    oth = (
+        scored.filter(F.col("m_label") != positive_label)
+        .groupBy(id_col)
+        .agg(F.max("score").alias("s_oth"))
+    )
+    return pos.join(oth, id_col).select(
+        id_col, "is_pos", (F.col("s_pos") - F.col("s_oth")).alias("stat")
+    )
+
+
 def nb_margins(
     counts: DataFrame,
     id_col: str = "doc_id",

@@ -3750,6 +3750,130 @@ FROM marg GROUP BY 1 ORDER BY 1
 """.format(b=_NB_CAL_BUCKET)
 
 
+def nb_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT one-vs-rest ROC AUC of the trained NB language classifier
+    for detecting 'en' — the threshold-free ranking quality behind
+    every "keep if classifier score ≥ t" filtering rule (calibration
+    tells you accuracy AT a margin; AUC tells you whether the score
+    ORDERING separates classes at all).  AUC is computed by the exact
+    Mann–Whitney pair count with midrank tie handling:
+    AUC = (concordant + ties/2) / (P·N).
+
+    Plan: the decision statistics are exact BIGINTs (differences of
+    quantized-logit sums, operators/nb.nb_ovr_scores), so pair
+    counting groups by DISTINCT statistic value and needs one
+    cumulative negative count per value — computed with the repo's
+    two-level bucket-prefix decomposition (ks_length_drift posture):
+    within-1-nat-bucket windows are partitioned and parallel; the only
+    unpartitioned prefix runs over the bucket-partials frame
+    (score-range/1 nat — value-domain-sized, not corpus-sized).  Pair
+    products accumulate in DECIMAL(28,0): P·N overflows int64 at
+    ~3e9 docs/side, exactly where a 100 TB corpus lives."""
+    from pyspark.sql.window import Window
+
+    from data_ingestion_project_spark.operators.nb import nb_ovr_scores
+    from data_ingestion_project_spark.queries._precision import DEC_BUF
+
+    d = table(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("word"),
+    )
+    counts = (
+        words.groupBy("doc_id", "lang", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    st = nb_ovr_scores(counts, "en", label_col="lang")
+    per = (
+        st.groupBy("stat")
+        .agg(
+            F.sum("is_pos").alias("n_pos_s"),
+            F.sum(F.lit(1) - F.col("is_pos")).alias("n_neg_s"),
+        )
+        .withColumn("bkt", F.floor(F.col("stat") / F.lit(10_000)))
+        .localCheckpoint(eager=True)
+    )
+    bp = per.groupBy("bkt").agg(F.sum("n_neg_s").alias("b_neg"))
+    wb = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    prefix = bp.select(
+        "bkt", F.coalesce(F.sum("b_neg").over(wb), F.lit(0)).alias("p_neg")
+    )
+    wv = Window.partitionBy("bkt").orderBy("stat").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = per.join(F.broadcast(prefix), "bkt").select(
+        "n_pos_s",
+        "n_neg_s",
+        (
+            F.col("p_neg") + F.coalesce(F.sum("n_neg_s").over(wv), F.lit(0))
+        ).alias("neg_below"),
+    )
+    agg = cum.agg(
+        F.sum("n_pos_s").cast("long").alias("n_pos"),
+        F.sum("n_neg_s").cast("long").alias("n_neg"),
+        F.sum(F.col("n_pos_s").cast(DEC_BUF) * F.col("neg_below")).alias("conc"),
+        F.sum(F.col("n_pos_s").cast(DEC_BUF) * F.col("n_neg_s")).alias("tied"),
+    )
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        F.col("conc").cast("long").alias("n_concordant"),
+        F.col("tied").cast("long").alias("n_tied"),
+        F.round(
+            (
+                F.lit(2.0) * F.col("conc").cast("double")
+                + F.col("tied").cast("double")
+            )
+            / (
+                F.lit(2.0)
+                * F.col("n_pos").cast("double")
+                * F.col("n_neg").cast("double")
+            ),
+            6,
+        ).alias("auc"),
+    )
+
+
+ORACLE_NB_AUC_ROC = _NB_MODEL_CTES + """
+sc AS (
+  SELECT s.doc_id, s.true_lang, s.m_lang, s.ll + p.p AS score
+  FROM scored s JOIN prior p ON p.m_lang = s.m_lang
+), pos AS (
+  SELECT doc_id, CASE WHEN true_lang = 'en' THEN 1 ELSE 0 END AS is_pos,
+         score AS s_pos
+  FROM sc WHERE m_lang = 'en'
+), oth AS (
+  SELECT doc_id, MAX(score) AS s_oth FROM sc WHERE m_lang <> 'en' GROUP BY 1
+), st AS (
+  SELECT p.is_pos, CAST(p.s_pos - o.s_oth AS BIGINT) AS stat
+  FROM pos p JOIN oth o USING (doc_id)
+), per AS (
+  SELECT stat, SUM(is_pos) AS n_pos_s, SUM(1 - is_pos) AS n_neg_s
+  FROM st GROUP BY 1
+), cum AS (
+  SELECT n_pos_s, n_neg_s,
+         COALESCE(SUM(n_neg_s) OVER (
+           ORDER BY stat ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS neg_below
+  FROM per
+), agg AS (
+  SELECT CAST(SUM(n_pos_s) AS BIGINT) AS n_pos,
+         CAST(SUM(n_neg_s) AS BIGINT) AS n_neg,
+         SUM(CAST(n_pos_s AS HUGEINT) * neg_below) AS conc,
+         SUM(CAST(n_pos_s AS HUGEINT) * n_neg_s) AS tied
+  FROM cum
+)
+SELECT n_pos, n_neg,
+       CAST(conc AS BIGINT) AS n_concordant,
+       CAST(tied AS BIGINT) AS n_tied,
+       ROUND((2.0 * CAST(conc AS DOUBLE) + CAST(tied AS DOUBLE))
+             / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)), 6) AS auc
+FROM agg
+"""
+
+
 # --------------------- exact substring duplication (Lee et al. 2021)
 
 
@@ -4136,6 +4260,7 @@ QUERIES = {
     "entity_golden_records": entity_golden_records,
     "nb_lang_confusion": nb_lang_confusion,
     "nb_margin_calibration": nb_margin_calibration,
+    "nb_auc_roc": nb_auc_roc,
     "substring_dup_stats": substring_dup_stats,
     "exact_substring_census": exact_substring_census,
     "longest_repeat_extract": longest_repeat_extract,
@@ -4232,6 +4357,7 @@ ORACLE = {
     "entity_golden_records": ORACLE_ENTITY_GOLDEN_RECORDS,
     "nb_lang_confusion": ORACLE_NB_LANG_CONFUSION,
     "nb_margin_calibration": ORACLE_NB_MARGIN_CALIBRATION,
+    "nb_auc_roc": ORACLE_NB_AUC_ROC,
     "substring_dup_stats": ORACLE_SUBSTRING_DUP_STATS,
     "exact_substring_census": ORACLE_EXACT_SUBSTRING_CENSUS,
     "longest_repeat_extract": ORACLE_LONGEST_REPEAT_EXTRACT,

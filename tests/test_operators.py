@@ -1752,3 +1752,56 @@ def test_nb_margins_planted_separable_corpus(spark):
     assert len(m) == 20  # odd ids are the test half
     assert (m["correct"] == 1).all()
     assert (m["margin_i"] > 10000).all()  # > 1 nat of confidence
+
+
+def test_nb_ovr_scores_and_auc_brute_force(spark):
+    """(1) On a planted separable corpus the one-vs-rest statistic
+    ranks every positive above every negative (AUC = 1 by brute-force
+    pair count).  (2) On the real sf0.001 corpus the nb_auc_roc
+    query's grouped two-level pair counting equals the O(P·N)
+    brute-force midrank AUC over the collected statistics exactly."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from data_ingestion_project_spark.operators.nb import nb_ovr_scores
+    from data_ingestion_project_spark.queries.documents import nb_auc_roc
+
+    rows = []
+    for i in range(40):
+        lab = "en" if (i // 2) % 2 == 0 else "xx"
+        word = "alpha" if lab == "en" else "beta"
+        for _ in range(5):
+            rows.append((i, lab, word))
+    df = spark.createDataFrame(rows, "doc_id long, lang string, word string")
+    counts = df.groupBy("doc_id", "lang", "word").agg(F.count(F.lit(1)).alias("c"))
+    st = nb_ovr_scores(counts, "en").toPandas()
+    pos = st.loc[st.is_pos == 1, "stat"].to_numpy()
+    neg = st.loc[st.is_pos == 0, "stat"].to_numpy()
+    assert pos.min() > neg.max()  # separable -> AUC 1
+
+    out = nb_auc_roc(spark, "/root/testdata/sf0.001").toPandas().iloc[0]
+    d = nb_ovr_scores(
+        _real_counts(spark), "en"
+    ).toPandas()
+    p = d.loc[d.is_pos == 1, "stat"].to_numpy()[:, None]
+    n = d.loc[d.is_pos == 0, "stat"].to_numpy()[None, :]
+    conc = int((p > n).sum())
+    tied = int((p == n).sum())
+    assert (out.n_pos, out.n_neg) == (p.size, n.size)
+    assert (out.n_concordant, out.n_tied) == (conc, tied)
+    auc = (conc + tied / 2) / (p.size * n.size)
+    assert abs(out.auc - auc) < 1e-6
+
+
+def _real_counts(spark):
+    from pyspark.sql import functions as F
+
+    from data_ingestion_project_spark.sources.readers import table
+
+    d = table(spark, "/root/testdata/sf0.001", "documents")
+    words = d.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("word"),
+    )
+    return words.groupBy("doc_id", "lang", "word").agg(F.count(F.lit(1)).alias("c"))

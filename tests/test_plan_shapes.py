@@ -454,6 +454,11 @@ _GLOBAL_WINDOW_SANCTIONED = {
     # (calendar-bounded, the monthly_revenue_running posture); the
     # corpus-sized side is reduced by the per-user groupBy first
     "kaplan_meier_retention",
+    # AUC two-level cumsum: the flagged window is the exclusive prefix
+    # over the score-BUCKET partials frame (score-range in nats —
+    # value-domain-sized); the per-statistic window is bucket-
+    # partitioned (ks_length_drift posture)
+    "nb_auc_roc",
 }
 
 
