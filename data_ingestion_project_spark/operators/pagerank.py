@@ -193,3 +193,93 @@ def pagerank_unrolled_sql(
 )"""
         )
     return ",\n".join(parts) + f"\nSELECT src AS node, rank FROM r{iterations}"
+
+
+def stationary_distribution(
+    trans: DataFrame,
+    iterations: int = 20,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "n",
+) -> DataFrame:
+    """Stationary distribution of a finite Markov chain estimated from
+    transition COUNTS: power iteration pi_{t+1} = pi_t P over the
+    row-stochastic matrix P(src, dst) = n / sum_dst(n). The weighted
+    generalization of :func:`pagerank` (whose P is uniform 1/degree and
+    damped); same determinism contract, so a SQL engine unrolling the
+    same t steps reproduces the ranks bit-for-bit:
+
+    - cell        = ROUND(n / row_total, 14)          (value-determined)
+    - term        = ROUND(pi * cell, 14)              (value-determined)
+    - next pi     = ROUND(SUM(DECIMAL terms), 10)     (exact, any order)
+
+    Returns (state, pi) for every state reachable at the final round.
+    Assumes every state with inbound mass also has outbound transitions
+    (mass on a sink state silently leaves the chain next round — the
+    same posture as pagerank's ``dangling="ignore"``); estimate chains
+    from bigram counts, where every non-terminal observation has both.
+
+    Scale: the transition matrix is STATE-VOCABULARY-sized (K^2 cells),
+    never corpus-sized — estimating it is one count aggregation over
+    the data; the iterations then run on the tiny matrix alone, each
+    round one equi-join plus one K-row aggregation. The matrix is
+    localCheckpoint'ed once so rounds don't re-derive it.
+    """
+    tot = trans.groupBy(src).agg(F.sum(weight).alias("tot"))
+    p = (
+        trans.join(tot, src)
+        .select(
+            F.col(src).alias("src"),
+            F.col(dst).alias("dst"),
+            F.round(F.col(weight) / F.col("tot"), CONTRIB_SCALE).alias("p"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    k = p.select("src").distinct().count()
+    pi = p.select("src").distinct().select(
+        F.col("src").alias("state"), F.lit(1.0 / k).alias("pi")
+    )
+    for i in range(iterations):
+        pi = (
+            p.join(pi, p["src"] == pi["state"])
+            .select(
+                F.col("dst").alias("state"),
+                F.round(F.col("pi") * F.col("p"), CONTRIB_SCALE).alias("term"),
+            )
+            .groupBy("state")
+            .agg(F.round(F.sum(F.col("term").cast(_DEC)).cast("double"), RANK_SCALE).alias("pi"))
+        )
+        if i < iterations - 1:
+            pi = pi.localCheckpoint(eager=False)
+    return pi
+
+
+def stationary_unrolled_sql(trans_cte: str, iterations: int = 20) -> str:
+    """ANSI-SQL twin of :func:`stationary_distribution` for the oracle
+    gate: chained CTEs over ``trans_cte`` providing (src, dst, n).
+    Bit-identical by the module determinism contract (the 1/K initial
+    mass is ``CAST(1.0 AS DOUBLE)/k`` — the identical IEEE division the
+    Spark side performs driver-side)."""
+    parts = [
+        f"mtot AS (SELECT src, SUM(n) AS tot FROM {trans_cte} GROUP BY src)",
+        f"""mp AS (
+  SELECT t.src, t.dst,
+         ROUND(CAST(t.n AS DOUBLE) / CAST(mtot.tot AS DOUBLE), {CONTRIB_SCALE}) AS p
+  FROM {trans_cte} t JOIN mtot ON mtot.src = t.src
+)""",
+        "mk AS (SELECT COUNT(DISTINCT src) AS k FROM mp)",
+        "pi0 AS (SELECT DISTINCT src AS state, CAST(1.0 AS DOUBLE) / mk.k AS pi FROM mp, mk)",
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"""pi{i} AS (
+  SELECT mp.dst AS state,
+         ROUND(CAST(SUM(CAST(ROUND(pr.pi * mp.p, {CONTRIB_SCALE})
+                             AS DECIMAL(38,{CONTRIB_SCALE}))) AS DOUBLE),
+               {RANK_SCALE}) AS pi
+  FROM mp
+  JOIN pi{i - 1} pr ON pr.state = mp.src
+  GROUP BY mp.dst
+)"""
+        )
+    return ",\n".join(parts) + f"\nSELECT state, pi FROM pi{iterations}"

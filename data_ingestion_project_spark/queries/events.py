@@ -343,6 +343,88 @@ ORDER BY from_type, to_type
 """
 
 
+_MARKOV_ITERS = 20
+
+
+def markov_stationary_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-run behavioral mix of the user event chain: the STATIONARY
+    DISTRIBUTION pi of the Markov chain whose transition matrix is
+    estimated from per-user event-type bigrams (the event_transitions
+    counts), next to the raw empirical frequency share — pi answers
+    "where do user journeys settle if they keep behaving like this",
+    and pi - share exposes event types that are structurally over- or
+    under-visited relative to their raw volume (e.g. a state users
+    churn INTO). Operator: ``operators/pagerank.stationary_distribution``
+    — the weighted power-iteration twin of the dup-graph PageRank.
+
+    Plan: ONE lag-window shuffle + count aggregation estimates the
+    K x K matrix (K = event-type vocabulary, 5 here); the 20 power
+    iterations then run on that tiny frame alone — at 100 TB the
+    corpus is read once and the iteration cost is corpus-size-
+    independent. The DuckDB oracle replays the identical unrolled
+    iterations (stationary_unrolled_sql), certifying the iterative
+    linear algebra end-to-end under the module determinism contract."""
+    from data_ingestion_project_spark.operators.pagerank import stationary_distribution
+
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    trans = (
+        e.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy(F.col("prev_type").alias("src"), F.col("event_type").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    pi = stationary_distribution(trans, iterations=_MARKOV_ITERS)
+    share = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = share.agg(F.sum("cnt").alias("tot"))
+    return (
+        pi.join(
+            F.broadcast(share.crossJoin(tot)),
+            pi["state"] == share["event_type"],
+        )
+        .select(
+            "event_type",
+            F.col("pi").alias("pi_stationary"),
+            F.round(F.col("cnt") / F.col("tot"), 10).alias("share_empirical"),
+            F.round(F.col("pi") - F.round(F.col("cnt") / F.col("tot"), 10), 10).alias("delta"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _oracle_markov_stationary_events() -> str:
+    from data_ingestion_project_spark.operators.pagerank import stationary_unrolled_sql
+
+    body = stationary_unrolled_sql("mtrans", iterations=_MARKOV_ITERS)
+    return (
+        """WITH mtrans AS (
+  SELECT prev_type AS src, event_type AS dst, COUNT(*) AS n
+  FROM (
+    SELECT event_type,
+           LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_type
+    FROM events
+  ) t
+  WHERE prev_type IS NOT NULL
+  GROUP BY 1, 2
+),
+"""
+        + body.replace(
+            f"\nSELECT state, pi FROM pi{_MARKOV_ITERS}",
+            f""",
+mshare AS (SELECT event_type, COUNT(*) AS cnt FROM events GROUP BY 1),
+mtotal AS (SELECT SUM(cnt) AS tot FROM mshare)
+SELECT s.event_type,
+       p.pi AS pi_stationary,
+       ROUND(CAST(s.cnt AS DOUBLE) / CAST(t.tot AS DOUBLE), 10) AS share_empirical,
+       ROUND(p.pi - ROUND(CAST(s.cnt AS DOUBLE) / CAST(t.tot AS DOUBLE), 10), 10) AS delta
+FROM pi{_MARKOV_ITERS} p
+JOIN mshare s ON s.event_type = p.state
+CROSS JOIN mtotal t
+ORDER BY s.event_type""",
+        )
+    )
+
+
 def _events_by_day_path(spark: SparkSession, sf_dir: str) -> str:
     """Materialize (once) the day-partitioned events layout for this
     scale factor and return its path (operators/materialize: atomic
@@ -905,6 +987,7 @@ QUERIES = {
     "event_dispersion_index": event_dispersion_index,
     "events_one_day_by_type": events_one_day_by_type,
     "event_transitions": event_transitions,
+    "markov_stationary_events": markov_stationary_events,
     "daily_active_users": daily_active_users,
     "top_purchasers": top_purchasers,
     "props_key_stats": props_key_stats,
@@ -936,6 +1019,7 @@ ORACLE = {
     "events_one_day_by_type": ORACLE_EVENTS_ONE_DAY_BY_TYPE,
     "purchase_last_click": ORACLE_PURCHASE_LAST_CLICK,
     "event_transitions": ORACLE_EVENT_TRANSITIONS,
+    "markov_stationary_events": _oracle_markov_stationary_events(),
     "user_scd2_summary": ORACLE_USER_SCD2_SUMMARY,
     "dp_event_counts": ORACLE_DP_EVENT_COUNTS,
 }
