@@ -284,3 +284,76 @@ def k_core_unrolled_sql(edges_cte: str, k: int, rounds: int = 8) -> str:
         f"FROM e{rounds} GROUP BY src)"
     )
     return ",\n".join(parts)
+
+
+def bfs_distances(
+    edges: DataFrame,
+    seed: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_depth: int = 8,
+) -> DataFrame:
+    """Unweighted single/multi-source shortest-path distances (BFS) over
+    a directed edge table (symmetrize upstream for undirected), the
+    graph-family member beyond closure (connected_components), peeling
+    (k_core) and centrality (pagerank): (node, dist) for every node
+    within ``max_depth`` hops of ``seed`` — a one-column DataFrame of
+    source node ids (dist 0), kept relational so the seed can itself be
+    the result of a plan (e.g. "the min node id", "all nodes of
+    cluster X") with no driver round-trip.
+
+    FRONTIER formulation, not full relaxation: round r joins only the
+    nodes FIRST reached at round r-1 against the edge list, then
+    anti-joins the settled set — so a node's edges are expanded exactly
+    once and total work is O(E + V) across all rounds, the Pregel/
+    delta-iteration shape, vs O(rounds * E) for naive Bellman-Ford
+    re-relaxation. Each round: one semi-join + one distinct + one
+    anti-join, all shuffles keyed by node id; per-round
+    localCheckpoint (house posture: bounded lineage). Rounds stop
+    early at the reachability fixpoint (an empty frontier makes all
+    remaining rounds no-ops — same fixed-upper-bound spec posture as
+    k_core, so the SQL twin unrolling exactly ``max_depth`` levels
+    replays value-exactly whenever the reachable eccentricity is
+    within ``max_depth``, pinned for the corpus graphs in pytest)."""
+    e = edges.select(src, dst).localCheckpoint(eager=True)
+    cols = seed.columns
+    settled = seed.select(F.col(cols[0]).alias("node"), F.lit(0).alias("dist")).localCheckpoint(
+        eager=True
+    )
+    frontier = settled
+    for depth in range(1, max_depth + 1):
+        nxt = (
+            e.join(frontier.select(F.col("node").alias(src)), src, "left_semi")
+            .select(F.col(dst).alias("node"))
+            .distinct()
+        )
+        new = (
+            nxt.join(settled, "node", "left_anti")
+            .select("node", F.lit(depth).alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        if new.isEmpty():
+            break
+        settled = settled.unionByName(new).localCheckpoint(eager=True)
+        frontier = new
+    return settled
+
+
+def bfs_unrolled_sql(edges_cte: str, seed_sql: str, max_depth: int = 8) -> str:
+    """ANSI-SQL twin of :func:`bfs_distances` for the oracle gate: a
+    recursive frontier walk over ``edges_cte`` (providing (src, dst)),
+    seeded by ``seed_sql`` (a query yielding one column of node ids).
+    The UNION-distinct working table carries (node, depth) pairs with
+    depth bounded by ``max_depth``; MIN over depths per node is the
+    BFS distance. Ends with CTE ``bfsreach`` (node, dist); the caller
+    SELECTs from it. Requires the statement to open WITH RECURSIVE."""
+    return (
+        f"bfswalk(n, d) AS (\n"
+        f"  SELECT n, 0 AS d FROM ({seed_sql}) s(n)\n"
+        f"  UNION\n"
+        f"  SELECT e.dst, w.d + 1 FROM bfswalk w\n"
+        f"  JOIN {edges_cte} e ON e.src = w.n\n"
+        f"  WHERE w.d < {max_depth}\n"
+        f"),\n"
+        f"bfsreach AS (SELECT n AS node, MIN(d) AS dist FROM bfswalk GROUP BY n)"
+    )

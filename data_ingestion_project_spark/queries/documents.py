@@ -657,6 +657,121 @@ SELECT n_edges, n_nodes, n_triangles, n_wedges,
 FROM ne CROSS JOIN wed CROSS JOIN tri
 """
 
+def dup_cluster_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster COHESION census of the near-dup graph plus its
+    global modularity: for each connected component, internal edge
+    count and edge density 2e/(n(n−1)) — the per-cluster signal that
+    tells a dedup pass whether a cluster is a clique of true
+    duplicates (density ≈ 1, safe to collapse to one canonical doc)
+    or a low-density chain of pairwise partial overlaps (collapsing
+    would delete non-duplicates).  dup_graph_triangles answers this
+    globally; this is the per-cluster decision table.
+
+    Modularity of the component partition needs only per-component
+    edge counts: every edge is internal to its component, so the
+    degree sum d_c = 2·e_c and Q = Σ_c (e_c/m − (e_c/m)²).
+
+    Plan: edges come from the maintained winnow-pair asset; CC labels
+    from operators/graph.py (min-label propagation); one broadcast
+    label join tags each edge with its component (id_a's label — both
+    endpoints share it by construction), then two tiny aggregates.
+    Top-15 by size with full tie-break; all-integer counts, two
+    value-determined rounded doubles.  The DuckDB oracle replays the
+    closure with the same recursive CTE as dup_cluster_sizes."""
+    from data_ingestion_project_spark.operators.graph import connected_components
+
+    edges = _winnow_pair_counts(spark, sf_dir).filter(F.col("n_shared") >= 20).select(
+        "id_a", "id_b"
+    )
+    comp = connected_components(edges, src="id_a", dst="id_b")
+    sizes = comp.groupBy("comp").agg(F.count(F.lit(1)).alias("n_nodes"))
+    ec = (
+        edges.join(
+            F.broadcast(comp.withColumnRenamed("node", "id_a")), "id_a"
+        )
+        .groupBy("comp")
+        .agg(F.count(F.lit(1)).alias("n_edges"))
+    )
+    m = edges.agg(F.count(F.lit(1)).alias("m"))
+    per = sizes.join(F.broadcast(ec), "comp")
+    q = per.crossJoin(F.broadcast(m)).agg(
+        F.round(
+            F.sum(
+                F.col("n_edges").cast("double") / F.col("m")
+                - (F.col("n_edges").cast("double") / F.col("m"))
+                * (F.col("n_edges").cast("double") / F.col("m"))
+            ),
+            6,
+        ).alias("q_modularity")
+    )
+    return (
+        per.orderBy(F.col("n_nodes").desc(), F.col("comp").asc())
+        .limit(15)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "comp",
+            "n_nodes",
+            "n_edges",
+            F.round(
+                F.lit(2.0)
+                * F.col("n_edges").cast("double")
+                / (
+                    F.col("n_nodes").cast("double")
+                    * (F.col("n_nodes").cast("double") - F.lit(1.0))
+                ),
+                6,
+            ).alias("density"),
+            "q_modularity",
+        )
+        .orderBy(F.col("n_nodes").desc(), F.col("comp").asc())
+    )
+
+
+ORACLE_DUP_CLUSTER_DENSITY = f"""
+WITH RECURSIVE {_WINNOW_PAIR_CTES},
+edges AS (
+  SELECT id_a, id_b FROM wpairs WHERE n_shared >= 20
+),
+sym AS (
+  SELECT id_a AS s, id_b AS d FROM edges
+  UNION ALL
+  SELECT id_b AS s, id_a AS d FROM edges
+),
+walk(n, lbl) AS (
+  SELECT DISTINCT s, s FROM sym
+  UNION
+  SELECT e.d, w.lbl FROM walk w JOIN sym e ON e.s = w.n
+),
+comp AS (SELECT n, MIN(lbl) AS c FROM walk GROUP BY n),
+sizes AS (SELECT c AS comp, COUNT(*) AS n_nodes FROM comp GROUP BY c),
+ec AS (
+  SELECT cm.c AS comp, COUNT(*) AS n_edges
+  FROM edges e JOIN comp cm ON cm.n = e.id_a
+  GROUP BY 1
+),
+m AS (SELECT COUNT(*) AS m FROM edges),
+per AS (
+  SELECT s.comp, s.n_nodes, ec.n_edges
+  FROM sizes s JOIN ec ON ec.comp = s.comp
+),
+q AS (
+  SELECT ROUND(SUM(CAST(n_edges AS DOUBLE) / m
+                   - (CAST(n_edges AS DOUBLE) / m)
+                   * (CAST(n_edges AS DOUBLE) / m)), 6) AS q_modularity
+  FROM per CROSS JOIN m
+)
+SELECT comp, CAST(n_nodes AS BIGINT) AS n_nodes,
+       CAST(n_edges AS BIGINT) AS n_edges,
+       ROUND(2.0 * CAST(n_edges AS DOUBLE)
+             / (CAST(n_nodes AS DOUBLE) * (CAST(n_nodes AS DOUBLE) - 1.0)),
+             6) AS density,
+       q_modularity
+FROM per CROSS JOIN q
+ORDER BY n_nodes DESC, comp ASC
+LIMIT 15
+"""
+
+
 ORACLE_DUP_CLUSTER_SIZES = f"""
 WITH RECURSIVE {_WINNOW_PAIR_CTES},
 edges AS (
@@ -3316,6 +3431,79 @@ def _oracle_dup_graph_kcore() -> str:
 ORACLE_DUP_GRAPH_KCORE = _oracle_dup_graph_kcore()
 
 
+_BFS_MAX_DEPTH = 8
+
+
+def dup_graph_bfs_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS distance census of the near-dup graph from its minimum doc
+    id: how many documents sit 1, 2, … hops from the seed, plus a
+    dist = -1 bucket for nodes in other components — the hop-radius
+    profile that tells a dedup pass whether transitive closure chains
+    are shallow stars (depth ≤ 2: collapsing clusters is safe) or long
+    weak chains (depth ≥ 4: closure is gluing unrelated docs through
+    middlemen, the classic over-merge failure). Complements the
+    component CENSUS (dup_cluster_sizes: how big) with SHAPE (how
+    deep). Operator: ``operators/graph.bfs_distances`` — frontier
+    expansion, each node's edges expanded exactly once (O(E+V) total,
+    the Pregel shape), not per-round re-relaxation.
+
+    Plan: edges from the maintained winnow pair asset (checkpointed
+    once — seed, node set and rounds all reuse it); each round one
+    semi-join + distinct + anti-join keyed by node id. The DuckDB
+    oracle replays the same bounded walk recursively
+    (graph.bfs_unrolled_sql) — integer depths, value-exact.
+    Eccentricity-within-rounds for this corpus is pinned in pytest
+    (8 rounds == 12 rounds)."""
+    from data_ingestion_project_spark.operators.graph import bfs_distances
+    from data_ingestion_project_spark.operators.pagerank import symmetrize
+
+    pairs = _winnow_pair_counts(spark, sf_dir).filter(
+        F.col("n_shared") >= _PAGERANK_EDGE_MIN_SHARED
+    )
+    sym = symmetrize(pairs).localCheckpoint(eager=True)
+    seed = sym.agg(F.min("src").alias("node"))
+    dist = bfs_distances(sym, seed, max_depth=_BFS_MAX_DEPTH)
+    hist = dist.groupBy("dist").agg(F.count(F.lit(1)).alias("n_nodes"))
+    unreached = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .join(dist.select("node"), "node", "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .select(F.lit(-1).alias("dist"), "n_nodes")
+    )
+    return hist.unionByName(unreached).orderBy("dist")
+
+
+def _oracle_dup_graph_bfs_depths() -> str:
+    from data_ingestion_project_spark.operators.graph import bfs_unrolled_sql
+
+    body = bfs_unrolled_sql(
+        "edges", "SELECT MIN(src) FROM edges", max_depth=_BFS_MAX_DEPTH
+    )
+    return (
+        f"WITH RECURSIVE {_WINNOW_PAIR_CTES},\n"
+        f"fedges AS (SELECT id_a, id_b FROM wpairs WHERE n_shared >= {_PAGERANK_EDGE_MIN_SHARED}),\n"
+        "edges AS (\n"
+        "  SELECT id_a AS src, id_b AS dst FROM fedges\n"
+        "  UNION ALL\n"
+        "  SELECT id_b AS src, id_a AS dst FROM fedges\n"
+        "),\n"
+        + body
+        + """
+SELECT dist, n_nodes FROM (
+  SELECT dist, COUNT(*) AS n_nodes FROM bfsreach GROUP BY dist
+  UNION ALL
+  SELECT -1 AS dist, COUNT(*) AS n_nodes
+  FROM (SELECT DISTINCT src AS n FROM edges) nodes
+  WHERE n NOT IN (SELECT node FROM bfsreach)
+) u
+ORDER BY dist"""
+    )
+
+
+ORACLE_DUP_GRAPH_BFS_DEPTHS = _oracle_dup_graph_bfs_depths()
+
+
 _TEXTRANK_ITERS = 5
 _TEXTRANK_MIN_COOC = 25
 
@@ -4272,8 +4460,10 @@ QUERIES = {
     "bpe_token_stats": bpe_token_stats,
     "winnow_overlap_top": winnow_overlap_top,
     "dup_cluster_sizes": dup_cluster_sizes,
+    "dup_cluster_density": dup_cluster_density,
     "dup_cluster_sizes_star": dup_cluster_sizes_star,
     "dup_graph_triangles": dup_graph_triangles,
+    "dup_graph_bfs_depths": dup_graph_bfs_depths,
     "media_feature_stats": media_feature_stats,
     "media_decode_stats": media_decode_stats,
     "png_decode_stats": png_decode_stats,
@@ -4331,7 +4521,9 @@ ORACLE = {
     "bpe_token_stats": ORACLE_BPE_TOKEN_STATS,
     "winnow_overlap_top": ORACLE_WINNOW_OVERLAP_TOP,
     "dup_cluster_sizes": ORACLE_DUP_CLUSTER_SIZES,
+    "dup_cluster_density": ORACLE_DUP_CLUSTER_DENSITY,
     "dup_graph_triangles": ORACLE_DUP_GRAPH_TRIANGLES,
+    "dup_graph_bfs_depths": ORACLE_DUP_GRAPH_BFS_DEPTHS,
     "dup_cluster_sizes_star": ORACLE_DUP_CLUSTER_SIZES,
     "media_feature_stats": ORACLE_MEDIA_FEATURE_STATS,
     "media_decode_stats": ORACLE_MEDIA_DECODE_STATS,

@@ -228,3 +228,74 @@ def test_k_core_fixpoint_within_rounds(spark):
     r8 = sorted(map(tuple, k_core(e, 3, rounds=8).collect()))
     r12 = sorted(map(tuple, k_core(e, 3, rounds=12).collect()))
     assert r8 == r12 and len(r8) > 0
+
+
+# ------------------------------------------------ BFS frontier distances
+
+
+def _py_bfs(edges: list[tuple[int, int]], seeds: set[int]) -> dict[int, int]:
+    from collections import deque
+
+    adj: dict[int, list[int]] = {}
+    for s, d in edges:
+        adj.setdefault(s, []).append(d)
+    dist = {s: 0 for s in seeds}
+    q = deque(seeds)
+    while q:
+        n = q.popleft()
+        for m in adj.get(n, ()):  # directed expansion, like the operator
+            if m not in dist:
+                dist[m] = dist[n] + 1
+                q.append(m)
+    return dist
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(edges=st.lists(edge, min_size=1, max_size=25))
+def test_bfs_matches_python_reference(spark, edges):
+    from pyspark.sql import functions as F
+
+    from data_ingestion_project_spark.operators.graph import bfs_distances
+
+    df = spark.createDataFrame(edges, "src int, dst int")
+    seed_node = min(s for s, _ in edges)
+    seed = df.agg(F.min("src").alias("node"))
+    got = {r["node"]: r["dist"] for r in bfs_distances(df, seed, max_depth=30).collect()}
+    assert got == _py_bfs(edges, {seed_node})
+
+
+def test_bfs_multi_source_and_depth_cap(spark):
+    """Two seeds on a 10-node path: distances are min-over-seeds, and
+    max_depth truncates the settled set (nodes beyond the cap absent,
+    not mislabeled)."""
+    from data_ingestion_project_spark.operators.graph import bfs_distances
+
+    edges = [(i, i + 1) for i in range(10)]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    seeds = spark.createDataFrame([(0,), (7,)], "node int")
+    got = {r["node"]: r["dist"] for r in bfs_distances(df, seeds, max_depth=2).collect()}
+    # forward-only edges: node 3 is 3 hops from 0 and unreachable from 7
+    assert got == {0: 0, 7: 0, 1: 1, 8: 1, 2: 2, 9: 2}
+
+
+def test_bfs_corpus_fixpoint_within_rounds(spark):
+    """The corpus dup graph's reachable eccentricity from the min doc id
+    is within the 8 spec rounds: 8-round and 12-round walks agree, so
+    the unrolled SQL twin replays the true distances."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_project_spark.operators.graph import bfs_distances
+    from data_ingestion_project_spark.operators.pagerank import symmetrize
+    from data_ingestion_project_spark.queries.documents import (
+        _PAGERANK_EDGE_MIN_SHARED,
+        _winnow_pair_counts,
+    )
+
+    pairs = _winnow_pair_counts(spark, "/root/testdata/sf0.001").filter(
+        F.col("n_shared") >= _PAGERANK_EDGE_MIN_SHARED
+    )
+    sym = symmetrize(pairs).localCheckpoint(eager=True)
+    seed = sym.agg(F.min("src").alias("node"))
+    r8 = sorted(map(tuple, bfs_distances(sym, seed, max_depth=8).collect()))
+    r12 = sorted(map(tuple, bfs_distances(sym, seed, max_depth=12).collect()))
+    assert r8 == r12 and len(r8) > 0
