@@ -25,18 +25,24 @@ _MODULES = (tpch, tpch2, events, documents, embeddings, advanced, stats)
 
 # The driver's correctness gate certifies the FIRST 50 entries of
 # all_queries() in dict order.  Round-7 window (r6 ask #5 rotation):
-# the 2 round-7 additions (never certified), then ALL 33 r03-era
-# certifications (the stalest rows in the merged record — TPC-H core
-# + early document families), then the 15 alphabetically-first
-# r04-era certifications.  Every window entry was locally re-verified
-# value-exact (or rows-only where by-design) at sf0.01 via
-# tools/check_oracle.py before declaring; the remaining r04-era rows
-# roll to the r08 window.  Names not listed here keep module order.
+# every round-7 addition (never certified — they must enter the merged
+# record this round to keep the every-declared-query-certified
+# invariant), then the stalest r03-era certifications (TPC-H core +
+# early document families), then the alphabetical head of the r04-era
+# rows.  Every window entry was locally re-verified value-exact (or
+# rows-only where by-design) at sf0.01 via tools/check_oracle.py
+# before declaring; the remaining r04-era rows roll to the r08
+# window.  Names not listed here keep module order.
 _DRIVER_PRIORITY = (
     # -- never driver-certified (round-7 additions) --
     "crypto_shred_audit",
     "exact_substring_census",
     "longest_repeat_extract",
+    "markov_stationary_events",
+    "nb_auc_roc",
+    "kaplan_meier_retention",
+    "dup_cluster_density",
+    "dup_graph_bfs_depths",
     # -- r03-era certifications (stalest, alphabetical) --
     "acctbal_deciles",
     "acctbal_deciles_scalable",
@@ -80,14 +86,8 @@ _DRIVER_PRIORITY = (
     "bpe_learned_merges",
     "bpe_real_token_stats",
     "bpe_token_stats",
-    "ccnet_perplexity_buckets",
-    "chunk_dup_stats",
-    "contrastive_training_pairs",
-    "dedup_funnel",
-    "dsir_importance_weights",
-    "dup_cluster_sizes",
-    # dup_cluster_sizes_star rolls to the r08 window (the 50-slot
-    # budget; its oracle twin dup_cluster_sizes re-certifies now)
+    # ccnet_perplexity_buckets .. dup_cluster_sizes_star roll to the
+    # r08 window (the 50-slot budget yields to this round's additions)
 )
 
 
