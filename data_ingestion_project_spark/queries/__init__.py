@@ -43,6 +43,7 @@ _DRIVER_PRIORITY = (
     "kaplan_meier_retention",
     "dup_cluster_density",
     "dup_graph_bfs_depths",
+    "theil_sen_revenue_trend",
     # -- r03-era certifications (stalest, alphabetical) --
     "acctbal_deciles",
     "acctbal_deciles_scalable",
@@ -85,9 +86,8 @@ _DRIVER_PRIORITY = (
     "benchmark_contamination",
     "bpe_learned_merges",
     "bpe_real_token_stats",
-    "bpe_token_stats",
-    # ccnet_perplexity_buckets .. dup_cluster_sizes_star roll to the
-    # r08 window (the 50-slot budget yields to this round's additions)
+    # bpe_token_stats .. dup_cluster_sizes_star roll to the r08 window
+    # (the 50-slot budget yields to this round's additions)
 )
 
 

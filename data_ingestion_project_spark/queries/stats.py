@@ -1630,6 +1630,156 @@ FROM fac ORDER BY t_days
 """
 
 
+def theil_sen_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend of daily order revenue: the MEDIAN of all
+    pairwise day-to-day slopes, with the matching median intercept and
+    the OLS slope for contrast — the estimator of record when a
+    revenue series carries outlier days (a single flash-sale day drags
+    an OLS fit; the pairwise-slope median has a 29% breakdown point
+    and ignores it).
+
+    Scale posture: ONE partial-agg shuffle reduces the fact table to
+    the per-day revenue frame (exact integer cents); the pairwise
+    stage is a self-join of that CALENDAR-sized frame with itself
+    (days²/2 ≈ 2.9 M slope rows here) — bounded by the observation
+    span, never the corpus, so the broadcast nested-loop the `<`
+    condition produces is the right plan at any corpus size.  The
+    single-group exact medians hold O(distinct slopes) aggregate
+    state, likewise calendar²-bounded.
+
+    Exactness: daily cents are exact BIGINTs; each slope is one IEEE
+    double division of exact integers, micro-truncated immediately
+    (the _micro idiom), so both medians interpolate over identical
+    integer multisets; every derived double (slope/intercept in
+    dollars, the OLS normal-equation arithmetic over exact decimal
+    moments) is written operation-for-operation identically in the
+    oracle.  Integer bounds: day·cents products stay < 2^63 up to
+    ~1e14 cents/day (a ~$1 T/day business) — documented, not silent
+    (the sums themselves fold in DECIMAL).
+    """
+    o = table(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(
+            F.sum((F.col("o_totalprice") * 100).cast("long")).alias("cents")
+        )
+        .select(
+            F.datediff(
+                "d", F.to_date(F.lit("1995-01-01"), "yyyy-MM-dd")
+            ).alias("day"),
+            "cents",
+        )
+        .localCheckpoint(eager=True)
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    slopes = a.join(b, F.col("a.day") < F.col("b.day")).select(
+        _micro(
+            (F.col("b.cents") - F.col("a.cents")).cast("double")
+            / (F.col("b.day") - F.col("a.day")).cast("double")
+        ).alias("slope_q")
+    )
+    med = slopes.agg(
+        F.median("slope_q").alias("m_q"), F.count(F.lit(1)).alias("n_pairs")
+    )
+    resid = daily.crossJoin(F.broadcast(med)).select(
+        "m_q",
+        "n_pairs",
+        _micro(
+            F.col("cents").cast("double")
+            - (F.col("m_q") / F.lit(float(_M))) * F.col("day").cast("double")
+        ).alias("resid_q"),
+    )
+    sen = resid.groupBy("m_q", "n_pairs").agg(
+        F.median("resid_q").alias("b_q"), F.count(F.lit(1)).alias("n_days")
+    )
+    mom = daily.agg(
+        F.sum(F.col("day").cast(_DEC)).alias("sx"),
+        F.sum((F.col("day") * F.col("day")).cast(_DEC)).alias("sxx"),
+        F.sum(F.col("cents").cast(_DEC)).alias("sy"),
+        F.sum((F.col("day") * F.col("cents")).cast(_DEC)).alias("sxy"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    ols = (
+        F.col("n").cast("double") * F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy").cast("double")
+    ) / (
+        F.col("n").cast("double") * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double")
+    )
+    # engine-library ROUND(double) may disagree on exact half
+    # boundaries (observed: the intercept median landing on .885);
+    # sign-aware floor rounding is the same IEEE ops on both engines
+    def _rnd(col, scale: int):
+        s = F.lit(float(10**scale))
+        return F.signum(col) * F.floor(F.abs(col) * s + F.lit(0.5)) / s
+
+    return sen.crossJoin(F.broadcast(mom)).select(
+        F.col("n_days").cast("long").alias("n_days"),
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        _rnd(F.col("m_q") / F.lit(float(_M)) / F.lit(100.0), 4).alias(
+            "sen_slope_usd_day"
+        ),
+        _rnd(F.col("b_q") / F.lit(float(_M)) / F.lit(100.0), 2).alias(
+            "sen_intercept_usd"
+        ),
+        _rnd(ols / F.lit(100.0), 4).alias("ols_slope_usd_day"),
+    )
+
+
+ORACLE_THEIL_SEN_REVENUE_TREND = """
+WITH daily AS (
+  -- trunc BEFORE the BIGINT cast: o_totalprice is a raw double and
+  -- DuckDB's double->int cast ROUNDS while Spark's truncates
+  SELECT date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS day,
+         CAST(SUM(CAST(trunc(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+), slopes AS (
+  SELECT CAST(trunc(
+           (CAST(b.cents - a.cents AS DOUBLE)
+            / CAST(b.day - a.day AS DOUBLE)) * 1000000) AS BIGINT) AS slope_q
+  FROM daily a JOIN daily b ON a.day < b.day
+), med AS (
+  SELECT median(slope_q) AS m_q, COUNT(*) AS n_pairs FROM slopes
+), resid AS (
+  SELECT m_q, n_pairs,
+         CAST(trunc(
+           (CAST(cents AS DOUBLE)
+            - (m_q / 1000000.0) * CAST(day AS DOUBLE)) * 1000000) AS BIGINT)
+           AS resid_q
+  FROM daily CROSS JOIN med
+), sen AS (
+  SELECT m_q, n_pairs, median(resid_q) AS b_q, COUNT(*) AS n_days
+  FROM resid GROUP BY m_q, n_pairs
+), mom AS (
+  SELECT SUM(CAST(day AS DECIMAL(28,0))) AS sx,
+         SUM(CAST(day * day AS DECIMAL(28,0))) AS sxx,
+         SUM(CAST(cents AS DECIMAL(28,0))) AS sy,
+         SUM(CAST(day * cents AS DECIMAL(28,0))) AS sxy,
+         COUNT(*) AS n
+  FROM daily
+)
+SELECT CAST(n_days AS BIGINT) AS n_days,
+       CAST(n_pairs AS BIGINT) AS n_pairs,
+       sign(m_q / 1000000.0 / 100.0)
+         * floor(abs(m_q / 1000000.0 / 100.0) * 10000.0 + 0.5) / 10000.0
+         AS sen_slope_usd_day,
+       sign(b_q / 1000000.0 / 100.0)
+         * floor(abs(b_q / 1000000.0 / 100.0) * 100.0 + 0.5) / 100.0
+         AS sen_intercept_usd,
+       sign(ols_d / 100.0)
+         * floor(abs(ols_d / 100.0) * 10000.0 + 0.5) / 10000.0
+         AS ols_slope_usd_day
+FROM (
+  SELECT n_days, n_pairs, m_q, b_q,
+         (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS ols_d
+  FROM sen CROSS JOIN mom
+) t
+"""
+
+
 QUERIES = {
     "chisq_event_dow": chisq_event_dow,
     "anova_event_values": anova_event_values,
@@ -1645,6 +1795,7 @@ QUERIES = {
     "benford_order_totals": benford_order_totals,
     "residual_autocorr": residual_autocorr,
     "kaplan_meier_retention": kaplan_meier_retention,
+    "theil_sen_revenue_trend": theil_sen_revenue_trend,
 }
 
 ORACLE = {
@@ -1662,4 +1813,5 @@ ORACLE = {
     "benford_order_totals": ORACLE_BENFORD_ORDER_TOTALS,
     "residual_autocorr": ORACLE_RESIDUAL_AUTOCORR,
     "kaplan_meier_retention": ORACLE_KAPLAN_MEIER_RETENTION,
+    "theil_sen_revenue_trend": ORACLE_THEIL_SEN_REVENUE_TREND,
 }

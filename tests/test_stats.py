@@ -529,3 +529,61 @@ def test_kaplan_meier_matches_lifelines_style_reference(spark):
     sv = out.sort_values("t_days")["survival"].to_numpy()
     assert (sv[:-1] >= sv[1:] - 1e-12).all() and sv[0] <= 1.0
     assert int(out["deaths"].sum() + out["censored"].sum()) == n
+
+
+def test_theil_sen_matches_reference_computation(spark):
+    """Numpy pairwise replay at sf0.001: daily truncated cents, all
+    pairwise slopes micro-truncated, interpolated medians, OLS from
+    exact moments — every output of the query reproduced independently."""
+    import numpy as np
+
+    from data_ingestion_project_spark.queries.stats import theil_sen_revenue_trend
+
+    o = pd.read_parquet(f"{SF}/orders.parquet")
+    cents = np.trunc(o["o_totalprice"].to_numpy() * 100).astype(np.int64)
+    day = (
+        (o["o_orderdate"] - pd.Timestamp("1995-01-01")).dt.days.to_numpy()
+    ).astype(np.int64)
+    dd = pd.DataFrame({"day": day, "cents": cents}).groupby("day", as_index=False).sum()
+    x = dd["day"].to_numpy(dtype=np.float64)
+    y = dd["cents"].to_numpy(dtype=np.float64)
+    n = len(x)
+    dx = x[None, :] - x[:, None]
+    dy = y[None, :] - y[:, None]
+    iu = np.triu_indices(n, 1)
+    slopes_q = np.trunc(dy[iu] / dx[iu] * 1e6).astype(np.int64)
+    m_q = float(np.median(slopes_q))
+    resid_q = np.trunc((y - (m_q / 1e6) * x) * 1e6).astype(np.int64)
+    b_q = float(np.median(resid_q))
+    sxy, sx, sy, sxx = (x * y).sum(), x.sum(), y.sum(), (x * x).sum()
+    ols = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+
+    def rnd(v, s):
+        return math.copysign(math.floor(abs(v) * 10**s + 0.5) / 10**s, v)
+
+    out = theil_sen_revenue_trend(spark, SF).toPandas().iloc[0]
+    assert out.n_days == n and out.n_pairs == n * (n - 1) // 2
+    assert out.sen_slope_usd_day == rnd(m_q / 1e6 / 100, 4)
+    assert out.sen_intercept_usd == rnd(b_q / 1e6 / 100, 2)
+    assert out.ols_slope_usd_day == rnd(ols / 100, 4)
+
+
+def test_theil_sen_robust_to_planted_outlier(spark, tmp_path):
+    """One flash-sale outlier day on a clean $10/day linear trend: the
+    Sen slope stays on the trend while OLS is dragged off it — the
+    breakdown behavior that is the estimator's reason to exist."""
+    from data_ingestion_project_spark.queries.stats import theil_sen_revenue_trend
+
+    days = list(range(100))
+    rows = [
+        (pd.Timestamp("1995-01-01") + pd.Timedelta(days=d), 1000.0 + 10.0 * d)
+        for d in days
+    ]
+    rows[99] = (rows[99][0], 1_000_000.0)  # outlier on the max-leverage day
+    pdf = pd.DataFrame(rows, columns=["o_orderdate", "o_totalprice"])
+    # micro-precision timestamps: nano columns read as LONG under the
+    # session's nanosAsLong setting and break to_date
+    pdf.to_parquet(tmp_path / "orders.parquet", index=False, coerce_timestamps="us")
+    out = theil_sen_revenue_trend(spark, str(tmp_path)).toPandas().iloc[0]
+    assert abs(out.sen_slope_usd_day - 10.0) < 0.1
+    assert abs(out.ols_slope_usd_day - 10.0) > 100.0
