@@ -44,6 +44,8 @@ _DRIVER_PRIORITY = (
     "dup_cluster_density",
     "dup_graph_bfs_depths",
     "theil_sen_revenue_trend",
+    "cusum_revenue_changepoint",
+    "brand_basket_lift",
     # -- r03-era certifications (stalest, alphabetical) --
     "acctbal_deciles",
     "acctbal_deciles_scalable",
@@ -84,10 +86,8 @@ _DRIVER_PRIORITY = (
     "approx_top_words",
     "batch_knn_search",
     "benchmark_contamination",
-    "bpe_learned_merges",
-    "bpe_real_token_stats",
-    # bpe_token_stats .. dup_cluster_sizes_star roll to the r08 window
-    # (the 50-slot budget yields to this round's additions)
+    # bpe_learned_merges .. dup_cluster_sizes_star roll to the r08
+    # window (the 50-slot budget yields to this round's additions)
 )
 
 

@@ -131,3 +131,13 @@ def spark_dec_sum(expr: str, scale: int = 2) -> str:
     mag = f"FLOOR((ABS({s}) + {half}) / {m})"
     rounded = f"(CASE WHEN {s} < 0 THEN -{mag} ELSE {mag} END)"
     return f"(CAST({rounded} AS DOUBLE) / {10**scale}.0)"
+
+
+def floor_round(col: Column, scale: int) -> Column:
+    """sign(x)·floor(|x|·10^s + 0.5)/10^s — half-away rounding of a
+    value-determined DOUBLE spelled as IEEE ops that are bit-identical
+    across engines; engine-library ROUND(double) implementations
+    disagree on exact half boundaries (observed: a median landing on
+    .885).  SQL mirror: sign(x) * floor(abs(x) * 10^s + 0.5) / 10^s."""
+    s = F.lit(float(10**scale))
+    return F.signum(col) * F.floor(F.abs(col) * s + F.lit(0.5)) / s

@@ -33,6 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from data_ingestion_project_spark.queries._precision import floor_round as _floor_round
 from data_ingestion_project_spark.queries._precision import to_micro
 from data_ingestion_project_spark.sources.readers import table
 
@@ -44,6 +45,8 @@ def _micro(col):
     """trunc(x * 1e6) as int64 — engine-mirrorable quantization of a
     value-determined double expression."""
     return (col * F.lit(float(_M))).cast("long")
+
+
 
 
 # --------------------------------------------------------------- chi²
@@ -1706,23 +1709,16 @@ def theil_sen_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("double") * F.col("sxx").cast("double")
         - F.col("sx").cast("double") * F.col("sx").cast("double")
     )
-    # engine-library ROUND(double) may disagree on exact half
-    # boundaries (observed: the intercept median landing on .885);
-    # sign-aware floor rounding is the same IEEE ops on both engines
-    def _rnd(col, scale: int):
-        s = F.lit(float(10**scale))
-        return F.signum(col) * F.floor(F.abs(col) * s + F.lit(0.5)) / s
-
     return sen.crossJoin(F.broadcast(mom)).select(
         F.col("n_days").cast("long").alias("n_days"),
         F.col("n_pairs").cast("long").alias("n_pairs"),
-        _rnd(F.col("m_q") / F.lit(float(_M)) / F.lit(100.0), 4).alias(
+        _floor_round(F.col("m_q") / F.lit(float(_M)) / F.lit(100.0), 4).alias(
             "sen_slope_usd_day"
         ),
-        _rnd(F.col("b_q") / F.lit(float(_M)) / F.lit(100.0), 2).alias(
+        _floor_round(F.col("b_q") / F.lit(float(_M)) / F.lit(100.0), 2).alias(
             "sen_intercept_usd"
         ),
-        _rnd(ols / F.lit(100.0), 4).alias("ols_slope_usd_day"),
+        _floor_round(ols / F.lit(100.0), 4).alias("ols_slope_usd_day"),
     )
 
 
@@ -1780,6 +1776,106 @@ FROM (
 """
 
 
+def cusum_revenue_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection on daily order revenue: the day k
+    maximizing |S_k|, S_k = Σ_{i≤k}(y_i − ȳ) — the standard offline
+    single-changepoint locator (argmax-CUSUM is the least-squares
+    mean-shift estimate), with the level before/after and the shift.
+    The monitoring companion to the seasonal/anomaly family: those
+    flag individual outlier days, this finds the structural break.
+
+    Exactness: the whole statistic stays in EXACT integer domain by
+    clearing the denominator — T_k = n·cum_k − k·total (cents·days
+    units, folded in DECIMAL so 100 TB magnitudes cannot wrap);
+    argmax(|T_k|) == argmax(|S_k|) since n > 0, with an earliest-day
+    tie-break.  Derived dollar figures are single double divisions of
+    exact integers, floor-rounded (_floor_round).
+
+    Plan: ONE shuffle reduces the fact table to the per-day frame;
+    the two prefix windows run over that CALENDAR-sized frame
+    (sanctioned: observation-span cardinality, the
+    monthly_revenue_running posture), and the argmax is a TakeOrdered
+    top-1, never a global sort."""
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum((F.col("o_totalprice") * 100).cast("long")).alias("cents")
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    pre = daily.select(
+        "d",
+        F.sum(F.col("cents").cast(_DEC)).over(w).alias("cum"),
+        F.count(F.lit(1)).over(w).alias("k"),
+    )
+    tot = daily.agg(
+        F.sum(F.col("cents").cast(_DEC)).alias("total"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    t = pre.crossJoin(F.broadcast(tot)).select(
+        "d",
+        "k",
+        "cum",
+        "total",
+        "n",
+        (
+            F.col("cum") * F.col("n").cast(_DEC)
+            - F.col("k").cast(_DEC) * F.col("total")
+        ).alias("t_k"),
+    )
+    top = t.orderBy(F.abs(F.col("t_k")).desc(), F.col("d").asc()).limit(1)
+    return top.select(
+        F.date_format("d", "yyyy-MM-dd").alias("cp_date"),
+        F.col("k").cast("long").alias("k_days"),
+        F.col("n").cast("long").alias("n_days"),
+        _floor_round(
+            F.col("cum").cast("double") / F.col("k").cast("double") / F.lit(100.0), 4
+        ).alias("mean_before_usd"),
+        _floor_round(
+            (F.col("total") - F.col("cum")).cast("double")
+            / (F.col("n") - F.col("k")).cast("double")
+            / F.lit(100.0),
+            4,
+        ).alias("mean_after_usd"),
+        _floor_round(
+            F.col("t_k").cast("double") / F.col("n").cast("double") / F.lit(100.0), 2
+        ).alias("s_cusum_usd"),
+    )
+
+
+ORACLE_CUSUM_REVENUE_CHANGEPOINT = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         CAST(SUM(CAST(trunc(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+), pre AS (
+  SELECT d,
+         SUM(cents) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cum,
+         COUNT(*) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS k
+  FROM daily
+), tot AS (SELECT SUM(cents) AS total, COUNT(*) AS n FROM daily),
+t AS (
+  SELECT d, k, cum, total, n, cum * n - k * total AS t_k
+  FROM pre CROSS JOIN tot
+), top AS (
+  SELECT * FROM t ORDER BY abs(t_k) DESC, d ASC LIMIT 1
+)
+SELECT strftime(d, '%Y-%m-%d') AS cp_date,
+       CAST(k AS BIGINT) AS k_days,
+       CAST(n AS BIGINT) AS n_days,
+       sign(m_b) * floor(abs(m_b) * 10000.0 + 0.5) / 10000.0 AS mean_before_usd,
+       sign(m_a) * floor(abs(m_a) * 10000.0 + 0.5) / 10000.0 AS mean_after_usd,
+       sign(s_c) * floor(abs(s_c) * 100.0 + 0.5) / 100.0 AS s_cusum_usd
+FROM (
+  SELECT d, k, n,
+         CAST(cum AS DOUBLE) / CAST(k AS DOUBLE) / 100.0 AS m_b,
+         CAST(total - cum AS DOUBLE) / CAST(n - k AS DOUBLE) / 100.0 AS m_a,
+         CAST(t_k AS DOUBLE) / CAST(n AS DOUBLE) / 100.0 AS s_c
+  FROM top
+) x
+"""
+
+
 QUERIES = {
     "chisq_event_dow": chisq_event_dow,
     "anova_event_values": anova_event_values,
@@ -1796,6 +1892,7 @@ QUERIES = {
     "residual_autocorr": residual_autocorr,
     "kaplan_meier_retention": kaplan_meier_retention,
     "theil_sen_revenue_trend": theil_sen_revenue_trend,
+    "cusum_revenue_changepoint": cusum_revenue_changepoint,
 }
 
 ORACLE = {
@@ -1814,4 +1911,5 @@ ORACLE = {
     "residual_autocorr": ORACLE_RESIDUAL_AUTOCORR,
     "kaplan_meier_retention": ORACLE_KAPLAN_MEIER_RETENTION,
     "theil_sen_revenue_trend": ORACLE_THEIL_SEN_REVENUE_TREND,
+    "cusum_revenue_changepoint": ORACLE_CUSUM_REVENUE_CHANGEPOINT,
 }

@@ -35,6 +35,7 @@ from data_ingestion_project_spark.queries._precision import (
     dec_sum,
     dec_sum_final,
     dec_sum_partial,
+    floor_round,
     sql_dec_sum,
 )
 from data_ingestion_project_spark.queries.tpch import REV, _rev
@@ -674,6 +675,122 @@ FROM checks ORDER BY check_name
 """
 
 
+_BASKET_MIN_PAIRS = 50
+
+
+def brand_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association mining at the brand level: for every
+    brand pair co-occurring in ≥ ``_BASKET_MIN_PAIRS`` order baskets,
+    the support / confidence / lift triple, top-15 by lift — the
+    A-priori level-2 census (which brands sell together beyond what
+    their solo popularity predicts), a family the engine did not yet
+    cover.
+
+    Scale: the dim join broadcasts (part is the small side); baskets
+    reduce to DISTINCT (order, brand) in one shuffle; the pair stage
+    is a self EQUI-join on the order key (both sides share the
+    partitioning — Catalyst reuses the exchange), expanding each
+    basket to at most |basket-brands|² pairs, bounded by order width,
+    never the corpus; everything after is the |brands|²-cell frame.
+    A-priori note: with a support floor on SINGLE brands the pair
+    stage would semi-join-prune first — all 25 brands clear any
+    useful floor here, so the census keeps them.
+
+    Exactness: counts are exact BIGINTs; support/confidence/lift are
+    single IEEE divisions of those integers, floor-rounded
+    (_precision.floor_round) so no engine-library ROUND is trusted."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    tot = ob.agg(F.count_distinct("l_orderkey").alias("n_baskets"))
+    singles = ob.groupBy("p_brand").agg(F.count(F.lit(1)).alias("n_solo"))
+    a, b = ob.alias("a"), ob.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.p_brand") < F.col("b.p_brand")),
+        )
+        .groupBy(
+            F.col("a.p_brand").alias("brand_a"), F.col("b.p_brand").alias("brand_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= _BASKET_MIN_PAIRS)
+    )
+    sa = singles.select(
+        F.col("p_brand").alias("brand_a"), F.col("n_solo").alias("n_a")
+    )
+    sb = singles.select(
+        F.col("p_brand").alias("brand_b"), F.col("n_solo").alias("n_b")
+    )
+    j = (
+        pairs.join(F.broadcast(sa), "brand_a")
+        .join(F.broadcast(sb), "brand_b")
+        .crossJoin(F.broadcast(tot))
+    )
+    return (
+        j.select(
+            "brand_a",
+            "brand_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            floor_round(
+                F.col("n_ab").cast("double") / F.col("n_baskets").cast("double"), 6
+            ).alias("support"),
+            floor_round(
+                F.col("n_ab").cast("double") / F.col("n_a").cast("double"), 6
+            ).alias("confidence_a_b"),
+            floor_round(
+                (F.col("n_ab").cast("double") * F.col("n_baskets").cast("double"))
+                / (F.col("n_a").cast("double") * F.col("n_b").cast("double")),
+                4,
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "brand_a", "brand_b")
+        .limit(15)
+    )
+
+
+ORACLE_BRAND_BASKET_LIFT = f"""
+WITH ob AS (
+  SELECT DISTINCT l.l_orderkey, p.p_brand
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+), tot AS (SELECT COUNT(DISTINCT l_orderkey) AS n_baskets FROM ob),
+singles AS (SELECT p_brand, COUNT(*) AS n_solo FROM ob GROUP BY 1),
+pairs AS (
+  SELECT a.p_brand AS brand_a, b.p_brand AS brand_b, COUNT(*) AS n_ab
+  FROM ob a JOIN ob b
+    ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {_BASKET_MIN_PAIRS}
+)
+SELECT brand_a, brand_b, n_ab, n_a, n_b,
+       sign(sup) * floor(abs(sup) * 1000000.0 + 0.5) / 1000000.0 AS support,
+       sign(conf) * floor(abs(conf) * 1000000.0 + 0.5) / 1000000.0
+         AS confidence_a_b,
+       sign(lft) * floor(abs(lft) * 10000.0 + 0.5) / 10000.0 AS lift
+FROM (
+  SELECT p.brand_a, p.brand_b, CAST(p.n_ab AS BIGINT) AS n_ab,
+         CAST(sa.n_solo AS BIGINT) AS n_a, CAST(sb.n_solo AS BIGINT) AS n_b,
+         CAST(p.n_ab AS DOUBLE) / CAST(t.n_baskets AS DOUBLE) AS sup,
+         CAST(p.n_ab AS DOUBLE) / CAST(sa.n_solo AS DOUBLE) AS conf,
+         (CAST(p.n_ab AS DOUBLE) * CAST(t.n_baskets AS DOUBLE))
+           / (CAST(sa.n_solo AS DOUBLE) * CAST(sb.n_solo AS DOUBLE)) AS lft
+  FROM pairs p
+  JOIN singles sa ON sa.p_brand = p.brand_a
+  JOIN singles sb ON sb.p_brand = p.brand_b
+  CROSS JOIN tot t
+) x
+ORDER BY lift DESC, brand_a, brand_b
+LIMIT 15
+"""
+
+
 QUERIES = {
     "promo_revenue": promo_revenue,
     "top_revenue_supplier": top_revenue_supplier,
@@ -686,6 +803,7 @@ QUERIES = {
     "dominant_part_suppliers": dominant_part_suppliers,
     "cheapest_regional_supplier": cheapest_regional_supplier,
     "orders_quality_report": orders_quality_report,
+    "brand_basket_lift": brand_basket_lift,
 }
 
 ORACLE = {
@@ -700,4 +818,5 @@ ORACLE = {
     "dominant_part_suppliers": ORACLE_DOMINANT_PART_SUPPLIERS,
     "cheapest_regional_supplier": ORACLE_CHEAPEST_REGIONAL_SUPPLIER,
     "orders_quality_report": ORACLE_ORDERS_QUALITY_REPORT,
+    "brand_basket_lift": ORACLE_BRAND_BASKET_LIFT,
 }

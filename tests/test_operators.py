@@ -1805,3 +1805,35 @@ def _real_counts(spark):
         F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("word"),
     )
     return words.groupBy("doc_id", "lang", "word").agg(F.count(F.lit(1)).alias("c"))
+
+
+def test_brand_basket_lift_planted_association(spark, tmp_path):
+    """Planted baskets: brands A,B always co-occur (lift 3.0 at these
+    counts), brands C,D overlap exactly as independence predicts at
+    0.75 — the census must recover both lifts exactly and order the
+    associated pair first."""
+    import pandas as pd
+
+    from data_ingestion_project_spark.queries.tpch2 import brand_basket_lift
+
+    rows = []
+    # parts: 1->A, 2->B, 3->C, 4->D
+    for o in range(1, 61):  # A and B together in baskets 1..60
+        rows += [(o, 1), (o, 2)]
+    for o in range(1, 121):  # C in baskets 1..120
+        rows.append((o, 3))
+    for o in range(61, 181):  # D in baskets 61..180
+        rows.append((o, 4))
+    pd.DataFrame(rows, columns=["l_orderkey", "l_partkey"]).to_parquet(
+        tmp_path / "lineitem.parquet", index=False
+    )
+    pd.DataFrame(
+        {"p_partkey": [1, 2, 3, 4], "p_brand": ["A", "B", "C", "D"]}
+    ).to_parquet(tmp_path / "part.parquet", index=False)
+    out = brand_basket_lift(spark, str(tmp_path)).toPandas()
+    ab = out[(out.brand_a == "A") & (out.brand_b == "B")].iloc[0]
+    cd = out[(out.brand_a == "C") & (out.brand_b == "D")].iloc[0]
+    assert ab.n_ab == 60 and ab.n_a == 60 and ab.n_b == 60
+    assert ab.lift == 3.0 and ab.confidence_a_b == 1.0
+    assert cd.n_ab == 60 and cd.lift == 0.75 and cd.confidence_a_b == 0.5
+    assert out.iloc[0].brand_a == "A"  # strongest association ranks first

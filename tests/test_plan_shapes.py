@@ -459,6 +459,10 @@ _GLOBAL_WINDOW_SANCTIONED = {
     # value-domain-sized); the per-statistic window is bucket-
     # partitioned (ks_length_drift posture)
     "nb_auc_roc",
+    # CUSUM prefix: runs over the per-DAY revenue aggregate — the
+    # observation span in days (calendar-bounded, the KM posture);
+    # the corpus-sized side is reduced by the groupBy(day) first
+    "cusum_revenue_changepoint",
 }
 
 

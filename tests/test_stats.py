@@ -587,3 +587,61 @@ def test_theil_sen_robust_to_planted_outlier(spark, tmp_path):
     out = theil_sen_revenue_trend(spark, str(tmp_path)).toPandas().iloc[0]
     assert abs(out.sen_slope_usd_day - 10.0) < 0.1
     assert abs(out.ols_slope_usd_day - 10.0) > 100.0
+
+
+def test_cusum_finds_planted_changepoint(spark, tmp_path):
+    """A clean level shift on day 60 of 100 (one order/day at $1,000
+    before, $3,000 from day 60): argmax-CUSUM must locate day 59 as
+    the last pre-shift day and recover both levels exactly."""
+    from data_ingestion_project_spark.queries.stats import cusum_revenue_changepoint
+
+    rows = [
+        (
+            pd.Timestamp("1995-01-01") + pd.Timedelta(days=d),
+            1000.0 if d < 60 else 3000.0,
+        )
+        for d in range(100)
+    ]
+    pdf = pd.DataFrame(rows, columns=["o_orderdate", "o_totalprice"])
+    pdf.to_parquet(tmp_path / "orders.parquet", index=False, coerce_timestamps="us")
+    out = cusum_revenue_changepoint(spark, str(tmp_path)).toPandas().iloc[0]
+    assert out.cp_date == "1995-03-01"  # day index 59, the pre-shift edge
+    assert out.k_days == 60 and out.n_days == 100
+    assert out.mean_before_usd == 1000.0
+    assert out.mean_after_usd == 3000.0
+    assert out.s_cusum_usd < 0  # pre-shift prefix sits below the global mean
+
+
+def test_cusum_matches_reference_computation(spark):
+    """Numpy replay at sf0.001: truncated daily cents, exact T_k =
+    n·cum − k·total, argmax with earliest-day tie-break, all derived
+    dollar figures."""
+    import numpy as np
+
+    from data_ingestion_project_spark.queries.stats import cusum_revenue_changepoint
+
+    o = pd.read_parquet(f"{SF}/orders.parquet")
+    cents = np.trunc(o["o_totalprice"].to_numpy() * 100).astype(np.int64)
+    dd = (
+        pd.DataFrame({"d": o["o_orderdate"].dt.normalize(), "cents": cents})
+        .groupby("d", as_index=False)
+        .sum()
+        .sort_values("d")
+        .reset_index(drop=True)
+    )
+    cum = dd["cents"].cumsum().to_numpy()
+    n = len(dd)
+    total = int(cum[-1])
+    k = np.arange(1, n + 1)
+    t_k = n * cum - k * total
+    i = int(np.lexsort((k, -np.abs(t_k)))[0])
+
+    def rnd(v, s):
+        return math.copysign(math.floor(abs(v) * 10**s + 0.5) / 10**s, v)
+
+    out = cusum_revenue_changepoint(spark, SF).toPandas().iloc[0]
+    assert out.cp_date == dd["d"].iloc[i].strftime("%Y-%m-%d")
+    assert out.k_days == i + 1 and out.n_days == n
+    assert out.mean_before_usd == rnd(cum[i] / (i + 1) / 100, 4)
+    assert out.mean_after_usd == rnd((total - cum[i]) / (n - i - 1) / 100, 4)
+    assert out.s_cusum_usd == rnd(t_k[i] / n / 100, 2)
