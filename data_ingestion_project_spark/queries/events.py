@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_ingestion_project_spark.operators.asof import asof_join
-from data_ingestion_project_spark.queries._precision import dec_sum, sql_dec_sum
+from data_ingestion_project_spark.queries._precision import dec_sum, floor_round, sql_dec_sum
 from data_ingestion_project_spark.operators.sessionize import sessionize
 from data_ingestion_project_spark.sources.readers import table
 
@@ -309,6 +309,126 @@ FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
 ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
   ON p.user_id = c.user_id AND p.ts >= c.ts
 ORDER BY p.event_id
+"""
+
+
+_ATTR_WINDOW_DAYS = 7
+
+
+def attribution_multitouch_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch purchase attribution: every click in the 7 days up
+    to a purchase shares that purchase's value, under the LINEAR model
+    (1/n each) and the U-SHAPED 40/40/20 model (40% first touch, 40%
+    last, 20% split across the middle) — the multi-touch upgrade of
+    the last-click as-of join above, aggregated by click day-of-week
+    (which weekday's touches actually drive revenue, vs merely log
+    volume).  Purchases with no qualifying click are unattributed and
+    excluded, symmetric with purchase_last_click's LEFT semantics
+    being reported there.
+
+    Plan: purchase and click slices join on the USER key (equi-join,
+    both sides shuffle-keyed by user) with the 7-day range refine;
+    pair cardinality is bounded per user by clicks×purchases inside a
+    week — activity-bounded, not corpus²; position/count windows
+    partition by the purchase id.  Exactness: purchase value is
+    micro-quantized; each model weight is a RATIONAL a/b (1/n; 2/5,
+    1/2, 1/(5(n−2))) applied as one deterministic double expression
+    truncated to integer NANO-units, so per-dow sums fold exactly and
+    the two models remain conservation-comparable in pytest."""
+    e = table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        (F.col("value") * F.lit(float(1_000_000))).cast("long").alias("v_mq"),
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("c_id"),
+    )
+    pairs = purchases.join(clicks, "user_id").filter(
+        (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") > F.col("p_ts") - F.expr(f"INTERVAL {_ATTR_WINDOW_DAYS} DAYS"))
+    )
+    wp = Window.partitionBy("p_id")
+    wo = wp.orderBy(F.col("c_ts").asc(), F.col("c_id").asc())
+    ranked = pairs.select(
+        "p_id",
+        "v_mq",
+        "c_ts",
+        F.row_number().over(wo).alias("pos"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+    v = F.col("v_mq").cast("double") * F.lit(1000.0)
+    lin_q = (v / F.col("n").cast("double")).cast("long")
+    ush_q = (
+        F.when(F.col("n") == 1, v)
+        .when(F.col("n") == 2, v / F.lit(2.0))
+        .when(F.col("pos") == 1, v * F.lit(2.0) / F.lit(5.0))
+        .when(F.col("pos") == F.col("n"), v * F.lit(2.0) / F.lit(5.0))
+        .otherwise(v / (F.lit(5.0) * (F.col("n") - F.lit(2)).cast("double")))
+    ).cast("long")
+    return (
+        ranked.select(
+            (F.expr("weekday(c_ts)") + F.lit(1)).alias("click_dow"),  # ISO 1=Mon
+            lin_q.alias("lin_q"),
+            ush_q.alias("ush_q"),
+        )
+        .groupBy("click_dow")
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            floor_round(F.sum("lin_q").cast("double") / F.lit(1.0e9), 4).alias(
+                "linear_usd"
+            ),
+            floor_round(F.sum("ush_q").cast("double") / F.lit(1.0e9), 4).alias(
+                "ushape_usd"
+            ),
+        )
+        .orderBy("click_dow")
+    )
+
+
+ORACLE_ATTRIBUTION_MULTITOUCH_DOW = f"""
+WITH purchases AS (
+  SELECT event_id AS p_id, user_id, ts AS p_ts,
+         CAST(trunc(value * 1000000) AS BIGINT) AS v_mq
+  FROM events WHERE event_type = 'purchase'
+), clicks AS (
+  SELECT user_id, ts AS c_ts, event_id AS c_id
+  FROM events WHERE event_type = 'click'
+), pairs AS (
+  SELECT p.p_id, p.v_mq, c.c_ts, c.c_id
+  FROM purchases p JOIN clicks c USING (user_id)
+  WHERE c.c_ts <= p.p_ts
+    AND c.c_ts > p.p_ts - INTERVAL {_ATTR_WINDOW_DAYS} DAY
+), ranked AS (
+  SELECT p_id, v_mq, c_ts,
+         ROW_NUMBER() OVER (PARTITION BY p_id ORDER BY c_ts ASC, c_id ASC) AS pos,
+         COUNT(*) OVER (PARTITION BY p_id) AS n
+  FROM pairs
+), credited AS (
+  SELECT CAST(date_part('isodow', c_ts) AS INT) AS click_dow,
+         CAST(trunc(v * 1000.0 / CAST(n AS DOUBLE)) AS BIGINT) AS lin_q,
+         CAST(trunc(CASE
+           WHEN n = 1 THEN v * 1000.0
+           WHEN n = 2 THEN v * 1000.0 / 2.0
+           WHEN pos = 1 THEN v * 1000.0 * 2.0 / 5.0
+           WHEN pos = n THEN v * 1000.0 * 2.0 / 5.0
+           ELSE v * 1000.0 / (5.0 * CAST(n - 2 AS DOUBLE))
+         END) AS BIGINT) AS ush_q
+  FROM (SELECT *, CAST(v_mq AS DOUBLE) AS v FROM ranked) r
+)
+SELECT click_dow, n_touches,
+       sign(ls) * floor(abs(ls) * 10000.0 + 0.5) / 10000.0 AS linear_usd,
+       sign(us) * floor(abs(us) * 10000.0 + 0.5) / 10000.0 AS ushape_usd
+FROM (
+  SELECT click_dow, COUNT(*) AS n_touches,
+         CAST(SUM(lin_q) AS DOUBLE) / 1000000000.0 AS ls,
+         CAST(SUM(ush_q) AS DOUBLE) / 1000000000.0 AS us
+  FROM credited GROUP BY click_dow
+) g
+ORDER BY click_dow
 """
 
 
@@ -987,6 +1107,7 @@ QUERIES = {
     "event_dispersion_index": event_dispersion_index,
     "events_one_day_by_type": events_one_day_by_type,
     "event_transitions": event_transitions,
+    "attribution_multitouch_dow": attribution_multitouch_dow,
     "markov_stationary_events": markov_stationary_events,
     "daily_active_users": daily_active_users,
     "top_purchasers": top_purchasers,
@@ -1019,6 +1140,7 @@ ORACLE = {
     "events_one_day_by_type": ORACLE_EVENTS_ONE_DAY_BY_TYPE,
     "purchase_last_click": ORACLE_PURCHASE_LAST_CLICK,
     "event_transitions": ORACLE_EVENT_TRANSITIONS,
+    "attribution_multitouch_dow": ORACLE_ATTRIBUTION_MULTITOUCH_DOW,
     "markov_stationary_events": _oracle_markov_stationary_events(),
     "user_scd2_summary": ORACLE_USER_SCD2_SUMMARY,
     "dp_event_counts": ORACLE_DP_EVENT_COUNTS,

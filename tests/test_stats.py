@@ -645,3 +645,72 @@ def test_cusum_matches_reference_computation(spark):
     assert out.mean_before_usd == rnd(cum[i] / (i + 1) / 100, 4)
     assert out.mean_after_usd == rnd((total - cum[i]) / (n - i - 1) / 100, 4)
     assert out.s_cusum_usd == rnd(t_k[i] / n / 100, 2)
+
+
+def test_attribution_multitouch_planted_weights(spark, tmp_path):
+    """One $100 purchase with four prior clicks on distinct weekdays:
+    U-shaped credit must land 40/10/10/40 and linear 25 each, on the
+    click days (not the purchase day); a click outside the 7-day
+    window earns nothing."""
+    from data_ingestion_project_spark.queries.events import (
+        attribution_multitouch_dow,
+    )
+
+    t0 = pd.Timestamp("2024-03-08 12:00:00")  # a Friday
+    rows = [
+        # four qualifying clicks: Mon..Thu of the same week
+        (1, t0 - pd.Timedelta(days=4), 7, "click", 0.0),
+        (2, t0 - pd.Timedelta(days=3), 7, "click", 0.0),
+        (3, t0 - pd.Timedelta(days=2), 7, "click", 0.0),
+        (4, t0 - pd.Timedelta(days=1), 7, "click", 0.0),
+        # a click 8 days back: outside the window
+        (5, t0 - pd.Timedelta(days=8), 7, "click", 0.0),
+        (6, t0, 7, "purchase", 100.0),
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value"]
+    )
+    pdf["props"] = "{}"
+    pdf.to_parquet(tmp_path / "events.parquet", index=False, coerce_timestamps="us")
+    out = attribution_multitouch_dow(spark, str(tmp_path)).toPandas()
+    got = {int(r.click_dow): (r.n_touches, r.linear_usd, r.ushape_usd)
+           for _, r in out.iterrows()}
+    assert got == {
+        1: (1, 25.0, 40.0),  # Monday: first touch
+        2: (1, 25.0, 10.0),
+        3: (1, 25.0, 10.0),
+        4: (1, 25.0, 40.0),  # Thursday: last touch
+    }
+
+
+def test_attribution_models_conserve_purchase_value(spark):
+    """Both models must attribute (almost exactly) the same total: the
+    full value of every purchase with >= 1 qualifying click.  Credits
+    are nano-truncated per touch, so each model may undercount a
+    purchase by < n_touches nano-dollars — bound the gap accordingly."""
+    import numpy as np
+
+    from data_ingestion_project_spark.queries.events import (
+        attribution_multitouch_dow,
+    )
+
+    out = attribution_multitouch_dow(spark, SF).toPandas()
+    e = pd.read_parquet(f"{SF}/events.parquet")
+    e["ts"] = pd.to_datetime(e["ts"])
+    clicks = e[e.event_type == "click"][["user_id", "ts"]]
+    attributed = 0.0
+    n_touch = 0
+    for _, p in e[e.event_type == "purchase"].iterrows():
+        c = clicks[
+            (clicks.user_id == p.user_id)
+            & (clicks.ts <= p.ts)
+            & (clicks.ts > p.ts - pd.Timedelta(days=7))
+        ]
+        if len(c):
+            attributed += math.trunc(p.value * 1e6)
+            n_touch += len(c)
+    attributed /= 1e6
+    assert out.n_touches.sum() == n_touch
+    for col in ("linear_usd", "ushape_usd"):
+        total = out[col].sum()
+        assert attributed - n_touch * 1e-9 - 7e-4 <= total <= attributed + 7e-4
