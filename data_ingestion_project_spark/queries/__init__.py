@@ -47,6 +47,7 @@ _DRIVER_PRIORITY = (
     "cusum_revenue_changepoint",
     "brand_basket_lift",
     "attribution_multitouch_dow",
+    "revenue_drawdown",
     # -- r03-era certifications (stalest, alphabetical) --
     "acctbal_deciles",
     "acctbal_deciles_scalable",
@@ -85,9 +86,8 @@ _DRIVER_PRIORITY = (
     "approx_daily_active_users",
     "approx_order_price_quantiles",
     "approx_top_words",
-    "batch_knn_search",
-    # benchmark_contamination .. dup_cluster_sizes_star roll to the
-    # r08 window (the 50-slot budget yields to this round's additions)
+    # batch_knn_search .. dup_cluster_sizes_star roll to the r08
+    # window (the 50-slot budget yields to this round's additions)
 )
 
 

@@ -1876,6 +1876,147 @@ FROM (
 """
 
 
+def revenue_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown + annualized log-return volatility of the
+    daily revenue series — the financial-time-series risk pair
+    (how far below its running peak did revenue fall, and how noisy
+    is the day-to-day series): peak/trough dates and levels, the
+    drawdown fraction, and stddev(ln y_k/y_{k-1})·√365.
+
+    Exactness: daily cents are exact BIGINTs, so the running peak and
+    the (peak − y) numerator are exact; the drawdown fraction is one
+    IEEE division (argmax over it is deterministic, earliest-day
+    tie-break).  Each log return is quantized to integer 1e-8 units
+    at its single libm call (the KM hazard idiom); the variance folds
+    the quantized integers exactly (squares in DECIMAL — 2400 days of
+    ~2e8-unit returns overflow int64), and the final sqrt is a single
+    correctly-rounded IEEE operation both engines share.
+
+    Plan: ONE shuffle to the per-day frame; prefix-max and lag windows
+    run over that CALENDAR-sized frame (sanctioned); trough selection
+    is TakeOrdered top-1 and the peak date a broadcast join back —
+    nothing after the first aggregation grows with the corpus."""
+    o = table(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(F.sum((F.col("o_totalprice") * 100).cast("long")).alias("cents"))
+        .localCheckpoint(eager=True)
+    )
+    w_peak = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    w_lag = Window.orderBy("d")
+    cur = daily.select(
+        "d",
+        "cents",
+        F.max("cents").over(w_peak).alias("peak"),
+        F.lag("cents").over(w_lag).alias("prev"),
+    ).localCheckpoint(eager=True)
+    trough = (
+        cur.select(
+            "d",
+            "cents",
+            "peak",
+            (
+                (F.col("peak") - F.col("cents")).cast("double")
+                / F.col("peak").cast("double")
+            ).alias("dd"),
+        )
+        .orderBy(F.col("dd").desc(), F.col("d").asc())
+        .limit(1)
+    )
+    peak_day = (
+        trough.alias("t")
+        .join(
+            daily.alias("x"),
+            (F.col("x.cents") == F.col("t.peak")) & (F.col("x.d") <= F.col("t.d")),
+        )
+        .groupBy("t.d", "t.cents", "t.peak", "t.dd")
+        .agg(F.min("x.d").alias("peak_d"))
+    )
+    li = F.round(
+        F.log(F.col("cents").cast("double") / F.col("prev").cast("double"))
+        * F.lit(1.0e8),
+        0,
+    ).cast("long")
+    vol = (
+        cur.filter(F.col("prev").isNotNull())
+        .select(li.alias("li"))
+        .agg(
+            F.count(F.lit(1)).alias("nr"),
+            F.sum(F.col("li").cast(_DEC)).alias("sl"),
+            F.sum((F.col("li") * F.col("li")).cast(_DEC)).alias("sl2"),
+        )
+    )
+    n = F.col("nr").cast("double")
+    var = (
+        F.col("sl2").cast("double") - F.col("sl").cast("double") * F.col("sl").cast("double") / n
+    ) / (n - F.lit(1.0))
+    daily_cnt = daily.agg(F.count(F.lit(1)).alias("n_days"))
+    return (
+        peak_day.crossJoin(F.broadcast(vol))
+        .crossJoin(F.broadcast(daily_cnt))
+        .select(
+            F.col("n_days").cast("long").alias("n_days"),
+            F.date_format("peak_d", "yyyy-MM-dd").alias("peak_date"),
+            F.date_format("t.d", "yyyy-MM-dd").alias("trough_date"),
+            _floor_round(F.col("t.peak").cast("double") / F.lit(100.0), 2).alias(
+                "peak_usd"
+            ),
+            _floor_round(F.col("t.cents").cast("double") / F.lit(100.0), 2).alias(
+                "trough_usd"
+            ),
+            _floor_round(F.col("t.dd"), 6).alias("max_drawdown"),
+            _floor_round(
+                F.sqrt(var) / F.lit(1.0e8) * F.sqrt(F.lit(365.0)), 6
+            ).alias("ann_volatility"),
+        )
+    )
+
+
+ORACLE_REVENUE_DRAWDOWN = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         CAST(SUM(CAST(trunc(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+), cur AS (
+  SELECT d, cents,
+         MAX(cents) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS peak,
+         LAG(cents) OVER (ORDER BY d) AS prev
+  FROM daily
+), trough AS (
+  SELECT d, cents, peak,
+         CAST(peak - cents AS DOUBLE) / CAST(peak AS DOUBLE) AS dd
+  FROM cur ORDER BY dd DESC, d ASC LIMIT 1
+), peakd AS (
+  SELECT t.d, t.cents, t.peak, t.dd, MIN(x.d) AS peak_d
+  FROM trough t JOIN daily x ON x.cents = t.peak AND x.d <= t.d
+  GROUP BY t.d, t.cents, t.peak, t.dd
+), rets AS (
+  SELECT CAST(ROUND(ln(CAST(cents AS DOUBLE) / CAST(prev AS DOUBLE)) * 1e8, 0)
+              AS BIGINT) AS li
+  FROM cur WHERE prev IS NOT NULL
+), vol AS (
+  SELECT COUNT(*) AS nr, SUM(li) AS sl, SUM(li * li) AS sl2 FROM rets
+), nd AS (SELECT COUNT(*) AS n_days FROM daily)
+SELECT CAST(n_days AS BIGINT) AS n_days,
+       strftime(peak_d, '%Y-%m-%d') AS peak_date,
+       strftime(d, '%Y-%m-%d') AS trough_date,
+       sign(pu) * floor(abs(pu) * 100.0 + 0.5) / 100.0 AS peak_usd,
+       sign(tu) * floor(abs(tu) * 100.0 + 0.5) / 100.0 AS trough_usd,
+       sign(dd) * floor(abs(dd) * 1000000.0 + 0.5) / 1000000.0 AS max_drawdown,
+       sign(av) * floor(abs(av) * 1000000.0 + 0.5) / 1000000.0 AS ann_volatility
+FROM (
+  SELECT n_days, peak_d, d, dd,
+         CAST(peak AS DOUBLE) / 100.0 AS pu,
+         CAST(cents AS DOUBLE) / 100.0 AS tu,
+         sqrt((CAST(sl2 AS DOUBLE)
+               - CAST(sl AS DOUBLE) * CAST(sl AS DOUBLE) / CAST(nr AS DOUBLE))
+              / (CAST(nr AS DOUBLE) - 1.0)) / 1e8 * sqrt(365.0) AS av
+  FROM peakd CROSS JOIN vol CROSS JOIN nd
+) x
+"""
+
+
 QUERIES = {
     "chisq_event_dow": chisq_event_dow,
     "anova_event_values": anova_event_values,
@@ -1893,6 +2034,7 @@ QUERIES = {
     "kaplan_meier_retention": kaplan_meier_retention,
     "theil_sen_revenue_trend": theil_sen_revenue_trend,
     "cusum_revenue_changepoint": cusum_revenue_changepoint,
+    "revenue_drawdown": revenue_drawdown,
 }
 
 ORACLE = {
@@ -1912,4 +2054,5 @@ ORACLE = {
     "kaplan_meier_retention": ORACLE_KAPLAN_MEIER_RETENTION,
     "theil_sen_revenue_trend": ORACLE_THEIL_SEN_REVENUE_TREND,
     "cusum_revenue_changepoint": ORACLE_CUSUM_REVENUE_CHANGEPOINT,
+    "revenue_drawdown": ORACLE_REVENUE_DRAWDOWN,
 }

@@ -463,6 +463,8 @@ _GLOBAL_WINDOW_SANCTIONED = {
     # observation span in days (calendar-bounded, the KM posture);
     # the corpus-sized side is reduced by the groupBy(day) first
     "cusum_revenue_changepoint",
+    # drawdown prefix-max/lag: same per-DAY calendar-bounded frame
+    "revenue_drawdown",
 }
 
 

@@ -714,3 +714,26 @@ def test_attribution_models_conserve_purchase_value(spark):
     for col in ("linear_usd", "ushape_usd"):
         total = out[col].sum()
         assert attributed - n_touch * 1e-9 - 7e-4 <= total <= attributed + 7e-4
+
+
+def test_drawdown_planted_peak_trough(spark, tmp_path):
+    """Planted series: rise to a $5,000 peak on day 10, crash to
+    $1,000 on day 15, recover — max drawdown 0.8 with exactly those
+    dates; the later smaller dip must not win."""
+    from data_ingestion_project_spark.queries.stats import revenue_drawdown
+
+    level = {10: 5000.0, 15: 1000.0, 25: 4000.0, 30: 3500.0}
+    rows = [
+        (
+            pd.Timestamp("1995-01-01") + pd.Timedelta(days=d),
+            level.get(d, 2000.0 + 10.0 * d),
+        )
+        for d in range(40)
+    ]
+    pdf = pd.DataFrame(rows, columns=["o_orderdate", "o_totalprice"])
+    pdf.to_parquet(tmp_path / "orders.parquet", index=False, coerce_timestamps="us")
+    out = revenue_drawdown(spark, str(tmp_path)).toPandas().iloc[0]
+    assert out.peak_date == "1995-01-11" and out.trough_date == "1995-01-16"
+    assert out.peak_usd == 5000.0 and out.trough_usd == 1000.0
+    assert out.max_drawdown == 0.8
+    assert out.n_days == 40 and out.ann_volatility > 0
