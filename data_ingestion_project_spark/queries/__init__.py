@@ -48,6 +48,7 @@ _DRIVER_PRIORITY = (
     "brand_basket_lift",
     "attribution_multitouch_dow",
     "revenue_drawdown",
+    "source_stylometry_delta",
     # -- r03-era certifications (stalest, alphabetical) --
     "acctbal_deciles",
     "acctbal_deciles_scalable",
@@ -85,8 +86,7 @@ _DRIVER_PRIORITY = (
     # -- r04-era certifications (next-stalest, alphabetical head) --
     "approx_daily_active_users",
     "approx_order_price_quantiles",
-    "approx_top_words",
-    # batch_knn_search .. dup_cluster_sizes_star roll to the r08
+    # approx_top_words .. dup_cluster_sizes_star roll to the r08
     # window (the 50-slot budget yields to this round's additions)
 )
 

@@ -29,6 +29,7 @@ from data_ingestion_project_spark.operators.dedup import (
     md5_minhash_candidates,
     substitution_block_pairs,
 )
+from data_ingestion_project_spark.queries._precision import floor_round
 from data_ingestion_project_spark.sources.readers import table
 
 
@@ -4435,6 +4436,171 @@ def compression_ratio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("lang")
     )
 
+_DELTA_TOPK = 40
+_DELTA_FQ = 1_000_000_000  # relative word frequency quantized to 1e-9
+_DELTA_ZQ = 100_000_000  # z-scores quantized to 1e-8
+
+
+def source_stylometry_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burrows's Delta stylometric distance between corpus sources:
+    z-score the per-source relative frequencies of the top-K corpus
+    words, then Delta(s1, s2) = mean |z1 − z2| over those words — the
+    standard authorship-attribution measure, here answering "which
+    sources write alike" (mirrored scrapes, shared boilerplate, same
+    upstream generator) where the DEDUP families answer "which share
+    content".  Top-15 most-similar pairs.
+
+    Plan: ONE explode pass map-side-combines to the (source, word)
+    count frame; everything after runs on frames bounded by
+    |sources| × K (the dense matrix is a broadcast cross join of the
+    20-row source list with the TakeOrdered top-K word list, left-
+    joined so absent words count 0 — skipping that densification
+    silently biases μ/σ).  Corpus-size-independent past the first agg.
+
+    Exactness: relative frequencies quantize to integer 1e-9 at their
+    single division; μ/σ derive from exact integer sums (squares in
+    DECIMAL); each z-score quantizes to integer 1e-8 at its single
+    (f−μ)/σ expression; pair distances are exact integer |z| sums.
+    σ = 0 words (identical share everywhere) are excluded and the
+    divisor is the retained-word count K_eff."""
+    d = table(spark, sf_dir, "documents")
+    words = d.select(
+        "source",
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("word"),
+    ).filter(F.col("word") != "")
+    counts = words.groupBy("source", "word").agg(F.count(F.lit(1)).alias("c"))
+    counts = counts.localCheckpoint(eager=True)
+    tot = counts.groupBy("source").agg(F.sum("c").alias("t"))
+    topk = (
+        counts.groupBy("word")
+        .agg(F.sum("c").alias("g"))
+        .orderBy(F.col("g").desc(), F.col("word").asc())
+        .limit(_DELTA_TOPK)
+        .select("word")
+    )
+    dense = (
+        tot.crossJoin(F.broadcast(topk))
+        .join(counts, ["source", "word"], "left")
+        .select(
+            "source",
+            "word",
+            (
+                F.coalesce(F.col("c"), F.lit(0)).cast("double")
+                / F.col("t").cast("double")
+                * F.lit(float(_DELTA_FQ))
+            )
+            .cast("long")
+            .alias("f_q"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    stats = dense.groupBy("word").agg(
+        F.count(F.lit(1)).alias("ns"),
+        F.sum("f_q").alias("sf"),
+        F.sum((F.col("f_q") * F.col("f_q")).cast("decimal(28,0)")).alias("sf2"),
+    )
+    nsd = F.col("ns").cast("double")
+    mu = F.col("sf").cast("double") / nsd
+    var = (
+        F.col("sf2").cast("double")
+        - F.col("sf").cast("double") * F.col("sf").cast("double") / nsd
+    ) / (nsd - F.lit(1.0))
+    z = (
+        dense.join(F.broadcast(stats), "word")
+        .filter(F.col("sf2").cast("double") * nsd
+                != F.col("sf").cast("double") * F.col("sf").cast("double"))
+        .select(
+            "source",
+            "word",
+            (
+                (F.col("f_q").cast("double") - mu)
+                / F.sqrt(var)
+                * F.lit(float(_DELTA_ZQ))
+            )
+            .cast("long")
+            .alias("z_q"),
+        )
+    )
+    a, b = z.alias("a"), z.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.word") == F.col("b.word"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("k_eff"),
+            F.sum(F.abs(F.col("a.z_q") - F.col("b.z_q"))).alias("sz"),
+        )
+        .select(
+            "source_a",
+            "source_b",
+            F.col("k_eff").cast("long").alias("k_eff"),
+            floor_round(
+                F.col("sz").cast("double")
+                / F.col("k_eff").cast("double")
+                / F.lit(float(_DELTA_ZQ)),
+                6,
+            ).alias("delta"),
+        )
+        .orderBy(F.col("delta").asc(), "source_a", "source_b")
+        .limit(15)
+    )
+
+
+ORACLE_SOURCE_STYLOMETRY_DELTA = f"""
+WITH words AS (
+  SELECT source, w AS word
+  FROM documents,
+       unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t(w)
+  WHERE w <> ''
+), counts AS (
+  SELECT source, word, COUNT(*) AS c FROM words GROUP BY 1, 2
+), tot AS (SELECT source, SUM(c) AS t FROM counts GROUP BY 1),
+topk AS (
+  SELECT word FROM (
+    SELECT word, SUM(c) AS g FROM counts GROUP BY 1
+    ORDER BY g DESC, word ASC LIMIT {_DELTA_TOPK}
+  )
+), dense AS (
+  SELECT tt.source, k.word,
+         CAST(trunc(CAST(COALESCE(c.c, 0) AS DOUBLE) / CAST(tt.t AS DOUBLE)
+                    * {_DELTA_FQ}.0) AS BIGINT) AS f_q
+  FROM tot tt CROSS JOIN topk k
+  LEFT JOIN counts c ON c.source = tt.source AND c.word = k.word
+), stats AS (
+  SELECT word, COUNT(*) AS ns, SUM(f_q) AS sf, SUM(f_q * f_q) AS sf2
+  FROM dense GROUP BY 1
+), z AS (
+  SELECT d.source, d.word,
+         CAST(trunc((CAST(d.f_q AS DOUBLE) - CAST(s.sf AS DOUBLE) / CAST(s.ns AS DOUBLE))
+                    / sqrt((CAST(s.sf2 AS DOUBLE)
+                            - CAST(s.sf AS DOUBLE) * CAST(s.sf AS DOUBLE)
+                              / CAST(s.ns AS DOUBLE))
+                           / (CAST(s.ns AS DOUBLE) - 1.0))
+                    * {_DELTA_ZQ}.0) AS BIGINT) AS z_q
+  FROM dense d JOIN stats s USING (word)
+  WHERE CAST(s.sf2 AS DOUBLE) * CAST(s.ns AS DOUBLE)
+        <> CAST(s.sf AS DOUBLE) * CAST(s.sf AS DOUBLE)
+)
+SELECT source_a, source_b, k_eff,
+       sign(dl) * floor(abs(dl) * 1000000.0 + 0.5) / 1000000.0 AS delta
+FROM (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(COUNT(*) AS BIGINT) AS k_eff,
+         CAST(SUM(abs(a.z_q - b.z_q)) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) / {_DELTA_ZQ}.0 AS dl
+  FROM z a JOIN z b ON a.word = b.word AND a.source < b.source
+  GROUP BY 1, 2
+) p
+ORDER BY delta ASC, source_a, source_b
+LIMIT 15
+"""
+
+
 QUERIES = {
     "doc_repetition_stats": doc_repetition_stats,
     "corpus_mixture_plan": corpus_mixture_plan,
@@ -4464,6 +4630,7 @@ QUERIES = {
     "dup_cluster_sizes_star": dup_cluster_sizes_star,
     "dup_graph_triangles": dup_graph_triangles,
     "dup_graph_bfs_depths": dup_graph_bfs_depths,
+    "source_stylometry_delta": source_stylometry_delta,
     "media_feature_stats": media_feature_stats,
     "media_decode_stats": media_decode_stats,
     "png_decode_stats": png_decode_stats,
@@ -4524,6 +4691,7 @@ ORACLE = {
     "dup_cluster_density": ORACLE_DUP_CLUSTER_DENSITY,
     "dup_graph_triangles": ORACLE_DUP_GRAPH_TRIANGLES,
     "dup_graph_bfs_depths": ORACLE_DUP_GRAPH_BFS_DEPTHS,
+    "source_stylometry_delta": ORACLE_SOURCE_STYLOMETRY_DELTA,
     "dup_cluster_sizes_star": ORACLE_DUP_CLUSTER_SIZES,
     "media_feature_stats": ORACLE_MEDIA_FEATURE_STATS,
     "media_decode_stats": ORACLE_MEDIA_DECODE_STATS,

@@ -737,3 +737,29 @@ def test_drawdown_planted_peak_trough(spark, tmp_path):
     assert out.peak_usd == 5000.0 and out.trough_usd == 1000.0
     assert out.max_drawdown == 0.8
     assert out.n_days == 40 and out.ann_volatility > 0
+
+
+def test_stylometry_delta_planted_styles(spark, tmp_path):
+    """Two sources with the same word-frequency profile must score the
+    smallest Delta; a third source writing from a different profile
+    must sit farther from both."""
+    from data_ingestion_project_spark.queries.documents import (
+        source_stylometry_delta,
+    )
+
+    twin = ("alpha beta gamma delta " * 10).strip()
+    odd = ("zeta zeta zeta eta theta " * 10).strip()
+    rows = []
+    for i in range(10):
+        rows.append((i, twin, "en", "s_twin1", len(twin)))
+        rows.append((100 + i, twin + " beta", "en", "s_twin2", len(twin)))
+        rows.append((200 + i, odd, "en", "s_odd", len(odd)))
+    pdf = pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    pdf.to_parquet(tmp_path / "documents.parquet", index=False)
+    out = source_stylometry_delta(spark, str(tmp_path)).toPandas()
+    assert out.iloc[0].source_a == "s_twin1" and out.iloc[0].source_b == "s_twin2"
+    top = out.iloc[0].delta
+    others = out[(out.source_a != "s_twin1") | (out.source_b != "s_twin2")]
+    assert (others.delta > top + 0.5).all()
