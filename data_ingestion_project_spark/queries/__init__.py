@@ -49,6 +49,7 @@ _DRIVER_PRIORITY = (
     "attribution_multitouch_dow",
     "revenue_drawdown",
     "source_stylometry_delta",
+    "rfm_segments",
     # -- r03-era certifications (stalest, alphabetical) --
     "acctbal_deciles",
     "acctbal_deciles_scalable",
@@ -85,9 +86,9 @@ _DRIVER_PRIORITY = (
     "wealthy_inactive_customers",
     # -- r04-era certifications (next-stalest, alphabetical head) --
     "approx_daily_active_users",
-    "approx_order_price_quantiles",
-    # approx_top_words .. dup_cluster_sizes_star roll to the r08
-    # window (the 50-slot budget yields to this round's additions)
+    # approx_order_price_quantiles .. dup_cluster_sizes_star roll to
+    # the r08 window (the 50-slot budget yields to this round's
+    # additions)
 )
 
 

@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from data_ingestion_project_spark.queries._precision import DEC_BUF, dec_sum, spark_dec_sum, sql_dec_sum, to_micro
+from data_ingestion_project_spark.queries._precision import DEC_BUF, dec_sum, floor_round, spark_dec_sum, sql_dec_sum, to_micro
 from data_ingestion_project_spark.queries.tpch import REV, _rev
 from data_ingestion_project_spark.sources.readers import register_views, table
 
@@ -2298,7 +2298,153 @@ SELECT COUNT(*) AS n_probes,
 FROM tagged
 """
 
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: recency / frequency / monetary
+    quintile scores per customer, mapped to the standard named
+    segments (Champions, Loyal, Big Spenders, At Risk, New,
+    Hibernating, Others) with per-segment size, mean scores, and
+    revenue share — the marketing-analytics census the TPC-H customer
+    queries (ABC, Gini, deciles) circle but never land on.
+
+    Scale: the customer frame is entity-sized; ALL THREE quintile
+    assignments run through operators/quantiles.equal_frequency_buckets
+    (range-bucket by approx cut-points → per-bucket rank → exact
+    global rank → Spark's ntile split rule), so no dimension ever
+    funnels through a single-partition ntile window; the oracle runs
+    the literal NTILE twins, certifying exact parity of the
+    distributed formulation on all three dimensions at once.
+
+    Exactness: recency in whole days, frequency exact counts, monetary
+    exact micro-units (BIGINT — ordering identical both engines, with
+    the customer key as the full tiebreak); segment rules and score
+    means are pure integer arithmetic; revenue share is one double
+    division, floor-rounded."""
+    from data_ingestion_project_spark.operators.quantiles import (
+        equal_frequency_buckets,
+    )
+
+    o = table(spark, sf_dir, "orders")
+    base = o.groupBy("o_custkey").agg(
+        F.max(F.to_date("o_orderdate")).alias("last_d"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(to_micro(F.col("o_totalprice")).cast(DEC_BUF))
+        .cast("long")
+        .alias("mon_i"),
+    )
+    end = base.agg(F.max("last_d").alias("e"))
+    base = (
+        base.crossJoin(F.broadcast(end))
+        .select(
+            "o_custkey",
+            F.datediff("e", "last_d").alias("recency_days"),
+            "freq",
+            "mon_i",
+        )
+        .localCheckpoint(eager=True)
+    )
+    scored = equal_frequency_buckets(
+        base, "recency_days", 5, tiebreak_cols=["o_custkey"], out_col="r_bkt"
+    )
+    scored = equal_frequency_buckets(
+        scored, "freq", 5, tiebreak_cols=["o_custkey"], out_col="f_score"
+    )
+    scored = equal_frequency_buckets(
+        scored, "mon_i", 5, tiebreak_cols=["o_custkey"], out_col="m_score"
+    )
+    r = F.lit(6) - F.col("r_bkt")  # bucket 1 = most recent → score 5
+    f_, m_ = F.col("f_score"), F.col("m_score")
+    seg = (
+        F.when((r >= 4) & (f_ >= 4) & (m_ >= 4), "champions")
+        .when(f_ >= 4, "loyal")
+        .when(m_ >= 4, "big_spenders")
+        .when((r <= 2) & (f_ >= 3), "at_risk")
+        .when((r >= 4) & (f_ <= 2), "new")
+        .when(r <= 2, "hibernating")
+        .otherwise("others")
+    )
+    tot = base.agg(F.sum(F.col("mon_i").cast(DEC_BUF)).alias("t"))
+    return (
+        scored.select(
+            seg.alias("segment"), r.alias("r_score"), "f_score", "m_score", "mon_i"
+        )
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            floor_round(
+                F.sum("r_score").cast("double") / F.count(F.lit(1)).cast("double"), 4
+            ).alias("avg_r"),
+            floor_round(
+                F.sum("f_score").cast("double") / F.count(F.lit(1)).cast("double"), 4
+            ).alias("avg_f"),
+            floor_round(
+                F.sum("m_score").cast("double") / F.count(F.lit(1)).cast("double"), 4
+            ).alias("avg_m"),
+            F.sum(F.col("mon_i").cast(DEC_BUF)).alias("seg_i"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "segment",
+            "n_customers",
+            "avg_r",
+            "avg_f",
+            "avg_m",
+            floor_round(F.col("seg_i").cast("double") / F.col("t").cast("double"), 6).alias(
+                "revenue_share"
+            ),
+        )
+        .orderBy("segment")
+    )
+
+
+ORACLE_RFM_SEGMENTS = """
+WITH base AS (
+  SELECT o_custkey,
+         MAX(CAST(o_orderdate AS DATE)) AS last_d,
+         COUNT(*) AS freq,
+         CAST(SUM(CAST(trunc(o_totalprice * 1000000) AS BIGINT)) AS BIGINT) AS mon_i
+  FROM orders GROUP BY 1
+), e AS (SELECT MAX(last_d) AS e FROM base),
+rfm AS (
+  SELECT o_custkey,
+         date_diff('day', last_d, e.e) AS recency_days, freq, mon_i
+  FROM base CROSS JOIN e
+), scored AS (
+  SELECT o_custkey, mon_i,
+         6 - NTILE(5) OVER (ORDER BY recency_days, o_custkey) AS r,
+         NTILE(5) OVER (ORDER BY freq, o_custkey) AS f,
+         NTILE(5) OVER (ORDER BY mon_i, o_custkey) AS m
+  FROM rfm
+), seg AS (
+  SELECT CASE
+           WHEN r >= 4 AND f >= 4 AND m >= 4 THEN 'champions'
+           WHEN f >= 4 THEN 'loyal'
+           WHEN m >= 4 THEN 'big_spenders'
+           WHEN r <= 2 AND f >= 3 THEN 'at_risk'
+           WHEN r >= 4 AND f <= 2 THEN 'new'
+           WHEN r <= 2 THEN 'hibernating'
+           ELSE 'others'
+         END AS segment, r, f, m, mon_i
+  FROM scored
+), tot AS (SELECT SUM(mon_i) AS t FROM rfm)
+SELECT segment, n_customers,
+       sign(ar) * floor(abs(ar) * 10000.0 + 0.5) / 10000.0 AS avg_r,
+       sign(af) * floor(abs(af) * 10000.0 + 0.5) / 10000.0 AS avg_f,
+       sign(am) * floor(abs(am) * 10000.0 + 0.5) / 10000.0 AS avg_m,
+       sign(rs) * floor(abs(rs) * 1000000.0 + 0.5) / 1000000.0 AS revenue_share
+FROM (
+  SELECT segment, COUNT(*) AS n_customers,
+         CAST(SUM(r) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS ar,
+         CAST(SUM(f) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS af,
+         CAST(SUM(m) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS am,
+         CAST(SUM(mon_i) AS DOUBLE) / CAST((SELECT t FROM tot) AS DOUBLE) AS rs
+  FROM seg GROUP BY 1
+) x
+ORDER BY segment
+"""
+
+
 QUERIES = {
+    "rfm_segments": rfm_segments,
     "orders_profile": orders_profile,
     "segment_wealth_percentiles": segment_wealth_percentiles,
     "segment_richest_customer": segment_richest_customer,
@@ -2343,6 +2489,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "rfm_segments": ORACLE_RFM_SEGMENTS,
     "crypto_shred_audit": ORACLE_CRYPTO_SHRED_AUDIT,
     "orders_profile": ORACLE_ORDERS_PROFILE,
     "quantile_sketch_rollup": ORACLE_QUANTILE_SKETCH_ROLLUP,

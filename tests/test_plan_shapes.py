@@ -630,3 +630,17 @@ def test_interval_join_is_hash_join_not_nested_loop(spark):
         c["n_broadcast_joins"] + c["n_sortmerge_joins"] + c["n_shuffled_hash_joins"]
     ) >= 1
     assert not c["has_python_udf"]
+
+
+def test_rfm_quintiles_are_distributed_not_ntile(spark):
+    """All three RFM quintile assignments must run through the
+    distributed equal-frequency operator: zero ntile nodes, all three
+    ranking windows partitioned by the range-bucket id, and the only
+    single-partition exchange is the 1-row recency-anchor aggregate."""
+    from data_ingestion_project_spark.plans.explain import executed_plan
+
+    df = all_queries()["rfm_segments"](spark, SF)
+    plan = executed_plan(df).split("== Initial Plan ==")[0]
+    assert "ntile" not in plan
+    assert plan.count("hashpartitioning(__rid") >= 3
+    assert plan.count("Exchange SinglePartition") <= 1

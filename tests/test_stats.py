@@ -763,3 +763,32 @@ def test_stylometry_delta_planted_styles(spark, tmp_path):
     top = out.iloc[0].delta
     others = out[(out.source_a != "s_twin1") | (out.source_b != "s_twin2")]
     assert (others.delta > top + 0.5).all()
+
+
+def test_rfm_planted_segments(spark, tmp_path):
+    """25 customers engineered so every quintile holds exactly 5: the
+    top-5 on all three dimensions must classify as champions, and the
+    5 oldest-and-rarest buyers as hibernating."""
+    from data_ingestion_project_spark.queries.advanced import rfm_segments
+
+    rows = []
+    base = pd.Timestamp("1995-01-01")
+    for c in range(25):
+        # customer c: c+1 orders, last one (24-c) days before the
+        # anchor, each worth (c+1)*100 — all three dimensions aligned
+        for k in range(c + 1):
+            rows.append((c, base + pd.Timedelta(days=c), (c + 1) * 100.0))
+    pdf = pd.DataFrame(rows, columns=["o_custkey", "o_orderdate", "o_totalprice"])
+    pdf.to_parquet(tmp_path / "orders.parquet", index=False, coerce_timestamps="us")
+    out = rfm_segments(spark, str(tmp_path)).toPandas().set_index("segment")
+    # aligned dimensions: the top TWO quintiles (scores 4 and 5) all
+    # clear the champions rule; the bottom two land in hibernating
+    assert out.loc["champions"].n_customers == 10
+    assert out.loc["champions"].avg_r == 4.5
+    assert out.loc["champions"].avg_f == 4.5
+    assert out.loc["champions"].avg_m == 4.5
+    assert out.loc["hibernating"].n_customers == 10
+    assert out.loc["hibernating"].avg_r == 1.5
+    assert out.loc["others"].n_customers == 5  # the middle quintile
+    # champions carry the dominant revenue share
+    assert out.loc["champions"].revenue_share > 0.5
