@@ -50,6 +50,7 @@ _DRIVER_PRIORITY = (
     "revenue_drawdown",
     "source_stylometry_delta",
     "rfm_segments",
+    "embedding_davies_bouldin",
     # -- r03-era certifications (stalest, alphabetical) --
     "acctbal_deciles",
     "acctbal_deciles_scalable",
@@ -85,10 +86,8 @@ _DRIVER_PRIORITY = (
     "user_scd2_summary",
     "wealthy_inactive_customers",
     # -- r04-era certifications (next-stalest, alphabetical head) --
-    "approx_daily_active_users",
-    # approx_order_price_quantiles .. dup_cluster_sizes_star roll to
-    # the r08 window (the 50-slot budget yields to this round's
-    # additions)
+    # approx_daily_active_users .. dup_cluster_sizes_star roll to the
+    # r08 window (the 50-slot budget yields to this round's additions)
 )
 
 

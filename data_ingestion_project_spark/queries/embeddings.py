@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_ingestion_project_spark.functions.vectors import cosine_similarity, vec_dot, vec_norm
-from data_ingestion_project_spark.queries._precision import dec_avg, sql_dec_avg
+from data_ingestion_project_spark.queries._precision import dec_avg, floor_round, sql_dec_avg
 from data_ingestion_project_spark.operators.similarity import (
     cosine_batch_topk,
     cosine_self_topk_pairs,
@@ -1159,7 +1159,221 @@ def pca_variance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows, "component int, explained_ratio double, lead_dim int"
     ).orderBy("component")
 
+_DB_Q = 10_000  # embedding coordinates quantized to 1e-4 integer units
+_DB_CENTS = 16
+
+
+def embedding_davies_bouldin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Davies–Bouldin clustering-quality census of the embedding space
+    under the md5-deterministic 16-centroid IVF assignment (the
+    ivf_recall quantizer): per cluster, its size, RMS scatter around
+    its MEAN vector, the distance to and id of its worst-ratio
+    neighbor, the DB term max_j (s_i+s_j)/d_ij, and the global DB
+    index (lower = tighter, better-separated clusters) — the
+    quality-scoring companion to embedding_cluster_stats, fully
+    SQL-replayable where that one is rows-only.
+
+    Scale/exactness: coordinates quantize to integer 1e-4 units at the
+    ONE corpus pass (posexplode → 16×64 integer moment cells: Σq and
+    Σq², the pca.py posture — map-side combined, nothing downstream
+    grows with the corpus).  Mean, per-cluster scatter (Σq²/n − Σμ²,
+    the trace identity — no second pass over members), all 16×16
+    centroid distances, and the DB maxima are derived on the
+    cell/centroid frames from exact integer sums via deterministic
+    IEEE ops (sqrt is correctly-rounded, shared by both engines)."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "embeddings")
+    corpus = e.filter(F.col("vec_id") != QUERY_VEC_ID).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    cents = (
+        corpus.withColumn("__h", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("__h", "vec_id")
+        .limit(_DB_CENTS)
+        .select(F.col("vec_id").alias("cent_id"), F.col("v").alias("c"))
+    )
+    assigned = corpus.crossJoin(F.broadcast(cents)).withColumn(
+        "cos", cosine_similarity("v", "c")
+    )
+    wv = Window.partitionBy("vec_id").orderBy(
+        F.col("cos").desc(), F.col("cent_id").asc()
+    )
+    inv = (
+        assigned.withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cent_id", "v")
+    )
+    qcell = inv.select(
+        "cent_id",
+        F.posexplode("v").alias("dim", "x"),
+    ).select(
+        "cent_id",
+        "dim",
+        (F.col("x") * F.lit(float(_DB_Q))).cast("long").alias("q"),
+    )
+    cells = qcell.groupBy("cent_id", "dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("q").alias("sq"),
+        F.sum(F.col("q") * F.col("q")).alias("sq2"),
+    ).localCheckpoint(eager=True)
+    # per-cluster scatter via the trace identity with an EXACT integer
+    # numerator: n²·var = Σ_d (n·Σq² − (Σq)²) — a 64-term double sum
+    # here would be order-dependent across engines
+    _d38 = "decimal(38,0)"
+    per = (
+        cells.groupBy("cent_id")
+        .agg(
+            F.max("n").cast("long").alias("n_members"),
+            F.sum(
+                (F.col("n") * F.col("sq2") - F.col("sq") * F.col("sq")).cast(_d38)
+            ).alias("vnum"),
+        )
+        .select(
+            "cent_id",
+            "n_members",
+            (
+                F.sqrt(F.col("vnum").cast("double"))
+                / F.col("n_members").cast("double")
+                / F.lit(float(_DB_Q))
+            ).alias("s"),
+        )
+    )
+    a = cells.select("cent_id", "dim", "n", "sq")
+    b = a.select(
+        F.col("cent_id").alias("cent_j"),
+        "dim",
+        F.col("n").alias("n_j"),
+        F.col("sq").alias("sq_j"),
+    )
+    # centroid distance with exact cross-multiplied numerator:
+    # (n_i·n_j)²·d² = Σ_d (sq_i·n_j − sq_j·n_i)², folded in DECIMAL
+    diff = (F.col("sq") * F.col("n_j") - F.col("sq_j") * F.col("n")).cast(_d38)
+    dist = (
+        a.join(b, "dim")
+        .filter(F.col("cent_id") != F.col("cent_j"))
+        .groupBy("cent_id", "cent_j")
+        .agg(
+            F.sum(diff * diff).alias("dnum"),
+            F.max(F.col("n") * F.col("n_j")).alias("nn"),
+        )
+        .select(
+            "cent_id",
+            "cent_j",
+            (
+                F.sqrt(F.col("dnum").cast("double"))
+                / F.col("nn").cast("double")
+                / F.lit(float(_DB_Q))
+            ).alias("d"),
+        )
+    )
+    pi = per.select(F.col("cent_id"), F.col("s"), F.col("n_members"))
+    pj = per.select(F.col("cent_id").alias("cent_j"), F.col("s").alias("s_j"))
+    ratio = (
+        dist.join(F.broadcast(pi), "cent_id")
+        .join(F.broadcast(pj), "cent_j")
+        .select(
+            "cent_id",
+            "n_members",
+            "s",
+            "cent_j",
+            "d",
+            ((F.col("s") + F.col("s_j")) / F.col("d")).alias("r"),
+        )
+    )
+    wr = Window.partitionBy("cent_id").orderBy(
+        F.col("r").desc(), F.col("cent_j").asc()
+    )
+    worst = ratio.withColumn("rn", F.row_number().over(wr)).filter(F.col("rn") == 1)
+    # the 16-term DB mean would be an order-dependent double sum too:
+    # quantize each ratio to 1e-9 integers first
+    k = worst.agg(F.count(F.lit(1)).alias("k"))
+    db = worst.crossJoin(F.broadcast(k)).agg(
+        (
+            F.sum((F.col("r") * F.lit(1.0e9)).cast("long")).cast("double")
+            / F.max("k").cast("double")
+            / F.lit(1.0e9)
+        ).alias("db_raw")
+    )
+    return (
+        worst.crossJoin(F.broadcast(db))
+        .select(
+            "cent_id",
+            "n_members",
+            floor_round(F.col("s"), 6).alias("scatter_rms"),
+            F.col("cent_j").alias("worst_neighbor"),
+            floor_round(F.col("d"), 6).alias("neighbor_dist"),
+            floor_round(F.col("r"), 6).alias("db_term"),
+            floor_round(F.col("db_raw"), 6).alias("db_index"),
+        )
+        .orderBy("cent_id")
+    )
+
+
+ORACLE_EMBEDDING_DAVIES_BOULDIN = f"""
+WITH corpus AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  WHERE vec_id <> {QUERY_VEC_ID}
+), cents AS (
+  SELECT vec_id AS cent_id, v AS c
+  FROM corpus ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {_DB_CENTS}
+), assigned AS (
+  SELECT vec_id, v, cent_id,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+           ORDER BY list_cosine_similarity(v, c) DESC, cent_id ASC) AS rn
+  FROM corpus CROSS JOIN cents
+), inv AS (
+  SELECT vec_id, v, cent_id FROM assigned WHERE rn = 1
+), qcell AS (
+  SELECT cent_id, g.dim AS dim,
+         CAST(trunc(v[g.dim] * {_DB_Q}.0) AS BIGINT) AS q
+  FROM inv CROSS JOIN generate_series(1, 64) g(dim)
+), cells AS (
+  SELECT cent_id, dim, COUNT(*) AS n, SUM(q) AS sq, SUM(q * q) AS sq2
+  FROM qcell GROUP BY 1, 2
+), per AS (
+  SELECT cent_id, CAST(MAX(n) AS BIGINT) AS n_members,
+         sqrt(CAST(SUM(n * sq2 - sq * sq) AS DOUBLE))
+           / CAST(MAX(n) AS DOUBLE) / {_DB_Q}.0 AS s
+  FROM cells GROUP BY 1
+), dist AS (
+  SELECT a.cent_id, b.cent_id AS cent_j,
+         sqrt(CAST(SUM(CAST(a.sq * b.n - b.sq * a.n AS HUGEINT)
+                       * CAST(a.sq * b.n - b.sq * a.n AS HUGEINT)) AS DOUBLE))
+           / CAST(MAX(a.n * b.n) AS DOUBLE) / {_DB_Q}.0 AS d
+  FROM cells a JOIN cells b ON a.dim = b.dim AND a.cent_id <> b.cent_id
+  GROUP BY 1, 2
+), ratio AS (
+  SELECT d.cent_id, pi.n_members, pi.s, d.cent_j, d.d,
+         (pi.s + pj.s) / d.d AS r
+  FROM dist d
+  JOIN per pi ON pi.cent_id = d.cent_id
+  JOIN per pj ON pj.cent_id = d.cent_j
+), worst AS (
+  SELECT * FROM (
+    SELECT ratio.*,
+           ROW_NUMBER() OVER (PARTITION BY cent_id
+             ORDER BY r DESC, cent_j ASC) AS rn
+    FROM ratio
+  ) WHERE rn = 1
+), db AS (
+  SELECT CAST(SUM(CAST(trunc(r * 1e9) AS BIGINT)) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) / 1e9 AS db_raw
+  FROM worst
+)
+SELECT cent_id, n_members,
+       sign(s) * floor(abs(s) * 1000000.0 + 0.5) / 1000000.0 AS scatter_rms,
+       cent_j AS worst_neighbor,
+       sign(d) * floor(abs(d) * 1000000.0 + 0.5) / 1000000.0 AS neighbor_dist,
+       sign(r) * floor(abs(r) * 1000000.0 + 0.5) / 1000000.0 AS db_term,
+       sign(db_raw) * floor(abs(db_raw) * 1000000.0 + 0.5) / 1000000.0 AS db_index
+FROM worst CROSS JOIN db
+ORDER BY cent_id
+"""
+
+
 QUERIES = {
+    "embedding_davies_bouldin": embedding_davies_bouldin,
     "knn_brute_force": knn_brute_force,
     "batch_knn_search": batch_knn_search,
     "matryoshka_overlap": matryoshka_overlap,
@@ -1181,6 +1395,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "embedding_davies_bouldin": ORACLE_EMBEDDING_DAVIES_BOULDIN,
     "knn_brute_force": ORACLE_KNN_BRUTE_FORCE,
     "batch_knn_search": ORACLE_BATCH_KNN_SEARCH,
     "matryoshka_overlap": ORACLE_MATRYOSHKA_OVERLAP,

@@ -1837,3 +1837,89 @@ def test_brand_basket_lift_planted_association(spark, tmp_path):
     assert ab.lift == 3.0 and ab.confidence_a_b == 1.0
     assert cd.n_ab == 60 and cd.lift == 0.75 and cd.confidence_a_b == 0.5
     assert out.iloc[0].brand_a == "A"  # strongest association ranks first
+
+
+def test_davies_bouldin_matches_numpy_replay(spark):
+    """Replays the DB-index arithmetic in numpy FROM the engine's own
+    cluster assignment: per-cluster RMS scatter via the trace identity,
+    exact cross-multiplied centroid distances, worst-neighbor ratios,
+    and the global index — every output column must reproduce."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from data_ingestion_project_spark.functions.vectors import cosine_similarity
+    from data_ingestion_project_spark.queries.embeddings import (
+        QUERY_VEC_ID,
+        _DB_CENTS,
+        _DB_Q,
+        embedding_davies_bouldin,
+    )
+    from data_ingestion_project_spark.sources.readers import table
+
+    SF = "/root/testdata/sf0.001"
+    e = table(spark, SF, "embeddings")
+    corpus = e.filter(F.col("vec_id") != QUERY_VEC_ID).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    cents = (
+        corpus.withColumn("__h", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("__h", "vec_id")
+        .limit(_DB_CENTS)
+        .select(F.col("vec_id").alias("cent_id"), F.col("v").alias("c"))
+    )
+    wv = Window.partitionBy("vec_id").orderBy(
+        F.col("cos").desc(), F.col("cent_id").asc()
+    )
+    inv = (
+        corpus.crossJoin(F.broadcast(cents))
+        .withColumn("cos", cosine_similarity("v", "c"))
+        .withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") == 1)
+        .select("cent_id", "v")
+        .toPandas()
+    )
+    q = {
+        cid: np.array(
+            [np.trunc(np.array(v) * _DB_Q).astype(np.int64) for v in g["v"]]
+        )
+        for cid, g in inv.groupby("cent_id")
+    }
+    s, mu = {}, {}
+    for cid, m in q.items():
+        n = len(m)
+        vnum = int((n * (m.astype(object) ** 2).sum(0) - m.sum(0).astype(object) ** 2).sum())
+        s[cid] = math.sqrt(float(vnum)) / n / _DB_Q
+        mu[cid] = (m.sum(0).astype(object), n)
+    worst = {}
+    for i in q:
+        best = None
+        for j in q:
+            if j == i:
+                continue
+            sqi, ni = mu[i]
+            sqj, nj = mu[j]
+            dnum = int(((sqi * nj - sqj * ni) ** 2).sum())
+            d = math.sqrt(float(dnum)) / (ni * nj) / _DB_Q
+            r = (s[i] + s[j]) / d
+            if best is None or r > best[0] or (r == best[0] and j < best[1]):
+                best = (r, j, d) if best is None or r > best[0] else best
+        worst[i] = best
+    db = sum(math.trunc(r * 1e9) for r, _, _ in worst.values()) / len(worst) / 1e9
+
+    def rnd(v):
+        return math.copysign(math.floor(abs(v) * 1e6 + 0.5) / 1e6, v)
+
+    out = embedding_davies_bouldin(spark, SF).toPandas()
+    assert len(out) == len(q)
+    for _, row in out.iterrows():
+        r, j, d = worst[row.cent_id]
+        assert row.n_members == len(q[row.cent_id])
+        assert row.scatter_rms == rnd(s[row.cent_id])
+        assert row.worst_neighbor == j
+        assert row.neighbor_dist == rnd(d)
+        assert row.db_term == rnd(r)
+        assert row.db_index == rnd(db)
