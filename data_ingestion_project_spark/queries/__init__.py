@@ -51,6 +51,8 @@ _DRIVER_PRIORITY = (
     "source_stylometry_delta",
     "rfm_segments",
     "embedding_davies_bouldin",
+    "event_trigram_paths",
+    "conversion_wilson_ci",
     # -- r03-era certifications (stalest, alphabetical) --
     "acctbal_deciles",
     "acctbal_deciles_scalable",
@@ -84,10 +86,10 @@ _DRIVER_PRIORITY = (
     "top2_orders_lateral",
     "top_similar_pairs",
     "user_scd2_summary",
-    "wealthy_inactive_customers",
-    # -- r04-era certifications (next-stalest, alphabetical head) --
-    # approx_daily_active_users .. dup_cluster_sizes_star roll to the
-    # r08 window (the 50-slot budget yields to this round's additions)
+    # wealthy_inactive_customers (r03 tail) and the whole r04 era
+    # (approx_daily_active_users .. dup_cluster_sizes_star) roll to
+    # the r08 window — the 50-slot budget yields to this round's
+    # additions.  This tuple is exactly 50 names = the full window.
 )
 
 

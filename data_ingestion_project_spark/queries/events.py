@@ -545,6 +545,194 @@ ORDER BY s.event_type""",
     )
 
 
+def event_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-15 three-step user journeys: the most frequent ordered
+    event-type TRIGRAMS across user timelines, with each path's share
+    of all trigrams — the order-sensitive upgrade of event_transitions
+    (bigram counts feed the Markov chain; trigrams expose where the
+    first-order model is wrong, e.g. click→click→purchase vs
+    view→click→purchase diverging from what P(click→purchase) alone
+    predicts).
+
+    Plan: ONE user-keyed window shuffle produces both lags in a single
+    pass (same window spec ⇒ one Window node); the trigram census is a
+    |types|³-bounded aggregate and the top-15 a TakeOrdered.  All
+    counts exact; the share is one double division, floor-rounded."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    tri = (
+        e.select(
+            F.lag("event_type", 2).over(w).alias("t1"),
+            F.lag("event_type", 1).over(w).alias("t2"),
+            F.col("event_type").alias("t3"),
+        )
+        .filter(F.col("t1").isNotNull() & F.col("t2").isNotNull())
+        .groupBy("t1", "t2", "t3")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    tot = tri.agg(F.sum("n").alias("t"))
+    return (
+        tri.crossJoin(F.broadcast(tot))
+        .select(
+            "t1",
+            "t2",
+            "t3",
+            "n",
+            floor_round(F.col("n").cast("double") / F.col("t").cast("double"), 6).alias(
+                "share"
+            ),
+        )
+        .orderBy(F.col("n").desc(), "t1", "t2", "t3")
+        .limit(15)
+    )
+
+
+ORACLE_EVENT_TRIGRAM_PATHS = """
+WITH tri AS (
+  SELECT t1, t2, t3, COUNT(*) AS n
+  FROM (
+    SELECT LAG(event_type, 2) OVER w AS t1,
+           LAG(event_type, 1) OVER w AS t2,
+           event_type AS t3
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+  ) x
+  WHERE t1 IS NOT NULL AND t2 IS NOT NULL
+  GROUP BY 1, 2, 3
+), tot AS (SELECT SUM(n) AS t FROM tri)
+SELECT t1, t2, t3, CAST(n AS BIGINT) AS n,
+       sign(sh) * floor(abs(sh) * 1000000.0 + 0.5) / 1000000.0 AS share
+FROM (
+  SELECT t1, t2, t3, n, CAST(n AS DOUBLE) / CAST(t AS DOUBLE) AS sh
+  FROM tri CROSS JOIN tot
+) y
+ORDER BY n DESC, t1, t2, t3
+LIMIT 15
+"""
+
+
+_WILSON_Z = 1.96  # 95% normal quantile, a shared literal
+_WILSON_HOURS = 24
+
+
+def conversion_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click→purchase conversion per click day-of-week with WILSON
+    95% score intervals — the proportion-inference primitive (naive
+    p̂ ± 1.96√(p̂(1−p̂)/n) misbehaves at small n / extreme p; Wilson
+    is the textbook fix).  A click CONVERTS if the same user purchases
+    within 24 hours after it.
+
+    Plan: clicks left-semi-join purchases on the USER key with the
+    time-range refine to tag converters — one equi-join keyed by user
+    (the attribution posture), then a 7-row dow aggregate.  Exactness:
+    n and k are exact counts; p̂ and both Wilson bounds are single
+    deterministic double expressions over those integers, shared
+    operation-for-operation with the oracle."""
+    e = table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"), "user_id", F.col("ts").alias("c_ts")
+    )
+    purch = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts")
+    )
+    conv = (
+        clicks.join(purch, "user_id")
+        .filter(
+            (F.col("p_ts") >= F.col("c_ts"))
+            & (
+                F.col("p_ts")
+                <= F.col("c_ts") + F.expr(f"INTERVAL {_WILSON_HOURS} HOURS")
+            )
+        )
+        .select("c_id")
+        .distinct()
+    )
+    tagged = clicks.join(conv, "c_id", "left_semi").groupBy(
+        (F.expr("weekday(c_ts)") + F.lit(1)).alias("dow")
+    ).agg(F.count(F.lit(1)).alias("k"))
+    base = clicks.groupBy(
+        (F.expr("weekday(c_ts)") + F.lit(1)).alias("dow")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    z = F.lit(_WILSON_Z)
+    nn = F.col("n").cast("double")
+    p = F.col("k").cast("double") / nn
+    center = (p + z * z / (F.lit(2.0) * nn)) / (F.lit(1.0) + z * z / nn)
+    half = (
+        z
+        * F.sqrt(
+            p * (F.lit(1.0) - p) / nn
+            + z * z / (F.lit(4.0) * nn * nn)
+        )
+        / (F.lit(1.0) + z * z / nn)
+    )
+    return (
+        base.join(F.broadcast(tagged), "dow", "left")
+        .select(
+            "dow",
+            "n",
+            F.coalesce(F.col("k"), F.lit(0)).cast("long").alias("k"),
+        )
+        .select(
+            "dow",
+            "n",
+            "k",
+            floor_round(p, 6).alias("p_hat"),
+            floor_round(center - half, 6).alias("wilson_lo"),
+            floor_round(center + half, 6).alias("wilson_hi"),
+        )
+        .orderBy("dow")
+    )
+
+
+ORACLE_CONVERSION_WILSON_CI = f"""
+WITH clicks AS (
+  SELECT event_id AS c_id, user_id, ts AS c_ts
+  FROM events WHERE event_type = 'click'
+), purch AS (
+  SELECT user_id, ts AS p_ts FROM events WHERE event_type = 'purchase'
+), conv AS (
+  SELECT DISTINCT c.c_id
+  FROM clicks c JOIN purch p USING (user_id)
+  WHERE p.p_ts >= c.c_ts
+    AND p.p_ts <= c.c_ts + INTERVAL {_WILSON_HOURS} HOUR
+), agg AS (
+  SELECT CAST(date_part('isodow', c_ts) AS INT) AS dow,
+         COUNT(*) AS n,
+         SUM(CASE WHEN c_id IN (SELECT c_id FROM conv) THEN 1 ELSE 0 END) AS k
+  FROM clicks GROUP BY 1
+)
+SELECT dow, CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+       sign(p) * floor(abs(p) * 1000000.0 + 0.5) / 1000000.0 AS p_hat,
+       sign(lo) * floor(abs(lo) * 1000000.0 + 0.5) / 1000000.0 AS wilson_lo,
+       sign(hi) * floor(abs(hi) * 1000000.0 + 0.5) / 1000000.0 AS wilson_hi
+FROM (
+  SELECT dow, n, k,
+         CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+         (CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+          + {_WILSON_Z} * {_WILSON_Z} / (2.0 * CAST(n AS DOUBLE)))
+         / (1.0 + {_WILSON_Z} * {_WILSON_Z} / CAST(n AS DOUBLE))
+         - {_WILSON_Z} * sqrt(CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+             * (1.0 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)
+             + {_WILSON_Z} * {_WILSON_Z}
+               / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+           / (1.0 + {_WILSON_Z} * {_WILSON_Z} / CAST(n AS DOUBLE)) AS lo,
+         (CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+          + {_WILSON_Z} * {_WILSON_Z} / (2.0 * CAST(n AS DOUBLE)))
+         / (1.0 + {_WILSON_Z} * {_WILSON_Z} / CAST(n AS DOUBLE))
+         + {_WILSON_Z} * sqrt(CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+             * (1.0 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)
+             + {_WILSON_Z} * {_WILSON_Z}
+               / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+           / (1.0 + {_WILSON_Z} * {_WILSON_Z} / CAST(n AS DOUBLE)) AS hi
+  FROM agg
+) x
+ORDER BY dow
+"""
+
+
 def _events_by_day_path(spark: SparkSession, sf_dir: str) -> str:
     """Materialize (once) the day-partitioned events layout for this
     scale factor and return its path (operators/materialize: atomic
@@ -1108,6 +1296,8 @@ QUERIES = {
     "events_one_day_by_type": events_one_day_by_type,
     "event_transitions": event_transitions,
     "attribution_multitouch_dow": attribution_multitouch_dow,
+    "event_trigram_paths": event_trigram_paths,
+    "conversion_wilson_ci": conversion_wilson_ci,
     "markov_stationary_events": markov_stationary_events,
     "daily_active_users": daily_active_users,
     "top_purchasers": top_purchasers,
@@ -1141,6 +1331,8 @@ ORACLE = {
     "purchase_last_click": ORACLE_PURCHASE_LAST_CLICK,
     "event_transitions": ORACLE_EVENT_TRANSITIONS,
     "attribution_multitouch_dow": ORACLE_ATTRIBUTION_MULTITOUCH_DOW,
+    "event_trigram_paths": ORACLE_EVENT_TRIGRAM_PATHS,
+    "conversion_wilson_ci": ORACLE_CONVERSION_WILSON_CI,
     "markov_stationary_events": _oracle_markov_stationary_events(),
     "user_scd2_summary": ORACLE_USER_SCD2_SUMMARY,
     "dp_event_counts": ORACLE_DP_EVENT_COUNTS,

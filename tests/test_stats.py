@@ -792,3 +792,43 @@ def test_rfm_planted_segments(spark, tmp_path):
     assert out.loc["others"].n_customers == 5  # the middle quintile
     # champions carry the dominant revenue share
     assert out.loc["champions"].revenue_share > 0.5
+
+
+def test_wilson_ci_reference_and_coverage_properties(spark):
+    """Wilson bounds against scipy-free closed-form reference per dow:
+    lo < p_hat < hi (when 0<k<n), interval within [0,1], and exact
+    n/k reproduction from a pandas replay of the 24 h conversion rule."""
+    import numpy as np
+
+    from data_ingestion_project_spark.queries.events import conversion_wilson_ci
+
+    out = conversion_wilson_ci(spark, SF).toPandas()
+    e = pd.read_parquet(f"{SF}/events.parquet")
+    e["ts"] = pd.to_datetime(e["ts"])
+    clicks = e[e.event_type == "click"]
+    purch = e[e.event_type == "purchase"][["user_id", "ts"]]
+    by_dow_n = {}
+    by_dow_k = {}
+    for _, c in clicks.iterrows():
+        dow = c.ts.isoweekday()
+        by_dow_n[dow] = by_dow_n.get(dow, 0) + 1
+        p = purch[
+            (purch.user_id == c.user_id)
+            & (purch.ts >= c.ts)
+            & (purch.ts <= c.ts + pd.Timedelta(hours=24))
+        ]
+        if len(p):
+            by_dow_k[dow] = by_dow_k.get(dow, 0) + 1
+    for _, r in out.iterrows():
+        assert r.n == by_dow_n[r.dow] and r.k == by_dow_k.get(r.dow, 0)
+        z = 1.96
+        p = r.k / r.n
+        center = (p + z * z / (2 * r.n)) / (1 + z * z / r.n)
+        half = (
+            z
+            * math.sqrt(p * (1 - p) / r.n + z * z / (4 * r.n * r.n))
+            / (1 + z * z / r.n)
+        )
+        assert abs(r.wilson_lo - (center - half)) < 2e-6
+        assert abs(r.wilson_hi - (center + half)) < 2e-6
+        assert 0.0 <= r.wilson_lo < r.p_hat < r.wilson_hi <= 1.0
