@@ -2017,6 +2017,169 @@ FROM (
 """
 
 
+_BACKTEST_DAYS = 28
+
+
+def forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-method backtest on daily revenue: hold out the last 28
+    days, forecast each with (a) SEASONAL-NAIVE (the value one week
+    earlier) and (b) NAIVE+DRIFT (last training value plus the mean
+    training-period daily increment), and score MAE / RMSE / MAPE per
+    method — the evaluation harness that tells a pipeline whether its
+    fancy model actually beats the one-line baselines (the M-series
+    competition lesson: often it does not).
+
+    Exactness: daily cents exact; seasonal-naive errors are integer
+    cent differences; drift forecasts are one double expression of
+    exact integers (identical both engines); each error metric folds
+    integer-quantized per-day terms (|e| exact cents; e² in DECIMAL;
+    |e|/y micro-truncated), so the final divisions are
+    value-determined.  Plan: one shuffle to the calendar-sized daily
+    frame; the week-back lookup is a self equi-join on day−7 and the
+    drift anchor a broadcast 1-row aggregate."""
+    o = table(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.to_date("o_orderdate").alias("dt"))
+        .agg(F.sum((F.col("o_totalprice") * 100).cast("long")).alias("cents"))
+        .localCheckpoint(eager=True)
+    )
+    bounds = daily.agg(
+        F.max("dt").alias("end"),
+        F.date_sub(F.max("dt"), _BACKTEST_DAYS - 1).alias("cut"),
+    )
+    d = daily.crossJoin(F.broadcast(bounds))
+    train = d.filter(F.col("dt") < F.col("cut"))
+    test = d.filter(F.col("dt") >= F.col("cut")).select("dt", "cents", "cut")
+    # anchor: last training day's value + mean daily increment over training
+    anchor = (
+        train.orderBy(F.col("dt").desc())
+        .limit(1)
+        .select(F.col("dt").alias("a_dt"), F.col("cents").alias("a_cents"))
+    )
+    first = (
+        train.orderBy(F.col("dt").asc())
+        .limit(1)
+        .select(F.col("dt").alias("f_dt"), F.col("cents").alias("f_cents"))
+    )
+    drift = anchor.crossJoin(F.broadcast(first)).select(
+        "a_dt",
+        "a_cents",
+        (
+            (F.col("a_cents") - F.col("f_cents")).cast("double")
+            / F.datediff("a_dt", "f_dt").cast("double")
+        ).alias("slope"),
+    )
+    wk = daily.select(F.col("dt").alias("wk_dt"), F.col("cents").alias("wk_cents"))
+    scored = (
+        test.join(wk, F.col("wk_dt") == F.date_sub("dt", 7))
+        .crossJoin(F.broadcast(drift))
+        .select(
+            "dt",
+            "cents",
+            F.col("wk_cents").cast("double").alias("f_seasonal"),
+            (
+                F.col("a_cents").cast("double")
+                + F.col("slope") * F.datediff("dt", "a_dt").cast("double")
+            ).alias("f_drift"),
+        )
+    )
+    rows = []
+    for method, fc in (("seasonal_naive", "f_seasonal"), ("drift", "f_drift")):
+        e = F.col(fc) - F.col("cents").cast("double")
+        rows.append(
+            scored.select(
+                F.lit(method).alias("method"),
+                F.abs(e).cast("long").alias("ae"),
+                # floor, not a straight decimal cast: double→decimal
+                # rounds in Spark while the oracle truncates
+                F.floor(e * e).cast("decimal(38,0)").alias("se"),
+                _micro(F.abs(e) / F.col("cents").cast("double")).alias("ape"),
+            )
+            .groupBy("method")
+            .agg(
+                F.count(F.lit(1)).alias("n_days"),
+                F.sum("ae").alias("sae"),
+                F.sum("se").alias("sse"),
+                F.sum("ape").alias("sape"),
+            )
+        )
+    u = rows[0].unionByName(rows[1])
+    n = F.col("n_days").cast("double")
+    return u.select(
+        "method",
+        F.col("n_days").cast("long").alias("n_days"),
+        _floor_round(F.col("sae").cast("double") / n / F.lit(100.0), 2).alias(
+            "mae_usd"
+        ),
+        _floor_round(
+            F.sqrt(F.col("sse").cast("double") / n) / F.lit(100.0), 2
+        ).alias("rmse_usd"),
+        _floor_round(F.col("sape").cast("double") / n / F.lit(float(_M)), 6).alias(
+            "mape"
+        ),
+    ).orderBy("method")
+
+
+ORACLE_FORECAST_BACKTEST = f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS dt,
+         CAST(SUM(CAST(trunc(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+), bounds AS (
+  SELECT MAX(dt) AS e, MAX(dt) - {_BACKTEST_DAYS - 1} AS cut FROM daily
+), train AS (
+  SELECT d.* FROM daily d CROSS JOIN bounds WHERE d.dt < cut
+), test AS (
+  SELECT d.* FROM daily d CROSS JOIN bounds WHERE d.dt >= cut
+), anchor AS (
+  SELECT dt AS a_dt, cents AS a_cents FROM train ORDER BY dt DESC LIMIT 1
+), first AS (
+  SELECT dt AS f_dt, cents AS f_cents FROM train ORDER BY dt ASC LIMIT 1
+), drift AS (
+  SELECT a_dt, a_cents,
+         CAST(a_cents - f_cents AS DOUBLE)
+           / CAST(date_diff('day', f_dt, a_dt) AS DOUBLE) AS slope
+  FROM anchor CROSS JOIN first
+), scored AS (
+  SELECT t.dt, t.cents,
+         CAST(w.cents AS DOUBLE) AS f_seasonal,
+         CAST(d.a_cents AS DOUBLE)
+           + d.slope * CAST(date_diff('day', d.a_dt, t.dt) AS DOUBLE) AS f_drift
+  FROM test t
+  JOIN daily w ON w.dt = t.dt - 7
+  CROSS JOIN drift d
+), terms AS (
+  SELECT 'seasonal_naive' AS method,
+         CAST(trunc(abs(f_seasonal - CAST(cents AS DOUBLE))) AS BIGINT) AS ae,
+         CAST(trunc((f_seasonal - CAST(cents AS DOUBLE))
+                    * (f_seasonal - CAST(cents AS DOUBLE))) AS HUGEINT) AS se,
+         CAST(trunc(abs(f_seasonal - CAST(cents AS DOUBLE))
+                    / CAST(cents AS DOUBLE) * 1000000) AS BIGINT) AS ape
+  FROM scored
+  UNION ALL
+  SELECT 'drift',
+         CAST(trunc(abs(f_drift - CAST(cents AS DOUBLE))) AS BIGINT),
+         CAST(trunc((f_drift - CAST(cents AS DOUBLE))
+                    * (f_drift - CAST(cents AS DOUBLE))) AS HUGEINT),
+         CAST(trunc(abs(f_drift - CAST(cents AS DOUBLE))
+                    / CAST(cents AS DOUBLE) * 1000000) AS BIGINT)
+  FROM scored
+)
+SELECT method, CAST(n_days AS BIGINT) AS n_days,
+       sign(mae) * floor(abs(mae) * 100.0 + 0.5) / 100.0 AS mae_usd,
+       sign(rmse) * floor(abs(rmse) * 100.0 + 0.5) / 100.0 AS rmse_usd,
+       sign(mape) * floor(abs(mape) * 1000000.0 + 0.5) / 1000000.0 AS mape
+FROM (
+  SELECT method, COUNT(*) AS n_days,
+         CAST(SUM(ae) AS DOUBLE) / COUNT(*) / 100.0 AS mae,
+         sqrt(CAST(SUM(se) AS DOUBLE) / COUNT(*)) / 100.0 AS rmse,
+         CAST(SUM(ape) AS DOUBLE) / COUNT(*) / 1000000.0 AS mape
+  FROM terms GROUP BY 1
+) x
+ORDER BY method
+"""
+
+
 QUERIES = {
     "chisq_event_dow": chisq_event_dow,
     "anova_event_values": anova_event_values,
@@ -2035,6 +2198,7 @@ QUERIES = {
     "theil_sen_revenue_trend": theil_sen_revenue_trend,
     "cusum_revenue_changepoint": cusum_revenue_changepoint,
     "revenue_drawdown": revenue_drawdown,
+    "forecast_backtest": forecast_backtest,
 }
 
 ORACLE = {
@@ -2055,4 +2219,5 @@ ORACLE = {
     "theil_sen_revenue_trend": ORACLE_THEIL_SEN_REVENUE_TREND,
     "cusum_revenue_changepoint": ORACLE_CUSUM_REVENUE_CHANGEPOINT,
     "revenue_drawdown": ORACLE_REVENUE_DRAWDOWN,
+    "forecast_backtest": ORACLE_FORECAST_BACKTEST,
 }

@@ -832,3 +832,24 @@ def test_wilson_ci_reference_and_coverage_properties(spark):
         assert abs(r.wilson_lo - (center - half)) < 2e-6
         assert abs(r.wilson_hi - (center + half)) < 2e-6
         assert 0.0 <= r.wilson_lo < r.p_hat < r.wilson_hi <= 1.0
+
+
+def test_forecast_backtest_planted_weekly_pattern(spark, tmp_path):
+    """A pure weekly pattern over 10 weeks: seasonal-naive forecasts
+    the 28-day holdout perfectly (MAE = RMSE = MAPE = 0) while the
+    drift baseline cannot."""
+    from data_ingestion_project_spark.queries.stats import forecast_backtest
+
+    weekly = [1000.0, 2000.0, 1500.0, 3000.0, 2500.0, 4000.0, 500.0]
+    rows = [
+        (pd.Timestamp("1995-01-02") + pd.Timedelta(days=d), weekly[d % 7])
+        for d in range(70)
+    ]
+    pdf = pd.DataFrame(rows, columns=["o_orderdate", "o_totalprice"])
+    pdf.to_parquet(tmp_path / "orders.parquet", index=False, coerce_timestamps="us")
+    out = forecast_backtest(spark, str(tmp_path)).toPandas().set_index("method")
+    sn = out.loc["seasonal_naive"]
+    assert sn.n_days == 28
+    assert sn.mae_usd == 0.0 and sn.rmse_usd == 0.0 and sn.mape == 0.0
+    dr = out.loc["drift"]
+    assert dr.n_days == 28 and dr.mae_usd > 100.0
