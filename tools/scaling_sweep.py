@@ -97,6 +97,18 @@ HEAVY = {
     # envelope-crypto lifecycle audit
     "exact_substring_census": "documents",
     "crypto_shred_audit": "customer",
+    # round-7 second wave: pairwise-slope/stylometry/cluster-quality/
+    # basket/attribution/journey/actuarial families
+    "theil_sen_revenue_trend": "orders",
+    "source_stylometry_delta": "documents",
+    "embedding_davies_bouldin": "embeddings",
+    "brand_basket_lift": "lineitem",
+    "attribution_multitouch_dow": "events",
+    "markov_stationary_events": "events",
+    "kaplan_meier_retention": "events",
+    "rfm_segments": "orders",
+    "event_trigram_paths": "events",
+    "dup_graph_bfs_depths": "documents",
 }
 
 
