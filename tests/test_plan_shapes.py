@@ -463,6 +463,11 @@ _GLOBAL_WINDOW_SANCTIONED = {
     # observation span in days (calendar-bounded, the KM posture);
     # the corpus-sized side is reduced by the groupBy(day) first
     "cusum_revenue_changepoint",
+    # Theil-Sen: operators/quantiles.exact_median's exclusive prefix
+    # runs over the slope-BUCKET partials frame (slope-range /
+    # bucket_width — value-domain-sized, the ks_length_drift
+    # posture); the per-value cumsum window is bucket-partitioned
+    "theil_sen_revenue_trend",
     # drawdown prefix-max/lag: same per-DAY calendar-bounded frame
     "revenue_drawdown",
 }
