@@ -54,6 +54,7 @@ _DRIVER_PRIORITY = (
     "event_trigram_paths",
     "conversion_wilson_ci",
     "forecast_backtest",
+    "referential_integrity_audit",
     # -- r03-era certifications (stalest, alphabetical) --
     "acctbal_deciles",
     "acctbal_deciles_scalable",
@@ -85,9 +86,8 @@ _DRIVER_PRIORITY = (
     "supplier_hierarchy_rollup",
     "tfidf_top_terms",
     "top2_orders_lateral",
-    "top_similar_pairs",
-    # user_scd2_summary / wealthy_inactive_customers (r03 tail) and
-    # the whole r04 era (approx_daily_active_users ..
+    # top_similar_pairs / user_scd2_summary / wealthy_inactive_customers
+    # (r03 tail) and the whole r04 era (approx_daily_active_users ..
     # dup_cluster_sizes_star) roll to the r08 window — the 50-slot
     # budget yields to this round's additions.  This tuple is exactly
     # 50 names = the full window.

@@ -791,6 +791,114 @@ LIMIT 15
 """
 
 
+# (child_table, fk_col, parent_table, pk_col) — the star schema's FK
+# edges, audited in declaration order
+_FK_EDGES = (
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+)
+
+
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key integrity census over every edge of the star
+    schema: child rows whose key has no parent (ORPHANS — broken
+    joins, silent row loss in inner-join pipelines) and parent rows
+    never referenced (UNREFERENCED — dead dimension entries), with
+    both rates — the cross-TABLE data-quality layer above the
+    row-level checks (orders_quality_report) and the in-table
+    profiler (orders_profile).
+
+    Plan per edge: one LEFT ANTI join in each direction + tiny count
+    aggregates; dimension sides broadcast (nation/region/customer/
+    part/supplier), and the one fact-fact edge (lineitem→orders)
+    anti-joins on the shuffle key both tables already cluster by.
+    NULL child keys count as orphans (a NULL FK breaks an inner join
+    exactly like a dangling one; both engines' anti-join semantics
+    keep NULL-keyed rows, documented here because SQL's NOT IN would
+    instead drop the whole result).  All-integer outputs; rates are
+    single divisions, floor-rounded."""
+    parts = []
+    for child, fk, parent, pk in _FK_EDGES:
+        c = table(spark, sf_dir, child).select(F.col(fk).alias("fk"))
+        p = table(spark, sf_dir, parent).select(F.col(pk).alias("pk"))
+        n_child = c.agg(F.count(F.lit(1)).alias("n_child"))
+        orphans = c.join(p, c["fk"] == p["pk"], "left_anti").agg(
+            F.count(F.lit(1)).alias("n_orphan")
+        )
+        n_parent = p.agg(F.count(F.lit(1)).alias("n_parent"))
+        unref = p.join(c, p["pk"] == c["fk"], "left_anti").agg(
+            F.count(F.lit(1)).alias("n_unref")
+        )
+        parts.append(
+            n_child.crossJoin(F.broadcast(orphans))
+            .crossJoin(F.broadcast(n_parent))
+            .crossJoin(F.broadcast(unref))
+            .select(
+                F.lit(f"{child}.{fk} -> {parent}.{pk}").alias("fk_edge"),
+                "n_child",
+                "n_orphan",
+                floor_round(
+                    F.col("n_orphan").cast("double")
+                    / F.col("n_child").cast("double"),
+                    6,
+                ).alias("orphan_rate"),
+                "n_parent",
+                "n_unref",
+                floor_round(
+                    F.col("n_unref").cast("double")
+                    / F.col("n_parent").cast("double"),
+                    6,
+                ).alias("unref_rate"),
+            )
+        )
+    out = parts[0]
+    for frame in parts[1:]:
+        out = out.unionByName(frame)
+    return out.orderBy("fk_edge")
+
+
+def _oracle_referential_integrity() -> str:
+    blocks = []
+    for child, fk, parent, pk in _FK_EDGES:
+        blocks.append(f"""
+  SELECT '{child}.{fk} -> {parent}.{pk}' AS fk_edge,
+         (SELECT COUNT(*) FROM {child}) AS n_child,
+         (SELECT COUNT(*) FROM {child} c
+          WHERE NOT EXISTS (SELECT 1 FROM {parent} p
+                            WHERE p.{pk} = c.{fk})) AS n_orphan,
+         (SELECT COUNT(*) FROM {parent}) AS n_parent,
+         (SELECT COUNT(*) FROM {parent} p
+          WHERE NOT EXISTS (SELECT 1 FROM {child} c
+                            WHERE c.{fk} = p.{pk})) AS n_unref""")
+    union = "\n  UNION ALL\n".join(blocks)
+    return f"""
+WITH edges AS (
+{union}
+)
+SELECT fk_edge, n_child, n_orphan,
+       sign(orate) * floor(abs(orate) * 1000000.0 + 0.5) / 1000000.0
+         AS orphan_rate,
+       n_parent, n_unref,
+       sign(urate) * floor(abs(urate) * 1000000.0 + 0.5) / 1000000.0
+         AS unref_rate
+FROM (
+  SELECT fk_edge, n_child, n_orphan, n_parent, n_unref,
+         CAST(n_orphan AS DOUBLE) / CAST(n_child AS DOUBLE) AS orate,
+         CAST(n_unref AS DOUBLE) / CAST(n_parent AS DOUBLE) AS urate
+  FROM edges
+) x
+ORDER BY fk_edge
+"""
+
+
+ORACLE_REFERENTIAL_INTEGRITY_AUDIT = _oracle_referential_integrity()
+
+
 QUERIES = {
     "promo_revenue": promo_revenue,
     "top_revenue_supplier": top_revenue_supplier,
@@ -804,6 +912,7 @@ QUERIES = {
     "cheapest_regional_supplier": cheapest_regional_supplier,
     "orders_quality_report": orders_quality_report,
     "brand_basket_lift": brand_basket_lift,
+    "referential_integrity_audit": referential_integrity_audit,
 }
 
 ORACLE = {
@@ -819,4 +928,5 @@ ORACLE = {
     "cheapest_regional_supplier": ORACLE_CHEAPEST_REGIONAL_SUPPLIER,
     "orders_quality_report": ORACLE_ORDERS_QUALITY_REPORT,
     "brand_basket_lift": ORACLE_BRAND_BASKET_LIFT,
+    "referential_integrity_audit": ORACLE_REFERENTIAL_INTEGRITY_AUDIT,
 }
