@@ -55,6 +55,7 @@ _DRIVER_PRIORITY = (
     "conversion_wilson_ci",
     "forecast_backtest",
     "referential_integrity_audit",
+    "dup_graph_assortativity",
     # -- r03-era certifications (stalest, alphabetical) --
     "acctbal_deciles",
     "acctbal_deciles_scalable",
@@ -85,12 +86,11 @@ _DRIVER_PRIORITY = (
     "stratified_sample_rates",
     "supplier_hierarchy_rollup",
     "tfidf_top_terms",
-    "top2_orders_lateral",
-    # top_similar_pairs / user_scd2_summary / wealthy_inactive_customers
-    # (r03 tail) and the whole r04 era (approx_daily_active_users ..
-    # dup_cluster_sizes_star) roll to the r08 window — the 50-slot
-    # budget yields to this round's additions.  This tuple is exactly
-    # 50 names = the full window.
+    # top2_orders_lateral / top_similar_pairs / user_scd2_summary /
+    # wealthy_inactive_customers (r03 tail) and the whole r04 era
+    # (approx_daily_active_users .. dup_cluster_sizes_star) roll to
+    # the r08 window — the 50-slot budget yields to this round's
+    # additions.  This tuple is exactly 50 names = the full window.
 )
 
 

@@ -3505,6 +3505,110 @@ ORDER BY dist"""
 ORACLE_DUP_GRAPH_BFS_DEPTHS = _oracle_dup_graph_bfs_depths()
 
 
+def dup_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the near-dup graph: the Pearson
+    correlation between the degrees at the two ends of each edge —
+    positive means hub docs link to other hubs (one dense boilerplate
+    core: collapse aggressively), negative means hubs link to leaves
+    (star templates around canonical pages: keep the hub, drop
+    spokes).  The fourth structural lens after census (sizes), shape
+    (BFS depths), and cohesion (density/modularity).
+
+    Exactness: degrees are exact integer counts over the symmetrized
+    edge list; the correlation's five moments fold those integers
+    exactly (Σxy ≤ deg²·|E| — DECIMAL headroom), and r is one
+    value-determined double expression.  Plan: one degree aggregation
+    + two broadcast joins back to the edge list + one moment
+    aggregation — all keyed shuffles, nothing driver-side."""
+    from data_ingestion_project_spark.operators.pagerank import symmetrize
+
+    pairs = _winnow_pair_counts(spark, sf_dir).filter(
+        F.col("n_shared") >= _PAGERANK_EDGE_MIN_SHARED
+    )
+    sym = symmetrize(pairs).localCheckpoint(eager=True)
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    dx = deg.select(F.col("src"), F.col("deg").alias("dx"))
+    dy = deg.select(F.col("src").alias("dst"), F.col("deg").alias("dy"))
+    # keyed shuffle joins, NOT broadcast: the degree frame is
+    # node-cardinality (corpus-sized at 100 TB)
+    e = sym.join(dx, "src").join(dy, "dst")
+    dec = "decimal(38,0)"
+    mom = e.agg(
+        F.count(F.lit(1)).alias("m2"),  # 2·|edges| (symmetrized)
+        F.sum(F.col("dx").cast(dec)).alias("sx"),
+        F.sum(F.col("dy").cast(dec)).alias("sy"),
+        F.sum((F.col("dx") * F.col("dy")).cast(dec)).alias("sxy"),
+        F.sum((F.col("dx") * F.col("dx")).cast(dec)).alias("sxx"),
+        F.sum((F.col("dy") * F.col("dy")).cast(dec)).alias("syy"),
+        F.max("dx").alias("max_deg"),
+    )
+    n = F.col("m2").cast("double")
+    num = n * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col(
+        "sy"
+    ).cast("double")
+    denx = n * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col(
+        "sx"
+    ).cast("double")
+    deny = n * F.col("syy").cast("double") - F.col("sy").cast("double") * F.col(
+        "sy"
+    ).cast("double")
+    nodes = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum("deg").alias("deg_sum"),
+    )
+    return mom.crossJoin(F.broadcast(nodes)).select(
+        (F.col("m2") / F.lit(2)).cast("long").alias("n_edges"),
+        F.col("n_nodes").cast("long").alias("n_nodes"),
+        F.col("max_deg").cast("long").alias("max_degree"),
+        floor_round(
+            F.col("deg_sum").cast("double") / F.col("n_nodes").cast("double"), 4
+        ).alias("mean_degree"),
+        floor_round(num / F.sqrt(denx * deny), 6).alias("assortativity"),
+    )
+
+
+def _oracle_dup_graph_assortativity() -> str:
+    return (
+        f"WITH RECURSIVE {_WINNOW_PAIR_CTES},\n"
+        f"fedges AS (SELECT id_a, id_b FROM wpairs"
+        f" WHERE n_shared >= {_PAGERANK_EDGE_MIN_SHARED}),\n"
+        """sym AS (
+  SELECT id_a AS src, id_b AS dst FROM fedges
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM fedges
+), deg AS (
+  SELECT src, COUNT(*) AS deg FROM sym GROUP BY 1
+), e AS (
+  SELECT dx.deg AS dx, dy.deg AS dy
+  FROM sym s JOIN deg dx ON dx.src = s.src JOIN deg dy ON dy.src = s.dst
+), mom AS (
+  SELECT COUNT(*) AS m2, SUM(dx) AS sx, SUM(dy) AS sy,
+         SUM(dx * dy) AS sxy, SUM(dx * dx) AS sxx, SUM(dy * dy) AS syy,
+         MAX(dx) AS max_deg
+  FROM e
+), nodes AS (SELECT COUNT(*) AS n_nodes, SUM(deg) AS deg_sum FROM deg)
+SELECT CAST(m2 / 2 AS BIGINT) AS n_edges,
+       CAST(n_nodes AS BIGINT) AS n_nodes,
+       CAST(max_deg AS BIGINT) AS max_degree,
+       sign(md) * floor(abs(md) * 10000.0 + 0.5) / 10000.0 AS mean_degree,
+       sign(r) * floor(abs(r) * 1000000.0 + 0.5) / 1000000.0 AS assortativity
+FROM (
+  SELECT m2, n_nodes, max_deg,
+         CAST(deg_sum AS DOUBLE) / CAST(n_nodes AS DOUBLE) AS md,
+         (CAST(m2 AS DOUBLE) * CAST(sxy AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / sqrt((CAST(m2 AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * (CAST(m2 AS DOUBLE) * CAST(syy AS DOUBLE)
+                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS r
+  FROM mom CROSS JOIN nodes
+) x"""
+    )
+
+
+ORACLE_DUP_GRAPH_ASSORTATIVITY = _oracle_dup_graph_assortativity()
+
+
 _TEXTRANK_ITERS = 5
 _TEXTRANK_MIN_COOC = 25
 
@@ -4631,6 +4735,7 @@ QUERIES = {
     "dup_graph_triangles": dup_graph_triangles,
     "dup_graph_bfs_depths": dup_graph_bfs_depths,
     "source_stylometry_delta": source_stylometry_delta,
+    "dup_graph_assortativity": dup_graph_assortativity,
     "media_feature_stats": media_feature_stats,
     "media_decode_stats": media_decode_stats,
     "png_decode_stats": png_decode_stats,
@@ -4692,6 +4797,7 @@ ORACLE = {
     "dup_graph_triangles": ORACLE_DUP_GRAPH_TRIANGLES,
     "dup_graph_bfs_depths": ORACLE_DUP_GRAPH_BFS_DEPTHS,
     "source_stylometry_delta": ORACLE_SOURCE_STYLOMETRY_DELTA,
+    "dup_graph_assortativity": ORACLE_DUP_GRAPH_ASSORTATIVITY,
     "dup_cluster_sizes_star": ORACLE_DUP_CLUSTER_SIZES,
     "media_feature_stats": ORACLE_MEDIA_FEATURE_STATS,
     "media_decode_stats": ORACLE_MEDIA_DECODE_STATS,

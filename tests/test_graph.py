@@ -299,3 +299,28 @@ def test_bfs_corpus_fixpoint_within_rounds(spark):
     r8 = sorted(map(tuple, bfs_distances(sym, seed, max_depth=8).collect()))
     r12 = sorted(map(tuple, bfs_distances(sym, seed, max_depth=12).collect()))
     assert r8 == r12 and len(r8) > 0
+
+
+def test_assortativity_star_is_minus_one(spark):
+    """A pure star is maximally disassortative: every edge joins the
+    degree-n hub to a degree-1 leaf, so the degree correlation over
+    the symmetrized edge list is exactly -1."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from data_ingestion_project_spark.operators.pagerank import symmetrize
+
+    edges = spark.createDataFrame([(0, i) for i in range(1, 7)], "src long, dst long")
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    e = (
+        sym.join(deg.select("src", F.col("deg").alias("dx")), "src")
+        .join(
+            deg.select(F.col("src").alias("dst"), F.col("deg").alias("dy")), "dst"
+        )
+        .toPandas()
+    )
+    r = np.corrcoef(e["dx"], e["dy"])[0, 1]
+    assert abs(r - (-1.0)) < 1e-12
