@@ -701,10 +701,15 @@ def brand_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     (_precision.floor_round) so no engine-library ROUND is trusted."""
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     p = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    # materialize the basket frame once: three consumers (totals,
+    # per-brand counts, the pair self-join's both sides) would
+    # otherwise each re-run the dim join + distinct — 4 extra fact
+    # scans in the pre-AQE plan; the frame is ≤ orders×brands rows
     ob = (
         li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
         .select("l_orderkey", "p_brand")
         .distinct()
+        .localCheckpoint(eager=True)
     )
     tot = ob.agg(F.count_distinct("l_orderkey").alias("n_baskets"))
     singles = ob.groupBy("p_brand").agg(F.count(F.lit(1)).alias("n_solo"))
@@ -826,18 +831,21 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for child, fk, parent, pk in _FK_EDGES:
         c = table(spark, sf_dir, child).select(F.col(fk).alias("fk"))
         p = table(spark, sf_dir, parent).select(F.col(pk).alias("pk"))
-        n_child = c.agg(F.count(F.lit(1)).alias("n_child"))
-        orphans = c.join(p, c["fk"] == p["pk"], "left_anti").agg(
-            F.count(F.lit(1)).alias("n_orphan")
+        # one LEFT join per direction, total + miss counted in the
+        # SAME aggregation — a separate anti-join would scan the
+        # child (a fact table on two edges) twice per direction
+        pd_ = p.select(F.col("pk"), F.lit(1).alias("__hit"))
+        child_side = c.join(pd_, c["fk"] == pd_["pk"], "left").agg(
+            F.count(F.lit(1)).alias("n_child"),
+            F.sum((F.col("__hit").isNull()).cast("long")).alias("n_orphan"),
         )
-        n_parent = p.agg(F.count(F.lit(1)).alias("n_parent"))
-        unref = p.join(c, p["pk"] == c["fk"], "left_anti").agg(
-            F.count(F.lit(1)).alias("n_unref")
+        cd = c.select("fk").distinct().withColumn("__ref", F.lit(1))
+        parent_side = p.join(cd, p["pk"] == cd["fk"], "left").agg(
+            F.count(F.lit(1)).alias("n_parent"),
+            F.sum((F.col("__ref").isNull()).cast("long")).alias("n_unref"),
         )
         parts.append(
-            n_child.crossJoin(F.broadcast(orphans))
-            .crossJoin(F.broadcast(n_parent))
-            .crossJoin(F.broadcast(unref))
+            child_side.crossJoin(F.broadcast(parent_side))
             .select(
                 F.lit(f"{child}.{fk} -> {parent}.{pk}").alias("fk_edge"),
                 "n_child",
