@@ -4208,7 +4208,12 @@ def substring_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("g"),
     )
-    totals = grams.groupBy("doc_id", "lang").agg(F.count(F.lit(1)).alias("n_grams"))
+    # per-doc gram totals are a pure LENGTH projection (size − k + 1):
+    # deriving them from `grams` re-ran the whole explode + 27 M md5
+    # pass a second time — measured 2× the query at the sf10 decade
+    totals = toks.filter(n >= k).select(
+        "doc_id", "lang", (n - (k - 1)).cast("long").alias("n_grams")
+    )
     uniq_owned = (
         grams.groupBy("g")
         .agg(F.count(F.lit(1)).alias("n_occ"), F.min("doc_id").alias("doc_id"))
