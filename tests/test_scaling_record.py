@@ -33,13 +33,14 @@ def test_no_super_linear_family_in_committed_sweep():
     # families: at least 10 exponents fitted on sf0.1->sf1
     sf1_fits = [q for q, e in exps.items() if e["step"] == "sf0.1->sf1"]
     assert len(sf1_fits) >= 10, sf1_fits
-    # timings exist for the three base SFs (sf1 covers its subset)
+    # timings exist for the three base SFs (sf1/sf10 cover subsets)
     for q, t in rec["seconds"].items():
         assert {"sf0.001", "sf0.01", "sf0.1"} <= set(t) <= {
             "sf0.001",
             "sf0.01",
             "sf0.1",
             "sf1",
+            "sf10",
         }, q
 
 

@@ -49,6 +49,34 @@ SFS = ("sf0.001", "sf0.01", "sf0.1")
 # alpha from the scheduler-floor decade to a load-bearing one
 SF1_FAMILIES = None
 
+# round 7 closing pass: a FIFTH decade (scratch/sf10 — 60 M lineitem /
+# 10 M events / 500 k documents, factor 100 off sf0.1) for the
+# heaviest/most-load-bearing families; their exponents then fit on
+# sf1→sf10 where per-query work is seconds-to-minutes, while the rest
+# keep their sf0.1→sf1 fit
+SF10_FAMILIES = frozenset(
+    {
+        "minhash_near_dups",
+        "simhash_near_dups",
+        "winnow_overlap_top",
+        "substring_dup_stats",
+        "exact_substring_census",
+        "cms_word_freq",
+        "nb_lang_confusion",
+        "quantile_sketch_rollup",
+        "entity_golden_records",
+        "bm25_topk_indexed",
+        "pricing_summary",
+        "hourly_event_stats",
+        "user_sessions",
+        "dedup_funnel",
+        "kaplan_meier_retention",
+        "theil_sen_revenue_trend",
+        "rfm_segments",
+        "jpeg_decode_stats",
+    }
+)
+
 # query -> driving table (the input whose cardinality the family's
 # cost should track ~linearly under the committed plan shapes)
 HEAVY = {
@@ -137,6 +165,13 @@ def main() -> None:
         steps.append(("sf1", sf1_dir, SF1_FAMILIES))  # None = all
     else:
         print(f"# sf1 corpus absent at {sf1_dir}; 3-step sweep", file=sys.stderr)
+    sf10_dir = os.environ.get(
+        "SPARK_GRAFT_SF10_DIR", os.path.join(repo, "scratch", "sf10")
+    )
+    if os.path.isdir(sf10_dir):
+        steps.append(("sf10", sf10_dir, SF10_FAMILIES))
+    else:
+        print(f"# sf10 corpus absent at {sf10_dir}; no fifth decade", file=sys.stderr)
 
     rows: dict[str, dict[str, int]] = {}
     times: dict[str, dict[str, float]] = {q: {} for q in HEAVY}
