@@ -14,8 +14,19 @@ above measures compute against OS-page-cached files. Cold mode runs
 the heaviest-scan subset with the page cache DROPPED before every
 query (sync; echo 3 > /proc/sys/vm/drop_caches — skipped with a
 notice where not permitted) and Spark's catalog cache cleared, no
-table warmup, and writes a separate BENCH_COLD.json side-record —
+table warmup, and writes a separate BENCH_COLD.json side-record
+(override: $SPARK_GRAFT_BENCH_COLD_OUT — deliberately a DIFFERENT
+env var from the warm path's $SPARK_GRAFT_BENCH_OUT, so an exported
+warm override can never redirect a cold run onto BENCH_LOCAL.json) —
 never touching the warm BENCH_LOCAL.json protocol artifact.
+
+Output policy (VERDICT r7 ask #4): the committed BENCH_LOCAL.json is
+the QUIESCED protocol artifact. A bare ``python bench.py`` (what the
+per-round driver runs, concurrently with whatever else the machine is
+doing) writes to the gitignored ``scratch/BENCH_DRIVER.json`` so a
+contended driver pass can't clobber the committed record; pass
+``--record`` (or set $SPARK_GRAFT_BENCH_OUT) to write the protocol
+artifact at round end on a quiet machine.
 """
 
 from __future__ import annotations
@@ -111,7 +122,7 @@ def main() -> None:
             "sf": sf,
         }
         out_path = os.environ.get(
-            "SPARK_GRAFT_BENCH_OUT",
+            "SPARK_GRAFT_BENCH_COLD_OUT",
             os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_COLD.json"),
         )
         with open(out_path, "w") as f:
@@ -168,10 +179,15 @@ def main() -> None:
     # tail kept the END of the big line, chopping its opening brace).
     # Persist the full record to a repo file, print it FIRST, and make
     # the LAST stdout line a short summary that always fits the tail.
-    out_path = os.environ.get(
-        "SPARK_GRAFT_BENCH_OUT",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"),
-    )
+    repo = os.path.dirname(os.path.abspath(__file__))
+    if "--record" in sys.argv[1:]:
+        default_out = os.path.join(repo, "BENCH_LOCAL.json")
+    else:
+        # driver-triggered / ad-hoc run: keep the committed quiesced
+        # protocol artifact intact (VERDICT r7 ask #4)
+        os.makedirs(os.path.join(repo, "scratch"), exist_ok=True)
+        default_out = os.path.join(repo, "scratch", "BENCH_DRIVER.json")
+    out_path = os.environ.get("SPARK_GRAFT_BENCH_OUT", default_out)
     with open(out_path, "w") as f:
         json.dump(result, f, indent=1, sort_keys=True)
         f.write("\n")

@@ -74,7 +74,18 @@ def _fenced_append(
             T.create_table(spark, path, rows, extra=extra)
             return
         except (FileExistsError, T.TxnConflict):
-            pass  # concurrent creator won; fall through to append
+            # Concurrent creator won. The winner may have been another
+            # execution of THIS SAME (fence_id, batch_id) — e.g. a
+            # zombie foreachBatch retry racing table creation — so the
+            # fence must be re-checked against the winner's manifest
+            # before appending, or the first batch double-applies.
+            if fence is not None:
+                fence_id, batch_id = fence
+                head = T.current_version(path)
+                if head is not None:
+                    fences = T._read_manifest(path, head).get("stream_fences", {})
+                    if batch_id <= fences.get(fence_id, -1):
+                        return  # winner already applied this batch
     T.append(spark, path, rows, extra=extra)
 
 

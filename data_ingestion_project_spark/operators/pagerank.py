@@ -64,7 +64,14 @@ def pagerank(
 
     - ``"ignore"`` (default): assumes every node has outdegree >= 1 —
       true by construction for symmetrized graphs (the near-dup use
-      case) — and returns (node, rank) for every source node. This is
+      case) — and returns (node, rank) for every source node. A source
+      with indegree 0 (possible on general directed inputs) receives no
+      inbound mass and holds the exact power-method floor
+      ``(1-damping)/n`` every round, and KEEPS voting: its row is
+      left-joined back each iteration rather than dropped, so its
+      outgoing mass never silently vanishes. Mass arriving on
+      outdegree-0 destinations still leaves the chain (that is the
+      'ignore' semantic); use ``"redistribute"`` to recycle it. This is
       the SQL-replayable path the oracle certifies.
     - ``"redistribute"``: the general DIRECTED-graph model (link
       graphs): the vertex set is sources ∪ destinations, and each
@@ -90,20 +97,28 @@ def pagerank(
     out_edges = e.join(deg, "src").localCheckpoint(eager=True)
 
     if dangling == "ignore":
-        n = out_edges.select("src").distinct().count()  # reads the checkpoint
+        # node-cardinality source frame, reused every round as the
+        # left side of the rank rebuild (keeps indegree-0 sources
+        # alive at the teleport floor instead of dropping them)
+        srcs = out_edges.select("src").distinct().localCheckpoint(eager=True)
+        n = srcs.count()
         teleport = (1.0 - damping) / n
-        ranks = deg.select("src", F.lit(1.0 / n).alias("rank"))
+        ranks = srcs.select("src", F.lit(1.0 / n).alias("rank"))
         for i in range(iterations):
             contrib = out_edges.join(ranks, "src").select(
                 F.col("dst").alias("src"),
                 F.round(F.col("rank") / F.col("deg"), CONTRIB_SCALE).alias("c"),
             )
-            ranks = contrib.groupBy("src").agg(
+            inbox = contrib.groupBy("src").agg(
+                F.sum(F.col("c").cast(_DEC)).cast("double").alias("m")
+            )
+            ranks = srcs.join(inbox, "src", "left").select(
+                "src",
                 F.round(
                     F.lit(teleport)
-                    + F.lit(damping) * F.sum(F.col("c").cast(_DEC)).cast("double"),
+                    + F.lit(damping) * F.coalesce(F.col("m"), F.lit(0.0)),
                     RANK_SCALE,
-                ).alias("rank")
+                ).alias("rank"),
             )
             # Truncate lineage so plan depth (and Catalyst analysis
             # cost) stays constant per round instead of growing with i.
@@ -180,16 +195,21 @@ def pagerank_unrolled_sql(
     for i in range(1, iterations + 1):
         parts.append(
             f"""r{i} AS (
-  SELECT e.dst AS src,
-         ROUND({tele} / MAX(nn.n)
-               + {d} * CAST(SUM(CAST(ROUND(r.rank / dg.deg, {CONTRIB_SCALE})
-                                     AS DECIMAL(38,{CONTRIB_SCALE}))) AS DOUBLE),
+  SELECT d0.src,
+         ROUND({tele} / nn.n
+               + {d} * COALESCE(m{i}.m, CAST(0.0 AS DOUBLE)),
                {RANK_SCALE}) AS rank
-  FROM {edges_cte} e
-  JOIN r{i - 1} r ON r.src = e.src
-  JOIN deg dg ON dg.src = e.src
+  FROM deg d0
   CROSS JOIN nn
-  GROUP BY e.dst
+  LEFT JOIN (
+    SELECT e.dst AS src,
+           CAST(SUM(CAST(ROUND(r.rank / dg.deg, {CONTRIB_SCALE})
+                         AS DECIMAL(38,{CONTRIB_SCALE}))) AS DOUBLE) AS m
+    FROM {edges_cte} e
+    JOIN r{i - 1} r ON r.src = e.src
+    JOIN deg dg ON dg.src = e.src
+    GROUP BY e.dst
+  ) m{i} ON m{i}.src = d0.src
 )"""
         )
     return ",\n".join(parts) + f"\nSELECT src AS node, rank FROM r{iterations}"

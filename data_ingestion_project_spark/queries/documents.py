@@ -673,9 +673,12 @@ def dup_cluster_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     degree sum d_c = 2·e_c and Q = Σ_c (e_c/m − (e_c/m)²).
 
     Plan: edges come from the maintained winnow-pair asset; CC labels
-    from operators/graph.py (min-label propagation); one broadcast
+    from operators/graph.py (min-label propagation); one KEYED SHUFFLE
     label join tags each edge with its component (id_a's label — both
     endpoints share it by construction), then two tiny aggregates.
+    The label frame is node-cardinality, so it is NOT broadcast (the
+    dup_graph_assortativity rule — a corpus-sized broadcast is a
+    driver OOM at 100 TB); only the 1-row m/q scalars are.
     Top-15 by size with full tie-break; all-integer counts, two
     value-determined rounded doubles.  The DuckDB oracle replays the
     closure with the same recursive CTE as dup_cluster_sizes."""
@@ -687,14 +690,12 @@ def dup_cluster_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp = connected_components(edges, src="id_a", dst="id_b")
     sizes = comp.groupBy("comp").agg(F.count(F.lit(1)).alias("n_nodes"))
     ec = (
-        edges.join(
-            F.broadcast(comp.withColumnRenamed("node", "id_a")), "id_a"
-        )
+        edges.join(comp.withColumnRenamed("node", "id_a"), "id_a")
         .groupBy("comp")
         .agg(F.count(F.lit(1)).alias("n_edges"))
     )
     m = edges.agg(F.count(F.lit(1)).alias("m"))
-    per = sizes.join(F.broadcast(ec), "comp")
+    per = sizes.join(ec, "comp")
     q = per.crossJoin(F.broadcast(m)).agg(
         F.round(
             F.sum(

@@ -1219,14 +1219,19 @@ def embedding_davies_bouldin(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=True)
     # per-cluster scatter via the trace identity with an EXACT integer
     # numerator: n²·var = Σ_d (n·Σq² − (Σq)²) — a 64-term double sum
-    # here would be order-dependent across engines
+    # here would be order-dependent across engines.  Each factor is
+    # cast to DECIMAL(38,0) BEFORE the product (the chisq_event_dow
+    # cast-first rule): with ~1e8-magnitude per-dim sq2 cells, n·sq2
+    # wraps int64 near ~3e5 members per cluster while DuckDB's
+    # HUGEINT would not.
     _d38 = "decimal(38,0)"
     per = (
         cells.groupBy("cent_id")
         .agg(
             F.max("n").cast("long").alias("n_members"),
             F.sum(
-                (F.col("n") * F.col("sq2") - F.col("sq") * F.col("sq")).cast(_d38)
+                F.col("n").cast(_d38) * F.col("sq2").cast(_d38)
+                - F.col("sq").cast(_d38) * F.col("sq").cast(_d38)
             ).alias("vnum"),
         )
         .select(
@@ -1247,15 +1252,19 @@ def embedding_davies_bouldin(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sq").alias("sq_j"),
     )
     # centroid distance with exact cross-multiplied numerator:
-    # (n_i·n_j)²·d² = Σ_d (sq_i·n_j − sq_j·n_i)², folded in DECIMAL
-    diff = (F.col("sq") * F.col("n_j") - F.col("sq_j") * F.col("n")).cast(_d38)
+    # (n_i·n_j)²·d² = Σ_d (sq_i·n_j − sq_j·n_i)², folded in DECIMAL —
+    # again cast-first: sq_i·n_j (and n_i·n_j below) wrap int64 at
+    # large cluster sizes before a cast-after-product would see them.
+    diff = F.col("sq").cast(_d38) * F.col("n_j").cast(_d38) - F.col("sq_j").cast(
+        _d38
+    ) * F.col("n").cast(_d38)
     dist = (
         a.join(b, "dim")
         .filter(F.col("cent_id") != F.col("cent_j"))
         .groupBy("cent_id", "cent_j")
         .agg(
             F.sum(diff * diff).alias("dnum"),
-            F.max(F.col("n") * F.col("n_j")).alias("nn"),
+            F.max(F.col("n").cast(_d38) * F.col("n_j").cast(_d38)).alias("nn"),
         )
         .select(
             "cent_id",
@@ -1333,14 +1342,18 @@ WITH corpus AS (
   FROM qcell GROUP BY 1, 2
 ), per AS (
   SELECT cent_id, CAST(MAX(n) AS BIGINT) AS n_members,
-         sqrt(CAST(SUM(n * sq2 - sq * sq) AS DOUBLE))
+         sqrt(CAST(SUM(CAST(n AS HUGEINT) * CAST(sq2 AS HUGEINT)
+                       - CAST(sq AS HUGEINT) * CAST(sq AS HUGEINT)) AS DOUBLE))
            / CAST(MAX(n) AS DOUBLE) / {_DB_Q}.0 AS s
   FROM cells GROUP BY 1
 ), dist AS (
   SELECT a.cent_id, b.cent_id AS cent_j,
-         sqrt(CAST(SUM(CAST(a.sq * b.n - b.sq * a.n AS HUGEINT)
-                       * CAST(a.sq * b.n - b.sq * a.n AS HUGEINT)) AS DOUBLE))
-           / CAST(MAX(a.n * b.n) AS DOUBLE) / {_DB_Q}.0 AS d
+         sqrt(CAST(SUM((CAST(a.sq AS HUGEINT) * CAST(b.n AS HUGEINT)
+                        - CAST(b.sq AS HUGEINT) * CAST(a.n AS HUGEINT))
+                       * (CAST(a.sq AS HUGEINT) * CAST(b.n AS HUGEINT)
+                          - CAST(b.sq AS HUGEINT) * CAST(a.n AS HUGEINT))) AS DOUBLE))
+           / CAST(MAX(CAST(a.n AS HUGEINT) * CAST(b.n AS HUGEINT)) AS DOUBLE)
+           / {_DB_Q}.0 AS d
   FROM cells a JOIN cells b ON a.dim = b.dim AND a.cent_id <> b.cent_id
   GROUP BY 1, 2
 ), ratio AS (

@@ -189,6 +189,14 @@ def test_pagerank_redistribute_handles_dangling_directed_graph(spark):
     leaky = {r["node"]: r["rank"] for r in pagerank(e, iterations=20).collect()}
     assert 2 not in leaky  # sink has no out-edges → not a source node
     assert sum(leaky.values()) < 0.9  # mass visibly leaks without recycling
+    # ADVICE r7: EVERY source node survives every round — node 0 has
+    # indegree 0 yet must hold the exact power-method teleport floor
+    # (1-d)/n and keep voting (node 1 = floor + d·(rank0/outdeg 1)).
+    assert set(leaky) == {0, 1}
+    n = 2  # source-node count: {0, 1}
+    floor = (1.0 - 0.85) / n
+    assert leaky[0] == round(floor, 10)
+    assert abs(leaky[1] - (floor + 0.85 * round(leaky[0] / 1, 14))) < 1e-9
 
 
 def test_k_core_planted_graph(spark):

@@ -449,3 +449,45 @@ def test_inverted_index_incremental_equals_rebuild_and_fence(spark, tmp_path):
     ).collect()
     rebuilt = bm25_from_index(want_p, want_l, want_d, terms).collect()
     assert [tuple(r) for r in served] == [tuple(r) for r in rebuilt]
+
+
+def test_fenced_append_create_race_rechecks_winner_fence(spark, tmp_path, monkeypatch):
+    """ADVICE r7: in the create-race path (create_table raises because a
+    concurrent creator won), _fenced_append must re-read the WINNER's
+    stream_fences before falling through to append — otherwise a zombie
+    execution of the same (fence_id, batch_id) first batch
+    double-applies its additive rows."""
+    from data_ingestion_project_spark.operators import incremental_dedup as inc
+    from data_ingestion_project_spark.operators import txn_table as T
+
+    path = str(tmp_path / "raced")
+    rows = spark.createDataFrame([(1, 10), (2, 11)], "fp long, doc_id long")
+
+    real_create = T.create_table
+
+    def racing_create(spark_, p, df, extra=None):
+        # the concurrent winner lands first, recording the SAME fence...
+        real_create(spark_, p, df, extra={"stream_fences": {"s": 0}})
+        # ...so this process's create loses the race
+        raise FileExistsError(p)
+
+    monkeypatch.setattr(inc.T, "create_table", racing_create)
+    # zombie replay of (s, 0): must observe the winner's fence and no-op
+    inc._fenced_append(spark, path, rows, fence=("s", 0))
+    assert T.read(spark, path).count() == 2  # winner's rows only, once
+    assert T._read_manifest(path, T.current_version(path))["stream_fences"] == {
+        "s": 0
+    }
+
+    # a LOSING create carrying a genuinely newer batch must still apply
+    path2 = str(tmp_path / "raced2")
+
+    def racing_create_old_winner(spark_, p, df, extra=None):
+        real_create(spark_, p, df, extra={"stream_fences": {"s": 0}})
+        raise FileExistsError(p)
+
+    monkeypatch.setattr(inc.T, "create_table", racing_create_old_winner)
+    inc._fenced_append(spark, path2, rows, fence=("s", 1))
+    assert T.read(spark, path2).count() == 4  # winner's 2 + batch-1's 2
+    fences = T._read_manifest(path2, T.current_version(path2))["stream_fences"]
+    assert fences == {"s": 1}
