@@ -49,33 +49,15 @@ SFS = ("sf0.001", "sf0.01", "sf0.1")
 # alpha from the scheduler-floor decade to a load-bearing one
 SF1_FAMILIES = None
 
-# round 7 closing pass: a FIFTH decade (scratch/sf10 — 60 M lineitem /
-# 10 M events / 500 k documents, factor 100 off sf0.1) for the
-# heaviest/most-load-bearing families; their exponents then fit on
-# sf1→sf10 where per-query work is seconds-to-minutes, while the rest
-# keep their sf0.1→sf1 fit
-SF10_FAMILIES = frozenset(
-    {
-        "minhash_near_dups",
-        "simhash_near_dups",
-        "winnow_overlap_top",
-        "substring_dup_stats",
-        "exact_substring_census",
-        "cms_word_freq",
-        "nb_lang_confusion",
-        "quantile_sketch_rollup",
-        "entity_golden_records",
-        "bm25_topk_indexed",
-        "pricing_summary",
-        "hourly_event_stats",
-        "user_sessions",
-        "dedup_funnel",
-        "kaplan_meier_retention",
-        "theil_sen_revenue_trend",
-        "rfm_segments",
-        "jpeg_decode_stats",
-    }
-)
+# round 7 closing pass introduced a FIFTH decade (scratch/sf10 — 60 M
+# lineitem / 10 M events / 500 k documents, factor 100 off sf0.1) for
+# the 18 heaviest families; round 8 (VERDICT r7 ask #1) extends it to
+# EVERY heavy family (None = no subset filter), so all exponents fit
+# on a decade where per-query work is far above the scheduler floor —
+# the shuffle-join-heavy stragglers (longest_repeat_extract, the
+# dup-graph iteration families, ER, the winnow family) are exactly
+# where super-linearity hides
+SF10_FAMILIES = None
 
 # query -> driving table (the input whose cardinality the family's
 # cost should track ~linearly under the committed plan shapes)
@@ -125,6 +107,13 @@ HEAVY = {
     # envelope-crypto lifecycle audit
     "exact_substring_census": "documents",
     "crypto_shred_audit": "customer",
+    # round-8 additions (VERDICT r7 asks #1/#6): the 4-shuffle-join
+    # suffix-rank extraction, the certified covariance pass, and the
+    # Pillow production twin of the JPEG census (registered only where
+    # Pillow imports — priced at C speed in decades that have it)
+    "longest_repeat_extract": "documents",
+    "embedding_covariance_stats": "embeddings",
+    "jpeg_decode_stats_fast": "documents",
     # round-7 second wave: pairwise-slope/stylometry/cluster-quality/
     # basket/attribution/journey/actuarial families
     "theil_sen_revenue_trend": "orders",
@@ -191,6 +180,11 @@ def main() -> None:
         for name in sorted(HEAVY):
             if subset is not None and name not in subset:
                 continue
+            if name not in queries:  # import-gated (e.g. the Pillow
+                # production twin) — measured only where it registers
+                print(f"# {sf} {name}: not registered in this env; skipped",
+                      file=sys.stderr)
+                continue
             t0 = time.perf_counter()
             n = len(queries[name](spark, sf_dir).collect())
             times[name][sf] = round(time.perf_counter() - t0, 3)
@@ -208,6 +202,8 @@ def main() -> None:
             and a in times[name]
             and b in times[name]
         ]
+        if not fit_steps:  # never measured in this env (import-gated)
+            continue
         a, b = fit_steps[-1]
         n_ratio = rows[b][driver_table] / rows[a][driver_table]
         t_ratio = times[name][b] / times[name][a]
@@ -227,6 +223,8 @@ def main() -> None:
     print("| query | driver | " + " | ".join(f"t({sf})" for sf in labels) + " | step | alpha |")
     print("|---|---|" + "---|" * (len(labels) + 2))
     for name in sorted(HEAVY):
+        if name not in exponents:
+            continue
         e = exponents[name]
         t = times[name]
         cells = " | ".join(str(t.get(sf, "-")) for sf in labels)
