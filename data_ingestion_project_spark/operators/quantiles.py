@@ -160,3 +160,54 @@ def exact_median(
             / F.lit(2.0)
         ).alias("median"),
     )
+
+
+def rank2_map(
+    df: DataFrame,
+    value_col: str,
+    bucket_width: int = 1_000_000,
+) -> DataFrame:
+    """DOUBLED average (mid) ranks per distinct value of an INTEGER
+    column — the exact tie-handling rank primitive under rank-based
+    statistics (Spearman's rho, the Mann-Whitney U): returns one row
+    per distinct value with ``(value, cnt, r2)`` where
+
+        r2 = 2 * average_rank(value)
+           = 2 * (#strictly smaller) + cnt(value) + 1
+
+    kept DOUBLED so it stays an exact INTEGER through ties (an average
+    rank is a .5 at every even tie group — doubling removes the only
+    fraction the definition produces, the same trick as the doubled
+    median order statistics in :func:`exact_median`).
+
+    Same two-level plan shape as exact_median — per-value counts (one
+    map-side-combined shuffle), an exclusive prefix over the
+    BUCKET-partials frame (value-domain-sized), a bucket-partitioned
+    cumulative window — so nothing row-count-sized ever crosses one
+    task, and the map is O(distinct values) to join back wherever the
+    consumer needs per-row ranks."""
+    vc = (
+        df.groupBy(F.col(value_col).alias("__v"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .withColumn("__b", F.floor(F.col("__v") / F.lit(bucket_width)))
+        .localCheckpoint(eager=True)
+    )
+    bp = vc.groupBy("__b").agg(F.sum("__c").alias("__bc"))
+    wb = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    prefix = bp.select(
+        "__b", F.coalesce(F.sum("__bc").over(wb), F.lit(0)).alias("__p")
+    )
+    wv = (
+        Window.partitionBy("__b")
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return vc.join(F.broadcast(prefix), "__b").select(
+        F.col("__v").alias(value_col),
+        F.col("__c").alias("cnt"),
+        (
+            2 * (F.col("__p") + F.coalesce(F.sum("__c").over(wv), F.lit(0)))
+            + F.col("__c")
+            + 1
+        ).alias("r2"),
+    )

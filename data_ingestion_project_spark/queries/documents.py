@@ -4711,7 +4711,127 @@ LIMIT 15
 """
 
 
+def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-15 word COLLOCATIONS by document-level pointwise mutual
+    information: PMI(w1,w2) = ln(N·c12 / (df1·df2)) over per-document
+    DISTINCT word sets — the classic distributional-semantics
+    association score (Church & Hanks), the signal a phrase-mining /
+    tokenizer-vocabulary pass uses to decide which word pairs deserve
+    a merged token, next to the raw-frequency view in
+    bigram_logprob_buckets (which scores ADJACENT pairs; this scores
+    co-presence anywhere in the document).
+
+    Plan: each doc's sorted distinct word array expands its i<j pairs
+    through ONE codegen'd nested-transform + explode (the
+    covariance_cells triangle shape — no self-join); pair counts and
+    word document frequencies are two map-side-combined shuffles over
+    vocabulary-sized key spaces; PMI arithmetic and the top-15 run on
+    the pair-vocabulary frame. Per-doc expansion is C(distinct,2) —
+    bounded by per-doc vocabulary, not corpus size; a 100 TB run
+    bounds it the way the suffix census bounds grams (min-df prune of
+    the word set BEFORE pairing, dropping hapax words that cannot
+    reach a reportable PMI).
+
+    Exactness: counts are exact integers; the single ln is quantized
+    to 1e-4 immediately (bigram_logprob idiom) with its argument
+    spelled as the identical cast-first double expression in both
+    engines."""
+    d = table(spark, sf_dir, "documents")
+    dw = d.select(
+        F.array_remove(
+            F.array_sort(
+                F.array_distinct(F.split(F.lower(F.trim("text")), r"\s+"))
+            ),
+            "",
+        ).alias("w")
+    ).localCheckpoint(eager=True)
+    pairs = (
+        dw.filter(F.size("w") >= 2)  # sequence(0,-1) guard (bpe lesson)
+        .select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.sequence(F.lit(0), F.size("w") - 2),
+                        lambda i: F.transform(
+                            F.sequence(i + 1, F.size("w") - 1),
+                            lambda j: F.struct(
+                                F.element_at("w", i + 1).alias("w1"),
+                                F.element_at("w", j + 1).alias("w2"),
+                            ),
+                        ),
+                    )
+                )
+            ).alias("pr")
+        )
+        .groupBy("pr.w1", "pr.w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+    )
+    df = (
+        dw.select(F.explode("w").alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("dfc"))
+    )
+    nn = dw.agg(F.count(F.lit(1)).alias("n"))
+    arg = (F.col("n").cast("double") * F.col("c12").cast("double")) / (
+        F.col("df1").cast("double") * F.col("df2").cast("double")
+    )
+    # df joins carry no broadcast hint: the word-frequency frame is
+    # VOCABULARY-sized (fine to broadcast here, potentially hundreds
+    # of MB on a web-scale corpus) — AQE picks broadcast when it fits,
+    # the dup_cluster_density rule
+    scored = (
+        pairs.join(
+            df.select(F.col("word").alias("w1"), F.col("dfc").alias("df1")), "w1"
+        )
+        .join(
+            df.select(F.col("word").alias("w2"), F.col("dfc").alias("df2")), "w2"
+        )
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            "df1",
+            "df2",
+            (F.round(F.log(arg) * 10000, 0).cast("long").cast("double") / 10000.0).alias(
+                "pmi"
+            ),
+        )
+    )
+    return scored.orderBy(
+        F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc()
+    ).limit(15)
+
+
+ORACLE_PMI_COLLOCATIONS = """
+WITH dw AS (
+  SELECT doc_id,
+         list_sort(list_distinct(string_split_regex(lower(trim(text)), '\\s+'))) AS ws
+  FROM documents
+), dwf AS (
+  SELECT doc_id, unnest(ws) AS w FROM dw
+), dwx AS (SELECT doc_id, w FROM dwf WHERE w <> ''),
+pairs AS (
+  SELECT a.w AS w1, b.w AS w2, COUNT(*) AS c12
+  FROM dwx a JOIN dwx b ON a.doc_id = b.doc_id AND a.w < b.w
+  GROUP BY 1, 2
+), df AS (SELECT w, COUNT(*) AS dfc FROM dwx GROUP BY w),
+nn AS (SELECT COUNT(*) AS n FROM dw)
+SELECT w1, w2, c12, d1.dfc AS df1, d2.dfc AS df2,
+       CAST(CAST(ROUND(ln((CAST(nn.n AS DOUBLE) * CAST(c12 AS DOUBLE))
+                          / (CAST(d1.dfc AS DOUBLE) * CAST(d2.dfc AS DOUBLE)))
+                       * 10000, 0) AS BIGINT) AS DOUBLE) / 10000.0 AS pmi
+FROM pairs
+JOIN df d1 ON d1.w = pairs.w1
+JOIN df d2 ON d2.w = pairs.w2
+CROSS JOIN nn
+ORDER BY pmi DESC, w1 ASC, w2 ASC
+LIMIT 15
+"""
+
+
 QUERIES = {
+    "pmi_collocations": pmi_collocations,
     "doc_repetition_stats": doc_repetition_stats,
     "corpus_mixture_plan": corpus_mixture_plan,
     "unigram_logprob_quality": unigram_logprob_quality,
@@ -4788,6 +4908,7 @@ if _HAVE_PIL:
     QUERIES["jpeg_decode_stats_fast"] = jpeg_decode_stats_fast
 
 ORACLE = {
+    "pmi_collocations": ORACLE_PMI_COLLOCATIONS,
     "doc_repetition_stats": ORACLE_DOC_REPETITION_STATS,
     "corpus_mixture_plan": ORACLE_CORPUS_MIXTURE_PLAN,
     "unigram_logprob_quality": ORACLE_UNIGRAM_LOGPROB_QUALITY,

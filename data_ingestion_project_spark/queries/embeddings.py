@@ -1385,7 +1385,74 @@ ORDER BY cent_id
 """
 
 
+def decision_stump_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best axis-aligned label split per embedding dimension, top-10
+    dimensions by Gini gain — the histogram-based split scan
+    (operators/stump.py, the LightGBM-hist primitive) run as a feature
+    screen: which embedding dimensions carry label signal, and where
+    the first tree split would cut. Companion to mi_label_dims (mutual
+    information ranks dimensions; this prices the actual decision
+    boundary a stump would use).
+
+    Plan: ONE corpus pass to the (dim, bucket, label) histogram —
+    dims × ~20 buckets × 10 classes ≈ 14k cells at ANY corpus size —
+    then a bounded range-join split scan and per-dim argmax on the
+    cell frame. Ranking compares RAW gain doubles (bit-identical
+    cross-engine: every input sum is exact integer, the combination
+    value-determined); output rounds at 6.
+    """
+    from pyspark.sql import Window
+
+    from data_ingestion_project_spark.operators.stump import (
+        histogram_cells,
+        stump_split_gains,
+    )
+
+    e = table(spark, sf_dir, "embeddings")
+    gains = stump_split_gains(histogram_cells(e, "embedding", "label", scale=20))
+    w = Window.partitionBy("dim").orderBy(F.col("gain").desc(), F.col("b").asc())
+    best = gains.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        best.orderBy(F.col("gain").desc(), F.col("dim").asc())
+        .limit(10)
+        .select(
+            "dim",
+            "threshold",
+            F.col("n_left").cast("long").alias("n_left"),
+            F.col("n_right").cast("long").alias("n_right"),
+            floor_round(F.col("gain"), 6).alias("gini_gain"),
+        )
+    )
+
+
+def _oracle_decision_stump_splits() -> str:
+    from data_ingestion_project_spark.operators.stump import stump_sql
+
+    return f"""
+WITH {stump_sql(scale=20)},
+best AS (
+  SELECT * FROM (
+    SELECT gains.*,
+           ROW_NUMBER() OVER (PARTITION BY dim
+             ORDER BY gain DESC, b ASC) AS rn
+    FROM gains
+  ) WHERE rn = 1
+)
+SELECT dim, threshold,
+       CAST(n_left AS BIGINT) AS n_left,
+       CAST(n_right AS BIGINT) AS n_right,
+       sign(gain) * floor(abs(gain) * 1000000.0 + 0.5) / 1000000.0 AS gini_gain
+FROM best
+ORDER BY gain DESC, dim ASC
+LIMIT 10
+"""
+
+
+ORACLE_DECISION_STUMP_SPLITS = _oracle_decision_stump_splits()
+
+
 QUERIES = {
+    "decision_stump_splits": decision_stump_splits,
     "embedding_davies_bouldin": embedding_davies_bouldin,
     "knn_brute_force": knn_brute_force,
     "batch_knn_search": batch_knn_search,
@@ -1408,6 +1475,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "decision_stump_splits": ORACLE_DECISION_STUMP_SPLITS,
     "embedding_davies_bouldin": ORACLE_EMBEDDING_DAVIES_BOULDIN,
     "knn_brute_force": ORACLE_KNN_BRUTE_FORCE,
     "batch_knn_search": ORACLE_BATCH_KNN_SEARCH,

@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_ingestion_project_spark.operators.asof import asof_join
-from data_ingestion_project_spark.queries._precision import dec_sum, floor_round, sql_dec_sum
+from data_ingestion_project_spark.queries._precision import dec_sum, floor_round, sql_dec_sum, to_micro
 from data_ingestion_project_spark.operators.sessionize import sessionize
 from data_ingestion_project_spark.sources.readers import table
 
@@ -1288,7 +1288,110 @@ FROM purchases p JOIN incidents i
 GROUP BY i.inc_start ORDER BY inc_start
 """
 
+def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curve: users grouped by FIRST-SEEN week,
+    cumulative purchase revenue per cohort member by week-age — the
+    revenue deepening of retention_cohorts (which counts who comes
+    back; this prices what they spend once back), the table a
+    growth/payback analysis reads row one of.
+
+    Plan: first-seen week is one groupBy(user) min(ts); purchases tag
+    their cohort through ONE keyed join on user_id (never broadcast —
+    the user frame is corpus-cardinality); per (cohort, age) revenue
+    is a second bounded aggregate (weeks × weeks cells, calendar²-
+    bounded); the cumulative runs cohort-PARTITIONED over week-age
+    (each partition is observation-span-sized). Exactness: revenue
+    folds in exact micro-units end to end — the cumulative window sums
+    the per-cell integer partials, so even the running sums are exact
+    before the single rounded division per row."""
+    e = table(spark, sf_dir, "events")
+    first = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_wk")
+    )
+    sizes = first.groupBy("cohort_wk").agg(F.count(F.lit(1)).alias("n_users"))
+    buys = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    cells = (
+        buys.join(first, "user_id")
+        .select(
+            "cohort_wk",
+            F.floor(
+                F.datediff(F.to_date("ts"), F.to_date("cohort_wk")) / F.lit(7)
+            ).alias("age_wk"),
+            "value",
+        )
+        .groupBy("cohort_wk", "age_wk")
+        .agg(
+            F.sum(to_micro(F.col("value")).cast("decimal(28,0)")).alias("rev_mi"),
+            F.count(F.lit(1)).alias("n_purchases"),
+        )
+    )
+    w = (
+        Window.partitionBy("cohort_wk")
+        .orderBy("age_wk")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        cells.withColumn("cum_mi", F.sum("rev_mi").over(w))
+        .join(sizes, "cohort_wk")
+        .select(
+            F.date_format("cohort_wk", "yyyy-MM-dd").alias("cohort_week"),
+            F.col("age_wk").cast("long").alias("age_wk"),
+            "n_users",
+            "n_purchases",
+            floor_round(
+                F.col("cum_mi").cast("double") / F.lit(1000000.0), 2
+            ).alias("cum_revenue"),
+            floor_round(
+                F.col("cum_mi").cast("double")
+                / F.lit(1000000.0)
+                / F.col("n_users").cast("double"),
+                4,
+            ).alias("ltv_per_user"),
+        )
+        .orderBy("cohort_week", "age_wk")
+    )
+
+
+ORACLE_COHORT_LTV_CURVE = """
+WITH first AS (
+  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_wk
+  FROM events GROUP BY user_id
+), sizes AS (
+  SELECT cohort_wk, COUNT(*) AS n_users FROM first GROUP BY cohort_wk
+), cells AS (
+  SELECT f.cohort_wk,
+         CAST(floor(datediff('day', CAST(f.cohort_wk AS DATE),
+                             CAST(e.ts AS DATE)) / 7.0) AS BIGINT) AS age_wk,
+         SUM(CAST(trunc(e.value * 1000000) AS BIGINT)) AS rev_mi,
+         COUNT(*) AS n_purchases
+  FROM events e JOIN first f ON f.user_id = e.user_id
+  WHERE e.event_type = 'purchase'
+  GROUP BY 1, 2
+)
+SELECT strftime(c.cohort_wk, '%Y-%m-%d') AS cohort_week,
+       c.age_wk, s.n_users, c.n_purchases,
+       sign(CAST(SUM(c.rev_mi) OVER (PARTITION BY c.cohort_wk ORDER BY c.age_wk
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+            / 1000000.0)
+       * floor(abs(CAST(SUM(c.rev_mi) OVER (PARTITION BY c.cohort_wk ORDER BY c.age_wk
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                   / 1000000.0) * 100.0 + 0.5) / 100.0 AS cum_revenue,
+       sign(CAST(SUM(c.rev_mi) OVER (PARTITION BY c.cohort_wk ORDER BY c.age_wk
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+            / 1000000.0 / CAST(s.n_users AS DOUBLE))
+       * floor(abs(CAST(SUM(c.rev_mi) OVER (PARTITION BY c.cohort_wk ORDER BY c.age_wk
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                   / 1000000.0 / CAST(s.n_users AS DOUBLE)) * 10000.0 + 0.5)
+         / 10000.0 AS ltv_per_user
+FROM cells c JOIN sizes s ON s.cohort_wk = c.cohort_wk
+ORDER BY cohort_week, age_wk
+"""
+
+
 QUERIES = {
+    "cohort_ltv_curve": cohort_ltv_curve,
     "event_type_lift": event_type_lift,
     "user_daily_gapfill": user_daily_gapfill,
     "hourly_event_stats": hourly_event_stats,
@@ -1314,6 +1417,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "cohort_ltv_curve": ORACLE_COHORT_LTV_CURVE,
     "event_type_lift": ORACLE_EVENT_TYPE_LIFT,
     "user_daily_gapfill": ORACLE_USER_DAILY_GAPFILL,
     "daily_event_anomalies": ORACLE_DAILY_EVENT_ANOMALIES,

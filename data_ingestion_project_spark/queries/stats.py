@@ -2197,8 +2197,238 @@ ORDER BY method
 """
 
 
+# ------------------------------------------- rank statistics (r8)
+
+
+def spearman_price_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between lineitem quantity and
+    extended price — the NONPARAMETRIC companion to the Pearson fit in
+    regr_price_quantity: monotone association that no outlier or
+    nonlinearity can fake, the robustness check a feature-screening
+    pass runs next to every Pearson r.
+
+    Exactness: mid-rank ties are handled with DOUBLED integer ranks
+    (operators/quantiles.rank2_map: r2 = 2·#smaller + cnt + 1 — the
+    only fraction the definition produces is the .5 of an even tie
+    group, and doubling removes it), so all six moment sums (n, Σr2x,
+    Σr2y, Σr2x·r2y, Σr2x², Σr2y²) fold EXACTLY in DECIMAL with every
+    product cast-first; rho is then ONE value-determined IEEE
+    combination of the six exact sums, spelled identically in DuckDB
+    (n·Sxy−SxSy over the sqrt of the two variance terms — Pearson on
+    ranks, the tie-correct general form of the 6Σd² shortcut).
+
+    Scale: per-variable rank maps are the two-level bucket-prefix
+    plan (value-domain-sized frames, nothing row-count-sized on one
+    task — the exact_median posture); the joint (q, p) frequency table
+    is one map-side-combined shuffle; the rank joins are
+    distinct-value-sized equi-joins; at 100 TB everything downstream
+    of the fact pass is value-domain-bounded."""
+    from data_ingestion_project_spark.operators.quantiles import rank2_map
+
+    l = table(spark, sf_dir, "lineitem")
+    base = l.select(
+        F.col("l_quantity").cast("long").alias("q"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("p"),
+    )
+    rq = rank2_map(base, "q", bucket_width=8).select(
+        "q", F.col("r2").alias("r2q")
+    )
+    rp = rank2_map(base, "p", bucket_width=100_000).select(
+        "p", F.col("r2").alias("r2p")
+    )
+    jf = base.groupBy("q", "p").agg(F.count(F.lit(1)).alias("c"))
+    _d38 = "decimal(38,0)"
+    m = (
+        jf.join(rq, "q")
+        .join(rp, "p")
+        .agg(
+            F.sum("c").alias("n"),
+            F.sum(F.col("c").cast(_d38) * F.col("r2q").cast(_d38)).alias("sx"),
+            F.sum(F.col("c").cast(_d38) * F.col("r2p").cast(_d38)).alias("sy"),
+            F.sum(
+                F.col("c").cast(_d38)
+                * F.col("r2q").cast(_d38)
+                * F.col("r2p").cast(_d38)
+            ).alias("sxy"),
+            F.sum(
+                F.col("c").cast(_d38)
+                * F.col("r2q").cast(_d38)
+                * F.col("r2q").cast(_d38)
+            ).alias("sxx"),
+            F.sum(
+                F.col("c").cast(_d38)
+                * F.col("r2p").cast(_d38)
+                * F.col("r2p").cast(_d38)
+            ).alias("syy"),
+        )
+    )
+    # the exact DECIMAL sums are cast to double BEFORE the final
+    # combination: n·Sxy would overflow even DECIMAL(38) near 1e10
+    # rows, while the double combination is value-determined (same
+    # six inputs, same op order) on both engines
+    n_d = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    rho = (n_d * sxy - sx * sy) / F.sqrt(
+        (n_d * sxx - sx * sx) * (n_d * syy - sy * sy)
+    )
+    return m.select(
+        F.col("n").cast("long").alias("n_rows"),
+        _floor_round(rho, 6).alias("rho_spearman"),
+    )
+
+
+_SQL_RANK2 = """
+  SELECT {v} AS v, COUNT(*) AS c,
+         2 * COALESCE(SUM(COUNT(*)) OVER (
+               ORDER BY {v} ROWS BETWEEN UNBOUNDED PRECEDING
+               AND 1 PRECEDING), 0)
+           + COUNT(*) + 1 AS r2
+  FROM {src} GROUP BY {v}
+"""
+
+ORACLE_SPEARMAN_PRICE_QUANTITY = f"""
+WITH base AS (
+  SELECT CAST(l_quantity AS BIGINT) AS q,
+         CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS p
+  FROM lineitem
+), rq AS ({_SQL_RANK2.format(v="q", src="base")}),
+rp AS ({_SQL_RANK2.format(v="p", src="base")}),
+jf AS (SELECT q, p, COUNT(*) AS c FROM base GROUP BY q, p),
+m AS (
+  SELECT SUM(jf.c) AS n,
+         SUM(CAST(jf.c AS HUGEINT) * rq.r2) AS sx,
+         SUM(CAST(jf.c AS HUGEINT) * rp.r2) AS sy,
+         SUM(CAST(jf.c AS HUGEINT) * rq.r2 * rp.r2) AS sxy,
+         SUM(CAST(jf.c AS HUGEINT) * rq.r2 * rq.r2) AS sxx,
+         SUM(CAST(jf.c AS HUGEINT) * rp.r2 * rp.r2) AS syy
+  FROM jf JOIN rq ON rq.v = jf.q JOIN rp ON rp.v = jf.p
+)
+SELECT CAST(n AS BIGINT) AS n_rows,
+       sign((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+            / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                   * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))))
+       * floor(abs((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                   / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                          * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))))
+              * 1000000.0 + 0.5) / 1000000.0 AS rho_spearman
+FROM m
+"""
+
+
+def mannwhitney_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) test: do purchase event
+    values stochastically dominate click values? The nonparametric
+    sibling of welch_event_values — rank-based, so heavy tails and
+    outliers (exactly what event revenue has) cannot distort it.
+
+    Exactness: values micro-quantize to int64 at the one fact pass;
+    the COMBINED mid-rank map uses doubled integer ranks (rank2_map),
+    so 2R₁ = Σ c₁(v)·r2(v) is an exact DECIMAL fold and
+    U₁ = (2R₁ − n₁(n₁+1))/2 is exact in half-units; the tie-corrected
+    normal approximation z = (U₁ − n₁n₂/2)/σ with
+    σ² = n₁n₂/12·((N+1) − Σ(t³−t)/(N(N−1))) is one value-determined
+    IEEE combination of exact integers (no continuity correction —
+    documented, mirrored in the oracle). rank_biserial = 1 − 2U₁/n₁n₂
+    is the effect size.
+
+    Scale: identical posture to spearman_price_quantity — one
+    conditional-count pass to the per-value frame, the two-level
+    bucket-prefix rank map, then scalar arithmetic."""
+    from data_ingestion_project_spark.operators.quantiles import rank2_map
+
+    e = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    base = e.select(
+        to_micro(F.col("value")).alias("v"),
+        (F.col("event_type") == "purchase").alias("is_p"),
+    )
+    ranks = rank2_map(base, "v", bucket_width=10_000_000)
+    per = base.groupBy("v").agg(
+        F.sum(F.when(F.col("is_p"), 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("is_p"), 0).otherwise(1)).alias("c2"),
+    )
+    _d38 = "decimal(38,0)"
+    g = per.join(ranks, "v").agg(
+        F.sum("c1").alias("n1"),
+        F.sum("c2").alias("n2"),
+        F.sum(F.col("c1").cast(_d38) * F.col("r2").cast(_d38)).alias("r1x2"),
+        F.sum(
+            F.col("cnt").cast(_d38) * F.col("cnt").cast(_d38) * F.col("cnt").cast(_d38)
+            - F.col("cnt").cast(_d38)
+        ).alias("ties"),
+    )
+    n1, n2 = F.col("n1").cast("double"), F.col("n2").cast("double")
+    nn = n1 + n2
+    u2 = F.col("r1x2").cast("double") - n1 * (n1 + F.lit(1.0))  # = 2*U1
+    u1 = u2 / F.lit(2.0)
+    sigma = F.sqrt(
+        n1 * n2 / F.lit(12.0)
+        * ((nn + F.lit(1.0)) - F.col("ties").cast("double") / (nn * (nn - F.lit(1.0))))
+    )
+    z = (u1 - n1 * n2 / F.lit(2.0)) / sigma
+    return g.select(
+        F.col("n1").cast("long").alias("n_purchase"),
+        F.col("n2").cast("long").alias("n_click"),
+        _floor_round(u1, 1).alias("u_stat"),
+        _floor_round(z, 6).alias("z_score"),
+        _floor_round(F.lit(1.0) - u2 / (n1 * n2), 6).alias("rank_biserial"),
+    )
+
+
+ORACLE_MANNWHITNEY_EVENT_VALUES = f"""
+WITH base AS (
+  SELECT CAST(trunc(value * 1000000) AS BIGINT) AS v,
+         event_type = 'purchase' AS is_p
+  FROM events WHERE event_type IN ('purchase', 'click')
+), ranks AS ({_SQL_RANK2.format(v="v", src="base")}),
+per AS (
+  SELECT v, SUM(CASE WHEN is_p THEN 1 ELSE 0 END) AS c1,
+         SUM(CASE WHEN is_p THEN 0 ELSE 1 END) AS c2
+  FROM base GROUP BY v
+), g AS (
+  SELECT SUM(c1) AS n1, SUM(c2) AS n2,
+         SUM(CAST(c1 AS HUGEINT) * r2) AS r1x2,
+         SUM(CAST(ranks.c AS HUGEINT) * ranks.c * ranks.c
+             - CAST(ranks.c AS HUGEINT)) AS ties
+  FROM per JOIN ranks ON ranks.v = per.v
+), d AS (
+  SELECT CAST(n1 AS DOUBLE) AS n1d, CAST(n2 AS DOUBLE) AS n2d,
+         CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+         CAST(r1x2 AS DOUBLE) - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1.0) AS u2,
+         CAST(ties AS DOUBLE) AS tiesd
+  FROM g
+)
+SELECT n1 AS n_purchase, n2 AS n_click,
+       sign(u2 / 2.0) * floor(abs(u2 / 2.0) * 10.0 + 0.5) / 10.0 AS u_stat,
+       sign((u2 / 2.0 - n1d * n2d / 2.0)
+            / sqrt(n1d * n2d / 12.0
+                   * ((n1d + n2d + 1.0)
+                      - tiesd / ((n1d + n2d) * (n1d + n2d - 1.0)))))
+       * floor(abs((u2 / 2.0 - n1d * n2d / 2.0)
+                   / sqrt(n1d * n2d / 12.0
+                          * ((n1d + n2d + 1.0)
+                             - tiesd / ((n1d + n2d) * (n1d + n2d - 1.0)))))
+              * 1000000.0 + 0.5) / 1000000.0 AS z_score,
+       sign(1.0 - u2 / (n1d * n2d))
+       * floor(abs(1.0 - u2 / (n1d * n2d)) * 1000000.0 + 0.5) / 1000000.0
+         AS rank_biserial
+FROM d
+"""
+
+
 QUERIES = {
     "chisq_event_dow": chisq_event_dow,
+    "spearman_price_quantity": spearman_price_quantity,
+    "mannwhitney_event_values": mannwhitney_event_values,
     "anova_event_values": anova_event_values,
     "ks_length_drift": ks_length_drift,
     "regr_price_quantity": regr_price_quantity,
@@ -2220,6 +2450,8 @@ QUERIES = {
 
 ORACLE = {
     "chisq_event_dow": ORACLE_CHISQ_EVENT_DOW,
+    "spearman_price_quantity": ORACLE_SPEARMAN_PRICE_QUANTITY,
+    "mannwhitney_event_values": ORACLE_MANNWHITNEY_EVENT_VALUES,
     "anova_event_values": ORACLE_ANOVA_EVENT_VALUES,
     "ks_length_drift": ORACLE_KS_LENGTH_DRIFT,
     "regr_price_quantity": ORACLE_REGR_PRICE_QUANTITY,

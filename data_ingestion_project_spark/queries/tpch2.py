@@ -907,7 +907,72 @@ ORDER BY fk_edge
 ORACLE_REFERENTIAL_INTEGRITY_AUDIT = _oracle_referential_integrity()
 
 
+def hits_purchase_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-15 suppliers by HITS AUTHORITY over the bipartite
+    customer→supplier purchase graph (operators/hits.py): mutually-
+    recursive ranking where a supplier scores by the hub quality of
+    the customers buying from it — the relational-graph companion to
+    dup_graph_pagerank (which ranks the near-dup text graph) and the
+    third oracle-certified iterative algorithm (5 unrolled
+    iterations replayed CTE-for-CTE by DuckDB, bit-identical by the
+    module determinism contract).
+
+    Plan: ONE orders⋈lineitem equi-join (keyed shuffle on orderkey)
+    builds the distinct edge list, checkpointed once; each HITS round
+    is two keyed joins + two aggregations on it, nothing
+    node-cardinality is ever broadcast; degree context joins on at
+    the end. Output rounds authority at 9 (the certified score scale
+    is 12; output coarsens for display stability)."""
+    from data_ingestion_project_spark.operators.hits import hits
+
+    o = table(spark, sf_dir, "orders")
+    l = table(spark, sf_dir, "lineitem")
+    edges = (
+        o.join(l, o["o_orderkey"] == l["l_orderkey"])
+        .select(F.col("o_custkey").alias("src"), F.col("l_suppkey").alias("dst"))
+    )
+    _hubs, auths = hits(edges, iterations=5)
+    deg = (
+        edges.distinct()
+        .groupBy(F.col("dst").alias("node"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    return (
+        auths.join(deg, "node")
+        .orderBy(F.col("authority").desc(), F.col("node").asc())
+        .limit(15)
+        .select(
+            F.col("node").alias("supp_key"),
+            "n_customers",
+            floor_round(F.col("authority"), 9).alias("authority"),
+        )
+    )
+
+
+def _oracle_hits_purchase_graph() -> str:
+    from data_ingestion_project_spark.operators.hits import hits_unrolled_sql
+
+    return f"""
+WITH edges AS (
+  SELECT DISTINCT o_custkey AS src, l_suppkey AS dst
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+),
+{hits_unrolled_sql("edges", iterations=5)},
+deg AS (SELECT dst AS node, COUNT(*) AS n_customers FROM edges GROUP BY dst)
+SELECT a.dst AS supp_key, d.n_customers,
+       sign(a.a) * floor(abs(a.a) * 1000000000.0 + 0.5) / 1000000000.0
+         AS authority
+FROM auth5 a JOIN deg d ON d.node = a.dst
+ORDER BY a.a DESC, a.dst ASC
+LIMIT 15
+"""
+
+
+ORACLE_HITS_PURCHASE_GRAPH = _oracle_hits_purchase_graph()
+
+
 QUERIES = {
+    "hits_purchase_graph": hits_purchase_graph,
     "promo_revenue": promo_revenue,
     "top_revenue_supplier": top_revenue_supplier,
     "brand_band_revenue": brand_band_revenue,
@@ -924,6 +989,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "hits_purchase_graph": ORACLE_HITS_PURCHASE_GRAPH,
     "promo_revenue": ORACLE_PROMO_REVENUE,
     "top_revenue_supplier": ORACLE_TOP_REVENUE_SUPPLIER,
     "brand_band_revenue": ORACLE_BRAND_BAND_REVENUE,

@@ -470,6 +470,12 @@ _GLOBAL_WINDOW_SANCTIONED = {
     "theil_sen_revenue_trend",
     # drawdown prefix-max/lag: same per-DAY calendar-bounded frame
     "revenue_drawdown",
+    # rank statistics (r8): operators/quantiles.rank2_map's exclusive
+    # prefix runs over the BUCKET-partials frame (value-range /
+    # bucket_width — value-domain-sized, the exact_median posture);
+    # the per-value cumsum window is bucket-partitioned
+    "spearman_price_quantity",
+    "mannwhitney_event_values",
 }
 
 

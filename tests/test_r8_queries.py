@@ -1,0 +1,234 @@
+"""Round-8 query families, pinned against pure-Python/numpy replays
+and planted structure — the pytest layer under the oracle gate (which
+certifies Spark↔DuckDB; these certify both against an independent
+reference implementation)."""
+
+from __future__ import annotations
+
+import math
+import re
+from collections import defaultdict
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_spearman_matches_pandas_reference(spark):
+    from data_ingestion_project_spark.queries import all_queries
+
+    df = duckdb.sql(
+        f"""SELECT CAST(l_quantity AS BIGINT) AS q,
+                   CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS p
+            FROM '{SF}/lineitem.parquet'"""
+    ).df()
+    rq = df["q"].rank(method="average")
+    rp = df["p"].rank(method="average")
+    ref = np.corrcoef(rq, rp)[0, 1]
+
+    row = all_queries()["spearman_price_quantity"](spark, SF).collect()[0]
+    assert row["n_rows"] == len(df)
+    assert abs(row["rho_spearman"] - ref) <= 1e-6
+
+
+def test_mannwhitney_matches_reference(spark):
+    from data_ingestion_project_spark.queries import all_queries
+
+    df = duckdb.sql(
+        f"""SELECT CAST(trunc(value * 1000000) AS BIGINT) AS v,
+                   event_type = 'purchase' AS is_p
+            FROM '{SF}/events.parquet'
+            WHERE event_type IN ('purchase', 'click')"""
+    ).df()
+    ranks = df["v"].rank(method="average")
+    n1 = int(df["is_p"].sum())
+    n2 = len(df) - n1
+    r1 = float(ranks[df["is_p"]].sum())
+    u1 = r1 - n1 * (n1 + 1) / 2
+    # tie correction
+    _, counts = np.unique(df["v"], return_counts=True)
+    ties = float(np.sum(counts.astype(np.float64) ** 3 - counts))
+    nn = n1 + n2
+    sigma = math.sqrt(n1 * n2 / 12 * ((nn + 1) - ties / (nn * (nn - 1))))
+    z = (u1 - n1 * n2 / 2) / sigma
+
+    row = all_queries()["mannwhitney_event_values"](spark, SF).collect()[0]
+    assert (row["n_purchase"], row["n_click"]) == (n1, n2)
+    assert abs(row["u_stat"] - u1) <= 0.11
+    assert abs(row["z_score"] - z) <= 1e-6
+    assert abs(row["rank_biserial"] - (1 - 2 * u1 / (n1 * n2))) <= 1e-6
+
+
+def test_pmi_collocations_matches_bruteforce(spark):
+    from data_ingestion_project_spark.queries import all_queries
+
+    texts = [
+        t
+        for (t,) in duckdb.sql(
+            f"SELECT text FROM '{SF}/documents.parquet'"
+        ).fetchall()
+    ]
+    n_docs = len(texts)
+    dfc: dict = defaultdict(int)
+    c12: dict = defaultdict(int)
+    for t in texts:
+        ws = sorted({w for w in re.split(r"\s+", (t or "").strip().lower()) if w})
+        for w in ws:
+            dfc[w] += 1
+        for i in range(len(ws)):
+            for j in range(i + 1, len(ws)):
+                c12[(ws[i], ws[j])] += 1
+    scored = sorted(
+        (
+            (
+                round(math.log(n_docs * c / (dfc[w1] * dfc[w2])) * 10000) / 10000.0,
+                w1,
+                w2,
+                c,
+            )
+            for (w1, w2), c in c12.items()
+        ),
+        key=lambda r: (-r[0], r[1], r[2]),
+    )[:15]
+
+    got = all_queries()["pmi_collocations"](spark, SF).collect()
+    assert len(got) == 15
+    for r, (pmi, w1, w2, c) in zip(got, scored):
+        assert (r["w1"], r["w2"], r["c12"]) == (w1, w2, c)
+        assert abs(r["pmi"] - pmi) <= 1.01e-4  # half-even vs half-up at 1e-4
+        assert r["df1"] == dfc[w1] and r["df2"] == dfc[w2]
+
+
+def test_stump_split_scan_finds_planted_separator(spark):
+    """Planted structure: dim 0 separates the two labels perfectly
+    (the only boundary between the -0.3 and +0.3 spikes; float32
+    -0.3 buckets to floor(-6.0000002) = -7, threshold -0.3); dim 1
+    is a constant and carries zero gain. The scan must report dim 0
+    with the full parent impurity as gain — this is the densify
+    regression test: at the separating boundary the right class has
+    NO cumulative row, and a sparse join would drop the candidate."""
+    from data_ingestion_project_spark.operators.stump import (
+        histogram_cells,
+        stump_split_gains,
+    )
+
+    rows = [([-0.3, 0.1], 0) for _ in range(100)] + [([0.3, 0.1], 1) for _ in range(100)]
+    df = spark.createDataFrame(rows, "embedding array<float>, label int")
+    gains = stump_split_gains(histogram_cells(df, "embedding", "label", scale=20))
+    best = gains.orderBy(gains.gain.desc(), "dim", "b").first()
+    assert best["dim"] == 0
+    assert abs(best["threshold"] - (-0.3)) < 1e-9
+    assert (best["n_left"], best["n_right"]) == (100, 100)
+    assert abs(best["gain"] - 0.5) < 1e-12  # parent gini 0.5, children pure
+    # dim 1 (constant) produces no valid candidate at all
+    assert gains.filter("dim = 1").count() == 0
+
+
+def test_decision_stump_splits_matches_numpy_replay(spark):
+    from data_ingestion_project_spark.queries import all_queries
+
+    emb = duckdb.sql(
+        f"SELECT embedding, label FROM '{SF}/embeddings.parquet'"
+    ).fetchall()
+    X = np.array([e for e, _ in emb], dtype=np.float64)
+    y = np.array([l for _, l in emb])
+    B = np.floor(X * 20).astype(np.int64)
+    labels = np.unique(y)
+    best = {}
+    for d in range(X.shape[1]):
+        tot = np.array([(y == c).sum() for c in labels], dtype=np.int64)
+        nt = tot.sum()
+        gp = nt - (tot.astype(np.float64) ** 2).sum() / nt
+        for b in np.unique(B[:, d]):
+            left = B[:, d] <= b
+            nl_c = np.array([((y == c) & left).sum() for c in labels], dtype=np.int64)
+            nl, nr = int(nl_c.sum()), int(nt - nl_c.sum())
+            if nl == 0 or nr == 0:
+                continue
+            nr_c = tot - nl_c
+            gw = (nl - (nl_c.astype(np.float64) ** 2).sum() / nl) + (
+                nr - (nr_c.astype(np.float64) ** 2).sum() / nr
+            )
+            gain = (gp - gw) / nt
+            if d not in best or (gain, -b) > (best[d][0], -best[d][1]):
+                best[d] = (gain, int(b), nl, nr)
+    top = sorted(best.items(), key=lambda kv: (-kv[1][0], kv[0]))[:10]
+
+    got = all_queries()["decision_stump_splits"](spark, SF).collect()
+    assert len(got) == 10
+    for r, (d, (gain, b, nl, nr)) in zip(got, top):
+        assert r["dim"] == d
+        assert abs(r["threshold"] - (b + 1) / 20.0) < 1e-9
+        assert (r["n_left"], r["n_right"]) == (nl, nr)
+        assert abs(r["gini_gain"] - gain) <= 1e-6
+
+
+def test_hits_matches_python_power_iteration(spark):
+    from data_ingestion_project_spark.operators.hits import hits
+
+    edges = [(1, 10), (1, 11), (2, 10), (3, 10), (3, 12), (4, 13)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    hubs, auths = hits(df, iterations=5)
+    got_a = {r["node"]: r["authority"] for r in auths.collect()}
+    got_h = {r["node"]: r["hub"] for r in hubs.collect()}
+
+    h = {c: 1.0 for c, _ in edges}
+    a: dict = {}
+    for _ in range(5):
+        a_raw: dict = defaultdict(float)
+        for c, s in edges:
+            a_raw[s] += h[c]
+        t = sum(a_raw.values())
+        a = {s: round(v / t, 12) for s, v in a_raw.items()}
+        h_raw: dict = defaultdict(float)
+        for c, s in edges:
+            h_raw[c] += a[s]
+        t = sum(h_raw.values())
+        h = {c: round(v / t, 12) for c, v in h_raw.items()}
+    assert set(got_a) == set(a) and set(got_h) == set(h)
+    for s in a:
+        assert abs(got_a[s] - a[s]) <= 1e-9
+    for c in h:
+        assert abs(got_h[c] - h[c]) <= 1e-9
+    # authority mass concentrates on the shared supplier 10
+    assert max(a, key=a.get) == 10
+    assert abs(sum(got_a.values()) - 1.0) < 1e-6
+
+
+def test_cohort_ltv_matches_pandas_replay(spark):
+    from data_ingestion_project_spark.queries import all_queries
+
+    ev = duckdb.sql(
+        f"""SELECT user_id, ts, event_type,
+                   CAST(trunc(value * 1000000) AS BIGINT) AS v_mi
+            FROM '{SF}/events.parquet'"""
+    ).df()
+    ev["ts"] = pd.to_datetime(ev["ts"])
+    first = ev.groupby("user_id")["ts"].min().dt.to_period("W-SUN").dt.start_time
+    sizes = first.value_counts()
+    buys = ev[ev["event_type"] == "purchase"].copy()
+    buys["cohort"] = buys["user_id"].map(first)
+    buys["age"] = (
+        (buys["ts"].dt.normalize() - buys["cohort"]).dt.days // 7
+    ).astype(int)
+    cells = (
+        buys.groupby(["cohort", "age"])
+        .agg(rev=("v_mi", "sum"), n=("v_mi", "size"))
+        .reset_index()
+        .sort_values(["cohort", "age"])
+    )
+    cells["cum"] = cells.groupby("cohort")["rev"].cumsum()
+
+    got = all_queries()["cohort_ltv_curve"](spark, SF).collect()
+    assert len(got) == len(cells)
+    for r, (_, c) in zip(got, cells.iterrows()):
+        assert r["cohort_week"] == c["cohort"].strftime("%Y-%m-%d")
+        assert r["age_wk"] == c["age"]
+        assert r["n_users"] == int(sizes[c["cohort"]])
+        assert r["n_purchases"] == int(c["n"])
+        assert abs(r["cum_revenue"] - c["cum"] / 1e6) <= 0.006
+        assert (
+            abs(r["ltv_per_user"] - c["cum"] / 1e6 / sizes[c["cohort"]]) <= 6e-5
+        )

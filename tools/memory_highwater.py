@@ -1,0 +1,175 @@
+"""Per-family peak-memory record at the fifth decade (VERDICT r7 ask
+#7): the suffix census anecdotally needed SPARK_GRAFT_DRIVER_MEM=48g
+at sf10 — this tool turns that anecdote into a table, so the
+250 MB/task → production-executor extrapolation is measured per
+family, not inferred.
+
+Protocol: each family runs in its OWN subprocess (a JVM's VmHWM is a
+monotonic high-water mark — within one long-lived session every later
+family would inherit the heaviest predecessor's peak), against the
+sf10 corpus with warm tables + prebuilt derived assets (the bench
+posture, so the peak prices the QUERY, not cold IO). Recorded per
+family:
+
+- ``jvm_peak_gb``   — VmHWM of the local[32] JVM (driver + all 32
+  executor threads share it in local mode; this is the number that
+  maps to cluster-side executor budgets);
+- ``py_peak_gb``    — VmHWM of the Python driver process (collect
+  buffers, Arrow batches, driver-side numpy);
+- ``max_stage_peak_exec_gb`` — the largest per-stage
+  ``peakExecutionMemory`` from Spark's status REST API: unified-
+  memory EXECUTION usage (joins/aggs/sorts), the component that
+  scales with partition size and decides spill-vs-fit on a real
+  executor.
+
+Usage: python tools/memory_highwater.py [out_json] [family ...]
+Defaults: MEMORY_HIGHWATER.json, the 19 sf10-heavy families.
+Runs with whatever SPARK_GRAFT_DRIVER_MEM the caller sets (the record
+should state it; 48g matches the committed SCALING.json protocol).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+FAMILIES = (
+    "minhash_near_dups",
+    "simhash_near_dups",
+    "winnow_overlap_top",
+    "substring_dup_stats",
+    "exact_substring_census",
+    "longest_repeat_extract",
+    "cms_word_freq",
+    "nb_lang_confusion",
+    "quantile_sketch_rollup",
+    "entity_golden_records",
+    "bm25_topk_indexed",
+    "pricing_summary",
+    "hourly_event_stats",
+    "user_sessions",
+    "dedup_funnel",
+    "kaplan_meier_retention",
+    "theil_sen_revenue_trend",
+    "rfm_segments",
+    "jpeg_decode_stats",
+)
+
+_CHILD = r"""
+import json, os, sys, time, urllib.request
+sys.path.insert(0, {repo!r})
+from pyspark.sql import functions as F
+from data_ingestion_project_spark.queries import all_queries, warm_derived_assets
+from data_ingestion_project_spark.session import build_session
+from data_ingestion_project_spark.sources.readers import TABLES, table
+
+name, sf_dir = {name!r}, {sf_dir!r}
+# the engine default disables the UI; the status REST API (the only
+# public reader of per-stage peakExecutionMemory) needs it
+spark = build_session("memhw-" + name,
+                      extra_conf={{"spark.ui.enabled": "true",
+                                   "spark.ui.port": "0"}})
+spark.sparkContext.setLogLevel("ERROR")
+for t in TABLES:
+    df = table(spark, sf_dir, t)
+    df.select([F.count(F.col(c)).alias(c) for c in df.columns]).collect()
+warm_derived_assets(spark, sf_dir)
+
+t0 = time.perf_counter()
+n = len(all_queries()[name](spark, sf_dir).collect())
+secs = round(time.perf_counter() - t0, 3)
+
+def vm_hwm_kb(pid):
+    try:
+        with open(f"/proc/{{pid}}/status") as f:
+            for line in f:
+                if line.startswith("VmHWM:"):
+                    return int(line.split()[1])
+    except OSError:
+        return None
+
+def java_children(pid):
+    out = []
+    for p in os.listdir("/proc"):
+        if not p.isdigit():
+            continue
+        try:
+            with open(f"/proc/{{p}}/stat") as f:
+                parts = f.read().split()
+            if parts[3] == str(pid):
+                with open(f"/proc/{{p}}/cmdline", "rb") as f:
+                    cmd = f.read().decode(errors="replace")
+                if "java" in cmd.split("\x00")[0]:
+                    out.append(int(p))
+                out.extend(java_children(int(p)))
+        except OSError:
+            pass
+    return out
+
+jvms = [p for p in java_children(os.getpid())
+        if "java" in open(f"/proc/{{p}}/cmdline", "rb").read(200).decode(errors="replace")]
+jvm_peak = max((vm_hwm_kb(p) or 0) for p in jvms) if jvms else None
+
+# largest per-stage execution-memory peak from the status API
+stage_peak = None
+try:
+    base = spark.sparkContext.uiWebUrl
+    apps = json.load(urllib.request.urlopen(base + "/api/v1/applications", timeout=10))
+    app_id = apps[0]["id"]
+    stages = json.load(urllib.request.urlopen(
+        base + f"/api/v1/applications/{{app_id}}/stages?status=complete", timeout=30))
+    stage_peak = max((s.get("peakExecutionMemory") or 0) for s in stages) if stages else 0
+except Exception as ex:  # UI disabled / field absent: record the gap
+    stage_peak = None
+
+print("MEMHW " + json.dumps({{
+    "family": name,
+    "seconds": secs,
+    "rows": n,
+    "jvm_peak_gb": round(jvm_peak / 1048576, 2) if jvm_peak else None,
+    "py_peak_gb": round((vm_hwm_kb(os.getpid()) or 0) / 1048576, 2),
+    "max_stage_peak_exec_gb": (
+        round(stage_peak / 2**30, 3) if stage_peak is not None else None),
+}}))
+"""
+
+
+def main() -> None:
+    args = sys.argv[1:]
+    out_path = args[0] if args else os.path.join(REPO, "MEMORY_HIGHWATER.json")
+    families = tuple(args[1:]) or FAMILIES
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_SF_DIR", os.path.join(REPO, "scratch", "sf10")
+    )
+    records = {}
+    for name in families:
+        code = _CHILD.format(repo=REPO, name=name, sf_dir=sf_dir)
+        proc = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True
+        )
+        rec = None
+        for line in proc.stdout.splitlines():
+            if line.startswith("MEMHW "):
+                rec = json.loads(line[6:])
+        if rec is None:
+            rec = {"family": name, "error": (proc.stderr or "")[-500:]}
+        records[name] = rec
+        print(f"# {name}: {json.dumps(rec)}", file=sys.stderr, flush=True)
+
+    record = {
+        "sf_dir": sf_dir,
+        "driver_mem": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        "families": records,
+    }
+    with open(out_path, "w") as f:
+        json.dump(record, f, indent=1, sort_keys=True)
+        f.write("\n")
+    print(json.dumps({"written": out_path, "n": len(records)}))
+
+
+if __name__ == "__main__":
+    main()
