@@ -62,17 +62,20 @@ def pagerank(
 
     ``dangling`` selects the graph model:
 
-    - ``"ignore"`` (default): assumes every node has outdegree >= 1 —
-      true by construction for symmetrized graphs (the near-dup use
-      case) — and returns (node, rank) for every source node. A source
-      with indegree 0 (possible on general directed inputs) receives no
-      inbound mass and holds the exact power-method floor
-      ``(1-damping)/n`` every round, and KEEPS voting: its row is
-      left-joined back each iteration rather than dropped, so its
-      outgoing mass never silently vanishes. Mass arriving on
-      outdegree-0 destinations still leaves the chain (that is the
-      'ignore' semantic); use ``"redistribute"`` to recycle it. This is
-      the SQL-replayable path the oracle certifies.
+    - ``"ignore"`` (default): no dangling-mass recycling — the right
+      model for symmetrized graphs (the near-dup use case), where
+      every node has outdegree >= 1 and nothing dangles. Returns
+      (node, rank) for EVERY node of the edge list (``n`` in the
+      teleport constant counts SOURCE nodes). A source with indegree 0
+      (possible on general directed inputs) holds the exact
+      power-method floor ``(1-damping)/n`` every round and KEEPS
+      voting: a zero-contribution row per source rides every round's
+      inbox aggregate (a union, not a node⨝node repair join — ADVICE
+      r7), so its outgoing mass never silently vanishes. An
+      outdegree-0 DESTINATION reports its received rank, but that
+      mass leaves the chain next round (that is the 'ignore'
+      semantic); use ``"redistribute"`` to recycle it. This is the
+      SQL-replayable path the oracle certifies.
     - ``"redistribute"``: the general DIRECTED-graph model (link
       graphs): the vertex set is sources ∪ destinations, and each
       round the rank mass sitting on dangling nodes (outdegree 0) is
@@ -97,28 +100,26 @@ def pagerank(
     out_edges = e.join(deg, "src").localCheckpoint(eager=True)
 
     if dangling == "ignore":
-        # node-cardinality source frame, reused every round as the
-        # left side of the rank rebuild (keeps indegree-0 sources
-        # alive at the teleport floor instead of dropping them)
-        srcs = out_edges.select("src").distinct().localCheckpoint(eager=True)
-        n = srcs.count()
+        n = out_edges.select("src").distinct().count()  # reads the checkpoint
         teleport = (1.0 - damping) / n
-        ranks = srcs.select("src", F.lit(1.0 / n).alias("rank"))
+        ranks = deg.select("src", F.lit(1.0 / n).alias("rank"))
+        # one zero-contribution row per SOURCE, unioned into every
+        # round's inbox: keeps indegree-0 sources alive at the exact
+        # teleport floor (ADVICE r7) WITHOUT a per-round node⨝node
+        # repair join — a zero term changes no exact decimal sum, and
+        # the union rides the aggregation shuffle that already exists
+        zero = deg.select("src", F.lit(0.0).alias("c"))
         for i in range(iterations):
             contrib = out_edges.join(ranks, "src").select(
                 F.col("dst").alias("src"),
                 F.round(F.col("rank") / F.col("deg"), CONTRIB_SCALE).alias("c"),
             )
-            inbox = contrib.groupBy("src").agg(
-                F.sum(F.col("c").cast(_DEC)).cast("double").alias("m")
-            )
-            ranks = srcs.join(inbox, "src", "left").select(
-                "src",
+            ranks = contrib.unionByName(zero).groupBy("src").agg(
                 F.round(
                     F.lit(teleport)
-                    + F.lit(damping) * F.coalesce(F.col("m"), F.lit(0.0)),
+                    + F.lit(damping) * F.sum(F.col("c").cast(_DEC)).cast("double"),
                     RANK_SCALE,
-                ).alias("rank"),
+                ).alias("rank")
             )
             # Truncate lineage so plan depth (and Catalyst analysis
             # cost) stays constant per round instead of growing with i.
@@ -195,21 +196,21 @@ def pagerank_unrolled_sql(
     for i in range(1, iterations + 1):
         parts.append(
             f"""r{i} AS (
-  SELECT d0.src,
-         ROUND({tele} / nn.n
-               + {d} * COALESCE(m{i}.m, CAST(0.0 AS DOUBLE)),
+  SELECT t.src,
+         ROUND({tele} / MAX(nn.n)
+               + {d} * CAST(SUM(CAST(t.c AS DECIMAL(38,{CONTRIB_SCALE})))
+                            AS DOUBLE),
                {RANK_SCALE}) AS rank
-  FROM deg d0
-  CROSS JOIN nn
-  LEFT JOIN (
-    SELECT e.dst AS src,
-           CAST(SUM(CAST(ROUND(r.rank / dg.deg, {CONTRIB_SCALE})
-                         AS DECIMAL(38,{CONTRIB_SCALE}))) AS DOUBLE) AS m
+  FROM (
+    SELECT e.dst AS src, ROUND(r.rank / dg.deg, {CONTRIB_SCALE}) AS c
     FROM {edges_cte} e
     JOIN r{i - 1} r ON r.src = e.src
     JOIN deg dg ON dg.src = e.src
-    GROUP BY e.dst
-  ) m{i} ON m{i}.src = d0.src
+    UNION ALL
+    SELECT src, CAST(0.0 AS DOUBLE) AS c FROM deg
+  ) t
+  CROSS JOIN nn
+  GROUP BY t.src
 )"""
         )
     return ",\n".join(parts) + f"\nSELECT src AS node, rank FROM r{iterations}"

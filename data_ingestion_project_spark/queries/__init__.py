@@ -24,73 +24,71 @@ from data_ingestion_project_spark.queries import advanced, documents, embeddings
 _MODULES = (tpch, tpch2, events, documents, embeddings, advanced, stats)
 
 # The driver's correctness gate certifies the FIRST 50 entries of
-# all_queries() in dict order.  Round-7 window (r6 ask #5 rotation):
-# every round-7 addition (never certified — they must enter the merged
+# all_queries() in dict order.  Round-8 window (r7 ask #3 rotation):
+# every round-8 addition (never certified — they must enter the merged
 # record this round to keep the every-declared-query-certified
-# invariant), then the stalest r03-era certifications (TPC-H core +
-# early document families), then the alphabetical head of the r04-era
-# rows.  Every window entry was locally re-verified value-exact (or
-# rows-only where by-design) at sf0.01 via tools/check_oracle.py
-# before declaring; the remaining r04-era rows roll to the r08
-# window.  Names not listed here keep module order.
+# invariant), then the 4 surviving r03-era certifications (the stalest
+# driver rows anywhere), then the alphabetical head of the r04 era.
+# Every window entry was locally re-verified value-exact (or rows-only
+# where by-design) at sf0.01 via tools/check_oracle.py before
+# declaring; the 7 remaining r04-era rows (source_data_cards ..
+# zipf_slope_by_lang) roll to the r09 window.  Names not listed here
+# keep module order.
 _DRIVER_PRIORITY = (
-    # -- never driver-certified (round-7 additions) --
-    "crypto_shred_audit",
-    "exact_substring_census",
-    "longest_repeat_extract",
-    "markov_stationary_events",
-    "nb_auc_roc",
-    "kaplan_meier_retention",
-    "dup_cluster_density",
-    "dup_graph_bfs_depths",
-    "theil_sen_revenue_trend",
-    "cusum_revenue_changepoint",
-    "brand_basket_lift",
-    "attribution_multitouch_dow",
-    "revenue_drawdown",
-    "source_stylometry_delta",
-    "rfm_segments",
-    "embedding_davies_bouldin",
-    "event_trigram_paths",
-    "conversion_wilson_ci",
-    "forecast_backtest",
-    "referential_integrity_audit",
-    "dup_graph_assortativity",
-    # -- r03-era certifications (stalest, alphabetical) --
-    "acctbal_deciles",
-    "acctbal_deciles_scalable",
-    "chunk_stats",
-    "customer_name_digits",
-    "doc_quality",
-    "exact_duplicate_pairs",
-    "fingerprint_summary",
-    "idle_suppliers",
-    "label_vector_stats",
-    "lang_id_confusion",
-    "near_dup_jaccard_top",
-    "order_price_quantiles",
-    "orders_quality_report",
-    "parts_above_brand_average",
-    "pii_scrub_stats",
-    "purchases_near_errors",
-    "quality_filter_funnel",
-    "retention_cohorts",
-    "returnflag_pivot",
-    "returnflag_unpivot",
-    "rolling_30d_top_spenders",
-    "segment_priority_listing",
-    "segment_year_grouping_sets",
-    "shipping_delay_histogram",
-    "signup_purchase_funnel",
-    "small_quantity_revenue",
-    "stratified_sample_rates",
-    "supplier_hierarchy_rollup",
-    "tfidf_top_terms",
-    # top2_orders_lateral / top_similar_pairs / user_scd2_summary /
-    # wealthy_inactive_customers (r03 tail) and the whole r04 era
-    # (approx_daily_active_users .. dup_cluster_sizes_star) roll to
-    # the r08 window — the 50-slot budget yields to this round's
-    # additions.  This tuple is exactly 50 names = the full window.
+    # -- never driver-certified (round-8 additions) --
+    "spearman_price_quantity",
+    "mannwhitney_event_values",
+    "pmi_collocations",
+    "decision_stump_splits",
+    "hits_purchase_graph",
+    "cohort_ltv_curve",
+    # -- r03-era certifications (stalest driver rows) --
+    "top2_orders_lateral",
+    "top_similar_pairs",
+    "user_scd2_summary",
+    "wealthy_inactive_customers",
+    # -- r04-era certifications (alphabetical head; tail rolls to r09) --
+    "approx_daily_active_users",
+    "approx_order_price_quantiles",
+    "approx_top_words",
+    "batch_knn_search",
+    "benchmark_contamination",
+    "bpe_learned_merges",
+    "bpe_real_token_stats",
+    "bpe_token_stats",
+    "ccnet_perplexity_buckets",
+    "chunk_dup_stats",
+    "contrastive_training_pairs",
+    "dedup_funnel",
+    "dsir_importance_weights",
+    "dup_cluster_sizes",
+    "dup_cluster_sizes_star",
+    "dup_graph_pagerank",
+    "dup_graph_triangles",
+    "embedding_cluster_stats",
+    "event_type_lift",
+    "knn_brute_force",
+    "knn_ivf_approx",
+    "knn_ivf_disk",
+    "knn_lsh_approx",
+    "knn_pq_approx",
+    "leakage_safe_split",
+    "media_decode_stats",
+    "media_feature_stats",
+    "minhash_near_dups",
+    "minhash_recall",
+    "modality_dedup_agreement",
+    "nb_lang_confusion",
+    "near_dup_jaccard_prefix",
+    "orders_profile",
+    "quantile_sketch_rollup",
+    "segment_richest_customer",
+    "segment_wealth_percentiles",
+    "semdedup_summary",
+    "sequence_packing",
+    "simhash_near_dups",
+    "sketch_rollup_dau",
+    # This tuple is exactly 50 names = the full window.
 )
 
 

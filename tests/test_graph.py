@@ -187,16 +187,18 @@ def test_pagerank_redistribute_handles_dangling_directed_graph(spark):
     assert full[0] < full[1] < full[2]
 
     leaky = {r["node"]: r["rank"] for r in pagerank(e, iterations=20).collect()}
-    assert 2 not in leaky  # sink has no out-edges → not a source node
     assert sum(leaky.values()) < 0.9  # mass visibly leaks without recycling
     # ADVICE r7: EVERY source node survives every round — node 0 has
     # indegree 0 yet must hold the exact power-method teleport floor
     # (1-d)/n and keep voting (node 1 = floor + d·(rank0/outdeg 1)).
-    assert set(leaky) == {0, 1}
-    n = 2  # source-node count: {0, 1}
+    # The sink (node 2) reports its received rank; its mass is simply
+    # never recycled (leaks next round), hence the sum bound above.
+    assert set(leaky) == {0, 1, 2}
+    n = 2  # source-node count: {0, 1} — the teleport denominator
     floor = (1.0 - 0.85) / n
     assert leaky[0] == round(floor, 10)
     assert abs(leaky[1] - (floor + 0.85 * round(leaky[0] / 1, 14))) < 1e-9
+    assert abs(leaky[2] - (floor + 0.85 * round(leaky[1] / 1, 14))) < 1e-9
 
 
 def test_k_core_planted_graph(spark):

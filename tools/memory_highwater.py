@@ -121,7 +121,8 @@ try:
     apps = json.load(urllib.request.urlopen(base + "/api/v1/applications", timeout=10))
     app_id = apps[0]["id"]
     stages = json.load(urllib.request.urlopen(
-        base + f"/api/v1/applications/{{app_id}}/stages?status=complete", timeout=30))
+        base + f"/api/v1/applications/{{app_id}}/stages?status=complete",
+        timeout=120))
     stage_peak = max((s.get("peakExecutionMemory") or 0) for s in stages) if stages else 0
 except Exception as ex:  # UI disabled / field absent: record the gap
     stage_peak = None
