@@ -31,17 +31,21 @@ _MODULES = (tpch, tpch2, events, documents, embeddings, advanced, stats)
 # driver rows anywhere), then the alphabetical head of the r04 era.
 # Every window entry was locally re-verified value-exact (or rows-only
 # where by-design) at sf0.01 via tools/check_oracle.py before
-# declaring; the 7 remaining r04-era rows (source_data_cards ..
+# declaring; the 11 remaining r04-era rows (semdedup_summary ..
 # zipf_slope_by_lang) roll to the r09 window.  Names not listed here
 # keep module order.
 _DRIVER_PRIORITY = (
     # -- never driver-certified (round-8 additions) --
     "spearman_price_quantity",
     "mannwhitney_event_values",
+    "kendall_tau_daily",
     "pmi_collocations",
     "decision_stump_splits",
     "hits_purchase_graph",
+    "supplier_herfindahl_by_nation",
     "cohort_ltv_curve",
+    "dau_wau_mau_stickiness",
+    "order_interarrival_stats",
     # -- r03-era certifications (stalest driver rows) --
     "top2_orders_lateral",
     "top_similar_pairs",
@@ -84,11 +88,8 @@ _DRIVER_PRIORITY = (
     "quantile_sketch_rollup",
     "segment_richest_customer",
     "segment_wealth_percentiles",
-    "semdedup_summary",
-    "sequence_packing",
-    "simhash_near_dups",
-    "sketch_rollup_dau",
-    # This tuple is exactly 50 names = the full window.
+    # semdedup_summary .. zipf_slope_by_lang (r04 tail) roll to the
+    # r09 window.  This tuple is exactly 50 names = the full window.
 )
 
 

@@ -1390,8 +1390,163 @@ ORDER BY cohort_week, age_wk
 """
 
 
+def dau_wau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engagement headline table: per day, DAU plus ROLLING 7-day
+    (WAU) and 30-day (MAU) distinct actives and the DAU/MAU
+    stickiness ratio. Rolling DISTINCT counts do not decompose into
+    window sums (a user active twice in the window counts once), so
+    the classic trap is a per-day self-join over the window.
+
+    Plan: the (day, user) distinct frame is built ONCE (one shuffle);
+    each row then EXPLODES into the ≤30 observation days it
+    contributes to (F.sequence — a bounded 30× fan-out, NOT a range
+    join whose candidate space is |user-days| × |days|), and one
+    count_distinct aggregation per horizon finishes the job. The
+    fan-out factor is the window length — a data-domain constant.
+    Edge days report their partial windows (standard). The exact
+    count_distinct is the certification form; approx_daily_active_
+    users / sketch_rollup_dau are the 100 TB production twins.
+
+    Exactness: pure integer counts; the stickiness ratio is one
+    value-determined division, floor-rounded."""
+    e = table(spark, sf_dir, "events")
+    ud = e.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+
+    def rolling(n: int, out: str) -> DataFrame:
+        return (
+            ud.select(
+                F.explode(
+                    F.sequence("day", F.date_add(F.col("day"), n - 1))
+                ).alias("day"),
+                "user_id",
+            )
+            .groupBy("day")
+            .agg(F.count_distinct("user_id").alias(out))
+        )
+
+    # the inner join with dau bounds the day set to REAL activity days
+    # (the explode's lookahead days have no dau row)
+    return (
+        dau.join(rolling(7, "wau"), "day")
+        .join(rolling(30, "mau"), "day")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "dau",
+            "wau",
+            "mau",
+            floor_round(
+                F.col("dau").cast("double") / F.col("mau").cast("double"), 6
+            ).alias("stickiness"),
+        )
+        .orderBy("day")
+    )
+
+
+ORACLE_DAU_WAU_MAU_STICKINESS = """
+WITH ud AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+), dau AS (
+  SELECT day, COUNT(*) AS dau FROM ud GROUP BY day
+), wau AS (
+  SELECT day + CAST(g.i AS INTEGER) AS day, COUNT(DISTINCT user_id) AS wau
+  FROM ud CROSS JOIN generate_series(0, 6) g(i)
+  GROUP BY 1
+), mau AS (
+  SELECT day + CAST(g.i AS INTEGER) AS day, COUNT(DISTINCT user_id) AS mau
+  FROM ud CROSS JOIN generate_series(0, 29) g(i)
+  GROUP BY 1
+)
+SELECT strftime(dau.day, '%Y-%m-%d') AS day, dau.dau, wau.wau, mau.mau,
+       sign(CAST(dau.dau AS DOUBLE) / CAST(mau.mau AS DOUBLE))
+       * floor(abs(CAST(dau.dau AS DOUBLE) / CAST(mau.mau AS DOUBLE))
+              * 1000000.0 + 0.5) / 1000000.0 AS stickiness
+FROM dau
+JOIN wau ON wau.day = dau.day
+JOIN mau ON mau.day = dau.day
+ORDER BY day
+"""
+
+
+def order_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-purchase-time census: per customer, the day gaps between
+    consecutive orders (customer-PARTITIONED lag window — thousands
+    of small independent windows, never a global sort), reduced to
+    the repeat-purchase profile a retention model starts from:
+    repeat-customer count, gap count, exact mean gap, min/max, and
+    the share of gaps within 30/90 days. All-integer arithmetic;
+    the two shares and the mean are value-determined divisions."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = (
+        o.select(
+            "o_custkey",
+            F.datediff(
+                "o_orderdate", F.lag("o_orderdate").over(w)
+            ).alias("gap"),
+        )
+        .filter(F.col("gap").isNotNull())
+    )
+    g = gaps.agg(
+        F.count_distinct("o_custkey").alias("n_repeat_customers"),
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum(F.col("gap").cast("decimal(28,0)")).alias("gap_sum"),
+        F.min("gap").alias("min_gap"),
+        F.max("gap").alias("max_gap"),
+        F.sum(F.when(F.col("gap") <= 30, 1).otherwise(0)).alias("n_30"),
+        F.sum(F.when(F.col("gap") <= 90, 1).otherwise(0)).alias("n_90"),
+    )
+    return g.select(
+        "n_repeat_customers",
+        "n_gaps",
+        floor_round(
+            F.col("gap_sum").cast("double") / F.col("n_gaps").cast("double"), 4
+        ).alias("mean_gap_days"),
+        F.col("min_gap").cast("long").alias("min_gap"),
+        F.col("max_gap").cast("long").alias("max_gap"),
+        floor_round(
+            F.col("n_30").cast("double") / F.col("n_gaps").cast("double"), 6
+        ).alias("share_within_30d"),
+        floor_round(
+            F.col("n_90").cast("double") / F.col("n_gaps").cast("double"), 6
+        ).alias("share_within_90d"),
+    )
+
+
+ORACLE_ORDER_INTERARRIVAL_STATS = """
+WITH gaps AS (
+  SELECT o_custkey,
+         datediff('day',
+                  lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate, o_orderkey),
+                  o_orderdate) AS gap
+  FROM orders
+), gg AS (SELECT * FROM gaps WHERE gap IS NOT NULL)
+SELECT COUNT(DISTINCT o_custkey) AS n_repeat_customers,
+       COUNT(*) AS n_gaps,
+       sign(CAST(SUM(gap) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+       * floor(abs(CAST(SUM(gap) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+              * 10000.0 + 0.5) / 10000.0 AS mean_gap_days,
+       CAST(MIN(gap) AS BIGINT) AS min_gap,
+       CAST(MAX(gap) AS BIGINT) AS max_gap,
+       sign(CAST(SUM(CASE WHEN gap <= 30 THEN 1 ELSE 0 END) AS DOUBLE)
+            / CAST(COUNT(*) AS DOUBLE))
+       * floor(abs(CAST(SUM(CASE WHEN gap <= 30 THEN 1 ELSE 0 END) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
+         AS share_within_30d,
+       sign(CAST(SUM(CASE WHEN gap <= 90 THEN 1 ELSE 0 END) AS DOUBLE)
+            / CAST(COUNT(*) AS DOUBLE))
+       * floor(abs(CAST(SUM(CASE WHEN gap <= 90 THEN 1 ELSE 0 END) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
+         AS share_within_90d
+FROM gg
+"""
+
+
 QUERIES = {
     "cohort_ltv_curve": cohort_ltv_curve,
+    "dau_wau_mau_stickiness": dau_wau_mau_stickiness,
+    "order_interarrival_stats": order_interarrival_stats,
     "event_type_lift": event_type_lift,
     "user_daily_gapfill": user_daily_gapfill,
     "hourly_event_stats": hourly_event_stats,
@@ -1418,6 +1573,8 @@ QUERIES = {
 
 ORACLE = {
     "cohort_ltv_curve": ORACLE_COHORT_LTV_CURVE,
+    "dau_wau_mau_stickiness": ORACLE_DAU_WAU_MAU_STICKINESS,
+    "order_interarrival_stats": ORACLE_ORDER_INTERARRIVAL_STATS,
     "event_type_lift": ORACLE_EVENT_TYPE_LIFT,
     "user_daily_gapfill": ORACLE_USER_DAILY_GAPFILL,
     "daily_event_anomalies": ORACLE_DAILY_EVENT_ANOMALIES,

@@ -2425,10 +2425,100 @@ FROM d
 """
 
 
+def kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's tau-b between daily revenue and daily order count —
+    the third rank-association member next to Spearman (which needs a
+    global rank map) and Pearson (which needs moments): tau counts
+    CONCORDANT vs DISCORDANT day pairs, so it is exact integer
+    arithmetic end to end and robust to any monotone transformation
+    of either series.
+
+    Scale: the pairwise frame is the CALENDAR²-bounded per-day
+    aggregate (the theil_sen posture — ~2.9 M pairs at 2.4 k days
+    REGARDLESS of corpus size), explicitly repartitioned so AQE's
+    one-partition coalesce can't serialize the pair expansion.
+    Exactness: per-day revenue is an exact integer cents sum; all
+    pair comparisons are integer sign products (never a value
+    product — a cents-diff × count-diff int64 product would wrap at
+    100 TB); tau-b's one division/sqrt runs on the exact counters,
+    value-determined."""
+    o = table(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(
+            F.sum((F.col("o_totalprice") * 100).cast("long")).alias("cents"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    a, b = daily.repartition(32).alias("a"), daily.alias("b")
+
+    def _cmp(x, y):  # integer sign without a value product
+        return F.when(x < y, F.lit(1)).when(x > y, F.lit(-1)).otherwise(F.lit(0))
+
+    pairs = a.join(b, F.col("a.d") < F.col("b.d")).select(
+        _cmp(F.col("a.cents"), F.col("b.cents")).alias("sx"),
+        _cmp(F.col("a.n_orders"), F.col("b.n_orders")).alias("sy"),
+    )
+    g = pairs.agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.sum(F.when(F.col("sx") * F.col("sy") == 1, 1).otherwise(0)).alias("c"),
+        F.sum(F.when(F.col("sx") * F.col("sy") == -1, 1).otherwise(0)).alias("d"),
+        F.sum(F.when(F.col("sx") == 0, 1).otherwise(0)).alias("tx"),
+        F.sum(F.when(F.col("sy") == 0, 1).otherwise(0)).alias("ty"),
+    )
+    tau = (F.col("c") - F.col("d")).cast("double") / F.sqrt(
+        (F.col("n0") - F.col("tx")).cast("double")
+        * (F.col("n0") - F.col("ty")).cast("double")
+    )
+    nd = daily.agg(F.count(F.lit(1)).alias("n_days"))
+    return g.crossJoin(F.broadcast(nd)).select(
+        "n_days",
+        F.col("n0").cast("long").alias("n_pairs"),
+        F.col("c").cast("long").alias("concordant"),
+        F.col("d").cast("long").alias("discordant"),
+        _floor_round(tau, 6).alias("tau_b"),
+    )
+
+
+ORACLE_KENDALL_TAU_DAILY = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         SUM(CAST(trunc(o_totalprice * 100) AS BIGINT)) AS cents,
+         COUNT(*) AS n_orders
+  FROM orders GROUP BY 1
+), pairs AS (
+  SELECT CASE WHEN a.cents < b.cents THEN 1
+              WHEN a.cents > b.cents THEN -1 ELSE 0 END AS sx,
+         CASE WHEN a.n_orders < b.n_orders THEN 1
+              WHEN a.n_orders > b.n_orders THEN -1 ELSE 0 END AS sy
+  FROM daily a JOIN daily b ON a.d < b.d
+), g AS (
+  SELECT COUNT(*) AS n0,
+         SUM(CASE WHEN sx * sy = 1 THEN 1 ELSE 0 END) AS c,
+         SUM(CASE WHEN sx * sy = -1 THEN 1 ELSE 0 END) AS dd,
+         SUM(CASE WHEN sx = 0 THEN 1 ELSE 0 END) AS tx,
+         SUM(CASE WHEN sy = 0 THEN 1 ELSE 0 END) AS ty
+  FROM pairs
+), nd AS (SELECT COUNT(*) AS n_days FROM daily)
+SELECT nd.n_days,
+       CAST(n0 AS BIGINT) AS n_pairs,
+       CAST(c AS BIGINT) AS concordant,
+       CAST(dd AS BIGINT) AS discordant,
+       sign(CAST(c - dd AS DOUBLE)
+            / sqrt(CAST(n0 - tx AS DOUBLE) * CAST(n0 - ty AS DOUBLE)))
+       * floor(abs(CAST(c - dd AS DOUBLE)
+                   / sqrt(CAST(n0 - tx AS DOUBLE) * CAST(n0 - ty AS DOUBLE)))
+              * 1000000.0 + 0.5) / 1000000.0 AS tau_b
+FROM g CROSS JOIN nd
+"""
+
+
 QUERIES = {
     "chisq_event_dow": chisq_event_dow,
     "spearman_price_quantity": spearman_price_quantity,
     "mannwhitney_event_values": mannwhitney_event_values,
+    "kendall_tau_daily": kendall_tau_daily,
     "anova_event_values": anova_event_values,
     "ks_length_drift": ks_length_drift,
     "regr_price_quantity": regr_price_quantity,
@@ -2452,6 +2542,7 @@ ORACLE = {
     "chisq_event_dow": ORACLE_CHISQ_EVENT_DOW,
     "spearman_price_quantity": ORACLE_SPEARMAN_PRICE_QUANTITY,
     "mannwhitney_event_values": ORACLE_MANNWHITNEY_EVENT_VALUES,
+    "kendall_tau_daily": ORACLE_KENDALL_TAU_DAILY,
     "anova_event_values": ORACLE_ANOVA_EVENT_VALUES,
     "ks_length_drift": ORACLE_KS_LENGTH_DRIFT,
     "regr_price_quantity": ORACLE_REGR_PRICE_QUANTITY,

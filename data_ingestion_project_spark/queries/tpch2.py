@@ -971,8 +971,88 @@ LIMIT 15
 ORACLE_HITS_PURCHASE_GRAPH = _oracle_hits_purchase_graph()
 
 
+def supplier_herfindahl_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman supplier-concentration index per nation:
+    HHI = Σ (supplier revenue share)² — the antitrust-grade
+    concentration score, the squared-shares sibling of revenue_gini
+    (which ranks inequality; HHI prices market power and is additive
+    over shares). Also reports the top supplier's share.
+
+    Plan: one lineitem→supplier keyed join (supplier is dimension-
+    sized — AQE broadcasts), one (nation, supplier) revenue aggregate,
+    one nation-level reduction. Exactness: per-supplier revenue folds
+    to exact integer micro-units; HHI's numerator Σ rev_i² folds in
+    DECIMAL with the square cast-first (micro-unit revenues square
+    past int64 at ~9e9 micro = $9k — routine), so
+    HHI = Σrev²/(Σrev)² needs exactly ONE value-determined double
+    division; shares likewise."""
+    l = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    _d38 = "decimal(38,0)"
+    per = (
+        l.join(s, l["l_suppkey"] == s["s_suppkey"])
+        .groupBy("s_nationkey", "s_suppkey")
+        .agg(dec_sum_partial(_rev()).alias("rev_mi"))
+    )
+    agg = per.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum(F.col("rev_mi")).alias("tot_mi"),
+        F.sum(F.col("rev_mi").cast(_d38) * F.col("rev_mi").cast(_d38)).alias("sq_mi"),
+        F.max("rev_mi").alias("max_mi"),
+    )
+    return (
+        agg.join(F.broadcast(n), agg["s_nationkey"] == n["n_nationkey"])
+        .select(
+            "n_name",
+            "n_suppliers",
+            dec_sum_final(F.col("tot_mi"), 2).alias("total_revenue"),
+            floor_round(
+                F.col("sq_mi").cast("double")
+                / (F.col("tot_mi").cast("double") * F.col("tot_mi").cast("double")),
+                6,
+            ).alias("hhi"),
+            floor_round(
+                F.col("max_mi").cast("double") / F.col("tot_mi").cast("double"), 6
+            ).alias("top_share"),
+        )
+        .orderBy("n_name")
+    )
+
+
+ORACLE_SUPPLIER_HERFINDAHL_BY_NATION = f"""
+WITH per AS (
+  SELECT s_nationkey, s_suppkey,
+         SUM(CAST(trunc(({REV}) * 1000000) AS BIGINT)) AS rev_mi
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+  GROUP BY 1, 2
+), agg AS (
+  SELECT s_nationkey, COUNT(*) AS n_suppliers,
+         SUM(rev_mi) AS tot_mi,
+         SUM(CAST(rev_mi AS HUGEINT) * rev_mi) AS sq_mi,
+         MAX(rev_mi) AS max_mi
+  FROM per GROUP BY 1
+)
+SELECT n_name, n_suppliers,
+       CAST(CASE WHEN tot_mi < 0 THEN -((ABS(tot_mi) + 5000) // 10000)
+                 ELSE ((tot_mi + 5000) // 10000) END AS DOUBLE)
+         / 100.0 AS total_revenue,
+       sign(CAST(sq_mi AS DOUBLE)
+            / (CAST(tot_mi AS DOUBLE) * CAST(tot_mi AS DOUBLE)))
+       * floor(abs(CAST(sq_mi AS DOUBLE)
+                   / (CAST(tot_mi AS DOUBLE) * CAST(tot_mi AS DOUBLE)))
+              * 1000000.0 + 0.5) / 1000000.0 AS hhi,
+       sign(CAST(max_mi AS DOUBLE) / CAST(tot_mi AS DOUBLE))
+       * floor(abs(CAST(max_mi AS DOUBLE) / CAST(tot_mi AS DOUBLE))
+              * 1000000.0 + 0.5) / 1000000.0 AS top_share
+FROM agg JOIN nation ON n_nationkey = s_nationkey
+ORDER BY n_name
+"""
+
+
 QUERIES = {
     "hits_purchase_graph": hits_purchase_graph,
+    "supplier_herfindahl_by_nation": supplier_herfindahl_by_nation,
     "promo_revenue": promo_revenue,
     "top_revenue_supplier": top_revenue_supplier,
     "brand_band_revenue": brand_band_revenue,
@@ -990,6 +1070,7 @@ QUERIES = {
 
 ORACLE = {
     "hits_purchase_graph": ORACLE_HITS_PURCHASE_GRAPH,
+    "supplier_herfindahl_by_nation": ORACLE_SUPPLIER_HERFINDAHL_BY_NATION,
     "promo_revenue": ORACLE_PROMO_REVENUE,
     "top_revenue_supplier": ORACLE_TOP_REVENUE_SUPPLIER,
     "brand_band_revenue": ORACLE_BRAND_BAND_REVENUE,

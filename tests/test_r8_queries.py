@@ -232,3 +232,113 @@ def test_cohort_ltv_matches_pandas_replay(spark):
         assert (
             abs(r["ltv_per_user"] - c["cum"] / 1e6 / sizes[c["cohort"]]) <= 6e-5
         )
+
+
+def test_kendall_tau_matches_pandas_reference(spark):
+    from data_ingestion_project_spark.queries import all_queries
+
+    daily = duckdb.sql(
+        f"""SELECT CAST(o_orderdate AS DATE) AS d,
+                   SUM(CAST(trunc(o_totalprice * 100) AS BIGINT)) AS cents,
+                   COUNT(*) AS n
+            FROM '{SF}/orders.parquet' GROUP BY 1 ORDER BY 1"""
+    ).df()
+    x, y = daily["cents"].to_numpy(), daily["n"].to_numpy()
+    n = len(daily)
+    c = d = tx = ty = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            sx = int(x[i] < x[j]) - int(x[i] > x[j])
+            sy = int(y[i] < y[j]) - int(y[i] > y[j])
+            if sx * sy == 1:
+                c += 1
+            elif sx * sy == -1:
+                d += 1
+            if sx == 0:
+                tx += 1
+            if sy == 0:
+                ty += 1
+    n0 = n * (n - 1) // 2
+    tau = (c - d) / math.sqrt((n0 - tx) * (n0 - ty))
+
+    row = all_queries()["kendall_tau_daily"](spark, SF).collect()[0]
+    assert (row["n_days"], row["n_pairs"]) == (n, n0)
+    assert (row["concordant"], row["discordant"]) == (c, d)
+    assert abs(row["tau_b"] - tau) <= 1e-6
+
+
+def test_supplier_herfindahl_matches_pandas_reference(spark):
+    from data_ingestion_project_spark.queries import all_queries
+
+    per = duckdb.sql(
+        f"""SELECT n_name, s_suppkey,
+                   SUM(CAST(trunc(l_extendedprice * (1 - l_discount) * 1000000)
+                            AS BIGINT)) AS rev
+            FROM '{SF}/lineitem.parquet' l
+            JOIN '{SF}/supplier.parquet' s ON l_suppkey = s_suppkey
+            JOIN '{SF}/nation.parquet' n ON n_nationkey = s_nationkey
+            GROUP BY 1, 2"""
+    ).df()
+    got = {r["n_name"]: r for r in
+           all_queries()["supplier_herfindahl_by_nation"](spark, SF).collect()}
+    for name, grp in per.groupby("n_name"):
+        rev = grp["rev"].to_numpy(dtype=np.float64)
+        tot = float(rev.sum())
+        hhi = float((rev ** 2).sum()) / (tot * tot)
+        r = got[name]
+        assert r["n_suppliers"] == len(grp)
+        assert abs(r["hhi"] - hhi) <= 1e-6
+        assert abs(r["top_share"] - rev.max() / tot) <= 1e-6
+        assert abs(r["total_revenue"] - tot / 1e6) <= 0.006
+    assert set(got) == set(per["n_name"])
+
+
+def test_dau_wau_mau_matches_bruteforce(spark):
+    from data_ingestion_project_spark.queries import all_queries
+
+    ud = duckdb.sql(
+        f"SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM '{SF}/events.parquet'"
+    ).fetchall()
+    by_day: dict = defaultdict(set)
+    for day, u in ud:
+        by_day[day].add(u)
+    days = sorted(by_day)
+    got = {r["day"]: r for r in
+           all_queries()["dau_wau_mau_stickiness"](spark, SF).collect()}
+    assert set(got) == {d.strftime("%Y-%m-%d") for d in days}
+    import datetime as _dt
+
+    for d in days:
+        wau = set().union(*(by_day.get(d - _dt.timedelta(days=i), set())
+                            for i in range(7)))
+        mau = set().union(*(by_day.get(d - _dt.timedelta(days=i), set())
+                            for i in range(30)))
+        r = got[d.strftime("%Y-%m-%d")]
+        assert r["dau"] == len(by_day[d])
+        assert r["wau"] == len(wau)
+        assert r["mau"] == len(mau)
+        assert abs(r["stickiness"] - len(by_day[d]) / len(mau)) <= 1e-6
+
+
+def test_order_interarrival_matches_pandas_reference(spark):
+    from data_ingestion_project_spark.queries import all_queries
+
+    o = duckdb.sql(
+        f"""SELECT o_custkey, CAST(o_orderdate AS DATE) AS d, o_orderkey
+            FROM '{SF}/orders.parquet' ORDER BY o_custkey, d, o_orderkey"""
+    ).df()
+    gaps, custs = [], set()
+    for _, grp in o.groupby("o_custkey"):
+        ds = grp["d"].tolist()
+        for a, b in zip(ds, ds[1:]):
+            gaps.append((b - a).days)
+        if len(ds) > 1:
+            custs.add(grp["o_custkey"].iloc[0])
+    gaps_np = np.array(gaps)
+    row = all_queries()["order_interarrival_stats"](spark, SF).collect()[0]
+    assert row["n_repeat_customers"] == len(custs)
+    assert row["n_gaps"] == len(gaps)
+    assert abs(row["mean_gap_days"] - gaps_np.mean()) <= 1e-4
+    assert (row["min_gap"], row["max_gap"]) == (gaps_np.min(), gaps_np.max())
+    assert abs(row["share_within_30d"] - (gaps_np <= 30).mean()) <= 1e-6
+    assert abs(row["share_within_90d"] - (gaps_np <= 90).mean()) <= 1e-6

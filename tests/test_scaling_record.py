@@ -29,10 +29,13 @@ def test_no_super_linear_family_in_committed_sweep():
     # the record must cover every family class the verdict named
     drivers = {e["driver_table"] for e in exps.values()}
     assert {"documents", "events", "lineitem"} <= drivers
-    # the 10x derived decade (r6 ask #1) stays measured for the heavy
-    # families: at least 10 exponents fitted on sf0.1->sf1
-    sf1_fits = [q for q, e in exps.items() if e["step"] == "sf0.1->sf1"]
-    assert len(sf1_fits) >= 10, sf1_fits
+    # the derived big decades (r6 ask #1 / r7 ask #1) stay measured:
+    # exponents must fit on sf0.1->sf1 or sf1->sf10, never only on the
+    # scheduler-floor-distorted small decades
+    deep_fits = [
+        q for q, e in exps.items() if e["step"] in ("sf0.1->sf1", "sf1->sf10")
+    ]
+    assert len(deep_fits) >= 10, deep_fits
     # timings exist for the three base SFs (sf1/sf10 cover subsets)
     for q, t in rec["seconds"].items():
         assert {"sf0.001", "sf0.01", "sf0.1"} <= set(t) <= {

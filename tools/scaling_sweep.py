@@ -114,6 +114,14 @@ HEAVY = {
     "longest_repeat_extract": "documents",
     "embedding_covariance_stats": "embeddings",
     "jpeg_decode_stats_fast": "documents",
+    # round-8 new families: rank statistics, PMI pairs, the histogram
+    # split scan, bipartite HITS, cohort LTV
+    "spearman_price_quantity": "lineitem",
+    "mannwhitney_event_values": "events",
+    "pmi_collocations": "documents",
+    "decision_stump_splits": "embeddings",
+    "hits_purchase_graph": "lineitem",
+    "cohort_ltv_curve": "events",
     # round-7 second wave: pairwise-slope/stylometry/cluster-quality/
     # basket/attribution/journey/actuarial families
     "theil_sen_revenue_trend": "orders",
@@ -216,7 +224,13 @@ def main() -> None:
             "alpha": round(alpha, 3),
         }
 
-    record = {"rows": rows, "seconds": times, "exponents": exponents}
+    # drop never-measured families (import-gated in this env) so the
+    # committed record only carries real timings
+    record = {
+        "rows": rows,
+        "seconds": {q: t for q, t in times.items() if t},
+        "exponents": exponents,
+    }
     with open(out_path, "w") as f:
         json.dump(record, f, indent=1, sort_keys=True)
 
