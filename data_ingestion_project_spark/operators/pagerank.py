@@ -107,8 +107,11 @@ def pagerank(
         # round's inbox: keeps indegree-0 sources alive at the exact
         # teleport floor (ADVICE r7) WITHOUT a per-round node⨝node
         # repair join — a zero term changes no exact decimal sum, and
-        # the union rides the aggregation shuffle that already exists
-        zero = deg.select("src", F.lit(0.0).alias("c"))
+        # the union rides the aggregation shuffle that already exists.
+        # Materialized ONCE: without the checkpoint every iteration
+        # re-derives deg (a full groupBy over the edge list) just to
+        # produce the zero rows (measured ~+1 s/round on the dup graph)
+        zero = deg.select("src", F.lit(0.0).alias("c")).localCheckpoint(eager=True)
         for i in range(iterations):
             contrib = out_edges.join(ranks, "src").select(
                 F.col("dst").alias("src"),

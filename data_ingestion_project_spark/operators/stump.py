@@ -69,6 +69,10 @@ def stump_split_gains(cells: DataFrame, scale: int = 20) -> DataFrame:
     Returns (dim, b, threshold, n_left, n_right, gain) for every
     candidate with both sides non-empty; gain is the value-determined
     double (unrounded — consumers round at their output grain)."""
+    # materialize the histogram ONCE: cand/cum/tot all branch from it,
+    # and without the checkpoint each branch re-runs the corpus-sized
+    # posexplode pass (the plan census showed 5 fact scans)
+    cells = cells.localCheckpoint(eager=True)
     cand = cells.select("dim", "b").distinct()
     # per-label cumulative counts at each candidate via bounded range join
     cum = (

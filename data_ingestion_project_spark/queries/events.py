@@ -1305,8 +1305,13 @@ def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-cell integer partials, so even the running sums are exact
     before the single rounded division per row."""
     e = table(spark, sf_dir, "events")
-    first = e.groupBy("user_id").agg(
-        F.date_trunc("week", F.min("ts")).alias("cohort_wk")
+    # user-cardinality frame with two consumers (sizes + the purchase
+    # tag join): materialized once so events is scanned twice total
+    # (first-seen pass + purchase pass), not once per consumer
+    first = (
+        e.groupBy("user_id")
+        .agg(F.date_trunc("week", F.min("ts")).alias("cohort_wk"))
+        .localCheckpoint(eager=True)
     )
     sizes = first.groupBy("cohort_wk").agg(F.count(F.lit(1)).alias("n_users"))
     buys = e.filter(F.col("event_type") == "purchase").select(
@@ -1410,7 +1415,15 @@ def dau_wau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: pure integer counts; the stickiness ratio is one
     value-determined division, floor-rounded."""
     e = table(spark, sf_dir, "events")
-    ud = e.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    # the (day, user) frame feeds THREE consumers (dau + two rolling
+    # horizons); materialize it once so the fact table is scanned
+    # once, not per branch — at 100 TB this is the difference between
+    # one distinct shuffle and three full scans
+    ud = (
+        e.select(F.to_date("ts").alias("day"), "user_id")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     dau = ud.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
 
     def rolling(n: int, out: str) -> DataFrame:
