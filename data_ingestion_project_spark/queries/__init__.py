@@ -31,7 +31,7 @@ _MODULES = (tpch, tpch2, events, documents, embeddings, advanced, stats)
 # driver rows anywhere), then the alphabetical head of the r04 era.
 # Every window entry was locally re-verified value-exact (or rows-only
 # where by-design) at sf0.01 via tools/check_oracle.py before
-# declaring; the 11 remaining r04-era rows (semdedup_summary ..
+# declaring; the 14 remaining r04-era rows (quantile_sketch_rollup ..
 # zipf_slope_by_lang) roll to the r09 window.  Names not listed here
 # keep module order.
 _DRIVER_PRIORITY = (
@@ -46,6 +46,9 @@ _DRIVER_PRIORITY = (
     "cohort_ltv_curve",
     "dau_wau_mau_stickiness",
     "order_interarrival_stats",
+    "simpson_paradox_audit",
+    "entropy_rate_markov",
+    "text_readability_scores",
     # -- r03-era certifications (stalest driver rows) --
     "top2_orders_lateral",
     "top_similar_pairs",
@@ -85,11 +88,8 @@ _DRIVER_PRIORITY = (
     "nb_lang_confusion",
     "near_dup_jaccard_prefix",
     "orders_profile",
-    "quantile_sketch_rollup",
-    "segment_richest_customer",
-    "segment_wealth_percentiles",
-    # semdedup_summary .. zipf_slope_by_lang (r04 tail) roll to the
-    # r09 window.  This tuple is exactly 50 names = the full window.
+    # quantile_sketch_rollup .. zipf_slope_by_lang (r04 tail) roll to
+    # the r09 window.  This tuple is exactly 50 names = the full window.
 )
 
 

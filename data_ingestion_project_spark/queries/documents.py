@@ -4830,8 +4830,98 @@ LIMIT 15
 """
 
 
+def text_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease census per language — the classic
+    readability heuristic as a corpus-quality facet next to
+    doc_quality's length/punct ratios: per document, words (whitespace
+    tokens), sentences (runs of [.!?], floored at 1), syllables (runs
+    of [aeiouy] in the lowercased text — the standard vowel-group
+    approximation, counted text-level so whitespace breaks groups),
+    then Flesch = 206.835 − 1.015·(words/sentences) −
+    84.6·(syllables/words); per language the exact micro-quantized
+    means of the three per-doc statistics.
+
+    Scale: map-only regexp counting into a lang-keyed aggregate — one
+    pass, one small shuffle. Exactness: the per-doc ratios are
+    value-determined doubles micro-truncated to int64 per doc and
+    folded exactly; regex classes are engine-portable by construction
+    (plain character classes, no \\w/\\b semantics to disagree on)."""
+    d = table(spark, sf_dir, "documents")
+    low = F.lower(F.trim("text"))
+    words = F.size(F.array_remove(F.split(low, r"\s+"), ""))
+    sents = F.greatest(F.lit(1), F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[.!?]+"), F.lit(0))))
+    sylls = F.size(F.regexp_extract_all(low, F.lit(r"[aeiouy]+"), F.lit(0)))
+    wps = words.cast("double") / sents.cast("double")
+    spw = sylls.cast("double") / words.cast("double")
+    flesch = (
+        F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw
+    )
+    per = d.filter(words > 0).select(
+        "lang",
+        (wps * F.lit(1000000.0)).cast("long").alias("wps_i"),
+        (spw * F.lit(1000000.0)).cast("long").alias("spw_i"),
+        (flesch * F.lit(1000000.0)).cast("long").alias("fl_i"),
+    )
+    g = per.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("wps_i").cast("decimal(28,0)")).alias("s_wps"),
+        F.sum(F.col("spw_i").cast("decimal(28,0)")).alias("s_spw"),
+        F.sum(F.col("fl_i").cast("decimal(28,0)")).alias("s_fl"),
+    )
+    n_d = F.col("n_docs").cast("double")
+    return g.select(
+        "lang",
+        "n_docs",
+        floor_round(F.col("s_wps").cast("double") / n_d / F.lit(1.0e6), 4).alias(
+            "avg_words_per_sentence"
+        ),
+        floor_round(F.col("s_spw").cast("double") / n_d / F.lit(1.0e6), 4).alias(
+            "avg_syllables_per_word"
+        ),
+        floor_round(F.col("s_fl").cast("double") / n_d / F.lit(1.0e6), 4).alias(
+            "avg_flesch"
+        ),
+    ).orderBy("lang")
+
+
+ORACLE_TEXT_READABILITY_SCORES = """
+WITH per AS (
+  SELECT lang,
+         CAST(trunc((CAST(w AS DOUBLE) / CAST(s AS DOUBLE)) * 1000000.0)
+              AS BIGINT) AS wps_i,
+         CAST(trunc((CAST(y AS DOUBLE) / CAST(w AS DOUBLE)) * 1000000.0)
+              AS BIGINT) AS spw_i,
+         CAST(trunc((206.835
+                     - 1.015 * (CAST(w AS DOUBLE) / CAST(s AS DOUBLE))
+                     - 84.6 * (CAST(y AS DOUBLE) / CAST(w AS DOUBLE)))
+                    * 1000000.0) AS BIGINT) AS fl_i
+  FROM (
+    SELECT lang,
+           len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                           x -> x <> '')) AS w,
+           greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS s,
+           len(regexp_extract_all(lower(trim(text)), '[aeiouy]+')) AS y
+    FROM documents
+  ) t
+  WHERE w > 0
+)
+SELECT lang, COUNT(*) AS n_docs,
+       sign(CAST(SUM(wps_i) AS DOUBLE) / COUNT(*) / 1000000.0)
+       * floor(abs(CAST(SUM(wps_i) AS DOUBLE) / COUNT(*) / 1000000.0)
+              * 10000.0 + 0.5) / 10000.0 AS avg_words_per_sentence,
+       sign(CAST(SUM(spw_i) AS DOUBLE) / COUNT(*) / 1000000.0)
+       * floor(abs(CAST(SUM(spw_i) AS DOUBLE) / COUNT(*) / 1000000.0)
+              * 10000.0 + 0.5) / 10000.0 AS avg_syllables_per_word,
+       sign(CAST(SUM(fl_i) AS DOUBLE) / COUNT(*) / 1000000.0)
+       * floor(abs(CAST(SUM(fl_i) AS DOUBLE) / COUNT(*) / 1000000.0)
+              * 10000.0 + 0.5) / 10000.0 AS avg_flesch
+FROM per GROUP BY lang ORDER BY lang
+"""
+
+
 QUERIES = {
     "pmi_collocations": pmi_collocations,
+    "text_readability_scores": text_readability_scores,
     "doc_repetition_stats": doc_repetition_stats,
     "corpus_mixture_plan": corpus_mixture_plan,
     "unigram_logprob_quality": unigram_logprob_quality,
@@ -4909,6 +4999,7 @@ if _HAVE_PIL:
 
 ORACLE = {
     "pmi_collocations": ORACLE_PMI_COLLOCATIONS,
+    "text_readability_scores": ORACLE_TEXT_READABILITY_SCORES,
     "doc_repetition_stats": ORACLE_DOC_REPETITION_STATS,
     "corpus_mixture_plan": ORACLE_CORPUS_MIXTURE_PLAN,
     "unigram_logprob_quality": ORACLE_UNIGRAM_LOGPROB_QUALITY,

@@ -545,6 +545,116 @@ ORDER BY s.event_type""",
     )
 
 
+def entropy_rate_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy RATE of the user event chain — the information theory
+    capstone over the certified Markov machinery: per state, the
+    conditional next-step entropy H_i = −Σ_j p_ij ln p_ij, its
+    stationary weight π_i (operators/pagerank.stationary_distribution,
+    the certified power iteration), the contribution π_i·H_i, and the
+    chain's entropy rate H = Σ_i π_i·H_i — how many nats of surprise
+    each user step carries once the chain mixes. Low rate = rigid
+    funnels; high rate = exploratory behavior; the single number a
+    sequence-model (or compression) baseline starts from.
+
+    Exactness: transition cells reuse the markov_stationary_events
+    quantization (p rounded at 1e-14); each p·ln(p) term quantizes to
+    integer NANO-nats immediately (the lnq idiom — a Σ of >2 double
+    terms would be order-dependent), per-state sums and the final
+    rate are exact integer folds with one display division each; π is
+    the already-certified 20-iteration fixed point, and the
+    contribution re-quantizes π_i·H_i to integer nanos before the
+    global fold. Corpus read once; everything else is K- and
+    K²-sized."""
+    from data_ingestion_project_spark.operators.pagerank import (
+        stationary_distribution,
+    )
+
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    trans = (
+        e.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy(F.col("prev_type").alias("src"), F.col("event_type").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    pi = stationary_distribution(trans, iterations=_MARKOV_ITERS)
+    tot = trans.groupBy("src").agg(F.sum("n").alias("tot"))
+    p = F.round(F.col("n").cast("double") / F.col("tot").cast("double"), 14)
+    hsrc = (
+        trans.join(tot, "src")
+        .select(
+            "src",
+            F.round(p * F.log(p) * F.lit(1.0e9), 0).cast("long").alias("t"),
+        )
+        .groupBy("src")
+        .agg(F.sum("t").alias("hs"))  # exact integer nano-nats, ≤ 0
+    )
+    per = pi.join(hsrc, pi["state"] == hsrc["src"]).select(
+        "state",
+        "pi",
+        F.col("hs").alias("hs"),
+        F.round(F.col("pi") * (-F.col("hs")).cast("double"), 0)
+        .cast("long")
+        .alias("c"),  # integer nano contribution
+    )
+    rate = per.agg(F.sum("c").alias("rc"))
+    return (
+        per.crossJoin(F.broadcast(rate))
+        .select(
+            F.col("state").alias("event_type"),
+            F.col("pi").alias("pi_stationary"),
+            ((-F.col("hs")).cast("double") / F.lit(1.0e9)).alias("h_state_nats"),
+            (F.col("c").cast("double") / F.lit(1.0e9)).alias("contribution_nats"),
+            (F.col("rc").cast("double") / F.lit(1.0e9)).alias("entropy_rate_nats"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _oracle_entropy_rate_markov() -> str:
+    from data_ingestion_project_spark.operators.pagerank import (
+        stationary_unrolled_sql,
+    )
+
+    body = stationary_unrolled_sql("mtrans", iterations=_MARKOV_ITERS)
+    return (
+        """WITH mtrans AS (
+  SELECT prev_type AS src, event_type AS dst, COUNT(*) AS n
+  FROM (
+    SELECT event_type,
+           LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_type
+    FROM events
+  ) t
+  WHERE prev_type IS NOT NULL
+  GROUP BY 1, 2
+),
+"""
+        + body.replace(
+            f"\nSELECT state, pi FROM pi{_MARKOV_ITERS}",
+            f""",
+hsrc AS (
+  SELECT src, SUM(CAST(ROUND(p * ln(p) * 1000000000.0, 0) AS BIGINT)) AS hs
+  FROM mp GROUP BY src
+),
+per AS (
+  SELECT p.state, p.pi, h.hs,
+         CAST(ROUND(p.pi * CAST(-h.hs AS DOUBLE), 0) AS BIGINT) AS c
+  FROM pi{_MARKOV_ITERS} p JOIN hsrc h ON h.src = p.state
+),
+rate AS (SELECT SUM(c) AS rc FROM per)
+SELECT state AS event_type, pi AS pi_stationary,
+       CAST(-hs AS DOUBLE) / 1000000000.0 AS h_state_nats,
+       CAST(c AS DOUBLE) / 1000000000.0 AS contribution_nats,
+       CAST(rc AS DOUBLE) / 1000000000.0 AS entropy_rate_nats
+FROM per CROSS JOIN rate
+ORDER BY event_type""",
+        )
+    )
+
+
 def event_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-15 three-step user journeys: the most frequent ordered
     event-type TRIGRAMS across user timelines, with each path's share
@@ -1560,6 +1670,7 @@ QUERIES = {
     "cohort_ltv_curve": cohort_ltv_curve,
     "dau_wau_mau_stickiness": dau_wau_mau_stickiness,
     "order_interarrival_stats": order_interarrival_stats,
+    "entropy_rate_markov": entropy_rate_markov,
     "event_type_lift": event_type_lift,
     "user_daily_gapfill": user_daily_gapfill,
     "hourly_event_stats": hourly_event_stats,
@@ -1608,6 +1719,7 @@ ORACLE = {
     "event_trigram_paths": ORACLE_EVENT_TRIGRAM_PATHS,
     "conversion_wilson_ci": ORACLE_CONVERSION_WILSON_CI,
     "markov_stationary_events": _oracle_markov_stationary_events(),
+    "entropy_rate_markov": _oracle_entropy_rate_markov(),
     "user_scd2_summary": ORACLE_USER_SCD2_SUMMARY,
     "dp_event_counts": ORACLE_DP_EVENT_COUNTS,
 }

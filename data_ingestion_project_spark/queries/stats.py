@@ -2514,11 +2514,144 @@ FROM g CROSS JOIN nd
 """
 
 
+def simpson_paradox_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's-paradox detector over the quantity→price relation:
+    does the per-BRAND regression slope contradict the pooled slope?
+    The aggregation-bias audit every observational analysis needs
+    before trusting a pooled trend — a reversed stratum means the
+    pooled number is a mix artifact, not a relationship.
+
+    Plan: ONE lineitem⋈part pass to per-brand moment cells (n, Σx,
+    Σy, Σxy, Σxx — brand-cardinality frame); the POOLED moments are
+    the column sums of that same frame (zero extra scans); slope
+    signs come from the exact integer numerator n·Σxy − Σx·Σy
+    (cast-first DECIMAL — the denominator n·Σxx − Σx² is ≥ 0, so the
+    numerator carries the sign alone, division-free). The one double
+    division per reported slope is value-determined. Returns ONE row
+    when at least one stratum reverses (with the strongest reversal
+    named) and ZERO rows when no paradox exists — the empty result IS
+    the clean bill of health, mirrored exactly by the oracle."""
+    l = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    _d38 = "decimal(38,0)"
+    base = l.join(p, l["l_partkey"] == p["p_partkey"]).select(
+        "p_brand",
+        F.col("l_quantity").cast("long").alias("x"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("y"),
+    )
+    per = (
+        base.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("x").cast(_d38)).alias("sx"),
+            F.sum(F.col("y").cast(_d38)).alias("sy"),
+            F.sum(F.col("x").cast(_d38) * F.col("y").cast(_d38)).alias("sxy"),
+            F.sum(F.col("x").cast(_d38) * F.col("x").cast(_d38)).alias("sxx"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    num = F.col("n").cast(_d38) * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n").cast(_d38) * F.col("sxx") - F.col("sx") * F.col("sx")
+    slopes = per.select(
+        "p_brand",
+        "n",
+        num.alias("num"),
+        den.alias("den"),
+        (num.cast("double") / den.cast("double") * F.lit(100.0)).alias("slope"),
+    )
+    pooled = per.agg(
+        F.sum("n").alias("n"),
+        F.sum("sx").alias("sx"),
+        F.sum("sy").alias("sy"),
+        F.sum("sxy").alias("sxy"),
+        F.sum("sxx").alias("sxx"),
+    ).select(
+        num.alias("gnum"),
+        (num.cast("double") / den.cast("double") * F.lit(100.0)).alias("gslope"),
+    )
+    joined = slopes.crossJoin(F.broadcast(pooled))
+    rev = F.when(
+        (F.col("num") > 0) & (F.col("gnum") < 0)
+        | (F.col("num") < 0) & (F.col("gnum") > 0),
+        1,
+    ).otherwise(0)
+    counts = joined.agg(
+        F.count(F.lit(1)).alias("n_brands"),
+        F.sum(rev).alias("n_reversed"),
+    )
+    top = (
+        joined.filter(rev == 1)
+        .orderBy(F.abs(F.col("slope")).desc(), F.col("p_brand").asc())
+        .limit(1)
+        .select(
+            F.col("p_brand").alias("top_reversed_brand"),
+            _floor_round(F.col("slope"), 6).alias("top_reversed_slope"),
+            _floor_round(F.col("gslope"), 6).alias("pooled_slope"),
+        )
+    )
+    return counts.crossJoin(F.broadcast(top)).select(
+        "n_brands",
+        F.col("n_reversed").cast("long").alias("n_reversed"),
+        "pooled_slope",
+        "top_reversed_brand",
+        "top_reversed_slope",
+    )
+
+
+ORACLE_SIMPSON_PARADOX_AUDIT = """
+WITH base AS (
+  SELECT p_brand, CAST(l_quantity AS BIGINT) AS x,
+         CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS y
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+), per AS (
+  SELECT p_brand, COUNT(*) AS n,
+         SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+         SUM(CAST(x AS HUGEINT) * y) AS sxy,
+         SUM(CAST(x AS HUGEINT) * x) AS sxx
+  FROM base GROUP BY 1
+), slopes AS (
+  SELECT p_brand,
+         n * sxy - sx * sy AS num,
+         CAST(n * sxy - sx * sy AS DOUBLE)
+           / CAST(n * sxx - sx * sx AS DOUBLE) * 100.0 AS slope
+  FROM per
+), pooled AS (
+  SELECT n * sxy - sx * sy AS gnum,
+         CAST(n * sxy - sx * sy AS DOUBLE)
+           / CAST(n * sxx - sx * sx AS DOUBLE) * 100.0 AS gslope
+  FROM (
+    SELECT SUM(n) AS n, SUM(sx) AS sx, SUM(sy) AS sy,
+           SUM(sxy) AS sxy, SUM(sxx) AS sxx
+    FROM per
+  )
+), joined AS (
+  SELECT s.*, p.gnum, p.gslope,
+         CASE WHEN (s.num > 0 AND p.gnum < 0)
+                OR (s.num < 0 AND p.gnum > 0) THEN 1 ELSE 0 END AS rev
+  FROM slopes s CROSS JOIN pooled p
+), counts AS (
+  SELECT COUNT(*) AS n_brands, SUM(rev) AS n_reversed FROM joined
+), top AS (
+  SELECT p_brand AS top_reversed_brand,
+         sign(slope) * floor(abs(slope) * 1000000.0 + 0.5) / 1000000.0
+           AS top_reversed_slope,
+         sign(gslope) * floor(abs(gslope) * 1000000.0 + 0.5) / 1000000.0
+           AS pooled_slope
+  FROM joined WHERE rev = 1
+  ORDER BY abs(slope) DESC, p_brand ASC LIMIT 1
+)
+SELECT n_brands, CAST(n_reversed AS BIGINT) AS n_reversed,
+       pooled_slope, top_reversed_brand, top_reversed_slope
+FROM counts CROSS JOIN top
+"""
+
+
 QUERIES = {
     "chisq_event_dow": chisq_event_dow,
     "spearman_price_quantity": spearman_price_quantity,
     "mannwhitney_event_values": mannwhitney_event_values,
     "kendall_tau_daily": kendall_tau_daily,
+    "simpson_paradox_audit": simpson_paradox_audit,
     "anova_event_values": anova_event_values,
     "ks_length_drift": ks_length_drift,
     "regr_price_quantity": regr_price_quantity,
@@ -2543,6 +2676,7 @@ ORACLE = {
     "spearman_price_quantity": ORACLE_SPEARMAN_PRICE_QUANTITY,
     "mannwhitney_event_values": ORACLE_MANNWHITNEY_EVENT_VALUES,
     "kendall_tau_daily": ORACLE_KENDALL_TAU_DAILY,
+    "simpson_paradox_audit": ORACLE_SIMPSON_PARADOX_AUDIT,
     "anova_event_values": ORACLE_ANOVA_EVENT_VALUES,
     "ks_length_drift": ORACLE_KS_LENGTH_DRIFT,
     "regr_price_quantity": ORACLE_REGR_PRICE_QUANTITY,

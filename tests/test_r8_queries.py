@@ -342,3 +342,118 @@ def test_order_interarrival_matches_pandas_reference(spark):
     assert (row["min_gap"], row["max_gap"]) == (gaps_np.min(), gaps_np.max())
     assert abs(row["share_within_30d"] - (gaps_np <= 30).mean()) <= 1e-6
     assert abs(row["share_within_90d"] - (gaps_np <= 90).mean()) <= 1e-6
+
+
+def test_simpson_paradox_audit_matches_pandas_reference(spark):
+    from data_ingestion_project_spark.queries import all_queries
+
+    df = duckdb.sql(
+        f"""SELECT p_brand, CAST(l_quantity AS BIGINT) AS x,
+                   CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS y
+            FROM '{SF}/lineitem.parquet' l
+            JOIN '{SF}/part.parquet' p ON l_partkey = p_partkey"""
+    ).df()
+
+    def moments(g):
+        n = len(g)
+        sx, sy = int(g["x"].sum()), int(g["y"].sum())
+        sxy = int((g["x"] * g["y"]).sum())
+        sxx = int((g["x"] * g["x"]).sum())
+        return n, n * sxy - sx * sy, n * sxx - sx * sx
+
+    _, gnum, gden = moments(df)
+    gslope = gnum / gden * 100.0
+    rows = []
+    for brand, g in df.groupby("p_brand"):
+        n, num, den = moments(g)
+        if (num > 0 and gnum < 0) or (num < 0 and gnum > 0):
+            rows.append((brand, num / den * 100.0))
+    rows.sort(key=lambda r: (-abs(r[1]), r[0]))
+
+    got = all_queries()["simpson_paradox_audit"](spark, SF).collect()
+    if not rows:
+        assert got == []
+        return
+    r = got[0]
+    assert r["n_brands"] == df["p_brand"].nunique()
+    assert r["n_reversed"] == len(rows)
+    assert abs(r["pooled_slope"] - gslope) <= 1e-6
+    assert r["top_reversed_brand"] == rows[0][0]
+    assert abs(r["top_reversed_slope"] - rows[0][1]) <= 1e-6
+
+
+def test_entropy_rate_matches_python_replay(spark):
+    """Replay the full pipeline in Python with the IDENTICAL
+    quantization contract (p@1e-14, terms in nano-nats, pi via the
+    rounded 20-step power iteration)."""
+    from data_ingestion_project_spark.queries import all_queries
+
+    trans = duckdb.sql(
+        f"""SELECT prev AS src, event_type AS dst, COUNT(*) AS n FROM (
+              SELECT event_type,
+                     LAG(event_type) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) AS prev
+              FROM '{SF}/events.parquet') t
+            WHERE prev IS NOT NULL GROUP BY 1, 2"""
+    ).fetchall()
+    tot: dict = defaultdict(int)
+    for s, _d, n in trans:
+        tot[s] += n
+    p = {(s, d): round(n / tot[s], 14) for s, d, n in trans}
+    states = sorted(tot)
+    k = len(states)
+    pi = {s: 1.0 / k for s in states}
+    for _ in range(20):
+        nxt: dict = defaultdict(float)
+        for (s, d), pv in p.items():
+            nxt[d] += round(pi[s] * pv, 14)
+        pi = {d: round(v, 10) for d, v in nxt.items()}
+    hs: dict = defaultdict(int)
+    for (s, _d), pv in p.items():
+        hs[s] += round(pv * math.log(pv) * 1e9)
+    c = {s: round(pi[s] * float(-hs[s])) for s in states}
+    rate = sum(c.values()) / 1e9
+
+    got = {r["event_type"]: r for r in
+           all_queries()["entropy_rate_markov"](spark, SF).collect()}
+    assert set(got) == set(states)
+    for s in states:
+        r = got[s]
+        assert abs(r["pi_stationary"] - pi[s]) <= 1e-9
+        assert abs(r["h_state_nats"] - (-hs[s] / 1e9)) <= 1e-9
+        assert abs(r["contribution_nats"] - c[s] / 1e9) <= 1e-9
+        assert abs(r["entropy_rate_nats"] - rate) <= 1e-9
+    # sanity: rate is a pi-weighted mean of the per-state entropies
+    assert 0.0 < rate <= math.log(len(states)) + 1e-9
+
+
+def test_readability_matches_python_replay(spark):
+    from data_ingestion_project_spark.queries import all_queries
+
+    rows = duckdb.sql(
+        f"SELECT lang, text FROM '{SF}/documents.parquet'"
+    ).fetchall()
+    agg: dict = defaultdict(lambda: [0, 0, 0, 0])  # n, wps, spw, fl
+    for lang, text in rows:
+        low = (text or "").strip().lower()
+        w = len([x for x in re.split(r"\s+", low) if x])
+        if w == 0:
+            continue
+        s = max(1, len(re.findall(r"[.!?]+", text)))
+        y = len(re.findall(r"[aeiouy]+", low))
+        wps, spw = w / s, y / w
+        fl = 206.835 - 1.015 * wps - 84.6 * spw
+        a = agg[lang]
+        a[0] += 1
+        a[1] += int(wps * 1e6)
+        a[2] += int(spw * 1e6)
+        a[3] += int(fl * 1e6)
+    got = {r["lang"]: r for r in
+           all_queries()["text_readability_scores"](spark, SF).collect()}
+    assert set(got) == set(agg)
+    for lang, (n, s_wps, s_spw, s_fl) in agg.items():
+        r = got[lang]
+        assert r["n_docs"] == n
+        assert abs(r["avg_words_per_sentence"] - s_wps / n / 1e6) <= 1.1e-4
+        assert abs(r["avg_syllables_per_word"] - s_spw / n / 1e6) <= 1.1e-4
+        assert abs(r["avg_flesch"] - s_fl / n / 1e6) <= 1.1e-4
