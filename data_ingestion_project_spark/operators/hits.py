@@ -50,7 +50,11 @@ def hits(
 
     ``iterations`` is a fixed count, not a convergence test, for the
     same reason as pagerank: the unrolled plan is deterministic,
-    resumable, and SQL-replayable."""
+    resumable, and SQL-replayable.  Must be >= 1: zero iterations has
+    no authority frame to return (scores exist only after the first
+    hub->authority pass)."""
+    if iterations < 1:
+        raise ValueError(f"hits requires iterations >= 1, got {iterations}")
     e = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .distinct()
@@ -91,7 +95,11 @@ def hits_unrolled_sql(edges_cte: str, iterations: int = 5) -> str:
     """ANSI-SQL twin for the oracle gate: chained CTEs over
     ``edges_cte`` (a CTE providing DISTINCT (src, dst) rows), ending
     with CTEs ``hub{iterations}`` (src, h) and ``auth{iterations}``
-    (dst, a). Bit-identical by the module determinism contract."""
+    (dst, a). Bit-identical by the module determinism contract.
+    ``iterations`` must be >= 1 (matching :func:`hits`): with 0 the
+    emitted SQL would reference nonexistent auth0/hub0 CTEs."""
+    if iterations < 1:
+        raise ValueError(f"hits_unrolled_sql requires iterations >= 1, got {iterations}")
     # Every CTE is referenced EXACTLY ONCE downstream: DuckDB inlines
     # CTEs, so a normalization written as "raw CROSS JOIN (SELECT
     # SUM(raw))" references the raw frame twice and doubles the

@@ -55,11 +55,18 @@ def _fenced_append(
     """Append ``rows`` to the txn table at ``path``, creating it if
     absent, guarded by an optional ``(fence_id, batch_id)`` replay
     fence (Delta txnAppId shape). The fence rides the table's manifest
-    atomically with the data commit; a batch_id at or below the
-    recorded fence for the same fence_id is a no-op. Shared by the
-    pair-increment log and the signature-asset maintenance — any
-    append-maintained asset whose rows must not double-apply under
-    foreachBatch re-execution."""
+    atomically with the data commit AND is enforced inside the commit
+    loop itself (txn_table._commit_retry re-reads the head manifest on
+    every rebase attempt and raises FenceApplied when the batch is
+    already recorded) — so two concurrent executions of the same
+    (fence_id, batch_id), the zombie foreachBatch retry scenario,
+    cannot both land: whichever wins the O_EXCL manifest race records
+    the fence, and the loser's rebase aborts before double-applying.
+    The pre-check below is a cheap fast path for the common
+    already-applied replay (skips writing the data directory), not the
+    correctness mechanism. Shared by the pair-increment log and the
+    signature-asset maintenance — any append-maintained asset whose
+    rows must not double-apply under foreachBatch re-execution."""
     extra = None
     if fence is not None:
         fence_id, batch_id = fence
@@ -74,19 +81,15 @@ def _fenced_append(
             T.create_table(spark, path, rows, extra=extra)
             return
         except (FileExistsError, T.TxnConflict):
-            # Concurrent creator won. The winner may have been another
-            # execution of THIS SAME (fence_id, batch_id) — e.g. a
-            # zombie foreachBatch retry racing table creation — so the
-            # fence must be re-checked against the winner's manifest
-            # before appending, or the first batch double-applies.
-            if fence is not None:
-                fence_id, batch_id = fence
-                head = T.current_version(path)
-                if head is not None:
-                    fences = T._read_manifest(path, head).get("stream_fences", {})
-                    if batch_id <= fences.get(fence_id, -1):
-                        return  # winner already applied this batch
-    T.append(spark, path, rows, extra=extra)
+            # Concurrent creator won — possibly another execution of
+            # THIS SAME (fence_id, batch_id) racing table creation.
+            # Fall through: the fenced append below re-checks the
+            # winner's manifest atomically with its own commit.
+            pass
+    try:
+        T.append(spark, path, rows, fence=fence)
+    except T.FenceApplied:
+        return  # concurrent execution of this batch committed first
 
 
 def update_signature_assets(
@@ -527,8 +530,11 @@ def update_pair_index(
         .filter(F.col("delta") != 0)
     )
     # the fence was checked above BEFORE the (expensive) increment
-    # computation; _fenced_append re-checks it immediately before the
-    # commit, so a replay racing a slow first attempt still no-ops
+    # computation as a fast path; the commit itself enforces it
+    # ATOMICALLY (txn_table.append(fence=...) re-checks the head
+    # manifest on every rebase attempt inside _commit_retry), so a
+    # replay racing a slow first attempt no-ops even when both
+    # executions pass the pre-check
     _fenced_append(spark, pair_path, increments, fence)
 
 

@@ -60,7 +60,12 @@ def histogram_cells(
 
 def stump_split_gains(cells: DataFrame, scale: int = 20) -> DataFrame:
     """Per (dim, candidate bucket boundary): left/right sizes and the
-    Gini gain of splitting at ``x <= (b+1)/scale``. The candidate ×
+    Gini gain of splitting at ``x < (b+1)/scale`` — STRICT upper
+    bound: the left side aggregates buckets ``b' <= b``, i.e. all
+    values with floor(x·scale) <= b, and a value EXACTLY at
+    (b+1)/scale has bucket b+1 and lands RIGHT.  Consumers applying
+    the reported ``threshold`` must partition with ``x < threshold``
+    (not <=) to reproduce n_left/n_right.  The candidate ×
     cell range-join runs entirely on the bounded histogram frame
     (buckets² per dim — constant work), deliberately join-based rather
     than window-based so the plan has no unpartitioned windows and the
@@ -127,16 +132,25 @@ def stump_split_gains(cells: DataFrame, scale: int = 20) -> DataFrame:
     )
 
 
-def stump_sql(scale: int = 20) -> str:
+def stump_sql(scale: int = 20, dims: int = 64) -> str:
     """DuckDB twin of histogram_cells → stump_split_gains over the
     ``embeddings`` view, as a CTE chain ending in ``gains`` with the
-    same columns — callers append their own selection/ranking."""
+    same columns — callers append their own selection/ranking.
+
+    ``dims`` must equal the embedding array length: the Spark side
+    posexplodes the actual array, so a mismatched constant here would
+    silently drop (or fabricate) dimensions instead of failing loudly.
+    The len() guard in the first CTE turns a drifted dimensionality
+    into a hard error rather than a silent oracle divergence."""
     return f"""
 cells AS (
   SELECT label, g.dim - 1 AS dim,
          CAST(floor(CAST(embedding[g.dim] AS DOUBLE) * {scale}.0) AS BIGINT) AS b,
          COUNT(*) AS c
-  FROM embeddings CROSS JOIN generate_series(1, 64) g(dim)
+  FROM embeddings CROSS JOIN generate_series(1, {dims}) g(dim)
+  WHERE len(embedding) = {dims}
+     OR error('stump_sql dims=' || {dims} || ' but embedding len='
+              || len(embedding))
   GROUP BY 1, 2, 3
 ), cand AS (SELECT DISTINCT dim, b FROM cells),
 cum AS (

@@ -60,6 +60,19 @@ class TxnConflict(Exception):
     snapshot is stale; re-run the read-modify-write."""
 
 
+class FenceApplied(Exception):
+    """The commit's ``(fence_id, batch_id)`` replay fence is already at
+    or beyond ``batch_id`` in the head manifest: a concurrent execution
+    of the SAME micro-batch (zombie foreachBatch retry) committed
+    first. The write must be SKIPPED, not retried — callers treat this
+    as a successful no-op. Raised from inside the commit loop, so the
+    check is atomic with manifest publication: whichever execution wins
+    the O_EXCL manifest race records the fence, and the loser's rebase
+    attempt re-reads it and aborts before double-applying. The loser's
+    already-written data directory is an unreferenced orphan that
+    ``vacuum`` reclaims."""
+
+
 def _log_dir(path: str) -> str:
     return os.path.join(path, _LOG)
 
@@ -149,12 +162,24 @@ def _commit_retry(
     base_version: int | None,
     max_retries: int = 10,
     extra: dict | None = None,
+    fence: tuple[str, int] | None = None,
 ) -> int:
     """Commit loop. ``new_dirs_fn(prev_manifest) -> (data_dirs, schema)``
     is re-evaluated per attempt so appends rebase onto the winner's
     version; read-modify-write callers pass ``base_version`` and get
     TxnConflict instead of silent lost updates. ``extra`` fields (e.g.
     per-directory key stats) are merged into the manifest.
+
+    ``fence=(fence_id, batch_id)`` makes replay protection ATOMIC with
+    the manifest write for rebasing (base_version=None) commits: every
+    attempt re-reads the head manifest, and if ``stream_fences`` there
+    already records ``batch_id`` (or later) for ``fence_id``, the loop
+    raises :class:`FenceApplied` instead of rebasing the append on top
+    — closing the append/append TOCTOU where two zombie executions of
+    the same micro-batch both pass a caller-side pre-check and both
+    commit additive rows. (Snapshot-pinned commits get the same
+    guarantee from base_version + caller retry; the fence param is for
+    blind appends, which otherwise NEVER conflict.)
 
     Durable manifest fields CARRY FORWARD across commits unless the
     caller overrides them: ``stats`` (pruned to the surviving dirs),
@@ -171,6 +196,14 @@ def _commit_retry(
                 f"snapshot at v{base_version} is stale (head is v{head}); re-run the operation"
             )
         prev = _read_manifest(path, head)
+        if fence is not None:
+            fence_id, batch_id = fence
+            recorded = prev.get("stream_fences", {})
+            if isinstance(recorded, dict) and batch_id <= recorded.get(fence_id, -1):
+                raise FenceApplied(
+                    f"batch {batch_id} for fence {fence_id!r} already committed "
+                    f"at {path} (head fence {recorded.get(fence_id)})"
+                )
         dirs, schema = new_dirs_fn(prev)
         carried: dict = {}
         if isinstance(prev.get("stats"), dict):
@@ -232,6 +265,7 @@ def append(
     df: DataFrame,
     merge_schema: bool = False,
     extra: dict | None = None,
+    fence: tuple[str, int] | None = None,
 ) -> int:
     """Blind append: concurrency-safe without conflicts (set-union of
     directories commutes, like Delta's AddFile-only commits).
@@ -242,18 +276,32 @@ def append(
     only evolution, no existing file is rewritten. Without it, a
     mismatched schema raises (Delta's default posture).
 
-    ``extra`` fields (e.g. a ``stream_fences`` replay fence) ride the
-    same atomic manifest write as the data-dir addition."""
+    ``extra`` fields (e.g. per-directory stats) ride the same atomic
+    manifest write as the data-dir addition. ``fence=(fence_id,
+    batch_id)`` additionally records the replay fence in
+    ``stream_fences`` AND enforces it inside the commit loop
+    (:func:`_commit_retry`): a concurrent execution of the same batch
+    that wins the manifest race makes this call raise
+    :class:`FenceApplied` instead of rebasing a double-apply on top —
+    the atomicity plain caller-side pre-checks cannot give a blind
+    append."""
     rel = _write_data(df, path)
     # the evolved flag makes snapshot reads pay footer schema-merging
     # only on tables where an evolution actually happened
     merged_extra = {**({"evolved": True} if merge_schema else {}), **(extra or {})}
+    if fence is not None:
+        fence_id, batch_id = fence
+        merged_extra["stream_fences"] = {
+            **merged_extra.get("stream_fences", {}),
+            fence_id: batch_id,
+        }
     return _commit_retry(
         path,
         "append",
         _append_dirs_fn(rel, df.schema, merge_schema),
         None,
         extra=merged_extra or None,
+        fence=fence,
     )
 
 
@@ -304,6 +352,7 @@ def publish_staged(
     merge_schema: bool = False,
     schema: StructType | None = None,
     extra: dict | None = None,
+    fence: tuple[str, int] | None = None,
 ) -> int:
     """Metadata-only commit of a previously staged directory — the
     Publish step of write-audit-publish. No data moves; the manifest
@@ -311,18 +360,28 @@ def publish_staged(
     ``append``. Double-publishing the same directory raises. Pass
     ``schema`` when the caller already holds the staged frame's schema
     (wap.py does) to skip re-opening the parquet footers; ``extra``
-    rides the same atomic manifest write (streaming batch-id fences)."""
+    rides the same atomic manifest write. ``fence`` records AND
+    atomically enforces a ``(fence_id, batch_id)`` replay fence exactly
+    like :func:`append` — raising :class:`FenceApplied` when a
+    concurrent execution of the same batch published first."""
     if schema is None:
         schema = spark.read.parquet(os.path.join(path, rel)).schema
     merged_extra = dict(extra or {})
     if merge_schema:
         merged_extra["evolved"] = True
+    if fence is not None:
+        fence_id, batch_id = fence
+        merged_extra["stream_fences"] = {
+            **merged_extra.get("stream_fences", {}),
+            fence_id: batch_id,
+        }
     return _commit_retry(
         path,
         "publish",
         _append_dirs_fn(rel, schema, merge_schema),
         None,
         extra=merged_extra or None,
+        fence=fence,
     )
 
 

@@ -214,13 +214,21 @@ def start_gated_ingestion_stream(
             with open(os.path.join(qdir, f"batch_{batch_id}.json"), "w") as f:
                 _json.dump(record, f, sort_keys=True)
             return
-        T.publish_staged(
-            spark,
-            table_path,
-            rel,
-            schema=staged_schema,
-            extra={"stream_fences": {fence_id: batch_id}},
-        )
+        try:
+            # fence= both records the batch id and enforces it ATOMICALLY
+            # inside the commit loop — two zombie executions of the same
+            # batch cannot both publish (the loser raises FenceApplied on
+            # its rebase attempt); the manifest read above is only the
+            # cheap skip-before-staging fast path
+            T.publish_staged(
+                spark,
+                table_path,
+                rel,
+                schema=staged_schema,
+                fence=(fence_id, batch_id),
+            )
+        except T.FenceApplied:
+            return  # concurrent execution of this batch published first
 
     return (
         batches.writeStream.foreachBatch(_sink)

@@ -457,3 +457,43 @@ def test_readability_matches_python_replay(spark):
         assert abs(r["avg_words_per_sentence"] - s_wps / n / 1e6) <= 1.1e-4
         assert abs(r["avg_syllables_per_word"] - s_spw / n / 1e6) <= 1.1e-4
         assert abs(r["avg_flesch"] - s_fl / n / 1e6) <= 1.1e-4
+
+
+def test_hits_rejects_zero_iterations(spark):
+    """iterations=0 has no authority frame (round-8 ADVICE): both the
+    operator and its SQL twin must refuse loudly instead of crashing
+    with AttributeError / emitting SQL over nonexistent CTEs."""
+    import pytest
+
+    from data_ingestion_project_spark.operators.hits import hits, hits_unrolled_sql
+
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError, match="iterations >= 1"):
+        hits(df, iterations=0)
+    with pytest.raises(ValueError, match="iterations >= 1"):
+        hits_unrolled_sql("edges", 0)
+
+
+def test_stump_sql_dims_guard():
+    """stump_sql(dims=) must fail loudly on a dimensionality mismatch
+    instead of silently truncating/fabricating dimensions (round-8
+    ADVICE), and reproduce the 64-dim gains byte-identically."""
+    import duckdb
+    import pytest
+
+    from data_ingestion_project_spark.operators.stump import stump_sql
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE embeddings AS SELECT 1 AS label,"
+        " [0.10, 0.20, 0.90]::FLOAT[] AS embedding"
+        " UNION ALL SELECT 2, [0.80, 0.15, 0.05]::FLOAT[]"
+    )
+    ok = con.execute(
+        f"WITH {stump_sql(scale=20, dims=3)} SELECT count(*) FROM gains"
+    ).fetchone()[0]
+    assert ok > 0
+    with pytest.raises(duckdb.Error, match="dims"):
+        con.execute(
+            f"WITH {stump_sql(scale=20, dims=4)} SELECT count(*) FROM gains"
+        ).fetchall()

@@ -585,3 +585,117 @@ def test_fence_merge_survives_commit_retry(spark, tmp_path, monkeypatch):
     T.publish_staged(spark, path, rel_b, extra={"stream_fences": {"B": 0}})
     fences = T._read_manifest(path, T.current_version(path))["stream_fences"]
     assert fences == {"A": 6, "B": 0}  # A's fence NOT rolled back to 5
+
+
+def test_append_fence_atomic_with_commit(spark, tmp_path, monkeypatch):
+    """The zombie foreachBatch append/append TOCTOU (round-8 ADVICE):
+    two executions of the SAME (fence_id, batch_id) race — both pass
+    any caller-side pre-check, both reach append. The loser of the
+    O_EXCL manifest race must raise FenceApplied on its rebase attempt
+    instead of committing the additive rows a second time."""
+    from data_ingestion_project_spark.operators import txn_table as T
+
+    path = str(tmp_path / "t")
+    T.create_table(spark, path, spark.createDataFrame([(0,)], "id long"))
+
+    real = T._try_commit
+    state = {"raced": False}
+
+    def flaky(p, version, manifest):
+        if not state["raced"]:
+            state["raced"] = True
+            # interleaved winner: the OTHER execution of batch 3
+            # commits its identical increment rows first
+            T.append(
+                spark,
+                path,
+                spark.createDataFrame([(1,)], "id long"),
+                fence=("stream-x", 3),
+            )
+            return False  # loser rebases — and must now see the fence
+        return real(p, version, manifest)
+
+    monkeypatch.setattr(T, "_try_commit", flaky)
+    import pytest as _pytest
+
+    with _pytest.raises(T.FenceApplied):
+        T.append(
+            spark,
+            path,
+            spark.createDataFrame([(1,)], "id long"),
+            fence=("stream-x", 3),
+        )
+    monkeypatch.setattr(T, "_try_commit", real)
+    # exactly ONE application of batch 3 landed
+    assert sorted(r["id"] for r in T.read(spark, path).collect()) == [0, 1]
+    fences = T._read_manifest(path, T.current_version(path))["stream_fences"]
+    assert fences == {"stream-x": 3}
+    # a LATER batch under the same fence still appends
+    T.append(spark, path, spark.createDataFrame([(2,)], "id long"), fence=("stream-x", 4))
+    # an UNRELATED stream's fence is independent
+    T.append(spark, path, spark.createDataFrame([(9,)], "id long"), fence=("stream-y", 0))
+    assert sorted(r["id"] for r in T.read(spark, path).collect()) == [0, 1, 2, 9]
+    fences = T._read_manifest(path, T.current_version(path))["stream_fences"]
+    assert fences == {"stream-x": 4, "stream-y": 0}
+
+
+def test_fenced_append_replay_race_noops(spark, tmp_path, monkeypatch):
+    """incremental_dedup._fenced_append under the same interleaving:
+    the caller-facing helper must swallow FenceApplied and no-op (the
+    replayed batch's rows are already in the table), leaving the table
+    bit-identical to a single application."""
+    from data_ingestion_project_spark.operators import txn_table as T
+    from data_ingestion_project_spark.operators.incremental_dedup import _fenced_append
+
+    path = str(tmp_path / "t")
+    rows = spark.createDataFrame([(10,), (11,)], "id long")
+    _fenced_append(spark, path, rows, ("s", 0))  # creates the table
+
+    real = T._try_commit
+    state = {"raced": False}
+
+    def flaky(p, version, manifest):
+        if not state["raced"]:
+            state["raced"] = True
+            _fenced_append(
+                spark, path, spark.createDataFrame([(12,)], "id long"), ("s", 1)
+            )
+            return False
+        return real(p, version, manifest)
+
+    monkeypatch.setattr(T, "_try_commit", flaky)
+    # this execution of batch 1 loses the race — must silently no-op
+    _fenced_append(spark, path, spark.createDataFrame([(12,)], "id long"), ("s", 1))
+    monkeypatch.setattr(T, "_try_commit", real)
+    assert sorted(r["id"] for r in T.read(spark, path).collect()) == [10, 11, 12]
+
+
+def test_publish_staged_fence_atomic(spark, tmp_path, monkeypatch):
+    """The gated-ingestion publish path closes the same TOCTOU: two
+    zombie publishes of one micro-batch — the loser raises
+    FenceApplied and its staged dir stays an unpublished orphan."""
+    from data_ingestion_project_spark.operators import txn_table as T
+
+    path = str(tmp_path / "t")
+    T.create_table(spark, path, spark.createDataFrame([(0,)], "id long"))
+    rel_a = T.stage(spark, path, spark.createDataFrame([(1,)], "id long"))
+    rel_b = T.stage(spark, path, spark.createDataFrame([(1,)], "id long"))
+
+    real = T._try_commit
+    state = {"raced": False}
+
+    def flaky(p, version, manifest):
+        if not state["raced"]:
+            state["raced"] = True
+            T.publish_staged(spark, path, rel_a, fence=("ck", 7))
+            return False
+        return real(p, version, manifest)
+
+    monkeypatch.setattr(T, "_try_commit", flaky)
+    import pytest as _pytest
+
+    with _pytest.raises(T.FenceApplied):
+        T.publish_staged(spark, path, rel_b, fence=("ck", 7))
+    monkeypatch.setattr(T, "_try_commit", real)
+    assert sorted(r["id"] for r in T.read(spark, path).collect()) == [0, 1]
+    assert rel_b not in T._read_manifest(path, T.current_version(path))["data_dirs"]
