@@ -4919,7 +4919,111 @@ FROM per GROUP BY lang ORDER BY lang
 """
 
 
+def chao1_vocab_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Species-richness estimation of each source's BIGRAM vocabulary:
+    Chao1 (how many distinct bigrams does the source's true
+    distribution hold, including ones this sample never produced?) and
+    the Good-Turing unseen-mass estimate f1/N (what probability does
+    the next sampled bigram have of being NEW?) — the coverage
+    question a corpus curator asks before declaring a source
+    exhausted, and the smoothing mass every language model assigns to
+    unseen events. Unigrams are deliberately not used: this corpus's
+    ~31-word vocabulary saturates per source (f1 ~ 0), while the
+    bigram space is genuinely open (f1 ~ 300 per source at sf0.01).
+
+    Plan: bigrams from ONE JVM expression per doc (the
+    bigram_logprob_buckets arrays_zip-of-slices idiom — no positional
+    self-join), one (source, bigram) partial-agg shuffle, then the
+    frequency-of-frequencies profile per source is a ≤|sources|-sized
+    frame. Exactness: V, f1, f2, N are exact integers; the Chao1
+    bias-corrected form V + f1(f1-1)/(2(f2+1)) and coverage are
+    value-determined double expressions (f2=0-safe by construction).
+    Reference parity: n/a (SURVEY.md §2 marks all analytics absent);
+    north-star corpus-statistics component."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", F.split(F.lower(F.trim("text")), r"\s+").alias("a")
+    ).withColumn("n", F.size("a"))
+    bigrams = (
+        toks.filter(F.col("n") >= 2)
+        .select(
+            "source",
+            F.explode(
+                F.arrays_zip(
+                    F.slice("a", 1, F.col("n") - 1).alias("w1"),
+                    F.slice("a", 2, F.col("n") - 1).alias("w2"),
+                )
+            ).alias("p"),
+        )
+        .select(
+            "source", F.concat_ws(" ", F.col("p.w1"), F.col("p.w2")).alias("bg")
+        )
+    )
+    counts = bigrams.groupBy("source", "bg").agg(F.count(F.lit(1)).alias("c"))
+    per = counts.groupBy("source").agg(
+        F.sum("c").alias("n_bigrams"),
+        F.count(F.lit(1)).alias("vocab"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("f1"),
+        F.sum(F.when(F.col("c") == 2, 1).otherwise(0)).alias("f2"),
+    )
+    f1d = F.col("f1").cast("double")
+    chao1 = F.col("vocab").cast("double") + f1d * (f1d - F.lit(1.0)) / (
+        F.lit(2.0) * (F.col("f2").cast("double") + F.lit(1.0))
+    )
+    unseen = f1d / F.col("n_bigrams").cast("double")
+    return per.select(
+        "source",
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        F.col("vocab").cast("long").alias("vocab"),
+        F.col("f1").cast("long").alias("f1"),
+        F.col("f2").cast("long").alias("f2"),
+        floor_round(chao1, 4).alias("chao1_richness"),
+        floor_round(unseen, 6).alias("gt_unseen_mass"),
+        floor_round(F.lit(1.0) - unseen, 6).alias("gt_coverage"),
+    ).orderBy("source")
+
+
+ORACLE_CHAO1_VOCAB_RICHNESS = """
+WITH toks AS (
+  SELECT source, string_split_regex(lower(trim(text)), '\\s+') AS a
+  FROM documents
+), bigrams AS (
+  SELECT source, a[i] || ' ' || a[i + 1] AS bg
+  FROM toks, LATERAL (SELECT unnest(range(1, len(a))) AS i) _
+  WHERE len(a) >= 2
+), counts AS (
+  SELECT source, bg, COUNT(*) AS c FROM bigrams GROUP BY 1, 2
+), per AS (
+  SELECT source, SUM(c) AS n_bigrams, COUNT(*) AS vocab,
+         SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS f1,
+         SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS f2
+  FROM counts GROUP BY 1
+)
+SELECT source,
+       CAST(n_bigrams AS BIGINT) AS n_bigrams,
+       CAST(vocab AS BIGINT) AS vocab,
+       CAST(f1 AS BIGINT) AS f1,
+       CAST(f2 AS BIGINT) AS f2,
+       sign(CAST(vocab AS DOUBLE)
+            + CAST(f1 AS DOUBLE) * (CAST(f1 AS DOUBLE) - 1.0)
+              / (2.0 * (CAST(f2 AS DOUBLE) + 1.0)))
+       * floor(abs(CAST(vocab AS DOUBLE)
+                   + CAST(f1 AS DOUBLE) * (CAST(f1 AS DOUBLE) - 1.0)
+                     / (2.0 * (CAST(f2 AS DOUBLE) + 1.0))) * 10000.0 + 0.5)
+         / 10000.0 AS chao1_richness,
+       sign(CAST(f1 AS DOUBLE) / CAST(n_bigrams AS DOUBLE))
+       * floor(abs(CAST(f1 AS DOUBLE) / CAST(n_bigrams AS DOUBLE))
+              * 1000000.0 + 0.5) / 1000000.0 AS gt_unseen_mass,
+       sign(1.0 - CAST(f1 AS DOUBLE) / CAST(n_bigrams AS DOUBLE))
+       * floor(abs(1.0 - CAST(f1 AS DOUBLE) / CAST(n_bigrams AS DOUBLE))
+              * 1000000.0 + 0.5) / 1000000.0 AS gt_coverage
+FROM per
+ORDER BY source
+"""
+
+
 QUERIES = {
+    "chao1_vocab_richness": chao1_vocab_richness,
     "pmi_collocations": pmi_collocations,
     "text_readability_scores": text_readability_scores,
     "doc_repetition_stats": doc_repetition_stats,
@@ -4998,6 +5102,7 @@ if _HAVE_PIL:
     QUERIES["jpeg_decode_stats_fast"] = jpeg_decode_stats_fast
 
 ORACLE = {
+    "chao1_vocab_richness": ORACLE_CHAO1_VOCAB_RICHNESS,
     "pmi_collocations": ORACLE_PMI_COLLOCATIONS,
     "text_readability_scores": ORACLE_TEXT_READABILITY_SCORES,
     "doc_repetition_stats": ORACLE_DOC_REPETITION_STATS,

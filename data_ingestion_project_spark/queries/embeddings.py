@@ -1451,7 +1451,192 @@ LIMIT 10
 ORACLE_DECISION_STUMP_SPLITS = _oracle_decision_stump_splits()
 
 
+def simplified_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified (centroid-based) silhouette of the embedding space
+    under the SAME md5-deterministic 16-centroid assignment as
+    embedding_davies_bouldin — the per-POINT quality view the DB index
+    (a per-CLUSTER summary) cannot give: s = (b − a)/max(a, b) with
+    a = distance to own centroid, b = distance to the nearest OTHER
+    centroid, so negative-s points are sitting closer to a foreign
+    cluster than their own (misassigned census). Linear-time by
+    construction — the O(n²) full silhouette replaced by the
+    centroid-based form every large-scale evaluator (sklearn's
+    simplified variant, Spark MLlib's ClusteringEvaluator) actually
+    ships.
+
+    Plan: the one corpus pass quantizes coordinates to 1e-4 integer
+    units and folds 16×64 integer (n, Σq) cells (the davies_bouldin /
+    pca.py posture); per-point distances to all 16 centroids then need
+    NO join-explosion — a broadcast of 16 centroid rows (Σq packed as
+    a dim-ordered array) and one zip_with/aggregate expression per
+    (point, centroid) pair computes the EXACT cross-multiplied integer
+    numerator Σ_d (q_d·n_j − Σq_{j,d})², so dist = √num/(n_j·Q) is a
+    value-determined double. Per-point silhouettes re-quantize to 1e-9
+    integers before the per-cluster fold (no order-dependent double
+    accumulation). n×16 intermediate rows, one groupBy per point, a
+    16-row final frame.
+
+    Exactness: decimal(38,0) squares (q·n wraps int64 past ~3e5-member
+    clusters); min/max over 16 value-determined doubles is exact; the
+    max(a,b)=0 degenerate (a point equal to both centroids) maps to
+    s=0 identically in both engines."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "embeddings")
+    corpus = e.filter(F.col("vec_id") != QUERY_VEC_ID).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    cents = (
+        corpus.withColumn("__h", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("__h", "vec_id")
+        .limit(_DB_CENTS)
+        .select(F.col("vec_id").alias("cent_id"), F.col("v").alias("c"))
+    )
+    assigned = corpus.crossJoin(F.broadcast(cents)).withColumn(
+        "cos", cosine_similarity("v", "c")
+    )
+    wv = Window.partitionBy("vec_id").orderBy(
+        F.col("cos").desc(), F.col("cent_id").asc()
+    )
+    inv = (
+        assigned.withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            F.col("cent_id").alias("own"),
+            F.transform("v", lambda x: (x * F.lit(float(_DB_Q))).cast("long")).alias(
+                "q"
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+    cells = (
+        inv.select("own", F.posexplode("q").alias("dim", "qd"))
+        .groupBy("own", "dim")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("qd").alias("sq"))
+    )
+    crows = cells.groupBy(F.col("own").alias("cent_j")).agg(
+        F.max("n").alias("n_j"),
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("dim", "sq"))), lambda s: s["sq"]
+        ).alias("sq_arr"),
+    )
+    _d38 = "decimal(38,0)"
+    num = F.aggregate(
+        F.zip_with("q", "sq_arr", lambda qd, sqd: qd * F.col("n_j") - sqd),
+        F.lit(0).cast(_d38),
+        lambda acc, diff: acc + diff.cast(_d38) * diff.cast(_d38),
+    )
+    dists = inv.crossJoin(F.broadcast(crows)).select(
+        "vec_id",
+        "own",
+        "cent_j",
+        (
+            F.sqrt(num.cast("double"))
+            / F.col("n_j").cast("double")
+            / F.lit(float(_DB_Q))
+        ).alias("dist"),
+    )
+    per_point = dists.groupBy("vec_id", "own").agg(
+        F.max(F.when(F.col("cent_j") == F.col("own"), F.col("dist"))).alias("da"),
+        F.min(F.when(F.col("cent_j") != F.col("own"), F.col("dist"))).alias("db"),
+    )
+    s = F.when(
+        F.greatest("da", "db") > 0,
+        (F.col("db") - F.col("da")) / F.greatest("da", "db"),
+    ).otherwise(F.lit(0.0))
+    pts = per_point.select(
+        "own", (s * F.lit(1.0e9)).cast("long").alias("s_q")
+    ).localCheckpoint(eager=True)
+    tot = pts.agg(
+        (
+            F.sum(F.col("s_q").cast(_d38)).cast("double")
+            / F.count(F.lit(1)).cast("double")
+            / F.lit(1.0e9)
+        ).alias("g")
+    )
+    return (
+        pts.groupBy("own")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            (
+                F.sum(F.col("s_q").cast(_d38)).cast("double")
+                / F.count(F.lit(1)).cast("double")
+                / F.lit(1.0e9)
+            ).alias("ms"),
+            F.sum(F.when(F.col("s_q") < 0, 1).otherwise(0)).alias("n_neg"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("own").alias("cent_id"),
+            F.col("n_members").cast("long").alias("n_members"),
+            floor_round(F.col("ms"), 6).alias("mean_silhouette"),
+            F.col("n_neg").cast("long").alias("n_misassigned"),
+            floor_round(F.col("g"), 6).alias("global_silhouette"),
+        )
+        .orderBy("cent_id")
+    )
+
+
+ORACLE_SIMPLIFIED_SILHOUETTE = f"""
+WITH corpus AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  WHERE vec_id <> {QUERY_VEC_ID}
+), cents AS (
+  SELECT vec_id AS cent_id, v AS c
+  FROM corpus ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {_DB_CENTS}
+), assigned AS (
+  SELECT vec_id, v, cent_id,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+           ORDER BY list_cosine_similarity(v, c) DESC, cent_id ASC) AS rn
+  FROM corpus CROSS JOIN cents
+), inv AS (
+  SELECT vec_id, v, cent_id AS own FROM assigned WHERE rn = 1
+), qpt AS (
+  SELECT vec_id, own, g.dim AS dim,
+         CAST(trunc(v[g.dim] * {_DB_Q}.0) AS BIGINT) AS q
+  FROM inv CROSS JOIN generate_series(1, 64) g(dim)
+), cells AS (
+  SELECT own AS cent_j, dim, COUNT(*) AS n, SUM(q) AS sq
+  FROM qpt GROUP BY 1, 2
+), dists AS (
+  SELECT p.vec_id, p.own, c.cent_j,
+         sqrt(CAST(SUM((CAST(p.q AS HUGEINT) * c.n - c.sq)
+                       * (CAST(p.q AS HUGEINT) * c.n - c.sq)) AS DOUBLE))
+           / CAST(MAX(c.n) AS DOUBLE) / {_DB_Q}.0 AS dist
+  FROM qpt p JOIN cells c ON c.dim = p.dim
+  GROUP BY 1, 2, 3
+), per_point AS (
+  SELECT vec_id, own,
+         MAX(CASE WHEN cent_j = own THEN dist END) AS da,
+         MIN(CASE WHEN cent_j <> own THEN dist END) AS db
+  FROM dists GROUP BY 1, 2
+), pts AS (
+  SELECT own,
+         CAST(trunc(CASE WHEN greatest(da, db) > 0
+                         THEN (db - da) / greatest(da, db) ELSE 0.0 END * 1e9)
+              AS BIGINT) AS s_q
+  FROM per_point
+), tot AS (
+  SELECT CAST(SUM(CAST(s_q AS HUGEINT)) AS DOUBLE) / COUNT(*) / 1e9 AS g
+  FROM pts
+)
+SELECT own AS cent_id,
+       COUNT(*) AS n_members,
+       sign(CAST(SUM(CAST(s_q AS HUGEINT)) AS DOUBLE) / COUNT(*) / 1e9)
+       * floor(abs(CAST(SUM(CAST(s_q AS HUGEINT)) AS DOUBLE) / COUNT(*) / 1e9)
+              * 1000000.0 + 0.5) / 1000000.0 AS mean_silhouette,
+       CAST(SUM(CASE WHEN s_q < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_misassigned,
+       sign(tot.g) * floor(abs(tot.g) * 1000000.0 + 0.5) / 1000000.0
+         AS global_silhouette
+FROM pts CROSS JOIN tot
+GROUP BY own, tot.g
+ORDER BY cent_id
+"""
+
+
 QUERIES = {
+    "simplified_silhouette": simplified_silhouette,
     "decision_stump_splits": decision_stump_splits,
     "embedding_davies_bouldin": embedding_davies_bouldin,
     "knn_brute_force": knn_brute_force,
@@ -1475,6 +1660,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "simplified_silhouette": ORACLE_SIMPLIFIED_SILHOUETTE,
     "decision_stump_splits": ORACLE_DECISION_STUMP_SPLITS,
     "embedding_davies_bouldin": ORACLE_EMBEDDING_DAVIES_BOULDIN,
     "knn_brute_force": ORACLE_KNN_BRUTE_FORCE,

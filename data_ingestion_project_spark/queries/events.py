@@ -1666,6 +1666,437 @@ FROM gg
 """
 
 
+def peak_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line interval concurrency: the top-10 days by PEAK number
+    of simultaneously-open sessions — the capacity-planning census
+    (how many live sessions must the serving tier hold at once?) that
+    per-day session COUNTS cannot answer, because counts ignore
+    overlap.
+
+    Algorithm: classic boundary sweep. Each 30-min-gap session
+    (operators/sessionize, the user_sessions intervals) emits +1 at
+    its start and −1 at its end; concurrency at any instant is the
+    prefix sum of boundaries at-or-before it (ties: starts before
+    ends, so touching sessions count as concurrent). The global
+    prefix is split two-level so no unpartitioned window ever sees a
+    corpus-sized frame (the acctbal_deciles_scalable posture):
+    per-day net sums fold into day OFFSETS on the calendar-bounded
+    day frame (a calendar² broadcast-side join — ≤2.4k² cells at any
+    corpus size), and the within-day running sum is a window
+    PARTITIONED by day. Peak(day) = offset(day) + max running sum.
+
+    Exactness: every quantity is an exact integer (boundary deltas,
+    prefix sums, maxima); tie order within equal (ts, delta) groups
+    cannot change the running-sum sequence, so the max is
+    deterministic. Peak ties in the top-10 break by day ascending."""
+    e = table(spark, sf_dir, "events")
+    sess = sessionize(
+        e, key="user_id", ts="ts", gap_seconds=1800, order_tiebreak="event_id"
+    )
+    iv = sess.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("s_start"), F.max("ts").alias("s_end")
+    )
+    bounds = iv.select(
+        F.col("s_start").alias("ts"), F.lit(1).alias("delta")
+    ).unionByName(iv.select(F.col("s_end").alias("ts"), F.lit(-1).alias("delta")))
+    bounds = bounds.withColumn("d", F.to_date("ts"))
+    # level 1: calendar-bounded per-day frame (net flow + starts)
+    day_net = (
+        bounds.groupBy("d")
+        .agg(
+            F.sum("delta").alias("net"),
+            F.sum(F.when(F.col("delta") == 1, 1).otherwise(0)).alias(
+                "n_sessions_started"
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+    prior = day_net.select(F.col("d").alias("d2"), F.col("net").alias("net2"))
+    offsets = (
+        day_net.join(F.broadcast(prior), F.col("d2") < F.col("d"), "left")
+        .groupBy("d", "n_sessions_started")
+        .agg(F.coalesce(F.sum("net2"), F.lit(0)).alias("carry"))
+    )
+    # level 2: within-day running sum, window PARTITIONED by day
+    w = (
+        Window.partitionBy("d")
+        .orderBy(F.col("ts").asc(), F.col("delta").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    peaks = (
+        bounds.withColumn("run", F.sum("delta").over(w))
+        .groupBy("d")
+        .agg(F.max("run").alias("peak_in_day"))
+    )
+    return (
+        peaks.join(offsets, "d")
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("d"),
+            (F.col("carry") + F.col("peak_in_day")).cast("long").alias(
+                "peak_concurrent"
+            ),
+            F.col("n_sessions_started").cast("long").alias("n_sessions_started"),
+        )
+        .orderBy(F.col("peak_concurrent").desc(), F.col("d").asc())
+        .limit(10)
+    )
+
+
+ORACLE_PEAK_CONCURRENT_SESSIONS = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(LAG(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+), numbered AS (
+  SELECT user_id, ts,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_id
+  FROM flagged
+), iv AS (
+  SELECT user_id, session_id, MIN(ts) AS s_start, MAX(ts) AS s_end
+  FROM numbered GROUP BY 1, 2
+), bounds AS (
+  SELECT s_start AS ts, 1 AS delta FROM iv
+  UNION ALL
+  SELECT s_end AS ts, -1 AS delta FROM iv
+), day_net AS (
+  SELECT CAST(ts AS DATE) AS d, SUM(delta) AS net,
+         SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS n_sessions_started
+  FROM bounds GROUP BY 1
+), offsets AS (
+  SELECT a.d, a.n_sessions_started,
+         COALESCE(SUM(b.net), 0) AS carry
+  FROM day_net a LEFT JOIN day_net b ON b.d < a.d
+  GROUP BY 1, 2
+), peaks AS (
+  SELECT d, MAX(run) AS peak_in_day
+  FROM (
+    SELECT CAST(ts AS DATE) AS d,
+           SUM(delta) OVER (PARTITION BY CAST(ts AS DATE)
+                            ORDER BY ts ASC, delta DESC
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS run
+    FROM bounds
+  ) GROUP BY 1
+)
+SELECT strftime(p.d, '%Y-%m-%d') AS d,
+       CAST(o.carry + p.peak_in_day AS BIGINT) AS peak_concurrent,
+       CAST(o.n_sessions_started AS BIGINT) AS n_sessions_started
+FROM peaks p JOIN offsets o ON o.d = p.d
+ORDER BY peak_concurrent DESC, d ASC
+LIMIT 10
+"""
+
+
+def cuped_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced A/B analysis (Deng et al., WSDM'13 —
+    the industry-standard experimentation estimator): users are
+    deterministically assigned to variants (user_id parity), the
+    experiment metric Y is each user's total event value in the POST
+    period (second half of the calendar), and the pre-experiment
+    covariate X is their total value in the PRE period. The adjusted
+    metric Ycv = Y − θ·(X − mean(X)) with θ = cov(X,Y)/var(X) keeps
+    the same expectation per variant but strips the variance X
+    explains — the difference-in-means test gets tighter confidence
+    for free, using only data from BEFORE the experiment.
+
+    Plan: two partial-agg shuffles over events (per-user pre / post
+    totals in exact micro-units), one user-grain join, then every
+    statistic (θ, means, variances, variance-reduction ratio) derives
+    from ≤10 pooled moment cells — corpus-size-independent after the
+    user grain. Exactness: X/Y fold as exact integers; cross moments
+    cast to DECIMAL(38,0) factor-first; θ and the adjusted means are
+    value-determined double expressions; per-user Ycv is re-quantized
+    to integer micro-units before the variant sums so no
+    order-dependent double accumulation exists anywhere."""
+    e = table(spark, sf_dir, "events")
+    span = e.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    ev = e.crossJoin(F.broadcast(span)).withColumn(
+        "split_d", F.expr("date_add(d0, CAST(datediff(d1, d0) / 2 AS INT))")
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.to_date("ts") < F.col("split_d"), to_micro(F.col("value")))
+            .otherwise(F.lit(0))
+        ).alias("x"),
+        F.sum(
+            F.when(F.to_date("ts") >= F.col("split_d"), to_micro(F.col("value")))
+            .otherwise(F.lit(0))
+        ).alias("y"),
+    )
+    per_user = per_user.withColumn(
+        "variant", F.when(F.col("user_id") % 2 == 0, "A").otherwise("B")
+    ).localCheckpoint(eager=True)
+    _d38 = "decimal(38,0)"
+    pooled = per_user.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast(_d38)).alias("sx"),
+        F.sum(F.col("y").cast(_d38)).alias("sy"),
+        F.sum(F.col("x").cast(_d38) * F.col("y").cast(_d38)).alias("sxy"),
+        F.sum(F.col("x").cast(_d38) * F.col("x").cast(_d38)).alias("sxx"),
+        F.sum(F.col("y").cast(_d38) * F.col("y").cast(_d38)).alias("syy"),
+    )
+    theta = (
+        F.col("n").cast(_d38) * F.col("sxy") - F.col("sx") * F.col("sy")
+    ).cast("double") / (
+        F.col("n").cast(_d38) * F.col("sxx") - F.col("sx") * F.col("sx")
+    ).cast("double")
+    mean_x = F.col("sx").cast("double") / F.col("n").cast("double")
+    pooled = pooled.select(
+        "n", "sx", "sy", "sxx", "syy", "sxy",
+        theta.alias("theta"),
+        mean_x.alias("mean_x"),
+    )
+    adj = per_user.crossJoin(F.broadcast(pooled)).withColumn(
+        "yc",
+        (
+            F.col("y").cast("double")
+            - F.col("theta") * (F.col("x").cast("double") - F.col("mean_x"))
+        ).cast("long"),
+    )
+    by_var = adj.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.col("y").cast(_d38)).alias("vy"),
+        F.sum(F.col("yc").cast(_d38)).alias("vyc"),
+    )
+    a = by_var.filter(F.col("variant") == "A").select(
+        F.col("n_users").alias("n_a"), F.col("vy").alias("ya"), F.col("vyc").alias("yca")
+    )
+    b = by_var.filter(F.col("variant") == "B").select(
+        F.col("n_users").alias("n_b"), F.col("vy").alias("yb"), F.col("vyc").alias("ycb")
+    )
+    # pooled variance of yc from its exact integer moments (variance
+    # reduction = 1 - var(Yc)/var(Y), the headline CUPED win)
+    mom_c = adj.agg(
+        F.sum(F.col("yc").cast(_d38)).alias("sc"),
+        F.sum(F.col("yc").cast(_d38) * F.col("yc").cast(_d38)).alias("scc"),
+    )
+    _m = 1.0e6
+    mean = lambda s, n: s.cast("double") / n.cast("double") / F.lit(_m)  # noqa: E731
+    out = (
+        a.crossJoin(b).crossJoin(F.broadcast(pooled)).crossJoin(F.broadcast(mom_c))
+    )
+    var_y = (
+        F.col("n").cast(_d38) * F.col("syy") - F.col("sy") * F.col("sy")
+    ).cast("double")
+    var_yc = (
+        F.col("n").cast(_d38) * F.col("scc") - F.col("sc") * F.col("sc")
+    ).cast("double")
+    return out.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        floor_round(mean(F.col("ya"), F.col("n_a")), 6).alias("mean_y_a"),
+        floor_round(mean(F.col("yb"), F.col("n_b")), 6).alias("mean_y_b"),
+        floor_round(
+            mean(F.col("ya"), F.col("n_a")) - mean(F.col("yb"), F.col("n_b")), 6
+        ).alias("diff_raw"),
+        floor_round(
+            mean(F.col("yca"), F.col("n_a")) - mean(F.col("ycb"), F.col("n_b")), 6
+        ).alias("diff_cuped"),
+        floor_round(F.col("theta"), 6).alias("theta"),
+        floor_round((F.lit(1.0) - var_yc / var_y) * F.lit(100.0), 4).alias(
+            "var_reduction_pct"
+        ),
+    )
+
+
+ORACLE_CUPED_AB_TEST = """
+WITH span AS (
+  SELECT MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1 FROM events
+), per_user AS (
+  SELECT user_id,
+         SUM(CASE WHEN CAST(ts AS DATE) < d0 + CAST(datediff('day', d0, d1) / 2 AS INT)
+                  THEN CAST(trunc(value * 1000000) AS BIGINT) ELSE 0 END) AS x,
+         SUM(CASE WHEN CAST(ts AS DATE) >= d0 + CAST(datediff('day', d0, d1) / 2 AS INT)
+                  THEN CAST(trunc(value * 1000000) AS BIGINT) ELSE 0 END) AS y
+  FROM events CROSS JOIN span
+  GROUP BY 1
+), tagged AS (
+  SELECT *, CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant
+  FROM per_user
+), pooled AS (
+  SELECT COUNT(*) AS n,
+         SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+         SUM(CAST(x AS HUGEINT) * y) AS sxy,
+         SUM(CAST(x AS HUGEINT) * x) AS sxx,
+         SUM(CAST(y AS HUGEINT) * y) AS syy
+  FROM tagged
+), th AS (
+  SELECT n, sx, sy, sxx, syy, sxy,
+         CAST(n * sxy - sx * sy AS DOUBLE)
+           / CAST(n * sxx - sx * sx AS DOUBLE) AS theta,
+         CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean_x
+  FROM pooled
+), adj AS (
+  SELECT t.variant, t.y,
+         -- trunc BEFORE the BIGINT cast: DuckDB's double->BIGINT cast
+         -- rounds where Spark's cast("long") truncates toward zero
+         CAST(trunc(CAST(t.y AS DOUBLE)
+                    - th.theta * (CAST(t.x AS DOUBLE) - th.mean_x)) AS BIGINT) AS yc
+  FROM tagged t CROSS JOIN th
+), by_var AS (
+  SELECT variant, COUNT(*) AS n_users,
+         SUM(CAST(y AS HUGEINT)) AS vy, SUM(CAST(yc AS HUGEINT)) AS vyc
+  FROM adj GROUP BY 1
+), mom_c AS (
+  SELECT SUM(CAST(yc AS HUGEINT)) AS sc,
+         SUM(CAST(yc AS HUGEINT) * yc) AS scc
+  FROM adj
+), wide AS (
+  SELECT a.n_users AS n_a, b.n_users AS n_b,
+         a.vy AS ya, b.vy AS yb, a.vyc AS yca, b.vyc AS ycb
+  FROM (SELECT * FROM by_var WHERE variant = 'A') a
+  CROSS JOIN (SELECT * FROM by_var WHERE variant = 'B') b
+)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       sign(CAST(ya AS DOUBLE) / n_a / 1e6)
+         * floor(abs(CAST(ya AS DOUBLE) / n_a / 1e6) * 1000000.0 + 0.5)
+         / 1000000.0 AS mean_y_a,
+       sign(CAST(yb AS DOUBLE) / n_b / 1e6)
+         * floor(abs(CAST(yb AS DOUBLE) / n_b / 1e6) * 1000000.0 + 0.5)
+         / 1000000.0 AS mean_y_b,
+       sign(CAST(ya AS DOUBLE) / n_a / 1e6 - CAST(yb AS DOUBLE) / n_b / 1e6)
+         * floor(abs(CAST(ya AS DOUBLE) / n_a / 1e6
+                     - CAST(yb AS DOUBLE) / n_b / 1e6) * 1000000.0 + 0.5)
+         / 1000000.0 AS diff_raw,
+       sign(CAST(yca AS DOUBLE) / n_a / 1e6 - CAST(ycb AS DOUBLE) / n_b / 1e6)
+         * floor(abs(CAST(yca AS DOUBLE) / n_a / 1e6
+                     - CAST(ycb AS DOUBLE) / n_b / 1e6) * 1000000.0 + 0.5)
+         / 1000000.0 AS diff_cuped,
+       sign(th.theta) * floor(abs(th.theta) * 1000000.0 + 0.5) / 1000000.0
+         AS theta,
+       sign((1.0 - CAST(th.n * mc.scc - mc.sc * mc.sc AS DOUBLE)
+                   / CAST(th.n * th.syy - th.sy * th.sy AS DOUBLE)) * 100.0)
+         * floor(abs((1.0 - CAST(th.n * mc.scc - mc.sc * mc.sc AS DOUBLE)
+                            / CAST(th.n * th.syy - th.sy * th.sy AS DOUBLE))
+                     * 100.0) * 10000.0 + 0.5) / 10000.0 AS var_reduction_pct
+FROM wide CROSS JOIN th CROSS JOIN mom_c mc
+"""
+
+
+def crosscorr_leadlag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead–lag cross-correlation between the daily PURCHASE and CLICK
+    count series at lags −7..+7 days: does click volume LEAD purchase
+    volume (positive-lag peak), and by how many days?  The
+    signal-alignment census behind attribution windows and marketing
+    mix models — residual_autocorr answers "does a series predict
+    itself"; this answers "which series predicts the other".
+
+    Plan: ONE events pass to the calendar-bounded per-day count frame
+    (gapfilled to the full min..max calendar via a broadcast sequence
+    explode, so missing days count 0 instead of silently shrinking a
+    lag's overlap); the 15 lags explode from a literal array and join
+    day-to-shifted-day — every post-scan frame is calendar- or
+    lag-bounded. Exactness: counts are exact integers; per-lag Pearson
+    moments fold in DECIMAL(38,0) factor-first; the one
+    correlation expression per lag is value-determined IEEE."""
+    e = table(spark, sf_dir, "events")
+    daily = (
+        e.filter(F.col("event_type").isin("purchase", "click"))
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+                "p_raw"
+            ),
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias(
+                "c_raw"
+            ),
+        )
+    )
+    span = daily.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    cal = span.select(
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("d")
+    )
+    filled = (
+        cal.join(daily, "d", "left")
+        .select(
+            "d",
+            F.coalesce("p_raw", F.lit(0)).alias("p"),
+            F.coalesce("c_raw", F.lit(0)).alias("c"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    lags = spark.range(-7, 8).select(F.col("id").cast("int").alias("lag"))
+    a = filled.crossJoin(F.broadcast(lags)).withColumn(
+        "d_c", F.expr("date_add(d, lag)")
+    )
+    b = filled.select(F.col("d").alias("d_c"), F.col("c").alias("c_l"))
+    _d38 = "decimal(38,0)"
+    m = (
+        a.join(b, "d_c")
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.sum(F.col("p").cast(_d38)).alias("sp"),
+            F.sum(F.col("c_l").cast(_d38)).alias("sc"),
+            F.sum(F.col("p").cast(_d38) * F.col("c_l").cast(_d38)).alias("spc"),
+            F.sum(F.col("p").cast(_d38) * F.col("p").cast(_d38)).alias("spp"),
+            F.sum(F.col("c_l").cast(_d38) * F.col("c_l").cast(_d38)).alias("scc"),
+        )
+    )
+    num = (F.col("n_days").cast(_d38) * F.col("spc") - F.col("sp") * F.col("sc")).cast(
+        "double"
+    )
+    den = F.sqrt(
+        (F.col("n_days").cast(_d38) * F.col("spp") - F.col("sp") * F.col("sp")).cast(
+            "double"
+        )
+        * (F.col("n_days").cast(_d38) * F.col("scc") - F.col("sc") * F.col("sc")).cast(
+            "double"
+        )
+    )
+    return m.select(
+        F.col("lag").cast("long").alias("lag"),
+        F.col("n_days").cast("long").alias("n_days"),
+        floor_round(num / den, 6).alias("xcorr"),
+    ).orderBy("lag")
+
+
+ORACLE_CROSSCORR_LEADLAG = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p_raw,
+         SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c_raw
+  FROM events WHERE event_type IN ('purchase', 'click')
+  GROUP BY 1
+), span AS (SELECT MIN(d) AS d0, MAX(d) AS d1 FROM daily),
+cal AS (
+  SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS d
+  FROM span
+), filled AS (
+  SELECT cal.d, COALESCE(daily.p_raw, 0) AS p, COALESCE(daily.c_raw, 0) AS c
+  FROM cal LEFT JOIN daily ON daily.d = cal.d
+), lags AS (SELECT unnest(generate_series(-7, 7)) AS lag),
+m AS (
+  SELECT l.lag, COUNT(*) AS n_days,
+         SUM(CAST(a.p AS HUGEINT)) AS sp,
+         SUM(CAST(b.c AS HUGEINT)) AS sc,
+         SUM(CAST(a.p AS HUGEINT) * b.c) AS spc,
+         SUM(CAST(a.p AS HUGEINT) * a.p) AS spp,
+         SUM(CAST(b.c AS HUGEINT) * b.c) AS scc
+  FROM filled a CROSS JOIN lags l
+  JOIN filled b ON b.d = a.d + CAST(l.lag AS INT)
+  GROUP BY 1
+)
+SELECT CAST(lag AS BIGINT) AS lag, CAST(n_days AS BIGINT) AS n_days,
+       sign(CAST(n_days * spc - sp * sc AS DOUBLE)
+            / sqrt(CAST(n_days * spp - sp * sp AS DOUBLE)
+                   * CAST(n_days * scc - sc * sc AS DOUBLE)))
+       * floor(abs(CAST(n_days * spc - sp * sc AS DOUBLE)
+                   / sqrt(CAST(n_days * spp - sp * sp AS DOUBLE)
+                          * CAST(n_days * scc - sc * sc AS DOUBLE)))
+              * 1000000.0 + 0.5) / 1000000.0 AS xcorr
+FROM m
+ORDER BY lag
+"""
+
+
 QUERIES = {
     "cohort_ltv_curve": cohort_ltv_curve,
     "dau_wau_mau_stickiness": dau_wau_mau_stickiness,
@@ -1693,6 +2124,9 @@ QUERIES = {
     "event_value_by_type_salted": event_value_by_type_salted,
     "user_scd2_summary": user_scd2_summary,
     "dp_event_counts": dp_event_counts,
+    "peak_concurrent_sessions": peak_concurrent_sessions,
+    "cuped_ab_test": cuped_ab_test,
+    "crosscorr_leadlag": crosscorr_leadlag,
 }
 
 ORACLE = {
@@ -1722,4 +2156,7 @@ ORACLE = {
     "entropy_rate_markov": _oracle_entropy_rate_markov(),
     "user_scd2_summary": ORACLE_USER_SCD2_SUMMARY,
     "dp_event_counts": ORACLE_DP_EVENT_COUNTS,
+    "peak_concurrent_sessions": ORACLE_PEAK_CONCURRENT_SESSIONS,
+    "cuped_ab_test": ORACLE_CUPED_AB_TEST,
+    "crosscorr_leadlag": ORACLE_CROSSCORR_LEADLAG,
 }

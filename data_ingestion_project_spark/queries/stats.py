@@ -2646,6 +2646,282 @@ FROM counts CROSS JOIN top
 """
 
 
+def ols_multivariate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple linear regression price ~ quantity + discount by the
+    NORMAL EQUATIONS, solved in closed form with Cramer's rule — the
+    multivariate extension of regr_price_quantity (which fits one
+    regressor): does discount carry price signal once quantity is
+    controlled for?  The moments-then-solve shape is THE distributed
+    regression design (Spark MLlib's own normal-equation solver): the
+    corpus contributes only a fixed set of sufficient statistics, and
+    the solve happens on that tiny frame.
+
+    Plan: ONE lineitem pass folds the 10 moment cells (n, Σx₁, Σx₂,
+    Σy, Σx₁², Σx₂², Σx₁x₂, Σx₁y, Σx₂y, Σy²) as exact integers
+    (prices in cents, discounts in integer percent; products cast to
+    DECIMAL(38,0) factor-first); the 3×3 Cramer determinants and R²
+    are value-determined double expressions over those exact sums —
+    written term-for-term identically in the oracle, so the fit is
+    bit-reproducible. Nothing after the one shuffle depends on corpus
+    size."""
+    l = table(spark, sf_dir, "lineitem")
+    _d38 = "decimal(38,0)"
+    base = l.select(
+        F.col("l_quantity").cast("long").alias("x1"),
+        F.round(F.col("l_discount") * 100, 0).cast("long").alias("x2"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("y"),
+    )
+
+    def _c(c):
+        return F.col(c).cast(_d38)
+
+    m = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_c("x1")).alias("s1"),
+        F.sum(_c("x2")).alias("s2"),
+        F.sum(_c("y")).alias("sy"),
+        F.sum(_c("x1") * _c("x1")).alias("s11"),
+        F.sum(_c("x2") * _c("x2")).alias("s22"),
+        F.sum(_c("x1") * _c("x2")).alias("s12"),
+        F.sum(_c("x1") * _c("y")).alias("s1y"),
+        F.sum(_c("x2") * _c("y")).alias("s2y"),
+        F.sum(_c("y") * _c("y")).alias("syy"),
+    )
+    # every symbol below is the exact integer moment cast ONCE to
+    # double; the determinant expansions are then fixed-shape IEEE
+    # expressions (same operation tree both engines => bit-equal)
+    d = {
+        k: F.col(k).cast("double")
+        for k in ("n", "s1", "s2", "sy", "s11", "s22", "s12", "s1y", "s2y", "syy")
+    }
+
+    def det3(a1, a2, a3, b1, b2, b3, c1, c2, c3):
+        return (
+            a1 * (b2 * c3 - b3 * c2)
+            - a2 * (b1 * c3 - b3 * c1)
+            + a3 * (b1 * c2 - b2 * c1)
+        )
+
+    dd = det3(d["n"], d["s1"], d["s2"], d["s1"], d["s11"], d["s12"], d["s2"], d["s12"], d["s22"])
+    d0 = det3(d["sy"], d["s1"], d["s2"], d["s1y"], d["s11"], d["s12"], d["s2y"], d["s12"], d["s22"])
+    d1 = det3(d["n"], d["sy"], d["s2"], d["s1"], d["s1y"], d["s12"], d["s2"], d["s2y"], d["s22"])
+    d2 = det3(d["n"], d["s1"], d["sy"], d["s1"], d["s11"], d["s1y"], d["s2"], d["s12"], d["s2y"])
+    b0, b1, b2 = d0 / dd, d1 / dd, d2 / dd
+    sse = d["syy"] - b0 * d["sy"] - b1 * d["s1y"] - b2 * d["s2y"]
+    sst = d["syy"] - d["sy"] * d["sy"] / d["n"]
+    return m.select(
+        F.col("n").cast("long").alias("n"),
+        _floor_round(b0 / F.lit(100.0), 6).alias("intercept"),
+        _floor_round(b1 / F.lit(100.0), 6).alias("beta_quantity"),
+        _floor_round(b2 / F.lit(100.0), 6).alias("beta_discount_pct"),
+        _floor_round(F.lit(1.0) - sse / sst, 6).alias("r2"),
+    )
+
+
+def _sql_det3(a1, a2, a3, b1, b2, b3, c1, c2, c3) -> str:
+    return (
+        f"({a1} * ({b2} * {c3} - {b3} * {c2})"
+        f" - {a2} * ({b1} * {c3} - {b3} * {c1})"
+        f" + {a3} * ({b1} * {c2} - {b2} * {c1}))"
+    )
+
+
+def _oracle_ols_multivariate() -> str:
+    d = {k: f"CAST({k} AS DOUBLE)" for k in (
+        "n", "s1", "s2", "sy", "s11", "s22", "s12", "s1y", "s2y", "syy"
+    )}
+    dd = _sql_det3(d["n"], d["s1"], d["s2"], d["s1"], d["s11"], d["s12"], d["s2"], d["s12"], d["s22"])
+    d0 = _sql_det3(d["sy"], d["s1"], d["s2"], d["s1y"], d["s11"], d["s12"], d["s2y"], d["s12"], d["s22"])
+    d1 = _sql_det3(d["n"], d["sy"], d["s2"], d["s1"], d["s1y"], d["s12"], d["s2"], d["s2y"], d["s22"])
+    d2 = _sql_det3(d["n"], d["s1"], d["sy"], d["s1"], d["s11"], d["s1y"], d["s2"], d["s12"], d["s2y"])
+    b0, b1, b2 = f"({d0} / {dd})", f"({d1} / {dd})", f"({d2} / {dd})"
+    sse = f"({d['syy']} - {b0} * {d['sy']} - {b1} * {d['s1y']} - {b2} * {d['s2y']})"
+    sst = f"({d['syy']} - {d['sy']} * {d['sy']} / {d['n']})"
+
+    def rnd(expr, scale):
+        return (
+            f"sign({expr}) * floor(abs({expr}) * {10**scale}.0 + 0.5)"
+            f" / {10**scale}.0"
+        )
+
+    return f"""
+WITH base AS (
+  SELECT CAST(l_quantity AS BIGINT) AS x1,
+         CAST(round(l_discount * 100, 0) AS BIGINT) AS x2,
+         CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS y
+  FROM lineitem
+), m AS (
+  SELECT COUNT(*) AS n,
+         SUM(CAST(x1 AS HUGEINT)) AS s1, SUM(CAST(x2 AS HUGEINT)) AS s2,
+         SUM(CAST(y AS HUGEINT)) AS sy,
+         SUM(CAST(x1 AS HUGEINT) * x1) AS s11,
+         SUM(CAST(x2 AS HUGEINT) * x2) AS s22,
+         SUM(CAST(x1 AS HUGEINT) * x2) AS s12,
+         SUM(CAST(x1 AS HUGEINT) * y) AS s1y,
+         SUM(CAST(x2 AS HUGEINT) * y) AS s2y,
+         SUM(CAST(y AS HUGEINT) * y) AS syy
+  FROM base
+)
+SELECT CAST(n AS BIGINT) AS n,
+       {rnd(f"({b0} / 100.0)", 6)} AS intercept,
+       {rnd(f"({b1} / 100.0)", 6)} AS beta_quantity,
+       {rnd(f"({b2} / 100.0)", 6)} AS beta_discount_pct,
+       {rnd(f"(1.0 - {sse} / {sst})", 6)} AS r2
+FROM m
+"""
+
+
+ORACLE_OLS_MULTIVARIATE = _oracle_ols_multivariate()
+
+
+def cmh_stratified_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran–Mantel–Haenszel test of the discount→return association
+    STRATIFIED by brand — the formal companion to
+    simpson_paradox_audit: where the Simpson audit flags strata whose
+    trend reverses the pooled one, CMH answers the follow-up question
+    correctly (is there a common association after controlling for
+    the stratifier?), plus the Mantel–Haenszel pooled odds ratio the
+    naive collapsed 2×2 gets wrong whenever strata differ in mix.
+
+    Plan: ONE lineitem⋈part pass to per-brand 2×2 cells (exposure =
+    discount ≥ 5%, outcome = returned) — a brand-cardinality frame;
+    each stratum's expectation E_k, hypergeometric variance V_k and
+    MH numerator/denominator terms are per-stratum value-determined
+    doubles quantized to integer micro-units before the cross-stratum
+    fold (order-independent), with every cell product cast
+    DECIMAL(38,0) factor-first (an (a+b)(c+d) product wraps int64 at
+    ~3e9-row strata). The collapsed pooled OR is reported alongside
+    the MH OR — their gap IS the confounding."""
+    l = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    _d38 = "decimal(38,0)"
+    cells = (
+        l.join(p, l["l_partkey"] == p["p_partkey"])
+        .select(
+            "p_brand",
+            F.when(F.col("l_discount") >= 0.05, 1).otherwise(0).alias("exp"),
+            F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("ret"),
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.sum(F.expr("CASE WHEN exp = 1 AND ret = 1 THEN 1 ELSE 0 END")).alias("a"),
+            F.sum(F.expr("CASE WHEN exp = 1 AND ret = 0 THEN 1 ELSE 0 END")).alias("b"),
+            F.sum(F.expr("CASE WHEN exp = 0 AND ret = 1 THEN 1 ELSE 0 END")).alias("c"),
+            F.sum(F.expr("CASE WHEN exp = 0 AND ret = 0 THEN 1 ELSE 0 END")).alias("d"),
+        )
+    )
+
+    def _p(x, y):  # decimal cast-first product
+        return F.col(x).cast(_d38) * F.col(y).cast(_d38)
+
+    nk = (F.col("a") + F.col("b") + F.col("c") + F.col("d")).cast(_d38)
+    e_k = (
+        (F.col("a") + F.col("b")).cast(_d38) * (F.col("a") + F.col("c")).cast(_d38)
+    ).cast("double") / nk.cast("double")
+    v_k = (
+        (F.col("a") + F.col("b")).cast(_d38)
+        * (F.col("c") + F.col("d")).cast(_d38)
+    ).cast("double") * (
+        (F.col("a") + F.col("c")).cast(_d38)
+        * (F.col("b") + F.col("d")).cast(_d38)
+    ).cast("double") / (
+        nk.cast("double") * nk.cast("double") * (nk - 1).cast("double")
+    )
+    r_k = _p("a", "d").cast("double") / nk.cast("double")
+    s_k = _p("b", "c").cast("double") / nk.cast("double")
+    per = cells.select(
+        "a", "b", "c", "d",
+        _micro(e_k).alias("e_i"),
+        _micro(v_k).alias("v_i"),
+        _micro(r_k).alias("r_i"),
+        _micro(s_k).alias("s_i"),
+    )
+    g = per.agg(
+        F.count(F.lit(1)).alias("n_strata"),
+        F.sum("a").alias("sum_a"),
+        F.sum(F.col("a") + F.col("b") + F.col("c") + F.col("d")).alias("n_total"),
+        F.sum(F.col("e_i").cast(_d38)).alias("se"),
+        F.sum(F.col("v_i").cast(_d38)).alias("sv"),
+        F.sum(F.col("r_i").cast(_d38)).alias("sr"),
+        F.sum(F.col("s_i").cast(_d38)).alias("ss"),
+        # collapsed (confounded) 2x2 for contrast
+        F.sum(F.col("a").cast(_d38)).alias("ca"),
+        F.sum(F.col("b").cast(_d38)).alias("cb"),
+        F.sum(F.col("c").cast(_d38)).alias("cc"),
+        F.sum(F.col("d").cast(_d38)).alias("cd"),
+    )
+    dev = F.col("sum_a").cast("double") - F.col("se").cast("double") / F.lit(float(_M))
+    chi2 = dev * dev / (F.col("sv").cast("double") / F.lit(float(_M)))
+    or_mh = F.col("sr").cast("double") / F.col("ss").cast("double")
+    or_pooled = (F.col("ca") * F.col("cd")).cast("double") / (
+        F.col("cb") * F.col("cc")
+    ).cast("double")
+    return g.select(
+        F.col("n_strata").cast("long").alias("n_strata"),
+        F.col("n_total").cast("long").alias("n_total"),
+        F.col("sum_a").cast("long").alias("sum_exposed_returned"),
+        _floor_round(chi2, 6).alias("chi2_cmh"),
+        _floor_round(or_mh, 6).alias("or_mantel_haenszel"),
+        _floor_round(or_pooled, 6).alias("or_pooled_naive"),
+    )
+
+
+ORACLE_CMH_STRATIFIED_TEST = """
+WITH cells AS (
+  SELECT p_brand,
+         SUM(CASE WHEN l_discount >= 0.05 AND l_returnflag = 'R' THEN 1 ELSE 0 END) AS a,
+         SUM(CASE WHEN l_discount >= 0.05 AND l_returnflag <> 'R' THEN 1 ELSE 0 END) AS b,
+         SUM(CASE WHEN l_discount < 0.05 AND l_returnflag = 'R' THEN 1 ELSE 0 END) AS c,
+         SUM(CASE WHEN l_discount < 0.05 AND l_returnflag <> 'R' THEN 1 ELSE 0 END) AS d
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY 1
+), per AS (
+  SELECT a, b, c, d,
+         CAST(trunc(CAST(CAST(a + b AS HUGEINT) * (a + c) AS DOUBLE)
+                    / CAST(CAST(a + b + c + d AS HUGEINT) AS DOUBLE)
+                    * 1000000) AS BIGINT) AS e_i,
+         CAST(trunc(CAST(CAST(a + b AS HUGEINT) * (c + d) AS DOUBLE)
+                    * CAST(CAST(a + c AS HUGEINT) * (b + d) AS DOUBLE)
+                    / (CAST(CAST(a + b + c + d AS HUGEINT) AS DOUBLE)
+                       * CAST(CAST(a + b + c + d AS HUGEINT) AS DOUBLE)
+                       * CAST(CAST(a + b + c + d AS HUGEINT) - 1 AS DOUBLE))
+                    * 1000000) AS BIGINT) AS v_i,
+         CAST(trunc(CAST(CAST(a AS HUGEINT) * d AS DOUBLE)
+                    / CAST(CAST(a + b + c + d AS HUGEINT) AS DOUBLE)
+                    * 1000000) AS BIGINT) AS r_i,
+         CAST(trunc(CAST(CAST(b AS HUGEINT) * c AS DOUBLE)
+                    / CAST(CAST(a + b + c + d AS HUGEINT) AS DOUBLE)
+                    * 1000000) AS BIGINT) AS s_i
+  FROM cells
+), g AS (
+  SELECT COUNT(*) AS n_strata, SUM(a) AS sum_a,
+         SUM(a + b + c + d) AS n_total,
+         SUM(CAST(e_i AS HUGEINT)) AS se, SUM(CAST(v_i AS HUGEINT)) AS sv,
+         SUM(CAST(r_i AS HUGEINT)) AS sr, SUM(CAST(s_i AS HUGEINT)) AS ss,
+         SUM(CAST(a AS HUGEINT)) AS ca, SUM(CAST(b AS HUGEINT)) AS cb,
+         SUM(CAST(c AS HUGEINT)) AS cc, SUM(CAST(d AS HUGEINT)) AS cd
+  FROM per
+)
+SELECT CAST(n_strata AS BIGINT) AS n_strata,
+       CAST(n_total AS BIGINT) AS n_total,
+       CAST(sum_a AS BIGINT) AS sum_exposed_returned,
+       sign((CAST(sum_a AS DOUBLE) - CAST(se AS DOUBLE) / 1000000.0)
+            * (CAST(sum_a AS DOUBLE) - CAST(se AS DOUBLE) / 1000000.0)
+            / (CAST(sv AS DOUBLE) / 1000000.0))
+       * floor(abs((CAST(sum_a AS DOUBLE) - CAST(se AS DOUBLE) / 1000000.0)
+                   * (CAST(sum_a AS DOUBLE) - CAST(se AS DOUBLE) / 1000000.0)
+                   / (CAST(sv AS DOUBLE) / 1000000.0)) * 1000000.0 + 0.5)
+         / 1000000.0 AS chi2_cmh,
+       sign(CAST(sr AS DOUBLE) / CAST(ss AS DOUBLE))
+       * floor(abs(CAST(sr AS DOUBLE) / CAST(ss AS DOUBLE)) * 1000000.0 + 0.5)
+         / 1000000.0 AS or_mantel_haenszel,
+       sign(CAST(ca * cd AS DOUBLE) / CAST(cb * cc AS DOUBLE))
+       * floor(abs(CAST(ca * cd AS DOUBLE) / CAST(cb * cc AS DOUBLE))
+              * 1000000.0 + 0.5) / 1000000.0 AS or_pooled_naive
+FROM g
+"""
+
+
 QUERIES = {
     "chisq_event_dow": chisq_event_dow,
     "spearman_price_quantity": spearman_price_quantity,
@@ -2669,6 +2945,8 @@ QUERIES = {
     "cusum_revenue_changepoint": cusum_revenue_changepoint,
     "revenue_drawdown": revenue_drawdown,
     "forecast_backtest": forecast_backtest,
+    "ols_multivariate": ols_multivariate,
+    "cmh_stratified_test": cmh_stratified_test,
 }
 
 ORACLE = {
@@ -2694,4 +2972,6 @@ ORACLE = {
     "cusum_revenue_changepoint": ORACLE_CUSUM_REVENUE_CHANGEPOINT,
     "revenue_drawdown": ORACLE_REVENUE_DRAWDOWN,
     "forecast_backtest": ORACLE_FORECAST_BACKTEST,
+    "ols_multivariate": ORACLE_OLS_MULTIVARIATE,
+    "cmh_stratified_test": ORACLE_CMH_STRATIFIED_TEST,
 }

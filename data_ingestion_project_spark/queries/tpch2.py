@@ -1050,7 +1050,178 @@ ORDER BY n_name
 """
 
 
+def apriori_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent BRAND TRIPLES in order baskets via the Apriori
+    algorithm (Agrawal & Srikant, VLDB'94) with full candidate
+    pruning — the 3-way extension of brand_basket_lift (pairs): which
+    brand triplets co-occur in the same order more than independence
+    predicts? Top-20 by support with 3-way lift.
+
+    The Apriori structure IS the scale story: a naive triple census
+    explodes every basket into C(k,3) combinations against the full
+    item domain³. Instead each level gates the next — frequent items
+    L1 (one shuffle) prune the baskets BEFORE the pair join; frequent
+    pairs L2 generate candidate triples C3 = join(L2, L2) on a shared
+    head, kept only when ALL THREE face pairs are in L2 (the Apriori
+    closure property); the corpus-sized triple count then runs only
+    against the broadcast C3 set. The support threshold is a FRACTION
+    (0.4% of baskets), so the gate tightens automatically as the
+    corpus grows; L1/L2/C3 are item-domain-bounded frames, broadcast
+    everywhere they join the fact side.
+
+    Exactness: supports are exact integers; minsup = ceil(0.004·n) is
+    exact integer arithmetic both engines; lift = sup·n²/(c_x·c_y·c_z)
+    has every product cast DECIMAL(38,0) factor-first (three 1e11
+    counts multiply past int64 and past exact-double at 100 TB), one
+    value-determined double division at the end."""
+    l = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    _d38 = "decimal(38,0)"
+    baskets = (
+        l.join(p, l["l_partkey"] == p["p_partkey"])
+        .select("l_orderkey", "p_brand")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nb = baskets.agg(
+        F.count_distinct("l_orderkey").alias("n_baskets"),
+        F.ceil(F.count_distinct("l_orderkey") * F.lit(0.004)).alias("minsup"),
+    )
+    l1 = (
+        baskets.groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("c1"))
+        .crossJoin(F.broadcast(nb))
+        .filter(F.col("c1") >= F.col("minsup"))
+        .select("p_brand", "c1")
+        .localCheckpoint(eager=True)
+    )
+    fitems = baskets.join(F.broadcast(l1.select("p_brand")), "p_brand", "left_semi")
+    a = fitems.select("l_orderkey", F.col("p_brand").alias("x"))
+    b = fitems.select("l_orderkey", F.col("p_brand").alias("y"))
+    l2 = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("c2"))
+        .crossJoin(F.broadcast(nb))
+        .filter(F.col("c2") >= F.col("minsup"))
+        .select("x", "y")
+        .localCheckpoint(eager=True)
+    )
+    # candidate generation: join L2 pairs sharing the head item, then
+    # the Apriori prune — the THIRD face pair (y, z) must be frequent
+    c3 = (
+        l2.alias("p1")
+        .join(
+            l2.alias("p2").select(F.col("x").alias("x2"), F.col("y").alias("z")),
+            F.col("x") == F.col("x2"),
+        )
+        .filter(F.col("y") < F.col("z"))
+        .select("x", "y", "z")
+        .join(
+            l2.select(F.col("x").alias("y"), F.col("y").alias("z")),
+            ["y", "z"],
+            "left_semi",
+        )
+    )
+    t = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("x") < F.col("y"))
+        .join(l2, ["x", "y"], "left_semi")
+        .join(fitems.select("l_orderkey", F.col("p_brand").alias("z")), "l_orderkey")
+        .filter(F.col("y") < F.col("z"))
+        .join(F.broadcast(c3), ["x", "y", "z"], "left_semi")
+        .groupBy("x", "y", "z")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .crossJoin(F.broadcast(nb))
+        .filter(F.col("support") >= F.col("minsup"))
+    )
+    cx = l1.select(F.col("p_brand").alias("x"), F.col("c1").alias("cx"))
+    cy = l1.select(F.col("p_brand").alias("y"), F.col("c1").alias("cy"))
+    cz = l1.select(F.col("p_brand").alias("z"), F.col("c1").alias("cz"))
+    lift = (
+        F.col("support").cast(_d38)
+        * F.col("n_baskets").cast(_d38)
+        * F.col("n_baskets").cast(_d38)
+    ).cast("double") / (
+        F.col("cx").cast(_d38) * F.col("cy").cast(_d38) * F.col("cz").cast(_d38)
+    ).cast("double")
+    return (
+        t.join(F.broadcast(cx), "x")
+        .join(F.broadcast(cy), "y")
+        .join(F.broadcast(cz), "z")
+        .select(
+            "x",
+            "y",
+            "z",
+            F.col("support").cast("long").alias("support"),
+            F.col("n_baskets").cast("long").alias("n_baskets"),
+            floor_round(lift, 6).alias("lift3"),
+        )
+        .orderBy(F.col("support").desc(), "x", "y", "z")
+        .limit(20)
+    )
+
+
+ORACLE_APRIORI_TRIPLES = """
+WITH baskets AS (
+  SELECT DISTINCT l_orderkey, p_brand
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+), nb AS (
+  SELECT COUNT(DISTINCT l_orderkey) AS n_baskets,
+         CAST(ceil(COUNT(DISTINCT l_orderkey) * 0.004) AS BIGINT) AS minsup
+  FROM baskets
+), l1 AS (
+  SELECT p_brand, COUNT(*) AS c1
+  FROM baskets CROSS JOIN nb
+  GROUP BY p_brand, nb.minsup
+  HAVING COUNT(*) >= nb.minsup
+), fitems AS (
+  SELECT b.l_orderkey, b.p_brand
+  FROM baskets b SEMI JOIN l1 ON b.p_brand = l1.p_brand
+), l2 AS (
+  SELECT a.p_brand AS x, b.p_brand AS y, COUNT(*) AS c2
+  FROM fitems a
+  JOIN fitems b ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+  CROSS JOIN nb
+  GROUP BY 1, 2, nb.minsup
+  HAVING COUNT(*) >= nb.minsup
+), c3 AS (
+  SELECT p1.x, p1.y, p2.y AS z
+  FROM l2 p1
+  JOIN l2 p2 ON p1.x = p2.x AND p1.y < p2.y
+  SEMI JOIN l2 f ON f.x = p1.y AND f.y = p2.y
+), t AS (
+  SELECT a.p_brand AS x, b.p_brand AS y, c.p_brand AS z, COUNT(*) AS support
+  FROM fitems a
+  JOIN fitems b ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+  JOIN fitems c ON a.l_orderkey = c.l_orderkey AND b.p_brand < c.p_brand
+  SEMI JOIN c3 ON c3.x = a.p_brand AND c3.y = b.p_brand AND c3.z = c.p_brand
+  CROSS JOIN nb
+  GROUP BY 1, 2, 3, nb.minsup
+  HAVING COUNT(*) >= nb.minsup
+)
+SELECT t.x, t.y, t.z,
+       CAST(t.support AS BIGINT) AS support,
+       CAST(nb.n_baskets AS BIGINT) AS n_baskets,
+       sign(CAST(CAST(t.support AS HUGEINT) * nb.n_baskets * nb.n_baskets AS DOUBLE)
+            / CAST(CAST(cx.c1 AS HUGEINT) * cy.c1 * cz.c1 AS DOUBLE))
+       * floor(abs(CAST(CAST(t.support AS HUGEINT) * nb.n_baskets * nb.n_baskets AS DOUBLE)
+                   / CAST(CAST(cx.c1 AS HUGEINT) * cy.c1 * cz.c1 AS DOUBLE))
+              * 1000000.0 + 0.5) / 1000000.0 AS lift3
+FROM t
+JOIN l1 cx ON cx.p_brand = t.x
+JOIN l1 cy ON cy.p_brand = t.y
+JOIN l1 cz ON cz.p_brand = t.z
+CROSS JOIN nb
+ORDER BY support DESC, x, y, z
+LIMIT 20
+"""
+
+
 QUERIES = {
+    "apriori_triples": apriori_triples,
+
     "hits_purchase_graph": hits_purchase_graph,
     "supplier_herfindahl_by_nation": supplier_herfindahl_by_nation,
     "promo_revenue": promo_revenue,
@@ -1069,6 +1240,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "apriori_triples": ORACLE_APRIORI_TRIPLES,
     "hits_purchase_graph": ORACLE_HITS_PURCHASE_GRAPH,
     "supplier_herfindahl_by_nation": ORACLE_SUPPLIER_HERFINDAHL_BY_NATION,
     "promo_revenue": ORACLE_PROMO_REVENUE,

@@ -1,0 +1,243 @@
+"""Round-9 query families, pinned against pure-Python/numpy replays
+and planted structure — the pytest layer under the oracle gate (which
+certifies Spark↔DuckDB; these certify both against an independent
+reference implementation)."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter, defaultdict
+
+import duckdb
+import numpy as np
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_peak_concurrency_matches_python_sweep(spark):
+    """Replay the 30-min-gap sessionization + boundary sweep in plain
+    Python over the raw events and compare the per-day peak census."""
+    from data_ingestion_project_spark.queries import all_queries
+
+    rows = duckdb.sql(
+        f"SELECT user_id, epoch_us(ts) AS us, CAST(ts AS DATE) AS d, event_id "
+        f"FROM '{SF}/events.parquet' ORDER BY user_id, us, event_id"
+    ).fetchall()
+    # sessionize per user
+    intervals = []
+    cur = {}
+    for uid, us, d, _eid in rows:
+        if uid in cur and us - cur[uid][1] <= 1800 * 1_000_000:
+            cur[uid] = (cur[uid][0], us)
+        else:
+            if uid in cur:
+                intervals.append(cur[uid])
+            cur[uid] = (us, us)
+    intervals.extend(cur.values())
+    # sweep per day with day-offset carry
+    bounds = []
+    for s, e in intervals:
+        bounds.append((s, 1))
+        bounds.append((e, -1))
+    day_of = lambda us: us // (86_400 * 1_000_000)  # noqa: E731
+    per_day = defaultdict(list)
+    for ts, delta in bounds:
+        per_day[day_of(ts)].append((ts, delta))
+    days = sorted(per_day)
+    carry = 0
+    expected = {}
+    for d in days:
+        evs = sorted(per_day[d], key=lambda x: (x[0], -x[1]))
+        run, peak = carry, -(10**9)
+        for _, delta in evs:
+            run += delta
+            peak = max(peak, run)
+        expected[d] = peak
+        carry = run
+    got = all_queries()["peak_concurrent_sessions"](spark, SF).collect()
+    assert len(got) > 0
+    for r in got:
+        import datetime
+
+        d_key = (
+            datetime.date.fromisoformat(r["d"]) - datetime.date(1970, 1, 1)
+        ).days
+        assert expected[d_key] == r["peak_concurrent"], r
+
+
+def test_cuped_reduces_variance_and_preserves_means(spark):
+    """CUPED invariants: theta equals the numpy cov/var ratio, the
+    adjusted diff stays near the raw diff (same expectation), and the
+    variance reduction is non-negative by construction."""
+    from data_ingestion_project_spark.queries import all_queries
+
+    row = all_queries()["cuped_ab_test"](spark, SF).collect()[0]
+    df = duckdb.sql(
+        f"""WITH span AS (SELECT MIN(CAST(ts AS DATE)) d0, MAX(CAST(ts AS DATE)) d1
+                          FROM '{SF}/events.parquet')
+            SELECT user_id,
+                   SUM(CASE WHEN CAST(ts AS DATE) < d0 + CAST(datediff('day', d0, d1)/2 AS INT)
+                            THEN CAST(trunc(value*1000000) AS BIGINT) ELSE 0 END) AS x,
+                   SUM(CASE WHEN CAST(ts AS DATE) >= d0 + CAST(datediff('day', d0, d1)/2 AS INT)
+                            THEN CAST(trunc(value*1000000) AS BIGINT) ELSE 0 END) AS y
+            FROM '{SF}/events.parquet' CROSS JOIN span GROUP BY 1"""
+    ).df()
+    x, y = df["x"].to_numpy(np.float64), df["y"].to_numpy(np.float64)
+    theta = np.cov(x, y, bias=True)[0, 1] / np.var(x)
+    assert abs(row["theta"] - theta) <= 1e-4
+    assert row["n_a"] + row["n_b"] == len(df)
+    assert row["var_reduction_pct"] >= 0.0
+    # same-expectation property: adjustment moves the diff, not the level
+    assert abs(row["diff_cuped"] - row["diff_raw"]) <= abs(row["diff_raw"]) + 1.0
+
+
+def test_crosscorr_lag0_matches_numpy(spark):
+    from data_ingestion_project_spark.queries import all_queries
+
+    daily = duckdb.sql(
+        f"""WITH d AS (
+              SELECT CAST(ts AS DATE) AS d,
+                     SUM(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS p,
+                     SUM(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS c
+              FROM '{SF}/events.parquet'
+              WHERE event_type IN ('purchase','click') GROUP BY 1)
+            SELECT * FROM d ORDER BY d"""
+    ).df()
+    # the query gapfills; sf0.001 has every day populated, so direct
+    ref = np.corrcoef(daily["p"].astype(float), daily["c"].astype(float))[0, 1]
+    rows = {r["lag"]: r for r in all_queries()["crosscorr_leadlag"](spark, SF).collect()}
+    assert sorted(rows) == list(range(-7, 8))
+    assert abs(rows[0]["xcorr"] - ref) <= 1e-6
+    assert rows[0]["n_days"] == len(daily)
+    # lag symmetry of overlap length
+    assert rows[3]["n_days"] == rows[-3]["n_days"] == len(daily) - 3
+
+
+def test_ols_multivariate_matches_numpy_lstsq(spark):
+    from data_ingestion_project_spark.queries import all_queries
+
+    df = duckdb.sql(
+        f"""SELECT CAST(l_quantity AS BIGINT) AS x1,
+                   CAST(round(l_discount*100,0) AS BIGINT) AS x2,
+                   CAST(round(l_extendedprice*100,0) AS BIGINT) AS y
+            FROM '{SF}/lineitem.parquet'"""
+    ).df()
+    X = np.column_stack(
+        [np.ones(len(df)), df["x1"].astype(float), df["x2"].astype(float)]
+    )
+    yv = df["y"].astype(float).to_numpy()
+    beta, *_ = np.linalg.lstsq(X, yv, rcond=None)
+    pred = X @ beta
+    r2 = 1 - np.sum((yv - pred) ** 2) / np.sum((yv - yv.mean()) ** 2)
+    row = all_queries()["ols_multivariate"](spark, SF).collect()[0]
+    assert row["n"] == len(df)
+    assert abs(row["intercept"] - beta[0] / 100) <= 1e-3
+    assert abs(row["beta_quantity"] - beta[1] / 100) <= 1e-5
+    assert abs(row["beta_discount_pct"] - beta[2] / 100) <= 1e-5
+    assert abs(row["r2"] - r2) <= 1e-6
+
+
+def test_cmh_matches_python_reference(spark):
+    from data_ingestion_project_spark.queries import all_queries
+
+    rows = duckdb.sql(
+        f"""SELECT p_brand,
+                   CAST(l_discount >= 0.05 AS INT) AS e,
+                   CAST(l_returnflag = 'R' AS INT) AS r
+            FROM '{SF}/lineitem.parquet' l
+            JOIN '{SF}/part.parquet' p ON l.l_partkey = p.p_partkey"""
+    ).fetchall()
+    cells = defaultdict(lambda: [0, 0, 0, 0])  # a, b, c, d
+    for brand, e, r in rows:
+        cells[brand][(1 - e) * 2 + (1 - r)] += 1
+    sa = se = sv = sr = ss = 0.0
+    for a, b, c, d in cells.values():
+        n = a + b + c + d
+        sa += a
+        se += (a + b) * (a + c) / n
+        sv += (a + b) * (c + d) * (a + c) * (b + d) / (n * n * (n - 1))
+        sr += a * d / n
+        ss += b * c / n
+    chi2 = (sa - se) ** 2 / sv
+    row = all_queries()["cmh_stratified_test"](spark, SF).collect()[0]
+    assert row["n_strata"] == len(cells)
+    assert row["sum_exposed_returned"] == int(sa)
+    assert abs(row["chi2_cmh"] - chi2) <= 1e-3
+    assert abs(row["or_mantel_haenszel"] - sr / ss) <= 1e-5
+
+
+def test_chao1_matches_python_counter(spark):
+    from data_ingestion_project_spark.queries import all_queries
+
+    docs = duckdb.sql(
+        f"SELECT source, lower(trim(text)) AS t FROM '{SF}/documents.parquet'"
+    ).fetchall()
+    per = defaultdict(Counter)
+    import re
+
+    for src, t in docs:
+        ws = re.split(r"\s+", t)
+        for i in range(len(ws) - 1):
+            per[src][ws[i] + " " + ws[i + 1]] += 1
+    got = {r["source"]: r for r in all_queries()["chao1_vocab_richness"](spark, SF).collect()}
+    assert set(got) == set(per)
+    for src, cnt in per.items():
+        v = len(cnt)
+        f1 = sum(1 for c in cnt.values() if c == 1)
+        f2 = sum(1 for c in cnt.values() if c == 2)
+        n = sum(cnt.values())
+        r = got[src]
+        assert (r["vocab"], r["f1"], r["f2"], r["n_bigrams"]) == (v, f1, f2, n)
+        assert abs(r["chao1_richness"] - (v + f1 * (f1 - 1) / (2 * (f2 + 1)))) <= 1e-3
+        assert abs(r["gt_unseen_mass"] - f1 / n) <= 1e-6
+
+
+def test_apriori_triples_matches_bruteforce(spark):
+    """The Apriori-pruned census must equal the brute-force triple
+    count above the same threshold — pruning is an optimization, never
+    a semantics change."""
+    from data_ingestion_project_spark.queries import all_queries
+
+    baskets = duckdb.sql(
+        f"""SELECT l_orderkey, list(DISTINCT p_brand) AS bs
+            FROM '{SF}/lineitem.parquet' l
+            JOIN '{SF}/part.parquet' p ON l.l_partkey = p.p_partkey
+            GROUP BY 1"""
+    ).fetchall()
+    from itertools import combinations
+
+    nb = len(baskets)
+    minsup = math.ceil(nb * 0.004)
+    sup = Counter()
+    for _, bs in baskets:
+        for tri in combinations(sorted(set(bs)), 3):
+            sup[tri] += 1
+    qualifying = {t: c for t, c in sup.items() if c >= minsup}
+    expected = sorted(
+        qualifying.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1], kv[0][2])
+    )[:20]
+    got = all_queries()["apriori_triples"](spark, SF).collect()
+    assert [(r["x"], r["y"], r["z"], r["support"]) for r in got] == [
+        (t[0], t[1], t[2], c) for t, c in expected
+    ]
+    for r in got:
+        assert r["n_baskets"] == nb
+
+
+def test_simplified_silhouette_sane_and_consistent(spark):
+    """Structural invariants: silhouettes in [-1, 1], misassigned <=
+    members, global = member-weighted mean of per-cluster means, and
+    the cluster sizes agree with davies_bouldin's (same assignment)."""
+    from data_ingestion_project_spark.queries import all_queries
+
+    qs = all_queries()
+    sil = qs["simplified_silhouette"](spark, SF).collect()
+    db = {r["cent_id"]: r["n_members"] for r in qs["embedding_davies_bouldin"](spark, SF).collect()}
+    assert {r["cent_id"] for r in sil} == set(db)
+    tot_w = sum(r["n_members"] for r in sil)
+    weighted = sum(r["mean_silhouette"] * r["n_members"] for r in sil) / tot_w
+    for r in sil:
+        assert -1.0 <= r["mean_silhouette"] <= 1.0
+        assert 0 <= r["n_misassigned"] <= r["n_members"]
+        assert r["n_members"] == db[r["cent_id"]]
+        assert abs(r["global_silhouette"] - weighted) <= 1e-4
