@@ -2443,7 +2443,168 @@ ORDER BY segment
 """
 
 
+def trimmed_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust location/scale per market segment: the 5%-TRIMMED mean
+    (drop the lowest and highest 5% of account balances by rank) and
+    the 5%-WINSORIZED mean/std (clamp instead of drop) — the outlier-
+    resistant summary a fraud/data-quality dashboard shows next to the
+    raw mean, whose gap IS the outlier mass. Completes the robust
+    family next to event_value_outliers_mad (flagging) and
+    segment_wealth_percentiles (quantiles).
+
+    Scale posture: NO corpus-sized per-segment window — ranks come
+    from per-(segment, value) counts (value-domain-sized per segment)
+    with an exclusive prefix over that compact frame; a value group
+    STRADDLING a trim cut contributes exactly its in-window occurrence
+    count (min(hi, n−k) − max(lo, k)), so the trimmed sum is exact
+    without ever ranking individual rows. Winsor bounds are the values
+    whose rank span contains k and n−k−1; clamped moments then fold as
+    exact integers. Exactness: cents integers end-to-end; std =
+    √(n·Σx²−S²)/n from DECIMAL(38,0) cast-first products; one double
+    division per reported column."""
+    from pyspark.sql import Window
+
+    c = table(spark, sf_dir, "customer")
+    _d38 = "decimal(38,0)"
+    vals = (
+        c.select(
+            F.col("c_mktsegment").alias("seg"),
+            F.round(F.col("c_acctbal") * 100, 0).cast("long").alias("v"),
+        )
+        .groupBy("seg", "v")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    per_seg = vals.groupBy("seg").agg(
+        F.sum("c").alias("n"), F.sum(F.col("v").cast(_d38) * F.col("c").cast(_d38)).alias("sv")
+    )
+    w = Window.partitionBy("seg").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    ranked = vals.select(
+        "seg", "v", "c", F.coalesce(F.sum("c").over(w), F.lit(0)).alias("lo_r")
+    ).join(F.broadcast(per_seg), "seg")
+    k = (F.col("n") * F.lit(5) / F.lit(100)).cast("long")  # floor(0.05 n)
+    hi_r = F.col("lo_r") + F.col("c")
+    kept = F.greatest(
+        F.lit(0),
+        F.least(hi_r, F.col("n") - k) - F.greatest(F.col("lo_r"), k),
+    )
+    bounds = ranked.groupBy("seg").agg(
+        F.max(F.when((F.col("lo_r") <= k) & (k < hi_r), F.col("v"))).alias("w_lo"),
+        F.max(
+            F.when(
+                (F.col("lo_r") <= F.col("n") - k - 1)
+                & (F.col("n") - k - 1 < hi_r),
+                F.col("v"),
+            )
+        ).alias("w_hi"),
+    )
+    stats = (
+        ranked.join(F.broadcast(bounds), "seg")
+        .select(
+            "seg",
+            "n",
+            "sv",
+            (k * 2).alias("n_dropped"),
+            (F.col("v").cast(_d38) * kept.cast(_d38)).alias("tsum"),
+            kept.alias("tkept"),
+            F.least(F.greatest(F.col("v"), F.col("w_lo")), F.col("w_hi")).alias("wv"),
+            "c",
+            "w_lo",
+            "w_hi",
+        )
+        .groupBy("seg", "n", "sv", "n_dropped", "w_lo", "w_hi")
+        .agg(
+            F.sum("tsum").alias("tsum"),
+            F.sum("tkept").alias("tn"),
+            F.sum(F.col("wv").cast(_d38) * F.col("c").cast(_d38)).alias("ws"),
+            F.sum(
+                F.col("wv").cast(_d38) * F.col("wv").cast(_d38) * F.col("c").cast(_d38)
+            ).alias("wss"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    wstd = (
+        F.sqrt(
+            (F.col("n").cast(_d38) * F.col("wss") - F.col("ws") * F.col("ws")).cast(
+                "double"
+            )
+        )
+        / nd
+        / F.lit(100.0)
+    )
+    return stats.select(
+        "seg",
+        F.col("n").cast("long").alias("n"),
+        F.col("n_dropped").cast("long").alias("n_dropped"),
+        floor_round(F.col("sv").cast("double") / nd / F.lit(100.0), 6).alias(
+            "mean_raw"
+        ),
+        floor_round(
+            F.col("tsum").cast("double") / F.col("tn").cast("double") / F.lit(100.0), 6
+        ).alias("mean_trimmed"),
+        (F.col("w_lo").cast("double") / F.lit(100.0)).alias("winsor_lo"),
+        (F.col("w_hi").cast("double") / F.lit(100.0)).alias("winsor_hi"),
+        floor_round(F.col("ws").cast("double") / nd / F.lit(100.0), 6).alias(
+            "mean_winsorized"
+        ),
+        floor_round(wstd, 6).alias("std_winsorized"),
+    ).orderBy("seg")
+
+
+ORACLE_TRIMMED_ROBUST_STATS = """
+WITH vals AS (
+  SELECT c_mktsegment AS seg,
+         CAST(round(c_acctbal * 100, 0) AS BIGINT) AS v, COUNT(*) AS c
+  FROM customer GROUP BY 1, 2
+), per_seg AS (
+  SELECT seg, SUM(c) AS n, SUM(CAST(v AS HUGEINT) * c) AS sv FROM vals GROUP BY 1
+), ranked AS (
+  SELECT vals.seg, v, c,
+         COALESCE(SUM(c) OVER (PARTITION BY vals.seg ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS lo_r,
+         per_seg.n, per_seg.sv,
+         CAST(per_seg.n * 5 // 100 AS BIGINT) AS k
+  FROM vals JOIN per_seg ON per_seg.seg = vals.seg
+), bounds AS (
+  SELECT seg,
+         MAX(CASE WHEN lo_r <= k AND k < lo_r + c THEN v END) AS w_lo,
+         MAX(CASE WHEN lo_r <= n - k - 1 AND n - k - 1 < lo_r + c THEN v END) AS w_hi
+  FROM ranked GROUP BY 1
+), stats AS (
+  SELECT r.seg, r.n, r.sv, 2 * r.k AS n_dropped, b.w_lo, b.w_hi,
+         SUM(CAST(v AS HUGEINT)
+             * greatest(0, least(lo_r + c, n - k) - greatest(lo_r, k))) AS tsum,
+         SUM(greatest(0, least(lo_r + c, n - k) - greatest(lo_r, k))) AS tn,
+         SUM(CAST(least(greatest(v, b.w_lo), b.w_hi) AS HUGEINT) * c) AS ws,
+         SUM(CAST(least(greatest(v, b.w_lo), b.w_hi) AS HUGEINT)
+             * least(greatest(v, b.w_lo), b.w_hi) * c) AS wss
+  FROM ranked r JOIN bounds b ON b.seg = r.seg
+  GROUP BY 1, 2, 3, 4, 5, 6
+)
+SELECT seg, CAST(n AS BIGINT) AS n, CAST(n_dropped AS BIGINT) AS n_dropped,
+       sign(CAST(sv AS DOUBLE) / n / 100.0)
+       * floor(abs(CAST(sv AS DOUBLE) / n / 100.0) * 1000000.0 + 0.5)
+         / 1000000.0 AS mean_raw,
+       sign(CAST(tsum AS DOUBLE) / tn / 100.0)
+       * floor(abs(CAST(tsum AS DOUBLE) / tn / 100.0) * 1000000.0 + 0.5)
+         / 1000000.0 AS mean_trimmed,
+       CAST(w_lo AS DOUBLE) / 100.0 AS winsor_lo,
+       CAST(w_hi AS DOUBLE) / 100.0 AS winsor_hi,
+       sign(CAST(ws AS DOUBLE) / n / 100.0)
+       * floor(abs(CAST(ws AS DOUBLE) / n / 100.0) * 1000000.0 + 0.5)
+         / 1000000.0 AS mean_winsorized,
+       sign(sqrt(CAST(n * wss - ws * ws AS DOUBLE)) / n / 100.0)
+       * floor(abs(sqrt(CAST(n * wss - ws * ws AS DOUBLE)) / n / 100.0)
+              * 1000000.0 + 0.5) / 1000000.0 AS std_winsorized
+FROM stats
+ORDER BY seg
+"""
+
+
 QUERIES = {
+    "trimmed_robust_stats": trimmed_robust_stats,
     "rfm_segments": rfm_segments,
     "orders_profile": orders_profile,
     "segment_wealth_percentiles": segment_wealth_percentiles,
@@ -2489,6 +2650,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "trimmed_robust_stats": ORACLE_TRIMMED_ROBUST_STATS,
     "rfm_segments": ORACLE_RFM_SEGMENTS,
     "crypto_shred_audit": ORACLE_CRYPTO_SHRED_AUDIT,
     "orders_profile": ORACLE_ORDERS_PROFILE,

@@ -5022,7 +5022,135 @@ ORDER BY source
 """
 
 
+def ngram_novelty_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diminishing-returns curve of corpus growth: split the corpus
+    into 10 arrival tranches (doc_id order — the ingestion proxy) and
+    measure, per tranche, how many of its bigram TYPES are genuinely
+    NEW versus already seen in earlier tranches. The curve every
+    data-acquisition decision reads — when novel-type share flattens,
+    more of the same source stops buying model capability (the
+    scaling-laws data-curation argument), and it complements
+    chao1_vocab_richness (asymptotic estimate) with the measured
+    trajectory.
+
+    Plan: tranche = exact integer bucketing of doc_id against the
+    broadcast (min, max) span — no window, no ntile; bigrams via the
+    arrays_zip idiom; ONE (tranche, bigram) shuffle; each bigram's
+    FIRST tranche is a min-aggregate over that frame; everything
+    downstream is 10-row arithmetic (the cumulative vocabulary is a
+    10×10 triangle join). Exactness: all counts exact integers; the
+    two share columns are one double division each."""
+    d = table(spark, sf_dir, "documents")
+    span = d.agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
+    toks = (
+        d.crossJoin(F.broadcast(span))
+        .select(
+            F.least(
+                F.lit(9),
+                (
+                    (F.col("doc_id") - F.col("lo"))
+                    * 10
+                    / (F.col("hi") - F.col("lo") + 1)
+                ).cast("long"),
+            ).alias("tranche"),
+            F.split(F.lower(F.trim("text")), r"\s+").alias("a"),
+        )
+        .withColumn("n", F.size("a"))
+    )
+    bigrams = (
+        toks.filter(F.col("n") >= 2)
+        .select(
+            "tranche",
+            F.explode(
+                F.arrays_zip(
+                    F.slice("a", 1, F.col("n") - 1).alias("w1"),
+                    F.slice("a", 2, F.col("n") - 1).alias("w2"),
+                )
+            ).alias("p"),
+        )
+        .select("tranche", F.concat_ws(" ", F.col("p.w1"), F.col("p.w2")).alias("bg"))
+    )
+    tb = bigrams.groupBy("tranche", "bg").agg(F.count(F.lit(1)).alias("c"))
+    first = tb.groupBy("bg").agg(F.min("tranche").alias("first_tranche"))
+    per = (
+        tb.join(first, "bg")
+        .groupBy("tranche")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_types"),
+            F.sum(
+                F.when(F.col("first_tranche") == F.col("tranche"), 1).otherwise(0)
+            ).alias("n_new_types"),
+            F.sum(
+                F.when(F.col("first_tranche") == F.col("tranche"), F.col("c")).otherwise(
+                    0
+                )
+            ).alias("new_tokens"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    prior = per.select(
+        F.col("tranche").alias("t2"), F.col("n_new_types").alias("nn2")
+    )
+    cum = (
+        per.join(F.broadcast(prior), F.col("t2") <= F.col("tranche"))
+        .groupBy("tranche", "n_tokens", "n_types", "n_new_types", "new_tokens")
+        .agg(F.sum("nn2").alias("cum_vocab"))
+    )
+    return cum.select(
+        F.col("tranche").cast("long").alias("tranche"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_types").cast("long").alias("n_types"),
+        F.col("n_new_types").cast("long").alias("n_new_types"),
+        floor_round(
+            F.col("n_new_types").cast("double") / F.col("n_types").cast("double"), 6
+        ).alias("novel_type_share"),
+        floor_round(
+            F.col("new_tokens").cast("double") / F.col("n_tokens").cast("double"), 6
+        ).alias("novel_token_share"),
+        F.col("cum_vocab").cast("long").alias("cum_vocab"),
+    ).orderBy("tranche")
+
+
+ORACLE_NGRAM_NOVELTY_DECAY = """
+WITH span AS (SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi FROM documents),
+toks AS (
+  SELECT least(9, CAST((doc_id - lo) * 10 // (hi - lo + 1) AS BIGINT)) AS tranche,
+         string_split_regex(lower(trim(text)), '\\s+') AS a
+  FROM documents CROSS JOIN span
+), bigrams AS (
+  SELECT tranche, a[i] || ' ' || a[i + 1] AS bg
+  FROM toks, LATERAL (SELECT unnest(range(1, len(a))) AS i) _
+  WHERE len(a) >= 2
+), tb AS (
+  SELECT tranche, bg, COUNT(*) AS c FROM bigrams GROUP BY 1, 2
+), first AS (
+  SELECT bg, MIN(tranche) AS first_tranche FROM tb GROUP BY 1
+), per AS (
+  SELECT tranche, SUM(c) AS n_tokens, COUNT(*) AS n_types,
+         SUM(CASE WHEN first_tranche = tranche THEN 1 ELSE 0 END) AS n_new_types,
+         SUM(CASE WHEN first_tranche = tranche THEN c ELSE 0 END) AS new_tokens
+  FROM tb JOIN first USING (bg)
+  GROUP BY 1
+)
+SELECT a.tranche, CAST(a.n_tokens AS BIGINT) AS n_tokens,
+       CAST(a.n_types AS BIGINT) AS n_types,
+       CAST(a.n_new_types AS BIGINT) AS n_new_types,
+       sign(CAST(a.n_new_types AS DOUBLE) / a.n_types)
+       * floor(abs(CAST(a.n_new_types AS DOUBLE) / a.n_types) * 1000000.0 + 0.5)
+         / 1000000.0 AS novel_type_share,
+       sign(CAST(a.new_tokens AS DOUBLE) / a.n_tokens)
+       * floor(abs(CAST(a.new_tokens AS DOUBLE) / a.n_tokens) * 1000000.0 + 0.5)
+         / 1000000.0 AS novel_token_share,
+       CAST(SUM(b.n_new_types) AS BIGINT) AS cum_vocab
+FROM per a JOIN per b ON b.tranche <= a.tranche
+GROUP BY 1, 2, 3, 4, 5, 6
+ORDER BY a.tranche
+"""
+
+
 QUERIES = {
+    "ngram_novelty_decay": ngram_novelty_decay,
     "chao1_vocab_richness": chao1_vocab_richness,
     "pmi_collocations": pmi_collocations,
     "text_readability_scores": text_readability_scores,
@@ -5102,6 +5230,7 @@ if _HAVE_PIL:
     QUERIES["jpeg_decode_stats_fast"] = jpeg_decode_stats_fast
 
 ORACLE = {
+    "ngram_novelty_decay": ORACLE_NGRAM_NOVELTY_DECAY,
     "chao1_vocab_richness": ORACLE_CHAO1_VOCAB_RICHNESS,
     "pmi_collocations": ORACLE_PMI_COLLOCATIONS,
     "text_readability_scores": ORACLE_TEXT_READABILITY_SCORES,

@@ -2922,7 +2922,514 @@ FROM g
 """
 
 
+def kruskal_wallis_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal–Wallis H test: does event VALUE differ across ALL FIVE
+    event types at once? The K-sample completion of the rank-test
+    family — mannwhitney_event_values compares two groups; this is the
+    nonparametric ANOVA (anova_event_values' rank-based twin) that
+    survives the heavy tails event revenue actually has.
+
+    H = (12/(N(N+1))) Σ_g R_g²/n_g − 3(N+1), tie-corrected by
+    1 − Σ(t³−t)/(N³−N); ε² = (H − k + 1)/(N − k) is the effect size.
+
+    Scale/exactness: one conditional-count pass to the per-(value,
+    type) frame; mid-ranks come from the two-level bucket-prefix
+    rank2_map (DOUBLED ranks stay exact integers through ties);
+    2R_g = Σ c_g·r2 folds in DECIMAL; each group's R_g²/n_g term is a
+    value-determined double quantized to 1e-6 integers before the
+    k-term fold (a 5-double sum would be engine-order-dependent); the
+    final H combination is one IEEE expression over exact integers."""
+    from data_ingestion_project_spark.operators.quantiles import rank2_map
+
+    e = table(spark, sf_dir, "events")
+    base = e.select(to_micro(F.col("value")).alias("v"), "event_type")
+    ranks = rank2_map(base, "v", bucket_width=10_000_000)
+    per = base.groupBy("v", "event_type").agg(F.count(F.lit(1)).alias("c"))
+    _d38 = "decimal(38,0)"
+    grp = (
+        per.join(ranks, "v")
+        .groupBy("event_type")
+        .agg(
+            F.sum("c").alias("n_g"),
+            F.sum(F.col("c").cast(_d38) * F.col("r2").cast(_d38)).alias("r2_g"),
+        )
+    )
+    # R_g²/n_g with R_g = r2_g/2 — value-determined per group, then
+    # quantized so the cross-group fold is exact integer addition
+    term = (
+        F.col("r2_g").cast("double") / F.lit(2.0)
+    ) * (F.col("r2_g").cast("double") / F.lit(2.0)) / F.col("n_g").cast("double")
+    gq = grp.select(
+        "event_type", "n_g", (term * F.lit(1.0e6)).cast("long").alias("t_i")
+    )
+    ties = ranks.agg(
+        F.sum(
+            F.col("cnt").cast(_d38) * F.col("cnt").cast(_d38) * F.col("cnt").cast(_d38)
+            - F.col("cnt").cast(_d38)
+        ).alias("ties")
+    )
+    g = gq.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n_g").alias("n"),
+        F.sum(F.col("t_i").cast(_d38)).alias("st"),
+    ).crossJoin(F.broadcast(ties))
+    nd = F.col("n").cast("double")
+    kd = F.col("k").cast("double")
+    h = (
+        F.lit(12.0) / (nd * (nd + F.lit(1.0)))
+        * (F.col("st").cast("double") / F.lit(1.0e6))
+        - F.lit(3.0) * (nd + F.lit(1.0))
+    )
+    corr = F.lit(1.0) - F.col("ties").cast("double") / (nd * nd * nd - nd)
+    hc = h / corr
+    return g.select(
+        F.col("n").cast("long").alias("n_total"),
+        F.col("k").cast("long").alias("n_groups"),
+        _floor_round(h, 6).alias("h_stat"),
+        _floor_round(hc, 6).alias("h_tie_corrected"),
+        _floor_round((hc - kd + F.lit(1.0)) / (nd - kd), 6).alias("epsilon_sq"),
+    )
+
+
+ORACLE_KRUSKAL_WALLIS_EVENT_VALUES = f"""
+WITH base AS (
+  SELECT CAST(trunc(value * 1000000) AS BIGINT) AS v, event_type
+  FROM events
+), ranks AS ({{rank2}}),
+per AS (
+  SELECT v, event_type, COUNT(*) AS c FROM base GROUP BY 1, 2
+), grp AS (
+  SELECT per.event_type, SUM(per.c) AS n_g,
+         SUM(CAST(per.c AS HUGEINT) * ranks.r2) AS r2_g
+  FROM per JOIN ranks ON ranks.v = per.v
+  GROUP BY 1
+), gq AS (
+  SELECT event_type, n_g,
+         CAST(trunc((CAST(r2_g AS DOUBLE) / 2.0) * (CAST(r2_g AS DOUBLE) / 2.0)
+                    / CAST(n_g AS DOUBLE) * 1000000.0) AS BIGINT) AS t_i
+  FROM grp
+), tie AS (
+  SELECT SUM(CAST(c AS HUGEINT) * c * c - CAST(c AS HUGEINT)) AS ties FROM ranks
+), g AS (
+  SELECT COUNT(*) AS k, SUM(n_g) AS n, SUM(CAST(t_i AS HUGEINT)) AS st
+  FROM gq
+)
+SELECT CAST(n AS BIGINT) AS n_total, CAST(k AS BIGINT) AS n_groups,
+       sign(12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
+            * (CAST(st AS DOUBLE) / 1000000.0)
+            - 3.0 * (CAST(n AS DOUBLE) + 1.0))
+       * floor(abs(12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
+                   * (CAST(st AS DOUBLE) / 1000000.0)
+                   - 3.0 * (CAST(n AS DOUBLE) + 1.0)) * 1000000.0 + 0.5)
+         / 1000000.0 AS h_stat,
+       sign((12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
+             * (CAST(st AS DOUBLE) / 1000000.0)
+             - 3.0 * (CAST(n AS DOUBLE) + 1.0))
+            / (1.0 - CAST(ties AS DOUBLE)
+               / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                  - CAST(n AS DOUBLE))))
+       * floor(abs((12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
+                    * (CAST(st AS DOUBLE) / 1000000.0)
+                    - 3.0 * (CAST(n AS DOUBLE) + 1.0))
+                   / (1.0 - CAST(ties AS DOUBLE)
+                      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                         - CAST(n AS DOUBLE)))) * 1000000.0 + 0.5)
+         / 1000000.0 AS h_tie_corrected,
+       sign(((12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
+              * (CAST(st AS DOUBLE) / 1000000.0)
+              - 3.0 * (CAST(n AS DOUBLE) + 1.0))
+             / (1.0 - CAST(ties AS DOUBLE)
+                / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                   - CAST(n AS DOUBLE)))
+             - CAST(k AS DOUBLE) + 1.0) / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)))
+       * floor(abs(((12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
+                     * (CAST(st AS DOUBLE) / 1000000.0)
+                     - 3.0 * (CAST(n AS DOUBLE) + 1.0))
+                    / (1.0 - CAST(ties AS DOUBLE)
+                       / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                          - CAST(n AS DOUBLE)))
+                    - CAST(k AS DOUBLE) + 1.0)
+                   / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))) * 1000000.0 + 0.5)
+         / 1000000.0 AS epsilon_sq
+FROM g CROSS JOIN tie
+""".format(rank2=_SQL_RANK2.format(v="v", src="base"))
+
+
+def nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson–Aalen cumulative-hazard curve of user lifetime — the
+    hazard-domain sibling of kaplan_meier_retention (SAME lifetimes,
+    SAME 7-day right-censoring rule): H(t) = Σ_{d≤t} deaths_d/risk_d
+    with Poisson variance Σ deaths_d/risk_d², plus the Breslow
+    survival exp(−H(t)) for direct comparison against the KM product
+    estimator. Hazard is the quantity epidemiology and churn models
+    regress on; KM's S(t) cannot be summed across strata, H(t) can.
+
+    Plan/exactness: identical posture to KM — one per-user shuffle,
+    then every window runs over the per-lifetime-day frame
+    (calendar-bounded); each step's d/n and d/n² are value-determined
+    doubles quantized to 1e-8 integers immediately, the cumulatives
+    are exact integer prefix sums, and exp is one double call at
+    output."""
+    e = table(spark, sf_dir, "events")
+    pu = e.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("f"), F.max(F.to_date("ts")).alias("l")
+    )
+    end = pu.agg(F.max("l").alias("e"))
+    lived = pu.crossJoin(F.broadcast(end)).select(
+        F.datediff("l", "f").alias("t_days"),
+        (F.datediff("e", "l") >= 7).cast("int").alias("churned"),
+    )
+    lt = lived.groupBy("t_days").agg(
+        F.sum("churned").alias("deaths"),
+        F.sum(F.lit(1) - F.col("churned")).alias("censored"),
+    )
+    tot = lived.agg(F.count(F.lit(1)).alias("n"))
+    w_prior = Window.orderBy("t_days").rowsBetween(Window.unboundedPreceding, -1)
+    risk = lt.crossJoin(F.broadcast(tot)).select(
+        "t_days",
+        "deaths",
+        "censored",
+        (
+            F.col("n")
+            - F.coalesce(
+                F.sum(F.col("deaths") + F.col("censored")).over(w_prior), F.lit(0)
+            )
+        ).alias("at_risk"),
+    )
+    step = risk.select(
+        "t_days",
+        "deaths",
+        "censored",
+        "at_risk",
+        F.round(
+            F.col("deaths").cast("double") / F.col("at_risk") * F.lit(1.0e8), 0
+        ).cast("long").alias("h_i"),
+        F.round(
+            F.col("deaths").cast("double")
+            / (F.col("at_risk").cast("double") * F.col("at_risk").cast("double"))
+            * F.lit(1.0e8),
+            0,
+        ).cast("long").alias("v_i"),
+    )
+    w_cum = Window.orderBy("t_days").rowsBetween(Window.unboundedPreceding, 0)
+    ch = F.sum("h_i").over(w_cum).cast("double") / F.lit(1.0e8)
+    cv = F.sum("v_i").over(w_cum).cast("double") / F.lit(1.0e8)
+    return step.select(
+        "t_days",
+        F.col("at_risk").cast("long").alias("at_risk"),
+        F.col("deaths").cast("long").alias("deaths"),
+        F.col("censored").cast("long").alias("censored"),
+        F.round(ch, 6).alias("cum_hazard"),
+        F.round(cv, 8).alias("hazard_var"),
+        F.round(F.exp(-ch), 6).alias("breslow_survival"),
+    ).orderBy("t_days")
+
+
+ORACLE_NELSON_AALEN_HAZARD = """
+WITH pu AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS f, MAX(CAST(ts AS DATE)) AS l
+  FROM events GROUP BY 1
+), e AS (SELECT MAX(l) AS e FROM pu),
+lived AS (
+  SELECT datediff('day', f, l) AS t_days,
+         CASE WHEN datediff('day', l, e.e) >= 7 THEN 1 ELSE 0 END AS churned
+  FROM pu CROSS JOIN e
+), lt AS (
+  SELECT t_days, SUM(churned) AS deaths, SUM(1 - churned) AS censored
+  FROM lived GROUP BY 1
+), tot AS (SELECT COUNT(*) AS n FROM lived),
+risk AS (
+  SELECT t_days, deaths, censored,
+         n - COALESCE(SUM(deaths + censored) OVER (
+               ORDER BY t_days ROWS BETWEEN UNBOUNDED PRECEDING
+               AND 1 PRECEDING), 0) AS at_risk
+  FROM lt CROSS JOIN tot
+), step AS (
+  SELECT t_days, deaths, censored, at_risk,
+         CAST(round(CAST(deaths AS DOUBLE) / at_risk * 1e8, 0) AS BIGINT) AS h_i,
+         CAST(round(CAST(deaths AS DOUBLE)
+                    / (CAST(at_risk AS DOUBLE) * CAST(at_risk AS DOUBLE))
+                    * 1e8, 0) AS BIGINT) AS v_i
+  FROM risk
+)
+SELECT t_days,
+       CAST(at_risk AS BIGINT) AS at_risk,
+       CAST(deaths AS BIGINT) AS deaths,
+       CAST(censored AS BIGINT) AS censored,
+       ROUND(CAST(SUM(h_i) OVER wc AS DOUBLE) / 1e8, 6) AS cum_hazard,
+       ROUND(CAST(SUM(v_i) OVER wc AS DOUBLE) / 1e8, 8) AS hazard_var,
+       ROUND(exp(-(CAST(SUM(h_i) OVER wc AS DOUBLE) / 1e8)), 6)
+         AS breslow_survival
+FROM step
+WINDOW wc AS (ORDER BY t_days ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+ORDER BY t_days
+"""
+
+
+def hurst_exponent_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent of daily revenue by RESCALED-RANGE (R/S)
+    analysis (Hurst 1951, the Mandelbrot long-memory diagnostic):
+    H ≈ 0.5 means the revenue series is a memoryless random walk,
+    H > 0.5 persistent trends, H < 0.5 mean reversion — the
+    long-memory census residual_autocorr (fixed small lags) cannot
+    see. Blocks of m ∈ {8, 16, 32} consecutive days; per block,
+    R = range of cumulative mean-deviations and S = population std;
+    H = slope of log2(mean R/S) against log2 m, which for three
+    evenly-spaced powers of two is EXACTLY (y₃₂ − y₈)/2 — no libm
+    slope fit.
+
+    Exactness: the within-block cumulative deviation is kept as the
+    EXACT integer m·Σxₖ − j·S_block (scaling by the block size clears
+    the mean's fraction), so R = (max−min)/m and
+    S = √(m·Σx² − S²)/m give R/S = (max−min)/√(m·Σx²−S²) — one
+    value-determined sqrt+division per block from exact integers.
+    Per-block ratios quantize to 1e-6 before the per-m fold; log2 of
+    the three means quantizes to 1e-6 immediately (the bigram ln
+    idiom). Windows: day-index assignment is a prefix over the
+    calendar-bounded per-day frame; the cumulative runs
+    block-partitioned."""
+    o = table(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(F.sum((F.col("o_totalprice") * 100).cast("long")).alias("x"))
+        .localCheckpoint(eager=True)
+    )
+    w_idx = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, -1)
+    idx = daily.select(
+        "d", "x", (F.coalesce(F.count(F.lit(1)).over(w_idx), F.lit(0))).alias("i")
+    )
+    _d38 = "decimal(38,0)"
+    ms = spark.createDataFrame([(8,), (16,), (32,)], "m int")
+    blk = idx.crossJoin(F.broadcast(ms)).select(
+        "m",
+        (F.col("i") / F.col("m")).cast("long").alias("b"),
+        (F.col("i") % F.col("m")).alias("j"),
+        "x",
+    )
+    per_b = blk.groupBy("m", "b").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col("x").cast(_d38)).alias("sx"),
+        F.sum(F.col("x").cast(_d38) * F.col("x").cast(_d38)).alias("sxx"),
+    )
+    w_blk = Window.partitionBy("m", "b").orderBy("j").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cums = blk.select(
+        "m", "b", "j", F.sum(F.col("x").cast(_d38)).over(w_blk).alias("cx")
+    )
+    dev = (
+        cums.join(per_b, ["m", "b"])
+        .filter(F.col("cnt") == F.col("m"))  # full blocks only
+        .select(
+            "m",
+            "b",
+            "sx",
+            "sxx",
+            (
+                F.col("cx") * F.col("m").cast(_d38)
+                - (F.col("j") + 1).cast(_d38) * F.col("sx")
+            ).alias("c_sc"),
+        )
+    )
+    rs = (
+        dev.groupBy("m", "b", "sx", "sxx")
+        .agg((F.max("c_sc") - F.min("c_sc")).alias("r_sc"))
+        .select(
+            "m",
+            (
+                F.col("r_sc").cast("double")
+                / F.sqrt(
+                    (
+                        F.col("m").cast(_d38) * F.col("sxx")
+                        - F.col("sx") * F.col("sx")
+                    ).cast("double")
+                )
+            ).alias("rs"),
+        )
+        .select("m", (F.col("rs") * F.lit(1.0e6)).cast("long").alias("rs_q"))
+    )
+    per_m = rs.groupBy("m").agg(
+        F.count(F.lit(1)).alias("n_blocks"),
+        (
+            F.sum(F.col("rs_q").cast(_d38)).cast("double")
+            / F.count(F.lit(1)).cast("double")
+            / F.lit(1.0e6)
+        ).alias("mean_rs"),
+    )
+    lq = per_m.select(
+        "m",
+        "n_blocks",
+        "mean_rs",
+        F.round(F.log2("mean_rs") * F.lit(1.0e6), 0).cast("long").alias("l_q"),
+    )
+    ends = lq.agg(
+        F.max(F.when(F.col("m") == 8, F.col("l_q"))).alias("l8"),
+        F.max(F.when(F.col("m") == 32, F.col("l_q"))).alias("l32"),
+    ).select(
+        (
+            (F.col("l32") - F.col("l8")).cast("double") / F.lit(2.0) / F.lit(1.0e6)
+        ).alias("hurst")
+    )
+    return (
+        lq.crossJoin(F.broadcast(ends))
+        .select(
+            F.col("m").cast("long").alias("m"),
+            F.col("n_blocks").cast("long").alias("n_blocks"),
+            _floor_round(F.col("mean_rs"), 6).alias("mean_rs"),
+            _floor_round(F.col("hurst"), 6).alias("hurst"),
+        )
+        .orderBy("m")
+    )
+
+
+ORACLE_HURST_EXPONENT_RS = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         SUM(CAST(trunc(o_totalprice * 100) AS BIGINT)) AS x
+  FROM orders GROUP BY 1
+), idx AS (
+  SELECT d, x,
+         COALESCE(COUNT(*) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING), 0) AS i
+  FROM daily
+), ms AS (SELECT unnest([8, 16, 32]) AS m),
+blk AS (
+  SELECT m, CAST(i // m AS BIGINT) AS b, i % m AS j, x
+  FROM idx CROSS JOIN ms
+), per_b AS (
+  SELECT m, b, COUNT(*) AS cnt, SUM(CAST(x AS HUGEINT)) AS sx,
+         SUM(CAST(x AS HUGEINT) * x) AS sxx
+  FROM blk GROUP BY 1, 2
+), cums AS (
+  SELECT m, b, j,
+         SUM(CAST(x AS HUGEINT)) OVER (PARTITION BY m, b ORDER BY j
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cx
+  FROM blk
+), dev AS (
+  SELECT c.m, c.b, p.sx, p.sxx,
+         c.cx * c.m - (c.j + 1) * p.sx AS c_sc
+  FROM cums c JOIN per_b p ON p.m = c.m AND p.b = c.b
+  WHERE p.cnt = c.m
+), rs AS (
+  SELECT m,
+         CAST(trunc(CAST(MAX(c_sc) - MIN(c_sc) AS DOUBLE)
+                    / sqrt(CAST(m * sxx - sx * sx AS DOUBLE))
+                    * 1000000.0) AS BIGINT) AS rs_q
+  FROM dev GROUP BY m, b, sx, sxx
+), per_m AS (
+  SELECT m, COUNT(*) AS n_blocks,
+         CAST(SUM(CAST(rs_q AS HUGEINT)) AS DOUBLE) / COUNT(*) / 1000000.0
+           AS mean_rs
+  FROM rs GROUP BY 1
+), lq AS (
+  SELECT m, n_blocks, mean_rs,
+         CAST(round(log2(mean_rs) * 1000000.0, 0) AS BIGINT) AS l_q
+  FROM per_m
+), ends AS (
+  SELECT CAST(MAX(CASE WHEN m = 32 THEN l_q END)
+              - MAX(CASE WHEN m = 8 THEN l_q END) AS DOUBLE)
+         / 2.0 / 1000000.0 AS hurst
+  FROM lq
+)
+SELECT CAST(m AS BIGINT) AS m, CAST(n_blocks AS BIGINT) AS n_blocks,
+       sign(mean_rs) * floor(abs(mean_rs) * 1000000.0 + 0.5) / 1000000.0
+         AS mean_rs,
+       sign(hurst) * floor(abs(hurst) * 1000000.0 + 0.5) / 1000000.0 AS hurst
+FROM lq CROSS JOIN ends
+ORDER BY m
+"""
+
+
+def hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the heavy-tail exponent of the per-customer
+    ORDER COUNT distribution — the extreme-value-theory answer to "how
+    heavy is the whale tail?" that moments cannot give (a Pareto tail
+    with α ≤ 2 has no finite variance to estimate). α̂ = 1/H with
+    H = (1/k)Σᵢ₌₁..k ln(x₍ᵢ₎/x₍ₖ₊₁₎) over the k=100 largest order
+    counts; small α̂ = heavy tail = the skew the join_key_skew_audit
+    detects, here quantified as a tail LAW.
+
+    Plan: one per-customer count shuffle, then a TakeOrdered top-(k+1)
+    — the only global ordering is limit-bounded, never a full sort.
+    Exactness: counts are exact integers; each of the k ln-ratio terms
+    quantizes to 1e-8 integers immediately (the KM idiom: one libm
+    call per TOP-K member); H and α̂ are value-determined doubles over
+    the exact integer sum."""
+    o = table(spark, sf_dir, "orders")
+    per = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("x"))
+    nstat = per.agg(F.count(F.lit(1)).alias("n_customers"))
+    k = 100
+    top = (
+        per.orderBy(F.col("x").desc(), F.col("o_custkey").asc())
+        .limit(k + 1)
+        .localCheckpoint(eager=True)
+    )
+    xk1 = top.agg(F.min("x").alias("xk1"))
+    terms = (
+        top.crossJoin(F.broadcast(xk1))
+        .filter(F.col("x") > F.col("xk1"))  # the k largest strictly above the pivot tie floor
+        .select(
+            F.round(
+                F.log(F.col("x").cast("double") / F.col("xk1").cast("double"))
+                * F.lit(1.0e8),
+                0,
+            ).cast("long").alias("t_q")
+        )
+    )
+    g = terms.agg(
+        F.count(F.lit(1)).alias("k_eff"),
+        F.sum(F.col("t_q").cast("decimal(38,0)")).alias("st"),
+    )
+    h = (
+        F.col("st").cast("double") / F.lit(1.0e8) / F.col("k_eff").cast("double")
+    )
+    return (
+        g.crossJoin(F.broadcast(xk1))
+        .crossJoin(F.broadcast(nstat))
+        .select(
+            F.col("n_customers").cast("long").alias("n_customers"),
+            F.col("k_eff").cast("long").alias("k_used"),
+            F.col("xk1").cast("long").alias("tail_threshold"),
+            _floor_round(h, 6).alias("hill_h"),
+            _floor_round(F.lit(1.0) / h, 6).alias("alpha_tail"),
+        )
+    )
+
+
+ORACLE_HILL_TAIL_INDEX = """
+WITH per AS (
+  SELECT o_custkey, COUNT(*) AS x FROM orders GROUP BY 1
+), nstat AS (SELECT COUNT(*) AS n_customers FROM per),
+top AS (
+  SELECT x FROM per ORDER BY x DESC, o_custkey ASC LIMIT 101
+), xk1 AS (SELECT MIN(x) AS xk1 FROM top),
+terms AS (
+  SELECT CAST(round(ln(CAST(x AS DOUBLE) / CAST(xk1 AS DOUBLE)) * 1e8, 0)
+              AS BIGINT) AS t_q
+  FROM top CROSS JOIN xk1
+  WHERE x > xk1
+), g AS (
+  SELECT COUNT(*) AS k_eff, SUM(CAST(t_q AS HUGEINT)) AS st FROM terms
+)
+SELECT CAST(n_customers AS BIGINT) AS n_customers,
+       CAST(k_eff AS BIGINT) AS k_used,
+       CAST(xk1 AS BIGINT) AS tail_threshold,
+       sign(CAST(st AS DOUBLE) / 1e8 / k_eff)
+       * floor(abs(CAST(st AS DOUBLE) / 1e8 / k_eff) * 1000000.0 + 0.5)
+         / 1000000.0 AS hill_h,
+       sign(1.0 / (CAST(st AS DOUBLE) / 1e8 / k_eff))
+       * floor(abs(1.0 / (CAST(st AS DOUBLE) / 1e8 / k_eff)) * 1000000.0 + 0.5)
+         / 1000000.0 AS alpha_tail
+FROM g CROSS JOIN xk1 CROSS JOIN nstat
+"""
+
+
 QUERIES = {
+    "hill_tail_index": hill_tail_index,
+    "hurst_exponent_rs": hurst_exponent_rs,
+    "nelson_aalen_hazard": nelson_aalen_hazard,
+    "kruskal_wallis_event_values": kruskal_wallis_event_values,
+
     "chisq_event_dow": chisq_event_dow,
     "spearman_price_quantity": spearman_price_quantity,
     "mannwhitney_event_values": mannwhitney_event_values,
@@ -2950,6 +3457,10 @@ QUERIES = {
 }
 
 ORACLE = {
+    "hill_tail_index": ORACLE_HILL_TAIL_INDEX,
+    "hurst_exponent_rs": ORACLE_HURST_EXPONENT_RS,
+    "nelson_aalen_hazard": ORACLE_NELSON_AALEN_HAZARD,
+    "kruskal_wallis_event_values": ORACLE_KRUSKAL_WALLIS_EVENT_VALUES,
     "chisq_event_dow": ORACLE_CHISQ_EVENT_DOW,
     "spearman_price_quantity": ORACLE_SPEARMAN_PRICE_QUANTITY,
     "mannwhitney_event_values": ORACLE_MANNWHITNEY_EVENT_VALUES,

@@ -476,6 +476,16 @@ _GLOBAL_WINDOW_SANCTIONED = {
     # the per-value cumsum window is bucket-partitioned
     "spearman_price_quantity",
     "mannwhitney_event_values",
+    # same rank2_map bucket-partials prefix as the two above (r9)
+    "kruskal_wallis_event_values",
+    # Nelson-Aalen: both prefix windows run over the per-LIFETIME-DAY
+    # aggregate (calendar-bounded, the kaplan_meier_retention posture);
+    # the corpus-sized side is reduced by the per-user groupBy first
+    "nelson_aalen_hazard",
+    # Hurst R/S: the day-index prefix runs over the per-DAY revenue
+    # aggregate (calendar-bounded, the cusum posture); the block
+    # cumulatives are (m, block)-partitioned
+    "hurst_exponent_rs",
 }
 
 

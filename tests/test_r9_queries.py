@@ -241,3 +241,161 @@ def test_simplified_silhouette_sane_and_consistent(spark):
         assert 0 <= r["n_misassigned"] <= r["n_members"]
         assert r["n_members"] == db[r["cent_id"]]
         assert abs(r["global_silhouette"] - weighted) <= 1e-4
+
+
+def test_kruskal_wallis_matches_scipy_formula(spark):
+    from data_ingestion_project_spark.queries import all_queries
+
+    df = duckdb.sql(
+        f"""SELECT CAST(trunc(value * 1000000) AS BIGINT) AS v, event_type
+            FROM '{SF}/events.parquet'"""
+    ).df()
+    ranks = df["v"].rank(method="average")
+    n = len(df)
+    st = 0.0
+    for _, grp in df.assign(r=ranks).groupby("event_type"):
+        st += grp["r"].sum() ** 2 / len(grp)
+    h = 12.0 / (n * (n + 1)) * st - 3 * (n + 1)
+    _, counts = np.unique(df["v"], return_counts=True)
+    ties = float(np.sum(counts.astype(np.float64) ** 3 - counts))
+    hc = h / (1 - ties / (n**3 - n))
+    row = all_queries()["kruskal_wallis_event_values"](spark, SF).collect()[0]
+    assert row["n_total"] == n and row["n_groups"] == df["event_type"].nunique()
+    assert abs(row["h_stat"] - h) <= 1e-3
+    assert abs(row["h_tie_corrected"] - hc) <= 1e-3
+
+
+def test_nelson_aalen_consistent_with_km(spark):
+    """Same lifetimes and censoring as kaplan_meier_retention: the
+    risk-set columns must agree row-for-row, the hazard must be
+    nondecreasing, and the Breslow survival must upper-bound KM's
+    product-limit estimate (a standard inequality: exp(-h) >= 1-h)."""
+    from data_ingestion_project_spark.queries import all_queries
+
+    qs = all_queries()
+    na = {r["t_days"]: r for r in qs["nelson_aalen_hazard"](spark, SF).collect()}
+    km = {r["t_days"]: r for r in qs["kaplan_meier_retention"](spark, SF).collect()}
+    assert set(na) == set(km)
+    prev = -1.0
+    for t in sorted(na):
+        assert (na[t]["at_risk"], na[t]["deaths"], na[t]["censored"]) == (
+            km[t]["at_risk"],
+            km[t]["deaths"],
+            km[t]["censored"],
+        )
+        assert na[t]["cum_hazard"] >= prev
+        prev = na[t]["cum_hazard"]
+        assert na[t]["breslow_survival"] >= km[t]["survival"] - 1e-9
+
+
+def test_hurst_matches_numpy_rs(spark):
+    from data_ingestion_project_spark.queries import all_queries
+
+    daily = duckdb.sql(
+        f"""SELECT CAST(o_orderdate AS DATE) AS d,
+                   SUM(CAST(trunc(o_totalprice * 100) AS BIGINT)) AS x
+            FROM '{SF}/orders.parquet' GROUP BY 1 ORDER BY 1"""
+    ).df()["x"].to_numpy(np.float64)
+    got = {r["m"]: r for r in all_queries()["hurst_exponent_rs"](spark, SF).collect()}
+    import math as _m
+
+    for m in (8, 16, 32):
+        n_blocks = len(daily) // m
+        rss = []
+        for b in range(n_blocks):
+            blk = daily[b * m : (b + 1) * m]
+            dev = np.cumsum(blk - blk.mean())
+            r = dev.max() - dev.min()
+            s = blk.std()  # population
+            rss.append(r / s)
+        assert got[m]["n_blocks"] == n_blocks
+        assert abs(got[m]["mean_rs"] - float(np.mean(rss))) <= 1e-3
+    ref_h = (_m.log2(np.mean([got[32]["mean_rs"]])) - _m.log2(got[8]["mean_rs"])) / 2
+    assert abs(got[8]["hurst"] - ref_h) <= 1e-3
+
+
+def test_hill_matches_numpy(spark):
+    from data_ingestion_project_spark.queries import all_queries
+
+    counts = duckdb.sql(
+        f"SELECT COUNT(*) AS x FROM '{SF}/orders.parquet' GROUP BY o_custkey"
+    ).df()["x"].to_numpy(np.float64)
+    xs = np.sort(counts)[::-1]
+    xk1 = xs[100]
+    tail = xs[:100]
+    tail = tail[tail > xk1]
+    h = float(np.mean(np.log(tail / xk1))) if len(tail) else 0.0
+    row = all_queries()["hill_tail_index"](spark, SF).collect()[0]
+    assert row["n_customers"] == len(counts)
+    assert row["tail_threshold"] == int(xk1)
+    assert row["k_used"] == len(tail)
+    assert abs(row["hill_h"] - h) <= 1e-6
+
+
+def test_trimmed_stats_match_numpy(spark):
+    from data_ingestion_project_spark.queries import all_queries
+
+    df = duckdb.sql(
+        f"""SELECT c_mktsegment AS seg,
+                   CAST(round(c_acctbal * 100, 0) AS BIGINT) AS v
+            FROM '{SF}/customer.parquet'"""
+    ).df()
+    got = {r["seg"]: r for r in all_queries()["trimmed_robust_stats"](spark, SF).collect()}
+    for seg, grp in df.groupby("seg"):
+        v = np.sort(grp["v"].to_numpy(np.float64))
+        n = len(v)
+        k = n * 5 // 100
+        trimmed = v[k : n - k]
+        lo, hi = v[k], v[n - k - 1]
+        wins = np.clip(v, lo, hi)
+        r = got[seg]
+        assert r["n"] == n and r["n_dropped"] == 2 * k
+        assert abs(r["mean_trimmed"] - trimmed.mean() / 100) <= 1e-4
+        assert r["winsor_lo"] == lo / 100 and r["winsor_hi"] == hi / 100
+        assert abs(r["mean_winsorized"] - wins.mean() / 100) <= 1e-4
+        assert abs(r["std_winsorized"] - wins.std() / 100) <= 1e-4
+
+
+def test_novelty_decay_matches_python(spark):
+    from data_ingestion_project_spark.queries import all_queries
+    import re
+
+    docs = duckdb.sql(
+        f"SELECT doc_id, lower(trim(text)) AS t FROM '{SF}/documents.parquet'"
+    ).fetchall()
+    lo = min(d for d, _ in docs)
+    hi = max(d for d, _ in docs)
+    per_tranche = defaultdict(Counter)
+    for did, t in docs:
+        tr = min(9, (did - lo) * 10 // (hi - lo + 1))
+        ws = re.split(r"\s+", t)
+        for i in range(len(ws) - 1):
+            per_tranche[tr][ws[i] + " " + ws[i + 1]] += 1
+    seen = set()
+    expected = {}
+    for tr in sorted(per_tranche):
+        cnt = per_tranche[tr]
+        new_types = {b for b in cnt if b not in seen}
+        expected[tr] = (
+            sum(cnt.values()),
+            len(cnt),
+            len(new_types),
+            sum(cnt[b] for b in new_types),
+        )
+        seen |= new_types
+    got = {r["tranche"]: r for r in all_queries()["ngram_novelty_decay"](spark, SF).collect()}
+    assert set(got) == set(expected)
+    cum = 0
+    for tr in sorted(expected):
+        toks, types, new_t, new_tok = expected[tr]
+        cum += new_t
+        r = got[tr]
+        assert (r["n_tokens"], r["n_types"], r["n_new_types"], r["cum_vocab"]) == (
+            toks,
+            types,
+            new_t,
+            cum,
+        )
+        assert abs(r["novel_token_share"] - new_tok / toks) <= 1e-6
+    # the decay property itself: the last tranche's novelty is below the first's
+    assert got[9]["novel_type_share"] < got[0]["novel_type_share"]
