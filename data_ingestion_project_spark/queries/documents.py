@@ -5149,7 +5149,331 @@ ORDER BY a.tranche
 """
 
 
+def youden_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimal operating point on the NB 'en'-detector's exact ROC —
+    the threshold t* maximizing Youden's J = TPR − FPR (predict 'en'
+    iff decision statistic ≥ t), with the full confusion matrix and
+    accuracy/F1 at t*. nb_auc_roc prices the score ORDERING; this
+    picks the cut a production filter would actually deploy, and the
+    J/accuracy gap shows what the class imbalance hides.
+
+    Plan: same frame discipline as nb_auc_roc — per-DISTINCT-statistic
+    positive/negative counts, exclusive cumulatives via the two-level
+    bucket-prefix (the only unpartitioned window runs over the
+    score-bucket partials), then the argmax is a TakeOrdered over the
+    distinct-statistic frame. Exactness: the ranking key is the EXACT
+    integer J·P·N = TP·N − FP·P folded in DECIMAL (a double J would
+    tie-break differently across engines); ties break by lower FPR
+    (exact FP compare) then lower threshold; reported rates are
+    value-determined doubles off the exact confusion counts."""
+    from pyspark.sql.window import Window
+
+    from data_ingestion_project_spark.operators.nb import nb_ovr_scores
+    from data_ingestion_project_spark.queries._precision import DEC_BUF
+
+    d = table(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("word"),
+    )
+    counts = (
+        words.groupBy("doc_id", "lang", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    st = nb_ovr_scores(counts, "en", label_col="lang")
+    per = (
+        st.groupBy("stat")
+        .agg(
+            F.sum("is_pos").alias("n_pos_s"),
+            F.sum(F.lit(1) - F.col("is_pos")).alias("n_neg_s"),
+        )
+        .withColumn("bkt", F.floor(F.col("stat") / F.lit(10_000)))
+        .localCheckpoint(eager=True)
+    )
+    tot = per.agg(
+        F.sum("n_pos_s").alias("p"), F.sum("n_neg_s").alias("nn")
+    )
+    bp = per.groupBy("bkt").agg(
+        F.sum("n_neg_s").alias("b_neg"), F.sum("n_pos_s").alias("b_pos")
+    )
+    wb = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    prefix = bp.select(
+        "bkt",
+        F.coalesce(F.sum("b_neg").over(wb), F.lit(0)).alias("p_neg"),
+        F.coalesce(F.sum("b_pos").over(wb), F.lit(0)).alias("p_pos"),
+    )
+    wv = Window.partitionBy("bkt").orderBy("stat").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = per.join(F.broadcast(prefix), "bkt").select(
+        "stat",
+        (
+            F.col("p_neg") + F.coalesce(F.sum("n_neg_s").over(wv), F.lit(0))
+        ).alias("neg_below"),
+        (
+            F.col("p_pos") + F.coalesce(F.sum("n_pos_s").over(wv), F.lit(0))
+        ).alias("pos_below"),
+    )
+    conf = cum.crossJoin(F.broadcast(tot)).select(
+        "stat",
+        "p",
+        "nn",
+        (F.col("p") - F.col("pos_below")).alias("tp"),
+        (F.col("nn") - F.col("neg_below")).alias("fp"),
+    )
+    key = F.col("tp").cast(DEC_BUF) * F.col("nn").cast(DEC_BUF) - F.col("fp").cast(
+        DEC_BUF
+    ) * F.col("p").cast(DEC_BUF)
+    best = (
+        conf.withColumn("jkey", key)
+        .orderBy(F.col("jkey").desc(), F.col("fp").asc(), F.col("stat").asc())
+        .limit(1)
+    )
+    tp, fp = F.col("tp").cast("double"), F.col("fp").cast("double")
+    pd_, nd_ = F.col("p").cast("double"), F.col("nn").cast("double")
+    fn = pd_ - tp
+    tn = nd_ - fp
+    return best.select(
+        F.col("stat").cast("long").alias("threshold_stat"),
+        F.col("tp").cast("long").alias("tp"),
+        F.col("fp").cast("long").alias("fp"),
+        (F.col("p") - F.col("tp")).cast("long").alias("fn"),
+        (F.col("nn") - F.col("fp")).cast("long").alias("tn"),
+        floor_round(tp / pd_, 6).alias("tpr"),
+        floor_round(fp / nd_, 6).alias("fpr"),
+        floor_round(tp / pd_ - fp / nd_, 6).alias("youden_j"),
+        floor_round((tp + tn) / (pd_ + nd_), 6).alias("accuracy"),
+        floor_round(
+            F.lit(2.0) * tp / (F.lit(2.0) * tp + fp + fn), 6
+        ).alias("f1"),
+    )
+
+
+ORACLE_YOUDEN_THRESHOLD = _NB_MODEL_CTES + """
+sc AS (
+  SELECT s.doc_id, s.true_lang, s.m_lang, s.ll + p.p AS score
+  FROM scored s JOIN prior p ON p.m_lang = s.m_lang
+), pos AS (
+  SELECT doc_id, CASE WHEN true_lang = 'en' THEN 1 ELSE 0 END AS is_pos,
+         score AS s_pos
+  FROM sc WHERE m_lang = 'en'
+), oth AS (
+  SELECT doc_id, MAX(score) AS s_oth FROM sc WHERE m_lang <> 'en' GROUP BY 1
+), st AS (
+  SELECT p.is_pos, CAST(p.s_pos - o.s_oth AS BIGINT) AS stat
+  FROM pos p JOIN oth o USING (doc_id)
+), per AS (
+  SELECT stat, SUM(is_pos) AS n_pos_s, SUM(1 - is_pos) AS n_neg_s
+  FROM st GROUP BY 1
+), tot AS (SELECT SUM(n_pos_s) AS p, SUM(n_neg_s) AS nn FROM per),
+cum AS (
+  SELECT stat,
+         COALESCE(SUM(n_neg_s) OVER w, 0) AS neg_below,
+         COALESCE(SUM(n_pos_s) OVER w, 0) AS pos_below
+  FROM per
+  WINDOW w AS (ORDER BY stat ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+), conf AS (
+  SELECT stat, p, nn, p - pos_below AS tp, nn - neg_below AS fp
+  FROM cum CROSS JOIN tot
+), best AS (
+  SELECT * FROM conf
+  ORDER BY CAST(tp AS HUGEINT) * nn - CAST(fp AS HUGEINT) * p DESC,
+           fp ASC, stat ASC
+  LIMIT 1
+)
+SELECT CAST(stat AS BIGINT) AS threshold_stat,
+       CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+       CAST(p - tp AS BIGINT) AS fn, CAST(nn - fp AS BIGINT) AS tn,
+       sign(CAST(tp AS DOUBLE) / p)
+       * floor(abs(CAST(tp AS DOUBLE) / p) * 1000000.0 + 0.5) / 1000000.0 AS tpr,
+       sign(CAST(fp AS DOUBLE) / nn)
+       * floor(abs(CAST(fp AS DOUBLE) / nn) * 1000000.0 + 0.5) / 1000000.0 AS fpr,
+       sign(CAST(tp AS DOUBLE) / p - CAST(fp AS DOUBLE) / nn)
+       * floor(abs(CAST(tp AS DOUBLE) / p - CAST(fp AS DOUBLE) / nn)
+              * 1000000.0 + 0.5) / 1000000.0 AS youden_j,
+       sign((CAST(tp AS DOUBLE) + (CAST(nn AS DOUBLE) - fp))
+            / (CAST(p AS DOUBLE) + CAST(nn AS DOUBLE)))
+       * floor(abs((CAST(tp AS DOUBLE) + (CAST(nn AS DOUBLE) - fp))
+                   / (CAST(p AS DOUBLE) + CAST(nn AS DOUBLE)))
+              * 1000000.0 + 0.5) / 1000000.0 AS accuracy,
+       sign(2.0 * CAST(tp AS DOUBLE)
+            / (2.0 * CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE)
+               + (CAST(p AS DOUBLE) - tp)))
+       * floor(abs(2.0 * CAST(tp AS DOUBLE)
+                   / (2.0 * CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE)
+                      + (CAST(p AS DOUBLE) - tp))) * 1000000.0 + 0.5)
+         / 1000000.0 AS f1
+FROM best
+"""
+
+
+def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit V = K·Nᵝ of the bigram vocabulary growth curve —
+    the corpus LAW under ngram_novelty_decay's trajectory: β near 1
+    means vocabulary still grows linearly with data (keep acquiring),
+    β → 0 means saturation; K and β together predict the vocabulary a
+    10× larger crawl would bring, which is the capacity-planning
+    number a tokenizer/embedding-table designer needs in advance.
+
+    Plan: the same ONE (tranche, bigram) shuffle as the novelty curve
+    (10 doc_id-order tranches), reduced to 10 cumulative (N, V)
+    points; the log-log OLS fit runs on that 10-row frame. Exactness:
+    cumulative N and V are exact integers (10×10 triangle join); each
+    point's ln quantizes to 1e-8 integers immediately (the KM idiom,
+    one libm call per TRANCHE); the OLS moments fold as exact
+    integers and β, ln K, R² are value-determined doubles."""
+    d = table(spark, sf_dir, "documents")
+    span = d.agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
+    toks = (
+        d.crossJoin(F.broadcast(span))
+        .select(
+            F.least(
+                F.lit(9),
+                (
+                    (F.col("doc_id") - F.col("lo"))
+                    * 10
+                    / (F.col("hi") - F.col("lo") + 1)
+                ).cast("long"),
+            ).alias("tranche"),
+            F.split(F.lower(F.trim("text")), r"\s+").alias("a"),
+        )
+        .withColumn("n", F.size("a"))
+    )
+    bigrams = (
+        toks.filter(F.col("n") >= 2)
+        .select(
+            "tranche",
+            F.explode(
+                F.arrays_zip(
+                    F.slice("a", 1, F.col("n") - 1).alias("w1"),
+                    F.slice("a", 2, F.col("n") - 1).alias("w2"),
+                )
+            ).alias("p"),
+        )
+        .select("tranche", F.concat_ws(" ", F.col("p.w1"), F.col("p.w2")).alias("bg"))
+    )
+    tb = bigrams.groupBy("tranche", "bg").agg(F.count(F.lit(1)).alias("c"))
+    first = tb.groupBy("bg").agg(F.min("tranche").alias("first_tranche"))
+    per = (
+        tb.join(first, "bg")
+        .groupBy("tranche")
+        .agg(
+            F.sum("c").alias("toks"),
+            F.sum(
+                F.when(F.col("first_tranche") == F.col("tranche"), 1).otherwise(0)
+            ).alias("newv"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    prior = per.select(
+        F.col("tranche").alias("t2"),
+        F.col("toks").alias("tk2"),
+        F.col("newv").alias("nv2"),
+    )
+    pts = (
+        per.join(F.broadcast(prior), F.col("t2") <= F.col("tranche"))
+        .groupBy("tranche")
+        .agg(F.sum("tk2").alias("cum_n"), F.sum("nv2").alias("cum_v"))
+        .select(
+            F.round(F.log(F.col("cum_n").cast("double")) * F.lit(1.0e8), 0)
+            .cast("long")
+            .alias("lx"),
+            F.round(F.log(F.col("cum_v").cast("double")) * F.lit(1.0e8), 0)
+            .cast("long")
+            .alias("ly"),
+        )
+    )
+    _d38 = "decimal(38,0)"
+    m = pts.agg(
+        F.count(F.lit(1)).alias("np"),
+        F.sum(F.col("lx").cast(_d38)).alias("sx"),
+        F.sum(F.col("ly").cast(_d38)).alias("sy"),
+        F.sum(F.col("lx").cast(_d38) * F.col("ly").cast(_d38)).alias("sxy"),
+        F.sum(F.col("lx").cast(_d38) * F.col("lx").cast(_d38)).alias("sxx"),
+        F.sum(F.col("ly").cast(_d38) * F.col("ly").cast(_d38)).alias("syy"),
+    )
+    npd = F.col("np").cast("double")
+    num = F.col("np").cast(_d38) * F.col("sxy") - F.col("sx") * F.col("sy")
+    denx = F.col("np").cast(_d38) * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny = F.col("np").cast(_d38) * F.col("syy") - F.col("sy") * F.col("sy")
+    beta = num.cast("double") / denx.cast("double")
+    lnk = (
+        F.col("sy").cast("double") / F.lit(1.0e8)
+        - beta * F.col("sx").cast("double") / F.lit(1.0e8)
+    ) / npd
+    r2 = (num.cast("double") * num.cast("double")) / (
+        denx.cast("double") * deny.cast("double")
+    )
+    return m.select(
+        F.col("np").cast("long").alias("n_points"),
+        floor_round(beta, 6).alias("heaps_beta"),
+        floor_round(F.exp(lnk), 4).alias("heaps_k"),
+        floor_round(r2, 6).alias("r2_loglog"),
+    )
+
+
+ORACLE_HEAPS_LAW_FIT = """
+WITH span AS (SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi FROM documents),
+toks AS (
+  SELECT least(9, CAST((doc_id - lo) * 10 // (hi - lo + 1) AS BIGINT)) AS tranche,
+         string_split_regex(lower(trim(text)), '\\s+') AS a
+  FROM documents CROSS JOIN span
+), bigrams AS (
+  SELECT tranche, a[i] || ' ' || a[i + 1] AS bg
+  FROM toks, LATERAL (SELECT unnest(range(1, len(a))) AS i) _
+  WHERE len(a) >= 2
+), tb AS (
+  SELECT tranche, bg, COUNT(*) AS c FROM bigrams GROUP BY 1, 2
+), first AS (
+  SELECT bg, MIN(tranche) AS first_tranche FROM tb GROUP BY 1
+), per AS (
+  SELECT tranche, SUM(c) AS toks,
+         SUM(CASE WHEN first_tranche = tranche THEN 1 ELSE 0 END) AS newv
+  FROM tb JOIN first USING (bg) GROUP BY 1
+), pts AS (
+  SELECT CAST(round(ln(CAST(SUM(b.toks) AS DOUBLE)) * 1e8, 0) AS BIGINT) AS lx,
+         CAST(round(ln(CAST(SUM(b.newv) AS DOUBLE)) * 1e8, 0) AS BIGINT) AS ly
+  FROM per a JOIN per b ON b.tranche <= a.tranche
+  GROUP BY a.tranche
+), m AS (
+  SELECT COUNT(*) AS np,
+         SUM(CAST(lx AS HUGEINT)) AS sx, SUM(CAST(ly AS HUGEINT)) AS sy,
+         SUM(CAST(lx AS HUGEINT) * ly) AS sxy,
+         SUM(CAST(lx AS HUGEINT) * lx) AS sxx,
+         SUM(CAST(ly AS HUGEINT) * ly) AS syy
+  FROM pts
+)
+SELECT CAST(np AS BIGINT) AS n_points,
+       sign(CAST(np * sxy - sx * sy AS DOUBLE) / CAST(np * sxx - sx * sx AS DOUBLE))
+       * floor(abs(CAST(np * sxy - sx * sy AS DOUBLE)
+                   / CAST(np * sxx - sx * sx AS DOUBLE)) * 1000000.0 + 0.5)
+         / 1000000.0 AS heaps_beta,
+       sign(exp((CAST(sy AS DOUBLE) / 1e8
+                 - (CAST(np * sxy - sx * sy AS DOUBLE)
+                    / CAST(np * sxx - sx * sx AS DOUBLE))
+                   * CAST(sx AS DOUBLE) / 1e8) / np))
+       * floor(abs(exp((CAST(sy AS DOUBLE) / 1e8
+                        - (CAST(np * sxy - sx * sy AS DOUBLE)
+                           / CAST(np * sxx - sx * sx AS DOUBLE))
+                          * CAST(sx AS DOUBLE) / 1e8) / np)) * 10000.0 + 0.5)
+         / 10000.0 AS heaps_k,
+       sign((CAST(np * sxy - sx * sy AS DOUBLE) * CAST(np * sxy - sx * sy AS DOUBLE))
+            / (CAST(np * sxx - sx * sx AS DOUBLE)
+               * CAST(np * syy - sy * sy AS DOUBLE)))
+       * floor(abs((CAST(np * sxy - sx * sy AS DOUBLE)
+                    * CAST(np * sxy - sx * sy AS DOUBLE))
+                   / (CAST(np * sxx - sx * sx AS DOUBLE)
+                      * CAST(np * syy - sy * sy AS DOUBLE))) * 1000000.0 + 0.5)
+         / 1000000.0 AS r2_loglog
+FROM m
+"""
+
+
 QUERIES = {
+    "heaps_law_fit": heaps_law_fit,
+    "youden_threshold": youden_threshold,
     "ngram_novelty_decay": ngram_novelty_decay,
     "chao1_vocab_richness": chao1_vocab_richness,
     "pmi_collocations": pmi_collocations,
@@ -5230,6 +5554,8 @@ if _HAVE_PIL:
     QUERIES["jpeg_decode_stats_fast"] = jpeg_decode_stats_fast
 
 ORACLE = {
+    "heaps_law_fit": ORACLE_HEAPS_LAW_FIT,
+    "youden_threshold": ORACLE_YOUDEN_THRESHOLD,
     "ngram_novelty_decay": ORACLE_NGRAM_NOVELTY_DECAY,
     "chao1_vocab_richness": ORACLE_CHAO1_VOCAB_RICHNESS,
     "pmi_collocations": ORACLE_PMI_COLLOCATIONS,

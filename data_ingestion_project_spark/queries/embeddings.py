@@ -1635,7 +1635,140 @@ ORDER BY cent_id
 """
 
 
+def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding DRIFT between the first and second half of
+    the corpus (vec_id order — the arrival proxy): cosine similarity
+    and L2 distance between each label's half-A and half-B centroids.
+    The embedding-space monitoring a production vector pipeline runs
+    on every model/version boundary — psi_length_drift watches a
+    scalar distribution; this watches the 64-d geometry, per class,
+    and a label whose centroid cosine sags is the retraining trigger.
+
+    Plan/exactness: the one corpus pass quantizes coordinates to 1e-4
+    integers and folds (label, half, dim) → (n, Σq) cells (pca.py
+    posture — ≤ labels×2×64 cells at any corpus size). Centroid cosine
+    needs NO normalization by n or the quantizer: cos = ⟨ΣqA, ΣqB⟩ /
+    (|ΣqA|·|ΣqB|) because the scalars cancel — all three inner
+    products fold as exact DECIMAL(38,0) over the 64-cell frames. The
+    L2 distance uses the davies_bouldin cross-multiplied exact
+    numerator Σ(ΣqA·n_B − ΣqB·n_A)² / (n_A·n_B·Q). One sqrt/division
+    per label, value-determined."""
+    e = table(spark, sf_dir, "embeddings")
+    corpus = e.filter(F.col("vec_id") != QUERY_VEC_ID)
+    span = corpus.agg(F.min("vec_id").alias("lo"), F.max("vec_id").alias("hi"))
+    _d38 = "decimal(38,0)"
+    qcell = (
+        corpus.crossJoin(F.broadcast(span))
+        .select(
+            "label",
+            F.when(
+                F.col("vec_id") * 2 <= F.col("lo") + F.col("hi"), "A"
+            ).otherwise("B").alias("half"),
+            F.posexplode(
+                F.transform("embedding", lambda x: x.cast("double"))
+            ).alias("dim", "x"),
+        )
+        .select(
+            "label",
+            "half",
+            "dim",
+            (F.col("x") * F.lit(float(_DB_Q))).cast("long").alias("q"),
+        )
+    )
+    cells = (
+        qcell.groupBy("label", "half", "dim")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("q").alias("sq"))
+        .localCheckpoint(eager=True)
+    )
+    a = cells.filter(F.col("half") == "A").select(
+        "label", "dim", F.col("n").alias("na"), F.col("sq").alias("qa")
+    )
+    b = cells.filter(F.col("half") == "B").select(
+        "label", "dim", F.col("n").alias("nb"), F.col("sq").alias("qb")
+    )
+    per = (
+        a.join(b, ["label", "dim"])
+        .groupBy("label")
+        .agg(
+            F.max("na").cast("long").alias("n_a"),
+            F.max("nb").cast("long").alias("n_b"),
+            F.sum(F.col("qa").cast(_d38) * F.col("qb").cast(_d38)).alias("dab"),
+            F.sum(F.col("qa").cast(_d38) * F.col("qa").cast(_d38)).alias("daa"),
+            F.sum(F.col("qb").cast(_d38) * F.col("qb").cast(_d38)).alias("dbb"),
+            F.sum(
+                (
+                    F.col("qa").cast(_d38) * F.col("nb").cast(_d38)
+                    - F.col("qb").cast(_d38) * F.col("na").cast(_d38)
+                )
+                * (
+                    F.col("qa").cast(_d38) * F.col("nb").cast(_d38)
+                    - F.col("qb").cast(_d38) * F.col("na").cast(_d38)
+                )
+            ).alias("l2num"),
+        )
+    )
+    cos = F.col("dab").cast("double") / F.sqrt(
+        F.col("daa").cast("double") * F.col("dbb").cast("double")
+    )
+    l2 = (
+        F.sqrt(F.col("l2num").cast("double"))
+        / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+        / F.lit(float(_DB_Q))
+    )
+    return per.select(
+        "label",
+        "n_a",
+        "n_b",
+        floor_round(cos, 6).alias("centroid_cosine"),
+        floor_round(l2, 6).alias("centroid_l2"),
+    ).orderBy("label")
+
+
+ORACLE_EMBEDDING_CENTROID_DRIFT = f"""
+WITH corpus AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+  WHERE vec_id <> {QUERY_VEC_ID}
+), span AS (SELECT MIN(vec_id) AS lo, MAX(vec_id) AS hi FROM corpus),
+qcell AS (
+  SELECT label,
+         CASE WHEN vec_id * 2 <= lo + hi THEN 'A' ELSE 'B' END AS half,
+         g.dim AS dim,
+         CAST(trunc(v[g.dim] * {_DB_Q}.0) AS BIGINT) AS q
+  FROM corpus CROSS JOIN span CROSS JOIN generate_series(1, 64) g(dim)
+), cells AS (
+  SELECT label, half, dim, COUNT(*) AS n, SUM(q) AS sq
+  FROM qcell GROUP BY 1, 2, 3
+), per AS (
+  SELECT a.label,
+         CAST(MAX(a.n) AS BIGINT) AS n_a, CAST(MAX(b.n) AS BIGINT) AS n_b,
+         SUM(CAST(a.sq AS HUGEINT) * b.sq) AS dab,
+         SUM(CAST(a.sq AS HUGEINT) * a.sq) AS daa,
+         SUM(CAST(b.sq AS HUGEINT) * b.sq) AS dbb,
+         SUM((CAST(a.sq AS HUGEINT) * b.n - CAST(b.sq AS HUGEINT) * a.n)
+             * (CAST(a.sq AS HUGEINT) * b.n - CAST(b.sq AS HUGEINT) * a.n))
+           AS l2num
+  FROM (SELECT * FROM cells WHERE half = 'A') a
+  JOIN (SELECT * FROM cells WHERE half = 'B') b
+    ON b.label = a.label AND b.dim = a.dim
+  GROUP BY 1
+)
+SELECT label, n_a, n_b,
+       sign(CAST(dab AS DOUBLE) / sqrt(CAST(daa AS DOUBLE) * CAST(dbb AS DOUBLE)))
+       * floor(abs(CAST(dab AS DOUBLE)
+                   / sqrt(CAST(daa AS DOUBLE) * CAST(dbb AS DOUBLE)))
+              * 1000000.0 + 0.5) / 1000000.0 AS centroid_cosine,
+       sign(sqrt(CAST(l2num AS DOUBLE))
+            / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) / {_DB_Q}.0)
+       * floor(abs(sqrt(CAST(l2num AS DOUBLE))
+                   / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) / {_DB_Q}.0)
+              * 1000000.0 + 0.5) / 1000000.0 AS centroid_l2
+FROM per
+ORDER BY label
+"""
+
+
 QUERIES = {
+    "embedding_centroid_drift": embedding_centroid_drift,
     "simplified_silhouette": simplified_silhouette,
     "decision_stump_splits": decision_stump_splits,
     "embedding_davies_bouldin": embedding_davies_bouldin,
@@ -1660,6 +1793,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "embedding_centroid_drift": ORACLE_EMBEDDING_CENTROID_DRIFT,
     "simplified_silhouette": ORACLE_SIMPLIFIED_SILHOUETTE,
     "decision_stump_splits": ORACLE_DECISION_STUMP_SPLITS,
     "embedding_davies_bouldin": ORACLE_EMBEDDING_DAVIES_BOULDIN,

@@ -3424,7 +3424,138 @@ FROM g CROSS JOIN xk1 CROSS JOIN nstat
 """
 
 
+def cramers_v_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V association matrix over the event stream's
+    categorical facets — event_type × ISO weekday × 6-hour daypart,
+    all three pairwise strengths in ONE query: V = √(χ²/(n·min(r−1,
+    c−1))) normalizes chi-square onto [0,1] so facet pairs of
+    DIFFERENT table shapes become comparable (chisq_event_dow reports
+    one pair's raw statistic; this is the one-stop drift-audit grid a
+    data-quality dashboard shows).
+
+    Plan: ONE events pass to the 3-way (type, dow, daypart) cube —
+    ≤ |types|·7·4 cells at any corpus size — then each pair's
+    contingency table is a marginalization of that cube (zero extra
+    fact scans). Exactness: the chisq_event_dow discipline per pair —
+    expected counts from exact integer marginals (cast-first doubles),
+    per-cell (O−E)²/E micro-quantized to int64, χ² the exact integer
+    sum; V's sqrt is one value-determined double per pair."""
+    e = table(spark, sf_dir, "events")
+    cube = (
+        e.groupBy(
+            F.col("event_type").alias("t"),
+            (F.expr("weekday(ts)") + F.lit(1)).alias("dw"),
+            F.floor(F.hour("ts") / F.lit(6)).alias("hp"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
+
+    def _pair(name: str, acol: str, bcol: str) -> DataFrame:
+        cells = cube.groupBy(F.col(acol).alias("a"), F.col(bcol).alias("b")).agg(
+            F.sum("c").alias("o")
+        )
+        ra = cells.groupBy("a").agg(F.sum("o").alias("rt"))
+        cb = cells.groupBy("b").agg(F.sum("o").alias("ct"))
+        tt = cells.agg(
+            F.sum("o").alias("n"),
+            F.count_distinct("a").alias("r"),
+            F.count_distinct("b").alias("k"),
+        )
+        j = (
+            cells.join(F.broadcast(ra), "a")
+            .join(F.broadcast(cb), "b")
+            .crossJoin(F.broadcast(tt))
+        )
+        exp_d = (
+            F.col("rt").cast("double") * F.col("ct").cast("double")
+        ) / F.col("n")
+        diff = F.col("o").cast("double") - exp_d
+        cellq = j.select(
+            "n",
+            "r",
+            "k",
+            _micro(diff * diff / exp_d).alias("cell_i"),
+        )
+        return cellq.groupBy("n", "r", "k").agg(
+            F.sum(F.col("cell_i").cast("decimal(38,0)")).alias("chi_i")
+        ).select(
+            F.lit(name).alias("pair"),
+            F.col("n").cast("long").alias("n"),
+            ((F.col("r") - 1) * (F.col("k") - 1)).cast("long").alias("dof"),
+            (F.col("chi_i").cast("double") / F.lit(float(_M))).alias("chi2_raw"),
+            F.least(F.col("r") - 1, F.col("k") - 1).alias("mindim"),
+        )
+
+    pairs = (
+        _pair("event_type:weekday", "t", "dw")
+        .unionByName(_pair("event_type:daypart", "t", "hp"))
+        .unionByName(_pair("weekday:daypart", "dw", "hp"))
+    )
+    v = F.sqrt(
+        F.col("chi2_raw") / (F.col("n").cast("double") * F.col("mindim").cast("double"))
+    )
+    return pairs.select(
+        "pair",
+        "n",
+        "dof",
+        _floor_round(F.col("chi2_raw"), 4).alias("chi2"),
+        _floor_round(v, 6).alias("cramers_v"),
+    ).orderBy("pair")
+
+
+def _oracle_cramers_pair(name: str, acol: str, bcol: str) -> str:
+    return f"""
+  SELECT '{name}' AS pair, n, CAST((r - 1) * (k - 1) AS BIGINT) AS dof,
+         chi2_raw, mindim
+  FROM (
+    SELECT MAX(t.n) AS n, MAX(t.r) AS r, MAX(t.k) AS k,
+           CAST(SUM(CAST(trunc((CAST(cells.o AS DOUBLE) - e.exp_d)
+                               * (CAST(cells.o AS DOUBLE) - e.exp_d) / e.exp_d
+                               * 1000000) AS BIGINT)) AS DOUBLE) / 1000000.0
+             AS chi2_raw,
+           least(MAX(t.r) - 1, MAX(t.k) - 1) AS mindim
+    FROM (
+      SELECT {acol} AS a, {bcol} AS b, SUM(c) AS o FROM cube GROUP BY 1, 2
+    ) cells
+    JOIN (SELECT {acol} AS a, SUM(c) AS rt FROM cube GROUP BY 1) ra USING (a)
+    JOIN (SELECT {bcol} AS b, SUM(c) AS ct FROM cube GROUP BY 1) cb USING (b)
+    CROSS JOIN (
+      SELECT SUM(c) AS n, COUNT(DISTINCT {acol}) AS r,
+             COUNT(DISTINCT {bcol}) AS k
+      FROM cube
+    ) t
+    CROSS JOIN LATERAL (
+      SELECT CAST(ra.rt AS DOUBLE) * CAST(cb.ct AS DOUBLE) / t.n AS exp_d
+    ) e
+  )"""
+
+
+ORACLE_CRAMERS_V_MATRIX = f"""
+WITH cube AS (
+  SELECT event_type AS t, CAST(date_part('isodow', ts) AS INT) AS dw,
+         CAST(date_part('hour', ts) // 6 AS BIGINT) AS hp,
+         COUNT(*) AS c
+  FROM events GROUP BY 1, 2, 3
+), pairs AS (
+{_oracle_cramers_pair("event_type:weekday", "t", "dw")}
+  UNION ALL
+{_oracle_cramers_pair("event_type:daypart", "t", "hp")}
+  UNION ALL
+{_oracle_cramers_pair("weekday:daypart", "dw", "hp")}
+)
+SELECT pair, CAST(n AS BIGINT) AS n, dof,
+       sign(chi2_raw) * floor(abs(chi2_raw) * 10000.0 + 0.5) / 10000.0 AS chi2,
+       sign(sqrt(chi2_raw / (CAST(n AS DOUBLE) * mindim)))
+       * floor(abs(sqrt(chi2_raw / (CAST(n AS DOUBLE) * mindim)))
+              * 1000000.0 + 0.5) / 1000000.0 AS cramers_v
+FROM pairs
+ORDER BY pair
+"""
+
+
 QUERIES = {
+    "cramers_v_matrix": cramers_v_matrix,
     "hill_tail_index": hill_tail_index,
     "hurst_exponent_rs": hurst_exponent_rs,
     "nelson_aalen_hazard": nelson_aalen_hazard,
@@ -3457,6 +3588,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "cramers_v_matrix": ORACLE_CRAMERS_V_MATRIX,
     "hill_tail_index": ORACLE_HILL_TAIL_INDEX,
     "hurst_exponent_rs": ORACLE_HURST_EXPONENT_RS,
     "nelson_aalen_hazard": ORACLE_NELSON_AALEN_HAZARD,

@@ -459,6 +459,9 @@ _GLOBAL_WINDOW_SANCTIONED = {
     # value-domain-sized); the per-statistic window is bucket-
     # partitioned (ks_length_drift posture)
     "nb_auc_roc",
+    # same score-bucket-partials prefix as nb_auc_roc (r9); the argmax
+    # over the distinct-statistic frame is Limit-bounded (TakeOrdered)
+    "youden_threshold",
     # CUSUM prefix: runs over the per-DAY revenue aggregate — the
     # observation span in days (calendar-bounded, the KM posture);
     # the corpus-sized side is reduced by the groupBy(day) first

