@@ -24,72 +24,70 @@ from data_ingestion_project_spark.queries import advanced, documents, embeddings
 _MODULES = (tpch, tpch2, events, documents, embeddings, advanced, stats)
 
 # The driver's correctness gate certifies the FIRST 50 entries of
-# all_queries() in dict order.  Round-8 window (r7 ask #3 rotation):
-# every round-8 addition (never certified — they must enter the merged
-# record this round to keep the every-declared-query-certified
-# invariant), then the 4 surviving r03-era certifications (the stalest
-# driver rows anywhere), then the alphabetical head of the r04 era.
-# Every window entry was locally re-verified value-exact (or rows-only
-# where by-design) at sf0.01 via tools/check_oracle.py before
-# declaring; the 14 remaining r04-era rows (quantile_sketch_rollup ..
-# zipf_slope_by_lang) roll to the r09 window.  Names not listed here
-# keep module order.
+# all_queries() in dict order.  Round-9 window: every round-9 addition
+# (never certified — they must enter the merged record this round to
+# keep the every-declared-query-certified invariant), then the 14
+# surviving r04-era certifications (the stalest driver rows anywhere),
+# then the alphabetical head of the r05 era.  Every window entry was
+# locally re-verified value-exact (or rows-only where by-design) at
+# sf0.01 via tools/check_oracle.py before declaring; the remaining
+# r05-era rows (lang_stats .. user_sessions) roll to the r10 window.
+# Names not listed here keep module order.
 _DRIVER_PRIORITY = (
-    # -- never driver-certified (round-8 additions) --
-    "spearman_price_quantity",
-    "mannwhitney_event_values",
-    "kendall_tau_daily",
-    "pmi_collocations",
-    "decision_stump_splits",
-    "hits_purchase_graph",
-    "supplier_herfindahl_by_nation",
-    "cohort_ltv_curve",
-    "dau_wau_mau_stickiness",
-    "order_interarrival_stats",
-    "simpson_paradox_audit",
-    "entropy_rate_markov",
-    "text_readability_scores",
-    # -- r03-era certifications (stalest driver rows) --
-    "top2_orders_lateral",
-    "top_similar_pairs",
-    "user_scd2_summary",
-    "wealthy_inactive_customers",
-    # -- r04-era certifications (alphabetical head; tail rolls to r09) --
-    "approx_daily_active_users",
-    "approx_order_price_quantiles",
-    "approx_top_words",
-    "batch_knn_search",
-    "benchmark_contamination",
-    "bpe_learned_merges",
-    "bpe_real_token_stats",
-    "bpe_token_stats",
-    "ccnet_perplexity_buckets",
-    "chunk_dup_stats",
-    "contrastive_training_pairs",
-    "dedup_funnel",
-    "dsir_importance_weights",
-    "dup_cluster_sizes",
-    "dup_cluster_sizes_star",
-    "dup_graph_pagerank",
-    "dup_graph_triangles",
-    "embedding_cluster_stats",
-    "event_type_lift",
-    "knn_brute_force",
-    "knn_ivf_approx",
-    "knn_ivf_disk",
-    "knn_lsh_approx",
-    "knn_pq_approx",
-    "leakage_safe_split",
-    "media_decode_stats",
-    "media_feature_stats",
-    "minhash_near_dups",
-    "minhash_recall",
-    "modality_dedup_agreement",
-    "nb_lang_confusion",
-    "near_dup_jaccard_prefix",
-    "orders_profile",
-    # quantile_sketch_rollup .. zipf_slope_by_lang (r04 tail) roll to
-    # the r09 window.  This tuple is exactly 50 names = the full window.
+    # -- never driver-certified (round-9 additions) --
+    "peak_concurrent_sessions",
+    "cuped_ab_test",
+    "crosscorr_leadlag",
+    "ols_multivariate",
+    "cmh_stratified_test",
+    "kruskal_wallis_event_values",
+    "nelson_aalen_hazard",
+    "hurst_exponent_rs",
+    "hill_tail_index",
+    "cramers_v_matrix",
+    "chao1_vocab_richness",
+    "ngram_novelty_decay",
+    "heaps_law_fit",
+    "youden_threshold",
+    "simplified_silhouette",
+    "embedding_centroid_drift",
+    "apriori_triples",
+    "trimmed_robust_stats",
+    # -- r04-era certifications (stalest driver rows; the tail) --
+    "quantile_sketch_rollup",
+    "segment_richest_customer",
+    "segment_wealth_percentiles",
+    "semdedup_summary",
+    "sequence_packing",
+    "simhash_near_dups",
+    "sketch_rollup_dau",
+    "source_data_cards",
+    "substring_dup_stats",
+    "theta_weekly_retention",
+    "token_stats",
+    "training_shard_plan",
+    "winnow_overlap_top",
+    "zipf_slope_by_lang",
+    # -- r05-era certifications (alphabetical head; tail rolls to r10) --
+    "big_orders",
+    "brand_band_revenue",
+    "brand_price_stats",
+    "cheapest_regional_supplier",
+    "corpus_mixture_plan",
+    "cube_revenue",
+    "customer_order_distribution",
+    "customers_in_both_statuses",
+    "customers_without_orders",
+    "daily_active_users",
+    "daily_event_anomalies",
+    "doc_repetition_stats",
+    "dominant_part_suppliers",
+    "event_transitions",
+    "event_value_by_type_salted",
+    "events_one_day_by_type",
+    "excess_returned_parts",
+    "hourly_event_stats",
+    # This tuple is exactly 50 names = the full window.
 )
 
 

@@ -2935,10 +2935,12 @@ def kruskal_wallis_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale/exactness: one conditional-count pass to the per-(value,
     type) frame; mid-ranks come from the two-level bucket-prefix
     rank2_map (DOUBLED ranks stay exact integers through ties);
-    2R_g = Σ c_g·r2 folds in DECIMAL; each group's R_g²/n_g term is a
-    value-determined double quantized to 1e-6 integers before the
-    k-term fold (a 5-double sum would be engine-order-dependent); the
-    final H combination is one IEEE expression over exact integers."""
+    2R_g = Σ c_g·r2 folds in DECIMAL. The per-group term is quantized
+    in its NORMALIZED form 12·R_g²/(n_g·N·(N+1)) — bounded by ~4N, so
+    its 1e-6 integer fits int64 to ~1e12 rows — NOT as the raw
+    R_g²/n_g (which grows as N³ and wraps int64 at sf0.1 already; the
+    bench caught exactly that). The k-term fold is then exact integer
+    addition and the remaining H combination one IEEE expression."""
     from data_ingestion_project_spark.operators.quantiles import rank2_map
 
     e = table(spark, sf_dir, "events")
@@ -2954,12 +2956,19 @@ def kruskal_wallis_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("c").cast(_d38) * F.col("r2").cast(_d38)).alias("r2_g"),
         )
     )
-    # R_g²/n_g with R_g = r2_g/2 — value-determined per group, then
-    # quantized so the cross-group fold is exact integer addition
+    ntot = grp.agg(F.sum("n_g").alias("n"))
+    # NORMALIZED per-group term 12·(r2_g/2)²/(n_g·N·(N+1)) — bounded
+    # by ~4N — quantized so the cross-group fold is exact integer
+    # addition without the raw R² term's N³ blowup
+    nd0 = F.col("n").cast("double")
     term = (
-        F.col("r2_g").cast("double") / F.lit(2.0)
-    ) * (F.col("r2_g").cast("double") / F.lit(2.0)) / F.col("n_g").cast("double")
-    gq = grp.select(
+        F.lit(12.0)
+        * (F.col("r2_g").cast("double") / F.lit(2.0))
+        * (F.col("r2_g").cast("double") / F.lit(2.0))
+        / F.col("n_g").cast("double")
+        / (nd0 * (nd0 + F.lit(1.0)))
+    )
+    gq = grp.crossJoin(F.broadcast(ntot)).select(
         "event_type", "n_g", (term * F.lit(1.0e6)).cast("long").alias("t_i")
     )
     ties = ranks.agg(
@@ -2975,11 +2984,7 @@ def kruskal_wallis_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).crossJoin(F.broadcast(ties))
     nd = F.col("n").cast("double")
     kd = F.col("k").cast("double")
-    h = (
-        F.lit(12.0) / (nd * (nd + F.lit(1.0)))
-        * (F.col("st").cast("double") / F.lit(1.0e6))
-        - F.lit(3.0) * (nd + F.lit(1.0))
-    )
+    h = F.col("st").cast("double") / F.lit(1.0e6) - F.lit(3.0) * (nd + F.lit(1.0))
     corr = F.lit(1.0) - F.col("ties").cast("double") / (nd * nd * nd - nd)
     hc = h / corr
     return g.select(
@@ -3003,55 +3008,38 @@ per AS (
          SUM(CAST(per.c AS HUGEINT) * ranks.r2) AS r2_g
   FROM per JOIN ranks ON ranks.v = per.v
   GROUP BY 1
-), gq AS (
+), ntot AS (SELECT SUM(n_g) AS n0 FROM grp),
+gq AS (
   SELECT event_type, n_g,
-         CAST(trunc((CAST(r2_g AS DOUBLE) / 2.0) * (CAST(r2_g AS DOUBLE) / 2.0)
-                    / CAST(n_g AS DOUBLE) * 1000000.0) AS BIGINT) AS t_i
-  FROM grp
+         CAST(trunc(12.0 * (CAST(r2_g AS DOUBLE) / 2.0)
+                    * (CAST(r2_g AS DOUBLE) / 2.0)
+                    / CAST(n_g AS DOUBLE)
+                    / (CAST(n0 AS DOUBLE) * (CAST(n0 AS DOUBLE) + 1.0))
+                    * 1000000.0) AS BIGINT) AS t_i
+  FROM grp CROSS JOIN ntot
 ), tie AS (
   SELECT SUM(CAST(c AS HUGEINT) * c * c - CAST(c AS HUGEINT)) AS ties FROM ranks
 ), g AS (
   SELECT COUNT(*) AS k, SUM(n_g) AS n, SUM(CAST(t_i AS HUGEINT)) AS st
   FROM gq
+), stats AS (
+  SELECT n, k,
+         CAST(st AS DOUBLE) / 1000000.0 - 3.0 * (CAST(n AS DOUBLE) + 1.0) AS h,
+         1.0 - CAST(ties AS DOUBLE)
+           / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+              - CAST(n AS DOUBLE)) AS corr
+  FROM g CROSS JOIN tie
 )
 SELECT CAST(n AS BIGINT) AS n_total, CAST(k AS BIGINT) AS n_groups,
-       sign(12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
-            * (CAST(st AS DOUBLE) / 1000000.0)
-            - 3.0 * (CAST(n AS DOUBLE) + 1.0))
-       * floor(abs(12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
-                   * (CAST(st AS DOUBLE) / 1000000.0)
-                   - 3.0 * (CAST(n AS DOUBLE) + 1.0)) * 1000000.0 + 0.5)
-         / 1000000.0 AS h_stat,
-       sign((12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
-             * (CAST(st AS DOUBLE) / 1000000.0)
-             - 3.0 * (CAST(n AS DOUBLE) + 1.0))
-            / (1.0 - CAST(ties AS DOUBLE)
-               / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
-                  - CAST(n AS DOUBLE))))
-       * floor(abs((12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
-                    * (CAST(st AS DOUBLE) / 1000000.0)
-                    - 3.0 * (CAST(n AS DOUBLE) + 1.0))
-                   / (1.0 - CAST(ties AS DOUBLE)
-                      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
-                         - CAST(n AS DOUBLE)))) * 1000000.0 + 0.5)
-         / 1000000.0 AS h_tie_corrected,
-       sign(((12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
-              * (CAST(st AS DOUBLE) / 1000000.0)
-              - 3.0 * (CAST(n AS DOUBLE) + 1.0))
-             / (1.0 - CAST(ties AS DOUBLE)
-                / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
-                   - CAST(n AS DOUBLE)))
-             - CAST(k AS DOUBLE) + 1.0) / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)))
-       * floor(abs(((12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
-                     * (CAST(st AS DOUBLE) / 1000000.0)
-                     - 3.0 * (CAST(n AS DOUBLE) + 1.0))
-                    / (1.0 - CAST(ties AS DOUBLE)
-                       / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
-                          - CAST(n AS DOUBLE)))
-                    - CAST(k AS DOUBLE) + 1.0)
+       sign(h) * floor(abs(h) * 1000000.0 + 0.5) / 1000000.0 AS h_stat,
+       sign(h / corr) * floor(abs(h / corr) * 1000000.0 + 0.5) / 1000000.0
+         AS h_tie_corrected,
+       sign((h / corr - CAST(k AS DOUBLE) + 1.0)
+            / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)))
+       * floor(abs((h / corr - CAST(k AS DOUBLE) + 1.0)
                    / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))) * 1000000.0 + 0.5)
          / 1000000.0 AS epsilon_sq
-FROM g CROSS JOIN tie
+FROM stats
 """.format(rank2=_SQL_RANK2.format(v="v", src="base"))
 
 

@@ -1191,12 +1191,19 @@ WITH baskets AS (
   FROM l2 p1
   JOIN l2 p2 ON p1.x = p2.x AND p1.y < p2.y
   SEMI JOIN l2 f ON f.x = p1.y AND f.y = p2.y
-), t AS (
-  SELECT a.p_brand AS x, b.p_brand AS y, c.p_brand AS z, COUNT(*) AS support
+), ab AS (
+  -- stage the L2-frequent pair step explicitly (mirrors the Spark
+  -- plan): without it DuckDB materializes the full a x b x c triple
+  -- expansion before the candidate semi-filter
+  SELECT a.l_orderkey, a.p_brand AS x, b.p_brand AS y
   FROM fitems a
   JOIN fitems b ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
-  JOIN fitems c ON a.l_orderkey = c.l_orderkey AND b.p_brand < c.p_brand
-  SEMI JOIN c3 ON c3.x = a.p_brand AND c3.y = b.p_brand AND c3.z = c.p_brand
+  SEMI JOIN l2 ON l2.x = a.p_brand AND l2.y = b.p_brand
+), t AS (
+  SELECT ab.x, ab.y, c.p_brand AS z, COUNT(*) AS support
+  FROM ab
+  JOIN fitems c ON ab.l_orderkey = c.l_orderkey AND ab.y < c.p_brand
+  SEMI JOIN c3 ON c3.x = ab.x AND c3.y = ab.y AND c3.z = c.p_brand
   CROSS JOIN nb
   GROUP BY 1, 2, 3, nb.minsup
   HAVING COUNT(*) >= nb.minsup
