@@ -134,6 +134,26 @@ HEAVY = {
     "rfm_segments": "orders",
     "event_trigram_paths": "events",
     "dup_graph_bfs_depths": "documents",
+    # round-9 families: Apriori triple mining (the 3-join pruning
+    # cascade), NB-scored ROC operating point, centroid silhouette,
+    # sweep-line concurrency, the association grid, K-sample rank
+    # ANOVA (rank2_map under a 5-way split), robust trimmed stats,
+    # bigram richness + novelty (the heaviest doc-bigram shuffles;
+    # heaps_law_fit shares novelty's machinery verbatim and is not
+    # separately swept), CUPED per-user folds, Hurst block windows,
+    # per-label centroid drift
+    "apriori_triples": "lineitem",
+    "youden_threshold": "documents",
+    "simplified_silhouette": "embeddings",
+    "peak_concurrent_sessions": "events",
+    "cramers_v_matrix": "events",
+    "kruskal_wallis_event_values": "events",
+    "trimmed_robust_stats": "customer",
+    "chao1_vocab_richness": "documents",
+    "ngram_novelty_decay": "documents",
+    "cuped_ab_test": "events",
+    "hurst_exponent_rs": "orders",
+    "embedding_centroid_drift": "embeddings",
 }
 
 
