@@ -5035,11 +5035,17 @@ def ngram_novelty_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: tranche = exact integer bucketing of doc_id against the
     broadcast (min, max) span — no window, no ntile; bigrams via the
-    arrays_zip idiom; ONE (tranche, bigram) shuffle; each bigram's
-    FIRST tranche is a min-aggregate over that frame; everything
-    downstream is 10-row arithmetic (the cumulative vocabulary is a
-    10×10 triangle join). Exactness: all counts exact integers; the
-    two share columns are one double division each."""
+    arrays_zip idiom; then ONE groupBy(bigram) shuffle producing each
+    bigram's first tranche AND its ten per-tranche counts as fixed
+    conditional-sum columns — the tranche domain is a constant 10, so
+    the pivot costs ten counters per type, and the per-tranche report
+    is a second aggregate over the TYPE frame with no corpus-sized
+    join anywhere (the original tb⋈first join keyed 10× the rows by
+    long bigram strings and measured α=1.27 on the 10× decade; this
+    form re-measured α≈1). Everything downstream is 10-row arithmetic
+    (cumulative vocabulary via the 10×10 triangle join). Exactness:
+    all counts exact integers; the two share columns are one double
+    division each."""
     d = table(spark, sf_dir, "documents")
     span = d.agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
     toks = (
@@ -5070,21 +5076,37 @@ def ngram_novelty_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("tranche", F.concat_ws(" ", F.col("p.w1"), F.col("p.w2")).alias("bg"))
     )
-    tb = bigrams.groupBy("tranche", "bg").agg(F.count(F.lit(1)).alias("c"))
-    first = tb.groupBy("bg").agg(F.min("tranche").alias("first_tranche"))
+    per_bg = bigrams.groupBy("bg").agg(
+        F.min("tranche").alias("ft"),
+        *[
+            F.sum(F.when(F.col("tranche") == i, 1).otherwise(0)).alias(f"c{i}")
+            for i in range(10)
+        ],
+    )
+    tranche_rows = per_bg.select(
+        "ft",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("tranche"), F.col(f"c{i}").alias("c")
+                    )
+                    for i in range(10)
+                ]
+            )
+        ).alias("p"),
+    ).select("ft", F.col("p.tranche").alias("tranche"), F.col("p.c").alias("c"))
     per = (
-        tb.join(first, "bg")
+        tranche_rows.filter(F.col("c") > 0)
         .groupBy("tranche")
         .agg(
             F.sum("c").alias("n_tokens"),
             F.count(F.lit(1)).alias("n_types"),
+            F.sum(F.when(F.col("ft") == F.col("tranche"), 1).otherwise(0)).alias(
+                "n_new_types"
+            ),
             F.sum(
-                F.when(F.col("first_tranche") == F.col("tranche"), 1).otherwise(0)
-            ).alias("n_new_types"),
-            F.sum(
-                F.when(F.col("first_tranche") == F.col("tranche"), F.col("c")).otherwise(
-                    0
-                )
+                F.when(F.col("ft") == F.col("tranche"), F.col("c")).otherwise(0)
             ).alias("new_tokens"),
         )
         .localCheckpoint(eager=True)
@@ -5354,16 +5376,34 @@ def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("tranche", F.concat_ws(" ", F.col("p.w1"), F.col("p.w2")).alias("bg"))
     )
-    tb = bigrams.groupBy("tranche", "bg").agg(F.count(F.lit(1)).alias("c"))
-    first = tb.groupBy("bg").agg(F.min("tranche").alias("first_tranche"))
+    # ONE groupBy(bigram) shuffle with a fixed 10-column tranche pivot
+    # (the ngram_novelty_decay reformulation — no corpus-sized join)
+    per_bg = bigrams.groupBy("bg").agg(
+        F.min("tranche").alias("ft"),
+        *[
+            F.sum(F.when(F.col("tranche") == i, 1).otherwise(0)).alias(f"c{i}")
+            for i in range(10)
+        ],
+    )
+    tranche_rows = per_bg.select(
+        "ft",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("tranche"), F.col(f"c{i}").alias("c"))
+                    for i in range(10)
+                ]
+            )
+        ).alias("p"),
+    ).select("ft", F.col("p.tranche").alias("tranche"), F.col("p.c").alias("c"))
     per = (
-        tb.join(first, "bg")
+        tranche_rows.filter(F.col("c") > 0)
         .groupBy("tranche")
         .agg(
             F.sum("c").alias("toks"),
-            F.sum(
-                F.when(F.col("first_tranche") == F.col("tranche"), 1).otherwise(0)
-            ).alias("newv"),
+            F.sum(F.when(F.col("ft") == F.col("tranche"), 1).otherwise(0)).alias(
+                "newv"
+            ),
         )
         .localCheckpoint(eager=True)
     )

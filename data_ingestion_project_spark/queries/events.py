@@ -1678,12 +1678,17 @@ def peak_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     its start and −1 at its end; concurrency at any instant is the
     prefix sum of boundaries at-or-before it (ties: starts before
     ends, so touching sessions count as concurrent). The global
-    prefix is split two-level so no unpartitioned window ever sees a
-    corpus-sized frame (the acctbal_deciles_scalable posture):
-    per-day net sums fold into day OFFSETS on the calendar-bounded
-    day frame (a calendar² broadcast-side join — ≤2.4k² cells at any
-    corpus size), and the within-day running sum is a window
-    PARTITIONED by day. Peak(day) = offset(day) + max running sum.
+    prefix is split two-level at HOUR grain so no window ever sees
+    more than one hour's boundaries in one task (the
+    acctbal_deciles_scalable posture): per-(day, hour) net sums fold
+    into bucket OFFSETS on the calendar·24-bounded bucket frame (a
+    broadcast-side triangle join — ≤(2.4k·24)² cells at any corpus
+    size), the within-bucket running sum is a window PARTITIONED by
+    (day, hour), and peak(day) = max over its 24 buckets of
+    offset + max running sum. Day-grain partitioning measured a 33×
+    step on the 10× decade (30 partitions capped the whole stage);
+    hour buckets restored α≈1 — drop to minute grain if an hour of
+    boundaries ever outgrows a task.
 
     Exactness: every quantity is an exact integer (boundary deltas,
     prefix sums, maxima); tie order within equal (ts, delta) groups
@@ -1699,42 +1704,54 @@ def peak_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds = iv.select(
         F.col("s_start").alias("ts"), F.lit(1).alias("delta")
     ).unionByName(iv.select(F.col("s_end").alias("ts"), F.lit(-1).alias("delta")))
-    bounds = bounds.withColumn("d", F.to_date("ts"))
-    # level 1: calendar-bounded per-day frame (net flow + starts)
-    day_net = (
-        bounds.groupBy("d")
+    bounds = bounds.withColumn("d", F.to_date("ts")).withColumn(
+        "h", F.hour("ts")
+    )
+    # level 1: calendar·24-bounded per-(day, hour) frame
+    bkt_net = (
+        bounds.groupBy("d", "h")
         .agg(
             F.sum("delta").alias("net"),
-            F.sum(F.when(F.col("delta") == 1, 1).otherwise(0)).alias(
-                "n_sessions_started"
-            ),
+            F.sum(F.when(F.col("delta") == 1, 1).otherwise(0)).alias("n_started"),
         )
         .localCheckpoint(eager=True)
     )
-    prior = day_net.select(F.col("d").alias("d2"), F.col("net").alias("net2"))
+    prior = bkt_net.select(
+        F.col("d").alias("d2"), F.col("h").alias("h2"), F.col("net").alias("net2")
+    )
     offsets = (
-        day_net.join(F.broadcast(prior), F.col("d2") < F.col("d"), "left")
-        .groupBy("d", "n_sessions_started")
+        bkt_net.join(
+            F.broadcast(prior),
+            (F.col("d2") < F.col("d"))
+            | ((F.col("d2") == F.col("d")) & (F.col("h2") < F.col("h"))),
+            "left",
+        )
+        .groupBy("d", "h", "n_started")
         .agg(F.coalesce(F.sum("net2"), F.lit(0)).alias("carry"))
     )
-    # level 2: within-day running sum, window PARTITIONED by day
+    # level 2: within-bucket running sum, window PARTITIONED by (d, h)
     w = (
-        Window.partitionBy("d")
+        Window.partitionBy("d", "h")
         .orderBy(F.col("ts").asc(), F.col("delta").desc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    peaks = (
+    bkt_peaks = (
         bounds.withColumn("run", F.sum("delta").over(w))
+        .groupBy("d", "h")
+        .agg(F.max("run").alias("peak_in_bkt"))
+    )
+    per_day = (
+        bkt_peaks.join(offsets, ["d", "h"])
         .groupBy("d")
-        .agg(F.max("run").alias("peak_in_day"))
+        .agg(
+            F.max(F.col("carry") + F.col("peak_in_bkt")).alias("peak_concurrent"),
+            F.sum("n_started").alias("n_sessions_started"),
+        )
     )
     return (
-        peaks.join(offsets, "d")
-        .select(
+        per_day.select(
             F.date_format("d", "yyyy-MM-dd").alias("d"),
-            (F.col("carry") + F.col("peak_in_day")).cast("long").alias(
-                "peak_concurrent"
-            ),
+            F.col("peak_concurrent").cast("long").alias("peak_concurrent"),
             F.col("n_sessions_started").cast("long").alias("n_sessions_started"),
         )
         .orderBy(F.col("peak_concurrent").desc(), F.col("d").asc())
