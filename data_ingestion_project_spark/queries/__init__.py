@@ -53,6 +53,10 @@ _DRIVER_PRIORITY = (
     "embedding_centroid_drift",
     "apriori_triples",
     "trimmed_robust_stats",
+    "bhattacharyya_segments",
+    "revenue_streaks",
+    "word_burstiness",
+    "price_consistency_audit",
     # -- r04-era certifications (stalest driver rows; the tail) --
     "quantile_sketch_rollup",
     "segment_richest_customer",
@@ -83,11 +87,8 @@ _DRIVER_PRIORITY = (
     "doc_repetition_stats",
     "dominant_part_suppliers",
     "event_transitions",
-    "event_value_by_type_salted",
-    "events_one_day_by_type",
-    "excess_returned_parts",
-    "hourly_event_stats",
-    # This tuple is exactly 50 names = the full window.
+    # This tuple is exactly 50 names = the full window; the r05 tail
+    # (event_value_by_type_salted ..) rolls to the r10 window.
 )
 
 

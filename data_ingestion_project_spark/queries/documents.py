@@ -5511,7 +5511,95 @@ FROM m
 """
 
 
+def word_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word burstiness census (Church & Gale): for the top-20 corpus
+    words, the variance-to-mean ratio of per-document counts and the
+    adaptation probability P(≥2 occurrences | ≥1) — a word with
+    VMR ≈ 1 arrives Poisson-like (content-independent filler); a
+    bursty word (VMR ≫ 1, high adaptation) clumps into the documents
+    that are ABOUT it. The per-word companion to
+    event_dispersion_index (which measures time burstiness of
+    events), and the statistic behind every "repeat words are cheap"
+    term-weighting argument (BM25's k₁ saturation).
+
+    Plan: one explode pass to (doc, word) counts; the top-20 selection
+    is a TakeOrdered; per-word moments fold as exact integers (Σc, Σc²
+    over CONTAINING docs — absent docs contribute exactly zero to both
+    sums, so the all-docs variance needs only the broadcast doc
+    total). Exactness: VMR and adaptation are one value-determined
+    double expression each over exact integers."""
+    d = table(spark, sf_dir, "documents")
+    _d38 = "decimal(38,0)"
+    ndocs = d.agg(F.count(F.lit(1)).alias("nd"))
+    wc = (
+        d.select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("word"),
+        )
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per = wc.groupBy("word").agg(
+        F.sum("c").alias("total"),
+        F.count(F.lit(1)).alias("df"),
+        F.sum(F.when(F.col("c") >= 2, 1).otherwise(0)).alias("df2"),
+        F.sum(F.col("c").cast(_d38) * F.col("c").cast(_d38)).alias("sc2"),
+    )
+    top = per.orderBy(F.col("total").desc(), F.col("word").asc()).limit(20)
+    nd = F.col("nd").cast("double")
+    mean = F.col("total").cast("double") / nd
+    var = F.col("sc2").cast("double") / nd - mean * mean
+    return (
+        top.crossJoin(F.broadcast(ndocs))
+        .select(
+            "word",
+            F.col("total").cast("long").alias("total"),
+            F.col("df").cast("long").alias("doc_freq"),
+            floor_round(mean, 6).alias("mean_per_doc"),
+            floor_round(var / mean, 6).alias("vmr_burstiness"),
+            floor_round(
+                F.col("df2").cast("double") / F.col("df").cast("double"), 6
+            ).alias("adaptation"),
+        )
+        .orderBy(F.col("total").desc(), F.col("word").asc())
+    )
+
+
+ORACLE_WORD_BURSTINESS = """
+WITH wc AS (
+  SELECT doc_id, word, COUNT(*) AS c
+  FROM (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+        FROM documents)
+  GROUP BY 1, 2
+), nd AS (SELECT COUNT(*) AS nd FROM documents),
+per AS (
+  SELECT word, SUM(c) AS total, COUNT(*) AS df,
+         SUM(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS df2,
+         SUM(CAST(c AS HUGEINT) * c) AS sc2
+  FROM wc GROUP BY 1
+), top AS (
+  SELECT * FROM per ORDER BY total DESC, word ASC LIMIT 20
+)
+SELECT word, CAST(total AS BIGINT) AS total, CAST(df AS BIGINT) AS doc_freq,
+       sign(CAST(total AS DOUBLE) / nd)
+       * floor(abs(CAST(total AS DOUBLE) / nd) * 1000000.0 + 0.5)
+         / 1000000.0 AS mean_per_doc,
+       sign((CAST(sc2 AS DOUBLE) / nd
+             - (CAST(total AS DOUBLE) / nd) * (CAST(total AS DOUBLE) / nd))
+            / (CAST(total AS DOUBLE) / nd))
+       * floor(abs((CAST(sc2 AS DOUBLE) / nd
+                    - (CAST(total AS DOUBLE) / nd) * (CAST(total AS DOUBLE) / nd))
+                   / (CAST(total AS DOUBLE) / nd)) * 1000000.0 + 0.5)
+         / 1000000.0 AS vmr_burstiness,
+       sign(CAST(df2 AS DOUBLE) / df)
+       * floor(abs(CAST(df2 AS DOUBLE) / df) * 1000000.0 + 0.5)
+         / 1000000.0 AS adaptation
+FROM top CROSS JOIN nd
+ORDER BY total DESC, word ASC
+"""
+
 QUERIES = {
+    "word_burstiness": word_burstiness,
     "heaps_law_fit": heaps_law_fit,
     "youden_threshold": youden_threshold,
     "ngram_novelty_decay": ngram_novelty_decay,
@@ -5594,6 +5682,7 @@ if _HAVE_PIL:
     QUERIES["jpeg_decode_stats_fast"] = jpeg_decode_stats_fast
 
 ORACLE = {
+    "word_burstiness": ORACLE_WORD_BURSTINESS,
     "heaps_law_fit": ORACLE_HEAPS_LAW_FIT,
     "youden_threshold": ORACLE_YOUDEN_THRESHOLD,
     "ngram_novelty_decay": ORACLE_NGRAM_NOVELTY_DECAY,

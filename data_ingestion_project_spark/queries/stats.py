@@ -3542,7 +3542,217 @@ ORDER BY pair
 """
 
 
+def bhattacharyya_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bhattacharyya coefficient / Hellinger distance between every
+    PAIR of market segments' account-balance distributions — the
+    distribution-overlap grid (all C(5,2) pairs in one query) that
+    answers "which segments are interchangeable and which are
+    different populations?" — the multi-group completion of the
+    two-sample drift tests (KS tests ONE split; this grids ALL pairs,
+    and Hellinger is a proper metric so the grid is comparable).
+
+    Plan: ONE customer pass to (segment, $100-bucket) counts — a
+    value-domain-sized frame — then the 10 pairs are a bucket
+    equi-join of that tiny frame. Exactness: counts exact; each
+    bucket's √(c₁·c₂) is a value-determined IEEE sqrt of an exact
+    product quantized to 1e-6 integers before the cross-bucket fold;
+    BC = Σ√(c₁c₂)/√(n₁n₂) and Hellinger = √(1−BC) are one double
+    expression per pair."""
+    c = table(spark, sf_dir, "customer")
+    _d38 = "decimal(38,0)"
+    cells = (
+        c.select(
+            F.col("c_mktsegment").alias("seg"),
+            F.floor(F.round(F.col("c_acctbal") * 100, 0) / F.lit(10_000)).alias("b"),
+        )
+        .groupBy("seg", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    tot = cells.groupBy("seg").agg(F.sum("c").alias("n"))
+    a = cells.select(F.col("seg").alias("seg_a"), "b", F.col("c").alias("ca"))
+    bb = cells.select(F.col("seg").alias("seg_b"), "b", F.col("c").alias("cb"))
+    per = (
+        a.join(bb, "b")
+        .filter(F.col("seg_a") < F.col("seg_b"))
+        .select(
+            "seg_a",
+            "seg_b",
+            (
+                F.sqrt(F.col("ca").cast("double") * F.col("cb").cast("double"))
+                * F.lit(1.0e6)
+            ).cast("long").alias("t_q"),
+        )
+        .groupBy("seg_a", "seg_b")
+        .agg(F.sum(F.col("t_q").cast(_d38)).alias("st"))
+    )
+    ta = tot.select(F.col("seg").alias("seg_a"), F.col("n").alias("na"))
+    tb = tot.select(F.col("seg").alias("seg_b"), F.col("n").alias("nb"))
+    bc = (
+        F.col("st").cast("double")
+        / F.lit(1.0e6)
+        / F.sqrt(F.col("na").cast("double") * F.col("nb").cast("double"))
+    )
+    return (
+        per.join(F.broadcast(ta), "seg_a")
+        .join(F.broadcast(tb), "seg_b")
+        .select(
+            "seg_a",
+            "seg_b",
+            F.col("na").cast("long").alias("n_a"),
+            F.col("nb").cast("long").alias("n_b"),
+            _floor_round(bc, 6).alias("bhattacharyya"),
+            _floor_round(F.sqrt(F.greatest(F.lit(0.0), F.lit(1.0) - bc)), 6).alias(
+                "hellinger"
+            ),
+        )
+        .orderBy("seg_a", "seg_b")
+    )
+
+
+ORACLE_BHATTACHARYYA_SEGMENTS = """
+WITH cells AS (
+  SELECT c_mktsegment AS seg,
+         CAST(floor(CAST(round(c_acctbal * 100, 0) AS BIGINT) / 10000.0) AS BIGINT) AS b,
+         COUNT(*) AS c
+  FROM customer GROUP BY 1, 2
+), tot AS (SELECT seg, SUM(c) AS n FROM cells GROUP BY 1),
+per AS (
+  SELECT a.seg AS seg_a, b2.seg AS seg_b,
+         SUM(CAST(trunc(sqrt(CAST(a.c AS DOUBLE) * CAST(b2.c AS DOUBLE))
+                        * 1000000.0) AS BIGINT)) AS st
+  FROM cells a JOIN cells b2 ON b2.b = a.b AND a.seg < b2.seg
+  GROUP BY 1, 2
+)
+SELECT seg_a, seg_b,
+       CAST(ta.n AS BIGINT) AS n_a, CAST(tb.n AS BIGINT) AS n_b,
+       sign(CAST(st AS DOUBLE) / 1000000.0 / sqrt(CAST(ta.n AS DOUBLE) * tb.n))
+       * floor(abs(CAST(st AS DOUBLE) / 1000000.0
+                   / sqrt(CAST(ta.n AS DOUBLE) * tb.n)) * 1000000.0 + 0.5)
+         / 1000000.0 AS bhattacharyya,
+       sign(sqrt(greatest(0.0, 1.0 - CAST(st AS DOUBLE) / 1000000.0
+                               / sqrt(CAST(ta.n AS DOUBLE) * tb.n))))
+       * floor(abs(sqrt(greatest(0.0, 1.0 - CAST(st AS DOUBLE) / 1000000.0
+                                      / sqrt(CAST(ta.n AS DOUBLE) * tb.n))))
+              * 1000000.0 + 0.5) / 1000000.0 AS hellinger
+FROM per
+JOIN tot ta ON ta.seg = per.seg_a
+JOIN tot tb ON tb.seg = per.seg_b
+ORDER BY seg_a, seg_b
+"""
+
+
+def revenue_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest monotone revenue RUNS — the gaps-and-islands census:
+    consecutive-day streaks where daily revenue strictly rose (or
+    fell) versus the prior day, top-5 each direction with start/end
+    dates and total move. The momentum question ("how long do rallies
+    last?") that autocorrelation summarizes but cannot localize; also
+    the repo's exemplar of the gaps-and-islands SQL idiom (island id =
+    running count of direction CHANGES).
+
+    Plan/exactness: everything after the one orders shuffle runs on
+    the calendar-bounded per-day frame (the cusum posture); direction
+    is an exact integer sign of a cents difference, the island id an
+    exact prefix count of change flags, and the report columns exact
+    integer aggregates — no doubles anywhere except the final
+    dollars rendering."""
+    o = table(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(F.sum((F.col("o_totalprice") * 100).cast("long")).alias("cents"))
+        .localCheckpoint(eager=True)
+    )
+    w = Window.orderBy("d")
+    dirs = daily.select(
+        "d",
+        "cents",
+        F.when(F.col("cents") > F.lag("cents").over(w), 1)
+        .when(F.col("cents") < F.lag("cents").over(w), -1)
+        .otherwise(0)
+        .alias("dir"),
+    ).filter(F.col("dir") != 0)
+    w2 = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    isl = dirs.select(
+        "d",
+        "cents",
+        "dir",
+        F.sum(
+            F.when(
+                F.col("dir") == F.lag("dir").over(Window.orderBy("d")), 0
+            ).otherwise(1)
+        )
+        .over(w2)
+        .alias("grp"),
+    )
+    runs = isl.groupBy("grp", "dir").agg(
+        F.count(F.lit(1)).alias("run_days"),
+        F.date_format(F.min("d"), "yyyy-MM-dd").alias("start_d"),
+        F.date_format(F.max("d"), "yyyy-MM-dd").alias("end_d"),
+        ((F.max("cents") - F.min("cents")) / F.lit(100.0)).alias("abs_move"),
+    )
+    wr = Window.partitionBy("dir").orderBy(
+        F.col("run_days").desc(), F.col("start_d").asc()
+    )
+    return (
+        runs.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") <= 5)
+        .select(
+            F.when(F.col("dir") == 1, "up").otherwise("down").alias("direction"),
+            F.col("rk").cast("long").alias("rank"),
+            F.col("run_days").cast("long").alias("run_days"),
+            "start_d",
+            "end_d",
+            F.col("abs_move").alias("abs_move"),
+        )
+        .orderBy("direction", "rank")
+    )
+
+
+ORACLE_REVENUE_STREAKS = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         SUM(CAST(trunc(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1
+), dirs AS (
+  SELECT d, cents,
+         CASE WHEN cents > LAG(cents) OVER (ORDER BY d) THEN 1
+              WHEN cents < LAG(cents) OVER (ORDER BY d) THEN -1
+              ELSE 0 END AS dir
+  FROM daily
+), nz AS (SELECT * FROM dirs WHERE dir <> 0),
+flagged AS (
+  SELECT d, cents, dir,
+         CASE WHEN dir = LAG(dir) OVER (ORDER BY d) THEN 0 ELSE 1 END AS chg
+  FROM nz
+), isl AS (
+  SELECT d, cents, dir,
+         SUM(chg) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS grp
+  FROM flagged
+), runs AS (
+  SELECT grp, dir, COUNT(*) AS run_days,
+         strftime(MIN(d), '%Y-%m-%d') AS start_d,
+         strftime(MAX(d), '%Y-%m-%d') AS end_d,
+         (MAX(cents) - MIN(cents)) / 100.0 AS abs_move
+  FROM isl GROUP BY 1, 2
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY dir
+             ORDER BY run_days DESC, start_d ASC) AS rk
+  FROM runs
+)
+SELECT CASE WHEN dir = 1 THEN 'up' ELSE 'down' END AS direction,
+       CAST(rk AS BIGINT) AS rank,
+       CAST(run_days AS BIGINT) AS run_days,
+       start_d, end_d, abs_move
+FROM ranked WHERE rk <= 5
+ORDER BY direction, rank
+"""
+
+
 QUERIES = {
+    "bhattacharyya_segments": bhattacharyya_segments,
+    "revenue_streaks": revenue_streaks,
     "cramers_v_matrix": cramers_v_matrix,
     "hill_tail_index": hill_tail_index,
     "hurst_exponent_rs": hurst_exponent_rs,
@@ -3576,6 +3786,8 @@ QUERIES = {
 }
 
 ORACLE = {
+    "bhattacharyya_segments": ORACLE_BHATTACHARYYA_SEGMENTS,
+    "revenue_streaks": ORACLE_REVENUE_STREAKS,
     "cramers_v_matrix": ORACLE_CRAMERS_V_MATRIX,
     "hill_tail_index": ORACLE_HILL_TAIL_INDEX,
     "hurst_exponent_rs": ORACLE_HURST_EXPONENT_RS,

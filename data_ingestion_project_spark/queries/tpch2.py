@@ -1226,7 +1226,101 @@ LIMIT 20
 """
 
 
+def price_consistency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-field consistency audit: does every lineitem's implied
+    unit price (extendedprice / quantity) agree with its part's listed
+    retail price? The referential-integrity audit checks KEYS exist;
+    this checks the VALUES cohere — the data-quality contract a
+    finance reconciliation actually enforces. Reports the ratio
+    histogram (7 fixed bands) and the violation share (ratio outside
+    [0.8, 1.2]).
+
+    Exactness discipline: the ratio is NEVER computed as a double —
+    every band boundary is an exact integer CROSS-MULTIPLICATION
+    (ep·5 < q·rp·1 ⟺ ratio < 0.2 with cents on both sides, DECIMAL
+    cast-first), so a boundary-riding row lands in the same band on
+    both engines by integer comparison, not float luck. One
+    lineitem⋈part pass; the histogram is a 7-row frame."""
+    l = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    _d38 = "decimal(38,0)"
+    j = l.join(p, l["l_partkey"] == p["p_partkey"]).select(
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("ep"),
+        F.col("l_quantity").cast("long").alias("q"),
+        F.round(F.col("p_retailprice") * 100, 0).cast("long").alias("rp"),
+    )
+    # ratio r = ep/(q*rp); band boundaries at 0.5, 0.8, 0.95, 1.05,
+    # 1.2, 2.0 — each test is ep*20 vs q*rp*{10,16,19,21,24,40}
+    lhs = F.col("ep").cast(_d38) * F.lit(20)
+    base = F.col("q").cast(_d38) * F.col("rp").cast(_d38)
+    band = (
+        F.when(lhs < base * 10, "1: <0.50")
+        .when(lhs < base * 16, "2: 0.50-0.80")
+        .when(lhs < base * 19, "3: 0.80-0.95")
+        .when(lhs < base * 21, "4: 0.95-1.05")
+        .when(lhs < base * 24, "5: 1.05-1.20")
+        .when(lhs < base * 40, "6: 1.20-2.00")
+        .otherwise("7: >=2.00")
+    )
+    viol = F.when((lhs < base * 16) | (lhs >= base * 24), 1).otherwise(0)
+    cells = j.select(band.alias("band"), viol.alias("v")).groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_rows"), F.sum("v").alias("n_viol")
+    )
+    tot = cells.agg(
+        F.sum("n_rows").alias("n_total"), F.sum("n_viol").alias("v_total")
+    )
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .select(
+            "band",
+            F.col("n_rows").cast("long").alias("n_rows"),
+            floor_round(
+                F.col("n_rows").cast("double") / F.col("n_total").cast("double"), 6
+            ).alias("share"),
+            floor_round(
+                F.col("v_total").cast("double") / F.col("n_total").cast("double"), 6
+            ).alias("violation_share_total"),
+        )
+        .orderBy("band")
+    )
+
+
+ORACLE_PRICE_CONSISTENCY_AUDIT = """
+WITH j AS (
+  SELECT CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS ep,
+         CAST(l_quantity AS BIGINT) AS q,
+         CAST(round(p_retailprice * 100, 0) AS BIGINT) AS rp
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+), banded AS (
+  SELECT CASE
+           WHEN CAST(ep AS HUGEINT) * 20 < CAST(q AS HUGEINT) * rp * 10 THEN '1: <0.50'
+           WHEN CAST(ep AS HUGEINT) * 20 < CAST(q AS HUGEINT) * rp * 16 THEN '2: 0.50-0.80'
+           WHEN CAST(ep AS HUGEINT) * 20 < CAST(q AS HUGEINT) * rp * 19 THEN '3: 0.80-0.95'
+           WHEN CAST(ep AS HUGEINT) * 20 < CAST(q AS HUGEINT) * rp * 21 THEN '4: 0.95-1.05'
+           WHEN CAST(ep AS HUGEINT) * 20 < CAST(q AS HUGEINT) * rp * 24 THEN '5: 1.05-1.20'
+           WHEN CAST(ep AS HUGEINT) * 20 < CAST(q AS HUGEINT) * rp * 40 THEN '6: 1.20-2.00'
+           ELSE '7: >=2.00' END AS band,
+         CASE WHEN CAST(ep AS HUGEINT) * 20 < CAST(q AS HUGEINT) * rp * 16
+                OR CAST(ep AS HUGEINT) * 20 >= CAST(q AS HUGEINT) * rp * 24
+              THEN 1 ELSE 0 END AS v
+  FROM j
+), cells AS (
+  SELECT band, COUNT(*) AS n_rows, SUM(v) AS n_viol FROM banded GROUP BY 1
+), tot AS (SELECT SUM(n_rows) AS n_total, SUM(n_viol) AS v_total FROM cells)
+SELECT band, CAST(n_rows AS BIGINT) AS n_rows,
+       sign(CAST(n_rows AS DOUBLE) / n_total)
+       * floor(abs(CAST(n_rows AS DOUBLE) / n_total) * 1000000.0 + 0.5)
+         / 1000000.0 AS share,
+       sign(CAST(v_total AS DOUBLE) / n_total)
+       * floor(abs(CAST(v_total AS DOUBLE) / n_total) * 1000000.0 + 0.5)
+         / 1000000.0 AS violation_share_total
+FROM cells CROSS JOIN tot
+ORDER BY band
+"""
+
+
 QUERIES = {
+    "price_consistency_audit": price_consistency_audit,
     "apriori_triples": apriori_triples,
 
     "hits_purchase_graph": hits_purchase_graph,
@@ -1247,6 +1341,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "price_consistency_audit": ORACLE_PRICE_CONSISTENCY_AUDIT,
     "apriori_triples": ORACLE_APRIORI_TRIPLES,
     "hits_purchase_graph": ORACLE_HITS_PURCHASE_GRAPH,
     "supplier_herfindahl_by_nation": ORACLE_SUPPLIER_HERFINDAHL_BY_NATION,

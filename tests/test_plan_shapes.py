@@ -473,6 +473,9 @@ _GLOBAL_WINDOW_SANCTIONED = {
     "theil_sen_revenue_trend",
     # drawdown prefix-max/lag: same per-DAY calendar-bounded frame
     "revenue_drawdown",
+    # gaps-and-islands lag + island-id prefix: same per-DAY
+    # calendar-bounded frame (r9)
+    "revenue_streaks",
     # rank statistics (r8): operators/quantiles.rank2_map's exclusive
     # prefix runs over the BUCKET-partials frame (value-range /
     # bucket_width — value-domain-sized, the exact_median posture);

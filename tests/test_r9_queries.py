@@ -507,3 +507,124 @@ def test_centroid_drift_matches_numpy(spark):
         assert (r["n_a"], r["n_b"]) == (na, nb)
         assert abs(r["centroid_cosine"] - cos) <= 1e-5
         assert abs(r["centroid_l2"] - l2) <= 1e-5
+
+
+def test_bhattacharyya_matches_python(spark):
+    from data_ingestion_project_spark.queries import all_queries
+
+    rows = duckdb.sql(
+        f"""SELECT c_mktsegment AS seg,
+                   CAST(floor(CAST(round(c_acctbal * 100, 0) AS BIGINT) / 10000.0) AS BIGINT) AS b
+            FROM '{SF}/customer.parquet'"""
+    ).fetchall()
+    cells = defaultdict(Counter)
+    for seg, b in rows:
+        cells[seg][b] += 1
+    segs = sorted(cells)
+    got = {(r["seg_a"], r["seg_b"]): r for r in all_queries()["bhattacharyya_segments"](spark, SF).collect()}
+    assert len(got) == len(segs) * (len(segs) - 1) // 2
+    for i, sa in enumerate(segs):
+        for sb in segs[i + 1:]:
+            na, nb = sum(cells[sa].values()), sum(cells[sb].values())
+            bc = sum(
+                math.sqrt(cells[sa][b] * cells[sb][b])
+                for b in set(cells[sa]) & set(cells[sb])
+            ) / math.sqrt(na * nb)
+            r = got[(sa, sb)]
+            assert (r["n_a"], r["n_b"]) == (na, nb)
+            assert abs(r["bhattacharyya"] - bc) <= 1e-5
+            assert abs(r["hellinger"] - math.sqrt(max(0.0, 1 - bc))) <= 1e-5
+            assert 0.0 <= r["bhattacharyya"] <= 1.0
+
+
+def test_revenue_streaks_matches_python(spark):
+    from data_ingestion_project_spark.queries import all_queries
+
+    daily = duckdb.sql(
+        f"""SELECT CAST(o_orderdate AS DATE) AS d,
+                   SUM(CAST(trunc(o_totalprice * 100) AS BIGINT)) AS c
+            FROM '{SF}/orders.parquet' GROUP BY 1 ORDER BY 1"""
+    ).fetchall()
+    runs = []
+    cur_dir, cur_len, cur_start = 0, 0, None
+    prev = None
+    for d, c in daily:
+        if prev is not None:
+            dr = 1 if c > prev else (-1 if c < prev else 0)
+            if dr != 0:
+                if dr == cur_dir:
+                    cur_len += 1
+                else:
+                    if cur_dir != 0:
+                        runs.append((cur_dir, cur_len, cur_start))
+                    cur_dir, cur_len, cur_start = dr, 1, d
+        prev = c
+    if cur_dir != 0:
+        runs.append((cur_dir, cur_len, cur_start))
+    got = all_queries()["revenue_streaks"](spark, SF).collect()
+    for direction, dval in (("up", 1), ("down", -1)):
+        expect = sorted(
+            [r for r in runs if r[0] == dval], key=lambda r: (-r[1], r[2])
+        )[:5]
+        g = [r for r in got if r["direction"] == direction]
+        assert [r["run_days"] for r in g] == [e[1] for e in expect]
+        assert [r["start_d"] for r in g] == [e[2].isoformat() for e in expect]
+
+
+def test_word_burstiness_matches_python(spark):
+    import re
+
+    from data_ingestion_project_spark.queries import all_queries
+
+    docs = duckdb.sql(
+        f"SELECT lower(trim(text)) AS t FROM '{SF}/documents.parquet'"
+    ).fetchall()
+    nd = len(docs)
+    per = defaultdict(Counter)  # word -> per-doc counts
+    for i, (t,) in enumerate(docs):
+        for w in re.split(r"\s+", t):
+            per[w][i] += 1
+    got = all_queries()["word_burstiness"](spark, SF).collect()
+    assert len(got) == 20
+    top = sorted(per.items(), key=lambda kv: (-sum(kv[1].values()), kv[0]))[:20]
+    assert [r["word"] for r in got] == [w for w, _ in top]
+    for r, (w, cnts) in zip(got, top):
+        total = sum(cnts.values())
+        arr = np.zeros(nd)
+        for i, c in cnts.items():
+            arr[i] = c
+        mean, var = arr.mean(), arr.var()
+        assert r["total"] == total and r["doc_freq"] == len(cnts)
+        assert abs(r["vmr_burstiness"] - var / mean) <= 1e-4
+        df2 = sum(1 for c in cnts.values() if c >= 2)
+        assert abs(r["adaptation"] - df2 / len(cnts)) <= 1e-6
+
+
+def test_price_consistency_exact_banding(spark):
+    from data_ingestion_project_spark.queries import all_queries
+
+    rows = duckdb.sql(
+        f"""SELECT CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS ep,
+                   CAST(l_quantity AS BIGINT) AS q,
+                   CAST(round(p_retailprice * 100, 0) AS BIGINT) AS rp
+            FROM '{SF}/lineitem.parquet' l
+            JOIN '{SF}/part.parquet' p ON l.l_partkey = p.p_partkey"""
+    ).fetchall()
+    bands = Counter()
+    viol = 0
+    cuts = [(10, "1: <0.50"), (16, "2: 0.50-0.80"), (19, "3: 0.80-0.95"),
+            (21, "4: 0.95-1.05"), (24, "5: 1.05-1.20"), (40, "6: 1.20-2.00")]
+    for ep, q, rp in rows:
+        lhs, base = ep * 20, q * rp
+        for mul, name in cuts:
+            if lhs < base * mul:
+                bands[name] += 1
+                break
+        else:
+            bands["7: >=2.00"] += 1
+        if lhs < base * 16 or lhs >= base * 24:
+            viol += 1
+    got = {r["band"]: r for r in all_queries()["price_consistency_audit"](spark, SF).collect()}
+    assert {b: r["n_rows"] for b, r in got.items()} == dict(bands)
+    any_row = next(iter(got.values()))
+    assert abs(any_row["violation_share_total"] - viol / len(rows)) <= 1e-6
