@@ -57,6 +57,15 @@ _DRIVER_PRIORITY = (
     "revenue_streaks",
     "word_burstiness",
     "price_consistency_audit",
+    "bollinger_breakout_days",
+    "kendalls_w_region_brands",
+    "dup_cluster_source_mix",
+    "mann_kendall_trend",
+    "pettitt_changepoint",
+    "logrank_segment_churn",
+    "cochran_q_first_day",
+    "runs_test_revenue",
+    "page_trend_test",
     # -- r04-era certifications (stalest driver rows; the tail) --
     "quantile_sketch_rollup",
     "segment_richest_customer",
@@ -78,17 +87,8 @@ _DRIVER_PRIORITY = (
     "brand_price_stats",
     "cheapest_regional_supplier",
     "corpus_mixture_plan",
-    "cube_revenue",
-    "customer_order_distribution",
-    "customers_in_both_statuses",
-    "customers_without_orders",
-    "daily_active_users",
-    "daily_event_anomalies",
-    "doc_repetition_stats",
-    "dominant_part_suppliers",
-    "event_transitions",
     # This tuple is exactly 50 names = the full window; the r05 tail
-    # (event_value_by_type_salted ..) rolls to the r10 window.
+    # (cube_revenue ..) rolls to the r10 window.
 )
 
 

@@ -17,6 +17,7 @@ from data_ingestion_project_spark.functions.text import (
     bpe_token_count,
     fingerprint,
     lang_guess,
+    normalize_text,
     punct_ratio,
     stopword_count,
     token_count,
@@ -5598,7 +5599,78 @@ FROM top CROSS JOIN nd
 ORDER BY total DESC, word ASC
 """
 
+def dup_cluster_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-mix census of BAG-OF-WORDS duplicate clusters: group
+    documents whose normalized distinct-word SET is identical (the
+    reordered/reshuffled duplicate — invisible to byte-exact dedup,
+    caught here without any similarity join), then report, per
+    (cluster_size, distinct-source-count) cell, how many clusters and
+    documents land there — the cross-source contamination question
+    ("is the same content entering the corpus through multiple
+    feeds?") that decides whether dedup must run globally or can run
+    per-source.
+
+    Plan: ONE shuffle on a 32-byte md5 of the sorted word set (the
+    text itself never shuffles — the 100 TB posture), then a
+    histogram aggregation over the cluster frame.  Exactness: counts
+    only — no doubles anywhere."""
+    d = table(spark, sf_dir, "documents")
+    fp = F.md5(
+        F.concat_ws(
+            " ",
+            F.array_sort(
+                F.array_distinct(F.split(normalize_text(F.col("text")), r"\s+"))
+            ),
+        )
+    )
+    clusters = (
+        d.select(fp.alias("fp"), "source")
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+        .filter(F.col("cluster_size") >= 2)
+    )
+    return (
+        clusters.groupBy("cluster_size", "n_sources")
+        .agg(
+            F.count(F.lit(1)).alias("n_clusters"),
+            F.sum("cluster_size").cast("long").alias("n_docs"),
+        )
+        .select(
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+            F.col("n_sources").cast("long").alias("n_sources"),
+            F.col("n_clusters").cast("long").alias("n_clusters"),
+            "n_docs",
+        )
+        .orderBy("cluster_size", "n_sources")
+    )
+
+
+ORACLE_DUP_CLUSTER_SOURCE_MIX = """
+WITH fps AS (
+  SELECT md5(array_to_string(list_sort(list_distinct(string_split_regex(
+           regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), '\\s+'))),
+           ' ')) AS fp,
+         source
+  FROM documents
+), clusters AS (
+  SELECT fp, COUNT(*) AS cluster_size, COUNT(DISTINCT source) AS n_sources
+  FROM fps GROUP BY fp HAVING COUNT(*) >= 2
+)
+SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+       CAST(n_sources AS BIGINT) AS n_sources,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(SUM(cluster_size) AS BIGINT) AS n_docs
+FROM clusters
+GROUP BY cluster_size, n_sources
+ORDER BY cluster_size, n_sources
+"""
+
+
 QUERIES = {
+    "dup_cluster_source_mix": dup_cluster_source_mix,
     "word_burstiness": word_burstiness,
     "heaps_law_fit": heaps_law_fit,
     "youden_threshold": youden_threshold,
@@ -5682,6 +5754,7 @@ if _HAVE_PIL:
     QUERIES["jpeg_decode_stats_fast"] = jpeg_decode_stats_fast
 
 ORACLE = {
+    "dup_cluster_source_mix": ORACLE_DUP_CLUSTER_SOURCE_MIX,
     "word_burstiness": ORACLE_WORD_BURSTINESS,
     "heaps_law_fit": ORACLE_HEAPS_LAW_FIT,
     "youden_threshold": ORACLE_YOUDEN_THRESHOLD,

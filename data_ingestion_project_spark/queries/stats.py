@@ -3750,7 +3750,960 @@ ORDER BY direction, rank
 """
 
 
+def bollinger_breakout_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window anomaly bands (the Bollinger idiom): days whose
+    revenue lands OUTSIDE mean ± 2σ of the PRECEDING 28 days — the
+    monitoring primitive behind every ops dashboard's "today is weird"
+    alert, with the band computed from strictly-prior history so the
+    anomaly cannot contaminate its own baseline (seasonal_anomaly_days
+    baselines on day-of-week; this baselines on recency).
+
+    Plan: ONE orders shuffle to the calendar-bounded per-day cents
+    frame; the trailing window then runs over ≤ a few thousand rows
+    (the cusum/revenue_streaks posture).  Exactness: the breakout
+    predicate is pure integer arithmetic — with n=28, S=Σcents,
+    Q=Σcents², dev=n·x−S, a ±2σ breakout is dev² > 4·(n·Q−S²), all in
+    DECIMAL(38,0)/HUGEINT (cents² at 100 TB scale outranges int64) —
+    so band membership is bit-exact across engines; the reported
+    z-score dev/√(nQ−S²) is one value-determined double expression,
+    half-away-rounded in the integer domain."""
+    o = table(spark, sf_dir, "orders")
+    _d38 = "decimal(38,0)"
+    daily = (
+        o.groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(
+            F.sum((F.col("o_totalprice") * 100).cast("long"))
+            .cast(_d38)
+            .alias("cents")
+        )
+        .localCheckpoint(eager=True)
+    )
+    n = F.lit(28).cast(_d38)
+    w = Window.orderBy("d").rowsBetween(-28, -1)
+    stats = daily.select(
+        "d",
+        "cents",
+        F.count(F.lit(1)).over(w).alias("cnt"),
+        F.sum("cents").over(w).alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).over(w).alias("q"),
+    )
+    dev = n * F.col("cents") - F.col("s")
+    var_n = n * F.col("q") - F.col("s") * F.col("s")
+    z = dev.cast("double") / F.sqrt(var_n.cast("double"))
+    return (
+        stats.filter(F.col("cnt") == 28)
+        .filter(var_n > 0)
+        .filter(dev * dev > F.lit(4).cast(_d38) * var_n)
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("d"),
+            F.when(dev > 0, "up").otherwise("down").alias("side"),
+            (F.col("cents").cast("double") / F.lit(100.0)).alias("revenue"),
+            _floor_round(z, 6).alias("z"),
+        )
+        .orderBy("d")
+    )
+
+
+ORACLE_BOLLINGER_BREAKOUT_DAYS = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         CAST(SUM(CAST(trunc(o_totalprice * 100) AS BIGINT)) AS HUGEINT) AS cents
+  FROM orders GROUP BY 1
+), stats AS (
+  SELECT d, cents,
+         COUNT(*) OVER w AS cnt,
+         SUM(cents) OVER w AS s,
+         SUM(cents * cents) OVER w AS q
+  FROM daily
+  WINDOW w AS (ORDER BY d ROWS BETWEEN 28 PRECEDING AND 1 PRECEDING)
+), flagged AS (
+  SELECT d, cents,
+         28 * cents - s AS dev,
+         28 * q - s * s AS var_n
+  FROM stats
+  WHERE cnt = 28
+)
+SELECT strftime(d, '%Y-%m-%d') AS d,
+       CASE WHEN dev > 0 THEN 'up' ELSE 'down' END AS side,
+       CAST(cents AS DOUBLE) / 100.0 AS revenue,
+       sign(CAST(dev AS DOUBLE) / sqrt(CAST(var_n AS DOUBLE)))
+       * floor(abs(CAST(dev AS DOUBLE) / sqrt(CAST(var_n AS DOUBLE)))
+               * 1000000.0 + 0.5) / 1000000.0 AS z
+FROM flagged
+WHERE var_n > 0 AND dev * dev > 4 * var_n
+ORDER BY d
+"""
+
+
+def kendalls_w_region_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's W (coefficient of concordance, tie-corrected) across
+    the five regions' revenue RANKINGS of the 25 part brands — "do the
+    regional markets agree on which brands matter?", the m-ranker
+    generalization of the two-ranker correlations (Spearman/Kendall
+    tau grid one pair; W scores ALL rankers at once, with the χ²
+    approximation m·(n−1)·W for significance).
+
+    Plan: one lineitem shuffle to the (region, brand) revenue grid —
+    m·n = 125 cells, a data-domain constant — densified to the full
+    matrix by a broadcast cross of the two tiny key sets (absent
+    brands rank as exact zero-revenue ties); ranks, tie terms and the
+    W numerator/denominator are then windowed integer arithmetic on
+    that frame.  Exactness: revenue in exact micro-units, mid-ranks as
+    DOUBLED integers (r2 = 2·#smaller + t + 1), tie correction
+    ΣΣ(t³−t) exact, W = (3·ΣR'² − 3m²n(n+1)²)/(m²n(n²−1) − m·ΣT) with
+    an integer numerator/denominator and ONE final double division."""
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    nat = table(spark, sf_dir, "nation")
+    reg = table(spark, sf_dir, "region")
+    p = table(spark, sf_dir, "part")
+    dim = (
+        s.join(nat, s.s_nationkey == nat.n_nationkey)
+        .join(reg, nat.n_regionkey == reg.r_regionkey)
+        .select("s_suppkey", F.col("r_name").alias("region"))
+    )
+    rev = (
+        li.join(F.broadcast(dim), li.l_suppkey == dim.s_suppkey)
+        .join(F.broadcast(p.select("p_partkey", "p_brand")),
+              li.l_partkey == F.col("p_partkey"))
+        .groupBy("region", F.col("p_brand").alias("brand"))
+        .agg(
+            F.sum(
+                to_micro(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                .cast("decimal(28,0)")
+            ).alias("rev_micro")
+        )
+    )
+    regions = rev.select("region").distinct()
+    brands = rev.select("brand").distinct()
+    grid = (
+        regions.crossJoin(F.broadcast(brands))
+        .join(rev, ["region", "brand"], "left")
+        .select(
+            "region",
+            "brand",
+            F.coalesce(F.col("rev_micro"), F.lit(0).cast("decimal(28,0)")).alias(
+                "v"
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+    wr = Window.partitionBy("region").orderBy("v")
+    wt = Window.partitionBy("region", "v")
+    ranked = grid.select(
+        "region",
+        "brand",
+        (2 * F.rank().over(wr) + F.count(F.lit(1)).over(wt) - 1).alias("r2"),
+        F.count(F.lit(1)).over(wt).alias("t"),
+    )
+    # per-ranker tie term: sum over DISTINCT tie groups of t^3 - t
+    ties = (
+        ranked.groupBy("region", "t")
+        .agg((F.count(F.lit(1)) / F.col("t")).cast("long").alias("g"))
+        .groupBy("region")
+        .agg(
+            F.sum(F.col("g") * (F.col("t") * F.col("t") * F.col("t") - F.col("t")))
+            .alias("tj")
+        )
+    )
+    sums = ranked.groupBy("brand").agg(F.sum("r2").alias("rp"))
+    m_n = grid.agg(
+        F.countDistinct("region").alias("m"), F.countDistinct("brand").alias("n")
+    )
+    agg = (
+        sums.agg(F.sum(F.col("rp") * F.col("rp")).alias("srp2"))
+        .crossJoin(F.broadcast(ties.agg(F.sum("tj").alias("st"))))
+        .crossJoin(F.broadcast(m_n))
+    )
+    num = (
+        F.lit(3) * F.col("srp2")
+        - F.lit(3) * F.col("m") * F.col("m") * F.col("n")
+        * (F.col("n") + 1) * (F.col("n") + 1)
+    )
+    den = (
+        F.col("m") * F.col("m") * F.col("n")
+        * (F.col("n") * F.col("n") - 1)
+        - F.col("m") * F.col("st")
+    )
+    wcol = num.cast("double") / den.cast("double")
+    return agg.select(
+        F.col("m").cast("long").alias("m_rankers"),
+        F.col("n").cast("long").alias("n_items"),
+        F.col("st").cast("long").alias("tie_term"),
+        _floor_round(wcol, 6).alias("w"),
+        _floor_round(
+            F.col("m").cast("double") * (F.col("n") - 1).cast("double") * wcol, 4
+        ).alias("chi2"),
+    )
+
+
+ORACLE_KENDALLS_W_REGION_BRANDS = """
+WITH rev AS (
+  SELECT r.r_name AS region, p.p_brand AS brand,
+         SUM(CAST(trunc((l_extendedprice * (1 - l_discount)) * 1000000)
+                  AS BIGINT)) AS v
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+  JOIN part p ON p.p_partkey = l.l_partkey
+  GROUP BY 1, 2
+), grid AS (
+  SELECT rg.region, br.brand, COALESCE(rev.v, 0) AS v
+  FROM (SELECT DISTINCT region FROM rev) rg
+  CROSS JOIN (SELECT DISTINCT brand FROM rev) br
+  LEFT JOIN rev ON rev.region = rg.region AND rev.brand = br.brand
+), ranked AS (
+  SELECT region, brand,
+         2 * RANK() OVER (PARTITION BY region ORDER BY v)
+           + COUNT(*) OVER (PARTITION BY region, v) - 1 AS r2,
+         COUNT(*) OVER (PARTITION BY region, v) AS t
+  FROM grid
+), ties AS (
+  SELECT region, SUM(g * (t*t*t - t)) AS tj
+  FROM (SELECT region, t, COUNT(*) // t AS g FROM ranked GROUP BY region, t)
+  GROUP BY region
+), sums AS (
+  SELECT brand, SUM(r2) AS rp FROM ranked GROUP BY brand
+), mn AS (
+  SELECT COUNT(DISTINCT region) AS m, COUNT(DISTINCT brand) AS n FROM grid
+), agg AS (
+  SELECT (SELECT SUM(rp*rp) FROM sums) AS srp2,
+         (SELECT SUM(tj) FROM ties) AS st,
+         m, n
+  FROM mn
+)
+SELECT CAST(m AS BIGINT) AS m_rankers,
+       CAST(n AS BIGINT) AS n_items,
+       CAST(st AS BIGINT) AS tie_term,
+       sign(CAST(3*srp2 - 3*m*m*n*(n+1)*(n+1) AS DOUBLE)
+            / CAST(m*m*n*(n*n - 1) - m*st AS DOUBLE))
+       * floor(abs(CAST(3*srp2 - 3*m*m*n*(n+1)*(n+1) AS DOUBLE)
+                   / CAST(m*m*n*(n*n - 1) - m*st AS DOUBLE))
+               * 1000000.0 + 0.5) / 1000000.0 AS w,
+       sign(CAST(m AS DOUBLE) * CAST(n - 1 AS DOUBLE)
+            * (CAST(3*srp2 - 3*m*m*n*(n+1)*(n+1) AS DOUBLE)
+               / CAST(m*m*n*(n*n - 1) - m*st AS DOUBLE)))
+       * floor(abs(CAST(m AS DOUBLE) * CAST(n - 1 AS DOUBLE)
+                   * (CAST(3*srp2 - 3*m*m*n*(n+1)*(n+1) AS DOUBLE)
+                      / CAST(m*m*n*(n*n - 1) - m*st AS DOUBLE)))
+               * 10000.0 + 0.5) / 10000.0 AS chi2
+FROM agg
+"""
+
+
+def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Kendall trend TEST on daily revenue — the non-parametric
+    significance test that pairs with theil_sen_revenue_trend's
+    estimator: S = Σ_{i<j} sgn(x_j − x_i) over time-ordered day pairs,
+    tie-corrected variance 18·Var = n(n−1)(2n+5) − Σt(t−1)(2t+5), and
+    the continuity-corrected z.  Theil–Sen says HOW STEEP; this says
+    WHETHER the monotone trend is distinguishable from noise at all.
+
+    Plan: the theil_sen posture exactly — one orders shuffle to the
+    per-day cents frame, then a calendar²-bounded self-join (days²/2
+    pairs at ANY corpus size) fanned to 32 partitions because AQE
+    would otherwise serialize the nested-loop probe.  Exactness: S and
+    the variance numerator are exact integers; z is ONE double
+    expression mirrored operation-for-operation."""
+    o = table(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(F.sum((F.col("o_totalprice") * 100).cast("long")).alias("cents"))
+        .localCheckpoint(eager=True)
+    )
+    a, b = daily.repartition(32).alias("a"), daily.alias("b")
+    s_row = (
+        a.join(b, F.col("a.d") < F.col("b.d"))
+        .agg(
+            F.sum(
+                F.signum(F.col("b.cents") - F.col("a.cents")).cast("long")
+            ).alias("s")
+        )
+    )
+    ties = (
+        daily.groupBy("cents")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            ).alias("tie_term"),
+            F.count(F.lit(1)).alias("n_distinct"),
+        )
+    )
+    nn = daily.agg(F.count(F.lit(1)).alias("n"))
+    agg = s_row.crossJoin(F.broadcast(ties)).crossJoin(F.broadcast(nn))
+    var_num = (
+        F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5) - F.col("tie_term")
+    )
+    sd = F.sqrt(var_num.cast("double") / F.lit(18.0))
+    z = (
+        F.when(F.col("s") > 0, (F.col("s") - 1).cast("double") / sd)
+        .when(F.col("s") < 0, (F.col("s") + 1).cast("double") / sd)
+        .otherwise(F.lit(0.0))
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.col("s").cast("long").alias("s_stat"),
+        var_num.cast("long").alias("var_num"),
+        _floor_round(z, 6).alias("z"),
+        F.when(F.col("s") > 0, "increasing")
+        .when(F.col("s") < 0, "decreasing")
+        .otherwise("none")
+        .alias("trend"),
+    )
+
+
+ORACLE_MANN_KENDALL_TREND = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         SUM(CAST(trunc(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1
+), s AS (
+  SELECT SUM(CAST(sign(b.cents - a.cents) AS BIGINT)) AS s
+  FROM daily a JOIN daily b ON a.d < b.d
+), ties AS (
+  SELECT SUM(t * (t - 1) * (2 * t + 5)) AS tie_term
+  FROM (SELECT COUNT(*) AS t FROM daily GROUP BY cents)
+), nn AS (SELECT COUNT(*) AS n FROM daily)
+SELECT CAST(n AS BIGINT) AS n_days,
+       CAST(s AS BIGINT) AS s_stat,
+       CAST(n * (n - 1) * (2 * n + 5) - tie_term AS BIGINT) AS var_num,
+       sign(CASE WHEN s > 0 THEN CAST(s - 1 AS DOUBLE)
+                      / sqrt(CAST(n * (n - 1) * (2 * n + 5) - tie_term AS DOUBLE) / 18.0)
+                 WHEN s < 0 THEN CAST(s + 1 AS DOUBLE)
+                      / sqrt(CAST(n * (n - 1) * (2 * n + 5) - tie_term AS DOUBLE) / 18.0)
+                 ELSE 0.0 END)
+       * floor(abs(CASE WHEN s > 0 THEN CAST(s - 1 AS DOUBLE)
+                      / sqrt(CAST(n * (n - 1) * (2 * n + 5) - tie_term AS DOUBLE) / 18.0)
+                 WHEN s < 0 THEN CAST(s + 1 AS DOUBLE)
+                      / sqrt(CAST(n * (n - 1) * (2 * n + 5) - tie_term AS DOUBLE) / 18.0)
+                 ELSE 0.0 END) * 1000000.0 + 0.5) / 1000000.0 AS z,
+       CASE WHEN s > 0 THEN 'increasing' WHEN s < 0 THEN 'decreasing'
+            ELSE 'none' END AS trend
+FROM s CROSS JOIN ties CROSS JOIN nn
+"""
+
+
+def pettitt_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pettitt rank-based changepoint on daily revenue — the
+    non-parametric single-changepoint test (CUSUM's distribution-free
+    sibling: CUSUM localizes a MEAN shift assuming roughly-Gaussian
+    noise; Pettitt detects ANY stochastic-dominance shift via ranks,
+    so one flash-sale outlier day cannot fake a changepoint).
+
+    U_t is computed WITHOUT the quadratic pair sum via the mid-rank
+    identity U_t = t(n+1) − Σ_{i≤t} r2_i (r2 = DOUBLED mid-ranks, so
+    everything stays integer under ties); K = max|U_t| with
+    earliest-day tiebreak.  Instead of exp()-ing the approximate
+    p-value (a cross-engine libm risk), the EXPONENT 6K²/(n³+n²) is
+    reported — p = 2e^(−exponent) for the reader.
+
+    Plan: one orders shuffle to the calendar-bounded daily frame; the
+    rank and prefix windows run over those ≤ few-thousand rows
+    (sanctioned, the revenue_streaks posture); the before/after means
+    are two more passes over the same tiny frame."""
+    o = table(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(F.sum((F.col("o_totalprice") * 100).cast("long")).alias("cents"))
+        .localCheckpoint(eager=True)
+    )
+    nn = daily.agg(F.count(F.lit(1)).alias("n"))
+    wv = Window.orderBy("cents")
+    wt = Window.partitionBy("cents")
+    wd = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    ranked = daily.select(
+        "d",
+        "cents",
+        (2 * F.rank().over(wv) + F.count(F.lit(1)).over(wt) - 1).alias("r2"),
+    )
+    pref = ranked.select(
+        "d",
+        F.row_number().over(Window.orderBy("d")).alias("t"),
+        F.sum("r2").over(wd).alias("w2"),
+    )
+    u = pref.crossJoin(F.broadcast(nn)).select(
+        "d",
+        "t",
+        (F.col("t") * (F.col("n") + 1) - F.col("w2")).alias("u"),
+        "n",
+    )
+    star = (
+        u.filter(F.col("t") < F.col("n"))
+        .orderBy(F.abs(F.col("u")).desc(), F.col("d").asc())
+        .limit(1)
+        .select(
+            F.col("d").alias("cp"),
+            F.col("u").alias("u_signed"),
+            F.abs(F.col("u")).alias("k"),
+            "n",
+        )
+    )
+    sides = (
+        daily.crossJoin(F.broadcast(star.select("cp")))
+        .groupBy()
+        .agg(
+            F.sum(F.when(F.col("d") <= F.col("cp"), F.col("cents"))).alias("sb"),
+            F.count(F.when(F.col("d") <= F.col("cp"), 1)).alias("nb"),
+            F.sum(F.when(F.col("d") > F.col("cp"), F.col("cents"))).alias("sa"),
+            F.count(F.when(F.col("d") > F.col("cp"), 1)).alias("na"),
+        )
+    )
+    expo = (
+        F.lit(6.0)
+        * F.col("k").cast("double")
+        * F.col("k").cast("double")
+        / (
+            F.col("n").cast("double") * F.col("n").cast("double")
+            * F.col("n").cast("double")
+            + F.col("n").cast("double") * F.col("n").cast("double")
+        )
+    )
+    return star.crossJoin(F.broadcast(sides)).select(
+        F.col("n").cast("long").alias("n_days"),
+        F.date_format("cp", "yyyy-MM-dd").alias("changepoint_day"),
+        F.col("k").cast("long").alias("k_stat"),
+        F.col("u_signed").cast("long").alias("u_signed"),
+        _floor_round(expo, 8).alias("p_exponent"),
+        _floor_round(
+            F.col("sb").cast("double") / F.col("nb").cast("double") / F.lit(100.0),
+            2,
+        ).alias("mean_before"),
+        _floor_round(
+            F.col("sa").cast("double") / F.col("na").cast("double") / F.lit(100.0),
+            2,
+        ).alias("mean_after"),
+    )
+
+
+ORACLE_PETTITT_CHANGEPOINT = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         SUM(CAST(trunc(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1
+), nn AS (SELECT COUNT(*) AS n FROM daily),
+ranked AS (
+  SELECT d, cents,
+         2 * RANK() OVER (ORDER BY cents)
+           + COUNT(*) OVER (PARTITION BY cents) - 1 AS r2
+  FROM daily
+), pref AS (
+  SELECT d,
+         ROW_NUMBER() OVER (ORDER BY d) AS t,
+         SUM(r2) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS w2
+  FROM ranked
+), u AS (
+  SELECT d, t, t * (n + 1) - w2 AS u, n FROM pref CROSS JOIN nn
+), star AS (
+  SELECT d AS cp, u AS u_signed, abs(u) AS k, n
+  FROM u WHERE t < n
+  ORDER BY abs(u) DESC, d ASC LIMIT 1
+), sides AS (
+  SELECT SUM(CASE WHEN d <= (SELECT cp FROM star) THEN cents END) AS sb,
+         COUNT(CASE WHEN d <= (SELECT cp FROM star) THEN 1 END) AS nb,
+         SUM(CASE WHEN d > (SELECT cp FROM star) THEN cents END) AS sa,
+         COUNT(CASE WHEN d > (SELECT cp FROM star) THEN 1 END) AS na
+  FROM daily
+)
+SELECT CAST(n AS BIGINT) AS n_days,
+       strftime(cp, '%Y-%m-%d') AS changepoint_day,
+       CAST(k AS BIGINT) AS k_stat,
+       CAST(u_signed AS BIGINT) AS u_signed,
+       sign(6.0 * CAST(k AS DOUBLE) * CAST(k AS DOUBLE)
+            / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+               + CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+       * floor(abs(6.0 * CAST(k AS DOUBLE) * CAST(k AS DOUBLE)
+            / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+               + CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+               * 100000000.0 + 0.5) / 100000000.0 AS p_exponent,
+       sign(CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) / 100.0)
+       * floor(abs(CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) / 100.0)
+               * 100.0 + 0.5) / 100.0 AS mean_before,
+       sign(CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) / 100.0)
+       * floor(abs(CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) / 100.0)
+               * 100.0 + 0.5) / 100.0 AS mean_after
+FROM star CROSS JOIN sides
+"""
+
+
+def logrank_segment_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank test: do BUILDING-segment customers churn on a
+    different clock than the rest?  Completes the survival family —
+    kaplan_meier_retention draws the curve, nelson_aalen_hazard the
+    hazard, this TESTS whether two curves differ: at every death time
+    O−E accumulates d_1t − d_t·n_1t/n_t and V the hypergeometric
+    variance; χ² = (O−E)²/V.  Lifetime = days between a customer's
+    first and last order; censored when the last order is within 90
+    days of the corpus boundary (the customer may still be active).
+
+    Plan: ONE orders shuffle to per-customer (first, last), one
+    dimension join for the segment; all survival arithmetic runs on
+    the per-lifetime-day × 2-group frame (calendar-bounded; the
+    at-risk prefix windows are PARTITIONED by group).  Exactness:
+    death/at-risk counts exact integers; each day's E and V terms are
+    value-determined doubles quantized to 1e-8 integers before the
+    fold (the KM ln-quantization idiom); the final χ² is one double
+    expression."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    pu = o.groupBy("o_custkey").agg(
+        F.min(F.to_date("o_orderdate")).alias("f"),
+        F.max(F.to_date("o_orderdate")).alias("l"),
+    )
+    seg = c.select(
+        F.col("c_custkey"),
+        (F.col("c_mktsegment") == "BUILDING").cast("int").alias("grp"),
+    )
+    pu = pu.join(seg, pu.o_custkey == seg.c_custkey)
+    end = pu.agg(F.max("l").alias("e"))
+    lived = pu.crossJoin(F.broadcast(end)).select(
+        "grp",
+        F.datediff("l", "f").alias("t_days"),
+        (F.datediff("e", "l") >= 90).cast("int").alias("churned"),
+    )
+    counts = lived.groupBy("grp", "t_days").agg(
+        F.sum("churned").alias("deaths"),
+        F.sum(F.lit(1) - F.col("churned")).alias("censored"),
+    )
+    ng = lived.groupBy("grp").agg(F.count(F.lit(1)).alias("n_g"))
+    days = counts.select("t_days").distinct()
+    grps = counts.select("grp").distinct()
+    dense = (
+        days.crossJoin(F.broadcast(grps))
+        .join(counts, ["grp", "t_days"], "left")
+        .select(
+            "grp",
+            "t_days",
+            F.coalesce("deaths", F.lit(0)).alias("deaths"),
+            F.coalesce("censored", F.lit(0)).alias("censored"),
+        )
+    )
+    w_prior = (
+        Window.partitionBy("grp")
+        .orderBy("t_days")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    risk = dense.join(F.broadcast(ng), "grp").select(
+        "grp",
+        "t_days",
+        "deaths",
+        (
+            F.col("n_g")
+            - F.coalesce(
+                F.sum(F.col("deaths") + F.col("censored")).over(w_prior), F.lit(0)
+            )
+        ).alias("at_risk"),
+    )
+    per_day = risk.groupBy("t_days").agg(
+        F.sum(F.when(F.col("grp") == 1, F.col("deaths")).otherwise(0)).alias("d1"),
+        F.sum("deaths").alias("dt"),
+        F.sum(F.when(F.col("grp") == 1, F.col("at_risk")).otherwise(0)).alias(
+            "n1"
+        ),
+        F.sum("at_risk").alias("nt"),
+    )
+    p1 = F.col("n1").cast("double") / F.col("nt").cast("double")
+    e_term = F.col("dt").cast("double") * p1
+    v_term = (
+        F.col("dt").cast("double")
+        * p1
+        * (F.lit(1.0) - p1)
+        * (
+            (F.col("nt") - F.col("dt")).cast("double")
+            / (F.col("nt") - 1).cast("double")
+        )
+    )
+    folded = (
+        per_day.filter((F.col("dt") > 0) & (F.col("nt") >= 2))
+        .agg(
+            F.sum("d1").cast("long").alias("o1"),
+            F.sum((e_term * F.lit(1.0e8)).cast("long").cast("decimal(28,0)")).alias(
+                "e_q"
+            ),
+            F.sum((v_term * F.lit(1.0e8)).cast("long").cast("decimal(28,0)")).alias(
+                "v_q"
+            ),
+        )
+    )
+    sizes = lived.groupBy().agg(
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).alias("n_building"),
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).alias("n_rest"),
+    )
+    e1 = F.col("e_q").cast("double") / F.lit(1.0e8)
+    v1 = F.col("v_q").cast("double") / F.lit(1.0e8)
+    chi2 = (
+        (F.col("o1").cast("double") - e1)
+        * (F.col("o1").cast("double") - e1)
+        / v1
+    )
+    return folded.crossJoin(F.broadcast(sizes)).select(
+        F.col("n_building").cast("long").alias("n_building"),
+        F.col("n_rest").cast("long").alias("n_rest"),
+        F.col("o1").alias("observed_building"),
+        _floor_round(e1, 6).alias("expected_building"),
+        _floor_round(chi2, 6).alias("chi2"),
+    )
+
+
+ORACLE_LOGRANK_SEGMENT_CHURN = """
+WITH pu AS (
+  SELECT o_custkey, MIN(CAST(o_orderdate AS DATE)) AS f,
+         MAX(CAST(o_orderdate AS DATE)) AS l
+  FROM orders GROUP BY o_custkey
+), pg AS (
+  SELECT CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS grp,
+         pu.f, pu.l
+  FROM pu JOIN customer c ON c.c_custkey = pu.o_custkey
+), fin AS (SELECT MAX(l) AS e FROM pg),
+lived AS (
+  SELECT grp, datediff('day', f, l) AS t_days,
+         CASE WHEN datediff('day', l, e) >= 90 THEN 1 ELSE 0 END AS churned
+  FROM pg CROSS JOIN fin
+), counts AS (
+  SELECT grp, t_days, SUM(churned) AS deaths,
+         SUM(1 - churned) AS censored
+  FROM lived GROUP BY 1, 2
+), ng AS (SELECT grp, COUNT(*) AS n_g FROM lived GROUP BY 1),
+dense AS (
+  SELECT g.grp, d.t_days,
+         COALESCE(c.deaths, 0) AS deaths, COALESCE(c.censored, 0) AS censored
+  FROM (SELECT DISTINCT t_days FROM counts) d
+  CROSS JOIN (SELECT DISTINCT grp FROM counts) g
+  LEFT JOIN counts c ON c.grp = g.grp AND c.t_days = d.t_days
+), risk AS (
+  SELECT dense.grp, t_days, deaths,
+         n_g - COALESCE(SUM(deaths + censored) OVER (
+                 PARTITION BY dense.grp ORDER BY t_days
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS at_risk
+  FROM dense JOIN ng ON ng.grp = dense.grp
+), per_day AS (
+  SELECT t_days,
+         SUM(CASE WHEN grp = 1 THEN deaths ELSE 0 END) AS d1,
+         SUM(deaths) AS dt,
+         SUM(CASE WHEN grp = 1 THEN at_risk ELSE 0 END) AS n1,
+         SUM(at_risk) AS nt
+  FROM risk GROUP BY 1
+), folded AS (
+  SELECT CAST(SUM(d1) AS BIGINT) AS o1,
+         SUM(CAST(trunc((CAST(dt AS DOUBLE)
+                         * (CAST(n1 AS DOUBLE) / CAST(nt AS DOUBLE)))
+                        * 100000000.0) AS BIGINT)) AS e_q,
+         SUM(CAST(trunc((CAST(dt AS DOUBLE)
+                         * (CAST(n1 AS DOUBLE) / CAST(nt AS DOUBLE))
+                         * (1.0 - CAST(n1 AS DOUBLE) / CAST(nt AS DOUBLE))
+                         * (CAST(nt - dt AS DOUBLE) / CAST(nt - 1 AS DOUBLE)))
+                        * 100000000.0) AS BIGINT)) AS v_q
+  FROM per_day WHERE dt > 0 AND nt >= 2
+), sizes AS (
+  SELECT CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_building,
+         CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_rest
+  FROM lived
+)
+SELECT n_building, n_rest,
+       o1 AS observed_building,
+       sign(CAST(e_q AS DOUBLE) / 100000000.0)
+       * floor(abs(CAST(e_q AS DOUBLE) / 100000000.0) * 1000000.0 + 0.5)
+         / 1000000.0 AS expected_building,
+       sign((CAST(o1 AS DOUBLE) - CAST(e_q AS DOUBLE) / 100000000.0)
+            * (CAST(o1 AS DOUBLE) - CAST(e_q AS DOUBLE) / 100000000.0)
+            / (CAST(v_q AS DOUBLE) / 100000000.0))
+       * floor(abs((CAST(o1 AS DOUBLE) - CAST(e_q AS DOUBLE) / 100000000.0)
+                   * (CAST(o1 AS DOUBLE) - CAST(e_q AS DOUBLE) / 100000000.0)
+                   / (CAST(v_q AS DOUBLE) / 100000000.0))
+               * 1000000.0 + 0.5) / 1000000.0 AS chi2
+FROM folded CROSS JOIN sizes
+"""
+
+
+def cochran_q_first_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q over first-day action profiles: blocks = users,
+    treatments = the k event types, x_ij = "user i performed action j
+    on their FIRST active day" — the k-treatment completion of
+    McNemar (are first-session action rates equal across actions, or
+    is onboarding funneling users into some?).  Q = (k−1)(k·ΣC_j² −
+    S²)/(k·S − ΣR_i²) is χ²(k−1) under exchangeability.
+
+    Plan: one shuffle to per-user first day, one user-co-partitioned
+    join back to events, then two tiny aggregations (per-user row
+    sums, per-type column sums).  Exactness: every term is an exact
+    integer; Q is ONE double division."""
+    e = table(spark, sf_dir, "events")
+    fd = e.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("d0"))
+    flags = (
+        e.select("user_id", F.to_date("ts").alias("d"), "event_type")
+        .join(fd, ["user_id"])
+        .filter(F.col("d") == F.col("d0"))
+        .select("user_id", "event_type")
+        .distinct()
+    )
+    k_row = e.agg(F.countDistinct("event_type").alias("k"))
+    rsums = flags.groupBy("user_id").agg(F.count(F.lit(1)).alias("ri"))
+    r_agg = rsums.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("ri").alias("s"),
+        F.sum(F.col("ri") * F.col("ri")).alias("sr2"),
+    )
+    c_agg = (
+        flags.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cj"))
+        .agg(F.sum(F.col("cj") * F.col("cj")).alias("sc2"))
+    )
+    agg = r_agg.crossJoin(F.broadcast(c_agg)).crossJoin(F.broadcast(k_row))
+    q = (
+        (F.col("k") - 1).cast("double")
+        * (F.col("k") * F.col("sc2") - F.col("s") * F.col("s")).cast("double")
+        / (F.col("k") * F.col("s") - F.col("sr2")).cast("double")
+    )
+    return agg.select(
+        F.col("k").cast("long").alias("k_treatments"),
+        F.col("n_users").cast("long").alias("n_users"),
+        F.col("s").cast("long").alias("total_successes"),
+        _floor_round(q, 6).alias("q_stat"),
+        (F.col("k") - 1).cast("long").alias("df"),
+    )
+
+
+ORACLE_COCHRAN_Q_FIRST_DAY = """
+WITH fd AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS d0 FROM events GROUP BY user_id
+), flags AS (
+  SELECT DISTINCT e.user_id, e.event_type
+  FROM events e JOIN fd ON fd.user_id = e.user_id
+  WHERE CAST(e.ts AS DATE) = fd.d0
+), kk AS (SELECT COUNT(DISTINCT event_type) AS k FROM events),
+r_agg AS (
+  SELECT COUNT(*) AS n_users, SUM(ri) AS s, SUM(ri * ri) AS sr2
+  FROM (SELECT user_id, COUNT(*) AS ri FROM flags GROUP BY user_id)
+), c_agg AS (
+  SELECT SUM(cj * cj) AS sc2
+  FROM (SELECT event_type, COUNT(*) AS cj FROM flags GROUP BY event_type)
+)
+SELECT CAST(k AS BIGINT) AS k_treatments,
+       CAST(n_users AS BIGINT) AS n_users,
+       CAST(s AS BIGINT) AS total_successes,
+       sign(CAST(k - 1 AS DOUBLE) * CAST(k * sc2 - s * s AS DOUBLE)
+            / CAST(k * s - sr2 AS DOUBLE))
+       * floor(abs(CAST(k - 1 AS DOUBLE) * CAST(k * sc2 - s * s AS DOUBLE)
+                   / CAST(k * s - sr2 AS DOUBLE)) * 1000000.0 + 0.5)
+         / 1000000.0 AS q_stat,
+       CAST(k - 1 AS BIGINT) AS df
+FROM r_agg CROSS JOIN c_agg CROSS JOIN kk
+"""
+
+
+def runs_test_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald–Wolfowitz runs test on daily revenue vs its exact median —
+    the randomness test the trend family presumes away: too FEW runs
+    means sticky regimes (autocorrelation), too MANY means
+    oscillation; |z| ≈ 0 is what an i.i.d. sequence looks like.
+    Median-equal days are dropped (the standard convention), and the
+    above/below split uses the DOUBLED-median integer comparator
+    2·cents vs (x_lo + x_hi) so no division ever happens.
+
+    Plan: one orders shuffle to the calendar-bounded daily frame; the
+    median-rank and lag windows run over those ≤ few-thousand rows
+    (sanctioned).  Exactness: run/above/below counts are exact
+    integers; expected runs and z are single mirrored double
+    expressions."""
+    o = table(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(F.sum((F.col("o_totalprice") * 100).cast("long")).alias("cents"))
+        .localCheckpoint(eager=True)
+    )
+    nn = daily.agg(F.count(F.lit(1)).alias("n"))
+    ranked = daily.select(
+        "d", "cents", F.row_number().over(Window.orderBy("cents", "d")).alias("rn")
+    )
+    med2 = (
+        ranked.crossJoin(F.broadcast(nn))
+        .agg(
+            (
+                F.sum(
+                    F.when(
+                        F.col("rn") == F.floor((F.col("n") + 1) / 2), F.col("cents")
+                    )
+                )
+                + F.sum(
+                    F.when(
+                        F.col("rn") == F.floor(F.col("n") / 2) + 1, F.col("cents")
+                    )
+                )
+            ).alias("m2")
+        )
+    )
+    signed = (
+        daily.crossJoin(F.broadcast(med2))
+        .filter(2 * F.col("cents") != F.col("m2"))
+        .select("d", (2 * F.col("cents") > F.col("m2")).cast("int").alias("above"))
+    )
+    wl = Window.orderBy("d")
+    runs_flags = signed.select(
+        "above",
+        F.when(F.col("above") != F.lag("above").over(wl), 1)
+        .otherwise(0)
+        .alias("chg"),
+    )
+    agg = runs_flags.agg(
+        F.sum("above").alias("n1"),
+        F.sum(F.lit(1) - F.col("above")).alias("n2"),
+        (F.sum("chg") + 1).alias("r"),
+    )
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    nd = (F.col("n1") + F.col("n2")).cast("double")
+    mu = F.lit(2.0) * n1d * n2d / nd + F.lit(1.0)
+    sig2 = (
+        F.lit(2.0) * n1d * n2d * (F.lit(2.0) * n1d * n2d - nd)
+        / (nd * nd * (nd - F.lit(1.0)))
+    )
+    z = (F.col("r").cast("double") - mu) / F.sqrt(sig2)
+    return agg.select(
+        F.col("n1").cast("long").alias("n_above"),
+        F.col("n2").cast("long").alias("n_below"),
+        F.col("r").cast("long").alias("runs"),
+        _floor_round(mu, 6).alias("expected_runs"),
+        _floor_round(z, 6).alias("z"),
+    )
+
+
+ORACLE_RUNS_TEST_REVENUE = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         SUM(CAST(trunc(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1
+), nn AS (SELECT COUNT(*) AS n FROM daily),
+ranked AS (
+  SELECT d, cents, ROW_NUMBER() OVER (ORDER BY cents, d) AS rn FROM daily
+), med2 AS (
+  SELECT SUM(CASE WHEN rn = (n + 1) // 2 THEN cents END)
+         + SUM(CASE WHEN rn = n // 2 + 1 THEN cents END) AS m2
+  FROM ranked CROSS JOIN nn
+), signed AS (
+  SELECT d, CASE WHEN 2 * cents > m2 THEN 1 ELSE 0 END AS above
+  FROM daily CROSS JOIN med2
+  WHERE 2 * cents <> m2
+), flags AS (
+  SELECT above,
+         CASE WHEN above <> LAG(above) OVER (ORDER BY d) THEN 1 ELSE 0 END AS chg
+  FROM signed
+), agg AS (
+  SELECT SUM(above) AS n1, SUM(1 - above) AS n2, SUM(chg) + 1 AS r FROM flags
+)
+SELECT CAST(n1 AS BIGINT) AS n_above,
+       CAST(n2 AS BIGINT) AS n_below,
+       CAST(r AS BIGINT) AS runs,
+       sign(2.0 * n1 * n2 / (n1 + n2) + 1.0)
+       * floor(abs(2.0 * n1 * n2 / (n1 + n2) + 1.0) * 1000000.0 + 0.5)
+         / 1000000.0 AS expected_runs,
+       sign((CAST(r AS DOUBLE) - (2.0 * n1 * n2 / (n1 + n2) + 1.0))
+            / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - (n1 + n2))
+                   / ((n1 + n2) * (n1 + n2) * ((n1 + n2) - 1.0))))
+       * floor(abs((CAST(r AS DOUBLE) - (2.0 * n1 * n2 / (n1 + n2) + 1.0))
+                   / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - (n1 + n2))
+                          / ((n1 + n2) * (n1 + n2) * ((n1 + n2) - 1.0))))
+               * 1000000.0 + 0.5) / 1000000.0 AS z
+FROM agg
+"""
+
+
+def page_trend_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page's trend test (L statistic) for an ORDERED alternative:
+    within each market segment (block), rank the YEARS by revenue;
+    L = Σ_year (year_index · rank) is maximal when every segment's
+    revenue rises monotonically with the calendar — the directional
+    test Kendall's W cannot give (W detects agreement; Page detects
+    agreement WITH TIME'S ARROW).  Ranks are DOUBLED mid-ranks so ties
+    stay integer; L is reported in doubled units alongside the
+    standard normal z (no-tie moments — ties across yearly revenue
+    micro-totals are measure-zero and the ranks stay exact
+    regardless).
+
+    Plan: one orders+customer shuffle to the (segment, year) cents
+    grid — m·n data-domain cells; ranks and moments are windowed
+    integer arithmetic on that frame."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    grid = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.year("o_orderdate").alias("yr"),
+        )
+        .agg(F.sum((F.col("o_totalprice") * 100).cast("long")).alias("cents"))
+        .localCheckpoint(eager=True)
+    )
+    wj = Window.orderBy("yr")
+    wr = Window.partitionBy("seg").orderBy("cents")
+    wt = Window.partitionBy("seg", "cents")
+    ranked = grid.select(
+        "seg",
+        F.dense_rank().over(wj).alias("j"),
+        (2 * F.rank().over(wr) + F.count(F.lit(1)).over(wt) - 1).alias("r2"),
+    )
+    mn = grid.agg(
+        F.countDistinct("seg").alias("m"), F.countDistinct("yr").alias("n")
+    )
+    l2 = ranked.agg(F.sum(F.col("j") * F.col("r2")).alias("l2"))
+    agg = l2.crossJoin(F.broadcast(mn))
+    md = F.col("m").cast("double")
+    nd = F.col("n").cast("double")
+    l_val = F.col("l2").cast("double") / F.lit(2.0)
+    mu = md * nd * (nd + 1) * (nd + 1) / F.lit(4.0)
+    sig2 = md * nd * nd * (nd + 1) * (nd * nd - 1) / F.lit(144.0)
+    z = (l_val - mu) / F.sqrt(sig2)
+    return agg.select(
+        F.col("m").cast("long").alias("m_blocks"),
+        F.col("n").cast("long").alias("n_treatments"),
+        F.col("l2").cast("long").alias("l2_stat"),
+        _floor_round(l_val, 1).alias("l_stat"),
+        _floor_round(z, 6).alias("z"),
+    )
+
+
+ORACLE_PAGE_TREND_TEST = """
+WITH grid AS (
+  SELECT c.c_mktsegment AS seg, EXTRACT(year FROM o_orderdate) AS yr,
+         SUM(CAST(trunc(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT seg,
+         DENSE_RANK() OVER (ORDER BY yr) AS j,
+         2 * RANK() OVER (PARTITION BY seg ORDER BY cents)
+           + COUNT(*) OVER (PARTITION BY seg, cents) - 1 AS r2
+  FROM grid
+), mn AS (
+  SELECT COUNT(DISTINCT seg) AS m, COUNT(DISTINCT yr) AS n FROM grid
+), l2 AS (SELECT SUM(j * r2) AS l2 FROM ranked)
+SELECT CAST(m AS BIGINT) AS m_blocks,
+       CAST(n AS BIGINT) AS n_treatments,
+       CAST(l2 AS BIGINT) AS l2_stat,
+       sign(CAST(l2 AS DOUBLE) / 2.0)
+       * floor(abs(CAST(l2 AS DOUBLE) / 2.0) * 10.0 + 0.5) / 10.0 AS l_stat,
+       sign((CAST(l2 AS DOUBLE) / 2.0
+             - CAST(m AS DOUBLE) * n * (n + 1) * (n + 1) / 4.0)
+            / sqrt(CAST(m AS DOUBLE) * n * n * (n + 1) * (n * n - 1) / 144.0))
+       * floor(abs((CAST(l2 AS DOUBLE) / 2.0
+                    - CAST(m AS DOUBLE) * n * (n + 1) * (n + 1) / 4.0)
+                   / sqrt(CAST(m AS DOUBLE) * n * n * (n + 1) * (n * n - 1)
+                          / 144.0)) * 1000000.0 + 0.5) / 1000000.0 AS z
+FROM l2 CROSS JOIN mn
+"""
+
+
 QUERIES = {
+    "cochran_q_first_day": cochran_q_first_day,
+    "runs_test_revenue": runs_test_revenue,
+    "page_trend_test": page_trend_test,
+    "mann_kendall_trend": mann_kendall_trend,
+    "pettitt_changepoint": pettitt_changepoint,
+    "logrank_segment_churn": logrank_segment_churn,
+    "bollinger_breakout_days": bollinger_breakout_days,
+    "kendalls_w_region_brands": kendalls_w_region_brands,
     "bhattacharyya_segments": bhattacharyya_segments,
     "revenue_streaks": revenue_streaks,
     "cramers_v_matrix": cramers_v_matrix,
@@ -3786,6 +4739,14 @@ QUERIES = {
 }
 
 ORACLE = {
+    "cochran_q_first_day": ORACLE_COCHRAN_Q_FIRST_DAY,
+    "runs_test_revenue": ORACLE_RUNS_TEST_REVENUE,
+    "page_trend_test": ORACLE_PAGE_TREND_TEST,
+    "mann_kendall_trend": ORACLE_MANN_KENDALL_TREND,
+    "pettitt_changepoint": ORACLE_PETTITT_CHANGEPOINT,
+    "logrank_segment_churn": ORACLE_LOGRANK_SEGMENT_CHURN,
+    "bollinger_breakout_days": ORACLE_BOLLINGER_BREAKOUT_DAYS,
+    "kendalls_w_region_brands": ORACLE_KENDALLS_W_REGION_BRANDS,
     "bhattacharyya_segments": ORACLE_BHATTACHARYYA_SEGMENTS,
     "revenue_streaks": ORACLE_REVENUE_STREAKS,
     "cramers_v_matrix": ORACLE_CRAMERS_V_MATRIX,

@@ -476,6 +476,19 @@ _GLOBAL_WINDOW_SANCTIONED = {
     # gaps-and-islands lag + island-id prefix: same per-DAY
     # calendar-bounded frame (r9)
     "revenue_streaks",
+    # trailing 28-day sum/sum-of-squares windows: same per-DAY
+    # calendar-bounded frame — a few thousand rows at ANY corpus
+    # size; the orders table is reduced by the groupBy first (r9)
+    "bollinger_breakout_days",
+    # Pettitt mid-rank U_t: the value-rank and day-prefix windows both
+    # run over the same per-DAY calendar-bounded frame (r9)
+    "pettitt_changepoint",
+    # runs test: median row_number + lag windows over the same per-DAY
+    # calendar-bounded frame (r9)
+    "runs_test_revenue",
+    # Page's L: year dense_rank over the (segment, year) grid — an
+    # m·n data-domain frame (~35 cells at ANY corpus size) (r9)
+    "page_trend_test",
     # rank statistics (r8): operators/quantiles.rank2_map's exclusive
     # prefix runs over the BUCKET-partials frame (value-range /
     # bucket_width — value-domain-sized, the exact_median posture);

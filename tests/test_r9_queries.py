@@ -628,3 +628,303 @@ def test_price_consistency_exact_banding(spark):
     assert {b: r["n_rows"] for b, r in got.items()} == dict(bands)
     any_row = next(iter(got.values()))
     assert abs(any_row["violation_share_total"] - viol / len(rows)) <= 1e-6
+
+
+def test_bollinger_matches_numpy(spark):
+    """Trailing-28-day ±2σ breakouts replayed with numpy over the raw
+    daily cents series (population σ, window excludes current day)."""
+    from data_ingestion_project_spark.queries import all_queries
+
+    rows = duckdb.sql(
+        f"""SELECT CAST(o_orderdate AS DATE) AS d,
+                   SUM(CAST(trunc(o_totalprice * 100) AS BIGINT)) AS cents
+            FROM '{SF}/orders.parquet' GROUP BY 1 ORDER BY 1"""
+    ).fetchall()
+    days = [r[0] for r in rows]
+    cents = np.array([r[1] for r in rows], dtype=np.float64)
+    expected = {}
+    for i in range(28, len(cents)):
+        w = cents[i - 28 : i]
+        mu, sd = w.mean(), w.std()
+        if sd > 0 and abs(cents[i] - mu) > 2 * sd:
+            z = (cents[i] - mu) / sd
+            expected[str(days[i])] = ("up" if z > 0 else "down", z)
+    got = all_queries()["bollinger_breakout_days"](spark, SF).collect()
+    assert {r["d"] for r in got} == set(expected)
+    for r in got:
+        side, z = expected[r["d"]]
+        assert r["side"] == side
+        assert abs(r["z"] - z) <= 1e-5
+
+
+def test_kendalls_w_matches_python(spark):
+    """W replayed through the definitional mean-deviation form
+    (12·S / (m²(n³−n) − m·ΣT)) with scipy-style mid-ranks."""
+    from data_ingestion_project_spark.queries import all_queries
+
+    rows = duckdb.sql(
+        f"""SELECT r.r_name, p.p_brand,
+                   SUM(CAST(trunc((l_extendedprice * (1 - l_discount))
+                                  * 1000000) AS BIGINT)) AS v
+            FROM '{SF}/lineitem.parquet' l
+            JOIN '{SF}/supplier.parquet' s ON s.s_suppkey = l.l_suppkey
+            JOIN '{SF}/nation.parquet' n ON n.n_nationkey = s.s_nationkey
+            JOIN '{SF}/region.parquet' r ON r.r_regionkey = n.n_regionkey
+            JOIN '{SF}/part.parquet' p ON p.p_partkey = l.l_partkey
+            GROUP BY 1, 2"""
+    ).fetchall()
+    rev = {(r[0], r[1]): r[2] for r in rows}
+    regions = sorted({k[0] for k in rev})
+    brands = sorted({k[1] for k in rev})
+    m, n = len(regions), len(brands)
+    rank_sum = defaultdict(float)
+    tie_total = 0
+    for rg in regions:
+        vals = [rev.get((rg, b), 0) for b in brands]
+        order = np.array(vals, dtype=np.float64)
+        # mid-ranks
+        sorted_v = sorted(vals)
+        midrank = {}
+        i = 0
+        while i < n:
+            j = i
+            while j < n and sorted_v[j] == sorted_v[i]:
+                j += 1
+            mr = (i + 1 + j) / 2.0
+            midrank[sorted_v[i]] = mr
+            t = j - i
+            tie_total += t * t * t - t
+            i = j
+        for b, v in zip(brands, vals):
+            rank_sum[b] += midrank[v]
+    rbar = sum(rank_sum.values()) / n
+    s = sum((r - rbar) ** 2 for r in rank_sum.values())
+    w_expected = 12.0 * s / (m * m * (n**3 - n) - m * tie_total)
+    got = all_queries()["kendalls_w_region_brands"](spark, SF).collect()[0]
+    assert got["m_rankers"] == m and got["n_items"] == n
+    assert got["tie_term"] == tie_total
+    assert abs(got["w"] - w_expected) <= 1e-6
+    assert abs(got["chi2"] - m * (n - 1) * w_expected) <= 1e-3
+    assert 0.0 <= got["w"] <= 1.0
+
+
+def test_dup_cluster_source_mix_matches_python(spark):
+    """Bag-of-words cluster histogram replayed with Counter over the
+    normalized word-set fingerprints."""
+    import re as _re
+
+    from data_ingestion_project_spark.queries import all_queries
+
+    rows = duckdb.sql(
+        f"SELECT text, source FROM '{SF}/documents.parquet'"
+    ).fetchall()
+    clusters = defaultdict(list)
+    for text, source in rows:
+        norm = _re.sub(r"\s+", " ", text.strip().lower())
+        fp = " ".join(sorted(set(norm.split(" "))))
+        clusters[fp].append(source)
+    hist = Counter()
+    docs = Counter()
+    for fp, srcs in clusters.items():
+        if len(srcs) >= 2:
+            key = (len(srcs), len(set(srcs)))
+            hist[key] += 1
+            docs[key] += len(srcs)
+    got = all_queries()["dup_cluster_source_mix"](spark, SF).collect()
+    assert {(r["cluster_size"], r["n_sources"]): (r["n_clusters"], r["n_docs"])
+            for r in got} == {k: (hist[k], docs[k]) for k in hist}
+    assert sum(hist.values()) > 0  # the corpus DOES contain BoW dups
+
+
+def test_mann_kendall_matches_python(spark):
+    """S, tie-corrected variance and z replayed with a brute-force
+    O(n²) pair loop over the daily cents series."""
+    from data_ingestion_project_spark.queries import all_queries
+
+    rows = duckdb.sql(
+        f"""SELECT CAST(o_orderdate AS DATE) AS d,
+                   SUM(CAST(trunc(o_totalprice * 100) AS BIGINT)) AS cents
+            FROM '{SF}/orders.parquet' GROUP BY 1 ORDER BY 1"""
+    ).fetchall()
+    x = [r[1] for r in rows]
+    n = len(x)
+    s = sum(
+        (1 if x[j] > x[i] else -1 if x[j] < x[i] else 0)
+        for i in range(n)
+        for j in range(i + 1, n)
+    )
+    ties = Counter(x)
+    tie_term = sum(t * (t - 1) * (2 * t + 5) for t in ties.values())
+    var_num = n * (n - 1) * (2 * n + 5) - tie_term
+    z = (
+        (s - 1) / math.sqrt(var_num / 18.0)
+        if s > 0
+        else (s + 1) / math.sqrt(var_num / 18.0)
+        if s < 0
+        else 0.0
+    )
+    got = all_queries()["mann_kendall_trend"](spark, SF).collect()[0]
+    assert got["n_days"] == n
+    assert got["s_stat"] == s
+    assert got["var_num"] == var_num
+    assert abs(got["z"] - z) <= 1e-6
+    assert got["trend"] == ("increasing" if s > 0 else "decreasing" if s < 0 else "none")
+
+
+def test_pettitt_matches_bruteforce(spark):
+    """K and t* replayed with the O(n²) definitional double sum
+    U_t = ΣΣ sgn(x_j − x_i) — certifying the mid-rank identity."""
+    from data_ingestion_project_spark.queries import all_queries
+
+    rows = duckdb.sql(
+        f"""SELECT CAST(o_orderdate AS DATE) AS d,
+                   SUM(CAST(trunc(o_totalprice * 100) AS BIGINT)) AS cents
+            FROM '{SF}/orders.parquet' GROUP BY 1 ORDER BY 1"""
+    ).fetchall()
+    days = [r[0] for r in rows]
+    x = [r[1] for r in rows]
+    n = len(x)
+    sgn = lambda a: (a > 0) - (a < 0)  # noqa: E731
+    best = None
+    for t in range(1, n):  # t = size of the prefix, changepoint AT days[t-1]
+        u = sum(sgn(x[j] - x[i]) for i in range(t) for j in range(t, n))
+        if best is None or abs(u) > best[0]:
+            best = (abs(u), str(days[t - 1]), u)
+    k, cp, u_signed = best
+    got = all_queries()["pettitt_changepoint"](spark, SF).collect()[0]
+    assert got["n_days"] == n
+    assert got["k_stat"] == k
+    assert got["changepoint_day"] == cp
+    assert got["u_signed"] == u_signed
+    assert abs(got["p_exponent"] - 6.0 * k * k / (n**3 + n**2)) <= 1e-7
+    mb = [v for d, v in zip(days, x) if str(d) <= cp]
+    ma = [v for d, v in zip(days, x) if str(d) > cp]
+    assert abs(got["mean_before"] - sum(mb) / len(mb) / 100.0) <= 0.01
+    assert abs(got["mean_after"] - sum(ma) / len(ma) / 100.0) <= 0.01
+
+
+def test_logrank_matches_python(spark):
+    """O, E, V and χ² replayed with a per-time-point dict sweep over
+    the per-customer order lifetimes (90-day censor boundary)."""
+    from data_ingestion_project_spark.queries import all_queries
+
+    rows = duckdb.sql(
+        f"""SELECT o.o_custkey, MIN(CAST(o_orderdate AS DATE)) AS f,
+                   MAX(CAST(o_orderdate AS DATE)) AS l,
+                   MAX(CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END) AS grp
+            FROM '{SF}/orders.parquet' o
+            JOIN '{SF}/customer.parquet' c ON c.c_custkey = o.o_custkey
+            GROUP BY o.o_custkey"""
+    ).fetchall()
+    end = max(r[2] for r in rows)
+    lived = [
+        (r[3], (r[2] - r[1]).days, 1 if (end - r[2]).days >= 90 else 0)
+        for r in rows
+    ]
+    times = sorted({t for _, t, _ in lived})
+    o1 = e1 = v1 = 0.0
+    for t in times:
+        n1 = sum(1 for g, tt, _ in lived if g == 1 and tt >= t)
+        nt = sum(1 for _, tt, _ in lived if tt >= t)
+        d1 = sum(1 for g, tt, c in lived if g == 1 and tt == t and c)
+        dt = sum(1 for _, tt, c in lived if tt == t and c)
+        if dt > 0 and nt >= 2:
+            p = n1 / nt
+            o1 += d1
+            e1 += dt * p
+            v1 += dt * p * (1 - p) * ((nt - dt) / (nt - 1))
+    chi2 = (o1 - e1) ** 2 / v1
+    got = all_queries()["logrank_segment_churn"](spark, SF).collect()[0]
+    assert got["n_building"] == sum(1 for g, _, _ in lived if g == 1)
+    assert got["n_rest"] == sum(1 for g, _, _ in lived if g == 0)
+    assert got["observed_building"] == int(o1)
+    assert abs(got["expected_building"] - e1) <= 1e-5
+    assert abs(got["chi2"] - chi2) <= 1e-4
+
+
+def test_cochran_q_matches_python(spark):
+    """Q replayed from the definitional row/column sums over the
+    first-day action flags."""
+    from data_ingestion_project_spark.queries import all_queries
+
+    rows = duckdb.sql(
+        f"""WITH fd AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS d0
+                        FROM '{SF}/events.parquet' GROUP BY 1)
+            SELECT DISTINCT e.user_id, e.event_type
+            FROM '{SF}/events.parquet' e JOIN fd ON fd.user_id = e.user_id
+            WHERE CAST(e.ts AS DATE) = fd.d0"""
+    ).fetchall()
+    k = duckdb.sql(
+        f"SELECT COUNT(DISTINCT event_type) FROM '{SF}/events.parquet'"
+    ).fetchone()[0]
+    r = Counter(u for u, _ in rows)
+    c = Counter(t for _, t in rows)
+    s = sum(r.values())
+    q = (k - 1) * (k * sum(v * v for v in c.values()) - s * s) / (
+        k * s - sum(v * v for v in r.values())
+    )
+    got = all_queries()["cochran_q_first_day"](spark, SF).collect()[0]
+    assert got["k_treatments"] == k
+    assert got["n_users"] == len(r)
+    assert got["total_successes"] == s
+    assert abs(got["q_stat"] - q) <= 1e-5
+    assert got["df"] == k - 1
+
+
+def test_runs_test_matches_python(spark):
+    """Runs count and z replayed with a plain loop over the daily
+    series split at the exact median."""
+    from data_ingestion_project_spark.queries import all_queries
+
+    rows = duckdb.sql(
+        f"""SELECT CAST(o_orderdate AS DATE) AS d,
+                   SUM(CAST(trunc(o_totalprice * 100) AS BIGINT)) AS cents
+            FROM '{SF}/orders.parquet' GROUP BY 1 ORDER BY 1"""
+    ).fetchall()
+    x = [r[1] for r in rows]
+    srt = sorted(x)
+    n = len(x)
+    m2 = srt[(n + 1) // 2 - 1] + srt[n // 2]
+    seq = [1 if 2 * v > m2 else 0 for v in x if 2 * v != m2]
+    n1, n2 = sum(seq), len(seq) - sum(seq)
+    runs = 1 + sum(1 for a, b in zip(seq, seq[1:]) if a != b)
+    nn = n1 + n2
+    mu = 2.0 * n1 * n2 / nn + 1.0
+    sig2 = 2.0 * n1 * n2 * (2.0 * n1 * n2 - nn) / (nn * nn * (nn - 1.0))
+    z = (runs - mu) / math.sqrt(sig2)
+    got = all_queries()["runs_test_revenue"](spark, SF).collect()[0]
+    assert got["n_above"] == n1 and got["n_below"] == n2
+    assert got["runs"] == runs
+    assert abs(got["expected_runs"] - mu) <= 1e-5
+    assert abs(got["z"] - z) <= 1e-5
+
+
+def test_page_trend_matches_python(spark):
+    """Page's L replayed with per-segment mid-rank loops over the
+    (segment, year) revenue grid."""
+    from data_ingestion_project_spark.queries import all_queries
+
+    rows = duckdb.sql(
+        f"""SELECT c.c_mktsegment, EXTRACT(year FROM o_orderdate) AS yr,
+                   SUM(CAST(trunc(o_totalprice * 100) AS BIGINT)) AS cents
+            FROM '{SF}/orders.parquet' o
+            JOIN '{SF}/customer.parquet' c ON c.c_custkey = o.o_custkey
+            GROUP BY 1, 2"""
+    ).fetchall()
+    years = sorted({r[1] for r in rows})
+    segs = sorted({r[0] for r in rows})
+    m, n = len(segs), len(years)
+    cell = {(r[0], r[1]): r[2] for r in rows}
+    l2 = 0
+    for s in segs:
+        vals = [cell.get((s, y), 0) for y in years]
+        for j, (y, v) in enumerate(zip(years, vals), start=1):
+            r2 = 2 * sum(1 for w in vals if w < v) + vals.count(v) + 1
+            l2 += j * r2
+    l = l2 / 2.0
+    mu = m * n * (n + 1) ** 2 / 4.0
+    sig = math.sqrt(m * n * n * (n + 1) * (n * n - 1) / 144.0)
+    got = all_queries()["page_trend_test"](spark, SF).collect()[0]
+    assert got["m_blocks"] == m and got["n_treatments"] == n
+    assert got["l2_stat"] == l2
+    assert abs(got["z"] - (l - mu) / sig) <= 1e-5
