@@ -307,3 +307,108 @@ def stationary_unrolled_sql(trans_cte: str, iterations: int = 20) -> str:
 )"""
         )
     return ",\n".join(parts) + f"\nSELECT state, pi FROM pi{iterations}"
+
+
+def hitting_time(
+    trans: DataFrame,
+    target: str,
+    iterations: int = 60,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "n",
+) -> DataFrame:
+    """Expected steps to ABSORB at ``target`` from every other state,
+    by fixed-horizon value iteration over the count-estimated chain:
+
+        h_{k+1}(s) = 1 + sum_dst p(s, dst) * h_k(dst),   h(target) = 0
+
+    with transitions OUT of ``target`` removed (absorbing).  The
+    reported value is the exact ``iterations``-step truncation — a
+    deterministic quantity both engines reproduce bit-for-bit under
+    the module determinism contract (same per-edge ROUND(.., 14)
+    contributions, exact DECIMAL folding, per-iteration ROUND(.., 10));
+    convergence to the infinite-horizon h is geometric in the
+    transient mass, so the horizon is a documented modeling choice,
+    not a tolerance.
+
+    Scale: identical posture to :func:`stationary_distribution` — the
+    chain is K-vocabulary-sized; every iteration is one equi-join plus
+    one K-row aggregation on the tiny localCheckpoint'ed matrix."""
+    tot = trans.groupBy(src).agg(F.sum(weight).alias("tot"))
+    p = (
+        trans.join(tot, src)
+        .filter(F.col(src) != target)
+        .select(
+            F.col(src).alias("src"),
+            F.col(dst).alias("dst"),
+            F.round(F.col(weight) / F.col("tot"), CONTRIB_SCALE).alias("p"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    h = p.select("src").distinct().select(
+        F.col("src").alias("state"), F.lit(0.0).alias("h")
+    )
+    for i in range(iterations):
+        h = (
+            p.join(h, p["dst"] == h["state"], "left")
+            .select(
+                F.col("src").alias("s"),
+                F.round(
+                    F.coalesce(F.col("h"), F.lit(0.0)) * F.col("p"),
+                    CONTRIB_SCALE,
+                ).alias("term"),
+            )
+            .groupBy("s")
+            .agg(
+                F.round(
+                    F.lit(1.0) + F.sum(F.col("term").cast(_DEC)).cast("double"),
+                    RANK_SCALE,
+                ).alias("h")
+            )
+            .select(F.col("s").alias("state"), "h")
+        )
+        if i < iterations - 1 and (i + 1) % 5 == 0:
+            # EAGER every 5 rounds: the frame is K rows; fully-lazy
+            # checkpoints stack a lineage whose analysis cost grows
+            # superlinearly in the horizon (measured: 40 lazy rounds
+            # did not finish in minutes), while an eager checkpoint
+            # per round costs one Spark job each (measured 14 s for
+            # 40).  A 5-round stride keeps analysis depth constant at
+            # ~1/5 the job count.
+            h = h.localCheckpoint(eager=True)
+    return h
+
+
+def hitting_time_unrolled_sql(
+    trans_cte: str, target: str, iterations: int = 60
+) -> str:
+    """ANSI-SQL twin of :func:`hitting_time` for the oracle gate:
+    chained CTEs over ``trans_cte`` providing (src, dst, n)."""
+    parts = [
+        f"htot AS (SELECT src, SUM(n) AS tot FROM {trans_cte} GROUP BY src)",
+        f"""hp AS (
+  SELECT t.src, t.dst,
+         ROUND(CAST(t.n AS DOUBLE) / CAST(htot.tot AS DOUBLE), {CONTRIB_SCALE}) AS p
+  FROM {trans_cte} t JOIN htot ON htot.src = t.src
+  WHERE t.src <> '{target}'
+)""",
+        "h0 AS (SELECT DISTINCT src AS state, CAST(0.0 AS DOUBLE) AS h FROM hp)",
+    ]
+    for i in range(1, iterations + 1):
+        # MATERIALIZED: DuckDB inlines plain CTEs, and a 40-deep
+        # LEFT-JOIN chain makes the optimizer's join-order search
+        # intractable (observed hang); materializing each level keeps
+        # the plan linear in the horizon.
+        parts.append(
+            f"""h{i} AS MATERIALIZED (
+  SELECT hp.src AS state,
+         ROUND(1.0 + CAST(SUM(CAST(ROUND(COALESCE(hr.h, 0.0) * hp.p,
+                                         {CONTRIB_SCALE})
+                             AS DECIMAL(38,{CONTRIB_SCALE}))) AS DOUBLE),
+               {RANK_SCALE}) AS h
+  FROM hp
+  LEFT JOIN h{i - 1} hr ON hr.state = hp.dst
+  GROUP BY hp.src
+)"""
+        )
+    return ",\n".join(parts) + f"\nSELECT state, h FROM h{iterations}"

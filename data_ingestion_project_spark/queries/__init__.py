@@ -66,6 +66,14 @@ _DRIVER_PRIORITY = (
     "cochran_q_first_day",
     "runs_test_revenue",
     "page_trend_test",
+    "cvm_length_drift",
+    "wilcoxon_first_last_order",
+    "good_turing_vocab",
+    "markov_hitting_time_events",
+    "mcnemar_week_retention",
+    "hopkins_statistic",
+    "ljung_box_revenue",
+    "grubbs_outlier_day",
     # -- r04-era certifications (stalest driver rows; the tail) --
     "quantile_sketch_rollup",
     "segment_richest_customer",
@@ -78,17 +86,9 @@ _DRIVER_PRIORITY = (
     "substring_dup_stats",
     "theta_weekly_retention",
     "token_stats",
-    "training_shard_plan",
-    "winnow_overlap_top",
-    "zipf_slope_by_lang",
-    # -- r05-era certifications (alphabetical head; tail rolls to r10) --
-    "big_orders",
-    "brand_band_revenue",
-    "brand_price_stats",
-    "cheapest_regional_supplier",
-    "corpus_mixture_plan",
-    # This tuple is exactly 50 names = the full window; the r05 tail
-    # (cube_revenue ..) rolls to the r10 window.
+    # This tuple is exactly 50 names = the full window; the r04 tail
+    # (training_shard_plan, winnow_overlap_top, zipf_slope_by_lang) and
+    # the whole r05 era (big_orders ..) roll to the r10 window.
 )
 
 

@@ -5669,7 +5669,110 @@ ORDER BY cluster_size, n_sources
 """
 
 
+def good_turing_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simple Good–Turing vocabulary mass per source: from the
+    frequency-of-frequencies profile, the probability mass of UNSEEN
+    words (p₀ = N₁/N) and the discounted effective counts r* =
+    (r+1)·N_{r+1}/N_r for the rare tail — the smoothing arithmetic
+    under every n-gram LM and the quantitative answer to "how much of
+    this source's vocabulary have we NOT seen yet?" (chao1 estimates
+    the unseen SPECIES count; this estimates the unseen MASS).
+
+    Plan: one explode+group shuffle to per-(source, word) counts, a
+    second tiny aggregation per source over conditional sums —
+    frequency-of-frequencies never materializes row-count-sized state.
+    Exactness: all Nᵣ are exact integers; the three reported ratios
+    are single mirrored double divisions (zero-guarded)."""
+    d = table(spark, sf_dir, "documents")
+    wc = (
+        d.select(
+            "source",
+            F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias(
+                "w"
+            ),
+        )
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per = wc.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).alias("vocab"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("c") == 2, 1).otherwise(0)).alias("n2"),
+        F.sum(F.when(F.col("c") == 3, 1).otherwise(0)).alias("n3"),
+    )
+    return per.select(
+        "source",
+        "n_tokens",
+        F.col("vocab").cast("long").alias("vocab"),
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        F.col("n3").cast("long").alias("n3"),
+        floor_round(
+            F.col("n1").cast("double") / F.col("n_tokens").cast("double"), 8
+        ).alias("p_unseen"),
+        F.when(
+            F.col("n1") > 0,
+            floor_round(
+                F.lit(2.0) * F.col("n2").cast("double")
+                / F.col("n1").cast("double"),
+                6,
+            ),
+        ).alias("r1_star"),
+        F.when(
+            F.col("n2") > 0,
+            floor_round(
+                F.lit(3.0) * F.col("n3").cast("double")
+                / F.col("n2").cast("double"),
+                6,
+            ),
+        ).alias("r2_star"),
+    ).orderBy("source")
+
+
+ORACLE_GOOD_TURING_VOCAB = """
+WITH wc AS (
+  SELECT source, w, COUNT(*) AS c
+  FROM (
+    SELECT source,
+           unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+    FROM documents
+  ) GROUP BY source, w
+), per AS (
+  SELECT source,
+         SUM(c) AS n_tokens,
+         COUNT(*) AS vocab,
+         SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS n1,
+         SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS n2,
+         SUM(CASE WHEN c = 3 THEN 1 ELSE 0 END) AS n3
+  FROM wc GROUP BY source
+)
+SELECT source,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(vocab AS BIGINT) AS vocab,
+       CAST(n1 AS BIGINT) AS n1,
+       CAST(n2 AS BIGINT) AS n2,
+       CAST(n3 AS BIGINT) AS n3,
+       sign(CAST(n1 AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+       * floor(abs(CAST(n1 AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+               * 100000000.0 + 0.5) / 100000000.0 AS p_unseen,
+       CASE WHEN n1 > 0 THEN
+         sign(2.0 * CAST(n2 AS DOUBLE) / CAST(n1 AS DOUBLE))
+         * floor(abs(2.0 * CAST(n2 AS DOUBLE) / CAST(n1 AS DOUBLE))
+                 * 1000000.0 + 0.5) / 1000000.0
+       END AS r1_star,
+       CASE WHEN n2 > 0 THEN
+         sign(3.0 * CAST(n3 AS DOUBLE) / CAST(n2 AS DOUBLE))
+         * floor(abs(3.0 * CAST(n3 AS DOUBLE) / CAST(n2 AS DOUBLE))
+                 * 1000000.0 + 0.5) / 1000000.0
+       END AS r2_star
+FROM per
+ORDER BY source
+"""
+
+
 QUERIES = {
+    "good_turing_vocab": good_turing_vocab,
     "dup_cluster_source_mix": dup_cluster_source_mix,
     "word_burstiness": word_burstiness,
     "heaps_law_fit": heaps_law_fit,
@@ -5754,6 +5857,7 @@ if _HAVE_PIL:
     QUERIES["jpeg_decode_stats_fast"] = jpeg_decode_stats_fast
 
 ORACLE = {
+    "good_turing_vocab": ORACLE_GOOD_TURING_VOCAB,
     "dup_cluster_source_mix": ORACLE_DUP_CLUSTER_SOURCE_MIX,
     "word_burstiness": ORACLE_WORD_BURSTINESS,
     "heaps_law_fit": ORACLE_HEAPS_LAW_FIT,

@@ -1767,7 +1767,208 @@ ORDER BY label
 """
 
 
+_HOPKINS_M = 50  # probe count: fixed, corpus-size-independent
+_LCG_A, _LCG_C, _LCG_M = 1_103_515_245, 12_345, 2_147_483_648
+
+
+def hopkins_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopkins clustering-tendency statistic of the embedding corpus —
+    the PRE-clustering sanity gate the cluster-quality family
+    (silhouette, Davies–Bouldin) presumes away: H compares
+    nearest-neighbor distances of m UNIFORM probe points (u) against m
+    REAL sample points (w); H = Σu/(Σu+Σw) ≈ 0.5 says the corpus is
+    spatially random (clustering it is numerology), H → 1 says real
+    clusters exist.  Probes are deterministic: an integer LCG
+    (glibc constants) fills the per-dimension bounding box, and the
+    real sample is the m lowest md5(vec_id) — both replayed exactly by
+    the oracle.
+
+    Plan: coordinates quantize to 1e-4 integers (centroid-drift
+    posture) so every squared distance is an exact integer; both NN
+    sweeps are corpus × m-broadcast scans (linear, never pairwise);
+    the bounding box is a 64-cell aggregate.  sqrt is IEEE
+    correctly-rounded (no libm drift), truncated to 1e-6 integers
+    before the fold; H is ONE double division."""
+    e = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") != QUERY_VEC_ID)
+    corpus = e.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * F.lit(1.0e4), 0).cast("long"),
+        ).alias("q"),
+    ).localCheckpoint(eager=True)
+    d2 = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    # real-sample NN (exclude self)
+    rs = (
+        corpus.orderBy(
+            F.md5(F.col("vec_id").cast("string").cast("binary")), F.col("vec_id")
+        )
+        .limit(_HOPKINS_M)
+        .select(F.col("vec_id").alias("sid"), F.col("q").alias("sq"))
+    )
+    sw = (
+        corpus.crossJoin(F.broadcast(rs))
+        .filter(F.col("vec_id") != F.col("sid"))
+        .select("sid", d2(F.col("q"), F.col("sq")).alias("dd"))
+        .groupBy("sid")
+        .agg(F.min("dd").alias("m2"))
+        .agg(
+            F.sum(
+                (F.sqrt(F.col("m2").cast("double")) * F.lit(1.0e6)).cast("long")
+            ).alias("s"),
+        )
+        .select(F.col("s").alias("sw"))
+    )
+    # uniform probes from the per-dim bounding box via integer LCG
+    dims = (
+        corpus.select(F.posexplode("q").alias("j", "v"))
+        .groupBy("j")
+        .agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+    )
+    ndim = dims.agg(F.count(F.lit(1)).alias("nd"))
+    ugrid = (
+        spark.range(_HOPKINS_M)
+        .select(F.col("id").alias("i"))
+        .crossJoin(F.broadcast(dims))
+        .crossJoin(F.broadcast(ndim))
+        .select(
+            "i",
+            "j",
+            (
+                F.col("lo")
+                + (
+                    (
+                        F.pmod(
+                            F.lit(_LCG_A) * (F.col("i") * F.col("nd") + F.col("j"))
+                            + F.lit(_LCG_C),
+                            F.lit(_LCG_M),
+                        )
+                        * (F.col("hi") - F.col("lo"))
+                    )
+                    - F.pmod(
+                        F.pmod(
+                            F.lit(_LCG_A) * (F.col("i") * F.col("nd") + F.col("j"))
+                            + F.lit(_LCG_C),
+                            F.lit(_LCG_M),
+                        )
+                        * (F.col("hi") - F.col("lo")),
+                        F.lit(_LCG_M),
+                    )
+                )
+                / F.lit(_LCG_M)
+            )
+            .cast("long")
+            .alias("uq"),
+        )
+    )
+    ua = ugrid.groupBy("i").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("j", "uq"))), lambda s: s["uq"]
+        ).alias("uqa")
+    )
+    su = (
+        corpus.crossJoin(F.broadcast(ua))
+        .select("i", d2(F.col("q"), F.col("uqa")).alias("dd"))
+        .groupBy("i")
+        .agg(F.min("dd").alias("m2"))
+        .agg(
+            F.sum(
+                (F.sqrt(F.col("m2").cast("double")) * F.lit(1.0e6)).cast("long")
+            ).alias("s"),
+        )
+        .select(F.col("s").alias("su"))
+    )
+    n_c = corpus.agg(F.count(F.lit(1)).alias("n_corpus"))
+    h = F.col("su").cast("double") / (F.col("su") + F.col("sw")).cast("double")
+    return (
+        su.crossJoin(F.broadcast(sw))
+        .crossJoin(F.broadcast(n_c))
+        .select(
+            F.lit(_HOPKINS_M).cast("long").alias("m_probes"),
+            F.col("n_corpus").cast("long").alias("n_corpus"),
+            floor_round(h, 6).alias("hopkins_h"),
+            floor_round(
+                F.col("sw").cast("double")
+                / F.lit(1.0e6)
+                / F.lit(float(_HOPKINS_M))
+                / F.lit(1.0e4),
+                6,
+            ).alias("mean_real_nn_dist"),
+            floor_round(
+                F.col("su").cast("double")
+                / F.lit(1.0e6)
+                / F.lit(float(_HOPKINS_M))
+                / F.lit(1.0e4),
+                6,
+            ).alias("mean_probe_nn_dist"),
+        )
+    )
+
+
+ORACLE_HOPKINS_STATISTIC = f"""
+WITH corpus AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+                        x -> CAST(round(x * 10000.0, 0) AS BIGINT)) AS q
+  FROM embeddings WHERE vec_id <> {QUERY_VEC_ID}
+), rs AS (
+  SELECT vec_id AS sid, q AS sq FROM corpus
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {_HOPKINS_M}
+), wnn AS (
+  SELECT sid,
+         MIN(list_sum(list_transform(range(1, len(c.q) + 1),
+                      k -> (c.q[k] - r.sq[k]) * (c.q[k] - r.sq[k])))) AS m2
+  FROM corpus c CROSS JOIN rs r
+  WHERE c.vec_id <> r.sid
+  GROUP BY sid
+), sw AS (
+  SELECT SUM(CAST(trunc(sqrt(CAST(m2 AS DOUBLE)) * 1000000.0) AS BIGINT)) AS sw
+  FROM wnn
+), dims AS (
+  SELECT j, MIN(v) AS lo, MAX(v) AS hi
+  FROM (SELECT unnest(q) AS v, generate_subscripts(q, 1) - 1 AS j FROM corpus)
+  GROUP BY j
+), nd AS (SELECT COUNT(*) AS nd FROM dims),
+ugrid AS (
+  SELECT i, j,
+         lo + ((({_LCG_A} * (i * nd.nd + j) + {_LCG_C}) % {_LCG_M})
+               * (hi - lo)) // {_LCG_M} AS uq
+  FROM dims
+  CROSS JOIN (SELECT unnest(range({_HOPKINS_M})) AS i)
+  CROSS JOIN nd
+), ua AS (
+  SELECT i, list(uq ORDER BY j) AS uqa FROM ugrid GROUP BY i
+), unn AS (
+  SELECT i,
+         MIN(list_sum(list_transform(range(1, len(c.q) + 1),
+                      k -> (c.q[k] - u.uqa[k]) * (c.q[k] - u.uqa[k])))) AS m2
+  FROM corpus c CROSS JOIN ua u
+  GROUP BY i
+), su AS (
+  SELECT SUM(CAST(trunc(sqrt(CAST(m2 AS DOUBLE)) * 1000000.0) AS BIGINT)) AS su
+  FROM unn
+), nc AS (SELECT COUNT(*) AS n_corpus FROM corpus)
+SELECT CAST({_HOPKINS_M} AS BIGINT) AS m_probes,
+       CAST(n_corpus AS BIGINT) AS n_corpus,
+       sign(CAST(su AS DOUBLE) / CAST(su + sw AS DOUBLE))
+       * floor(abs(CAST(su AS DOUBLE) / CAST(su + sw AS DOUBLE))
+               * 1000000.0 + 0.5) / 1000000.0 AS hopkins_h,
+       sign(CAST(sw AS DOUBLE) / 1000000.0 / {float(_HOPKINS_M)} / 10000.0)
+       * floor(abs(CAST(sw AS DOUBLE) / 1000000.0 / {float(_HOPKINS_M)} / 10000.0)
+               * 1000000.0 + 0.5) / 1000000.0 AS mean_real_nn_dist,
+       sign(CAST(su AS DOUBLE) / 1000000.0 / {float(_HOPKINS_M)} / 10000.0)
+       * floor(abs(CAST(su AS DOUBLE) / 1000000.0 / {float(_HOPKINS_M)} / 10000.0)
+               * 1000000.0 + 0.5) / 1000000.0 AS mean_probe_nn_dist
+FROM su CROSS JOIN sw CROSS JOIN nc
+"""
+
+
 QUERIES = {
+    "hopkins_statistic": hopkins_statistic,
     "embedding_centroid_drift": embedding_centroid_drift,
     "simplified_silhouette": simplified_silhouette,
     "decision_stump_splits": decision_stump_splits,
@@ -1793,6 +1994,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "hopkins_statistic": ORACLE_HOPKINS_STATISTIC,
     "embedding_centroid_drift": ORACLE_EMBEDDING_CENTROID_DRIFT,
     "simplified_silhouette": ORACLE_SIMPLIFIED_SILHOUETTE,
     "decision_stump_splits": ORACLE_DECISION_STUMP_SPLITS,

@@ -2114,7 +2114,181 @@ ORDER BY lag
 """
 
 
+_HIT_ITERS = 40
+
+
+def markov_hitting_time_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected steps for a user journey to reach 'purchase' from each
+    other event type — the ABSORBING-chain completion of
+    markov_stationary_events (π says where journeys settle; hitting
+    time says how LONG the road to conversion is from each state, the
+    number a funnel-optimization team actually acts on).  Computed as
+    the exact 40-step value-iteration truncation h_{k+1} = 1 + P·h_k
+    over the bigram-estimated chain with 'purchase' absorbing
+    (operators/pagerank.hitting_time; geometric convergence makes the
+    fixed horizon a modeling constant, and the DuckDB oracle replays
+    the identical unrolled iterations).
+
+    Plan: ONE lag-window shuffle to the K×K transition counts; the 60
+    iterations run on that tiny frame — corpus read once, iteration
+    cost corpus-size-independent."""
+    from data_ingestion_project_spark.operators.pagerank import hitting_time
+
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    trans = (
+        e.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy(F.col("prev_type").alias("src"), F.col("event_type").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    h = hitting_time(trans, target="purchase", iterations=_HIT_ITERS)
+    return h.select(
+        F.col("state").alias("event_type"),
+        F.col("h").alias("steps_to_purchase"),
+    ).orderBy("event_type")
+
+
+def _oracle_markov_hitting_time_events() -> str:
+    from data_ingestion_project_spark.operators.pagerank import (
+        hitting_time_unrolled_sql,
+    )
+
+    body = hitting_time_unrolled_sql(
+        "mtrans", target="purchase", iterations=_HIT_ITERS
+    )
+    return (
+        """WITH mtrans AS (
+  SELECT prev_type AS src, event_type AS dst, COUNT(*) AS n
+  FROM (
+    SELECT event_type,
+           LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_type
+    FROM events
+  ) t
+  WHERE prev_type IS NOT NULL
+  GROUP BY 1, 2
+),
+"""
+        + body.replace(
+            f"\nSELECT state, h FROM h{_HIT_ITERS}",
+            f"""
+SELECT state AS event_type, h AS steps_to_purchase
+FROM h{_HIT_ITERS}
+ORDER BY event_type""",
+        )
+    )
+
+
+def mcnemar_week_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's paired test on purchase behavior: per user, "bought
+    in the FIRST week" vs "bought in the LAST week" of the observation
+    span — the k=2 paired-binary test (cochran_q_first_day is its
+    k-treatment generalization) whose discordant-pair statistic
+    (|b−c|−1)²/(b+c) isolates users who CHANGED, which a raw rate
+    comparison dilutes with the never/always buyers.
+
+    Plan: one events shuffle to per-user (week1, weekN) purchase
+    flags; everything after is a four-cell count.  Exactness: all
+    counts exact integers; χ² and the discordant odds are single
+    mirrored double expressions."""
+    e = table(spark, sf_dir, "events")
+    span = e.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    flags = (
+        e.crossJoin(F.broadcast(span))
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                (
+                    (F.col("event_type") == "purchase")
+                    & (F.datediff(F.to_date("ts"), F.col("d0")) < 7)
+                ).cast("int")
+            ).alias("w1"),
+            F.max(
+                (
+                    (F.col("event_type") == "purchase")
+                    & (F.datediff(F.col("d1"), F.to_date("ts")) < 7)
+                ).cast("int")
+            ).alias("wn"),
+        )
+    )
+    cells = flags.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(((F.col("w1") == 1) & (F.col("wn") == 1)).cast("int")).alias("yy"),
+        F.sum(((F.col("w1") == 1) & (F.col("wn") == 0)).cast("int")).alias("b"),
+        F.sum(((F.col("w1") == 0) & (F.col("wn") == 1)).cast("int")).alias("c"),
+        F.sum(((F.col("w1") == 0) & (F.col("wn") == 0)).cast("int")).alias("nn"),
+    )
+    chi2 = (
+        (F.abs(F.col("b") - F.col("c")) - 1).cast("double")
+        * (F.abs(F.col("b") - F.col("c")) - 1).cast("double")
+        / (F.col("b") + F.col("c")).cast("double")
+    )
+    return cells.select(
+        F.col("n_users").cast("long").alias("n_users"),
+        F.col("yy").cast("long").alias("n_both"),
+        F.col("b").cast("long").alias("n_first_only"),
+        F.col("c").cast("long").alias("n_last_only"),
+        F.col("nn").cast("long").alias("n_neither"),
+        F.when(
+            F.col("b") + F.col("c") > 0, floor_round(chi2, 6)
+        ).alias("chi2_mcnemar"),
+        F.when(
+            F.col("c") > 0,
+            floor_round(
+                F.col("b").cast("double") / F.col("c").cast("double"), 6
+            ),
+        ).alias("discordant_odds"),
+    )
+
+
+ORACLE_MCNEMAR_WEEK_RETENTION = """
+WITH span AS (
+  SELECT MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1 FROM events
+), flags AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'purchase'
+                   AND datediff('day', d0, CAST(ts AS DATE)) < 7
+                  THEN 1 ELSE 0 END) AS w1,
+         MAX(CASE WHEN event_type = 'purchase'
+                   AND datediff('day', CAST(ts AS DATE), d1) < 7
+                  THEN 1 ELSE 0 END) AS wn
+  FROM events CROSS JOIN span GROUP BY user_id
+), cells AS (
+  SELECT COUNT(*) AS n_users,
+         SUM(CASE WHEN w1 = 1 AND wn = 1 THEN 1 ELSE 0 END) AS yy,
+         SUM(CASE WHEN w1 = 1 AND wn = 0 THEN 1 ELSE 0 END) AS b,
+         SUM(CASE WHEN w1 = 0 AND wn = 1 THEN 1 ELSE 0 END) AS c,
+         SUM(CASE WHEN w1 = 0 AND wn = 0 THEN 1 ELSE 0 END) AS nn
+  FROM flags
+)
+SELECT CAST(n_users AS BIGINT) AS n_users,
+       CAST(yy AS BIGINT) AS n_both,
+       CAST(b AS BIGINT) AS n_first_only,
+       CAST(c AS BIGINT) AS n_last_only,
+       CAST(nn AS BIGINT) AS n_neither,
+       CASE WHEN b + c > 0 THEN
+         sign(CAST(abs(b - c) - 1 AS DOUBLE) * CAST(abs(b - c) - 1 AS DOUBLE)
+              / CAST(b + c AS DOUBLE))
+         * floor(abs(CAST(abs(b - c) - 1 AS DOUBLE)
+                     * CAST(abs(b - c) - 1 AS DOUBLE)
+                     / CAST(b + c AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
+       END AS chi2_mcnemar,
+       CASE WHEN c > 0 THEN
+         sign(CAST(b AS DOUBLE) / CAST(c AS DOUBLE))
+         * floor(abs(CAST(b AS DOUBLE) / CAST(c AS DOUBLE))
+                 * 1000000.0 + 0.5) / 1000000.0
+       END AS discordant_odds
+FROM cells
+"""
+
+
 QUERIES = {
+    "markov_hitting_time_events": markov_hitting_time_events,
+    "mcnemar_week_retention": mcnemar_week_retention,
     "cohort_ltv_curve": cohort_ltv_curve,
     "dau_wau_mau_stickiness": dau_wau_mau_stickiness,
     "order_interarrival_stats": order_interarrival_stats,
@@ -2169,6 +2343,8 @@ ORACLE = {
     "attribution_multitouch_dow": ORACLE_ATTRIBUTION_MULTITOUCH_DOW,
     "event_trigram_paths": ORACLE_EVENT_TRIGRAM_PATHS,
     "conversion_wilson_ci": ORACLE_CONVERSION_WILSON_CI,
+    "markov_hitting_time_events": _oracle_markov_hitting_time_events(),
+    "mcnemar_week_retention": ORACLE_MCNEMAR_WEEK_RETENTION,
     "markov_stationary_events": _oracle_markov_stationary_events(),
     "entropy_rate_markov": _oracle_entropy_rate_markov(),
     "user_scd2_summary": ORACLE_USER_SCD2_SUMMARY,

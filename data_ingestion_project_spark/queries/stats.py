@@ -4695,7 +4695,467 @@ FROM l2 CROSS JOIN mn
 """
 
 
+def cvm_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Cramér–von Mises drift statistic between English and
+    non-English document-length distributions — KS's L² sibling: KS
+    scores the single worst ECDF gap (sensitive to one sharp local
+    shift), ω² integrates the SQUARED gap over the whole pooled sample
+    (sensitive to many small diffuse shifts KS under-weights).  Run
+    both and the SHAPE of the drift is identified, not just its
+    presence.  ω² = nm/N² · Σ_pooled (F(v) − G(v))².
+
+    Plan: the ks_length_drift machinery verbatim — one conditional-sum
+    shuffle to per-distinct-length counts, the two-level bucket-prefix
+    cumsum (nothing row-count-sized on one task).  Exactness: each
+    distinct length's (F−G)² is a value-determined double quantized to
+    1e-12 integers, weight-folded exactly; the nm/N² prefactor is one
+    mirrored double expression (factors cast to double pre-product,
+    the ks crit idiom)."""
+    d = table(spark, sf_dir, "documents")
+    per = (
+        d.groupBy("n_chars")
+        .agg(
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("c_en"),
+            F.sum(F.when(F.col("lang") != "en", 1).otherwise(0)).alias("c_ot"),
+        )
+        .withColumn("bkt", F.floor(F.col("n_chars") / F.lit(_KS_BUCKET)))
+        .localCheckpoint(eager=True)
+    )
+    bp = per.groupBy("bkt").agg(
+        F.sum("c_en").alias("b_en"), F.sum("c_ot").alias("b_ot")
+    )
+    wb = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    prefix = bp.select(
+        "bkt",
+        F.coalesce(F.sum("b_en").over(wb), F.lit(0)).alias("p_en"),
+        F.coalesce(F.sum("b_ot").over(wb), F.lit(0)).alias("p_ot"),
+    )
+    wv = Window.partitionBy("bkt").orderBy("n_chars").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = per.join(F.broadcast(prefix), "bkt").select(
+        "n_chars",
+        (F.col("c_en") + F.col("c_ot")).alias("w"),
+        (F.col("p_en") + F.sum("c_en").over(wv)).alias("cum_en"),
+        (F.col("p_ot") + F.sum("c_ot").over(wv)).alias("cum_ot"),
+    )
+    totals = per.agg(
+        F.sum("c_en").alias("n_en"), F.sum("c_ot").alias("n_other")
+    )
+    diff = (
+        F.col("cum_en").cast("double") / F.col("n_en")
+        - F.col("cum_ot").cast("double") / F.col("n_other")
+    )
+    folded = (
+        cum.crossJoin(F.broadcast(totals))
+        .select(
+            "n_en",
+            "n_other",
+            "w",
+            ((diff * diff) * F.lit(1.0e12)).cast("long").alias("q"),
+        )
+        .groupBy("n_en", "n_other")
+        .agg(
+            F.sum(
+                (F.col("w") * F.col("q")).cast("decimal(38,0)")
+            ).alias("sq"),
+            F.count(F.lit(1)).alias("n_lengths"),
+        )
+    )
+    t = (
+        F.col("n_en").cast("double")
+        * F.col("n_other").cast("double")
+        / (
+            (F.col("n_en") + F.col("n_other")).cast("double")
+            * (F.col("n_en") + F.col("n_other")).cast("double")
+        )
+        * (F.col("sq").cast("double") / F.lit(1.0e12))
+    )
+    return folded.select(
+        F.col("n_en").cast("long").alias("n_en"),
+        F.col("n_other").cast("long").alias("n_other"),
+        F.col("n_lengths").cast("long").alias("n_distinct_lengths"),
+        _floor_round(t, 8).alias("t_cvm"),
+    )
+
+
+ORACLE_CVM_LENGTH_DRIFT = """
+WITH per AS (
+  SELECT n_chars,
+         SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS c_en,
+         SUM(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS c_ot
+  FROM documents GROUP BY n_chars
+), cum AS (
+  SELECT n_chars, c_en + c_ot AS w,
+         SUM(c_en) OVER (ORDER BY n_chars ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS cum_en,
+         SUM(c_ot) OVER (ORDER BY n_chars ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS cum_ot
+  FROM per
+), totals AS (
+  SELECT SUM(c_en) AS n_en, SUM(c_ot) AS n_other FROM per
+), folded AS (
+  SELECT n_en, n_other, COUNT(*) AS n_lengths,
+         SUM(w * CAST(trunc(((CAST(cum_en AS DOUBLE) / n_en
+                              - CAST(cum_ot AS DOUBLE) / n_other)
+                             * (CAST(cum_en AS DOUBLE) / n_en
+                                - CAST(cum_ot AS DOUBLE) / n_other))
+                            * 1000000000000.0) AS BIGINT)) AS sq
+  FROM cum CROSS JOIN totals
+  GROUP BY n_en, n_other
+)
+SELECT CAST(n_en AS BIGINT) AS n_en,
+       CAST(n_other AS BIGINT) AS n_other,
+       CAST(n_lengths AS BIGINT) AS n_distinct_lengths,
+       sign(CAST(n_en AS DOUBLE) * CAST(n_other AS DOUBLE)
+            / (CAST(n_en + n_other AS DOUBLE) * CAST(n_en + n_other AS DOUBLE))
+            * (CAST(sq AS DOUBLE) / 1000000000000.0))
+       * floor(abs(CAST(n_en AS DOUBLE) * CAST(n_other AS DOUBLE)
+            / (CAST(n_en + n_other AS DOUBLE) * CAST(n_en + n_other AS DOUBLE))
+            * (CAST(sq AS DOUBLE) / 1000000000000.0)) * 100000000.0 + 0.5)
+         / 100000000.0 AS t_cvm
+FROM folded
+"""
+
+
+def wilcoxon_first_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank test on PAIRED per-customer order values:
+    does a customer's LAST order differ systematically from their
+    FIRST?  The paired complement of Mann–Whitney (which compares two
+    independent samples; this controls for the customer, so
+    between-customer spread cancels).  W⁺ = Σ ranks of |d| over
+    positive diffs; z uses the tie-corrected normal approximation.
+
+    Plan: one orders shuffle to per-customer (first, last) via
+    min_by/max_by on an encoded (day, orderkey) BIGINT; ranks of |d|
+    come from operators/quantiles.rank2_map — the two-level
+    bucket-prefix rank (nothing row-count-sized on one task), DOUBLED
+    so ties stay integer.  Exactness: W2⁺ and the tie term are exact
+    integers; z is one mirrored double expression.  Bound: the
+    (day·1e12 + orderkey) encoding is documented exact below orderkey
+    1e12."""
+    o = table(spark, sf_dir, "orders")
+    key = (
+        F.datediff(
+            F.to_date("o_orderdate"), F.to_date(F.lit("1970-01-01"), "yyyy-MM-dd")
+        ).cast("long")
+        * F.lit(1_000_000_000_000)
+        + F.col("o_orderkey")
+    )
+    cents = (F.col("o_totalprice") * 100).cast("long")
+    pc = o.groupBy("o_custkey").agg(
+        F.min_by(cents, key).alias("first_c"),
+        F.max_by(cents, key).alias("last_c"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    diffs = (
+        pc.filter(F.col("n_orders") >= 2)
+        .select((F.col("last_c") - F.col("first_c")).alias("dd"))
+        .filter(F.col("dd") != 0)
+        .select(
+            F.abs(F.col("dd")).alias("ad"),
+            (F.col("dd") > 0).cast("int").alias("pos"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    from data_ingestion_project_spark.operators.quantiles import rank2_map
+
+    ranks = rank2_map(diffs, "ad", bucket_width=100_000)
+    pos_c = diffs.groupBy("ad").agg(F.sum("pos").alias("c_pos"))
+    joined = ranks.join(pos_c, "ad")
+    agg = joined.agg(
+        F.sum("cnt").cast("long").alias("n_pairs"),
+        F.sum("c_pos").cast("long").alias("n_positive"),
+        F.sum((F.col("r2") * F.col("c_pos")).cast("decimal(38,0)")).alias("w2"),
+        F.sum(
+            F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt")
+        ).alias("tie_term"),
+    )
+    nd = F.col("n_pairs").cast("double")
+    w_plus = F.col("w2").cast("double") / F.lit(2.0)
+    mu = nd * (nd + F.lit(1.0)) / F.lit(4.0)
+    sig2 = (
+        nd * (nd + F.lit(1.0)) * (F.lit(2.0) * nd + F.lit(1.0)) / F.lit(24.0)
+        - F.col("tie_term").cast("double") / F.lit(48.0)
+    )
+    z = (w_plus - mu) / F.sqrt(sig2)
+    return agg.select(
+        "n_pairs",
+        "n_positive",
+        F.col("w2").cast("long").alias("w2_plus"),
+        F.col("tie_term").cast("long").alias("tie_term"),
+        _floor_round(z, 6).alias("z"),
+    )
+
+
+ORACLE_WILCOXON_FIRST_LAST_ORDER = f"""
+WITH pc AS (
+  SELECT o_custkey,
+         arg_min(CAST(trunc(o_totalprice * 100) AS BIGINT),
+                 CAST(datediff('day', DATE '1970-01-01',
+                               CAST(o_orderdate AS DATE)) AS BIGINT)
+                 * 1000000000000 + o_orderkey) AS first_c,
+         arg_max(CAST(trunc(o_totalprice * 100) AS BIGINT),
+                 CAST(datediff('day', DATE '1970-01-01',
+                               CAST(o_orderdate AS DATE)) AS BIGINT)
+                 * 1000000000000 + o_orderkey) AS last_c,
+         COUNT(*) AS n_orders
+  FROM orders GROUP BY o_custkey
+), diffs AS (
+  SELECT abs(last_c - first_c) AS ad,
+         CASE WHEN last_c - first_c > 0 THEN 1 ELSE 0 END AS pos
+  FROM pc WHERE n_orders >= 2 AND last_c - first_c <> 0
+), ranks AS ({{_SQL_RANK2}}), posc AS (
+  SELECT ad, SUM(pos) AS c_pos FROM diffs GROUP BY ad
+), agg AS (
+  SELECT CAST(SUM(r.c) AS BIGINT) AS n_pairs,
+         CAST(SUM(p.c_pos) AS BIGINT) AS n_positive,
+         SUM(r.r2 * p.c_pos) AS w2,
+         CAST(SUM(r.c * r.c * r.c - r.c) AS BIGINT) AS tie_term
+  FROM ranks r JOIN posc p ON p.ad = r.v
+)
+SELECT n_pairs, n_positive,
+       CAST(w2 AS BIGINT) AS w2_plus, tie_term,
+       sign((CAST(w2 AS DOUBLE) / 2.0
+             - CAST(n_pairs AS DOUBLE) * (CAST(n_pairs AS DOUBLE) + 1.0) / 4.0)
+            / sqrt(CAST(n_pairs AS DOUBLE) * (CAST(n_pairs AS DOUBLE) + 1.0)
+                   * (2.0 * CAST(n_pairs AS DOUBLE) + 1.0) / 24.0
+                   - CAST(tie_term AS DOUBLE) / 48.0))
+       * floor(abs((CAST(w2 AS DOUBLE) / 2.0
+             - CAST(n_pairs AS DOUBLE) * (CAST(n_pairs AS DOUBLE) + 1.0) / 4.0)
+            / sqrt(CAST(n_pairs AS DOUBLE) * (CAST(n_pairs AS DOUBLE) + 1.0)
+                   * (2.0 * CAST(n_pairs AS DOUBLE) + 1.0) / 24.0
+                   - CAST(tie_term AS DOUBLE) / 48.0)) * 1000000.0 + 0.5)
+         / 1000000.0 AS z
+FROM agg
+""".replace(
+    "{_SQL_RANK2}", _SQL_RANK2.format(v="ad", src="diffs")
+)
+
+
+_LB_LAGS = 10
+
+
+def ljung_box_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung–Box portmanteau test on daily revenue: is the series
+    white noise across the first 10 autocorrelation lags JOINTLY?
+    residual_autocorr reads ONE lag (DW/r1); Q = n(n+2)·Σ ρ̂_k²/(n−k)
+    pools ten, so slow oscillations that leave lag-1 clean still
+    register.  The companion runs_test checks sign randomness; this
+    checks LINEAR memory.
+
+    Plan: one orders shuffle to the calendar-bounded daily frame; each
+    lag's pair set is an exact calendar equi-join of that tiny frame
+    against its day+k shift (one explode of k=1..10, one join — no
+    windows).  Exactness: deviations use the mirrored global-mean
+    double; per-pair products are unit-quantized and folded as exact
+    decimals in DOLLAR units (int64-exact to ~$3e9/day deviations,
+    the documented bound); each ρ̂_k is quantized to
+    1e-6 BEFORE squaring and each Q term to 1e-12 before the 10-term
+    fold, so the cross-engine sum order cannot matter."""
+    o = table(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(F.sum((F.col("o_totalprice") * 100).cast("long")).alias("cents"))
+        .localCheckpoint(eager=True)
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cents").alias("s")
+    )
+    res = daily.crossJoin(F.broadcast(tot)).select(
+        "d",
+        "n",
+        (
+            (
+                F.col("cents").cast("double")
+                - F.col("s").cast("double") / F.col("n").cast("double")
+            )
+            / F.lit(100.0)
+        ).alias("e"),
+    ).localCheckpoint(eager=True)
+    unit = lambda c: c.cast("long").cast("decimal(38,0)")  # noqa: E731
+    den_row = res.agg(F.sum(unit(F.col("e") * F.col("e"))).alias("dd"))
+    shifts = res.select(
+        F.explode(F.sequence(F.lit(1), F.lit(_LB_LAGS))).alias("k"),
+        F.col("d").alias("d0"),
+        F.col("e").alias("e_prev"),
+    ).select(F.expr("date_add(d0, k)").alias("d"), "k", "e_prev")
+    pairs = res.join(shifts, "d")
+    perlag = pairs.groupBy("k").agg(
+        F.sum(unit(F.col("e_prev") * F.col("e"))).alias("nk")
+    )
+    rho_q = _micro(F.col("nk").cast("double") / F.col("dd").cast("double"))
+    m = F.lit(float(_M))
+    term_q = (
+        (
+            (rho_q.cast("double") / m)
+            * (rho_q.cast("double") / m)
+            / (F.col("n") - F.col("k")).cast("double")
+        )
+        * F.lit(1.0e12)
+    ).cast("long")
+    folded = (
+        perlag.crossJoin(F.broadcast(den_row))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "n",
+            F.when(F.col("k") == 1, rho_q).alias("r1_q"),
+            F.when(F.col("k") == 2, rho_q).alias("r2_q"),
+            term_q.alias("tq"),
+        )
+        .agg(
+            F.max("n").alias("n"),
+            F.max("r1_q").alias("r1_q"),
+            F.max("r2_q").alias("r2_q"),
+            F.sum(F.col("tq").cast("decimal(38,0)")).alias("st"),
+            F.count(F.lit(1)).alias("df"),
+        )
+    )
+    q = (
+        F.col("n").cast("double")
+        * (F.col("n") + 2).cast("double")
+        * (F.col("st").cast("double") / F.lit(1.0e12))
+    )
+    return folded.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.col("df").cast("long").alias("df"),
+        (F.col("r1_q").cast("double") / m).alias("rho_1"),
+        (F.col("r2_q").cast("double") / m).alias("rho_2"),
+        _floor_round(q, 6).alias("q_stat"),
+    )
+
+
+ORACLE_LJUNG_BOX_REVENUE = f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         SUM(CAST(trunc(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1
+), tot AS (SELECT COUNT(*) AS n, SUM(cents) AS s FROM daily),
+res AS (
+  SELECT d, n,
+         (CAST(cents AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+           / 100.0 AS e
+  FROM daily CROSS JOIN tot
+), den AS (
+  SELECT SUM(CAST(CAST(trunc(e * e) AS BIGINT) AS HUGEINT)) AS dd FROM res
+), shifts AS (
+  SELECT d + CAST(k AS INT) AS d, k, e AS e_prev
+  FROM res CROSS JOIN (SELECT unnest(range(1, {_LB_LAGS + 1})) AS k)
+), perlag AS (
+  SELECT k, SUM(CAST(CAST(trunc(s.e_prev * r.e) AS BIGINT) AS HUGEINT)) AS nk
+  FROM res r JOIN shifts s ON s.d = r.d
+  GROUP BY k
+), scored AS (
+  SELECT k,
+         CAST(trunc(CAST(nk AS DOUBLE) / CAST(dd AS DOUBLE) * 1000000.0)
+              AS BIGINT) AS rho_q,
+         n
+  FROM perlag CROSS JOIN den CROSS JOIN tot
+), folded AS (
+  SELECT MAX(n) AS n,
+         MAX(CASE WHEN k = 1 THEN rho_q END) AS r1_q,
+         MAX(CASE WHEN k = 2 THEN rho_q END) AS r2_q,
+         SUM(CAST(CAST(trunc(((CAST(rho_q AS DOUBLE) / 1000000.0)
+                        * (CAST(rho_q AS DOUBLE) / 1000000.0)
+                        / CAST(n - k AS DOUBLE)) * 1000000000000.0) AS BIGINT)
+                  AS HUGEINT)) AS st,
+         COUNT(*) AS df
+  FROM scored
+)
+SELECT CAST(n AS BIGINT) AS n_days,
+       CAST(df AS BIGINT) AS df,
+       CAST(r1_q AS DOUBLE) / 1000000.0 AS rho_1,
+       CAST(r2_q AS DOUBLE) / 1000000.0 AS rho_2,
+       sign(CAST(n AS DOUBLE) * CAST(n + 2 AS DOUBLE)
+            * (CAST(st AS DOUBLE) / 1000000000000.0))
+       * floor(abs(CAST(n AS DOUBLE) * CAST(n + 2 AS DOUBLE)
+                   * (CAST(st AS DOUBLE) / 1000000000000.0))
+               * 1000000.0 + 0.5) / 1000000.0 AS q_stat
+FROM folded
+"""
+
+
+def grubbs_outlier_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grubbs' extreme-outlier statistic on daily revenue: the single
+    day farthest from the mean in σ units, G = max|x−x̄|/s — the
+    formal "was THAT day real?" test behind every spike post-mortem
+    (bollinger flags days against LOCAL trailing bands; Grubbs scores
+    the global extreme against the WHOLE series).
+
+    Plan/exactness: one shuffle to the daily frame; the argmax key is
+    the exact integer |n·x − S| (DECIMAL — no doubles in the ordering,
+    earliest-day tiebreak), and G is one mirrored double expression
+    over exact integer moments."""
+    o = table(spark, sf_dir, "orders")
+    _d38 = "decimal(38,0)"
+    daily = (
+        o.groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(
+            F.sum((F.col("o_totalprice") * 100).cast("long"))
+            .cast(_d38)
+            .alias("cents")
+        )
+        .localCheckpoint(eager=True)
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).cast(_d38).alias("n"),
+        F.sum("cents").alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).alias("q"),
+    )
+    dev = F.col("n") * F.col("cents") - F.col("s")
+    star = (
+        daily.crossJoin(F.broadcast(tot))
+        .orderBy(F.abs(dev).desc(), F.col("d").asc())
+        .limit(1)
+    )
+    var_n = F.col("n") * F.col("q") - F.col("s") * F.col("s")
+    g = F.abs(dev).cast("double") / F.sqrt(
+        var_n.cast("double") * F.col("n").cast("double")
+        / (F.col("n") - 1).cast("double")
+    )
+    return star.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.date_format("d", "yyyy-MM-dd").alias("outlier_day"),
+        (F.col("cents").cast("double") / F.lit(100.0)).alias("revenue"),
+        F.when(dev > 0, "high").otherwise("low").alias("side"),
+        _floor_round(g, 6).alias("g_stat"),
+    )
+
+
+ORACLE_GRUBBS_OUTLIER_DAY = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         CAST(SUM(CAST(trunc(o_totalprice * 100) AS BIGINT)) AS HUGEINT) AS cents
+  FROM orders GROUP BY 1
+), tot AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n, SUM(cents) AS s,
+         SUM(cents * cents) AS q
+  FROM daily
+), star AS (
+  SELECT d, cents, n, s, q, n * cents - s AS dev
+  FROM daily CROSS JOIN tot
+  ORDER BY abs(n * cents - s) DESC, d ASC LIMIT 1
+)
+SELECT CAST(n AS BIGINT) AS n_days,
+       strftime(d, '%Y-%m-%d') AS outlier_day,
+       CAST(cents AS DOUBLE) / 100.0 AS revenue,
+       CASE WHEN dev > 0 THEN 'high' ELSE 'low' END AS side,
+       sign(CAST(abs(dev) AS DOUBLE)
+            / sqrt(CAST(n * q - s * s AS DOUBLE) * CAST(n AS DOUBLE)
+                   / CAST(n - 1 AS DOUBLE)))
+       * floor(abs(CAST(abs(dev) AS DOUBLE)
+                   / sqrt(CAST(n * q - s * s AS DOUBLE) * CAST(n AS DOUBLE)
+                          / CAST(n - 1 AS DOUBLE))) * 1000000.0 + 0.5)
+         / 1000000.0 AS g_stat
+FROM star
+"""
+
+
 QUERIES = {
+    "ljung_box_revenue": ljung_box_revenue,
+    "grubbs_outlier_day": grubbs_outlier_day,
+    "cvm_length_drift": cvm_length_drift,
+    "wilcoxon_first_last_order": wilcoxon_first_last_order,
     "cochran_q_first_day": cochran_q_first_day,
     "runs_test_revenue": runs_test_revenue,
     "page_trend_test": page_trend_test,
@@ -4739,6 +5199,10 @@ QUERIES = {
 }
 
 ORACLE = {
+    "ljung_box_revenue": ORACLE_LJUNG_BOX_REVENUE,
+    "grubbs_outlier_day": ORACLE_GRUBBS_OUTLIER_DAY,
+    "cvm_length_drift": ORACLE_CVM_LENGTH_DRIFT,
+    "wilcoxon_first_last_order": ORACLE_WILCOXON_FIRST_LAST_ORDER,
     "cochran_q_first_day": ORACLE_COCHRAN_Q_FIRST_DAY,
     "runs_test_revenue": ORACLE_RUNS_TEST_REVENUE,
     "page_trend_test": ORACLE_PAGE_TREND_TEST,

@@ -486,6 +486,13 @@ _GLOBAL_WINDOW_SANCTIONED = {
     # runs test: median row_number + lag windows over the same per-DAY
     # calendar-bounded frame (r9)
     "runs_test_revenue",
+    # CvM drift: the ks_length_drift two-level cumsum verbatim — the
+    # only unpartitioned prefix runs over the ~max-length/64 BUCKET
+    # partials frame (value-domain constant) (r9)
+    "cvm_length_drift",
+    # Wilcoxon: rank2_map's exclusive prefix over the |d|/1e5 bucket
+    # partials (value-domain-sized, the spearman posture) (r9)
+    "wilcoxon_first_last_order",
     # Page's L: year dense_rank over the (segment, year) grid — an
     # m·n data-domain frame (~35 cells at ANY corpus size) (r9)
     "page_trend_test",

@@ -928,3 +928,273 @@ def test_page_trend_matches_python(spark):
     assert got["m_blocks"] == m and got["n_treatments"] == n
     assert got["l2_stat"] == l2
     assert abs(got["z"] - (l - mu) / sig) <= 1e-5
+
+
+def test_cvm_matches_numpy(spark):
+    """ω² replayed from the pooled-ECDF definition with numpy."""
+    from data_ingestion_project_spark.queries import all_queries
+
+    rows = duckdb.sql(
+        f"SELECT n_chars, lang FROM '{SF}/documents.parquet'"
+    ).fetchall()
+    en = sorted(v for v, l in rows if l == "en")
+    ot = sorted(v for v, l in rows if l != "en")
+    n, m = len(en), len(ot)
+    pooled = sorted(set(en + ot))
+    import bisect
+
+    t = 0.0
+    for v in pooled:
+        fe = bisect.bisect_right(en, v) / n
+        fo = bisect.bisect_right(ot, v) / m
+        w = en.count(v) + ot.count(v)
+        t += w * (fe - fo) ** 2
+    t *= n * m / (n + m) ** 2
+    got = all_queries()["cvm_length_drift"](spark, SF).collect()[0]
+    assert got["n_en"] == n and got["n_other"] == m
+    assert got["n_distinct_lengths"] == len(pooled)
+    assert abs(got["t_cvm"] - t) <= 1e-6
+
+
+def test_wilcoxon_matches_python(spark):
+    """W⁺ and tie-corrected z replayed with explicit mid-ranks over
+    the per-customer first/last order diffs."""
+    from data_ingestion_project_spark.queries import all_queries
+
+    rows = duckdb.sql(
+        f"""SELECT o_custkey,
+                   CAST(o_orderdate AS DATE) AS d, o_orderkey,
+                   CAST(trunc(o_totalprice * 100) AS BIGINT) AS cents
+            FROM '{SF}/orders.parquet' ORDER BY o_custkey, d, o_orderkey"""
+    ).fetchall()
+    per = defaultdict(list)
+    for ck, d, k, cents in rows:
+        per[ck].append(cents)
+    diffs = [v[-1] - v[0] for v in per.values() if len(v) >= 2]
+    diffs = [d for d in diffs if d != 0]
+    ads = sorted(abs(d) for d in diffs)
+    n = len(diffs)
+    midrank = {}
+    i = 0
+    while i < n:
+        j = i
+        while j < n and ads[j] == ads[i]:
+            j += 1
+        midrank[ads[i]] = (i + 1 + j) / 2.0
+        i = j
+    w_plus = sum(midrank[abs(d)] for d in diffs if d > 0)
+    tie = sum(
+        t**3 - t for t in Counter(ads).values()
+    )
+    mu = n * (n + 1) / 4.0
+    sig2 = n * (n + 1) * (2 * n + 1) / 24.0 - tie / 48.0
+    z = (w_plus - mu) / math.sqrt(sig2)
+    got = all_queries()["wilcoxon_first_last_order"](spark, SF).collect()[0]
+    assert got["n_pairs"] == n
+    assert got["n_positive"] == sum(1 for d in diffs if d > 0)
+    assert got["w2_plus"] == int(2 * w_plus)
+    assert got["tie_term"] == tie
+    assert abs(got["z"] - z) <= 1e-6
+
+
+def test_good_turing_matches_python(spark):
+    """N, vocab, N₁..N₃ and the smoothing ratios replayed with a
+    Counter over whitespace tokens."""
+    import re as _re
+
+    from data_ingestion_project_spark.queries import all_queries
+
+    rows = duckdb.sql(
+        f"SELECT source, lower(trim(text)) AS t FROM '{SF}/documents.parquet'"
+    ).fetchall()
+    per = defaultdict(Counter)
+    for src, t in rows:
+        for w in _re.split(r"\s+", t):
+            per[src][w] += 1
+    got = {r["source"]: r for r in all_queries()["good_turing_vocab"](spark, SF).collect()}
+    assert set(got) == set(per)
+    for src, cnt in per.items():
+        n = sum(cnt.values())
+        n1 = sum(1 for c in cnt.values() if c == 1)
+        n2 = sum(1 for c in cnt.values() if c == 2)
+        n3 = sum(1 for c in cnt.values() if c == 3)
+        r = got[src]
+        assert (r["n_tokens"], r["vocab"], r["n1"], r["n2"], r["n3"]) == (
+            n, len(cnt), n1, n2, n3,
+        )
+        assert abs(r["p_unseen"] - n1 / n) <= 1e-7
+        if n1:
+            assert abs(r["r1_star"] - 2.0 * n2 / n1) <= 1e-5
+        if n2:
+            assert abs(r["r2_star"] - 3.0 * n3 / n2) <= 1e-5
+
+
+def test_markov_hitting_time_matches_python(spark):
+    """40-step value iteration replayed in plain floats (the 1e-14
+    per-term rounding drifts < 1e-9), plus the exact linear-system
+    solution as a convergence sanity check."""
+    from data_ingestion_project_spark.queries import all_queries
+
+    rows = duckdb.sql(
+        f"""SELECT prev, cur, COUNT(*) FROM (
+              SELECT event_type AS cur,
+                     LAG(event_type) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) AS prev
+              FROM '{SF}/events.parquet') WHERE prev IS NOT NULL
+            GROUP BY 1, 2"""
+    ).fetchall()
+    states = sorted({r[0] for r in rows})
+    tot = Counter()
+    for s, _, n in rows:
+        tot[s] += n
+    p = {(s, d): n / tot[s] for s, d, n in rows}
+    transient = [s for s in states if s != "purchase"]
+    h = {s: 0.0 for s in transient}
+    for _ in range(40):
+        h = {
+            s: 1.0
+            + sum(p.get((s, d), 0.0) * h.get(d, 0.0) for d in states)
+            for s in transient
+        }
+    got = {r["event_type"]: r["steps_to_purchase"]
+           for r in all_queries()["markov_hitting_time_events"](spark, SF).collect()}
+    assert set(got) == set(transient)
+    for s in transient:
+        assert abs(got[s] - h[s]) <= 1e-6, s
+    # convergence sanity: the 40-step iterate is near the exact solve
+    idx = {s: i for i, s in enumerate(transient)}
+    a = np.eye(len(transient))
+    b = np.ones(len(transient))
+    for s in transient:
+        for d in transient:
+            a[idx[s], idx[d]] -= p.get((s, d), 0.0)
+    exact = np.linalg.solve(a, b)
+    for s in transient:
+        assert abs(got[s] - exact[idx[s]]) <= 0.05
+
+
+def test_mcnemar_matches_python(spark):
+    from data_ingestion_project_spark.queries import all_queries
+
+    rows = duckdb.sql(
+        f"SELECT user_id, event_type, CAST(ts AS DATE) AS d FROM '{SF}/events.parquet'"
+    ).fetchall()
+    d0 = min(r[2] for r in rows)
+    d1 = max(r[2] for r in rows)
+    w1 = {r[0] for r in rows if r[1] == "purchase" and (r[2] - d0).days < 7}
+    wn = {r[0] for r in rows if r[1] == "purchase" and (d1 - r[2]).days < 7}
+    users = {r[0] for r in rows}
+    b = len(w1 - wn)
+    c = len(wn - w1)
+    got = all_queries()["mcnemar_week_retention"](spark, SF).collect()[0]
+    assert got["n_users"] == len(users)
+    assert got["n_both"] == len(w1 & wn)
+    assert got["n_first_only"] == b
+    assert got["n_last_only"] == c
+    assert got["n_neither"] == len(users - w1 - wn)
+    if b + c:
+        assert abs(got["chi2_mcnemar"] - (abs(b - c) - 1) ** 2 / (b + c)) <= 1e-5
+
+
+def test_hopkins_matches_python(spark):
+    """Full replay: quantization, md5 sample, LCG probes, integer NN
+    sweeps — the statistic is deterministic end-to-end."""
+    import hashlib
+
+    from data_ingestion_project_spark.queries import all_queries
+    from data_ingestion_project_spark.queries.embeddings import (
+        _HOPKINS_M, _LCG_A, _LCG_C, _LCG_M,
+    )
+
+    rows = duckdb.sql(
+        f"SELECT vec_id, embedding FROM '{SF}/embeddings.parquet' WHERE vec_id <> 0"
+    ).fetchall()
+    q = {
+        vid: [int(np.round(np.float64(x) * 1e4)) for x in emb]
+        for vid, emb in rows
+    }
+    nd = len(next(iter(q.values())))
+    sample = sorted(q, key=lambda v: (hashlib.md5(str(v).encode()).hexdigest(), v))[
+        :_HOPKINS_M
+    ]
+    sw = 0
+    for sid in sample:
+        m2 = min(
+            sum((a - b) ** 2 for a, b in zip(q[v], q[sid]))
+            for v in q
+            if v != sid
+        )
+        sw += int(math.sqrt(m2) * 1e6)
+    lo = [min(v[j] for v in q.values()) for j in range(nd)]
+    hi = [max(v[j] for v in q.values()) for j in range(nd)]
+    su = 0
+    for i in range(_HOPKINS_M):
+        probe = [
+            lo[j] + ((_LCG_A * (i * nd + j) + _LCG_C) % _LCG_M) * (hi[j] - lo[j]) // _LCG_M
+            for j in range(nd)
+        ]
+        m2 = min(sum((a - b) ** 2 for a, b in zip(v, probe)) for v in q.values())
+        su += int(math.sqrt(m2) * 1e6)
+    got = all_queries()["hopkins_statistic"](spark, SF).collect()[0]
+    assert got["m_probes"] == _HOPKINS_M
+    assert got["n_corpus"] == len(q)
+    assert abs(got["hopkins_h"] - su / (su + sw)) <= 1e-5
+    assert abs(got["mean_real_nn_dist"] - sw / 1e6 / _HOPKINS_M / 1e4) <= 1e-5
+    assert abs(got["mean_probe_nn_dist"] - su / 1e6 / _HOPKINS_M / 1e4) <= 1e-5
+
+
+def test_ljung_box_matches_numpy(spark):
+    """ρ̂_k (calendar-lag pairs, global mean) and Q replayed with a
+    dict-based pair sweep."""
+    from data_ingestion_project_spark.queries import all_queries
+
+    rows = duckdb.sql(
+        f"""SELECT CAST(o_orderdate AS DATE) AS d,
+                   SUM(CAST(trunc(o_totalprice * 100) AS BIGINT)) AS cents
+            FROM '{SF}/orders.parquet' GROUP BY 1"""
+    ).fetchall()
+    series = {r[0]: r[1] for r in rows}
+    n = len(series)
+    mean = sum(series.values()) / n
+    e = {d: (v - mean) / 100.0 for d, v in series.items()}
+    import datetime
+
+    dd = sum(int(x * x) for x in e.values())
+    q_sum = 0.0
+    rhos = {}
+    for k in range(1, 11):
+        nk = sum(
+            int(e[d] * e[d + datetime.timedelta(days=k)])
+            for d in e
+            if d + datetime.timedelta(days=k) in e
+        )
+        rho = int(nk / dd * 1e6) / 1e6
+        rhos[k] = rho
+        q_sum += int(rho * rho / (n - k) * 1e12)
+    q = n * (n + 2) * (q_sum / 1e12)
+    got = all_queries()["ljung_box_revenue"](spark, SF).collect()[0]
+    assert got["n_days"] == n and got["df"] == 10
+    assert abs(got["rho_1"] - rhos[1]) <= 2e-6
+    assert abs(got["rho_2"] - rhos[2]) <= 2e-6
+    assert abs(got["q_stat"] - q) <= max(1e-4, abs(q) * 1e-6)
+
+
+def test_grubbs_matches_numpy(spark):
+    from data_ingestion_project_spark.queries import all_queries
+
+    rows = duckdb.sql(
+        f"""SELECT CAST(o_orderdate AS DATE) AS d,
+                   SUM(CAST(trunc(o_totalprice * 100) AS BIGINT)) AS cents
+            FROM '{SF}/orders.parquet' GROUP BY 1 ORDER BY 1"""
+    ).fetchall()
+    x = np.array([r[1] for r in rows], dtype=np.float64)
+    n = len(x)
+    dev = np.abs(x - x.mean())
+    i = int(np.argmax(dev))  # np argmax = first max = earliest day
+    g = dev[i] / x.std(ddof=1)
+    got = all_queries()["grubbs_outlier_day"](spark, SF).collect()[0]
+    assert got["n_days"] == n
+    assert got["outlier_day"] == str(rows[i][0])
+    assert abs(got["revenue"] - x[i] / 100.0) <= 0.01
+    assert got["side"] == ("high" if x[i] > x.mean() else "low")
+    assert abs(got["g_stat"] - g) <= 1e-5
