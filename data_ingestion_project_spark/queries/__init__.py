@@ -160,6 +160,15 @@ EXCLUDE_FROM_BENCH = frozenset(
         # aggregations on top of the census): identical exclusion
         # rationale; certified value-exact at all three SFs instead
         "longest_repeat_extract",
+        # 40-round absorbing-chain value iteration on a K-row frame:
+        # corpus-independent by construction (the corpus is read once
+        # for the K×K counts), so its ~14 s wall is pure per-round
+        # scheduler overhead — benching it measures driver
+        # round-trips, the bpe_learned_merges rationale.  The
+        # 20-round markov_stationary_events stays in the bench as the
+        # iteration family's representative; hitting-time correctness
+        # is oracle-certified (unrolled SQL) + linear-solve pytest.
+        "markov_hitting_time_events",
     }
 )
 

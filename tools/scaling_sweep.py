@@ -154,6 +154,23 @@ HEAVY = {
     "cuped_ab_test": "events",
     "hurst_exponent_rs": "orders",
     "embedding_centroid_drift": "embeddings",
+    # round-9 second wave: the classical-test completion set.  Heavy
+    # representatives only — the per-day-frame tests (bollinger, runs,
+    # grubbs, page, revenue_streaks) share the one-orders-shuffle
+    # posture pettitt exemplifies and are not separately swept.
+    "good_turing_vocab": "documents",
+    "cvm_length_drift": "documents",
+    "dup_cluster_source_mix": "documents",
+    "wilcoxon_first_last_order": "orders",
+    "logrank_segment_churn": "orders",
+    "mann_kendall_trend": "orders",
+    "pettitt_changepoint": "orders",
+    "ljung_box_revenue": "orders",
+    "kendalls_w_region_brands": "lineitem",
+    "cochran_q_first_day": "events",
+    "mcnemar_week_retention": "events",
+    "markov_hitting_time_events": "events",
+    "hopkins_statistic": "embeddings",
 }
 
 
