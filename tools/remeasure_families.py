@@ -66,7 +66,9 @@ def main() -> None:
             t0 = time.perf_counter()
             n = len(queries[name](spark, d).collect())
             took = round(time.perf_counter() - t0, 3)
-            rec["seconds"][name][sf] = took
+            # setdefault: also admits families NEW to the record (first
+            # measured here rather than by a full sweep pass)
+            rec["seconds"].setdefault(name, {})[sf] = took
             print(f"# {sf} {name}: {took:.3f}s ({n} rows)", file=sys.stderr)
 
     # refit the patched families' exponents with the sweep's rule:
