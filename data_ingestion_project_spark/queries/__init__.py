@@ -74,6 +74,9 @@ _DRIVER_PRIORITY = (
     "hopkins_statistic",
     "ljung_box_revenue",
     "grubbs_outlier_day",
+    "bartlett_event_values",
+    "mood_median_test",
+    "bowker_symmetry_events",
     # -- r04-era certifications (stalest driver rows; the tail) --
     "quantile_sketch_rollup",
     "segment_richest_customer",
@@ -83,12 +86,9 @@ _DRIVER_PRIORITY = (
     "simhash_near_dups",
     "sketch_rollup_dau",
     "source_data_cards",
-    "substring_dup_stats",
-    "theta_weekly_retention",
-    "token_stats",
     # This tuple is exactly 50 names = the full window; the r04 tail
-    # (training_shard_plan, winnow_overlap_top, zipf_slope_by_lang) and
-    # the whole r05 era (big_orders ..) roll to the r10 window.
+    # (substring_dup_stats .. zipf_slope_by_lang) and the whole r05
+    # era (big_orders ..) roll to the r10 window.
 )
 
 

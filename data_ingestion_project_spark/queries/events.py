@@ -2286,7 +2286,94 @@ FROM cells
 """
 
 
+def bowker_symmetry_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bowker's symmetry test on the event-transition matrix: is the
+    user chain REVERSIBLE (n_ij ≈ n_ji for every pair), or does flow
+    have a direction?  McNemar's K-state generalization and the
+    structural question under the Markov family — a significant χ²
+    here is what justifies reading the hitting-time asymmetries as
+    real funnel direction rather than noise.  χ² = Σ_{i<j}
+    (n_ij − n_ji)²/(n_ij + n_ji), df = #off-diagonal pairs observed.
+
+    Plan: ONE lag-window shuffle to the K×K transition counts (the
+    markov_stationary posture); the pair fold runs on ≤ K²/2 cells.
+    Exactness: counts exact; per-pair terms quantize to 1e-8 integers
+    before the fold."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    trans = (
+        e.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy(F.col("prev_type").alias("src"), F.col("event_type").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    pairs = (
+        trans.filter(F.col("src") != F.col("dst"))
+        .groupBy(
+            F.least("src", "dst").alias("i"), F.greatest("src", "dst").alias("j")
+        )
+        .agg(
+            F.sum(F.when(F.col("src") < F.col("dst"), F.col("n")).otherwise(0))
+            .alias("nij"),
+            F.sum(F.when(F.col("src") > F.col("dst"), F.col("n")).otherwise(0))
+            .alias("nji"),
+        )
+    )
+    diff = (F.col("nij") - F.col("nji")).cast("double")
+    tq = (
+        diff * diff / (F.col("nij") + F.col("nji")).cast("double") * F.lit(1.0e8)
+    ).cast("long")
+    folded = pairs.agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum(F.col("nij") + F.col("nji")).alias("n_offdiag"),
+        F.sum(tq.cast("decimal(38,0)")).alias("st"),
+    )
+    return folded.select(
+        F.col("df").cast("long").alias("df"),
+        F.col("n_offdiag").cast("long").alias("n_offdiag_transitions"),
+        floor_round(F.col("st").cast("double") / F.lit(1.0e8), 6).alias(
+            "chi2_bowker"
+        ),
+    )
+
+
+ORACLE_BOWKER_SYMMETRY_EVENTS = """
+WITH trans AS (
+  SELECT prev_type AS src, event_type AS dst, COUNT(*) AS n
+  FROM (
+    SELECT event_type,
+           LAG(event_type) OVER (PARTITION BY user_id
+                                 ORDER BY ts ASC, event_id ASC) AS prev_type
+    FROM events
+  ) t
+  WHERE prev_type IS NOT NULL
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT least(src, dst) AS i, greatest(src, dst) AS j,
+         SUM(CASE WHEN src < dst THEN n ELSE 0 END) AS nij,
+         SUM(CASE WHEN src > dst THEN n ELSE 0 END) AS nji
+  FROM trans WHERE src <> dst
+  GROUP BY 1, 2
+), folded AS (
+  SELECT COUNT(*) AS df, SUM(nij + nji) AS n_offdiag,
+         SUM(CAST(trunc(CAST(nij - nji AS DOUBLE) * CAST(nij - nji AS DOUBLE)
+                        / CAST(nij + nji AS DOUBLE) * 100000000.0)
+                  AS BIGINT)) AS st
+  FROM pairs
+)
+SELECT CAST(df AS BIGINT) AS df,
+       CAST(n_offdiag AS BIGINT) AS n_offdiag_transitions,
+       sign(CAST(st AS DOUBLE) / 100000000.0)
+       * floor(abs(CAST(st AS DOUBLE) / 100000000.0) * 1000000.0 + 0.5)
+         / 1000000.0 AS chi2_bowker
+FROM folded
+"""
+
+
 QUERIES = {
+    "bowker_symmetry_events": bowker_symmetry_events,
     "markov_hitting_time_events": markov_hitting_time_events,
     "mcnemar_week_retention": mcnemar_week_retention,
     "cohort_ltv_curve": cohort_ltv_curve,
@@ -2343,6 +2430,7 @@ ORACLE = {
     "attribution_multitouch_dow": ORACLE_ATTRIBUTION_MULTITOUCH_DOW,
     "event_trigram_paths": ORACLE_EVENT_TRIGRAM_PATHS,
     "conversion_wilson_ci": ORACLE_CONVERSION_WILSON_CI,
+    "bowker_symmetry_events": ORACLE_BOWKER_SYMMETRY_EVENTS,
     "markov_hitting_time_events": _oracle_markov_hitting_time_events(),
     "mcnemar_week_retention": ORACLE_MCNEMAR_WEEK_RETENTION,
     "markov_stationary_events": _oracle_markov_stationary_events(),

@@ -5151,7 +5151,286 @@ FROM star
 """
 
 
+def bartlett_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bartlett's test for VARIANCE homogeneity across the k event
+    types — the precondition check the pooled-variance tests (ANOVA)
+    silently assume and Welch works around: B ~ χ²(k−1) under equal
+    variances, and a large B says "route to Welch/Kruskal–Wallis, the
+    classic F is invalid here".  Completes the location (ANOVA/KW) +
+    scale (this) + distribution (KS/CvM) test triad.
+
+    Plan: ONE partial-agg shuffle to k (n, Σ, Σ²) moment cells.
+    Exactness: moments fold as exact decimals from micro-quantized
+    values; each group's ln(s²) is quantized to 1e-8 integers (one
+    libm call per GROUP — the KM/MI idiom) so the k-term fold is
+    exact; the Bartlett correction C folds per-group 1/(nᵢ−1) as
+    1e-12-quantized integers; B is one mirrored double division."""
+    e = table(spark, sf_dir, "events")
+    cells = (
+        e.select("event_type", to_micro(F.col("value")).alias("v"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("v").cast("decimal(38,0)")).alias("s"),
+            F.sum(
+                (F.col("v").cast("decimal(38,0)") * F.col("v")).cast(
+                    "decimal(38,0)"
+                )
+            ).alias("q"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    # per-group sample variance in REAL units, quantized to 1e-6 ints:
+    # n·Q − S² is exact decimal; ONE double conversion per group, then
+    # every downstream fold is integer (variance is corpus-size-
+    # independent, so the quantized magnitude never outgrows int64)
+    ssn = F.col("n").cast("decimal(38,0)") * F.col("q") - F.col("s") * F.col("s")
+    # ssn/(n(n-1)) is the variance in MICRO^2 units (1e12 x real);
+    # dividing by 1e6 leaves real-variance x 1e6 — the quantized int
+    s2q = (
+        ssn.cast("double")
+        / (F.col("n").cast("double") * (F.col("n") - 1).cast("double"))
+        / F.lit(1.0e6)
+    ).cast("long")
+    per = cells.select(
+        "n",
+        s2q.alias("s2q"),
+        (F.lit(1.0e12) / (F.col("n") - 1).cast("double")).cast("long").alias(
+            "inv_q"
+        ),
+    ).select(
+        "n",
+        "s2q",
+        "inv_q",
+        (F.log(F.col("s2q").cast("double") / F.lit(1.0e6)) * F.lit(1.0e8))
+        .cast("long")
+        .alias("ln_q"),
+    )
+    agg = per.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("nn"),
+        F.sum((F.col("n") - 1) * F.col("ln_q")).alias("sl"),
+        F.sum((F.col("n") - 1).cast("decimal(38,0)") * F.col("s2q")).alias(
+            "ssq_tot"
+        ),
+        F.sum("inv_q").alias("sinv"),
+    )
+    sp2 = (
+        F.col("ssq_tot").cast("double")
+        / (F.col("nn") - F.col("k")).cast("double")
+        / F.lit(1.0e6)
+    )
+    lp_q = (F.log(sp2) * F.lit(1.0e8)).cast("long")
+    num = (
+        ((F.col("nn") - F.col("k")) * lp_q - F.col("sl")).cast("double")
+        / F.lit(1.0e8)
+    )
+    c = F.lit(1.0) + (
+        F.col("sinv").cast("double") / F.lit(1.0e12)
+        - F.lit(1.0) / (F.col("nn") - F.col("k")).cast("double")
+    ) / (F.lit(3.0) * (F.col("k") - 1).cast("double"))
+    return agg.select(
+        F.col("k").cast("long").alias("k_groups"),
+        F.col("nn").cast("long").alias("n_events"),
+        _floor_round(num / c, 6).alias("b_stat"),
+        (F.col("k") - 1).cast("long").alias("df"),
+    )
+
+
+ORACLE_BARTLETT_EVENT_VALUES = """
+WITH cells AS (
+  SELECT event_type, COUNT(*) AS n,
+         CAST(SUM(CAST(trunc(value * 1000000) AS BIGINT)) AS HUGEINT) AS s,
+         SUM(CAST(CAST(trunc(value * 1000000) AS BIGINT) AS HUGEINT)
+             * CAST(trunc(value * 1000000) AS BIGINT)) AS q
+  FROM events GROUP BY event_type
+), per AS (
+  SELECT n,
+         CAST(trunc(CAST(CAST(n AS HUGEINT) * q - s * s AS DOUBLE)
+                    / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))
+                    / 1000000.0) AS BIGINT) AS s2q,
+         CAST(trunc(1000000000000.0 / CAST(n - 1 AS DOUBLE)) AS BIGINT)
+           AS inv_q
+  FROM cells
+), per2 AS (
+  SELECT n, s2q, inv_q,
+         CAST(trunc(ln(CAST(s2q AS DOUBLE) / 1000000.0) * 100000000.0)
+              AS BIGINT) AS ln_q
+  FROM per
+), agg AS (
+  SELECT COUNT(*) AS k, SUM(n) AS nn, SUM((n - 1) * ln_q) AS sl,
+         SUM(CAST(n - 1 AS HUGEINT) * s2q) AS ssq_tot, SUM(inv_q) AS sinv
+  FROM per2
+)
+SELECT CAST(k AS BIGINT) AS k_groups,
+       CAST(nn AS BIGINT) AS n_events,
+       sign((CAST((nn - k) * CAST(trunc(ln(CAST(ssq_tot AS DOUBLE)
+                                           / CAST(nn - k AS DOUBLE)
+                                           / 1000000.0)
+                                        * 100000000.0) AS BIGINT) - sl
+                  AS DOUBLE) / 100000000.0)
+            / (1.0 + (CAST(sinv AS DOUBLE) / 1000000000000.0
+                      - 1.0 / CAST(nn - k AS DOUBLE))
+                     / (3.0 * CAST(k - 1 AS DOUBLE))))
+       * floor(abs((CAST((nn - k) * CAST(trunc(ln(CAST(ssq_tot AS DOUBLE)
+                                           / CAST(nn - k AS DOUBLE)
+                                           / 1000000.0)
+                                        * 100000000.0) AS BIGINT) - sl
+                  AS DOUBLE) / 100000000.0)
+            / (1.0 + (CAST(sinv AS DOUBLE) / 1000000000000.0
+                      - 1.0 / CAST(nn - k AS DOUBLE))
+                     / (3.0 * CAST(k - 1 AS DOUBLE)))) * 1000000.0 + 0.5)
+         / 1000000.0 AS b_stat,
+       CAST(k - 1 AS BIGINT) AS df
+FROM agg
+"""
+
+
+def mood_median_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mood's k-sample median test: do the event types share a common
+    MEDIAN?  The maximally-robust location test (only above/below
+    counts enter — a single corrupted tail cannot move it, where even
+    Kruskal–Wallis shifts), and the χ² contingency completion of the
+    exact-median machinery.  Values exactly AT the grand median are
+    dropped (the standard convention); the above/below split uses the
+    DOUBLED-median integer comparator — no division anywhere.
+
+    Plan: the grand median comes from operators/quantiles.rank2_map
+    (two-level bucket ranks, nothing corpus-sized on one task) via two
+    order-statistic lookups; the contingency is then one k×2 count
+    aggregation.  Exactness: all counts exact integers; per-cell χ²
+    terms quantize to 1e-8 before the fold."""
+    from data_ingestion_project_spark.operators.quantiles import rank2_map
+
+    e = table(spark, sf_dir, "events")
+    vals = e.select(
+        "event_type", to_micro(F.col("value")).alias("v")
+    ).localCheckpoint(eager=True)
+    ranks = rank2_map(vals, "v", bucket_width=10_000_000)
+    nn = vals.agg(F.count(F.lit(1)).alias("n"))
+    # cumulative-count bounds per distinct value from the doubled rank:
+    # #smaller = (r2 - cnt - 1) / 2, cum = #smaller + cnt
+    rr = ranks.crossJoin(F.broadcast(nn)).select(
+        "v",
+        ((F.col("r2") - F.col("cnt") - 1) / 2).cast("long").alias("lo"),
+        ((F.col("r2") - F.col("cnt") - 1) / 2 + F.col("cnt"))
+        .cast("long")
+        .alias("cum"),
+        "n",
+    )
+    r1 = F.floor((F.col("n") + 1) / 2)
+    r2k = F.floor(F.col("n") / 2) + 1
+    med2 = rr.agg(
+        (
+            F.sum(F.when((F.col("lo") < r1) & (r1 <= F.col("cum")), F.col("v")))
+            + F.sum(
+                F.when((F.col("lo") < r2k) & (r2k <= F.col("cum")), F.col("v"))
+            )
+        ).alias("m2")
+    )
+    cls = (
+        vals.crossJoin(F.broadcast(med2))
+        .filter(2 * F.col("v") != F.col("m2"))
+        .groupBy("event_type")
+        .agg(
+            F.sum((2 * F.col("v") > F.col("m2")).cast("int")).alias("a"),
+            F.sum((2 * F.col("v") < F.col("m2")).cast("int")).alias("b"),
+        )
+    )
+    tot = cls.agg(
+        F.sum("a").alias("ta"), F.sum("b").alias("tb"), F.count(F.lit(1)).alias("k")
+    )
+    nj = F.col("a") + F.col("b")
+    grand = (F.col("ta") + F.col("tb")).cast("double")
+    ea = nj.cast("double") * F.col("ta").cast("double") / grand
+    eb = nj.cast("double") * F.col("tb").cast("double") / grand
+    term = (
+        (
+            (F.col("a").cast("double") - ea) * (F.col("a").cast("double") - ea) / ea
+            + (F.col("b").cast("double") - eb) * (F.col("b").cast("double") - eb)
+            / eb
+        )
+        * F.lit(1.0e8)
+    ).cast("long")
+    folded = (
+        cls.crossJoin(F.broadcast(tot))
+        .select("k", (F.col("ta") + F.col("tb")).alias("n_used"), term.alias("tq"))
+        .groupBy("k", "n_used")
+        .agg(F.sum(F.col("tq").cast("decimal(38,0)")).alias("st"))
+    )
+    return folded.crossJoin(F.broadcast(med2)).select(
+        F.col("k").cast("long").alias("k_groups"),
+        F.col("n_used").cast("long").alias("n_used"),
+        (F.col("m2").cast("double") / F.lit(2.0) / F.lit(1.0e6)).alias(
+            "grand_median"
+        ),
+        _floor_round(F.col("st").cast("double") / F.lit(1.0e8), 6).alias(
+            "chi2"
+        ),
+        (F.col("k") - 1).cast("long").alias("df"),
+    )
+
+
+ORACLE_MOOD_MEDIAN_TEST = """
+WITH vals AS (
+  SELECT event_type, CAST(trunc(value * 1000000) AS BIGINT) AS v FROM events
+), ranks AS (
+  SELECT v AS rv, COUNT(*) AS c,
+         2 * COALESCE(SUM(COUNT(*)) OVER (
+               ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+               AND 1 PRECEDING), 0)
+           + COUNT(*) + 1 AS r2
+  FROM vals GROUP BY v
+), nn AS (SELECT COUNT(*) AS n FROM vals),
+rr AS (
+  SELECT rv, (r2 - c - 1) // 2 AS lo, (r2 - c - 1) // 2 + c AS cum, n
+  FROM ranks CROSS JOIN nn
+), med2 AS (
+  SELECT SUM(CASE WHEN lo < (n + 1) // 2 AND (n + 1) // 2 <= cum
+                  THEN rv END)
+         + SUM(CASE WHEN lo < n // 2 + 1 AND n // 2 + 1 <= cum
+                    THEN rv END) AS m2
+  FROM rr
+), cls AS (
+  SELECT event_type,
+         SUM(CASE WHEN 2 * v > m2 THEN 1 ELSE 0 END) AS a,
+         SUM(CASE WHEN 2 * v < m2 THEN 1 ELSE 0 END) AS b
+  FROM vals CROSS JOIN med2
+  WHERE 2 * v <> m2
+  GROUP BY event_type
+), tot AS (
+  SELECT SUM(a) AS ta, SUM(b) AS tb, COUNT(*) AS k FROM cls
+), folded AS (
+  SELECT k, ta + tb AS n_used,
+         SUM(CAST(trunc((
+           (CAST(a AS DOUBLE) - (a + b) * CAST(ta AS DOUBLE)
+              / CAST(ta + tb AS DOUBLE))
+           * (CAST(a AS DOUBLE) - (a + b) * CAST(ta AS DOUBLE)
+              / CAST(ta + tb AS DOUBLE))
+           / ((a + b) * CAST(ta AS DOUBLE) / CAST(ta + tb AS DOUBLE))
+           + (CAST(b AS DOUBLE) - (a + b) * CAST(tb AS DOUBLE)
+              / CAST(ta + tb AS DOUBLE))
+           * (CAST(b AS DOUBLE) - (a + b) * CAST(tb AS DOUBLE)
+              / CAST(ta + tb AS DOUBLE))
+           / ((a + b) * CAST(tb AS DOUBLE) / CAST(ta + tb AS DOUBLE))
+         ) * 100000000.0) AS BIGINT)) AS st
+  FROM cls CROSS JOIN tot
+  GROUP BY k, ta + tb
+)
+SELECT CAST(k AS BIGINT) AS k_groups,
+       CAST(n_used AS BIGINT) AS n_used,
+       CAST(m2 AS DOUBLE) / 2.0 / 1000000.0 AS grand_median,
+       sign(CAST(st AS DOUBLE) / 100000000.0)
+       * floor(abs(CAST(st AS DOUBLE) / 100000000.0) * 1000000.0 + 0.5)
+         / 1000000.0 AS chi2,
+       CAST(k - 1 AS BIGINT) AS df
+FROM folded CROSS JOIN med2
+"""
+
+
 QUERIES = {
+    "bartlett_event_values": bartlett_event_values,
+    "mood_median_test": mood_median_test,
     "ljung_box_revenue": ljung_box_revenue,
     "grubbs_outlier_day": grubbs_outlier_day,
     "cvm_length_drift": cvm_length_drift,
@@ -5199,6 +5478,8 @@ QUERIES = {
 }
 
 ORACLE = {
+    "bartlett_event_values": ORACLE_BARTLETT_EVENT_VALUES,
+    "mood_median_test": ORACLE_MOOD_MEDIAN_TEST,
     "ljung_box_revenue": ORACLE_LJUNG_BOX_REVENUE,
     "grubbs_outlier_day": ORACLE_GRUBBS_OUTLIER_DAY,
     "cvm_length_drift": ORACLE_CVM_LENGTH_DRIFT,

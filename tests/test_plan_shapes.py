@@ -493,6 +493,9 @@ _GLOBAL_WINDOW_SANCTIONED = {
     # Wilcoxon: rank2_map's exclusive prefix over the |d|/1e5 bucket
     # partials (value-domain-sized, the spearman posture) (r9)
     "wilcoxon_first_last_order",
+    # Mood's median: the same rank2_map bucket-partials prefix, used
+    # for the two grand-median order statistics (r9)
+    "mood_median_test",
     # Page's L: year dense_rank over the (segment, year) grid — an
     # m·n data-domain frame (~35 cells at ANY corpus size) (r9)
     "page_trend_test",

@@ -1198,3 +1198,96 @@ def test_grubbs_matches_numpy(spark):
     assert abs(got["revenue"] - x[i] / 100.0) <= 0.01
     assert got["side"] == ("high" if x[i] > x.mean() else "low")
     assert abs(got["g_stat"] - g) <= 1e-5
+
+
+def test_bartlett_matches_scipy_formula(spark):
+    """B replayed from the textbook formula over micro-quantized
+    per-group variances."""
+    from data_ingestion_project_spark.queries import all_queries
+
+    rows = duckdb.sql(
+        f"""SELECT event_type, CAST(trunc(value * 1000000) AS BIGINT) AS v
+            FROM '{SF}/events.parquet'"""
+    ).fetchall()
+    per = defaultdict(list)
+    for t, v in rows:
+        per[t].append(v)
+    k = len(per)
+    nn = sum(len(v) for v in per.values())
+    s2 = {}
+    for t, vs in per.items():
+        n = len(vs)
+        mean = sum(vs) / n
+        s2[t] = sum((x - mean) ** 2 for x in vs) / (n - 1) / 1e12  # real units
+    sp2 = sum((len(per[t]) - 1) * s2[t] for t in per) / (nn - k)
+    num = (nn - k) * math.log(sp2) - sum(
+        (len(per[t]) - 1) * math.log(s2[t]) for t in per
+    )
+    c = 1.0 + (
+        sum(1.0 / (len(per[t]) - 1) for t in per) - 1.0 / (nn - k)
+    ) / (3.0 * (k - 1))
+    got = all_queries()["bartlett_event_values"](spark, SF).collect()[0]
+    assert got["k_groups"] == k and got["n_events"] == nn
+    assert got["df"] == k - 1
+    assert abs(got["b_stat"] - num / c) <= 5e-4  # 1e-6-grid variance quantization
+
+
+def test_mood_median_matches_python(spark):
+    from data_ingestion_project_spark.queries import all_queries
+
+    rows = duckdb.sql(
+        f"""SELECT event_type, CAST(trunc(value * 1000000) AS BIGINT) AS v
+            FROM '{SF}/events.parquet'"""
+    ).fetchall()
+    vals = sorted(v for _, v in rows)
+    n = len(vals)
+    m2 = vals[(n + 1) // 2 - 1] + vals[n // 2]
+    cls = defaultdict(lambda: [0, 0])
+    for t, v in rows:
+        if 2 * v > m2:
+            cls[t][0] += 1
+        elif 2 * v < m2:
+            cls[t][1] += 1
+    cls = {t: c for t, c in cls.items() if sum(c)}
+    ta = sum(a for a, _ in cls.values())
+    tb = sum(b for _, b in cls.values())
+    chi2 = 0.0
+    for a, b in cls.values():
+        nj = a + b
+        ea, eb = nj * ta / (ta + tb), nj * tb / (ta + tb)
+        chi2 += (a - ea) ** 2 / ea + (b - eb) ** 2 / eb
+    got = all_queries()["mood_median_test"](spark, SF).collect()[0]
+    assert got["k_groups"] == len(cls)
+    assert got["n_used"] == ta + tb
+    assert abs(got["grand_median"] - m2 / 2.0 / 1e6) <= 1e-9
+    assert abs(got["chi2"] - chi2) <= 1e-5
+    assert got["df"] == len(cls) - 1
+
+
+def test_bowker_matches_python(spark):
+    from data_ingestion_project_spark.queries import all_queries
+
+    rows = duckdb.sql(
+        f"""SELECT prev, cur, COUNT(*) FROM (
+              SELECT event_type AS cur,
+                     LAG(event_type) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) AS prev
+              FROM '{SF}/events.parquet') WHERE prev IS NOT NULL
+            GROUP BY 1, 2"""
+    ).fetchall()
+    n = {(s, d): c for s, d, c in rows}
+    pairs = {
+        tuple(sorted(p))
+        for p in n
+        if p[0] != p[1]
+    }
+    chi2 = 0.0
+    offdiag = 0
+    for i, j in pairs:
+        nij, nji = n.get((i, j), 0), n.get((j, i), 0)
+        chi2 += (nij - nji) ** 2 / (nij + nji)
+        offdiag += nij + nji
+    got = all_queries()["bowker_symmetry_events"](spark, SF).collect()[0]
+    assert got["df"] == len(pairs)
+    assert got["n_offdiag_transitions"] == offdiag
+    assert abs(got["chi2_bowker"] - chi2) <= 1e-5
