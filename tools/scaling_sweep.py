@@ -171,6 +171,9 @@ HEAVY = {
     "mcnemar_week_retention": "events",
     "markov_hitting_time_events": "events",
     "hopkins_statistic": "embeddings",
+    "bartlett_event_values": "events",
+    "mood_median_test": "events",
+    "bowker_symmetry_events": "events",
 }
 
 
