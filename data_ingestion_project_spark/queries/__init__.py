@@ -24,15 +24,14 @@ from data_ingestion_project_spark.queries import advanced, documents, embeddings
 _MODULES = (tpch, tpch2, events, documents, embeddings, advanced, stats)
 
 # The driver's correctness gate certifies the FIRST 50 entries of
-# all_queries() in dict order.  Round-9 window: every round-9 addition
-# (never certified — they must enter the merged record this round to
-# keep the every-declared-query-certified invariant), then the 14
-# surviving r04-era certifications (the stalest driver rows anywhere),
-# then the alphabetical head of the r05 era.  Every window entry was
-# locally re-verified value-exact (or rows-only where by-design) at
-# sf0.01 via tools/check_oracle.py before declaring; the remaining
-# r05-era rows (lang_stats .. user_sessions) roll to the r10 window.
-# Names not listed here keep module order.
+# all_queries() in dict order.  Round-10 window: every round-10
+# addition (never certified — they must enter the merged record this
+# round to keep the every-declared-query-certified invariant), then
+# the stalest surviving driver rows (the r04 tail the r09 window
+# couldn't fit, then the alphabetical head of the r05 era).  Every
+# window entry was locally re-verified value-exact at sf0.01 via
+# tools/check_oracle.py before declaring.  Names not listed here keep
+# module order.
 _DRIVER_PRIORITY = (
     # -- never driver-certified (round-9 additions) --
     "peak_concurrent_sessions",

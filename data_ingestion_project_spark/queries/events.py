@@ -2129,9 +2129,9 @@ def markov_hitting_time_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed horizon a modeling constant, and the DuckDB oracle replays
     the identical unrolled iterations).
 
-    Plan: ONE lag-window shuffle to the K×K transition counts; the 60
-    iterations run on that tiny frame — corpus read once, iteration
-    cost corpus-size-independent."""
+    Plan: ONE lag-window shuffle to the K×K transition counts; the
+    _HIT_ITERS (= 40) iterations run on that tiny frame — corpus read
+    once, iteration cost corpus-size-independent."""
     from data_ingestion_project_spark.operators.pagerank import hitting_time
 
     e = table(spark, sf_dir, "events")

@@ -4868,7 +4868,10 @@ def wilcoxon_first_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c_pos").cast("long").alias("n_positive"),
         F.sum((F.col("r2") * F.col("c_pos")).cast("decimal(38,0)")).alias("w2"),
         F.sum(
-            F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt")
+            F.col("cnt").cast("decimal(38,0)")
+            * F.col("cnt").cast("decimal(38,0)")
+            * F.col("cnt").cast("decimal(38,0)")
+            - F.col("cnt").cast("decimal(38,0)")
         ).alias("tie_term"),
     )
     nd = F.col("n_pairs").cast("double")

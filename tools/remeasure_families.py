@@ -82,6 +82,11 @@ def main() -> None:
             for a, b in zip(labels, labels[1:])
             if a in t and b in t and rec["rows"][b][drv] > rec["rows"][a][drv]
         ]
+        if not fit:
+            # single measured decade (first-time entry at one sf): keep the
+            # seconds we just wrote, skip the exponent refit for this family
+            print(f"{name}: <2 growing decades measured, exponent refit skipped")
+            continue
         a, b = fit[-1]
         n_ratio = rec["rows"][b][drv] / rec["rows"][a][drv]
         t_ratio = t[b] / t[a]
