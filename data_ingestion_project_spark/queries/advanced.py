@@ -1092,15 +1092,49 @@ def approx_daily_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sketch_rollup_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Datasketches HLL ROLLUP: build one binary sketch per day, then
-    UNION the stored sketches for the period total — the re-aggregation
-    pattern approx_count_distinct cannot do (its estimate is terminal).
-    At 100 TB this is the standing-aggregate design for distinct
-    counts: per-partition sketches are computed once at ingest, any
-    date-range distinct query is a cheap sketch union over the stored
-    ~KB blobs, zero fact-table rescan. Sketches are insertion-order
-    independent, so results are partitioning-stable. Rows-only check
-    (approximate by construction); accuracy floor pinned in pytest."""
+    """HLL register ROLLUP (operators/hll.py — portable deterministic
+    HyperLogLog): per-day 1024-bucket register tables from 60-bit md5
+    hashes, per-day estimates read from the registers, and the TOTAL
+    row from the register-wise MAX across days — the exact HLL union,
+    the re-aggregation pattern approx_count_distinct cannot do (its
+    estimate is terminal). At 100 TB this is the standing-aggregate
+    design for distinct counts: registers are computed once at ingest
+    (one partial-agg shuffle bounded by days x 1024 rows), any
+    date-range distinct query is a register MAX over stored KB-sized
+    state, zero fact-table rescan. Unlike the binary Datasketches
+    variant (kept as _datasketches_dau_rollup, accuracy-pinned in
+    pytest), every stage here — integer bit-length rho, exact int64
+    harmonic fold, ln-quantized linear counting — replays as ANSI SQL,
+    so the driver certifies the whole rollup VALUE-EXACTLY; the ~3%
+    accuracy floor vs exact DAU is pinned in pytest."""
+    from data_ingestion_project_spark.operators.hll import (
+        hll_estimate,
+        hll_registers,
+        md5_int60,
+    )
+
+    e = table(spark, sf_dir, "events")
+    regs = hll_registers(
+        e.select(F.date_format("ts", "yyyy-MM-dd").alias("day"), "user_id"),
+        md5_int60(F.col("user_id")),
+        ["day"],
+    )
+    per_day = hll_estimate(regs, ["day"])
+    tregs = regs.groupBy("bucket").agg(F.max("m_reg").alias("m_reg")).withColumn(
+        "day", F.lit("TOTAL")
+    )
+    total = hll_estimate(tregs, ["day"])
+    return per_day.unionByName(total).orderBy("day")
+
+
+def _datasketches_dau_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The binary Datasketches twin of sketch_rollup_dau: one
+    hll_sketch_agg blob per day, hll_union_agg for the period total.
+    Production-grade (compact bytes, constant-time union) but opaque —
+    no other engine can replay the sketch, so it lives as a
+    pytest-pinned helper (exact in sparse mode at tiny cardinality;
+    see test_sketch_rollup_dau_pinned_point_estimates) while the
+    portable register implementation carries the driver oracle."""
     e = table(spark, sf_dir, "events")
     daily = e.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day")).agg(
         F.hll_sketch_agg("user_id").alias("sk")
@@ -1112,6 +1146,37 @@ def sketch_rollup_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users")
     ).select(F.lit("TOTAL").alias("day"), "est_users")
     return per_day.unionByName(total).orderBy("day")
+
+
+def _oracle_sketch_rollup_dau() -> str:
+    from data_ingestion_project_spark.operators.hll import (
+        sql_hll_estimate,
+        sql_md5_int60,
+    )
+
+    return f"""
+WITH h0 AS (
+  SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS day,
+         md5(CAST(user_id AS VARCHAR)) AS hx
+  FROM events
+), h AS (
+  SELECT day, {sql_md5_int60('hx')} AS hv FROM h0
+), b AS (
+  SELECT day, hv % 1024 AS bucket, hv // 1024 AS w FROM h
+), r AS (
+  SELECT day, bucket,
+         MAX(CASE WHEN w = 0 THEN 51 ELSE 51 - length(bin(w)) END) AS m_reg
+  FROM b GROUP BY day, bucket
+), rt AS (
+  SELECT 'TOTAL' AS day, bucket, MAX(m_reg) AS m_reg FROM r GROUP BY bucket
+), ru AS (
+  SELECT * FROM r UNION ALL SELECT * FROM rt
+)
+SELECT * FROM ({sql_hll_estimate('ru', 'day')}) ORDER BY day
+"""
+
+
+ORACLE_SKETCH_ROLLUP_DAU = _oracle_sketch_rollup_dau()
 
 
 def quantile_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2656,6 +2721,7 @@ ORACLE = {
     "orders_profile": ORACLE_ORDERS_PROFILE,
     "quantile_sketch_rollup": ORACLE_QUANTILE_SKETCH_ROLLUP,
     "kmv_dau_rollup": ORACLE_KMV_DAU_ROLLUP,
+    "sketch_rollup_dau": ORACLE_SKETCH_ROLLUP_DAU,
     "kmv_weekly_retention": ORACLE_KMV_WEEKLY_RETENTION,
     "kmv_set_similarity": ORACLE_KMV_SET_SIMILARITY,
     "segment_wealth_percentiles": ORACLE_SEGMENT_WEALTH_PERCENTILES,

@@ -565,9 +565,10 @@ def test_sentence_split_udtf(spark):
 
 
 def test_sketch_estimates_track_exact_counts(spark):
-    """Accuracy floors for the Datasketches queries: HLL day/total
-    estimates and theta intersections must land within 5% of exact —
-    the rows-only gate proves they run; this proves they're good."""
+    """Accuracy floors for the sketch queries: HLL day/total estimates
+    (the oracle-certified portable register rollup AND its binary
+    Datasketches twin) and theta intersections must land within 5% of
+    exact — exactness gates prove determinism; this proves accuracy."""
     from data_ingestion_project_spark.queries import all_queries
     from data_ingestion_project_spark.sources.readers import table
 
@@ -584,6 +585,14 @@ def test_sketch_estimates_track_exact_counts(spark):
     exact["TOTAL"] = e.select("user_id").distinct().count()
     assert set(got) == set(exact)
     for day, est in got.items():
+        assert abs(est - exact[day]) <= max(0.05 * exact[day], 2), day
+
+    # the binary Datasketches twin (pytest-pinned, not driver-declared)
+    from data_ingestion_project_spark.queries.advanced import _datasketches_dau_rollup
+
+    ds = {r["day"]: r["est_users"] for r in _datasketches_dau_rollup(spark, sf).collect()}
+    assert set(ds) == set(exact)
+    for day, est in ds.items():
         assert abs(est - exact[day]) <= max(0.05 * exact[day], 2), day
 
     # the KMV certified twin: same shape, same accuracy expectation

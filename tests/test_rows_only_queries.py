@@ -216,17 +216,20 @@ def test_approx_order_price_quantiles_error_floor_vs_exact_twin(spark):
         assert abs(ap["ap99"] - ex["p99"]) <= 0.01 * ex["p99"], (st, ap["ap99"], ex["p99"])
 
 
-def test_sketch_rollup_dau_pinned_point_estimates(spark):
+def test_datasketches_dau_rollup_pinned_point_estimates(spark):
     """VERDICT r7 ask #8: Datasketches HLL estimates are deterministic
     for a fixed corpus + config. Pin the sf0.001 per-day estimates to
     the exact per-day DAU (at these tiny cardinalities the sketch is in
     exact sparse mode) and the TOTAL union row to the exact overall
-    distinct count — any lgK/seed/estimator change breaks this."""
-    from data_ingestion_project_spark.queries import all_queries
+    distinct count — any lgK/seed/estimator change breaks this.
+    (Covers the binary-sketch twin of the oracle-certified portable
+    register query sketch_rollup_dau — r10 moved the query name onto
+    the replayable register implementation.)"""
+    from data_ingestion_project_spark.queries.advanced import _datasketches_dau_rollup
 
     got = {
         r["day"]: r["est_users"]
-        for r in all_queries()["sketch_rollup_dau"](spark, SF0001).collect()
+        for r in _datasketches_dau_rollup(spark, SF0001).collect()
     }
     exact = dict(
         duckdb.sql(
