@@ -567,16 +567,34 @@ def simhash(
     id_col: str = "doc_id",
     bits: int = 64,
     shingle: int | None = None,
+    use_md5: bool = False,
 ) -> DataFrame:
-    """64-bit SimHash per document, fully JVM-side.
+    """SimHash per document, fully JVM-side.
 
-    Each distinct word hashes to 64 bits (xxhash64); per document, each
-    bit position accumulates +1/-1 by that bit's value; the sign vector
-    is packed back into one long. Hamming-close simhashes ⇒ similar
-    word sets. Plan: explode → groupBy(id) with 64 conditional sums →
+    Each distinct word hashes to ``bits`` bits; per document, each bit
+    position accumulates +1/-1 by that bit's value; the sign vector is
+    packed back into one long. Hamming-close simhashes ⇒ similar word
+    sets. Plan: explode → groupBy(id) with ``bits`` conditional sums →
     bit-pack; one shuffle total.
-    """
-    words = tokenized(df, text_col, id_col, shingle=shingle).withColumn("h", F.xxhash64("word", F.lit(1337)))
+
+    Hash choice: the default is seeded xxhash64 (64 bits, whole-stage
+    codegen). ``use_md5=True`` switches to the first 15 hex chars of
+    md5(word) as a 60-bit int (pass ``bits=60``) — the portable-hash
+    idiom (same as the KMV / quantile-sketch / md5-minhash oracle
+    modes) that makes the ENTIRE simhash pipeline replayable as ANSI
+    SQL, which is what lets simhash_near_dups carry a value-exact
+    DuckDB oracle instead of a rows-only check. A 60-bit simhash in a
+    long works unchanged with 16-bit pigeonhole blocks (the top block
+    just carries 4 constant zero bits)."""
+    if use_md5 and bits > 60:
+        raise ValueError(f"use_md5 provides 60 hash bits; bits={bits} > 60")
+    words = tokenized(df, text_col, id_col, shingle=shingle)
+    if use_md5:
+        words = words.withColumn(
+            "h", F.conv(F.substring(F.md5("word"), 1, 15), 16, 10).cast("long")
+        )
+    else:
+        words = words.withColumn("h", F.xxhash64("word", F.lit(1337)))
     bit_sums = [
         F.sum(F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(
             f"b{i}"

@@ -1913,9 +1913,14 @@ def _minhash_assets_path(spark: SparkSession, sf_dir: str) -> str:
 
 def _simhash_path(spark: SparkSession, sf_dir: str) -> str:
     """Materialize (once per corpus mtime) the per-doc (doc_id,
-    simhash) table — one 64-bit scalar per document, the cheapest
+    simhash) table — one 60-bit scalar per document, the cheapest
     dedup asset there is; the query-side work is then only the
-    pigeonhole block join + popcount rescore."""
+    pigeonhole block join + popcount rescore. Built in md5 mode
+    (operators/dedup.simhash use_md5 — the portable-hash idiom) so
+    the whole pipeline replays as ANSI SQL and the query carries a
+    value-exact oracle; an ingest stream that prefers xxhash64
+    codegen speed keeps the operator default (same trade as
+    md5_minhash_candidates)."""
     import os
 
     from data_ingestion_project_spark.operators.dedup import simhash
@@ -1928,10 +1933,10 @@ def _simhash_path(spark: SparkSession, sf_dir: str) -> str:
 
     def _build(tmp: str) -> None:
         d = table(spark, sf_dir, "documents")
-        simhash(d, "text", "doc_id").repartition(4).write.parquet(tmp)
+        simhash(d, "text", "doc_id", bits=60, use_md5=True).repartition(4).write.parquet(tmp)
 
     return ensure_materialized(
-        f"simhash_{dataset_tag(abs_dir)}",
+        f"simhash_md5_{dataset_tag(abs_dir)}",
         os.path.join(abs_dir, "documents.parquet"),
         _build,
     )
@@ -1974,8 +1979,16 @@ def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     rescore over pigeonhole-blocked candidates; same bounded-output
     rationale as minhash_near_dups). Full recall needs max_hamming <
     blocks — see operators/dedup.py. Served from the maintained
-    (doc_id, simhash) asset (_simhash_path): one 64-bit scalar per doc
-    read off disk, so the query is just the block join + popcount."""
+    (doc_id, simhash) asset (_simhash_path): one 60-bit scalar per doc
+    read off disk, so the query is just the block join + popcount.
+
+    Certified value-exactly since r10: the asset is built in md5 mode
+    (60-bit portable hash), so the DuckDB oracle replays EVERYTHING —
+    tokenization, per-bit ±1 votes, sign packing, the 16-bit pigeonhole
+    block keys, the max_block_size=100 degenerate-block valve
+    (count-over-window, identical semantics), xor-popcount Hamming,
+    and the deterministic (hamming, id_a, id_b) top-200 — entirely in
+    integer arithmetic, no float anywhere."""
     from data_ingestion_project_spark.operators.dedup import simhash_near_pairs_from
 
     sh = spark.read.parquet(_simhash_path(spark, sf_dir))
@@ -1984,6 +1997,60 @@ def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("hamming", "id_a", "id_b")
         .limit(200)
     )
+
+
+def _oracle_simhash_near_dups() -> str:
+    """Full integer replay of the md5-mode SimHash pipeline (see
+    simhash_near_dups docstring). Generated: 60 per-bit vote rows per
+    (doc, word) via a VALUES lattice of (bit, 2^bit)."""
+    bit_rows = ",".join(f"({i},{1 << i})" for i in range(60))
+    hex60 = " + ".join(
+        f"(strpos('0123456789abcdef', substr(hx, {i + 1}, 1)) - 1)"
+        f" * {16 ** (15 - 1 - i)}"
+        for i in range(15)
+    )
+    blk_rows = ",".join(f"({i},{1 << (i * 16)})" for i in range(4))
+    return f"""
+WITH words AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_distinct(string_split_regex(
+           regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), '\\s+'))) AS word
+  FROM documents
+), hashed AS (
+  SELECT doc_id, {hex60} AS hv
+  FROM (SELECT doc_id, md5(word) AS hx FROM words)
+), votes AS (
+  SELECT doc_id, bits.i AS i, bits.p AS p,
+         CASE WHEN (hv // bits.p) % 2 = 1 THEN 1 ELSE -1 END AS v
+  FROM hashed, (VALUES {bit_rows}) AS bits(i, p)
+), sh AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN s > 0 THEN p ELSE 0 END) AS BIGINT) AS simhash
+  FROM (SELECT doc_id, i, p, SUM(v) AS s FROM votes GROUP BY doc_id, i, p)
+  GROUP BY doc_id
+), blocks AS (
+  SELECT doc_id, simhash, bl.blk AS blk,
+         (simhash // bl.shp) % 65536 AS key
+  FROM sh, (VALUES {blk_rows}) AS bl(blk, shp)
+), capped AS (
+  SELECT * FROM (
+    SELECT *, COUNT(*) OVER (PARTITION BY blk, key) AS bs FROM blocks
+  ) WHERE bs <= 100
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.simhash AS sh_a, b.simhash AS sh_b
+  FROM capped a JOIN capped b
+    ON a.blk = b.blk AND a.key = b.key AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS hamming
+FROM cand
+WHERE bit_count(xor(sh_a, sh_b)) <= 3
+ORDER BY hamming, id_a, id_b
+LIMIT 200
+"""
+
+
+ORACLE_SIMHASH_NEAR_DUPS = _oracle_simhash_near_dups()
 
 
 def approx_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5858,6 +5925,8 @@ if _HAVE_PIL:
 
 ORACLE = {
     "good_turing_vocab": ORACLE_GOOD_TURING_VOCAB,
+    # full integer replay of the md5-mode SimHash pipeline (r10)
+    "simhash_near_dups": ORACLE_SIMHASH_NEAR_DUPS,
     "dup_cluster_source_mix": ORACLE_DUP_CLUSTER_SOURCE_MIX,
     "word_burstiness": ORACLE_WORD_BURSTINESS,
     "heaps_law_fit": ORACLE_HEAPS_LAW_FIT,

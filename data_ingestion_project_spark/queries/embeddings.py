@@ -892,9 +892,18 @@ def semdedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     production ``max_cluster_size`` valve engaged — on a skewed corpus
     a degenerate k-means cluster becomes bounded block-pair tasks
     instead of one O(n_c²) matmul; the valve is exact, so the output
-    is identical with or without it (pinned in pytest). Rows-only (the
-    k-means quantizer is driver-side), but the output is fully
-    deterministic and the exact drop counts are pinned in pytest."""
+    is identical with or without it (pinned in pytest).
+
+    Oracle (r10): the DuckDB twin computes the EXACT all-pairs
+    cosine-threshold dedup (drop = larger id of any pair >= 0.95,
+    matching semdedup's keep-lowest-id rule), so certification asserts
+    the cluster-bounded search achieves EXACT RECALL here — planted
+    copies share their source's direction, hence its argmax-cosine
+    cluster (ivf_assign normalizes before the centroid argmax), and
+    the corpus-wide cosine margin is wide (planted pairs at 1.0,
+    next-closest pair ~0.51 at sf0.01 — no cross-engine float
+    boundary). The driver-side k-means quantizer affects only WHERE
+    pairs are searched, never the certified output."""
     from data_ingestion_project_spark.operators.semdedup import semdedup
 
     e = table(spark, sf_dir, "embeddings")
@@ -919,6 +928,30 @@ def semdedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_input") - F.col("n_kept")).alias("n_dropped"),
         "planted_kept",
     )
+
+
+# Exact all-pairs threshold dedup — the ground truth the cluster-
+# bounded search must reproduce on this corpus (see the query
+# docstring for the margin argument).
+ORACLE_SEMDEDUP_SUMMARY = """
+WITH c AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id,
+         list_transform(embedding::DOUBLE[], x -> x * 0.5) AS v
+  FROM embeddings WHERE vec_id < 50
+), drops AS (
+  SELECT DISTINCT b.vec_id
+  FROM c a JOIN c b ON a.vec_id < b.vec_id
+  WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.95
+)
+SELECT (SELECT COUNT(*) FROM c) AS n_input,
+       (SELECT COUNT(*) FROM c) - (SELECT COUNT(*) FROM drops) AS n_kept,
+       (SELECT COUNT(*) FROM drops) AS n_dropped,
+       (SELECT COUNT(*) FROM c
+        WHERE vec_id >= 1000000
+          AND vec_id NOT IN (SELECT vec_id FROM drops)) AS planted_kept
+"""
 
 
 def modality_dedup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1995,6 +2028,8 @@ QUERIES = {
 
 ORACLE = {
     "hopkins_statistic": ORACLE_HOPKINS_STATISTIC,
+    # exact-recall certification of the cluster-bounded SemDeDup (r10)
+    "semdedup_summary": ORACLE_SEMDEDUP_SUMMARY,
     "embedding_centroid_drift": ORACLE_EMBEDDING_CENTROID_DRIFT,
     "simplified_silhouette": ORACLE_SIMPLIFIED_SILHOUETTE,
     "decision_stump_splits": ORACLE_DECISION_STUMP_SPLITS,
