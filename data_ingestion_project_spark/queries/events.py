@@ -2372,8 +2372,97 @@ FROM folded
 """
 
 
+def capture_recapture_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capture–recapture population estimate (Lincoln–Petersen and the
+    bias-corrected Chapman estimator) treating the PURCHASE event
+    stream as the first capture sample and the CLICK stream as the
+    second: from n₁ (users ever purchasing), n₂ (users ever clicking)
+    and m (users in both), estimate the total addressable user
+    population — the ecology-textbook mark-recapture method applied
+    to the coverage question every telemetry pipeline has ("how many
+    users exist beyond the ones any single event type sees?").
+
+    Exactness: Chapman = (n₁+1)(n₂+1) DIV (m+1) − 1 and
+    LP = n₁·n₂ DIV m are pure integer arithmetic; the Chapman standard
+    error is one value-determined IEEE expression over the exact
+    counts, floor-rounded at 4 dp.
+
+    Scale: one distinct-(user, flag) partial-agg shuffle; everything
+    after runs on one row."""
+    e = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    per_user = (
+        e.select("user_id", "event_type")
+        .distinct()
+        .groupBy("user_id")
+        .agg(
+            F.max(F.col("event_type") == "purchase").alias("in1"),
+            F.max(F.col("event_type") == "click").alias("in2"),
+        )
+    )
+    g = per_user.agg(
+        F.sum(F.col("in1").cast("long")).alias("n1"),
+        F.sum(F.col("in2").cast("long")).alias("n2"),
+        F.sum((F.col("in1") & F.col("in2")).cast("long")).alias("m_both"),
+    )
+    n1d, n2d, md = (
+        F.col("n1").cast("double"),
+        F.col("n2").cast("double"),
+        F.col("m_both").cast("double"),
+    )
+    se = F.sqrt(
+        (n1d + F.lit(1.0))
+        * (n2d + F.lit(1.0))
+        * (n1d - md)
+        * (n2d - md)
+        / ((md + F.lit(1.0)) * (md + F.lit(1.0)) * (md + F.lit(2.0)))
+    )
+    return g.select(
+        "n1",
+        "n2",
+        "m_both",
+        F.expr("(n1 + 1) * (n2 + 1) DIV (m_both + 1) - 1").alias("chapman_est"),
+        F.expr("n1 * n2 DIV m_both").alias("lp_est"),
+        floor_round(se, 4).alias("chapman_se"),
+    )
+
+
+ORACLE_CAPTURE_RECAPTURE_USERS = """
+WITH per_user AS (
+  SELECT user_id,
+         MAX(event_type = 'purchase') AS in1,
+         MAX(event_type = 'click') AS in2
+  FROM (SELECT DISTINCT user_id, event_type FROM events
+        WHERE event_type IN ('purchase', 'click'))
+  GROUP BY user_id
+), g AS (
+  SELECT CAST(SUM(CASE WHEN in1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN in2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         CAST(SUM(CASE WHEN in1 AND in2 THEN 1 ELSE 0 END) AS BIGINT) AS m_both
+  FROM per_user
+)
+SELECT n1, n2, m_both,
+       (n1 + 1) * (n2 + 1) // (m_both + 1) - 1 AS chapman_est,
+       n1 * n2 // m_both AS lp_est,
+       sign(sqrt((CAST(n1 AS DOUBLE) + 1.0) * (CAST(n2 AS DOUBLE) + 1.0)
+                 * (CAST(n1 AS DOUBLE) - CAST(m_both AS DOUBLE))
+                 * (CAST(n2 AS DOUBLE) - CAST(m_both AS DOUBLE))
+                 / ((CAST(m_both AS DOUBLE) + 1.0) * (CAST(m_both AS DOUBLE) + 1.0)
+                    * (CAST(m_both AS DOUBLE) + 2.0))))
+       * floor(abs(sqrt((CAST(n1 AS DOUBLE) + 1.0) * (CAST(n2 AS DOUBLE) + 1.0)
+                 * (CAST(n1 AS DOUBLE) - CAST(m_both AS DOUBLE))
+                 * (CAST(n2 AS DOUBLE) - CAST(m_both AS DOUBLE))
+                 / ((CAST(m_both AS DOUBLE) + 1.0) * (CAST(m_both AS DOUBLE) + 1.0)
+                    * (CAST(m_both AS DOUBLE) + 2.0)))) * 10000.0 + 0.5)
+         / 10000.0 AS chapman_se
+FROM g
+"""
+
+
 QUERIES = {
     "bowker_symmetry_events": bowker_symmetry_events,
+    "capture_recapture_users": capture_recapture_users,
     "markov_hitting_time_events": markov_hitting_time_events,
     "mcnemar_week_retention": mcnemar_week_retention,
     "cohort_ltv_curve": cohort_ltv_curve,
@@ -2408,6 +2497,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "capture_recapture_users": ORACLE_CAPTURE_RECAPTURE_USERS,
     "cohort_ltv_curve": ORACLE_COHORT_LTV_CURVE,
     "dau_wau_mau_stickiness": ORACLE_DAU_WAU_MAU_STICKINESS,
     "order_interarrival_stats": ORACLE_ORDER_INTERARRIVAL_STATS,

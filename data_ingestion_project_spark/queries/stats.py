@@ -5431,6 +5431,550 @@ FROM folded CROSS JOIN med2
 """
 
 
+def squared_rank_dispersion_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conover's squared-rank test for equality of VARIANCE between
+    finished ('F') and open ('O') orders' totals — the nonparametric
+    companion to bartlett_event_values (Bartlett assumes normality;
+    squared ranks only exchangeability), and the dispersion sibling of
+    the location-shift Mann–Whitney.
+
+    Exactness: cent-exact totals → doubled mid-ranks (rank2_map);
+    the score A(v) = (r2(v) − (N+1))² is an exact INTEGER per distinct
+    value (doubling clears the only .5 the definition makes, squaring
+    clears the sign), so T = Σ_{group1} A folds exactly in
+    DECIMAL(38,0) along with ΣA and ΣA² over the pooled sample; the
+    exact finite-population permutation moments
+    E[T] = n₁·ΣA/N, Var[T] = n₁n₂(N·ΣA² − (ΣA)²)/(N²(N−1)) give the
+    z-score as one value-determined IEEE combination (the subtraction
+    cancels catastrophically in VALUE at huge N but is bit-identical
+    across engines — determinism is what the gate needs; the
+    statistic is O(1)).
+
+    Scale: identical posture to mannwhitney_event_values — one
+    conditional-count pass, the two-level bucket-prefix rank map,
+    scalar arithmetic on exact integer aggregates."""
+    from data_ingestion_project_spark.operators.quantiles import rank2_map
+
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus").isin("F", "O")
+    )
+    base = o.select(
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("v"),
+        (F.col("o_orderstatus") == "F").alias("is_f"),
+    )
+    ranks = rank2_map(base, "v", bucket_width=1_000_000)
+    per = base.groupBy("v").agg(
+        F.sum(F.when(F.col("is_f"), 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("is_f"), 0).otherwise(1)).alias("c2"),
+    )
+    _d38 = "decimal(38,0)"
+    j = per.join(ranks, "v")
+    n_tot = F.sum(F.col("c1") + F.col("c2"))
+    # A(v) depends on N, which is itself an aggregate — two passes over
+    # the tiny per-value frame: first N, then the score fold.
+    counts = j.agg(
+        F.sum("c1").alias("n1"), F.sum("c2").alias("n2")
+    )
+    jj = j.crossJoin(F.broadcast(counts))
+    a_v = (
+        F.col("r2").cast(_d38)
+        - (F.col("n1") + F.col("n2") + 1).cast(_d38)
+    )
+    g = jj.agg(
+        F.first("n1").alias("n1"),
+        F.first("n2").alias("n2"),
+        F.sum(F.col("c1").cast(_d38) * a_v * a_v).alias("t4"),
+        F.sum(F.col("cnt").cast(_d38) * a_v * a_v).alias("sa"),
+        F.sum(F.col("cnt").cast(_d38) * a_v * a_v * a_v * a_v).alias("sa2"),
+    )
+    n1d, n2d = F.col("n1").cast("double"), F.col("n2").cast("double")
+    nd = n1d + n2d
+    t4d, sad, sa2d = (
+        F.col("t4").cast("double"),
+        F.col("sa").cast("double"),
+        F.col("sa2").cast("double"),
+    )
+    e4 = n1d * sad / nd
+    var4 = n1d * n2d * (nd * sa2d - sad * sad) / (nd * nd * (nd - F.lit(1.0)))
+    z = (t4d - e4) / F.sqrt(var4)
+    return g.select(
+        F.col("n1").cast("long").alias("n_finished"),
+        F.col("n2").cast("long").alias("n_open"),
+        _floor_round(t4d, 1).alias("t4_stat"),
+        _floor_round(z, 6).alias("z"),
+    )
+
+
+ORACLE_SQUARED_RANK_DISPERSION_TEST = f"""
+WITH base AS (
+  SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS v,
+         o_orderstatus = 'F' AS is_f
+  FROM orders WHERE o_orderstatus IN ('F', 'O')
+), ranks AS ({{rank2}}),
+per AS (
+  SELECT v, SUM(CASE WHEN is_f THEN 1 ELSE 0 END) AS c1,
+         SUM(CASE WHEN is_f THEN 0 ELSE 1 END) AS c2
+  FROM base GROUP BY v
+), counts AS (
+  SELECT SUM(c1) AS n1, SUM(c2) AS n2 FROM per
+), g AS (
+  SELECT MAX(n1) AS n1, MAX(n2) AS n2,
+         SUM(CAST(c1 AS HUGEINT) * (r2 - (n1 + n2 + 1)) * (r2 - (n1 + n2 + 1)))
+           AS t4,
+         SUM(CAST(ranks.c AS HUGEINT) * (r2 - (n1 + n2 + 1)) * (r2 - (n1 + n2 + 1)))
+           AS sa,
+         SUM(CAST(ranks.c AS HUGEINT) * (r2 - (n1 + n2 + 1)) * (r2 - (n1 + n2 + 1))
+             * (r2 - (n1 + n2 + 1)) * (r2 - (n1 + n2 + 1))) AS sa2
+  FROM per JOIN ranks ON ranks.v = per.v CROSS JOIN counts
+), d AS (
+  SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+         CAST(n1 AS DOUBLE) AS n1d, CAST(n2 AS DOUBLE) AS n2d,
+         CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) AS nd,
+         CAST(t4 AS DOUBLE) AS t4d, CAST(sa AS DOUBLE) AS sad,
+         CAST(sa2 AS DOUBLE) AS sa2d
+  FROM g
+), z AS (
+  SELECT n1, n2, t4d,
+         (t4d - n1d * sad / nd)
+           / sqrt(n1d * n2d * (nd * sa2d - sad * sad)
+                  / (nd * nd * (nd - 1.0))) AS zv
+  FROM d
+)
+SELECT n1 AS n_finished, n2 AS n_open,
+       sign(t4d) * floor(abs(t4d) * 10.0 + 0.5) / 10.0 AS t4_stat,
+       sign(zv) * floor(abs(zv) * 1000000.0 + 0.5) / 1000000.0 AS z
+FROM z
+""".format(rank2=_SQL_RANK2.format(v="v", src="base"))
+
+
+def jonckheere_terpstra_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jonckheere–Terpstra ordered-alternative test: do order totals
+    trend MONOTONICALLY across the priority ladder 1-URGENT → 5-LOW?
+    Strictly sharper than Kruskal–Wallis when the alternative is
+    ordered (KW spends power on arbitrary differences; JT on the
+    a-priori ordering), which is exactly the hypothesis for an ordinal
+    facet. JT = Σ_{i<j} U_ij over group pairs.
+
+    Exactness: cent-exact totals; the per-(group, value) count frame
+    is DENSIFIED to the full (distinct value × 5 groups) grid so each
+    group's below-v cumulative exists at EVERY pooled value, via the
+    repo's two-level bucket-prefix cumulative (nothing corpus-sized in
+    one task: bucket partials per group, then within-bucket windows);
+    a 5-row window per value folds the i<j group prefix. 2·JT and
+    2·E[JT] = (n² − Σnᵢ²)/... stay exact integers; the tie-corrected
+    null variance (the three-term Kendall formula with tie groups t_v)
+    folds its n³-scale sums in DECIMAL(38,0) before ONE conversion to
+    double each (cast-first rule — the r9 kruskal_wallis overflow
+    lesson), and z is floor-rounded at 6 dp.
+
+    Scale: dense grid = 5 × |distinct values| rows — value-domain ×
+    constant, not corpus-sized; the windows ride bucket-bounded
+    partitions; everything else is one partial-agg shuffle."""
+    o = table(spark, sf_dir, "orders")
+    base = o.select(
+        F.substring("o_orderpriority", 1, 1).cast("int").alias("g"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("v"),
+    )
+    cgv = base.groupBy("g", "v").agg(F.count(F.lit(1)).alias("c"))
+    dense = (
+        base.select("v")
+        .distinct()
+        .select("v", F.explode(F.sequence(F.lit(1), F.lit(5))).alias("g"))
+        .join(cgv, ["g", "v"], "left")
+        .fillna(0, subset=["c"])
+        .withColumn("b", F.expr("v DIV 1000000"))
+    )
+    bp = dense.groupBy("g", "b").agg(F.sum("c").alias("bc"))
+    wb = (
+        Window.partitionBy("g")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefix = bp.select(
+        "g", "b", F.coalesce(F.sum("bc").over(wb), F.lit(0)).alias("p")
+    )
+    wv = (
+        Window.partitionBy("g", "b")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = (
+        dense.join(prefix, ["g", "b"])
+        .withColumn(
+            "cumlt", F.col("p") + F.coalesce(F.sum("c").over(wv), F.lit(0))
+        )
+        .select("g", "v", "c", "cumlt")
+    )
+    wg = (
+        Window.partitionBy("v")
+        .orderBy("g")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    contrib = cum.select(
+        "g",
+        "v",
+        "c",
+        F.coalesce(F.sum("c").over(wg), F.lit(0)).alias("cumc"),
+        F.coalesce(F.sum("cumlt").over(wg), F.lit(0)).alias("cumq"),
+    )
+    _d38 = "decimal(38,0)"
+    jt = contrib.agg(
+        F.sum(
+            F.col("c").cast(_d38)
+            * (2 * F.col("cumq") + F.col("cumc")).cast(_d38)
+        ).alias("jt2")
+    )
+    sizes = base.groupBy("g").agg(F.count(F.lit(1)).alias("ng"))
+    szf = sizes.agg(
+        F.sum("ng").alias("n"),
+        F.sum(F.col("ng").cast(_d38) * F.col("ng").cast(_d38)).alias("sn2"),
+        F.sum(
+            F.col("ng").cast(_d38)
+            * (F.col("ng") - 1).cast(_d38)
+            * (2 * F.col("ng") + 5).cast(_d38)
+        ).alias("an"),
+        F.sum(
+            F.col("ng").cast(_d38)
+            * (F.col("ng") - 1).cast(_d38)
+            * (F.col("ng") - 2).cast(_d38)
+        ).alias("bn"),
+        F.sum(F.col("ng").cast(_d38) * (F.col("ng") - 1).cast(_d38)).alias("cn"),
+    )
+    tiesf = base.groupBy("v").agg(F.count(F.lit(1)).alias("t")).agg(
+        F.sum(
+            F.col("t").cast(_d38)
+            * (F.col("t") - 1).cast(_d38)
+            * (2 * F.col("t") + 5).cast(_d38)
+        ).alias("at"),
+        F.sum(
+            F.col("t").cast(_d38)
+            * (F.col("t") - 1).cast(_d38)
+            * (F.col("t") - 2).cast(_d38)
+        ).alias("bt"),
+        F.sum(F.col("t").cast(_d38) * (F.col("t") - 1).cast(_d38)).alias("ct"),
+    )
+    g = jt.crossJoin(F.broadcast(szf)).crossJoin(F.broadcast(tiesf))
+    nd = F.col("n").cast("double")
+    a_term = (
+        nd * (nd - F.lit(1.0)) * (F.lit(2.0) * nd + F.lit(5.0))
+        - F.col("an").cast("double")
+        - F.col("at").cast("double")
+    ) / F.lit(72.0)
+    b_term = (
+        F.col("bn").cast("double")
+        * F.col("bt").cast("double")
+        / (F.lit(36.0) * nd * (nd - F.lit(1.0)) * (nd - F.lit(2.0)))
+    )
+    c_term = (
+        F.col("cn").cast("double")
+        * F.col("ct").cast("double")
+        / (F.lit(8.0) * nd * (nd - F.lit(1.0)))
+    )
+    e2 = (nd * nd - F.col("sn2").cast("double")) / F.lit(2.0)
+    z = (F.col("jt2").cast("double") - e2) / F.sqrt(
+        F.lit(4.0) * (a_term + b_term + c_term)
+    )
+    return g.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("jt2").cast("long").alias("jt2"),
+        e2.cast("long").alias("e2"),
+        _floor_round(z, 6).alias("z"),
+    )
+
+
+ORACLE_JONCKHEERE_TERPSTRA_PRIORITY = """
+WITH base AS (
+  SELECT CAST(substr(o_orderpriority, 1, 1) AS INTEGER) AS g,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS v
+  FROM orders
+), cgv AS (
+  SELECT g, v, COUNT(*) AS c FROM base GROUP BY g, v
+), dense AS (
+  SELECT gr.g, dv.v, COALESCE(cgv.c, 0) AS c
+  FROM (SELECT DISTINCT v FROM base) dv
+  CROSS JOIN (SELECT unnest(range(1, 6)) AS g) gr
+  LEFT JOIN cgv ON cgv.g = gr.g AND cgv.v = dv.v
+), cum AS (
+  SELECT g, v, c,
+         COALESCE(SUM(c) OVER (PARTITION BY g ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumlt
+  FROM dense
+), contrib AS (
+  SELECT g, v, c,
+         COALESCE(SUM(c) OVER (PARTITION BY v ORDER BY g
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumc,
+         COALESCE(SUM(cumlt) OVER (PARTITION BY v ORDER BY g
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumq
+  FROM cum
+), jt AS (
+  SELECT SUM(CAST(c AS HUGEINT) * (2 * cumq + cumc)) AS jt2 FROM contrib
+), szf AS (
+  SELECT SUM(ng) AS n,
+         SUM(CAST(ng AS HUGEINT) * ng) AS sn2,
+         SUM(CAST(ng AS HUGEINT) * (ng - 1) * (2 * ng + 5)) AS an,
+         SUM(CAST(ng AS HUGEINT) * (ng - 1) * (ng - 2)) AS bn,
+         SUM(CAST(ng AS HUGEINT) * (ng - 1)) AS cn
+  FROM (SELECT g, COUNT(*) AS ng FROM base GROUP BY g)
+), tiesf AS (
+  SELECT SUM(CAST(t AS HUGEINT) * (t - 1) * (2 * t + 5)) AS at,
+         SUM(CAST(t AS HUGEINT) * (t - 1) * (t - 2)) AS bt,
+         SUM(CAST(t AS HUGEINT) * (t - 1)) AS ct
+  FROM (SELECT v, COUNT(*) AS t FROM base GROUP BY v)
+), d AS (
+  SELECT CAST(n AS DOUBLE) AS nd, CAST(jt2 AS DOUBLE) AS jt2d,
+         CAST(sn2 AS DOUBLE) AS sn2d, CAST(an AS DOUBLE) AS an,
+         CAST(at AS DOUBLE) AS at, CAST(bn AS DOUBLE) AS bn,
+         CAST(bt AS DOUBLE) AS bt, CAST(cn AS DOUBLE) AS cn,
+         CAST(ct AS DOUBLE) AS ct,
+         CAST(n AS BIGINT) AS n, CAST(jt2 AS BIGINT) AS jt2
+  FROM jt CROSS JOIN szf CROSS JOIN tiesf
+), z AS (
+  SELECT n, jt2, (nd * nd - sn2d) / 2.0 AS e2d,
+         (jt2d - (nd * nd - sn2d) / 2.0)
+           / sqrt(4.0 * ((nd * (nd - 1.0) * (2.0 * nd + 5.0) - an - at) / 72.0
+                         + bn * bt / (36.0 * nd * (nd - 1.0) * (nd - 2.0))
+                         + cn * ct / (8.0 * nd * (nd - 1.0)))) AS zv
+  FROM d
+)
+SELECT n, jt2, CAST(trunc(e2d) AS BIGINT) AS e2,
+       sign(zv) * floor(abs(zv) * 1000000.0 + 0.5) / 1000000.0 AS z
+FROM z
+"""
+
+
+def ordinal_association_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordinal-x-ordinal association panel between order PRIORITY
+    (the 1..5 ordinal encoded in o_orderpriority's first digit) and
+    order PRICE BAND (100k-wide o_totalprice bands, 0..4): Goodman–
+    Kruskal gamma, both Somers' D directions, Kendall's tau-b, and
+    Stuart's tau-c — the full family a single concordant/discordant
+    census supports (gamma ignores ties, Somers' D penalizes one
+    margin, tau-b both, tau-c corrects for a non-square table).
+
+    Exactness: ONE groupBy to the ≤25-cell contingency; concordant/
+    discordant DOUBLED pair counts come from the broadcast 25x25 cell
+    self-join folded in DECIMAL(38,0) (cast-first rule — products are
+    O(n²)); tie terms from the marginals, also doubled to stay
+    integer. Every statistic is then one value-determined IEEE
+    combination of exact integers, floor-rounded at 6 dp (sqrt only
+    on exact products — cross-engine-safe).
+
+    Scale: the corpus collapses to K·L cells in one partial-agg
+    shuffle; all pair algebra runs on the 25-row broadcast frame —
+    corpus-size-independent beyond the single scan."""
+    o = table(spark, sf_dir, "orders")
+    base = o.select(
+        F.substring("o_orderpriority", 1, 1).cast("int").alias("x"),
+        F.least(
+            F.floor(F.col("o_totalprice") / F.lit(100000.0)), F.lit(4)
+        ).cast("int").alias("y"),
+    )
+    cells = base.groupBy("x", "y").agg(F.count(F.lit(1)).alias("nc"))
+    _d38 = "decimal(38,0)"
+    a, b = cells.alias("a"), cells.alias("b")
+    prod = F.col("a.nc").cast(_d38) * F.col("b.nc").cast(_d38)
+    pairs = a.crossJoin(F.broadcast(b)).agg(
+        F.sum(
+            F.when(
+                (F.col("b.x") > F.col("a.x")) & (F.col("b.y") > F.col("a.y")), prod
+            ).otherwise(F.lit(0).cast(_d38))
+        ).alias("c_pairs"),
+        F.sum(
+            F.when(
+                (F.col("b.x") > F.col("a.x")) & (F.col("b.y") < F.col("a.y")), prod
+            ).otherwise(F.lit(0).cast(_d38))
+        ).alias("d_pairs"),
+    )
+    margins = cells.agg(
+        F.sum("nc").alias("n"),
+        F.count_distinct("x").alias("kx"),
+        F.count_distinct("y").alias("ky"),
+    )
+    tx = (
+        cells.groupBy("x")
+        .agg(F.sum("nc").alias("nx"))
+        .agg(
+            F.sum(F.col("nx").cast(_d38) * (F.col("nx") - 1).cast(_d38)).alias("tx2")
+        )
+    )
+    ty = (
+        cells.groupBy("y")
+        .agg(F.sum("nc").alias("ny"))
+        .agg(
+            F.sum(F.col("ny").cast(_d38) * (F.col("ny") - 1).cast(_d38)).alias("ty2")
+        )
+    )
+    g = (
+        pairs.crossJoin(F.broadcast(margins))
+        .crossJoin(F.broadcast(tx))
+        .crossJoin(F.broadcast(ty))
+    )
+    nd = F.col("n").cast("double")
+    cd = F.col("c_pairs").cast("double") - F.col("d_pairs").cast("double")
+    n0_2 = nd * (nd - F.lit(1.0))
+    dx = n0_2 - F.col("tx2").cast("double")
+    dy = n0_2 - F.col("ty2").cast("double")
+    m = F.least("kx", "ky").cast("double")
+    return g.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("c_pairs").cast("long").alias("c_pairs"),
+        F.col("d_pairs").cast("long").alias("d_pairs"),
+        _floor_round(
+            cd / (F.col("c_pairs").cast("double") + F.col("d_pairs").cast("double")), 6
+        ).alias("gamma"),
+        _floor_round(F.lit(2.0) * cd / dx, 6).alias("somers_dyx"),
+        _floor_round(F.lit(2.0) * cd / dy, 6).alias("somers_dxy"),
+        _floor_round(F.lit(2.0) * cd / F.sqrt(dx * dy), 6).alias("tau_b"),
+        _floor_round(
+            F.lit(2.0) * m * cd / (nd * nd * (m - F.lit(1.0))), 6
+        ).alias("tau_c"),
+    )
+
+
+ORACLE_ORDINAL_ASSOCIATION_PANEL = """
+WITH base AS (
+  SELECT CAST(substr(o_orderpriority, 1, 1) AS INTEGER) AS x,
+         CAST(least(floor(o_totalprice / 100000.0), 4) AS INTEGER) AS y
+  FROM orders
+), cells AS (
+  SELECT x, y, COUNT(*) AS nc FROM base GROUP BY x, y
+), pairs AS (
+  SELECT SUM(CASE WHEN b.x > a.x AND b.y > a.y
+                  THEN CAST(a.nc AS HUGEINT) * b.nc ELSE 0 END) AS c_pairs,
+         SUM(CASE WHEN b.x > a.x AND b.y < a.y
+                  THEN CAST(a.nc AS HUGEINT) * b.nc ELSE 0 END) AS d_pairs
+  FROM cells a CROSS JOIN cells b
+), margins AS (
+  SELECT SUM(nc) AS n, COUNT(DISTINCT x) AS kx, COUNT(DISTINCT y) AS ky
+  FROM cells
+), tx AS (
+  SELECT SUM(CAST(nx AS HUGEINT) * (nx - 1)) AS tx2
+  FROM (SELECT SUM(nc) AS nx FROM cells GROUP BY x)
+), ty AS (
+  SELECT SUM(CAST(ny AS HUGEINT) * (ny - 1)) AS ty2
+  FROM (SELECT SUM(nc) AS ny FROM cells GROUP BY y)
+), g AS (
+  SELECT CAST(n AS DOUBLE) AS nd,
+         CAST(c_pairs AS DOUBLE) - CAST(d_pairs AS DOUBLE) AS cd,
+         CAST(c_pairs AS DOUBLE) + CAST(d_pairs AS DOUBLE) AS cpd,
+         CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)
+           - CAST(tx2 AS DOUBLE) AS dx,
+         CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)
+           - CAST(ty2 AS DOUBLE) AS dy,
+         CAST(least(kx, ky) AS DOUBLE) AS m,
+         CAST(n AS BIGINT) AS n,
+         CAST(c_pairs AS BIGINT) AS c_pairs,
+         CAST(d_pairs AS BIGINT) AS d_pairs
+  FROM pairs CROSS JOIN margins CROSS JOIN tx CROSS JOIN ty
+)
+SELECT n, c_pairs, d_pairs,
+       sign(cd / cpd) * floor(abs(cd / cpd) * 1000000.0 + 0.5) / 1000000.0 AS gamma,
+       sign(2.0 * cd / dx) * floor(abs(2.0 * cd / dx) * 1000000.0 + 0.5)
+         / 1000000.0 AS somers_dyx,
+       sign(2.0 * cd / dy) * floor(abs(2.0 * cd / dy) * 1000000.0 + 0.5)
+         / 1000000.0 AS somers_dxy,
+       sign(2.0 * cd / sqrt(dx * dy))
+         * floor(abs(2.0 * cd / sqrt(dx * dy)) * 1000000.0 + 0.5)
+         / 1000000.0 AS tau_b,
+       sign(2.0 * m * cd / (nd * nd * (m - 1.0)))
+         * floor(abs(2.0 * m * cd / (nd * nd * (m - 1.0))) * 1000000.0 + 0.5)
+         / 1000000.0 AS tau_c
+FROM g
+"""
+
+
+def cliffs_delta_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cliff's delta and Vargha–Delaney A between BUILDING and
+    MACHINERY customers' account balances — the nonparametric EFFECT
+    SIZES that belong next to the Mann–Whitney test statistic
+    (mannwhitney_event_values answers "is there a shift?"; these
+    answer "how big is it?" on the probability-of-superiority scale),
+    plus the conventional magnitude label (Romano et al. thresholds
+    .147/.33/.474), applied to the QUANTIZED delta so both engines
+    classify identical values.
+
+    Exactness: cent-exact balances → the doubled-mid-rank map
+    (rank2_map, two-level bucket prefix — nothing corpus-sized in one
+    task), 2U₁ as an exact DECIMAL fold; delta = 2U₁/(n₁n₂) − 1 and
+    A = U₁/(n₁n₂) are single value-determined IEEE expressions."""
+    from data_ingestion_project_spark.operators.quantiles import rank2_map
+
+    c = table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+    )
+    base = c.select(
+        F.round(F.col("c_acctbal") * 100, 0).cast("long").alias("v"),
+        (F.col("c_mktsegment") == "BUILDING").alias("is_b"),
+    )
+    ranks = rank2_map(base, "v", bucket_width=100_000)
+    per = base.groupBy("v").agg(
+        F.sum(F.when(F.col("is_b"), 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("is_b"), 0).otherwise(1)).alias("c2"),
+    )
+    _d38 = "decimal(38,0)"
+    g = per.join(ranks, "v").agg(
+        F.sum("c1").alias("n1"),
+        F.sum("c2").alias("n2"),
+        F.sum(F.col("c1").cast(_d38) * F.col("r2").cast(_d38)).alias("r1x2"),
+    )
+    n1, n2 = F.col("n1").cast("double"), F.col("n2").cast("double")
+    u2 = F.col("r1x2").cast("double") - n1 * (n1 + F.lit(1.0))  # = 2*U1
+    delta_q = _floor_round(u2 / (n1 * n2) - F.lit(1.0), 6)
+    return g.select(
+        F.col("n1").cast("long").alias("n_building"),
+        F.col("n2").cast("long").alias("n_machinery"),
+        _floor_round(u2 / F.lit(2.0), 1).alias("u1"),
+        delta_q.alias("cliffs_delta"),
+        _floor_round(u2 / (F.lit(2.0) * n1 * n2), 6).alias("vda_a"),
+        F.when(F.abs(delta_q) < 0.147, F.lit("negligible"))
+        .when(F.abs(delta_q) < 0.33, F.lit("small"))
+        .when(F.abs(delta_q) < 0.474, F.lit("medium"))
+        .otherwise(F.lit("large"))
+        .alias("magnitude"),
+    )
+
+
+ORACLE_CLIFFS_DELTA_SEGMENTS = f"""
+WITH base AS (
+  SELECT CAST(round(c_acctbal * 100, 0) AS BIGINT) AS v,
+         c_mktsegment = 'BUILDING' AS is_b
+  FROM customer WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+), ranks AS ({{rank2}}),
+per AS (
+  SELECT v, SUM(CASE WHEN is_b THEN 1 ELSE 0 END) AS c1,
+         SUM(CASE WHEN is_b THEN 0 ELSE 1 END) AS c2
+  FROM base GROUP BY v
+), g AS (
+  SELECT SUM(c1) AS n1, SUM(c2) AS n2,
+         SUM(CAST(c1 AS HUGEINT) * r2) AS r1x2
+  FROM per JOIN ranks ON ranks.v = per.v
+), d AS (
+  SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+         CAST(n1 AS DOUBLE) AS n1d, CAST(n2 AS DOUBLE) AS n2d,
+         CAST(r1x2 AS DOUBLE)
+           - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1.0) AS u2
+  FROM g
+), q AS (
+  SELECT n1, n2, n1d, n2d, u2,
+         sign(u2 / (n1d * n2d) - 1.0)
+           * floor(abs(u2 / (n1d * n2d) - 1.0) * 1000000.0 + 0.5)
+           / 1000000.0 AS delta_q
+  FROM d
+)
+SELECT n1 AS n_building, n2 AS n_machinery,
+       sign(u2 / 2.0) * floor(abs(u2 / 2.0) * 10.0 + 0.5) / 10.0 AS u1,
+       delta_q AS cliffs_delta,
+       sign(u2 / (2.0 * n1d * n2d))
+         * floor(abs(u2 / (2.0 * n1d * n2d)) * 1000000.0 + 0.5)
+         / 1000000.0 AS vda_a,
+       CASE WHEN abs(delta_q) < 0.147 THEN 'negligible'
+            WHEN abs(delta_q) < 0.33 THEN 'small'
+            WHEN abs(delta_q) < 0.474 THEN 'medium'
+            ELSE 'large' END AS magnitude
+FROM q
+""".format(rank2=_SQL_RANK2.format(v="v", src="base"))
+
+
 QUERIES = {
     "bartlett_event_values": bartlett_event_values,
     "mood_median_test": mood_median_test,
@@ -5478,6 +6022,10 @@ QUERIES = {
     "forecast_backtest": forecast_backtest,
     "ols_multivariate": ols_multivariate,
     "cmh_stratified_test": cmh_stratified_test,
+    "ordinal_association_panel": ordinal_association_panel,
+    "cliffs_delta_segments": cliffs_delta_segments,
+    "squared_rank_dispersion_test": squared_rank_dispersion_test,
+    "jonckheere_terpstra_priority": jonckheere_terpstra_priority,
 }
 
 ORACLE = {
@@ -5526,4 +6074,8 @@ ORACLE = {
     "forecast_backtest": ORACLE_FORECAST_BACKTEST,
     "ols_multivariate": ORACLE_OLS_MULTIVARIATE,
     "cmh_stratified_test": ORACLE_CMH_STRATIFIED_TEST,
+    "ordinal_association_panel": ORACLE_ORDINAL_ASSOCIATION_PANEL,
+    "cliffs_delta_segments": ORACLE_CLIFFS_DELTA_SEGMENTS,
+    "squared_rank_dispersion_test": ORACLE_SQUARED_RANK_DISPERSION_TEST,
+    "jonckheere_terpstra_priority": ORACLE_JONCKHEERE_TERPSTRA_PRIORITY,
 }

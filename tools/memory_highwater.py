@@ -23,9 +23,19 @@ family:
   executor.
 
 Usage: python tools/memory_highwater.py [out_json] [family ...]
-Defaults: MEMORY_HIGHWATER.json, the 19 sf10-heavy families.
+Defaults: MEMORY_HIGHWATER.json, ALL scaling_sweep.HEAVY families.
 Runs with whatever SPARK_GRAFT_DRIVER_MEM the caller sets (the record
 should state it; 48g matches the committed SCALING.json protocol).
+
+r10: each family is measured at TWO decades (env
+SPARK_GRAFT_MEMHW_SFS, default "sf1,sf10" under scratch/) and the
+record carries a per-family MEMORY-vs-rows slope beta =
+log(peak_ratio) / log(rows_ratio) for both the stage execution peak
+(the cluster-executor-relevant number) and the whole-JVM high-water
+(which includes a multi-GB constant heap baseline, so its beta
+understates growth for small peaks — read it together with the
+absolute value). ``seconds`` here is informational only (sweeps may
+run on a contended machine); SCALING.json is the timing record.
 """
 
 from __future__ import annotations
@@ -36,28 +46,6 @@ import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-
-FAMILIES = (
-    "minhash_near_dups",
-    "simhash_near_dups",
-    "winnow_overlap_top",
-    "substring_dup_stats",
-    "exact_substring_census",
-    "longest_repeat_extract",
-    "cms_word_freq",
-    "nb_lang_confusion",
-    "quantile_sketch_rollup",
-    "entity_golden_records",
-    "bm25_topk_indexed",
-    "pricing_summary",
-    "hourly_event_stats",
-    "user_sessions",
-    "dedup_funnel",
-    "kaplan_meier_retention",
-    "theil_sen_revenue_trend",
-    "rfm_segments",
-    "jpeg_decode_stats",
-)
 
 _CHILD = r"""
 import json, os, sys, time, urllib.request
@@ -139,36 +127,108 @@ print("MEMHW " + json.dumps({{
 """
 
 
+def _measure_one(name: str, sf_dir: str) -> dict:
+    code = _CHILD.format(repo=REPO, name=name, sf_dir=sf_dir)
+    proc = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True
+    )
+    for line in proc.stdout.splitlines():
+        if line.startswith("MEMHW "):
+            return json.loads(line[6:])
+    return {"family": name, "error": (proc.stderr or "")[-500:]}
+
+
 def main() -> None:
+    import math
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, REPO)
+    from scaling_sweep import HEAVY
+
     args = sys.argv[1:]
     out_path = args[0] if args else os.path.join(REPO, "MEMORY_HIGHWATER.json")
-    families = tuple(args[1:]) or FAMILIES
-    sf_dir = os.environ.get(
-        "SPARK_GRAFT_SF_DIR", os.path.join(REPO, "scratch", "sf10")
-    )
-    records = {}
-    for name in families:
-        code = _CHILD.format(repo=REPO, name=name, sf_dir=sf_dir)
-        proc = subprocess.run(
-            [sys.executable, "-c", code], capture_output=True, text=True
-        )
-        rec = None
-        for line in proc.stdout.splitlines():
-            if line.startswith("MEMHW "):
-                rec = json.loads(line[6:])
-        if rec is None:
-            rec = {"family": name, "error": (proc.stderr or "")[-500:]}
-        records[name] = rec
-        print(f"# {name}: {json.dumps(rec)}", file=sys.stderr, flush=True)
+    families = tuple(args[1:]) or tuple(sorted(HEAVY))
+    sf_labels = os.environ.get("SPARK_GRAFT_MEMHW_SFS", "sf1,sf10").split(",")
+    sf_dirs = {lbl: os.path.join(REPO, "scratch", lbl) for lbl in sf_labels}
+    with open(os.path.join(REPO, "SCALING.json")) as f:
+        scaling_rows = json.load(f)["rows"]
 
-    record = {
-        "sf_dir": sf_dir,
-        "driver_mem": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
-        "families": records,
-    }
-    with open(out_path, "w") as f:
-        json.dump(record, f, indent=1, sort_keys=True)
-        f.write("\n")
+    # resume support: a killed sweep keeps everything already written
+    records: dict = {}
+    if os.path.exists(out_path):
+        try:
+            with open(out_path) as f:
+                prior = json.load(f)
+            if prior.get("sf_labels") == sf_labels:
+                records = prior.get("families", {})
+        except (json.JSONDecodeError, KeyError):
+            pass
+
+    def _flush() -> None:
+        with open(out_path, "w") as f:
+            json.dump(
+                {
+                    "sf_labels": sf_labels,
+                    "sf_dirs": sf_dirs,
+                    "driver_mem": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+                    "families": records,
+                },
+                f,
+                indent=1,
+                sort_keys=True,
+            )
+            f.write("\n")
+
+    def _refit(name: str) -> None:
+        fam = records[name]
+        per_sf = fam["per_sf"]
+        a, b = sf_labels[0], sf_labels[-1]
+        drv = HEAVY.get(name)
+        if (
+            drv
+            and a in per_sf
+            and b in per_sf
+            and "error" not in per_sf[a]
+            and "error" not in per_sf[b]
+        ):
+            rr = scaling_rows[b][drv] / scaling_rows[a][drv]
+            fam["rows_ratio"] = round(rr, 3)
+            for key, beta_key in (
+                ("max_stage_peak_exec_gb", "beta_stage"),
+                ("jvm_peak_gb", "beta_jvm"),
+            ):
+                pa, pb = per_sf[a].get(key), per_sf[b].get(key)
+                if pa and pb and pa > 0 and rr > 1:
+                    fam[beta_key] = round(math.log(pb / pa) / math.log(rr), 3)
+
+    # VmHWM isolation is per-PROCESS, so a small pool of concurrent
+    # child processes keeps peaks valid; only the informational
+    # ``seconds`` field gets contended.
+    from concurrent.futures import ThreadPoolExecutor
+    from threading import Lock
+
+    par = int(os.environ.get("SPARK_GRAFT_MEMHW_PAR", "2"))
+    lock = Lock()
+    todo = []
+    for name in families:
+        records.setdefault(name, {"per_sf": {}, "driver_table": HEAVY.get(name)})
+        records[name].setdefault("per_sf", {})
+        for lbl in sf_labels:
+            got = records[name]["per_sf"].get(lbl)
+            if not got or "error" in got:
+                todo.append((name, lbl))
+
+    def _run(task) -> None:
+        name, lbl = task
+        rec = _measure_one(name, sf_dirs[lbl])
+        with lock:
+            records[name]["per_sf"][lbl] = rec
+            _refit(name)
+            _flush()
+        print(f"# {lbl} {name}: {json.dumps(rec)}", file=sys.stderr, flush=True)
+
+    with ThreadPoolExecutor(max_workers=par) as pool:
+        list(pool.map(_run, todo))
     print(json.dumps({"written": out_path, "n": len(records)}))
 
 
