@@ -5431,6 +5431,390 @@ FROM folded CROSS JOIN med2
 """
 
 
+def revenue_randomness_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three classical randomness tests on the daily-revenue series in
+    one panel — the i.i.d.-ness audit that complements the median-runs
+    test (runs_test_revenue) with tests sensitive to different
+    departures: TURNING POINTS (too few = sticky regimes, too many =
+    oscillation), DIFFERENCE SIGN (counts rises — catches monotone
+    drift), and COX–STUART (sign test of each day against its
+    half-series partner — catches location shift between the halves).
+
+    Conventions (documented, mirrored in the oracle): strict
+    inequalities everywhere; equal neighbors never count as a turning
+    point or a rise; Cox–Stuart drops tied pairs and pairs day i with
+    day i + ceil(n/2), dropping the middle day of an odd series.
+
+    Exactness: the statistics are integer counts off the cent-exact
+    calendar-bounded daily frame; E and Var are rational in n
+    (turning: E = 2(n−2)/3, Var = (16n−29)/90; diff-sign:
+    E = (n−1)/2, Var = (n+1)/12; Cox–Stuart: z = (2S⁺−k)/√k), so each
+    z is one mirrored IEEE expression, floor-rounded at 6 dp.
+
+    Plan: ONE orders shuffle to the ~2.4k-row daily frame; lag/lead
+    windows and the half-offset self-join run on that calendar-bounded
+    frame (sanctioned — the runs_test_revenue posture)."""
+    o = table(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(F.sum((F.col("o_totalprice") * 100).cast("long")).alias("cents"))
+        .localCheckpoint(eager=True)
+    )
+    wl = Window.orderBy("d")
+    lagged = daily.select(
+        "d",
+        "cents",
+        F.lag("cents").over(wl).alias("prev"),
+        F.lead("cents").over(wl).alias("next"),
+        F.row_number().over(wl).alias("rn"),
+    ).localCheckpoint(eager=True)
+    nn = lagged.agg(F.count(F.lit(1)).alias("n"))
+
+    tp = lagged.agg(
+        F.sum(
+            F.when(
+                (
+                    (F.col("cents") > F.col("prev"))
+                    & (F.col("cents") > F.col("next"))
+                )
+                | (
+                    (F.col("cents") < F.col("prev"))
+                    & (F.col("cents") < F.col("next"))
+                ),
+                1,
+            ).otherwise(0)
+        ).alias("stat")
+    ).crossJoin(F.broadcast(nn))
+    nd = F.col("n").cast("double")
+    sd = F.col("stat").cast("double")
+    turning = tp.select(
+        F.lit("turning_points").alias("test"),
+        F.col("n").cast("long").alias("n_obs"),
+        F.col("stat").cast("long").alias("stat"),
+        _floor_round(
+            (sd - F.lit(2.0) * (nd - F.lit(2.0)) / F.lit(3.0))
+            / F.sqrt((F.lit(16.0) * nd - F.lit(29.0)) / F.lit(90.0)),
+            6,
+        ).alias("z"),
+    )
+    ds = lagged.agg(
+        F.sum(F.when(F.col("cents") > F.col("prev"), 1).otherwise(0)).alias("stat")
+    ).crossJoin(F.broadcast(nn))
+    diffsign = ds.select(
+        F.lit("difference_sign").alias("test"),
+        F.col("n").cast("long").alias("n_obs"),
+        F.col("stat").cast("long").alias("stat"),
+        _floor_round(
+            (sd - (nd - F.lit(1.0)) / F.lit(2.0))
+            / F.sqrt((nd + F.lit(1.0)) / F.lit(12.0)),
+            6,
+        ).alias("z"),
+    )
+    half = lagged.crossJoin(F.broadcast(nn)).select(
+        "rn", "cents", (F.col("n") - F.expr("n DIV 2")).alias("off"), "n"
+    )
+    a, b = half.alias("a"), half.alias("b")
+    cs = (
+        a.join(
+            b,
+            (F.col("b.rn") == F.col("a.rn") + F.col("a.off"))
+            & (F.col("a.rn") <= F.expr("a.n DIV 2")),
+        )
+        .agg(
+            F.sum(
+                F.when(F.col("b.cents") > F.col("a.cents"), 1).otherwise(0)
+            ).alias("s_plus"),
+            F.sum(
+                F.when(F.col("b.cents") != F.col("a.cents"), 1).otherwise(0)
+            ).alias("k"),
+        )
+        .crossJoin(F.broadcast(nn))
+    )
+    coxstuart = cs.select(
+        F.lit("cox_stuart").alias("test"),
+        F.col("n").cast("long").alias("n_obs"),
+        F.col("s_plus").cast("long").alias("stat"),
+        _floor_round(
+            (
+                F.lit(2.0) * F.col("s_plus").cast("double")
+                - F.col("k").cast("double")
+            )
+            / F.sqrt(F.col("k").cast("double")),
+            6,
+        ).alias("z"),
+    )
+    return turning.unionByName(diffsign).unionByName(coxstuart).orderBy("test")
+
+
+ORACLE_REVENUE_RANDOMNESS_PANEL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         SUM(CAST(trunc(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1
+), lagged AS (
+  SELECT d, cents,
+         LAG(cents) OVER (ORDER BY d) AS prev,
+         LEAD(cents) OVER (ORDER BY d) AS next,
+         ROW_NUMBER() OVER (ORDER BY d) AS rn
+  FROM daily
+), nn AS (SELECT COUNT(*) AS n FROM lagged),
+tp AS (
+  SELECT SUM(CASE WHEN (cents > prev AND cents > next)
+                    OR (cents < prev AND cents < next) THEN 1 ELSE 0 END) AS stat
+  FROM lagged
+), ds AS (
+  SELECT SUM(CASE WHEN cents > prev THEN 1 ELSE 0 END) AS stat FROM lagged
+), cs AS (
+  SELECT SUM(CASE WHEN b.cents > a.cents THEN 1 ELSE 0 END) AS s_plus,
+         SUM(CASE WHEN b.cents <> a.cents THEN 1 ELSE 0 END) AS k
+  FROM (SELECT rn, cents FROM lagged) a
+  JOIN nn ON TRUE
+  JOIN (SELECT rn, cents FROM lagged) b
+    ON b.rn = a.rn + (nn.n - nn.n // 2)
+  WHERE a.rn <= nn.n // 2
+)
+SELECT * FROM (
+  SELECT 'turning_points' AS test,
+         CAST(n AS BIGINT) AS n_obs, CAST(stat AS BIGINT) AS stat,
+         sign((CAST(stat AS DOUBLE) - 2.0 * (CAST(n AS DOUBLE) - 2.0) / 3.0)
+              / sqrt((16.0 * CAST(n AS DOUBLE) - 29.0) / 90.0))
+         * floor(abs((CAST(stat AS DOUBLE) - 2.0 * (CAST(n AS DOUBLE) - 2.0) / 3.0)
+              / sqrt((16.0 * CAST(n AS DOUBLE) - 29.0) / 90.0)) * 1000000.0 + 0.5)
+           / 1000000.0 AS z
+  FROM tp CROSS JOIN nn
+  UNION ALL
+  SELECT 'difference_sign',
+         CAST(n AS BIGINT), CAST(stat AS BIGINT),
+         sign((CAST(stat AS DOUBLE) - (CAST(n AS DOUBLE) - 1.0) / 2.0)
+              / sqrt((CAST(n AS DOUBLE) + 1.0) / 12.0))
+         * floor(abs((CAST(stat AS DOUBLE) - (CAST(n AS DOUBLE) - 1.0) / 2.0)
+              / sqrt((CAST(n AS DOUBLE) + 1.0) / 12.0)) * 1000000.0 + 0.5)
+           / 1000000.0
+  FROM ds CROSS JOIN nn
+  UNION ALL
+  SELECT 'cox_stuart',
+         CAST(n AS BIGINT), CAST(s_plus AS BIGINT),
+         sign((2.0 * CAST(s_plus AS DOUBLE) - CAST(k AS DOUBLE))
+              / sqrt(CAST(k AS DOUBLE)))
+         * floor(abs((2.0 * CAST(s_plus AS DOUBLE) - CAST(k AS DOUBLE))
+              / sqrt(CAST(k AS DOUBLE))) * 1000000.0 + 0.5) / 1000000.0
+  FROM cs CROSS JOIN nn
+)
+ORDER BY test
+"""
+
+
+def bartels_rank_vonneumann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bartels' rank version of the von Neumann ratio — the rank-based
+    serial-independence test on daily revenue: RVN = Σ(Rᵢ−Rᵢ₊₁)² /
+    Σ(Rᵢ−R̄)². Near 2 for i.i.d. data, < 2 under positive
+    autocorrelation (neighbor ranks too close), > 2 under alternation;
+    the rank transform makes it immune to the heavy tails that distort
+    the plain von Neumann ratio on revenue.
+
+    Exactness: DOUBLED mid-ranks (rank2_map) make both sums exact
+    integers (mean of doubled ranks is exactly n+1, so the
+    denominator needs no division), RVN is one exact-integer ratio,
+    and z = (RVN − 2)/√(4(n−2)(5n²−2n−9)/(5n(n+1)(n−1)²)) is a
+    mirrored IEEE expression (no-ties null variance — daily revenue
+    cents are effectively tie-free; the convention is documented and
+    identically replayed).
+
+    Plan: daily frame (calendar-bounded) → per-value rank map join →
+    one lag window over ≤ a few thousand rows (sanctioned)."""
+    from data_ingestion_project_spark.operators.quantiles import rank2_map
+
+    o = table(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(F.sum((F.col("o_totalprice") * 100).cast("long")).alias("cents"))
+        .localCheckpoint(eager=True)
+    )
+    ranks = rank2_map(daily, "cents", bucket_width=10_000_000_000)
+    ranked = daily.join(ranks.select(F.col("cents"), "r2"), "cents")
+    wl = Window.orderBy("d")
+    lagged = ranked.select(
+        "d", "r2", F.lead("r2").over(wl).alias("r2_next")
+    )
+    _d38 = "decimal(38,0)"
+    nn = lagged.agg(F.count(F.lit(1)).alias("n"))
+    g = lagged.crossJoin(F.broadcast(nn)).agg(
+        F.first("n").alias("n"),
+        F.sum(
+            (
+                (F.col("r2") - F.col("r2_next")).cast(_d38)
+                * (F.col("r2") - F.col("r2_next")).cast(_d38)
+            )
+        ).alias("num4"),
+        F.sum(
+            (F.col("r2") - (F.col("n") + 1)).cast(_d38)
+            * (F.col("r2") - (F.col("n") + 1)).cast(_d38)
+        ).alias("den4"),
+    )
+    nd = F.col("n").cast("double")
+    rvn = F.col("num4").cast("double") / F.col("den4").cast("double")
+    var = (
+        F.lit(4.0)
+        * (nd - F.lit(2.0))
+        * (F.lit(5.0) * nd * nd - F.lit(2.0) * nd - F.lit(9.0))
+        / (
+            F.lit(5.0)
+            * nd
+            * (nd + F.lit(1.0))
+            * (nd - F.lit(1.0))
+            * (nd - F.lit(1.0))
+        )
+    )
+    return g.select(
+        F.col("n").cast("long").alias("n_days"),
+        _floor_round(rvn, 6).alias("rvn"),
+        _floor_round((rvn - F.lit(2.0)) / F.sqrt(var), 6).alias("z"),
+    )
+
+
+ORACLE_BARTELS_RANK_VONNEUMANN = f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         SUM(CAST(trunc(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1
+), ranks AS ({{rank2}}),
+ranked AS (
+  SELECT d, r2 FROM daily JOIN ranks ON ranks.v = daily.cents
+), lagged AS (
+  SELECT d, r2, LEAD(r2) OVER (ORDER BY d) AS r2_next FROM ranked
+), nn AS (SELECT COUNT(*) AS n FROM lagged),
+g AS (
+  SELECT MAX(n) AS n,
+         SUM(CAST(r2 - r2_next AS HUGEINT) * (r2 - r2_next)) AS num4,
+         SUM(CAST(r2 - (n + 1) AS HUGEINT) * (r2 - (n + 1))) AS den4
+  FROM lagged CROSS JOIN nn
+), d AS (
+  SELECT CAST(n AS BIGINT) AS n, CAST(n AS DOUBLE) AS nd,
+         CAST(num4 AS DOUBLE) / CAST(den4 AS DOUBLE) AS rvn
+  FROM g
+)
+SELECT n AS n_days,
+       sign(rvn) * floor(abs(rvn) * 1000000.0 + 0.5) / 1000000.0 AS rvn,
+       sign((rvn - 2.0) / sqrt(4.0 * (nd - 2.0) * (5.0 * nd * nd - 2.0 * nd - 9.0)
+              / (5.0 * nd * (nd + 1.0) * (nd - 1.0) * (nd - 1.0))))
+       * floor(abs((rvn - 2.0) / sqrt(4.0 * (nd - 2.0) * (5.0 * nd * nd - 2.0 * nd - 9.0)
+              / (5.0 * nd * (nd + 1.0) * (nd - 1.0) * (nd - 1.0)))) * 1000000.0 + 0.5)
+         / 1000000.0 AS z
+FROM d
+""".format(rank2=_SQL_RANK2.format(v="cents", src="daily"))
+
+
+def durbin_watson_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin–Watson statistic on the residuals of daily revenue
+    regressed on time — THE textbook serial-correlation diagnostic for
+    a fitted trend (residual_autocorr reports lag-1 r on raw revenue;
+    DW prices the autocorrelation left AFTER the linear trend the
+    forecasting family fits). DW ≈ 2(1−ρ̂): 2 = independent, → 0 =
+    positive serial correlation, → 4 = alternation.
+
+    Exactness: with slope b = Sxy_c/Sxx_c, the residual first
+    difference is (yᵢ−yᵢ₋₁) − b, so DW needs only the exact integer
+    moments (Σy, Σy², Σty, Σt, Σt², Σdy, Σdy², all folded in
+    DECIMAL(38,0) off the cent-exact calendar-bounded daily frame)
+    combined in ONE mirrored IEEE expression; DW and ρ̂ floor-round at
+    6 dp (O(1) ratios — the residual_autocorr posture).
+
+    Plan: one orders shuffle to the daily frame; a lag window over
+    ≤ a few thousand rows (sanctioned); scalar arithmetic."""
+    o = table(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(F.sum((F.col("o_totalprice") * 100).cast("long")).alias("cents"))
+        .localCheckpoint(eager=True)
+    )
+    wl = Window.orderBy("d")
+    lagged = daily.select(
+        "cents",
+        F.row_number().over(wl).alias("t"),
+        (F.col("cents") - F.lag("cents").over(wl)).alias("dy"),
+    )
+    _d38 = "decimal(38,0)"
+    g = lagged.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("t").cast(_d38)).alias("sx"),
+        F.sum(F.col("cents").cast(_d38)).alias("sy"),
+        F.sum(F.col("t").cast(_d38) * F.col("t").cast(_d38)).alias("sxx"),
+        F.sum(F.col("t").cast(_d38) * F.col("cents").cast(_d38)).alias("sxy"),
+        F.sum(F.col("cents").cast(_d38) * F.col("cents").cast(_d38)).alias("syy"),
+        F.sum(F.col("dy").cast(_d38)).alias("sdy"),
+        F.sum(F.col("dy").cast(_d38) * F.col("dy").cast(_d38)).alias("sdy2"),
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, sxy = F.col("sxx").cast("double"), F.col("sxy").cast("double")
+    syy = F.col("syy").cast("double")
+    sdy, sdy2 = F.col("sdy").cast("double"), F.col("sdy2").cast("double")
+    sxx_c = sxx - sx * sx / nd
+    sxy_c = sxy - sx * sy / nd
+    syy_c = syy - sy * sy / nd
+    b = sxy_c / sxx_c
+    sse = syy_c - b * b * sxx_c
+    num = sdy2 - F.lit(2.0) * b * sdy + (nd - F.lit(1.0)) * b * b
+    dw = num / sse
+    return g.select(
+        F.col("n").cast("long").alias("n_days"),
+        _floor_round(b / F.lit(100.0), 4).alias("slope_dollars_per_day"),
+        _floor_round(dw, 6).alias("dw"),
+        _floor_round(F.lit(1.0) - dw / F.lit(2.0), 6).alias("rho_hat"),
+    )
+
+
+ORACLE_DURBIN_WATSON_REVENUE = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         SUM(CAST(trunc(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1
+), lagged AS (
+  SELECT cents,
+         ROW_NUMBER() OVER (ORDER BY d) AS t,
+         cents - LAG(cents) OVER (ORDER BY d) AS dy
+  FROM daily
+), g AS (
+  SELECT COUNT(*) AS n,
+         SUM(CAST(t AS HUGEINT)) AS sx,
+         SUM(CAST(cents AS HUGEINT)) AS sy,
+         SUM(CAST(t AS HUGEINT) * t) AS sxx,
+         SUM(CAST(t AS HUGEINT) * cents) AS sxy,
+         SUM(CAST(cents AS HUGEINT) * cents) AS syy,
+         SUM(CAST(dy AS HUGEINT)) AS sdy,
+         SUM(CAST(dy AS HUGEINT) * dy) AS sdy2
+  FROM lagged
+), d AS (
+  SELECT CAST(n AS BIGINT) AS n, CAST(n AS DOUBLE) AS nd,
+         CAST(sx AS DOUBLE) AS sx, CAST(sy AS DOUBLE) AS sy,
+         CAST(sxx AS DOUBLE) AS sxx, CAST(sxy AS DOUBLE) AS sxy,
+         CAST(syy AS DOUBLE) AS syy, CAST(sdy AS DOUBLE) AS sdy,
+         CAST(sdy2 AS DOUBLE) AS sdy2
+  FROM g
+), s AS (
+  SELECT n, nd,
+         (sxy - sx * sy / nd) / (sxx - sx * sx / nd) AS b,
+         (syy - sy * sy / nd)
+           - ((sxy - sx * sy / nd) / (sxx - sx * sx / nd))
+             * ((sxy - sx * sy / nd) / (sxx - sx * sx / nd))
+             * (sxx - sx * sx / nd) AS sse,
+         sdy, sdy2
+  FROM d
+), f AS (
+  SELECT n, b,
+         (sdy2 - 2.0 * b * sdy + (nd - 1.0) * b * b) / sse AS dw
+  FROM s
+)
+SELECT n AS n_days,
+       sign(b / 100.0) * floor(abs(b / 100.0) * 10000.0 + 0.5) / 10000.0
+         AS slope_dollars_per_day,
+       sign(dw) * floor(abs(dw) * 1000000.0 + 0.5) / 1000000.0 AS dw,
+       sign(1.0 - dw / 2.0) * floor(abs(1.0 - dw / 2.0) * 1000000.0 + 0.5)
+         / 1000000.0 AS rho_hat
+FROM f
+"""
+
+
 def squared_rank_dispersion_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conover's squared-rank test for equality of VARIANCE between
     finished ('F') and open ('O') orders' totals — the nonparametric
@@ -6026,6 +6410,9 @@ QUERIES = {
     "cliffs_delta_segments": cliffs_delta_segments,
     "squared_rank_dispersion_test": squared_rank_dispersion_test,
     "jonckheere_terpstra_priority": jonckheere_terpstra_priority,
+    "revenue_randomness_panel": revenue_randomness_panel,
+    "bartels_rank_vonneumann": bartels_rank_vonneumann,
+    "durbin_watson_revenue": durbin_watson_revenue,
 }
 
 ORACLE = {
@@ -6078,4 +6465,7 @@ ORACLE = {
     "cliffs_delta_segments": ORACLE_CLIFFS_DELTA_SEGMENTS,
     "squared_rank_dispersion_test": ORACLE_SQUARED_RANK_DISPERSION_TEST,
     "jonckheere_terpstra_priority": ORACLE_JONCKHEERE_TERPSTRA_PRIORITY,
+    "revenue_randomness_panel": ORACLE_REVENUE_RANDOMNESS_PANEL,
+    "bartels_rank_vonneumann": ORACLE_BARTELS_RANK_VONNEUMANN,
+    "durbin_watson_revenue": ORACLE_DURBIN_WATSON_REVENUE,
 }

@@ -507,6 +507,21 @@ _GLOBAL_WINDOW_SANCTIONED = {
     "mannwhitney_event_values",
     # same rank2_map bucket-partials prefix as the two above (r9)
     "kruskal_wallis_event_values",
+    # same rank2_map bucket-partials prefix (r10): the flagged window
+    # is the exclusive prefix over the BUCKET-partials frame — cents
+    # value-domain / bucket_width rows (acctbal: ~11 buckets at 1e5
+    # width; totalprice: ~50 at 1e6), a data-domain constant; the
+    # per-value window is bucket-partitioned
+    "cliffs_delta_segments",
+    "squared_rank_dispersion_test",
+    # r10 daily-series tests: every global window (lag/lead/row_number
+    # and bartels' rank2 bucket prefix) runs over the per-DAY revenue
+    # aggregate — observation span in days, calendar-bounded (the
+    # runs_test_revenue / cusum posture); the corpus-sized side is
+    # reduced by the groupBy(day) first
+    "revenue_randomness_panel",
+    "bartels_rank_vonneumann",
+    "durbin_watson_revenue",
     # Nelson-Aalen: both prefix windows run over the per-LIFETIME-DAY
     # aggregate (calendar-bounded, the kaplan_meier_retention posture);
     # the corpus-sized side is reduced by the per-user groupBy first
