@@ -2328,6 +2328,125 @@ def bpe_real_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def lexical_richness_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language lexical-richness panel over the classic frequency-
+    SPECTRUM statistics (the V_m = "words seen exactly m times" view
+    that Chao1/Good–Turing also read): Yule's K (repeat-rate
+    characteristic, 10⁴(Σm²V_m − N)/N²), Guiraud's R (V/√N — the
+    sample-size-corrected TTR), Sichel's S (V₂/V, dis-legomena share),
+    hapax ratio (V₁/V), Simpson's D over tokens (Σm(m−1)V_m/(N(N−1)),
+    the probability two random tokens are the same word), and Shannon
+    entropy of the unigram distribution — the panel a corpus card
+    prints per language to compare source richness at a glance.
+
+    Exactness: every ingredient except √ and ln is an exact integer
+    fold off the spectrum (DECIMAL(38,0), cast-first); ln is quantized
+    to 1e-8 integers at ONE call per distinct frequency m (the
+    bigram_logprob idiom) plus one per language for ln N, so
+    H = (N·q_N − Σ V_m·m·q_m)/(N·10⁸) is value-determined; √N is
+    correctly-rounded IEEE on an exact integer. All ratios
+    floor-rounded at 6 dp.
+
+    Scale: tokens → (lang, word) counts → (lang, m) spectrum is two
+    partial-agg shuffles; the spectrum is at most a few thousand rows
+    per language (frequencies collapse), and everything after is
+    per-language scalar arithmetic."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "lang", F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("word")
+    )
+    freq = toks.groupBy("lang", "word").agg(F.count(F.lit(1)).alias("m"))
+    spec = freq.groupBy("lang", "m").agg(F.count(F.lit(1)).alias("vm"))
+    _d38 = "decimal(38,0)"
+    qlnm = F.round(F.log(F.col("m").cast("double")) * F.lit(1e8), 0).cast("long")
+    g = spec.groupBy("lang").agg(
+        F.sum(F.col("m").cast(_d38) * F.col("vm").cast(_d38)).alias("n_tok"),
+        F.sum("vm").alias("v"),
+        F.sum(F.when(F.col("m") == 1, F.col("vm")).otherwise(0)).alias("v1"),
+        F.sum(F.when(F.col("m") == 2, F.col("vm")).otherwise(0)).alias("v2"),
+        F.sum(
+            F.col("m").cast(_d38) * F.col("m").cast(_d38) * F.col("vm").cast(_d38)
+        ).alias("sm2"),
+        F.sum(
+            F.col("m").cast(_d38)
+            * (F.col("m") - 1).cast(_d38)
+            * F.col("vm").cast(_d38)
+        ).alias("smm1"),
+        F.sum(
+            F.col("vm").cast(_d38) * F.col("m").cast(_d38) * qlnm.cast(_d38)
+        ).alias("slnm"),
+    )
+    nd = F.col("n_tok").cast("double")
+    vd = F.col("v").cast("double")
+    qlnn = F.round(F.log(nd) * F.lit(1e8), 0)
+    return g.select(
+        "lang",
+        F.col("n_tok").cast("long").alias("n_tokens"),
+        F.col("v").cast("long").alias("vocab"),
+        floor_round(F.col("v1").cast("double") / vd, 6).alias("hapax_ratio"),
+        floor_round(
+            F.lit(10000.0) * (F.col("sm2").cast("double") - nd) / (nd * nd), 6
+        ).alias("yule_k"),
+        floor_round(vd / F.sqrt(nd), 6).alias("guiraud_r"),
+        floor_round(F.col("v2").cast("double") / vd, 6).alias("sichel_s"),
+        floor_round(
+            F.col("smm1").cast("double") / (nd * (nd - F.lit(1.0))), 6
+        ).alias("simpson_d"),
+        floor_round(
+            (nd * qlnn - F.col("slnm").cast("double")) / (nd * F.lit(1e8)), 6
+        ).alias("shannon_h"),
+    ).orderBy("lang")
+
+
+ORACLE_LEXICAL_RICHNESS_PANEL = """
+WITH toks AS (
+  SELECT lang, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+  FROM documents
+), freq AS (
+  SELECT lang, word, COUNT(*) AS m FROM toks GROUP BY lang, word
+), spec AS (
+  SELECT lang, m, COUNT(*) AS vm FROM freq GROUP BY lang, m
+), g AS (
+  SELECT lang,
+         SUM(CAST(m AS HUGEINT) * vm) AS n_tok,
+         SUM(vm) AS v,
+         SUM(CASE WHEN m = 1 THEN vm ELSE 0 END) AS v1,
+         SUM(CASE WHEN m = 2 THEN vm ELSE 0 END) AS v2,
+         SUM(CAST(m AS HUGEINT) * m * vm) AS sm2,
+         SUM(CAST(m AS HUGEINT) * (m - 1) * vm) AS smm1,
+         SUM(CAST(vm AS HUGEINT) * m
+             * CAST(round(ln(CAST(m AS DOUBLE)) * 100000000.0) AS BIGINT))
+           AS slnm
+  FROM spec GROUP BY lang
+), d AS (
+  SELECT lang, CAST(n_tok AS BIGINT) AS n_tokens, CAST(v AS BIGINT) AS vocab,
+         CAST(n_tok AS DOUBLE) AS nd, CAST(v AS DOUBLE) AS vd,
+         CAST(v1 AS DOUBLE) AS v1d, CAST(v2 AS DOUBLE) AS v2d,
+         CAST(sm2 AS DOUBLE) AS sm2d, CAST(smm1 AS DOUBLE) AS smm1d,
+         CAST(slnm AS DOUBLE) AS slnmd,
+         round(ln(CAST(n_tok AS DOUBLE)) * 100000000.0) AS qlnn
+  FROM g
+)
+SELECT lang, n_tokens, vocab,
+       sign(v1d / vd) * floor(abs(v1d / vd) * 1000000.0 + 0.5) / 1000000.0
+         AS hapax_ratio,
+       sign(10000.0 * (sm2d - nd) / (nd * nd))
+         * floor(abs(10000.0 * (sm2d - nd) / (nd * nd)) * 1000000.0 + 0.5)
+         / 1000000.0 AS yule_k,
+       sign(vd / sqrt(nd)) * floor(abs(vd / sqrt(nd)) * 1000000.0 + 0.5)
+         / 1000000.0 AS guiraud_r,
+       sign(v2d / vd) * floor(abs(v2d / vd) * 1000000.0 + 0.5) / 1000000.0
+         AS sichel_s,
+       sign(smm1d / (nd * (nd - 1.0)))
+         * floor(abs(smm1d / (nd * (nd - 1.0))) * 1000000.0 + 0.5)
+         / 1000000.0 AS simpson_d,
+       sign((nd * qlnn - slnmd) / (nd * 100000000.0))
+         * floor(abs((nd * qlnn - slnmd) / (nd * 100000000.0)) * 1000000.0 + 0.5)
+         / 1000000.0 AS shannon_h
+FROM d ORDER BY lang
+"""
+
+
 def top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global top-20 words: explode → count → TakeOrdered. The classic
     wordcount, with partial aggregation absorbing the explode fan-out
@@ -5854,6 +5973,7 @@ QUERIES = {
     "ccnet_perplexity_buckets": ccnet_perplexity_buckets,
     "lang_stats": lang_stats,
     "top_words": top_words,
+    "lexical_richness_panel": lexical_richness_panel,
     "approx_top_words": approx_top_words,
     "cms_word_freq": cms_word_freq,
     "html_extract_stats": html_extract_stats,
@@ -5925,6 +6045,7 @@ if _HAVE_PIL:
 
 ORACLE = {
     "good_turing_vocab": ORACLE_GOOD_TURING_VOCAB,
+    "lexical_richness_panel": ORACLE_LEXICAL_RICHNESS_PANEL,
     # full integer replay of the md5-mode SimHash pipeline (r10)
     "simhash_near_dups": ORACLE_SIMHASH_NEAR_DUPS,
     "dup_cluster_source_mix": ORACLE_DUP_CLUSTER_SOURCE_MIX,

@@ -1319,8 +1319,111 @@ ORDER BY band
 """
 
 
+def brand_diversity_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ecology-style diversity panel of part BRANDS shipped per
+    supplier NATION — the assortment-concentration audit next to
+    supplier_herfindahl_by_nation (HHI prices supplier concentration;
+    this prices what's SOLD): brand richness, Simpson's index
+    (probability two random lineitems share a brand, the pairwise
+    exact form Σnᵢ(nᵢ−1)/(N(N−1))), Berger–Parker dominance (top
+    brand's share), and Shannon entropy with its evenness
+    normalization H/ln(richness).
+
+    Exactness: one (nation, brand) count pass; Simpson and
+    Berger–Parker are exact integer ratios; Shannon uses the
+    one-ln-per-DISTINCT-count quantization (lexical_richness_panel
+    idiom): H = (N·q_N − Σ nᵢ·q_{nᵢ})/(N·10⁸); all floor-rounded 6 dp.
+
+    Scale: lineitem joins the part dimension on partkey and the
+    supplier dimension on suppkey (both dimension-sized; Spark
+    broadcasts them at these SFs and shuffle-joins beyond the
+    threshold — either is one pass), then collapses to ≤ nations ×
+    brands cells; everything after is cell arithmetic."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cells = (
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .groupBy(F.col("n_name").alias("nation"), "p_brand")
+        .agg(F.count(F.lit(1)).alias("ni"))
+    )
+    _d38 = "decimal(38,0)"
+    qln_ni = F.round(F.log(F.col("ni").cast("double")) * F.lit(1e8), 0).cast("long")
+    g = cells.groupBy("nation").agg(
+        F.sum("ni").alias("n"),
+        F.count(F.lit(1)).alias("richness"),
+        F.max("ni").alias("top_ni"),
+        F.sum(F.col("ni").cast(_d38) * (F.col("ni") - 1).cast(_d38)).alias("snn1"),
+        F.sum(F.col("ni").cast(_d38) * qln_ni.cast(_d38)).alias("slnn"),
+    )
+    nd = F.col("n").cast("double")
+    qlnn = F.round(F.log(nd) * F.lit(1e8), 0)
+    h = (nd * qlnn - F.col("slnn").cast("double")) / (nd * F.lit(1e8))
+    qlnr = F.round(F.log(F.col("richness").cast("double")) * F.lit(1e8), 0)
+    return g.select(
+        "nation",
+        F.col("n").cast("long").alias("n_lineitems"),
+        F.col("richness").cast("long").alias("brand_richness"),
+        floor_round(
+            F.col("snn1").cast("double") / (nd * (nd - F.lit(1.0))), 6
+        ).alias("simpson_index"),
+        floor_round(F.col("top_ni").cast("double") / nd, 6).alias("berger_parker"),
+        floor_round(h, 6).alias("shannon_h"),
+        floor_round(h / (qlnr / F.lit(1e8)), 6).alias("evenness"),
+    ).orderBy("nation")
+
+
+ORACLE_BRAND_DIVERSITY_BY_NATION = """
+WITH cells AS (
+  SELECT n.n_name AS nation, p.p_brand, COUNT(*) AS ni
+  FROM lineitem li
+  JOIN part p ON li.l_partkey = p.p_partkey
+  JOIN supplier s ON li.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  GROUP BY n.n_name, p.p_brand
+), g AS (
+  SELECT nation,
+         SUM(ni) AS n,
+         COUNT(*) AS richness,
+         MAX(ni) AS top_ni,
+         SUM(CAST(ni AS HUGEINT) * (ni - 1)) AS snn1,
+         SUM(CAST(ni AS HUGEINT)
+             * CAST(round(ln(CAST(ni AS DOUBLE)) * 100000000.0) AS BIGINT))
+           AS slnn
+  FROM cells GROUP BY nation
+), d AS (
+  SELECT nation, CAST(n AS BIGINT) AS n_lineitems,
+         CAST(richness AS BIGINT) AS brand_richness,
+         CAST(n AS DOUBLE) AS nd, CAST(top_ni AS DOUBLE) AS topd,
+         CAST(snn1 AS DOUBLE) AS snn1d, CAST(slnn AS DOUBLE) AS slnnd,
+         round(ln(CAST(n AS DOUBLE)) * 100000000.0) AS qlnn,
+         round(ln(CAST(richness AS DOUBLE)) * 100000000.0) AS qlnr
+  FROM g
+), f AS (
+  SELECT nation, n_lineitems, brand_richness, nd, topd, snn1d,
+         (nd * qlnn - slnnd) / (nd * 100000000.0) AS h, qlnr
+  FROM d
+)
+SELECT nation, n_lineitems, brand_richness,
+       sign(snn1d / (nd * (nd - 1.0)))
+         * floor(abs(snn1d / (nd * (nd - 1.0))) * 1000000.0 + 0.5)
+         / 1000000.0 AS simpson_index,
+       sign(topd / nd) * floor(abs(topd / nd) * 1000000.0 + 0.5) / 1000000.0
+         AS berger_parker,
+       sign(h) * floor(abs(h) * 1000000.0 + 0.5) / 1000000.0 AS shannon_h,
+       sign(h / (qlnr / 100000000.0))
+         * floor(abs(h / (qlnr / 100000000.0)) * 1000000.0 + 0.5)
+         / 1000000.0 AS evenness
+FROM f ORDER BY nation
+"""
+
+
 QUERIES = {
     "price_consistency_audit": price_consistency_audit,
+    "brand_diversity_by_nation": brand_diversity_by_nation,
     "apriori_triples": apriori_triples,
 
     "hits_purchase_graph": hits_purchase_graph,
@@ -1342,6 +1445,7 @@ QUERIES = {
 
 ORACLE = {
     "price_consistency_audit": ORACLE_PRICE_CONSISTENCY_AUDIT,
+    "brand_diversity_by_nation": ORACLE_BRAND_DIVERSITY_BY_NATION,
     "apriori_triples": ORACLE_APRIORI_TRIPLES,
     "hits_purchase_graph": ORACLE_HITS_PURCHASE_GRAPH,
     "supplier_herfindahl_by_nation": ORACLE_SUPPLIER_HERFINDAHL_BY_NATION,
