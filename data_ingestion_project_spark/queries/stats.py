@@ -5431,6 +5431,348 @@ FROM folded CROSS JOIN med2
 """
 
 
+def weighted_logrank_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted log-rank panel over the BUILDING-vs-rest churn setup
+    of logrank_segment_churn: the classic log-rank (w=1, late-and-
+    early equally), Gehan–Breslow–Wilcoxon (w = at-risk count —
+    emphasizes EARLY differences where the risk set is large), and
+    Tarone–Ware (w = √at-risk, the compromise). One curve pair can
+    pass one weighting and fail another — a churn-clock difference
+    concentrated in week one is invisible to late-weighted tests, so
+    a survival audit runs the panel, not one test.
+
+    Exactness: weights are NORMALIZED by the initial risk set
+    (w̃ = nt/N, √(nt/N), 1 — z is scale-invariant in w, and the
+    normalized per-day terms stay O(dt), so the 1e-8 micro-
+    quantization of each day's w̃(d1−e) and w̃²v never overflows at
+    any SF — the logrank_segment_churn fold, made safe for the Gehan
+    weight's nt² growth). z = Σw̃(d1−e)/√Σw̃²v, floor-rounded 6 dp.
+
+    Plan: identical to logrank_segment_churn — per-customer lifetimes,
+    group-partitioned at-risk prefixes over the calendar-bounded
+    lifetime-day frame, then a 3-row panel of scalar folds."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    pu = o.groupBy("o_custkey").agg(
+        F.min(F.to_date("o_orderdate")).alias("f"),
+        F.max(F.to_date("o_orderdate")).alias("l"),
+    )
+    seg = c.select(
+        F.col("c_custkey"),
+        (F.col("c_mktsegment") == "BUILDING").cast("int").alias("grp"),
+    )
+    pu = pu.join(seg, pu.o_custkey == seg.c_custkey)
+    end = pu.agg(F.max("l").alias("e"))
+    lived = pu.crossJoin(F.broadcast(end)).select(
+        "grp",
+        F.datediff("l", "f").alias("t_days"),
+        (F.datediff("e", "l") >= 90).cast("int").alias("churned"),
+    )
+    counts = lived.groupBy("grp", "t_days").agg(
+        F.sum("churned").alias("deaths"),
+        F.sum(F.lit(1) - F.col("churned")).alias("censored"),
+    )
+    ng = lived.groupBy("grp").agg(F.count(F.lit(1)).alias("n_g"))
+    dense = (
+        counts.select("t_days")
+        .distinct()
+        .crossJoin(F.broadcast(counts.select("grp").distinct()))
+        .join(counts, ["grp", "t_days"], "left")
+        .select(
+            "grp",
+            "t_days",
+            F.coalesce("deaths", F.lit(0)).alias("deaths"),
+            F.coalesce("censored", F.lit(0)).alias("censored"),
+        )
+    )
+    w_prior = (
+        Window.partitionBy("grp")
+        .orderBy("t_days")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    risk = dense.join(F.broadcast(ng), "grp").select(
+        "grp",
+        "t_days",
+        "deaths",
+        (
+            F.col("n_g")
+            - F.coalesce(
+                F.sum(F.col("deaths") + F.col("censored")).over(w_prior), F.lit(0)
+            )
+        ).alias("at_risk"),
+    )
+    n_total = lived.agg(F.count(F.lit(1)).alias("n_all"))
+    per_day = (
+        risk.groupBy("t_days")
+        .agg(
+            F.sum(F.when(F.col("grp") == 1, F.col("deaths")).otherwise(0)).alias(
+                "d1"
+            ),
+            F.sum("deaths").alias("dt"),
+            F.sum(F.when(F.col("grp") == 1, F.col("at_risk")).otherwise(0)).alias(
+                "n1"
+            ),
+            F.sum("at_risk").alias("nt"),
+        )
+        .filter((F.col("dt") > 0) & (F.col("nt") >= 2))
+        .crossJoin(F.broadcast(n_total))
+    )
+    p1 = F.col("n1").cast("double") / F.col("nt").cast("double")
+    oe = F.col("d1").cast("double") - F.col("dt").cast("double") * p1
+    v = (
+        F.col("dt").cast("double")
+        * p1
+        * (F.lit(1.0) - p1)
+        * (
+            (F.col("nt") - F.col("dt")).cast("double")
+            / (F.col("nt") - 1).cast("double")
+        )
+    )
+    wt = {
+        "gehan": F.col("nt").cast("double") / F.col("n_all").cast("double"),
+        "logrank": F.lit(1.0),
+        "tarone_ware": F.sqrt(
+            F.col("nt").cast("double") / F.col("n_all").cast("double")
+        ),
+    }
+    _dq = "decimal(28,0)"
+    rows = []
+    for name, w in wt.items():
+        folded = per_day.agg(
+            F.sum((w * oe * F.lit(1.0e8)).cast("long").cast(_dq)).alias("num_q"),
+            F.sum((w * w * v * F.lit(1.0e8)).cast("long").cast(_dq)).alias("var_q"),
+        )
+        numd = F.col("num_q").cast("double") / F.lit(1.0e8)
+        vard = F.col("var_q").cast("double") / F.lit(1.0e8)
+        rows.append(
+            folded.select(
+                F.lit(name).alias("test"),
+                _floor_round(numd, 6).alias("weighted_o_minus_e"),
+                _floor_round(vard, 6).alias("weighted_var"),
+                _floor_round(numd / F.sqrt(vard), 6).alias("z"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("test")
+
+
+def _sql_wlr_row(label: str, w_expr: str) -> str:
+    """One weighted-log-rank panel row: fold the 1e-8-quantized
+    per-day terms with weight ``w_expr`` over the per_day relation."""
+    oe = "(CAST(d1 AS DOUBLE) - CAST(dt AS DOUBLE) * (CAST(n1 AS DOUBLE) / CAST(nt AS DOUBLE)))"
+    v = (
+        "(CAST(dt AS DOUBLE) * (CAST(n1 AS DOUBLE) / CAST(nt AS DOUBLE))"
+        " * (1.0 - CAST(n1 AS DOUBLE) / CAST(nt AS DOUBLE))"
+        " * (CAST(nt - dt AS DOUBLE) / CAST(nt - 1 AS DOUBLE)))"
+    )
+    return f"""
+  SELECT '{label}' AS test,
+         SUM(CAST(trunc(({w_expr}) * {oe} * 100000000.0) AS BIGINT)) AS num_q,
+         SUM(CAST(trunc(({w_expr}) * ({w_expr}) * {v} * 100000000.0) AS BIGINT))
+           AS var_q
+  FROM per_day
+"""
+
+
+ORACLE_WEIGHTED_LOGRANK_PANEL = f"""
+WITH pu AS (
+  SELECT o_custkey, MIN(CAST(o_orderdate AS DATE)) AS f,
+         MAX(CAST(o_orderdate AS DATE)) AS l
+  FROM orders GROUP BY o_custkey
+), pg AS (
+  SELECT CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS grp,
+         pu.f, pu.l
+  FROM pu JOIN customer c ON c.c_custkey = pu.o_custkey
+), fin AS (SELECT MAX(l) AS e FROM pg),
+lived AS (
+  SELECT grp, datediff('day', f, l) AS t_days,
+         CASE WHEN datediff('day', l, e) >= 90 THEN 1 ELSE 0 END AS churned
+  FROM pg CROSS JOIN fin
+), counts AS (
+  SELECT grp, t_days, SUM(churned) AS deaths, SUM(1 - churned) AS censored
+  FROM lived GROUP BY 1, 2
+), ng AS (SELECT grp, COUNT(*) AS n_g FROM lived GROUP BY 1),
+n_total AS (SELECT COUNT(*) AS n_all FROM lived),
+dense AS (
+  SELECT g.grp, d.t_days,
+         COALESCE(c.deaths, 0) AS deaths, COALESCE(c.censored, 0) AS censored
+  FROM (SELECT DISTINCT t_days FROM counts) d
+  CROSS JOIN (SELECT DISTINCT grp FROM counts) g
+  LEFT JOIN counts c ON c.grp = g.grp AND c.t_days = d.t_days
+), risk AS (
+  SELECT dense.grp, t_days, deaths,
+         n_g - COALESCE(SUM(deaths + censored) OVER (
+                 PARTITION BY dense.grp ORDER BY t_days
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS at_risk
+  FROM dense JOIN ng ON ng.grp = dense.grp
+), per_day AS (
+  SELECT t_days,
+         SUM(CASE WHEN grp = 1 THEN deaths ELSE 0 END) AS d1,
+         SUM(deaths) AS dt,
+         SUM(CASE WHEN grp = 1 THEN at_risk ELSE 0 END) AS n1,
+         SUM(at_risk) AS nt,
+         MAX(n_all) AS n_all
+  FROM risk CROSS JOIN n_total GROUP BY t_days
+  HAVING SUM(deaths) > 0 AND SUM(at_risk) >= 2
+), folded AS (
+  {_sql_wlr_row("gehan", "CAST(nt AS DOUBLE) / CAST(n_all AS DOUBLE)")}
+  UNION ALL
+  {_sql_wlr_row("logrank", "1.0")}
+  UNION ALL
+  {_sql_wlr_row("tarone_ware", "sqrt(CAST(nt AS DOUBLE) / CAST(n_all AS DOUBLE))")}
+)
+SELECT test,
+       sign(CAST(num_q AS DOUBLE) / 100000000.0)
+       * floor(abs(CAST(num_q AS DOUBLE) / 100000000.0) * 1000000.0 + 0.5)
+         / 1000000.0 AS weighted_o_minus_e,
+       sign(CAST(var_q AS DOUBLE) / 100000000.0)
+       * floor(abs(CAST(var_q AS DOUBLE) / 100000000.0) * 1000000.0 + 0.5)
+         / 1000000.0 AS weighted_var,
+       sign((CAST(num_q AS DOUBLE) / 100000000.0)
+            / sqrt(CAST(var_q AS DOUBLE) / 100000000.0))
+       * floor(abs((CAST(num_q AS DOUBLE) / 100000000.0)
+            / sqrt(CAST(var_q AS DOUBLE) / 100000000.0)) * 1000000.0 + 0.5)
+         / 1000000.0 AS z
+FROM folded ORDER BY test
+"""
+
+
+_RMST_TAU = 21  # restricted-mean horizon in days
+
+
+def rmst_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Restricted mean survival time of user lifetime at a 21-day
+    horizon — the AUC of the Kaplan–Meier curve up to τ, the survival
+    family's single-number effect summary ("expected active days in
+    the first three weeks"), robust where median survival is undefined
+    because the curve never crosses 0.5. Same lifetimes/censoring as
+    kaplan_meier_retention (7-day boundary rule).
+
+    Exactness: survival changes only at integer lifetime days, so
+    RMST(τ) = Σ_{d=0}^{τ−1} S(d) EXACTLY (unit-interval integral of a
+    step function); S(d) comes from the KM ln-quantized cumulative
+    hazard (one libm ln per distinct day, integer 1e-8 fold, one exp),
+    and each S(d) is micro-quantized before the τ-term sum so the fold
+    is an exact integer. Output: τ, n, RMST, S(τ−1).
+
+    Plan: the per-lifetime-day frame is calendar-bounded; the τ-day
+    spine (21 rows) joins it with t ≤ d — a broadcast-sized
+    triangular join, corpus-independent."""
+    e = table(spark, sf_dir, "events")
+    pu = e.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("f"), F.max(F.to_date("ts")).alias("l")
+    )
+    end = pu.agg(F.max("l").alias("e"))
+    lived = pu.crossJoin(F.broadcast(end)).select(
+        F.datediff("l", "f").alias("t_days"),
+        (F.datediff("e", "l") >= 7).cast("int").alias("churned"),
+    )
+    lt = lived.groupBy("t_days").agg(
+        F.sum("churned").alias("deaths"),
+        F.sum(F.lit(1) - F.col("churned")).alias("censored"),
+    )
+    tot = lived.agg(F.count(F.lit(1)).alias("n"))
+    w_prior = Window.orderBy("t_days").rowsBetween(Window.unboundedPreceding, -1)
+    risk = lt.crossJoin(F.broadcast(tot)).select(
+        "t_days",
+        "deaths",
+        (
+            F.col("n")
+            - F.coalesce(
+                F.sum(F.col("deaths") + F.col("censored")).over(w_prior), F.lit(0)
+            )
+        ).alias("at_risk"),
+    )
+    fac = risk.filter(F.col("deaths") > 0).select(
+        "t_days",
+        F.when(
+            F.col("deaths") < F.col("at_risk"),
+            F.round(
+                F.log(
+                    (F.col("at_risk") - F.col("deaths")).cast("double")
+                    / F.col("at_risk")
+                )
+                * 100_000_000,
+                0,
+            ).cast("long"),
+        )
+        .otherwise(F.lit(-1_000_000_000_000))
+        .alias("li"),
+    )
+    spine = spark.range(0, _RMST_TAU).select(F.col("id").alias("d"))
+    s_at = (
+        spine.join(F.broadcast(fac), F.col("t_days") <= F.col("d"), "left")
+        .groupBy("d")
+        .agg(F.coalesce(F.sum("li"), F.lit(0)).alias("cum"))
+        .select(
+            "d",
+            (
+                F.exp(F.col("cum").cast("double") / F.lit(1.0e8)) * F.lit(1.0e6)
+            )
+            .cast("long")
+            .alias("s_q"),
+        )
+    )
+    g = s_at.agg(
+        F.sum("s_q").alias("rmst_q"),
+        F.max(F.when(F.col("d") == _RMST_TAU - 1, F.col("s_q"))).alias("s_tau_q"),
+    ).crossJoin(F.broadcast(tot))
+    return g.select(
+        F.lit(_RMST_TAU).cast("long").alias("tau_days"),
+        F.col("n").cast("long").alias("n_users"),
+        (F.col("rmst_q").cast("double") / F.lit(1.0e6)).alias("rmst_days"),
+        (F.col("s_tau_q").cast("double") / F.lit(1.0e6)).alias("s_at_horizon"),
+    )
+
+
+ORACLE_RMST_RETENTION = f"""
+WITH pu AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS f, MAX(CAST(ts AS DATE)) AS l
+  FROM events GROUP BY user_id
+), fin AS (SELECT MAX(l) AS e FROM pu),
+lived AS (
+  SELECT datediff('day', f, l) AS t_days,
+         CASE WHEN datediff('day', l, e) >= 7 THEN 1 ELSE 0 END AS churned
+  FROM pu CROSS JOIN fin
+), lt AS (
+  SELECT t_days, SUM(churned) AS deaths, SUM(1 - churned) AS censored
+  FROM lived GROUP BY t_days
+), tot AS (SELECT COUNT(*) AS n FROM lived),
+risk AS (
+  SELECT t_days, deaths,
+         n - COALESCE(SUM(deaths + censored) OVER (
+               ORDER BY t_days
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS at_risk
+  FROM lt CROSS JOIN tot
+), fac AS (
+  SELECT t_days,
+         CASE WHEN deaths < at_risk
+              THEN CAST(round(ln(CAST(at_risk - deaths AS DOUBLE)
+                                 / at_risk) * 100000000.0) AS BIGINT)
+              ELSE -1000000000000 END AS li
+  FROM risk WHERE deaths > 0
+), s_at AS (
+  SELECT d, CAST(trunc(exp(CAST(COALESCE(SUM(li), 0) AS DOUBLE) / 100000000.0)
+                 * 1000000.0) AS BIGINT) AS s_q
+  FROM (SELECT unnest(range(0, {_RMST_TAU})) AS d) spine
+  LEFT JOIN fac ON fac.t_days <= spine.d
+  GROUP BY d
+), g AS (
+  SELECT SUM(s_q) AS rmst_q,
+         MAX(CASE WHEN d = {_RMST_TAU - 1} THEN s_q END) AS s_tau_q
+  FROM s_at
+)
+SELECT CAST({_RMST_TAU} AS BIGINT) AS tau_days,
+       CAST(n AS BIGINT) AS n_users,
+       CAST(rmst_q AS DOUBLE) / 1000000.0 AS rmst_days,
+       CAST(s_tau_q AS DOUBLE) / 1000000.0 AS s_at_horizon
+FROM g CROSS JOIN tot
+"""
+
+
 def revenue_randomness_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Three classical randomness tests on the daily-revenue series in
     one panel — the i.i.d.-ness audit that complements the median-runs
@@ -6413,6 +6755,8 @@ QUERIES = {
     "revenue_randomness_panel": revenue_randomness_panel,
     "bartels_rank_vonneumann": bartels_rank_vonneumann,
     "durbin_watson_revenue": durbin_watson_revenue,
+    "weighted_logrank_panel": weighted_logrank_panel,
+    "rmst_retention": rmst_retention,
 }
 
 ORACLE = {
@@ -6468,4 +6812,6 @@ ORACLE = {
     "revenue_randomness_panel": ORACLE_REVENUE_RANDOMNESS_PANEL,
     "bartels_rank_vonneumann": ORACLE_BARTELS_RANK_VONNEUMANN,
     "durbin_watson_revenue": ORACLE_DURBIN_WATSON_REVENUE,
+    "weighted_logrank_panel": ORACLE_WEIGHTED_LOGRANK_PANEL,
+    "rmst_retention": ORACLE_RMST_RETENTION,
 }

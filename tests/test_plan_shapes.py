@@ -522,6 +522,10 @@ _GLOBAL_WINDOW_SANCTIONED = {
     "revenue_randomness_panel",
     "bartels_rank_vonneumann",
     "durbin_watson_revenue",
+    # r10 RMST: the at-risk prefix runs over the per-LIFETIME-DAY
+    # aggregate (calendar-bounded — the kaplan_meier_retention
+    # posture); the corpus-sized side is reduced by groupBy(user)
+    "rmst_retention",
     # Nelson-Aalen: both prefix windows run over the per-LIFETIME-DAY
     # aggregate (calendar-bounded, the kaplan_meier_retention posture);
     # the corpus-sized side is reduced by the per-user groupBy first
