@@ -5431,6 +5431,332 @@ FROM folded CROSS JOIN med2
 """
 
 
+def brown_forsythe_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown–Forsythe test (Levene with MEDIAN centers) for equal
+    VARIANCE of event value across the five event types — the
+    k-sample robust dispersion member between Bartlett (normal-theory,
+    k-sample, outlier-fragile) and the two-sample squared-rank test:
+    a one-way ANOVA on |x − median(group)|, immune to the heavy tails
+    real revenue values have.
+
+    Exactness: micro-cent values; each group's DOUBLED median comes
+    from the exact counted order statistics (bucket-prefix cumulative,
+    partitioned by group — nothing corpus-sized in one task), so the
+    doubled deviation z = |2v − m2_g| is an exact INTEGER; the ANOVA
+    needs only Σz and Σz² per group (DECIMAL(38,0) folds, cast-first)
+    and F = (SSB/(k−1))/(SSW/(N−k)) is one mirrored IEEE expression,
+    floor-rounded at 6 dp.
+
+    Scale: one conditional-count pass to the per-(group, value) frame;
+    group-partitioned two-level windows; scalar arithmetic after."""
+    e = table(spark, sf_dir, "events")
+    base = e.select(
+        F.col("event_type").alias("g"), to_micro(F.col("value")).alias("v")
+    )
+    vc = base.groupBy("g", "v").agg(F.count(F.lit(1)).alias("c"))
+    ng = base.groupBy("g").agg(F.count(F.lit(1)).alias("n_g"))
+    vcb = vc.withColumn("b", F.expr("v DIV 10000000"))
+    bp = vcb.groupBy("g", "b").agg(F.sum("c").alias("bc"))
+    wb = (
+        Window.partitionBy("g")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefix = bp.select(
+        "g", "b", F.coalesce(F.sum("bc").over(wb), F.lit(0)).alias("p")
+    )
+    wv = (
+        Window.partitionBy("g", "b")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = (
+        vcb.join(prefix, ["g", "b"])
+        .withColumn("prior", F.col("p") + F.coalesce(F.sum("c").over(wv), F.lit(0)))
+        .join(F.broadcast(ng), "g")
+    )
+    k1 = F.expr("(n_g + 1) DIV 2")
+    k2 = F.expr("n_g DIV 2 + 1")
+    med2 = cum.groupBy("g").agg(
+        (
+            F.sum(
+                F.when(
+                    (F.col("prior") < k1) & (F.col("prior") + F.col("c") >= k1),
+                    F.col("v"),
+                )
+            )
+            + F.sum(
+                F.when(
+                    (F.col("prior") < k2) & (F.col("prior") + F.col("c") >= k2),
+                    F.col("v"),
+                )
+            )
+        ).alias("m2")
+    )
+    _d38 = "decimal(38,0)"
+    dev = vc.join(F.broadcast(med2), "g").select(
+        "g",
+        "c",
+        F.abs(2 * F.col("v") - F.col("m2")).alias("z"),
+    )
+    per_g = dev.groupBy("g").agg(
+        F.sum("c").alias("n_g"),
+        F.sum(F.col("c").cast(_d38) * F.col("z").cast(_d38)).alias("s1"),
+        F.sum(
+            F.col("c").cast(_d38) * F.col("z").cast(_d38) * F.col("z").cast(_d38)
+        ).alias("s2"),
+    )
+    # ssb_raw sums k per-group DOUBLES — fold them in group order via
+    # an ordered array reduce so both engines add in the same sequence
+    # (a bare SUM of doubles is partial-agg-order-dependent)
+    g = per_g.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n_g").alias("n"),
+        F.sum(F.col("s1")).alias("gs1"),
+        F.sum(F.col("s2")).alias("gs2"),
+        F.aggregate(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("g"),
+                        (
+                            F.col("s1").cast("double")
+                            * F.col("s1").cast("double")
+                            / F.col("n_g").cast("double")
+                        ).alias("term"),
+                    )
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x["term"],
+        ).alias("ssb_raw"),
+    )
+    nd = F.col("n").cast("double")
+    kd = F.col("k").cast("double")
+    gm = F.col("gs1").cast("double") * F.col("gs1").cast("double") / nd
+    ssb = F.col("ssb_raw") - gm
+    sst = F.col("gs2").cast("double") - gm
+    fstat = (ssb / (kd - F.lit(1.0))) / ((sst - ssb) / (nd - kd))
+    return g.select(
+        F.col("k").cast("long").alias("k_groups"),
+        F.col("n").cast("long").alias("n"),
+        _floor_round(fstat, 6).alias("f_stat"),
+    )
+
+
+ORACLE_BROWN_FORSYTHE_EVENT_VALUES = """
+WITH base AS (
+  SELECT event_type AS g, CAST(trunc(value * 1000000) AS BIGINT) AS v
+  FROM events
+), vc AS (
+  SELECT g, v, COUNT(*) AS c FROM base GROUP BY g, v
+), ng AS (SELECT g, COUNT(*) AS n_g FROM base GROUP BY g),
+cum AS (
+  SELECT vc.g, v, c,
+         COALESCE(SUM(c) OVER (PARTITION BY vc.g ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior,
+         ng.n_g
+  FROM vc JOIN ng ON ng.g = vc.g
+), med2 AS (
+  SELECT g,
+         SUM(CASE WHEN prior < (n_g + 1) // 2
+                   AND prior + c >= (n_g + 1) // 2 THEN v END)
+         + SUM(CASE WHEN prior < n_g // 2 + 1
+                     AND prior + c >= n_g // 2 + 1 THEN v END) AS m2
+  FROM cum GROUP BY g
+), dev AS (
+  SELECT vc.g, c, abs(2 * v - m2) AS z
+  FROM vc JOIN med2 ON med2.g = vc.g
+), per_g AS (
+  SELECT g, SUM(c) AS n_g,
+         SUM(CAST(c AS HUGEINT) * z) AS s1,
+         SUM(CAST(c AS HUGEINT) * z * z) AS s2
+  FROM dev GROUP BY g
+), gg AS (
+  SELECT COUNT(*) AS k, SUM(n_g) AS n, SUM(s1) AS gs1, SUM(s2) AS gs2,
+         list_reduce(
+           list(CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n_g AS DOUBLE)
+                ORDER BY g),
+           (a, b) -> a + b) AS ssb_raw
+  FROM per_g
+), d AS (
+  SELECT CAST(k AS BIGINT) AS k_groups, CAST(n AS BIGINT) AS n,
+         CAST(k AS DOUBLE) AS kd, CAST(n AS DOUBLE) AS nd,
+         ssb_raw - CAST(gs1 AS DOUBLE) * CAST(gs1 AS DOUBLE) / CAST(n AS DOUBLE)
+           AS ssb,
+         CAST(gs2 AS DOUBLE)
+           - CAST(gs1 AS DOUBLE) * CAST(gs1 AS DOUBLE) / CAST(n AS DOUBLE) AS sst
+  FROM gg
+)
+SELECT k_groups, n,
+       sign((ssb / (kd - 1.0)) / ((sst - ssb) / (nd - kd)))
+       * floor(abs((ssb / (kd - 1.0)) / ((sst - ssb) / (nd - kd)))
+               * 1000000.0 + 0.5) / 1000000.0 AS f_stat
+FROM d
+"""
+
+
+def quandt_chow_break(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quandt likelihood-ratio scan (sup-Chow) for a STRUCTURAL BREAK
+    in the daily-revenue trend: fit y = a + b·t, and for every
+    candidate break inside the central 70% of the sample compare the
+    pooled SSE against the two-segment fit with the Chow F statistic
+    F(k) = ((SSE_p − SSE₁ − SSE₂)/2)/((SSE₁+SSE₂)/(n−4)); report the
+    argmax day and the sup-F. Where pettitt_changepoint ranks a
+    LEVEL shift nonparametrically and cusum a mean drift, this prices
+    a broken TREND LINE — the regression-world changepoint.
+
+    Exactness: prefix moments (m, Σt, Σy, Σt², Σty, Σy²) accumulate
+    in DECIMAL(38,0) over the calendar-bounded daily frame
+    (sanctioned window); each segment SSE and F(k) is a mirrored IEEE
+    expression over those exact integers; F is floor-rounded at 6 dp
+    BEFORE the argmax so both engines rank identical values, ties
+    break on the earlier day; the scan is TakeOrdered-bounded.
+
+    Scale: the scan is over candidate DAYS (calendar-bounded), not
+    rows; one orders shuffle feeds it."""
+    o = table(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(F.sum((F.col("o_totalprice") * 100).cast("long")).alias("cents"))
+        .localCheckpoint(eager=True)
+    )
+    _d38 = "decimal(38,0)"
+    wl = Window.orderBy("d")
+    wc = wl.rowsBetween(Window.unboundedPreceding, 0)
+    pre = daily.select(
+        "d",
+        F.row_number().over(wl).alias("t"),
+        "cents",
+    ).select(
+        "d",
+        "t",
+        F.sum(F.lit(1).cast(_d38)).over(wc).alias("m1"),
+        F.sum(F.col("t").cast(_d38)).over(wc).alias("sx1"),
+        F.sum(F.col("cents").cast(_d38)).over(wc).alias("sy1"),
+        F.sum(F.col("t").cast(_d38) * F.col("t").cast(_d38)).over(wc).alias("sxx1"),
+        F.sum(F.col("t").cast(_d38) * F.col("cents").cast(_d38))
+        .over(wc)
+        .alias("sxy1"),
+        F.sum(F.col("cents").cast(_d38) * F.col("cents").cast(_d38))
+        .over(wc)
+        .alias("syy1"),
+    )
+    tot = pre.orderBy(F.col("t").desc()).limit(1).select(
+        F.col("m1").alias("m"),
+        F.col("sx1").alias("sx"),
+        F.col("sy1").alias("sy"),
+        F.col("sxx1").alias("sxx"),
+        F.col("sxy1").alias("sxy"),
+        F.col("syy1").alias("syy"),
+    )
+
+    def _sse(m, sx, sy, sxx, sxy, syy):
+        md = m.cast("double")
+        sxc = sxx.cast("double") - sx.cast("double") * sx.cast("double") / md
+        syc = syy.cast("double") - sy.cast("double") * sy.cast("double") / md
+        sxyc = sxy.cast("double") - sx.cast("double") * sy.cast("double") / md
+        return syc - sxyc * sxyc / sxc
+
+    scan = pre.crossJoin(F.broadcast(tot))
+    nd = F.col("m").cast("double")
+    lo = F.ceil(nd * F.lit(0.15))
+    hi = F.floor(nd * F.lit(0.85))
+    sse1 = _sse(
+        F.col("m1"), F.col("sx1"), F.col("sy1"),
+        F.col("sxx1"), F.col("sxy1"), F.col("syy1"),
+    )
+    sse2 = _sse(
+        F.col("m") - F.col("m1"),
+        F.col("sx") - F.col("sx1"),
+        F.col("sy") - F.col("sy1"),
+        F.col("sxx") - F.col("sxx1"),
+        F.col("sxy") - F.col("sxy1"),
+        F.col("syy") - F.col("syy1"),
+    )
+    ssep = _sse(
+        F.col("m"), F.col("sx"), F.col("sy"),
+        F.col("sxx"), F.col("sxy"), F.col("syy"),
+    )
+    fstat = ((ssep - sse1 - sse2) / F.lit(2.0)) / (
+        (sse1 + sse2) / (nd - F.lit(4.0))
+    )
+    return (
+        scan.filter((F.col("t") >= lo) & (F.col("t") <= hi))
+        .select(
+            F.col("m").cast("long").alias("n_days"),
+            F.col("d").alias("break_day"),
+            _floor_round(fstat, 6).alias("sup_f"),
+        )
+        .orderBy(F.col("sup_f").desc(), F.col("break_day").asc())
+        .limit(1)
+        .select(
+            "n_days",
+            F.date_format("break_day", "yyyy-MM-dd").alias("break_day"),
+            "sup_f",
+        )
+    )
+
+
+ORACLE_QUANDT_CHOW_BREAK = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         SUM(CAST(trunc(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1
+), num AS (
+  SELECT d, cents, ROW_NUMBER() OVER (ORDER BY d) AS t FROM daily
+), pre AS (
+  SELECT d, t,
+         SUM(CAST(1 AS HUGEINT)) OVER w AS m1,
+         SUM(CAST(t AS HUGEINT)) OVER w AS sx1,
+         SUM(CAST(cents AS HUGEINT)) OVER w AS sy1,
+         SUM(CAST(t AS HUGEINT) * t) OVER w AS sxx1,
+         SUM(CAST(t AS HUGEINT) * cents) OVER w AS sxy1,
+         SUM(CAST(cents AS HUGEINT) * cents) OVER w AS syy1
+  FROM num
+  WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), tot AS (
+  SELECT m1 AS m, sx1 AS sx, sy1 AS sy, sxx1 AS sxx, sxy1 AS sxy, syy1 AS syy
+  FROM pre ORDER BY t DESC LIMIT 1
+), scan AS (
+  SELECT pre.*, tot.*,
+         CAST(m AS DOUBLE) AS nd
+  FROM pre CROSS JOIN tot
+), f AS (
+  SELECT CAST(m AS BIGINT) AS n_days, d,
+         (( (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(m AS DOUBLE)
+             - (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(m AS DOUBLE))
+               * (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(m AS DOUBLE))
+               / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(m AS DOUBLE)))
+           - (CAST(syy1 AS DOUBLE) - CAST(sy1 AS DOUBLE) * CAST(sy1 AS DOUBLE) / CAST(m1 AS DOUBLE)
+             - (CAST(sxy1 AS DOUBLE) - CAST(sx1 AS DOUBLE) * CAST(sy1 AS DOUBLE) / CAST(m1 AS DOUBLE))
+               * (CAST(sxy1 AS DOUBLE) - CAST(sx1 AS DOUBLE) * CAST(sy1 AS DOUBLE) / CAST(m1 AS DOUBLE))
+               / (CAST(sxx1 AS DOUBLE) - CAST(sx1 AS DOUBLE) * CAST(sx1 AS DOUBLE) / CAST(m1 AS DOUBLE)))
+           - (CAST(syy - syy1 AS DOUBLE) - CAST(sy - sy1 AS DOUBLE) * CAST(sy - sy1 AS DOUBLE) / CAST(m - m1 AS DOUBLE)
+             - (CAST(sxy - sxy1 AS DOUBLE) - CAST(sx - sx1 AS DOUBLE) * CAST(sy - sy1 AS DOUBLE) / CAST(m - m1 AS DOUBLE))
+               * (CAST(sxy - sxy1 AS DOUBLE) - CAST(sx - sx1 AS DOUBLE) * CAST(sy - sy1 AS DOUBLE) / CAST(m - m1 AS DOUBLE))
+               / (CAST(sxx - sxx1 AS DOUBLE) - CAST(sx - sx1 AS DOUBLE) * CAST(sx - sx1 AS DOUBLE) / CAST(m - m1 AS DOUBLE)))
+          ) / 2.0)
+         / (((CAST(syy1 AS DOUBLE) - CAST(sy1 AS DOUBLE) * CAST(sy1 AS DOUBLE) / CAST(m1 AS DOUBLE)
+             - (CAST(sxy1 AS DOUBLE) - CAST(sx1 AS DOUBLE) * CAST(sy1 AS DOUBLE) / CAST(m1 AS DOUBLE))
+               * (CAST(sxy1 AS DOUBLE) - CAST(sx1 AS DOUBLE) * CAST(sy1 AS DOUBLE) / CAST(m1 AS DOUBLE))
+               / (CAST(sxx1 AS DOUBLE) - CAST(sx1 AS DOUBLE) * CAST(sx1 AS DOUBLE) / CAST(m1 AS DOUBLE)))
+            + (CAST(syy - syy1 AS DOUBLE) - CAST(sy - sy1 AS DOUBLE) * CAST(sy - sy1 AS DOUBLE) / CAST(m - m1 AS DOUBLE)
+             - (CAST(sxy - sxy1 AS DOUBLE) - CAST(sx - sx1 AS DOUBLE) * CAST(sy - sy1 AS DOUBLE) / CAST(m - m1 AS DOUBLE))
+               * (CAST(sxy - sxy1 AS DOUBLE) - CAST(sx - sx1 AS DOUBLE) * CAST(sy - sy1 AS DOUBLE) / CAST(m - m1 AS DOUBLE))
+               / (CAST(sxx - sxx1 AS DOUBLE) - CAST(sx - sx1 AS DOUBLE) * CAST(sx - sx1 AS DOUBLE) / CAST(m - m1 AS DOUBLE))))
+           / (nd - 4.0)) AS fv
+  FROM scan
+  WHERE t >= ceil(nd * 0.15) AND t <= floor(nd * 0.85)
+)
+SELECT n_days, strftime(d, '%Y-%m-%d') AS break_day,
+       sign(fv) * floor(abs(fv) * 1000000.0 + 0.5) / 1000000.0 AS sup_f
+FROM f
+ORDER BY sign(fv) * floor(abs(fv) * 1000000.0 + 0.5) / 1000000.0 DESC, d ASC
+LIMIT 1
+"""
+
+
 def weighted_logrank_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted log-rank panel over the BUILDING-vs-rest churn setup
     of logrank_segment_churn: the classic log-rank (w=1, late-and-
@@ -6757,6 +7083,8 @@ QUERIES = {
     "durbin_watson_revenue": durbin_watson_revenue,
     "weighted_logrank_panel": weighted_logrank_panel,
     "rmst_retention": rmst_retention,
+    "quandt_chow_break": quandt_chow_break,
+    "brown_forsythe_event_values": brown_forsythe_event_values,
 }
 
 ORACLE = {
@@ -6814,4 +7142,6 @@ ORACLE = {
     "durbin_watson_revenue": ORACLE_DURBIN_WATSON_REVENUE,
     "weighted_logrank_panel": ORACLE_WEIGHTED_LOGRANK_PANEL,
     "rmst_retention": ORACLE_RMST_RETENTION,
+    "quandt_chow_break": ORACLE_QUANDT_CHOW_BREAK,
+    "brown_forsythe_event_values": ORACLE_BROWN_FORSYTHE_EVENT_VALUES,
 }
