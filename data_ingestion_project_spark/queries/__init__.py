@@ -199,8 +199,10 @@ def warm_derived_assets(spark: SparkSession, sf_dir: str) -> None:
     )
     from data_ingestion_project_spark.queries.embeddings import ivf_disk_index_path
     from data_ingestion_project_spark.queries.events import _events_by_day_path
+    from data_ingestion_project_spark.queries.tpch2 import _hits_assets_path
 
     _events_by_day_path(spark, sf_dir)
+    _hits_assets_path(spark, sf_dir)  # HITS authority-score table
     _winnow_pair_counts(spark, sf_dir)  # chains the fp table build
     ivf_disk_index_path(spark, sf_dir)  # chains centroid training
     _bpe_merges(spark, sf_dir)  # learned-tokenizer merge table
