@@ -33,61 +33,67 @@ _MODULES = (tpch, tpch2, events, documents, embeddings, advanced, stats)
 # tools/check_oracle.py before declaring.  Names not listed here keep
 # module order.
 _DRIVER_PRIORITY = (
-    # -- never driver-certified (round-9 additions) --
-    "peak_concurrent_sessions",
-    "cuped_ab_test",
-    "crosscorr_leadlag",
-    "ols_multivariate",
-    "cmh_stratified_test",
-    "kruskal_wallis_event_values",
-    "nelson_aalen_hazard",
-    "hurst_exponent_rs",
-    "hill_tail_index",
-    "cramers_v_matrix",
-    "chao1_vocab_richness",
-    "ngram_novelty_decay",
-    "heaps_law_fit",
-    "youden_threshold",
-    "simplified_silhouette",
-    "embedding_centroid_drift",
-    "apriori_triples",
-    "trimmed_robust_stats",
-    "bhattacharyya_segments",
-    "revenue_streaks",
-    "word_burstiness",
-    "price_consistency_audit",
-    "bollinger_breakout_days",
-    "kendalls_w_region_brands",
-    "dup_cluster_source_mix",
-    "mann_kendall_trend",
-    "pettitt_changepoint",
-    "logrank_segment_churn",
-    "cochran_q_first_day",
-    "runs_test_revenue",
-    "page_trend_test",
-    "cvm_length_drift",
-    "wilcoxon_first_last_order",
-    "good_turing_vocab",
-    "markov_hitting_time_events",
-    "mcnemar_week_retention",
-    "hopkins_statistic",
-    "ljung_box_revenue",
-    "grubbs_outlier_day",
-    "bartlett_event_values",
-    "mood_median_test",
-    "bowker_symmetry_events",
-    # -- r04-era certifications (stalest driver rows; the tail) --
-    "quantile_sketch_rollup",
-    "segment_richest_customer",
-    "segment_wealth_percentiles",
-    "semdedup_summary",
-    "sequence_packing",
-    "simhash_near_dups",
+    # -- never driver-certified (round-10 additions) --
+    "ordinal_association_panel",
+    "cliffs_delta_segments",
+    "capture_recapture_users",
+    "squared_rank_dispersion_test",
+    "jonckheere_terpstra_priority",
+    "revenue_randomness_panel",
+    "bartels_rank_vonneumann",
+    "durbin_watson_revenue",
+    "weighted_logrank_panel",
+    "rmst_retention",
+    "quandt_chow_break",
+    "brown_forsythe_event_values",
+    "lexical_richness_panel",
+    "brand_diversity_by_nation",
+    # -- r10 redesigns: the three recurring no_oracle rows now carry
+    # full value-exact oracles (portable HLL registers; exact-recall
+    # SemDeDup twin; md5-mode SimHash integer replay) — re-certified
+    # so the merged record stops carrying err rows --
     "sketch_rollup_dau",
-    "source_data_cards",
-    # This tuple is exactly 50 names = the full window; the r04 tail
-    # (substring_dup_stats .. zipf_slope_by_lang) and the whole r05
-    # era (big_orders ..) roll to the r10 window.
+    "semdedup_summary",
+    "simhash_near_dups",
+    # -- r10 reimplementation (materialized score asset): re-certify --
+    "hits_purchase_graph",
+    # -- r04-era tail (the stalest driver rows anywhere) --
+    "substring_dup_stats",
+    "theta_weekly_retention",
+    "token_stats",
+    "training_shard_plan",
+    "winnow_overlap_top",
+    "zipf_slope_by_lang",
+    # -- alphabetical head of the r05 era (next-stalest) --
+    "big_orders",
+    "brand_band_revenue",
+    "brand_price_stats",
+    "cheapest_regional_supplier",
+    "corpus_mixture_plan",
+    "cube_revenue",
+    "customer_order_distribution",
+    "customers_in_both_statuses",
+    "customers_without_orders",
+    "daily_active_users",
+    "daily_event_anomalies",
+    "doc_repetition_stats",
+    "dominant_part_suppliers",
+    "event_transitions",
+    "event_value_by_type_salted",
+    "events_one_day_by_type",
+    "excess_returned_parts",
+    "hourly_event_stats",
+    "lang_stats",
+    "large_volume_customers",
+    "local_supplier_volume",
+    "monthly_revenue_growth",
+    "monthly_revenue_running",
+    "nation_market_share",
+    "nation_volume_pairs",
+    "order_price_histogram",
+    # This tuple is exactly 50 names = the full window; the r05 tail
+    # (order_priority_discount .. user_sessions) rolls to the r11
+    # window.
 )
 
 

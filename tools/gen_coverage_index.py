@@ -48,6 +48,13 @@ def main() -> None:
         count=1,
     )
 
+    # strip glued bullet fragments a pre-r10 version of this tool left
+    # at the prose tail (it concatenated the first bullet without a
+    # newline, so each regeneration folded one bullet into the prose)
+    prose = re.sub(r"(- `[^`]+` \((oracle|rows-only)\))+\s*$", "", prose)
+    if not prose.endswith("\n"):
+        prose += "\n"
+
     bullets = "\n".join(
         f"- `{name}` ({'oracle' if name in oracles else 'rows-only'})"
         for name in qs
