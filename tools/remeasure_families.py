@@ -10,6 +10,14 @@ the protocol's "re-measure the outliers quiesced" step is a 5-minute
 patch instead of a 60-minute sweep.
 
 Usage: python tools/remeasure_families.py sf1,sf10 family [family ...]
+
+r10: also admits the SIXTH decade (scratch/sf100, 600 M lineitem —
+tools/make_scaled_corpus.py scratch/sf100 1000): pass "sf100" in the
+sf list; the tool records the new decade's table rows into
+SCALING.json["rows"] on first sight. Set SPARK_GRAFT_SKIP_ASSET_WARM=1
+to skip the derived-asset warm step — ONLY valid when every named
+family reads base tables directly (no bm25/minhash/ivf/... asset);
+at sf100 building all assets would dominate the pass.
 """
 
 from __future__ import annotations
@@ -61,7 +69,14 @@ def main() -> None:
         for t in TABLES:
             df = table(spark, d, t)
             df.select([F.count(F.col(c)).alias(c) for c in df.columns]).collect()
-        warm_derived_assets(spark, d)
+        if os.environ.get("SPARK_GRAFT_SKIP_ASSET_WARM") != "1":
+            warm_derived_assets(spark, d)
+        if sf not in rec["rows"]:
+            rec["rows"][sf] = {
+                t: table(spark, d, t).count()
+                for t in {"documents", "events", "lineitem", "supplier",
+                          "embeddings", "orders", "customer"}
+            }
         for name in names:
             t0 = time.perf_counter()
             n = len(queries[name](spark, d).collect())
@@ -73,7 +88,7 @@ def main() -> None:
 
     # refit the patched families' exponents with the sweep's rule:
     # last decade where the driving table grows and both ends measured
-    labels = list(SFS) + ["sf1", "sf10"]
+    labels = list(SFS) + ["sf1", "sf10", "sf100"]
     for name in names:
         drv = HEAVY[name]
         t = rec["seconds"][name]
