@@ -77,6 +77,43 @@ def cms_build(
     )
 
 
+def cms_build_weighted(
+    counted: DataFrame,
+    item_col: str,
+    weight_col: str,
+    depth: int = 4,
+    width: int = 64,
+) -> DataFrame:
+    """Build the cell table from a PRE-COUNTED (item, weight) frame —
+    cellwise identical to :func:`cms_build` over the expanded stream
+    (each cell is a sum of the same weights), but the ×depth row
+    multiply and the per-row md5 run over ITEM CARDINALITY rows
+    instead of the raw stream: when the consumer already holds per-item
+    counts (a word-frequency census does — it needs the exact counts
+    for its own output), the sketch build is depth×|vocabulary| hash
+    calls instead of depth×|corpus| (sf10 delta measured in
+    BASELINE.md's r10 notes; the transient JVM peak collapses with the
+    4× token-stream multiply).
+
+    Trade (why cms_build keeps the stream path): on near-unique items
+    (ids), |items| ≈ |rows|, so pre-counting adds a vocabulary-keyed
+    shuffle for nothing — the stream path's one 256-cell exchange is
+    strictly better there. Pick by item cardinality."""
+    rows = F.broadcast(
+        counted.sparkSession.range(depth).select(F.col("id").alias("j"))
+    )
+    return (
+        counted.select(
+            F.col(item_col).cast("string").alias("__item"),
+            F.col(weight_col).alias("__w"),
+        )
+        .join(rows)
+        .select("j", _bucket(F.col("__item"), F.col("j"), width).alias("bucket"), "__w")
+        .groupBy("j", "bucket")
+        .agg(F.sum("__w").alias("cnt"))
+    )
+
+
 def cms_point_estimates(
     items: DataFrame,
     sketch: DataFrame,

@@ -2085,21 +2085,28 @@ def cms_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     property-tested in pytest along with the exact cellwise-additive
     merge identity).
 
-    Plan: sketch build = one broadcast×4 row-multiply + ONE aggregation
-    keyed on 256 fixed cells (map-side combine collapses each partition
-    to ≤256 partial cells — the exchange is sketch-sized, not
-    vocabulary-sized); probes join the broadcast 256-row sketch. The
-    md5-salted bucket hash (portable-hash idiom) makes every stage
-    replayable as ANSI SQL — hence the value-exact oracle."""
+    Plan (r10, VERDICT r9 #4): this census needs the EXACT per-word
+    counts for its own output anyway, so the sketch is built FROM that
+    counted frame (operators/cms.cms_build_weighted) — cellwise
+    identical to sketching the raw stream, but the ×4 depth multiply
+    and the per-row md5 run over the VOCABULARY, not the token stream
+    (sf10 delta measured in BASELINE.md's r10 notes; the transient
+    JVM peak collapses with the 4× stream multiply). One vocabulary-keyed aggregation
+    (map-side combine ships per-partition-distinct words), then the
+    4×|vocab| cell build; probes join the broadcast 256-row sketch.
+    Streams of near-unique items keep the cms_build stream path (see
+    the operator docstring for the cardinality trade). The md5-salted
+    bucket hash (portable-hash idiom) makes every stage replayable as
+    ANSI SQL — hence the value-exact oracle."""
     from data_ingestion_project_spark.operators.cms import (
-        cms_build,
+        cms_build_weighted,
         cms_point_estimates,
     )
 
     d = table(spark, sf_dir, "documents")
     words = d.select(F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("word"))
-    sketch = cms_build(words, "word", depth=4, width=64)
     exact = words.groupBy("word").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    sketch = cms_build_weighted(exact, "word", "exact_cnt", depth=4, width=64)
     est = cms_point_estimates(exact, sketch, "word", depth=4, width=64)
     return (
         est.select(

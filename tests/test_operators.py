@@ -803,6 +803,16 @@ def test_cms_upper_bound_error_and_merge_identity(spark):
     merged_cells = {(r["j"], r["bucket"]): r["cnt"] for r in merged.collect()}
     assert merged_cells == whole_cells
 
+    # the pre-counted build (r10, the word-census fast path) is
+    # cellwise IDENTICAL to sketching the expanded stream
+    from data_ingestion_project_spark.operators.cms import cms_build_weighted
+
+    weighted = cms_build_weighted(
+        exact_df, "item", "exact_cnt", depth=depth, width=width
+    )
+    weighted_cells = {(r["j"], r["bucket"]): r["cnt"] for r in weighted.collect()}
+    assert weighted_cells == whole_cells
+
 
 def test_approx_top_words_exact_on_small_vocab(spark):
     """With capacity far above the corpus vocabulary no counter ever

@@ -67,8 +67,12 @@ for t in TABLES:
     df.select([F.count(F.col(c)).alias(c) for c in df.columns]).collect()
 warm_derived_assets(spark, sf_dir)
 
+fn = all_queries().get(name)
+if fn is None:  # import-gated family (e.g. the Pillow twin)
+    print("MEMHW " + json.dumps({{"family": name, "skipped": "not registered in this env"}}))
+    raise SystemExit(0)
 t0 = time.perf_counter()
-n = len(all_queries()[name](spark, sf_dir).collect())
+n = len(fn(spark, sf_dir).collect())
 secs = round(time.perf_counter() - t0, 3)
 
 def vm_hwm_kb(pid):
