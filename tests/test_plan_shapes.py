@@ -526,6 +526,11 @@ _GLOBAL_WINDOW_SANCTIONED = {
     # aggregate (calendar-bounded — the kaplan_meier_retention
     # posture); the corpus-sized side is reduced by groupBy(user)
     "rmst_retention",
+    # r10 sup-Chow: the six prefix-moment windows run over the per-DAY
+    # revenue aggregate (calendar-bounded, the cusum posture); the
+    # corpus-sized side is reduced by the groupBy(day) first and the
+    # argmax is TakeOrdered-bounded
+    "quandt_chow_break",
     # Nelson-Aalen: both prefix windows run over the per-LIFETIME-DAY
     # aggregate (calendar-bounded, the kaplan_meier_retention posture);
     # the corpus-sized side is reduced by the per-user groupBy first

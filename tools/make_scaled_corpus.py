@@ -60,7 +60,10 @@ def main() -> None:
 
     def replicate(name: str, key_strides: dict[str, int], post=None):
         df = table(spark, src, name)
-        out = df.crossJoin(F.broadcast(reps))
+        # spread the expansion: the source often has only 1-3 parquet
+        # files, and factor-1000 runs would otherwise push hundreds of
+        # millions of expanded rows through 1-3 scan tasks
+        out = df.repartition(32).crossJoin(F.broadcast(reps))
         for col, stride in key_strides.items():
             out = out.withColumn(col, F.col(col) + F.col("__r") * F.lit(stride))
         if post is not None:
