@@ -54,28 +54,87 @@ def bottomk_sketches(
     valid bottom-k sample, so the ENTIRE sketch pipeline becomes
     replayable as ANSI SQL — the same engine-portability trade as
     operators/dedup.md5_minhash_candidates, and what lets the rollup
-    query be certified value-exactly against a DuckDB oracle."""
+    query be certified value-exactly against a DuckDB oracle.
+
+    Scale shape (r10, found by the sf100 decade — 8.1 s → 251.6 s,
+    alpha 1.49): the original plan ranked EVERY row of a group through
+    the per-group sort window just to keep k, so each day's full
+    multi-million-row slice was shuffled and sorted (with 32-char md5
+    strings) and day-count capped the parallelism. The build now
+    PRE-PRUNES with a per-group hash threshold before anything heavy:
+    one map-side-combined count pass sizes each group, rows keep only
+    hashes below ~(8k/n_g) of the hash space (a superset of the true
+    bottom-k with probability 1 − e^{-Θ(k)}), and an EXACT FALLBACK
+    re-admits any group whose pruned+deduped row count came up short
+    (kc < min(k, n_g)) — so the result is the true bottom-k on ANY
+    input, deterministically, while the sort window touches ~8k rows
+    per group instead of n_g. Remeasured sf10→sf100: alpha 1.49 →
+    see SCALING.json (the count pass is the only full-stream stage
+    left)."""
     from pyspark.sql.window import Window
+
+    prune_mult = 8  # expected kept rows per group = prune_mult * k
 
     h = (
         F.md5(F.col(key_col).cast("string"))
         if use_md5
         else F.xxhash64(F.col(key_col))
     )
-    rows = (
-        df.filter(F.col(value_col).isNotNull())
-        .select(
-            *group_cols,
-            F.col(value_col).cast("double").alias("__v"),
-            h.alias("__h"),
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        *group_cols,
+        F.col(value_col).cast("double").alias("__v"),
+        h.alias("__h"),
+    )
+    # order-preserving integer prefix of the hash for thresholding:
+    # md5 hex -> first 15 hex chars as a 60-bit int (prefix order is a
+    # coarsening of full-string order, so "prefix <= t" keeps a
+    # superset); xxhash64 is already a long (signed order)
+    if use_md5:
+        pfx = F.conv(F.substring(F.col("__h"), 1, 15), 16, 10).cast("long")
+        space, origin = float(1 << 60), 0.0
+    else:
+        pfx = F.col("__h")
+        space, origin = float(1 << 64), -float(1 << 63)
+    counts = base.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("__n"))
+    frac = F.lit(float(prune_mult * k)) / F.col("__n").cast("double")
+    # origin shifts the signed-long hash domain; the sum stays inside
+    # [-2^63, 2^63) in DOUBLE before the single long cast
+    thresh = F.when(F.col("__n") <= F.lit(prune_mult * k), F.lit(None)).otherwise(
+        F.floor(frac * F.lit(space) + F.lit(origin)).cast("long")
+    )
+    filtered = (
+        base.join(F.broadcast(counts), list(group_cols))
+        .withColumn("__t", thresh)
+        .filter(F.col("__t").isNull() | (pfx <= F.col("__t")))
+    )
+    # the sketch is a SET of (hash, value) pairs: identical pairs
+    # collapse, which is what makes the fold IDEMPOTENT — merging a
+    # replayed/re-executed batch cannot grow the sketch. A genuine
+    # data duplicate has a different row key, hence a different hash;
+    # only the same row replayed (or a measure-zero h+v collision)
+    # collapses. Dedup runs on the PRUNED frame (~prune_mult*k rows
+    # per group), not the stream.
+    deduped = filtered.dropDuplicates([*group_cols, "__h", "__v"])
+    kept_counts = deduped.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("__kc"))
+    # exact fallback: a group is short iff pruning+dedup left fewer
+    # than min(k, n_g) rows — re-admit its FULL row set (dedup'd).
+    # With uniform hashes this set is empty w.p. 1 - e^{-Theta(k)};
+    # the branch exists so correctness never rests on that bound.
+    short = (
+        counts.join(kept_counts, list(group_cols), "left")
+        .filter(
+            F.coalesce(F.col("__kc"), F.lit(0))
+            < F.least(F.lit(k).cast("long"), F.col("__n"))
         )
-        # the sketch is a SET of (hash, value) pairs: identical pairs
-        # collapse, which is what makes the fold IDEMPOTENT — merging a
-        # replayed/re-executed batch cannot grow the sketch. A genuine
-        # data duplicate has a different row key, hence a different
-        # hash; only the same row replayed (or a measure-zero h+v
-        # collision) collapses.
+        .select(*group_cols)
+    )
+    ok_rows = deduped.join(F.broadcast(short), list(group_cols), "left_anti")
+    fb_rows = (
+        base.join(F.broadcast(short), list(group_cols), "left_semi")
         .dropDuplicates([*group_cols, "__h", "__v"])
+    )
+    rows = ok_rows.select(*group_cols, "__v", "__h").unionByName(
+        fb_rows.select(*group_cols, "__v", "__h")
     )
     w = Window.partitionBy(*group_cols).orderBy(
         F.col("__h").asc(), F.col("__v").asc()

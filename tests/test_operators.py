@@ -1385,6 +1385,45 @@ def test_quantile_sketch_merge_equals_direct_and_rank_error(spark):
     assert [tuple(x) for x in again] == [tuple(x) for x in merged]
 
 
+def test_bottomk_prune_fallback_is_exact_on_duplicate_heavy_groups(spark):
+    """The r10 bottom-k pre-prune's EXACT-FALLBACK branch: a group
+    with many raw rows but few DISTINCT (hash, value) pairs defeats
+    the threshold sizing (counts see 60k rows, dedup leaves 300), so
+    the pruned+deduped count comes up short of min(k, n) and the
+    group must re-admit its full row set — result identical to the
+    ground-truth bottom-k over the distinct pairs. Also pins the
+    keep-all small-group path in the same build."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from data_ingestion_project_spark.operators.quantile_sketch import (
+        bottomk_sketches,
+    )
+
+    # group 'dup': 60_000 rows but only 300 distinct event ids (each
+    # repeated 200x -> identical (h, v) pairs collapse); group 'tiny':
+    # 50 rows, below k, exercising the keep-all threshold branch
+    rows = [(i % 300, "dup", float(i % 300)) for i in range(60_000)]
+    rows += [(1_000_000 + i, "tiny", float(i)) for i in range(50)]
+    df = spark.createDataFrame(rows, "event_id long, day string, value double")
+    K = 1024
+    got = {
+        r["day"]: [tuple(x) for x in r["sketch"]]
+        for r in bottomk_sketches(
+            df, "value", ["day"], "event_id", k=K, use_md5=True
+        ).collect()
+    }
+    # ground truth: distinct (md5(event_id), value), sorted, first K
+    def truth(pairs):
+        dd = sorted({(hashlib.md5(str(e).encode()).hexdigest(), v) for e, v in pairs})
+        return dd[:K]
+
+    assert got["dup"] == truth([(i % 300, float(i % 300)) for i in range(60_000)])
+    assert len(got["dup"]) == 300  # fallback re-admitted everything
+    assert got["tiny"] == truth([(1_000_000 + i, float(i)) for i in range(50)])
+
+
 def test_bm25_and_rrf_retrieval_sanity(spark):
     """BM25/RRF sanity on the live corpus (the MATH is certified
     value-exactly by the DuckDB oracles — an independent SQL

@@ -350,15 +350,22 @@ def test_jaccard_prefix_join_is_equi_not_cartesian(spark):
     assert not c["has_python_udf"]
 
 
-def test_quantile_sketch_rollup_python_free_no_joins(spark):
+def test_quantile_sketch_rollup_python_free_broadcast_only(spark):
     """The sketch build/merge pipeline is windows + aggregates over
-    JVM expressions: no join of any kind, no Python."""
+    JVM expressions plus (r10) the bottom-k PRE-PRUNE's broadcast
+    joins — the per-group count/threshold attach and the exact-
+    fallback anti/semi probes, all against group-cardinality frames.
+    Nothing data-sized ever sort-merges or shuffle-hash-joins, and no
+    Python appears. (The prune exists because the sf100 decade caught
+    the full-stream per-group sort at alpha 1.49 — the window now
+    ranks ~8k pruned rows per group, not the group's whole slice.)"""
     df = all_queries()["quantile_sketch_rollup"](spark, SF)
     c = plan_census(df)
     assert (
         c["n_sortmerge_joins"] == c["n_shuffled_hash_joins"]
-        == c["n_broadcast_joins"] == c["n_cartesian"] == c["n_bnl_joins"] == 0
+        == c["n_cartesian"] == c["n_bnl_joins"] == 0
     )
+    assert c["n_broadcast_joins"] >= 1  # count/threshold + fallback probes
     assert not c["has_python_udf"]
 
 

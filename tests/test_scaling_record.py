@@ -36,7 +36,9 @@ def test_no_super_linear_family_in_committed_sweep():
         q for q, e in exps.items() if e["step"] in ("sf0.1->sf1", "sf1->sf10")
     ]
     assert len(deep_fits) >= 10, deep_fits
-    # timings exist for the three base SFs (sf1/sf10 cover subsets)
+    # timings exist for the three base SFs (sf1/sf10/sf100 cover
+    # subsets — the sixth decade is measured for the r10-documented
+    # ten-family list)
     for q, t in rec["seconds"].items():
         assert {"sf0.001", "sf0.01", "sf0.1"} <= set(t) <= {
             "sf0.001",
@@ -44,7 +46,10 @@ def test_no_super_linear_family_in_committed_sweep():
             "sf0.1",
             "sf1",
             "sf10",
+            "sf100",
         }, q
+    sixth = [q for q, t in rec["seconds"].items() if "sf100" in t]
+    assert len(sixth) >= 10, sixth
 
 
 @pytest.mark.skipif(not os.path.exists(RECORD), reason="no committed SCALING.json")
