@@ -34,6 +34,10 @@ _MODULES = (tpch, tpch2, events, documents, embeddings, advanced, stats)
 # module order.
 _DRIVER_PRIORITY = (
     # -- never driver-certified (round-10 additions) --
+    "theils_u_event_dow",
+    "cohen_kappa_quality_flags",
+    "page_hinkley_drift",
+    "brand_rank_agreement_regions",
     "ordinal_association_panel",
     "cliffs_delta_segments",
     "capture_recapture_users",
@@ -87,12 +91,8 @@ _DRIVER_PRIORITY = (
     "large_volume_customers",
     "local_supplier_volume",
     "monthly_revenue_growth",
-    "monthly_revenue_running",
-    "nation_market_share",
-    "nation_volume_pairs",
-    "order_price_histogram",
     # This tuple is exactly 50 names = the full window; the r05 tail
-    # (order_priority_discount .. user_sessions) rolls to the r11
+    # (monthly_revenue_running .. user_sessions) rolls to the r11
     # window.
 )
 

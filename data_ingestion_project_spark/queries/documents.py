@@ -2335,6 +2335,93 @@ def bpe_real_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cohen_kappa_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two independent document-quality KEEP
+    flags — the char-length heuristic (n_chars ≥ 300) and the
+    token-count heuristic (≥ 55 whitespace tokens) — the inter-rater
+    agreement statistic a pipeline uses to decide whether two cheap
+    quality filters are redundant (kappa → 1), complementary
+    (kappa ≈ 0 agreement beyond chance) or contradictory (kappa < 0).
+    Raw agreement alone misleads when the base rates are skewed;
+    kappa subtracts the chance-agreement floor.
+
+    Exactness: one 2×2 contingency pass; kappa = (N·agree −
+    Σ rᵢcᵢ)/(N² − Σ rᵢcᵢ) is a single division of exact
+    cross-multiplied integers (no intermediate probabilities), plus
+    the marginal rates as exact ratios — all floor-rounded 6 dp."""
+    d = table(spark, sf_dir, "documents")
+    flags = d.select(
+        (F.col("n_chars") >= 300).cast("int").alias("a"),
+        (
+            F.size(F.split(F.lower(F.trim("text")), r"\s+")) >= 55
+        ).cast("int").alias("b"),
+    )
+    _d38 = "decimal(38,0)"
+    g = flags.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("a") == F.col("b"), 1).otherwise(0)).alias("agree"),
+        F.sum("a").alias("ra1"),
+        F.sum("b").alias("cb1"),
+    )
+    n = F.col("n").cast(_d38)
+    ra1, cb1 = F.col("ra1").cast(_d38), F.col("cb1").cast(_d38)
+    ra0, cb0 = n - ra1, n - cb1
+    chance = ra1 * cb1 + ra0 * cb0
+    kappa = (n * F.col("agree").cast(_d38) - chance).cast("double") / (
+        n * n - chance
+    ).cast("double")
+    return g.select(
+        F.col("n").cast("long").alias("n_docs"),
+        F.col("agree").cast("long").alias("n_agree"),
+        floor_round(
+            F.col("agree").cast("double") / F.col("n").cast("double"), 6
+        ).alias("raw_agreement"),
+        floor_round(
+            F.col("ra1").cast("double") / F.col("n").cast("double"), 6
+        ).alias("keep_rate_len"),
+        floor_round(
+            F.col("cb1").cast("double") / F.col("n").cast("double"), 6
+        ).alias("keep_rate_tok"),
+        floor_round(kappa, 6).alias("kappa"),
+    )
+
+
+ORACLE_COHEN_KAPPA_QUALITY_FLAGS = """
+WITH flags AS (
+  SELECT CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS a,
+         CASE WHEN len(string_split_regex(lower(trim(text)), '\\s+')) >= 55
+              THEN 1 ELSE 0 END AS b
+  FROM documents
+), g AS (
+  SELECT COUNT(*) AS n,
+         SUM(CASE WHEN a = b THEN 1 ELSE 0 END) AS agree,
+         SUM(a) AS ra1, SUM(b) AS cb1
+  FROM flags
+), d AS (
+  SELECT CAST(n AS BIGINT) AS n_docs, CAST(agree AS BIGINT) AS n_agree,
+         CAST(n AS DOUBLE) AS nd, CAST(agree AS DOUBLE) AS agreed,
+         CAST(ra1 AS DOUBLE) AS ra1d, CAST(cb1 AS DOUBLE) AS cb1d,
+         CAST(CAST(n AS HUGEINT) * agree
+              - (CAST(ra1 AS HUGEINT) * cb1
+                 + CAST(n - ra1 AS HUGEINT) * (n - cb1)) AS DOUBLE) AS knum,
+         CAST(CAST(n AS HUGEINT) * n
+              - (CAST(ra1 AS HUGEINT) * cb1
+                 + CAST(n - ra1 AS HUGEINT) * (n - cb1)) AS DOUBLE) AS kden
+  FROM g
+)
+SELECT n_docs, n_agree,
+       sign(agreed / nd) * floor(abs(agreed / nd) * 1000000.0 + 0.5) / 1000000.0
+         AS raw_agreement,
+       sign(ra1d / nd) * floor(abs(ra1d / nd) * 1000000.0 + 0.5) / 1000000.0
+         AS keep_rate_len,
+       sign(cb1d / nd) * floor(abs(cb1d / nd) * 1000000.0 + 0.5) / 1000000.0
+         AS keep_rate_tok,
+       sign(knum / kden) * floor(abs(knum / kden) * 1000000.0 + 0.5) / 1000000.0
+         AS kappa
+FROM d
+"""
+
+
 def lexical_richness_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language lexical-richness panel over the classic frequency-
     SPECTRUM statistics (the V_m = "words seen exactly m times" view
@@ -5981,6 +6068,7 @@ QUERIES = {
     "lang_stats": lang_stats,
     "top_words": top_words,
     "lexical_richness_panel": lexical_richness_panel,
+    "cohen_kappa_quality_flags": cohen_kappa_quality_flags,
     "approx_top_words": approx_top_words,
     "cms_word_freq": cms_word_freq,
     "html_extract_stats": html_extract_stats,
@@ -6053,6 +6141,7 @@ if _HAVE_PIL:
 ORACLE = {
     "good_turing_vocab": ORACLE_GOOD_TURING_VOCAB,
     "lexical_richness_panel": ORACLE_LEXICAL_RICHNESS_PANEL,
+    "cohen_kappa_quality_flags": ORACLE_COHEN_KAPPA_QUALITY_FLAGS,
     # full integer replay of the md5-mode SimHash pipeline (r10)
     "simhash_near_dups": ORACLE_SIMHASH_NEAR_DUPS,
     "dup_cluster_source_mix": ORACLE_DUP_CLUSTER_SOURCE_MIX,

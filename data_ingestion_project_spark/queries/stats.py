@@ -5431,6 +5431,247 @@ FROM folded CROSS JOIN med2
 """
 
 
+def page_hinkley_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page–Hinkley drift statistic on daily revenue, both directions
+    — the SEQUENTIAL drift detector next to the retrospective
+    changepoint family (pettitt locates one break, cusum one mean
+    shift; PH is the running excursion U_t = Σ(xᵢ − x̄ᵢ) whose lift
+    above its own running minimum is what an online monitor alarms
+    on). Reported parameter-free (δ = 0, documented): the MAXIMUM
+    excursion max_t(U_t − min_{s≤t} U_s) and its day, for upward
+    drift, plus the mirrored statistic on −x for downward — an alarm
+    threshold λ then just thresholds these numbers.
+
+    Exactness: per-day term xᵢ − Sᵢ/i is value-determined off the
+    exact integer cent prefix (one division), micro-quantized to
+    int64 BEFORE the cumulative fold, so U_t, its running min, and
+    the excursions are exact integers; output converts once to
+    dollars at 4 dp. Argmax runs on the quantized integers with a
+    day tie-break.
+
+    Plan: the prefix/min windows run over the calendar-bounded daily
+    frame (sanctioned); one orders shuffle feeds it."""
+    o = table(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(F.sum((F.col("o_totalprice") * 100).cast("long")).alias("cents"))
+        .localCheckpoint(eager=True)
+    )
+    wl = Window.orderBy("d")
+    wc = wl.rowsBetween(Window.unboundedPreceding, 0)
+    base = daily.select(
+        "d",
+        "cents",
+        F.sum("cents").over(wc).alias("s"),
+        F.row_number().over(wl).alias("i"),
+    ).select(
+        "d",
+        (
+            (
+                F.col("cents").cast("double")
+                - F.col("s").cast("double") / F.col("i").cast("double")
+            )
+            * F.lit(1e6)
+        )
+        .cast("long")
+        .alias("term_q"),
+    )
+    cum = base.select(
+        "d",
+        F.sum("term_q").over(wc).alias("u"),
+    ).select(
+        "d",
+        "u",
+        (F.col("u") - F.min("u").over(wc)).alias("exc_up"),
+        (F.max("u").over(wc) - F.col("u")).alias("exc_down"),
+    )
+    up = (
+        cum.orderBy(F.col("exc_up").desc(), F.col("d").asc())
+        .limit(1)
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day_up"),
+            (F.col("exc_up").cast("double") / F.lit(1e8)).alias("ph_up_dollars"),
+        )
+    )
+    down = (
+        cum.orderBy(F.col("exc_down").desc(), F.col("d").asc())
+        .limit(1)
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day_down"),
+            (F.col("exc_down").cast("double") / F.lit(1e8)).alias(
+                "ph_down_dollars"
+            ),
+        )
+    )
+    n = daily.agg(F.count(F.lit(1)).alias("n_days"))
+    return (
+        n.crossJoin(F.broadcast(up))
+        .crossJoin(F.broadcast(down))
+        .select(
+            "n_days",
+            "day_up",
+            _floor_round(F.col("ph_up_dollars"), 4).alias("ph_up_dollars"),
+            "day_down",
+            _floor_round(F.col("ph_down_dollars"), 4).alias("ph_down_dollars"),
+        )
+    )
+
+
+ORACLE_PAGE_HINKLEY_DRIFT = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         SUM(CAST(trunc(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1
+), base AS (
+  SELECT d,
+         CAST(trunc((CAST(cents AS DOUBLE)
+               - CAST(SUM(cents) OVER w AS DOUBLE)
+                 / CAST(ROW_NUMBER() OVER (ORDER BY d) AS DOUBLE))
+              * 1000000.0) AS BIGINT) AS term_q
+  FROM daily
+  WINDOW w AS (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), cum AS (
+  SELECT d, SUM(term_q) OVER w AS u
+  FROM base
+  WINDOW w AS (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), exc AS (
+  SELECT d, u,
+         u - MIN(u) OVER w AS exc_up,
+         MAX(u) OVER w - u AS exc_down
+  FROM cum
+  WINDOW w AS (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), up AS (
+  SELECT strftime(d, '%Y-%m-%d') AS day_up,
+         CAST(exc_up AS DOUBLE) / 100000000.0 AS ph_up
+  FROM exc ORDER BY exc_up DESC, d ASC LIMIT 1
+), down AS (
+  SELECT strftime(d, '%Y-%m-%d') AS day_down,
+         CAST(exc_down AS DOUBLE) / 100000000.0 AS ph_down
+  FROM exc ORDER BY exc_down DESC, d ASC LIMIT 1
+), n AS (SELECT COUNT(*) AS n_days FROM daily)
+SELECT CAST(n_days AS BIGINT) AS n_days, day_up,
+       sign(ph_up) * floor(abs(ph_up) * 10000.0 + 0.5) / 10000.0
+         AS ph_up_dollars,
+       day_down,
+       sign(ph_down) * floor(abs(ph_down) * 10000.0 + 0.5) / 10000.0
+         AS ph_down_dollars
+FROM n CROSS JOIN up CROSS JOIN down
+"""
+
+
+def theils_u_event_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil's uncertainty coefficient over the event_type × ISO-dow
+    contingency — the ASYMMETRIC, information-theoretic companion to
+    chisq_event_dow and cramers_v_matrix: U(X|Y) = I(X;Y)/H(X) reads
+    "what fraction of event-type entropy does knowing the weekday
+    remove?", and the two directions differ (Cramér's V cannot say
+    WHICH variable predicts which).
+
+    Exactness: every entropy is folded as the exact INTEGER
+    H_scaled = N·q(N) − Σ n·q(n) with q = round(ln·1e8) (one libm call
+    per DISTINCT count — the lexical_richness idiom); the N·1e8
+    denominators cancel in every ratio, so U values are single
+    divisions of exact integers, floor-rounded at 6 dp.
+
+    Scale: one partial-agg shuffle to ≤ |types|×7 cells; everything
+    else is cell arithmetic."""
+    e = table(spark, sf_dir, "events")
+    cells = (
+        e.groupBy(
+            "event_type", (F.expr("weekday(ts)") + F.lit(1)).alias("dow")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    _d38 = "decimal(38,0)"
+
+    def _q(col: Column) -> Column:
+        return F.round(F.log(col.cast("double")) * F.lit(1e8), 0).cast("long")
+
+    def _hs(df: DataFrame, cnt: str) -> DataFrame:
+        # Σ n·q(n) over the frame, as one exact decimal
+        return df.agg(
+            F.sum(F.col(cnt).cast(_d38) * _q(F.col(cnt)).cast(_d38)).alias("s")
+        )
+
+    rows_h = _hs(cells.groupBy("event_type").agg(F.sum("n").alias("r")), "r")
+    cols_h = _hs(cells.groupBy("dow").agg(F.sum("n").alias("c")), "c")
+    cells_h = _hs(cells, "n")
+    tot = cells.agg(F.sum("n").alias("n_tot"))
+    g = (
+        tot.crossJoin(F.broadcast(rows_h.select(F.col("s").alias("sr"))))
+        .crossJoin(F.broadcast(cols_h.select(F.col("s").alias("sc"))))
+        .crossJoin(F.broadcast(cells_h.select(F.col("s").alias("sxy"))))
+    )
+    nq = F.col("n_tot").cast(_d38) * _q(F.col("n_tot")).cast(_d38)
+    hx = (nq - F.col("sr")).cast("double")
+    hy = (nq - F.col("sc")).cast("double")
+    hxy = (nq - F.col("sxy")).cast("double")
+    mi = hx + hy - hxy
+    denom = F.col("n_tot").cast("double") * F.lit(1e8)
+    return g.select(
+        F.col("n_tot").cast("long").alias("n"),
+        _floor_round(hx / denom, 6).alias("h_event_type"),
+        _floor_round(hy / denom, 6).alias("h_dow"),
+        _floor_round(mi / denom, 6).alias("mutual_info"),
+        _floor_round(mi / hx, 6).alias("u_type_given_dow"),
+        _floor_round(mi / hy, 6).alias("u_dow_given_type"),
+        _floor_round(F.lit(2.0) * mi / (hx + hy), 6).alias("u_symmetric"),
+    )
+
+
+ORACLE_THEILS_U_EVENT_DOW = """
+WITH cells AS (
+  SELECT event_type, CAST(isodow(ts) AS INTEGER) AS dow, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+), tot AS (SELECT SUM(n) AS n_tot FROM cells),
+rows_h AS (
+  SELECT SUM(CAST(r AS HUGEINT)
+             * CAST(round(ln(CAST(r AS DOUBLE)) * 100000000.0) AS BIGINT)) AS sr
+  FROM (SELECT SUM(n) AS r FROM cells GROUP BY event_type)
+), cols_h AS (
+  SELECT SUM(CAST(c AS HUGEINT)
+             * CAST(round(ln(CAST(c AS DOUBLE)) * 100000000.0) AS BIGINT)) AS sc
+  FROM (SELECT SUM(n) AS c FROM cells GROUP BY dow)
+), cells_h AS (
+  SELECT SUM(CAST(n AS HUGEINT)
+             * CAST(round(ln(CAST(n AS DOUBLE)) * 100000000.0) AS BIGINT)) AS sxy
+  FROM cells
+), g AS (
+  SELECT CAST(n_tot AS BIGINT) AS n,
+         CAST(CAST(n_tot AS HUGEINT)
+              * CAST(round(ln(CAST(n_tot AS DOUBLE)) * 100000000.0) AS BIGINT)
+              - sr AS DOUBLE) AS hx,
+         CAST(CAST(n_tot AS HUGEINT)
+              * CAST(round(ln(CAST(n_tot AS DOUBLE)) * 100000000.0) AS BIGINT)
+              - sc AS DOUBLE) AS hy,
+         CAST(CAST(n_tot AS HUGEINT)
+              * CAST(round(ln(CAST(n_tot AS DOUBLE)) * 100000000.0) AS BIGINT)
+              - sxy AS DOUBLE) AS hxy,
+         CAST(n_tot AS DOUBLE) * 100000000.0 AS denom
+  FROM tot CROSS JOIN rows_h CROSS JOIN cols_h CROSS JOIN cells_h
+)
+SELECT n,
+       sign(hx / denom) * floor(abs(hx / denom) * 1000000.0 + 0.5) / 1000000.0
+         AS h_event_type,
+       sign(hy / denom) * floor(abs(hy / denom) * 1000000.0 + 0.5) / 1000000.0
+         AS h_dow,
+       sign((hx + hy - hxy) / denom)
+         * floor(abs((hx + hy - hxy) / denom) * 1000000.0 + 0.5) / 1000000.0
+         AS mutual_info,
+       sign((hx + hy - hxy) / hx)
+         * floor(abs((hx + hy - hxy) / hx) * 1000000.0 + 0.5) / 1000000.0
+         AS u_type_given_dow,
+       sign((hx + hy - hxy) / hy)
+         * floor(abs((hx + hy - hxy) / hy) * 1000000.0 + 0.5) / 1000000.0
+         AS u_dow_given_type,
+       sign(2.0 * (hx + hy - hxy) / (hx + hy))
+         * floor(abs(2.0 * (hx + hy - hxy) / (hx + hy)) * 1000000.0 + 0.5)
+         / 1000000.0 AS u_symmetric
+FROM g
+"""
+
+
 def brown_forsythe_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brown–Forsythe test (Levene with MEDIAN centers) for equal
     VARIANCE of event value across the five event types — the
@@ -7085,6 +7326,8 @@ QUERIES = {
     "rmst_retention": rmst_retention,
     "quandt_chow_break": quandt_chow_break,
     "brown_forsythe_event_values": brown_forsythe_event_values,
+    "theils_u_event_dow": theils_u_event_dow,
+    "page_hinkley_drift": page_hinkley_drift,
 }
 
 ORACLE = {
@@ -7144,4 +7387,6 @@ ORACLE = {
     "rmst_retention": ORACLE_RMST_RETENTION,
     "quandt_chow_break": ORACLE_QUANDT_CHOW_BREAK,
     "brown_forsythe_event_values": ORACLE_BROWN_FORSYTHE_EVENT_VALUES,
+    "theils_u_event_dow": ORACLE_THEILS_U_EVENT_DOW,
+    "page_hinkley_drift": ORACLE_PAGE_HINKLEY_DRIFT,
 }

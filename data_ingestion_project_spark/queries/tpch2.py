@@ -1353,6 +1353,153 @@ ORDER BY band
 """
 
 
+def brand_rank_agreement_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Do AMERICA and ASIA rank part brands the same way by revenue?
+    Three rank-agreement statistics over the two regions' brand
+    revenue rankings: Spearman's rho on ranks, Kendall's tau (pair
+    concordance), and Spearman's FOOTRULE (total rank displacement,
+    the L1 companion the correlation pair misses) — the assortment
+    question ("is brand demand structure portable across regions?")
+    asked with the proper rank machinery instead of eyeballing two
+    top-10 lists.
+
+    Exactness: per-(region, brand) revenue folds to exact micro-cent
+    integers; ranks are row_number over the ≤|brands|-row frames with
+    a total ordering (revenue desc, brand asc — no rank ties by
+    construction), so footrule and the discordant-pair count are
+    exact integers from a broadcast |brands|² self-join, rho =
+    1 − 6Σd²/(n³−n) and tau = 1 − 4D/(n(n−1)) are exact rationals,
+    floor-rounded 6 dp.
+
+    Scale: one lineitem pass to regions × brands cells; everything
+    after is ≤(2·|brands|)-row arithmetic."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    cells = (
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .filter(F.col("r_name").isin("AMERICA", "ASIA"))
+        .groupBy("r_name", "p_brand")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+                .cast("long")
+            ).alias("rev_c")
+        )
+    )
+    wr = Window.partitionBy("r_name").orderBy(
+        F.col("rev_c").desc(), F.col("p_brand").asc()
+    )
+    ranked = cells.select(
+        "r_name", "p_brand", F.row_number().over(wr).alias("rk")
+    )
+    a = ranked.filter(F.col("r_name") == "AMERICA").select(
+        "p_brand", F.col("rk").alias("ra")
+    )
+    b = ranked.filter(F.col("r_name") == "ASIA").select(
+        "p_brand", F.col("rk").alias("rb")
+    )
+    # inner join: only brands sold in BOTH regions are comparable;
+    # re-rank the joined set densely so ranks stay 1..n after the
+    # intersection (row_number over the tiny joined frame)
+    j = a.join(b, "p_brand")
+    jr = j.select(
+        "p_brand",
+        F.row_number().over(Window.orderBy(F.col("ra").asc())).alias("ra"),
+        F.row_number().over(Window.orderBy(F.col("rb").asc())).alias("rb"),
+    )
+    _d38 = "decimal(38,0)"
+    x, y = jr.alias("x"), jr.alias("y")
+    disc = x.crossJoin(F.broadcast(y)).agg(
+        F.sum(
+            F.when(
+                (F.col("x.ra") < F.col("y.ra")) & (F.col("x.rb") > F.col("y.rb")),
+                1,
+            ).otherwise(0)
+        ).alias("d_pairs")
+    )
+    g = jr.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.abs(F.col("ra") - F.col("rb"))).alias("footrule"),
+        F.sum(
+            (F.col("ra") - F.col("rb")).cast(_d38)
+            * (F.col("ra") - F.col("rb")).cast(_d38)
+        ).alias("sd2"),
+    ).crossJoin(F.broadcast(disc))
+    nd = F.col("n").cast("double")
+    rho = F.lit(1.0) - F.lit(6.0) * F.col("sd2").cast("double") / (
+        nd * nd * nd - nd
+    )
+    tau = F.lit(1.0) - F.lit(4.0) * F.col("d_pairs").cast("double") / (
+        nd * (nd - F.lit(1.0))
+    )
+    return g.select(
+        F.col("n").cast("long").alias("n_brands"),
+        F.col("footrule").cast("long").alias("footrule"),
+        F.col("d_pairs").cast("long").alias("discordant_pairs"),
+        floor_round(rho, 6).alias("spearman_rho"),
+        floor_round(tau, 6).alias("kendall_tau"),
+    )
+
+
+ORACLE_BRAND_RANK_AGREEMENT_REGIONS = """
+WITH cells AS (
+  SELECT r.r_name, p.p_brand,
+         SUM(CAST(trunc(li.l_extendedprice * (1 - li.l_discount) * 100)
+                  AS BIGINT)) AS rev_c
+  FROM lineitem li
+  JOIN part p ON li.l_partkey = p.p_partkey
+  JOIN supplier s ON li.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE r.r_name IN ('AMERICA', 'ASIA')
+  GROUP BY r.r_name, p.p_brand
+), ranked AS (
+  SELECT r_name, p_brand,
+         ROW_NUMBER() OVER (PARTITION BY r_name
+                            ORDER BY rev_c DESC, p_brand ASC) AS rk
+  FROM cells
+), j AS (
+  SELECT a.p_brand, a.rk AS ra0, b.rk AS rb0
+  FROM (SELECT p_brand, rk FROM ranked WHERE r_name = 'AMERICA') a
+  JOIN (SELECT p_brand, rk FROM ranked WHERE r_name = 'ASIA') b
+    ON a.p_brand = b.p_brand
+), jr AS (
+  SELECT p_brand,
+         ROW_NUMBER() OVER (ORDER BY ra0 ASC) AS ra,
+         ROW_NUMBER() OVER (ORDER BY rb0 ASC) AS rb
+  FROM j
+), disc AS (
+  SELECT SUM(CASE WHEN x.ra < y.ra AND x.rb > y.rb THEN 1 ELSE 0 END) AS d_pairs
+  FROM jr x CROSS JOIN jr y
+), g AS (
+  SELECT COUNT(*) AS n,
+         SUM(abs(ra - rb)) AS footrule,
+         SUM(CAST(ra - rb AS HUGEINT) * (ra - rb)) AS sd2
+  FROM jr
+), d AS (
+  SELECT CAST(n AS BIGINT) AS n_brands, CAST(footrule AS BIGINT) AS footrule,
+         CAST(d_pairs AS BIGINT) AS discordant_pairs,
+         CAST(n AS DOUBLE) AS nd, CAST(sd2 AS DOUBLE) AS sd2d,
+         CAST(d_pairs AS DOUBLE) AS dd
+  FROM g CROSS JOIN disc
+)
+SELECT n_brands, footrule, discordant_pairs,
+       sign(1.0 - 6.0 * sd2d / (nd * nd * nd - nd))
+         * floor(abs(1.0 - 6.0 * sd2d / (nd * nd * nd - nd)) * 1000000.0 + 0.5)
+         / 1000000.0 AS spearman_rho,
+       sign(1.0 - 4.0 * dd / (nd * (nd - 1.0)))
+         * floor(abs(1.0 - 4.0 * dd / (nd * (nd - 1.0))) * 1000000.0 + 0.5)
+         / 1000000.0 AS kendall_tau
+FROM d
+"""
+
+
 def brand_diversity_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ecology-style diversity panel of part BRANDS shipped per
     supplier NATION — the assortment-concentration audit next to
@@ -1458,6 +1605,7 @@ FROM f ORDER BY nation
 QUERIES = {
     "price_consistency_audit": price_consistency_audit,
     "brand_diversity_by_nation": brand_diversity_by_nation,
+    "brand_rank_agreement_regions": brand_rank_agreement_regions,
     "apriori_triples": apriori_triples,
 
     "hits_purchase_graph": hits_purchase_graph,
@@ -1480,6 +1628,7 @@ QUERIES = {
 ORACLE = {
     "price_consistency_audit": ORACLE_PRICE_CONSISTENCY_AUDIT,
     "brand_diversity_by_nation": ORACLE_BRAND_DIVERSITY_BY_NATION,
+    "brand_rank_agreement_regions": ORACLE_BRAND_RANK_AGREEMENT_REGIONS,
     "apriori_triples": ORACLE_APRIORI_TRIPLES,
     "hits_purchase_graph": ORACLE_HITS_PURCHASE_GRAPH,
     "supplier_herfindahl_by_nation": ORACLE_SUPPLIER_HERFINDAHL_BY_NATION,

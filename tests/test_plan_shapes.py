@@ -538,6 +538,13 @@ _GLOBAL_WINDOW_SANCTIONED = {
     # corpus-sized side is reduced by the groupBy(day) first and the
     # argmax is TakeOrdered-bounded
     "quandt_chow_break",
+    # r10 Page-Hinkley: prefix/min/max windows over the per-DAY frame
+    # (calendar-bounded, the cusum posture)
+    "page_hinkley_drift",
+    # r10 rank agreement: the re-rank row_numbers run over the joined
+    # per-BRAND frame — brand-domain bounded (≤ |brands| rows), the
+    # corpus collapsed by the (region, brand) groupBy first
+    "brand_rank_agreement_regions",
     # Nelson-Aalen: both prefix windows run over the per-LIFETIME-DAY
     # aggregate (calendar-bounded, the kaplan_meier_retention posture);
     # the corpus-sized side is reduced by the per-user groupBy first

@@ -545,3 +545,134 @@ def test_brand_diversity_matches_python(spark):
         assert r["berger_parker"] == _fr(top / N)
         assert abs(r["shannon_h"] - h) < 2e-6
         assert abs(r["evenness"] - h / (round(math.log(rich) * 1e8) / 1e8)) < 2e-6
+
+
+def test_theils_u_matches_python(spark):
+    from data_ingestion_project_spark.queries import all_queries
+
+    rows = duckdb.sql(
+        f"SELECT event_type, isodow(ts) FROM '{SF0001}/events.parquet'"
+    ).fetchall()
+    cells = Counter(rows)
+    N = sum(cells.values())
+    rowm = Counter()
+    colm = Counter()
+    for (t, d), c in cells.items():
+        rowm[t] += c
+        colm[d] += c
+
+    def hs(counts):
+        return N * round(math.log(N) * 1e8) - sum(
+            c * round(math.log(c) * 1e8) for c in counts
+        )
+
+    hx, hy, hxy = hs(rowm.values()), hs(colm.values()), hs(cells.values())
+    mi = hx + hy - hxy
+    den = N * 1e8
+    got = all_queries()["theils_u_event_dow"](spark, SF0001).collect()[0]
+    assert got["n"] == N
+    assert got["h_event_type"] == _fr(hx / den)
+    assert got["mutual_info"] == _fr(mi / den)
+    assert got["u_type_given_dow"] == _fr(mi / hx)
+    assert got["u_dow_given_type"] == _fr(mi / hy)
+    assert got["u_symmetric"] == _fr(2 * mi / (hx + hy))
+
+
+def test_cohen_kappa_matches_python(spark):
+    from data_ingestion_project_spark.queries import all_queries
+
+    import re
+
+    rows = duckdb.sql(
+        f"SELECT n_chars, lower(trim(text)) FROM '{SF0001}/documents.parquet'"
+    ).fetchall()
+    flags = [
+        (1 if nc >= 300 else 0, 1 if len(re.split(r"\s+", tx)) >= 55 else 0)
+        for nc, tx in rows
+    ]
+    N = len(flags)
+    agree = sum(1 for a, b in flags if a == b)
+    ra1 = sum(a for a, _ in flags)
+    cb1 = sum(b for _, b in flags)
+    chance = ra1 * cb1 + (N - ra1) * (N - cb1)
+    kappa = (N * agree - chance) / (N * N - chance)
+    got = all_queries()["cohen_kappa_quality_flags"](spark, SF0001).collect()[0]
+    assert (got["n_docs"], got["n_agree"]) == (N, agree)
+    assert got["kappa"] == _fr(kappa)
+    assert got["raw_agreement"] == _fr(agree / N)
+
+
+def test_page_hinkley_matches_python(spark):
+    from data_ingestion_project_spark.queries import all_queries
+
+    y, days = _daily_cents()
+    u, s = 0, 0
+    us = []
+    for i, x in enumerate(y, start=1):
+        s += x
+        u += math.trunc((x - s / i) * 1e6)
+        us.append(u)
+    best_up = best_down = None
+    run_min = run_max = None
+    for d, ui in zip(days, us):
+        run_min = ui if run_min is None else min(run_min, ui)
+        run_max = ui if run_max is None else max(run_max, ui)
+        up, down = ui - run_min, run_max - ui
+        if best_up is None or up > best_up[1]:
+            best_up = (d, up)
+        if best_down is None or down > best_down[1]:
+            best_down = (d, down)
+    got = all_queries()["page_hinkley_drift"](spark, SF0001).collect()[0]
+    assert got["n_days"] == len(y)
+    assert got["day_up"] == best_up[0].strftime("%Y-%m-%d")
+    assert got["ph_up_dollars"] == _fr(best_up[1] / 1e8, 4)
+    assert got["day_down"] == best_down[0].strftime("%Y-%m-%d")
+    assert got["ph_down_dollars"] == _fr(best_down[1] / 1e8, 4)
+
+
+def test_brand_rank_agreement_matches_python(spark):
+    from data_ingestion_project_spark.queries import all_queries
+
+    rows = duckdb.sql(
+        f"""SELECT r.r_name, p.p_brand,
+                   SUM(CAST(trunc(li.l_extendedprice * (1 - li.l_discount) * 100)
+                            AS BIGINT)) AS rev
+            FROM '{SF0001}/lineitem.parquet' li
+            JOIN '{SF0001}/part.parquet' p ON li.l_partkey = p.p_partkey
+            JOIN '{SF0001}/supplier.parquet' s ON li.l_suppkey = s.s_suppkey
+            JOIN '{SF0001}/nation.parquet' n ON s.s_nationkey = n.n_nationkey
+            JOIN '{SF0001}/region.parquet' r ON n.n_regionkey = r.r_regionkey
+            WHERE r.r_name IN ('AMERICA', 'ASIA')
+            GROUP BY 1, 2"""
+    ).fetchall()
+    per = defaultdict(dict)
+    for rn, brand, rev in rows:
+        per[rn][brand] = rev
+
+    def ranks(d):
+        return {
+            b: i + 1
+            for i, (b, _) in enumerate(
+                sorted(d.items(), key=lambda kv: (-kv[1], kv[0]))
+            )
+        }
+
+    ra0, rb0 = ranks(per["AMERICA"]), ranks(per["ASIA"])
+    common = sorted(set(ra0) & set(rb0))
+    # densify ranks over the intersection
+    ra = {b: i + 1 for i, b in enumerate(sorted(common, key=lambda b: ra0[b]))}
+    rb = {b: i + 1 for i, b in enumerate(sorted(common, key=lambda b: rb0[b]))}
+    n = len(common)
+    foot = sum(abs(ra[b] - rb[b]) for b in common)
+    sd2 = sum((ra[b] - rb[b]) ** 2 for b in common)
+    disc = sum(
+        1
+        for i, b1 in enumerate(common)
+        for b2 in common
+        if ra[b1] < ra[b2] and rb[b1] > rb[b2]
+    )
+    got = all_queries()["brand_rank_agreement_regions"](spark, SF0001).collect()[0]
+    assert got["n_brands"] == n and got["footrule"] == foot
+    assert got["discordant_pairs"] == disc
+    assert got["spearman_rho"] == _fr(1 - 6 * sd2 / (n**3 - n))
+    assert got["kendall_tau"] == _fr(1 - 4 * disc / (n * (n - 1)))
