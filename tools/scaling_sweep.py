@@ -87,6 +87,24 @@ HEAVY = {
     # round-5 heavy families (r5 verdict ask #8)
     "entity_golden_records": "supplier",
     "cms_word_freq": "documents",
+    # round-10 additions whose work grows with a fact table (the
+    # calendar- and cell-bounded r10 families are flat by construction
+    # and stay out): rank maps over orders/customers, the JT dense
+    # value grid, the BF per-group medians, the token-stream richness
+    # panel, and the lineitem 3-way diversity joins
+    "squared_rank_dispersion_test": "orders",
+    "jonckheere_terpstra_priority": "orders",
+    "ordinal_association_panel": "orders",
+    "cliffs_delta_segments": "customer",
+    "brown_forsythe_event_values": "events",
+    "weighted_logrank_panel": "orders",
+    "rmst_retention": "events",
+    "capture_recapture_users": "events",
+    "lexical_richness_panel": "documents",
+    "brand_diversity_by_nation": "lineitem",
+    "brand_rank_agreement_regions": "lineitem",
+    "theils_u_event_dow": "events",
+    "cohen_kappa_quality_flags": "documents",
     "bm25_topk": "documents",
     "hybrid_rrf_search": "documents",
     # round-6 families: the JPEG certification replay (the most
