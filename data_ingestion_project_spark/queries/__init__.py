@@ -38,6 +38,7 @@ _DRIVER_PRIORITY = (
     "cohen_kappa_quality_flags",
     "page_hinkley_drift",
     "brand_rank_agreement_regions",
+    "acf_panel_revenue",
     "ordinal_association_panel",
     "cliffs_delta_segments",
     "capture_recapture_users",
@@ -90,9 +91,8 @@ _DRIVER_PRIORITY = (
     "lang_stats",
     "large_volume_customers",
     "local_supplier_volume",
-    "monthly_revenue_growth",
     # This tuple is exactly 50 names = the full window; the r05 tail
-    # (monthly_revenue_running .. user_sessions) rolls to the r11
+    # (monthly_revenue_growth .. user_sessions) rolls to the r11
     # window.
 )
 

@@ -5431,6 +5431,130 @@ FROM folded CROSS JOIN med2
 """
 
 
+def acf_panel_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of daily revenue, lags 1..14, each
+    with its Bartlett standard error and significance flag — the
+    per-lag PANEL the portmanteau tests summarize away (ljung_box
+    says "some correlation exists in the first k lags"; the ACF says
+    WHICH lags, with the growing Bartlett band that accounts for the
+    correlation already found at shorter lags — the plot every
+    forecasting postmortem starts from, as a table).
+
+    Exactness: centered products are folded EXACTLY by clearing the
+    mean's denominator — Σ(n·yₜ − S)(n·yₜ₊ₖ − S) in DECIMAL(38,0)
+    (n·y ≈ 2.4e14, products ≈ 6e28: in range) — so every r_k is one
+    division of exact integers, floor-rounded at 6 dp BEFORE the
+    Bartlett recursion; SE_k = √((1 + 2Σ_{j<k} r_j²)/n) then runs on
+    the 1e-6-grid quantized r's via a lag-ordered running window (a
+    sequential left fold in both engines), and the significance
+    compare uses both sides quantized. Missing calendar days simply
+    contribute no pair (documented; this corpus is gap-free).
+
+    Plan: ONE orders shuffle to the daily frame; a 14-way lag explode
+    + self-equi-join on shifted dates (≤ 14 × days rows,
+    calendar-bounded); scalar arithmetic on 14 rows after."""
+    o = table(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(F.sum((F.col("o_totalprice") * 100).cast("long")).alias("y"))
+        .localCheckpoint(eager=True)
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("s")
+    )
+    _d38 = "decimal(38,0)"
+    base = daily.crossJoin(F.broadcast(tot)).select(
+        "d",
+        (F.col("n").cast(_d38) * F.col("y").cast(_d38) - F.col("s").cast(_d38)).alias(
+            "c"
+        ),
+        "n",
+    )
+    den = base.agg(F.sum(F.col("c") * F.col("c")).alias("den"))
+    lagged = base.select(
+        "d", F.col("c").alias("ca"), F.explode(F.sequence(F.lit(1), F.lit(14))).alias("k")
+    ).withColumn("d2", F.date_add("d", F.col("k")))
+    b = base.select(F.col("d").alias("d2"), F.col("c").alias("cb"))
+    nums = (
+        lagged.join(b, "d2")
+        .groupBy("k")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("num"))
+    )
+    rq = (
+        nums.crossJoin(F.broadcast(den))
+        .crossJoin(F.broadcast(tot.select("n")))
+        .select(
+            "k",
+            "n",
+            _floor_round(
+                F.col("num").cast("double") / F.col("den").cast("double"), 6
+            ).alias("r"),
+        )
+    )
+    wk = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, -1)
+    out = rq.select(
+        "k",
+        "r",
+        F.sqrt(
+            (
+                F.lit(1.0)
+                + F.lit(2.0)
+                * F.coalesce(F.sum(F.col("r") * F.col("r")).over(wk), F.lit(0.0))
+            )
+            / F.col("n").cast("double")
+        ).alias("se_raw"),
+    )
+    se = _floor_round(F.col("se_raw"), 6)
+    return out.select(
+        F.col("k").cast("long").alias("lag"),
+        "r",
+        se.alias("bartlett_se"),
+        (F.abs(F.col("r")) > _floor_round(F.lit(1.96) * F.col("se_raw"), 6)).alias(
+            "significant"
+        ),
+    ).orderBy("lag")
+
+
+ORACLE_ACF_PANEL_REVENUE = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         SUM(CAST(trunc(o_totalprice * 100) AS BIGINT)) AS y
+  FROM orders GROUP BY 1
+), tot AS (SELECT COUNT(*) AS n, SUM(y) AS s FROM daily),
+base AS (
+  SELECT d, CAST(n AS HUGEINT) * y - s AS c, n
+  FROM daily CROSS JOIN tot
+), den AS (SELECT SUM(c * c) AS den FROM base),
+lagged AS (
+  SELECT base.d, base.c AS ca, lk.k AS k, base.d + lk.k * INTERVAL 1 DAY AS d2
+  FROM base, (SELECT unnest(range(1, 15)) AS k) lk
+), nums AS (
+  SELECT k, SUM(ca * cb) AS num
+  FROM lagged JOIN (SELECT d AS d2, c AS cb FROM base) b USING (d2)
+  GROUP BY k
+), rq AS (
+  SELECT k, CAST(n AS BIGINT) AS n,
+         sign(CAST(num AS DOUBLE) / CAST(den AS DOUBLE))
+           * floor(abs(CAST(num AS DOUBLE) / CAST(den AS DOUBLE))
+                   * 1000000.0 + 0.5) / 1000000.0 AS r
+  FROM nums CROSS JOIN den CROSS JOIN tot
+), se AS (
+  SELECT k, n, r,
+         sqrt((1.0 + 2.0 * COALESCE(SUM(r * r) OVER (
+                ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                0.0)) / CAST(n AS DOUBLE)) AS se_raw
+  FROM rq
+)
+SELECT CAST(k AS BIGINT) AS lag, r,
+       sign(se_raw) * floor(abs(se_raw) * 1000000.0 + 0.5) / 1000000.0
+         AS bartlett_se,
+       abs(r) > sign(1.96 * se_raw)
+                * floor(abs(1.96 * se_raw) * 1000000.0 + 0.5) / 1000000.0
+         AS significant
+FROM se ORDER BY lag
+"""
+
+
 def page_hinkley_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Page–Hinkley drift statistic on daily revenue, both directions
     — the SEQUENTIAL drift detector next to the retrospective
@@ -7328,6 +7452,7 @@ QUERIES = {
     "brown_forsythe_event_values": brown_forsythe_event_values,
     "theils_u_event_dow": theils_u_event_dow,
     "page_hinkley_drift": page_hinkley_drift,
+    "acf_panel_revenue": acf_panel_revenue,
 }
 
 ORACLE = {
@@ -7389,4 +7514,5 @@ ORACLE = {
     "brown_forsythe_event_values": ORACLE_BROWN_FORSYTHE_EVENT_VALUES,
     "theils_u_event_dow": ORACLE_THEILS_U_EVENT_DOW,
     "page_hinkley_drift": ORACLE_PAGE_HINKLEY_DRIFT,
+    "acf_panel_revenue": ORACLE_ACF_PANEL_REVENUE,
 }

@@ -541,6 +541,10 @@ _GLOBAL_WINDOW_SANCTIONED = {
     # r10 Page-Hinkley: prefix/min/max windows over the per-DAY frame
     # (calendar-bounded, the cusum posture)
     "page_hinkley_drift",
+    # r10 ACF: the Bartlett running sum runs over the FOURTEEN-row
+    # lag frame (lag-domain constant); the day self-join is
+    # calendar-bounded and the corpus collapses at groupBy(day)
+    "acf_panel_revenue",
     # r10 rank agreement: the re-rank row_numbers run over the joined
     # per-BRAND frame — brand-domain bounded (≤ |brands| rows), the
     # corpus collapsed by the (region, brand) groupBy first

@@ -676,3 +676,33 @@ def test_brand_rank_agreement_matches_python(spark):
     assert got["discordant_pairs"] == disc
     assert got["spearman_rho"] == _fr(1 - 6 * sd2 / (n**3 - n))
     assert got["kendall_tau"] == _fr(1 - 4 * disc / (n * (n - 1)))
+
+
+def test_acf_panel_matches_python(spark):
+    from data_ingestion_project_spark.queries import all_queries
+
+    y, days = _daily_cents()
+    n = len(y)
+    s = sum(y)
+    c = [n * yi - s for yi in y]
+    den = sum(ci * ci for ci in c)
+    expect = {}
+    cum = 0.0
+    by_day = dict(zip(days, c))
+    import datetime
+
+    for k in range(1, 15):
+        num = sum(
+            by_day[d] * by_day[d + datetime.timedelta(days=k)]
+            for d in days
+            if d + datetime.timedelta(days=k) in by_day
+        )
+        r = _fr(num / den)
+        se_raw = math.sqrt((1.0 + 2.0 * cum) / n)
+        expect[k] = (r, _fr(se_raw), abs(r) > _fr(1.96 * se_raw))
+        cum += r * r
+    got = {
+        r["lag"]: (r["r"], r["bartlett_se"], r["significant"])
+        for r in all_queries()["acf_panel_revenue"](spark, SF0001).collect()
+    }
+    assert got == expect
