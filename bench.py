@@ -152,17 +152,46 @@ def main() -> None:
     assets = round(time.perf_counter() - t0, 3)
     print(f"# derived assets (events layout, winnow fp/pairs): {assets:.3f}s", file=sys.stderr)
 
-    timings: dict[str, float] = {}
+    # Round-11 protocol (VERDICT r10 ask #7): the committed record is
+    # the per-query MEDIAN over N full sweeps, not a single pass — the
+    # shared host's contention band (identical code measured 234-300 s
+    # across same-evening passes) made single-pass round-over-round
+    # diffs need manual outlier adjudication. Passes are whole-sweep
+    # repetitions (not back-to-back per query), so a contention spike
+    # hits DIFFERENT queries in different passes and the median sheds
+    # it; per-query spread (max-min across passes) is recorded so a
+    # diff tool can flag any query whose delta is inside its own noise.
+    # Default 1 pass for ad-hoc/driver runs (time budget), 3 for the
+    # committed --record artifact; override with --passes N or
+    # $SPARK_GRAFT_BENCH_PASSES.
+    n_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", 0) or 0)
+    if "--passes" in sys.argv[1:]:
+        n_passes = int(sys.argv[sys.argv.index("--passes") + 1])
+    if n_passes <= 0:
+        n_passes = 3 if "--record" in sys.argv[1:] else 1
+
+    all_passes: dict[str, list[float]] = {}
     # FIXED alphabetical run order, decoupled from the certification
     # rotation in queries/__init__: whichever queries run first absorb
     # residual codegen warmup (~+0.3-1 s), so a rotation-dependent
     # order made round-over-round per-query diffs misread reordering
     # as regression (observed r3->r4 on dup_graph_pagerank et al.).
-    for name, fn in sorted(bench_queries().items()):
-        t0 = time.perf_counter()
-        rows = fn(spark, sf_dir).collect()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {timings[name]:.3f}s ({len(rows)} rows)", file=sys.stderr)
+    for p in range(n_passes):
+        for name, fn in sorted(bench_queries().items()):
+            t0 = time.perf_counter()
+            rows = fn(spark, sf_dir).collect()
+            sec = round(time.perf_counter() - t0, 3)
+            all_passes.setdefault(name, []).append(sec)
+            print(f"# pass{p + 1} {name}: {sec:.3f}s ({len(rows)} rows)",
+                  file=sys.stderr)
+
+    def _median(xs: list[float]) -> float:
+        s = sorted(xs)
+        n = len(s)
+        return round(s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2, 3)
+
+    timings = {name: _median(xs) for name, xs in all_passes.items()}
+    spread = {name: round(max(xs) - min(xs), 3) for name, xs in all_passes.items()}
 
     total = round(sum(timings.values()), 3)
     result = {
@@ -173,7 +202,11 @@ def main() -> None:
         "warmup_sec": warmup,
         "assets_sec": assets,
         "sf": sf,
+        "n_passes": n_passes,
     }
+    if n_passes > 1:
+        result["passes"] = all_passes
+        result["spread"] = spread
     # The driver captures only a stdout TAIL, which truncates the
     # ~100-query JSON line (BENCH_r02/r03 recorded "parsed": null — the
     # tail kept the END of the big line, chopping its opening brace).
@@ -201,6 +234,7 @@ def main() -> None:
         "warmup_sec": warmup,
         "assets_sec": assets,
         "per_query_sec": round(total / len(timings), 3) if timings else None,
+        "n_passes": n_passes,
         "queries_file": os.path.basename(out_path),
     }
     print(json.dumps(summary))

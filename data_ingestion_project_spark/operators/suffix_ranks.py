@@ -40,12 +40,28 @@ elementwise list order the DuckDB oracle sorts by)."""
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 # cap must be a power of two: the doubling ladder ends exactly on it
 DEFAULT_CAP = 64
-_NUM_RANGE_PARTS = 32
+
+# Rank-shuffle width — THE per-task memory valve for this operator
+# (VERDICT r10 ask #4).  Every doubling round range-partitions the
+# (pos, rank) frame into this many sort buffers, so per-task peak
+# memory is ~ positions/width × the fixed row width: holding width
+# proportional to corpus positions holds per-task memory FLAT (the
+# sum across tasks — MEMORY_HIGHWATER's 154 GB summed-stage row at
+# sf10 — is partition-count-invariant; what the width buys is the
+# per-EXECUTOR residency, which in local[32] is 32 concurrent
+# buffers).  Budget formula (BASELINE.md r11 note): width ≥
+# positions × 16 B × sort_overhead(≈4×) / target_task_mem; the
+# default 32 sizes sf1 (≈6 M positions) at ~250 MB/task.  Env
+# override SPARK_GRAFT_SUFFIX_PARTS is how the sf10 mitigation row
+# was measured (width 128 → per-task slices 4× thinner).
+_NUM_RANGE_PARTS = int(os.environ.get("SPARK_GRAFT_SUFFIX_PARTS", "32"))
 
 
 def order_rank(df: DataFrame, cols: list[str], out: str) -> DataFrame:

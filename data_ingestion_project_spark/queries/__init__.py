@@ -24,76 +24,81 @@ from data_ingestion_project_spark.queries import advanced, documents, embeddings
 _MODULES = (tpch, tpch2, events, documents, embeddings, advanced, stats)
 
 # The driver's correctness gate certifies the FIRST 50 entries of
-# all_queries() in dict order.  Round-10 window: every round-10
+# all_queries() in dict order.  Round-11 window: every round-11
 # addition (never certified — they must enter the merged record this
-# round to keep the every-declared-query-certified invariant), then
-# the stalest surviving driver rows (the r04 tail the r09 window
-# couldn't fit, then the alphabetical head of the r05 era).  Every
-# window entry was locally re-verified value-exact at sf0.01 via
-# tools/check_oracle.py before declaring.  Names not listed here keep
-# module order.
+# round to keep the every-declared-query-certified invariant), the
+# redesigned theta_weekly_retention (carried an err:no_oracle row
+# through r10; now portable-deterministic with a full value-exact
+# oracle — VERDICT r10 ask #6), then the ENTIRE r05 staleness tail
+# (all 29 queries whose newest driver row is r05 — VERDICT r10 ask
+# #2; user_sessions was also re-formed this round, ask #5), then the
+# alphabetical head of the r06 cohort.  Every window entry was
+# locally re-verified value-exact at sf0.01 via tools/check_oracle.py
+# before declaring.  Names not listed here keep module order.
 _DRIVER_PRIORITY = (
-    # -- never driver-certified (round-10 additions) --
-    "theils_u_event_dow",
-    "cohen_kappa_quality_flags",
-    "page_hinkley_drift",
-    "brand_rank_agreement_regions",
-    "acf_panel_revenue",
-    "ordinal_association_panel",
-    "cliffs_delta_segments",
-    "capture_recapture_users",
-    "squared_rank_dispersion_test",
-    "jonckheere_terpstra_priority",
-    "revenue_randomness_panel",
-    "bartels_rank_vonneumann",
-    "durbin_watson_revenue",
-    "weighted_logrank_panel",
-    "rmst_retention",
-    "quandt_chow_break",
-    "brown_forsythe_event_values",
-    "lexical_richness_panel",
-    "brand_diversity_by_nation",
-    # -- r10 redesigns: the three recurring no_oracle rows now carry
-    # full value-exact oracles (portable HLL registers; exact-recall
-    # SemDeDup twin; md5-mode SimHash integer replay) — re-certified
-    # so the merged record stops carrying err rows --
-    "sketch_rollup_dau",
-    "semdedup_summary",
-    "simhash_near_dups",
-    # -- r10 reimplementation (materialized score asset): re-certify --
-    "hits_purchase_graph",
-    # -- r04-era tail (the stalest driver rows anywhere) --
-    "substring_dup_stats",
+    # -- never driver-certified (round-11 additions) --
+    "friedman_revenue_dow",
+    "jarque_bera_order_totals",
+    "theil_inequality_nations",
+    "log_odds_dirichlet_words",
+    "int8_quantization_audit",
+    # -- r11 redesign: the LAST no_oracle row anywhere, now fully
+    # oracle-certified (portable theta set algebra: retained/churned/
+    # new under the pair threshold, replayed integer-exactly) --
     "theta_weekly_retention",
-    "token_stats",
-    "training_shard_plan",
-    "winnow_overlap_top",
-    "zipf_slope_by_lang",
-    # -- alphabetical head of the r05 era (next-stalest) --
-    "big_orders",
-    "brand_band_revenue",
-    "brand_price_stats",
-    "cheapest_regional_supplier",
-    "corpus_mixture_plan",
-    "cube_revenue",
-    "customer_order_distribution",
-    "customers_in_both_statuses",
-    "customers_without_orders",
-    "daily_active_users",
-    "daily_event_anomalies",
-    "doc_repetition_stats",
-    "dominant_part_suppliers",
-    "event_transitions",
-    "event_value_by_type_salted",
-    "events_one_day_by_type",
-    "excess_returned_parts",
-    "hourly_event_stats",
-    "lang_stats",
-    "large_volume_customers",
-    "local_supplier_volume",
-    # This tuple is exactly 50 names = the full window; the r05 tail
-    # (monthly_revenue_growth .. user_sessions) rolls to the r11
-    # window.
+    # -- the complete r05 staleness tail (29 queries) --
+    "monthly_revenue_growth",
+    "monthly_revenue_running",
+    "nation_market_share",
+    "nation_volume_pairs",
+    "order_price_histogram",
+    "order_priority_discount",
+    "price_quantity_corr",
+    "pricing_summary",
+    "product_type_profit",
+    "promo_revenue",
+    "props_key_stats",
+    "props_variant_stats",
+    "purchase_last_click",
+    "returned_items",
+    "revenue_forecast",
+    "rollup_revenue",
+    "segment_acctbal",
+    "shipping_priority",
+    "similar_supplier_names",
+    "sole_return_suppliers",
+    "supplier_part_breadth",
+    "top_orders_per_customer",
+    "top_purchasers",
+    "top_revenue_supplier",
+    "top_suppliers",
+    "top_words",
+    "unigram_logprob_quality",
+    "user_daily_gapfill",
+    "user_sessions",
+    # -- alphabetical head of the r06 cohort (next-stalest) --
+    "abc_customer_classes",
+    "anova_event_values",
+    "benford_order_totals",
+    "bigram_logprob_buckets",
+    "bloom_membership_audit",
+    "bm25_topk",
+    "bm25_topk_indexed",
+    "chisq_event_dow",
+    "cms_word_freq",
+    # compression_ratio_stats (next alphabetically) is rows-only by
+    # design (zlib inside an Arrow UDF — not SQL-expressible), so a
+    # window slot on it could never produce a value-exact row; it
+    # stays certified by its pytest and the rotation takes the next
+    # oracle-backed name instead
+    "dp_event_counts",
+    "dup_graph_kcore",
+    "embedding_covariance_stats",
+    "entity_golden_records",
+    "event_dispersion_index",
+    "event_value_outliers_mad",
+    # This tuple is exactly 50 names = the full window; the r06 tail
+    # (html_extract_stats ..) rolls to the r12 window.
 )
 
 

@@ -6051,6 +6051,129 @@ ORDER BY source
 """
 
 
+def log_odds_dirichlet_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monroe/Colaresi/Quinn "Fightin' Words": which words are
+    OVER-represented in the corpus's dominant language vs everything
+    else, by log-odds-ratio with an informative Dirichlet prior — the
+    count-robust alternative to PMI (pmi_collocations) that does not
+    explode on rare words, the standard subcorpus-contrast tool for
+    training-data audits (what vocabulary does this source/language
+    actually contribute?).
+
+    Target group = the lang with the most documents (count desc, lang
+    asc tie-break) — computed as a 1-row broadcast, never collected.
+    Prior: α_w = α0 · y_w / N (the corpus itself as the prior center,
+    α0 = 1000).  δ_w = ln[(y1+α_w)/(n1+α0−y1−α_w)] −
+    ln[(y2+α_w)/(n2+α0−y2−α_w)], σ² ≈ 1/(y1+α_w) + 1/(y2+α_w),
+    z = δ/σ.  Top-15 by z desc (target-associated), word tie-break.
+
+    Exactness: counts are exact longs from ONE vocabulary-bounded
+    partial-agg shuffle; each of the four ln calls is quantized to
+    round(ln·1e8) immediately (the bigram_logprob idiom) so δ is a
+    difference of exact integers over 1e8; σ uses sqrt (correctly
+    rounded by IEEE — no libm variance) over mirrored rationals.
+
+    Scale: explode → map-side-combined (word, is_target) counts →
+    |vocab|-sized frame; everything downstream is vocabulary
+    arithmetic, corpus-size-independent."""
+    d = table(spark, sf_dir, "documents")
+    top_lang = (
+        d.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .orderBy(F.col("nd").desc(), F.col("lang").asc())
+        .limit(1)
+        .select(F.col("lang").alias("target_lang"))
+    )
+    words = d.crossJoin(F.broadcast(top_lang)).select(
+        "target_lang",
+        (F.col("lang") == F.col("target_lang")).alias("is_t"),
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("word"),
+    )
+    counts = words.groupBy("word", "target_lang").agg(
+        F.sum(F.when(F.col("is_t"), 1).otherwise(0)).alias("y1"),
+        F.sum(F.when(F.col("is_t"), 0).otherwise(1)).alias("y2"),
+    )
+    tot = counts.agg(
+        F.sum("y1").alias("n1"),
+        F.sum("y2").alias("n2"),
+        F.sum(F.col("y1") + F.col("y2")).alias("n_all"),
+    )
+    j = counts.crossJoin(F.broadcast(tot))
+    a0 = F.lit(1000.0)
+    aw = a0 * (F.col("y1") + F.col("y2")).cast("double") / F.col("n_all").cast(
+        "double"
+    )
+
+    def _qln(col) -> F.Column:
+        return F.round(F.log(col) * F.lit(1e8), 0)
+
+    q1a = _qln(F.col("y1").cast("double") + aw)
+    q1b = _qln(F.col("n1").cast("double") + a0 - F.col("y1").cast("double") - aw)
+    q2a = _qln(F.col("y2").cast("double") + aw)
+    q2b = _qln(F.col("n2").cast("double") + a0 - F.col("y2").cast("double") - aw)
+    delta = (q1a - q1b - q2a + q2b) / F.lit(1e8)
+    sigma = F.sqrt(
+        F.lit(1.0) / (F.col("y1").cast("double") + aw)
+        + F.lit(1.0) / (F.col("y2").cast("double") + aw)
+    )
+    z = delta / sigma
+    return (
+        j.select(
+            "word",
+            "target_lang",
+            F.col("y1").cast("long").alias("n_target"),
+            F.col("y2").cast("long").alias("n_rest"),
+            floor_round(delta, 6).alias("log_odds_delta"),
+            floor_round(z, 6).alias("z_score"),
+        )
+        .orderBy(F.col("z_score").desc(), F.col("word").asc())
+        .limit(15)
+    )
+
+
+ORACLE_LOG_ODDS_DIRICHLET_WORDS = """
+WITH top_lang AS (
+  SELECT lang AS target_lang FROM documents
+  GROUP BY lang ORDER BY COUNT(*) DESC, lang ASC LIMIT 1
+), words AS (
+  SELECT t.target_lang, d.lang = t.target_lang AS is_t,
+         unnest(string_split_regex(lower(trim(d.text)), '\\s+')) AS word
+  FROM documents d CROSS JOIN top_lang t
+), counts AS (
+  SELECT word, target_lang,
+         SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS y1,
+         SUM(CASE WHEN is_t THEN 0 ELSE 1 END) AS y2
+  FROM words GROUP BY word, target_lang
+), tot AS (
+  SELECT SUM(y1) AS n1, SUM(y2) AS n2, SUM(y1 + y2) AS n_all FROM counts
+), j AS (
+  SELECT c.*, t.n1, t.n2,
+         1000.0 * CAST(c.y1 + c.y2 AS DOUBLE) / CAST(t.n_all AS DOUBLE) AS aw
+  FROM counts c CROSS JOIN tot t
+), g AS (
+  SELECT word, target_lang, y1, y2,
+         (round(ln(CAST(y1 AS DOUBLE) + aw) * 100000000.0)
+          - round(ln(CAST(n1 AS DOUBLE) + 1000.0 - CAST(y1 AS DOUBLE) - aw)
+                  * 100000000.0)
+          - round(ln(CAST(y2 AS DOUBLE) + aw) * 100000000.0)
+          + round(ln(CAST(n2 AS DOUBLE) + 1000.0 - CAST(y2 AS DOUBLE) - aw)
+                  * 100000000.0)) / 100000000.0 AS delta,
+         sqrt(1.0 / (CAST(y1 AS DOUBLE) + aw)
+              + 1.0 / (CAST(y2 AS DOUBLE) + aw)) AS sigma
+  FROM j
+)
+SELECT word, target_lang,
+       CAST(y1 AS BIGINT) AS n_target, CAST(y2 AS BIGINT) AS n_rest,
+       sign(delta) * floor(abs(delta) * 1000000.0 + 0.5) / 1000000.0
+         AS log_odds_delta,
+       sign(delta / sigma) * floor(abs(delta / sigma) * 1000000.0 + 0.5)
+         / 1000000.0 AS z_score
+FROM g
+ORDER BY z_score DESC, word ASC
+LIMIT 15
+"""
+
+
 QUERIES = {
     "good_turing_vocab": good_turing_vocab,
     "dup_cluster_source_mix": dup_cluster_source_mix,
@@ -6128,6 +6251,7 @@ QUERIES = {
     "contrastive_training_pairs": contrastive_training_pairs,
     "source_data_cards": source_data_cards,
     "unicode_clean_stats": unicode_clean_stats,
+    "log_odds_dirichlet_words": log_odds_dirichlet_words,
 }
 
 # the Pillow-backed production twin registers only where Pillow
@@ -6212,5 +6336,6 @@ ORACLE = {
     "contrastive_training_pairs": ORACLE_CONTRASTIVE_TRAINING_PAIRS,
     "source_data_cards": ORACLE_SOURCE_DATA_CARDS,
     "unicode_clean_stats": ORACLE_UNICODE_CLEAN_STATS,
+    "log_odds_dirichlet_words": ORACLE_LOG_ODDS_DIRICHLET_WORDS,
     # minhash_near_dups / simhash_near_dups: rows-only by design
 }

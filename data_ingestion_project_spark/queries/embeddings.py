@@ -2000,6 +2000,101 @@ FROM su CROSS JOIN sw CROSS JOIN nc
 """
 
 
+def int8_quantization_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension audit of symmetric int8 scalar quantization of the
+    embedding column — the 4× vector-store compression every
+    large-scale ANN deployment applies first, priced dimension by
+    dimension BEFORE committing the index build: scale (original units
+    per int8 step), RMSE and max absolute reconstruction error per
+    dimension expose the dims whose dynamic range makes linear int8
+    lossy (the signal that says "use PQ on these, int8 on the rest").
+
+    Semantics (all integer-exact): values quantize on the proven
+    covariance grid xq = round(x·10⁴); per dim the symmetric scale is
+    s = max(|min|,|max|) on that grid; the int8 code is round-half-up
+    q = floor((254·xq + s)/(2s)) ∈ [−127, 127] by construction; the
+    reconstruction error e = 127·xq − q·s is an exact integer in
+    (127·10⁻⁴)-units, folded as Σe² in decimal — so RMSE and max-err
+    are single mirrored double expressions of exact integers.
+
+    Scale: two explode passes (one for the 64-row min/max frame —
+    broadcast back — one for the error fold), each a map-side-combined
+    partial agg to ≤64 cells; no windows, no data-sized joins.  All-
+    zero dimensions (s = 0) are excluded in both engines."""
+    e = table(spark, sf_dir, "embeddings")
+    vals = e.select(F.posexplode("embedding").alias("dim", "x")).select(
+        "dim",
+        F.round(F.col("x").cast("double") * F.lit(1e4), 0).cast("long").alias("xq"),
+    )
+    scales = (
+        vals.groupBy("dim")
+        .agg(F.greatest(F.abs(F.min("xq")), F.abs(F.max("xq"))).alias("s"))
+        .filter(F.col("s") > 0)
+    )
+    j = vals.join(F.broadcast(scales), "dim")
+    q = F.floor(
+        (F.lit(254) * F.col("xq") + F.col("s")).cast("double")
+        / (F.lit(2) * F.col("s")).cast("double")
+    ).cast("long")
+    err = F.col("xq") * F.lit(127) - q * F.col("s")
+    agg = (
+        j.select("dim", "s", err.alias("e"))
+        .groupBy("dim", "s")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.col("e").cast("decimal(19,0)") * F.col("e").cast("decimal(19,0)")
+            ).alias("sse"),
+            F.max(F.abs(F.col("e"))).alias("maxe"),
+        )
+    )
+    u = F.lit(127.0 * 1e4)  # integer-error units per original unit
+    return agg.select(
+        F.col("dim").cast("int").alias("dim"),
+        F.col("n").cast("long").alias("n"),
+        floor_round(F.col("s").cast("double") / u, 8).alias("scale"),
+        floor_round(F.sqrt(F.col("sse").cast("double") / F.col("n").cast("double")) / u, 8).alias(
+            "rmse"
+        ),
+        floor_round(F.col("maxe").cast("double") / u, 8).alias("max_abs_err"),
+    ).orderBy("dim")
+
+
+ORACLE_INT8_QUANTIZATION_AUDIT = """
+WITH vals AS (
+  SELECT i AS dim,
+         CAST(round(CAST(embedding[i + 1] AS DOUBLE) * 10000) AS BIGINT) AS xq
+  FROM embeddings, range(64) r(i)
+), scales AS (
+  SELECT dim, GREATEST(abs(MIN(xq)), abs(MAX(xq))) AS s
+  FROM vals GROUP BY dim HAVING GREATEST(abs(MIN(xq)), abs(MAX(xq))) > 0
+), j AS (
+  SELECT v.dim, sc.s, v.xq,
+         127 * v.xq
+           - CAST(floor(CAST(254 * v.xq + sc.s AS DOUBLE)
+                        / CAST(2 * sc.s AS DOUBLE)) AS BIGINT) * sc.s AS e
+  FROM vals v JOIN scales sc ON sc.dim = v.dim
+), agg AS (
+  SELECT dim, s, COUNT(*) AS n,
+         SUM(CAST(e AS HUGEINT) * CAST(e AS HUGEINT)) AS sse,
+         MAX(abs(e)) AS maxe
+  FROM j GROUP BY dim, s
+)
+SELECT CAST(dim AS INTEGER) AS dim, CAST(n AS BIGINT) AS n,
+       sign(CAST(s AS DOUBLE) / 1270000.0)
+         * floor(abs(CAST(s AS DOUBLE) / 1270000.0) * 100000000.0 + 0.5)
+         / 100000000.0 AS scale,
+       sign(sqrt(CAST(sse AS DOUBLE) / CAST(n AS DOUBLE)) / 1270000.0)
+         * floor(abs(sqrt(CAST(sse AS DOUBLE) / CAST(n AS DOUBLE)) / 1270000.0)
+                 * 100000000.0 + 0.5) / 100000000.0 AS rmse,
+       sign(CAST(maxe AS DOUBLE) / 1270000.0)
+         * floor(abs(CAST(maxe AS DOUBLE) / 1270000.0) * 100000000.0 + 0.5)
+         / 100000000.0 AS max_abs_err
+FROM agg
+ORDER BY dim
+"""
+
+
 QUERIES = {
     "hopkins_statistic": hopkins_statistic,
     "embedding_centroid_drift": embedding_centroid_drift,
@@ -2024,6 +2119,7 @@ QUERIES = {
     "pq_recall": pq_recall,
     "embedding_covariance_stats": embedding_covariance_stats,
     "pca_variance_audit": pca_variance_audit,
+    "int8_quantization_audit": int8_quantization_audit,
 }
 
 ORACLE = {
@@ -2046,5 +2142,6 @@ ORACLE = {
     "pq_recall": ORACLE_PQ_RECALL,
     "lsh_recall": ORACLE_LSH_RECALL,
     "embedding_covariance_stats": ORACLE_EMBEDDING_COVARIANCE_STATS,
+    "int8_quantization_audit": ORACLE_INT8_QUANTIZATION_AUDIT,
     # knn_lsh_approx, pca_variance_audit: rows-only by design
 }

@@ -242,16 +242,49 @@ ORDER BY event_type
 
 
 def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gap-based sessionization (30-min gap) via the sessionize operator,
-    then per-user session stats."""
-    e = table(spark, sf_dir, "events")
-    sess = sessionize(e, key="user_id", ts="ts", gap_seconds=1800, order_tiebreak="event_id")
-    per_session = sess.groupBy("user_id", "session_id").agg(F.count(F.lit(1)).alias("n_events"))
+    """Gap-based session stats (30-min gap) per user.
+
+    r11 economy (VERDICT r10 ask #5): the original form ran the full
+    sessionize operator (lag window + RUNNING-SUM window → session_id)
+    and then TWO aggregations (per-session counts, per-user stats).
+    But this query's output needs neither session ids nor per-session
+    rows — only per-user totals — and the unweighted mean of
+    per-session event counts collapses algebraically:
+
+        avg(n_events per session) = total_events / n_sessions
+        n_sessions                = Σ is_new   (= max(session_id))
+
+    so ONE lag window (the boundary flag) plus ONE co-partitioned
+    aggregation produces the identical result: the running-sum window
+    pass over every event and the intermediate per-session frame are
+    deleted, halving the post-shuffle work on what is an
+    output-LINEAR query (one row per user; users grow with the
+    corpus, so α = 1 is this query's floor — the record's sf100 point
+    measures that line, and economy can only trim its constant).
+    The general sessionize operator (which must materialize
+    session_id) stays exercised by peak_concurrent_sessions and its
+    property tests; the oracle below is unchanged and replays the
+    session_id construction explicitly."""
+    e = table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    prev_ts = F.lag("ts").over(w)
+    gap_us = F.expr("timestampdiff(MICROSECOND, __prev_ts, ts)")
+    flagged = e.withColumn("__prev_ts", prev_ts).withColumn(
+        "__is_new",
+        F.when(F.col("__prev_ts").isNull() | (gap_us > 1800 * 1_000_000), 1).otherwise(0),
+    )
     return (
-        per_session.groupBy("user_id")
+        flagged.groupBy("user_id")
         .agg(
-            F.max("session_id").alias("n_sessions"),
-            F.round(F.avg("n_events"), 4).alias("avg_events_per_session"),
+            F.sum("__is_new").alias("n_sessions"),
+            F.count(F.lit(1)).alias("__n_events"),
+        )
+        .select(
+            "user_id",
+            "n_sessions",
+            F.round(F.col("__n_events") / F.col("n_sessions"), 4).alias(
+                "avg_events_per_session"
+            ),
         )
         .orderBy("user_id")
     )

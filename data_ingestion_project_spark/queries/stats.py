@@ -7392,6 +7392,407 @@ FROM q
 """.format(rank2=_SQL_RANK2.format(v="v", src="base"))
 
 
+# ------------------------------------------------- round-11 additions
+
+
+def friedman_revenue_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman rank test — the repeated-measures companion to
+    kruskal_wallis (which assumes independent groups): does day-of-week
+    carry a revenue effect once BETWEEN-WEEK level shifts are blocked
+    out?  Blocks = ISO weeks with all 7 days present, treatments =
+    isodow, response = the day's revenue; each week ranks its own 7
+    days, so a holiday week's depressed absolute level cannot leak
+    into the statistic.
+
+    Exactness: daily revenue in exact cents; average ranks within a
+    7-row block are half-integers, carried as DOUBLED integer ranks
+    r2 = 2·rank_min + ties − 1, so the tie-corrected statistic
+
+        Q = (k−1) · Σ_j (A2_j − n(k+1))² / (Σ r2² − n·k·(k+1)²)
+
+    (A2_j = Σ_blocks r2 per treatment; k = 7) is ONE division of two
+    exact integers; Kendall's W = Q/(n(k−1)) likewise.
+
+    Scale: one orders shuffle to the calendar-bounded daily frame
+    (≤ a few thousand rows at ANY corpus size); rank windows are
+    7-row block-partitioned — sanctioned bounded frames."""
+    o = table(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(F.sum((F.col("o_totalprice") * 100).cast("long")).alias("cents"))
+        .select(
+            F.date_trunc("week", "d").alias("wk"),
+            (F.expr("weekday(d)") + F.lit(1)).alias("dow"),
+            "cents",
+        )
+        .localCheckpoint(eager=True)
+    )
+    full = daily.groupBy("wk").agg(F.count(F.lit(1)).alias("nd")).filter(
+        F.col("nd") == 7
+    )
+    blocks = daily.join(F.broadcast(full.select("wk")), "wk")
+    wr = Window.partitionBy("wk").orderBy("cents")
+    wt = Window.partitionBy("wk", "cents")
+    ranked = blocks.withColumn(
+        "r2",
+        (F.lit(2) * F.rank().over(wr) + F.count(F.lit(1)).over(wt) - F.lit(1)).cast(
+            "long"
+        ),
+    )
+    stat = (
+        ranked.agg(
+            F.sum(F.col("r2") * F.col("r2")).alias("ssq2"),
+            F.count_distinct("wk").alias("n"),
+        )
+    )
+    per_dow = ranked.groupBy("dow").agg(
+        F.sum("r2").alias("a2"), F.count(F.lit(1)).alias("nb")
+    )
+    num = per_dow.crossJoin(F.broadcast(stat)).agg(
+        F.sum(
+            (F.col("a2") - F.lit(8) * F.col("n"))
+            * (F.col("a2") - F.lit(8) * F.col("n"))
+        ).alias("num2"),
+        F.max("n").alias("n"),
+        F.max("ssq2").alias("ssq2"),
+    )
+    q = (
+        F.lit(6.0)
+        * F.col("num2").cast("double")
+        / F.nullif(
+            (F.col("ssq2") - F.lit(448) * F.col("n")).cast("double"), F.lit(0.0)
+        )
+    )
+    g = num.select(
+        F.col("n").cast("long").alias("n_blocks"),
+        _floor_round(q, 6).alias("q_friedman"),
+        F.lit(6).cast("long").alias("df"),
+        _floor_round(q / (F.lit(6.0) * F.col("n").cast("double")), 6).alias(
+            "w_kendall"
+        ),
+    )
+    mean_ranks = per_dow.crossJoin(F.broadcast(stat.select("n"))).select(
+        "dow",
+        _floor_round(
+            F.col("a2").cast("double") / (F.lit(2.0) * F.col("n").cast("double")), 6
+        ).alias("mean_rank"),
+    )
+    return (
+        mean_ranks.crossJoin(F.broadcast(g))
+        .select("dow", "mean_rank", "n_blocks", "q_friedman", "df", "w_kendall")
+        .orderBy("dow")
+    )
+
+
+ORACLE_FRIEDMAN_REVENUE_DOW = """
+WITH daily AS (
+  SELECT CAST(date_trunc('week', d) AS DATE) AS wk,
+         CAST(isodow(d) AS INTEGER) AS dow, cents
+  FROM (
+    SELECT CAST(o_orderdate AS DATE) AS d,
+           SUM(CAST(o_totalprice * 100 AS BIGINT)) AS cents
+    FROM orders GROUP BY 1
+  ) t
+), full_wk AS (
+  SELECT wk FROM daily GROUP BY wk HAVING COUNT(*) = 7
+), ranked AS (
+  SELECT d.wk, d.dow,
+         2 * RANK() OVER (PARTITION BY d.wk ORDER BY d.cents)
+           + COUNT(*) OVER (PARTITION BY d.wk, d.cents) - 1 AS r2
+  FROM daily d JOIN full_wk f ON f.wk = d.wk
+), stat AS (
+  SELECT SUM(r2 * r2) AS ssq2, COUNT(DISTINCT wk) AS n FROM ranked
+), per_dow AS (
+  SELECT dow, SUM(r2) AS a2 FROM ranked GROUP BY dow
+), num AS (
+  SELECT SUM((a2 - 8 * n) * (a2 - 8 * n)) AS num2,
+         MAX(n) AS n, MAX(ssq2) AS ssq2
+  FROM per_dow CROSS JOIN stat
+), g AS (
+  SELECT CAST(n AS BIGINT) AS n_blocks,
+         6.0 * CAST(num2 AS DOUBLE)
+           / NULLIF(CAST(ssq2 - 448 * n AS DOUBLE), 0.0) AS q,
+         n
+  FROM num
+)
+SELECT d.dow,
+       sign(CAST(d.a2 AS DOUBLE) / (2.0 * CAST(g.n AS DOUBLE)))
+         * floor(abs(CAST(d.a2 AS DOUBLE) / (2.0 * CAST(g.n AS DOUBLE)))
+                 * 1000000.0 + 0.5) / 1000000.0 AS mean_rank,
+       g.n_blocks,
+       sign(g.q) * floor(abs(g.q) * 1000000.0 + 0.5) / 1000000.0 AS q_friedman,
+       CAST(6 AS BIGINT) AS df,
+       sign(g.q / (6.0 * CAST(g.n AS DOUBLE)))
+         * floor(abs(g.q / (6.0 * CAST(g.n AS DOUBLE))) * 1000000.0 + 0.5)
+         / 1000000.0 AS w_kendall
+FROM per_dow d CROSS JOIN g
+ORDER BY d.dow
+"""
+
+
+def jarque_bera_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque–Bera normality test on order totals, per order status and
+    pooled — the moment-based screen (skewness² + excess-kurtosis²)
+    that tells a drift monitor whether z-score thresholds are even
+    meaningful on this distribution.
+
+    Exactness at scale: totals quantize to whole currency UNITS
+    (cast-to-long truncation — the micro/cents idioms overflow
+    decimal(38,0) at the fourth power by sf100; units keep Σ(x−p)⁴
+    under 10³⁵ at 60 B rows), and the moments fold about a single
+    GLOBAL integer pivot p = floor(ΣX/N) so ONE rollup pass yields
+    exact decimal Σ(x−p)^k, k=1..4, for every status AND the pooled
+    row; the central moments about each group's true mean come from
+    the standard pivot-shift identities evaluated as mirrored double
+    expressions of those exact integers.
+
+    Scale: two partial-agg scans (pivot, then moments), each reducing
+    to ≤ 4 groups; no windows, no joins beyond a broadcast scalar."""
+    o = table(spark, sf_dir, "orders")
+    # cast double→long truncates toward zero in Spark; totals are > 0,
+    # so this mirrors DuckDB's trunc() exactly
+    xq = F.col("o_totalprice").cast("long")
+    piv = o.agg(
+        F.floor(
+            F.sum(xq.cast(_DEC)).cast("double") / F.count(F.lit(1)).cast("double")
+        )
+        .cast("long")
+        .alias("p")
+    )
+    dev = (xq - F.col("p")).cast("decimal(38,0)")
+    m = (
+        o.crossJoin(F.broadcast(piv))
+        .rollup("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dev).alias("s1"),
+            F.sum(dev * dev).alias("s2"),
+            F.sum(dev * dev * dev).alias("s3"),
+            F.sum(dev * dev * dev * dev).alias("s4"),
+            F.max("p").alias("p"),
+        )
+    )
+    n = F.col("n").cast("double")
+    d = F.col("s1").cast("double") / n  # mean − pivot
+    m2 = F.col("s2").cast("double") / n - d * d
+    m3 = (
+        F.col("s3").cast("double") / n
+        - F.lit(3.0) * d * (F.col("s2").cast("double") / n)
+        + F.lit(2.0) * d * d * d
+    )
+    m4 = (
+        F.col("s4").cast("double") / n
+        - F.lit(4.0) * d * (F.col("s3").cast("double") / n)
+        + F.lit(6.0) * d * d * (F.col("s2").cast("double") / n)
+        - F.lit(3.0) * d * d * d * d
+    )
+    skew = m3 / (m2 * F.sqrt(m2))
+    exk = m4 / (m2 * m2) - F.lit(3.0)
+    jb = n / F.lit(6.0) * (skew * skew + exk * exk / F.lit(4.0))
+    return m.select(
+        F.coalesce(F.col("o_orderstatus"), F.lit("TOTAL")).alias("status"),
+        F.col("n").cast("long").alias("n"),
+        _floor_round(d + F.col("p").cast("double"), 4).alias("mean_units"),
+        _floor_round(skew, 6).alias("skewness"),
+        _floor_round(exk, 6).alias("excess_kurtosis"),
+        _floor_round(jb, 4).alias("jb_stat"),
+    ).orderBy("status")
+
+
+ORACLE_JARQUE_BERA_ORDER_TOTALS = """
+WITH piv AS (
+  SELECT CAST(floor(CAST(SUM(CAST(trunc(o_totalprice) AS HUGEINT)) AS DOUBLE)
+                    / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS p
+  FROM orders
+), dev AS (
+  SELECT o_orderstatus,
+         CAST(CAST(trunc(o_totalprice) AS BIGINT) - p AS HUGEINT) AS v, p
+  FROM orders CROSS JOIN piv
+), m AS (
+  SELECT o_orderstatus, COUNT(*) AS n,
+         SUM(v) AS s1, SUM(v * v) AS s2, SUM(v * v * v) AS s3,
+         SUM(v * v * v * v) AS s4, MAX(p) AS p
+  FROM dev
+  GROUP BY ROLLUP (o_orderstatus)
+), g AS (
+  SELECT COALESCE(o_orderstatus, 'TOTAL') AS status,
+         CAST(n AS BIGINT) AS n,
+         CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS d,
+         CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS r2,
+         CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS r3,
+         CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS r4,
+         CAST(p AS DOUBLE) AS p
+  FROM m
+), c AS (
+  SELECT status, n, p, d, r2 - d * d AS m2,
+         r3 - 3.0 * d * r2 + 2.0 * d * d * d AS m3,
+         r4 - 4.0 * d * r3 + 6.0 * d * d * r2 - 3.0 * d * d * d * d AS m4
+  FROM g
+), s AS (
+  SELECT status, n, p, d, m2,
+         m3 / (m2 * sqrt(m2)) AS skew,
+         m4 / (m2 * m2) - 3.0 AS exk
+  FROM c
+)
+SELECT status, n,
+       sign(d + p) * floor(abs(d + p) * 10000.0 + 0.5) / 10000.0 AS mean_units,
+       sign(skew) * floor(abs(skew) * 1000000.0 + 0.5) / 1000000.0 AS skewness,
+       sign(exk) * floor(abs(exk) * 1000000.0 + 0.5) / 1000000.0
+         AS excess_kurtosis,
+       sign(CAST(n AS DOUBLE) / 6.0 * (skew * skew + exk * exk / 4.0))
+         * floor(abs(CAST(n AS DOUBLE) / 6.0 * (skew * skew + exk * exk / 4.0))
+                 * 10000.0 + 0.5) / 10000.0 AS jb_stat
+FROM s
+ORDER BY status
+"""
+
+
+def theil_inequality_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T inequality index of per-customer revenue with the exact
+    within/between-NATION decomposition — the additive-decomposable
+    inequality measure (Gini, already measured repo-wide, is not):
+    T_total = Σ_g s_g·T_g + Σ_g s_g·ln(μ_g/μ).  Answers "how much of
+    revenue concentration is customers-within-a-market vs markets
+    themselves?".
+
+    Exactness: per-customer revenue folds to exact cents; each
+    customer's x·ln(x) term uses the quantized-ln idiom
+    (q = round(ln·1e8) — one libm call per customer, immediately
+    integered so a last-ulp libm difference cannot propagate) and the
+    Σ x·q folds in decimal(38,0); group/grand log-means are single
+    quantized libm calls on exact-integer ratios.  Every reported
+    value is then a mirrored double expression of exact integers.
+
+    Scale: orders → per-customer agg (THE shuffle, key = custkey),
+    nation lookup via broadcast, then a 25-row nation frame; customers
+    with no orders contribute zero revenue and are excluded (inner
+    join), as documented."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    nat = table(spark, sf_dir, "nation")
+    # customer is fact-scaled — this is a key-aligned SHUFFLE join on
+    # custkey (both sides partition on it); only the 25-row nation
+    # dimension broadcasts
+    cust = (
+        o.groupBy("o_custkey")
+        .agg(F.sum((F.col("o_totalprice") * 100).cast("long")).alias("x"))
+        .join(c.select("c_custkey", "c_nationkey"),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nat.select("n_nationkey", "n_name")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("n_name", "x")
+    )
+    qx = F.round(F.log(F.col("x").cast("double")) * F.lit(1e8), 0).cast("long")
+    per_nat = cust.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_cust"),
+        F.sum(F.col("x").cast(_DEC)).alias("xg"),
+        F.sum(F.col("x").cast("decimal(38,0)") * qx.cast("decimal(38,0)")).alias(
+            "fold"
+        ),
+    )
+    tot = per_nat.agg(
+        F.sum("n_cust").alias("n_all"),
+        F.sum(F.col("xg").cast("decimal(38,0)")).alias("x_all"),
+        F.sum("fold").alias("fold_all"),
+    )
+    qmu_g = F.round(
+        F.log(F.col("xg").cast("double") / F.col("n_cust").cast("double"))
+        * F.lit(1e8),
+        0,
+    )
+    qmu_all = F.round(
+        F.log(F.col("x_all").cast("double") / F.col("n_all").cast("double"))
+        * F.lit(1e8),
+        0,
+    )
+    j = per_nat.crossJoin(F.broadcast(tot))
+    share = F.col("xg").cast("double") / F.col("x_all").cast("double")
+    t_within = (
+        F.col("fold").cast("double") / F.col("xg").cast("double") - qmu_g
+    ) / F.lit(1e8)
+    between_g = share * (qmu_g - qmu_all) / F.lit(1e8)
+    nation_rows = j.select(
+        F.col("n_name").alias("nation"),
+        F.col("n_cust").cast("long").alias("n_customers"),
+        _floor_round(share, 6).alias("revenue_share"),
+        _floor_round(t_within, 6).alias("theil_within"),
+        _floor_round(share * t_within, 6).alias("contrib_within"),
+        _floor_round(between_g, 6).alias("contrib_between"),
+    )
+    t_total = (
+        F.col("fold_all").cast("double") / F.col("x_all").cast("double") - qmu_all
+    ) / F.lit(1e8)
+    total_row = tot.select(
+        F.lit("TOTAL").alias("nation"),
+        F.col("n_all").cast("long").alias("n_customers"),
+        F.lit(1.0).alias("revenue_share"),
+        _floor_round(t_total, 6).alias("theil_within"),
+        F.lit(None).cast("double").alias("contrib_within"),
+        F.lit(None).cast("double").alias("contrib_between"),
+    )
+    return nation_rows.unionByName(total_row).orderBy("nation")
+
+
+ORACLE_THEIL_INEQUALITY_NATIONS = """
+WITH cust AS (
+  SELECT n.n_name, SUM(CAST(o_totalprice * 100 AS BIGINT)) AS x
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  GROUP BY o.o_custkey, n.n_name
+), per_nat AS (
+  SELECT n_name, COUNT(*) AS n_cust,
+         SUM(CAST(x AS HUGEINT)) AS xg,
+         SUM(CAST(x AS HUGEINT)
+             * CAST(round(ln(CAST(x AS DOUBLE)) * 100000000.0) AS HUGEINT))
+           AS fold
+  FROM cust GROUP BY n_name
+), tot AS (
+  SELECT SUM(n_cust) AS n_all, SUM(xg) AS x_all, SUM(fold) AS fold_all
+  FROM per_nat
+), j AS (
+  SELECT p.*, t.n_all, t.x_all, t.fold_all,
+         round(ln(CAST(p.xg AS DOUBLE) / CAST(p.n_cust AS DOUBLE))
+               * 100000000.0) AS qmu_g,
+         round(ln(CAST(t.x_all AS DOUBLE) / CAST(t.n_all AS DOUBLE))
+               * 100000000.0) AS qmu_all,
+         CAST(p.xg AS DOUBLE) / CAST(t.x_all AS DOUBLE) AS share,
+         (CAST(p.fold AS DOUBLE) / CAST(p.xg AS DOUBLE)
+          - round(ln(CAST(p.xg AS DOUBLE) / CAST(p.n_cust AS DOUBLE))
+                  * 100000000.0)) / 100000000.0 AS t_within
+  FROM per_nat p CROSS JOIN tot t
+)
+SELECT nation, n_customers, revenue_share, theil_within,
+       contrib_within, contrib_between
+FROM (
+  SELECT n_name AS nation, CAST(n_cust AS BIGINT) AS n_customers,
+         sign(share) * floor(abs(share) * 1000000.0 + 0.5) / 1000000.0
+           AS revenue_share,
+         sign(t_within) * floor(abs(t_within) * 1000000.0 + 0.5) / 1000000.0
+           AS theil_within,
+         sign(share * t_within)
+           * floor(abs(share * t_within) * 1000000.0 + 0.5) / 1000000.0
+           AS contrib_within,
+         sign(share * (qmu_g - qmu_all) / 100000000.0)
+           * floor(abs(share * (qmu_g - qmu_all) / 100000000.0)
+                   * 1000000.0 + 0.5) / 1000000.0 AS contrib_between
+  FROM j
+  UNION ALL
+  SELECT 'TOTAL', CAST(t.n_all AS BIGINT), 1.0,
+         sign((CAST(t.fold_all AS DOUBLE) / CAST(t.x_all AS DOUBLE)
+               - round(ln(CAST(t.x_all AS DOUBLE) / CAST(t.n_all AS DOUBLE))
+                       * 100000000.0)) / 100000000.0)
+           * floor(abs((CAST(t.fold_all AS DOUBLE) / CAST(t.x_all AS DOUBLE)
+               - round(ln(CAST(t.x_all AS DOUBLE) / CAST(t.n_all AS DOUBLE))
+                       * 100000000.0)) / 100000000.0) * 1000000.0 + 0.5)
+           / 1000000.0,
+         NULL, NULL
+  FROM tot t
+) u
+ORDER BY nation
+"""
+
+
 QUERIES = {
     "bartlett_event_values": bartlett_event_values,
     "mood_median_test": mood_median_test,
@@ -7453,6 +7854,9 @@ QUERIES = {
     "theils_u_event_dow": theils_u_event_dow,
     "page_hinkley_drift": page_hinkley_drift,
     "acf_panel_revenue": acf_panel_revenue,
+    "friedman_revenue_dow": friedman_revenue_dow,
+    "jarque_bera_order_totals": jarque_bera_order_totals,
+    "theil_inequality_nations": theil_inequality_nations,
 }
 
 ORACLE = {
@@ -7515,4 +7919,7 @@ ORACLE = {
     "theils_u_event_dow": ORACLE_THEILS_U_EVENT_DOW,
     "page_hinkley_drift": ORACLE_PAGE_HINKLEY_DRIFT,
     "acf_panel_revenue": ORACLE_ACF_PANEL_REVENUE,
+    "friedman_revenue_dow": ORACLE_FRIEDMAN_REVENUE_DOW,
+    "jarque_bera_order_totals": ORACLE_JARQUE_BERA_ORDER_TOTALS,
+    "theil_inequality_nations": ORACLE_THEIL_INEQUALITY_NATIONS,
 }

@@ -639,8 +639,21 @@ def test_sketch_estimates_track_exact_counts(spark):
             assert abs(est_w - exact_w) <= 0.20 * exact_w, wstart
             assert abs(est_ret - exact_ret) <= max(0.25 * exact_ret, 5), wstart
 
+    # theta set-algebra query (r11 portable redesign): at this sf every
+    # week holds fewer than k=256 users → exact mode, so retained,
+    # churned AND new must EQUAL the exact set algebra; the binary
+    # Datasketches twin (also exact-mode at these cardinalities) must
+    # agree on every cell too.
+    from data_ingestion_project_spark.queries.advanced import (
+        theta_weekly_retention_datasketches,
+    )
+
     ret = all_queries()["theta_weekly_retention"](spark, sf).collect()
     assert ret
+    ds_ret = {
+        r["week_start"]: r for r in theta_weekly_retention_datasketches(spark, sf).collect()
+    }
+    assert set(ds_ret) == {r["week_start"] for r in ret}
     weeks = e.select(
         F.date_format(F.date_trunc("week", "ts"), "yyyy-MM-dd").alias("w"), "user_id"
     ).distinct()
@@ -648,13 +661,18 @@ def test_sketch_estimates_track_exact_counts(spark):
         nxt = F.date_format(
             F.date_add(F.to_date(F.lit(r["week_start"])), 7), "yyyy-MM-dd"
         )
-        exact_ret = (
-            weeks.filter(F.col("w") == r["week_start"])
-            .select("user_id")
-            .intersect(weeks.filter(F.col("w") == nxt).select("user_id"))
-            .count()
-        )
-        assert abs(r["est_retained_next_week"] - exact_ret) <= max(0.05 * exact_ret, 2)
+        cur = weeks.filter(F.col("w") == r["week_start"]).select("user_id")
+        nxt_users = weeks.filter(F.col("w") == nxt).select("user_id")
+        exact_ret = cur.intersect(nxt_users).count()
+        exact_churn = cur.exceptAll(nxt_users.intersect(cur)).count()
+        exact_new = nxt_users.exceptAll(cur.intersect(nxt_users)).count()
+        assert r["est_retained_next_week"] == exact_ret, r["week_start"]
+        assert r["est_churned_next_week"] == exact_churn, r["week_start"]
+        assert r["est_new_next_week"] == exact_new, r["week_start"]
+        d = ds_ret[r["week_start"]]
+        assert round(d["est_retained_next_week"]) == exact_ret, r["week_start"]
+        assert round(d["est_churned_next_week"]) == exact_churn, r["week_start"]
+        assert round(d["est_new_next_week"]) == exact_new, r["week_start"]
 
 
 def test_near_dup_queries_bounded_with_recall_floor(spark):

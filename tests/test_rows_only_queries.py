@@ -4,11 +4,14 @@ pinned against either a pure-Python/numpy replay of its exact contract
 or an error floor vs its oracle-certified exact twin — so `rows-only`
 never means `untested`.
 
-VERDICT r7 ask #8 lives here too: the Datasketches-backed rows-only
-queries (theta_weekly_retention, sketch_rollup_dau) have deterministic
-point estimates on a fixed corpus, so their sf0.001 outputs are pinned
-value-exactly — a silent sketch-config change (lgK, seed, estimator)
-cannot drift unnoticed.
+VERDICT r7 ask #8 lives here too: Datasketches-backed sketch queries
+have deterministic point estimates on a fixed corpus, so their sf0.001
+outputs are pinned value-exactly — a silent sketch-config change (lgK,
+seed, estimator) cannot drift unnoticed.  (Since r10/r11 the declared
+sketch queries — sketch_rollup_dau, theta_weekly_retention — are
+portable-deterministic and FULLY oracle-certified; the binary
+Datasketches twins pinned here are the pytest-only production
+variants.)
 """
 
 from __future__ import annotations
@@ -247,39 +250,56 @@ def test_datasketches_dau_rollup_pinned_point_estimates(spark):
 
 
 def test_theta_weekly_retention_pinned_point_estimates(spark):
-    """VERDICT r7 ask #8, theta half: pin the sf0.001 weekly-retention
-    point estimates value-exactly against the exact set algebra (tiny
-    cardinalities → theta sketches in exact mode, so est == exact; a
-    config change that pushes them into estimation mode, or a seed /
-    estimator change, breaks the pin)."""
-    from data_ingestion_project_spark.queries import all_queries
+    """VERDICT r7 ask #8, theta half (r11: the declared query is now the
+    portable oracle-certified set-algebra form; this test pins the
+    BINARY Datasketches twin value-exactly at sf0.001 — tiny
+    cardinalities → theta sketches in exact mode, so est == exact on
+    all three set-op cells; a config change that pushes them into
+    estimation mode, or a seed / estimator change, breaks the pin)."""
+    from data_ingestion_project_spark.queries.advanced import (
+        theta_weekly_retention_datasketches,
+    )
 
-    rows = all_queries()["theta_weekly_retention"](spark, SF0001).collect()
+    rows = theta_weekly_retention_datasketches(spark, SF0001).collect()
     assert rows, "query returned no weeks"
     exact = {
-        str(w): (nu, nr)
-        for w, nu, nr in duckdb.sql(
+        str(w): (nr, nc, nn)
+        for w, nr, nc, nn in duckdb.sql(
             f"""
             WITH wk AS (
               SELECT CAST(date_trunc('week', ts) AS DATE) AS week, user_id
               FROM '{SF0001}/events.parquet' GROUP BY 1, 2
+            ), weeks AS (SELECT DISTINCT week FROM wk),
+            pairs AS (
+              SELECT a.week AS wa FROM weeks a
+              JOIN weeks b ON b.week = a.week + INTERVAL 7 DAY
             )
-            SELECT a.week AS week,
-                   COUNT(DISTINCT a.user_id) AS n_users,
-                   COUNT(DISTINCT b.user_id) AS n_retained
-            FROM wk a LEFT JOIN wk b
-              ON b.user_id = a.user_id AND b.week = a.week + INTERVAL 7 DAY
-            GROUP BY 1
-            HAVING COUNT(*) FILTER (
-              WHERE a.week + INTERVAL 7 DAY IN (SELECT week FROM wk)) > 0
-            ORDER BY 1
+            , cells AS (
+              SELECT COALESCE(a.week, b.week) AS week,
+                     a.user_id IS NOT NULL AS in_a,
+                     b.user_id IS NOT NULL AS in_b
+              FROM wk a
+              FULL OUTER JOIN (SELECT week - INTERVAL 7 DAY AS week, user_id
+                               FROM wk) b
+                ON b.week = a.week AND b.user_id = a.user_id
+            )
+            SELECT p.wa AS week,
+                   SUM(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END) AS n_ret,
+                   SUM(CASE WHEN in_a AND NOT in_b THEN 1 ELSE 0 END) AS n_churn,
+                   SUM(CASE WHEN NOT in_a AND in_b THEN 1 ELSE 0 END) AS n_new
+            FROM pairs p JOIN cells c ON c.week = p.wa
+            GROUP BY 1 ORDER BY 1
             """
         ).fetchall()
     }
     got = {
-        r["week_start"]: (r["est_week_users"], r["est_retained_next_week"])
+        r["week_start"]: (
+            round(r["est_retained_next_week"]),
+            round(r["est_churned_next_week"]),
+            round(r["est_new_next_week"]),
+        )
         for r in rows
     }
     assert set(got) == set(exact)
-    for week, (nu, nr) in exact.items():
-        assert got[week] == (float(nu), float(nr)), (week, got[week], (nu, nr))
+    for week, cells in exact.items():
+        assert got[week] == cells, (week, got[week], cells)
