@@ -109,3 +109,54 @@ def test_memory_record_covers_every_heavy_family_with_bounded_slopes():
         ),
     )
     assert worst[1] in {"exact_substring_census", "longest_repeat_extract"}, worst
+
+
+# The ten families SCALING.json times at the sixth decade (sf100,
+# 600 M lineitem / 100 M events) — VERDICT r10 ask #3 extends the
+# MEMORY record to the same decade and re-fits beta there, because
+# sf10→sf100 is the decade where an asymptotic surprise would OOM a
+# production node first (the TIME record caught a real alpha=1.49
+# defect on exactly this step in r10).
+SF100_FAMILIES = (
+    "cms_word_freq",
+    "hourly_event_stats",
+    "kaplan_meier_retention",
+    "nb_lang_confusion",
+    "pricing_summary",
+    "quantile_sketch_rollup",
+    "rfm_segments",
+    "theil_sen_revenue_trend",
+    "token_stats",
+    "user_sessions",
+)
+
+
+@pytest.mark.skipif(not os.path.exists(RECORD), reason="no committed record")
+def test_sixth_decade_memory_rows_present_and_sublinear():
+    rec = json.load(open(RECORD))
+    fams = rec["families"]
+    assert rec["sf_labels"][-1] == "sf100"
+    for name in SF100_FAMILIES:
+        fam = fams[name]
+        row = fam["per_sf"].get("sf100")
+        assert row and "error" not in row, (name, row)
+        assert row.get("jvm_peak_gb"), name
+        # beta must be re-fitted on the LARGEST decade for these
+        assert fam.get("beta_decade") == "sf10->sf100", (
+            name,
+            fam.get("beta_decade"),
+        )
+        # sublinear memory growth where the sixth-decade measurement
+        # is load-bearing (>= 4 GB absolute at sf100); sub-4 GB peaks
+        # sit on the allocation quantum and are bounded by the global
+        # beta_jvm backstop instead
+        p100 = row.get("max_stage_peak_exec_gb") or 0
+        if p100 >= 4:
+            assert fam.get("beta_stage") is not None and fam["beta_stage"] <= 1.0, (
+                name,
+                fam.get("beta_stage"),
+            )
+        assert fam.get("beta_jvm") is not None and fam["beta_jvm"] <= 1.0, (
+            name,
+            fam.get("beta_jvm"),
+        )

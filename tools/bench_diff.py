@@ -33,14 +33,29 @@ def diff(old: dict, new: dict, threshold: float) -> dict:
             "(BENCH_LOCAL.json shape), not driver BENCH_r{N}.json tail captures"
         )
     shared = sorted(set(oq) & set(nq))
+    # r11 protocol: multi-pass records carry per-query 'spread'
+    # (max−min across sweeps). A delta smaller than the larger of the
+    # two queries' own recorded spreads is inside measurement noise
+    # and is NOT a drift — this replaces the manual contention-band
+    # adjudication the single-pass records needed.
+    osp, nsp = old.get("spread") or {}, new.get("spread") or {}
     drifts = []
     for name in shared:
         a, b = oq[name], nq[name]
         if a <= 0:
             continue
         rel = (b - a) / a
-        if abs(rel) > threshold:
-            drifts.append({"query": name, "old": a, "new": b, "rel": round(rel, 3)})
+        noise = max(osp.get(name, 0.0), nsp.get(name, 0.0))
+        if abs(rel) > threshold and abs(b - a) > noise:
+            drifts.append(
+                {
+                    "query": name,
+                    "old": a,
+                    "new": b,
+                    "rel": round(rel, 3),
+                    "noise_band": round(noise, 3),
+                }
+            )
     drifts.sort(key=lambda d: -abs(d["rel"]))
     return {
         "added": sorted(set(nq) - set(oq)),

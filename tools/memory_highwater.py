@@ -65,7 +65,14 @@ spark.sparkContext.setLogLevel("ERROR")
 for t in TABLES:
     df = table(spark, sf_dir, t)
     df.select([F.count(F.col(c)).alias(c) for c in df.columns]).collect()
-warm_derived_assets(spark, sf_dir)
+# The sixth-decade families are scan/shuffle-bound and read no
+# materialized asset, so the sf100 pass skips the (hour-scale at 600 M
+# rows) unrelated asset builds — same env knob as remeasure_families.
+# A family that DOES read an asset still builds it lazily on first
+# touch; its row would then price build+query and must be re-measured
+# with assets prebuilt.
+if os.environ.get("SPARK_GRAFT_SKIP_ASSET_WARM") != "1":
+    warm_derived_assets(spark, sf_dir)
 
 fn = all_queries().get(name)
 if fn is None:  # import-gated family (e.g. the Pillow twin)
@@ -106,8 +113,13 @@ jvms = [p for p in java_children(os.getpid())
         if "java" in open(f"/proc/{{p}}/cmdline", "rb").read(200).decode(errors="replace")]
 jvm_peak = max((vm_hwm_kb(p) or 0) for p in jvms) if jvms else None
 
-# largest per-stage execution-memory peak from the status API
+# largest per-stage execution-memory peak from the status API, plus —
+# r11 — the largest single-TASK peak of that stage (the number an
+# executor budget must actually hold: the stage value is the SUM over
+# all tasks and is partition-count-invariant, so it cannot show a
+# partitioning mitigation; the per-task max can)
 stage_peak = None
+task_peak = None
 try:
     base = spark.sparkContext.uiWebUrl
     apps = json.load(urllib.request.urlopen(base + "/api/v1/applications", timeout=10))
@@ -116,6 +128,18 @@ try:
         base + f"/api/v1/applications/{{app_id}}/stages?status=complete",
         timeout=120))
     stage_peak = max((s.get("peakExecutionMemory") or 0) for s in stages) if stages else 0
+    top = sorted(stages, key=lambda s: -(s.get("peakExecutionMemory") or 0))[:3]
+    peaks = []
+    for s in top:
+        try:
+            ts = json.load(urllib.request.urlopen(
+                base + f"/api/v1/applications/{{app_id}}/stages/"
+                       f"{{s['stageId']}}/{{s['attemptId']}}/taskSummary"
+                       "?quantiles=1.0", timeout=60))
+            peaks.append((ts.get("peakExecutionMemory") or [0])[0])
+        except Exception:
+            pass
+    task_peak = max(peaks) if peaks else None
 except Exception as ex:  # UI disabled / field absent: record the gap
     stage_peak = None
 
@@ -127,6 +151,8 @@ print("MEMHW " + json.dumps({{
     "py_peak_gb": round((vm_hwm_kb(os.getpid()) or 0) / 1048576, 2),
     "max_stage_peak_exec_gb": (
         round(stage_peak / 2**30, 3) if stage_peak is not None else None),
+    "max_task_peak_exec_gb": (
+        round(task_peak / 2**30, 3) if task_peak is not None else None),
 }}))
 """
 
@@ -139,7 +165,16 @@ def _measure_one(name: str, sf_dir: str) -> dict:
     for line in proc.stdout.splitlines():
         if line.startswith("MEMHW "):
             return json.loads(line[6:])
-    return {"family": name, "error": (proc.stderr or "")[-500:]}
+    # keep the exception HEADLINES, not just the stack tail — a bare
+    # 500-char tail was all TaskRunner frames with the actual error
+    # type cut off
+    err = proc.stderr or ""
+    heads = [
+        ln.strip()
+        for ln in err.splitlines()
+        if ("Error" in ln or "Exception" in ln) and "at " not in ln[:4]
+    ][:6]
+    return {"family": name, "error": " | ".join(heads)[:1500] or err[-500:]}
 
 
 def main() -> None:
@@ -157,13 +192,18 @@ def main() -> None:
     with open(os.path.join(REPO, "SCALING.json")) as f:
         scaling_rows = json.load(f)["rows"]
 
-    # resume support: a killed sweep keeps everything already written
+    # resume support: a killed sweep keeps everything already written.
+    # r11: a prior record whose labels are a PREFIX of the requested
+    # ones also resumes — that is how the sixth decade (sf100) extends
+    # the committed two-decade record for the ten sf100-timed families
+    # without discarding the other 72 families' rows.
     records: dict = {}
     if os.path.exists(out_path):
         try:
             with open(out_path) as f:
                 prior = json.load(f)
-            if prior.get("sf_labels") == sf_labels:
+            prior_labels = prior.get("sf_labels") or []
+            if prior_labels == sf_labels or prior_labels == sf_labels[: len(prior_labels)]:
                 records = prior.get("families", {})
         except (json.JSONDecodeError, KeyError):
             pass
@@ -184,9 +224,21 @@ def main() -> None:
             f.write("\n")
 
     def _refit(name: str) -> None:
+        # beta is fitted on the LARGEST measured adjacent decade (the
+        # scaling_sweep rule): a family measured at sf1+sf10 fits
+        # sf1→sf10; one extended to sf100 re-fits on sf10→sf100 — the
+        # decade where an asymptotic surprise would OOM a node first.
         fam = records[name]
         per_sf = fam["per_sf"]
-        a, b = sf_labels[0], sf_labels[-1]
+        ok = [
+            lbl
+            for lbl in sf_labels
+            if lbl in per_sf and "error" not in per_sf[lbl]
+        ]
+        if len(ok) < 2:
+            return
+        a, b = ok[-2], ok[-1]
+        fam["beta_decade"] = f"{a}->{b}"
         drv = HEAVY.get(name)
         if (
             drv
