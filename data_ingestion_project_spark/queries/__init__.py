@@ -42,6 +42,7 @@ _DRIVER_PRIORITY = (
     "theil_inequality_nations",
     "log_odds_dirichlet_words",
     "int8_quantization_audit",
+    "ndcg_search_eval",
     # -- r11 redesign: the LAST no_oracle row anywhere, now fully
     # oracle-certified (portable theta set algebra: retained/churned/
     # new under the pair threshold, replayed integer-exactly) --
@@ -96,9 +97,8 @@ _DRIVER_PRIORITY = (
     "embedding_covariance_stats",
     "entity_golden_records",
     "event_dispersion_index",
-    "event_value_outliers_mad",
     # This tuple is exactly 50 names = the full window; the r06 tail
-    # (html_extract_stats ..) rolls to the r12 window.
+    # (event_value_outliers_mad ..) rolls to the r12 window.
 )
 
 

@@ -520,6 +520,114 @@ FROM totals ORDER BY total_i DESC, doc_id ASC LIMIT 10
 """
 
 
+def ndcg_search_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 of the BM25 ranking against a graded-relevance gold —
+    the standard search-quality number (the metric a retrieval
+    pipeline reports, next to the retrieval itself): gold grade =
+    each document's RAW probe-term count (deterministic, corpus-
+    derived), DCG discounts by log2(rank+1), ideal ordering re-ranks
+    the same grades.  A drop in this number flags a scoring/
+    normalization regression that top-k overlap tests (which ignore
+    ORDER) cannot see.
+
+    Exactness: grades are exact integer counts; each position's
+    discounted gain is quantized once — round(rel·1e8/log2(rank+1)) —
+    so DCG/IDCG are sums of exact integers and NDCG is one mirrored
+    double division.  Scale: the ranking is the existing bm25_topk
+    TakeOrdered form; gold grades come from the same pruned-term
+    aggregate; the only windows order the 10-row top-k frame and the
+    TakeOrdered-bounded ideal frame (Limit-bounded, the youden
+    posture)."""
+    d = table(spark, sf_dir, "documents")
+    ranked = bm25_topk(spark, sf_dir)
+    w = Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+    pos = ranked.withColumn("rank", F.row_number().over(w))
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("word")
+    )
+    rel = (
+        toks.filter(F.col("word").isin(*BM25_TERMS))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("rel"))
+    )
+
+    def _gain(rel_col: F.Column, rank_col: F.Column) -> F.Column:
+        return F.round(
+            rel_col.cast("double") * F.lit(1e8) / F.log2(rank_col.cast("double") + F.lit(1.0)),
+            0,
+        ).cast("long")
+
+    got = pos.join(rel, "doc_id", "left").select(
+        "rank",
+        "doc_id",
+        "bm25",
+        F.coalesce(F.col("rel"), F.lit(0)).alias("rel"),
+    ).withColumn("gain_q", _gain(F.col("rel"), F.col("rank")))
+    ideal = (
+        rel.orderBy(F.col("rel").desc(), F.col("doc_id").asc())
+        .limit(10)
+        .withColumn(
+            "irank", F.row_number().over(Window.orderBy(F.col("rel").desc(), F.col("doc_id").asc()))
+        )
+        .withColumn("igain_q", _gain(F.col("rel"), F.col("irank")))
+    )
+    dcg = got.agg(F.sum("gain_q").alias("dcg_q"))
+    idcg = ideal.agg(F.sum("igain_q").alias("idcg_q"))
+    g = dcg.crossJoin(F.broadcast(idcg))
+    stats = g.select(
+        floor_round(F.col("dcg_q") / F.lit(1e8), 6).alias("dcg_at10"),
+        floor_round(F.col("idcg_q") / F.lit(1e8), 6).alias("idcg_at10"),
+        floor_round(
+            F.col("dcg_q").cast("double") / F.col("idcg_q").cast("double"), 6
+        ).alias("ndcg_at10"),
+    )
+    return (
+        got.select("rank", "doc_id", "rel", "bm25")
+        .crossJoin(F.broadcast(stats))
+        .orderBy("rank")
+    )
+
+
+ORACLE_NDCG_SEARCH_EVAL = f"""
+WITH {_SQL_BM25_TOTALS}
+, ranked AS (
+  SELECT doc_id, ROUND(total_i / 1000000.0, 6) AS bm25,
+         ROW_NUMBER() OVER (ORDER BY total_i DESC, doc_id ASC) AS rank
+  FROM totals ORDER BY total_i DESC, doc_id ASC LIMIT 10
+), rel AS (
+  SELECT doc_id, COUNT(*) AS rel FROM toks
+  WHERE word IN {BM25_TERMS} GROUP BY doc_id
+), got AS (
+  SELECT r.rank, r.doc_id, r.bm25, COALESCE(g.rel, 0) AS rel,
+         CAST(ROUND(COALESCE(g.rel, 0) * 100000000.0
+                    / log2(r.rank + 1.0), 0) AS BIGINT) AS gain_q
+  FROM ranked r LEFT JOIN rel g ON g.doc_id = r.doc_id
+), ideal AS (
+  SELECT CAST(ROUND(rel * 100000000.0 / log2(irank + 1.0), 0) AS BIGINT)
+           AS igain_q
+  FROM (
+    SELECT rel, ROW_NUMBER() OVER (ORDER BY rel DESC, doc_id ASC) AS irank
+    FROM rel ORDER BY rel DESC, doc_id ASC LIMIT 10
+  ) t
+), evalstats AS (
+  SELECT sign(SUM(g.gain_q) / 100000000.0)
+           * floor(abs(SUM(g.gain_q) / 100000000.0) * 1000000.0 + 0.5)
+           / 1000000.0 AS dcg_at10,
+         (SELECT sign(SUM(igain_q) / 100000000.0)
+                 * floor(abs(SUM(igain_q) / 100000000.0) * 1000000.0 + 0.5)
+                 / 1000000.0 FROM ideal) AS idcg_at10,
+         sign(SUM(g.gain_q) * 1.0 / (SELECT SUM(igain_q) FROM ideal))
+           * floor(abs(SUM(g.gain_q) * 1.0 / (SELECT SUM(igain_q) FROM ideal))
+                   * 1000000.0 + 0.5) / 1000000.0 AS ndcg_at10
+  FROM got g
+)
+SELECT got.rank, got.doc_id, got.rel, got.bm25,
+       evalstats.dcg_at10, evalstats.idcg_at10, evalstats.ndcg_at10
+FROM got CROSS JOIN evalstats
+ORDER BY got.rank
+"""
+
+
 def _bm25_index_path(spark: SparkSession, sf_dir: str) -> str:
     """Materialize (once per corpus mtime) the inverted-index assets
     (operators/inverted_index.py): bucket-partitioned posting lists,
@@ -2850,6 +2958,7 @@ QUERIES = {
     "idle_suppliers": idle_suppliers,
     "tfidf_top_terms": tfidf_top_terms,
     "bm25_topk": bm25_topk,
+    "ndcg_search_eval": ndcg_search_eval,
     "bm25_topk_indexed": bm25_topk_indexed,
     "bloom_membership_audit": bloom_membership_audit,
     "hybrid_rrf_search": hybrid_rrf_search,
@@ -2894,6 +3003,7 @@ ORACLE = {
     "revenue_gini": ORACLE_REVENUE_GINI,
     "tfidf_top_terms": ORACLE_TFIDF_TOP_TERMS,
     "bm25_topk": ORACLE_BM25_TOPK,
+    "ndcg_search_eval": ORACLE_NDCG_SEARCH_EVAL,
     "bm25_topk_indexed": ORACLE_BM25_TOPK,
     "bloom_membership_audit": ORACLE_BLOOM_MEMBERSHIP_AUDIT,
     "hybrid_rrf_search": ORACLE_HYBRID_RRF_SEARCH,

@@ -430,6 +430,12 @@ def test_png_decode_arrow_batched_single_pass(spark):
 # Queries allowed to carry an unpartitioned Window with no Limit below
 # it, each with a written reason the frame is bounded anyway:
 _GLOBAL_WINDOW_SANCTIONED = {
+    # NDCG position numbering: both row_number windows run over
+    # Limit-bounded frames — the 10-row bm25_topk TakeOrdered result
+    # and the TakeOrdered-bounded ideal ranking (youden posture);
+    # the corpus-sized side is reduced by the pruned-term aggregate
+    # first (r11)
+    "ndcg_search_eval",
     # judge-sanctioned EXACT oracle twin: ntile over the full customer
     # table is the point of the baseline (acctbal_deciles_scalable is
     # the production path and is pinned single-partition-free above)
