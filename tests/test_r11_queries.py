@@ -1,0 +1,276 @@
+"""Round-11 query replays: pure-Python/numpy re-derivations of the
+round-11 certified queries (the tests/test_r{N}_queries.py pattern —
+an engine-independent THIRD implementation pinning every value the
+driver's DuckDB oracle also checks, so a regression is caught even on
+corpora the driver never runs)."""
+
+from __future__ import annotations
+
+import math
+import re
+from collections import Counter, defaultdict
+
+import duckdb
+import numpy as np
+import pytest
+
+SF0001 = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from data_ingestion_project_spark.session import build_session
+
+    s = build_session("test-r11")
+    yield s
+
+
+def _floor_round(x: float, nd: int) -> float:
+    m = 10.0**nd
+    return math.copysign(math.floor(abs(x) * m + 0.5) / m, x) if x else 0.0
+
+
+def _half_up(x: float) -> int:
+    """round-half-away-from-zero — the F.round / DuckDB round mode
+    (Python's built-in round is banker's and must not be used)."""
+    return int(math.copysign(math.floor(abs(x) + 0.5), x))
+
+
+def test_friedman_revenue_dow_matches_python_replay(spark):
+    # sf0.01: sf0.001's order dates are too sparse to fill any
+    # complete 7-day week block (the query correctly returns an empty
+    # frame there); the certification corpus has full blocks
+    from data_ingestion_project_spark.queries import all_queries
+
+    sf = "/root/testdata/sf0.01"
+    rows = all_queries()["friedman_revenue_dow"](spark, sf).collect()
+    assert len(rows) == 7 and [r["dow"] for r in rows] == list(range(1, 8))
+
+    daily = duckdb.sql(
+        f"""SELECT CAST(date_trunc('week', d) AS DATE) AS wk,
+                   CAST(isodow(d) AS INT) AS dow, cents
+            FROM (SELECT CAST(o_orderdate AS DATE) AS d,
+                         SUM(CAST(o_totalprice * 100 AS BIGINT)) AS cents
+                  FROM '{sf}/orders.parquet' GROUP BY 1) t"""
+    ).fetchall()
+    by_wk: dict = defaultdict(list)
+    for wk, dow, cents in daily:
+        by_wk[wk].append((dow, cents))
+    blocks = {wk: v for wk, v in by_wk.items() if len(v) == 7}
+    n = len(blocks)
+    a2 = Counter()
+    ssq2 = 0
+    for v in blocks.values():
+        vals = sorted(c for _, c in v)
+        for dow, c in v:
+            rank_min = vals.index(c) + 1
+            ties = vals.count(c)
+            r2 = 2 * rank_min + ties - 1
+            a2[dow] += r2
+            ssq2 += r2 * r2
+    num2 = sum((a2[d] - 8 * n) ** 2 for d in range(1, 8))
+    q = 6.0 * num2 / (ssq2 - 448 * n)
+    got = rows[0]
+    assert got["n_blocks"] == n
+    assert got["q_friedman"] == _floor_round(q, 6)
+    assert got["w_kendall"] == _floor_round(q / (6.0 * n), 6)
+    for r in rows:
+        assert r["mean_rank"] == _floor_round(a2[r["dow"]] / (2.0 * n), 6)
+    # rank algebra invariant: mean ranks average to (k+1)/2 = 4
+    assert abs(sum(r["mean_rank"] for r in rows) / 7.0 - 4.0) < 1e-6
+
+
+def test_jarque_bera_matches_numpy_replay(spark):
+    from data_ingestion_project_spark.queries import all_queries
+
+    rows = {r["status"]: r for r in all_queries()["jarque_bera_order_totals"](spark, SF0001).collect()}
+    x = duckdb.sql(
+        f"SELECT o_orderstatus, CAST(trunc(o_totalprice) AS BIGINT) "
+        f"FROM '{SF0001}/orders.parquet'"
+    ).fetchall()
+    allv = np.array([v for _, v in x], dtype=np.int64)
+    p = math.floor(float(allv.sum()) / float(len(allv)))
+    groups = defaultdict(list)
+    for s, v in x:
+        groups[s].append(v)
+    groups["TOTAL"] = [v for _, v in x]
+    assert set(rows) == set(groups)
+    for s, vals in groups.items():
+        v = np.array(vals, dtype=object)  # exact int sums, no overflow
+        nn = len(vals)
+        dev = [int(t) - p for t in vals]
+        s1 = sum(dev)
+        s2 = sum(d * d for d in dev)
+        s3 = sum(d**3 for d in dev)
+        s4 = sum(d**4 for d in dev)
+        n_d = float(nn)
+        d_ = float(s1) / n_d
+        r2, r3, r4 = float(s2) / n_d, float(s3) / n_d, float(s4) / n_d
+        m2 = r2 - d_ * d_
+        m3 = r3 - 3.0 * d_ * r2 + 2.0 * d_ * d_ * d_
+        m4 = r4 - 4.0 * d_ * r3 + 6.0 * d_ * d_ * r2 - 3.0 * d_ * d_ * d_ * d_
+        skew = m3 / (m2 * math.sqrt(m2))
+        exk = m4 / (m2 * m2) - 3.0
+        jb = n_d / 6.0 * (skew * skew + exk * exk / 4.0)
+        got = rows[s]
+        assert got["n"] == nn, s
+        assert got["skewness"] == pytest.approx(_floor_round(skew, 6), abs=2e-6), s
+        assert got["excess_kurtosis"] == pytest.approx(_floor_round(exk, 6), abs=2e-6), s
+        assert got["jb_stat"] == pytest.approx(_floor_round(jb, 4), abs=2e-4), s
+
+
+def test_theil_decomposition_matches_python_and_is_additive(spark):
+    from data_ingestion_project_spark.queries import all_queries
+
+    rows = {r["nation"]: r for r in all_queries()["theil_inequality_nations"](spark, SF0001).collect()}
+    cust = duckdb.sql(
+        f"""SELECT n.n_name, SUM(CAST(o.o_totalprice * 100 AS BIGINT)) AS x
+            FROM '{SF0001}/orders.parquet' o
+            JOIN '{SF0001}/customer.parquet' c ON c.c_custkey = o.o_custkey
+            JOIN '{SF0001}/nation.parquet' n ON n.n_nationkey = c.c_nationkey
+            GROUP BY o.o_custkey, n.n_name"""
+    ).fetchall()
+    by_nat = defaultdict(list)
+    for nat, xv in cust:
+        by_nat[nat].append(int(xv))
+    x_all = sum(sum(v) for v in by_nat.values())
+    n_all = sum(len(v) for v in by_nat.values())
+    qmu_all = _half_up(math.log(x_all / n_all) * 1e8)
+    fold_all = sum(
+        xv * _half_up(math.log(xv) * 1e8) for v in by_nat.values() for xv in v
+    )
+    t_total = (fold_all / x_all - qmu_all) / 1e8
+    assert rows["TOTAL"]["theil_within"] == pytest.approx(_floor_round(t_total, 6), abs=2e-6)
+    within_sum = between_sum = 0.0
+    for nat, v in by_nat.items():
+        xg, ng = sum(v), len(v)
+        share = xg / x_all
+        qmu_g = _half_up(math.log(xg / ng) * 1e8)
+        fold = sum(xv * _half_up(math.log(xv) * 1e8) for xv in v)
+        t_w = (fold / xg - qmu_g) / 1e8
+        got = rows[nat]
+        assert got["n_customers"] == ng, nat
+        assert got["revenue_share"] == pytest.approx(_floor_round(share, 6), abs=2e-6), nat
+        assert got["theil_within"] == pytest.approx(_floor_round(t_w, 6), abs=2e-6), nat
+        within_sum += share * t_w
+        between_sum += share * (qmu_g - qmu_all) / 1e8
+    # the decomposition identity (up to ln-quantization, ~1e-8/term)
+    assert t_total == pytest.approx(within_sum + between_sum, abs=1e-5)
+    # Theil T is non-negative and between-component can't exceed total
+    assert t_total >= 0 and between_sum <= t_total + 1e-9
+
+
+def test_log_odds_dirichlet_matches_python_replay(spark):
+    from data_ingestion_project_spark.queries import all_queries
+
+    got = all_queries()["log_odds_dirichlet_words"](spark, SF0001).collect()
+    assert len(got) == 15
+    docs = duckdb.sql(
+        f"SELECT lang, text FROM '{SF0001}/documents.parquet'"
+    ).fetchall()
+    lang_counts = Counter(lang for lang, _ in docs)
+    target = sorted(lang_counts.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+    y1, y2 = Counter(), Counter()
+    for lang, text in docs:
+        words = re.split(r"\s+", text.strip().lower())
+        (y1 if lang == target else y2).update(words)
+    n1, n2 = sum(y1.values()), sum(y2.values())
+    n_all = n1 + n2
+    scored = []
+    for w in set(y1) | set(y2):
+        aw = 1000.0 * (y1[w] + y2[w]) / n_all
+        q = lambda v: _half_up(math.log(v) * 1e8)
+        delta = (
+            q(y1[w] + aw) - q(n1 + 1000.0 - y1[w] - aw)
+            - q(y2[w] + aw) + q(n2 + 1000.0 - y2[w] - aw)
+        ) / 1e8
+        sigma = math.sqrt(1.0 / (y1[w] + aw) + 1.0 / (y2[w] + aw))
+        scored.append((w, y1[w], y2[w], delta, delta / sigma))
+    scored.sort(key=lambda t: (-_floor_round(t[4], 6), t[0]))
+    for r, (w, c1, c2, delta, z) in zip(got, scored[:15]):
+        assert r["word"] == w and r["target_lang"] == target
+        assert (r["n_target"], r["n_rest"]) == (c1, c2)
+        assert r["log_odds_delta"] == pytest.approx(_floor_round(delta, 6), abs=2e-6)
+        assert r["z_score"] == pytest.approx(_floor_round(z, 6), abs=2e-6)
+
+
+def test_int8_quantization_matches_numpy_replay(spark):
+    from data_ingestion_project_spark.queries import all_queries
+
+    got = {r["dim"]: r for r in all_queries()["int8_quantization_audit"](spark, SF0001).collect()}
+    embs = duckdb.sql(
+        f"SELECT embedding FROM '{SF0001}/embeddings.parquet'"
+    ).fetchall()
+    m = np.array([e[0] for e in embs], dtype=np.float64)
+    xq = (np.sign(m) * np.floor(np.abs(m * 1e4) + 0.5)).astype(np.int64)
+    u = 127.0 * 1e4
+    for dim in range(m.shape[1]):
+        col = xq[:, dim]
+        s = int(max(abs(int(col.min())), abs(int(col.max()))))
+        if s == 0:
+            assert dim not in got
+            continue
+        qcodes = (254 * col + s) // (2 * s)  # floor division == floor()
+        assert qcodes.min() >= -127 and qcodes.max() <= 127
+        err = 127 * col - qcodes * s
+        r = got[dim]
+        assert r["n"] == len(col)
+        assert r["scale"] == pytest.approx(_floor_round(s / u, 8), abs=2e-8)
+        mse_root = math.sqrt(float((err.astype(object) ** 2).sum()) / len(col)) / u
+        assert r["rmse"] == pytest.approx(_floor_round(mse_root, 8), abs=2e-8)
+        assert r["max_abs_err"] == pytest.approx(
+            _floor_round(int(np.abs(err).max()) / u, 8), abs=2e-8
+        )
+        # int8 reconstruction can never be off by more than half a step
+        # (1e-7 slack: both sides are independently floor-rounded at 8dp)
+        assert r["max_abs_err"] <= r["scale"] / 2 + 1e-7
+
+
+def test_ndcg_matches_python_bm25_replay(spark):
+    from data_ingestion_project_spark.queries import all_queries
+    from data_ingestion_project_spark.queries.advanced import (
+        BM25_B,
+        BM25_K1,
+        BM25_TERMS,
+    )
+
+    got = all_queries()["ndcg_search_eval"](spark, SF0001).collect()
+    assert [r["rank"] for r in got] == list(range(1, len(got) + 1))
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM '{SF0001}/documents.parquet'"
+    ).fetchall()
+    toks = {d: re.split(r"\s+", t.strip().lower()) for d, t in docs}
+    dls = {d: len(w) for d, w in toks.items()}
+    n_docs, sum_dl = float(len(docs)), float(sum(dls.values()))
+    tf = {d: Counter(w for w in ws if w in BM25_TERMS) for d, ws in toks.items()}
+    df = Counter(t for d in tf.values() for t in d)
+    totals = {}
+    for d, c in tf.items():
+        tot = 0
+        for w, f in c.items():
+            idf = math.log(1.0 + (n_docs - df[w] + 0.5) / (df[w] + 0.5))
+            tfn = (f * (BM25_K1 + 1)) / (
+                f + BM25_K1 * (1 - BM25_B + BM25_B * dls[d] * n_docs / sum_dl)
+            )
+            tot += _half_up(idf * tfn * 1_000_000)
+        if tot:
+            totals[d] = tot
+    top = sorted(totals.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    rel = {d: sum(c.values()) for d, c in tf.items()}
+    dcg_q = sum(
+        _half_up(rel.get(d, 0) * 1e8 / math.log2(i + 2))
+        for i, (d, _) in enumerate(top)
+    )
+    ideal = sorted(rel.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    idcg_q = sum(
+        _half_up(rv * 1e8 / math.log2(i + 2)) for i, (_, rv) in enumerate(ideal)
+    )
+    for i, r in enumerate(got):
+        assert r["doc_id"] == top[i][0]
+        assert r["rel"] == rel.get(top[i][0], 0)
+    assert got[0]["dcg_at10"] == pytest.approx(_floor_round(dcg_q / 1e8, 6), abs=2e-6)
+    assert got[0]["idcg_at10"] == pytest.approx(_floor_round(idcg_q / 1e8, 6), abs=2e-6)
+    assert got[0]["ndcg_at10"] == pytest.approx(
+        _floor_round(dcg_q / idcg_q, 6), abs=2e-6
+    )
+    assert 0.0 < got[0]["ndcg_at10"] <= 1.0
