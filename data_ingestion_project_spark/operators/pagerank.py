@@ -412,3 +412,125 @@ def hitting_time_unrolled_sql(
 )"""
         )
     return ",\n".join(parts) + f"\nSELECT state, h FROM h{iterations}"
+
+
+# ---------------------------------------------------------------------------
+# Driver-exact iteration replay (bounded-collect fast path)
+#
+# The distributed loops above cost ONE Spark job per round on a frame
+# that is K- or K²-sized (K = state vocabulary) — at 20-40 rounds that
+# is pure scheduler overhead (~150 ms/round measured), not data work.
+# Under the repo's bounded-driver-collect doctrine (the PCA ≤2,145
+# moment-cell precedent, operators/pca.py), the exact same quantized
+# arithmetic runs driver-side on the collected K² probability cells:
+# every step below reproduces the distributed contract bit-for-bit —
+#   * Spark ROUND on DoubleType = BigDecimal.valueOf(d) (shortest
+#     round-trip decimal string, identical to Python repr(float))
+#     .setScale(scale, HALF_UP) → Decimal(repr(x)).quantize(HALF_UP);
+#   * the DECIMAL(38,14) fold = exact Decimal sum (associative);
+#   * cast-to-double = correctly-rounded float(Decimal), the same as
+#     BigDecimal.doubleValue().
+# The corpus is still read exactly once (the count aggregation that
+# produces `trans`); only the K²-cell matrix crosses to the driver,
+# capped by _DRIVER_STATE_CAP.  Equality with the distributed loops is
+# pinned by pytest at sf0.001; the DuckDB unrolled-SQL oracles certify
+# the replay value-exactly at sf0.01 every round.
+# ---------------------------------------------------------------------------
+
+_DRIVER_STATE_CAP = 1024  # collect ≤ K² cells; 1024² ≈ 1M rows max
+
+
+def _round_half_up(x: float, scale: int) -> float:
+    """Spark's ROUND(double, scale): shortest-repr decimal HALF_UP."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(x)).quantize(Decimal(1).scaleb(-scale), rounding=ROUND_HALF_UP))
+
+
+def _collect_prob_cells(
+    trans: DataFrame, src: str, dst: str, weight: str, exclude_src: str | None = None
+) -> list[tuple[str, str, float]]:
+    """Collect the raw K² (src, dst, n) counts in ONE job and derive
+    the quantized row-stochastic cells driver-side: n/tot on Python
+    ints is the identical IEEE double division Spark's Divide performs
+    on two longs, and _round_half_up is Spark's ROUND — so the cells
+    are bit-identical to the distributed ROUND(n/tot, 14) projection
+    without spending Spark jobs on a 25-row groupBy+join."""
+    rows = trans.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst"), F.col(weight).alias("n")
+    ).collect()
+    k = len({r.src for r in rows})
+    if k > _DRIVER_STATE_CAP:
+        raise ValueError(
+            f"driver-exact chain replay capped at {_DRIVER_STATE_CAP} states; got {k}. "
+            "Use the distributed stationary_distribution/hitting_time instead."
+        )
+    tot: dict[str, int] = {}
+    for r in rows:
+        tot[r.src] = tot.get(r.src, 0) + r.n
+    return [
+        (r.src, r.dst, _round_half_up(r.n / tot[r.src], CONTRIB_SCALE))
+        for r in rows
+        if exclude_src is None or r.src != exclude_src
+    ]
+
+
+def stationary_distribution_exact(
+    trans: DataFrame,
+    iterations: int = 20,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "n",
+) -> DataFrame:
+    """Bit-identical driver replay of :func:`stationary_distribution`
+    (see the fast-path contract above): collect the K² ROUND(n/tot, 14)
+    cells, run the quantized power iteration in exact Decimal, return
+    the same (state, pi) frame."""
+    from decimal import Decimal
+
+    spark = trans.sparkSession
+    cells = _collect_prob_cells(trans, src, dst, weight)
+    states = sorted({s for s, _, _ in cells})
+    k = len(states)
+    pi: dict[str, float] = {s: 1.0 / k for s in states}
+    q = Decimal(1).scaleb(-CONTRIB_SCALE)
+    for _ in range(iterations):
+        acc: dict[str, Decimal] = {}
+        for s, d, p in cells:
+            if s in pi:  # inner-join semantics of the distributed loop
+                term = _round_half_up(pi[s] * p, CONTRIB_SCALE)
+                acc[d] = acc.get(d, Decimal(0)) + Decimal(repr(term)).quantize(q)
+        pi = {st: _round_half_up(float(v), RANK_SCALE) for st, v in acc.items()}
+    return spark.createDataFrame(
+        sorted(pi.items()), schema="state string, pi double"
+    )
+
+
+def hitting_time_exact(
+    trans: DataFrame,
+    target: str,
+    iterations: int = 60,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "n",
+) -> DataFrame:
+    """Bit-identical driver replay of :func:`hitting_time` (same
+    fast-path contract): transitions out of ``target`` removed, h
+    initialized to 0.0 over the distinct sources, each round
+    h(s) = ROUND(1.0 + Σ DECIMAL(ROUND(coalesce(h(dst),0)·p, 14)), 10)."""
+    from decimal import Decimal
+
+    spark = trans.sparkSession
+    cells = _collect_prob_cells(trans, src, dst, weight, exclude_src=target)
+    states = sorted({s for s, _, _ in cells})
+    h: dict[str, float] = {s: 0.0 for s in states}
+    q = Decimal(1).scaleb(-CONTRIB_SCALE)
+    for _ in range(iterations):
+        acc: dict[str, Decimal] = {s: Decimal(0) for s in states}
+        for s, d, p in cells:
+            term = _round_half_up(h.get(d, 0.0) * p, CONTRIB_SCALE)
+            acc[s] += Decimal(repr(term)).quantize(q)
+        h = {st: _round_half_up(1.0 + float(v), RANK_SCALE) for st, v in acc.items()}
+    return spark.createDataFrame(
+        sorted(h.items()), schema="state string, h double"
+    )

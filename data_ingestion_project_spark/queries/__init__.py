@@ -43,6 +43,11 @@ _DRIVER_PRIORITY = (
     "log_odds_dirichlet_words",
     "int8_quantization_audit",
     "ndcg_search_eval",
+    "map_mrr_search_eval",
+    "g_test_event_dow",
+    "cochran_armitage_returns",
+    "permutation_entropy_revenue",
+    "adamic_adar_link_prediction",
     # -- r11 redesign: the LAST no_oracle row anywhere, now fully
     # oracle-certified (portable theta set algebra: retained/churned/
     # new under the pair threshold, replayed integer-exactly) --
@@ -92,13 +97,11 @@ _DRIVER_PRIORITY = (
     # window slot on it could never produce a value-exact row; it
     # stays certified by its pytest and the rotation takes the next
     # oracle-backed name instead
-    "dp_event_counts",
-    "dup_graph_kcore",
-    "embedding_covariance_stats",
-    "entity_golden_records",
-    "event_dispersion_index",
     # This tuple is exactly 50 names = the full window; the r06 tail
-    # (event_value_outliers_mad ..) rolls to the r12 window.
+    # (dp_event_counts ..) rolls to the r12 window — five of its
+    # slots went to the five later-r11 additions above (MAP/MRR,
+    # G-test, Cochran–Armitage, permutation entropy, Adamic–Adar),
+    # which, being never-certified, outrank r06-certified staleness.
 )
 
 
@@ -170,15 +173,9 @@ EXCLUDE_FROM_BENCH = frozenset(
         # aggregations on top of the census): identical exclusion
         # rationale; certified value-exact at all three SFs instead
         "longest_repeat_extract",
-        # 40-round absorbing-chain value iteration on a K-row frame:
-        # corpus-independent by construction (the corpus is read once
-        # for the K×K counts), so its ~14 s wall is pure per-round
-        # scheduler overhead — benching it measures driver
-        # round-trips, the bpe_learned_merges rationale.  The
-        # 20-round markov_stationary_events stays in the bench as the
-        # iteration family's representative; hitting-time correctness
-        # is oracle-certified (unrolled SQL) + linear-solve pytest.
-        "markov_hitting_time_events",
+        # (markov_hitting_time_events re-entered the bench in r11:
+        # the driver-exact bounded-collect replay removed the ~14 s
+        # of per-round scheduler overhead that had excluded it.)
     }
 )
 

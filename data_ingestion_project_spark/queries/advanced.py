@@ -628,6 +628,192 @@ ORDER BY got.rank
 """
 
 
+def map_mrr_search_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP@10 and MRR@10 of per-term BM25 rankings — the binary-
+    relevance companions of ndcg_search_eval (which grades ONE pooled
+    query): each probe term is its own query, ranked by that term's
+    BM25 component alone, with a document RELEVANT when it contains
+    the term at least twice (the ranking saturates tf and normalizes
+    by length, so it genuinely disagrees with the raw-count gold —
+    the disagreement is what the metric measures).  AP@10 averages
+    precision at each hit (denominator min(R,10)); RR@10 is 1/rank of
+    the first hit; MAP/MRR average over the probe terms.  Together
+    with NDCG these are the three numbers every retrieval eval
+    reports.
+
+    Exactness: precision terms quantize to integer nano-units at each
+    hit rank, AP/RR to integer micro-units per term, and the means
+    divide exact integer sums — one mirrored double division each.
+    Scale: the per-term candidate sets are posting-list-sized; the
+    rank window is partitionBy(word) + row_number + rank≤10, which
+    Spark rewrites to a per-key group-limit (WindowGroupLimit), the
+    TakeOrdered-per-key form — no global sort, no corpus-sized
+    window."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("word")
+    )
+    lens = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats_ = lens.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.sum("dl").cast("double").alias("sum_dl"),
+    )
+    qtoks = toks.filter(F.col("word").isin(*BM25_TERMS))
+    tf = (
+        qtoks.groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
+    )
+    df_ = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_), "word")
+        .join(lens, "doc_id")
+        .crossJoin(F.broadcast(stats_))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    tf_norm = (F.col("tf") * (BM25_K1 + 1)) / (
+        F.col("tf")
+        + BM25_K1
+        * (1 - BM25_B + BM25_B * F.col("dl") * F.col("n_docs") / F.col("sum_dl"))
+    )
+    per = scored.select(
+        "word",
+        "doc_id",
+        F.round(idf * tf_norm * 1_000_000, 0).cast("long").alias("score_i"),
+        (F.col("tf") >= 2).cast("int").alias("rel"),
+    )
+    wrank = Window.partitionBy("word").orderBy(
+        F.col("score_i").desc(), F.col("doc_id").asc()
+    )
+    ranked = per.withColumn("rank", F.row_number().over(wrank)).filter(
+        F.col("rank") <= 10
+    )
+    wcum = Window.partitionBy("word").orderBy("rank")
+    hits = ranked.withColumn("hits", F.sum("rel").over(wcum))
+    pq = F.when(
+        F.col("rel") == 1,
+        F.round(F.col("hits").cast("double") * F.lit(1.0e9) / F.col("rank"), 0).cast(
+            "long"
+        ),
+    ).otherwise(F.lit(0))
+    perword = hits.groupBy("word").agg(
+        F.sum(pq).alias("sum_pq"),
+        F.min(F.when(F.col("rel") == 1, F.col("rank"))).alias("first_hit"),
+    )
+    relcnt = per.groupBy("word").agg(F.sum("rel").alias("n_relevant"))
+    r10 = F.greatest(F.least(F.col("n_relevant"), F.lit(10)), F.lit(1))
+    j = relcnt.join(perword, "word").select(
+        F.col("word").alias("term"),
+        F.col("n_relevant").cast("long").alias("n_relevant"),
+        F.round(
+            F.col("sum_pq").cast("double")
+            / F.lit(1.0e9)
+            / r10.cast("double")
+            * F.lit(1.0e6),
+            0,
+        )
+        .cast("long")
+        .alias("ap_q"),
+        F.when(
+            F.col("first_hit").isNotNull(),
+            F.round(F.lit(1.0e6) / F.col("first_hit").cast("double"), 0).cast("long"),
+        )
+        .otherwise(F.lit(0))
+        .alias("rr_q"),
+    )
+    g = j.agg(
+        F.count(F.lit(1)).alias("nw"),
+        F.sum("ap_q").alias("sap"),
+        F.sum("rr_q").alias("srr"),
+    )
+    return (
+        j.crossJoin(F.broadcast(g))
+        .select(
+            "term",
+            "n_relevant",
+            (F.col("ap_q").cast("double") / F.lit(1.0e6)).alias("ap_at10"),
+            (F.col("rr_q").cast("double") / F.lit(1.0e6)).alias("rr_at10"),
+            floor_round(
+                F.col("sap").cast("double") / F.lit(1.0e6) / F.col("nw").cast("double"),
+                6,
+            ).alias("map_at10"),
+            floor_round(
+                F.col("srr").cast("double") / F.lit(1.0e6) / F.col("nw").cast("double"),
+                6,
+            ).alias("mrr_at10"),
+        )
+        .orderBy("term")
+    )
+
+
+ORACLE_MAP_MRR_SEARCH_EVAL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+  FROM documents
+), lens AS (
+  SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id
+), stats AS (
+  SELECT COUNT(*) * 1.0 AS n_docs, SUM(dl) * 1.0 AS sum_dl FROM lens
+), tf AS (
+  SELECT doc_id, word, COUNT(*) AS tf FROM toks
+  WHERE word IN {BM25_TERMS} GROUP BY doc_id, word
+), dfw AS (
+  SELECT word, COUNT(*) AS df FROM tf GROUP BY word
+), per AS (
+  SELECT tf.word, tf.doc_id,
+         CAST(ROUND(
+           ln(1.0 + (s.n_docs - dfw.df + 0.5) / (dfw.df + 0.5))
+           * ((tf.tf * ({BM25_K1} + 1)) /
+              (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * l.dl * s.n_docs / s.sum_dl)))
+           * 1000000, 0) AS BIGINT) AS score_i,
+         CAST(tf.tf >= 2 AS INT) AS rel
+  FROM tf JOIN dfw USING (word) JOIN lens l ON l.doc_id = tf.doc_id, stats s
+), ranked AS (
+  SELECT word, doc_id, rel,
+         ROW_NUMBER() OVER (PARTITION BY word ORDER BY score_i DESC, doc_id ASC) AS rank
+  FROM per QUALIFY rank <= 10
+), hits AS (
+  SELECT word, rel, rank,
+         SUM(rel) OVER (PARTITION BY word ORDER BY rank) AS hits
+  FROM ranked
+), perword AS (
+  SELECT word,
+         SUM(CASE WHEN rel = 1
+             THEN CAST(ROUND(CAST(hits AS DOUBLE) * 1000000000.0 / rank, 0) AS BIGINT)
+             ELSE 0 END) AS sum_pq,
+         MIN(CASE WHEN rel = 1 THEN rank END) AS first_hit
+  FROM hits GROUP BY word
+), relcnt AS (
+  SELECT word, SUM(rel) AS n_relevant FROM per GROUP BY word
+), j AS (
+  SELECT r.word AS term, CAST(r.n_relevant AS BIGINT) AS n_relevant,
+         CAST(ROUND(CAST(p.sum_pq AS DOUBLE) / 1000000000.0
+                    / CAST(GREATEST(LEAST(r.n_relevant, 10), 1) AS DOUBLE)
+                    * 1000000.0, 0) AS BIGINT) AS ap_q,
+         CASE WHEN p.first_hit IS NOT NULL
+              THEN CAST(ROUND(1000000.0 / CAST(p.first_hit AS DOUBLE), 0) AS BIGINT)
+              ELSE 0 END AS rr_q
+  FROM relcnt r JOIN perword p USING (word)
+), g AS (
+  SELECT COUNT(*) AS nw, SUM(ap_q) AS sap, SUM(rr_q) AS srr FROM j
+)
+SELECT term, n_relevant,
+       CAST(ap_q AS DOUBLE) / 1000000.0 AS ap_at10,
+       CAST(rr_q AS DOUBLE) / 1000000.0 AS rr_at10,
+       sign(CAST(sap AS DOUBLE) / 1000000.0 / CAST(nw AS DOUBLE))
+         * floor(abs(CAST(sap AS DOUBLE) / 1000000.0 / CAST(nw AS DOUBLE))
+                 * 1000000.0 + 0.5) / 1000000.0 AS map_at10,
+       sign(CAST(srr AS DOUBLE) / 1000000.0 / CAST(nw AS DOUBLE))
+         * floor(abs(CAST(srr AS DOUBLE) / 1000000.0 / CAST(nw AS DOUBLE))
+                 * 1000000.0 + 0.5) / 1000000.0 AS mrr_at10
+FROM j CROSS JOIN g
+ORDER BY term
+"""
+
+
 def _bm25_index_path(spark: SparkSession, sf_dir: str) -> str:
     """Materialize (once per corpus mtime) the inverted-index assets
     (operators/inverted_index.py): bucket-partitioned posting lists,
@@ -2959,6 +3145,7 @@ QUERIES = {
     "tfidf_top_terms": tfidf_top_terms,
     "bm25_topk": bm25_topk,
     "ndcg_search_eval": ndcg_search_eval,
+    "map_mrr_search_eval": map_mrr_search_eval,
     "bm25_topk_indexed": bm25_topk_indexed,
     "bloom_membership_audit": bloom_membership_audit,
     "hybrid_rrf_search": hybrid_rrf_search,
@@ -3004,6 +3191,7 @@ ORACLE = {
     "tfidf_top_terms": ORACLE_TFIDF_TOP_TERMS,
     "bm25_topk": ORACLE_BM25_TOPK,
     "ndcg_search_eval": ORACLE_NDCG_SEARCH_EVAL,
+    "map_mrr_search_eval": ORACLE_MAP_MRR_SEARCH_EVAL,
     "bm25_topk_indexed": ORACLE_BM25_TOPK,
     "bloom_membership_audit": ORACLE_BLOOM_MEMBERSHIP_AUDIT,
     "hybrid_rrf_search": ORACLE_HYBRID_RRF_SEARCH,

@@ -659,6 +659,89 @@ SELECT n_edges, n_nodes, n_triangles, n_wedges,
 FROM ne CROSS JOIN wed CROSS JOIN tri
 """
 
+def adamic_adar_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic–Adar link prediction on the near-dup graph: for every
+    NON-adjacent document pair with at least one common neighbor,
+    score = Σ_z 1/ln(deg(z)) over their common neighbors z — the
+    classic missing-link score (a shared rare neighbor is strong
+    evidence; a shared hub is weak).  On a dedup graph these are the
+    pairs most likely to be duplicates the pairwise detector MISSED
+    (e.g. two near-identical docs that each matched a third but whose
+    own fingerprint overlap fell under the threshold) — the top-10
+    ranked here is the human-review queue a curation pipeline emits.
+
+    Plan: edges come from the maintained winnow-pair asset; the
+    candidate set is one two-hop self-join of the neighbor list
+    (bounded by Σ_z deg(z)² — on a dedup graph cluster sizes are
+    capped by the oversized-bucket valve; at web scale you would also
+    cap per-node fan-out to the top-d neighbors, the standard AA
+    truncation), an anti-join removes existing edges, and the score
+    aggregation is exact: each 1/ln(deg) quantizes to integer
+    nano-units (deg ≥ 2 for any common neighbor by construction, so
+    ln > 0). Top-10 with full (score, id_a, id_b) tie-break."""
+    edges = _winnow_pair_counts(spark, sf_dir).filter(F.col("n_shared") >= 20).select(
+        "id_a", "id_b"
+    )
+    nbr = edges.select(F.col("id_a").alias("z"), F.col("id_b").alias("nb")).unionAll(
+        edges.select(F.col("id_b").alias("z"), F.col("id_a").alias("nb"))
+    )
+    deg = nbr.groupBy("z").agg(F.count(F.lit(1)).alias("d"))
+    a = nbr.join(deg, "z").select(
+        "z", F.col("nb").alias("id_a"), F.col("d").alias("d")
+    )
+    b = nbr.select("z", F.col("nb").alias("id_b"))
+    cand = (
+        a.join(b, "z")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .join(edges, ["id_a", "id_b"], "left_anti")
+    )
+    wq = F.round(F.lit(1.0e9) / F.log(F.col("d").cast("double")), 0).cast("long")
+    scores = cand.groupBy("id_a", "id_b").agg(
+        F.count(F.lit(1)).alias("n_common"), F.sum(wq).alias("score_q")
+    )
+    return (
+        scores.orderBy(F.col("score_q").desc(), "id_a", "id_b")
+        .limit(10)
+        .select(
+            "id_a",
+            "id_b",
+            "n_common",
+            (F.col("score_q").cast("double") / F.lit(1.0e9)).alias("aa_score"),
+        )
+    )
+
+
+ORACLE_ADAMIC_ADAR_LINK_PREDICTION = f"""
+WITH {_WINNOW_PAIR_CTES},
+edges AS (SELECT id_a, id_b FROM wpairs WHERE n_shared >= 20),
+nbr AS (
+  SELECT id_a AS z, id_b AS nb FROM edges
+  UNION ALL SELECT id_b, id_a FROM edges
+),
+deg AS (SELECT z, COUNT(*) AS d FROM nbr GROUP BY z),
+cand AS (
+  SELECT a.nb AS id_a, b.nb AS id_b, dg.d
+  FROM nbr a
+  JOIN nbr b ON a.z = b.z AND a.nb < b.nb
+  JOIN deg dg ON dg.z = a.z
+),
+cand2 AS (
+  SELECT c.id_a, c.id_b, c.d
+  FROM cand c LEFT JOIN edges e ON e.id_a = c.id_a AND e.id_b = c.id_b
+  WHERE e.id_a IS NULL
+),
+s AS (
+  SELECT id_a, id_b, COUNT(*) AS n_common,
+         SUM(CAST(ROUND(1000000000.0 / ln(CAST(d AS DOUBLE)), 0) AS BIGINT))
+           AS score_q
+  FROM cand2 GROUP BY 1, 2
+)
+SELECT id_a, id_b, n_common,
+       CAST(score_q AS DOUBLE) / 1000000000.0 AS aa_score
+FROM s ORDER BY score_q DESC, id_a, id_b LIMIT 10
+"""
+
+
 def dup_cluster_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-cluster COHESION census of the near-dup graph plus its
     global modularity: for each connected component, internal edge
@@ -6213,6 +6296,7 @@ QUERIES = {
     "dup_cluster_density": dup_cluster_density,
     "dup_cluster_sizes_star": dup_cluster_sizes_star,
     "dup_graph_triangles": dup_graph_triangles,
+    "adamic_adar_link_prediction": adamic_adar_link_prediction,
     "dup_graph_bfs_depths": dup_graph_bfs_depths,
     "source_stylometry_delta": source_stylometry_delta,
     "dup_graph_assortativity": dup_graph_assortativity,
@@ -6289,6 +6373,7 @@ ORACLE = {
     "dup_cluster_sizes": ORACLE_DUP_CLUSTER_SIZES,
     "dup_cluster_density": ORACLE_DUP_CLUSTER_DENSITY,
     "dup_graph_triangles": ORACLE_DUP_GRAPH_TRIANGLES,
+    "adamic_adar_link_prediction": ORACLE_ADAMIC_ADAR_LINK_PREDICTION,
     "dup_graph_bfs_depths": ORACLE_DUP_GRAPH_BFS_DEPTHS,
     "source_stylometry_delta": ORACLE_SOURCE_STYLOMETRY_DELTA,
     "dup_graph_assortativity": ORACLE_DUP_GRAPH_ASSORTATIVITY,

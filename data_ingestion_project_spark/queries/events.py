@@ -512,12 +512,17 @@ def markov_stationary_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: ONE lag-window shuffle + count aggregation estimates the
     K x K matrix (K = event-type vocabulary, 5 here); the 20 power
-    iterations then run on that tiny frame alone — at 100 TB the
-    corpus is read once and the iteration cost is corpus-size-
-    independent. The DuckDB oracle replays the identical unrolled
-    iterations (stationary_unrolled_sql), certifying the iterative
-    linear algebra end-to-end under the module determinism contract."""
-    from data_ingestion_project_spark.operators.pagerank import stationary_distribution
+    iterations then replay driver-side on the collected K² cells
+    (``stationary_distribution_exact`` — bit-identical quantized
+    arithmetic under the bounded-collect doctrine, ≤1024 states) — at
+    100 TB the corpus is read once and the iteration cost is
+    corpus-size-independent AND scheduler-free. The DuckDB oracle
+    replays the identical unrolled iterations (stationary_unrolled_sql),
+    certifying the iterative linear algebra end-to-end; pytest pins the
+    driver replay == the distributed power iteration."""
+    from data_ingestion_project_spark.operators.pagerank import (
+        stationary_distribution_exact,
+    )
 
     e = table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
@@ -527,7 +532,7 @@ def markov_stationary_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("prev_type").alias("src"), F.col("event_type").alias("dst"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    pi = stationary_distribution(trans, iterations=_MARKOV_ITERS)
+    pi = stationary_distribution_exact(trans, iterations=_MARKOV_ITERS)
     share = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt"))
     tot = share.agg(F.sum("cnt").alias("tot"))
     return (
@@ -594,12 +599,12 @@ def entropy_rate_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer NANO-nats immediately (the lnq idiom — a Σ of >2 double
     terms would be order-dependent), per-state sums and the final
     rate are exact integer folds with one display division each; π is
-    the already-certified 20-iteration fixed point, and the
-    contribution re-quantizes π_i·H_i to integer nanos before the
-    global fold. Corpus read once; everything else is K- and
-    K²-sized."""
+    the already-certified 20-iteration fixed point (driver-exact
+    replay, stationary_distribution_exact), and the contribution
+    re-quantizes π_i·H_i to integer nanos before the global fold.
+    Corpus read once; everything else is K- and K²-sized."""
     from data_ingestion_project_spark.operators.pagerank import (
-        stationary_distribution,
+        stationary_distribution_exact,
     )
 
     e = table(spark, sf_dir, "events")
@@ -613,7 +618,7 @@ def entropy_rate_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .localCheckpoint(eager=True)
     )
-    pi = stationary_distribution(trans, iterations=_MARKOV_ITERS)
+    pi = stationary_distribution_exact(trans, iterations=_MARKOV_ITERS)
     tot = trans.groupBy("src").agg(F.sum("n").alias("tot"))
     p = F.round(F.col("n").cast("double") / F.col("tot").cast("double"), 14)
     hsrc = (
@@ -2163,9 +2168,11 @@ def markov_hitting_time_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     the identical unrolled iterations).
 
     Plan: ONE lag-window shuffle to the K×K transition counts; the
-    _HIT_ITERS (= 40) iterations run on that tiny frame — corpus read
-    once, iteration cost corpus-size-independent."""
-    from data_ingestion_project_spark.operators.pagerank import hitting_time
+    _HIT_ITERS (= 40) iterations replay driver-side on the collected
+    K² cells (``hitting_time_exact``, bounded-collect doctrine) —
+    corpus read once, iteration cost corpus-size-independent and
+    scheduler-free; pytest pins the replay == the distributed loop."""
+    from data_ingestion_project_spark.operators.pagerank import hitting_time_exact
 
     e = table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(
@@ -2177,7 +2184,7 @@ def markov_hitting_time_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("prev_type").alias("src"), F.col("event_type").alias("dst"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    h = hitting_time(trans, target="purchase", iterations=_HIT_ITERS)
+    h = hitting_time_exact(trans, target="purchase", iterations=_HIT_ITERS)
     return h.select(
         F.col("state").alias("event_type"),
         F.col("h").alias("steps_to_purchase"),

@@ -7793,6 +7793,327 @@ ORDER BY nation
 """
 
 
+def g_test_event_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G-test (likelihood-ratio χ², Sokal & Rohlf) of event-type ×
+    ISO-day-of-week independence — the LR twin of chisq_event_dow:
+    G = 2·Σ O·ln(O/E) is additive under partitioning (a G computed on
+    pooled cells equals the sum of the partition Gs plus the
+    between-partition G), which Pearson's χ² is not — the property a
+    drilldown dashboard needs to attribute a dependence signal to
+    sub-slices.  Zero cells (type×dow pairs never observed) contribute
+    0 by the x·ln(x) → 0 convention and are simply absent from the
+    grouped frame.
+
+    Plan: identical to chisq_event_dow — ONE partial-agg shuffle to the
+    ≤|types|×7 contingency cells, then broadcast-joined totals; nothing
+    downstream grows with the corpus.  Exactness: E = R·C/N is one
+    double division of exact BIGINTs (cast-first, the 1e12-row-total
+    comment on chisq applies); each cell's 2·O·ln(O/E) is quantized to
+    integer micro-units immediately (the lnq idiom) and G is the EXACT
+    integer sum of those cells."""
+    e = table(spark, sf_dir, "events")
+    cells = (
+        e.groupBy(
+            "event_type",
+            (F.expr("weekday(ts)") + F.lit(1)).alias("dow"),
+        )
+        .agg(F.count(F.lit(1)).alias("observed"))
+        .localCheckpoint(eager=True)
+    )
+    row_tot = cells.groupBy("event_type").agg(F.sum("observed").alias("row_total"))
+    col_tot = cells.groupBy("dow").agg(F.sum("observed").alias("col_total"))
+    totals = cells.agg(
+        F.sum("observed").alias("n_total"),
+        ((F.count_distinct("event_type") - 1) * (F.count_distinct("dow") - 1)).alias(
+            "dof"
+        ),
+    )
+    j = (
+        cells.join(F.broadcast(row_tot), "event_type")
+        .join(F.broadcast(col_tot), "dow")
+        .crossJoin(F.broadcast(totals))
+    )
+    exp_d = (
+        F.col("row_total").cast("double") * F.col("col_total").cast("double")
+    ) / F.col("n_total")
+    obs_d = F.col("observed").cast("double")
+    k = j.select(
+        "event_type",
+        "dow",
+        "observed",
+        "dof",
+        _micro(exp_d).alias("exp_i"),
+        _micro(F.lit(2.0) * obs_d * F.log(obs_d / exp_d)).alias("cell_i"),
+    )
+    tot = k.agg(F.sum("cell_i").alias("tot_i"))
+    return (
+        k.crossJoin(F.broadcast(tot))
+        .select(
+            "event_type",
+            "dow",
+            "observed",
+            (F.col("exp_i").cast("double") / F.lit(float(_M))).alias("expected"),
+            (F.col("cell_i").cast("double") / F.lit(float(_M))).alias("cell_g"),
+            (F.col("tot_i").cast("double") / F.lit(float(_M))).alias("g_stat"),
+            F.col("dof").cast("long").alias("dof"),
+        )
+        .orderBy("event_type", "dow")
+    )
+
+
+ORACLE_G_TEST_EVENT_DOW = """
+WITH cells AS (
+  SELECT event_type, CAST(date_part('isodow', ts) AS INT) AS dow,
+         COUNT(*) AS observed
+  FROM events GROUP BY 1, 2
+), rt AS (SELECT event_type, SUM(observed) AS row_total FROM cells GROUP BY 1),
+ct AS (SELECT dow, SUM(observed) AS col_total FROM cells GROUP BY 1),
+nt AS (
+  SELECT SUM(observed) AS n_total,
+         (COUNT(DISTINCT event_type) - 1) * (COUNT(DISTINCT dow) - 1) AS dof
+  FROM cells
+), j AS (
+  SELECT c.event_type, c.dow, c.observed, nt.dof,
+         CAST(rt.row_total AS DOUBLE) * CAST(ct.col_total AS DOUBLE)
+           / nt.n_total AS exp_d
+  FROM cells c
+  JOIN rt USING (event_type) JOIN ct USING (dow) CROSS JOIN nt
+), k AS (
+  SELECT event_type, dow, observed, dof,
+         CAST(trunc(exp_d * 1000000) AS BIGINT) AS exp_i,
+         CAST(trunc((2.0 * CAST(observed AS DOUBLE)
+                     * ln(CAST(observed AS DOUBLE) / exp_d)) * 1000000)
+              AS BIGINT) AS cell_i
+  FROM j
+), tot AS (SELECT SUM(cell_i) AS tot_i FROM k)
+SELECT event_type, dow, observed,
+       CAST(exp_i AS DOUBLE) / 1000000.0 AS expected,
+       CAST(cell_i AS DOUBLE) / 1000000.0 AS cell_g,
+       CAST(tot_i AS DOUBLE) / 1000000.0 AS g_stat,
+       CAST(dof AS BIGINT) AS dof
+FROM k CROSS JOIN tot
+ORDER BY event_type, dow
+"""
+
+
+def cochran_armitage_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran–Armitage trend test: does the probability that an order
+    contains a RETURNED item rise (or fall) monotonically with order
+    priority?  The test for a linear trend in proportions across
+    ORDERED groups — what a plain χ² on the 5×2 table cannot see
+    (χ² treats priorities as unordered labels; CA spends its single
+    degree of freedom on the ordering, so a monotone effect that χ²
+    dilutes across 4 dof is detected).  Scores tᵢ = the priority's
+    leading digit (1-URGENT … 5-LOW).
+
+    Z = (Σtᵢrᵢ − p̄·Σtᵢnᵢ) / sqrt(p̄(1−p̄)(Σnᵢtᵢ² − (Σnᵢtᵢ)²/N)),
+    p̄ = R/N.
+
+    Plan: one shuffle join orders ⋈ (distinct returned orderkeys) and
+    one 5-row aggregation; every sufficient statistic (N, R, Σtr, Σtn,
+    Σt²n) is an exact integer, and the statistic is ONE mirrored IEEE
+    expression over them (squares cast-first to double — at 100 TB
+    (Σtn)² would wrap int64).  Exactness: rates and Z floor-round at
+    6 dp."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    ret = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select(F.col("l_orderkey").alias("o_orderkey"))
+        .distinct()
+        .withColumn("is_ret", F.lit(1))
+    )
+    grp = (
+        o.select(
+            F.substring("o_orderpriority", 1, 1).cast("int").alias("t"),
+            "o_orderkey",
+        )
+        .join(ret, "o_orderkey", "left")
+        .groupBy("t")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.coalesce(F.col("is_ret"), F.lit(0))).alias("n_returned"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    tots = grp.agg(
+        F.sum("n_orders").alias("nn"),
+        F.sum("n_returned").alias("rr"),
+        F.sum(F.col("t") * F.col("n_returned")).alias("str_"),
+        F.sum(F.col("t") * F.col("n_orders")).alias("stn"),
+        F.sum(F.col("t") * F.col("t") * F.col("n_orders")).alias("st2n"),
+    )
+    nd = F.col("nn").cast("double")
+    pbar = F.col("rr").cast("double") / nd
+    stn_d = F.col("stn").cast("double")
+    num = F.col("str_").cast("double") - pbar * stn_d
+    den = pbar * (F.lit(1.0) - pbar) * (
+        F.col("st2n").cast("double") - stn_d * stn_d / nd
+    )
+    z = num / F.sqrt(den)
+    return (
+        grp.crossJoin(F.broadcast(tots))
+        .select(
+            F.col("t").alias("priority_score"),
+            F.col("n_orders").cast("long").alias("n_orders"),
+            F.col("n_returned").cast("long").alias("n_returned"),
+            _floor_round(
+                F.col("n_returned").cast("double") / F.col("n_orders").cast("double"),
+                6,
+            ).alias("return_rate"),
+            _floor_round(z, 6).alias("z_ca"),
+            _floor_round(z * z, 6).alias("chi2_ca"),
+        )
+        .orderBy("priority_score")
+    )
+
+
+ORACLE_COCHRAN_ARMITAGE_RETURNS = """
+WITH ret AS (
+  SELECT DISTINCT l_orderkey AS o_orderkey, 1 AS is_ret
+  FROM lineitem WHERE l_returnflag = 'R'
+), grp AS (
+  SELECT CAST(substr(o_orderpriority, 1, 1) AS INT) AS t,
+         COUNT(*) AS n_orders,
+         SUM(COALESCE(is_ret, 0)) AS n_returned
+  FROM orders LEFT JOIN ret USING (o_orderkey)
+  GROUP BY 1
+), tots AS (
+  SELECT CAST(SUM(n_orders) AS BIGINT) AS nn,
+         CAST(SUM(n_returned) AS BIGINT) AS rr,
+         CAST(SUM(t * n_returned) AS BIGINT) AS str_,
+         CAST(SUM(t * n_orders) AS BIGINT) AS stn,
+         CAST(SUM(t * t * n_orders) AS BIGINT) AS st2n
+  FROM grp
+), s AS (
+  SELECT (CAST(str_ AS DOUBLE)
+          - (CAST(rr AS DOUBLE) / CAST(nn AS DOUBLE)) * CAST(stn AS DOUBLE))
+         / sqrt((CAST(rr AS DOUBLE) / CAST(nn AS DOUBLE))
+                * (1.0 - CAST(rr AS DOUBLE) / CAST(nn AS DOUBLE))
+                * (CAST(st2n AS DOUBLE)
+                   - CAST(stn AS DOUBLE) * CAST(stn AS DOUBLE)
+                     / CAST(nn AS DOUBLE))) AS z
+  FROM tots
+)
+SELECT t AS priority_score,
+       CAST(n_orders AS BIGINT) AS n_orders,
+       CAST(n_returned AS BIGINT) AS n_returned,
+       sign(CAST(n_returned AS DOUBLE) / CAST(n_orders AS DOUBLE))
+         * floor(abs(CAST(n_returned AS DOUBLE) / CAST(n_orders AS DOUBLE))
+                 * 1000000.0 + 0.5) / 1000000.0 AS return_rate,
+       sign(z) * floor(abs(z) * 1000000.0 + 0.5) / 1000000.0 AS z_ca,
+       sign(z * z) * floor(abs(z * z) * 1000000.0 + 0.5) / 1000000.0 AS chi2_ca
+FROM grp CROSS JOIN s
+ORDER BY priority_score
+"""
+
+
+_LN6 = 1.791759469228055  # ln(6), pinned literal (engine-libm-independent)
+
+
+def permutation_entropy_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Permutation entropy (Bandt & Pompe 2002, order m=3) of the daily
+    revenue series: each consecutive day-triple maps to its ORDINAL
+    PATTERN (which of the 6 orderings the three values form, ties
+    broken toward the earlier day), and the Shannon entropy of the
+    pattern distribution — normalized by ln(6) — measures how
+    predictable the series' local shape is (0 = one rigid motif, e.g.
+    a strict ramp; 1 = all 6 motifs equally likely, white-noise-like).
+    The complexity member of the daily-series panel (randomness panel
+    counts turning points; this weighs their full distribution).
+
+    Plan: one orders shuffle to the calendar-bounded daily frame; two
+    lag windows over it (sanctioned: ≤ a few thousand rows at ANY
+    corpus size); the pattern census is a ≤6-row aggregate.
+    Exactness: patterns are pure integer comparisons on exact cents;
+    each p·ln(p) term quantizes to integer nano-nats immediately (the
+    lnq idiom), the entropy is an exact ≤6-term integer sum, and the
+    normalization divides by a PINNED ln(6) literal so no engine libm
+    constant enters."""
+    o = table(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(F.sum((F.col("o_totalprice") * 100).cast("long")).alias("cents"))
+        .localCheckpoint(eager=True)
+    )
+    wl = Window.orderBy("d")
+    tri = daily.select(
+        F.lag("cents", 2).over(wl).alias("x1"),
+        F.lag("cents", 1).over(wl).alias("x2"),
+        F.col("cents").alias("x3"),
+    ).filter(F.col("x1").isNotNull() & F.col("x2").isNotNull())
+    x1, x2, x3 = F.col("x1"), F.col("x2"), F.col("x3")
+    r1 = (x2 < x1).cast("int") + (x3 < x1).cast("int")
+    r2 = (x1 <= x2).cast("int") + (x3 < x2).cast("int")
+    r3 = (x1 <= x3).cast("int") + (x2 <= x3).cast("int")
+    cnt = (
+        tri.select(F.concat(r1.cast("string"), r2.cast("string"), r3.cast("string")).alias("pattern"))
+        .groupBy("pattern")
+        .agg(F.count(F.lit(1)).alias("n_triples"))
+    )
+    tot = cnt.agg(F.sum("n_triples").alias("tt"))
+    p = F.col("n_triples").cast("double") / F.col("tt").cast("double")
+    terms = cnt.crossJoin(F.broadcast(tot)).select(
+        "pattern",
+        "n_triples",
+        _floor_round(p, 6).alias("share"),
+        F.round(p * F.log(p) * F.lit(1.0e9), 0).cast("long").alias("t_q"),
+    )
+    h = terms.agg(F.sum("t_q").alias("hq"))
+    return (
+        terms.crossJoin(F.broadcast(h))
+        .select(
+            "pattern",
+            "n_triples",
+            "share",
+            ((-F.col("hq")).cast("double") / F.lit(1.0e9)).alias("h_nats"),
+            _floor_round(
+                (-F.col("hq")).cast("double") / F.lit(1.0e9) / F.lit(_LN6), 6
+            ).alias("h_normalized"),
+        )
+        .orderBy("pattern")
+    )
+
+
+ORACLE_PERMUTATION_ENTROPY_REVENUE = f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         SUM(CAST(trunc(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1
+), tri AS (
+  SELECT LAG(cents, 2) OVER (ORDER BY d) AS x1,
+         LAG(cents, 1) OVER (ORDER BY d) AS x2,
+         cents AS x3
+  FROM daily
+), pat AS (
+  SELECT CONCAT(CAST(CAST(x2 < x1 AS INT) + CAST(x3 < x1 AS INT) AS VARCHAR),
+                CAST(CAST(x1 <= x2 AS INT) + CAST(x3 < x2 AS INT) AS VARCHAR),
+                CAST(CAST(x1 <= x3 AS INT) + CAST(x2 <= x3 AS INT) AS VARCHAR))
+           AS pattern
+  FROM tri WHERE x1 IS NOT NULL AND x2 IS NOT NULL
+), cnt AS (
+  SELECT pattern, COUNT(*) AS n_triples FROM pat GROUP BY 1
+), tot AS (SELECT SUM(n_triples) AS tt FROM cnt),
+terms AS (
+  SELECT pattern, n_triples,
+         sign(CAST(n_triples AS DOUBLE) / CAST(tt AS DOUBLE))
+           * floor(abs(CAST(n_triples AS DOUBLE) / CAST(tt AS DOUBLE))
+                   * 1000000.0 + 0.5) / 1000000.0 AS share,
+         CAST(ROUND((CAST(n_triples AS DOUBLE) / CAST(tt AS DOUBLE))
+                    * ln(CAST(n_triples AS DOUBLE) / CAST(tt AS DOUBLE))
+                    * 1000000000.0, 0) AS BIGINT) AS t_q
+  FROM cnt CROSS JOIN tot
+), h AS (SELECT SUM(t_q) AS hq FROM terms)
+SELECT pattern, n_triples, share,
+       CAST(-hq AS DOUBLE) / 1000000000.0 AS h_nats,
+       sign(CAST(-hq AS DOUBLE) / 1000000000.0 / {_LN6!r})
+         * floor(abs(CAST(-hq AS DOUBLE) / 1000000000.0 / {_LN6!r})
+                 * 1000000.0 + 0.5) / 1000000.0 AS h_normalized
+FROM terms CROSS JOIN h
+ORDER BY pattern
+"""
+
+
 QUERIES = {
     "bartlett_event_values": bartlett_event_values,
     "mood_median_test": mood_median_test,
@@ -7857,6 +8178,9 @@ QUERIES = {
     "friedman_revenue_dow": friedman_revenue_dow,
     "jarque_bera_order_totals": jarque_bera_order_totals,
     "theil_inequality_nations": theil_inequality_nations,
+    "g_test_event_dow": g_test_event_dow,
+    "cochran_armitage_returns": cochran_armitage_returns,
+    "permutation_entropy_revenue": permutation_entropy_revenue,
 }
 
 ORACLE = {
@@ -7922,4 +8246,7 @@ ORACLE = {
     "friedman_revenue_dow": ORACLE_FRIEDMAN_REVENUE_DOW,
     "jarque_bera_order_totals": ORACLE_JARQUE_BERA_ORDER_TOTALS,
     "theil_inequality_nations": ORACLE_THEIL_INEQUALITY_NATIONS,
+    "g_test_event_dow": ORACLE_G_TEST_EVENT_DOW,
+    "cochran_armitage_returns": ORACLE_COCHRAN_ARMITAGE_RETURNS,
+    "permutation_entropy_revenue": ORACLE_PERMUTATION_ENTROPY_REVENUE,
 }

@@ -334,3 +334,44 @@ def test_assortativity_star_is_minus_one(spark):
     )
     r = np.corrcoef(e["dx"], e["dy"])[0, 1]
     assert abs(r - (-1.0)) < 1e-12
+
+
+def test_driver_exact_chain_replays_match_distributed(spark):
+    """The bounded-collect driver replays (stationary_distribution_exact,
+    hitting_time_exact) must be BIT-IDENTICAL to the distributed
+    unrolled loops on the sf0.001 event chain — the contract that lets
+    the markov queries serve the iteration scheduler-free while the
+    DuckDB oracle keeps certifying the distributed arithmetic."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from data_ingestion_project_spark.operators.pagerank import (
+        hitting_time,
+        hitting_time_exact,
+        stationary_distribution,
+        stationary_distribution_exact,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    trans = (
+        e.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy(F.col("prev_type").alias("src"), F.col("event_type").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    pi_dist = sorted(map(tuple, stationary_distribution(trans, iterations=20).collect()))
+    pi_exact = sorted(map(tuple, stationary_distribution_exact(trans, iterations=20).collect()))
+    assert pi_dist == pi_exact  # exact float equality, not approx
+
+    h_dist = sorted(map(tuple, hitting_time(trans, "purchase", iterations=40).collect()))
+    h_exact = sorted(map(tuple, hitting_time_exact(trans, "purchase", iterations=40).collect()))
+    assert h_dist == h_exact
+
+
+def test_driver_exact_chain_replay_state_cap():
+    """The bounded-collect doctrine requires the cap to be enforced."""
+    from data_ingestion_project_spark.operators import pagerank as pr
+
+    assert pr._DRIVER_STATE_CAP == 1024

@@ -274,3 +274,205 @@ def test_ndcg_matches_python_bm25_replay(spark):
         _floor_round(dcg_q / idcg_q, 6), abs=2e-6
     )
     assert 0.0 < got[0]["ndcg_at10"] <= 1.0
+
+
+def test_g_test_matches_python_replay(spark):
+    """G-test: pure-Python replay of the cell quantization and the
+    exact integer fold from raw duckdb counts."""
+    from data_ingestion_project_spark.queries import all_queries
+
+    got = all_queries()["g_test_event_dow"](spark, SF0001).collect()
+    cells = duckdb.sql(
+        f"""SELECT event_type, CAST(date_part('isodow', ts) AS INT) AS dow,
+                   COUNT(*) AS o
+            FROM '{SF0001}/events.parquet' GROUP BY 1, 2"""
+    ).fetchall()
+    rt, ct, n = defaultdict(int), defaultdict(int), 0
+    for t, d, o in cells:
+        rt[t] += o
+        ct[d] += o
+        n += o
+    dof = (len(rt) - 1) * (len(ct) - 1)
+    exp = {(t, d): float(rt[t]) * float(ct[d]) / n for t, d, _ in cells}
+    cell_i = {
+        (t, d): int(2.0 * float(o) * math.log(float(o) / exp[(t, d)]) * 1e6)
+        for t, d, o in cells
+    }
+    g_i = sum(cell_i.values())
+    assert len(got) == len(cells)
+    for r in got:
+        k = (r["event_type"], r["dow"])
+        assert r["cell_g"] == cell_i[k] / 1e6
+        assert r["g_stat"] == g_i / 1e6
+        assert r["dof"] == dof
+    assert g_i / 1e6 > 0.0
+
+
+def test_cochran_armitage_matches_python_replay(spark):
+    from data_ingestion_project_spark.queries import all_queries
+
+    got = all_queries()["cochran_armitage_returns"](spark, SF0001).collect()
+    rows = duckdb.sql(
+        f"""WITH ret AS (SELECT DISTINCT l_orderkey FROM '{SF0001}/lineitem.parquet'
+                         WHERE l_returnflag = 'R')
+            SELECT CAST(substr(o_orderpriority, 1, 1) AS INT) AS t,
+                   COUNT(*) AS n,
+                   SUM(CASE WHEN r.l_orderkey IS NOT NULL THEN 1 ELSE 0 END) AS rr
+            FROM '{SF0001}/orders.parquet' o
+            LEFT JOIN ret r ON r.l_orderkey = o.o_orderkey
+            GROUP BY 1 ORDER BY 1"""
+    ).fetchall()
+    nn = sum(r[1] for r in rows)
+    rtot = sum(r[2] for r in rows)
+    st_r = sum(t * r for t, _, r in rows)
+    st_n = sum(t * n for t, n, _ in rows)
+    st2n = sum(t * t * n for t, n, _ in rows)
+    pbar = rtot / nn
+    z = (st_r - pbar * float(st_n)) / math.sqrt(
+        pbar * (1.0 - pbar) * (float(st2n) - float(st_n) * float(st_n) / nn)
+    )
+    by_t = {r["priority_score"]: r for r in got}
+    assert len(got) == len(rows)
+    for t, n, r in rows:
+        assert by_t[t]["n_orders"] == n and by_t[t]["n_returned"] == r
+        assert by_t[t]["return_rate"] == pytest.approx(_floor_round(r / n, 6), abs=2e-6)
+        assert by_t[t]["z_ca"] == pytest.approx(_floor_round(z, 6), abs=2e-6)
+        assert by_t[t]["chi2_ca"] == pytest.approx(_floor_round(z * z, 6), abs=2e-6)
+
+
+def test_permutation_entropy_matches_python_replay(spark):
+    from data_ingestion_project_spark.queries import all_queries
+
+    got = all_queries()["permutation_entropy_revenue"](spark, SF0001).collect()
+    daily = duckdb.sql(
+        f"""SELECT CAST(o_orderdate AS DATE) AS d,
+                   SUM(CAST(trunc(o_totalprice * 100) AS BIGINT)) AS cents
+            FROM '{SF0001}/orders.parquet' GROUP BY 1 ORDER BY 1"""
+    ).fetchall()
+    xs = [c for _, c in daily]
+    pats = Counter()
+    for i in range(2, len(xs)):
+        x1, x2, x3 = xs[i - 2], xs[i - 1], xs[i]
+        r1 = (x2 < x1) + (x3 < x1)
+        r2 = (x1 <= x2) + (x3 < x2)
+        r3 = (x1 <= x3) + (x2 <= x3)
+        pats[f"{r1}{r2}{r3}"] += 1
+    tt = sum(pats.values())
+    hq = sum(_half_up((c / tt) * math.log(c / tt) * 1e9) for c in pats.values())
+    by_p = {r["pattern"]: r for r in got}
+    assert set(by_p) == set(pats)
+    for p, c in pats.items():
+        assert by_p[p]["n_triples"] == c
+        assert by_p[p]["share"] == pytest.approx(_floor_round(c / tt, 6), abs=2e-6)
+        assert by_p[p]["h_nats"] == -hq / 1e9
+        assert by_p[p]["h_normalized"] == pytest.approx(
+            _floor_round(-hq / 1e9 / 1.791759469228055, 6), abs=2e-6
+        )
+    # all ranks must form valid permutations of {0,1,2}
+    assert all(sorted(p) == ["0", "1", "2"] for p in pats)
+
+
+def test_map_mrr_matches_python_bm25_replay(spark):
+    """Per-term BM25 ranking + AP/RR replayed from raw text in pure
+    Python (the ndcg test's tokenizer), pinned against the query."""
+    from data_ingestion_project_spark.queries.advanced import (
+        BM25_B,
+        BM25_K1,
+        BM25_TERMS,
+    )
+    from data_ingestion_project_spark.queries import all_queries
+
+    got = all_queries()["map_mrr_search_eval"](spark, SF0001).collect()
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM '{SF0001}/documents.parquet'"
+    ).fetchall()
+    tf: dict = {}
+    dls: dict = {}
+    for did, text in docs:
+        words = re.split(r"\s+", text.strip().lower())
+        dls[did] = len(words)
+        c = Counter(w for w in words if w in BM25_TERMS)
+        if c:
+            tf[did] = c
+    n_docs = float(len(dls))
+    sum_dl = float(sum(dls.values()))
+    df = Counter()
+    for c in tf.values():
+        for w in c:
+            df[w] += 1
+    ap_qs, rr_qs = {}, {}
+    nrel = {}
+    for w in sorted(df):
+        scored = []
+        for did, c in tf.items():
+            if w not in c:
+                continue
+            f = c[w]
+            idf = math.log(1.0 + (n_docs - df[w] + 0.5) / (df[w] + 0.5))
+            tfn = (f * (BM25_K1 + 1)) / (
+                f + BM25_K1 * (1 - BM25_B + BM25_B * dls[did] * n_docs / sum_dl)
+            )
+            scored.append((did, _half_up(idf * tfn * 1_000_000), f >= 2))
+        scored.sort(key=lambda x: (-x[1], x[0]))
+        top = scored[:10]
+        nrel[w] = sum(1 for _, _, r in scored if r)
+        hits, sum_pq, first_hit = 0, 0, None
+        for i, (_, _, r) in enumerate(top, start=1):
+            if r:
+                hits += 1
+                sum_pq += _half_up(hits * 1e9 / i)
+                if first_hit is None:
+                    first_hit = i
+        r10 = max(min(nrel[w], 10), 1)
+        ap_qs[w] = _half_up(sum_pq / 1e9 / r10 * 1e6)
+        rr_qs[w] = _half_up(1e6 / first_hit) if first_hit else 0
+    nw = len(ap_qs)
+    map_ = _floor_round(sum(ap_qs.values()) / 1e6 / nw, 6)
+    mrr_ = _floor_round(sum(rr_qs.values()) / 1e6 / nw, 6)
+    assert len(got) == nw
+    for r in got:
+        w = r["term"]
+        assert r["n_relevant"] == nrel[w]
+        assert r["ap_at10"] == ap_qs[w] / 1e6
+        assert r["rr_at10"] == rr_qs[w] / 1e6
+        assert r["map_at10"] == pytest.approx(map_, abs=2e-6)
+        assert r["mrr_at10"] == pytest.approx(mrr_, abs=2e-6)
+    assert all(0.0 <= r["ap_at10"] <= 1.0 for r in got)
+
+
+def test_adamic_adar_matches_python_replay_on_certified_edges(spark):
+    """AA scores replayed in pure Python from the (already oracle-
+    certified, winnow_overlap_top) pair asset: degrees, common
+    neighbors, 1/ln(deg) quantization, anti-join of existing edges,
+    and the top-10 tie-break."""
+    from data_ingestion_project_spark.queries import all_queries
+    from data_ingestion_project_spark.queries.documents import _winnow_pair_counts
+    from pyspark.sql import functions as F
+
+    got = all_queries()["adamic_adar_link_prediction"](spark, SF0001).collect()
+    edges = {
+        (r["id_a"], r["id_b"])
+        for r in _winnow_pair_counts(spark, SF0001)
+        .filter(F.col("n_shared") >= 20)
+        .collect()
+    }
+    nbrs = defaultdict(set)
+    for a, b in edges:
+        nbrs[a].add(b)
+        nbrs[b].add(a)
+    scores = defaultdict(lambda: [0, 0])  # (n_common, score_q)
+    for z, nb in nbrs.items():
+        if len(nb) < 2:  # deg-1 nodes produce no candidate pair
+            continue
+        wq = _half_up(1e9 / math.log(len(nb)))
+        for a in nb:
+            for b in nb:
+                if a < b and (a, b) not in edges:
+                    scores[(a, b)][0] += 1
+                    scores[(a, b)][1] += wq
+    top = sorted(scores.items(), key=lambda kv: (-kv[1][1], kv[0]))[:10]
+    assert len(got) == min(10, len(scores))
+    for r, ((a, b), (nc, sq)) in zip(got, top):
+        assert (r["id_a"], r["id_b"]) == (a, b)
+        assert r["n_common"] == nc
+        assert r["aa_score"] == sq / 1e9
