@@ -48,6 +48,9 @@ _DRIVER_PRIORITY = (
     "cochran_armitage_returns",
     "permutation_entropy_revenue",
     "adamic_adar_link_prediction",
+    "rbo_rank_overlap",
+    "local_clustering_histogram",
+    "jaccard_threshold_sweep",
     # -- r11 redesign: the LAST no_oracle row anywhere, now fully
     # oracle-certified (portable theta set algebra: retained/churned/
     # new under the pair threshold, replayed integer-exactly) --
@@ -89,19 +92,17 @@ _DRIVER_PRIORITY = (
     "bigram_logprob_buckets",
     "bloom_membership_audit",
     "bm25_topk",
-    "bm25_topk_indexed",
-    "chisq_event_dow",
-    "cms_word_freq",
-    # compression_ratio_stats (next alphabetically) is rows-only by
-    # design (zlib inside an Arrow UDF — not SQL-expressible), so a
-    # window slot on it could never produce a value-exact row; it
-    # stays certified by its pytest and the rotation takes the next
-    # oracle-backed name instead
+    # compression_ratio_stats (alphabetically after bm25_topk's
+    # cohort) is rows-only by design (zlib inside an Arrow UDF — not
+    # SQL-expressible), so a window slot on it could never produce a
+    # value-exact row; it stays certified by its pytest and the
+    # rotation takes the next oracle-backed name instead
     # This tuple is exactly 50 names = the full window; the r06 tail
-    # (dp_event_counts ..) rolls to the r12 window — five of its
-    # slots went to the five later-r11 additions above (MAP/MRR,
-    # G-test, Cochran–Armitage, permutation entropy, Adamic–Adar),
-    # which, being never-certified, outrank r06-certified staleness.
+    # (bm25_topk_indexed ..) rolls to the r12 window — eight of its
+    # slots went to the eight later-r11 additions above (MAP/MRR,
+    # G-test, Cochran–Armitage, permutation entropy, Adamic–Adar,
+    # RBO, clustering histogram, jaccard sweep), which, being
+    # never-certified, outrank r06-certified staleness.
 )
 
 

@@ -814,6 +814,191 @@ ORDER BY term
 """
 
 
+RBO_P = 0.9  # rank-biased overlap persistence (Webber et al., TOIS'10)
+_RBO_WEIGHTS = tuple((1.0 - RBO_P) * RBO_P ** (d - 1) for d in range(1, 11))
+
+
+def rbo_rank_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap (Webber, Moffat & Zobel, TOIS'10; p = 0.9,
+    truncated at depth 10) between the BM25 lexical top-10 and the
+    exact embedding-cosine top-10 for the same probe — the number that
+    says how much the two towers of the hybrid search actually AGREE
+    (hybrid_rrf_search fuses them; this measures whether fusing adds
+    diversity or redundancy).  Per depth d: X_d = |lex@d ∩ dense@d|
+    and agreement X_d/d; RBO_min = Σ_d (1−p)p^(d−1)·X_d/d — the
+    top-weighted expectation of agreement at a random (geometric)
+    depth.  Universe: docs carrying a vector, as in hybrid_rrf_search.
+
+    Exactness: both rankings are already certified deterministic
+    (integer-quantized BM25; list_cosine_similarity parity); the
+    geometric weights are PINNED Python-float literals injected into
+    both engines (no pow() libm call anywhere); each weighted term
+    quantizes to integer nano-units, RBO is an exact 10-term integer
+    sum.  Scale: both sides are TakeOrdered top-10 frames; everything
+    downstream is ≤10×10."""
+    from data_ingestion_project_spark.functions.vectors import cosine_similarity
+    from data_ingestion_project_spark.queries.embeddings import QUERY_VEC_ID, _query_vec
+
+    d = table(spark, sf_dir, "documents")
+    e = table(spark, sf_dir, "embeddings")
+    emb_ids = e.select(F.col("vec_id").alias("doc_id"))
+
+    toks = d.join(emb_ids, "doc_id", "left_semi").select(
+        "doc_id", F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("word")
+    )
+    lens = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats_ = lens.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.sum("dl").cast("double").alias("sum_dl"),
+    )
+    qtoks = toks.filter(F.col("word").isin(*BM25_TERMS))
+    tf = qtoks.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = qtoks.groupBy("word").agg(F.count_distinct("doc_id").alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    tf_norm = (F.col("tf") * (BM25_K1 + 1)) / (
+        F.col("tf")
+        + BM25_K1
+        * (1 - BM25_B + BM25_B * F.col("dl") * F.col("n_docs") / F.col("sum_dl"))
+    )
+    totals = (
+        tf.join(F.broadcast(df_), "word")
+        .join(lens, "doc_id")
+        .crossJoin(F.broadcast(stats_))
+        .select(
+            "doc_id",
+            F.round(idf * tf_norm * 1_000_000, 0).cast("long").alias("score_i"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("score_i").alias("total_i"))
+    )
+    lex_order = (F.col("total_i").desc(), F.col("doc_id").asc())
+    lex = (
+        totals.orderBy(*lex_order)
+        .limit(10)
+        .withColumn("lex_rank", F.row_number().over(Window.orderBy(*lex_order)))
+        .select("doc_id", "lex_rank")
+    )
+    q = _query_vec(spark, sf_dir)
+    qlit = F.array(*[F.lit(float(x)) for x in q])
+    corpus = e.filter(F.col("vec_id") != QUERY_VEC_ID).select(
+        F.col("vec_id").alias("doc_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    dense_order = (F.col("qcos").desc(), F.col("doc_id").asc())
+    dense = (
+        corpus.withColumn("qcos", cosine_similarity("v", qlit))
+        .orderBy(*dense_order)
+        .limit(10)
+        .withColumn("vec_rank", F.row_number().over(Window.orderBy(*dense_order)))
+        .select("doc_id", "vec_rank")
+    )
+    matched = lex.join(dense, "doc_id").select(
+        F.greatest("lex_rank", "vec_rank").alias("d_enter")
+    )
+    depths = spark.createDataFrame(
+        [(i + 1, w) for i, w in enumerate(_RBO_WEIGHTS)], "depth int, wt double"
+    )
+    xd = (
+        depths.join(
+            F.broadcast(matched), F.col("d_enter") <= F.col("depth"), "left"
+        )
+        .groupBy("depth", "wt")
+        .agg(F.count("d_enter").alias("x_d"))
+    )
+    term_q = F.round(
+        F.col("wt") * F.col("x_d").cast("double") / F.col("depth").cast("double") * F.lit(1.0e9),
+        0,
+    ).cast("long")
+    terms = xd.select("depth", "x_d", term_q.alias("t_q"))
+    rbo = terms.agg(F.sum("t_q").alias("rq"))
+    return (
+        terms.crossJoin(F.broadcast(rbo))
+        .select(
+            "depth",
+            F.col("x_d").cast("long").alias("x_d"),
+            floor_round(
+                F.col("x_d").cast("double") / F.col("depth").cast("double"), 6
+            ).alias("agreement"),
+            (F.col("rq").cast("double") / F.lit(1.0e9)).alias("rbo_min_at10"),
+        )
+        .orderBy("depth")
+    )
+
+
+def _oracle_rbo_rank_overlap() -> str:
+    wvals = ", ".join(f"({d}, {w!r})" for d, w in enumerate(_RBO_WEIGHTS, start=1))
+    return f"""
+WITH emb_docs AS (
+  SELECT d.doc_id, d.text FROM documents d
+  SEMI JOIN embeddings e ON d.doc_id = e.vec_id
+), toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+  FROM emb_docs
+), lens AS (
+  SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id
+), stats AS (
+  SELECT COUNT(*) * 1.0 AS n_docs, SUM(dl) * 1.0 AS sum_dl FROM lens
+), tf AS (
+  SELECT doc_id, word, COUNT(*) AS tf FROM toks
+  WHERE word IN {BM25_TERMS} GROUP BY doc_id, word
+), df AS (
+  SELECT word, COUNT(DISTINCT doc_id) AS df FROM toks
+  WHERE word IN {BM25_TERMS} GROUP BY word
+), per_term AS (
+  SELECT tf.doc_id,
+         CAST(ROUND(
+           ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+           * ((tf.tf * ({BM25_K1} + 1)) /
+              (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * l.dl * s.n_docs / s.sum_dl)))
+           * 1000000, 0) AS BIGINT) AS score_i
+  FROM tf JOIN df USING (word) JOIN lens l ON l.doc_id = tf.doc_id, stats s
+), totals AS (
+  SELECT doc_id, SUM(score_i) AS total_i FROM per_term GROUP BY doc_id
+), lex AS (
+  SELECT doc_id, lex_rank FROM (
+    SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY total_i DESC, doc_id ASC) AS INTEGER) AS lex_rank
+    FROM totals
+  ) t WHERE lex_rank <= 10
+), q AS (
+  SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+), dense AS (
+  SELECT doc_id, vec_rank FROM (
+    SELECT e.vec_id AS doc_id,
+           CAST(ROW_NUMBER() OVER (
+             ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qv) DESC,
+                      e.vec_id ASC) AS INTEGER) AS vec_rank
+    FROM embeddings e, q WHERE e.vec_id <> 0
+  ) t WHERE vec_rank <= 10
+), matched AS (
+  SELECT GREATEST(l.lex_rank, v.vec_rank) AS d_enter
+  FROM lex l JOIN dense v ON l.doc_id = v.doc_id
+), depths(depth, wt) AS (VALUES {wvals}),
+xd AS (
+  SELECT d.depth, d.wt, COUNT(m.d_enter) AS x_d
+  FROM depths d LEFT JOIN matched m ON m.d_enter <= d.depth
+  GROUP BY d.depth, d.wt
+), terms AS (
+  SELECT depth, x_d,
+         CAST(ROUND(wt * CAST(x_d AS DOUBLE) / CAST(depth AS DOUBLE)
+                    * 1000000000.0, 0) AS BIGINT) AS t_q
+  FROM xd
+), rbo AS (SELECT SUM(t_q) AS rq FROM terms)
+SELECT depth, CAST(x_d AS BIGINT) AS x_d,
+       sign(CAST(x_d AS DOUBLE) / CAST(depth AS DOUBLE))
+         * floor(abs(CAST(x_d AS DOUBLE) / CAST(depth AS DOUBLE))
+                 * 1000000.0 + 0.5) / 1000000.0 AS agreement,
+       CAST(rq AS DOUBLE) / 1000000000.0 AS rbo_min_at10
+FROM terms CROSS JOIN rbo
+ORDER BY depth
+"""
+
+
+ORACLE_RBO_RANK_OVERLAP = _oracle_rbo_rank_overlap()
+
+
 def _bm25_index_path(spark: SparkSession, sf_dir: str) -> str:
     """Materialize (once per corpus mtime) the inverted-index assets
     (operators/inverted_index.py): bucket-partitioned posting lists,
@@ -3146,6 +3331,7 @@ QUERIES = {
     "bm25_topk": bm25_topk,
     "ndcg_search_eval": ndcg_search_eval,
     "map_mrr_search_eval": map_mrr_search_eval,
+    "rbo_rank_overlap": rbo_rank_overlap,
     "bm25_topk_indexed": bm25_topk_indexed,
     "bloom_membership_audit": bloom_membership_audit,
     "hybrid_rrf_search": hybrid_rrf_search,
@@ -3192,6 +3378,7 @@ ORACLE = {
     "bm25_topk": ORACLE_BM25_TOPK,
     "ndcg_search_eval": ORACLE_NDCG_SEARCH_EVAL,
     "map_mrr_search_eval": ORACLE_MAP_MRR_SEARCH_EVAL,
+    "rbo_rank_overlap": ORACLE_RBO_RANK_OVERLAP,
     "bm25_topk_indexed": ORACLE_BM25_TOPK,
     "bloom_membership_audit": ORACLE_BLOOM_MEMBERSHIP_AUDIT,
     "hybrid_rrf_search": ORACLE_HYBRID_RRF_SEARCH,

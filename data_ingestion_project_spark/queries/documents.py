@@ -659,6 +659,225 @@ SELECT n_edges, n_nodes, n_triangles, n_wedges,
 FROM ne CROSS JOIN wed CROSS JOIN tri
 """
 
+def local_clustering_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of LOCAL clustering coefficients over the near-dup
+    graph: per node, c(v) = 2·t(v)/(d(v)(d(v)−1)) where t(v) is the
+    number of triangles through v, bucketed into deciles — the
+    per-node refinement of dup_graph_triangles' single global number.
+    A mass at c≈1 is clique-like template duplication (safe to
+    cluster-collapse); mass at c≈0 is chained partial overlap (collapse
+    would merge non-duplicates) — the histogram is the decision input
+    for choosing the dedup collapse policy per corpus.
+
+    Plan: triangles from the canonical a<b<c two-hop join (the
+    dup_graph_triangles shape), exploded once to per-corner counts;
+    degrees from one aggregate; only nodes with d ≥ 2 have a defined
+    coefficient.  Exactness: t and d are exact integers; each c(v)
+    quantizes to integer micro-units (one value-determined division),
+    the decile bucket floors the SAME micro integer (never the raw
+    double), and the global mean divides two exact integers."""
+    edges = _winnow_pair_counts(spark, sf_dir).filter(F.col("n_shared") >= 20).select(
+        "id_a", "id_b"
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri_nodes = (
+        e1.join(e2, F.col("e1.id_b") == F.col("e2.id_a"))
+        .join(
+            e3,
+            (F.col("e3.id_a") == F.col("e1.id_a"))
+            & (F.col("e3.id_b") == F.col("e2.id_b")),
+        )
+        .select(
+            F.explode(
+                F.array(F.col("e1.id_a"), F.col("e1.id_b"), F.col("e2.id_b"))
+            ).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    deg = (
+        edges.select(F.col("id_a").alias("node"))
+        .unionAll(edges.select(F.col("id_b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .filter(F.col("d") >= 2)
+    )
+    per = deg.join(tri_nodes, "node", "left").select(
+        "node",
+        F.round(
+            F.lit(2.0e6)
+            * F.coalesce(F.col("t"), F.lit(0)).cast("double")
+            / (F.col("d").cast("double") * (F.col("d").cast("double") - F.lit(1.0))),
+            0,
+        )
+        .cast("long")
+        .alias("c_q"),
+    )
+    bucketed = per.select(
+        F.least(F.floor(F.col("c_q") / F.lit(100_000)), F.lit(9))
+        .cast("int")
+        .alias("bucket"),
+        "c_q",
+    )
+    g = bucketed.agg(
+        F.count(F.lit(1)).alias("n_eligible"), F.sum("c_q").alias("sum_cq")
+    )
+    return (
+        bucketed.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .crossJoin(F.broadcast(g))
+        .select(
+            "bucket",
+            (F.col("bucket").cast("double") / F.lit(10.0)).alias("bucket_lo"),
+            "n_nodes",
+            F.col("n_eligible").cast("long").alias("n_eligible"),
+            floor_round(
+                F.col("sum_cq").cast("double")
+                / F.col("n_eligible").cast("double")
+                / F.lit(1.0e6),
+                6,
+            ).alias("mean_coeff"),
+        )
+        .orderBy("bucket")
+    )
+
+
+ORACLE_LOCAL_CLUSTERING_HISTOGRAM = f"""
+WITH {_WINNOW_PAIR_CTES},
+edges AS (SELECT id_a, id_b FROM wpairs WHERE n_shared >= 20),
+tri AS (
+  SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c
+  FROM edges e1
+  JOIN edges e2 ON e2.id_a = e1.id_b
+  JOIN edges e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b
+),
+tri_nodes AS (
+  SELECT node, COUNT(*) AS t FROM (
+    SELECT a AS node FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri
+  ) x GROUP BY node
+),
+deg AS (
+  SELECT node, COUNT(*) AS d FROM (
+    SELECT id_a AS node FROM edges UNION ALL SELECT id_b FROM edges
+  ) x GROUP BY node HAVING COUNT(*) >= 2
+),
+per AS (
+  SELECT dg.node,
+         CAST(ROUND(2000000.0 * CAST(COALESCE(tn.t, 0) AS DOUBLE)
+                    / (CAST(dg.d AS DOUBLE) * (CAST(dg.d AS DOUBLE) - 1.0)), 0)
+              AS BIGINT) AS c_q
+  FROM deg dg LEFT JOIN tri_nodes tn ON tn.node = dg.node
+),
+bucketed AS (
+  SELECT CAST(LEAST(FLOOR(c_q / 100000), 9) AS INT) AS bucket, c_q FROM per
+),
+g AS (SELECT COUNT(*) AS n_eligible, SUM(c_q) AS sum_cq FROM bucketed)
+SELECT bucket,
+       CAST(bucket AS DOUBLE) / 10.0 AS bucket_lo,
+       COUNT(*) AS n_nodes,
+       CAST(g.n_eligible AS BIGINT) AS n_eligible,
+       sign(CAST(g.sum_cq AS DOUBLE) / CAST(g.n_eligible AS DOUBLE) / 1000000.0)
+         * floor(abs(CAST(g.sum_cq AS DOUBLE) / CAST(g.n_eligible AS DOUBLE)
+                     / 1000000.0) * 1000000.0 + 0.5) / 1000000.0 AS mean_coeff
+FROM bucketed CROSS JOIN g
+GROUP BY bucket, g.n_eligible, g.sum_cq
+ORDER BY bucket
+"""
+
+
+_JACCARD_SWEEP_THRESHOLDS = (0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9)
+
+
+def jaccard_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-threshold OPERATING CURVE: for each candidate Jaccard
+    threshold τ, the number of exact word-set near-dup pairs at
+    jaccard ≥ τ and the number of distinct documents touched — the
+    table a curation team reads to CHOOSE the dedup threshold (how
+    many documents each notch of aggressiveness would implicate),
+    turning the single-τ near_dup_jaccard queries into a policy sweep.
+
+    Plan: ONE inverted-index pair join (operators/dedup.jaccard_pairs,
+    min_jaccard = 0.3 prunes the frame at the source) materialized via
+    the house localCheckpoint idiom, then a 7-row threshold literal
+    frame sweeps it — pair-count-sized work per threshold, the corpus
+    is tokenized once.  Exactness: jaccard is one value-determined
+    division of exact integers compared against PINNED literal
+    thresholds; everything reported is a count."""
+    d = table(spark, sf_dir, "documents")
+    pairs = (
+        jaccard_pairs(d, min_jaccard=_JACCARD_SWEEP_THRESHOLDS[0])
+        .select("id_a", "id_b", "jaccard")
+        .localCheckpoint(eager=True)
+    )
+    thr = spark.createDataFrame(
+        [(t,) for t in _JACCARD_SWEEP_THRESHOLDS], "threshold double"
+    )
+    hit = pairs.crossJoin(F.broadcast(thr)).filter(
+        F.col("jaccard") >= F.col("threshold")
+    )
+    n_pairs = hit.groupBy("threshold").agg(F.count(F.lit(1)).alias("n_pairs"))
+    n_docs = (
+        hit.select("threshold", F.explode(F.array("id_a", "id_b")).alias("doc"))
+        .groupBy("threshold")
+        .agg(F.count_distinct("doc").alias("n_docs"))
+    )
+    return (
+        thr.join(n_pairs, "threshold", "left")
+        .join(n_docs, "threshold", "left")
+        .select(
+            "threshold",
+            F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
+            F.coalesce("n_docs", F.lit(0)).cast("long").alias("n_docs"),
+        )
+        .orderBy("threshold")
+    )
+
+
+def _oracle_jaccard_threshold_sweep() -> str:
+    tvals = ", ".join(f"({t!r})" for t in _JACCARD_SWEEP_THRESHOLDS)
+    return f"""
+WITH words AS (
+  SELECT doc_id,
+         unnest(list_distinct(string_split_regex(
+           regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), '\\s+'))) AS word
+  FROM documents
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS set_size FROM words GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+  FROM words a JOIN words b ON a.word = b.word AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+), pairs AS (
+  SELECT id_a, id_b,
+         n_common * 1.0 / (sa.set_size + sb.set_size - n_common) AS jaccard
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE n_common * 1.0 / (sa.set_size + sb.set_size - n_common) >= 0.3
+), thr(threshold) AS (VALUES {tvals}),
+hit AS (
+  SELECT t.threshold, p.id_a, p.id_b
+  FROM pairs p CROSS JOIN thr t WHERE p.jaccard >= t.threshold
+), np AS (SELECT threshold, COUNT(*) AS n_pairs FROM hit GROUP BY 1),
+nd AS (
+  SELECT threshold, COUNT(DISTINCT doc) AS n_docs FROM (
+    SELECT threshold, id_a AS doc FROM hit
+    UNION ALL SELECT threshold, id_b FROM hit
+  ) x GROUP BY threshold
+)
+SELECT t.threshold,
+       COALESCE(np.n_pairs, 0) AS n_pairs,
+       COALESCE(nd.n_docs, 0) AS n_docs
+FROM thr t
+LEFT JOIN np ON np.threshold = t.threshold
+LEFT JOIN nd ON nd.threshold = t.threshold
+ORDER BY t.threshold
+"""
+
+
+ORACLE_JACCARD_THRESHOLD_SWEEP = _oracle_jaccard_threshold_sweep()
+
+
 def adamic_adar_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adamic–Adar link prediction on the near-dup graph: for every
     NON-adjacent document pair with at least one common neighbor,
@@ -6297,6 +6516,8 @@ QUERIES = {
     "dup_cluster_sizes_star": dup_cluster_sizes_star,
     "dup_graph_triangles": dup_graph_triangles,
     "adamic_adar_link_prediction": adamic_adar_link_prediction,
+    "local_clustering_histogram": local_clustering_histogram,
+    "jaccard_threshold_sweep": jaccard_threshold_sweep,
     "dup_graph_bfs_depths": dup_graph_bfs_depths,
     "source_stylometry_delta": source_stylometry_delta,
     "dup_graph_assortativity": dup_graph_assortativity,
@@ -6374,6 +6595,8 @@ ORACLE = {
     "dup_cluster_density": ORACLE_DUP_CLUSTER_DENSITY,
     "dup_graph_triangles": ORACLE_DUP_GRAPH_TRIANGLES,
     "adamic_adar_link_prediction": ORACLE_ADAMIC_ADAR_LINK_PREDICTION,
+    "local_clustering_histogram": ORACLE_LOCAL_CLUSTERING_HISTOGRAM,
+    "jaccard_threshold_sweep": ORACLE_JACCARD_THRESHOLD_SWEEP,
     "dup_graph_bfs_depths": ORACLE_DUP_GRAPH_BFS_DEPTHS,
     "source_stylometry_delta": ORACLE_SOURCE_STYLOMETRY_DELTA,
     "dup_graph_assortativity": ORACLE_DUP_GRAPH_ASSORTATIVITY,

@@ -476,3 +476,100 @@ def test_adamic_adar_matches_python_replay_on_certified_edges(spark):
         assert (r["id_a"], r["id_b"]) == (a, b)
         assert r["n_common"] == nc
         assert r["aa_score"] == sq / 1e9
+
+
+def test_rbo_rank_overlap_bounds_and_python_replay(spark):
+    """RBO: replay the depth-weighted agreement fold from the two
+    certified 10-row rankings the query itself exposes (lex = bm25,
+    dense = cosine) — the weights are pinned literals, so the fold is
+    pure integer arithmetic to re-derive."""
+    from data_ingestion_project_spark.queries import all_queries
+    from data_ingestion_project_spark.queries.advanced import _RBO_WEIGHTS
+
+    got = all_queries()["rbo_rank_overlap"](spark, SF0001).collect()
+    assert [r["depth"] for r in got] == list(range(1, 11))
+    # x_d is nondecreasing and bounded by depth
+    xs = [r["x_d"] for r in got]
+    assert all(0 <= x <= d for x, d in zip(xs, range(1, 11)))
+    assert all(a <= b for a, b in zip(xs, xs[1:]))
+    rq = sum(_half_up(w * x / d * 1e9) for w, x, d in zip(_RBO_WEIGHTS, xs, range(1, 11)))
+    for r in got:
+        assert r["agreement"] == pytest.approx(
+            _floor_round(r["x_d"] / r["depth"], 6), abs=2e-6
+        )
+        assert r["rbo_min_at10"] == rq / 1e9
+    assert 0.0 <= got[0]["rbo_min_at10"] <= 1.0
+
+
+def test_local_clustering_histogram_python_replay(spark):
+    """Clustering coefficients replayed in pure Python from the
+    certified pair asset (triangle enumeration + decile bucketing)."""
+    from data_ingestion_project_spark.queries import all_queries
+    from data_ingestion_project_spark.queries.documents import _winnow_pair_counts
+    from pyspark.sql import functions as F
+
+    got = all_queries()["local_clustering_histogram"](spark, SF0001).collect()
+    edges = {
+        (r["id_a"], r["id_b"])
+        for r in _winnow_pair_counts(spark, SF0001)
+        .filter(F.col("n_shared") >= 20)
+        .collect()
+    }
+    nbrs = defaultdict(set)
+    for a, b in edges:
+        nbrs[a].add(b)
+        nbrs[b].add(a)
+    buckets = Counter()
+    cqs = []
+    for v, nb in nbrs.items():
+        d = len(nb)
+        if d < 2:
+            continue
+        t = 0
+        nl = sorted(nb)
+        for i, x in enumerate(nl):
+            for y in nl[i + 1 :]:
+                if (min(x, y), max(x, y)) in edges:
+                    t += 1
+        c_q = _half_up(2e6 * t / (d * (d - 1)))
+        cqs.append(c_q)
+        buckets[min(c_q // 100_000, 9)] += 1
+    by_b = {r["bucket"]: r for r in got}
+    assert {b: r["n_nodes"] for b, r in by_b.items()} == dict(buckets)
+    mean = _floor_round(sum(cqs) / len(cqs) / 1e6, 6)
+    for r in got:
+        assert r["n_eligible"] == len(cqs)
+        assert r["mean_coeff"] == pytest.approx(mean, abs=2e-6)
+        assert r["bucket_lo"] == r["bucket"] / 10.0
+
+
+def test_jaccard_threshold_sweep_monotone_and_consistent(spark):
+    """The sweep must be monotone nonincreasing in τ and agree with a
+    direct duckdb pair computation at each threshold."""
+    from data_ingestion_project_spark.queries import all_queries
+
+    got = all_queries()["jaccard_threshold_sweep"](spark, SF0001).collect()
+    assert [r["threshold"] for r in got] == [0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]
+    ps = [r["n_pairs"] for r in got]
+    ds = [r["n_docs"] for r in got]
+    assert all(a >= b for a, b in zip(ps, ps[1:]))
+    assert all(a >= b for a, b in zip(ds, ds[1:]))
+    ref = duckdb.sql(
+        f"""WITH words AS (
+              SELECT doc_id, unnest(list_distinct(string_split_regex(
+                regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), '\\s+'))) AS word
+              FROM '{SF0001}/documents.parquet'
+            ), sizes AS (SELECT doc_id, COUNT(*) AS s FROM words GROUP BY 1),
+            inter AS (
+              SELECT a.doc_id ia, b.doc_id ib, COUNT(*) nc
+              FROM words a JOIN words b ON a.word = b.word AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT ia, ib, nc * 1.0 / (sa.s + sb.s - nc) AS j
+            FROM inter JOIN sizes sa ON sa.doc_id = ia JOIN sizes sb ON sb.doc_id = ib"""
+    ).fetchall()
+    for r in got:
+        t = r["threshold"]
+        hit = [(a, b) for a, b, j in ref if j >= t]
+        assert r["n_pairs"] == len(hit)
+        assert r["n_docs"] == len({x for p in hit for x in p})
