@@ -38,6 +38,7 @@ from data_ingestion_project_spark.queries._precision import to_micro
 from data_ingestion_project_spark.sources.readers import table
 
 _M = 1_000_000  # micro-unit quantization for derived double statistics
+_DEC38 = "decimal(38,0)"  # exact wide-integer fold (4th-moment headroom)
 _DEC = "decimal(28,0)"
 
 
@@ -8114,6 +8115,392 @@ ORDER BY pattern
 """
 
 
+def _bp_terms(order: int, with_x: int) -> list[tuple[float, int, int, tuple[int, int]]]:
+    """Multinomial expansion terms of x^with_x · (v − a − b·x)^order:
+    (signed coefficient, a-power, b-power, (x-power, v-power)) —
+    shared by the Spark column builder and the SQL string builder so
+    the two engines evaluate the IDENTICAL term sequence."""
+    import math as _math
+
+    out = []
+    for p in range(order + 1):  # v^p
+        for q in range(order + 1 - p):  # (−a)^q
+            r = order - p - q  # (−b·x)^r
+            coef = _math.factorial(order) // (
+                _math.factorial(p) * _math.factorial(q) * _math.factorial(r)
+            )
+            signed = float(coef * (-1) ** (q + r))
+            out.append((signed, q, r, (r + with_x, p)))
+    return sorted(out, key=lambda t: (t[3], t[1], t[2]))
+
+
+def _bp_spark_poly(terms, a, b, s):
+    expr = None
+    for coef, qa, qb, key in terms:
+        t = F.lit(coef)
+        for _ in range(qa):
+            t = t * a
+        for _ in range(qb):
+            t = t * b
+        t = t * s[key]
+        expr = t if expr is None else expr + t
+    return expr
+
+
+def _bp_sql_poly(terms) -> str:
+    parts = []
+    for coef, qa, qb, (i, j) in terms:
+        t = f"{coef!r}"
+        t += " * aa" * qa
+        t += " * bb" * qb
+        t += f" * s{i}{j}"
+        parts.append(t)
+    return "(" + " + ".join(parts) + ")"
+
+
+def breusch_pagan_price_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breusch–Pagan / Koenker heteroskedasticity test on the
+    price-on-quantity regression: does the VARIANCE of extended price
+    around the fitted line grow with quantity?  regr_price_quantity
+    fits the line; its inference (standard errors, the correlation
+    test) silently assumes constant residual variance — this is the
+    test of that assumption, and on retail-shaped data it fails
+    (bigger orders vary more), which is exactly what a pricing-anomaly
+    monitor must know before trusting z-scores from the fit.  Reports
+    the classic BP LM and the studentized Koenker LM (robust to
+    non-normal residuals), both χ²(1).
+
+    Exactness at scale (the jarque_bera posture, bivariate): price
+    quantizes to whole currency units about a global integer pivot,
+    quantity is a small exact integer, and ONE aggregation pass folds
+    all 15 exact decimal moments S_ij = Σ xⁱvʲ (i+j ≤ 4).  Σe² , Σxe²
+    and Σe⁴ then come from multinomial pivot-shift expansions whose
+    term sequence is GENERATED ONCE (_bp_terms) and rendered into both
+    engines in the identical order — the double arithmetic is
+    value-determined op-for-op.  No second scan, no windows; the fact
+    table reduces to 15 numbers."""
+    li = table(spark, sf_dir, "lineitem")
+    yq = F.col("l_extendedprice").cast("long")  # whole units, trunc
+    piv = li.agg(
+        F.floor(
+            F.sum(yq.cast(_DEC38)).cast("double") / F.count(F.lit(1)).cast("double")
+        )
+        .cast("long")
+        .alias("p")
+    )
+    x = F.col("l_quantity").cast("long").cast(_DEC38)
+    v = (yq - F.col("p")).cast(_DEC38)
+    aggs = [F.count(F.lit(1)).alias("n"), F.max("p").alias("p")]
+    for i in range(5):
+        for j in range(5 - i):
+            if i == j == 0:
+                continue
+            e = F.lit(1).cast(_DEC38)
+            for _ in range(i):
+                e = e * x
+            for _ in range(j):
+                e = e * v
+            aggs.append(F.sum(e).alias(f"s{i}{j}"))
+    m = li.crossJoin(F.broadcast(piv)).agg(*aggs)
+    s = {
+        (i, j): (
+            F.col("n").cast("double")
+            if i == j == 0
+            else F.col(f"s{i}{j}").cast("double")
+        )
+        for i in range(5)
+        for j in range(5 - i)
+    }
+    n = s[(0, 0)]
+    bb = (n * s[(1, 1)] - s[(1, 0)] * s[(0, 1)]) / (
+        n * s[(2, 0)] - s[(1, 0)] * s[(1, 0)]
+    )
+    aa = (s[(0, 1)] - bb * s[(1, 0)]) / n
+    withcoef = m.select(
+        F.col("n").cast("long").alias("n_rows"),
+        aa.alias("aa"),
+        bb.alias("bb"),
+        *[
+            F.col(f"s{i}{j}")
+            for i in range(5)
+            for j in range(5 - i)
+            if not (i == 0 and j == 0)
+        ],
+        F.col("n"),
+    )
+    s2 = {
+        (i, j): (
+            F.col("n").cast("double")
+            if i == j == 0
+            else F.col(f"s{i}{j}").cast("double")
+        )
+        for i in range(5)
+        for j in range(5 - i)
+    }
+    a_c, b_c = F.col("aa"), F.col("bb")
+    su = _bp_spark_poly(_bp_terms(2, 0), a_c, b_c, s2)
+    sxu = _bp_spark_poly(_bp_terms(2, 1), a_c, b_c, s2)
+    suu = _bp_spark_poly(_bp_terms(4, 0), a_c, b_c, s2)
+    nn = F.col("n").cast("double")
+    sxx_c = s2[(2, 0)] - s2[(1, 0)] * s2[(1, 0)] / nn
+    sxu_c = sxu - s2[(1, 0)] * su / nn
+    suu_c = suu - su * su / nn
+    sigma2 = su / nn
+    lm_koenker = nn * sxu_c * sxu_c / (sxx_c * suu_c)
+    lm_classic = sxu_c * sxu_c / (sxx_c * F.lit(2.0) * sigma2 * sigma2)
+    return withcoef.select(
+        F.col("n_rows"),
+        _floor_round(b_c, 6).alias("slope_units_per_qty"),
+        _floor_round(sigma2, 2).alias("sigma2_hat"),
+        _floor_round(lm_koenker, 4).alias("lm_koenker"),
+        _floor_round(lm_classic, 4).alias("lm_classic"),
+        F.lit(1).cast("long").alias("dof"),
+    )
+
+
+def _oracle_breusch_pagan_price_quantity() -> str:
+    mom_cols = ",\n         ".join(
+        f"SUM({'v * ' * j}{'x * ' * i}CAST(1 AS HUGEINT)) AS s{i}{j}"
+        for i in range(5)
+        for j in range(5 - i)
+        if not (i == 0 and j == 0)
+    )
+    sel_cols = ", ".join(
+        f"CAST(s{i}{j} AS DOUBLE) AS s{i}{j}"
+        for i in range(5)
+        for j in range(5 - i)
+        if not (i == 0 and j == 0)
+    )
+    su = _bp_sql_poly(_bp_terms(2, 0)).replace("s00", "nn")
+    sxu = _bp_sql_poly(_bp_terms(2, 1)).replace("s00", "nn")
+    suu = _bp_sql_poly(_bp_terms(4, 0)).replace("s00", "nn")
+    return f"""
+WITH piv AS (
+  SELECT CAST(floor(CAST(SUM(CAST(trunc(l_extendedprice) AS HUGEINT)) AS DOUBLE)
+                    / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS p
+  FROM lineitem
+), base AS (
+  SELECT CAST(CAST(l_quantity AS BIGINT) AS HUGEINT) AS x,
+         CAST(CAST(trunc(l_extendedprice) AS BIGINT) - p AS HUGEINT) AS v
+  FROM lineitem CROSS JOIN piv
+), m AS (
+  SELECT COUNT(*) AS n,
+         {mom_cols}
+  FROM base
+), g AS (
+  SELECT CAST(n AS BIGINT) AS n_rows, CAST(n AS DOUBLE) AS nn, {sel_cols}
+  FROM m
+), fit AS (
+  SELECT *,
+         (nn * s11 - s10 * s01) / (nn * s20 - s10 * s10) AS bb
+  FROM g
+), fit2 AS (
+  SELECT *, (s01 - bb * s10) / nn AS aa FROM fit
+), ex AS (
+  SELECT n_rows, nn, bb, s10, s20,
+         {su} AS su,
+         {sxu} AS sxu,
+         {suu} AS suu
+  FROM fit2
+), st AS (
+  SELECT n_rows, nn, bb,
+         s20 - s10 * s10 / nn AS sxx_c,
+         sxu - s10 * su / nn AS sxu_c,
+         suu - su * su / nn AS suu_c,
+         su / nn AS sigma2
+  FROM ex
+), r AS (
+  SELECT n_rows, bb, sigma2,
+         nn * sxu_c * sxu_c / (sxx_c * suu_c) AS lm_koenker,
+         sxu_c * sxu_c / (sxx_c * 2.0 * sigma2 * sigma2) AS lm_classic
+  FROM st
+)
+SELECT n_rows,
+       sign(bb) * floor(abs(bb) * 1000000.0 + 0.5) / 1000000.0
+         AS slope_units_per_qty,
+       sign(sigma2) * floor(abs(sigma2) * 100.0 + 0.5) / 100.0 AS sigma2_hat,
+       sign(lm_koenker) * floor(abs(lm_koenker) * 10000.0 + 0.5) / 10000.0
+         AS lm_koenker,
+       sign(lm_classic) * floor(abs(lm_classic) * 10000.0 + 0.5) / 10000.0
+         AS lm_classic,
+       CAST(1 AS BIGINT) AS dof
+FROM r
+"""
+
+
+ORACLE_BREUSCH_PAGAN_PRICE_QUANTITY = _oracle_breusch_pagan_price_quantity()
+
+
+_PERIODOGRAM_PERIODS = tuple(range(2, 31))
+
+
+def _periodogram_angles() -> list[tuple[int, int, float, float]]:
+    """(period, day mod period, cos, sin) for every residue class —
+    Σ_P P = 464 PINNED Python-float literals shared by both engines,
+    so no cos/sin libm call ever runs inside either engine (a 1-ulp
+    cos() divergence between JVM StrictMath and DuckDB libm would
+    otherwise be a per-cell hash-flip risk)."""
+    import math as _math
+
+    out = []
+    for per in _PERIODOGRAM_PERIODS:
+        for r in range(per):
+            th = 2.0 * _math.pi * r / per
+            out.append((per, r, _math.cos(th), _math.sin(th)))
+    return out
+
+
+def dominant_cycle_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schuster periodogram of daily revenue over candidate periods
+    2–30 days: spectral power I(P) = a_P² + b_P² with
+    a_P = Σ_t v_t·cos(2πt/P), b_P = Σ_t v_t·sin(2πt/P) — the
+    frequency-domain twin of revenue_seasonality (which ASSUMES the
+    weekly cycle; this FINDS the dominant cycle, flagging e.g. a
+    biweekly payroll harmonic the weekly model would alias).  Reports
+    per-period power share and the dominant period.
+
+    Exactness: deviations fold about a global integer pivot (the
+    jarque_bera idiom); cos/sin enter ONLY as pinned literals keyed by
+    (P, t mod P) — see _periodogram_angles — so each term
+    v·cos(2π(t mod P)/P) is one IEEE product of an exact integer and a
+    shared literal, quantized to integer milli-units; a_P/b_P are
+    exact integer folds and the power squares fold in DECIMAL(38,0).
+
+    Plan: one orders shuffle to the calendar-bounded daily frame; the
+    sweep is daily × 29 periods (≤ 70k cells at ANY corpus size)
+    broadcast-joined to the 464-row literal angle table."""
+    o = table(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(F.sum((F.col("o_totalprice") * 100).cast("long")).alias("cents"))
+        .select(
+            F.datediff("d", F.to_date(F.lit("1995-01-01"), "yyyy-MM-dd")).alias(
+                "day"
+            ),
+            "cents",
+        )
+        .localCheckpoint(eager=True)
+    )
+    piv = daily.agg(
+        F.floor(
+            F.sum(F.col("cents").cast(_DEC38)).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        )
+        .cast("long")
+        .alias("p")
+    )
+    angles = spark.createDataFrame(
+        _periodogram_angles(), "period int, r int, cosv double, sinv double"
+    )
+    periods = spark.createDataFrame(
+        [(p,) for p in _PERIODOGRAM_PERIODS], "period int"
+    )
+    cells = (
+        daily.crossJoin(F.broadcast(piv))
+        .crossJoin(F.broadcast(periods))
+        .select(
+            "period",
+            F.pmod(F.col("day"), F.col("period")).alias("r"),
+            (F.col("cents") - F.col("p")).alias("v"),
+        )
+        .join(F.broadcast(angles), ["period", "r"])
+    )
+    folded = cells.groupBy("period").agg(
+        F.sum(
+            F.round(F.col("v").cast("double") * F.col("cosv") * F.lit(1.0e3), 0).cast(
+                "long"
+            )
+        ).alias("a_q"),
+        F.sum(
+            F.round(F.col("v").cast("double") * F.col("sinv") * F.lit(1.0e3), 0).cast(
+                "long"
+            )
+        ).alias("b_q"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    power_q = (
+        F.col("a_q").cast(_DEC38) * F.col("a_q").cast(_DEC38)
+        + F.col("b_q").cast(_DEC38) * F.col("b_q").cast(_DEC38)
+    )
+    pw = folded.select(
+        "period", "n_days", power_q.alias("pq")
+    ).localCheckpoint(eager=True)
+    tot = pw.agg(F.sum("pq").alias("tq"))
+    ranked = pw.crossJoin(F.broadcast(tot)).select(
+        "period",
+        F.col("n_days").cast("long").alias("n_days"),
+        # no floor_round: pq is an exact DECIMAL both engines convert
+        # to double with correct rounding, and /1e6 is one IEEE op —
+        # (and floor()'s long range would overflow at this magnitude)
+        (F.col("pq").cast("double") / F.lit(1.0e6)).alias("power"),
+        _floor_round(
+            F.col("pq").cast("double") / F.col("tq").cast("double"), 6
+        ).alias("power_share"),
+    )
+    dom = (
+        pw.orderBy(F.col("pq").desc(), F.col("period").asc())
+        .limit(1)
+        .select(F.col("period").alias("dominant_period"))
+    )
+    return (
+        ranked.crossJoin(F.broadcast(dom))
+        .select("period", "n_days", "power", "power_share", "dominant_period")
+        .orderBy("period")
+    )
+
+
+def _oracle_dominant_cycle_periodogram() -> str:
+    avals = ",\n    ".join(
+        f"({p}, {r}, {c!r}, {s!r})" for p, r, c, s in _periodogram_angles()
+    )
+    pvals = ", ".join(f"({p})" for p in _PERIODOGRAM_PERIODS)
+    return f"""
+WITH daily AS (
+  SELECT datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS day,
+         SUM(CAST(trunc(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1
+), piv AS (
+  SELECT CAST(floor(CAST(SUM(CAST(cents AS HUGEINT)) AS DOUBLE)
+                    / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS p
+  FROM daily
+), angles(period, r, cosv, sinv) AS (VALUES
+    {avals}
+), periods(period) AS (VALUES {pvals}),
+cells AS (
+  SELECT pr.period, d.day % pr.period AS r, d.cents - piv.p AS v
+  FROM daily d CROSS JOIN piv CROSS JOIN periods pr
+), folded AS (
+  SELECT c.period,
+         SUM(CAST(ROUND(CAST(c.v AS DOUBLE) * a.cosv * 1000.0, 0) AS BIGINT))
+           AS a_q,
+         SUM(CAST(ROUND(CAST(c.v AS DOUBLE) * a.sinv * 1000.0, 0) AS BIGINT))
+           AS b_q,
+         COUNT(*) AS n_days
+  FROM cells c JOIN angles a ON a.period = c.period AND a.r = c.r
+  GROUP BY c.period
+), pw AS (
+  SELECT period, n_days,
+         CAST(a_q AS HUGEINT) * a_q + CAST(b_q AS HUGEINT) * b_q AS pq
+  FROM folded
+), tot AS (SELECT SUM(pq) AS tq FROM pw),
+dom AS (
+  SELECT period AS dominant_period FROM pw
+  ORDER BY pq DESC, period ASC LIMIT 1
+)
+SELECT period, CAST(n_days AS BIGINT) AS n_days,
+       CAST(pq AS DOUBLE) / 1000000.0 AS power,
+       sign(CAST(pq AS DOUBLE) / CAST(tq AS DOUBLE))
+         * floor(abs(CAST(pq AS DOUBLE) / CAST(tq AS DOUBLE))
+                 * 1000000.0 + 0.5) / 1000000.0 AS power_share,
+       dominant_period
+FROM pw CROSS JOIN tot CROSS JOIN dom
+ORDER BY period
+"""
+
+
+ORACLE_DOMINANT_CYCLE_PERIODOGRAM = _oracle_dominant_cycle_periodogram()
+
+
 QUERIES = {
     "bartlett_event_values": bartlett_event_values,
     "mood_median_test": mood_median_test,
@@ -8181,6 +8568,8 @@ QUERIES = {
     "g_test_event_dow": g_test_event_dow,
     "cochran_armitage_returns": cochran_armitage_returns,
     "permutation_entropy_revenue": permutation_entropy_revenue,
+    "breusch_pagan_price_quantity": breusch_pagan_price_quantity,
+    "dominant_cycle_periodogram": dominant_cycle_periodogram,
 }
 
 ORACLE = {
@@ -8249,4 +8638,6 @@ ORACLE = {
     "g_test_event_dow": ORACLE_G_TEST_EVENT_DOW,
     "cochran_armitage_returns": ORACLE_COCHRAN_ARMITAGE_RETURNS,
     "permutation_entropy_revenue": ORACLE_PERMUTATION_ENTROPY_REVENUE,
+    "breusch_pagan_price_quantity": ORACLE_BREUSCH_PAGAN_PRICE_QUANTITY,
+    "dominant_cycle_periodogram": ORACLE_DOMINANT_CYCLE_PERIODOGRAM,
 }

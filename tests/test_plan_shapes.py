@@ -563,6 +563,11 @@ _GLOBAL_WINDOW_SANCTIONED = {
     # aggregate (calendar-bounded, the cusum posture); the block
     # cumulatives are (m, block)-partitioned
     "hurst_exponent_rs",
+    # permutation entropy: two lag columns over the per-DAY revenue
+    # aggregate (calendar-bounded — ≤ a few thousand rows at ANY
+    # corpus size; the durbin_watson/bartels posture), then a ≤6-row
+    # pattern census
+    "permutation_entropy_revenue",
 }
 
 

@@ -573,3 +573,92 @@ def test_jaccard_threshold_sweep_monotone_and_consistent(spark):
         hit = [(a, b) for a, b, j in ref if j >= t]
         assert r["n_pairs"] == len(hit)
         assert r["n_docs"] == len({x for p in hit for x in p})
+
+
+def test_breusch_pagan_matches_python_moment_replay(spark):
+    """BP/Koenker replayed from exact integer moments in pure Python
+    (big ints — no numpy overflow), using the same pivot-shift
+    multinomial expansion the query generates."""
+    from data_ingestion_project_spark.queries import all_queries
+
+    got = all_queries()["breusch_pagan_price_quantity"](spark, SF0001).collect()[0]
+    rows = duckdb.sql(
+        f"SELECT CAST(l_quantity AS BIGINT), CAST(trunc(l_extendedprice) AS BIGINT) "
+        f"FROM '{SF0001}/lineitem.parquet'"
+    ).fetchall()
+    n = len(rows)
+    p = math.floor(sum(y for _, y in rows) / n)
+    S = Counter()
+    for xx, yy in rows:
+        v = yy - p
+        for i in range(5):
+            for j in range(5 - i):
+                S[(i, j)] += xx**i * v**j
+    sd = {k: float(vv) for k, vv in S.items()}
+    nn = float(n)
+    bb = (nn * sd[(1, 1)] - sd[(1, 0)] * sd[(0, 1)]) / (
+        nn * sd[(2, 0)] - sd[(1, 0)] * sd[(1, 0)]
+    )
+    aa = (sd[(0, 1)] - bb * sd[(1, 0)]) / nn
+
+    def poly(order, with_x):
+        tot = 0.0
+        for pp in range(order + 1):
+            for qq in range(order + 1 - pp):
+                rr = order - pp - qq
+                coef = (
+                    math.factorial(order)
+                    // (math.factorial(pp) * math.factorial(qq) * math.factorial(rr))
+                ) * (-1) ** (qq + rr)
+                tot += coef * aa**qq * bb**rr * sd[(rr + with_x, pp)]
+        return tot
+
+    su, sxu, suu = poly(2, 0), poly(2, 1), poly(4, 0)
+    sxx_c = sd[(2, 0)] - sd[(1, 0)] ** 2 / nn
+    sxu_c = sxu - sd[(1, 0)] * su / nn
+    suu_c = suu - su * su / nn
+    sigma2 = su / nn
+    lm_k = nn * sxu_c * sxu_c / (sxx_c * suu_c)
+    lm_c = sxu_c * sxu_c / (sxx_c * 2.0 * sigma2 * sigma2)
+    assert got["n_rows"] == n
+    assert got["slope_units_per_qty"] == pytest.approx(_floor_round(bb, 6), abs=2e-6)
+    assert got["sigma2_hat"] == pytest.approx(_floor_round(sigma2, 2), rel=1e-9)
+    assert got["lm_koenker"] == pytest.approx(_floor_round(lm_k, 4), abs=2e-4)
+    assert got["lm_classic"] == pytest.approx(_floor_round(lm_c, 4), abs=2e-4)
+    assert got["lm_koenker"] >= 0 and got["dof"] == 1
+
+
+def test_periodogram_matches_numpy_and_parseval(spark):
+    """Periodogram replayed with the same pinned angle literals in
+    Python; the dominant period must maximize power, shares sum ≤ 1."""
+    from data_ingestion_project_spark.queries import all_queries
+    from data_ingestion_project_spark.queries.stats import _periodogram_angles
+
+    got = all_queries()["dominant_cycle_periodogram"](spark, SF0001).collect()
+    assert [r["period"] for r in got] == list(range(2, 31))
+    daily = duckdb.sql(
+        f"""SELECT datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS t,
+                   SUM(CAST(trunc(o_totalprice * 100) AS BIGINT)) AS cents
+            FROM '{SF0001}/orders.parquet' GROUP BY 1"""
+    ).fetchall()
+    p = math.floor(sum(c for _, c in daily) / len(daily))
+    ang = {(per, r): (c, s) for per, r, c, s in _periodogram_angles()}
+    pw = {}
+    for per in range(2, 31):
+        a_q = b_q = 0
+        for t, cents in daily:
+            v = cents - p
+            c, s = ang[(per, t % per)]
+            a_q += _half_up(v * c * 1e3)
+            b_q += _half_up(v * s * 1e3)
+        pw[per] = a_q * a_q + b_q * b_q
+    tot = sum(pw.values())
+    by_p = {r["period"]: r for r in got}
+    for per, q in pw.items():
+        assert by_p[per]["power"] == q / 1e6
+        assert by_p[per]["power_share"] == pytest.approx(
+            _floor_round(q / tot, 6), abs=2e-6
+        )
+    best = max(pw, key=lambda k: (pw[k], -k))
+    assert by_p[2]["dominant_period"] == best
+    assert abs(sum(r["power_share"] for r in got) - 1.0) < 1e-4
