@@ -53,6 +53,7 @@ _DRIVER_PRIORITY = (
     "jaccard_threshold_sweep",
     "breusch_pagan_price_quantity",
     "dominant_cycle_periodogram",
+    "dunns_posthoc_event_values",
     # -- r11 redesign: the LAST no_oracle row anywhere, now fully
     # oracle-certified (portable theta set algebra: retained/churned/
     # new under the pair threshold, replayed integer-exactly) --
@@ -91,19 +92,18 @@ _DRIVER_PRIORITY = (
     "abc_customer_classes",
     "anova_event_values",
     "benford_order_totals",
-    "bigram_logprob_buckets",
     # compression_ratio_stats (alphabetically after bm25_topk's
     # cohort) is rows-only by design (zlib inside an Arrow UDF — not
     # SQL-expressible), so a window slot on it could never produce a
     # value-exact row; it stays certified by its pytest and the
     # rotation takes the next oracle-backed name instead
     # This tuple is exactly 50 names = the full window; the r06 tail
-    # (bloom_membership_audit ..) rolls to the r12 window — ten of
-    # its slots went to the ten later-r11 additions above (MAP/MRR,
-    # G-test, Cochran–Armitage, permutation entropy, Adamic–Adar,
-    # RBO, clustering histogram, jaccard sweep, Breusch–Pagan,
-    # periodogram), which, being never-certified, outrank
-    # r06-certified staleness.
+    # (bigram_logprob_buckets ..) rolls to the r12 window — eleven
+    # of its slots went to the eleven later-r11 additions above
+    # (MAP/MRR, G-test, Cochran–Armitage, permutation entropy,
+    # Adamic–Adar, RBO, clustering histogram, jaccard sweep,
+    # Breusch–Pagan, periodogram, Dunn's), which, being
+    # never-certified, outrank r06-certified staleness.
 )
 
 

@@ -8331,6 +8331,130 @@ FROM r
 ORACLE_BREUSCH_PAGAN_PRICE_QUANTITY = _oracle_breusch_pagan_price_quantity()
 
 
+def dunns_posthoc_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dunn's post-hoc test: WHICH event-type pairs differ, after
+    kruskal_wallis_event_values says SOME pair does.  For each of the
+    k(k−1)/2 unordered type pairs, z = (R̄_i − R̄_j) /
+    sqrt(S²(1/nᵢ+1/nⱼ)) with the tie-corrected pooled rank variance
+    S² = N(N+1)/12 − Σ(t³−t)/(12(N−1)) — the standard KW follow-up
+    (rank sums are computed ONCE on the pooled ranking, unlike
+    pairwise Mann–Whitney re-ranks, which is what keeps the family
+    error controllable with a single Bonferroni divisor m = k(k−1)/2,
+    reported alongside).
+
+    Scale/exactness: identical sufficient statistics to KW — one
+    conditional-count pass, the two-level rank2_map (doubled integer
+    mid-ranks), per-group (n_g, Σc·r2) exact decimal folds; the pair
+    frame is k²-sized (k = event-type vocabulary), every z one
+    mirrored IEEE expression of exact integers."""
+    from data_ingestion_project_spark.operators.quantiles import rank2_map
+
+    e = table(spark, sf_dir, "events")
+    base = e.select(to_micro(F.col("value")).alias("v"), "event_type")
+    ranks = rank2_map(base, "v", bucket_width=10_000_000)
+    per = base.groupBy("v", "event_type").agg(F.count(F.lit(1)).alias("c"))
+    grp = (
+        per.join(ranks, "v")
+        .groupBy("event_type")
+        .agg(
+            F.sum("c").alias("n_g"),
+            F.sum(F.col("c").cast(_DEC38) * F.col("r2").cast(_DEC38)).alias("r2_g"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    ties = ranks.agg(
+        F.sum(
+            F.col("cnt").cast(_DEC38) * F.col("cnt").cast(_DEC38) * F.col("cnt").cast(_DEC38)
+            - F.col("cnt").cast(_DEC38)
+        ).alias("ties")
+    )
+    tot = grp.agg(
+        F.sum("n_g").alias("n"), F.count(F.lit(1)).alias("k")
+    ).crossJoin(F.broadcast(ties))
+    a = grp.select(
+        F.col("event_type").alias("type_a"),
+        F.col("n_g").alias("n_a"),
+        F.col("r2_g").alias("r2_a"),
+    )
+    b = grp.select(
+        F.col("event_type").alias("type_b"),
+        F.col("n_g").alias("n_b"),
+        F.col("r2_g").alias("r2_b"),
+    )
+    pairs = a.join(b, F.col("type_a") < F.col("type_b")).crossJoin(F.broadcast(tot))
+    nd = F.col("n").cast("double")
+    kd = F.col("k").cast("double")
+    s2 = nd * (nd + F.lit(1.0)) / F.lit(12.0) - F.col("ties").cast("double") / (
+        F.lit(12.0) * (nd - F.lit(1.0))
+    )
+    ma = F.col("r2_a").cast("double") / F.lit(2.0) / F.col("n_a").cast("double")
+    mb = F.col("r2_b").cast("double") / F.lit(2.0) / F.col("n_b").cast("double")
+    z = (ma - mb) / F.sqrt(
+        s2
+        * (
+            F.lit(1.0) / F.col("n_a").cast("double")
+            + F.lit(1.0) / F.col("n_b").cast("double")
+        )
+    )
+    return pairs.select(
+        "type_a",
+        "type_b",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        _floor_round(ma, 6).alias("mean_rank_a"),
+        _floor_round(mb, 6).alias("mean_rank_b"),
+        _floor_round(z, 6).alias("z_dunn"),
+        (kd * (kd - F.lit(1.0)) / F.lit(2.0)).cast("long").alias("m_bonferroni"),
+    ).orderBy("type_a", "type_b")
+
+
+ORACLE_DUNNS_POSTHOC_EVENT_VALUES = """
+WITH base AS (
+  SELECT CAST(trunc(value * 1000000) AS BIGINT) AS v, event_type
+  FROM events
+), ranks AS ({rank2}),
+per AS (
+  SELECT v, event_type, COUNT(*) AS c FROM base GROUP BY 1, 2
+), grp AS (
+  SELECT per.event_type, SUM(per.c) AS n_g,
+         SUM(CAST(per.c AS HUGEINT) * ranks.r2) AS r2_g
+  FROM per JOIN ranks ON ranks.v = per.v
+  GROUP BY 1
+), ties AS (
+  SELECT SUM(CAST(c AS HUGEINT) * c * c - c) AS ties FROM ranks
+), tot AS (
+  SELECT SUM(n_g) AS n, COUNT(*) AS k FROM grp
+), pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         a.n_g AS n_a, b.n_g AS n_b, a.r2_g AS r2_a, b.r2_g AS r2_b,
+         tot.n, tot.k, ties.ties
+  FROM grp a JOIN grp b ON a.event_type < b.event_type
+  CROSS JOIN tot CROSS JOIN ties
+), s AS (
+  SELECT type_a, type_b, n_a, n_b,
+         CAST(r2_a AS DOUBLE) / 2.0 / CAST(n_a AS DOUBLE) AS ma,
+         CAST(r2_b AS DOUBLE) / 2.0 / CAST(n_b AS DOUBLE) AS mb,
+         CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0) / 12.0
+           - CAST(ties AS DOUBLE) / (12.0 * (CAST(n AS DOUBLE) - 1.0)) AS s2,
+         CAST(k AS DOUBLE) AS kd
+  FROM pairs
+), z AS (
+  SELECT type_a, type_b, n_a, n_b, ma, mb, kd,
+         (ma - mb) / sqrt(s2 * (1.0 / CAST(n_a AS DOUBLE)
+                                + 1.0 / CAST(n_b AS DOUBLE))) AS z
+  FROM s
+)
+SELECT type_a, type_b,
+       CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       sign(ma) * floor(abs(ma) * 1000000.0 + 0.5) / 1000000.0 AS mean_rank_a,
+       sign(mb) * floor(abs(mb) * 1000000.0 + 0.5) / 1000000.0 AS mean_rank_b,
+       sign(z) * floor(abs(z) * 1000000.0 + 0.5) / 1000000.0 AS z_dunn,
+       CAST(kd * (kd - 1.0) / 2.0 AS BIGINT) AS m_bonferroni
+FROM z
+ORDER BY type_a, type_b
+""".format(rank2=_SQL_RANK2.format(v="v", src="base"))
+
+
 _PERIODOGRAM_PERIODS = tuple(range(2, 31))
 
 
@@ -8570,6 +8694,7 @@ QUERIES = {
     "permutation_entropy_revenue": permutation_entropy_revenue,
     "breusch_pagan_price_quantity": breusch_pagan_price_quantity,
     "dominant_cycle_periodogram": dominant_cycle_periodogram,
+    "dunns_posthoc_event_values": dunns_posthoc_event_values,
 }
 
 ORACLE = {
@@ -8640,4 +8765,5 @@ ORACLE = {
     "permutation_entropy_revenue": ORACLE_PERMUTATION_ENTROPY_REVENUE,
     "breusch_pagan_price_quantity": ORACLE_BREUSCH_PAGAN_PRICE_QUANTITY,
     "dominant_cycle_periodogram": ORACLE_DOMINANT_CYCLE_PERIODOGRAM,
+    "dunns_posthoc_event_values": ORACLE_DUNNS_POSTHOC_EVENT_VALUES,
 }

@@ -662,3 +662,42 @@ def test_periodogram_matches_numpy_and_parseval(spark):
     best = max(pw, key=lambda k: (pw[k], -k))
     assert by_p[2]["dominant_period"] == best
     assert abs(sum(r["power_share"] for r in got) - 1.0) < 1e-4
+
+
+def test_dunns_posthoc_matches_python_replay(spark):
+    """Dunn's z replayed from pooled mid-ranks in pure Python; pair
+    grid, tie-corrected variance, Bonferroni divisor."""
+    from data_ingestion_project_spark.queries import all_queries
+
+    got = all_queries()["dunns_posthoc_event_values"](spark, SF0001).collect()
+    rows = duckdb.sql(
+        f"SELECT CAST(trunc(value * 1000000) AS BIGINT), event_type "
+        f"FROM '{SF0001}/events.parquet'"
+    ).fetchall()
+    vals = sorted(v for v, _ in rows)
+    n = len(vals)
+    # doubled mid-rank per distinct value
+    from bisect import bisect_left, bisect_right
+
+    def r2(v):
+        lo, hi = bisect_left(vals, v), bisect_right(vals, v)
+        return 2 * lo + (hi - lo) + 1
+
+    groups = defaultdict(list)
+    for v, t in rows:
+        groups[t].append(v)
+    ties = Counter(vals)
+    tie_term = sum(c**3 - c for c in ties.values())
+    s2 = n * (n + 1) / 12.0 - tie_term / (12.0 * (n - 1))
+    k = len(groups)
+    mr = {t: sum(r2(v) for v in vs) / 2.0 / len(vs) for t, vs in groups.items()}
+    assert len(got) == k * (k - 1) // 2
+    for r in got:
+        ta, tb = r["type_a"], r["type_b"]
+        assert ta < tb
+        na, nb = len(groups[ta]), len(groups[tb])
+        z = (mr[ta] - mr[tb]) / math.sqrt(s2 * (1.0 / na + 1.0 / nb))
+        assert r["n_a"] == na and r["n_b"] == nb
+        assert r["mean_rank_a"] == pytest.approx(_floor_round(mr[ta], 6), abs=2e-6)
+        assert r["z_dunn"] == pytest.approx(_floor_round(z, 6), abs=2e-6)
+        assert r["m_bonferroni"] == k * (k - 1) // 2

@@ -192,6 +192,19 @@ HEAVY = {
     "bartlett_event_values": "events",
     "mood_median_test": "events",
     "bowker_symmetry_events": "events",
+    # round-11 session-2 additions whose work grows with a fact table
+    # (the calendar-bounded permutation entropy / periodogram and the
+    # already-measured-shape twins g_test [chisq] and rbo [hybrid]
+    # stay out): the threshold sweep's inverted-index pair join, the
+    # two-hop Adamic–Adar join, the triangle-corner histogram, the
+    # per-term MAP/MRR explode+group-limit, the orders⋈lineitem
+    # Cochran–Armitage flag join, and the 15-decimal-moment BP fold
+    "jaccard_threshold_sweep": "documents",
+    "adamic_adar_link_prediction": "documents",
+    "local_clustering_histogram": "documents",
+    "map_mrr_search_eval": "documents",
+    "cochran_armitage_returns": "lineitem",
+    "breusch_pagan_price_quantity": "lineitem",
 }
 
 
