@@ -141,6 +141,11 @@ EXCLUDE_FROM_BENCH = frozenset(
         # join as quadratic as the baseline (candidate reduction on a
         # Zipfian corpus is pinned in pytest instead)
         "near_dup_jaccard_prefix",
+        # the threshold sweep runs the SAME exact-Jaccard pair join
+        # once (then a 7-row literal sweep over the pair frame), so it
+        # inherits the identical data-degenerate cost; certified
+        # value-exact in CORRECTNESS instead
+        "jaccard_threshold_sweep",
         # cross-modal dedup AUDIT: both sides are deliberate exact
         # all-pairs baselines (the scale path compares SemDeDup and
         # MinHash candidate outputs instead)

@@ -8188,20 +8188,57 @@ def breusch_pagan_price_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("p")
     )
-    x = F.col("l_quantity").cast("long").cast(_DEC38)
-    v = (yq - F.col("p")).cast(_DEC38)
-    aggs = [F.count(F.lit(1)).alias("n"), F.max("p").alias("p")]
+    # The moments fold over the DISTINCT (x, v) VALUE GRID, not the
+    # fact rows: quantity × unit-price combinations are value-domain
+    # sized (a data constant — prices don't grow with corpus volume),
+    # so one count aggregation (map-side combined) reduces the table
+    # and the 14 weighted power products run on the grid alone.
+    # Grid products stay in LONG — x ≤ 50 and |v| is bounded by the
+    # price value domain (≤ ~6.7e4 units for this schema; int64-safe
+    # to |v| ≤ 2.6e5), the largest being x·v³ ≈ 1.5e16 ≪ 2^63 — and
+    # cast to DECIMAL only for the count weighting and the sum (the
+    # dec_sum idiom); v⁴ (~2e19, wraps int64) squares the long v² in
+    # DECIMAL.  (Measured: the naive per-row all-decimal chain cost
+    # 23.1 s at sf1; the long-product per-row fold 4.3 s; this grid
+    # fold — see BASELINE r11 notes.)
+    grid = (
+        li.crossJoin(F.broadcast(piv))
+        .groupBy(
+            F.col("l_quantity").cast("long").alias("x"),
+            (yq - F.col("p")).alias("v"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"), F.max("p").alias("pp"))
+    )
+    xl, vl, c = F.col("x"), F.col("v"), F.col("c").cast(_DEC38)
+    v2 = vl * vl
+    prod = {
+        (1, 0): xl,
+        (0, 1): vl,
+        (2, 0): xl * xl,
+        (1, 1): xl * vl,
+        (0, 2): v2,
+        (3, 0): xl * xl * xl,
+        (2, 1): xl * xl * vl,
+        (1, 2): xl * v2,
+        (0, 3): v2 * vl,
+        (4, 0): xl * xl * xl * xl,
+        (3, 1): xl * xl * xl * vl,
+        (2, 2): xl * xl * v2,
+        (1, 3): xl * v2 * vl,
+    }
+    aggs = [F.sum(c).alias("n"), F.max("pp").alias("p")]
     for i in range(5):
         for j in range(5 - i):
             if i == j == 0:
                 continue
-            e = F.lit(1).cast(_DEC38)
-            for _ in range(i):
-                e = e * x
-            for _ in range(j):
-                e = e * v
-            aggs.append(F.sum(e).alias(f"s{i}{j}"))
-    m = li.crossJoin(F.broadcast(piv)).agg(*aggs)
+            if (i, j) == (0, 4):
+                e = v2.cast(_DEC38) * v2.cast(_DEC38) * c
+                aggs.append(F.sum(e).alias("s04"))
+            else:
+                aggs.append(
+                    F.sum(prod[(i, j)].cast(_DEC38) * c).alias(f"s{i}{j}")
+                )
+    m = grid.agg(*aggs)
     s = {
         (i, j): (
             F.col("n").cast("double")

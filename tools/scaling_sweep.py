@@ -198,8 +198,11 @@ HEAVY = {
     # stay out): the threshold sweep's inverted-index pair join, the
     # two-hop Adamic–Adar join, the triangle-corner histogram, the
     # per-term MAP/MRR explode+group-limit, the orders⋈lineitem
-    # Cochran–Armitage flag join, and the 15-decimal-moment BP fold
-    "jaccard_threshold_sweep": "documents",
+    # Cochran–Armitage flag join, and the 15-decimal-moment BP fold.
+    # (jaccard_threshold_sweep stays OUT: its exact-Jaccard pair join
+    # inherits near_dup_jaccard_top's data-degeneracy on this
+    # corpus's 31-word vocabulary — measuring it prices the data,
+    # not the engine; same rationale as its bench exclusion.)
     "adamic_adar_link_prediction": "documents",
     "local_clustering_histogram": "documents",
     "map_mrr_search_eval": "documents",
