@@ -679,12 +679,16 @@ def map_mrr_search_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         + BM25_K1
         * (1 - BM25_B + BM25_B * F.col("dl") * F.col("n_docs") / F.col("sum_dl"))
     )
+    # candidate-set-sized (posting lists × 4 terms); materialized once
+    # (house localCheckpoint idiom) because BOTH the rank window and
+    # the relevant-count aggregate read it — otherwise the corpus
+    # explode upstream runs twice
     per = scored.select(
         "word",
         "doc_id",
         F.round(idf * tf_norm * 1_000_000, 0).cast("long").alias("score_i"),
         (F.col("tf") >= 2).cast("int").alias("rel"),
-    )
+    ).localCheckpoint(eager=True)
     wrank = Window.partitionBy("word").orderBy(
         F.col("score_i").desc(), F.col("doc_id").asc()
     )
@@ -912,7 +916,12 @@ def rbo_rank_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("wt") * F.col("x_d").cast("double") / F.col("depth").cast("double") * F.lit(1.0e9),
         0,
     ).cast("long")
-    terms = xd.select("depth", "x_d", term_q.alias("t_q"))
+    # the 10-row terms frame feeds BOTH the RBO fold and the output
+    # rows — materialize it once (house localCheckpoint idiom) so the
+    # two lex+dense ranking pipelines upstream run exactly once
+    terms = xd.select("depth", "x_d", term_q.alias("t_q")).localCheckpoint(
+        eager=True
+    )
     rbo = terms.agg(F.sum("t_q").alias("rq"))
     return (
         terms.crossJoin(F.broadcast(rbo))
