@@ -54,6 +54,8 @@ _DRIVER_PRIORITY = (
     "breusch_pagan_price_quantity",
     "dominant_cycle_periodogram",
     "dunns_posthoc_event_values",
+    "nb_pr_auc",
+    "ewma_breach_days",
     # -- r11 redesign: the LAST no_oracle row anywhere, now fully
     # oracle-certified (portable theta set algebra: retained/churned/
     # new under the pair threshold, replayed integer-exactly) --
@@ -90,20 +92,18 @@ _DRIVER_PRIORITY = (
     "user_sessions",
     # -- alphabetical head of the r06 cohort (next-stalest) --
     "abc_customer_classes",
-    "anova_event_values",
-    "benford_order_totals",
     # compression_ratio_stats (alphabetically after bm25_topk's
     # cohort) is rows-only by design (zlib inside an Arrow UDF — not
     # SQL-expressible), so a window slot on it could never produce a
     # value-exact row; it stays certified by its pytest and the
     # rotation takes the next oracle-backed name instead
     # This tuple is exactly 50 names = the full window; the r06 tail
-    # (bigram_logprob_buckets ..) rolls to the r12 window — eleven
-    # of its slots went to the eleven later-r11 additions above
+    # (anova_event_values ..) rolls to the r12 window — thirteen of
+    # its slots went to the thirteen later-r11 additions above
     # (MAP/MRR, G-test, Cochran–Armitage, permutation entropy,
     # Adamic–Adar, RBO, clustering histogram, jaccard sweep,
-    # Breusch–Pagan, periodogram, Dunn's), which, being
-    # never-certified, outrank r06-certified staleness.
+    # Breusch–Pagan, periodogram, Dunn's, PR-AUC, EWMA), which,
+    # being never-certified, outrank r06-certified staleness.
 )
 
 

@@ -4713,6 +4713,154 @@ def nb_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def nb_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT average precision (PR-AUC, step interpolation — the
+    sklearn AP definition) of the NB 'en' detector — the
+    class-imbalance-honest companion of nb_auc_roc: ROC AUC stays
+    optimistic when negatives dominate (a corpus-filtering classifier
+    usually faces 90%+ negatives); AP weights precision AT each recall
+    step, which is what the "keep if classifier says en" filter
+    actually pays.  AP = Σ_s ΔR(s)·P(s) over distinct decision
+    statistics s descending, with P = TP/(TP+FP) at threshold s.
+
+    Plan/exactness: the decision statistics are the same exact BIGINT
+    margins (operators/nb.nb_ovr_scores); the threshold sweep needs
+    one cumulative (pos, neg)-below count per DISTINCT statistic —
+    the repo's two-level bucket-prefix decomposition (nb_auc_roc
+    posture: within-bucket windows partitioned, the unpartitioned
+    prefix over the value-domain-sized bucket partials).  Each
+    ΔR·P term quantizes to integer nano-units against exact integer
+    TP/FP, and AP is one exact fold divided by P_total once."""
+    from pyspark.sql.window import Window as _W
+
+    from data_ingestion_project_spark.operators.nb import nb_ovr_scores
+
+    d = table(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("word"),
+    )
+    counts = (
+        words.groupBy("doc_id", "lang", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    st = nb_ovr_scores(counts, "en", label_col="lang")
+    per = (
+        st.groupBy("stat")
+        .agg(
+            F.sum("is_pos").alias("n_pos_s"),
+            F.sum(F.lit(1) - F.col("is_pos")).alias("n_neg_s"),
+        )
+        .withColumn("bkt", F.floor(F.col("stat") / F.lit(10_000)))
+        .localCheckpoint(eager=True)
+    )
+    bp = per.groupBy("bkt").agg(
+        F.sum("n_pos_s").alias("b_pos"), F.sum("n_neg_s").alias("b_neg")
+    )
+    wb = _W.orderBy("bkt").rowsBetween(_W.unboundedPreceding, -1)
+    prefix = bp.select(
+        "bkt",
+        F.coalesce(F.sum("b_pos").over(wb), F.lit(0)).alias("p_pos"),
+        F.coalesce(F.sum("b_neg").over(wb), F.lit(0)).alias("p_neg"),
+    )
+    wv = _W.partitionBy("bkt").orderBy("stat").rowsBetween(
+        _W.unboundedPreceding, -1
+    )
+    cum = per.join(F.broadcast(prefix), "bkt").select(
+        "n_pos_s",
+        (
+            F.col("p_pos") + F.coalesce(F.sum("n_pos_s").over(wv), F.lit(0))
+        ).alias("pos_below"),
+        (
+            F.col("p_neg") + F.coalesce(F.sum("n_neg_s").over(wv), F.lit(0))
+        ).alias("neg_below"),
+    )
+    tot = per.agg(
+        F.sum("n_pos_s").cast("long").alias("p_tot"),
+        F.sum("n_neg_s").cast("long").alias("n_tot"),
+    )
+    tp = (F.col("p_tot") - F.col("pos_below")).cast("double")
+    fp = (F.col("n_tot") - F.col("neg_below")).cast("double")
+    terms = cum.crossJoin(F.broadcast(tot)).select(
+        "p_tot",
+        "n_tot",
+        F.round(
+            F.col("n_pos_s").cast("double") * (tp / (tp + fp)) * F.lit(1.0e9), 0
+        )
+        .cast("long")
+        .alias("t_q"),
+    )
+    agg = terms.groupBy("p_tot", "n_tot").agg(F.sum("t_q").alias("sq"))
+    return agg.select(
+        F.col("p_tot").alias("n_pos"),
+        F.col("n_tot").alias("n_neg"),
+        floor_round(
+            F.col("p_tot").cast("double")
+            / (F.col("p_tot") + F.col("n_tot")).cast("double"),
+            6,
+        ).alias("prevalence"),
+        floor_round(
+            F.col("sq").cast("double")
+            / F.lit(1.0e9)
+            / F.col("p_tot").cast("double"),
+            6,
+        ).alias("pr_auc"),
+    )
+
+
+ORACLE_NB_PR_AUC = _NB_MODEL_CTES + """
+sc AS (
+  SELECT s.doc_id, s.true_lang, s.m_lang, s.ll + p.p AS score
+  FROM scored s JOIN prior p ON p.m_lang = s.m_lang
+), pos AS (
+  SELECT doc_id, CASE WHEN true_lang = 'en' THEN 1 ELSE 0 END AS is_pos,
+         score AS s_pos
+  FROM sc WHERE m_lang = 'en'
+), oth AS (
+  SELECT doc_id, MAX(score) AS s_oth FROM sc WHERE m_lang <> 'en' GROUP BY 1
+), st AS (
+  SELECT p.is_pos, CAST(p.s_pos - o.s_oth AS BIGINT) AS stat
+  FROM pos p JOIN oth o USING (doc_id)
+), per AS (
+  SELECT stat, SUM(is_pos) AS n_pos_s, SUM(1 - is_pos) AS n_neg_s
+  FROM st GROUP BY 1
+), cum AS (
+  SELECT n_pos_s,
+         COALESCE(SUM(n_pos_s) OVER (
+           ORDER BY stat ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS pos_below,
+         COALESCE(SUM(n_neg_s) OVER (
+           ORDER BY stat ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS neg_below
+  FROM per
+), tot AS (
+  SELECT CAST(SUM(n_pos_s) AS BIGINT) AS p_tot,
+         CAST(SUM(n_neg_s) AS BIGINT) AS n_tot
+  FROM per
+), terms AS (
+  SELECT p_tot, n_tot,
+         CAST(ROUND(CAST(n_pos_s AS DOUBLE)
+                    * (CAST(p_tot - pos_below AS DOUBLE)
+                       / (CAST(p_tot - pos_below AS DOUBLE)
+                          + CAST(n_tot - neg_below AS DOUBLE)))
+                    * 1000000000.0, 0) AS BIGINT) AS t_q
+  FROM cum CROSS JOIN tot
+), agg AS (
+  SELECT p_tot, n_tot, SUM(t_q) AS sq FROM terms GROUP BY 1, 2
+)
+SELECT p_tot AS n_pos, n_tot AS n_neg,
+       sign(CAST(p_tot AS DOUBLE) / CAST(p_tot + n_tot AS DOUBLE))
+         * floor(abs(CAST(p_tot AS DOUBLE) / CAST(p_tot + n_tot AS DOUBLE))
+                 * 1000000.0 + 0.5) / 1000000.0 AS prevalence,
+       sign(CAST(sq AS DOUBLE) / 1000000000.0 / CAST(p_tot AS DOUBLE))
+         * floor(abs(CAST(sq AS DOUBLE) / 1000000000.0 / CAST(p_tot AS DOUBLE))
+                 * 1000000.0 + 0.5) / 1000000.0 AS pr_auc
+FROM agg
+"""
+
+
 ORACLE_NB_AUC_ROC = _NB_MODEL_CTES + """
 sc AS (
   SELECT s.doc_id, s.true_lang, s.m_lang, s.ll + p.p AS score
@@ -6517,6 +6665,7 @@ QUERIES = {
     "dup_graph_triangles": dup_graph_triangles,
     "adamic_adar_link_prediction": adamic_adar_link_prediction,
     "local_clustering_histogram": local_clustering_histogram,
+    "nb_pr_auc": nb_pr_auc,
     "jaccard_threshold_sweep": jaccard_threshold_sweep,
     "dup_graph_bfs_depths": dup_graph_bfs_depths,
     "source_stylometry_delta": source_stylometry_delta,
@@ -6596,6 +6745,7 @@ ORACLE = {
     "dup_graph_triangles": ORACLE_DUP_GRAPH_TRIANGLES,
     "adamic_adar_link_prediction": ORACLE_ADAMIC_ADAR_LINK_PREDICTION,
     "local_clustering_histogram": ORACLE_LOCAL_CLUSTERING_HISTOGRAM,
+    "nb_pr_auc": ORACLE_NB_PR_AUC,
     "jaccard_threshold_sweep": ORACLE_JACCARD_THRESHOLD_SWEEP,
     "dup_graph_bfs_depths": ORACLE_DUP_GRAPH_BFS_DEPTHS,
     "source_stylometry_delta": ORACLE_SOURCE_STYLOMETRY_DELTA,

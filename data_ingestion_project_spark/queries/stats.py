@@ -8492,6 +8492,161 @@ ORDER BY type_a, type_b
 """.format(rank2=_SQL_RANK2.format(v="v", src="base"))
 
 
+_EWMA_LAMBDA = 0.2
+_EWMA_HORIZON = 40  # (1-λ)^40 ≈ 1.3e-4 — truncation is the model
+_EWMA_WEIGHTS = tuple(
+    _EWMA_LAMBDA * (1.0 - _EWMA_LAMBDA) ** (i - 1)
+    for i in range(1, _EWMA_HORIZON + 1)
+)
+
+
+def ewma_breach_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA control chart on daily revenue (λ = 0.2, 40-day truncated
+    horizon): each day's revenue is compared against the
+    exponentially-weighted mean of the PRIOR days, and the days whose
+    residual exceeds 3 residual-σ are the chart's out-of-control
+    signals — the classic SPC monitor (bollinger_breakout_days is its
+    fixed-window cousin; EWMA reacts faster to small sustained
+    shifts).  Reports the top-10 breach days by |residual| with the
+    chart parameters.
+
+    Exactness: the geometric weights are PINNED Python-float literals
+    (the periodogram idiom — no pow() in either engine; the 40-term
+    truncation is part of the statistic's definition, weights beyond
+    carry < 1.3e-4 of the mass); each weighted term quantizes to
+    integer micro-units, per-day numerator/denominator are exact
+    integer folds (the denominator re-normalizes at the series head,
+    where fewer than 40 lags exist), the residual re-quantizes to
+    integer cents, and σ comes from exact decimal moments.
+
+    Plan: one orders shuffle to the calendar-bounded daily frame; the
+    lag join is daily × 40 offsets (≤ 100k cells at ANY corpus size)
+    against literal weights; a TakeOrdered top-10."""
+    o = table(spark, sf_dir, "orders")
+    wl = Window.orderBy("d")
+    daily = (
+        o.groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(F.sum((F.col("o_totalprice") * 100).cast("long")).alias("cents"))
+        .withColumn("t", F.row_number().over(wl))
+        .localCheckpoint(eager=True)
+    )
+    offsets = spark.createDataFrame(
+        [(i + 1, w) for i, w in enumerate(_EWMA_WEIGHTS)], "i int, w double"
+    )
+    lag = daily.select(F.col("t").alias("tl"), F.col("cents").alias("xl"))
+    pred = (
+        daily.crossJoin(F.broadcast(offsets))
+        .join(lag, F.col("tl") == F.col("t") - F.col("i"))
+        .groupBy("d", "t", "cents")
+        .agg(
+            F.sum(
+                F.round(F.col("w") * F.col("xl").cast("double") * F.lit(1.0e6), 0).cast(
+                    "long"
+                )
+            ).alias("num_q"),
+            F.sum(F.round(F.col("w") * F.lit(1.0e9), 0).cast("long")).alias("den_q"),
+        )
+    )
+    pred_c = F.col("num_q").cast("double") * F.lit(1000.0) / F.col("den_q").cast("double")
+    resid = pred.select(
+        "d",
+        "cents",
+        F.round(F.col("cents").cast("double") - pred_c, 0).cast("long").alias("r_q"),
+    ).localCheckpoint(eager=True)
+    mom = resid.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("r_q").cast(_DEC38)).alias("s1"),
+        F.sum(F.col("r_q").cast(_DEC38) * F.col("r_q").cast(_DEC38)).alias("s2"),
+    )
+    nd = F.col("n").cast("double")
+    sd = F.sqrt(
+        (F.col("s2").cast("double") - F.col("s1").cast("double") * F.col("s1").cast("double") / nd)
+        / nd
+    )
+    z = F.col("r_q").cast("double") / F.col("sd_c")
+    flagged = (
+        resid.crossJoin(F.broadcast(mom.select(sd.alias("sd_c"), "n")))
+        .withColumn("is_breach", (F.abs(F.col("r_q").cast("double")) > F.lit(3.0) * F.col("sd_c")).cast("int"))
+    )
+    nb = flagged.agg(F.sum("is_breach").alias("n_breaches"))
+    return (
+        flagged.filter(F.col("is_breach") == 1)
+        .crossJoin(F.broadcast(nb))
+        .orderBy(F.abs("r_q").desc(), F.col("d").asc())
+        .limit(10)
+        .select(
+            F.col("d").cast("string").alias("day"),
+            (F.col("cents").cast("double") / F.lit(100.0)).alias("revenue_usd"),
+            (F.col("r_q").cast("double") / F.lit(100.0)).alias("residual_usd"),
+            _floor_round(z, 4).alias("z_score"),
+            _floor_round(F.col("sd_c") / F.lit(100.0), 2).alias("sigma_usd"),
+            F.col("n_breaches").cast("long").alias("n_breaches"),
+            F.col("n").cast("long").alias("n_days"),
+        )
+    )
+
+
+def _oracle_ewma_breach_days() -> str:
+    wvals = ", ".join(f"({i}, {w!r})" for i, w in enumerate(_EWMA_WEIGHTS, start=1))
+    return f"""
+WITH daily0 AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         SUM(CAST(trunc(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1
+), daily AS (
+  SELECT d, cents, CAST(ROW_NUMBER() OVER (ORDER BY d) AS INT) AS t FROM daily0
+), offsets(i, w) AS (VALUES {wvals}),
+pred AS (
+  SELECT a.d, a.cents,
+         SUM(CAST(ROUND(o.w * CAST(l.cents AS DOUBLE) * 1000000.0, 0) AS BIGINT))
+           AS num_q,
+         SUM(CAST(ROUND(o.w * 1000000000.0, 0) AS BIGINT)) AS den_q
+  FROM daily a
+  CROSS JOIN offsets o
+  JOIN daily l ON l.t = a.t - o.i
+  GROUP BY a.d, a.cents
+), resid AS (
+  SELECT d, cents,
+         CAST(ROUND(CAST(cents AS DOUBLE)
+                    - CAST(num_q AS DOUBLE) * 1000.0 / CAST(den_q AS DOUBLE),
+                    0) AS BIGINT) AS r_q
+  FROM pred
+), mom AS (
+  SELECT COUNT(*) AS n, SUM(CAST(r_q AS HUGEINT)) AS s1,
+         SUM(CAST(r_q AS HUGEINT) * r_q) AS s2
+  FROM resid
+), sd AS (
+  SELECT n,
+         sqrt((CAST(s2 AS DOUBLE)
+               - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+              / CAST(n AS DOUBLE)) AS sd_c
+  FROM mom
+), flagged AS (
+  SELECT r.d, r.cents, r.r_q, sd.sd_c, sd.n,
+         CASE WHEN abs(CAST(r.r_q AS DOUBLE)) > 3.0 * sd.sd_c
+              THEN 1 ELSE 0 END AS is_breach
+  FROM resid r CROSS JOIN sd
+), nb AS (SELECT SUM(is_breach) AS n_breaches FROM flagged)
+SELECT CAST(d AS VARCHAR) AS day,
+       CAST(cents AS DOUBLE) / 100.0 AS revenue_usd,
+       CAST(r_q AS DOUBLE) / 100.0 AS residual_usd,
+       sign(CAST(r_q AS DOUBLE) / sd_c)
+         * floor(abs(CAST(r_q AS DOUBLE) / sd_c) * 10000.0 + 0.5) / 10000.0
+         AS z_score,
+       sign(sd_c / 100.0) * floor(abs(sd_c / 100.0) * 100.0 + 0.5) / 100.0
+         AS sigma_usd,
+       CAST(nb.n_breaches AS BIGINT) AS n_breaches,
+       CAST(n AS BIGINT) AS n_days
+FROM flagged CROSS JOIN nb
+WHERE is_breach = 1
+ORDER BY abs(CAST(r_q AS DOUBLE)) DESC, d ASC
+LIMIT 10
+"""
+
+
+ORACLE_EWMA_BREACH_DAYS = _oracle_ewma_breach_days()
+
+
 _PERIODOGRAM_PERIODS = tuple(range(2, 31))
 
 
@@ -8732,6 +8887,7 @@ QUERIES = {
     "breusch_pagan_price_quantity": breusch_pagan_price_quantity,
     "dominant_cycle_periodogram": dominant_cycle_periodogram,
     "dunns_posthoc_event_values": dunns_posthoc_event_values,
+    "ewma_breach_days": ewma_breach_days,
 }
 
 ORACLE = {
@@ -8803,4 +8959,5 @@ ORACLE = {
     "breusch_pagan_price_quantity": ORACLE_BREUSCH_PAGAN_PRICE_QUANTITY,
     "dominant_cycle_periodogram": ORACLE_DOMINANT_CYCLE_PERIODOGRAM,
     "dunns_posthoc_event_values": ORACLE_DUNNS_POSTHOC_EVENT_VALUES,
+    "ewma_breach_days": ORACLE_EWMA_BREACH_DAYS,
 }

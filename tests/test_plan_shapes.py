@@ -568,6 +568,10 @@ _GLOBAL_WINDOW_SANCTIONED = {
     # corpus size; the durbin_watson/bartels posture), then a ≤6-row
     # pattern census
     "permutation_entropy_revenue",
+    # EWMA control chart: the day-index row_number runs over the
+    # per-DAY revenue aggregate (calendar-bounded; the hurst/cusum
+    # posture), and the lag join is daily × 40 literal offsets
+    "ewma_breach_days",
 }
 
 

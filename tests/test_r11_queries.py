@@ -701,3 +701,88 @@ def test_dunns_posthoc_matches_python_replay(spark):
         assert r["mean_rank_a"] == pytest.approx(_floor_round(mr[ta], 6), abs=2e-6)
         assert r["z_dunn"] == pytest.approx(_floor_round(z, 6), abs=2e-6)
         assert r["m_bonferroni"] == k * (k - 1) // 2
+
+
+def test_nb_pr_auc_matches_python_replay(spark):
+    """AP replayed from the exact integer decision margins via the
+    same desc-threshold step formula in pure Python."""
+    from data_ingestion_project_spark.queries import all_queries
+    from data_ingestion_project_spark.queries.documents import _NB_MODEL_CTES
+
+    got = all_queries()["nb_pr_auc"](spark, SF0001).collect()[0]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF0001}/documents.parquet')"
+    )
+    stats = con.execute(
+        _NB_MODEL_CTES
+        + """
+sc AS (
+  SELECT s.doc_id, s.true_lang, s.m_lang, s.ll + p.p AS score
+  FROM scored s JOIN prior p ON p.m_lang = s.m_lang
+), pos AS (
+  SELECT doc_id, CASE WHEN true_lang = 'en' THEN 1 ELSE 0 END AS is_pos,
+         score AS s_pos FROM sc WHERE m_lang = 'en'
+), oth AS (SELECT doc_id, MAX(score) AS s_oth FROM sc WHERE m_lang <> 'en' GROUP BY 1)
+SELECT p.is_pos, CAST(p.s_pos - o.s_oth AS BIGINT) AS stat
+FROM pos p JOIN oth o USING (doc_id)"""
+    ).fetchall()
+    per = defaultdict(lambda: [0, 0])
+    for is_pos, stat in stats:
+        per[stat][0] += is_pos
+        per[stat][1] += 1 - is_pos
+    p_tot = sum(v[0] for v in per.values())
+    n_tot = sum(v[1] for v in per.values())
+    sq = 0
+    cum_pos = cum_neg = 0
+    for stat in sorted(per):  # ascending; tp/fp = counts with stat >= s
+        np_, nn_ = per[stat]
+        tp = p_tot - cum_pos
+        fp = n_tot - cum_neg
+        sq += _half_up(np_ * (tp / (tp + fp)) * 1e9)
+        cum_pos += np_
+        cum_neg += nn_
+    assert got["n_pos"] == p_tot and got["n_neg"] == n_tot
+    assert got["prevalence"] == pytest.approx(
+        _floor_round(p_tot / (p_tot + n_tot), 6), abs=2e-6
+    )
+    assert got["pr_auc"] == pytest.approx(
+        _floor_round(sq / 1e9 / p_tot, 6), abs=2e-6
+    )
+    assert got["prevalence"] <= got["pr_auc"] <= 1.0  # better than random
+
+
+def test_ewma_breach_days_matches_python_replay(spark):
+    from data_ingestion_project_spark.queries import all_queries
+    from data_ingestion_project_spark.queries.stats import _EWMA_WEIGHTS
+
+    got = all_queries()["ewma_breach_days"](spark, SF0001).collect()
+    daily = duckdb.sql(
+        f"""SELECT CAST(o_orderdate AS DATE) AS d,
+                   SUM(CAST(trunc(o_totalprice * 100) AS BIGINT)) AS cents
+            FROM '{SF0001}/orders.parquet' GROUP BY 1 ORDER BY 1"""
+    ).fetchall()
+    resid = []
+    for t in range(1, len(daily)):
+        num = den = 0
+        for i, w in enumerate(_EWMA_WEIGHTS, start=1):
+            if t - i < 0:
+                break
+            num += _half_up(w * daily[t - i][1] * 1e6)
+            den += _half_up(w * 1e9)
+        d, c = daily[t]
+        resid.append((d, c, _half_up(c - num * 1000.0 / den)))
+    n = len(resid)
+    s1 = sum(r for _, _, r in resid)
+    s2 = sum(r * r for _, _, r in resid)
+    sd = math.sqrt((s2 - s1 * s1 / n) / n)
+    breaches = [(d, c, r) for d, c, r in resid if abs(r) > 3.0 * sd]
+    top = sorted(breaches, key=lambda x: (-abs(x[2]), x[0]))[:10]
+    assert len(got) == min(10, len(breaches)) and len(breaches) >= 1
+    for row, (d, c, r) in zip(got, top):
+        assert row["day"] == str(d)
+        assert row["revenue_usd"] == c / 100.0
+        assert row["residual_usd"] == r / 100.0
+        assert row["z_score"] == pytest.approx(_floor_round(r / sd, 4), abs=2e-4)
+        assert row["n_breaches"] == len(breaches)
+        assert row["n_days"] == n
