@@ -472,6 +472,10 @@ _GLOBAL_WINDOW_SANCTIONED = {
     # value-domain-sized); the per-statistic window is bucket-
     # partitioned (ks_length_drift posture)
     "nb_auc_roc",
+    # PR-AUC rides the identical score-bucket-partials prefix as
+    # nb_auc_roc (value-domain-sized bucket frame; per-statistic
+    # window bucket-partitioned)
+    "nb_pr_auc",
     # same score-bucket-partials prefix as nb_auc_roc (r9); the argmax
     # over the distinct-statistic frame is Limit-bounded (TakeOrdered)
     "youden_threshold",
