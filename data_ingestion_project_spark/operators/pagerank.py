@@ -456,13 +456,25 @@ def _collect_prob_cells(
     on two longs, and _round_half_up is Spark's ROUND — so the cells
     are bit-identical to the distributed ROUND(n/tot, 14) projection
     without spending Spark jobs on a 25-row groupBy+join."""
-    rows = trans.select(
-        F.col(src).alias("src"), F.col(dst).alias("dst"), F.col(weight).alias("n")
-    ).collect()
+    # Guard BEFORE unbounded materialization (ADVICE r11): collect at
+    # most cap²+1 rows — the frame is one (src,dst) row per distinct
+    # pair, so cap²+1 rows proves K > cap without a second corpus scan
+    # (a distinct-count pre-pass would recompute the upstream
+    # aggregation), and bounds driver memory at the documented ~1M
+    # cells either way.
+    _row_cap = _DRIVER_STATE_CAP * _DRIVER_STATE_CAP
+    rows = (
+        trans.select(
+            F.col(src).alias("src"), F.col(dst).alias("dst"), F.col(weight).alias("n")
+        )
+        .limit(_row_cap + 1)
+        .collect()
+    )
     k = len({r.src for r in rows})
-    if k > _DRIVER_STATE_CAP:
+    if len(rows) > _row_cap or k > _DRIVER_STATE_CAP:
         raise ValueError(
-            f"driver-exact chain replay capped at {_DRIVER_STATE_CAP} states; got {k}. "
+            f"driver-exact chain replay capped at {_DRIVER_STATE_CAP} states; "
+            f"got {'>' if len(rows) > _row_cap else ''}{k}. "
             "Use the distributed stationary_distribution/hitting_time instead."
         )
     tot: dict[str, int] = {}
@@ -486,7 +498,7 @@ def stationary_distribution_exact(
     (see the fast-path contract above): collect the K² ROUND(n/tot, 14)
     cells, run the quantized power iteration in exact Decimal, return
     the same (state, pi) frame."""
-    from decimal import Decimal
+    from decimal import ROUND_HALF_UP, Decimal
 
     spark = trans.sparkSession
     cells = _collect_prob_cells(trans, src, dst, weight)
@@ -499,7 +511,14 @@ def stationary_distribution_exact(
         for s, d, p in cells:
             if s in pi:  # inner-join semantics of the distributed loop
                 term = _round_half_up(pi[s] * p, CONTRIB_SCALE)
-                acc[d] = acc.get(d, Decimal(0)) + Decimal(repr(term)).quantize(q)
+                # HALF_UP, not the context default HALF_EVEN: the
+                # distributed loop's double→DECIMAL(38,14) Cast rounds
+                # HALF_UP, and repr(term) need not stop at 14 digits
+                # (shortest-round-trip), so an exact digit-15 tie must
+                # break the same way in both engines (ADVICE r11)
+                acc[d] = acc.get(d, Decimal(0)) + Decimal(repr(term)).quantize(
+                    q, rounding=ROUND_HALF_UP
+                )
         pi = {st: _round_half_up(float(v), RANK_SCALE) for st, v in acc.items()}
     return spark.createDataFrame(
         sorted(pi.items()), schema="state string, pi double"
@@ -518,7 +537,7 @@ def hitting_time_exact(
     fast-path contract): transitions out of ``target`` removed, h
     initialized to 0.0 over the distinct sources, each round
     h(s) = ROUND(1.0 + Σ DECIMAL(ROUND(coalesce(h(dst),0)·p, 14)), 10)."""
-    from decimal import Decimal
+    from decimal import ROUND_HALF_UP, Decimal
 
     spark = trans.sparkSession
     cells = _collect_prob_cells(trans, src, dst, weight, exclude_src=target)
@@ -529,7 +548,10 @@ def hitting_time_exact(
         acc: dict[str, Decimal] = {s: Decimal(0) for s in states}
         for s, d, p in cells:
             term = _round_half_up(h.get(d, 0.0) * p, CONTRIB_SCALE)
-            acc[s] += Decimal(repr(term)).quantize(q)
+            # HALF_UP to mirror Spark's double→DECIMAL(38,14) Cast
+            # (hitting-time terms reach ~60 with 16 significant digits,
+            # where repr can exceed 14 decimal places — ADVICE r11)
+            acc[s] += Decimal(repr(term)).quantize(q, rounding=ROUND_HALF_UP)
         h = {st: _round_half_up(1.0 + float(v), RANK_SCALE) for st, v in acc.items()}
     return spark.createDataFrame(
         sorted(h.items()), schema="state string, h double"

@@ -8783,7 +8783,11 @@ WITH daily AS (
     {avals}
 ), periods(period) AS (VALUES {pvals}),
 cells AS (
-  SELECT pr.period, d.day % pr.period AS r, d.cents - piv.p AS v
+  -- non-negative residue to match Spark's pmod: DuckDB's % takes the
+  -- dividend's sign, so a pre-1995-01-01 day would otherwise produce a
+  -- negative residue that silently misses the angles join (ADVICE r11)
+  SELECT pr.period, ((d.day % pr.period) + pr.period) % pr.period AS r,
+         d.cents - piv.p AS v
   FROM daily d CROSS JOIN piv CROSS JOIN periods pr
 ), folded AS (
   SELECT c.period,

@@ -370,8 +370,35 @@ def test_driver_exact_chain_replays_match_distributed(spark):
     assert h_dist == h_exact
 
 
-def test_driver_exact_chain_replay_state_cap():
-    """The bounded-collect doctrine requires the cap to be enforced."""
+def test_driver_exact_chain_replay_state_cap(spark, monkeypatch):
+    """The bounded-collect doctrine requires the cap to be ENFORCED
+    before an unbounded materialization, not merely declared: an
+    over-cap transition frame must raise, and the collect itself must
+    be limit-bounded at cap²+1 rows (ADVICE r11)."""
+    import pytest
+
     from data_ingestion_project_spark.operators import pagerank as pr
 
     assert pr._DRIVER_STATE_CAP == 1024
+    # shrink the cap so the over-cap path is exercised with a tiny frame
+    monkeypatch.setattr(pr, "_DRIVER_STATE_CAP", 3)
+    trans = spark.createDataFrame(
+        [(f"s{i}", f"s{(i + 1) % 5}", 1) for i in range(5)],
+        "src string, dst string, n long",
+    )
+    with pytest.raises(ValueError, match="capped at 3 states"):
+        pr._collect_prob_cells(trans, "src", "dst", "n")
+    # a dense over-cap frame trips the row-count bound (cap²+1 collected
+    # rows prove K > cap) even before distinct sources are counted
+    dense = spark.createDataFrame(
+        [(f"a{i}", f"a{j}", 1) for i in range(4) for j in range(4)],
+        "src string, dst string, n long",
+    )
+    with pytest.raises(ValueError, match="capped at 3 states"):
+        pr._collect_prob_cells(dense, "src", "dst", "n")
+    # at-cap frames still pass
+    ok = spark.createDataFrame(
+        [("a", "b", 1), ("b", "c", 2), ("c", "a", 3)],
+        "src string, dst string, n long",
+    )
+    assert len(pr._collect_prob_cells(ok, "src", "dst", "n")) == 3
