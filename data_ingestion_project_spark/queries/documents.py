@@ -796,14 +796,33 @@ def jaccard_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     many documents each notch of aggressiveness would implicate),
     turning the single-τ near_dup_jaccard queries into a policy sweep.
 
-    Plan: ONE inverted-index pair join (operators/dedup.jaccard_pairs,
-    min_jaccard = 0.3 prunes the frame at the source) materialized via
-    the house localCheckpoint idiom, then a 7-row threshold literal
-    frame sweeps it — pair-count-sized work per threshold, the corpus
-    is tokenized once.  Exactness: jaccard is one value-determined
-    division of exact integers compared against PINNED literal
-    thresholds; everything reported is a count."""
+    Plan is DICTIONARY-GATED (r12): a LIMIT-bounded probe checks
+    whether the global token dictionary fits a machine word (≤ 64
+    tokens).  If it does — the degenerate regime where every posting
+    list is the whole corpus and the inverted-index join is a cross
+    join in disguise — the whole curve computes at MASK level
+    (operators/dedup.jaccard_threshold_counts_smalldict): word sets
+    become 64-bit masks, jaccard a popcount ratio, pair counts
+    conditional sums of group multiplicities over the (distinct
+    masks)² frame, and no doc-pair frame is ever materialized.  On a
+    Zipfian dictionary the probe fails fast and the plan is ONE
+    inverted-index pair join (operators/dedup.jaccard_pairs,
+    min_jaccard = 0.3 prunes the frame at the source) swept by a
+    7-row threshold literal frame.  Exactness (both branches):
+    jaccard is one value-determined division of exact integers
+    compared against PINNED literal thresholds; everything reported
+    is a count."""
+    from data_ingestion_project_spark.operators.dedup import (
+        jaccard_threshold_counts_smalldict,
+        small_dict_vocab,
+    )
+
     d = table(spark, sf_dir, "documents")
+    vocab = small_dict_vocab(d)
+    if vocab is not None:
+        return jaccard_threshold_counts_smalldict(
+            d, vocab, _JACCARD_SWEEP_THRESHOLDS
+        )
     pairs = (
         jaccard_pairs(d, min_jaccard=_JACCARD_SWEEP_THRESHOLDS[0])
         .select("id_a", "id_b", "jaccard")
@@ -1757,10 +1776,30 @@ ORDER BY id_a, id_b
 
 
 def near_dup_jaccard_top(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-20 most-similar doc pairs by exact word-set Jaccard via the
-    inverted-index equi-join (no cross join; operators/dedup.py)."""
+    """Top-20 most-similar doc pairs by exact word-set Jaccard.
+
+    Dictionary-gated (r12): when the global token dictionary fits a
+    machine word (≤ 64 tokens — the probe is LIMIT-bounded), the top-k
+    computes over the (distinct masks)² popcount frame with only the
+    at-threshold tie bundle ever expanded to doc ids
+    (operators/dedup.jaccard_topk_smalldict) — value-identical to the
+    quadratic join, cost bounded by the DICTIONARY, not the corpus.
+    Zipfian dictionaries take the inverted-index equi-join (no cross
+    join; operators/dedup.jaccard_pairs).  Distinct jaccard values
+    under a ≤64-token dictionary are rationals with denominator ≤ 64,
+    spaced ≥ 1/(64·63) ≫ the 1e-6 rounding quantum, so ordering by
+    the rounded value is ordering by the exact one."""
+    from data_ingestion_project_spark.operators.dedup import (
+        jaccard_topk_smalldict,
+        small_dict_vocab,
+    )
+
     d = table(spark, sf_dir, "documents")
-    pairs = jaccard_pairs(d, min_jaccard=0.0)
+    vocab = small_dict_vocab(d)
+    if vocab is not None:
+        pairs = jaccard_topk_smalldict(d, vocab, k=20)
+    else:
+        pairs = jaccard_pairs(d, min_jaccard=0.0)
     return (
         pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
         .orderBy(F.col("jaccard").desc(), F.col("id_a").asc(), F.col("id_b").asc())

@@ -43,18 +43,85 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+# Graded near-dup planting (r12, VERDICT r11 ask #4): the source
+# corpus's 31-word vocabulary makes EVERY random doc pair a ~0.67
+# Jaccard "near-dup" — certification on it measures the degeneracy,
+# not the detector.  --neardup replaces the per-replica token remap
+# with a PER-DOC salt (token → token + 'q' + doc_id: baseline
+# cross-doc Jaccard exactly 0, token multiplicities and doc lengths
+# preserved) and then plants graded pairs: every doc with
+# doc_id % 10 == 1 becomes a variant of doc_id − 1, keeping a
+# (1 − f) prefix of the partner's salted tokens and re-salting the
+# rest to itself, f cycling through _ND_BANDS — planted word-set
+# Jaccard lands in measurable graded bands (~0.5–0.95) against a
+# zero noise floor.  Row counts, ids, and every other column are
+# untouched, so the corpus stays shape-compatible with the scaling
+# record protocol.
+_ND_BANDS = (0.05, 0.1, 0.2, 0.3, 0.4, 0.5)
+
+
+def _neardup_documents_post(F):
+    def post(d):
+        salted = d.withColumn(
+            "text",
+            F.regexp_replace(
+                "text", r"(\S+)", F.concat(F.lit("$1q"), F.col("doc_id").cast("string"))
+            ),
+        )
+        partner = salted.select(
+            (F.col("doc_id") + 1).alias("doc_id"), F.col("text").alias("__ptext")
+        )
+        j = salted.join(partner, "doc_id", "left")
+        toks = F.split(F.col("__ptext"), r"\s+")
+        n = F.size(toks)
+        band = F.element_at(
+            F.array(*[F.lit(b) for b in _ND_BANDS]),
+            (F.pmod(F.floor(F.col("doc_id") / 10), F.lit(len(_ND_BANDS))) + 1).cast(
+                "int"
+            ),
+        )
+        keep = n - F.ceil(band * n.cast("double")).cast("int")
+        variant = F.array_join(
+            F.zip_with(
+                toks,
+                F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
+                lambda t, i: F.when(i <= keep, t).otherwise(
+                    F.concat(t, F.lit("s"), F.col("doc_id").cast("string"))
+                ),
+            ),
+            " ",
+        )
+        planted = (F.col("doc_id") % 10 == 1) & F.col("__ptext").isNotNull()
+        return (
+            j.withColumn("text", F.when(planted, variant).otherwise(F.col("text")))
+            .withColumn("n_chars", F.length("text").cast("long"))
+            .drop("__ptext")
+        )
+
+    return post
+
+
 def main() -> None:
     out_dir = sys.argv[1] if len(sys.argv) > 1 else os.path.join(_REPO, "scratch", "sf1")
     factor = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    neardup = "--neardup" in sys.argv[3:] or os.environ.get("SPARK_GRAFT_NEARDUP") == "1"
     src = os.environ.get("SPARK_GRAFT_SRC_SF", "/root/testdata/sf0.1")
 
-    from pyspark.sql import functions as F
-
     from data_ingestion_project_spark.session import build_session
-    from data_ingestion_project_spark.sources.readers import table
 
     spark = build_session("make-scaled-corpus")
     spark.sparkContext.setLogLevel("ERROR")
+    build_scaled_corpus(spark, src, out_dir, factor, neardup=neardup)
+    print(out_dir)
+
+
+def build_scaled_corpus(
+    spark, src: str, out_dir: str, factor: int, neardup: bool = False
+) -> None:
+    from pyspark.sql import functions as F
+
+    from data_ingestion_project_spark.sources.readers import table
+
     os.makedirs(out_dir, exist_ok=True)
     reps = spark.range(factor).select(F.col("id").alias("__r"))
 
@@ -109,7 +176,9 @@ def main() -> None:
     replicate(
         "documents",
         {"doc_id": s_doc},
-        post=lambda d: d.withColumn(
+        post=_neardup_documents_post(F)
+        if neardup
+        else lambda d: d.withColumn(
             "text",
             F.when(F.col("__r") == 0, F.col("text")).otherwise(
                 F.regexp_replace(
@@ -136,7 +205,6 @@ def main() -> None:
             os.path.join(out_dir, f"{dim}.parquet")
         )
         print(f"{dim}: copied (dimension)", file=sys.stderr)
-    print(out_dir)
 
 
 if __name__ == "__main__":
