@@ -245,23 +245,29 @@ def main() -> None:
     args = sys.argv[1:]
     out_path = args[0] if args else os.path.join(REPO, "ASSET_BENCH.json")
     names = tuple(args[1:]) or tuple(ASSETS)
-    sf_labels = os.environ.get("SPARK_GRAFT_ASSET_SFS", "sf1,sf10").split(",")
+    # labels to MEASURE this run; the record keeps the union with any
+    # prior rows so a targeted extension (e.g. SPARK_GRAFT_ASSET_SFS=
+    # sf100 for the two heavy builds — VERDICT r11 ask #3) never
+    # discards the committed sf1/sf10 decades
+    run_labels = os.environ.get("SPARK_GRAFT_ASSET_SFS", "sf1,sf10").split(",")
+
+    records: dict = {}
+    prior_labels: list = []
+    if os.path.exists(out_path):  # resume/merge: keep prior rows
+        try:
+            with open(out_path) as f:
+                prior = json.load(f)
+            records = prior.get("assets", {})
+            prior_labels = prior.get("sf_labels", [])
+        except (json.JSONDecodeError, KeyError):
+            pass
+    sf_labels = list(dict.fromkeys(prior_labels + run_labels))
     # a label containing "/" is used as a path directly (smoke runs
     # against /root/testdata/sf0.01); bare labels live under scratch/
     sf_dirs = {
         lbl: (lbl if "/" in lbl else os.path.join(REPO, "scratch", lbl))
         for lbl in sf_labels
     }
-
-    records: dict = {}
-    if os.path.exists(out_path):  # resume: keep rows a killed sweep wrote
-        try:
-            with open(out_path) as f:
-                prior = json.load(f)
-            if prior.get("sf_labels") == sf_labels:
-                records = prior.get("assets", {})
-        except (json.JSONDecodeError, KeyError):
-            pass
 
     def _flush() -> None:
         with open(out_path, "w") as f:
@@ -281,11 +287,21 @@ def main() -> None:
     def _refit(name: str) -> None:
         fam = records[name]
         per_sf = fam["per_sf"]
-        a, b = sf_labels[0], sf_labels[-1]
-        if a not in per_sf or b not in per_sf:
+        # fit on the smallest and LARGEST measured decades present for
+        # this asset (assets extended to sf100 refit across the full
+        # span; others keep their sf1→sf10 fit)
+        ok = [
+            lbl
+            for lbl in sf_labels
+            if lbl in per_sf
+            and "error" not in per_sf[lbl]
+            and per_sf[lbl].get("src_rows")
+        ]
+        if len(ok) < 2:
             return
-        if "error" in per_sf[a] or "error" in per_sf[b]:
-            return
+        ok.sort(key=lambda lbl: per_sf[lbl]["src_rows"])
+        a, b = ok[0], ok[-1]
+        fam["fit_span"] = [a, b]
         ra, rb = per_sf[a].get("src_rows"), per_sf[b].get("src_rows")
         if not ra or not rb or rb <= ra:
             return
@@ -303,7 +319,7 @@ def main() -> None:
 
     for name in names:
         rec = records.setdefault(name, {"per_sf": {}})
-        for lbl in sf_labels:
+        for lbl in run_labels:
             if lbl in rec["per_sf"] and "error" not in rec["per_sf"][lbl]:
                 continue
             print(f"== {name} @ {lbl}", file=sys.stderr)
