@@ -324,16 +324,38 @@ def test_training_shard_plan_single_shuffle(spark):
 
 
 def test_nb_classifier_model_joins_broadcast(spark):
-    """The NB scoring plan's joins must all be BROADCAST (model,
+    """The NB train+score plan's joins must all be BROADCAST (model,
     unseen-weight, and prior frames are vocabulary/label-sized — at
     100 TB the corpus side must never shuffle for the model join), and
-    the whole train+score pipeline stays Python-free."""
-    df = all_queries()["nb_lang_confusion"](spark, SF)
-    c = plan_census(df)
+    the pipeline stays Python-free.  Since the r12 economy pass this
+    plan lives in the nb_scores ASSET BUILD (queries/documents.
+    _nb_scored_path); consumers read the materialized frame, so the
+    contract is pinned on the build pipeline directly, plus a census
+    of the consumer query (which must stay join-free and Python-free)."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_project_spark.operators.nb import _scored
+    from data_ingestion_project_spark.sources.readers import table
+
+    d = table(spark, SF, "documents")
+    words = d.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("word"),
+    )
+    counts = words.groupBy("doc_id", "lang", "word").agg(F.count(F.lit(1)).alias("c"))
+    build = _scored(counts, "doc_id", "lang", "word", "c", None)
+    c = plan_census(build)
     assert c["n_sortmerge_joins"] == 0 and c["n_shuffled_hash_joins"] == 0
     assert c["n_broadcast_joins"] >= 3  # model, unseen, prior
     assert c["n_cartesian"] == 0
     assert not c["has_python_udf"]
+
+    consumer = all_queries()["nb_lang_confusion"](spark, SF)
+    cc = plan_census(consumer)
+    assert cc["n_sortmerge_joins"] == 0 and cc["n_shuffled_hash_joins"] == 0
+    assert cc["n_cartesian"] == 0
+    assert not cc["has_python_udf"]
 
 
 def test_jaccard_prefix_join_is_equi_not_cartesian(spark):
