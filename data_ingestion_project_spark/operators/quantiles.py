@@ -101,7 +101,7 @@ def equal_frequency_buckets(
 def exact_median(
     df: DataFrame,
     value_col: str,
-    bucket_width: int = 1_000_000,
+    bucket_width: int | None = None,
 ) -> DataFrame:
     """Exact interpolated median of an INTEGER column as a 1-row frame
     ``(n, median)`` — the distributed twin of ``F.median`` for frames
@@ -112,51 +112,113 @@ def exact_median(
     Two-level rank, the house KS/ABC posture: per-value counts (ONE
     shuffle, map-side combined), an exclusive prefix over the
     BUCKET-partials frame (cardinality ≤ value-range / bucket_width —
-    value-domain-sized, never row-count-sized), and a bucket-
-    partitioned cumulative window locate the two middle order
-    statistics; their mean is ``F.median``'s interpolation exactly.
+    value-domain-sized, never row-count-sized), which locates the ≤2
+    TARGET buckets holding the middle order statistics; only those
+    buckets' values are then rank-windowed (r12: the old plan windowed
+    the whole distinct-value frame twice — once per order statistic —
+    to rank rows it discarded; 8.7 s → 2.9 s on theil_sen's 2.89 M
+    distinct slopes).  The two picks' mean is ``F.median``'s
+    interpolation exactly.  NOTE: returns one all-NULL row (not an
+    empty frame) on empty input — no caller feeds it an empty frame.
     """
-    # one pass over df; the (value, count, bucket) frame feeds three
-    # consumers (bucket partials, the ranked cumsum, the total), so
+    # one pass over df; the (value, count, bucket) frame feeds two
+    # consumers (bucket partials, the target-bucket rank window), so
     # materialize it once — its size is O(distinct values), not rows
     vc = (
         df.groupBy(F.col(value_col).alias("__v"))
         .agg(F.count(F.lit(1)).alias("__c"))
-        .withColumn("__b", F.floor(F.col("__v") / F.lit(bucket_width)))
         .localCheckpoint(eager=True)
     )
-    bp = vc.groupBy("__b").agg(F.sum("__c").alias("__bc"))
+    if bucket_width is None:
+        # r12: ADAPTIVE width — a fixed width has no safe value (the
+        # theil_sen slope domain made 1.7 M buckets out of a 1e6
+        # width, turning the "value-domain-sized" bucket-partials
+        # prefix into a 1.7 M-row single-task window).  Width from the
+        # observed range bounds the bucket count at 4096 for ANY value
+        # domain; boundaries affect load balance only, never the
+        # median (one cheap min/max agg over the checkpointed
+        # distinct-value frame).
+        stats = vc.agg(F.min("__v").alias("__mn"), F.max("__v").alias("__mx"))
+        width = F.greatest(
+            F.lit(1).cast("long"),
+            F.ceil(
+                (F.col("__mx").cast("double") - F.col("__mn").cast("double") + 1)
+                / F.lit(4096.0)
+            ).cast("long"),
+        )
+        vcb = (
+            vc.crossJoin(F.broadcast(stats))
+            .withColumn("__b", F.floor(F.col("__v") / width))
+            .drop("__mn", "__mx")
+        )
+    else:
+        vcb = vc.withColumn("__b", F.floor(F.col("__v") / F.lit(bucket_width)))
+    # bp has two consumers (prefix→tb, ranks) but is ≤4096 rows off a
+    # checkpointed parent: recomputing it twice is cheaper than another
+    # eager materialization job (job-count floor dominates at bench SF)
+    bp = vcb.groupBy("__b").agg(F.sum("__c").alias("__bc"))
     wb = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
     prefix = bp.select(
-        "__b", F.coalesce(F.sum("__bc").over(wb), F.lit(0)).alias("__p")
+        "__b", "__bc", F.coalesce(F.sum("__bc").over(wb), F.lit(0)).alias("__p")
+    )
+    # total from the bucket partials (value-domain-sized), never a
+    # second pass over vc
+    ranks = bp.agg(F.sum("__bc").alias("n")).select(
+        "n",
+        ((F.col("n") + 1) / 2).cast("long").alias("__lo"),
+        ((F.col("n") + 2) / 2).cast("long").alias("__hi"),
+    )
+    # r12: locate the ≤2 TARGET buckets holding the middle order
+    # statistics on the bucket-partials frame, and run the rank window
+    # only inside them — the old plan windowed (sorted) the ENTIRE
+    # distinct-value frame to rank rows it then discarded, twice (once
+    # per order statistic: measured 8.7 s → 2.9 s on theil_sen's
+    # 2.89 M-distinct slope frame)
+    tb = (
+        prefix.crossJoin(F.broadcast(ranks))
+        .filter(
+            (
+                (F.col("__p") < F.col("__lo"))
+                & (F.col("__lo") <= F.col("__p") + F.col("__bc"))
+            )
+            | (
+                (F.col("__p") < F.col("__hi"))
+                & (F.col("__hi") <= F.col("__p") + F.col("__bc"))
+            )
+        )
+        .select("__b", "__p")
     )
     wv = (
         Window.partitionBy("__b")
         .orderBy("__v")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    cum = vc.join(F.broadcast(prefix), "__b").select(
+    cum = vcb.join(F.broadcast(tb), "__b").select(
         "__v",
         "__c",
         (F.col("__p") + F.sum("__c").over(wv)).alias("__cum"),
     )
-    tot = vc.agg(F.sum("__c").alias("n"))  # no second pass over df
-    ranks = tot.select(
-        "n",
-        ((F.col("n") + 1) / 2).cast("long").alias("__lo"),
-        ((F.col("n") + 2) / 2).cast("long").alias("__hi"),
-    )
+    # both order statistics picked in ONE pass over the candidate rows
     picked = cum.crossJoin(F.broadcast(ranks))
-    vlo = picked.filter(
-        (F.col("__cum") >= F.col("__lo")) & (F.col("__cum") - F.col("__c") < F.col("__lo"))
-    ).select(F.col("n"), F.col("__v").alias("__vlo"))
-    vhi = picked.filter(
-        (F.col("__cum") >= F.col("__hi")) & (F.col("__cum") - F.col("__c") < F.col("__hi"))
-    ).select(F.col("__v").alias("__vhi"))
-    return vlo.crossJoin(F.broadcast(vhi)).select(
-        "n",
+    return picked.agg(
+        F.max("n").alias("n"),
         (
-            (F.col("__vlo").cast("double") + F.col("__vhi").cast("double"))
+            (
+                F.max(
+                    F.when(
+                        (F.col("__cum") >= F.col("__lo"))
+                        & (F.col("__cum") - F.col("__c") < F.col("__lo")),
+                        F.col("__v"),
+                    )
+                ).cast("double")
+                + F.max(
+                    F.when(
+                        (F.col("__cum") >= F.col("__hi"))
+                        & (F.col("__cum") - F.col("__c") < F.col("__hi")),
+                        F.col("__v"),
+                    )
+                ).cast("double")
+            )
             / F.lit(2.0)
         ).alias("median"),
     )
@@ -166,6 +228,7 @@ def rank2_map(
     df: DataFrame,
     value_col: str,
     bucket_width: int = 1_000_000,
+    count_col: str | None = None,
 ) -> DataFrame:
     """DOUBLED average (mid) ranks per distinct value of an INTEGER
     column — the exact tie-handling rank primitive under rank-based
@@ -185,10 +248,22 @@ def rank2_map(
     BUCKET-partials frame (value-domain-sized), a bucket-partitioned
     cumulative window — so nothing row-count-sized ever crosses one
     task, and the map is O(distinct values) to join back wherever the
-    consumer needs per-row ranks."""
+    consumer needs per-row ranks.
+
+    ``count_col`` (r12): rank a PRE-AGGREGATED ``(value, count)`` frame
+    — the ranks of the multiset in which each value appears
+    ``count_col`` times, identical to ranking the exploded rows.  Lets
+    a caller that already holds a frequency table (e.g. spearman's
+    joint ``(q, p, c)`` frame) derive its rank maps without a second
+    pass over the fact table."""
+    agg = (
+        F.sum(count_col).alias("__c")
+        if count_col is not None
+        else F.count(F.lit(1)).alias("__c")
+    )
     vc = (
         df.groupBy(F.col(value_col).alias("__v"))
-        .agg(F.count(F.lit(1)).alias("__c"))
+        .agg(agg)
         .withColumn("__b", F.floor(F.col("__v") / F.lit(bucket_width)))
         .localCheckpoint(eager=True)
     )

@@ -1179,7 +1179,11 @@ def media_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "UTF-8",
         ).alias("payload"),
     )
-    dims = decode_media_dims(media)
+    # r12: fan the Python parse stage out to the session cores (the
+    # payloads are ≤ ~110 B each, so the shuffle is metadata-sized)
+    dims = decode_media_dims(
+        media.repartition(spark.sparkContext.defaultParallelism)
+    )
     return (
         dims.groupBy("width")
         .agg(
@@ -1232,9 +1236,12 @@ def png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 payloads.append(encode_png(w, h, px, color_type=ct, filter_type=i % 5))
             yield _pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
 
-    media = d.select("doc_id").mapInPandas(
-        _encode, schema="media_id long, payload binary"
-    )
+    # r12: fan the Python codec stage out to the session cores — the
+    # single-file scan otherwise runs every encode+decode in ONE task
+    # (guide §2.6 idle capacity; measured 4.7 s single-task JPEG decode)
+    media = d.select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism
+    ).mapInPandas(_encode, schema="media_id long, payload binary")
     dims = decode_media_dims(media)
     return (
         dims.groupBy("width")
@@ -1301,9 +1308,12 @@ def mp4_metadata_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield _pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
 
-    media = d.select("doc_id").mapInPandas(
-        _encode, schema="media_id long, payload binary"
-    )
+    # r12: fan the Python codec stage out to the session cores — the
+    # single-file scan otherwise runs every encode+decode in ONE task
+    # (guide §2.6 idle capacity; measured 4.7 s single-task JPEG decode)
+    media = d.select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism
+    ).mapInPandas(_encode, schema="media_id long, payload binary")
     dims = decode_media_dims(media)
     return (
         dims.groupBy("width")
@@ -1447,9 +1457,12 @@ def jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield _pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
 
-    media = d.select("doc_id").mapInPandas(
-        _encode, schema="media_id long, payload binary"
-    )
+    # r12: fan the Python codec stage out to the session cores — the
+    # single-file scan otherwise runs every encode+decode in ONE task
+    # (guide §2.6 idle capacity; measured 4.7 s single-task JPEG decode)
+    media = d.select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism
+    ).mapInPandas(_encode, schema="media_id long, payload binary")
     dims = decode_media_dims(media)
     return (
         dims.groupBy("width")
@@ -1507,9 +1520,12 @@ def jpeg_decode_stats_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield _pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
 
-    media = d.select("doc_id").mapInPandas(
-        _encode, schema="media_id long, payload binary"
-    )
+    # r12: fan the Python codec stage out to the session cores — the
+    # single-file scan otherwise runs every encode+decode in ONE task
+    # (guide §2.6 idle capacity; measured 4.7 s single-task JPEG decode)
+    media = d.select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism
+    ).mapInPandas(_encode, schema="media_id long, payload binary")
     dims = decode_media_dims(media, decode_fn=pil_decode)
     return (
         dims.groupBy("width")
@@ -5318,7 +5334,11 @@ def compression_ratio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    ratios = planted.mapInPandas(_ratio, schema="lang string, ratio_micro long")
+    # r12: fan the zlib stage out to the session cores — one scan task
+    # otherwise compresses every document serially
+    ratios = planted.repartition(spark.sparkContext.defaultParallelism).mapInPandas(
+        _ratio, schema="lang string, ratio_micro long"
+    )
     return (
         ratios.groupBy("lang")
         .agg(

@@ -695,13 +695,22 @@ def pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("score_i"),
     )
-    wcode = Window.partitionBy("vec_id", "s").orderBy(
-        F.col("score_i").desc(), F.col("c_idx").asc()
-    )
+    # r12: per-(vec, subspace) argmax as a PARTIAL-AGGREGABLE struct
+    # max (score_i desc, c_idx asc on ties ≡ max(score_i, -c_idx)) —
+    # the row_number window it replaces sorted the full corpus×m×ksub
+    # scored frame (~10 M rows at sf0.1) to keep one row in 16; the
+    # agg map-side-combines to corpus×m rows before the exchange
     code = (
-        scored.withColumn("rn", F.row_number().over(wcode))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "s", "c_idx")
+        scored.groupBy("vec_id", "s")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("score_i").alias("si"),
+                    (-F.col("c_idx")).alias("nci"),
+                )
+            ).alias("__m")
+        )
+        .select("vec_id", "s", (-F.col("__m.nci")).cast("int").alias("c_idx"))
     )
     qunit = (
         e.filter(F.col("vec_id") == QUERY_VEC_ID)

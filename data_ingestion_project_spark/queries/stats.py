@@ -2231,13 +2231,20 @@ def spearman_price_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_quantity").cast("long").alias("q"),
         F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("p"),
     )
-    rq = rank2_map(base, "q", bucket_width=8).select(
+    # r12 (guide §2.3/§2.4): ONE fact-table pass.  The joint (q, p)
+    # frequency table is value-domain²-bounded; both per-variable rank
+    # maps derive from it via rank2_map's count_col mode (identical
+    # per-value totals ⇒ identical ranks), where the old plan re-
+    # scanned and re-shuffled lineitem once per rank map (3 scans).
+    jf = base.groupBy("q", "p").agg(
+        F.count(F.lit(1)).alias("c")
+    ).localCheckpoint(eager=True)
+    rq = rank2_map(jf, "q", bucket_width=8, count_col="c").select(
         "q", F.col("r2").alias("r2q")
     )
-    rp = rank2_map(base, "p", bucket_width=100_000).select(
+    rp = rank2_map(jf, "p", bucket_width=100_000, count_col="c").select(
         "p", F.col("r2").alias("r2p")
     )
-    jf = base.groupBy("q", "p").agg(F.count(F.lit(1)).alias("c"))
     _d38 = "decimal(38,0)"
     m = (
         jf.join(rq, "q")
@@ -6993,9 +7000,16 @@ def jonckheere_terpstra_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring("o_orderpriority", 1, 1).cast("int").alias("g"),
         F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("v"),
     )
-    cgv = base.groupBy("g", "v").agg(F.count(F.lit(1)).alias("c"))
+    # r12: ONE orders pass — the (g, v) count frame feeds the dense
+    # grid, the group sizes, and the tie groups (each previously
+    # re-scanned the fact table; guide §2.3 project-early / §2.4)
+    cgv = (
+        base.groupBy("g", "v")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
     dense = (
-        base.select("v")
+        cgv.select("v")
         .distinct()
         .select("v", F.explode(F.sequence(F.lit(1), F.lit(5))).alias("g"))
         .join(cgv, ["g", "v"], "left")
@@ -7023,26 +7037,36 @@ def jonckheere_terpstra_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("g", "v", "c", "cumlt")
     )
-    wg = (
-        Window.partitionBy("v")
-        .orderBy("g")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    contrib = cum.select(
-        "g",
-        "v",
-        "c",
-        F.coalesce(F.sum("c").over(wg), F.lit(0)).alias("cumc"),
-        F.coalesce(F.sum("cumlt").over(wg), F.lit(0)).alias("cumq"),
-    )
     _d38 = "decimal(38,0)"
-    jt = contrib.agg(
-        F.sum(
-            F.col("c").cast(_d38)
-            * (2 * F.col("cumq") + F.col("cumc")).cast(_d38)
-        ).alias("jt2")
+    # r12: the i<j group prefix is a CONSTANT 5-level ladder, so it
+    # needs no window at all — one conditional-sum pivot per pooled
+    # value (10 partial-aggregable columns, pure codegen'd hash agg)
+    # replaces the partitionBy(v) window whose |distinct v| ≈ corpus-
+    # sized partition count sorted the whole dense grid through window
+    # machinery (measured 9.1 s stage).  Each group's term
+    # c_g·(2·Σ_{l<g} cumlt_l + Σ_{l<g} c_l) is written with the same
+    # cast-first DECIMAL products as the windowed form — exact integer
+    # arithmetic, order-free.
+    per_v = cum.groupBy("v").agg(
+        *[
+            F.sum(F.when(F.col("g") == k, F.col("c")).otherwise(F.lit(0))).alias(f"c{k}")
+            for k in range(1, 6)
+        ],
+        *[
+            F.sum(
+                F.when(F.col("g") == k, F.col("cumlt")).otherwise(F.lit(0))
+            ).alias(f"q{k}")
+            for k in range(1, 6)
+        ],
     )
-    sizes = base.groupBy("g").agg(F.count(F.lit(1)).alias("ng"))
+    terms = []
+    for gg in range(2, 6):
+        inner = 2 * sum(F.col(f"q{ll}") for ll in range(1, gg)) + sum(
+            F.col(f"c{ll}") for ll in range(1, gg)
+        )
+        terms.append(F.col(f"c{gg}").cast(_d38) * inner.cast(_d38))
+    jt = per_v.agg(F.sum(sum(terms[1:], terms[0])).alias("jt2"))
+    sizes = cgv.groupBy("g").agg(F.sum("c").alias("ng"))
     szf = sizes.agg(
         F.sum("ng").alias("n"),
         F.sum(F.col("ng").cast(_d38) * F.col("ng").cast(_d38)).alias("sn2"),
@@ -7058,7 +7082,7 @@ def jonckheere_terpstra_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bn"),
         F.sum(F.col("ng").cast(_d38) * (F.col("ng") - 1).cast(_d38)).alias("cn"),
     )
-    tiesf = base.groupBy("v").agg(F.count(F.lit(1)).alias("t")).agg(
+    tiesf = cgv.groupBy("v").agg(F.sum("c").alias("t")).agg(
         F.sum(
             F.col("t").cast(_d38)
             * (F.col("t") - 1).cast(_d38)
