@@ -55,7 +55,13 @@ def covariance_cells(emb: DataFrame, col: str = "embedding", dim: int = 64) -> D
     (i ≤ j) with ``sxy`` = Σ q_i·q_j, plus the marginal sums joined on,
     so ``cov_scaled = n·sxy − sx_i·sx_j`` (the n²-scaled covariance —
     division-free, hence integer-exact). 2080 cells regardless of n."""
-    q = emb.select(quantized_vec(col).alias("v"))
+    # r12: fan the d(d+1)/2-cells-per-row triangle expansion out to
+    # the session cores — it is the whole compute and a single-file
+    # scan otherwise runs it in ONE task (measured 2.5 s single-task
+    # stage at sf0.1); shuffled rows are just dim longs each
+    q = emb.select(quantized_vec(col).alias("v")).repartition(
+        emb.sparkSession.sparkContext.defaultParallelism
+    )
     pairs = q.select(
         F.explode(
             F.flatten(
@@ -173,7 +179,13 @@ def moment_rows(emb: DataFrame, col: str = "embedding", dim: int = 64) -> DataFr
     mergeable-partial shape as the CMS cells — and the full-data
     covariance n·Σxy − Σx·Σy is recoverable from the folded cells at
     any time with zero data rescan."""
-    q = emb.select(quantized_vec(col).alias("v"))
+    # r12: fan the d(d+1)/2-cells-per-row triangle expansion out to
+    # the session cores — it is the whole compute and a single-file
+    # scan otherwise runs it in ONE task (measured 2.5 s single-task
+    # stage at sf0.1); shuffled rows are just dim longs each
+    q = emb.select(quantized_vec(col).alias("v")).repartition(
+        emb.sparkSession.sparkContext.defaultParallelism
+    )
     pairs = q.select(
         F.explode(
             F.flatten(

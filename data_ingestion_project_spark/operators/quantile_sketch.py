@@ -114,45 +114,56 @@ def bottomk_sketches(
     # only the same row replayed (or a measure-zero h+v collision)
     # collapses. Dedup runs on the PRUNED frame (~prune_mult*k rows
     # per group), not the stream.
-    deduped = filtered.dropDuplicates([*group_cols, "__h", "__v"])
-    kept_counts = deduped.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("__kc"))
-    # exact fallback: a group is short iff pruning+dedup left fewer
-    # than min(k, n_g) rows — re-admit its FULL row set (dedup'd).
-    # With uniform hashes this set is empty w.p. 1 - e^{-Theta(k)};
-    # the branch exists so correctness never rests on that bound.
-    short = (
-        counts.join(kept_counts, list(group_cols), "left")
-        .filter(
-            F.coalesce(F.col("__kc"), F.lit(0))
-            < F.least(F.lit(k).cast("long"), F.col("__n"))
-        )
-        .select(*group_cols)
+    # r12: the pruned path folds dedup + per-group bottom-k + collect
+    # into ONE aggregation — slice(array_sort(collect_set), 1, k): the
+    # set dedups (the idempotence contract above), array_sort orders by
+    # (h, v), slice keeps the bottom k — bit-identical to the previous
+    # dedup-exchange → kept-count agg → anti-join → rank-window →
+    # collect pipeline (5 stages → 1).  Per-group aggregation state is
+    # the pruned row set (~prune_mult·k w.p. 1 − e^{-Θ(k)}); the EXACT
+    # FALLBACK below keeps the spillable window form for any group the
+    # prune left short, so correctness never rests on that bound.
+    sets = filtered.groupBy(*group_cols).agg(
+        F.array_sort(
+            F.collect_set(F.struct(F.col("__h").alias("h"), F.col("__v").alias("v")))
+        ).alias("__all")
     )
-    ok_rows = deduped.join(F.broadcast(short), list(group_cols), "left_anti")
+    sized = counts.join(sets, list(group_cols), "left")
+    ok = sized.filter(
+        F.coalesce(F.size("__all"), F.lit(0))
+        >= F.least(F.lit(k).cast("long"), F.col("__n"))
+    ).select(
+        *group_cols,
+        F.slice("__all", 1, k)
+        # normalize nullability so sketches from any producer
+        # (fresh build, merge of stored sketches) share ONE schema
+        .cast(SKETCH_TYPE_MD5 if use_md5 else SKETCH_TYPE)
+        .alias("sketch"),
+    )
+    short = sized.filter(
+        F.coalesce(F.size("__all"), F.lit(0))
+        < F.least(F.lit(k).cast("long"), F.col("__n"))
+    ).select(*group_cols)
     fb_rows = (
         base.join(F.broadcast(short), list(group_cols), "left_semi")
         .dropDuplicates([*group_cols, "__h", "__v"])
     )
-    rows = ok_rows.select(*group_cols, "__v", "__h").unionByName(
-        fb_rows.select(*group_cols, "__v", "__h")
-    )
     w = Window.partitionBy(*group_cols).orderBy(
         F.col("__h").asc(), F.col("__v").asc()
     )
-    return (
-        rows.withColumn("__rn", F.row_number().over(w))
+    fb = (
+        fb_rows.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= k)
         .groupBy(*group_cols)
         .agg(
             F.array_sort(
                 F.collect_list(F.struct(F.col("__h").alias("h"), F.col("__v").alias("v")))
             )
-            # normalize nullability so sketches from any producer
-            # (fresh build, merge of stored sketches) share ONE schema
             .cast(SKETCH_TYPE_MD5 if use_md5 else SKETCH_TYPE)
             .alias("sketch")
         )
     )
+    return ok.unionByName(fb)
 
 
 def merge_bottomk(
@@ -164,27 +175,30 @@ def merge_bottomk(
     list = one global sketch): explode, keep the K smallest (h, v)
     pairs, re-collect. Exactly the bottom-k of the union — so rolling
     day sketches up to a month equals sketching the month directly."""
-    from pyspark.sql.window import Window
 
     group_cols = group_cols or []
-    exploded = (
-        sketches.select(*group_cols, F.explode("sketch").alias("e"))
-        .select(*group_cols, F.col("e.h").alias("__h"), F.col("e.v").alias("__v"))
-        # same SET semantics as bottomk_sketches: a pair present in two
-        # input sketches (overlapping inputs, replayed batch) counts once
-        .dropDuplicates([*group_cols, "__h", "__v"])
+    exploded = sketches.select(*group_cols, F.explode("sketch").alias("e")).select(
+        *group_cols, F.col("e.h").alias("__h"), F.col("e.v").alias("__v")
     )
-    w = Window.partitionBy(*group_cols) if group_cols else Window.partitionBy(F.lit(1))
-    w = w.orderBy(F.col("__h").asc(), F.col("__v").asc())
-    kept = exploded.withColumn("__rn", F.row_number().over(w)).filter(
-        F.col("__rn") <= k
-    )
+    # r12: dedup-exchange → rank-window → collect folded into ONE
+    # aggregation (the bottomk_sketches treatment): collect_set gives
+    # the SAME set semantics (a pair present in two input sketches —
+    # overlapping inputs, replayed batch — counts once), array_sort
+    # the same (h, v) order, slice the same bottom k.  Per-group state
+    # is bounded by k · (input sketches per group) — the merge's input
+    # is already sketch-sized, never row-sized.
     # re-cast to the INPUT's own sketch element type (bigint- or
-    # md5-string-keyed), normalizing collect_list nullability
+    # md5-string-keyed), normalizing collect_set nullability
     tpe = sketches.schema["sketch"].dataType.simpleString()
-    return kept.groupBy(*group_cols).agg(
-        F.array_sort(
-            F.collect_list(F.struct(F.col("__h").alias("h"), F.col("__v").alias("v")))
+    return exploded.groupBy(*group_cols).agg(
+        F.slice(
+            F.array_sort(
+                F.collect_set(
+                    F.struct(F.col("__h").alias("h"), F.col("__v").alias("v"))
+                )
+            ),
+            1,
+            k,
         )
         .cast(tpe)
         .alias("sketch")

@@ -109,36 +109,41 @@ def exact_median(
     (measured: 8.4 s for one global median over 2.9 M longs vs ~1 s
     for this plan at the same scale).
 
-    Two-level rank, the house KS/ABC posture: per-value counts (ONE
-    shuffle, map-side combined), an exclusive prefix over the
-    BUCKET-partials frame (cardinality ≤ value-range / bucket_width —
-    value-domain-sized, never row-count-sized), which locates the ≤2
-    TARGET buckets holding the middle order statistics; only those
-    buckets' values are then rank-windowed (r12: the old plan windowed
-    the whole distinct-value frame twice — once per order statistic —
-    to rank rows it discarded; 8.7 s → 2.9 s on theil_sen's 2.89 M
-    distinct slopes).  The two picks' mean is ``F.median``'s
-    interpolation exactly.  NOTE: returns one all-NULL row (not an
-    empty frame) on empty input — no caller feeds it an empty frame.
+    Plan (r12, third form): NO per-value grouping at all.  The first
+    form grouped by value and rank-windowed the whole distinct-value
+    frame; on a mostly-distinct input (theil_sen's 2.89 M slopes) that
+    partial aggregation is pure overhead — every hash probe misses, a
+    row-scale hash table builds per task, and a row-scale frame
+    shuffles (measured 74.7 s executorRunTime in the feeding stage,
+    2/3 of it hash-agg overhead above the join's own cost).  Instead:
+
+    1. one scalar agg (min/max/count — three accumulators, no hash),
+       materialized once (1 row) because width and ranks both read it;
+    2. one LOW-cardinality bucket-count agg — width is derived from
+       the observed range so the bucket count is hard-capped at 4096
+       for ANY value domain (``bucket_width`` overrides for tests);
+       map-side combine collapses it to ≤4096 cells per task;
+    3. an exclusive prefix over the ≤4096 bucket partials locates the
+       ≤2 TARGET buckets holding the middle order statistics;
+    4. one filter pass keeps only target-bucket rows (~n/4096),
+       grouped by value and rank-windowed inside the target buckets
+       only; the two picks' mean is ``F.median``'s interpolation
+       exactly.
+
+    Three passes over ``df`` — callers whose input is expensive to
+    recompute (a pair join) should ``localCheckpoint`` it IF it is
+    bounded (theil_sen's slope frame is calendar²-bounded).  Returns
+    one all-NULL row (not an empty frame) on empty input — no caller
+    feeds it an empty frame.  NULL values are not supported (no caller
+    produces them; the guard in theil_sen is value-determined).
     """
-    # one pass over df; the (value, count, bucket) frame feeds two
-    # consumers (bucket partials, the target-bucket rank window), so
-    # materialize it once — its size is O(distinct values), not rows
-    vc = (
-        df.groupBy(F.col(value_col).alias("__v"))
-        .agg(F.count(F.lit(1)).alias("__c"))
-        .localCheckpoint(eager=True)
-    )
+    v = F.col(value_col)
+    stats = df.agg(
+        F.min(v).alias("__mn"),
+        F.max(v).alias("__mx"),
+        F.count(F.lit(1)).alias("n"),
+    ).localCheckpoint(eager=True)
     if bucket_width is None:
-        # r12: ADAPTIVE width — a fixed width has no safe value (the
-        # theil_sen slope domain made 1.7 M buckets out of a 1e6
-        # width, turning the "value-domain-sized" bucket-partials
-        # prefix into a 1.7 M-row single-task window).  Width from the
-        # observed range bounds the bucket count at 4096 for ANY value
-        # domain; boundaries affect load balance only, never the
-        # median (one cheap min/max agg over the checkpointed
-        # distinct-value frame).
-        stats = vc.agg(F.min("__v").alias("__mn"), F.max("__v").alias("__mx"))
         width = F.greatest(
             F.lit(1).cast("long"),
             F.ceil(
@@ -146,34 +151,23 @@ def exact_median(
                 / F.lit(4096.0)
             ).cast("long"),
         )
-        vcb = (
-            vc.crossJoin(F.broadcast(stats))
-            .withColumn("__b", F.floor(F.col("__v") / width))
-            .drop("__mn", "__mx")
-        )
     else:
-        vcb = vc.withColumn("__b", F.floor(F.col("__v") / F.lit(bucket_width)))
-    # bp has two consumers (prefix→tb, ranks) but is ≤4096 rows off a
-    # checkpointed parent: recomputing it twice is cheaper than another
-    # eager materialization job (job-count floor dominates at bench SF)
-    bp = vcb.groupBy("__b").agg(F.sum("__c").alias("__bc"))
+        width = F.lit(bucket_width).cast("long")
+    wdf = stats.select(width.alias("__w"))
+    bp = (
+        df.crossJoin(F.broadcast(wdf))
+        .groupBy(F.floor(v / F.col("__w")).alias("__b"))
+        .agg(F.count(F.lit(1)).alias("__bc"))
+    )
     wb = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
     prefix = bp.select(
         "__b", "__bc", F.coalesce(F.sum("__bc").over(wb), F.lit(0)).alias("__p")
     )
-    # total from the bucket partials (value-domain-sized), never a
-    # second pass over vc
-    ranks = bp.agg(F.sum("__bc").alias("n")).select(
+    ranks = stats.select(
         "n",
         ((F.col("n") + 1) / 2).cast("long").alias("__lo"),
         ((F.col("n") + 2) / 2).cast("long").alias("__hi"),
     )
-    # r12: locate the ≤2 TARGET buckets holding the middle order
-    # statistics on the bucket-partials frame, and run the rank window
-    # only inside them — the old plan windowed (sorted) the ENTIRE
-    # distinct-value frame to rank rows it then discarded, twice (once
-    # per order statistic: measured 8.7 s → 2.9 s on theil_sen's
-    # 2.89 M-distinct slope frame)
     tb = (
         prefix.crossJoin(F.broadcast(ranks))
         .filter(
@@ -188,12 +182,18 @@ def exact_median(
         )
         .select("__b", "__p")
     )
+    cand = (
+        df.crossJoin(F.broadcast(wdf))
+        .join(F.broadcast(tb), F.floor(v / F.col("__w")) == F.col("__b"))
+        .groupBy("__b", "__p", v.alias("__v"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
     wv = (
         Window.partitionBy("__b")
         .orderBy("__v")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    cum = vcb.join(F.broadcast(tb), "__b").select(
+    cum = cand.select(
         "__v",
         "__c",
         (F.col("__p") + F.sum("__c").over(wv)).alias("__cum"),

@@ -208,8 +208,13 @@ def cosine_self_topk_pairs_gemm(
                 out_s.extend(s[sel].tolist())
             yield pd.DataFrame({"id_a": out_a, "id_b": out_b, "sim": out_s})
 
-    cand = corpus.select(id_col, vec_col).mapInPandas(
-        score, schema="id_a long, id_b long, sim double"
+    # r12: fan the GEMM batches out to the session cores — a single-
+    # file corpus scan otherwise runs every block in ONE task
+    # (measured 2.1 s single-task stage at sf0.1)
+    cand = (
+        corpus.select(id_col, vec_col)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(score, schema="id_a long, id_b long, sim double")
     )
     return cand.orderBy(
         F.col("sim").desc(), F.col("id_a").asc(), F.col("id_b").asc()

@@ -1686,12 +1686,17 @@ def theil_sen_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ANSI division can evaluate before the join condition discards
     # the day==day pair (observed DIVIDE_BY_ZERO); condition rows
     # always have dd > 0, so the branch never yields NULL downstream
+    # r12: materialize the slope frame — exact_median's three passes
+    # (min/max/count, bucket counts, target-bucket pick) would each
+    # re-run the pair join otherwise; the frame is calendar²-bounded
+    # (days²/2 longs ≈ 2.9 M at ANY corpus size), so the checkpoint is
+    # observation-span-sized, never corpus-sized
     slopes = a.join(b, F.col("a.day") < F.col("b.day")).select(
         F.when(
             dd > 0,
             _micro((F.col("b.cents") - F.col("a.cents")).cast("double") / dd),
         ).alias("slope_q")
-    )
+    ).localCheckpoint(eager=True)
     # distributed exact median (operators/quantiles.exact_median): a
     # single F.median over the 2.9 M-row slope frame funnels every
     # value through one merged aggregation buffer (measured 8.4 s);
