@@ -535,18 +535,28 @@ def jaccard_threshold_counts_smalldict(
     crossed = cross.agg(*pair_aggs).crossJoin(F.broadcast(same_pairs))
     docs = per_mask.agg(*doc_aggs)
     rows = crossed.crossJoin(F.broadcast(docs))
-    out = None
-    for i, t in enumerate(thresholds):
-        sel = rows.select(
-            F.lit(float(t)).alias("threshold"),
-            # every same-mask pair sits at jaccard 1.0 ≥ any t ≤ 1.0
-            (F.coalesce(F.col(f"p{i}"), F.lit(0)) + F.col("sp"))
-            .cast("long")
-            .alias("n_pairs"),
-            F.coalesce(F.col(f"d{i}"), F.lit(0)).cast("long").alias("n_docs"),
-        )
-        out = sel if out is None else out.unionByName(sel)
-    return out.orderBy("threshold")
+    # r12: ONE explode over a literal struct array instead of a
+    # |thresholds|-way union of single-row selects — the union re-ran
+    # the aggregate subtree per branch (7 branches ≈ 18 extra stages);
+    # values are identical column arithmetic
+    arr = F.array(
+        *[
+            F.struct(
+                F.lit(float(t)).alias("threshold"),
+                # every same-mask pair sits at jaccard 1.0 ≥ any t ≤ 1.0
+                (F.coalesce(F.col(f"p{i}"), F.lit(0)) + F.col("sp"))
+                .cast("long")
+                .alias("n_pairs"),
+                F.coalesce(F.col(f"d{i}"), F.lit(0)).cast("long").alias("n_docs"),
+            )
+            for i, t in enumerate(thresholds)
+        ]
+    )
+    return (
+        rows.select(F.explode(arr).alias("r"))
+        .select("r.threshold", "r.n_pairs", "r.n_docs")
+        .orderBy("threshold")
+    )
 
 
 def md5_minhash_candidates(

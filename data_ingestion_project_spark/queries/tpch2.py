@@ -1129,6 +1129,12 @@ def apriori_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_brand", "c1")
         .localCheckpoint(eager=True)
     )
+    # NOTE (r12): deliberately NOT checkpointed — an eager fitems
+    # materialization was tried and caused AGGREGATE_OUT_OF_MEMORY at
+    # sf10 (a second fact-scale frame pinned in storage memory on top
+    # of the baskets checkpoint squeezed the triple-pass aggregation);
+    # the per-reference broadcast semi over the checkpointed baskets
+    # is the memory-safe form
     fitems = baskets.join(F.broadcast(l1.select("p_brand")), "p_brand", "left_semi")
     a = fitems.select("l_orderkey", F.col("p_brand").alias("x"))
     b = fitems.select("l_orderkey", F.col("p_brand").alias("y"))
@@ -1158,11 +1164,23 @@ def apriori_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
             "left_semi",
         )
     )
+    # r12 (guide §3.2): pre-filter BOTH triple-pass inputs with C3's
+    # own faces before the expansion — pairs to C3's (x, y) head pairs
+    # (strictly tighter than the L2 gate) and the z side to brands
+    # that appear as a C3 third item — so the per-basket pair×item
+    # blow-up runs only over rows that can survive the final (x, y, z)
+    # semi join; the final semi is unchanged, so the support counts
+    # are value-identical
+    c3xy = c3.select("x", "y").distinct()
+    c3z = c3.select("z").distinct()
+    zitems = fitems.select("l_orderkey", F.col("p_brand").alias("z")).join(
+        F.broadcast(c3z), "z", "left_semi"
+    )
     t = (
         a.join(b, "l_orderkey")
         .filter(F.col("x") < F.col("y"))
-        .join(l2, ["x", "y"], "left_semi")
-        .join(fitems.select("l_orderkey", F.col("p_brand").alias("z")), "l_orderkey")
+        .join(F.broadcast(c3xy), ["x", "y"], "left_semi")
+        .join(zitems, "l_orderkey")
         .filter(F.col("y") < F.col("z"))
         .join(F.broadcast(c3), ["x", "y", "z"], "left_semi")
         .groupBy("x", "y", "z")
