@@ -1179,11 +1179,11 @@ def media_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "UTF-8",
         ).alias("payload"),
     )
-    # r12: fan the Python parse stage out to the session cores (the
-    # payloads are ≤ ~110 B each, so the shuffle is metadata-sized)
-    dims = decode_media_dims(
-        media.repartition(spark.sparkContext.defaultParallelism)
-    )
+    # NOTE (r12): deliberately NOT fanned out like the JPEG/PNG/MP4
+    # codecs — the P6 parse is a header read + one bytes.mean, and the
+    # bench measured the repartition as a net LOSS here (0.50 → 0.74 s:
+    # the exchange costs more than the trivial decode saves)
+    dims = decode_media_dims(media)
     return (
         dims.groupBy("width")
         .agg(
