@@ -100,9 +100,6 @@ def pagerank(
     out_edges = e.join(deg, "src").localCheckpoint(eager=True)
 
     if dangling == "ignore":
-        n = out_edges.select("src").distinct().count()  # reads the checkpoint
-        teleport = (1.0 - damping) / n
-        ranks = deg.select("src", F.lit(1.0 / n).alias("rank"))
         # one zero-contribution row per SOURCE, unioned into every
         # round's inbox: keeps indegree-0 sources alive at the exact
         # teleport floor (ADVICE r7) WITHOUT a per-round node⨝node
@@ -112,6 +109,13 @@ def pagerank(
         # re-derives deg (a full groupBy over the edge list) just to
         # produce the zero rows (measured ~+1 s/round on the dup graph)
         zero = deg.select("src", F.lit(0.0).alias("c")).localCheckpoint(eager=True)
+        # r13 (guide §2.4): n = |source nodes| = |deg rows| — count the
+        # node-scale zero checkpoint instead of re-shuffling the
+        # EDGE-scale checkpoint through a distinct (deg is distinct on
+        # src by construction of its groupBy)
+        n = zero.count()
+        teleport = (1.0 - damping) / n
+        ranks = deg.select("src", F.lit(1.0 / n).alias("rank"))
         for i in range(iterations):
             contrib = out_edges.join(ranks, "src").select(
                 F.col("dst").alias("src"),

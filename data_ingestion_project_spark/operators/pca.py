@@ -39,6 +39,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from data_ingestion_project_spark.operators.fanout import fanout_to_cores
+
 COV_QUANTUM = 10_000  # 1e-4 value quantization for integer-exact moments
 
 
@@ -58,10 +60,10 @@ def covariance_cells(emb: DataFrame, col: str = "embedding", dim: int = 64) -> D
     # r12: fan the d(d+1)/2-cells-per-row triangle expansion out to
     # the session cores — it is the whole compute and a single-file
     # scan otherwise runs it in ONE task (measured 2.5 s single-task
-    # stage at sf0.1); shuffled rows are just dim longs each
-    q = emb.select(quantized_vec(col).alias("v")).repartition(
-        emb.sparkSession.sparkContext.defaultParallelism
-    )
+    # stage at sf0.1); shuffled rows are just dim longs each.
+    # r13: conditional (operators/fanout) — a well-split input at
+    # scale skips the round-robin Exchange entirely
+    q = fanout_to_cores(emb.select(quantized_vec(col).alias("v")))
     pairs = q.select(
         F.explode(
             F.flatten(
@@ -182,10 +184,10 @@ def moment_rows(emb: DataFrame, col: str = "embedding", dim: int = 64) -> DataFr
     # r12: fan the d(d+1)/2-cells-per-row triangle expansion out to
     # the session cores — it is the whole compute and a single-file
     # scan otherwise runs it in ONE task (measured 2.5 s single-task
-    # stage at sf0.1); shuffled rows are just dim longs each
-    q = emb.select(quantized_vec(col).alias("v")).repartition(
-        emb.sparkSession.sparkContext.defaultParallelism
-    )
+    # stage at sf0.1); shuffled rows are just dim longs each.
+    # r13: conditional (operators/fanout) — a well-split input at
+    # scale skips the round-robin Exchange entirely
+    q = fanout_to_cores(emb.select(quantized_vec(col).alias("v")))
     pairs = q.select(
         F.explode(
             F.flatten(

@@ -30,6 +30,62 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _range_id_expr(bounds: list, value_col: str):
+    """0-based range id from explicit boundary literals (empty bounds —
+    a constant column — collapse to one range)."""
+    if not bounds:
+        return F.lit(0)
+    barr = F.array(*[F.lit(b) for b in bounds])
+    return F.size(F.filter(barr, lambda b: b < F.col(value_col)))
+
+
+def _rank_and_bucket(
+    df: DataFrame,
+    value_col: str,
+    k: int,
+    tiebreak_cols: list[str],
+    out_col: str,
+    rid_col: str,
+    counts: dict[int, int],
+) -> DataFrame:
+    """Pass 3 of the distributed ntile: local rank inside each range +
+    cumulative offset = exact global rank, then Spark's ntile split
+    rule. Shared by the single- and multi-column forms."""
+    total = sum(counts.values())
+    offsets: dict[int, int] = {}
+    acc = 0
+    for rid in sorted(counts):
+        offsets[rid] = acc
+        acc += counts[rid]
+
+    order = [F.col(value_col).asc(), *[F.col(c).asc() for c in tiebreak_cols]]
+    w = Window.partitionBy(rid_col).orderBy(*order)
+    offset_expr = F.element_at(
+        F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]), F.col(rid_col)
+    )
+    # long arithmetic: row_number() is int32 and the offset literals are
+    # int-typed when small — at >2^31 rows the un-cast addition would
+    # silently wrap in non-ANSI mode, in exactly the operator that
+    # exists for that scale.
+    r = (F.row_number().over(w).cast("long") + offset_expr.cast("long")).alias("__grank")
+
+    # Spark ntile split: first m = N % k buckets take q+1 rows (q = N//k).
+    q, m = divmod(total, k)
+    head = m * (q + 1)
+    grank = F.col("__grank")
+    if q == 0:  # fewer rows than buckets: bucket == rank
+        bucket = grank
+    else:
+        bucket = F.when(grank <= head, ((grank - 1) / (q + 1)).cast("long") + 1).otherwise(
+            F.lit(m) + ((grank - head - 1) / q).cast("long") + 1
+        )
+    return (
+        df.withColumn("__grank", r)
+        .withColumn(out_col, bucket.cast("int"))
+        .drop(rid_col, "__grank")
+    )
+
+
 def equal_frequency_buckets(
     df: DataFrame,
     value_col: str,
@@ -52,50 +108,79 @@ def equal_frequency_buckets(
     # accuracy only shapes balance (1e-3 keeps driver state tiny).
     probs = [i / range_partitions for i in range(1, range_partitions)]
     bounds = sorted(set(df.approxQuantile(value_col, probs, 0.001)))
-    if bounds:
-        barr = F.array(*[F.lit(b) for b in bounds])
-        range_id = F.size(F.filter(barr, lambda b: b < F.col(value_col)))
-    else:  # constant column → one range
-        range_id = F.lit(0)
-    ranged = df.withColumn("__rid", range_id)
+    ranged = df.withColumn("__rid", _range_id_expr(bounds, value_col))
 
     # Pass 2: per-range counts → cumulative offsets (driver-side,
     # O(range_partitions) rows — metadata scale, not data scale).
     counts = {r["__rid"]: r["n"] for r in ranged.groupBy("__rid").agg(F.count(F.lit(1)).alias("n")).collect()}
-    total = sum(counts.values())
-    offsets: dict[int, int] = {}
-    acc = 0
-    for rid in sorted(counts):
-        offsets[rid] = acc
-        acc += counts[rid]
 
     # Pass 3: local rank inside each range + offset = exact global rank.
-    order = [F.col(value_col).asc(), *[F.col(c).asc() for c in tiebreak_cols]]
-    w = Window.partitionBy("__rid").orderBy(*order)
-    offset_expr = F.element_at(
-        F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]), F.col("__rid")
-    )
-    # long arithmetic: row_number() is int32 and the offset literals are
-    # int-typed when small — at >2^31 rows the un-cast addition would
-    # silently wrap in non-ANSI mode, in exactly the operator that
-    # exists for that scale.
-    r = (F.row_number().over(w).cast("long") + offset_expr.cast("long")).alias("__grank")
+    return _rank_and_bucket(ranged, value_col, k, tiebreak_cols, out_col, "__rid", counts)
 
-    # Spark ntile split: first m = N % k buckets take q+1 rows (q = N//k).
-    q, m = divmod(total, k)
-    head = m * (q + 1)
-    grank = F.col("__grank")
-    if q == 0:  # fewer rows than buckets: bucket == rank
-        bucket = grank
-    else:
-        bucket = F.when(grank <= head, ((grank - 1) / (q + 1)).cast("long") + 1).otherwise(
-            F.lit(m) + ((grank - head - 1) / q).cast("long") + 1
-        )
-    return (
-        ranged.withColumn("__grank", r)
-        .withColumn(out_col, bucket.cast("int"))
-        .drop("__rid", "__grank")
+
+def equal_frequency_buckets_multi(
+    df: DataFrame,
+    specs: list[tuple[str, int, list[str], str]],
+    range_partitions: int = 32,
+) -> DataFrame:
+    """Several INDEPENDENT ntile assignments over one frame with the
+    driver passes FOLDED (r13, guide §2.3): chained
+    ``equal_frequency_buckets`` calls pay one approxQuantile job + one
+    count-collect job PER column, each re-executing every previous
+    call's ranking windows; this computes ALL columns' boundaries in
+    ONE multi-column approxQuantile pass and ALL per-range counts in
+    ONE exploded aggregation pass, then applies the shared
+    rank-and-split tail per column.
+
+    ``specs``: (value_col, k, tiebreak_cols, out_col) tuples.  Every
+    value column must be non-NULL (the chained form's per-call NULL
+    filtering is order-dependent; callers like rfm_segments construct
+    non-NULL dimensions).
+
+    Exactness: identical assignment to the chained calls — range
+    boundaries only shape load balance (equal values always land in
+    one range, ranks are exact within ranges, offsets exact across
+    them), and the same ntile split rule applies to the same exact
+    global ranks.
+    """
+    probs = [i / range_partitions for i in range(1, range_partitions)]
+    cols = [s[0] for s in specs]
+    all_bounds = df.stat.approxQuantile(cols, probs, 0.001)  # ONE pass
+
+    ranged = df
+    rid_cols = []
+    for (vc, _k, _tb, oc), bs in zip(specs, all_bounds):
+        rid_col = f"__rid_{oc}"
+        ranged = ranged.withColumn(rid_col, _range_id_expr(sorted(set(bs)), vc))
+        rid_cols.append(rid_col)
+
+    # ONE count pass for every column: explode (dim, rid) pairs — the
+    # shuffle is dims × range_partitions cells after map-side combine
+    pairs = ranged.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("d"), F.col(rc).alias("rid"))
+                    for i, rc in enumerate(rid_cols)
+                ]
+            )
+        ).alias("e")
     )
+    cell_rows = (
+        pairs.groupBy(F.col("e.d").alias("d"), F.col("e.rid").alias("rid"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    per_dim_counts: list[dict[int, int]] = [dict() for _ in specs]
+    for row in cell_rows:
+        per_dim_counts[row["d"]][row["rid"]] = row["n"]
+
+    out = ranged
+    for (vc, k, tiebreaks, oc), rid_col, counts in zip(
+        specs, rid_cols, per_dim_counts
+    ):
+        out = _rank_and_bucket(out, vc, k, tiebreaks or [], oc, rid_col, counts)
+    return out
 
 
 def exact_median(

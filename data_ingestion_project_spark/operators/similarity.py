@@ -210,11 +210,12 @@ def cosine_self_topk_pairs_gemm(
 
     # r12: fan the GEMM batches out to the session cores — a single-
     # file corpus scan otherwise runs every block in ONE task
-    # (measured 2.1 s single-task stage at sf0.1)
-    cand = (
-        corpus.select(id_col, vec_col)
-        .repartition(spark.sparkContext.defaultParallelism)
-        .mapInPandas(score, schema="id_a long, id_b long, sim double")
+    # (measured 2.1 s single-task stage at sf0.1).  r13: conditional
+    # (operators/fanout) — a well-split input skips the Exchange
+    from data_ingestion_project_spark.operators.fanout import fanout_to_cores
+
+    cand = fanout_to_cores(corpus.select(id_col, vec_col)).mapInPandas(
+        score, schema="id_a long, id_b long, sim double"
     )
     return cand.orderBy(
         F.col("sim").desc(), F.col("id_a").asc(), F.col("id_b").asc()

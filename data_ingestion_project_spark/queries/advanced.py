@@ -3022,7 +3022,7 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     means are pure integer arithmetic; revenue share is one double
     division, floor-rounded."""
     from data_ingestion_project_spark.operators.quantiles import (
-        equal_frequency_buckets,
+        equal_frequency_buckets_multi,
     )
 
     o = table(spark, sf_dir, "orders")
@@ -3044,14 +3044,18 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
-    scored = equal_frequency_buckets(
-        base, "recency_days", 5, tiebreak_cols=["o_custkey"], out_col="r_bkt"
-    )
-    scored = equal_frequency_buckets(
-        scored, "freq", 5, tiebreak_cols=["o_custkey"], out_col="f_score"
-    )
-    scored = equal_frequency_buckets(
-        scored, "mon_i", 5, tiebreak_cols=["o_custkey"], out_col="m_score"
+    # r13 (guide §2.3): all three quintile assignments in the FOLDED
+    # multi-column form — one approxQuantile pass + one count pass for
+    # all dimensions instead of (quantile job + count job) × 3, each
+    # chained call re-executing the previous ranking windows; the
+    # assignment is identical (boundaries only shape balance)
+    scored = equal_frequency_buckets_multi(
+        base,
+        [
+            ("recency_days", 5, ["o_custkey"], "r_bkt"),
+            ("freq", 5, ["o_custkey"], "f_score"),
+            ("mon_i", 5, ["o_custkey"], "m_score"),
+        ],
     )
     r = F.lit(6) - F.col("r_bkt")  # bucket 1 = most recent → score 5
     f_, m_ = F.col("f_score"), F.col("m_score")

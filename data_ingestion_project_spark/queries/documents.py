@@ -30,6 +30,7 @@ from data_ingestion_project_spark.operators.dedup import (
     md5_minhash_candidates,
     substitution_block_pairs,
 )
+from data_ingestion_project_spark.operators.fanout import fanout_to_cores
 from data_ingestion_project_spark.queries._precision import floor_round
 from data_ingestion_project_spark.sources.readers import table
 
@@ -1239,9 +1240,11 @@ def png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r12: fan the Python codec stage out to the session cores — the
     # single-file scan otherwise runs every encode+decode in ONE task
     # (guide §2.6 idle capacity; measured 4.7 s single-task JPEG decode)
-    media = d.select("doc_id").repartition(
-        spark.sparkContext.defaultParallelism
-    ).mapInPandas(_encode, schema="media_id long, payload binary")
+    # r13: conditional (operators/fanout) — a well-split input at
+    # scale skips the round-robin Exchange
+    media = fanout_to_cores(d.select("doc_id")).mapInPandas(
+        _encode, schema="media_id long, payload binary"
+    )
     dims = decode_media_dims(media)
     return (
         dims.groupBy("width")
@@ -1311,9 +1314,11 @@ def mp4_metadata_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r12: fan the Python codec stage out to the session cores — the
     # single-file scan otherwise runs every encode+decode in ONE task
     # (guide §2.6 idle capacity; measured 4.7 s single-task JPEG decode)
-    media = d.select("doc_id").repartition(
-        spark.sparkContext.defaultParallelism
-    ).mapInPandas(_encode, schema="media_id long, payload binary")
+    # r13: conditional (operators/fanout) — a well-split input at
+    # scale skips the round-robin Exchange
+    media = fanout_to_cores(d.select("doc_id")).mapInPandas(
+        _encode, schema="media_id long, payload binary"
+    )
     dims = decode_media_dims(media)
     return (
         dims.groupBy("width")
@@ -1460,9 +1465,11 @@ def jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r12: fan the Python codec stage out to the session cores — the
     # single-file scan otherwise runs every encode+decode in ONE task
     # (guide §2.6 idle capacity; measured 4.7 s single-task JPEG decode)
-    media = d.select("doc_id").repartition(
-        spark.sparkContext.defaultParallelism
-    ).mapInPandas(_encode, schema="media_id long, payload binary")
+    # r13: conditional (operators/fanout) — a well-split input at
+    # scale skips the round-robin Exchange
+    media = fanout_to_cores(d.select("doc_id")).mapInPandas(
+        _encode, schema="media_id long, payload binary"
+    )
     dims = decode_media_dims(media)
     return (
         dims.groupBy("width")
@@ -1523,9 +1530,11 @@ def jpeg_decode_stats_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r12: fan the Python codec stage out to the session cores — the
     # single-file scan otherwise runs every encode+decode in ONE task
     # (guide §2.6 idle capacity; measured 4.7 s single-task JPEG decode)
-    media = d.select("doc_id").repartition(
-        spark.sparkContext.defaultParallelism
-    ).mapInPandas(_encode, schema="media_id long, payload binary")
+    # r13: conditional (operators/fanout) — a well-split input at
+    # scale skips the round-robin Exchange
+    media = fanout_to_cores(d.select("doc_id")).mapInPandas(
+        _encode, schema="media_id long, payload binary"
+    )
     dims = decode_media_dims(media, decode_fn=pil_decode)
     return (
         dims.groupBy("width")
@@ -4525,6 +4534,27 @@ FROM sharded GROUP BY shard ORDER BY shard
 # --------------------------- model-based filtering (Naive Bayes)
 
 
+def nb_token_counts(
+    spark: SparkSession, sf_dir: str, checkpoint: bool = False
+) -> DataFrame:
+    """The NB pipeline's per-(doc, lang, word) term-frequency frame —
+    the ONE tokenize pass feeding train+score.  Shared by the
+    nb_scores asset build AND the broadcast-contract plan test
+    (r13, ADVICE r12 #4: the test re-implemented this pipeline inline,
+    so a drift in the build would have silently decoupled the pinned
+    no-shuffle/no-Python contract from the real build plan)."""
+    d = table(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("word"),
+    )
+    counts = words.groupBy("doc_id", "lang", "word").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return counts.localCheckpoint(eager=True) if checkpoint else counts
+
+
 def _nb_scored_path(spark: SparkSession, sf_dir: str) -> str:
     """Materialize (once per corpus mtime) the per-(test doc, candidate
     label) INTEGER score frame of the trained NB language model —
@@ -4548,17 +4578,8 @@ def _nb_scored_path(spark: SparkSession, sf_dir: str) -> str:
     abs_dir = os.path.abspath(os.path.normpath(sf_dir))
 
     def _build(tmp: str) -> None:
-        d = table(spark, sf_dir, "documents")
-        words = d.select(
-            "doc_id",
-            "lang",
-            F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("word"),
-        )
-        counts = (
-            words.groupBy("doc_id", "lang", "word")
-            .agg(F.count(F.lit(1)).alias("c"))
-            .localCheckpoint(eager=True)  # _scored reads it 6×
-        )
+        # checkpoint=True: _scored reads the counts frame 6×
+        counts = nb_token_counts(spark, sf_dir, checkpoint=True)
         scored = _scored(counts, "doc_id", "lang", "word", "c", None)
         # test-docs × |labels| rows of 4 narrow columns; at real scale
         # this write would be bucketed BY doc_id so the per-doc argmax
@@ -5335,8 +5356,9 @@ def compression_ratio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     # r12: fan the zlib stage out to the session cores — one scan task
-    # otherwise compresses every document serially
-    ratios = planted.repartition(spark.sparkContext.defaultParallelism).mapInPandas(
+    # otherwise compresses every document serially.  r13: conditional
+    # (operators/fanout) — a well-split input skips the Exchange
+    ratios = fanout_to_cores(planted).mapInPandas(
         _ratio, schema="lang string, ratio_micro long"
     )
     return (
@@ -5992,24 +6014,19 @@ def youden_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer J·P·N = TP·N − FP·P folded in DECIMAL (a double J would
     tie-break differently across engines); ties break by lower FPR
     (exact FP compare) then lower threshold; reported rates are
-    value-determined doubles off the exact confusion counts."""
+    value-determined doubles off the exact confusion counts.
+
+    r13: the decision statistics derive from the materialized
+    nb_scores asset (one read, no per-query tokenize/train) — the r12
+    economy pass covered the other four NB consumers and missed this
+    one; the asset scores are exact BIGINTs, bit-identical to the
+    inline recompute this replaced (same argument as nb_auc_roc)."""
     from pyspark.sql.window import Window
 
-    from data_ingestion_project_spark.operators.nb import nb_ovr_scores
+    from data_ingestion_project_spark.operators.nb import ovr_from_scored
     from data_ingestion_project_spark.queries._precision import DEC_BUF
 
-    d = table(spark, sf_dir, "documents")
-    words = d.select(
-        "doc_id",
-        "lang",
-        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("word"),
-    )
-    counts = (
-        words.groupBy("doc_id", "lang", "word")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint(eager=True)
-    )
-    st = nb_ovr_scores(counts, "en", label_col="lang")
+    st = ovr_from_scored(_nb_scored(spark, sf_dir), "en", label_col="lang")
     per = (
         st.groupBy("stat")
         .agg(

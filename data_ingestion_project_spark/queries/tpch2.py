@@ -686,46 +686,67 @@ def brand_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     their solo popularity predicts), a family the engine did not yet
     cover.
 
-    Scale: the dim join broadcasts (part is the small side); baskets
-    reduce to DISTINCT (order, brand) in one shuffle; the pair stage
-    is a self EQUI-join on the order key (both sides share the
-    partitioning — Catalyst reuses the exchange), expanding each
-    basket to at most |basket-brands|² pairs, bounded by order width,
-    never the corpus; everything after is the |brands|²-cell frame.
+    Scale (r13 restructure, guide §2.3/§2.4): the dim join broadcasts
+    (part is the small side); ONE fact exchange builds per-order
+    sorted brand SETS (groupBy + collect_set — the same exchange the
+    old plan spent on DISTINCT, with the dedup and the grouping fused;
+    per-group state is bounded by |brands| = 25, never order width);
+    singles, ordered pairs AND the basket sentinel then explode from
+    each basket array in one generator pass, so one map-side-combined
+    aggregation over ≤ 1+|brands|+|brands|² cell keys replaces the old
+    basket self-join (which re-shuffled the basket frame and expanded
+    |basket|² rows through a join). The only materialized frame is the
+    |brands|²-cell census (the old plan localCheckpoint'd the whole
+    orders×brands frame — fact-scale pinned storage at 100 TB).
     A-priori note: with a support floor on SINGLE brands the pair
     stage would semi-join-prune first — all 25 brands clear any
     useful floor here, so the census keeps them.
 
-    Exactness: counts are exact BIGINTs; support/confidence/lift are
-    single IEEE divisions of those integers, floor-rounded
-    (_precision.floor_round) so no engine-library ROUND is trusted."""
+    Exactness: brand sets are deduped per order exactly as DISTINCT
+    was (a pair/single counts once per basket either way); counts are
+    exact BIGINTs; support/confidence/lift are single IEEE divisions
+    of those integers, floor-rounded (_precision.floor_round) so no
+    engine-library ROUND is trusted."""
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     p = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    # materialize the basket frame once: three consumers (totals,
-    # per-brand counts, the pair self-join's both sides) would
-    # otherwise each re-run the dim join + distinct — 4 extra fact
-    # scans in the pre-AQE plan; the frame is ≤ orders×brands rows
-    ob = (
+    baskets = (
         li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
-        .select("l_orderkey", "p_brand")
-        .distinct()
-        .localCheckpoint(eager=True)
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("p_brand")).alias("brands"))
     )
-    tot = ob.agg(F.count_distinct("l_orderkey").alias("n_baskets"))
-    singles = ob.groupBy("p_brand").agg(F.count(F.lit(1)).alias("n_solo"))
-    a, b = ob.alias("a"), ob.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.p_brand") < F.col("b.p_brand")),
-        )
-        .groupBy(
-            F.col("a.p_brand").alias("brand_a"), F.col("b.p_brand").alias("brand_b")
-        )
-        .agg(F.count(F.lit(1)).alias("n_ab"))
-        .filter(F.col("n_ab") >= _BASKET_MIN_PAIRS)
+    ns = F.lit(None).cast("string")
+    bs = F.col("brands")
+    combos = F.concat(
+        # basket sentinel: one (NULL, NULL) cell per order = n_baskets
+        F.array(F.struct(ns.alias("a"), ns.alias("b"))),
+        # singles: (brand, NULL)
+        F.transform(bs, lambda x: F.struct(x.alias("a"), ns.alias("b"))),
+        # ordered pairs a < b from the sorted set (pca-triangle shape)
+        F.flatten(
+            F.transform(
+                bs,
+                lambda x, i: F.transform(
+                    F.slice(bs, i + 2, F.size(bs)),
+                    lambda y: F.struct(x.alias("a"), y.alias("b")),
+                ),
+            )
+        ),
     )
+    cells = (
+        baskets.select(F.explode(combos).alias("c"))
+        .groupBy(F.col("c.a").alias("a"), F.col("c.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)  # ≤ 1+|brands|+|brands|² rows
+    )
+    tot = cells.filter(F.col("a").isNull()).select(F.col("n").alias("n_baskets"))
+    singles = cells.filter(F.col("a").isNotNull() & F.col("b").isNull()).select(
+        F.col("a").alias("p_brand"), F.col("n").alias("n_solo")
+    )
+    pairs = cells.filter(F.col("b").isNotNull()).select(
+        F.col("a").alias("brand_a"),
+        F.col("b").alias("brand_b"),
+        F.col("n").alias("n_ab"),
+    ).filter(F.col("n_ab") >= _BASKET_MIN_PAIRS)
     sa = singles.select(
         F.col("p_brand").alias("brand_a"), F.col("n_solo").alias("n_a")
     )
@@ -818,56 +839,127 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     row-level checks (orders_quality_report) and the in-table
     profiler (orders_profile).
 
-    Plan per edge: one LEFT ANTI join in each direction + tiny count
-    aggregates; dimension sides broadcast (nation/region/customer/
-    part/supplier), and the one fact-fact edge (lineitem→orders)
-    anti-joins on the shuffle key both tables already cluster by.
-    NULL child keys count as orphans (a NULL FK breaks an inner join
-    exactly like a dangling one; both engines' anti-join semantics
-    keep NULL-keyed rows, documented here because SQL's NOT IN would
-    instead drop the whole result).  All-integer outputs; rates are
-    single divisions, floor-rounded."""
-    parts = []
-    for child, fk, parent, pk in _FK_EDGES:
-        c = table(spark, sf_dir, child).select(F.col(fk).alias("fk"))
-        p = table(spark, sf_dir, parent).select(F.col(pk).alias("pk"))
-        # one LEFT join per direction, total + miss counted in the
-        # SAME aggregation — a separate anti-join would scan the
-        # child (a fact table on two edges) twice per direction
-        pd_ = p.select(F.col("pk"), F.lit(1).alias("__hit"))
-        child_side = c.join(pd_, c["fk"] == pd_["pk"], "left").agg(
-            F.count(F.lit(1)).alias("n_child"),
-            F.sum((F.col("__hit").isNull()).cast("long")).alias("n_orphan"),
-        )
-        cd = c.select("fk").distinct().withColumn("__ref", F.lit(1))
-        parent_side = p.join(cd, p["pk"] == cd["fk"], "left").agg(
-            F.count(F.lit(1)).alias("n_parent"),
-            F.sum((F.col("__ref").isNull()).cast("long")).alias("n_unref"),
-        )
-        parts.append(
-            child_side.crossJoin(F.broadcast(parent_side))
-            .select(
-                F.lit(f"{child}.{fk} -> {parent}.{pk}").alias("fk_edge"),
-                "n_child",
-                "n_orphan",
-                floor_round(
-                    F.col("n_orphan").cast("double")
-                    / F.col("n_child").cast("double"),
-                    6,
-                ).alias("orphan_rate"),
-                "n_parent",
-                "n_unref",
-                floor_round(
-                    F.col("n_unref").cast("double")
-                    / F.col("n_parent").cast("double"),
-                    6,
-                ).alias("unref_rate"),
+    Plan (r13 restructure, guide §2.3 one-pass multi-aggregate): ONE
+    left-join pass per CHILD table covers every edge it participates
+    in — the pass aggregates, per edge, the orphan count (unmatched
+    child rows) AND the count of DISTINCT matched parent keys, so the
+    parent direction needs NO join at all: unreferenced parents =
+    n_parent − |distinct referenced pks| (an exact identity as long
+    as parent pks are unique — the same uniqueness both the old
+    per-edge plan and the oracle's COUNT(*) child totals already
+    relied on).  The old plan ran 14 join+aggregate subtrees (7 edges
+    × 2 directions) with 6 separate lineitem passes (3 child-side
+    scans + 3 DISTINCT-fk shuffles); now lineitem is scanned ONCE (3
+    narrow key columns) through its three parent lookups, the
+    DISTINCT work rides the same pass as count_distinct (Spark's
+    Expand rewrite — map-side partials, parent-key-scale shuffles,
+    same bytes the old per-edge DISTINCTs moved), and the 7 output
+    rows assemble from the five 1-row pass frames + two dimension
+    counts via one literal-struct explode (the jaccard_threshold_
+    sweep fold).  The fact-fact edge (lineitem→orders) joins FIRST so
+    the sort-merge shuffle carries only the 3 key columns; dimension
+    lookups follow (AQE broadcasts them at runtime size, unhinted —
+    as before).  NULL child keys count as orphans (a NULL FK breaks
+    an inner join exactly like a dangling one) and never enter the
+    referenced-pk set (NULL never matches) — both unchanged.
+    All-integer outputs; rates are single divisions, floor-rounded."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey"
+    )
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    p = table(spark, sf_dir, "part")
+
+    def child_pass(child: DataFrame, prefix: str, edges) -> DataFrame:
+        """edges: (fk_col, parent_df, pk_col, tag). One scan of
+        ``child`` left-joined through every parent; returns one row:
+        n_<prefix>, orph_<prefix>_<tag>, refd_<prefix>_<tag>."""
+        j = child
+        for fk, pdf, pk, tag in edges:
+            j = j.join(
+                pdf.select(F.col(pk).alias(f"__pk_{tag}")),
+                F.col(fk) == F.col(f"__pk_{tag}"),
+                "left",
             )
+        aggs = [F.count(F.lit(1)).alias(f"n_{prefix}")]
+        for fk, pdf, pk, tag in edges:
+            hit = F.col(f"__pk_{tag}")
+            aggs.append(
+                F.sum(hit.isNull().cast("long")).alias(f"orph_{prefix}_{tag}")
+            )
+            # matched rows carry the parent pk; count_distinct skips
+            # the NULLs of orphans ⇒ |distinct referenced parents|
+            aggs.append(F.count_distinct(hit).alias(f"refd_{prefix}_{tag}"))
+        return j.agg(*aggs)
+
+    L = child_pass(
+        li,
+        "li",
+        [
+            ("l_orderkey", o, "o_orderkey", "ord"),
+            ("l_partkey", p, "p_partkey", "prt"),
+            ("l_suppkey", s, "s_suppkey", "sup"),
+        ],
+    )
+    O = child_pass(o, "ord", [("o_custkey", c, "c_custkey", "cus")])
+    C = child_pass(c, "cus", [("c_nationkey", n, "n_nationkey", "nat")])
+    S = child_pass(s, "sup", [("s_nationkey", n, "n_nationkey", "nat")])
+    N = child_pass(n, "nat", [("n_regionkey", r, "r_regionkey", "reg")])
+    dims = p.agg(F.count(F.lit(1)).alias("n_prt")).crossJoin(
+        F.broadcast(r.agg(F.count(F.lit(1)).alias("n_reg")))
+    )
+    row = (
+        L.crossJoin(F.broadcast(O))
+        .crossJoin(F.broadcast(C))
+        .crossJoin(F.broadcast(S))
+        .crossJoin(F.broadcast(N))
+        .crossJoin(F.broadcast(dims))
+    )
+
+    def edge(name: str, n_child: str, orph: str, n_parent: str, refd: str):
+        return F.struct(
+            F.lit(name).alias("fk_edge"),
+            F.col(n_child).alias("n_child"),
+            F.col(orph).alias("n_orphan"),
+            F.col(n_parent).alias("n_parent"),
+            (F.col(n_parent) - F.col(refd)).alias("n_unref"),
         )
-    out = parts[0]
-    for frame in parts[1:]:
-        out = out.unionByName(frame)
-    return out.orderBy("fk_edge")
+
+    edges = F.array(
+        edge("orders.o_custkey -> customer.c_custkey",
+             "n_ord", "orph_ord_cus", "n_cus", "refd_ord_cus"),
+        edge("lineitem.l_orderkey -> orders.o_orderkey",
+             "n_li", "orph_li_ord", "n_ord", "refd_li_ord"),
+        edge("lineitem.l_partkey -> part.p_partkey",
+             "n_li", "orph_li_prt", "n_prt", "refd_li_prt"),
+        edge("lineitem.l_suppkey -> supplier.s_suppkey",
+             "n_li", "orph_li_sup", "n_sup", "refd_li_sup"),
+        edge("customer.c_nationkey -> nation.n_nationkey",
+             "n_cus", "orph_cus_nat", "n_nat", "refd_cus_nat"),
+        edge("supplier.s_nationkey -> nation.n_nationkey",
+             "n_sup", "orph_sup_nat", "n_nat", "refd_sup_nat"),
+        edge("nation.n_regionkey -> region.r_regionkey",
+             "n_nat", "orph_nat_reg", "n_reg", "refd_nat_reg"),
+    )
+    e = row.select(F.explode(edges).alias("e"))
+    return e.select(
+        F.col("e.fk_edge").alias("fk_edge"),
+        F.col("e.n_child").alias("n_child"),
+        F.col("e.n_orphan").alias("n_orphan"),
+        floor_round(
+            F.col("e.n_orphan").cast("double") / F.col("e.n_child").cast("double"),
+            6,
+        ).alias("orphan_rate"),
+        F.col("e.n_parent").alias("n_parent"),
+        F.col("e.n_unref").alias("n_unref"),
+        floor_round(
+            F.col("e.n_unref").cast("double") / F.col("e.n_parent").cast("double"),
+            6,
+        ).alias("unref_rate"),
+    ).orderBy("fk_edge")
 
 
 def _oracle_referential_integrity() -> str:

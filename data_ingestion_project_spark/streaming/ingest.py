@@ -350,7 +350,12 @@ def start_quantile_sketch_stream(
                     continue  # lost the create race: rebase onto the winner
             prior = T.read(spark, table_path, base)
             touched = prior.join(batch_sk.select("day"), "day", "left_semi")
-            merged = merge_bottomk(touched.unionByName(batch_sk), ["day"], k=k)
+            # fold_salts=None: bounded-inputs contract — each day group
+            # merges exactly (stored sketch ∪ batch sketch) ≤ 2 inputs,
+            # so the single fold's state is ≤ 2k structs by construction
+            merged = merge_bottomk(
+                touched.unionByName(batch_sk), ["day"], k=k, fold_salts=None
+            )
             try:
                 # base_version pins the merge to the SAME snapshot the
                 # fold read: a concurrent commit between the read above

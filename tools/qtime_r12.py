@@ -31,6 +31,10 @@ def main() -> None:
         i = args.index("--reps")
         reps = int(args[i + 1])
         del args[i : i + 2]
+    if reps < 1:  # r13 (ADVICE): rows is read after the loop — 0 reps
+        # would NameError; the tool's contract is "time it", so >= 1
+        print("--reps must be >= 1", file=sys.stderr)
+        sys.exit(2)
     if "--explain" in args:
         i = args.index("--explain")
         explain = args[i + 1]
@@ -59,10 +63,13 @@ def main() -> None:
 
     for name in names:
         if explain:
+            # r13 (ADVICE): build the DataFrame ONCE for the plan dump
+            # (the old branch called qs[name]() twice)
             d, tag = os.path.split(explain)
             os.makedirs(d or ".", exist_ok=True)
-            plan = qs[name](spark, sf_dir)._sc._jvm.PythonSQLUtils.explainString(
-                qs[name](spark, sf_dir)._jdf.queryExecution(), "formatted"
+            qdf = qs[name](spark, sf_dir)
+            plan = qdf._sc._jvm.PythonSQLUtils.explainString(
+                qdf._jdf.queryExecution(), "formatted"
             )
             with open(os.path.join(d, f"{name}_{tag}.txt"), "w") as f:
                 f.write(plan)
