@@ -1693,12 +1693,17 @@ def quantile_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         sketch_quantile,
     )
 
-    e = table(spark, sf_dir, "events").withColumn(
-        "day", F.date_format("ts", "yyyy-MM-dd")
-    )
+    # r13 (guide §2.3 narrower types / §1 measure first): the pipeline
+    # groups and shuffles on a DATE (int32 internally) and renders the
+    # day STRING only in the final output — the yyyy-MM-dd formatter
+    # ran per ROW per pass before (count pass + build pass), measured
+    # 3.36 → 2.19 s on the whole sf10 build. date_format(DATE) emits
+    # the identical string, and DATE↔string days are 1:1, so groups,
+    # sketches and output rows are unchanged.
+    e = table(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
     daily = bottomk_sketches(e, "value", ["day"], "event_id", k=1024, use_md5=True)
     per_day = daily.select(
-        "day",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
         F.round(sketch_quantile(F.col("sketch"), 0.5), 4).alias("p50_value"),
         F.round(sketch_quantile(F.col("sketch"), 0.9), 4).alias("p90_value"),
     )
@@ -1730,12 +1735,12 @@ def quantile_sketch_rollup_xx(spark: SparkSession, sf_dir: str) -> DataFrame:
         sketch_quantile,
     )
 
-    e = table(spark, sf_dir, "events").withColumn(
-        "day", F.date_format("ts", "yyyy-MM-dd")
-    )
+    # r13: DATE group key, string rendered once at output (see the md5
+    # twin above — same 1:1 day identity, measured −35% on the build)
+    e = table(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
     daily = bottomk_sketches(e, "value", ["day"], "event_id", k=1024, use_md5=False)
     per_day = daily.select(
-        "day",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
         F.round(sketch_quantile(F.col("sketch"), 0.5), 4).alias("p50_value"),
         F.round(sketch_quantile(F.col("sketch"), 0.9), 4).alias("p90_value"),
     )
